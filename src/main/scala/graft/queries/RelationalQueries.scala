@@ -1,0 +1,375 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.queries.Exact._
+
+/** Core relational operator surface (SURVEY.md §2.2–2.4, §2.6–2.7).
+  *
+  * Each query is a declarative DataFrame plan — Catalyst pushes the
+  * filters/projections to the parquet scan, picks broadcast joins for
+  * the dimension tables, and does partial (map-side) aggregation before
+  * the shuffle. At 100 TB the same plans hold: the fact tables
+  * (lineitem/events) shuffle only on their group/join keys, dimensions
+  * broadcast, and AQE handles skew.
+  *
+  * Determinism contract with the DuckDB oracle: double sums accumulate
+  * in decimal (see [[Exact]]), ranks tie-break on a unique key, month
+  * keys are formatted strings.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-style pricing summary — the canonical filter→groupBy→agg
+    * plan (temporal median composite shape, SURVEY §2.4; reference
+    * monthly.py:256,288 does filter→median per group). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dmean(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1AggSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${dmeanSql("l_quantity")} AS avg_qty,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Compound predicates: date range + BETWEEN + IN + modulo
+    * (SURVEY §2.2 date-range / metadata-scalar / row filters). */
+  def qFilterPredicates(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_quantity").between(10, 20) &&
+        col("l_returnflag").isin("A", "R") &&
+        col("l_linenumber") % 2 === 0)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+  }
+
+  val qFilterPredicatesSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1996-01-01'
+      |  AND l_quantity BETWEEN 10 AND 20
+      |  AND l_returnflag IN ('A','R')
+      |  AND l_linenumber % 2 = 0""".stripMargin
+
+  /** QA-bitmask filter — the reference's cloud/QA bit tests
+    * (`qa.bitwiseAnd(1<<10).eq(0)`, optimization.py:106-118) as integer
+    * bit arithmetic pushed into the scan. */
+  def qBitmaskQa(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter((col("l_orderkey").bitwiseAND(lit(3)) === 0) &&
+              (col("l_partkey").bitwiseAND(lit(8)) =!= 0))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  val qBitmaskQaSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE (l_orderkey & 3) = 0 AND (l_partkey & 8) <> 0
+       |GROUP BY l_returnflag""".stripMargin
+
+  /** Star join: fact ⋈ 4 dimensions, revenue per nation (band-stack /
+    * multi-source join shape, SURVEY §2.3). Dimensions are broadcast —
+    * at 100 TB only lineitem⋈orders shuffles, on the join key. */
+  def qJoinStar(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  val qJoinStarSql: String =
+    s"""SELECT r_name, n_name,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+       |GROUP BY r_name, n_name""".stripMargin
+
+  /** Multi-source full-outer join on a composite key — mirrors the
+    * reference's `pd.merge(s2, s1, on=['time','x','y'], how='outer')`
+    * (notebook/prepare_process.ipynb, SURVEY §2.3). Two event-type
+    * streams aligned per (user, day). */
+  def qJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def side(t: String, as: String): DataFrame =
+      ev.filter(col("event_type") === t)
+        .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(dsum(col("value")).as(as))
+    side("purchase", "purchase_value")
+      .join(side("click", "click_value"), Seq("user_id", "day"), "full_outer")
+  }
+
+  val qJoinOuterSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+       |         ${dsumSql("value")} AS purchase_value
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |c AS (
+       |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+       |         ${dsumSql("value")} AS click_value
+       |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+       |SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+       |       COALESCE(p.day, c.day) AS day,
+       |       purchase_value, click_value
+       |FROM p FULL OUTER JOIN c ON p.user_id = c.user_id AND p.day = c.day""".stripMargin
+
+  /** Semi + anti join, tagged union (engine surface beyond the
+    * reference, SURVEY §2.3 last row). */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("has_orders"))
+    val noOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("no_orders"))
+    withOrders.unionByName(noOrders)
+  }
+
+  val qSemiAntiSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n, 'has_orders' AS tag
+      |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT c_mktsegment, COUNT(*) AS n, 'no_orders' AS tag
+      |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Top-k per group via rank window (KNN/top-k shape, SURVEY §2.6;
+    * dw.py:126-131 sort+first). Deterministic tie-break on key. */
+  def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+  }
+
+  val qTopkPerGroupSql: String =
+    """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) WHERE rk <= 3""".stripMargin
+
+  /** Frame-spec analytics: running sum (decimal-exact) + lag
+    * (SURVEY §2.5 last row). */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 5)
+      .withColumn("running_value",
+        sum(col("value").cast(Dec)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select("user_id", "event_id", "value", "running_value", "prev_value")
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT user_id, event_id, value,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6)))
+      |       OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |       AS DOUBLE) AS running_value,
+      |  LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      |FROM events WHERE user_id < 5""".stripMargin
+
+  /** Monthly median composite — the reference's core temporal composite
+    * (`collection.median()` per month, monthly.py:256,288): tumbling
+    * month window + exact percentile (SURVEY §2.4/§2.5). */
+  def qMonthlyMedian(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM").as("month"))
+      .agg(percentile(col("value"), lit(0.5)).as("median_value"),
+           count(lit(1)).as("n_obs"))
+  }
+
+  val qMonthlyMedianSql: String =
+    """SELECT user_id, strftime(ts, '%Y-%m') AS month,
+      |  quantile_cont(value, 0.5) AS median_value,
+      |  COUNT(*) AS n_obs
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Mode composite (majority class per group, monthly.py:578) with a
+    * deterministic tie-break: highest count, then lexicographically
+    * smallest class — same rule on both engines (SURVEY §2.4). */
+  def qModeComposite(spark: SparkSession, dir: String): DataFrame = {
+    val counted = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("cnt").desc, col("event_type"))
+    counted.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"), col("cnt"))
+  }
+
+  val qModeCompositeSql: String =
+    """SELECT user_id, event_type AS mode_type, cnt FROM (
+      |  SELECT user_id, event_type, COUNT(*) AS cnt,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |                            ORDER BY COUNT(*) DESC, event_type) AS rk
+      |  FROM events GROUP BY user_id, event_type) WHERE rk = 1""".stripMargin
+
+  /** First (earliest) composite — `collection.first()`
+    * (monthly.py:230): row_number over event time, deterministic via
+    * event_id tie-break (SURVEY §2.4). */
+  def qFirstComposite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_id").as("first_event"),
+              col("event_type").as("first_type"), col("value").as("first_value"))
+  }
+
+  val qFirstCompositeSql: String =
+    """SELECT user_id, event_id AS first_event, event_type AS first_type,
+      |       value AS first_value FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) AS rk
+      |  FROM events) WHERE rk = 1""".stripMargin
+
+  /** Set operations: INTERSECT / EXCEPT as a tagged union
+    * (SURVEY §2.7). */
+  def qSetops(spark: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val sn = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    cn.intersect(sn).withColumn("tag", lit("both"))
+      .unionByName(cn.except(sn).withColumn("tag", lit("customer_only")))
+  }
+
+  val qSetopsSql: String =
+    """SELECT nationkey, 'both' AS tag FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT nationkey, 'customer_only' AS tag FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT SELECT s_nationkey FROM supplier)""".stripMargin
+
+  /** Exact distinct counts (SURVEY §2.4 distinct row; the
+    * `approx_count_distinct` sketch variant is the 100 TB path, kept in
+    * the library — exact here for the oracle). */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+  }
+
+  val qDistinctSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+      |       COUNT(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Histogram / range-bucket counts (notebook/rice.ipynb rh98 buckets,
+    * SURVEY §2.4): fixed-width buckets via floor division. */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val qHistogramSql: String =
+    """SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket, COUNT(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Global sort + limit with fully deterministic key
+    * (SURVEY §2.6). */
+  def qSortLimit(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+  }
+
+  val qSortLimitSql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Grouping sets / rollup (SURVEY §2.4 last row — OLAP surface the
+    * reference lacks but the engine provides). */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+  }
+
+  val qRollupSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q_filter_predicates" -> (qFilterPredicates _),
+    "q_bitmask_qa" -> (qBitmaskQa _),
+    "q_join_star" -> (qJoinStar _),
+    "q_join_outer" -> (qJoinOuter _),
+    "q_semi_anti" -> (qSemiAnti _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_monthly_median" -> (qMonthlyMedian _),
+    "q_mode_composite" -> (qModeComposite _),
+    "q_first_composite" -> (qFirstComposite _),
+    "q_setops" -> (qSetops _),
+    "q_distinct" -> (qDistinct _),
+    "q_histogram" -> (qHistogram _),
+    "q_sort_limit" -> (qSortLimit _),
+    "q_rollup" -> (qRollup _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q_filter_predicates" -> qFilterPredicatesSql,
+    "q_bitmask_qa" -> qBitmaskQaSql,
+    "q_join_star" -> qJoinStarSql,
+    "q_join_outer" -> qJoinOuterSql,
+    "q_semi_anti" -> qSemiAntiSql,
+    "q_topk_per_group" -> qTopkPerGroupSql,
+    "q_window_running" -> qWindowRunningSql,
+    "q_monthly_median" -> qMonthlyMedianSql,
+    "q_mode_composite" -> qModeCompositeSql,
+    "q_first_composite" -> qFirstCompositeSql,
+    "q_setops" -> qSetopsSql,
+    "q_distinct" -> qDistinctSql,
+    "q_histogram" -> qHistogramSql,
+    "q_sort_limit" -> qSortLimitSql,
+    "q_rollup" -> qRollupSql,
+  )
+}

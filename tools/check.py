@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Runs each oracle SQL (dumped by graft.Verify as oracle_sql.json) in
+DuckDB over the same parquet tables, loads the Spark result parquet,
+sorts columns by name and rows by all columns, and compares values.
+Reports per-query PASS/FAIL with first diff. Exact compare for
+non-floats; bit-exact expected for floats (we engineer queries to be
+order-independent), but prints max abs diff when they differ.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    # normalize timestamp columns to ns for compare
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            duck = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        pdir = f"{outdir}/{name}"
+        if not os.path.isdir(pdir):
+            print(f"FAIL {name}: no spark output dir")
+            n_fail += 1
+            continue
+        spark = pd.concat([pd.read_parquet(f) for f in
+                           sorted(glob.glob(f"{pdir}/*.parquet"))], ignore_index=True)
+        a, b = norm(spark), norm(duck)
+        if sorted(a.columns) != sorted(b.columns):
+            print(f"FAIL {name}: columns spark={sorted(a.columns)} duck={sorted(b.columns)}")
+            n_fail += 1
+            continue
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
+            n_fail += 1
+            continue
+        ok = True
+        for c in a.columns:
+            av, bv = a[c].values, b[c].values
+            if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
+                af = av.astype(float); bf = bv.astype(float)
+                both_nan = np.isnan(af) & np.isnan(bf)
+                eq = (af == bf) | both_nan
+                if not eq.all():
+                    i = int(np.argmin(eq))
+                    d = np.nanmax(np.abs(af - bf))
+                    print(f"FAIL {name}: col {c} row {i}: spark={af[i]!r} duck={bf[i]!r} maxdiff={d:.3e}")
+                    ok = False
+                    break
+            else:
+                eq = pd.Series(av).astype(str).values == pd.Series(bv).astype(str).values
+                if not eq.all():
+                    i = int(np.argmin(eq))
+                    print(f"FAIL {name}: col {c} row {i}: spark={av[i]!r} duck={bv[i]!r}")
+                    ok = False
+                    break
+        if ok:
+            print(f"PASS {name} ({len(a)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
