@@ -17,6 +17,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracle),
+      (TimeSeriesQueries.queries, TimeSeriesQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Nearest-in-time ("as-of") join.
+  *
+  * Reproduces the reference's DynamicWorld monthly-composite fallback
+  * (presto-tolbi/presto/dataops/pipelines/dynamicworld.py:108-137): for
+  * each anchor row (e.g. a pixel-month midpoint), attach the source row
+  * whose timestamp is nearest the anchor, bounded by a tolerance
+  * (reference: 15 days = 1,296,000,000 ms), keeping anchors with no
+  * match (left join semantics — the caller coalesces a default, the
+  * reference's "missing class 9").
+  *
+  * Spark-first design: Spark has no built-in as-of join, so this is a
+  * *rewrite*, not a custom physical operator — an equi-join on the key
+  * columns with the tolerance as a range predicate, followed by one
+  * window to keep the nearest candidate. Catalyst plans the equi-join
+  * as a shuffled hash/sort-merge on `keys` (the only shuffle), and the
+  * tolerance predicate prunes candidates before the window. At 100 TB,
+  * with both sides partitioned by (key, time-bucket), the range
+  * predicate additionally enables partition pruning; candidate fan-out
+  * per anchor is bounded by the tolerance, so the window state stays
+  * small. Ties on distance break deterministically via `tieBreak`
+  * (SURVEY §7.3 hard-part 2).
+  */
+object AsOfJoin {
+
+  /** @param anchors   left side; one output row per anchor row
+    * @param source    right side; its key columns are dropped from the output
+    * @param keys      equi-join key column names present on both sides
+    * @param anchorTs  timestamp column on `anchors` (name must not clash with source columns)
+    * @param sourceTs  timestamp column on `source`
+    * @param toleranceMs max |sourceTs − anchorTs| in milliseconds
+    * @param tieBreak  source column ordering distance ties deterministically
+    */
+  def nearest(anchors: DataFrame, source: DataFrame, keys: Seq[String],
+              anchorTs: String, sourceTs: String, toleranceMs: Long,
+              tieBreak: String): DataFrame = {
+    val dist = abs(unix_millis(source(sourceTs)) - unix_millis(anchors(anchorTs)))
+    val cond = keys.map(k => anchors(k) === source(k)).reduce(_ && _) &&
+      dist <= toleranceMs
+    var joined = anchors.join(source, cond, "left")
+      .withColumn("dist", abs(unix_millis(col(sourceTs)) - unix_millis(col(anchorTs))))
+    for (k <- keys) joined = joined.drop(source(k))
+    val anchorKeyCols: Seq[Column] = keys.map(col) :+ col(anchorTs)
+    val w = Window.partitionBy(anchorKeyCols: _*)
+      .orderBy(col("dist").asc_nulls_last, col(tieBreak).asc_nulls_last)
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .drop("rk")
+  }
+}

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.AsOfJoin
+import graft.queries.Exact._
+
+/** Time-series / temporal-alignment operator surface (SURVEY §2.3 as-of
+  * join, §2.5 windows & pad/clip, §2.7 union, §2.8 calendar + map
+  * lookup, §2.10 month-spine default).
+  *
+  * The events table stands in for the observations table: user_id ≈
+  * pixel/cell id, ts ≈ image timestamp, event_type ≈ source/band,
+  * value ≈ band value.
+  */
+object TimeSeriesQueries {
+
+  /** Nearest-in-time as-of join (dynamicworld.py:108-137): for each
+    * (user, month) anchor at the month midpoint, the 'view' event
+    * closest in time within the reference's 15-day tolerance. */
+  def qAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val spine = ev.select(col("user_id"), date_trunc("month", col("ts")).as("month_start"))
+      .distinct()
+      .withColumn("month_mid", col("month_start") + expr("INTERVAL 14 DAYS"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    AsOfJoin.nearest(spine, views, Seq("user_id"),
+        anchorTs = "month_mid", sourceTs = "ts",
+        toleranceMs = 1296000000L, tieBreak = "event_id")
+      .select(col("user_id"),
+              date_format(col("month_start"), "yyyy-MM").as("month"),
+              col("event_id").as("nearest_event"),
+              col("value").as("nearest_value"),
+              col("dist"))
+  }
+
+  val qAsofNearestSql: String =
+    """WITH spine AS (
+      |  SELECT DISTINCT user_id, date_trunc('month', ts) AS month_start FROM events),
+      |cand AS (
+      |  SELECT s.user_id, s.month_start, e.event_id, e.value,
+      |    abs(epoch_ms(e.ts) - epoch_ms(s.month_start + INTERVAL 14 DAY)) AS dist,
+      |    ROW_NUMBER() OVER (PARTITION BY s.user_id, s.month_start
+      |      ORDER BY abs(epoch_ms(e.ts) - epoch_ms(s.month_start + INTERVAL 14 DAY)) ASC NULLS LAST,
+      |               e.event_id ASC NULLS LAST) AS rk
+      |  FROM spine s LEFT JOIN events e
+      |    ON s.user_id = e.user_id AND e.event_type = 'view'
+      |   AND abs(epoch_ms(e.ts) - epoch_ms(s.month_start + INTERVAL 14 DAY)) <= 1296000000)
+      |SELECT user_id, strftime(month_start, '%Y-%m') AS month,
+      |       event_id AS nearest_event, value AS nearest_value, dist
+      |FROM cand WHERE rk = 1""".stripMargin
+
+  /** Month-spine left join + coalesce — the reference's empty-window
+    * sentinel default (`ee.Algorithms.If(size().gt(0), median, default)`,
+    * composite.py:251-256) as a pure plan: every (user, month) gets a
+    * row, missing aggregates become 0 (SURVEY §4 row 4). */
+  def qMonthSpine(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val users = ev.select(col("user_id")).distinct()
+    val months = ev.select(date_format(col("ts"), "yyyy-MM").as("month")).distinct()
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM").as("month"))
+      .agg(dsum(col("value")).as("s"), count(lit(1)).as("c"))
+    users.crossJoin(months)
+      .join(purchases, Seq("user_id", "month"), "left")
+      .select(col("user_id"), col("month"),
+              coalesce(col("s"), lit(0.0)).as("purchase_value"),
+              coalesce(col("c"), lit(0L)).as("n_purchases"))
+  }
+
+  val qMonthSpineSql: String =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |m AS (SELECT DISTINCT strftime(ts, '%Y-%m') AS month FROM events),
+       |p AS (SELECT user_id, strftime(ts, '%Y-%m') AS month,
+       |             ${dsumSql("value")} AS s, COUNT(*) AS c
+       |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+       |SELECT u.user_id, m.month,
+       |       COALESCE(p.s, 0.0) AS purchase_value,
+       |       COALESCE(p.c, 0) AS n_purchases
+       |FROM u CROSS JOIN m
+       |LEFT JOIN p ON p.user_id = u.user_id AND p.month = m.month""".stripMargin
+
+  /** Timestep pad/clip to a fixed length of 12 (dw.py:14-29 pad_array:
+    * repeat the first timestep to pad, truncate if long), then
+    * positional explode back to rows — exercising the nested-array ↔
+    * exploded-layout conversion (SURVEY §7.3 hard-part 5). */
+  def qPadClip(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM").as("month"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("s"))
+      .withColumn("arr", expr("transform(s, x -> x.value)"))
+      .withColumn("padded",
+        when(size(col("arr")) < 12,
+          concat(col("arr"), expr("array_repeat(arr[0], 12 - size(arr))")))
+        .otherwise(slice(col("arr"), 1, 12)))
+      .select(col("user_id"), col("month"), posexplode(col("padded")).as(Seq("pos", "v")))
+  }
+
+  val qPadClipSql: String =
+    """WITH g AS (
+      |  SELECT user_id, strftime(ts, '%Y-%m') AS month,
+      |         list(value ORDER BY ts, event_id) AS arr
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT user_id, month,
+      |    CASE WHEN len(arr) < 12
+      |         THEN list_concat(arr, list_transform(range(12 - len(arr)), i -> arr[1]))
+      |         ELSE list_slice(arr, 1, 12) END AS padded
+      |  FROM g)
+      |SELECT user_id, month, r['pos'] AS pos, r['v'] AS v FROM (
+      |  SELECT user_id, month,
+      |         unnest(list_transform(range(12), i -> {'pos': i, 'v': padded[i+1]})) AS r
+      |  FROM p)""".stripMargin
+
+  /** Multi-sensor union — the Landsat 4+5+7+8+9 `merge` chain
+    * (preprocessing.py:110-111): per-sensor subsets renamed to a common
+    * schema, unioned, then composited. */
+  def qUnionSensors(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def sensor(t: String, name: String): DataFrame =
+      ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("ts"), col("value").as("reading"),
+                lit(name).as("sensor"))
+    sensor("click", "c_sensor")
+      .unionByName(sensor("view", "v_sensor"))
+      .unionByName(sensor("purchase", "p_sensor"))
+      .groupBy(col("user_id"), col("sensor"))
+      .agg(dsum(col("reading")).as("sum_reading"), count(lit(1)).as("n"))
+  }
+
+  val qUnionSensorsSql: String =
+    s"""WITH merged AS (
+       |  SELECT user_id, ts, value AS reading, 'c_sensor' AS sensor FROM events WHERE event_type = 'click'
+       |  UNION ALL
+       |  SELECT user_id, ts, value AS reading, 'v_sensor' AS sensor FROM events WHERE event_type = 'view'
+       |  UNION ALL
+       |  SELECT user_id, ts, value AS reading, 'p_sensor' AS sensor FROM events WHERE event_type = 'purchase')
+       |SELECT user_id, sensor, ${dsumSql("reading")} AS sum_reading, COUNT(*) AS n
+       |FROM merged GROUP BY user_id, sensor""".stripMargin
+
+  /** Broadcast map lookup with default — `CLASSES_CODES.map` /
+    * `remap(from, to, default)` (monthly.py:684; preprocessing.py:57):
+    * a map literal evaluated per row, unknown keys → sentinel 9. */
+  def qMapLookup(spark: SparkSession, dir: String): DataFrame = {
+    val codeMap = map(
+      lit("click"), lit(0), lit("view"), lit(1), lit("purchase"), lit(2))
+    Tables.events(spark, dir)
+      .withColumn("code", coalesce(element_at(codeMap, col("event_type")), lit(9)))
+      .groupBy(col("code"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val qMapLookupSql: String =
+    """SELECT CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+      |            WHEN 'purchase' THEN 2 ELSE 9 END AS code,
+      |       COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Calendar-part filter + per-day aggregate —
+    * `ee.Filter.calendarRange(year/month)` (height.py:232-233) and
+    * hour-of-day predicates as plain date-part arithmetic. */
+  def qCalendar(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .filter(year(col("ts")) === 2024 &&
+              month(col("ts")).isin(1, 2) &&
+              hour(col("ts")).between(6, 18))
+      .groupBy(year(col("ts")).as("y"), month(col("ts")).as("m"),
+               dayofmonth(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), dmean(col("value")).as("avg_value"))
+  }
+
+  val qCalendarSql: String =
+    s"""SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d,
+       |  COUNT(*) AS n, ${dmeanSql("value")} AS avg_value
+       |FROM events
+       |WHERE year(ts) = 2024 AND month(ts) IN (1, 2)
+       |  AND hour(ts) BETWEEN 6 AND 18
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_nearest" -> (qAsofNearest _),
+    "q_month_spine" -> (qMonthSpine _),
+    "q_pad_clip" -> (qPadClip _),
+    "q_union_sensors" -> (qUnionSensors _),
+    "q_map_lookup" -> (qMapLookup _),
+    "q_calendar" -> (qCalendar _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_asof_nearest" -> qAsofNearestSql,
+    "q_month_spine" -> qMonthSpineSql,
+    "q_pad_clip" -> qPadClipSql,
+    "q_union_sensors" -> qUnionSensorsSql,
+    "q_map_lookup" -> qMapLookupSql,
+    "q_calendar" -> qCalendarSql,
+  )
+}
