@@ -18,6 +18,7 @@ object SparkEntry {
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracle),
       (TimeSeriesQueries.queries, TimeSeriesQueries.oracle),
+      (ScalarFuncQueries.queries, ScalarFuncQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -31,4 +31,21 @@ object Exact {
 
   def dmeanSql(expr: String): String =
     s"(${dsumSql(expr)} / COUNT($expr))"
+
+  /** Exact mean of a COMPUTED double expression.
+    *
+    * The decimal-cast trick above is only safe for doubles that are
+    * already round decimals (raw data columns): for computed values the
+    * double→decimal cast itself rounds, and Spark and DuckDB round
+    * half-way cases differently. Quantizing with floor instead is
+    * deterministic — `floor(x*1e6)` of the same IEEE double is the same
+    * integer on every engine — and the integer sum is exact. Semantics:
+    * mean of values truncated to 1e-6.
+    */
+  def qmean(c: Column): Column =
+    sum(floor(c * lit(1000000.0)).cast("long")).cast("double") /
+      lit(1000000.0) / count(c)
+
+  def qmeanSql(expr: String): String =
+    s"(CAST(SUM(CAST(FLOOR(($expr) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT($expr))"
 }
