@@ -19,6 +19,7 @@ object SparkEntry {
       (RelationalQueries.queries, RelationalQueries.oracle),
       (TimeSeriesQueries.queries, TimeSeriesQueries.oracle),
       (ScalarFuncQueries.queries, ScalarFuncQueries.oracle),
+      (TextQueries.queries, TextQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

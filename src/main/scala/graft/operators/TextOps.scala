@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / deduplication primitives for LLM-scale data
+  * pipelines (mandated beyond the reference by BASELINE.json; the
+  * reference's own string ops are SURVEY §2.8).
+  *
+  * All hashing is md5-based so every operator has a DuckDB-expressible
+  * oracle; at 100 TB the md5 calls would swap for xxhash64 (same
+  * plans, cheaper hash). Everything stays inside codegen'd Catalyst
+  * expressions — no UDFs, no driver-side loops; every operator is a
+  * groupBy/join plan that shuffles only on its key.
+  */
+object TextOps {
+
+  /** Whitespace tokens (the reference tokenizes with `split`,
+    * monthly.py:666; `\S+` avoids empty tokens on both engines). */
+  def tokens(text: Column): Column =
+    expr(s"regexp_extract_all(${text.toString}, '\\\\S+', 0)")
+
+  /** BPE-ish tokenization: letter runs, digit runs, single symbols. */
+  def bpeTokens(text: Column): Column =
+    expr(s"regexp_extract_all(lower(${text.toString}), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")
+
+  /** Whitespace-normalized lowercase text — the canonical dedup key
+    * input (reference normalizes labels with lower/replace,
+    * monthly.py:681). */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(text), "\\s+", " ")
+
+  /** Word n-gram shingles (distinct) from a docs DF with (idCol, textCol). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol), expr(s"regexp_extract_all($textCol, '\\\\S+', 0)").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', ${(0 until n).map(k => s"t[i+$k]").mkString(", ")}))"))
+        .as("shingle"))
+      .distinct()
+
+  /** Per-seed MinHash value: lexicographic min of seeded md5 over the
+    * doc's shingles. Hex-string ordering is engine-independent. */
+  def minhashAggs(seeds: Range): Seq[Column] =
+    seeds.map(j => min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"h$j"))
+
+  /** 32-bit token hash: first 8 hex digits of md5 as an integer —
+    * matches the oracle's digit-Horner fold exactly. */
+  def tokenHash32(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+
+  /** Karp–Rabin rolling hash of the first `maxLen` characters:
+    * fold acc*31 + code (mod 2^56−5) — exact integer arithmetic on
+    * both engines (document fingerprinting; SURVEY §2.8 + BASELINE
+    * text-analysis mandate). */
+  def rollingHash(textCol: String, maxLen: Int): Column =
+    expr(s"""aggregate(
+      transform(sequence(1, least(length($textCol), $maxLen)),
+                i -> cast(ascii(substring($textCol, i, 1)) AS bigint)),
+      0L, (a, c) -> (a * 31 + c) % 72057594037927931)""")
+
+  /** TF-weighted 32-bit SimHash per doc from a (id, text) DF.
+    * Classic simhash: each token votes ±tf on every bit of its hash;
+    * bit = 1 where the vote sum is ≥ 0. Two aggregations, both keyed
+    * on doc id (+bit) — shuffles stay on the doc key. */
+  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", tokenHash32(col("tok")))
+    tf.select(col(idCol), col("cnt"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("bit"))
+      .groupBy(col(idCol), col("bit"))
+      .agg(sum(when(expr("(shiftright(h, bit) & 1) = 1"), col("cnt"))
+        .otherwise(-col("cnt"))).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("s") >= 0, expr("shiftleft(1L, bit)"))
+        .otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** All pairs within `maxHamming` of each other, found WITHOUT the
+    * quadratic cross join: split the 32-bit simhash into 4 bytes; by
+    * pigeonhole any pair with hamming distance ≤ 3 agrees exactly on
+    * ≥ 1 byte, so candidates come from an equi-join on (byte index,
+    * byte value) — the 100 TB-safe plan. Exact distance filters the
+    * candidates. Requires maxHamming ≤ 3 for completeness. */
+  def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-band blocking is only complete for hamming <= 3")
+    val bands = sigs.select(col(idCol), col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), i -> shiftright(simhash, i * 8) & 255)"))
+        .as(Seq("band", "byte")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hd"))
+      .distinct()
+      .filter(col("hd") <= maxHamming)
+  }
+}

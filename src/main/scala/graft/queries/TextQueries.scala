@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextOps
+
+/** Text analysis + deduplication over the documents table — the
+  * LLM-data-pipeline surface mandated by BASELINE.json, built from
+  * the reference's string-op vocabulary (SURVEY §2.8).
+  */
+object TextQueries {
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens +
+    * per-doc average token length. */
+  def qTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"),
+        size(TextOps.bpeTokens(col("text"))).as("n_bpe_tokens"),
+        length(col("text")).as("len"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+          size(TextOps.tokens(col("text")))).as("avg_tok_len"))
+  }
+
+  val qTokenStatsSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+      |  length(text) AS len,
+      |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |    / len(regexp_extract_all(text, '\S+')) AS avg_tok_len
+      |FROM documents""".stripMargin
+
+  /** Quality scoring: length score, stopword ratio, token-length
+    * score combined into one per-doc quality value (all single IEEE
+    * ops — bit-exact cross-engine). */
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+      .withColumn("n_stop", size(expr(
+        "regexp_extract_all(lower(text), '\\\\b(the|a|of|to|in|and|is)\\\\b', 0)")))
+      .withColumn("len_score", least(length(col("text")).cast("double") / 500.0, lit(1.0)))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        lit(0.5) * col("len_score") + lit(0.5) * least(col("stop_ratio") * 5.0, lit(1.0)))
+      .select("doc_id", "n_tokens", "n_stop", "len_score", "stop_ratio", "quality")
+  }
+
+  val qQualityScoreSql: String =
+    """SELECT doc_id, n_tokens, n_stop, len_score, stop_ratio,
+      |  0.5 * len_score + 0.5 * least(stop_ratio * 5.0, 1.0) AS quality
+      |FROM (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |    len(regexp_extract_all(lower(text), '\b(the|a|of|to|in|and|is)\b')) AS n_stop,
+      |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|in|and|is)\b')) AS DOUBLE)
+      |      / len(regexp_extract_all(text, '\S+')) AS stop_ratio
+      |  FROM documents)""".stripMargin
+
+  /** Language-ID by marker-word counts, deterministic argmax
+    * tie-break; output is the confusion matrix against the labeled
+    * lang column. */
+  private val langMarkers = Seq(
+    "en" -> "\\b(the|a|and|is)\\b",
+    "de" -> "\\b(der|die|das|und)\\b",
+    "es" -> "\\b(el|los|las|y)\\b",
+    "fr" -> "\\b(le|les|et|est)\\b")
+
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    var df = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text"))
+    for ((l, pat) <- langMarkers)
+      df = df.withColumn(s"c_$l", size(expr(
+        s"regexp_extract_all(lower(text), '${pat.replace("\\", "\\\\")}', 0)")))
+    df.withColumn("pred_lang",
+        when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") && col("c_en") >= col("c_fr"), "en")
+        .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr"), "de")
+        .when(col("c_es") >= col("c_fr"), "es")
+        .otherwise("fr"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val qLangIdSql: String = {
+    val counts = langMarkers
+      .map { case (l, p) => s"    len(regexp_extract_all(lower(text), '$p')) AS c_$l" }
+      .mkString(",\n")
+    s"""SELECT lang, pred_lang, COUNT(*) AS n FROM (
+       |  SELECT lang,
+       |    CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+       |         WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+       |         WHEN c_es >= c_fr THEN 'es'
+       |         ELSE 'fr' END AS pred_lang
+       |  FROM (
+       |  SELECT lang,
+       |$counts
+       |  FROM documents))
+       |GROUP BY lang, pred_lang""".stripMargin
+  }
+
+  /** Document fingerprinting: whole-content md5 of normalized text +
+    * Karp–Rabin rolling hash of the first 64 chars. */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(TextOps.normalize(col("text"))).as("content_hash"),
+        TextOps.rollingHash("text", 64).as("rhash64"))
+  }
+
+  val qFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
+      |  list_reduce(list_transform(range(least(length(text), 64)),
+      |    i -> CAST(ascii(substr(text, i+1, 1)) AS BIGINT)),
+      |    (a, c) -> (a * 31 + c) % 72057594037927931) AS rhash64
+      |FROM documents""".stripMargin
+
+  /** Exact dedup by content-prefix hash: groups with >1 copy, keeper
+    * = min doc id (hash-groupBy dedup; the keeper rule makes removal
+    * deterministic). */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .groupBy(md5(substring(col("text"), 1, 50)).as("key"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      .filter(col("n_copies") > 1)
+  }
+
+  val qDedupExactSql: String =
+    """SELECT md5(substr(text, 1, 50)) AS key,
+      |  COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+      |FROM documents GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin
+
+  /** Word-3-gram Jaccard near-dup pairs. Candidate pairs come from an
+    * equi-join on shared shingles (inverted-index blocking) — never a
+    * cross join; at 100 TB the blocking key would be MinHash bands
+    * (next query) to bound fan-out on hot shingles. */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingles(Tables.documents(spark, dir), "doc_id", "text", 3)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("n", "na"), "ida")
+      .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("n", "nb"), "idb")
+      .withColumn("jaccard", col("ninter").cast("double") / (col("na") + col("nb") - col("ninter")))
+      .filter(col("jaccard") >= 0.1)
+      .select("ida", "idb", "ninter", "na", "nb", "jaccard")
+  }
+
+  private val shinglesCte: String =
+    """toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(len(t)-2),
+      |    i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingle
+      |  FROM toks WHERE len(t) >= 3))""".stripMargin
+
+  val qNgramJaccardSql: String =
+    s"""WITH $shinglesCte,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS ninter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT ida, idb, ninter, sa.n AS na, sb.n AS nb,
+       |  CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = ida
+       |JOIN sizes sb ON sb.doc_id = idb
+       |WHERE CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter) >= 0.1""".stripMargin
+
+  /** MinHash + LSH near-dup candidates: k=8 seeded-md5 minhashes,
+    * 4 bands × 2 rows; pairs sharing ≥1 band bucket. The band-bucket
+    * equi-join is the scale path — candidate generation never
+    * compares all pairs. */
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingles(Tables.documents(spark, dir), "doc_id", "text", 3)
+    val sig = sh.groupBy(col("doc_id")).agg(
+      TextOps.minhashAggs(0 until 8).head, TextOps.minhashAggs(0 until 8).tail: _*)
+    val bands = sig.select(col("doc_id"), posexplode(array(
+        md5(concat(col("h0"), col("h1"))), md5(concat(col("h2"), col("h3"))),
+        md5(concat(col("h4"), col("h5"))), md5(concat(col("h6"), col("h7")))))
+      .as(Seq("band", "key")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  val qMinhashLshSql: String = {
+    val mins = (0 until 8).map(j => s"  min(md5('$j|' || shingle)) AS h$j").mkString(",\n")
+    s"""WITH $shinglesCte,
+       |sig AS (SELECT doc_id,
+       |$mins
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, r['b'] AS band, r['key'] AS key FROM (
+       |  SELECT doc_id, unnest([
+       |    {'b': 0, 'key': md5(h0||h1)}, {'b': 1, 'key': md5(h2||h3)},
+       |    {'b': 2, 'key': md5(h4||h5)}, {'b': 3, 'key': md5(h6||h7)}]) AS r
+       |  FROM sig))
+       |SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS n_shared_bands
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** TF-weighted 32-bit SimHash near-dup pairs at hamming ≤ 3. The
+    * Spark side uses 4-byte-band pigeonhole blocking (equi-join, no
+    * cross join — the 100 TB plan); the oracle brute-forces all pairs
+    * — identical result, which is itself the completeness check for
+    * the blocking scheme. */
+  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = TextOps.simhash32(Tables.documents(spark, dir), "doc_id", "text")
+    TextOps.simhashPairs(sigs, "doc_id", maxHamming = 3)
+  }
+
+  val qSimhashSql: String =
+    """WITH tf AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |th AS (SELECT doc_id, cnt,
+      |  list_reduce(list_transform(range(8),
+      |    i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i+1, 1)) - 1 AS BIGINT)),
+      |    (a, d) -> a * 16 + d) AS h
+      |  FROM tf),
+      |bits AS (SELECT doc_id, bit,
+      |    SUM(CASE WHEN (h >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+      |  FROM th, (SELECT unnest(range(32)) AS bit) GROUP BY doc_id, bit),
+      |sigs AS (SELECT doc_id,
+      |    SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS ida, b.doc_id AS idb,
+      |  bit_count(xor(a.simhash, b.simhash)) AS hd
+      |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_stats" -> (qTokenStats _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_lang_id" -> (qLangId _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_simhash" -> (qSimhash _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_token_stats" -> qTokenStatsSql,
+    "q_quality_score" -> qQualityScoreSql,
+    "q_lang_id" -> qLangIdSql,
+    "q_fingerprint" -> qFingerprintSql,
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_minhash_lsh" -> qMinhashLshSql,
+    "q_simhash" -> qSimhashSql,
+  )
+}
