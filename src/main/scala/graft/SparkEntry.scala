@@ -20,6 +20,7 @@ object SparkEntry {
       (TimeSeriesQueries.queries, TimeSeriesQueries.oracle),
       (ScalarFuncQueries.queries, ScalarFuncQueries.oracle),
       (TextQueries.queries, TextQueries.oracle),
+      (VectorQueries.queries, VectorQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

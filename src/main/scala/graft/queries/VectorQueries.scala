@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Similarity search over the embeddings table (SURVEY §7.1 step 7;
+  * reference KNN probes eval/knn.py).
+  */
+object VectorQueries {
+
+  /** DuckDB text of the same sequential-fold dot product. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** Brute-force cosine top-k: the exact baseline. The 5 query
+    * vectors broadcast; the candidate scan is embarrassingly parallel
+    * and the only shuffle is the per-query top-k window (k rows per
+    * query survive). At 100 TB the same plan holds with any number of
+    * queries ≪ corpus; beyond that, the LSH variant below. */
+  def qCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", VectorOps.cosine("qe", "embedding"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "vec_id", "cosine")
+  }
+
+  val qCosineTopkSql: String =
+    s"""SELECT qid, rank, vec_id, cosine FROM (
+       |  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+       |    ${cosineSql("q.embedding", "e.embedding")} AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosineSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+       |  FROM embeddings q CROSS JOIN embeddings e
+       |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+       |WHERE rank <= 5""".stripMargin
+
+  /** Sign-LSH ANN with 4 bands × 4 bits: candidates share ANY band
+    * bucket (equi-join on (band, bucket) — the scale path; multiple
+    * bands union for recall, like MinHash banding), then exact cosine
+    * + top-3 among candidates. */
+  def qAnnSignLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val bands = e
+      .select(col("vec_id"), col("embedding"),
+        posexplode(VectorOps.signBands("embedding", 4, 4)).as(Seq("band", "bucket")))
+    val qBands = bands.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("band"), col("bucket"))
+    val cand = bands.join(broadcast(qBands), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.join(e, "vec_id").join(broadcast(q), "qid")
+      .withColumn("cosine", VectorOps.cosine("qe", "embedding"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "vec_id", "cosine")
+  }
+
+  private val bandsSql =
+    """SELECT vec_id, embedding, r['band'] AS band, r['bucket'] AS bucket FROM (
+      |  SELECT vec_id, embedding, unnest(list_transform(range(4), b ->
+      |    {'band': b,
+      |     'bucket': CAST(list_sum(list_transform(range(4),
+      |        i -> CASE WHEN embedding[b*4 + i + 1] >= 0
+      |             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT)})) AS r
+      |  FROM embeddings)""".stripMargin
+
+  val qAnnSignLshSql: String =
+    s"""WITH bands AS ($bandsSql),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, e.vec_id AS vec_id
+       |  FROM bands q JOIN bands e ON q.band = e.band AND q.bucket = e.bucket
+       |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+       |SELECT qid, rank, vec_id, cosine FROM (
+       |  SELECT c.qid, c.vec_id,
+       |    ${cosineSql("q.embedding", "e.embedding")} AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY c.qid
+       |      ORDER BY ${cosineSql("q.embedding", "e.embedding")} DESC, c.vec_id) AS rank
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN embeddings q ON q.vec_id = c.qid)
+       |WHERE rank <= 3""".stripMargin
+
+  /** IVF-style assignment: per-label centroids (floor-quantized
+    * element-wise mean — exact integer sums, SURVEY §7.3 hard-part 3
+    * style determinism), then each vector assigned to the
+    * max-dot-product centroid; output is the label×assigned confusion
+    * matrix. The centroid table is tiny and broadcasts; the big side
+    * shuffles once on (vec_id). */
+  def qCentroidAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val exp = e.select(col("label"), col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val cent = exp.groupBy(col("label"), col("pos"))
+      .agg((sum(floor(col("v").cast("double") * 1e6).cast("long")).cast("double") /
+        lit(1e6) / count(lit(1))).as("c"))
+      .select(col("label").as("clabel"), col("pos"), col("c"))
+    val dots = exp.join(broadcast(cent), "pos")
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum(floor(col("v").cast("double") * col("c") * 1e9).cast("long")).as("qdot"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("qdot").desc, col("clabel"))
+    dots.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("label"), col("clabel").as("assigned"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val qCentroidAssignSql: String =
+    """WITH exp AS (
+      |  SELECT label, vec_id, r['pos'] AS pos, r['v'] AS v FROM (
+      |    SELECT label, vec_id,
+      |      unnest(list_transform(range(len(embedding)),
+      |        i -> {'pos': i, 'v': embedding[i+1]})) AS r
+      |    FROM embeddings)),
+      |cent AS (
+      |  SELECT label AS clabel, pos,
+      |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+      |      / 1000000.0 / COUNT(*) AS c
+      |  FROM exp GROUP BY 1, 2),
+      |dots AS (
+      |  SELECT e.vec_id, e.label, c.clabel,
+      |    SUM(CAST(FLOOR(CAST(e.v AS DOUBLE) * c.c * 1000000000.0) AS BIGINT)) AS qdot
+      |  FROM exp e JOIN cent c ON e.pos = c.pos
+      |  GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT vec_id, label, clabel,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qdot DESC, clabel) AS rk
+      |  FROM dots)
+      |SELECT label, clabel AS assigned, COUNT(*) AS n
+      |FROM best WHERE rk = 1 GROUP BY 1, 2""".stripMargin
+
+  /** Per-label vector statistics: count + quantized-mean norm +
+    * exact min/max norm (aggregations over computed doubles →
+    * floor-quantized, per Exact.qmean). */
+  def qVectorStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir)
+      .withColumn("nrm", VectorOps.norm("embedding"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        Exact.qmean(col("nrm")).as("avg_norm"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"))
+  }
+
+  val qVectorStatsSql: String = {
+    val normSql = s"sqrt(${dotSql("embedding", "embedding")})"
+    s"""SELECT label, COUNT(*) AS n,
+       |  ${Exact.qmeanSql(normSql)} AS avg_norm,
+       |  MIN($normSql) AS min_norm,
+       |  MAX($normSql) AS max_norm
+       |FROM embeddings GROUP BY label""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cosine_topk" -> (qCosineTopk _),
+    "q_ann_sign_lsh" -> (qAnnSignLsh _),
+    "q_centroid_assign" -> (qCentroidAssign _),
+    "q_vector_stats" -> (qVectorStats _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_cosine_topk" -> qCosineTopkSql,
+    "q_ann_sign_lsh" -> qAnnSignLshSql,
+    "q_centroid_assign" -> qCentroidAssignSql,
+    "q_vector_stats" -> qVectorStatsSql,
+  )
+}
