@@ -21,6 +21,7 @@ object SparkEntry {
       (ScalarFuncQueries.queries, ScalarFuncQueries.oracle),
       (TextQueries.queries, TextQueries.oracle),
       (VectorQueries.queries, VectorQueries.oracle),
+      (PipelineQueries.queries, PipelineQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
