@@ -160,6 +160,30 @@ object PipelineQueries {
        |FROM m""".stripMargin
   }
 
+  /** Typed-Aggregator sufficient stats (operators.ExactSuffStats):
+    * the same statistics as q_sufficient_stats but via a custom
+    * Aggregator with an exact integer buffer — one pass, one shuffle,
+    * order-independent on any partitioning. */
+  def qSuffstatsTyped(spark: SparkSession, dir: String): DataFrame = {
+    val ss = udaf(graft.operators.ExactSuffStats)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(ss(col("value")).as("s"))
+      .select(col("event_type"), col("s.n").as("n"),
+        col("s.mean").as("mean"), col("s.variance").as("variance"))
+  }
+
+  val qSuffstatsTypedSql: String =
+    """SELECT event_type, n,
+      |  CAST(s2 AS DOUBLE) / 100.0 / n AS mean,
+      |  CAST(s4 AS DOUBLE) / 10000.0 / n
+      |    - (CAST(s2 AS DOUBLE) / 100.0 / n) * (CAST(s2 AS DOUBLE) / 100.0 / n) AS variance
+      |FROM (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(round(value * 100.0) AS BIGINT)) AS s2,
+      |    SUM(CAST(round(value * 100.0) AS BIGINT) * CAST(round(value * 100.0) AS BIGINT)) AS s4
+      |  FROM events GROUP BY 1)""".stripMargin
+
   /** Class-balanced subsample: first n per class by deterministic
     * order (eval/cropharvest_eval.py:286-293) — one window, shuffles
     * only on the class key. */
@@ -214,6 +238,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sufficient_stats" -> (qSufficientStats _),
+    "q_suffstats_typed" -> (qSuffstatsTyped _),
     "q_normalize_bands" -> (qNormalizeBands _),
     "q_input_assembly" -> (qInputAssembly _),
     "q_mask_generation" -> (qMaskGeneration _),
@@ -224,6 +249,7 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "q_sufficient_stats" -> qSufficientStatsSql,
+    "q_suffstats_typed" -> qSuffstatsTypedSql,
     "q_normalize_bands" -> qNormalizeBandsSql,
     "q_input_assembly" -> qInputAssemblySql,
     "q_mask_generation" -> qMaskGenerationSql,

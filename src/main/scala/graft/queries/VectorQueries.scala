@@ -98,6 +98,25 @@ object VectorQueries {
        |  JOIN embeddings q ON q.vec_id = c.qid)
        |WHERE rank <= 3""".stripMargin
 
+  /** Same exact top-k as [[qCosineTopk]] but through the native
+    * codegen'd `cosine_sim` Catalyst expression
+    * ([[graft.expressions.CosineSimilarity]], registered by
+    * GraftExtensions) — one fused loop instead of
+    * zip_with+aggregate; identical results, same oracle. */
+  def qCosineTopkNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "vec_id", "cosine")
+  }
+
   /** IVF-style assignment: per-label centroids (floor-quantized
     * element-wise mean — exact integer sums, SURVEY §7.3 hard-part 3
     * style determinism), then each vector assigned to the
@@ -171,6 +190,7 @@ object VectorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> (qCosineTopk _),
+    "q_cosine_topk_native" -> (qCosineTopkNative _),
     "q_ann_sign_lsh" -> (qAnnSignLsh _),
     "q_centroid_assign" -> (qCentroidAssign _),
     "q_vector_stats" -> (qVectorStats _),
@@ -178,6 +198,7 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "q_cosine_topk" -> qCosineTopkSql,
+    "q_cosine_topk_native" -> qCosineTopkSql,
     "q_ann_sign_lsh" -> qAnnSignLshSql,
     "q_centroid_assign" -> qCentroidAssignSql,
     "q_vector_stats" -> qVectorStatsSql,
