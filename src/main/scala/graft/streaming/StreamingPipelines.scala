@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY §2.10).
+  *
+  * The reference has three incremental patterns, none of them a real
+  * stream processor; each maps onto Structured Streaming:
+  *
+  *  1. the GCS-triggered Cloud Function converting each newly landed
+  *     tif (dataops/main.py:24-43, idempotent via skip-if-exists) →
+  *     a file-source stream + checkpointed exactly-once sink;
+  *  2. single-pass accumulation of per-band sufficient statistics
+  *     across files (src/utils.py:19-49) → stateful aggregation in
+  *     update mode;
+  *  3. month-window composites with a bounded "late image" horizon
+  *     (the 15-day nearest-image tolerance, dynamicworld.py:108-137)
+  *     → tumbling windows + watermark.
+  *
+  * Scale notes: state is keyed by (user/cell), so it shards across
+  * executors; the watermark bounds state size (windows older than the
+  * horizon are finalized and evicted); file-source ingest paces with
+  * `maxFilesPerTrigger` — the reference's 3,000-task backpressure gate
+  * (ee_pipeline.py:96) becomes a one-line option.
+  */
+object StreamingPipelines {
+
+  /** Pattern 3: tumbling 30-day composites with a 15-day watermark —
+    * the streaming form of the monthly median composite; aggregates
+    * restricted to ones with streaming partial-merge support. */
+  def windowedComposite(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "15 days")
+      .groupBy(col("user_id"), window(col("ts"), "30 days"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("user_id"), col("window.start").as("w_start"),
+        col("n"), col("sum_value"), col("min_value"), col("max_value"))
+
+  case class Obs(user_id: Long, value: Double)
+  case class RunningStats(user_id: Long, n: Long, sum2: Long, sumsq4: Long) {
+    def mean: Double = sum2.toDouble / 100.0 / n
+  }
+
+  /** Pattern 2: per-key running sufficient statistics with
+    * mapGroupsWithState — the exact integer buffer from
+    * [[graft.operators.ExactSuffStats]] carried as streaming state,
+    * so restarts/retries never change results. */
+  def runningStats(obs: Dataset[Obs]): Dataset[RunningStats] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.user_id)
+      .mapGroupsWithState[RunningStats, RunningStats](GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Obs], state: GroupState[RunningStats]) =>
+          val prev = state.getOption.getOrElse(RunningStats(key, 0L, 0L, 0L))
+          val next = rows.foldLeft(prev) { (s, o) =>
+            val c = math.round(o.value * 100.0)
+            RunningStats(key, s.n + 1, s.sum2 + c, s.sumsq4 + c * c)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Pattern 1: landing-zone file ingest → parquet, exactly-once.
+    * The reference's skip-if-exists idempotence (ee_pipeline.py:
+    * 125-140) is replaced by the checkpoint: a batch is never
+    * reprocessed, even across restarts. `maxFilesPerTrigger` is the
+    * backpressure knob. */
+  def fileIngest(spark: SparkSession, schema: StructType, srcDir: String,
+                 destDir: String, checkpointDir: String,
+                 maxFilesPerTrigger: Int = 100): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // deterministic derived column mirrors the tif→npy transform step
+        batch.withColumn("norm_value", col("value") / 100.0)
+          .write.mode("append").parquet(destDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

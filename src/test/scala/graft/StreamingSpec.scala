@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingPipelines
+import graft.streaming.StreamingPipelines.{Obs, RunningStats}
+
+class StreamingSpec extends SparkSpec {
+
+  test("windowedComposite aggregates tumbling windows incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val q = StreamingPipelines.windowedComposite(events)
+      .writeStream.format("memory").queryName("wc").outputMode("update").start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-02 00:00:00"), 1L, 10.0),
+        (Timestamp.valueOf("2024-01-05 00:00:00"), 1L, 20.0))
+      q.processAllAvailable()
+      // in-watermark addition lands in the same (epoch-aligned) window
+      in.addData(
+        (Timestamp.valueOf("2024-01-10 00:00:00"), 1L, 30.0),
+        (Timestamp.valueOf("2024-02-20 00:00:00"), 2L, 5.0))
+      q.processAllAvailable()
+      // event later than the watermark horizon (its window closed once
+      // max event time hit 02-20) must be dropped, not re-opened
+      in.addData((Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 999.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .groupBy("user_id", "w_start") // update mode re-emits; keep latest per key
+        .agg(max("n").as("n"), max("sum_value").as("sum_value"))
+        .orderBy("user_id").collect()
+      val u1 = rows.find(_.getLong(0) == 1L).get
+      assert(u1.getLong(2) == 3L && u1.getDouble(3) == 60.0, s"late row not dropped: ${rows.mkString(";")}")
+      assert(rows.exists(r => r.getLong(0) == 2L && r.getLong(2) == 1L))
+    } finally q.stop()
+  }
+
+  test("runningStats carries exact integer state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Obs]
+    val q = StreamingPipelines.runningStats(in.toDS())
+      .writeStream.format("memory").queryName("rs").outputMode("update").start()
+    try {
+      in.addData(Obs(1L, 1.25), Obs(1L, 2.75))
+      q.processAllAvailable()
+      in.addData(Obs(1L, 6.0))
+      q.processAllAvailable()
+      val last = spark.table("rs").as[RunningStats].collect()
+        .filter(_.user_id == 1L).maxBy(_.n)
+      assert(last.n == 3L)
+      assert(last.sum2 == 1000L) // (125 + 275 + 600) exact integer cents
+      assert(last.mean == 10.0 / 3.0)
+    } finally q.stop()
+  }
+
+  test("fileIngest processes files exactly once across restarts") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_src").toString
+    val dest = Files.createTempDirectory("graft_dest").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val schema = Seq((1L, 100.0)).toDF("id", "value").schema
+
+    Seq((1L, 100.0), (2L, 250.0)).toDF("id", "value")
+      .write.mode("append").parquet(src)
+    val q1 = StreamingPipelines.fileIngest(spark, schema, src, dest, ckpt)
+    q1.awaitTermination()
+    assert(spark.read.parquet(dest).count() == 2)
+
+    // second run with same checkpoint: no new files → nothing reprocessed
+    val q2 = StreamingPipelines.fileIngest(spark, schema, src, dest, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(dest).count() == 2)
+
+    // a newly landed file is picked up, old ones still not reprocessed
+    Seq((3L, 50.0)).toDF("id", "value").write.mode("append").parquet(src)
+    val q3 = StreamingPipelines.fileIngest(spark, schema, src, dest, ckpt)
+    q3.awaitTermination()
+    val out = spark.read.parquet(dest)
+    assert(out.count() == 3)
+    assert(out.filter(col("norm_value") === 0.5).count() == 1)
+  }
+}
