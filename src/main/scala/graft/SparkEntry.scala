@@ -22,6 +22,7 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracle),
       (VectorQueries.queries, VectorQueries.oracle),
       (PipelineQueries.queries, PipelineQueries.oracle),
+      (MultimodalQueries.queries, MultimodalQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
