@@ -23,6 +23,7 @@ object SparkEntry {
       (VectorQueries.queries, VectorQueries.oracle),
       (PipelineQueries.queries, PipelineQueries.oracle),
       (MultimodalQueries.queries, MultimodalQueries.oracle),
+      (MlQueries.queries, MlQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
