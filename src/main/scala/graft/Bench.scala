@@ -1,18 +1,29 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every declared query on
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * A warmup query runs first (untimed) so the first measured query
+  * doesn't absorb JVM/codegen/session startup; queries run in sorted
+  * name order so numbers are comparable across rounds.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warmup: a representative agg touches parquet read + shuffle + codegen paths
+    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
