@@ -24,6 +24,8 @@ object SparkEntry {
       (PipelineQueries.queries, PipelineQueries.oracle),
       (MultimodalQueries.queries, MultimodalQueries.oracle),
       (MlQueries.queries, MlQueries.oracle),
+      (RasterQueries.queries, RasterQueries.oracle),
+      (OlapExtraQueries.queries, OlapExtraQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.Exact._
+
+/** Raster-semantics operators in relational form (SURVEY §2.2 erosion
+  * mask / §2.8 terrain, §2.3 spatial join; §7.3 hard-part 1). The
+  * events table supplies a synthetic grid: x = user_id,
+  * y = day-of-month, cell value = min event value.
+  */
+object RasterQueries {
+
+  /** 3×3 focal (neighborhood) minimum — the reference's L7 scan-line
+    * erosion `mask().reduce(min).focal_min(...)`
+    * (preprocessing.py:66) and the shape of terrain slope/aspect
+    * stencils (monthly.py:340-344). Scatter form: each cell
+    * contributes to its 9 neighbors through a broadcast 9-row offset
+    * table, then one groupBy on the target cell — a single shuffle on
+    * the cell key, no windowed self-join. At 100 TB the grid
+    * partitions by tile and offsets stay tile-local (halo cells are
+    * the only cross-partition traffic). */
+  def qFocalMin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("x"), dayofmonth(col("ts")).as("y"))
+      .agg(min(col("value")).as("v"))
+    val offsets = (for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)).toDF("dx", "dy")
+    val scattered = grid.crossJoin(broadcast(offsets))
+      .select((col("x") + col("dx")).as("tx"), (col("y") + col("dy")).as("ty"), col("v"))
+      .groupBy(col("tx"), col("ty"))
+      .agg(min(col("v")).as("focal_min"), count(lit(1)).as("n_contrib"))
+    grid.join(scattered, col("x") === col("tx") && col("y") === col("ty"))
+      .select(col("x"), col("y"), col("v"), col("focal_min"), col("n_contrib"))
+  }
+
+  val qFocalMinSql: String =
+    """WITH grid AS (
+      |  SELECT user_id AS x, day(ts) AS y, MIN(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |offsets(dx, dy) AS (
+      |  VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+      |scattered AS (
+      |  SELECT g.x + o.dx AS tx, g.y + o.dy AS ty,
+      |         MIN(v) AS focal_min, COUNT(*) AS n_contrib
+      |  FROM grid g CROSS JOIN offsets o
+      |  GROUP BY 1, 2)
+      |SELECT g.x, g.y, g.v, s.focal_min, s.n_contrib
+      |FROM grid g JOIN scattered s ON g.x = s.tx AND g.y = s.ty""".stripMargin
+
+  /** Point-in-rectangle spatial join with grid-bin blocking — the
+    * polygon→pixel rasterization join (monthly.py:499) reduced to its
+    * relational core: rectangles explode to the x-bins they cover
+    * (bin width 4), points bin the same way, candidates come from the
+    * bin equi-join, the exact containment predicate filters. At 100 TB
+    * the bin is the shuffle/bucketing key; no all-pairs comparison
+    * ever happens. */
+  def qSpatialJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rects = Seq(
+      (1L, 0L, 5L, 0.0, 120.0), (2L, 3L, 9L, 50.0, 300.0),
+      (3L, 8L, 14L, 0.0, 60.0), (4L, 12L, 15L, 100.0, 500.0),
+    ).toDF("rect_id", "xmin", "xmax", "ymin", "ymax")
+    val rectBins = rects
+      .withColumn("bin", explode(expr("sequence(xmin div 4, xmax div 4)")))
+    val points = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id").as("px"), col("value").as("py"))
+      .withColumn("bin", expr("px div 4"))
+    points.join(broadcast(rectBins), "bin")
+      .filter(col("px").between(col("xmin"), col("xmax")) &&
+              col("py").between(col("ymin"), col("ymax")))
+      .groupBy(col("rect_id"))
+      .agg(count(lit(1)).as("n_points"), dsum(col("py")).as("sum_py"))
+  }
+
+  val qSpatialJoinSql: String =
+    s"""WITH rects(rect_id, xmin, xmax, ymin, ymax) AS (
+       |  VALUES (1, 0, 5, 0.0, 120.0), (2, 3, 9, 50.0, 300.0),
+       |         (3, 8, 14, 0.0, 60.0), (4, 12, 15, 100.0, 500.0)),
+       |rect_bins AS (
+       |  SELECT rect_id, xmin, xmax, ymin, ymax, unnest(range(xmin // 4, xmax // 4 + 1)) AS bin
+       |  FROM rects),
+       |points AS (
+       |  SELECT event_id, user_id AS px, value AS py, user_id // 4 AS bin FROM events)
+       |SELECT r.rect_id, COUNT(*) AS n_points, ${dsumSql("p.py")} AS sum_py
+       |FROM points p JOIN rect_bins r ON p.bin = r.bin
+       |WHERE p.px BETWEEN r.xmin AND r.xmax AND p.py BETWEEN r.ymin AND r.ymax
+       |GROUP BY r.rect_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_focal_min" -> (qFocalMin _),
+    "q_spatial_join" -> (qSpatialJoin _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_focal_min" -> qFocalMinSql,
+    "q_spatial_join" -> qSpatialJoinSql,
+  )
+}
