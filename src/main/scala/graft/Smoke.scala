@@ -12,6 +12,12 @@ object Smoke {
     df.show(5, truncate = false)
     println(s"entry rows=$n")
     assert(n > 0, "entry returned 0 rows")
+    // SQL facade smoke: plain SQL + injected native function
+    val sqlN = GraftSql.sql(spark, "/root/testdata/sf0.001",
+      "SELECT count(*) AS n, min(cosine_sim(embedding, embedding)) AS selfsim FROM embeddings")
+      .collect()(0)
+    println(s"sql facade rows=${sqlN.getLong(0)} selfsim=${sqlN.getDouble(1)}")
+    assert(sqlN.getLong(0) > 0)
     spark.stop()
   }
 }

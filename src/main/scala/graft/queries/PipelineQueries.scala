@@ -236,7 +236,53 @@ object PipelineQueries {
       |       COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Mosaiks1d featurizer (model.py:126-145): fixed conv patches of
+    * length 3 slide over each entity's padded 12-step series; each
+    * window takes ReLU(patch·window); features are the window means.
+    * Pure higher-order-function arithmetic — sequential folds keep it
+    * bit-exact cross-engine; at scale it's one groupBy(user, month)
+    * shuffle then map-side math. */
+  def qMosaiks1d(spark: SparkSession, dir: String): DataFrame = {
+    val padded = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM").as("month"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("s"))
+      .withColumn("arr", expr("transform(s, x -> x.value)"))
+      .withColumn("padded",
+        when(size(col("arr")) < 12,
+          concat(col("arr"), expr("array_repeat(arr[0], 12 - size(arr))")))
+        .otherwise(slice(col("arr"), 1, 12)))
+    def feat(w0: String, w1: String, w2: String): String =
+      s"""aggregate(transform(sequence(0, 9),
+         |  t -> greatest($w0 * padded[t] + $w1 * padded[t+1] + $w2 * padded[t+2], 0D)),
+         |  0D, (a, v) -> a + v) / 10.0""".stripMargin
+    padded.select(col("user_id"), col("month"),
+      expr(feat("0.5", "-1.0", "0.5")).as("f0"),
+      expr(feat("0.25", "0.25", "-0.5")).as("f1"))
+  }
+
+  val qMosaiks1dSql: String = {
+    def feat(w0: String, w1: String, w2: String): String =
+      s"""list_reduce(list_transform(range(10),
+         |    t -> greatest($w0 * padded[t+1] + $w1 * padded[t+2] + $w2 * padded[t+3], 0.0)),
+         |    (a, v) -> a + v) / 10.0""".stripMargin
+    s"""WITH g AS (
+       |  SELECT user_id, strftime(ts, '%Y-%m') AS month,
+       |         list(value ORDER BY ts, event_id) AS arr
+       |  FROM events GROUP BY 1, 2),
+       |p AS (
+       |  SELECT user_id, month,
+       |    CASE WHEN len(arr) < 12
+       |         THEN list_concat(arr, list_transform(range(12 - len(arr)), i -> arr[1]))
+       |         ELSE list_slice(arr, 1, 12) END AS padded
+       |  FROM g)
+       |SELECT user_id, month,
+       |  ${feat("0.5", "-1.0", "0.5")} AS f0,
+       |  ${feat("0.25", "0.25", "-0.5")} AS f1
+       |FROM p""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mosaiks1d" -> (qMosaiks1d _),
     "q_sufficient_stats" -> (qSufficientStats _),
     "q_suffstats_typed" -> (qSuffstatsTyped _),
     "q_normalize_bands" -> (qNormalizeBands _),
@@ -248,6 +294,7 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mosaiks1d" -> qMosaiks1dSql,
     "q_sufficient_stats" -> qSufficientStatsSql,
     "q_suffstats_typed" -> qSuffstatsTypedSql,
     "q_normalize_bands" -> qNormalizeBandsSql,

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.operators.ExactSuffStats
+
+/** Property-based invariants (SURVEY §5 test plan item 2). Pure
+  * properties run without Spark jobs; plan-level invariants batch
+  * into single jobs. */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic sampling from ScalaCheck generators (the
+    * scalatest-scalacheck bridge is not on the offline classpath). */
+  private def forSamples[A](g: Gen[A], n: Int = 300)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    (1 to n).foreach { _ =>
+      f(g.pureApply(Gen.Parameters.default, seed))
+      seed = seed.next
+    }
+  }
+
+  test("bitmask-conjunction fold is semantically equivalent for all k, m, n") {
+    val g = for {
+      k <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      m <- Gen.chooseNum(0L, Long.MaxValue)
+      n <- Gen.chooseNum(0L, Long.MaxValue)
+    } yield (k, m, n)
+    forSamples(g) { case (k, m, n) =>
+      val unfolded = ((k & m) == 0L) && ((k & n) == 0L)
+      val folded = (k & (m | n)) == 0L
+      assert(unfolded == folded)
+    }
+  }
+
+  test("ExactSuffStats is split-invariant: any partitioning merges to the same buffer") {
+    val cents = Gen.chooseNum(-99999, 99999)
+    val g = for {
+      cs <- Gen.listOf(cents)
+      cut <- Gen.chooseNum(0, 100)
+    } yield (cs, cut)
+    forSamples(g) { case (csRaw, cut) =>
+      val xs = csRaw.map(_ / 100.0) // exact 2-decimal doubles
+      val whole = xs.foldLeft(ExactSuffStats.zero)(ExactSuffStats.reduce)
+      val k = if (xs.isEmpty) 0 else cut % (xs.length + 1)
+      val (l, r) = xs.splitAt(k)
+      val merged = ExactSuffStats.merge(
+        l.foldLeft(ExactSuffStats.zero)(ExactSuffStats.reduce),
+        r.foldLeft(ExactSuffStats.zero)(ExactSuffStats.reduce))
+      assert(whole == merged)
+      // merge is commutative too
+      assert(merged == ExactSuffStats.merge(
+        r.foldLeft(ExactSuffStats.zero)(ExactSuffStats.reduce),
+        l.foldLeft(ExactSuffStats.zero)(ExactSuffStats.reduce)))
+    }
+  }
+
+  test("ExactSuffStats variance is non-negative and mean is exact") {
+    forSamples(Gen.nonEmptyListOf(Gen.chooseNum(-99999, 99999))) { csRaw =>
+      val xs = csRaw.map(_ / 100.0)
+      val r = ExactSuffStats.finish(xs.foldLeft(ExactSuffStats.zero)(ExactSuffStats.reduce))
+      assert(r.n == xs.length)
+      assert(r.variance >= -1e-9) // E[x^2] - mean^2 in doubles
+    }
+  }
+
+  test("pad/clip always yields exactly 12 positions preserving the sorted prefix") {
+    import spark.implicits._
+    // group sizes 1..30 exercise both the pad (<12) and clip (>12) branches
+    val rows = for (g <- 1 to 30; i <- 1 to g) yield (g.toLong, i.toLong, i * 1.5)
+    val df = rows.toDF("grp", "ord", "v")
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("ord"), col("v")))).as("s"))
+      .withColumn("arr", expr("transform(s, x -> x.v)"))
+      .withColumn("padded",
+        when(size(col("arr")) < 12,
+          concat(col("arr"), expr("array_repeat(arr[0], 12 - size(arr))")))
+        .otherwise(slice(col("arr"), 1, 12)))
+    val out = df.select(col("grp"), col("padded")).as[(Long, Seq[Double])].collect()
+    assert(out.length == 30)
+    out.foreach { case (g, p) =>
+      assert(p.length == 12, s"group $g size ${p.length}")
+      val expectPrefix = (1 to math.min(g.toInt, 12)).map(_ * 1.5)
+      assert(p.take(expectPrefix.length) == expectPrefix)
+      if (g < 12) assert(p.drop(g.toInt).forall(_ == 1.5)) // padded with first element
+    }
+  }
+
+  test("all 17 normalized-difference-style indices stay in [-1,1] for positive bands") {
+    import spark.implicits._
+    val bands = for (i <- 1 to 200) yield
+      (1.0 + i % 17, 2.0 + i % 13, 1.0 + i % 11, 1.0 + i % 7, 3.0 + i % 19, 1.0 + i % 5, 2.0 + i % 23)
+    val df = bands.toDF("blue", "green", "red", "redEdge", "nir", "swir1", "swir2")
+    // arvi is excluded: its pseudo-band (2*red - blue) may flip sign, so it
+    // is not range-bounded — matching the reference's unguarded formula
+    val ndCols = Seq("ndvi", "gndvi", "ndre", "ndmi", "mndwi", "ndwi", "ndbi", "nbwi", "bsi")
+    val idx = graft.functions.VegIndices.columns("blue", "green", "red", "redEdge", "nir", "swir1", "swir2")
+    val out = df.select(idx: _*).select(ndCols.map(col): _*)
+    val bad = out.filter(ndCols.map(c => col(c) < -1.0 || col(c) > 1.0).reduce(_ || _)).count()
+    assert(bad == 0)
+  }
+}
