@@ -26,6 +26,7 @@ object SparkEntry {
       (MlQueries.queries, MlQueries.oracle),
       (RasterQueries.queries, RasterQueries.oracle),
       (OlapExtraQueries.queries, OlapExtraQueries.oracle),
+      (EncoderQueries.queries, EncoderQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
