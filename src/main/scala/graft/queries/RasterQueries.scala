@@ -88,13 +88,64 @@ object RasterQueries {
        |WHERE p.px BETWEEN r.xmin AND r.xmax AND p.py BETWEEN r.ymin AND r.ymax
        |GROUP BY r.rect_id""".stripMargin
 
+  /** cos(14.7°) — the Senegal-ish reference latitude, embedded as the
+    * same full-precision literal in both engines so no trig runs
+    * in-engine. */
+  private val cosRef = math.cos(14.7 * math.Pi / 180.0)
+
+  /** Grid-cell binning + bounded-radius spatial filter
+    * (`filterBounds`/`clip`, SURVEY §2.2): synthetic lat/lon from
+    * events, 5° grid cell ids (the partition-pruning key), and an
+    * equirectangular distance filter around a fixed center — distance
+    * math is mul/add/sqrt only, so the oracle hash-matches. */
+  def qGeoCells(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoOps
+    val pts = Tables.events(spark, dir)
+      .select(col("event_id"),
+        ((col("user_id") - 7.5) * 2).as("lat"),
+        ((col("value") % 180) - 90.0).as("lon"))
+    pts
+      .withColumn("cell", GeoOps.gridCellId(col("lat"), col("lon"), 5.0))
+      .withColumn("dist_km",
+        GeoOps.equirectKm(col("lat"), col("lon"), lit(14.7), lit(-14.5), cosRef))
+      .filter(col("dist_km") < 4000.0)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), min(col("dist_km")).as("min_dist"),
+        max(col("dist_km")).as("max_dist"))
+  }
+
+  val qGeoCellsSql: String = {
+    // force DOUBLE literals in DuckDB (a bare `111.32` parses as
+    // DECIMAL, whose decimal→double conversion can differ by 1 ulp
+    // from a direct double parse); the dx factor is the precomputed
+    // Scala product so neither engine multiplies constants itself.
+    val dxf = (GeoOps2KmPerDegLat * cosRef).toString + "e0"
+    s"""WITH pts AS (
+       |  SELECT event_id, (user_id - 7.5) * 2 AS lat, (value % 180) - 90.0 AS lon
+       |  FROM events),
+       |d AS (
+       |  SELECT
+       |    (CAST(FLOOR(lat / 5.0) AS BIGINT) + 1048576) * 4194304
+       |      + (CAST(FLOOR(lon / 5.0) AS BIGINT) + 1048576) AS cell,
+       |    sqrt(((14.7e0 - lat) * 1.1132e2) * ((14.7e0 - lat) * 1.1132e2)
+       |       + ((-14.5e0 - lon) * $dxf) * ((-14.5e0 - lon) * $dxf))
+       |      AS dist_km
+       |  FROM pts)
+       |SELECT cell, COUNT(*) AS n, MIN(dist_km) AS min_dist, MAX(dist_km) AS max_dist
+       |FROM d WHERE dist_km < 4000.0
+       |GROUP BY cell""".stripMargin
+  }
+  private def GeoOps2KmPerDegLat = graft.functions.GeoOps.KmPerDegLat
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_focal_min" -> (qFocalMin _),
     "q_spatial_join" -> (qSpatialJoin _),
+    "q_geo_cells" -> (qGeoCells _),
   )
 
   val oracle: Map[String, String] = Map(
     "q_focal_min" -> qFocalMinSql,
     "q_spatial_join" -> qSpatialJoinSql,
+    "q_geo_cells" -> qGeoCellsSql,
   )
 }
