@@ -137,15 +137,91 @@ object RasterQueries {
   }
   private def GeoOps2KmPerDegLat = graft.functions.GeoOps.KmPerDegLat
 
+  /** Bilinear resample (SURVEY §2.8 resample row, §7.3 hard-part 1):
+    * `.resample("bilinear").reproject(scale=10)` (monthly.py:334-337)
+    * as a pure relational plan — target pixels explode to their four
+    * source corners with analytically generated weights, an equi-join
+    * fetches corner values, and a conditional-aggregation pivot
+    * recombines them in a FIXED expression order (c00+c10+c01+c11),
+    * so the result is bit-deterministic with no quantization. Only
+    * interior targets (all 4 corners present) are emitted, matching
+    * raster resampling's valid region. One shuffle, on the corner
+    * cell key. */
+  def qBilinearResample(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("x"), dayofmonth(col("ts")).as("y"))
+      .agg(min(col("value")).as("v"))
+    val targets = spark.range(0, 36).toDF("tx")
+      .crossJoin(spark.range(0, 60).toDF("ty"))
+      .withColumn("u", col("tx") * 0.4)
+      .withColumn("w", col("ty") * 0.4)
+      .withColumn("x0", floor(col("u")).cast("long"))
+      .withColumn("y0", floor(col("w")).cast("long"))
+      .withColumn("fx", col("u") - col("x0"))
+      .withColumn("fy", col("w") - col("y0"))
+    val corners = targets
+      .withColumn("c", explode(expr(
+        "transform(sequence(0, 3), i -> struct(i % 2 AS dx, i div 2 AS dy))")))
+      .select(col("tx"), col("ty"), col("fx"), col("fy"),
+        (col("x0") + col("c.dx")).as("x"), (col("y0") + col("c.dy")).as("y"),
+        col("c.dx").as("dx"), col("c.dy").as("dy"))
+      .withColumn("wt",
+        (when(col("dx") === 1, col("fx")).otherwise(lit(1.0) - col("fx"))) *
+        (when(col("dy") === 1, col("fy")).otherwise(lit(1.0) - col("fy"))))
+    corners.join(src, Seq("x", "y"))
+      .groupBy(col("tx"), col("ty"))
+      .agg(
+        max(when(col("dx") === 0 && col("dy") === 0, col("wt") * col("v"))).as("c00"),
+        max(when(col("dx") === 1 && col("dy") === 0, col("wt") * col("v"))).as("c10"),
+        max(when(col("dx") === 0 && col("dy") === 1, col("wt") * col("v"))).as("c01"),
+        max(when(col("dx") === 1 && col("dy") === 1, col("wt") * col("v"))).as("c11"),
+        count(lit(1)).as("found"))
+      .filter(col("found") === 4)
+      .select(col("tx"), col("ty"),
+        (col("c00") + col("c10") + col("c01") + col("c11")).as("resampled"))
+  }
+
+  val qBilinearResampleSql: String =
+    """WITH src AS (
+      |  SELECT user_id AS x, day(ts) AS y, MIN(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |targets AS (
+      |  SELECT tx, ty, tx * 0.4e0 AS u, ty * 0.4e0 AS w
+      |  FROM (SELECT unnest(range(36)) AS tx), (SELECT unnest(range(60)) AS ty)),
+      |t2 AS (
+      |  SELECT tx, ty, u, w,
+      |    CAST(FLOOR(u) AS BIGINT) AS x0, CAST(FLOOR(w) AS BIGINT) AS y0,
+      |    u - CAST(FLOOR(u) AS BIGINT) AS fx, w - CAST(FLOOR(w) AS BIGINT) AS fy
+      |  FROM targets),
+      |corners AS (
+      |  SELECT tx, ty, fx, fy,
+      |    x0 + (i % 2) AS x, y0 + (i // 2) AS y, i % 2 AS dx, i // 2 AS dy,
+      |    (CASE WHEN i % 2 = 1 THEN fx ELSE 1.0e0 - fx END)
+      |      * (CASE WHEN i // 2 = 1 THEN fy ELSE 1.0e0 - fy END) AS wt
+      |  FROM t2, (SELECT unnest(range(4)) AS i)),
+      |agg AS (
+      |  SELECT tx, ty,
+      |    MAX(CASE WHEN dx = 0 AND dy = 0 THEN wt * v END) AS c00,
+      |    MAX(CASE WHEN dx = 1 AND dy = 0 THEN wt * v END) AS c10,
+      |    MAX(CASE WHEN dx = 0 AND dy = 1 THEN wt * v END) AS c01,
+      |    MAX(CASE WHEN dx = 1 AND dy = 1 THEN wt * v END) AS c11,
+      |    COUNT(*) AS found
+      |  FROM corners c JOIN src s ON c.x = s.x AND c.y = s.y
+      |  GROUP BY 1, 2)
+      |SELECT tx, ty, c00 + c10 + c01 + c11 AS resampled
+      |FROM agg WHERE found = 4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_focal_min" -> (qFocalMin _),
     "q_spatial_join" -> (qSpatialJoin _),
     "q_geo_cells" -> (qGeoCells _),
+    "q_bilinear_resample" -> (qBilinearResample _),
   )
 
   val oracle: Map[String, String] = Map(
     "q_focal_min" -> qFocalMinSql,
     "q_spatial_join" -> qSpatialJoinSql,
     "q_geo_cells" -> qGeoCellsSql,
+    "q_bilinear_resample" -> qBilinearResampleSql,
   )
 }

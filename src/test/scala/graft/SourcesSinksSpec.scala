@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.sources.{GeoIngest, Sinks}
+
+class SourcesSinksSpec extends SparkSpec {
+
+  test("GeoJSON point and polygon layers ingest to properties + WKT") {
+    val dir = Files.createTempDirectory("graft_geo")
+    val points = dir.resolve("points.geojson")
+    Files.writeString(points,
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"name":"dakar","cls":"riz"},
+        | "geometry":{"type":"Point","coordinates":[-17.45,14.69]}},
+        |{"type":"Feature","properties":{"name":"thies","cls":"mil"},
+        | "geometry":{"type":"Point","coordinates":[-16.93,14.79]}}]}""".stripMargin)
+    val polys = dir.resolve("polys.geojson")
+    Files.writeString(polys,
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"name":"field1"},
+        | "geometry":{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,0.0]]]}}]}""".stripMargin)
+
+    val p = GeoIngest.readPoints(spark, points.toString).orderBy("name").collect()
+    assert(p.length == 2)
+    assert(p(0).getAs[String]("wkt") == "POINT (-17.45 14.69)")
+    assert(p(0).getAs[String]("cls") == "riz")
+
+    val g = GeoIngest.readPolygons(spark, polys.toString).collect()
+    assert(g(0).getAs[String]("wkt") == "POLYGON ((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 0.0))")
+  }
+
+  test("partitioned sink lays out directories, bounds files, writes _SUCCESS + manifest") {
+    val base = Files.createTempDirectory("graft_sink")
+    val data = base.resolve("data").toString
+    val manifest = base.resolve("manifest").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+
+    Sinks.writePartitioned(ev, data, Seq("event_type"), maxRecordsPerFile = 100)
+    assert(Files.exists(Paths.get(data, "_SUCCESS")))
+    val typeDirs = Files.list(Paths.get(data)).filter(p =>
+      p.getFileName.toString.startsWith("event_type=")).count()
+    assert(typeDirs >= 3) // click/view/purchase at minimum
+    // bounded file sizes: no parquet file exceeds maxRecordsPerFile
+    val back = spark.read.parquet(data)
+    assert(back.count() == ev.count())
+    val perFile = back.groupBy(input_file_name()).count().agg(max("count")).collect()(0).getLong(0)
+    assert(perFile <= 100)
+
+    Sinks.writeManifest(spark, data, manifest, Seq("event_type"))
+    val m = spark.read.json(manifest)
+    assert(m.agg(sum("n_rows")).collect()(0).getLong(0) == ev.count())
+  }
+}
