@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Runs the flagship crop-mapping pipeline (pipelines.CropMapping) on
+  * the canonical observations fixture end-to-end and prints the
+  * output shape + one labeled cell. */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    val out = pipelines.CropMapping.build(
+      sources.ObservationsGen.observations(spark),
+      sources.ObservationsGen.labels(spark))
+    val n = out.count()
+    val full = out.filter(size(col("series")) === 12).count()
+    println(s"pipeline cells=$n full_series=$full")
+    out.orderBy("cell_y", "cell_x")
+      .select("cell_x", "cell_y", "label", "elevation")
+      .show(4, truncate = false)
+    assert(n > 0 && full == n)
+    spark.stop()
+  }
+}
