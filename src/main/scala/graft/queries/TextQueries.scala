@@ -132,6 +132,26 @@ object TextQueries {
       |  COUNT(*) AS n_copies, MIN(doc_id) AS keeper
       |FROM documents GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin
 
+  /** The dedup that actually drops rows: keep exactly one document
+    * (min doc_id) per content-prefix key — the corpus a training run
+    * would consume after dedup. One window keyed on the hash; at
+    * 100 TB this is a single shuffle on the dedup key. */
+  def qDedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(substring(col("text"), 1, 50))).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "source")
+  }
+
+  val qDedupKeepSql: String =
+    """SELECT doc_id, lang, source FROM (
+      |  SELECT doc_id, lang, source,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(substr(text, 1, 50))
+      |                       ORDER BY doc_id) AS rn
+      |  FROM documents) WHERE rn = 1""".stripMargin
+
   /** Word-3-gram Jaccard near-dup pairs. Candidate pairs come from an
     * equi-join on shared shingles (inverted-index blocking) — never a
     * cross join; at 100 TB the blocking key would be MinHash bands
@@ -243,6 +263,7 @@ object TextQueries {
     "q_lang_id" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_keep" -> (qDedupKeep _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
@@ -254,6 +275,7 @@ object TextQueries {
     "q_lang_id" -> qLangIdSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_keep" -> qDedupKeepSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_simhash" -> qSimhashSql,
