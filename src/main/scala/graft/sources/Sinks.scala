@@ -23,6 +23,15 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** CSV sink (SURVEY §2.1: `to_csv`, optimization.py:216-217). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** CSV source with header + schema inference (SURVEY §2.1:
+    * `pd.read_csv`, dataops/dataset.py:310). */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
   /** JSON manifest: per-partition row counts written next to the
     * data (the generate_metadata sidecar, as a queryable table). */
   def writeManifest(spark: SparkSession, dataPath: String, manifestPath: String,

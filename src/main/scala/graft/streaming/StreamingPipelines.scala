@@ -42,6 +42,18 @@ object StreamingPipelines {
       .select(col("user_id"), col("window.start").as("w_start"),
         col("n"), col("sum_value"), col("min_value"), col("max_value"))
 
+  /** Session windows (engine surface beyond the reference,
+    * SURVEY §2.10 last row): events group into per-user sessions
+    * closed by a 30-minute inactivity gap; the watermark bounds open
+    * session state. */
+  def sessionizedActivity(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n_events"), col("session_value"))
+
   case class Obs(user_id: Long, value: Double)
   case class RunningStats(user_id: Long, n: Long, sum2: Long, sumsq4: Long) {
     def mean: Double = sum2.toDouble / 100.0 / n

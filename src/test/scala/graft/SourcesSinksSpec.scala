@@ -51,4 +51,19 @@ class SourcesSinksSpec extends SparkSpec {
     val m = spark.read.json(manifest)
     assert(m.agg(sum("n_rows")).collect()(0).getLong(0) == ev.count())
   }
+
+  test("CSV round-trips with header and inferred schema") {
+    val base = Files.createTempDirectory("graft_csv").resolve("out").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "value")
+    Sinks.writeCsv(ev, base)
+    val back = Sinks.readCsv(spark, base)
+    assert(back.count() == ev.count())
+    assert(back.schema("event_id").dataType.typeName == "integer" ||
+           back.schema("event_id").dataType.typeName == "long")
+    val a = ev.orderBy("event_id").collect().map(_.toSeq)
+    val b = back.orderBy("event_id").collect().map(_.toSeq.map {
+      case i: Int => i.toLong; case x => x })
+    assert(a.toSeq == b.toSeq)
+  }
 }

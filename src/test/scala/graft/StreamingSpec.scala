@@ -40,6 +40,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows split on the inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val q = StreamingPipelines.sessionizedActivity(in.toDF().toDF("ts", "user_id", "value"))
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0),
+        (Timestamp.valueOf("2024-01-01 10:10:00"), 1L, 2.0),  // same session (gap 10m)
+        (Timestamp.valueOf("2024-01-01 11:30:00"), 1L, 4.0))  // new session (gap 80m)
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .groupBy("user_id", "s_start").agg(max("n_events").as("n"))
+        .collect()
+      assert(rows.length == 2, rows.mkString(";"))
+      assert(rows.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("runningStats carries exact integer state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
