@@ -18,6 +18,10 @@ object PipelineDemo {
       .select("cell_x", "cell_y", "label", "elevation")
       .show(4, truncate = false)
     assert(n > 0 && full == n)
+    val pre = pipelines.PretrainingTable.build(
+      sources.ObservationsGen.observations(spark))
+    val masked = pre.select(explode(col("mask")).as("m")).filter(col("m")).count()
+    println(s"pretraining examples=${pre.count()} masked_slots=$masked")
     spark.stop()
   }
 }
