@@ -1,0 +1,47 @@
+package graft
+
+/** Plan-quality regression tests (SURVEY §4): the scale guarantees —
+  * pushdown reaching the scan, dimensions broadcasting, blocking
+  * joins never degenerating to cartesian products — asserted against
+  * the optimized/executed plans so they cannot silently rot. */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.count() // materialize so AQE finalizes
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1_agg pushes the date filter into the parquet scan") {
+    val p = executedPlan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("star join broadcasts all four dimension tables") {
+    val p = executedPlan("q_join_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("near-dup and ANN candidate generation never uses a cartesian product") {
+    for (q <- Seq("q_simhash", "q_minhash_lsh", "q_ngram_jaccard", "q_ann_sign_lsh")) {
+      val p = executedPlan(q)
+      assert(!p.contains("CartesianProduct"), s"$q degenerated to cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degenerated to NLJ:\n$p")
+    }
+  }
+
+  test("brute-force top-k broadcasts the query side (intended NLJ, never shuffled cartesian)") {
+    val p = executedPlan("q_cosine_topk_native")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("whole-stage codegen covers the scan+filter+project pipeline") {
+    val p = executedPlan("q_filter_predicates")
+    // codegen'd stages render as "*(n) Operator" in the executed plan
+    assert(p.contains("*(1)"), p)
+  }
+}
