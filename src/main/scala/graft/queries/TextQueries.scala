@@ -257,11 +257,73 @@ object TextQueries {
       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
+  /** PII-pattern detection — the scrubbing pass an LLM training
+    * pipeline runs before packaging: counts of email-, phone-, and
+    * URL-shaped spans per document plus a has_pii flag (regex only,
+    * identical dialect on both engines). */
+  def qPiiScan(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+', 0)")).as("n_email"),
+        size(expr("regexp_extract_all(text, '[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', 0)")).as("n_phone"),
+        size(expr("regexp_extract_all(text, 'https?://[^ ]+', 0)")).as("n_url"))
+      .withColumn("has_pii",
+        (col("n_email") + col("n_phone") + col("n_url") > 0).cast("int"))
+  }
+
+  val qPiiScanSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+')) AS n_email,
+      |  len(regexp_extract_all(text, '[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS n_phone,
+      |  len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_url,
+      |  CAST((len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+'))
+      |      + len(regexp_extract_all(text, '[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}'))
+      |      + len(regexp_extract_all(text, 'https?://[^ ]+'))) > 0 AS INT) AS has_pii
+      |FROM documents""".stripMargin
+
+  /** Repetition scoring — boilerplate/low-entropy detection: distinct
+    * token ratio plus the longest immediate-repeat run, the cheap
+    * stand-ins for a compression-ratio filter. */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("t", TextOps.tokens(col("text")))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("n_distinct", size(array_distinct(col("t"))))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("max_run", when(size(col("t")) < 2, lit(1)).otherwise(expr(
+        """aggregate(transform(sequence(1, size(t) - 1), i -> CASE WHEN t[i] = t[i-1] THEN 1 ELSE 0 END),
+           named_struct('run', 1, 'best', 1),
+           (acc, x) -> CASE WHEN x = 1
+                       THEN named_struct('run', acc.run + 1, 'best', greatest(acc.best, acc.run + 1))
+                       ELSE named_struct('run', 1, 'best', acc.best) END,
+           acc -> acc.best)""")))
+      .select("doc_id", "n_tokens", "n_distinct", "distinct_ratio", "max_run")
+  }
+
+  val qRepetitionSql: String =
+    """SELECT doc_id, n_tokens, n_distinct,
+      |  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+      |  max_run
+      |FROM (
+      |  SELECT doc_id,
+      |    len(t) AS n_tokens,
+      |    len(list_distinct(t)) AS n_distinct,
+      |    list_reduce(list_concat([{'run': 1, 'best': 1}],
+      |        list_transform(range(1, len(t)),
+      |          i -> {'run': CASE WHEN t[i+1] = t[i] THEN 1 ELSE 0 END, 'best': 0})),
+      |      (acc, x) -> CASE WHEN x['run'] = 1
+      |                  THEN {'run': acc['run'] + 1, 'best': greatest(acc['best'], acc['run'] + 1)}
+      |                  ELSE {'run': 1, 'best': acc['best']} END)['best'] AS max_run
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_stats" -> (qTokenStats _),
     "q_quality_score" -> (qQualityScore _),
     "q_lang_id" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_pii_scan" -> (qPiiScan _),
+    "q_repetition" -> (qRepetition _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_keep" -> (qDedupKeep _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
@@ -274,6 +336,8 @@ object TextQueries {
     "q_quality_score" -> qQualityScoreSql,
     "q_lang_id" -> qLangIdSql,
     "q_fingerprint" -> qFingerprintSql,
+    "q_pii_scan" -> qPiiScanSql,
+    "q_repetition" -> qRepetitionSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_keep" -> qDedupKeepSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,

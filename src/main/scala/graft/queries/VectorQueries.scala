@@ -166,6 +166,40 @@ object VectorQueries {
       |SELECT label, clabel AS assigned, COUNT(*) AS n
       |FROM best WHERE rk = 1 GROUP BY 1, 2""".stripMargin
 
+  /** Embedding-cosine near-dup pairs (the BASELINE dedup mandate's
+    * embedding variant): candidates from the same 4-band sign-LSH
+    * blocking as the ANN path (equi-join, no cross join), then exact
+    * cosine ≥ 0.45 keeps near-duplicates. The oracle mirrors the
+    * banding, so the check also pins the blocking semantics. */
+  def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val bands = e.select(col("vec_id"), col("embedding"),
+      posexplode(VectorOps.signBands("embedding", 4, 4)).as(Seq("band", "bucket")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb")).distinct()
+    cand
+      .join(e.select(col("vec_id").as("ida"), col("embedding").as("ea")), "ida")
+      .join(e.select(col("vec_id").as("idb"), col("embedding").as("eb")), "idb")
+      .withColumn("cosine", expr("cosine_sim(ea, eb)"))
+      .filter(col("cosine") >= 0.45)
+      .select("ida", "idb", "cosine")
+  }
+
+  val qEmbedNeardupSql: String =
+    s"""WITH bands AS ($bandsSql),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT c.ida, c.idb,
+       |  ${cosineSql("x.embedding", "y.embedding")} AS cosine
+       |FROM cand c
+       |JOIN embeddings x ON x.vec_id = c.ida
+       |JOIN embeddings y ON y.vec_id = c.idb
+       |WHERE ${cosineSql("x.embedding", "y.embedding")} >= 0.45""".stripMargin
+
   /** Per-label vector statistics: count + quantized-mean norm +
     * exact min/max norm (aggregations over computed doubles →
     * floor-quantized, per Exact.qmean). */
@@ -192,6 +226,7 @@ object VectorQueries {
     "q_cosine_topk" -> (qCosineTopk _),
     "q_cosine_topk_native" -> (qCosineTopkNative _),
     "q_ann_sign_lsh" -> (qAnnSignLsh _),
+    "q_embed_neardup" -> (qEmbedNeardup _),
     "q_centroid_assign" -> (qCentroidAssign _),
     "q_vector_stats" -> (qVectorStats _),
   )
@@ -200,6 +235,7 @@ object VectorQueries {
     "q_cosine_topk" -> qCosineTopkSql,
     "q_cosine_topk_native" -> qCosineTopkSql,
     "q_ann_sign_lsh" -> qAnnSignLshSql,
+    "q_embed_neardup" -> qEmbedNeardupSql,
     "q_centroid_assign" -> qCentroidAssignSql,
     "q_vector_stats" -> qVectorStatsSql,
   )
