@@ -34,6 +34,10 @@ object EncoderQueries {
         expr(s"""transform(slots, s -> transform(sequence(1, ${TinyEncoder.NumBands}, 1),
                  b -> cast(coalesce(s, 0D) * b / ${TinyEncoder.NumBands}.0 AS float)))""").as("series"),
         expr("transform(slots, s -> s IS NOT NULL)").as("valid"))
+      // explicit repartition: AQE coalesces this tiny-by-bytes shuffle
+      // to one partition, which would serialize the compute-heavy
+      // encode — row count, not byte size, is the cost driver here
+      .repartition(32)
       .as[TinyEncoder.PixelSeries]
     TinyEncoder.embed(series)
       .toDF()
