@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.operators.PipelineOps
+import graft.queries.Exact
+import graft.queries.Exact._
 
 /** ML-adjacent relational surface: exact KNN classification and
   * evaluation metrics as SQL aggregations (SURVEY §2.9 probes +
@@ -120,13 +122,62 @@ object MlQueries {
        |       THEN 2.0 * precision * recall / (precision + recall) ELSE 0.0 END AS f1
        |FROM pr""".stripMargin
 
+  /** Regression-eval metrics (the algae-blooms / fuel-moisture eval
+    * family, eval/algae_blooms_eval.py:36-): a per-group-mean
+    * baseline model fit on the hash-train split, scored on the val
+    * split with MAE / MSE / R² as pure SQL aggregation. Means of
+    * computed doubles go through the floor-quantized exact forms. */
+  def qRegressionMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("split", PipelineOps.hashSplit("cast(event_id AS string)", 12))
+    val model = ev.filter(col("split") === "train")
+      .groupBy(col("event_type")).agg(dmean(col("value")).as("pred"))
+    val scored = ev.filter(col("split") === "val")
+      .join(model, "event_type")
+      .withColumn("err", col("value") - col("pred"))
+    val gmean = scored.groupBy(col("event_type"))
+      .agg(dmean(col("value")).as("ybar"))
+    scored.join(gmean, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        qmean(abs(col("err"))).as("mae"),
+        qmean(col("err") * col("err")).as("mse"),
+        (lit(1.0) -
+          sum(floor(col("err") * col("err") * 1e6).cast("long")).cast("double") /
+          sum(floor((col("value") - col("ybar")) * (col("value") - col("ybar")) * 1e6)
+            .cast("long")).cast("double")).as("r2"))
+  }
+
+  val qRegressionMetricsSql: String = {
+    val split = PipelineOps.hashSplitSql("cast(event_id AS VARCHAR)", 12)
+      .replace("instr(", "strpos(")
+    s"""WITH sp AS (SELECT event_id, event_type, value, $split AS split FROM events),
+       |model AS (SELECT event_type, ${Exact.dmeanSql("value")} AS pred
+       |          FROM sp WHERE split = 'train' GROUP BY 1),
+       |scored AS (
+       |  SELECT v.event_type, v.value, v.value - m.pred AS err
+       |  FROM sp v JOIN model m ON v.event_type = m.event_type
+       |  WHERE v.split = 'val'),
+       |gmean AS (SELECT event_type, ${Exact.dmeanSql("value")} AS ybar
+       |          FROM scored GROUP BY 1)
+       |SELECT s.event_type, COUNT(*) AS n,
+       |  ${Exact.qmeanSql("abs(s.err)")} AS mae,
+       |  ${Exact.qmeanSql("s.err * s.err")} AS mse,
+       |  1.0 - CAST(SUM(CAST(FLOOR(s.err * s.err * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |      / CAST(SUM(CAST(FLOOR((s.value - g.ybar) * (s.value - g.ybar) * 1000000.0) AS BIGINT)) AS DOUBLE) AS r2
+       |FROM scored s JOIN gmean g ON s.event_type = g.event_type
+       |GROUP BY s.event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_classify" -> (qKnnClassify _),
     "q_eval_metrics" -> (qEvalMetrics _),
+    "q_regression_metrics" -> (qRegressionMetrics _),
   )
 
   val oracle: Map[String, String] = Map(
     "q_knn_classify" -> qKnnClassifySql,
     "q_eval_metrics" -> qEvalMetricsSql,
+    "q_regression_metrics" -> qRegressionMetricsSql,
   )
 }
