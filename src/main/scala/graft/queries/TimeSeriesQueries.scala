@@ -179,7 +179,48 @@ object TimeSeriesQueries {
        |  AND hour(ts) BETWEEN 6 AND 18
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Gaps-and-islands sessionization — the batch/relational dual of
+    * the streaming session_window (SURVEY §2.10): a session breaks
+    * after 30 minutes of inactivity; session id is the running count
+    * of breaks. Two windows over the same (user, time) ordering —
+    * one shuffle. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 1800000L, 1)
+        .otherwise(0))
+      .withColumn("session_id", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("session_value"),
+        unix_millis(max(col("ts"))).-(unix_millis(min(col("ts")))).as("duration_ms"))
+  }
+
+  val qSessionizeSql: String =
+    s"""WITH b AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1
+       |         ELSE 0 END AS brk
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, value, ts,
+       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM b)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  ${dsumSql("value")} AS session_value,
+       |  epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS duration_ms
+       |FROM s GROUP BY user_id, session_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> (qSessionize _),
     "q_asof_nearest" -> (qAsofNearest _),
     "q_month_spine" -> (qMonthSpine _),
     "q_pad_clip" -> (qPadClip _),
@@ -189,6 +230,7 @@ object TimeSeriesQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sessionize" -> qSessionizeSql,
     "q_asof_nearest" -> qAsofNearestSql,
     "q_month_spine" -> qMonthSpineSql,
     "q_pad_clip" -> qPadClipSql,
