@@ -219,8 +219,35 @@ object TimeSeriesQueries {
        |  epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS duration_ms
        |FROM s GROUP BY user_id, session_id""".stripMargin
 
+  /** Time-range rolling window (SURVEY §2.5 frame-spec row): per
+    * event, the exact decimal sum and count of the same user's events
+    * in the preceding 7 days — RANGE frame over event time, not a row
+    * count, so irregular sampling is handled correctly. One shuffle
+    * on the user key. */
+  def qRollingRange(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"))
+      .rangeBetween(-7L * 24 * 3600 * 1000, 0L)
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 5)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("rolling_7d_sum", sum(col("value").cast(Dec)).over(w).cast("double"))
+      .withColumn("rolling_7d_n", count(lit(1)).over(w))
+      .select("user_id", "event_id", "value", "rolling_7d_sum", "rolling_7d_n")
+  }
+
+  val qRollingRangeSql: String =
+    """SELECT user_id, event_id, value,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS rolling_7d_sum,
+      |  COUNT(*) OVER w AS rolling_7d_n
+      |FROM events WHERE user_id < 5
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |             RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (qSessionize _),
+    "q_rolling_range" -> (qRollingRange _),
     "q_asof_nearest" -> (qAsofNearest _),
     "q_month_spine" -> (qMonthSpine _),
     "q_pad_clip" -> (qPadClip _),
@@ -231,6 +258,7 @@ object TimeSeriesQueries {
 
   val oracle: Map[String, String] = Map(
     "q_sessionize" -> qSessionizeSql,
+    "q_rolling_range" -> qRollingRangeSql,
     "q_asof_nearest" -> qAsofNearestSql,
     "q_month_spine" -> qMonthSpineSql,
     "q_pad_clip" -> qPadClipSql,

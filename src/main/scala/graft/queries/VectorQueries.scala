@@ -200,6 +200,82 @@ object VectorQueries {
        |JOIN embeddings y ON y.vec_id = c.idb
        |WHERE ${cosineSql("x.embedding", "y.embedding")} >= 0.45""".stripMargin
 
+  /** IVF search (completing [[qCentroidAssign]]'s assignment step):
+    * each query probes only the vectors assigned to its top-2
+    * centroids (nprobe=2) instead of the whole corpus — the inverted-
+    * file ANN scale path. Centroids are quantized-exact so the probe
+    * choice is deterministic; the final rank is exact cosine over the
+    * shortlist. The centroid table broadcasts; the only large shuffle
+    * keys on the assigned-centroid id (the IVF partition key at
+    * 100 TB). */
+  def qIvfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val exp = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(floor(col("v").cast("double") * 1e6).cast("long")).cast("double") /
+        lit(1e6) / count(lit(1))).as("c"))
+      .select(col("label").as("cid"), col("pos"), col("c"))
+    // quantized-exact dot of every vector (and every query) vs every centroid
+    val dots = exp.join(broadcast(cent), "pos")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(floor(col("v").cast("double") * col("c") * 1e9).cast("long")).as("qdot"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("qdot").desc, col("cid"))
+    val assigned = dots.withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1).select(col("vec_id"), col("cid"))
+    val probes = dots.filter(col("vec_id") < 5)
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") <= 2) // nprobe = 2
+      .select(col("vec_id").as("qid"), col("cid"))
+    val qv = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    probes.join(assigned, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(qv), "qid")
+      .withColumn("cosine", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "vec_id", "cosine")
+  }
+
+  val qIvfSearchSql: String =
+    s"""WITH exp AS (
+       |  SELECT vec_id, label, r['pos'] AS pos, r['v'] AS v FROM (
+       |    SELECT vec_id, label,
+       |      unnest(list_transform(range(len(embedding)),
+       |        i -> {'pos': i, 'v': embedding[i+1]})) AS r
+       |    FROM embeddings)),
+       |cent AS (
+       |  SELECT label AS cid, pos,
+       |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |      / 1000000.0 / COUNT(*) AS c
+       |  FROM exp GROUP BY 1, 2),
+       |dots AS (
+       |  SELECT e.vec_id, c.cid,
+       |    SUM(CAST(FLOOR(CAST(e.v AS DOUBLE) * c.c * 1000000000.0) AS BIGINT)) AS qdot
+       |  FROM exp e JOIN cent c ON e.pos = c.pos GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qdot DESC, cid) AS rk
+       |  FROM dots),
+       |assigned AS (SELECT vec_id, cid FROM ranked WHERE rk = 1),
+       |probes AS (SELECT vec_id AS qid, cid FROM ranked WHERE rk <= 2 AND vec_id < 5),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, a.vec_id
+       |  FROM probes p JOIN assigned a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.qid)
+       |SELECT qid, rank, vec_id, cosine FROM (
+       |  SELECT c.qid, c.vec_id,
+       |    ${cosineSql("q.embedding", "e.embedding")} AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY c.qid
+       |      ORDER BY ${cosineSql("q.embedding", "e.embedding")} DESC, c.vec_id) AS rank
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN embeddings q ON q.vec_id = c.qid)
+       |WHERE rank <= 3""".stripMargin
+
   /** Per-label vector statistics: count + quantized-mean norm +
     * exact min/max norm (aggregations over computed doubles →
     * floor-quantized, per Exact.qmean). */
@@ -227,6 +303,7 @@ object VectorQueries {
     "q_cosine_topk_native" -> (qCosineTopkNative _),
     "q_ann_sign_lsh" -> (qAnnSignLsh _),
     "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_ivf_search" -> (qIvfSearch _),
     "q_centroid_assign" -> (qCentroidAssign _),
     "q_vector_stats" -> (qVectorStats _),
   )
@@ -236,6 +313,7 @@ object VectorQueries {
     "q_cosine_topk_native" -> qCosineTopkSql,
     "q_ann_sign_lsh" -> qAnnSignLshSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
+    "q_ivf_search" -> qIvfSearchSql,
     "q_centroid_assign" -> qCentroidAssignSql,
     "q_vector_stats" -> qVectorStatsSql,
   )
