@@ -211,11 +211,68 @@ object RasterQueries {
       |SELECT tx, ty, c00 + c10 + c01 + c11 AS resampled
       |FROM agg WHERE found = 4""".stripMargin
 
+  /** Terrain gradients (`ee.Terrain.slope/aspect`,
+    * monthly.py:340-344): central-difference dz/dx and dz/dy per
+    * cell from the 4-neighbor stencil, plus the squared gradient
+    * magnitude (slope = atan(|∇z|) is monotone in it; staying in
+    * mul/add keeps the oracle bit-exact — no libm in-engine). Same
+    * scatter/gather shape as focal-min: one shuffle on the cell key,
+    * interior cells only. */
+  def qTerrainGradient(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("x"), dayofmonth(col("ts")).as("y"))
+      .agg(min(col("value")).as("v"))
+    val offsets = Seq((-1, 0, "xm"), (1, 0, "xp"), (0, -1, "ym"), (0, 1, "yp"))
+      .toDF("dx", "dy", "role")
+    val scattered = grid.crossJoin(broadcast(offsets))
+      .select((col("x") + col("dx")).as("tx"), (col("y") + col("dy")).as("ty"),
+        col("role"), col("v"))
+      .groupBy(col("tx"), col("ty"))
+      .agg(
+        max(when(col("role") === "xm", col("v"))).as("vxm"),
+        max(when(col("role") === "xp", col("v"))).as("vxp"),
+        max(when(col("role") === "ym", col("v"))).as("vym"),
+        max(when(col("role") === "yp", col("v"))).as("vyp"),
+        count(lit(1)).as("n"))
+      .filter(col("n") === 4)
+    grid.join(scattered, col("x") === col("tx") && col("y") === col("ty"))
+      .select(col("x"), col("y"), col("v"),
+        ((col("vxp") - col("vxm")) / 2.0).as("dzdx"),
+        ((col("vyp") - col("vym")) / 2.0).as("dzdy"))
+      .withColumn("grad_sq",
+        col("dzdx") * col("dzdx") + col("dzdy") * col("dzdy"))
+  }
+
+  val qTerrainGradientSql: String =
+    """WITH grid AS (
+      |  SELECT user_id AS x, day(ts) AS y, MIN(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |offsets(dx, dy, role) AS (
+      |  VALUES (-1, 0, 'xm'), (1, 0, 'xp'), (0, -1, 'ym'), (0, 1, 'yp')),
+      |scattered AS (
+      |  SELECT g.x + o.dx AS tx, g.y + o.dy AS ty,
+      |    MAX(CASE WHEN o.role = 'xm' THEN v END) AS vxm,
+      |    MAX(CASE WHEN o.role = 'xp' THEN v END) AS vxp,
+      |    MAX(CASE WHEN o.role = 'ym' THEN v END) AS vym,
+      |    MAX(CASE WHEN o.role = 'yp' THEN v END) AS vyp,
+      |    COUNT(*) AS n
+      |  FROM grid g CROSS JOIN offsets o
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) = 4)
+      |SELECT g.x, g.y, g.v,
+      |  (s.vxp - s.vxm) / 2.0 AS dzdx,
+      |  (s.vyp - s.vym) / 2.0 AS dzdy,
+      |  ((s.vxp - s.vxm) / 2.0) * ((s.vxp - s.vxm) / 2.0)
+      |    + ((s.vyp - s.vym) / 2.0) * ((s.vyp - s.vym) / 2.0) AS grad_sq
+      |FROM grid g JOIN scattered s ON g.x = s.tx AND g.y = s.ty""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_focal_min" -> (qFocalMin _),
     "q_spatial_join" -> (qSpatialJoin _),
     "q_geo_cells" -> (qGeoCells _),
     "q_bilinear_resample" -> (qBilinearResample _),
+    "q_terrain_gradient" -> (qTerrainGradient _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -223,5 +280,6 @@ object RasterQueries {
     "q_spatial_join" -> qSpatialJoinSql,
     "q_geo_cells" -> qGeoCellsSql,
     "q_bilinear_resample" -> qBilinearResampleSql,
+    "q_terrain_gradient" -> qTerrainGradientSql,
   )
 }
