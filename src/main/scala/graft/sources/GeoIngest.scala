@@ -15,26 +15,43 @@ import org.apache.spark.sql.functions._
   */
 object GeoIngest {
 
-  private def features(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("multiLine", "true").json(path)
-      .select(explode(col("features")).as("f"))
+  /** An empty features array gives JSON inference no structure —
+    * `features` comes back as STRING — so an empty layer must
+    * short-circuit to an empty frame instead of failing field
+    * extraction. */
+  private def features(spark: SparkSession, path: String): Option[DataFrame] = {
+    val raw = spark.read.option("multiLine", "true").json(path)
+    raw.schema.fields.find(_.name == "features").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.ArrayType(_: org.apache.spark.sql.types.StructType, _)) =>
+        Some(raw.select(explode(col("features")).as("f")))
+      case _ => None
+    }
+  }
+
+  private def emptyLayer(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("wkt", StringType))))
+  }
 
   /** Point layer → properties.* + `wkt` (`POINT (x y)`). */
   def readPoints(spark: SparkSession, path: String): DataFrame =
-    features(spark, path).select(
+    features(spark, path).map(_.select(
       col("f.properties.*"),
       concat(lit("POINT ("),
         col("f.geometry.coordinates")(0).cast("string"), lit(" "),
-        col("f.geometry.coordinates")(1).cast("string"), lit(")")).as("wkt"))
+        col("f.geometry.coordinates")(1).cast("string"), lit(")")).as("wkt")))
+      .getOrElse(emptyLayer(spark))
 
   /** Polygon layer (outer ring) → properties.* + `wkt`
     * (`POLYGON ((x y, ...))`). */
   def readPolygons(spark: SparkSession, path: String): DataFrame =
-    features(spark, path).select(
+    features(spark, path).map(_.select(
       col("f.properties.*"),
       concat(lit("POLYGON (("),
         array_join(expr(
           "transform(f.geometry.coordinates[0], p -> concat(cast(p[0] AS string), ' ', cast(p[1] AS string)))"),
           ", "),
-        lit("))")).as("wkt"))
+        lit("))")).as("wkt")))
+      .getOrElse(emptyLayer(spark))
 }
