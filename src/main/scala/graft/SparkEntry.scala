@@ -53,8 +53,15 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.map(_._1).reduce(_ ++ _)
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val merged = modules.map(_._1).reduce(_ ++ _)
+    // a name collision across modules would silently drop a query
+    require(merged.size == modules.map(_._1.size).sum,
+      s"duplicate query names across modules: ${
+        modules.flatMap(_._1.keys).groupBy(identity)
+          .collect { case (k, vs) if vs.size > 1 => k }.mkString(", ")}")
+    merged
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
