@@ -103,8 +103,8 @@ object MlQueries {
     s"""WITH $knnPredSql,
        |conf AS (SELECT vlabel AS label, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2),
        |tp AS (SELECT label AS cls, n AS tp FROM conf WHERE label = predicted),
-       |act AS (SELECT label AS cls, SUM(n) AS n_actual FROM conf GROUP BY 1),
-       |prd AS (SELECT predicted AS cls, SUM(n) AS n_pred FROM conf GROUP BY 1),
+       |act AS (SELECT label AS cls, CAST(SUM(n) AS BIGINT) AS n_actual FROM conf GROUP BY 1),
+       |prd AS (SELECT predicted AS cls, CAST(SUM(n) AS BIGINT) AS n_pred FROM conf GROUP BY 1),
        |base AS (
        |  SELECT COALESCE(act.cls, prd.cls) AS cls,
        |    COALESCE(tp.tp, 0) AS tp,

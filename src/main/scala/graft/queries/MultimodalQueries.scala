@@ -31,7 +31,7 @@ object MultimodalQueries {
     s"""SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
        |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        |  COUNT(*) AS n,
-       |  SUM(octet_length(encode(text))) AS total_bytes,
+       |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        |  ${qmeanSql("CAST(octet_length(encode(text)) AS DOUBLE)")} AS avg_bytes,
        |  MAX(CAST(length(text) % 64 + 1 AS INT)) AS max_width
        |FROM documents""".stripMargin + "\nGROUP BY 1"

@@ -211,8 +211,8 @@ object TimeSeriesQueries {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        |s AS (
        |  SELECT user_id, value, ts,
-       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
        |  FROM b)
        |SELECT user_id, session_id, COUNT(*) AS n_events,
        |  ${dsumSql("value")} AS session_value,

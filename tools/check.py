@@ -54,6 +54,24 @@ def main():
             continue
         spark = pd.concat([pd.read_parquet(f) for f in
                            sorted(glob.glob(f"{pdir}/*.parquet"))], ignore_index=True)
+        # Dtype-kind audit BEFORE norm() (which stringifies object cols):
+        # the driver's hash distinguishes int64 from float64 from
+        # HUGEINT-as-object, so a kind mismatch on a numeric column is a
+        # driver-side hash fail even when values compare equal as floats.
+        kind_bad = None
+        for c in sorted(set(spark.columns) & set(duck.columns)):
+            ka, kb = spark[c].dtype.kind, duck[c].dtype.kind
+            numeric = set("iuf")
+            if ka != kb and (ka in numeric or kb in numeric) \
+               and not (ka in "iu" and kb in "iu"):
+                kind_bad = (c, spark[c].dtype, duck[c].dtype)
+                break
+        if kind_bad:
+            c, da, db = kind_bad
+            print(f"FAIL {name}: col {c} dtype kind mismatch spark={da} duck={db} "
+                  f"(driver hash distinguishes these; CAST the oracle column)")
+            n_fail += 1
+            continue
         a, b = norm(spark), norm(duck)
         if sorted(a.columns) != sorted(b.columns):
             print(f"FAIL {name}: columns spark={sorted(a.columns)} duck={sorted(b.columns)}")
