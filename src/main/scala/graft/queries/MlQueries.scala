@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -8,9 +8,23 @@ import graft.operators.PipelineOps
 import graft.queries.Exact
 import graft.queries.Exact._
 
-/** ML-adjacent relational surface: exact KNN classification and
+/** ML-adjacent relational surface: KNN classification/regression and
   * evaluation metrics as SQL aggregations (SURVEY §2.9 probes +
-  * metrics rows; eval/knn.py, eval/treesat_eval.py confusion math).
+  * metrics rows; eval/knn.py k∈{5,20,100} + regressor,
+  * eval/treesat_eval.py confusion math).
+  *
+  * The KNN candidate plan is sign-LSH banded, not a cartesian: each
+  * vector gets a 16-bit sign signature (signs of the first 16
+  * embedding dims); candidates are (val, train) pairs sharing at
+  * least one of 6 band buckets (widths 3,3,3,3,2,2), then an exact
+  * `hamming(sig) <= 5` filter and exact-cosine ranking among
+  * candidates. By pigeonhole, a pair within hamming 5 of each other
+  * cannot differ in all 6 bands, so the banded equi-join finds EVERY
+  * qualifying pair — the DuckDB oracle brute-forces all pairs with
+  * the same hamming filter, so a green hash proves the blocked plan
+  * complete (the q_simhash trick). At 100 TB the only wide shuffles
+  * key on (band, bucket) and on the candidate ids — no |val|x|train|
+  * cartesian anywhere.
   */
 object MlQueries {
 
@@ -18,28 +32,62 @@ object MlQueries {
   private val splitDuck = PipelineOps.hashSplitSql("cast(vec_id AS VARCHAR)", 12)
     .replace("instr(", "strpos(")
 
-  /** Deterministic KNN (k=5) majority-vote classification of the
-    * hash-val split against the hash-train split, reported as a
-    * confusion matrix. Uses the native cosine_sim expression in the
-    * pairwise scan (the hot loop); majority vote ties break on the
-    * smaller label. At 100 TB the pairwise scan becomes the
-    * LSH-bucketed candidate join (q_ann_sign_lsh) — same downstream
-    * vote. */
-  def qKnnClassify(spark: SparkSession, dir: String): DataFrame = {
+  /** Max sign-signature hamming distance for a (val, train) pair to
+    * be a KNN candidate. 6 bands make the banded join provably
+    * complete up to this distance. */
+  private val MaxHamming = 5
+
+  /** (band id, bit offset, width) — 6 bands covering the 16 signature
+    * bits; 6 bands > MaxHamming diffs pigeonholes one intact band. */
+  private val bandDefs = Seq((0, 0, 3), (1, 3, 3), (2, 6, 3), (3, 9, 3), (4, 12, 2), (5, 14, 2))
+
+  /** 16-bit sign signature of the first 16 embedding dims. */
+  private val sigExpr =
+    """aggregate(transform(sequence(0, 15),
+      |  i -> IF(element_at(embedding, i + 1) >= 0, shiftleft(1L, i), 0L)),
+      |  0L, (a, b) -> a | b)""".stripMargin
+
+  private def bands(sig: Column): Column = array(bandDefs.map { case (b, off, w) =>
+    struct(lit(b).as("band"),
+      shiftright(sig, off).bitwiseAND(lit((1L << w) - 1)).as("bucket"))
+  }: _*)
+
+  /** Exact top-k (cosine desc, tid tie-break) among the banded
+    * hamming≤5 candidates, for the hash-val split vs the hash-train
+    * split. Columns: vid, vlabel, tid, tlabel, cosine, rk. */
+  private def knnTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("split", PipelineOps.hashSplit("cast(vec_id AS string)", 12))
+      .withColumn("sig", expr(sigExpr))
     val train = e.filter(col("split") === "train")
-      .select(col("vec_id").as("tid"), col("embedding").as("te"), col("label").as("tlabel"))
+      .select(col("vec_id").as("tid"), col("embedding").as("te"),
+        col("label").as("tlabel"), col("sig").as("tsig"))
     val valid = e.filter(col("split") === "val")
-      .select(col("vec_id").as("vid"), col("embedding").as("ve"), col("label").as("vlabel"))
+      .select(col("vec_id").as("vid"), col("embedding").as("ve"),
+        col("label").as("vlabel"), col("sig").as("vsig"))
+    val tBands = train.select(col("tid"), explode(bands(col("tsig"))).as("bb"))
+      .select(col("tid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val vBands = valid.select(col("vid"), explode(bands(col("vsig"))).as("bb"))
+      .select(col("vid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // The LSH shuffle: equi-join on (band, bucket). Both sides scale
+    // with the corpus; no broadcast, no cartesian.
+    val cand = tBands.join(vBands, Seq("band", "bucket"))
+      .select("vid", "tid").distinct()
     val wTop = Window.partitionBy(col("vid")).orderBy(col("cosine").desc, col("tid"))
-    val top5 = valid.crossJoin(train)
+    cand.join(valid, "vid").join(train, "tid")
+      .filter(expr("bit_count(vsig ^ tsig)") <= MaxHamming)
       .withColumn("cosine", expr("cosine_sim(ve, te)"))
       .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= 5)
+      .filter(col("rk") <= k)
+  }
+
+  /** Majority-vote confusion matrix at a given k; vote ties break on
+    * the smaller label (eval/knn.py KNeighborsClassifier analog). */
+  private def knnConfusion(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val wVote = Window.partitionBy(col("vid"))
       .orderBy(col("votes").desc, col("tlabel"))
-    top5.groupBy(col("vid"), col("vlabel"), col("tlabel"))
+    knnTopK(spark, dir, k)
+      .groupBy(col("vid"), col("vlabel"), col("tlabel"))
       .agg(count(lit(1)).as("votes"))
       .withColumn("vrk", row_number().over(wVote))
       .filter(col("vrk") === 1)
@@ -47,32 +95,64 @@ object MlQueries {
       .agg(count(lit(1)).as("n"))
   }
 
-  private def knnPredSql: String = {
-    val dot = (a: String, b: String) =>
-      s"""list_reduce(list_transform(list_zip($a, $b),
-         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
-    val cos = s"""(${dot("v.ve", "t.te")} / (sqrt(${dot("v.ve", "v.ve")}) * sqrt(${dot("t.te", "t.te")})))"""
-    s"""split AS (SELECT vec_id, embedding, label, $splitDuck AS split FROM embeddings),
-       |tr AS (SELECT vec_id AS tid, embedding AS te, label AS tlabel FROM split WHERE split = 'train'),
-       |va AS (SELECT vec_id AS vid, embedding AS ve, label AS vlabel FROM split WHERE split = 'val'),
-       |top5 AS (
-       |  SELECT vid, vlabel, tlabel FROM (
-       |    SELECT v.vid, v.vlabel, t.tlabel,
+  def qKnnClassify(spark: SparkSession, dir: String): DataFrame = knnConfusion(spark, dir, 5)
+  def qKnnK20(spark: SparkSession, dir: String): DataFrame = knnConfusion(spark, dir, 20)
+  def qKnnK100(spark: SparkSession, dir: String): DataFrame = knnConfusion(spark, dir, 100)
+
+  /** KNN regression (eval/knn.py KNeighborsRegressor analog): the
+    * prediction is the plain mean of the k=5 nearest neighbours'
+    * numeric targets. Integer sums divide exactly once on each
+    * engine, so the double is bit-exact cross-engine. */
+  def qKnnRegress(spark: SparkSession, dir: String): DataFrame =
+    knnTopK(spark, dir, 5)
+      .groupBy(col("vid"), col("vlabel").as("label"))
+      .agg((sum(col("tlabel")).cast("double") / count(lit(1))).as("knn_pred"))
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  /** Brute-force CTE chain sp/tr/va/topk/pred: ALL (val, train) pairs
+    * filtered to hamming≤5, ranked by exact cosine — no banding, so
+    * the compare proves the Spark banded plan's completeness. */
+  private def knnPredSql(k: Int): String = {
+    val cos = s"""(${dotSql("v.ve", "t.te")} / (sqrt(${dotSql("v.ve", "v.ve")}) * sqrt(${dotSql("t.te", "t.te")})))"""
+    s"""sp AS (SELECT vec_id, embedding, label,
+       |    list_reduce(list_transform(range(16),
+       |      i -> CASE WHEN embedding[i+1] >= 0 THEN (CAST(1 AS BIGINT) << i)
+       |           ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS sig,
+       |    $splitDuck AS split FROM embeddings),
+       |tr AS (SELECT vec_id AS tid, embedding AS te, label AS tlabel, sig AS tsig FROM sp WHERE split = 'train'),
+       |va AS (SELECT vec_id AS vid, embedding AS ve, label AS vlabel, sig AS vsig FROM sp WHERE split = 'val'),
+       |topk AS (
+       |  SELECT vid, vlabel, tid, tlabel FROM (
+       |    SELECT v.vid, v.vlabel, t.tid, t.tlabel,
        |      ROW_NUMBER() OVER (PARTITION BY v.vid ORDER BY $cos DESC, t.tid) AS rk
-       |    FROM va v CROSS JOIN tr t)
-       |  WHERE rk <= 5),
+       |    FROM va v CROSS JOIN tr t
+       |    WHERE bit_count(xor(v.vsig, t.tsig)) <= $MaxHamming)
+       |  WHERE rk <= $k),
        |pred AS (
        |  SELECT vid, vlabel, tlabel AS predicted FROM (
        |    SELECT vid, vlabel, tlabel, COUNT(*) AS votes,
        |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY COUNT(*) DESC, tlabel) AS vrk
-       |    FROM top5 GROUP BY vid, vlabel, tlabel)
+       |    FROM topk GROUP BY vid, vlabel, tlabel)
        |  WHERE vrk = 1)""".stripMargin
   }
 
-  val qKnnClassifySql: String =
-    s"""WITH $knnPredSql
+  private def knnConfusionSql(k: Int): String =
+    s"""WITH ${knnPredSql(k)}
        |SELECT vlabel AS label, predicted, COUNT(*) AS n
        |FROM pred GROUP BY 1, 2""".stripMargin
+
+  val qKnnClassifySql: String = knnConfusionSql(5)
+  val qKnnK20Sql: String = knnConfusionSql(20)
+  val qKnnK100Sql: String = knnConfusionSql(100)
+
+  val qKnnRegressSql: String =
+    s"""WITH ${knnPredSql(5)}
+       |SELECT vid, vlabel AS label,
+       |  CAST(SUM(tlabel) AS DOUBLE) / COUNT(*) AS knn_pred
+       |FROM topk GROUP BY 1, 2""".stripMargin
 
   /** Per-class precision/recall/F1 from the KNN predictions — the
     * confusion-matrix algebra as pure SQL aggregation
@@ -100,7 +180,7 @@ object MlQueries {
   }
 
   val qEvalMetricsSql: String =
-    s"""WITH $knnPredSql,
+    s"""WITH ${knnPredSql(5)},
        |conf AS (SELECT vlabel AS label, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2),
        |tp AS (SELECT label AS cls, n AS tp FROM conf WHERE label = predicted),
        |act AS (SELECT label AS cls, CAST(SUM(n) AS BIGINT) AS n_actual FROM conf GROUP BY 1),
@@ -171,12 +251,18 @@ object MlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_classify" -> (qKnnClassify _),
+    "q_knn_k20" -> (qKnnK20 _),
+    "q_knn_k100" -> (qKnnK100 _),
+    "q_knn_regress" -> (qKnnRegress _),
     "q_eval_metrics" -> (qEvalMetrics _),
     "q_regression_metrics" -> (qRegressionMetrics _),
   )
 
   val oracle: Map[String, String] = Map(
     "q_knn_classify" -> qKnnClassifySql,
+    "q_knn_k20" -> qKnnK20Sql,
+    "q_knn_k100" -> qKnnK100Sql,
+    "q_knn_regress" -> qKnnRegressSql,
     "q_eval_metrics" -> qEvalMetricsSql,
     "q_regression_metrics" -> qRegressionMetricsSql,
   )

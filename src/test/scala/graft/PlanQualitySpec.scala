@@ -25,8 +25,9 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("near-dup and ANN candidate generation never uses a cartesian product") {
-    for (q <- Seq("q_simhash", "q_minhash_lsh", "q_ngram_jaccard", "q_ann_sign_lsh")) {
+  test("near-dup, ANN, and KNN candidate generation never uses a cartesian product") {
+    for (q <- Seq("q_simhash", "q_minhash_lsh", "q_ngram_jaccard", "q_ann_sign_lsh",
+        "q_knn_classify", "q_knn_regress", "q_eval_metrics")) {
       val p = executedPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q degenerated to cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degenerated to NLJ:\n$p")
