@@ -6,25 +6,32 @@ package graft
   *
   * A warmup query runs first (untimed) so the first measured query
   * doesn't absorb JVM/codegen/session startup; queries run in sorted
-  * name order so numbers are comparable across rounds.
+  * name order so numbers are comparable across rounds. A query that
+  * throws is reported as -1 (never as a normal-looking timing) and
+  * listed in an "errors" map so regressions can't hide in the output.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
+    require(SparkEntry.queries.contains("q1_agg"), "warmup query q1_agg is not declared")
     // warmup: a representative agg touches parquet read + shuffle + codegen paths
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+                catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, err) =>
+      "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

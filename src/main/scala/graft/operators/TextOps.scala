@@ -44,6 +44,33 @@ object TextOps {
   def minhashAggs(seeds: Range): Seq[Column] =
     seeds.map(j => min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"h$j"))
 
+  /** xxhash64 MinHash signatures — the engine fast path: one
+    * codegen'd 64-bit hash per (seed, shingle) instead of an md5 hex
+    * string, a ~4× cheaper signature pass with identical banding
+    * semantics. Not DuckDB-expressible, so the declared oracle query
+    * keeps the md5 form; MinhashXxSpec pins both paths to the same
+    * near-dup pair set on the fixtures. */
+  def minhashAggsXx(seeds: Range): Seq[Column] =
+    seeds.map(j => min(xxhash64(lit(j), col("shingle"))).as(s"h$j"))
+
+  /** Near-dup candidate pairs from xxhash64 MinHash signatures —
+    * 4 bands × 2 rows, the same band-bucket equi-join as the md5
+    * form (qMinhashLsh). */
+  def minhashPairsXx(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, 3)
+    val aggs = minhashAggsXx(0 until 8)
+    val sig = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val bands = sig.select(col(idCol), posexplode(array(
+        xxhash64(col("h0"), col("h1")), xxhash64(col("h2"), col("h3")),
+        xxhash64(col("h4"), col("h5")), xxhash64(col("h6"), col("h7"))))
+      .as(Seq("band", "key")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   /** 32-bit token hash: first 8 hex digits of md5 as an integer —
     * matches the oracle's digit-Horner fold exactly. */
   def tokenHash32(tok: Column): Column =

@@ -152,12 +152,24 @@ object TextQueries {
       |                       ORDER BY doc_id) AS rn
       |  FROM documents) WHERE rn = 1""".stripMargin
 
-  /** Word-3-gram Jaccard near-dup pairs. Candidate pairs come from an
-    * equi-join on shared shingles (inverted-index blocking) — never a
-    * cross join; at 100 TB the blocking key would be MinHash bands
-    * (next query) to bound fan-out on hot shingles. */
+  /** Document-frequency cap for the Jaccard shingle index: shingles
+    * appearing in more docs than this are stopword-like boilerplate;
+    * dropping them bounds the per-shingle join fan-out to df² ≤ K²
+    * candidate pairs (the standard inverted-index guard — without it
+    * one ubiquitous 3-gram produces O(n²) pairs at 100 TB). */
+  private val MaxShingleDf = 50
+
+  /** Word-3-gram Jaccard near-dup pairs over the df-capped shingle
+    * sets. Candidate pairs come from an equi-join on shared shingles
+    * (inverted-index blocking) — never a cross join — and the df cap
+    * [[MaxShingleDf]] bounds fan-out on hot shingles; both the
+    * intersection and the set sizes use the capped sets, so the
+    * measure is symmetric and the oracle expresses it identically. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextOps.shingles(Tables.documents(spark, dir), "doc_id", "text", 3)
+    val sh0 = TextOps.shingles(Tables.documents(spark, dir), "doc_id", "text", 3)
+    val rare = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select("shingle")
+    val sh = sh0.join(rare, "shingle")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -180,9 +192,12 @@ object TextQueries {
 
   val qNgramJaccardSql: String =
     s"""WITH $shinglesCte,
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |kept AS (SELECT s.doc_id, s.shingle FROM sh s JOIN (
+       |    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50) r
+       |  ON s.shingle = r.shingle),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS ninter
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT ida, idb, ninter, sa.n AS na, sb.n AS nb,
        |  CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter) AS jaccard

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.TextOps
+import graft.queries.TextQueries
+
+/** The xxhash64 MinHash fast path vs the md5 oracle form. LSH band
+  * collisions on LOW-similarity pairs are hash-function-specific
+  * flukes, so raw pair sets may differ in that noise band — the
+  * meaningful equivalence is recall: every true near-dup (high
+  * shingle-Jaccard) pair has (near-)identical per-seed minima under
+  * ANY hash, so both paths must find all of them; and any pair the
+  * two paths disagree on must be a chance collision, never a real
+  * near-duplicate. */
+class MinhashXxSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("xxhash64 banding finds every true near-dup; disagreements are only chance collisions") {
+    val jac = TextQueries.qNgramJaccard(spark, dir)
+      .select("ida", "idb", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val md5Pairs = pairSet(TextQueries.qMinhashLsh(spark, dir))
+    val xxPairs = pairSet(TextOps.minhashPairsXx(Tables.documents(spark, dir), "doc_id", "text"))
+    val trueDups = jac.filter(_._2 >= 0.8).keySet
+    assert(trueDups.nonEmpty)
+    assert(trueDups.subsetOf(md5Pairs), s"md5 path missed true dups: ${trueDups diff md5Pairs}")
+    assert(trueDups.subsetOf(xxPairs), s"xxhash64 path missed true dups: ${trueDups diff xxPairs}")
+    val disagree = (md5Pairs diff xxPairs) ++ (xxPairs diff md5Pairs)
+    for (p <- disagree)
+      assert(jac.getOrElse(p, 0.0) < 0.5, s"similar pair $p found by only one hash path")
+  }
+
+  test("xxhash64 banding never plans a cartesian product") {
+    val df = TextOps.minhashPairsXx(Tables.documents(spark, dir), "doc_id", "text")
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
