@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Terrain trig closures over central-difference gradients — the
+  * `ee.Terrain.slope/aspect/hillshade` surface
+  * (src/crop_mapping_processing_data_collection_monthly_inference.py:324-331,
+  * 526-538). Inputs are the dz/dx, dz/dy columns the gradient stencil
+  * produces (RasterQueries.qTerrainGradient) with x pointing east and
+  * y pointing north, grid spacing 1.
+  *
+  * All three go through libm trig, whose last-ulp rounding differs
+  * between the JVM and DuckDB (verified empirically: atan/atan2
+  * diverge at e.g. -2.4), so these are pinned by TerrainSpec's
+  * hand-computed plane fixtures rather than the DuckDB oracle — the
+  * same pattern as GeoOps.haversine.
+  */
+object TerrainOps {
+
+  /** Slope in degrees, [0, 90): degrees(atan(|∇z|)). */
+  def slopeDeg(dzdx: Column, dzdy: Column): Column =
+    degrees(atan(sqrt(dzdx * dzdx + dzdy * dzdy)))
+
+  /** Aspect as an azimuth in degrees clockwise from north, [0, 360):
+    * the direction of steepest descent (-∇z) with 0 = north,
+    * 90 = east. Flat cells (zero gradient) report 0 by convention. */
+  def aspectDeg(dzdx: Column, dzdy: Column): Column = {
+    val az = degrees(atan2(-dzdx, -dzdy))
+    when(dzdx === 0.0 && dzdy === 0.0, lit(0.0))
+      .otherwise(when(az < 0.0, az + 360.0).otherwise(az))
+  }
+
+  /** Hillshade illumination 0–255 with the standard analytic model:
+    * 255·max(0, cos z·cos s + sin z·sin s·cos(az_sun − aspect)) where
+    * z is the solar zenith. Defaults are ee.Terrain.hillshade's
+    * (azimuth 270°, elevation 45°). */
+  def hillshade(dzdx: Column, dzdy: Column,
+      sunAzimuthDeg: Double = 270.0, sunElevationDeg: Double = 45.0): Column = {
+    val zen = math.toRadians(90.0 - sunElevationDeg)
+    val slopeRad = atan(sqrt(dzdx * dzdx + dzdy * dzdy))
+    val aspectRad = radians(aspectDeg(dzdx, dzdy))
+    lit(255.0) * greatest(lit(0.0),
+      lit(math.cos(zen)) * cos(slopeRad) +
+        lit(math.sin(zen)) * sin(slopeRad) *
+          cos(lit(math.toRadians(sunAzimuthDeg)) - aspectRad))
+  }
+}

@@ -267,12 +267,29 @@ object RasterQueries {
       |    + ((s.vyp - s.vym) / 2.0) * ((s.vyp - s.vym) / 2.0) AS grad_sq
       |FROM grid g JOIN scattered s ON g.x = s.tx AND g.y = s.ty""".stripMargin
 
+  /** The full `ee.Terrain` surface on the same stencil: slope in
+    * degrees, aspect as an azimuth clockwise from north (flat → 0),
+    * hillshade 0–255 under EE's default sun (azimuth 270°, elevation
+    * 45°). The trig goes through libm, whose last-ulp rounding
+    * differs between JVM and DuckDB, so this query is declared
+    * rows-only; the closures are pinned by TerrainSpec's
+    * hand-computed plane fixtures and the gradient feed is
+    * oracle-checked as q_terrain_gradient. */
+  def qTerrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TerrainOps
+    qTerrainGradient(spark, dir)
+      .withColumn("slope_deg", TerrainOps.slopeDeg(col("dzdx"), col("dzdy")))
+      .withColumn("aspect_deg", TerrainOps.aspectDeg(col("dzdx"), col("dzdy")))
+      .withColumn("hillshade", TerrainOps.hillshade(col("dzdx"), col("dzdy")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_focal_min" -> (qFocalMin _),
     "q_spatial_join" -> (qSpatialJoin _),
     "q_geo_cells" -> (qGeoCells _),
     "q_bilinear_resample" -> (qBilinearResample _),
     "q_terrain_gradient" -> (qTerrainGradient _),
+    "q_terrain" -> (qTerrain _),
   )
 
   val oracle: Map[String, String] = Map(
