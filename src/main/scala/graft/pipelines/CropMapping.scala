@@ -38,6 +38,39 @@ import graft.operators.AsOfJoin
   */
 object CropMapping {
 
+  /** Label centroids → chip rectangles on the AOI cell grid — the
+    * reference's centroid_to_square → rasterize flow (monthly.py:
+    * 147-161 buffer, 499 burn), replacing the flat-rectangle
+    * approximation. Each centroid anchors its OWN omerc and buffers
+    * ±side/2 m (exactly `get_projections(centroid)`); the geodesic
+    * corners are then projected into the single AOI omerc frame
+    * whose raster cells are cellSizeM wide, and the covered cell
+    * range becomes the (xmin..xmax, ymin..ymax, cls) rectangle that
+    * [[build]]'s broadcast label join consumes. Runs as a typed map
+    * over the (small, broadcast-bound) label table — executors do
+    * the math; nothing collects to the driver. */
+  def labelChips(points: DataFrame, aoiLon: Double, aoiLat: Double,
+      cellSizeM: Double = 10.0, sideM: Double = 2560.0): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    import graft.functions.Omerc
+    val aoi = Omerc(aoiLon, aoiLat)
+    points.select("poly_id", "lon", "lat", "cls").as[(Long, Double, Double, Int)]
+      .map { case (id, lon, lat, cls) =>
+        val corners = Omerc.centroidSquare(lon, lat, sideM).dropRight(1)
+          .map { case (clon, clat) => aoi.forward(clon, clat) }
+        val xs = corners.map(_._1)
+        val ys = corners.map(_._2)
+        // shrink by 1 µm so double jitter at an exact cell boundary
+        // cannot burn a spurious extra 10 m row
+        val eps = 1e-6
+        (id,
+          math.floor((xs.min + eps) / cellSizeM).toInt, math.floor((xs.max - eps) / cellSizeM).toInt,
+          math.floor((ys.min + eps) / cellSizeM).toInt, math.floor((ys.max - eps) / cellSizeM).toInt,
+          cls)
+      }.toDF("poly_id", "xmin", "xmax", "ymin", "ymax", "cls")
+  }
+
   def build(obs: DataFrame, labels: DataFrame): DataFrame = {
     val cellKey = Seq("tile", "cell_x", "cell_y")
     val monthKey = cellKey :+ "month"
