@@ -78,11 +78,25 @@ object StreamingPipelines {
       }
   }
 
-  /** Pattern 1: landing-zone file ingest → parquet, exactly-once.
-    * The reference's skip-if-exists idempotence (ee_pipeline.py:
-    * 125-140) is replaced by the checkpoint: a batch is never
-    * reprocessed, even across restarts. `maxFilesPerTrigger` is the
-    * backpressure knob. */
+  /** One micro-batch of the landing-zone ingest, written
+    * idempotently: the batch lands in its own `batch_id=<n>`
+    * partition directory with overwrite mode, so a retry of the same
+    * batch (foreachBatch is at-least-once on failure) replaces its
+    * own partial output instead of double-appending. This is the
+    * true analog of the reference's skip-if-exists guard
+    * (ee_pipeline.py:125-140). */
+  def ingestBatch(batch: DataFrame, batchId: Long, destDir: String): Unit =
+    // deterministic derived column mirrors the tif→npy transform step
+    batch.withColumn("norm_value", col("value") / 100.0)
+      .write.mode("overwrite").parquet(s"$destDir/batch_id=$batchId")
+
+  /** Pattern 1: landing-zone file ingest → parquet, exactly-once
+    * end-to-end: the checkpoint pins each batch's file set (a batch
+    * id always maps to the same input files), and [[ingestBatch]]
+    * makes the sink idempotent under batch retries, so replays
+    * neither skip nor duplicate rows. The destination is a
+    * batch_id-partitioned parquet layout readable as one table.
+    * `maxFilesPerTrigger` is the backpressure knob. */
   def fileIngest(spark: SparkSession, schema: StructType, srcDir: String,
                  destDir: String, checkpointDir: String,
                  maxFilesPerTrigger: Int = 100): StreamingQuery =
@@ -92,9 +106,7 @@ object StreamingPipelines {
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // deterministic derived column mirrors the tif→npy transform step
-        batch.withColumn("norm_value", col("value") / 100.0)
-          .write.mode("append").parquet(destDir)
+        ingestBatch(batch, batchId, destDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -105,4 +105,19 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == 3)
     assert(out.filter(col("norm_value") === 0.5).count() == 1)
   }
+
+  test("a retried batch overwrites its own output instead of double-appending") {
+    import spark.implicits._
+    val dest = Files.createTempDirectory("graft_retry_dest").toString
+    val batch = Seq((1L, 100.0), (2L, 250.0)).toDF("id", "value")
+    // simulate foreachBatch's at-least-once retry: same batchId twice,
+    // the first attempt having died after a partial (here: full) write
+    StreamingPipelines.ingestBatch(batch, 7L, dest)
+    StreamingPipelines.ingestBatch(batch, 7L, dest)
+    val out = spark.read.parquet(dest)
+    assert(out.count() == 2, "retry duplicated rows")
+    // a different batch id lands alongside, not over, earlier batches
+    StreamingPipelines.ingestBatch(Seq((3L, 50.0)).toDF("id", "value"), 8L, dest)
+    assert(spark.read.parquet(dest).count() == 3)
+  }
 }
