@@ -281,7 +281,41 @@ object PipelineQueries {
        |FROM p""".stripMargin
   }
 
+  /** Data-availability count gate driving a conditional pipeline —
+    * the reference's reduceRegion(count) guard
+    * (height_processing_data_collection.py:442-456): quality-masked
+    * pixel counts per region decide whether the region's whole
+    * extraction runs at all. Declaratively the "if count > threshold"
+    * branch is a semi-join: per-region valid counts inside the
+    * seasonal window, HAVING the threshold, then the continuation
+    * (weekly aggregates) runs only over surviving regions — one plan,
+    * no driver-side branching, and the skipped regions' data is never
+    * aggregated. At 100 TB the gate side is a tiny aggregate that
+    * broadcast-semi-joins into the big scan. */
+  def qCountGate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val gate = ev.filter(col("value") > 90.0 && dayofmonth(col("ts")) <= 15)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_valid"))
+      .filter(col("n_valid") >= 5)
+    ev.join(gate.select("user_id"), Seq("user_id"), "left_semi")
+      .groupBy(col("user_id"),
+        floor((dayofmonth(col("ts")) - 1) / 7.0).cast("int").as("wk"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+  }
+
+  val qCountGateSql: String =
+    s"""WITH gate AS (
+       |  SELECT user_id FROM events
+       |  WHERE value > 90.0 AND day(ts) <= 15
+       |  GROUP BY user_id HAVING COUNT(*) >= 5)
+       |SELECT e.user_id, CAST(FLOOR((day(e.ts) - 1) / 7.0) AS INT) AS wk,
+       |  COUNT(*) AS n, ${dsumSql("e.value")} AS sum_value
+       |FROM events e
+       |WHERE e.user_id IN (SELECT user_id FROM gate)
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_count_gate" -> (qCountGate _),
     "q_mosaiks1d" -> (qMosaiks1d _),
     "q_sufficient_stats" -> (qSufficientStats _),
     "q_suffstats_typed" -> (qSuffstatsTyped _),
@@ -294,6 +328,7 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_count_gate" -> qCountGateSql,
     "q_mosaiks1d" -> qMosaiks1dSql,
     "q_sufficient_stats" -> qSufficientStatsSql,
     "q_suffstats_typed" -> qSuffstatsTypedSql,

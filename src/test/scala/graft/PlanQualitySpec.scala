@@ -40,6 +40,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("count gate actually gates: some regions pass, some are skipped, via a semi-join") {
+    val df = SparkEntry.queries("q_count_gate")(spark, dir)
+    val gatedUsers = df.select("user_id").distinct().count()
+    val allUsers = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(gatedUsers > 0, "gate skipped every region — threshold too strict for the fixture")
+    assert(gatedUsers < allUsers, "gate skipped nothing — not demonstrating the conditional")
+    assert(df.queryExecution.executedPlan.toString.contains("LeftSemi"))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val p = executedPlan("q_filter_predicates")
     // codegen'd stages render as "*(n) Operator" in the executed plan
