@@ -43,7 +43,7 @@ object TinyEncoder {
 
   /** Deterministic dense init: scaled uniform from a seeded RNG per
     * matrix — identical on every JVM. */
-  private def mat(rng: java.util.Random, rows: Int, cols: Int): Array[Array[Double]] = {
+  private[operators] def mat(rng: java.util.Random, rows: Int, cols: Int): Array[Array[Double]] = {
     val s = math.sqrt(6.0 / (rows + cols))
     Array.fill(rows)(Array.fill(cols)((rng.nextDouble() * 2 - 1) * s))
   }
@@ -65,7 +65,7 @@ object TinyEncoder {
       Array.fill(D)(1.0), Array.fill(D)(0.0))
   }
 
-  private def layerNorm(x: Array[Double], g: Array[Double], b: Array[Double]): Array[Double] = {
+  private[operators] def layerNorm(x: Array[Double], g: Array[Double], b: Array[Double]): Array[Double] = {
     val n = x.length
     var mean = 0.0; var i = 0
     while (i < n) { mean += x(i); i += 1 }
@@ -76,7 +76,7 @@ object TinyEncoder {
     Array.tabulate(n)(j => (x(j) - mean) * inv * g(j) + b(j))
   }
 
-  private def matVec(w: Array[Array[Double]], x: Array[Double]): Array[Double] = {
+  private[operators] def matVec(w: Array[Array[Double]], x: Array[Double]): Array[Double] = {
     val out = new Array[Double](w(0).length)
     var i = 0
     while (i < x.length) {
@@ -91,26 +91,24 @@ object TinyEncoder {
   private def gelu(x: Double): Double =
     0.5 * x * (1.0 + math.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x)))
 
-  /** Encode one pixel time-series (NumTimesteps × NumBands, row-major)
-    * with a per-timestep validity mask → D-dim embedding. Masked
-    * timesteps are excluded from attention and pooling (presto.py:
-    * 328-422 masked attention + 417-418 masked mean). */
-  def encode(w: Weights, x: Array[Array[Float]], valid: Array[Boolean]): Array[Float] = {
-    val keep = valid.count(identity)
-    require(keep > 0, "at least one unmasked timestep required")
-    // tokenize: W_in · bands + positional encoding
-    var h: Array[Array[Double]] = Array.tabulate(NumTimesteps) { t =>
-      val xd = Array.tabulate(NumBands)(b => x(t)(b).toDouble)
-      val tok = matVec(w.wIn, xd) // (NumBands × D) rows indexed by band
-      Array.tabulate(D)(i => tok(i) + w.bIn(i) + w.pos(t)(i))
-    }
-    for (blk <- w.blocks) {
+  /** Pre-LN transformer stack over a token sequence with a validity
+    * mask: invalid tokens are excluded from attention (as keys AND
+    * queries) and skipped by the MLP residual, so valid tokens' final
+    * states equal what they would be had the invalid tokens never
+    * been in the sequence — the property the MAE decoder relies on
+    * when it re-inserts mask tokens (presto.py:505-520). Shared by
+    * encoder and decoder (the decoder runs it with all-valid). */
+  private[operators] def runBlocks(blocks: Array[Block],
+      h0: Array[Array[Double]], valid: Array[Boolean]): Array[Array[Double]] = {
+    val n = h0.length
+    var h = h0
+    for (blk <- blocks) {
       // pre-LN attention with mask
       val normed = h.map(layerNorm(_, blk.ln1g, blk.ln1b))
       val q = normed.map(matVec(blk.wq, _))
       val k = normed.map(matVec(blk.wk, _))
       val v = normed.map(matVec(blk.wv, _))
-      val attnOut = Array.tabulate(NumTimesteps) { t =>
+      val attnOut = Array.tabulate(n) { t =>
         if (!valid(t)) new Array[Double](D)
         else {
           val merged = new Array[Double](D)
@@ -118,7 +116,7 @@ object TinyEncoder {
           while (head < Heads) {
             val off = head * Dh
             // scores over valid keys only
-            val scores = Array.tabulate(NumTimesteps) { s =>
+            val scores = Array.tabulate(n) { s =>
               if (!valid(s)) Double.NegativeInfinity
               else {
                 var dot = 0.0; var d = 0
@@ -130,7 +128,7 @@ object TinyEncoder {
             val exps = scores.map(s => if (s == Double.NegativeInfinity) 0.0 else math.exp(s - mx))
             val z = exps.sum
             var s = 0
-            while (s < NumTimesteps) {
+            while (s < n) {
               val a = exps(s) / z
               if (a != 0.0) {
                 var d = 0
@@ -143,12 +141,12 @@ object TinyEncoder {
           matVec(blk.wo, merged)
         }
       }
-      h = Array.tabulate(NumTimesteps)(t =>
+      h = Array.tabulate(n)(t =>
         Array.tabulate(D)(i => h(t)(i) + attnOut(t)(i)))
       // pre-LN MLP
       val normed2 = h.map(layerNorm(_, blk.ln2g, blk.ln2b))
-      val mlpOut = normed2.map { n =>
-        val hid = matVec(blk.w1, n)
+      val mlpOut = normed2.map { nx =>
+        val hid = matVec(blk.w1, nx)
         var i = 0
         while (i < hid.length) { hid(i) = gelu(hid(i) + blk.b1(i)); i += 1 }
         val out = matVec(blk.w2, hid)
@@ -156,9 +154,33 @@ object TinyEncoder {
         while (j < out.length) { out(j) += blk.b2(j); j += 1 }
         out
       }
-      h = Array.tabulate(NumTimesteps)(t =>
+      h = Array.tabulate(n)(t =>
         Array.tabulate(D)(i => h(t)(i) + (if (valid(t)) mlpOut(t)(i) else 0.0)))
     }
+    h
+  }
+
+  /** Per-token encoder states (no pooling) — what the MAE decoder
+    * consumes: the reference encoder returns the token sequence when
+    * not pooling for an eval task (presto.py:418-422). */
+  def encodeTokens(w: Weights, x: Array[Array[Float]], valid: Array[Boolean]): Array[Array[Double]] = {
+    // tokenize: W_in · bands + positional encoding
+    val h0: Array[Array[Double]] = Array.tabulate(NumTimesteps) { t =>
+      val xd = Array.tabulate(NumBands)(b => x(t)(b).toDouble)
+      val tok = matVec(w.wIn, xd) // (NumBands × D) rows indexed by band
+      Array.tabulate(D)(i => tok(i) + w.bIn(i) + w.pos(t)(i))
+    }
+    runBlocks(w.blocks, h0, valid)
+  }
+
+  /** Encode one pixel time-series (NumTimesteps × NumBands, row-major)
+    * with a per-timestep validity mask → D-dim embedding. Masked
+    * timesteps are excluded from attention and pooling (presto.py:
+    * 328-422 masked attention + 417-418 masked mean). */
+  def encode(w: Weights, x: Array[Array[Float]], valid: Array[Boolean]): Array[Float] = {
+    val keep = valid.count(identity)
+    require(keep > 0, "at least one unmasked timestep required")
+    val h = encodeTokens(w, x, valid)
     // masked mean pool over valid tokens, final LN
     val pooled = new Array[Double](D)
     var t = 0

@@ -3,7 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.TinyEncoder
+import graft.operators.{TinyDecoder, TinyEncoder}
+import graft.pipelines.PretrainingTable
+import graft.sources.ObservationsGen
 
 /** End-to-end embedding pipeline: events → per-(user, month) padded
   * 17-band monthly series with validity masks → TinyEncoder
@@ -47,8 +49,33 @@ object EncoderQueries {
         col("embedding")(0).as("e0"))
   }
 
+  /** The complete MAE pretraining objective end-to-end: the masked
+    * examples PretrainingTable produces feed TinyEncoder (unmasked
+    * timesteps only) → TinyDecoder (mask-token re-insertion,
+    * per-band-group reconstruction) → per-cell masked-slot MSE.
+    * Rows-only like q_encoder_embed (a transformer is not ANSI SQL);
+    * TinyDecoderSpec pins determinism, masked-position prediction,
+    * and finiteness. */
+  def qMaeReconstruct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = PretrainingTable.build(ObservationsGen.observations(spark))
+      .withColumn("id", concat_ws("|", col("tile"), col("cell_x"), col("cell_y")))
+      .select(col("id"),
+        col("x_eo").as("xEo"),
+        col("mask"),
+        expr("transform(y_eo, v -> coalesce(v, 0D))").as("yEo"),
+        col("start_month").as("startMonth"))
+      // same AQE note as qEncoderEmbed: cost is per-row compute
+      .repartition(32)
+      .as[TinyDecoder.MaskedExample]
+    TinyDecoder.reconstruct(ex).toDF()
+      .select(col("id"), col("n_masked"), col("masked_mse"),
+        col("recon_masked")(0).as("recon0"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_encoder_embed" -> (qEncoderEmbed _),
+    "q_mae_reconstruct" -> (qMaeReconstruct _),
   )
 
   /** Intentionally empty: non-SQL-expressible → rows-only check. */
