@@ -44,6 +44,31 @@ object TextOps {
   def minhashAggs(seeds: Range): Seq[Column] =
     seeds.map(j => min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"h$j"))
 
+  /** Word-n-gram Jaccard near-dup pairs over df-capped shingle sets:
+    * shingles with document frequency above `maxDf` (stopword-like
+    * boilerplate) are dropped from BOTH the inverted-index join and
+    * the set sizes, bounding per-shingle fan-out to maxDf² candidate
+    * pairs while keeping the measure symmetric and
+    * oracle-expressible. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxDf: Int = 50, minJaccard: Double = 0.1): DataFrame = {
+    val sh0 = shingles(docs, idCol, textCol, n)
+    val rare = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    val sh = sh0.join(rare, "shingle")
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"))
+      .agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "ida").withColumnRenamed("n", "na"), "ida")
+      .join(sizes.withColumnRenamed(idCol, "idb").withColumnRenamed("n", "nb"), "idb")
+      .withColumn("jaccard", col("ninter").cast("double") / (col("na") + col("nb") - col("ninter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("ida", "idb", "ninter", "na", "nb", "jaccard")
+  }
+
   /** xxhash64 MinHash signatures — the engine fast path: one
     * codegen'd 64-bit hash per (seed, shingle) instead of an md5 hex
     * string, a ~4× cheaper signature pass with identical banding

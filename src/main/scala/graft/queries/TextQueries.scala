@@ -160,28 +160,17 @@ object TextQueries {
   private val MaxShingleDf = 50
 
   /** Word-3-gram Jaccard near-dup pairs over the df-capped shingle
-    * sets. Candidate pairs come from an equi-join on shared shingles
-    * (inverted-index blocking) — never a cross join — and the df cap
-    * [[MaxShingleDf]] bounds fan-out on hot shingles; both the
-    * intersection and the set sizes use the capped sets, so the
-    * measure is symmetric and the oracle expresses it identically. */
-  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh0 = TextOps.shingles(Tables.documents(spark, dir), "doc_id", "text", 3)
-    val rare = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf).select("shingle")
-    val sh = sh0.join(rare, "shingle")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-      .agg(count(lit(1)).as("ninter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("n", "na"), "ida")
-      .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("n", "nb"), "idb")
-      .withColumn("jaccard", col("ninter").cast("double") / (col("na") + col("nb") - col("ninter")))
-      .filter(col("jaccard") >= 0.1)
-      .select("ida", "idb", "ninter", "na", "nb", "jaccard")
-  }
+    * sets ([[graft.operators.TextOps.jaccardPairs]]). Candidate pairs
+    * come from an equi-join on shared shingles (inverted-index
+    * blocking) — never a cross join — and the df cap [[MaxShingleDf]]
+    * bounds fan-out on hot shingles; both the intersection and the
+    * set sizes use the capped sets, so the measure is symmetric and
+    * the oracle expresses it identically. (The fixture corpus has no
+    * shingle above df 25 even at sf0.1, so the cap only bites at
+    * scale — TextOpsSpec proves it bites on a hot-shingle fixture.) */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    TextOps.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+      n = 3, maxDf = MaxShingleDf, minJaccard = 0.1)
 
   private val shinglesCte: String =
     """toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
