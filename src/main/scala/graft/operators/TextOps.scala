@@ -53,9 +53,13 @@ object TextOps {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxDf: Int = 50, minJaccard: Double = 0.1): DataFrame = {
     val sh0 = shingles(docs, idCol, textCol, n)
-    val rare = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("shingle")
-    val sh = sh0.join(rare, "shingle")
+    // df via a window over the shingle key instead of groupBy+join-back:
+    // one shuffle on shingle, whose partitioning the self-join below
+    // reuses — no second pass over the index
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val sh = sh0.withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= maxDf)
+      .select(col(idCol), col("shingle"))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
