@@ -63,13 +63,74 @@ object MultimodalQueries {
       |    list_transform(range(length(text)), i -> ascii(substr(text, i+1, 1))) AS codes
       |  FROM documents)""".stripMargin
 
+  /** Frame sampling (video path): every 2nd of the 4 payload frames,
+    * through the real 1-row→N-rows mapPartitions generator — the
+    * oracle recomputes the chunk arithmetic from the ASCII text, so
+    * the hash pins chunk bounds, stride semantics, and the
+    * empty-tail-frame edge case. */
+  def qFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = MultimodalOps
+      .mediaFromDocuments(Tables.documents(spark, dir))
+      .as[MultimodalOps.MediaRow]
+    MultimodalOps.sampleFrames(media, stride = 2).toDF()
+  }
+
+  val qFrameSampleSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, text, length(text) AS len,
+      |    GREATEST(length(text) // 4, 1) AS sz
+      |  FROM documents),
+      |f AS (SELECT media_id, unnest([0, 2]) AS frame_idx, text, len, sz FROM m),
+      |b AS (
+      |  SELECT media_id, frame_idx,
+      |    GREATEST(LEAST((frame_idx + 1) * sz, len) - frame_idx * sz, 0) AS nb,
+      |    frame_idx * sz AS off, text
+      |  FROM f)
+      |SELECT media_id, frame_idx, CAST(nb AS INT) AS frame_bytes,
+      |  CAST(COALESCE(list_sum(list_transform(range(nb),
+      |    i -> CAST(ascii(substr(text, off + i + 1, 1)) AS BIGINT))), 0) AS BIGINT) AS frame_sum
+      |FROM b""".stripMargin
+
+  /** Resize (stride-subsample, the reference's SAMPLE_EVERY pixel
+    * subsample) composed with decode: features of every 10th payload
+    * byte — pins the resize arithmetic end-to-end through the
+    * batched decode. */
+  def qResizeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = MultimodalOps
+      .mediaFromDocuments(Tables.documents(spark, dir))
+      .as[MultimodalOps.MediaRow]
+    MultimodalOps.decodeFeatures(MultimodalOps.resize(media, stride = 10)).toDF()
+  }
+
+  val qResizeFeaturesSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(len(codes) AS INT) AS n_bytes,
+      |  CAST(list_sum(codes) AS DOUBLE) / len(codes) AS byte_mean,
+      |  CAST(list_min(codes) AS INT) AS byte_min,
+      |  CAST(list_max(codes) AS INT) AS byte_max,
+      |  list_reduce(list_transform(codes, c -> CAST(c AS BIGINT)),
+      |              (a, c) -> (a * 31 + c) % 72057594037927931) AS checksum
+      |FROM (
+      |  SELECT doc_id,
+      |    list_transform(range((length(text) + 9) // 10),
+      |      i -> ascii(substr(text, i * 10 + 1, 1))) AS codes
+      |  FROM documents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_manifest" -> (qMediaManifest _),
     "q_media_features" -> (qMediaFeatures _),
+    "q_frame_sample" -> (qFrameSample _),
+    "q_resize_features" -> (qResizeFeatures _),
   )
 
   val oracle: Map[String, String] = Map(
     "q_media_manifest" -> qMediaManifestSql,
     "q_media_features" -> qMediaFeaturesSql,
+    "q_frame_sample" -> qFrameSampleSql,
+    "q_resize_features" -> qResizeFeaturesSql,
   )
 }
