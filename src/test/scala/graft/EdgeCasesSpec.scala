@@ -3,7 +3,8 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, TextOps}
+import graft.operators.{AsOfJoin, TextOps, TinyDecoder}
+import graft.pipelines.CropMapping
 import graft.sources.GeoIngest
 
 /** Edge-of-domain behavior: empty inputs, degenerate documents,
@@ -55,6 +56,24 @@ class EdgeCasesSpec extends SparkSpec {
       .orderBy("ts").select("s").as[Double].collect()
     // day1: 10; day3: 10+20; day9: 20+40 (day1 fell out, day3 within 6d); day20: 80
     assert(out.toSeq == Seq(10.0, 30.0, 60.0, 80.0))
+  }
+
+  test("an all-masked pretraining example is dropped, not crashed on") {
+    import spark.implicits._
+    val ex = Seq(
+      TinyDecoder.MaskedExample("all", Seq.fill(12)(0.0),
+        Seq.fill(12)(true), Seq.fill(12)(0.3), 0),
+      TinyDecoder.MaskedExample("ok", Seq.fill(12)(0.2),
+        Seq.tabulate(12)(_ % 2 == 0), Seq.fill(12)(0.3), 0)).toDS()
+    val out = TinyDecoder.reconstruct(ex).collect()
+    assert(out.map(_.id).toSeq == Seq("ok"))
+  }
+
+  test("labelChips of an empty label table is an empty rectangle table") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double, Double, Int)]
+      .toDF("poly_id", "lon", "lat", "cls")
+    assert(CropMapping.labelChips(empty, -16.45, 14.72).count() == 0)
   }
 
   test("pii patterns fire on planted spans and stay silent otherwise") {
