@@ -16,14 +16,16 @@ import graft.queries.Exact._
   * The KNN candidate plan is sign-LSH banded, not a cartesian: each
   * vector gets a 16-bit sign signature (signs of the first 16
   * embedding dims); candidates are (val, train) pairs sharing at
-  * least one of 6 band buckets (widths 3,3,3,3,2,2), then an exact
-  * `hamming(sig) <= 5` filter and exact-cosine ranking among
-  * candidates. By pigeonhole, a pair within hamming 5 of each other
-  * cannot differ in all 6 bands, so the banded equi-join finds EVERY
-  * qualifying pair — the DuckDB oracle brute-forces all pairs with
-  * the same hamming filter, so a green hash proves the blocked plan
-  * complete (the q_simhash trick). At 100 TB the only wide shuffles
-  * key on (band, bucket) and on the candidate ids — no |val|x|train|
+  * least one band bucket, then an exact hamming filter and
+  * exact-cosine ranking among candidates. By pigeonhole, a pair
+  * within hamming H cannot differ in all of H+1 (or more) bands, so
+  * the banded equi-join finds EVERY qualifying pair — the DuckDB
+  * oracle brute-forces all pairs with the same hamming filter, so a
+  * green hash proves the blocked plan complete (the q_simhash
+  * trick). k∈{5,20} uses hamming≤5 over 6 bands (~10 % candidate
+  * rate); k=100 uses hamming≤7 over 8 bands for the deeper pool a
+  * wide top-k needs (~40 %). At 100 TB the only wide shuffles key on
+  * (band, bucket) and on the candidate ids — no |val|x|train|
   * cartesian anywhere.
   */
 object MlQueries {
@@ -32,14 +34,15 @@ object MlQueries {
   private val splitDuck = PipelineOps.hashSplitSql("cast(vec_id AS VARCHAR)", 12)
     .replace("instr(", "strpos(")
 
-  /** Max sign-signature hamming distance for a (val, train) pair to
-    * be a KNN candidate. 6 bands make the banded join provably
-    * complete up to this distance. */
-  private val MaxHamming = 5
-
-  /** (band id, bit offset, width) — 6 bands covering the 16 signature
-    * bits; 6 bands > MaxHamming diffs pigeonholes one intact band. */
-  private val bandDefs = Seq((0, 0, 3), (1, 3, 3), (2, 6, 3), (3, 9, 3), (4, 12, 2), (5, 14, 2))
+  /** (band id, bit offset, width) band partitions of the 16 signature
+    * bits. The pigeonhole invariant: a partition into H+1 or more
+    * bands makes the banded join provably complete for hamming ≤ H.
+    * Small k uses hamming ≤ 5 via 6 bands (~10 % candidate rate on
+    * random signs); k=100 needs a deeper candidate pool, so it uses
+    * hamming ≤ 7 via 8×2-bit bands (~40 % candidate rate) — wider
+    * recall for a wider top-k, same theorem. */
+  private val bands6 = Seq((0, 0, 3), (1, 3, 3), (2, 6, 3), (3, 9, 3), (4, 12, 2), (5, 14, 2))
+  private val bands8 = Seq.tabulate(8)(b => (b, b * 2, 2))
 
   /** 16-bit sign signature of the first 16 embedding dims. */
   private val sigExpr =
@@ -47,15 +50,18 @@ object MlQueries {
       |  i -> IF(element_at(embedding, i + 1) >= 0, shiftleft(1L, i), 0L)),
       |  0L, (a, b) -> a | b)""".stripMargin
 
-  private def bands(sig: Column): Column = array(bandDefs.map { case (b, off, w) =>
-    struct(lit(b).as("band"),
-      shiftright(sig, off).bitwiseAND(lit((1L << w) - 1)).as("bucket"))
-  }: _*)
+  private def bands(sig: Column, defs: Seq[(Int, Int, Int)]): Column =
+    array(defs.map { case (b, off, w) =>
+      struct(lit(b).as("band"),
+        shiftright(sig, off).bitwiseAND(lit((1L << w) - 1)).as("bucket"))
+    }: _*)
 
   /** Exact top-k (cosine desc, tid tie-break) among the banded
-    * hamming≤5 candidates, for the hash-val split vs the hash-train
-    * split. Columns: vid, vlabel, tid, tlabel, cosine, rk. */
-  private def knnTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    * hamming≤maxHamming candidates, for the hash-val split vs the
+    * hash-train split. Columns: vid, vlabel, tid, tlabel, cosine, rk. */
+  private def knnTopK(spark: SparkSession, dir: String, k: Int,
+      maxHamming: Int, defs: Seq[(Int, Int, Int)]): DataFrame = {
+    require(defs.length > maxHamming, "need more bands than allowed bit diffs")
     val e = Tables.embeddings(spark, dir)
       .withColumn("split", PipelineOps.hashSplit("cast(vec_id AS string)", 12))
       .withColumn("sig", expr(sigExpr))
@@ -65,9 +71,9 @@ object MlQueries {
     val valid = e.filter(col("split") === "val")
       .select(col("vec_id").as("vid"), col("embedding").as("ve"),
         col("label").as("vlabel"), col("sig").as("vsig"))
-    val tBands = train.select(col("tid"), explode(bands(col("tsig"))).as("bb"))
+    val tBands = train.select(col("tid"), explode(bands(col("tsig"), defs)).as("bb"))
       .select(col("tid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val vBands = valid.select(col("vid"), explode(bands(col("vsig"))).as("bb"))
+    val vBands = valid.select(col("vid"), explode(bands(col("vsig"), defs)).as("bb"))
       .select(col("vid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     // The LSH shuffle: equi-join on (band, bucket). Both sides scale
     // with the corpus; no broadcast, no cartesian.
@@ -75,7 +81,7 @@ object MlQueries {
       .select("vid", "tid").distinct()
     val wTop = Window.partitionBy(col("vid")).orderBy(col("cosine").desc, col("tid"))
     cand.join(valid, "vid").join(train, "tid")
-      .filter(expr("bit_count(vsig ^ tsig)") <= MaxHamming)
+      .filter(expr("bit_count(vsig ^ tsig)") <= maxHamming)
       .withColumn("cosine", expr("cosine_sim(ve, te)"))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= k)
@@ -83,10 +89,11 @@ object MlQueries {
 
   /** Majority-vote confusion matrix at a given k; vote ties break on
     * the smaller label (eval/knn.py KNeighborsClassifier analog). */
-  private def knnConfusion(spark: SparkSession, dir: String, k: Int): DataFrame = {
+  private def knnConfusion(spark: SparkSession, dir: String, k: Int,
+      maxHamming: Int, defs: Seq[(Int, Int, Int)]): DataFrame = {
     val wVote = Window.partitionBy(col("vid"))
       .orderBy(col("votes").desc, col("tlabel"))
-    knnTopK(spark, dir, k)
+    knnTopK(spark, dir, k, maxHamming, defs)
       .groupBy(col("vid"), col("vlabel"), col("tlabel"))
       .agg(count(lit(1)).as("votes"))
       .withColumn("vrk", row_number().over(wVote))
@@ -95,16 +102,19 @@ object MlQueries {
       .agg(count(lit(1)).as("n"))
   }
 
-  def qKnnClassify(spark: SparkSession, dir: String): DataFrame = knnConfusion(spark, dir, 5)
-  def qKnnK20(spark: SparkSession, dir: String): DataFrame = knnConfusion(spark, dir, 20)
-  def qKnnK100(spark: SparkSession, dir: String): DataFrame = knnConfusion(spark, dir, 100)
+  def qKnnClassify(spark: SparkSession, dir: String): DataFrame =
+    knnConfusion(spark, dir, 5, 5, bands6)
+  def qKnnK20(spark: SparkSession, dir: String): DataFrame =
+    knnConfusion(spark, dir, 20, 5, bands6)
+  def qKnnK100(spark: SparkSession, dir: String): DataFrame =
+    knnConfusion(spark, dir, 100, 7, bands8)
 
   /** KNN regression (eval/knn.py KNeighborsRegressor analog): the
     * prediction is the plain mean of the k=5 nearest neighbours'
     * numeric targets. Integer sums divide exactly once on each
     * engine, so the double is bit-exact cross-engine. */
   def qKnnRegress(spark: SparkSession, dir: String): DataFrame =
-    knnTopK(spark, dir, 5)
+    knnTopK(spark, dir, 5, 5, bands6)
       .groupBy(col("vid"), col("vlabel").as("label"))
       .agg((sum(col("tlabel")).cast("double") / count(lit(1))).as("knn_pred"))
 
@@ -115,7 +125,7 @@ object MlQueries {
   /** Brute-force CTE chain sp/tr/va/topk/pred: ALL (val, train) pairs
     * filtered to hamming≤5, ranked by exact cosine — no banding, so
     * the compare proves the Spark banded plan's completeness. */
-  private def knnPredSql(k: Int): String = {
+  private def knnPredSql(k: Int, maxHamming: Int = 5): String = {
     val cos = s"""(${dotSql("v.ve", "t.te")} / (sqrt(${dotSql("v.ve", "v.ve")}) * sqrt(${dotSql("t.te", "t.te")})))"""
     s"""sp AS (SELECT vec_id, embedding, label,
        |    list_reduce(list_transform(range(16),
@@ -129,7 +139,7 @@ object MlQueries {
        |    SELECT v.vid, v.vlabel, t.tid, t.tlabel,
        |      ROW_NUMBER() OVER (PARTITION BY v.vid ORDER BY $cos DESC, t.tid) AS rk
        |    FROM va v CROSS JOIN tr t
-       |    WHERE bit_count(xor(v.vsig, t.tsig)) <= $MaxHamming)
+       |    WHERE bit_count(xor(v.vsig, t.tsig)) <= $maxHamming)
        |  WHERE rk <= $k),
        |pred AS (
        |  SELECT vid, vlabel, tlabel AS predicted FROM (
@@ -139,14 +149,14 @@ object MlQueries {
        |  WHERE vrk = 1)""".stripMargin
   }
 
-  private def knnConfusionSql(k: Int): String =
-    s"""WITH ${knnPredSql(k)}
+  private def knnConfusionSql(k: Int, maxHamming: Int = 5): String =
+    s"""WITH ${knnPredSql(k, maxHamming)}
        |SELECT vlabel AS label, predicted, COUNT(*) AS n
        |FROM pred GROUP BY 1, 2""".stripMargin
 
   val qKnnClassifySql: String = knnConfusionSql(5)
   val qKnnK20Sql: String = knnConfusionSql(20)
-  val qKnnK100Sql: String = knnConfusionSql(100)
+  val qKnnK100Sql: String = knnConfusionSql(100, maxHamming = 7)
 
   val qKnnRegressSql: String =
     s"""WITH ${knnPredSql(5)}
