@@ -22,11 +22,16 @@ import graft.queries.Exact._
   * the banded equi-join finds EVERY qualifying pair — the DuckDB
   * oracle brute-forces all pairs with the same hamming filter, so a
   * green hash proves the blocked plan complete (the q_simhash
-  * trick). k∈{5,20} uses hamming≤5 over 6 bands (~10 % candidate
-  * rate); k=100 uses hamming≤7 over 8 bands for the deeper pool a
-  * wide top-k needs (~40 %). At 100 TB the only wide shuffles key on
-  * (band, bucket) and on the candidate ids — no |val|x|train|
-  * cartesian anywhere.
+  * trick). All k∈{5,20,100} share the hamming≤5 / 6-band radius; at
+  * small SF the ~10 % candidate pool bounds the effective k for
+  * k=100 (both engines identically). Note the banded family is a
+  * DIFFERENT estimator from sklearn-exact KNN: neighbours outside
+  * the hamming ball are out of scope by definition, and a query
+  * vector with zero candidates yields no prediction row —
+  * [[qKnnExact]] keeps the reference-faithful exact semantics for
+  * bounded eval sets. At 100 TB the banded family's only wide
+  * shuffles key on (band, bucket) and on the candidate ids — no
+  * |val|x|train| cartesian anywhere.
   */
 object MlQueries {
 
@@ -34,15 +39,16 @@ object MlQueries {
   private val splitDuck = PipelineOps.hashSplitSql("cast(vec_id AS VARCHAR)", 12)
     .replace("instr(", "strpos(")
 
-  /** (band id, bit offset, width) band partitions of the 16 signature
+  /** (band id, bit offset, width) band partition of the 16 signature
     * bits. The pigeonhole invariant: a partition into H+1 or more
-    * bands makes the banded join provably complete for hamming ≤ H.
-    * Small k uses hamming ≤ 5 via 6 bands (~10 % candidate rate on
-    * random signs); k=100 needs a deeper candidate pool, so it uses
-    * hamming ≤ 7 via 8×2-bit bands (~40 % candidate rate) — wider
-    * recall for a wider top-k, same theorem. */
+    * bands makes the banded join provably complete for hamming ≤ H;
+    * 6 bands cover hamming ≤ 5 (~10 % candidate rate on random
+    * signs). Wider hamming radii need narrower buckets whose join
+    * fan-out approaches the cross product (2-bit buckets emit
+    * ~|val|·|train|/4 rows per band pre-distinct) — so every k
+    * shares this one radius, and a small candidate pool simply
+    * bounds the effective k (exactly mirrored by the oracle). */
   private val bands6 = Seq((0, 0, 3), (1, 3, 3), (2, 6, 3), (3, 9, 3), (4, 12, 2), (5, 14, 2))
-  private val bands8 = Seq.tabulate(8)(b => (b, b * 2, 2))
 
   /** 16-bit sign signature of the first 16 embedding dims. */
   private val sigExpr =
@@ -107,7 +113,7 @@ object MlQueries {
   def qKnnK20(spark: SparkSession, dir: String): DataFrame =
     knnConfusion(spark, dir, 20, 5, bands6)
   def qKnnK100(spark: SparkSession, dir: String): DataFrame =
-    knnConfusion(spark, dir, 100, 7, bands8)
+    knnConfusion(spark, dir, 100, 5, bands6)
 
   /** KNN regression (eval/knn.py KNeighborsRegressor analog): the
     * prediction is the plain mean of the k=5 nearest neighbours'
@@ -117,6 +123,60 @@ object MlQueries {
     knnTopK(spark, dir, 5, 5, bands6)
       .groupBy(col("vid"), col("vlabel").as("label"))
       .agg((sum(col("tlabel")).cast("double") / count(lit(1))).as("knn_pred"))
+
+  /** Exact k=5 KNN — the literal eval/knn.py KNeighborsClassifier
+    * semantics: every val vector is classified against EVERY train
+    * vector, no candidate filter, so no val row can vanish. The val
+    * side broadcasts (the reference's eval sets are bounded —
+    * thousands of rows — independent of corpus size), making this a
+    * linear corpus scan + per-query top-k, the right exact plan when
+    * |val| is bounded; the banded family above is the variant for
+    * when BOTH sides grow with the corpus. */
+  def qKnnExact(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("split", PipelineOps.hashSplit("cast(vec_id AS string)", 12))
+    val train = e.filter(col("split") === "train")
+      .select(col("vec_id").as("tid"), col("embedding").as("te"), col("label").as("tlabel"))
+    val valid = e.filter(col("split") === "val")
+      .select(col("vec_id").as("vid"), col("embedding").as("ve"), col("label").as("vlabel"))
+    val wTop = Window.partitionBy(col("vid")).orderBy(col("cosine").desc, col("tid"))
+    val top5 = train.crossJoin(broadcast(valid))
+      .withColumn("cosine", expr("cosine_sim(ve, te)"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5)
+    val wVote = Window.partitionBy(col("vid"))
+      .orderBy(col("votes").desc, col("tlabel"))
+    top5.groupBy(col("vid"), col("vlabel"), col("tlabel"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrk", row_number().over(wVote))
+      .filter(col("vrk") === 1)
+      .groupBy(col("vlabel").as("label"), col("tlabel").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val qKnnExactSql: String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+    val cos = s"""(${dot("v.ve", "t.te")} / (sqrt(${dot("v.ve", "v.ve")}) * sqrt(${dot("t.te", "t.te")})))"""
+    s"""WITH split AS (SELECT vec_id, embedding, label, $splitDuck AS split FROM embeddings),
+       |tr AS (SELECT vec_id AS tid, embedding AS te, label AS tlabel FROM split WHERE split = 'train'),
+       |va AS (SELECT vec_id AS vid, embedding AS ve, label AS vlabel FROM split WHERE split = 'val'),
+       |top5 AS (
+       |  SELECT vid, vlabel, tlabel FROM (
+       |    SELECT v.vid, v.vlabel, t.tlabel,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vid ORDER BY $cos DESC, t.tid) AS rk
+       |    FROM va v CROSS JOIN tr t)
+       |  WHERE rk <= 5),
+       |pred AS (
+       |  SELECT vid, vlabel, tlabel AS predicted FROM (
+       |    SELECT vid, vlabel, tlabel, COUNT(*) AS votes,
+       |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY COUNT(*) DESC, tlabel) AS vrk
+       |    FROM top5 GROUP BY vid, vlabel, tlabel)
+       |  WHERE vrk = 1)
+       |SELECT vlabel AS label, predicted, COUNT(*) AS n
+       |FROM pred GROUP BY 1, 2""".stripMargin
+  }
 
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),
@@ -156,7 +216,7 @@ object MlQueries {
 
   val qKnnClassifySql: String = knnConfusionSql(5)
   val qKnnK20Sql: String = knnConfusionSql(20)
-  val qKnnK100Sql: String = knnConfusionSql(100, maxHamming = 7)
+  val qKnnK100Sql: String = knnConfusionSql(100)
 
   val qKnnRegressSql: String =
     s"""WITH ${knnPredSql(5)}
@@ -260,6 +320,7 @@ object MlQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_exact" -> (qKnnExact _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_knn_k20" -> (qKnnK20 _),
     "q_knn_k100" -> (qKnnK100 _),
@@ -269,6 +330,7 @@ object MlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_knn_exact" -> qKnnExactSql,
     "q_knn_classify" -> qKnnClassifySql,
     "q_knn_k20" -> qKnnK20Sql,
     "q_knn_k100" -> qKnnK100Sql,

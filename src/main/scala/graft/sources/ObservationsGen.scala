@@ -91,4 +91,23 @@ object ObservationsGen {
       (2L, 3, 3, 2, 3, 5),
     ).toDF("poly_id", "xmin", "xmax", "ymin", "ymax", "cls")
   }
+
+  /** AOI anchor for the geo-label flow (Senegal, like the reference's
+    * Tolbi AOI). */
+  val AoiLon = -16.45
+  val AoiLat = 14.72
+
+  /** Geo label centroids for the reference-faithful label path:
+    * centroid → 2560 m omerc chip → rasterized cells
+    * (CropMapping.labelChips). The single centroid sits +1300 m east
+    * and north of the AOI anchor, so at 640 m cells its chip covers
+    * cell range 0..4 on both axes — a 20 m margin from every cell
+    * boundary keeps the rasterization insensitive to the
+    * centimeter-level difference between the centroid's own omerc
+    * frame and the AOI frame. */
+  def labelPoints(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (lon, lat) = graft.functions.Omerc(AoiLon, AoiLat).inverse(1300.0, 1300.0)
+    Seq((1L, lon, lat, 3)).toDF("poly_id", "lon", "lat", "cls")
+  }
 }

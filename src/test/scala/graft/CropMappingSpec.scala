@@ -64,4 +64,18 @@ class CropMappingSpec extends SparkSpec {
       .select("elevation").collect()(0).getDouble(0)
     assert(e == 15 * 25.0 + 40.0)
   }
+
+  test("geo label points rasterize through omerc chips and label every covered cell") {
+    val geoLabels = CropMapping.labelChips(ObservationsGen.labelPoints(spark),
+      ObservationsGen.AoiLon, ObservationsGen.AoiLat, cellSizeM = 640.0)
+    val r = geoLabels.collect()
+    assert(r.length == 1)
+    // centroid at (+1300, +1300) m, chip corners at 20..2580 m -> cells 0..4
+    assert(r(0).getInt(1) == 0 && r(0).getInt(2) == 4 &&
+      r(0).getInt(3) == 0 && r(0).getInt(4) == 4, r(0).toString)
+    val outGeo = CropMapping.build(ObservationsGen.observations(spark), geoLabels)
+    assert(outGeo.count() == 16)
+    assert(outGeo.filter(col("label") === 3).count() == 16,
+      "the 2560 m chip covers the whole 4x4 grid, so every cell takes its class")
+  }
 }

@@ -18,6 +18,11 @@ class MinhashXxSpec extends SparkSpec {
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  // NOTE: deterministic for THIS fixture + these hash functions (no
+  // RNG anywhere). The recall property is probabilistic over corpora:
+  // a 4-band/2-row scheme misses a Jaccard-0.8 pair with prob ~2 % per
+  // hash family, so on a REGENERATED fixture a miss would be a scheme
+  // property, not a code bug — revisit bands/rows if that happens.
   test("xxhash64 banding finds every true near-dup; disagreements are only chance collisions") {
     val jac = TextQueries.qNgramJaccard(spark, dir)
       .select("ida", "idb", "jaccard").collect()

@@ -27,7 +27,7 @@ class PlanQualitySpec extends SparkSpec {
 
   test("near-dup, ANN, and KNN candidate generation never uses a cartesian product") {
     for (q <- Seq("q_simhash", "q_minhash_lsh", "q_ngram_jaccard", "q_ann_sign_lsh",
-        "q_knn_classify", "q_knn_regress", "q_eval_metrics")) {
+        "q_knn_classify", "q_knn_k20", "q_knn_k100", "q_knn_regress", "q_eval_metrics")) {
       val p = executedPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q degenerated to cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degenerated to NLJ:\n$p")
@@ -35,9 +35,11 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("brute-force top-k broadcasts the query side (intended NLJ, never shuffled cartesian)") {
-    val p = executedPlan("q_cosine_topk_native")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    for (q <- Seq("q_cosine_topk_native", "q_knn_exact")) {
+      val p = executedPlan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
   }
 
   test("count gate actually gates: some regions pass, some are skipped, via a semi-join") {

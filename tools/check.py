@@ -60,11 +60,16 @@ def main():
         # driver-side hash fail even when values compare equal as floats.
         kind_bad = None
         for c in sorted(set(spark.columns) & set(duck.columns)):
-            ka, kb = spark[c].dtype.kind, duck[c].dtype.kind
+            da, db = spark[c].dtype, duck[c].dtype
+            ka, kb = da.kind, db.kind
             numeric = set("iuf")
+            # int-vs-int width differences (int32 vs int64) are NOT
+            # flagged: round-1 driver evidence shows its hash passes
+            # them (dozens of green queries had Spark int vs DuckDB
+            # BIGINT), while int-vs-float (the HUGEINT class) failed.
             if ka != kb and (ka in numeric or kb in numeric) \
                and not (ka in "iu" and kb in "iu"):
-                kind_bad = (c, spark[c].dtype, duck[c].dtype)
+                kind_bad = (c, da, db)
                 break
         if kind_bad:
             c, da, db = kind_bad
