@@ -86,6 +86,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KNN band partition is pigeonhole-complete: any pair within hamming 5 shares a band") {
+    // mirrors MlQueries' 6-band split of the 16-bit sign signature
+    val defs = Seq((0, 3), (3, 3), (6, 3), (9, 3), (12, 2), (14, 2))
+    def buckets(sig: Long): Seq[Long] =
+      defs.map { case (off, w) => (sig >> off) & ((1L << w) - 1) }
+    val g = for {
+      sig <- Gen.chooseNum(0L, (1L << 16) - 1)
+      nFlips <- Gen.chooseNum(0, 5)
+      flips <- Gen.listOfN(nFlips, Gen.chooseNum(0, 15))
+    } yield (sig, flips)
+    forSamples(g) { case (sig, flips) =>
+      val other = flips.foldLeft(sig)((s, b) => s ^ (1L << b))
+      assert(java.lang.Long.bitCount(sig ^ other) <= 5)
+      val shared = buckets(sig).zip(buckets(other)).exists { case (a, b) => a == b }
+      assert(shared, s"pair within hamming 5 shares no band: $sig vs $other")
+    }
+  }
+
+  test("omerc roundtrip is identity to 1e-9 degrees for random points across the AOI") {
+    val g = for {
+      aLon <- Gen.chooseNum(-17.5, -11.5)
+      aLat <- Gen.chooseNum(12.0, 16.9)
+      dLon <- Gen.chooseNum(-0.8, 0.8)
+      dLat <- Gen.chooseNum(-0.8, 0.8)
+    } yield (aLon, aLat, dLon, dLat)
+    forSamples(g, n = 200) { case (aLon, aLat, dLon, dLat) =>
+      val p = graft.functions.Omerc(aLon, aLat)
+      val (x, y) = p.forward(aLon + dLon, aLat + dLat)
+      val (lon2, lat2) = p.inverse(x, y)
+      assert(math.abs(lon2 - (aLon + dLon)) < 1e-9, s"lon $aLon $aLat $dLon $dLat")
+      assert(math.abs(lat2 - (aLat + dLat)) < 1e-9, s"lat $aLon $aLat $dLon $dLat")
+    }
+  }
+
+  test("terrain outputs stay in range for arbitrary gradients") {
+    import spark.implicits._
+    import graft.functions.TerrainOps
+    val grads = for (i <- -100 to 100) yield (i / 10.0, ((i * 7) % 100) / 10.0)
+    val out = grads.toDF("dzdx", "dzdy").select(
+      TerrainOps.slopeDeg(col("dzdx"), col("dzdy")).as("s"),
+      TerrainOps.aspectDeg(col("dzdx"), col("dzdy")).as("a"),
+      TerrainOps.hillshade(col("dzdx"), col("dzdy")).as("h")).collect()
+    for (r <- out) {
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) < 90.0)
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) < 360.0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 255.0)
+    }
+  }
+
   test("all 17 normalized-difference-style indices stay in [-1,1] for positive bands") {
     import spark.implicits._
     val bands = for (i <- 1 to 200) yield
