@@ -321,7 +321,53 @@ object TextQueries {
       |                  ELSE {'run': 1, 'best': acc['best']} END)['best'] AS max_run
       |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents))""".stripMargin
 
+  /** Sequence packing — the pretraining batching step that fills
+    * fixed-token-budget bins with consecutive documents. This is the
+    * shuffle-free "offset packing" variant used at scale: documents
+    * are deterministically ordered within a shard (here the source
+    * column — at 100 TB, the storage shard), the exclusive running
+    * token total is one window over the shard, and the bin is
+    * floor(offset / budget) — a document may straddle a bin boundary
+    * (the packer's concat-then-chunk behavior), but no global state
+    * or sequential reset is needed, so packing parallelizes per
+    * shard. Output: per-bin document count, token total, and the
+    * doc-id range packed into it. */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("off") / lit(budget.toDouble)).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  val qPackSequencesSql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |off AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM toks)
+      |SELECT source, CAST(FLOOR(off / 2048.0) AS BIGINT) AS bin,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM off GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_sequences" -> (qPackSequences _),
     "q_token_stats" -> (qTokenStats _),
     "q_quality_score" -> (qQualityScore _),
     "q_lang_id" -> (qLangId _),
@@ -336,6 +382,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pack_sequences" -> qPackSequencesSql,
     "q_token_stats" -> qTokenStatsSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_lang_id" -> qLangIdSql,
