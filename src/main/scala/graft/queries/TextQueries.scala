@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.TextOps
+import graft.operators.{PipelineOps, TextOps}
+import graft.queries.Exact
 
 /** Text analysis + deduplication over the documents table — the
   * LLM-data-pipeline surface mandated by BASELINE.json, built from
@@ -321,6 +322,97 @@ object TextQueries {
       |                  ELSE {'run': 1, 'best': acc['best']} END)['best'] AS max_run
       |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents))""".stripMargin
 
+  /** Weighted data mixing — the pretraining mixture step: each
+    * language stratum is downsampled to a target rate (English
+    * upweighted, zh held out at a low rate) by the same md5-keyed
+    * deterministic acceptance used everywhere randomness appears, so
+    * the mixture is reproducible under any partitioning/retry.
+    * Output: per-language totals, kept counts, realized rates. */
+  def qDataMixture(spark: SparkSession, dir: String): DataFrame = {
+    val rates = Map("en" -> 14, "de" -> 8, "es" -> 8, "fr" -> 8, "zh" -> 4)
+    val rateCol = rates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("accept",
+        (PipelineOps.hexDigit("concat('mix|', cast(doc_id AS string))", 1) < rateCol).cast("int"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("accept")).cast("long").as("n_kept"))
+      .withColumn("realized_rate", col("n_kept").cast("double") / col("n_total"))
+  }
+
+  val qDataMixtureSql: String = {
+    val accept = PipelineOps.hexDigitSql("concat('mix|', cast(doc_id AS VARCHAR))", "1")
+      .replace("instr(", "strpos(")
+    s"""SELECT lang, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN $accept <
+       |    CASE lang WHEN 'en' THEN 14 WHEN 'de' THEN 8 WHEN 'es' THEN 8
+       |              WHEN 'fr' THEN 8 ELSE 4 END
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN $accept <
+       |    CASE lang WHEN 'en' THEN 14 WHEN 'de' THEN 8 WHEN 'es' THEN 8
+       |              WHEN 'fr' THEN 8 ELSE 4 END
+       |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS realized_rate
+       |FROM documents GROUP BY lang""".stripMargin
+  }
+
+  /** End-to-end corpus curation — the canonical LLM data-cleaning
+    * composition in ONE declarative plan: exact-dedup keepers only
+    * (first doc per normalized content-prefix hash), PII-free
+    * (email/phone/URL scrub), quality above threshold — then the
+    * per-language corpus report (kept docs, token budget,
+    * floor-quantized mean quality). Each stage is an operator
+    * verified on its own elsewhere; this pins their composition. */
+  def qCorpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(substring(col("text"), 1, 50))).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1) // dedup keeper
+      .withColumn("n_pii",
+        size(expr("regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+', 0)")) +
+        size(expr("regexp_extract_all(text, '[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', 0)")) +
+        size(expr("regexp_extract_all(text, 'https?://[^ ]+', 0)")))
+      .filter(col("n_pii") === 0)
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+      .withColumn("n_stop", size(expr(
+        "regexp_extract_all(lower(text), '\\\\b(the|a|of|to|in|and|is)\\\\b', 0)")))
+      .withColumn("quality",
+        lit(0.5) * least(length(col("text")).cast("double") / 500.0, lit(1.0)) +
+        lit(0.5) * least(col("n_stop").cast("double") / col("n_tokens") * 5.0, lit(1.0)))
+      .filter(col("quality") >= 0.5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).cast("long").as("total_tokens"),
+        Exact.qmean(col("quality")).as("avg_quality"))
+  }
+
+  val qCorpusCurationSql: String =
+    s"""WITH keepers AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT doc_id, lang, text,
+       |      ROW_NUMBER() OVER (PARTITION BY md5(substr(text, 1, 50))
+       |                         ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn = 1),
+       |clean AS (
+       |  SELECT doc_id, lang, text FROM keepers
+       |  WHERE len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+'))
+       |      + len(regexp_extract_all(text, '[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}'))
+       |      + len(regexp_extract_all(text, 'https?://[^ ]+')) = 0),
+       |scored AS (
+       |  SELECT lang,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |    0.5 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+       |      + 0.5 * least(CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|to|in|and|is)\\b')) AS DOUBLE)
+       |                    / len(regexp_extract_all(text, '\\S+')) * 5.0, 1.0) AS quality
+       |  FROM clean)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  ${Exact.qmeanSql("quality")} AS avg_quality
+       |FROM scored WHERE quality >= 0.5
+       |GROUP BY lang""".stripMargin
+
   /** Sequence packing — the pretraining batching step that fills
     * fixed-token-budget bins with consecutive documents. This is the
     * shuffle-free "offset packing" variant used at scale: documents
@@ -367,6 +459,8 @@ object TextQueries {
       |FROM off GROUP BY 1, 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_data_mixture" -> (qDataMixture _),
+    "q_corpus_curation" -> (qCorpusCuration _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_token_stats" -> (qTokenStats _),
     "q_quality_score" -> (qQualityScore _),
@@ -382,6 +476,8 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_data_mixture" -> qDataMixtureSql,
+    "q_corpus_curation" -> qCorpusCurationSql,
     "q_pack_sequences" -> qPackSequencesSql,
     "q_token_stats" -> qTokenStatsSql,
     "q_quality_score" -> qQualityScoreSql,
