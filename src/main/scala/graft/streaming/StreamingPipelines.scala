@@ -78,6 +78,17 @@ object StreamingPipelines {
       }
   }
 
+  /** Ingestion-time exact dedup — the streaming form of the
+    * content-hash dedup (an LLM pipeline dedups as data LANDS, not
+    * only in batch): duplicates by key are dropped across
+    * micro-batches, with the watermark bounding the dedup state the
+    * same way it bounds window state — a key older than the horizon
+    * is evicted, so state is O(keys-per-horizon), not O(corpus).
+    * Exactly `dropDuplicatesWithinWatermark` semantics. */
+  def streamingDedup(docs: DataFrame, keyCol: String, horizon: String): DataFrame =
+    docs.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** One micro-batch of the landing-zone ingest, written
     * idempotently: the batch lands in its own `batch_id=<n>`
     * partition directory with overwrite mode, so a retry of the same

@@ -106,6 +106,30 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("norm_value") === 0.5).count() == 1)
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val deduped = StreamingPipelines.streamingDedup(
+      in.toDF().toDF("ts", "content_hash", "value"), "content_hash", "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("sdd")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "aaa", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "aaa", 2.0), // same-batch dup
+        (Timestamp.valueOf("2024-01-01 10:10:00"), "bbb", 3.0))
+      q.processAllAvailable()
+      in.addData( // cross-batch dup within the horizon
+        (Timestamp.valueOf("2024-01-01 10:20:00"), "aaa", 4.0),
+        (Timestamp.valueOf("2024-01-01 10:30:00"), "ccc", 5.0))
+      q.processAllAvailable()
+      val keys = spark.table("sdd").select("content_hash")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(keys == Seq("aaa", "bbb", "ccc"), keys.mkString(","))
+    } finally q.stop()
+  }
+
   test("a retried batch overwrites its own output instead of double-appending") {
     import spark.implicits._
     val dest = Files.createTempDirectory("graft_retry_dest").toString
