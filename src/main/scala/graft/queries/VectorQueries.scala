@@ -276,6 +276,85 @@ object VectorQueries {
        |  JOIN embeddings q ON q.vec_id = c.qid)
        |WHERE rank <= 3""".stripMargin
 
+  /** K-means refinement for the IVF coarse quantizer
+    * (completing [[qIvfSearch]]'s missing training half): k=8
+    * clusters, deterministic hash init (cluster j seeds from vectors
+    * with vec_id % 8 = j), two Lloyd iterations unrolled as a
+    * declarative plan — assignment is argmax of the floor-quantized
+    * dot product (deterministic, cid tie-break), centroids are
+    * floor-quantized element means, so every step is
+    * oracle-expressible and partition-invariant. Output: final
+    * cluster sizes and the label mix per cluster. At 100 TB each
+    * iteration is one broadcast of k×dim centroids + one shuffle on
+    * vec_id — the standard distributed Lloyd shape with a FIXED
+    * iteration count (the streaming-friendly variant; convergence
+    * loops are driver-side control flow by nature). */
+  def qKmeansRefine(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val e = Tables.embeddings(spark, dir)
+    val exp = e.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+
+    def centroids(assign: DataFrame): DataFrame =
+      exp.join(assign, "vec_id")
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(floor(col("v").cast("double") * 1e6).cast("long")).cast("double") /
+          lit(1e6) / count(lit(1))).as("c"))
+
+    def assign(cent: DataFrame): DataFrame = {
+      val dots = exp.join(broadcast(cent), "pos")
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(floor(col("v").cast("double") * col("c") * 1e9).cast("long")).as("qdot"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("qdot").desc, col("cid"))
+      dots.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).select(col("vec_id"), col("cid"))
+    }
+
+    val init = e.select(col("vec_id"), (col("vec_id") % k).cast("int").as("cid"))
+    val a1 = assign(centroids(init))
+    val a2 = assign(centroids(a1))
+    a2.join(e.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("label")).as("n_labels"),
+        min(col("vec_id")).as("first_vec"))
+  }
+
+  val qKmeansRefineSql: String = {
+    def centSql(assignRel: String): String =
+      s"""SELECT a.cid, e.pos,
+         |    CAST(SUM(CAST(FLOOR(CAST(e.v AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 / COUNT(*) AS c
+         |  FROM exp e JOIN $assignRel a ON e.vec_id = a.vec_id
+         |  GROUP BY 1, 2""".stripMargin
+    def assignSql(centRel: String): String =
+      s"""SELECT vec_id, cid FROM (
+         |    SELECT d.vec_id, d.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.qdot DESC, d.cid) AS rk
+         |    FROM (
+         |      SELECT e.vec_id, c.cid,
+         |        SUM(CAST(FLOOR(CAST(e.v AS DOUBLE) * c.c * 1000000000.0) AS BIGINT)) AS qdot
+         |      FROM exp e JOIN $centRel c ON e.pos = c.pos
+         |      GROUP BY 1, 2) d)
+         |  WHERE rk = 1""".stripMargin
+    s"""WITH exp AS (
+       |  SELECT vec_id, label, r['pos'] AS pos, r['v'] AS v FROM (
+       |    SELECT vec_id, label,
+       |      unnest(list_transform(range(len(embedding)),
+       |        i -> {'pos': i, 'v': embedding[i+1]})) AS r
+       |    FROM embeddings)),
+       |init AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS cid FROM embeddings),
+       |cent0 AS (${centSql("init")}),
+       |a1 AS (${assignSql("cent0")}),
+       |cent1 AS (${centSql("a1")}),
+       |a2 AS (${assignSql("cent1")})
+       |SELECT a.cid, COUNT(*) AS n,
+       |  CAST(COUNT(DISTINCT e.label) AS BIGINT) AS n_labels,
+       |  MIN(a.vec_id) AS first_vec
+       |FROM a2 a JOIN embeddings e ON e.vec_id = a.vec_id
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Per-label vector statistics: count + quantized-mean norm +
     * exact min/max norm (aggregations over computed doubles →
     * floor-quantized, per Exact.qmean). */
@@ -304,6 +383,7 @@ object VectorQueries {
     "q_ann_sign_lsh" -> (qAnnSignLsh _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_ivf_search" -> (qIvfSearch _),
+    "q_kmeans_refine" -> (qKmeansRefine _),
     "q_centroid_assign" -> (qCentroidAssign _),
     "q_vector_stats" -> (qVectorStats _),
   )
@@ -314,6 +394,7 @@ object VectorQueries {
     "q_ann_sign_lsh" -> qAnnSignLshSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_ivf_search" -> qIvfSearchSql,
+    "q_kmeans_refine" -> qKmeansRefineSql,
     "q_centroid_assign" -> qCentroidAssignSql,
     "q_vector_stats" -> qVectorStatsSql,
   )
