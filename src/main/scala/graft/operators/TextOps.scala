@@ -30,6 +30,32 @@ object TextOps {
   def normalize(text: Column): Column =
     regexp_replace(lower(text), "\\s+", " ")
 
+  /** Exact-dedup key: md5 of the first 50 RAW chars (the content
+    * prefix). Dedup keys on raw text by design — [[normalize]] is a
+    * separate op a pipeline applies first when it wants
+    * whitespace/case-insensitive dedup. Single source for
+    * qDedupExact / qDedupKeep / qCorpusCuration. */
+  def dedupKey(text: Column): Column = md5(substring(text, 1, 50))
+
+  /** Total PII span count (the qPiiScan email/phone/URL regex set). */
+  def piiCount(textCol: String): Column =
+    size(expr(s"regexp_extract_all($textCol, '[a-z0-9._]+@[a-z0-9.-]+', 0)")) +
+      size(expr(s"regexp_extract_all($textCol, '[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', 0)")) +
+      size(expr(s"regexp_extract_all($textCol, 'https?://[^ ]+', 0)"))
+
+  /** Stopword-marker count (the qQualityScore / lang-ID 'en' set). */
+  def stopwordCount(textCol: String): Column =
+    size(expr(s"regexp_extract_all(lower($textCol), '\\\\b(the|a|of|to|in|and|is)\\\\b', 0)"))
+
+  /** The composite quality score: 0.5·length score + 0.5·bounded
+    * stopword-ratio score — single source for qQualityScore and
+    * qCorpusCuration (all single IEEE ops, bit-exact cross-engine). */
+  def qualityScore(textCol: String): Column = {
+    val lenScore = least(length(col(textCol)).cast("double") / 500.0, lit(1.0))
+    val stopRatio = stopwordCount(textCol).cast("double") / size(tokens(col(textCol)))
+    lit(0.5) * lenScore + lit(0.5) * least(stopRatio * 5.0, lit(1.0))
+  }
+
   /** Word n-gram shingles (distinct) from a docs DF with (idCol, textCol). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs.select(col(idCol), expr(s"regexp_extract_all($textCol, '\\\\S+', 0)").as("t"))

@@ -48,7 +48,7 @@ object MlQueries {
     * ~|val|·|train|/4 rows per band pre-distinct) — so every k
     * shares this one radius, and a small candidate pool simply
     * bounds the effective k (exactly mirrored by the oracle). */
-  private val bands6 = Seq((0, 0, 3), (1, 3, 3), (2, 6, 3), (3, 9, 3), (4, 12, 2), (5, 14, 2))
+  private[graft] val bands6 = Seq((0, 0, 3), (1, 3, 3), (2, 6, 3), (3, 9, 3), (4, 12, 2), (5, 14, 2))
 
   /** 16-bit sign signature of the first 16 embedding dims. */
   private val sigExpr =

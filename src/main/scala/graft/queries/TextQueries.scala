@@ -40,12 +40,10 @@ object TextQueries {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
-      .withColumn("n_stop", size(expr(
-        "regexp_extract_all(lower(text), '\\\\b(the|a|of|to|in|and|is)\\\\b', 0)")))
+      .withColumn("n_stop", TextOps.stopwordCount("text"))
       .withColumn("len_score", least(length(col("text")).cast("double") / 500.0, lit(1.0)))
       .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
-      .withColumn("quality",
-        lit(0.5) * col("len_score") + lit(0.5) * least(col("stop_ratio") * 5.0, lit(1.0)))
+      .withColumn("quality", TextOps.qualityScore("text"))
       .select("doc_id", "n_tokens", "n_stop", "len_score", "stop_ratio", "quality")
   }
 
@@ -123,7 +121,7 @@ object TextQueries {
     * deterministic). */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
-      .groupBy(md5(substring(col("text"), 1, 50)).as("key"))
+      .groupBy(TextOps.dedupKey(col("text")).as("key"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
       .filter(col("n_copies") > 1)
   }
@@ -139,7 +137,7 @@ object TextQueries {
     * 100 TB this is a single shuffle on the dedup key. */
   def qDedupKeep(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(substring(col("text"), 1, 50))).orderBy(col("doc_id"))
+      .partitionBy(TextOps.dedupKey(col("text"))).orderBy(col("doc_id"))
     Tables.documents(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -329,8 +327,9 @@ object TextQueries {
     * the mixture is reproducible under any partitioning/retry.
     * Output: per-language totals, kept counts, realized rates. */
   def qDataMixture(spark: SparkSession, dir: String): DataFrame = {
-    val rates = Map("en" -> 14, "de" -> 8, "es" -> 8, "fr" -> 8, "zh" -> 4)
-    val rateCol = rates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+    val rates = Map("en" -> 14, "de" -> 8, "es" -> 8, "fr" -> 8)
+    // default 4 for any other/NULL lang — MUST match the oracle's ELSE arm
+    val rateCol = rates.foldLeft(lit(4)) { case (acc, (l, r)) =>
       when(col("lang") === l, lit(r)).otherwise(acc)
     }
     Tables.documents(spark, dir)
@@ -359,28 +358,23 @@ object TextQueries {
 
   /** End-to-end corpus curation — the canonical LLM data-cleaning
     * composition in ONE declarative plan: exact-dedup keepers only
-    * (first doc per normalized content-prefix hash), PII-free
-    * (email/phone/URL scrub), quality above threshold — then the
-    * per-language corpus report (kept docs, token budget,
-    * floor-quantized mean quality). Each stage is an operator
-    * verified on its own elsewhere; this pins their composition. */
+    * (first doc per raw content-prefix hash, TextOps.dedupKey),
+    * PII-free (TextOps.piiCount = the qPiiScan regex set), quality
+    * above threshold (TextOps.qualityScore = the qQualityScore
+    * formula) — then the per-language corpus report (kept docs,
+    * token budget, floor-quantized mean quality). The stage
+    * implementations are the SAME shared helpers the standalone
+    * queries use, so the composition cannot drift from the
+    * individually-verified operators. */
   def qCorpusCuration(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(substring(col("text"), 1, 50))).orderBy(col("doc_id"))
+    val w = Window.partitionBy(TextOps.dedupKey(col("text"))).orderBy(col("doc_id"))
     Tables.documents(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1) // dedup keeper
-      .withColumn("n_pii",
-        size(expr("regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+', 0)")) +
-        size(expr("regexp_extract_all(text, '[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', 0)")) +
-        size(expr("regexp_extract_all(text, 'https?://[^ ]+', 0)")))
-      .filter(col("n_pii") === 0)
+      .filter(TextOps.piiCount("text") === 0)
       .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
-      .withColumn("n_stop", size(expr(
-        "regexp_extract_all(lower(text), '\\\\b(the|a|of|to|in|and|is)\\\\b', 0)")))
-      .withColumn("quality",
-        lit(0.5) * least(length(col("text")).cast("double") / 500.0, lit(1.0)) +
-        lit(0.5) * least(col("n_stop").cast("double") / col("n_tokens") * 5.0, lit(1.0)))
+      .withColumn("quality", TextOps.qualityScore("text"))
       .filter(col("quality") >= 0.5)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),

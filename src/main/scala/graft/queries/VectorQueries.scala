@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -10,6 +10,20 @@ import graft.functions.VectorOps
   * reference KNN probes eval/knn.py).
   */
 object VectorQueries {
+
+  /** Floor-quantized element-mean aggregate (1e-6 resolution) — THE
+    * centroid arithmetic for the whole IVF family (qCentroidAssign,
+    * qIvfSearch, qKmeansRefine). One definition so a change to the
+    * quantization scale or mean form can never leave a sibling query
+    * stale; each oracle's SQL mirrors this exact text. */
+  private def quantMeanAgg: Column =
+    (sum(floor(col("v").cast("double") * 1e6).cast("long")).cast("double") /
+      lit(1e6) / count(lit(1))).as("c")
+
+  /** Floor-quantized dot-product aggregate (1e-9 resolution) — the
+    * assignment arithmetic shared by the same family. */
+  private def quantDotAgg: Column =
+    sum(floor(col("v").cast("double") * col("c") * 1e9).cast("long")).as("qdot")
 
   /** DuckDB text of the same sequential-fold dot product. */
   private def dotSql(a: String, b: String): String =
@@ -128,12 +142,11 @@ object VectorQueries {
     val exp = e.select(col("label"), col("vec_id"),
       posexplode(col("embedding")).as(Seq("pos", "v")))
     val cent = exp.groupBy(col("label"), col("pos"))
-      .agg((sum(floor(col("v").cast("double") * 1e6).cast("long")).cast("double") /
-        lit(1e6) / count(lit(1))).as("c"))
+      .agg(quantMeanAgg)
       .select(col("label").as("clabel"), col("pos"), col("c"))
     val dots = exp.join(broadcast(cent), "pos")
       .groupBy(col("vec_id"), col("label"), col("clabel"))
-      .agg(sum(floor(col("v").cast("double") * col("c") * 1e9).cast("long")).as("qdot"))
+      .agg(quantDotAgg)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("qdot").desc, col("clabel"))
     dots.withColumn("rk", row_number().over(w))
@@ -213,13 +226,12 @@ object VectorQueries {
     val exp = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
     val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
-      .agg((sum(floor(col("v").cast("double") * 1e6).cast("long")).cast("double") /
-        lit(1e6) / count(lit(1))).as("c"))
+      .agg(quantMeanAgg)
       .select(col("label").as("cid"), col("pos"), col("c"))
     // quantized-exact dot of every vector (and every query) vs every centroid
     val dots = exp.join(broadcast(cent), "pos")
       .groupBy(col("vec_id"), col("cid"))
-      .agg(sum(floor(col("v").cast("double") * col("c") * 1e9).cast("long")).as("qdot"))
+      .agg(quantDotAgg)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("qdot").desc, col("cid"))
     val assigned = dots.withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") === 1).select(col("vec_id"), col("cid"))
@@ -298,13 +310,12 @@ object VectorQueries {
     def centroids(assign: DataFrame): DataFrame =
       exp.join(assign, "vec_id")
         .groupBy(col("cid"), col("pos"))
-        .agg((sum(floor(col("v").cast("double") * 1e6).cast("long")).cast("double") /
-          lit(1e6) / count(lit(1))).as("c"))
+        .agg(quantMeanAgg)
 
     def assign(cent: DataFrame): DataFrame = {
       val dots = exp.join(broadcast(cent), "pos")
         .groupBy(col("vec_id"), col("cid"))
-        .agg(sum(floor(col("v").cast("double") * col("c") * 1e9).cast("long")).as("qdot"))
+        .agg(quantDotAgg)
       val w = Window.partitionBy(col("vec_id")).orderBy(col("qdot").desc, col("cid"))
       dots.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1).select(col("vec_id"), col("cid"))

@@ -85,8 +85,9 @@ object StreamingPipelines {
     * same way it bounds window state — a key older than the horizon
     * is evicted, so state is O(keys-per-horizon), not O(corpus).
     * Exactly `dropDuplicatesWithinWatermark` semantics. */
-  def streamingDedup(docs: DataFrame, keyCol: String, horizon: String): DataFrame =
-    docs.withWatermark("ts", horizon)
+  def streamingDedup(docs: DataFrame, keyCol: String, horizon: String,
+      tsCol: String = "ts"): DataFrame =
+    docs.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCol)
 
   /** One micro-batch of the landing-zone ingest, written

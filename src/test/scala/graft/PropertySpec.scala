@@ -87,10 +87,11 @@ class PropertySpec extends SparkSpec {
   }
 
   test("KNN band partition is pigeonhole-complete: any pair within hamming 5 shares a band") {
-    // mirrors MlQueries' 6-band split of the 16-bit sign signature
-    val defs = Seq((0, 3), (3, 3), (6, 3), (9, 3), (12, 2), (14, 2))
+    // the PRODUCTION band layout — a layout change re-proves (or
+    // fails) the completeness theorem here, never a stale mirror
+    val defs = graft.queries.MlQueries.bands6
     def buckets(sig: Long): Seq[Long] =
-      defs.map { case (off, w) => (sig >> off) & ((1L << w) - 1) }
+      defs.map { case (_, off, w) => (sig >> off) & ((1L << w) - 1) }
     val g = for {
       sig <- Gen.chooseNum(0L, (1L << 16) - 1)
       nFlips <- Gen.chooseNum(0, 5)
