@@ -154,12 +154,14 @@ object MlQueries {
       .agg(count(lit(1)).as("n"))
   }
 
-  val qKnnExactSql: String = {
+  /** CTE chain ending in `pred` for the EXACT (unfiltered) KNN —
+    * shared by q_knn_exact and q_eval_metrics_exact. */
+  private val exactPredCte: String = {
     val dot = (a: String, b: String) =>
       s"""list_reduce(list_transform(list_zip($a, $b),
          |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
     val cos = s"""(${dot("v.ve", "t.te")} / (sqrt(${dot("v.ve", "v.ve")}) * sqrt(${dot("t.te", "t.te")})))"""
-    s"""WITH split AS (SELECT vec_id, embedding, label, $splitDuck AS split FROM embeddings),
+    s"""split AS (SELECT vec_id, embedding, label, $splitDuck AS split FROM embeddings),
        |tr AS (SELECT vec_id AS tid, embedding AS te, label AS tlabel FROM split WHERE split = 'train'),
        |va AS (SELECT vec_id AS vid, embedding AS ve, label AS vlabel FROM split WHERE split = 'val'),
        |top5 AS (
@@ -173,10 +175,13 @@ object MlQueries {
        |    SELECT vid, vlabel, tlabel, COUNT(*) AS votes,
        |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY COUNT(*) DESC, tlabel) AS vrk
        |    FROM top5 GROUP BY vid, vlabel, tlabel)
-       |  WHERE vrk = 1)
+       |  WHERE vrk = 1)""".stripMargin
+  }
+
+  val qKnnExactSql: String =
+    s"""WITH $exactPredCte
        |SELECT vlabel AS label, predicted, COUNT(*) AS n
        |FROM pred GROUP BY 1, 2""".stripMargin
-  }
 
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),
@@ -224,11 +229,11 @@ object MlQueries {
        |  CAST(SUM(tlabel) AS DOUBLE) / COUNT(*) AS knn_pred
        |FROM topk GROUP BY 1, 2""".stripMargin
 
-  /** Per-class precision/recall/F1 from the KNN predictions — the
-    * confusion-matrix algebra as pure SQL aggregation
-    * (eval/treesat_eval.py:221-311 compute_metrics). */
-  def qEvalMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val conf = qKnnClassify(spark, dir)
+  /** Per-class precision/recall/F1 from a confusion matrix — the
+    * algebra as pure SQL aggregation (eval/treesat_eval.py:221-311
+    * compute_metrics), shared by the banded and exact KNN metric
+    * queries. */
+  private def evalMetricsFrom(conf: DataFrame): DataFrame = {
     val tp = conf.filter(col("label") === col("predicted"))
       .select(col("label").as("cls"), col("n").as("tp"))
     val actual = conf.groupBy(col("label").as("cls")).agg(sum(col("n")).as("n_actual"))
@@ -249,9 +254,17 @@ object MlQueries {
         .otherwise(0.0))
   }
 
-  val qEvalMetricsSql: String =
-    s"""WITH ${knnPredSql(5)},
-       |conf AS (SELECT vlabel AS label, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+  /** Metrics over the banded (corpus-scale) KNN predictions. */
+  def qEvalMetrics(spark: SparkSession, dir: String): DataFrame =
+    evalMetricsFrom(qKnnClassify(spark, dir))
+
+  /** Metrics over the exact KNN predictions — the values the
+    * reference's sklearn eval reports (eval/knn.py + compute_metrics). */
+  def qEvalMetricsExact(spark: SparkSession, dir: String): DataFrame =
+    evalMetricsFrom(qKnnExact(spark, dir))
+
+  private val evalMetricsTailSql: String =
+    s"""conf AS (SELECT vlabel AS label, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2),
        |tp AS (SELECT label AS cls, n AS tp FROM conf WHERE label = predicted),
        |act AS (SELECT label AS cls, CAST(SUM(n) AS BIGINT) AS n_actual FROM conf GROUP BY 1),
        |prd AS (SELECT predicted AS cls, CAST(SUM(n) AS BIGINT) AS n_pred FROM conf GROUP BY 1),
@@ -271,6 +284,14 @@ object MlQueries {
        |  CASE WHEN precision + recall > 0
        |       THEN 2.0 * precision * recall / (precision + recall) ELSE 0.0 END AS f1
        |FROM pr""".stripMargin
+
+  val qEvalMetricsSql: String =
+    s"""WITH ${knnPredSql(5)},
+       |$evalMetricsTailSql""".stripMargin
+
+  val qEvalMetricsExactSql: String =
+    s"""WITH $exactPredCte,
+       |$evalMetricsTailSql""".stripMargin
 
   /** Regression-eval metrics (the algae-blooms / fuel-moisture eval
     * family, eval/algae_blooms_eval.py:36-): a per-group-mean
@@ -326,6 +347,7 @@ object MlQueries {
     "q_knn_k100" -> (qKnnK100 _),
     "q_knn_regress" -> (qKnnRegress _),
     "q_eval_metrics" -> (qEvalMetrics _),
+    "q_eval_metrics_exact" -> (qEvalMetricsExact _),
     "q_regression_metrics" -> (qRegressionMetrics _),
   )
 
@@ -336,6 +358,7 @@ object MlQueries {
     "q_knn_k100" -> qKnnK100Sql,
     "q_knn_regress" -> qKnnRegressSql,
     "q_eval_metrics" -> qEvalMetricsSql,
+    "q_eval_metrics_exact" -> qEvalMetricsExactSql,
     "q_regression_metrics" -> qRegressionMetricsSql,
   )
 }
