@@ -25,13 +25,18 @@ object Bench {
                 catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    // Timings are printed rounded to milliseconds: the full-precision line
+    // for ~90 queries is ~3.4 KB, which overflows the harness's captured
+    // output tail and makes the JSON unparseable; 3 decimals keeps the
+    // whole line comfortably inside the window with identical information.
+    def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString)
+      "\"" + k + "\":" + (if (err.isDefined) "-1" else ms(v))
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

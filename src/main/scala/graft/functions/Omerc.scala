@@ -53,7 +53,10 @@ final case class Omerc(anchorLonDeg: Double, anchorLatDeg: Double,
   /** (lonDeg, latDeg) → projected (x east, y north) in meters. */
   def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
     val phi = toRadians(latDeg)
-    val lamD = toRadians(lonDeg) - lam0
+    // wrap λ−λ0 to (−π, π] so anchors near the antimeridian (or points
+    // >180° of longitude away) project on the correct branch of sin/cos(B·λd)
+    val lamDRaw = toRadians(lonDeg) - lam0
+    val lamD = atan2(sin(lamDRaw), cos(lamDRaw))
     val t = tsfn(phi)
     val q = E / pow(t, B)
     val s = (q - 1.0 / q) / 2.0
@@ -82,7 +85,8 @@ final case class Omerc(anchorLonDeg: Double, anchorLatDeg: Double,
         t * pow((1.0 - e * sin(phi)) / (1.0 + e * sin(phi)), e / 2.0))
       i += 1
     }
-    val lam = lam0 - atan2(sp * cos(gamma0) - vp * sin(gamma0), cos(B * u / A)) / B
+    val lamRaw = lam0 - atan2(sp * cos(gamma0) - vp * sin(gamma0), cos(B * u / A)) / B
+    val lam = atan2(sin(lamRaw), cos(lamRaw)) // normalize to (−π, π]
     (toDegrees(lam), toDegrees(phi))
   }
 }

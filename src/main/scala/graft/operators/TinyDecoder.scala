@@ -56,9 +56,12 @@ object TinyDecoder {
       val angle = p / math.pow(10000.0, 2.0 * (i / 2) / D)
       if (i % 2 == 0) math.sin(angle) else math.cos(angle)
     }
+    // get_month_encoding_table's exact layout: ONE frequency (2π/12)
+    // for every dim, first half all sin(2π·m/12), second half all
+    // cos(2π·m/12) — sin block ‖ cos block, not interleaved pairs
     val monthTab = Array.tabulate(12, D) { (m, i) =>
-      val angle = 2.0 * math.Pi * m / 12.0 * ((i / 2) + 1)
-      if (i % 2 == 0) math.sin(angle) else math.cos(angle)
+      val angle = 2.0 * math.Pi * m / 12.0
+      if (i < D / 2) math.sin(angle) else math.cos(angle)
     }
     val blocks = Array.fill(Depth)(Block(
       Array.fill(D)(1.0), Array.fill(D)(0.0),

@@ -108,11 +108,16 @@ object MlQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  // The *_banded names say what the estimator IS: a KNN vote over the
+  // hamming≤5 LSH ball, NOT sklearn-exact k=20/100 (the candidate pool
+  // bounds the effective k) — the q_knn_k*_exact family below carries
+  // the sklearn-comparable numbers, so metric consumers can't confuse
+  // the two.
   def qKnnClassify(spark: SparkSession, dir: String): DataFrame =
     knnConfusion(spark, dir, 5, 5, bands6)
-  def qKnnK20(spark: SparkSession, dir: String): DataFrame =
+  def qKnnK20Banded(spark: SparkSession, dir: String): DataFrame =
     knnConfusion(spark, dir, 20, 5, bands6)
-  def qKnnK100(spark: SparkSession, dir: String): DataFrame =
+  def qKnnK100Banded(spark: SparkSession, dir: String): DataFrame =
     knnConfusion(spark, dir, 100, 5, bands6)
 
   /** KNN regression (eval/knn.py KNeighborsRegressor analog): the
@@ -124,29 +129,41 @@ object MlQueries {
       .groupBy(col("vid"), col("vlabel").as("label"))
       .agg((sum(col("tlabel")).cast("double") / count(lit(1))).as("knn_pred"))
 
-  /** Exact k=5 KNN — the literal eval/knn.py KNeighborsClassifier
-    * semantics: every val vector is classified against EVERY train
-    * vector, no candidate filter, so no val row can vanish. The val
-    * side broadcasts (the reference's eval sets are bounded —
-    * thousands of rows — independent of corpus size), making this a
-    * linear corpus scan + per-query top-k, the right exact plan when
-    * |val| is bounded; the banded family above is the variant for
-    * when BOTH sides grow with the corpus. */
-  def qKnnExact(spark: SparkSession, dir: String): DataFrame = {
+  /** The exact-KNN eval-set bound: the reference's eval sets are
+    * fixed-size benchmark splits (thousands of rows) that do NOT grow
+    * with the training corpus, but our hash-val split is a fraction
+    * of the embeddings table and would. To keep the broadcast below
+    * honest at corpus scale, the exact family caps the eval side to a
+    * deterministic md5-ordered sample of this many val rows — a
+    * bounded stand-in for the reference's fixed benchmark split. At
+    * sf0.01 (125 val rows) the cap is a no-op; at sf0.1+ it bites. */
+  private[graft] val ExactEvalCap = 200
+
+  /** Exact KNN — the literal eval/knn.py KNeighborsClassifier
+    * semantics: every eval vector is classified against EVERY train
+    * vector, no candidate filter, so no eval row can vanish. The eval
+    * side is the capped, bounded sample above, so broadcasting it is
+    * valid at any corpus size: a linear corpus scan + per-query
+    * top-k, the right exact plan when |eval| is bounded; the banded
+    * family above is the variant for when BOTH sides grow with the
+    * corpus. */
+  private def knnExactConfusion(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("split", PipelineOps.hashSplit("cast(vec_id AS string)", 12))
     val train = e.filter(col("split") === "train")
       .select(col("vec_id").as("tid"), col("embedding").as("te"), col("label").as("tlabel"))
     val valid = e.filter(col("split") === "val")
       .select(col("vec_id").as("vid"), col("embedding").as("ve"), col("label").as("vlabel"))
+      .orderBy(md5(concat(lit("evalset:"), col("vid").cast("string"))), col("vid"))
+      .limit(ExactEvalCap)
     val wTop = Window.partitionBy(col("vid")).orderBy(col("cosine").desc, col("tid"))
-    val top5 = train.crossJoin(broadcast(valid))
+    val topk = train.crossJoin(broadcast(valid))
       .withColumn("cosine", expr("cosine_sim(ve, te)"))
       .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= 5)
+      .filter(col("rk") <= k)
     val wVote = Window.partitionBy(col("vid"))
       .orderBy(col("votes").desc, col("tlabel"))
-    top5.groupBy(col("vid"), col("vlabel"), col("tlabel"))
+    topk.groupBy(col("vid"), col("vlabel"), col("tlabel"))
       .agg(count(lit(1)).as("votes"))
       .withColumn("vrk", row_number().over(wVote))
       .filter(col("vrk") === 1)
@@ -154,34 +171,47 @@ object MlQueries {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** CTE chain ending in `pred` for the EXACT (unfiltered) KNN —
-    * shared by q_knn_exact and q_eval_metrics_exact. */
-  private val exactPredCte: String = {
+  def qKnnExact(spark: SparkSession, dir: String): DataFrame =
+    knnExactConfusion(spark, dir, 5)
+  def qKnnK20Exact(spark: SparkSession, dir: String): DataFrame =
+    knnExactConfusion(spark, dir, 20)
+  def qKnnK100Exact(spark: SparkSession, dir: String): DataFrame =
+    knnExactConfusion(spark, dir, 100)
+
+  /** CTE chain ending in `pred` for the EXACT (unfiltered) KNN over
+    * the capped eval set — shared by the q_knn_*_exact family and
+    * q_eval_metrics_exact. */
+  private def exactPredCte(k: Int): String = {
     val dot = (a: String, b: String) =>
       s"""list_reduce(list_transform(list_zip($a, $b),
          |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
     val cos = s"""(${dot("v.ve", "t.te")} / (sqrt(${dot("v.ve", "v.ve")}) * sqrt(${dot("t.te", "t.te")})))"""
     s"""split AS (SELECT vec_id, embedding, label, $splitDuck AS split FROM embeddings),
        |tr AS (SELECT vec_id AS tid, embedding AS te, label AS tlabel FROM split WHERE split = 'train'),
-       |va AS (SELECT vec_id AS vid, embedding AS ve, label AS vlabel FROM split WHERE split = 'val'),
-       |top5 AS (
+       |va AS (SELECT vec_id AS vid, embedding AS ve, label AS vlabel FROM split WHERE split = 'val'
+       |       ORDER BY md5('evalset:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $ExactEvalCap),
+       |topk AS (
        |  SELECT vid, vlabel, tlabel FROM (
        |    SELECT v.vid, v.vlabel, t.tlabel,
        |      ROW_NUMBER() OVER (PARTITION BY v.vid ORDER BY $cos DESC, t.tid) AS rk
        |    FROM va v CROSS JOIN tr t)
-       |  WHERE rk <= 5),
+       |  WHERE rk <= $k),
        |pred AS (
        |  SELECT vid, vlabel, tlabel AS predicted FROM (
        |    SELECT vid, vlabel, tlabel, COUNT(*) AS votes,
        |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY COUNT(*) DESC, tlabel) AS vrk
-       |    FROM top5 GROUP BY vid, vlabel, tlabel)
+       |    FROM topk GROUP BY vid, vlabel, tlabel)
        |  WHERE vrk = 1)""".stripMargin
   }
 
-  val qKnnExactSql: String =
-    s"""WITH $exactPredCte
-       |SELECT vlabel AS label, predicted, COUNT(*) AS n
+  private def knnExactConfusionSql(k: Int): String =
+    s"""WITH ${exactPredCte(k)}
+       |SELECT vlabel AS label, predicted, CAST(COUNT(*) AS BIGINT) AS n
        |FROM pred GROUP BY 1, 2""".stripMargin
+
+  val qKnnExactSql: String = knnExactConfusionSql(5)
+  val qKnnK20ExactSql: String = knnExactConfusionSql(20)
+  val qKnnK100ExactSql: String = knnExactConfusionSql(100)
 
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),
@@ -290,7 +320,7 @@ object MlQueries {
        |$evalMetricsTailSql""".stripMargin
 
   val qEvalMetricsExactSql: String =
-    s"""WITH $exactPredCte,
+    s"""WITH ${exactPredCte(5)},
        |$evalMetricsTailSql""".stripMargin
 
   /** Regression-eval metrics (the algae-blooms / fuel-moisture eval
@@ -342,9 +372,11 @@ object MlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_exact" -> (qKnnExact _),
+    "q_knn_k20_exact" -> (qKnnK20Exact _),
+    "q_knn_k100_exact" -> (qKnnK100Exact _),
     "q_knn_classify" -> (qKnnClassify _),
-    "q_knn_k20" -> (qKnnK20 _),
-    "q_knn_k100" -> (qKnnK100 _),
+    "q_knn_k20_banded" -> (qKnnK20Banded _),
+    "q_knn_k100_banded" -> (qKnnK100Banded _),
     "q_knn_regress" -> (qKnnRegress _),
     "q_eval_metrics" -> (qEvalMetrics _),
     "q_eval_metrics_exact" -> (qEvalMetricsExact _),
@@ -353,9 +385,11 @@ object MlQueries {
 
   val oracle: Map[String, String] = Map(
     "q_knn_exact" -> qKnnExactSql,
+    "q_knn_k20_exact" -> qKnnK20ExactSql,
+    "q_knn_k100_exact" -> qKnnK100ExactSql,
     "q_knn_classify" -> qKnnClassifySql,
-    "q_knn_k20" -> qKnnK20Sql,
-    "q_knn_k100" -> qKnnK100Sql,
+    "q_knn_k20_banded" -> qKnnK20Sql,
+    "q_knn_k100_banded" -> qKnnK100Sql,
     "q_knn_regress" -> qKnnRegressSql,
     "q_eval_metrics" -> qEvalMetricsSql,
     "q_eval_metrics_exact" -> qEvalMetricsExactSql,

@@ -27,7 +27,7 @@ class PlanQualitySpec extends SparkSpec {
 
   test("near-dup, ANN, and KNN candidate generation never uses a cartesian product") {
     for (q <- Seq("q_simhash", "q_minhash_lsh", "q_ngram_jaccard", "q_ann_sign_lsh",
-        "q_knn_classify", "q_knn_k20", "q_knn_k100", "q_knn_regress", "q_eval_metrics")) {
+        "q_knn_classify", "q_knn_k20_banded", "q_knn_k100_banded", "q_knn_regress", "q_eval_metrics")) {
       val p = executedPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q degenerated to cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degenerated to NLJ:\n$p")
