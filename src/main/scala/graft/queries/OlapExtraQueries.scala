@@ -98,12 +98,132 @@ object OlapExtraQueries {
       |    unnest(list_transform(range(12), i -> {'i': i, 'cyc': (start_month - 1 + i) % 12})) AS r
       |  FROM (SELECT user_id, month(MIN(ts)) AS start_month FROM events GROUP BY 1))""".stripMargin
 
+  /** Pivot (long → wide): per-day event counts spread into one column
+    * per event type. Uses the explicit-values form of
+    * `RelationalGroupedDataset.pivot` — with the value list given, no
+    * discovery pass over the data runs and the plan is a single
+    * shuffle-free-after-scan hash aggregate with conditional counts,
+    * exactly what the oracle's CASE form states. Absent combinations
+    * are 0 (the SQL conditional-count convention), not null. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .withColumn("day", dayofmonth(col("ts")))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+  }
+
+  val qPivotSql: String =
+    """SELECT day(ts) AS day,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Unpivot (wide → long): melts the pivoted per-day counts back to
+    * (day, event_type, n) — `Dataset.unpivot`, the inverse operator.
+    * Round-tripping the pivot output makes the pair self-checking:
+    * the result must equal a plain groupBy(day, type) count. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    qPivot(spark, dir)
+      .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
+      .filter(col("n") > 0)
+  }
+
+  val qUnpivotSql: String =
+    """SELECT day(ts) AS day, event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** The ranking-window surface in one query: rank / dense_rank /
+    * percent_rank / cume_dist over a coarsened value bucket (so ties
+    * exist and the five functions genuinely differ), plus ntile over
+    * a total order (ntile splits peers by row position, so its
+    * ordering must be total to be deterministic). All outputs are
+    * integer-ratio doubles or ints — bit-exact cross-engine. */
+  def qWindowRanks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val peers = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val total = Window.partitionBy(col("event_type")).orderBy(col("bucket"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") / 50.0).as("bucket"))
+      .withColumn("rk", rank().over(peers))
+      .withColumn("drk", dense_rank().over(peers))
+      .withColumn("prk", percent_rank().over(peers))
+      .withColumn("cd", cume_dist().over(peers))
+      .withColumn("tile", ntile(4).over(total))
+  }
+
+  val qWindowRanksSql: String =
+    """SELECT event_id, event_type, CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+      |  CAST(RANK() OVER peers AS INT) AS rk,
+      |  CAST(DENSE_RANK() OVER peers AS INT) AS drk,
+      |  PERCENT_RANK() OVER peers AS prk,
+      |  CUME_DIST() OVER peers AS cd,
+      |  CAST(NTILE(4) OVER (PARTITION BY event_type
+      |    ORDER BY FLOOR(value / 50.0), event_id) AS INT) AS tile
+      |FROM events WHERE event_id < 2000
+      |WINDOW peers AS (PARTITION BY event_type ORDER BY FLOOR(value / 50.0))""".stripMargin
+
+  /** Sequential funnel: users who viewed, then clicked AFTER their
+    * first view, then purchased AFTER that first click. Each stage is
+    * a groupBy(user) min-timestamp + a join carrying the previous
+    * stage's anchor — the standard behavioural-analytics shape. Per
+    * stage the join's right side shrinks (survivors only), and every
+    * join keys on user_id — co-partitioned, no cartesian. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    // time arithmetic at integer microseconds (unix_micros / epoch_us
+    // floor identically) so strict > can't straddle the ns→µs
+    // truncation differently across engines
+    val ev = Tables.events(spark, dir).withColumn("tus", unix_micros(col("ts")))
+    val viewed = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t_view"))
+    val clicked = ev.filter(col("event_type") === "click")
+      .join(viewed, "user_id").filter(col("tus") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t_click"))
+    val purchased = ev.filter(col("event_type") === "purchase")
+      .join(clicked, "user_id").filter(col("tus") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t_purchase"))
+    viewed.select(lit("1_view").as("stage"), col("user_id"))
+      .union(clicked.select(lit("2_click").as("stage"), col("user_id")))
+      .union(purchased.select(lit("3_purchase").as("stage"), col("user_id")))
+      .groupBy(col("stage")).agg(count(lit(1)).as("users"))
+  }
+
+  val qFunnelSql: String =
+    """WITH viewed AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |clicked AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click FROM events e
+      |  JOIN viewed v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view GROUP BY 1),
+      |purchased AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase FROM events e
+      |  JOIN clicked c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click GROUP BY 1),
+      |stages AS (
+      |  SELECT '1_view' AS stage, user_id FROM viewed
+      |  UNION ALL SELECT '2_click', user_id FROM clicked
+      |  UNION ALL SELECT '3_purchase', user_id FROM purchased)
+      |SELECT stage, COUNT(*) AS users FROM stages GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quantiles" -> (qQuantiles _),
     "q_cube" -> (qCube _),
     "q_json_extract" -> (qJsonExtract _),
     "q_deterministic_shuffle" -> (qDeterministicShuffle _),
     "q_cyclic_index" -> (qCyclicIndex _),
+    "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_window_ranks" -> (qWindowRanks _),
+    "q_funnel" -> (qFunnel _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -112,5 +232,9 @@ object OlapExtraQueries {
     "q_json_extract" -> qJsonExtractSql,
     "q_deterministic_shuffle" -> qDeterministicShuffleSql,
     "q_cyclic_index" -> qCyclicIndexSql,
+    "q_pivot" -> qPivotSql,
+    "q_unpivot" -> qUnpivotSql,
+    "q_window_ranks" -> qWindowRanksSql,
+    "q_funnel" -> qFunnelSql,
   )
 }

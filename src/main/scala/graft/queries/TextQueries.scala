@@ -230,6 +230,51 @@ object TextQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Near-dup CLUSTER resolution — the step after pair detection that
+    * dedup actually needs: connected components over the MinHash-LSH
+    * pair graph, so each transitive duplicate family collapses to one
+    * cluster with a deterministic representative (min doc id) and
+    * exactly one keeper can survive. Pregel-style min-label
+    * propagation to the fixpoint ([[graft.operators.GraphOps]]); the
+    * oracle computes the same fixpoint as a recursive transitive
+    * closure, so the green hash proves the iterative plan converged
+    * to true components, not an iteration-bounded approximation. */
+  def qDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qMinhashLsh(spark, dir).select(col("ida"), col("idb"))
+    val labels = graft.operators.GraphOps.connectedComponents(pairs, "ida", "idb")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep"))
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+  }
+
+  val qDupClustersSql: String = {
+    val mins = (0 until 8).map(j => s"  min(md5('$j|' || shingle)) AS h$j").mkString(",\n")
+    s"""WITH RECURSIVE $shinglesCte,
+       |sig AS (SELECT doc_id,
+       |$mins
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, r['b'] AS band, r['key'] AS key FROM (
+       |  SELECT doc_id, unnest([
+       |    {'b': 0, 'key': md5(h0||h1)}, {'b': 1, 'key': md5(h2||h3)},
+       |    {'b': 2, 'key': md5(h4||h5)}, {'b': 3, 'key': md5(h6||h7)}]) AS r
+       |  FROM sig)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+       |          UNION SELECT idb, ida FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS lbl FROM nodes
+       |  UNION
+       |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+       |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_rep FROM reach GROUP BY 1)
+       |SELECT doc_id, cluster_rep,
+       |  COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+       |FROM cl""".stripMargin
+  }
+
   /** TF-weighted 32-bit SimHash near-dup pairs at hamming ≤ 3. The
     * Spark side uses 4-byte-band pigeonhole blocking (equi-join, no
     * cross join — the 100 TB plan); the oracle brute-forces all pairs
@@ -466,6 +511,7 @@ object TextQueries {
     "q_dedup_keep" -> (qDedupKeep _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_dup_clusters" -> (qDupClusters _),
     "q_simhash" -> (qSimhash _),
   )
 
@@ -483,6 +529,7 @@ object TextQueries {
     "q_dedup_keep" -> qDedupKeepSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_lsh" -> qMinhashLshSql,
+    "q_dup_clusters" -> qDupClustersSql,
     "q_simhash" -> qSimhashSql,
   )
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+
+/** Connected components: correctness of the min-label fixpoint on
+  * shapes that stress the iteration (long paths need multiple
+  * propagation rounds; the convergence check must not stop early). */
+class GraphOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("src", "dst")
+    GraphOps.connectedComponents(df, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("a path graph propagates the min label across the full diameter") {
+    // 1-2-3-4-5-6-7: label 1 needs 6 rounds to reach node 7
+    val cc = components(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)))
+    assert(cc == (1L to 7L).map(_ -> 1L).toMap)
+  }
+
+  test("disjoint components keep distinct representatives") {
+    val cc = components(Seq((5L, 9L), (9L, 7L), (20L, 30L), (40L, 41L), (41L, 40L)))
+    assert(cc(5L) == 5L && cc(9L) == 5L && cc(7L) == 5L)
+    assert(cc(20L) == 20L && cc(30L) == 20L)
+    assert(cc(40L) == 40L && cc(41L) == 40L)
+  }
+
+  test("edge direction does not matter (symmetrized internally)") {
+    val a = components(Seq((3L, 1L), (2L, 3L)))
+    val b = components(Seq((1L, 3L), (3L, 2L)))
+    assert(a == b && a.values.toSet == Set(1L))
+  }
+
+  test("empty edge set yields an empty labelling") {
+    assert(components(Seq.empty).isEmpty)
+  }
+
+  test("q_dup_clusters representatives are cluster minima and sizes are consistent") {
+    val df = SparkEntry.queries("q_dup_clusters")(spark, "/root/testdata/sf0.001")
+    val rows = df.select("doc_id", "cluster_rep", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    if (rows.nonEmpty) {
+      val byCluster = rows.groupBy(_._2)
+      for ((rep, members) <- byCluster) {
+        assert(members.map(_._1).min == rep, s"rep $rep is not the min doc_id")
+        assert(members.forall(_._3 == members.size), s"cluster $rep size column inconsistent")
+        assert(members.size >= 2, s"cluster $rep has a single member — pairs guarantee >= 2")
+      }
+    }
+  }
+}
