@@ -366,6 +366,97 @@ object VectorQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Product-quantization ANN (the IVF family's memory-bounded
+    * sibling — FAISS-style PQ): 64 dims split into 8 subspaces × 8
+    * dims; a 16-entry codebook per subspace; every vector is encoded
+    * as 8 one-byte codes; queries score candidates with asymmetric
+    * distance (ADC) — the sum of per-subspace LUT entries — never
+    * touching the raw vectors.
+    *
+    * Codebook here is sample-based (the 16 md5-ranked anchor
+    * vectors' subvectors — deterministic, training-free; at 100 TB
+    * the [[qKmeansRefine]] Lloyd machinery would train it per
+    * subspace). All distances are floor-quantized to integers
+    * (1e-9), so encoding and ADC ranking are bit-identical across
+    * engines and partitionings.
+    *
+    * Scale shape: the codebook (16×64 doubles) broadcasts; encoding
+    * is one scan + one partial-agg shuffle keyed (vec_id, sub,
+    * code); the query LUT (nq×8×16 rows) broadcasts; ADC reads ONLY
+    * the 8-codes-per-vector table — 64 bytes/vector instead of 256 —
+    * which is the whole point of PQ at 100 TB: the candidate scan
+    * fits in memory where raw vectors cannot. */
+  def qPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val kSub = 16
+    val e = Tables.embeddings(spark, dir)
+    val exp = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("sub", expr("pos DIV 8"))
+    // 16 deterministic anchor vectors; their subvectors are the codebook
+    val anchors = e.select(col("vec_id"))
+      .withColumn("rk", row_number().over(Window.orderBy(
+        md5(concat(lit("pq|"), col("vec_id").cast("string"))), col("vec_id"))))
+      .filter(col("rk") <= kSub)
+      .select(col("vec_id").as("aid"), (col("rk") - 1).cast("int").as("code"))
+    val codebook = exp.join(anchors, exp("vec_id") === anchors("aid"))
+      .select(col("code"), col("pos"), col("v").cast("double").as("c"))
+    // quantized ||x_sub - c_sub||^2 for every (vector, subspace, code)
+    val qd = exp.join(broadcast(codebook), Seq("pos"))
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(sum(floor((col("v").cast("double") - col("c")) *
+        (col("v").cast("double") - col("c")) * 1e9).cast("long")).as("qdist"))
+    // encode: nearest code per (vector, subspace)
+    val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("qdist"), col("code"))
+    val codes = qd.withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1).select(col("vec_id"), col("sub"), col("code"))
+    // query LUT: the same quantized table restricted to the query set
+    val lut = qd.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("sub"), col("code"), col("qdist"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qdist")).as("adist"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "vec_id", "adist")
+  }
+
+  val qPqSearchSql: String =
+    """WITH exp AS (
+      |  SELECT vec_id, r['pos'] AS pos, r['pos'] // 8 AS sub, r['v'] AS v FROM (
+      |    SELECT vec_id,
+      |      unnest(list_transform(range(len(embedding)),
+      |        i -> {'pos': i, 'v': embedding[i+1]})) AS r
+      |    FROM embeddings)),
+      |anch AS (
+      |  SELECT vec_id AS aid, CAST(rk - 1 AS INT) AS code FROM (
+      |    SELECT vec_id, ROW_NUMBER() OVER (
+      |      ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      |    FROM embeddings) WHERE rk <= 16),
+      |cb AS (
+      |  SELECT a.code, e.pos, CAST(e.v AS DOUBLE) AS c
+      |  FROM exp e JOIN anch a ON e.vec_id = a.aid),
+      |qd AS (
+      |  SELECT e.vec_id, e.sub, c.code,
+      |    SUM(CAST(FLOOR((CAST(e.v AS DOUBLE) - c.c) * (CAST(e.v AS DOUBLE) - c.c)
+      |      * 1000000000.0) AS BIGINT)) AS qdist
+      |  FROM exp e JOIN cb c ON e.pos = c.pos GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT vec_id, sub, code,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY qdist, code) AS rk
+      |    FROM qd) WHERE rk = 1),
+      |lut AS (SELECT vec_id AS qid, sub, code, qdist FROM qd WHERE vec_id < 5),
+      |adc AS (
+      |  SELECT l.qid, c.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adist
+      |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+      |  WHERE c.vec_id <> l.qid GROUP BY 1, 2)
+      |SELECT qid, rank, vec_id, adist FROM (
+      |  SELECT qid, vec_id, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rank
+      |  FROM adc) WHERE rank <= 5""".stripMargin
+
   /** Per-label vector statistics: count + quantized-mean norm +
     * exact min/max norm (aggregations over computed doubles →
     * floor-quantized, per Exact.qmean). */
@@ -397,6 +488,7 @@ object VectorQueries {
     "q_kmeans_refine" -> (qKmeansRefine _),
     "q_centroid_assign" -> (qCentroidAssign _),
     "q_vector_stats" -> (qVectorStats _),
+    "q_pq_search" -> (qPqSearch _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -408,5 +500,6 @@ object VectorQueries {
     "q_kmeans_refine" -> qKmeansRefineSql,
     "q_centroid_assign" -> qCentroidAssignSql,
     "q_vector_stats" -> qVectorStatsSql,
+    "q_pq_search" -> qPqSearchSql,
   )
 }

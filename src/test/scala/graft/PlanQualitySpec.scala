@@ -27,7 +27,8 @@ class PlanQualitySpec extends SparkSpec {
 
   test("near-dup, ANN, and KNN candidate generation never uses a cartesian product") {
     for (q <- Seq("q_simhash", "q_minhash_lsh", "q_ngram_jaccard", "q_ann_sign_lsh",
-        "q_knn_classify", "q_knn_k20_banded", "q_knn_k100_banded", "q_knn_regress", "q_eval_metrics")) {
+        "q_knn_classify", "q_knn_k20_banded", "q_knn_k100_banded", "q_knn_regress", "q_eval_metrics",
+        "q_pq_search")) {
       val p = executedPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q degenerated to cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degenerated to NLJ:\n$p")
@@ -49,6 +50,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(gatedUsers > 0, "gate skipped every region — threshold too strict for the fixture")
     assert(gatedUsers < allUsers, "gate skipped nothing — not demonstrating the conditional")
     assert(df.queryExecution.executedPlan.toString.contains("LeftSemi"))
+  }
+
+  test("PQ search returns a full, monotonically-ranked top-5 per query") {
+    val rows = SparkEntry.queries("q_pq_search")(spark, dir)
+      .select("qid", "rank", "adist")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    for ((q, rs) <- byQ) {
+      assert(rs.map(_._2).sorted.toSeq == (1 to 5), s"query $q incomplete top-5")
+      val byRank = rs.sortBy(_._2).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b },
+        s"query $q ADC distances not monotone in rank")
+      assert(rs.forall(_._3 >= 0), s"query $q negative squared distance")
+    }
   }
 
   test("whole-stage codegen covers the scan+filter+project pipeline") {
