@@ -90,6 +90,31 @@ object StreamingPipelines {
     docs.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-stream interval join: each click pairs with the same
+    * user's views from the preceding 30 minutes — the incremental
+    * form of the funnel stage join (q_funnel's view→click anchor
+    * step, arriving as two live streams). BOTH sides are watermarked
+    * and the join condition bounds event-time distance in BOTH
+    * directions, so each side's buffered state is evicted once the
+    * other side's watermark passes the interval — state is
+    * O(traffic-per-horizon) per user shard, not unbounded. Append
+    * mode emits a pair exactly once, when it can no longer change. */
+  def intervalJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val c = clicks
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    v.join(c,
+      col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_ts"), col("click_ts"),
+        col("click_value"))
+  }
+
   /** One micro-batch of the landing-zone ingest, written
     * idempotently: the batch lands in its own `batch_id=<n>`
     * partition directory with overwrite mode, so a retry of the same

@@ -60,6 +60,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin pairs clicks with in-window views across batches, excluding out-of-window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long, Double)]
+    val clicks = MemoryStream[(Timestamp, Long, Double)]
+    val q = StreamingPipelines.intervalJoin(
+        views.toDF().toDF("ts", "user_id", "value"),
+        clicks.toDF().toDF("ts", "user_id", "value"))
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      views.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 0.0),
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 2L, 0.0))
+      q.processAllAvailable()
+      clicks.addData(
+        (Timestamp.valueOf("2024-01-01 10:20:00"), 1L, 7.0),  // in window (20 min after)
+        (Timestamp.valueOf("2024-01-01 11:30:00"), 1L, 8.0),  // out of window (90 min)
+        (Timestamp.valueOf("2024-01-01 09:50:00"), 2L, 9.0))  // before the view
+      q.processAllAvailable()
+      // advance both watermarks far enough to finalize and emit pairs;
+      // the sentinel click precedes the sentinel view so they can't pair
+      views.addData((Timestamp.valueOf("2024-01-02 01:00:00"), 9L, 0.0))
+      clicks.addData((Timestamp.valueOf("2024-01-02 00:00:00"), 9L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ij")
+        .select("user_id", "click_value").as[(Long, Double)].collect().toSet
+      assert(rows == Set((1L, 7.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("runningStats carries exact integer state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
