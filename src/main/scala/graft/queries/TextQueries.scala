@@ -230,6 +230,71 @@ object TextQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Vocabulary induction — the tokenizer-training aggregation: global
+    * token frequencies + document frequencies, top-100 by (count,
+    * token) total order. The top-k runs as orderBy+limit (Spark plans
+    * TakeOrderedAndProject: per-partition partial top-k, then a
+    * single k-row merge on the driver — no global sort at 100 TB);
+    * the rank column is a window over the surviving 100 rows only. */
+  def qVocabTopk(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val counts = tok.groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
+    val top = counts.orderBy(col("cnt").desc, col("tok")).limit(100)
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("tok"))))
+  }
+
+  val qVocabTopkSql: String =
+    """SELECT tok, cnt, df, CAST(rank AS INT) AS rank FROM (
+      |  SELECT tok, COUNT(*) AS cnt,
+      |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+      |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rank
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+      |        FROM documents)
+      |  GROUP BY tok)
+      |WHERE rank <= 100""".stripMargin
+
+  /** Benchmark decontamination — the eval-set hygiene pass every
+    * training corpus needs: corpus documents sharing ≥ half their
+    * distinct word-8-grams with ANY benchmark document are flagged
+    * (the standard n-gram-overlap contamination test). The benchmark
+    * here is the bounded doc_id<50 slice standing in for a fixed eval
+    * suite; its distinct-shingle set BROADCASTS (eval suites are
+    * small by nature — this is why the plan scales: the 100 TB corpus
+    * side streams map-side against the broadcast set, and the only
+    * shuffle is the per-doc overlap count on doc_id). */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val benchSh = TextOps.shingles(docs.filter(col("doc_id") < 50), "doc_id", "text", 8)
+      .select(col("shingle")).distinct()
+    val corpSh = TextOps.shingles(docs.filter(col("doc_id") >= 50), "doc_id", "text", 8)
+    val tot = corpSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hit = corpSh.join(broadcast(benchSh), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    tot.join(hit, "doc_id")
+      .withColumn("overlap", col("n_shared").cast("double") / col("n_shingles"))
+      .filter(col("overlap") >= 0.5)
+  }
+
+  val qDecontaminateSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      |sh8 AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(len(t)-7),
+      |    i -> concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4],
+      |                        t[i+5], t[i+6], t[i+7], t[i+8]))) AS shingle
+      |  FROM toks WHERE len(t) >= 8)),
+      |bench AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id < 50),
+      |corp AS (SELECT doc_id, shingle FROM sh8 WHERE doc_id >= 50),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corp GROUP BY 1),
+      |hit AS (SELECT c.doc_id, COUNT(*) AS n_shared
+      |        FROM corp c JOIN bench b ON c.shingle = b.shingle GROUP BY 1)
+      |SELECT t.doc_id, t.n_shingles, h.n_shared,
+      |  CAST(h.n_shared AS DOUBLE) / t.n_shingles AS overlap
+      |FROM tot t JOIN hit h ON t.doc_id = h.doc_id
+      |WHERE CAST(h.n_shared AS DOUBLE) / t.n_shingles >= 0.5""".stripMargin
+
   /** Near-dup CLUSTER resolution — the step after pair detection that
     * dedup actually needs: connected components over the MinHash-LSH
     * pair graph, so each transitive duplicate family collapses to one
@@ -513,6 +578,8 @@ object TextQueries {
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_dup_clusters" -> (qDupClusters _),
     "q_simhash" -> (qSimhash _),
+    "q_vocab_topk" -> (qVocabTopk _),
+    "q_decontaminate" -> (qDecontaminate _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -531,5 +598,7 @@ object TextQueries {
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_dup_clusters" -> qDupClustersSql,
     "q_simhash" -> qSimhashSql,
+    "q_vocab_topk" -> qVocabTopkSql,
+    "q_decontaminate" -> qDecontaminateSql,
   )
 }

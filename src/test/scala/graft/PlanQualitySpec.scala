@@ -52,6 +52,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("LeftSemi"))
   }
 
+  test("vocab top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = executedPlan("q_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("PQ search returns a full, monotonically-ranked top-5 per query") {
     val rows = SparkEntry.queries("q_pq_search")(spark, dir)
       .select("qid", "rank", "adist")
