@@ -48,4 +48,13 @@ object Exact {
 
   def qmeanSql(expr: String): String =
     s"(CAST(SUM(CAST(FLOOR(($expr) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT($expr))"
+
+  /** Exact sum of a COMPUTED double expression — same floor
+    * quantization as [[qmean]], without the division. Semantics: sum
+    * of values truncated to 1e-6. */
+  def qsum(c: Column): Column =
+    sum(floor(c * lit(1000000.0)).cast("long")).cast("double") / lit(1000000.0)
+
+  def qsumSql(expr: String): String =
+    s"(CAST(SUM(CAST(FLOOR(($expr) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0)"
 }

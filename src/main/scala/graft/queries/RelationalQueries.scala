@@ -147,6 +147,48 @@ object RelationalQueries {
 
   /** Semi + anti join, tagged union (engine surface beyond the
     * reference, SURVEY §2.3 last row). */
+  /** TPC-H Q3 shape — the classic multi-join OLAP headline: segment
+    * filter on customers, date filters pushed into both fact scans,
+    * fact-to-fact shuffle join on the order key, quantized-exact
+    * revenue aggregate, top-10 as orderBy+limit
+    * (TakeOrderedAndProject — partial per-partition top-k). The
+    * filtered customer side is a fraction of a corpus-scale table:
+    * it is NOT force-broadcast; local stats pick broadcast here, AQE
+    * decides at scale. */
+  def qTpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-06-01").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(Exact.qsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val qTpchQ3Sql: String =
+    s"""SELECT l_orderkey, orderdate, o_orderpriority, revenue FROM (
+       |  SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       |    o.o_orderpriority,
+       |    ${Exact.qsumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  WHERE c.c_mktsegment = 'BUILDING'
+       |    AND o.o_orderdate < TIMESTAMP '1998-06-01'
+       |    AND l.l_shipdate > TIMESTAMP '1998-06-01'
+       |  GROUP BY 1, 2, 3)
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir).select(col("o_custkey"))
@@ -342,6 +384,7 @@ object RelationalQueries {
     "q_join_star" -> (qJoinStar _),
     "q_join_outer" -> (qJoinOuter _),
     "q_semi_anti" -> (qSemiAnti _),
+    "q_tpch_q3" -> (qTpchQ3 _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_window_running" -> (qWindowRunning _),
     "q_monthly_median" -> (qMonthlyMedian _),
@@ -361,6 +404,7 @@ object RelationalQueries {
     "q_join_star" -> qJoinStarSql,
     "q_join_outer" -> qJoinOuterSql,
     "q_semi_anti" -> qSemiAntiSql,
+    "q_tpch_q3" -> qTpchQ3Sql,
     "q_topk_per_group" -> qTopkPerGroupSql,
     "q_window_running" -> qWindowRunningSql,
     "q_monthly_median" -> qMonthlyMedianSql,
