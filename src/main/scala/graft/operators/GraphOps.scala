@@ -45,9 +45,20 @@ object GraphOps {
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .localCheckpoint()
-    var changed = 1L
+    // labels only ever DECREASE under min propagation, so the label-sum
+    // is strictly monotone until the fixpoint: comparing sums is a
+    // complete convergence test and costs one aggregate per round
+    // instead of a join + count. Decimal sum so huge id spaces can't
+    // overflow the comparison.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head.getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    var prevSum = labelSum(labels)
+    var converged = labels.isEmpty
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    while (!converged && it < maxIter) {
       val viaNeighbours = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("nid")).agg(min(col("lbl")).as("nlbl"))
       val next = labels
@@ -55,12 +66,13 @@ object GraphOps {
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      changed = next.as("a").join(labels.as("b"), Seq("id"))
-        .filter(col("a.lbl") =!= col("b.lbl")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       it += 1
     }
-    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
 }
