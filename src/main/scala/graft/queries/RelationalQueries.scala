@@ -189,6 +189,39 @@ object RelationalQueries {
        |  GROUP BY 1, 2, 3)
        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  /** TPC-H Q17 shape — the correlated-scalar-subquery family
+    * (`l_quantity < (SELECT 0.2*avg(l_quantity) WHERE same part)`),
+    * written directly in its decorrelated form (exactly what Catalyst
+    * rewrites such subqueries into): a per-part mean aggregate joined
+    * back to the fact table. The per-part aggregate and the join
+    * share the l_partkey shuffle partitioning — one wide exchange
+    * total; the mean is decimal-exact and the 0.2 threshold constant
+    * is the same IEEE double on both engines (scientific notation in
+    * the oracle so DuckDB can't route it through DECIMAL). */
+  def qTpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    val avgq = l.groupBy(col("l_partkey")).agg(Exact.dmean(col("l_quantity")).as("aq"))
+    l.join(avgq, "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("aq"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"),
+        Exact.dsum(col("l_extendedprice")).as("small_revenue"))
+  }
+
+  val qTpchQ17Sql: String =
+    s"""WITH avgq AS (
+       |  SELECT l_partkey, ${Exact.dmeanSql("l_quantity")} AS aq
+       |  FROM lineitem GROUP BY 1)
+       |SELECT p.p_brand, COUNT(*) AS n_small,
+       |  ${Exact.dsumSql("l.l_extendedprice")} AS small_revenue
+       |FROM lineitem l
+       |JOIN avgq a ON a.l_partkey = l.l_partkey
+       |JOIN part p ON l.l_partkey = p.p_partkey
+       |WHERE l.l_quantity < 2e-1 * a.aq
+       |GROUP BY 1""".stripMargin
+
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir).select(col("o_custkey"))
@@ -385,6 +418,7 @@ object RelationalQueries {
     "q_join_outer" -> (qJoinOuter _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_tpch_q3" -> (qTpchQ3 _),
+    "q_tpch_q17" -> (qTpchQ17 _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_window_running" -> (qWindowRunning _),
     "q_monthly_median" -> (qMonthlyMedian _),
@@ -405,6 +439,7 @@ object RelationalQueries {
     "q_join_outer" -> qJoinOuterSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_tpch_q3" -> qTpchQ3Sql,
+    "q_tpch_q17" -> qTpchQ17Sql,
     "q_topk_per_group" -> qTopkPerGroupSql,
     "q_window_running" -> qWindowRunningSql,
     "q_monthly_median" -> qMonthlyMedianSql,
