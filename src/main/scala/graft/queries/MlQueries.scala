@@ -182,10 +182,7 @@ object MlQueries {
     * the capped eval set — shared by the q_knn_*_exact family and
     * q_eval_metrics_exact. */
   private def exactPredCte(k: Int): String = {
-    val dot = (a: String, b: String) =>
-      s"""list_reduce(list_transform(list_zip($a, $b),
-         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
-    val cos = s"""(${dot("v.ve", "t.te")} / (sqrt(${dot("v.ve", "v.ve")}) * sqrt(${dot("t.te", "t.te")})))"""
+    val cos = s"""(${dotSql("v.ve", "t.te")} / (sqrt(${dotSql("v.ve", "v.ve")}) * sqrt(${dotSql("t.te", "t.te")})))"""
     s"""split AS (SELECT vec_id, embedding, label, $splitDuck AS split FROM embeddings),
        |tr AS (SELECT vec_id AS tid, embedding AS te, label AS tlabel FROM split WHERE split = 'train'),
        |va AS (SELECT vec_id AS vid, embedding AS ve, label AS vlabel FROM split WHERE split = 'val'

@@ -105,8 +105,16 @@ object OlapExtraQueries {
     * shuffle-free-after-scan hash aggregate with conditional counts,
     * exactly what the oracle's CASE form states. Absent combinations
     * are 0 (the SQL conditional-count convention), not null. */
+  /** The closed event-type vocabulary both pivot sides use. The
+    * explicit list is what makes the pivot discovery-free; the
+    * unpivot oracle restricts to the same values so an unforeseen
+    * sixth type in future data degrades both sides identically
+    * instead of silently diverging. */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val eventTypesInSql = EventTypes.map(t => s"'$t'").mkString("(", ", ", ")")
+
   def qPivot(spark: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    val types = EventTypes
     Tables.events(spark, dir)
       .withColumn("day", dayofmonth(col("ts")))
       .groupBy(col("day"))
@@ -129,15 +137,16 @@ object OlapExtraQueries {
     * Round-tripping the pivot output makes the pair self-checking:
     * the result must equal a plain groupBy(day, type) count. */
   def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    val types = EventTypes
     qPivot(spark, dir)
       .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
       .filter(col("n") > 0)
   }
 
   val qUnpivotSql: String =
-    """SELECT day(ts) AS day, event_type, COUNT(*) AS n
-      |FROM events GROUP BY 1, 2""".stripMargin
+    s"""SELECT day(ts) AS day, event_type, COUNT(*) AS n
+       |FROM events WHERE event_type IN $eventTypesInSql
+       |GROUP BY 1, 2""".stripMargin
 
   /** The ranking-window surface in one query: rank / dense_rank /
     * percent_rank / cume_dist over a coarsened value bucket (so ties

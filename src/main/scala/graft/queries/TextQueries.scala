@@ -257,13 +257,16 @@ object TextQueries {
       |WHERE rank <= 100""".stripMargin
 
   /** Benchmark decontamination — the eval-set hygiene pass every
-    * training corpus needs: corpus documents sharing ≥ half their
-    * distinct word-8-grams with ANY benchmark document are flagged
-    * (the standard n-gram-overlap contamination test). The benchmark
-    * here is the bounded doc_id<50 slice standing in for a fixed eval
-    * suite; its distinct-shingle set BROADCASTS (eval suites are
-    * small by nature — this is why the plan scales: the 100 TB corpus
-    * side streams map-side against the broadcast set, and the only
+    * training corpus needs: corpus documents with ≥ half their
+    * distinct word-8-grams appearing in the POOLED benchmark shingle
+    * set are flagged (the standard n-gram-overlap contamination test;
+    * pooling over the whole suite is deliberately stricter than a
+    * per-benchmark-document maximum — a doc assembled from several
+    * eval items is still contaminated). The benchmark here is the
+    * bounded doc_id<50 slice standing in for a fixed eval suite; its
+    * distinct-shingle set BROADCASTS (eval suites are small by
+    * nature — this is why the plan scales: the 100 TB corpus side
+    * streams map-side against the broadcast set, and the only
     * shuffle is the per-doc overlap count on doc_id). */
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)

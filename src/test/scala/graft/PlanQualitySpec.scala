@@ -54,8 +54,7 @@ class PlanQualitySpec extends SparkSpec {
 
   test("TPC-H Q3 pushes both date filters to the scans and takes ordered top-10") {
     val p = executedPlan("q_tpch_q3")
-    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate") ||
-      p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
     assert(p.contains("GreaterThan(l_shipdate"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
