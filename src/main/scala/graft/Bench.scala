@@ -19,11 +19,20 @@ object Bench {
     // warmup: a representative agg touches parquet read + shuffle + codegen paths
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // min of two runs per query: single-shot timings on a shared box
+    // can absorb multi-second GC/IO blips (a 0.3 s query once
+    // recorded 14 s), and min-of-2 removes that noise class while
+    // keeping the bench a single bounded pass
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
-                catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      def once(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+                  catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val (t1, e1) = once()
+      if (e1.isDefined) (name, t1, e1)
+      else { val (t2, e2) = once(); (name, math.min(t1, t2), e2.orElse(None)) }
     }
     // Timings are printed rounded to milliseconds: the full-precision line
     // for ~90 queries is ~3.4 KB, which overflows the harness's captured

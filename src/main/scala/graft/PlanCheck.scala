@@ -17,6 +17,10 @@ object PlanCheck {
       "q_asof_nearest",      // range-bounded join + window
       "q_cosine_topk_native",// native expression inside codegen
       "q_minhash_lsh",       // shingle explode + band join
+      "q_tpch_q3",           // multi-join + TakeOrderedAndProject
+      "q_pq_search",         // broadcast codebook/LUT, no cartesian
+      "q_funnel",            // staged user-keyed joins
+      "q_decontaminate",     // broadcast benchmark shingle set
     )
     for (name <- interesting) {
       println(s"\n========== $name ==========")
