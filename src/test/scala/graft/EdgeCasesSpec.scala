@@ -94,4 +94,65 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out(1).getInt(2) == 1)
     assert(out(2).getInt(1) == 0 && out(2).getInt(2) == 0 && out(2).getInt(3) == 0)
   }
+
+  test("funnel stages are monotonically shrinking and never negative") {
+    val rows = SparkEntry.queries("q_funnel")(spark, "/root/testdata/sf0.001")
+      .orderBy("stage").collect()
+    val byStage = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage.keySet.subsetOf(Set("1_view", "2_click", "3_purchase")))
+    val v = byStage.getOrElse("1_view", 0L)
+    val c = byStage.getOrElse("2_click", 0L)
+    val p = byStage.getOrElse("3_purchase", 0L)
+    assert(v >= c && c >= p, s"funnel not monotone: $byStage")
+    assert(v > 0, "fixture has views; stage 1 cannot be empty")
+  }
+
+  test("pivot and unpivot round-trip to the plain groupBy counts") {
+    val dir = "/root/testdata/sf0.001"
+    val melted = SparkEntry.queries("q_unpivot")(spark, dir)
+      .select(col("day"), col("event_type"), col("n"))
+    val direct = Tables.events(spark, dir)
+      .groupBy(dayofmonth(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(melted.exceptAll(direct).isEmpty && direct.exceptAll(melted).isEmpty,
+      "unpivot(pivot(x)) must equal groupBy counts")
+  }
+
+  test("decontamination flags a constructed verbatim copy and not a clean doc") {
+    import spark.implicits._
+    // benchmark doc 1; doc 100 copies it verbatim; doc 101 is unrelated
+    val phrase = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val clean = (1 to 20).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, phrase), (100L, phrase), (101L, clean))
+      .toDF("doc_id", "text")
+    val benchSh = graft.operators.TextOps.shingles(
+      docs.filter(col("doc_id") < 50), "doc_id", "text", 8)
+      .select(col("shingle")).distinct()
+    val corpSh = graft.operators.TextOps.shingles(
+      docs.filter(col("doc_id") >= 50), "doc_id", "text", 8)
+    val tot = corpSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val hit = corpSh.join(broadcast(benchSh), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("h"))
+    val flagged = tot.join(hit, "doc_id")
+      .filter(col("h").cast("double") / col("n") >= 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(100L), s"got $flagged")
+  }
+
+  test("PQ search on a corpus smaller than the codebook budget still returns ranked results") {
+    // 10 vectors < 16 anchors: every vector becomes an anchor; the
+    // encode/ADC path must still produce a complete ranked answer
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("pqsmall").toFile.getAbsolutePath
+    val vecs = (0L until 10L).map { i =>
+      (i, Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    vecs.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = SparkEntry.queries("q_pq_search")(spark, tmp)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    for ((q, rs) <- byQ)
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length), s"query $q ranks not dense")
+  }
 }
