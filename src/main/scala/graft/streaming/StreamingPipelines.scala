@@ -115,6 +115,16 @@ object StreamingPipelines {
         col("click_value"))
   }
 
+  /** Stream-static enrichment: each arriving event joins a static
+    * dimension table (the metadata lookup every ingest pipeline does
+    * on landing — band metadata, tile registry, label maps). The
+    * static side is planned per micro-batch like any batch join, so
+    * Spark broadcasts it when small — no streaming state at all, and
+    * a dimension refresh is just re-reading the static source. */
+  def enrichAgainstStatic(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** One micro-batch of the landing-zone ingest, written
     * idempotently: the batch lands in its own `batch_id=<n>`
     * partition directory with overwrite mode, so a retry of the same

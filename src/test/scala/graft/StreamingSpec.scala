@@ -90,6 +90,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins every event against the broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val q = StreamingPipelines.enrichAgainstStatic(
+        in.toDF().toDF("ts", "user_id", "value"), dim, "user_id")
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), 3L, 2.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enr").select("user_id", "tier")
+        .as[(Long, Option[String])].collect().toMap
+      assert(rows == Map(1L -> Some("gold"), 3L -> None), s"got $rows")
+    } finally q.stop()
+  }
+
   test("runningStats carries exact integer state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
