@@ -386,29 +386,70 @@ object VectorQueries {
     * the 8-codes-per-vector table — 64 bytes/vector instead of 256 —
     * which is the whole point of PQ at 100 TB: the candidate scan
     * fits in memory where raw vectors cannot. */
-  def qPqSearch(spark: SparkSession, dir: String): DataFrame = {
-    val kSub = 16
-    val e = Tables.embeddings(spark, dir)
-    val exp = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .withColumn("sub", expr("pos DIV 8"))
-    // 16 deterministic anchor vectors; their subvectors are the codebook
-    val anchors = e.select(col("vec_id"))
+  /** The 16 deterministic md5-ranked anchor vectors whose subvectors
+    * form the PQ codebook — shared by the declared quantized path and
+    * the l2_sq engine path so they can never drift. */
+  private def pqAnchors(e: DataFrame, kSub: Int = 16): DataFrame =
+    e.select(col("vec_id"))
       .withColumn("rk", row_number().over(Window.orderBy(
         md5(concat(lit("pq|"), col("vec_id").cast("string"))), col("vec_id"))))
       .filter(col("rk") <= kSub)
       .select(col("vec_id").as("aid"), (col("rk") - 1).cast("int").as("code"))
-    val codebook = exp.join(anchors, exp("vec_id") === anchors("aid"))
+
+  /** Engine-path PQ encoder: one fused [[graft.expressions.L2Squared]]
+    * per (vector, subspace, code) over `slice`d 8-dim subvectors —
+    * N×8×16 rows each doing one codegen'd 8-element loop, versus the
+    * declared path's N×64×16 exploded element rows fed through a hash
+    * aggregate (~8× less row traffic and no aggregation exchange; the
+    * hot loop stays inside whole-stage codegen). Distances here are
+    * raw doubles (argmin with code tie-break) while the declared/
+    * oracle path argmins per-element floor-quantized sums — equal
+    * codes unless two codebook entries are within ~1e-9 of the same
+    * distance (PqFastSpec pins equality on the fixtures). */
+  private[graft] def pqCodesFast(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val slices = "transform(sequence(0, 7), s -> slice(embedding, s * 8 + 1, 8))"
+    val subs = e.select(col("vec_id"),
+      posexplode(expr(slices)).as(Seq("sub", "svec")))
+    val cbs = e.join(pqAnchors(e), col("vec_id") === col("aid"))
+      .select(col("code"), posexplode(expr(slices)).as(Seq("sub", "cvec")))
+    val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d"), col("code"))
+    subs.join(broadcast(cbs), Seq("sub"))
+      .withColumn("d", expr("l2_sq(svec, cvec)"))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+  }
+
+  /** Quantized ||x_sub − c_sub||² for every (vector, subspace, code) —
+    * the declared/oracle-expressible distance table. */
+  private def pqQd(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val exp = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("sub", expr("CAST(pos DIV 8 AS INT)"))
+    val codebook = exp.join(pqAnchors(e), exp("vec_id") === col("aid"))
       .select(col("code"), col("pos"), col("v").cast("double").as("c"))
-    // quantized ||x_sub - c_sub||^2 for every (vector, subspace, code)
-    val qd = exp.join(broadcast(codebook), Seq("pos"))
+    exp.join(broadcast(codebook), Seq("pos"))
       .groupBy(col("vec_id"), col("sub"), col("code"))
       .agg(sum(floor((col("v").cast("double") - col("c")) *
         (col("v").cast("double") - col("c")) * 1e9).cast("long")).as("qdist"))
-    // encode: nearest code per (vector, subspace)
+  }
+
+  /** Declared-path PQ codes: argmin of the quantized distance table. */
+  private def argminCodes(qd: DataFrame): DataFrame = {
     val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("qdist"), col("code"))
-    val codes = qd.withColumn("rk", row_number().over(wEnc))
+    qd.withColumn("rk", row_number().over(wEnc))
       .filter(col("rk") === 1).select(col("vec_id"), col("sub"), col("code"))
+  }
+
+  private[graft] def pqCodesQuantized(spark: SparkSession, dir: String): DataFrame =
+    argminCodes(pqQd(spark, dir))
+
+  def qPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val qd = pqQd(spark, dir)
+    val codes = argminCodes(qd)
     // query LUT: the same quantized table restricted to the query set
     val lut = qd.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("sub"), col("code"), col("qdist"))

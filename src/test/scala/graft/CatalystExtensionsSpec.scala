@@ -57,6 +57,31 @@ class CatalystExtensionsSpec extends SparkSpec {
     assert(e.eval(null) == expected)
   }
 
+  test("l2_sq matches the declarative fold bit-for-bit") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.5f, -2.25f), Array(0.5f, 4.0f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(-0.3f, 0.7f, 1.9f)),
+    ).toDF("a", "b")
+    val native = df.select(expr("l2_sq(a, b)").as("d")).as[Double].collect()
+    val folded = df.select(expr(
+      """aggregate(zip_with(a, b,
+        |  (x, y) -> (cast(x AS double) - cast(y AS double)) * (cast(x AS double) - cast(y AS double))),
+        |  0D, (acc, v) -> acc + v)""".stripMargin).as("d")).as[Double].collect()
+    assert(native.toSeq == folded.toSeq)
+    assert(native(0) == 0.0)
+  }
+
+  test("l2_sq interpreted eval agrees with the hand-computed value") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val mk = (xs: Array[Float]) => Literal.create(ArrayData.toArrayData(xs),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))
+    val e = graft.expressions.L2Squared(mk(Array(1f, 2f)), mk(Array(3f, -1f)))
+    assert(e.eval(null) == (2.0 * 2.0 + 3.0 * 3.0))
+  }
+
   test("cosine_sim rejects non-float-array inputs at analysis") {
     import spark.implicits._
     val err = intercept[Exception] {
