@@ -230,6 +230,51 @@ object TextQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Span-level dedup — the sub-document granularity tier between
+    * exact doc dedup and near-dup pairs (the C4/RefinedWeb
+    * remove-duplicated-spans pass, adapted to fixed 10-token spans):
+    * every document is chunked, each distinct span keeps only its
+    * first occurrence corpus-wide ((doc_id, idx) order — the same
+    * keeper rule as q_dedup_keep), and surviving spans re-assemble in
+    * document order. One shuffle keyed on the span text for the
+    * keeper window, one on doc_id for re-assembly; re-assembly uses
+    * array_sort(struct(idx, span)) so the output is
+    * partition-order-independent. Docs whose every span is seen
+    * earlier vanish — the degenerate case equals exact dedup. */
+  def qSpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("regexp_extract_all(text, '\\\\S+', 0)").as("t"))
+      .filter(size(col("t")) > 0)
+    val chunks = toks.select(col("doc_id"),
+      posexplode(expr(
+        """transform(sequence(0, (size(t) - 1) DIV 10),
+          |  i -> concat_ws(' ', slice(t, i * 10 + 1, 10)))""".stripMargin))
+        .as(Seq("idx", "span")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("span")).orderBy(col("doc_id"), col("idx"))
+    chunks.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(idx, span))), x -> x.span), ' ')")
+          .as("cleaned"))
+  }
+
+  val qSpanDedupSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+      |              WHERE len(regexp_extract_all(text, '\S+')) > 0),
+      |chunks AS (SELECT doc_id, r['i'] AS idx, r['s'] AS span FROM (
+      |  SELECT doc_id, unnest(list_transform(range((len(t)-1)//10 + 1),
+      |    i -> {'i': i, 's': array_to_string(t[i*10+1 : i*10+10], ' ')})) AS r
+      |  FROM toks)),
+      |kept AS (SELECT doc_id, idx, span FROM (
+      |  SELECT doc_id, idx, span,
+      |    ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+      |  FROM chunks) WHERE rn = 1)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans_kept,
+      |  string_agg(span, ' ' ORDER BY idx) AS cleaned
+      |FROM kept GROUP BY 1""".stripMargin
+
   /** Vocabulary induction — the tokenizer-training aggregation: global
     * token frequencies + document frequencies, top-100 by (count,
     * token) total order. The top-k runs as orderBy+limit (Spark plans
@@ -583,6 +628,7 @@ object TextQueries {
     "q_simhash" -> (qSimhash _),
     "q_vocab_topk" -> (qVocabTopk _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_span_dedup" -> (qSpanDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -603,5 +649,6 @@ object TextQueries {
     "q_simhash" -> qSimhashSql,
     "q_vocab_topk" -> qVocabTopkSql,
     "q_decontaminate" -> qDecontaminateSql,
+    "q_span_dedup" -> qSpanDedupSql,
   )
 }
