@@ -56,21 +56,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName per instance: two cosine_sim (or cosine_sim + l2_sq)
+      // in one codegen scope must not declare duplicate Java locals
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val denom = ctx.freshName("denom")
       s"""
-         |int graftN = Math.min($a.numElements(), $b.numElements());
-         |double graftDot = 0.0; double graftNa = 0.0; double graftNb = 0.0;
-         |for (int graftI = 0; graftI < graftN; graftI++) {
-         |  float graftX = $a.isNullAt(graftI) ? 0.0f : $a.getFloat(graftI);
-         |  float graftY = $b.isNullAt(graftI) ? 0.0f : $b.getFloat(graftI);
-         |  graftDot += (double) graftX * (double) graftY;
-         |  graftNa += (double) graftX * (double) graftX;
-         |  graftNb += (double) graftY * (double) graftY;
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  float $x = $a.isNullAt($i) ? 0.0f : $a.getFloat($i);
+         |  float $y = $b.isNullAt($i) ? 0.0f : $b.getFloat($i);
+         |  $dot += (double) $x * (double) $y;
+         |  $na += (double) $x * (double) $x;
+         |  $nb += (double) $y * (double) $y;
          |}
-         |double graftDenom = Math.sqrt(graftNa) * Math.sqrt(graftNb);
-         |if (graftDenom == 0.0) {
+         |double $denom = Math.sqrt($na) * Math.sqrt($nb);
+         |if ($denom == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graftDot / graftDenom;
+         |  ${ev.value} = $dot / $denom;
          |}
        """.stripMargin
     })

@@ -10,15 +10,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `ARRAY<FLOAT>` columns — the distance kernel of the PQ / k-means /
   * KNN family, as one fused loop inside whole-stage codegen
   * (companion to [[CosineSimilarity]]; SURVEY §7.2's "custom
-  * Expression only where profiling demands" path). Identical
-  * semantics to the declarative
-  * `aggregate(zip_with(a, b, (x,y) -> pow(x-y,2)), ...)` fold: same
-  * left-to-right accumulation, same float→double widening per
-  * element, so engine-path results are bit-equal to the fold form
-  * (pinned by L2SquaredSpec).
+  * Expression only where profiling demands" path). On equal-length
+  * arrays with non-null elements — the embedding-column invariant
+  * every caller in this engine upholds — results are bit-equal to
+  * the declarative `aggregate(zip_with(a, b, (x,y) -> pow(x-y,2)))`
+  * fold: same left-to-right accumulation, same float→double widening
+  * per element (pinned by CatalystExtensionsSpec).
   *
-  * Null elements count as 0.0f (the engine's array-null convention);
-  * the result is never null for non-null inputs.
+  * Outside that invariant the conventions differ from the fold (which
+  * yields NULL): like [[CosineSimilarity]], null elements count as
+  * 0.0f and mismatched lengths truncate to the common prefix; the
+  * result is never null for non-null array inputs.
   */
 case class L2Squared(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -54,16 +56,21 @@ case class L2Squared(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName per instance: two l2_sq (or l2_sq + cosine_sim) in one
+      // codegen scope must not declare duplicate Java locals
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val d = ctx.freshName("d"); val acc = ctx.freshName("acc")
       s"""
-         |int graftN = Math.min($a.numElements(), $b.numElements());
-         |double graftAcc = 0.0;
-         |for (int graftI = 0; graftI < graftN; graftI++) {
-         |  float graftX = $a.isNullAt(graftI) ? 0.0f : $a.getFloat(graftI);
-         |  float graftY = $b.isNullAt(graftI) ? 0.0f : $b.getFloat(graftI);
-         |  double graftD = (double) graftX - (double) graftY;
-         |  graftAcc += graftD * graftD;
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  float $x = $a.isNullAt($i) ? 0.0f : $a.getFloat($i);
+         |  float $y = $b.isNullAt($i) ? 0.0f : $b.getFloat($i);
+         |  double $d = (double) $x - (double) $y;
+         |  $acc += $d * $d;
          |}
-         |${ev.value} = graftAcc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

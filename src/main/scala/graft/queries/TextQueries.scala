@@ -243,7 +243,7 @@ object TextQueries {
     * earlier vanish — the degenerate case equals exact dedup. */
   def qSpanDedup(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), expr("regexp_extract_all(text, '\\\\S+', 0)").as("t"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) > 0)
     val chunks = toks.select(col("doc_id"),
       posexplode(expr(

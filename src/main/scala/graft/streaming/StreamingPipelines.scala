@@ -118,12 +118,15 @@ object StreamingPipelines {
   /** Stream-static enrichment: each arriving event joins a static
     * dimension table (the metadata lookup every ingest pipeline does
     * on landing — band metadata, tile registry, label maps). The
-    * static side is planned per micro-batch like any batch join, so
-    * Spark broadcasts it when small — no streaming state at all, and
-    * a dimension refresh is just re-reading the static source. */
+    * static side is planned per micro-batch like any batch join —
+    * Spark broadcasts it when it fits the broadcast threshold and
+    * falls back to a shuffled join otherwise (no forced hint: a
+    * corpus-scale dimension must be allowed to shuffle). No
+    * streaming state at all; a dimension refresh is just re-reading
+    * the static source. */
   def enrichAgainstStatic(stream: DataFrame, dim: DataFrame,
       key: String): DataFrame =
-    stream.join(broadcast(dim), Seq(key), "left")
+    stream.join(dim, Seq(key), "left")
 
   /** One micro-batch of the landing-zone ingest, written
     * idempotently: the batch lands in its own `batch_id=<n>`

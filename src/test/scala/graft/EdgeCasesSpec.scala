@@ -118,23 +118,18 @@ class EdgeCasesSpec extends SparkSpec {
       "unpivot(pivot(x)) must equal groupBy counts")
   }
 
-  test("decontamination flags a constructed verbatim copy and not a clean doc") {
+  test("q_decontaminate flags a constructed verbatim copy and not a clean doc") {
     import spark.implicits._
-    // benchmark doc 1; doc 100 copies it verbatim; doc 101 is unrelated
+    // drive the PRODUCTION query over a fixture table: benchmark doc 1
+    // (doc_id < 50), doc 100 copies it verbatim, doc 101 is unrelated
     val phrase = (1 to 20).map(i => s"tok$i").mkString(" ")
     val clean = (1 to 20).map(i => s"other$i").mkString(" ")
-    val docs = Seq((1L, phrase), (100L, phrase), (101L, clean))
-      .toDF("doc_id", "text")
-    val benchSh = graft.operators.TextOps.shingles(
-      docs.filter(col("doc_id") < 50), "doc_id", "text", 8)
-      .select(col("shingle")).distinct()
-    val corpSh = graft.operators.TextOps.shingles(
-      docs.filter(col("doc_id") >= 50), "doc_id", "text", 8)
-    val tot = corpSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val hit = corpSh.join(broadcast(benchSh), "shingle")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("h"))
-    val flagged = tot.join(hit, "doc_id")
-      .filter(col("h").cast("double") / col("n") >= 0.5)
+    val tmp = Files.createTempDirectory("decon").toFile.getAbsolutePath
+    Seq((1L, phrase, "en", "t", 1L), (100L, phrase, "en", "t", 1L),
+        (101L, clean, "en", "t", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val flagged = SparkEntry.queries("q_decontaminate")(spark, tmp)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(flagged == Set(100L), s"got $flagged")
   }
