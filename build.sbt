@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Pass the forked process's stdout straight through instead of routing it
+// via sbt's logger, which prefixes every line with "[info] " and breaks
+// downstream parsers expecting Bench's bare JSON line.
+run / outputStrategy := Some(StdoutOutput)
