@@ -389,12 +389,20 @@ object VectorQueries {
   /** The 16 deterministic md5-ranked anchor vectors whose subvectors
     * form the PQ codebook — shared by the declared quantized path and
     * the l2_sq engine path so they can never drift. */
-  private def pqAnchors(e: DataFrame, kSub: Int = 16): DataFrame =
-    e.select(col("vec_id"))
-      .withColumn("rk", row_number().over(Window.orderBy(
-        md5(concat(lit("pq|"), col("vec_id").cast("string"))), col("vec_id"))))
-      .filter(col("rk") <= kSub)
-      .select(col("vec_id").as("aid"), (col("rk") - 1).cast("int").as("code"))
+  private def pqAnchors(e: DataFrame, kSub: Int = 16): DataFrame = {
+    // Global-top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    // top-16 map-side, tiny reduce) instead of a partition-less window that
+    // would funnel the whole table through one task. Codes are then assigned
+    // by sorting the 16 survivors inside a single collect_list — a global
+    // aggregate whose input is 16 rows, so no WindowExec anywhere.
+    e.select(col("vec_id"),
+        md5(concat(lit("pq|"), col("vec_id").cast("string"))).as("mk"))
+      .orderBy(col("mk"), col("vec_id"))
+      .limit(kSub)
+      .agg(sort_array(collect_list(struct(col("mk"), col("vec_id")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("code", "s")))
+      .select(col("s.vec_id").as("aid"), col("code").cast("int").as("code"))
+  }
 
   /** Engine-path PQ encoder: one fused [[graft.expressions.L2Squared]]
     * per (vector, subspace, code) over `slice`d 8-dim subvectors —

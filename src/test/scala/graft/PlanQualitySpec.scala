@@ -80,6 +80,25 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("no declared query plans a partition-less window over unbounded input") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    // Documented exemptions — rank assigned AFTER the input is bounded to a
+    // literal handful of rows: q_deterministic_shuffle (event_id < 300) and
+    // q_vocab_topk (limit(100) survivors).
+    val exempt = Set("q_deterministic_shuffle", "q_vocab_topk")
+    for ((name, q) <- SparkEntry.queries if !exempt(name)) {
+      val bad = q(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty => w.simpleString(80)
+      }
+      assert(bad.isEmpty, s"$name has a partition-less Window:\n${bad.mkString("\n")}")
+    }
+  }
+
+  test("PQ anchor selection plans as TakeOrderedAndProject, not a global window") {
+    val p = executedPlan("q_pq_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val p = executedPlan("q_filter_predicates")
     // codegen'd stages render as "*(n) Operator" in the executed plan
