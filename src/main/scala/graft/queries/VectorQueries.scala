@@ -471,6 +471,29 @@ object VectorQueries {
       .select("qid", "rank", "vec_id", "adist")
   }
 
+  /** PQ search through the engine fast encoder: the N-scale encoding
+    * step runs [[pqCodesFast]] (one fused `l2_sq` codegen loop per
+    * (vector, subspace, code) over sliced subvectors — no per-element
+    * explode, no aggregation exchange), while the query-side LUT (5
+    * vectors × 8 subs × 16 codes) keeps the floor-quantized form, so
+    * ADC totals are bit-identical to [[qPqSearch]] and the same
+    * oracle grades both. Catalyst pushes the `vec_id < 5` LUT filter
+    * below the distance aggregate, so the quantized path only ever
+    * touches the 5 query vectors. */
+  def qPqSearchFast(spark: SparkSession, dir: String): DataFrame = {
+    val codes = pqCodesFast(spark, dir)
+    val lut = pqQd(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("sub"), col("code"), col("qdist"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qdist")).as("adist"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "vec_id", "adist")
+  }
+
   val qPqSearchSql: String =
     """WITH exp AS (
       |  SELECT vec_id, r['pos'] AS pos, r['pos'] // 8 AS sub, r['v'] AS v FROM (
@@ -538,6 +561,7 @@ object VectorQueries {
     "q_centroid_assign" -> (qCentroidAssign _),
     "q_vector_stats" -> (qVectorStats _),
     "q_pq_search" -> (qPqSearch _),
+    "q_pq_search_fast" -> (qPqSearchFast _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -550,5 +574,6 @@ object VectorQueries {
     "q_centroid_assign" -> qCentroidAssignSql,
     "q_vector_stats" -> qVectorStatsSql,
     "q_pq_search" -> qPqSearchSql,
+    "q_pq_search_fast" -> qPqSearchSql,
   )
 }
