@@ -9,16 +9,20 @@ import org.apache.spark.sql.functions._
   * run as batched `mapPartitions` over `Dataset[MediaRow]` — the
   * Scala analog of `mapInPandas` (SURVEY §2.11 model-as-function row).
   *
-  * The decode KERNELS are deterministic STUBS (this container has no
-  * image/audio codecs): a "decoded pixel" is just the payload byte.
-  * Everything around them is real and load-bearing — the schema, the
-  * binary column handling, the per-partition batching (records are
-  * processed in fixed-size batches the way a vectorized codec or an
-  * inference runtime wants them), and the partitioning story: media
-  * rows hash-partition on media_id, so decode parallelism is
-  * data-parallel with no skewed driver involvement, and at 100 TB the
-  * payload column stays columnar-compressed parquet that never
-  * reaches the driver.
+  * The decode kernel REALLY decodes uncompressed binary PPM (P6)
+  * images — a pure-Scala parser, no codec library needed — and falls
+  * back to byte-as-sample for payloads that are not PPM (audio/video
+  * payloads here, and compressed formats like JPEG whose codecs this
+  * container doesn't ship; the reference reads rasters analogously
+  * via rasterio, process_data.py:64-66). Everything around the kernel
+  * is likewise real and load-bearing — the schema, the binary column
+  * handling, the per-partition batching (records are processed in
+  * fixed-size batches the way a vectorized codec or an inference
+  * runtime wants them), and the partitioning story: media rows
+  * hash-partition on media_id, so decode parallelism is data-parallel
+  * with no skewed driver involvement, and at 100 TB the payload
+  * column stays columnar-compressed parquet that never reaches the
+  * driver.
   */
 object MultimodalOps {
 
@@ -33,22 +37,70 @@ object MultimodalOps {
   /** Batch size a vectorized decoder would want; exposed for tests. */
   val DecodeBatchSize = 64
 
-  /** STUB decode kernel — deterministic fake standing in for an image
-    * codec: each byte is one "pixel" (unsigned). Swap this body for a
-    * real codec; the signature (batch in → features out) is the
-    * contract. */
+  /** A decoded raster: dimensions + the flat RGB sample array
+    * (row-major, 3 samples per pixel, each 0..255). */
+  case class DecodedImage(width: Int, height: Int, samples: Array[Int])
+
+  /** Pure-Scala decoder for binary PPM (P6) — the uncompressed
+    * interchange format every codec toolchain emits (netpbm spec:
+    * magic, whitespace/`#`-comment-separated width/height/maxval
+    * tokens, one whitespace byte, then width×height×3 raw sample
+    * bytes). Returns None for anything that is not a complete
+    * ≤8-bit-per-sample P6 payload, so callers can fall back. */
+  def decodePpm(payload: Array[Byte]): Option[DecodedImage] = {
+    if (payload.length < 2 || payload(0) != 'P'.toByte || payload(1) != '6'.toByte)
+      return None
+    var pos = 2
+    def at(i: Int): Int = payload(i) & 0xff
+    def isWs(c: Int): Boolean = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0b
+    def nextInt(): Int = {
+      var commentOrWs = true
+      while (commentOrWs && pos < payload.length) {
+        if (isWs(at(pos))) pos += 1
+        else if (at(pos) == '#') { while (pos < payload.length && at(pos) != '\n') pos += 1 }
+        else commentOrWs = false
+      }
+      var v = 0; var digits = 0
+      while (pos < payload.length && at(pos) >= '0' && at(pos) <= '9' && digits < 8) {
+        v = v * 10 + (at(pos) - '0'); pos += 1; digits += 1
+      }
+      if (digits == 0) -1 else v
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    // exactly one whitespace byte separates the header from the raster
+    if (pos >= payload.length || !isWs(at(pos))) return None
+    pos += 1
+    val n = w * h * 3
+    if (payload.length - pos < n) return None
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) { out(i) = at(pos + i); i += 1 }
+    Some(DecodedImage(w, h, out))
+  }
+
+  /** Feature fold shared by the decoded-pixel and raw-byte paths. */
+  private def features(m: MediaRow, samples: Array[Int]): MediaFeatures = {
+    val n = samples.length
+    var sum = 0L; var mn = 255; var mx = 0; var ck = 0L
+    samples.foreach { p =>
+      sum += p; if (p < mn) mn = p; if (p > mx) mx = p
+      ck = (ck * 31 + p) % 72057594037927931L
+    }
+    MediaFeatures(m.media_id, m.kind, n,
+      if (n == 0) 0.0 else sum.toDouble / n,
+      if (n == 0) 0 else mn, if (n == 0) 0 else mx, ck)
+  }
+
+  /** Decode kernel: true pixel decode for PPM payloads (features over
+    * the decoded RGB samples), byte-as-sample for everything else. */
   private def decodeKernel(batch: Seq[MediaRow]): Seq[MediaFeatures] =
     batch.map { m =>
-      val px = m.payload.map(b => (b & 0xff))
-      val n = px.length
-      var sum = 0L; var mn = 255; var mx = 0; var ck = 0L
-      px.foreach { p =>
-        sum += p; if (p < mn) mn = p; if (p > mx) mx = p
-        ck = (ck * 31 + p) % 72057594037927931L
+      val samples = decodePpm(m.payload) match {
+        case Some(img) => img.samples
+        case None => m.payload.map(b => b & 0xff)
       }
-      MediaFeatures(m.media_id, m.kind, n,
-        if (n == 0) 0.0 else sum.toDouble / n,
-        if (n == 0) 0 else mn, if (n == 0) 0 else mx, ck)
+      features(m, samples)
     }
 
   /** Decode + feature-extract, batched per partition. */
@@ -101,4 +153,25 @@ object MultimodalOps {
         lit(8).cast("int").as("height"),
         lit(16000).cast("int").as("sampleRate"),
         lit(4).cast("int").as("nFrames")).as("meta"))
+
+  /** Synthesize REAL binary PPM (P6) payloads from the documents
+    * table: the first 3·⌊len/3⌋ ASCII bytes of each text become the
+    * raster of an npx×1 image behind a spec-conformant P6 header.
+    * These round-trip through [[decodePpm]], so queries over this
+    * table grade the true pixel-decode path end-to-end while staying
+    * oracle-expressible (ASCII byte == char code). */
+  def ppmFromDocuments(docs: DataFrame): DataFrame = {
+    val npx = expr("CAST(length(text) DIV 3 AS INT)")
+    docs.filter(length(col("text")) >= 3).select(
+      col("doc_id").as("media_id"),
+      lit("image").as("kind"),
+      concat(
+        encode(concat(lit("P6\n"), npx.cast("string"), lit(" 1\n255\n")), "UTF-8"),
+        encode(expr("substring(text, 1, (length(text) DIV 3) * 3)"), "UTF-8")).as("payload"),
+      struct(
+        npx.as("width"),
+        lit(1).cast("int").as("height"),
+        lit(0).cast("int").as("sampleRate"),
+        lit(1).cast("int").as("nFrames")).as("meta"))
+  }
 }

@@ -120,9 +120,39 @@ object MultimodalQueries {
       |      i -> ascii(substr(text, i * 10 + 1, 1))) AS codes
       |  FROM documents)""".stripMargin
 
+  /** TRUE pixel decode, graded: payloads here are real binary PPM
+    * (P6) images ([[MultimodalOps.ppmFromDocuments]]), and the decode
+    * kernel parses the header and extracts the raster samples
+    * (MultimodalOps.decodePpm) — no byte-as-pixel fake anywhere on
+    * this path. The oracle recomputes the expected features from the
+    * raster's source characters, so the hash pins header parsing,
+    * raster offsets, and sample extraction end-to-end. */
+  def qImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = MultimodalOps
+      .ppmFromDocuments(Tables.documents(spark, dir))
+      .as[MultimodalOps.MediaRow]
+    MultimodalOps.decodeFeatures(media).toDF()
+  }
+
+  val qImageDecodeSql: String =
+    """SELECT doc_id AS media_id, 'image' AS kind,
+      |  CAST(len(codes) AS INT) AS n_bytes,
+      |  CAST(list_sum(codes) AS DOUBLE) / len(codes) AS byte_mean,
+      |  CAST(list_min(codes) AS INT) AS byte_min,
+      |  CAST(list_max(codes) AS INT) AS byte_max,
+      |  list_reduce(list_transform(codes, c -> CAST(c AS BIGINT)),
+      |              (a, c) -> (a * 31 + c) % 72057594037927931) AS checksum
+      |FROM (
+      |  SELECT doc_id,
+      |    list_transform(range((length(text) // 3) * 3),
+      |      i -> ascii(substr(text, i+1, 1))) AS codes
+      |  FROM documents WHERE length(text) >= 3)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_manifest" -> (qMediaManifest _),
     "q_media_features" -> (qMediaFeatures _),
+    "q_image_decode" -> (qImageDecode _),
     "q_frame_sample" -> (qFrameSample _),
     "q_resize_features" -> (qResizeFeatures _),
   )
@@ -130,6 +160,7 @@ object MultimodalQueries {
   val oracle: Map[String, String] = Map(
     "q_media_manifest" -> qMediaManifestSql,
     "q_media_features" -> qMediaFeaturesSql,
+    "q_image_decode" -> qImageDecodeSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_resize_features" -> qResizeFeaturesSql,
   )

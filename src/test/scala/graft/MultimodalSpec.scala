@@ -44,6 +44,54 @@ class MultimodalSpec extends SparkSpec {
     assert(r.payload.toSeq == (0 until 40 by 4).map(_.toByte).toSeq)
   }
 
+  private def p6(header: String, samples: Seq[Int]): Array[Byte] =
+    header.getBytes("UTF-8") ++ samples.map(_.toByte).toArray
+
+  test("decodePpm parses a conformant P6 header incl. comments") {
+    val img = MultimodalOps.decodePpm(
+      p6("P6 # comment\n# another line\n 2 2\n255\n", 10 to 21))
+    assert(img.isDefined)
+    assert(img.get.width == 2 && img.get.height == 2)
+    assert(img.get.samples.toSeq == (10 to 21))
+  }
+
+  test("decodePpm rejects malformed payloads") {
+    assert(MultimodalOps.decodePpm(p6("P5\n2 2\n255\n", 10 to 21)).isEmpty, "wrong magic")
+    assert(MultimodalOps.decodePpm(p6("P6\n2 2\n65535\n", 10 to 21)).isEmpty, "16-bit maxval")
+    assert(MultimodalOps.decodePpm(p6("P6\n2 2\n255\n", 10 to 19)).isEmpty, "truncated raster")
+    assert(MultimodalOps.decodePpm(p6("P6\n2\n255\n", 10 to 21)).isEmpty, "missing height")
+    assert(MultimodalOps.decodePpm("P6".getBytes("UTF-8")).isEmpty, "header only")
+  }
+
+  test("decodeFeatures computes features over TRUE decoded pixels for PPM payloads") {
+    import spark.implicits._
+    val ds = Seq(
+      MediaRow(10L, "image", p6("P6\n2 2\n255\n", 10 to 21), MediaMeta(2, 2, 0, 1)),
+      // not a PPM: features fall back to the raw payload bytes
+      MediaRow(11L, "audio", Array[Byte](1, 2, 3), MediaMeta(0, 0, 16000, 1)),
+    ).toDS()
+    val f = MultimodalOps.decodeFeatures(ds).collect().sortBy(_.media_id)
+    // hand-computed over samples 10..21 (NOT the 11-byte header + raster)
+    assert(f(0).n_bytes == 12)
+    assert(f(0).byte_mean == 15.5 && f(0).byte_min == 10 && f(0).byte_max == 21)
+    assert(f(0).checksum == 47256660019942293L)
+    assert(f(1).n_bytes == 3 && f(1).byte_min == 1 && f(1).byte_max == 3)
+  }
+
+  test("ppmFromDocuments emits real P6 payloads that round-trip through decodePpm") {
+    import spark.implicits._
+    val docs = Seq((7L, "abcdefghij", "en", "src1", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = MultimodalOps.ppmFromDocuments(docs)
+      .as[MediaRow].collect().head
+    assert(m.kind == "image" && m.meta.width == 3 && m.meta.height == 1)
+    val img = MultimodalOps.decodePpm(m.payload)
+    assert(img.isDefined)
+    assert(img.get.samples.toSeq == "abcdefghi".map(_.toInt)) // first 3*⌊10/3⌋ chars
+    val f = MultimodalOps.decodeFeatures(Seq(m).toDS()).collect().head
+    assert(f.n_bytes == 9 && f.byte_mean == 101.0 && f.checksum == 85517489010789L)
+  }
+
   test("mediaFromDocuments yields binary payload with typed metadata") {
     import spark.implicits._
     val docs = Seq((7L, "hello", "en", "src1", 5L))
