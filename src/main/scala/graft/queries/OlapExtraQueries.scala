@@ -47,6 +47,27 @@ object OlapExtraQueries {
        |  ${dsumSql("l_extendedprice")} AS sum_price, COUNT(*) AS n
        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  /** Explicit GROUPING SETS — the third grouping-set form
+    * (SURVEY §2.4 last row) alongside [[qCube]] and q_rollup: a
+    * hand-picked set list {(event_type), (user_bucket), ()} that
+    * neither ROLLUP nor CUBE generates (no (event_type, user_bucket)
+    * cell). Same partial-agg + expand physical shape as rollup/cube —
+    * one shuffle keyed on the grouping columns. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("user_bucket")), Seq.empty),
+        col("event_type"), col("user_bucket"))
+      .agg(dsum(col("value")).as("sum_value"), count(lit(1)).as("n"))
+  }
+
+  val qGroupingSetsSql: String =
+    s"""SELECT event_type, CAST(user_id % 10 AS INT) AS user_bucket,
+       |  ${dsumSql("value")} AS sum_value, COUNT(*) AS n
+       |FROM events
+       |GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 10 AS INT)), ())""".stripMargin
+
   /** Schema-on-read JSON extraction from the props column
     * (SURVEY §2.8 JSON row: `json.load` metadata) — extract, cast,
     * aggregate. */
@@ -226,6 +247,7 @@ object OlapExtraQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quantiles" -> (qQuantiles _),
     "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_json_extract" -> (qJsonExtract _),
     "q_deterministic_shuffle" -> (qDeterministicShuffle _),
     "q_cyclic_index" -> (qCyclicIndex _),
@@ -238,6 +260,7 @@ object OlapExtraQueries {
   val oracle: Map[String, String] = Map(
     "q_quantiles" -> qQuantilesSql,
     "q_cube" -> qCubeSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_deterministic_shuffle" -> qDeterministicShuffleSql,
     "q_cyclic_index" -> qCyclicIndexSql,
