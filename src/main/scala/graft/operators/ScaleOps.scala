@@ -23,6 +23,46 @@ object ScaleOps {
       .saveAsTable(table)
   }
 
+  /** Corpus-scale deterministic ("seeded") shuffle — the engine path
+    * for q_deterministic_shuffle's semantics (the reference's
+    * fixed-seed `wds.shuffle`, dataops/dataset.py:270-276) WITHOUT the
+    * partition-less rank window that caps the declared query at a
+    * literal row bound. The permutation key is a seeded md5 of the id;
+    * the global rank is assigned partition-offset style:
+    *
+    *  1. range-partition on (key, id) — the ONE shuffle; range bounds
+    *     come from Spark's sampling, and because the local sort uses
+    *     the same total order, bound placement cannot change the
+    *     output, only the balance;
+    *  2. sort within partitions (no further exchange);
+    *  3. per-partition counts → cumulative offsets (numPartitions
+    *     longs on the driver — control flow, not data);
+    *  4. rank = offset(partition) + local index.
+    *
+    * Steps 3–4 are RDD `zipWithIndex` — exactly its contract. Output:
+    * the input columns + `shuffle_rank` (1-based). Deterministic and
+    * partition-count-invariant (spec-pinned against the bounded
+    * declared query). */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
+                           numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val keyed = df.withColumn("_mk",
+      md5(concat(lit(s"$seed|"), col(idCol).cast("string"))))
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = keyed
+      .repartitionByRange(n, col("_mk"), col(idCol))
+      .sortWithinPartitions(col("_mk"), col(idCol))
+      .drop("_mk")
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema :+ org.apache.spark.sql.types.StructField(
+        "shuffle_rank", org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(ranked, schema)
+  }
+
   /** Salted join for skewed keys (SURVEY §2 "salting for skew"): the
     * build side replicates `salt` times, the probe side picks a
     * deterministic salt from a keyed hash — hot keys spread over

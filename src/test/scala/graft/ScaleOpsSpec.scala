@@ -20,6 +20,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(joined.count() == expected)
   }
 
+  test("partition-offset deterministic shuffle matches the declared bounded query") {
+    val dir = "/root/testdata/sf0.001"
+    val declared = queries.OlapExtraQueries.qDeterministicShuffle(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
+    val engine = ScaleOps.deterministicShuffle(
+        Tables.events(spark, dir).filter(col("event_id") < 300)
+          .select("event_id"), "event_id", "seed42", numPartitions = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(engine == declared,
+      s"engine path diverges from declared query: ${(engine diff declared).take(5)}")
+  }
+
+  test("deterministic shuffle is partition-count-invariant and a full permutation corpus-wide") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001").select("event_id")
+    val n = ev.count()
+    val a = ScaleOps.deterministicShuffle(ev, "event_id", "seed42", numPartitions = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = ScaleOps.deterministicShuffle(ev, "event_id", "seed42", numPartitions = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b, "rank depends on partition count")
+    assert(a.map(_._2).sorted == (1L to n), "ranks are not a permutation of 1..N")
+  }
+
+  test("deterministic shuffle plans no partition-less window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val ev = Tables.events(spark, "/root/testdata/sf0.001").select("event_id")
+    val df = ScaleOps.deterministicShuffle(ev, "event_id", "seed42")
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty)
+  }
+
   test("salted join returns exactly the plain join's rows under skew") {
     import spark.implicits._
     // heavily skewed: 90% of left rows share one key
