@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed graph primitives for dedup-cluster resolution.
   *
@@ -25,31 +26,40 @@ object GraphOps {
     * that HashToMin / large-star-small-star refine. Rounds are
     * bounded by the component diameter, which for near-dup graphs is
     * tiny (duplicate clusters are near-cliques, so label information
-    * crosses a cluster in O(log diameter) rounds). The loop checks
-    * convergence with a count per round and truncates lineage with
-    * localCheckpoint so the plan doesn't grow with the iteration
-    * count (at cluster scale this would be a reliable checkpoint or
-    * a table round-trip). Deterministic: min is order-independent —
-    * no vertex-program race affects the fixpoint.
+    * crosses a cluster in O(log diameter) rounds).
+    *
+    * Labels only ever DECREASE under min propagation, so the
+    * label-sum is strictly monotone until the fixpoint: comparing
+    * sums is a complete convergence test and costs one aggregate per
+    * round. Lineage is bounded per round: in the default LOCAL mode
+    * each round's labels persist to executor storage and that
+    * convergence aggregate doubles as the materializing action — ONE
+    * job per round, no separate checkpoint pass; with `checkpointDir`
+    * set, every round instead writes a RELIABLE checkpoint (survives
+    * executor loss — the cluster-scale mode; costs the extra
+    * checkpoint pass per round). Both modes reach the identical
+    * fixpoint (spec-pinned). Deterministic: min is order-independent
+    * — no vertex-program race affects the fixpoint.
     *
     * @param edges undirected edge list; each row one edge
+    * @param checkpointDir reliable-checkpoint directory; None = local
     * @return (id, lbl) — every node that appears in an edge, labelled
     *         with its component's minimum node id
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 30): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint()
-    // labels only ever DECREASE under min propagation, so the label-sum
-    // is strictly monotone until the fixpoint: comparing sums is a
-    // complete convergence test and costs one aggregate per round
-    // instead of a join + count. Decimal sum so huge id spaces can't
-    // overflow the comparison.
+      maxIter: Int = 30, checkpointDir: Option[String] = None): DataFrame = {
+    val reliable = checkpointDir.isDefined
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val sym = truncate(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+        .distinct())
+    var labels = truncate(
+      sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
+    // decimal sum so huge id spaces can't overflow the comparison
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .head.getDecimal(0)
@@ -58,16 +68,25 @@ object GraphOps {
     var prevSum = labelSum(labels)
     var converged = labels.isEmpty
     var it = 0
+    var prevCached: Option[DataFrame] = None
     while (!converged && it < maxIter) {
       val viaNeighbours = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("nid")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels
+      val joined = labels
         .join(viaNeighbours, labels("id") === viaNeighbours("nid"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+      // local mode: lazy persist — the labelSum aggregate below is the
+      // one job that both materializes this round's labels and decides
+      // convergence. Reliable mode: eager checkpoint first.
+      val next =
+        if (reliable) truncate(joined)
+        else joined.persist(StorageLevel.MEMORY_AND_DISK)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
+      // the previous round's cache fed this round's join; safe to drop now
+      prevCached.foreach(_.unpersist(false))
+      prevCached = if (reliable) None else Some(next)
       prevSum = nextSum
       labels = next
       it += 1

@@ -39,6 +39,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(components(Seq.empty).isEmpty)
   }
 
+  test("reliable-checkpoint mode reaches the identical fixpoint") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (20L, 30L), (40L, 41L)).toDF("src", "dst")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_cc_ck").toString
+    val local = GraphOps.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val rel = GraphOps.connectedComponents(edges, "src", "dst",
+        checkpointDir = Some(ckDir))
+      .as[(Long, Long)].collect().toMap
+    assert(rel == local)
+    // the reliable mode actually wrote checkpoint data
+    val wrote = new java.io.File(ckDir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint was written")
+  }
+
   test("q_dup_clusters representatives are cluster minima and sizes are consistent") {
     val df = SparkEntry.queries("q_dup_clusters")(spark, "/root/testdata/sf0.001")
     val rows = df.select("doc_id", "cluster_rep", "cluster_size")
