@@ -27,6 +27,8 @@ object SparkEntry {
       (RasterQueries.queries, RasterQueries.oracle),
       (OlapExtraQueries.queries, OlapExtraQueries.oracle),
       (EncoderQueries.queries, EncoderQueries.oracle),
+      (StatQueries.queries, StatQueries.oracle),
+      (RetrievalQueries.queries, RetrievalQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

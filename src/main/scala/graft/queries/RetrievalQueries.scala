@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.queries.Exact._
+
+/** Retrieval / curation surface over the documents table: TF-IDF
+  * term weighting, BM25-style ranking, and incremental
+  * batch-vs-corpus deduplication — the lexical-retrieval companions
+  * to the vector-ANN family in VectorQueries.
+  *
+  * Cross-engine determinism note: the classical idf is
+  * `ln((N+1)/(df+1))`. `ln` is a libm call whose last-ulp rounding
+  * differs between the JVM and DuckDB's C runtime, which would break
+  * the driver's bit-exact hash compare (same reason q_terrain is
+  * rows-only, SURVEY §7.3). Both queries therefore use the RATIONAL
+  * idf — the argument of the log, `(N+1)/(df+1)` resp. the
+  * Robertson `(N-df+0.5)/(df+0.5)` — which is a pure IEEE divide.
+  * log is monotone, so per-term orderings are identical; only the
+  * scale of cross-term mixing changes, and the substitution is
+  * applied identically in engine and oracle.
+  */
+object RetrievalQueries {
+
+  /** Lowercase alpha word terms — the tf-idf vocabulary. */
+  private def terms(textCol: String) =
+    expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")
+
+  /** Top TF-IDF term per document. Shape at scale: the (doc, term)
+    * tf aggregation shuffles on the composite key; df is a second
+    * aggregation on term alone; N is a 1-row aggregate joined in by
+    * broadcast; the final per-doc argmax is a window PARTITIONED by
+    * doc_id (never global). Ties break on term asc so the winner is
+    * unique and deterministic. */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(terms("text")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") *
+          ((col("n_docs").cast("double") + lit(1.0)) / (col("df").cast("double") + lit(1.0))))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("df"), col("score"))
+  }
+
+  val qTfidfSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      |        FROM documents)
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(tf.tf AS DOUBLE) *
+      |      ((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, term ASC) AS rk
+      |  FROM scored)
+      |SELECT doc_id, term AS top_term, tf, df, score
+      |FROM ranked WHERE rk = 1""".stripMargin
+
+  /** BM25-style top-20 documents for the fixed query
+    * {spark, query, vector}, k1=1.2, b=0.75, rational Robertson idf
+    * (see object doc). Per-term partial scores are summed in a FIXED
+    * order (spark + query + vector via conditional aggregation), so
+    * the result is bit-identical under any partitioning — summing a
+    * `collect_list` of terms would not be. The global top-20 is
+    * orderBy+limit → TakeOrderedAndProject (per-partition heaps, no
+    * global sort); avgdl is an exact decimal mean broadcast to every
+    * row. One (doc,term) shuffle + one doc shuffle. */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    // k1 = 1.2, b = 0.75; k1+1 is written as the literal 2.2 (not
+    // computed 1.2 + 1.0, whose rounding could differ from the SQL
+    // parser's reading of "2.2")
+    val (k1, b) = (1.2, 0.75)
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(terms("text")).as("term"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks
+      .where(col("term").isin("spark", "query", "vector"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val part = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_r",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("tscore",
+        col("idf_r") * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    part.groupBy(col("doc_id"))
+      .agg(
+        coalesce(max(when(col("term") === "spark", col("tscore"))), lit(0.0)).as("s1"),
+        coalesce(max(when(col("term") === "query", col("tscore"))), lit(0.0)).as("s2"),
+        coalesce(max(when(col("term") === "vector", col("tscore"))), lit(0.0)).as("s3"))
+      .withColumn("score", col("s1") + col("s2") + col("s3"))
+      .select("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val qBm25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (SELECT COUNT(*) AS n_docs,
+      |            CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      |  WHERE term IN ('spark', 'query', 'vector') GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |part AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+      |      / (CAST(df.df AS DOUBLE) + 0.5))
+      |    * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |    / (CAST(tf.tf AS DOUBLE)
+      |       + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS tscore
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+      |s AS (
+      |  SELECT doc_id,
+      |    COALESCE(MAX(CASE WHEN term = 'spark'  THEN tscore END), 0.0) AS s1,
+      |    COALESCE(MAX(CASE WHEN term = 'query'  THEN tscore END), 0.0) AS s2,
+      |    COALESCE(MAX(CASE WHEN term = 'vector' THEN tscore END), 0.0) AS s3
+      |  FROM part GROUP BY doc_id)
+      |SELECT doc_id, s1 + s2 + s3 AS score
+      |FROM s ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  /** Incremental (batch-vs-corpus) exact dedup — the CCNet-style
+    * daily-crawl shape: new documents (odd doc_id here) survive only
+    * if their content hash is absent from the existing corpus (even
+    * doc_id) AND they are the first occurrence within the batch.
+    * Both steps key on the content hash: a left-anti join plus a
+    * min-per-hash aggregate, each one shuffle on the same key (AQE
+    * reuses the exchange). At 100 TB the corpus side is a
+    * hash-partitioned index of hashes only — no text moves. */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("content_hash", md5(col("text")))
+    val corpus = docs.where(pmod(col("doc_id"), lit(2L)) === 0).select(col("content_hash"))
+    val batch = docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+    batch
+      .join(corpus, Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_batch_dups"))
+      .select("doc_id", "content_hash", "n_batch_dups")
+  }
+
+  val qDedupIncrementalSql: String =
+    """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+      |corpus AS (SELECT content_hash FROM h WHERE doc_id % 2 = 0),
+      |batch AS (SELECT * FROM h WHERE doc_id % 2 = 1)
+      |SELECT MIN(doc_id) AS doc_id, content_hash, COUNT(*) AS n_batch_dups
+      |FROM batch
+      |WHERE content_hash NOT IN (SELECT content_hash FROM corpus)
+      |GROUP BY content_hash""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf" -> (qTfidf _),
+    "q_bm25" -> (qBm25 _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_tfidf" -> qTfidfSql,
+    "q_bm25" -> qBm25Sql,
+    "q_dedup_incremental" -> qDedupIncrementalSql,
+  )
+}

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.queries.Exact._
+
+/** Statistical-analysis surface over the events stream: exact
+  * correlation/covariance via one-pass sufficient statistics, per-key
+  * z-score anomaly flagging, and Z-order (Morton) locality keys for
+  * multidimensional data layout.
+  *
+  * These extend the reference's per-band statistics vocabulary
+  * (src/utils.py:12-49 running mean/std; preprocessing.py per-class
+  * summaries) to the bivariate and layout cases a corpus-scale
+  * pipeline needs. Every query is a single shuffle keyed on its group
+  * column — the sufficient-statistics decomposition is exactly what
+  * makes map-side partial aggregation (and therefore 100 TB) work.
+  */
+object StatQueries {
+
+  /** Pearson correlation + covariance of (hour-of-day, value) per
+    * event type, computed from exact one-pass sufficient statistics
+    * (n, Σx, Σy, Σx², Σy², Σxy) rather than Spark's built-in
+    * `corr` (whose streaming update order is nondeterministic across
+    * partitionings). Integer x keeps Σx/Σx² exact; [[Exact.dsum]]
+    * keeps the double sums order-independent; the final
+    * mean/variance/corr arithmetic is a fixed IEEE sequence written
+    * identically in the oracle. One shuffle on event_type. */
+  def qCorrStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("x"), col("value").as("y"))
+    ev.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        dsum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        dsum(col("y") * col("y")).as("syy"),
+        dsum(col("y") * col("x")).as("sxy"))
+      .withColumn("mean_x", col("sx").cast("double") / col("n"))
+      .withColumn("mean_y", col("sy") / col("n"))
+      .withColumn("var_x",
+        col("sxx").cast("double") / col("n") - col("mean_x") * col("mean_x"))
+      .withColumn("var_y",
+        col("syy") / col("n") - col("mean_y") * col("mean_y"))
+      .withColumn("cov_xy",
+        col("sxy") / col("n") - col("mean_x") * col("mean_y"))
+      .withColumn("corr_xy", col("cov_xy") / sqrt(col("var_x") * col("var_y")))
+      .select("event_type", "n", "mean_x", "mean_y", "var_x", "var_y", "cov_xy", "corr_xy")
+  }
+
+  val qCorrStatsSql: String =
+    s"""WITH s AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |    SUM(x) AS sx, ${dsumSql("y")} AS sy,
+       |    SUM(x * x) AS sxx, ${dsumSql("y * y")} AS syy,
+       |    ${dsumSql("y * x")} AS sxy
+       |  FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x, value AS y
+       |        FROM events)
+       |  GROUP BY event_type),
+       |m AS (
+       |  SELECT event_type, n,
+       |    CAST(sx AS DOUBLE) / n AS mean_x, sy / n AS mean_y,
+       |    CAST(sxx AS DOUBLE) / n AS exx, syy / n AS eyy, sxy / n AS exy
+       |  FROM s)
+       |SELECT event_type, n, mean_x, mean_y,
+       |  exx - mean_x * mean_x AS var_x,
+       |  eyy - mean_y * mean_y AS var_y,
+       |  exy - mean_x * mean_y AS cov_xy,
+       |  (exy - mean_x * mean_y)
+       |    / sqrt((exx - mean_x * mean_x) * (eyy - mean_y * mean_y)) AS corr_xy
+       |FROM m""".stripMargin
+
+  /** Per-user z-score anomaly flagging: one window shuffle keyed on
+    * user_id computes each user's exact sufficient statistics
+    * (decimal sums over the full partition frame), then each event's
+    * z-score in the same pass — no self-join, no second shuffle. Rows
+    * with |z| > 2.5 survive. The reference's QA-masking step
+    * (preprocessing.py:154-176) is the univariate ancestor: drop
+    * observations that deviate from the per-point expectation. */
+  def qAnomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val ev = Tables.events(spark, dir)
+    ev.select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sum_x", sum(col("value").cast(Dec)).over(w).cast("double"))
+      .withColumn("sum_x2", sum((col("value") * col("value")).cast(Dec)).over(w).cast("double"))
+      .withColumn("mean", col("sum_x") / col("n"))
+      .withColumn("sd",
+        sqrt(col("sum_x2") / col("n") - col("mean") * col("mean")))
+      .where(col("n") >= 10 && col("sd") > 0)
+      .withColumn("z", (col("value") - col("mean")) / col("sd"))
+      .where(abs(col("z")) > 2.5)
+      .select("event_id", "user_id", "value", "mean", "sd", "z")
+  }
+
+  val qAnomalyZscoreSql: String =
+    """WITH w AS (
+      |  SELECT event_id, user_id, value,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (PARTITION BY user_id) AS DOUBLE) AS sum_x,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(25,6))) OVER (PARTITION BY user_id) AS DOUBLE) AS sum_x2
+      |  FROM events),
+      |m AS (
+      |  SELECT event_id, user_id, value, n, sum_x / n AS mean,
+      |    sqrt(sum_x2 / n - (sum_x / n) * (sum_x / n)) AS sd
+      |  FROM w)
+      |SELECT event_id, user_id, value, mean, sd,
+      |  (value - mean) / sd AS z
+      |FROM m
+      |WHERE n >= 10 AND sd > 0 AND abs((value - mean) / sd) > 2.5""".stripMargin
+
+  /** 8-bit × 8-bit Z-order (Morton) interleave as a pure column
+    * expression — disjoint bit positions, so the OR is an exact
+    * integer sum on both engines. */
+  private def morton8(x: Column, y: Column): Column =
+    (0 until 8).map { i =>
+      (shiftleft(shiftright(x, i) .bitwiseAND(lit(1L)), 2 * i)
+        + shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Z-order layout keys: bucket two dimensions (user, event id) to
+    * 8 bits each, interleave into a 16-bit Morton key, and summarize
+    * the resulting 64-block layout (count, key range, exact value
+    * sum per block). At 100 TB the Morton key is the sort/cluster
+    * column a writer orders by so range predicates on EITHER
+    * dimension prune contiguous file ranges — the standard
+    * multidimensional-layout trick (Delta/Iceberg Z-ordering) that a
+    * plain single-column sort cannot give. The query itself is one
+    * shuffle on the 64-value block key. */
+  def qZorder(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("xb", pmod(col("user_id"), lit(256L)))
+      .withColumn("yb", pmod(col("event_id"), lit(256L)))
+      .withColumn("zkey", morton8(col("xb"), col("yb")))
+    ev.withColumn("block", shiftright(col("zkey"), 10))
+      .groupBy(col("block"))
+      .agg(count(lit(1)).as("n"),
+        min(col("zkey")).as("min_z"),
+        max(col("zkey")).as("max_z"),
+        dsum(col("value")).as("sum_value"))
+  }
+
+  val qZorderSql: String = {
+    val interleave = (0 until 8).map { i =>
+      s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT event_id, user_id, value,
+       |    user_id % 256 AS xb, event_id % 256 AS yb
+       |  FROM events),
+       |z AS (
+       |  SELECT value, ($interleave) AS zkey FROM b)
+       |SELECT zkey >> 10 AS block, COUNT(*) AS n,
+       |  MIN(zkey) AS min_z, MAX(zkey) AS max_z,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr_stats" -> (qCorrStats _),
+    "q_anomaly_zscore" -> (qAnomalyZscore _),
+    "q_zorder" -> (qZorder _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_corr_stats" -> qCorrStatsSql,
+    "q_anomaly_zscore" -> qAnomalyZscoreSql,
+    "q_zorder" -> qZorderSql,
+  )
+}

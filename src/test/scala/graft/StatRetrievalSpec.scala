@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{RetrievalQueries, StatQueries}
+
+class StatRetrievalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("corr stats agree with Spark's built-in corr/covar_pop") {
+    val ours = StatQueries.qCorrStats(spark, dir)
+      .select("event_type", "corr_xy", "cov_xy").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val ref = Tables.events(spark, dir)
+      .select(col("event_type"), hour(col("ts")).cast("double").as("x"), col("value").as("y"))
+      .groupBy("event_type")
+      .agg(corr(col("x"), col("y")).as("c"), covar_pop(col("x"), col("y")).as("cv"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(ours.keySet == ref.keySet)
+    for ((k, (c, cv)) <- ours) {
+      assert(math.abs(c - ref(k)._1) < 1e-9, s"$k corr: $c vs ${ref(k)._1}")
+      assert(math.abs(cv - ref(k)._2) < 1e-9, s"$k covar: $cv vs ${ref(k)._2}")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
+  test("anomaly z-scores all exceed the threshold and use per-user stats") {
+    val rows = StatQueries.qAnomalyZscore(spark, dir).collect()
+    assert(rows.forall(r => math.abs(r.getAs[Double]("z")) > 2.5))
+    // z recomputes from the reported mean/sd
+    rows.foreach { r =>
+      val z = (r.getAs[Double]("value") - r.getAs[Double]("mean")) / r.getAs[Double]("sd")
+      assert(z == r.getAs[Double]("z"))
+    }
+  }
+
+  test("morton interleave: hand-computed example and block totals") {
+    // x=3 (bits 0,1 -> z bits 0,2 = 5), y=5 (bits 0,2 -> z bits 1,5 = 34)
+    val z = spark.range(1)
+      .select((
+        (0 until 8).map { i =>
+          (shiftleft(shiftright(lit(3L), i).bitwiseAND(lit(1L)), 2 * i)
+            + shiftleft(shiftright(lit(5L), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        }.reduce(_ + _)).as("z")).head().getLong(0)
+    assert(z == 39L)
+    val blocks = StatQueries.qZorder(spark, dir).collect()
+    assert(blocks.forall(r => r.getAs[Long]("block") >= 0 && r.getAs[Long]("block") < 64))
+    val total = blocks.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.events(spark, dir).count())
+  }
+
+  test("tfidf returns exactly one deterministic top term per tokenized doc") {
+    val out = RetrievalQueries.qTfidf(spark, dir)
+    val nDocs = Tables.documents(spark, dir)
+      .where(size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")) > 0).count()
+    assert(out.count() == nDocs)
+    assert(out.groupBy("doc_id").count().where(col("count") > 1).count() == 0)
+    assert(out.where(col("score") <= 0).count() == 0)
+  }
+
+  test("bm25 yields 20 rows in strictly descending (score, doc_id) order") {
+    val rows = RetrievalQueries.qBm25(spark, dir).collect()
+      .map(r => (r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+    assert(rows.length == 20)
+    rows.sliding(2).foreach { case Array((s1, d1), (s2, d2)) =>
+      assert(s1 > s2 || (s1 == s2 && d1 < d2), s"order violated: ($s1,$d1) then ($s2,$d2)")
+    }
+    assert(rows.forall(_._1 > 0.0))
+  }
+
+  test("incremental dedup: no survivor's hash exists in the corpus half") {
+    val docs = Tables.documents(spark, dir).withColumn("h", md5(col("text")))
+    val corpusHashes = docs.where(pmod(col("doc_id"), lit(2L)) === 0)
+      .select("h").distinct().collect().map(_.getString(0)).toSet
+    val out = RetrievalQueries.qDedupIncremental(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => !corpusHashes.contains(r.getAs[String]("content_hash"))))
+    // survivors are unique per hash and come from the odd (batch) half
+    assert(out.map(_.getAs[String]("content_hash")).distinct.length == out.length)
+    assert(out.forall(_.getAs[Long]("doc_id") % 2 == 1))
+  }
+}
