@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed graph primitives for dedup-cluster resolution.
   *
@@ -68,7 +67,6 @@ object GraphOps {
     var prevSum = labelSum(labels)
     var converged = labels.isEmpty
     var it = 0
-    var prevCached: Option[DataFrame] = None
     while (!converged && it < maxIter) {
       val viaNeighbours = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("nid")).agg(min(col("lbl")).as("nlbl"))
@@ -76,22 +74,97 @@ object GraphOps {
         .join(viaNeighbours, labels("id") === viaNeighbours("nid"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // local mode: lazy persist — the labelSum aggregate below is the
-      // one job that both materializes this round's labels and decides
-      // convergence. Reliable mode: eager checkpoint first.
+      // local mode: LAZY localCheckpoint — the labelSum aggregate below
+      // is the one job that materializes this round's labels, decides
+      // convergence, AND truncates lineage (a plain persist would leave
+      // the logical plan growing by one join per round until analysis
+      // blows up on high-diameter graphs). Reliable mode: eager
+      // checkpoint first.
       val next =
         if (reliable) truncate(joined)
-        else joined.persist(StorageLevel.MEMORY_AND_DISK)
+        else joined.localCheckpoint(false)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
-      // the previous round's cache fed this round's join; safe to drop now
-      prevCached.foreach(_.unpersist(false))
-      prevCached = if (reliable) None else Some(next)
       prevSum = nextSum
       labels = next
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — public algorithm description).
+    *
+    * Why a second implementation: min-label propagation
+    * ([[connectedComponents]]) needs one round per unit of component
+    * DIAMETER, which is fine for near-clique duplicate clusters but
+    * degenerates on chain-shaped graphs (a 10⁶-hop path = 10⁶
+    * shuffles). The star rewrites contract paths doubly-logarithmically:
+    * each round every node re-points at the minimum of its
+    * neighbourhood, so round count is O(log n) REGARDLESS of shape —
+    * the form that survives adversarial graphs at corpus scale. Each
+    * half-round is one groupBy-min + one join, both keyed on node id.
+    *
+    * - large-star: every node connects its strictly-LARGER neighbours
+    *   to the minimum of its closed neighbourhood (keeps small→large
+    *   edges for the next step);
+    * - small-star: every node connects its smaller-or-equal
+    *   neighbours (and itself) to that minimum.
+    *
+    * Fixpoint: both rewrites leave the edge set unchanged — checked
+    * exactly via a two-sided anti-join emptiness test (no
+    * checksum-collision risk). At the fixpoint the graph is a star
+    * forest: every node points directly at its component's minimum.
+    *
+    * Output contract matches [[connectedComponents]] exactly: (id,
+    * lbl) for every node appearing in an edge (spec-pinned on path,
+    * clique, and random graphs).
+    */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val init = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+
+    // one star half-round: re-point `which` side of each closed
+    // neighbourhood at its minimum
+    def halfRound(g: DataFrame, large: Boolean): DataFrame = {
+      val sym = g.union(g.select(col("v").as("u"), col("u").as("v")))
+      // m(u) = min of closed neighbourhood Γ⁺(u)
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u").as("cu"), least(col("u"), col("mn")).as("m"))
+      val joined = sym.join(mins, sym("u") === mins("cu"))
+      val repointed =
+        if (large) joined.where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        else joined.where(col("v") <= col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(joined.select(col("u"), col("m").as("v")))
+      repointed.where(col("u") =!= col("v")).distinct()
+    }
+
+    def sameEdges(a: DataFrame, b: DataFrame): Boolean =
+      a.join(b, Seq("u", "v"), "left_anti").isEmpty &&
+        b.join(a, Seq("u", "v"), "left_anti").isEmpty
+
+    var g = init.localCheckpoint()
+    var it = 0
+    var converged = g.isEmpty
+    while (!converged && it < maxIter) {
+      val next = halfRound(halfRound(g, large = true), large = false).localCheckpoint()
+      converged = sameEdges(next, g)
+      g = next
+      it += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+    // star forest → labelling; roots label themselves
+    g.select(col("u").as("id"), col("v").as("lbl"))
+      .union(g.select(col("v").as("id"), col("v").as("lbl")))
+      .distinct()
   }
 }

@@ -422,6 +422,19 @@ object TextQueries {
       .withColumn("cluster_size", count(lit(1)).over(w))
   }
 
+  /** Same cluster resolution through the large-star/small-star CC
+    * engine path (GraphOps.connectedComponentsStar) — O(log n) rounds
+    * independent of component diameter, the shape-adversarial scale
+    * path. Shares q_dup_clusters' recursive-CTE oracle: both must
+    * reach the identical transitive-closure fixpoint. */
+  def qDupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qMinhashLsh(spark, dir).select(col("ida"), col("idb"))
+    val labels = graft.operators.GraphOps.connectedComponentsStar(pairs, "ida", "idb")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep"))
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+  }
+
   val qDupClustersSql: String = {
     val mins = (0 until 8).map(j => s"  min(md5('$j|' || shingle)) AS h$j").mkString(",\n")
     s"""WITH RECURSIVE $shinglesCte,
@@ -688,6 +701,7 @@ object TextQueries {
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_minhash_lsh_xx" -> (qMinhashLshXx _),
     "q_dup_clusters" -> (qDupClusters _),
+    "q_dup_clusters_star" -> (qDupClustersStar _),
     "q_simhash" -> (qSimhash _),
     "q_vocab_topk" -> (qVocabTopk _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -710,6 +724,7 @@ object TextQueries {
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_minhash_lsh_xx" -> qMinhashLshXxSql,
     "q_dup_clusters" -> qDupClustersSql,
+    "q_dup_clusters_star" -> qDupClustersSql,
     "q_simhash" -> qSimhashSql,
     "q_vocab_topk" -> qVocabTopkSql,
     "q_decontaminate" -> qDecontaminateSql,

@@ -54,6 +54,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint was written")
   }
 
+  test("large-star/small-star CC matches label propagation on path, clique, and random graphs") {
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.as[(Long, Long)].collect().toMap
+    // long path (diameter stress: star CC must finish in O(log n) rounds)
+    val path = (1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("src", "dst")
+    assert(labelsOf(GraphOps.connectedComponentsStar(path, "src", "dst"))
+      == labelsOf(GraphOps.connectedComponents(path, "src", "dst", maxIter = 60)))
+    // clique + disjoint pair
+    val clique = (for (i <- 1L to 6L; j <- (i + 1) to 6L) yield (i, j)) :+ ((100L, 101L))
+    val cliqueDf = clique.toDF("src", "dst")
+    assert(labelsOf(GraphOps.connectedComponentsStar(cliqueDf, "src", "dst"))
+      == labelsOf(GraphOps.connectedComponents(cliqueDf, "src", "dst")))
+    // deterministic pseudo-random graph, several components
+    val rng = new scala.util.Random(7)
+    val rand = (1 to 120).map(_ => (rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    assert(labelsOf(GraphOps.connectedComponentsStar(rand, "src", "dst"))
+      == labelsOf(GraphOps.connectedComponents(rand, "src", "dst")))
+  }
+
+  test("star CC on an empty edge set yields an empty labelling") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.connectedComponentsStar(empty, "src", "dst").count() == 0)
+  }
+
   test("q_dup_clusters representatives are cluster minima and sizes are consistent") {
     val df = SparkEntry.queries("q_dup_clusters")(spark, "/root/testdata/sf0.001")
     val rows = df.select("doc_id", "cluster_rep", "cluster_size")
