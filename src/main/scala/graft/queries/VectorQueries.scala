@@ -389,19 +389,33 @@ object VectorQueries {
   /** The 16 deterministic md5-ranked anchor vectors whose subvectors
     * form the PQ codebook — shared by the declared quantized path and
     * the l2_sq engine path so they can never drift. */
-  private def pqAnchors(e: DataFrame, kSub: Int = 16): DataFrame = {
-    // Global-top-k via orderBy+limit → TakeOrderedAndProject (per-partition
-    // top-16 map-side, tiny reduce) instead of a partition-less window that
-    // would funnel the whole table through one task. Codes are then assigned
-    // by sorting the 16 survivors inside a single collect_list — a global
-    // aggregate whose input is 16 rows, so no WindowExec anywhere.
+  /** The anchor-selection query: global top-16 by md5 rank via
+    * orderBy+limit → TakeOrderedAndProject (per-partition top-16
+    * map-side, 16-row reduce — never a partition-less window).
+    * Exposed for the plan-quality pin. */
+  private[graft] def pqAnchorSelection(e: DataFrame, kSub: Int = 16): DataFrame =
     e.select(col("vec_id"),
         md5(concat(lit("pq|"), col("vec_id").cast("string"))).as("mk"))
       .orderBy(col("mk"), col("vec_id"))
       .limit(kSub)
-      .agg(sort_array(collect_list(struct(col("mk"), col("vec_id")))).as("arr"))
-      .select(posexplode(col("arr")).as(Seq("code", "s")))
-      .select(col("s.vec_id").as("aid"), col("code").cast("int").as("code"))
+
+  private def pqAnchors(e: DataFrame, kSub: Int = 16): DataFrame = {
+    // Run the TakeOrderedAndProject selection ONCE and land its 16 rows
+    // on the driver (bounded driver control flow, like the CC convergence
+    // aggregate), then re-emit them as a broadcast-able local relation.
+    // Leaving the selection inline instead would duplicate a
+    // full-table-scan subtree into every one of the four places the
+    // codebook feeds — measured 30× slower at sf0.1 in a long-lived
+    // session — whereas a 16-row local relation costs nothing to rejoin.
+    val spark = e.sparkSession
+    import spark.implicits._
+    val picked = pqAnchorSelection(e, kSub).collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+      .sorted
+      .zipWithIndex
+      .map { case ((_, vecId), code) => (vecId, code) }
+      .toSeq
+    picked.toDF("aid", "code")
   }
 
   /** Engine-path PQ encoder: one fused [[graft.expressions.L2Squared]]

@@ -95,8 +95,13 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("PQ anchor selection plans as TakeOrderedAndProject, not a global window") {
-    val p = executedPlan("q_pq_search")
+    // the selection runs as its own bounded driver-side job; the main
+    // q_pq_search plan then rejoins the 16 anchors as a local relation
+    val e = Tables.embeddings(spark, dir)
+    val sel = queries.VectorQueries.pqAnchorSelection(e)
+    val p = sel.queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("whole-stage codegen covers the scan+filter+project pipeline") {
