@@ -42,14 +42,22 @@ object Bench {
     catch { case _: Throwable => () }
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    def pass(): Map[String, (Double, Option[String])] = ordered.map { case (name, fn) =>
+    def pass(qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)]):
+        Map[String, (Double, Option[String])] = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
                 catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       name -> (((System.nanoTime() - t0) / 1e9, err))
     }.toMap
-    val p1 = pass()
-    val p2 = pass()
+    // pass 2 runs in REVERSE order: external noise on a shared box
+    // arrives in contiguous TIME windows, which under a repeated
+    // ordering hit the same alphabetical neighbourhood twice — the
+    // per-query min then can't suppress it (observed: a steal-time
+    // window inflating the same queries 10-30x in both passes).
+    // Opposite orderings make the two passes' noise windows cover
+    // disjoint query sets, so min-of-passes recovers the true timing.
+    val p1 = pass(ordered)
+    val p2 = pass(ordered.reverse)
     // per-query min ACROSS the two passes; a run that errored never
     // contributes a timing, and a query only counts as errored if it
     // failed in BOTH passes (a transient blip must not mask success)
