@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -90,64 +90,75 @@ object RetrievalQueries {
     // parser's reading of "2.2")
     val (k1, b) = (1.2, 0.75)
     val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), explode(terms("text")).as("term"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = toks
-      .where(col("term").isin("spark", "query", "vector"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val part = tf
-      .join(broadcast(df), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf_r",
-        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5)))
-      .withColumn("tscore",
-        col("idf_r") * (col("tf").cast("double") * lit(2.2)) /
-          (col("tf").cast("double") +
-            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
-    part.groupBy(col("doc_id"))
-      .agg(
-        coalesce(max(when(col("term") === "spark", col("tscore"))), lit(0.0)).as("s1"),
-        coalesce(max(when(col("term") === "query", col("tscore"))), lit(0.0)).as("s2"),
-        coalesce(max(when(col("term") === "vector", col("tscore"))), lit(0.0)).as("s3"))
-      .withColumn("score", col("s1") + col("s2") + col("s3"))
+    // ONE explode + ONE per-doc aggregation carries everything: the
+    // document length and each query term's tf as conditional counts —
+    // no second tokenization pass, no (doc,term) join
+    val perDoc = docs
+      .select(col("doc_id"), explode(terms("text")).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        count(when(col("term") === "spark", 1)).as("tf1"),
+        count(when(col("term") === "query", 1)).as("tf2"),
+        count(when(col("term") === "vector", 1)).as("tf3"))
+    // corpus stats + per-term dfs: one 1-row aggregate over the per-doc
+    // table, broadcast back to every row
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      count(when(col("tf1") > 0, 1)).as("df1"),
+      count(when(col("tf2") > 0, 1)).as("df2"),
+      count(when(col("tf3") > 0, 1)).as("df3"))
+    def idfR(dfc: Column, n: Column): Column =
+      (n.cast("double") - dfc.cast("double") + lit(0.5)) / (dfc.cast("double") + lit(0.5))
+    def tscore(tf: Column, dfc: Column): Column = {
+      val norm = tf.cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))
+      when(tf > 0, idfR(dfc, col("n_docs")) * (tf.cast("double") * lit(2.2)) / norm)
+        .otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score",
+        tscore(col("tf1"), col("df1")) + tscore(col("tf2"), col("df2"))
+          + tscore(col("tf3"), col("df3")))
+      .where(col("score") > 0.0)
       .select("doc_id", "score")
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(20)
   }
 
-  val qBm25Sql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
-      |  FROM documents),
-      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
-      |stats AS (SELECT COUNT(*) AS n_docs,
-      |            CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
-      |tf AS (
-      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
-      |  WHERE term IN ('spark', 'query', 'vector') GROUP BY doc_id, term),
-      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-      |part AS (
-      |  SELECT tf.doc_id, tf.term,
-      |    ((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
-      |      / (CAST(df.df AS DOUBLE) + 0.5))
-      |    * (CAST(tf.tf AS DOUBLE) * 2.2)
-      |    / (CAST(tf.tf AS DOUBLE)
-      |       + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS tscore
-      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
-      |s AS (
-      |  SELECT doc_id,
-      |    COALESCE(MAX(CASE WHEN term = 'spark'  THEN tscore END), 0.0) AS s1,
-      |    COALESCE(MAX(CASE WHEN term = 'query'  THEN tscore END), 0.0) AS s2,
-      |    COALESCE(MAX(CASE WHEN term = 'vector' THEN tscore END), 0.0) AS s3
-      |  FROM part GROUP BY doc_id)
-      |SELECT doc_id, s1 + s2 + s3 AS score
-      |FROM s ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+  val qBm25Sql: String = {
+    def tscore(tf: String, df: String): String =
+      s"""CASE WHEN $tf > 0 THEN
+         |      ((CAST(n_docs AS DOUBLE) - CAST($df AS DOUBLE) + 0.5)
+         |        / (CAST($df AS DOUBLE) + 0.5))
+         |      * (CAST($tf AS DOUBLE) * 2.2)
+         |      / (CAST($tf AS DOUBLE)
+         |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+         |    ELSE 0.0 END""".stripMargin
+    s"""WITH per_doc AS (
+       |  SELECT doc_id, COUNT(*) AS dl,
+       |    COUNT(CASE WHEN term = 'spark'  THEN 1 END) AS tf1,
+       |    COUNT(CASE WHEN term = 'query'  THEN 1 END) AS tf2,
+       |    COUNT(CASE WHEN term = 'vector' THEN 1 END) AS tf3
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+       |        FROM documents)
+       |  GROUP BY doc_id),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+       |    COUNT(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+       |    COUNT(CASE WHEN tf2 > 0 THEN 1 END) AS df2,
+       |    COUNT(CASE WHEN tf3 > 0 THEN 1 END) AS df3
+       |  FROM per_doc)
+       |SELECT doc_id, score FROM (
+       |  SELECT doc_id,
+       |    ${tscore("tf1", "df1")}
+       |    + ${tscore("tf2", "df2")}
+       |    + ${tscore("tf3", "df3")} AS score
+       |  FROM per_doc CROSS JOIN stats)
+       |WHERE score > 0.0
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
 
   /** Incremental (batch-vs-corpus) exact dedup — the CCNet-style
     * daily-crawl shape: new documents (odd doc_id here) survive only
