@@ -29,21 +29,23 @@ object RetrievalQueries {
     expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")
 
   /** Top TF-IDF term per document. Shape at scale: the (doc, term)
-    * tf aggregation shuffles on the composite key; df is a second
-    * aggregation on term alone; N is a 1-row aggregate joined in by
-    * broadcast; the final per-doc argmax is a window PARTITIONED by
-    * doc_id (never global). Ties break on term asc so the winner is
-    * unique and deterministic. */
+    * tf aggregation shuffles on the composite key; df comes from a
+    * count window PARTITIONED by term over the same tf rows (one
+    * shuffle, no recompute of the tf subtree); N is a 1-row aggregate
+    * joined in by broadcast; the final per-doc argmax is a window
+    * PARTITIONED by doc_id (never global). Ties break on term asc so
+    * the winner is unique and deterministic. */
   def qTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tf = docs
       .select(col("doc_id"), explode(terms("text")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df as a window over the SAME tf rows (one shuffle on term) —
+    // a separate groupBy+join would recompute the tf aggregate twice
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(df, "term")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") *
@@ -61,13 +63,16 @@ object RetrievalQueries {
       |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
       |        FROM documents)
       |  GROUP BY doc_id, term),
-      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |withdf AS (
+      |  SELECT doc_id, term, tf,
+      |    COUNT(*) OVER (PARTITION BY term) AS df
+      |  FROM tf),
       |scored AS (
-      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
-      |    CAST(tf.tf AS DOUBLE) *
-      |      ((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) AS score
-      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |  SELECT doc_id, term, tf, df,
+      |    CAST(tf AS DOUBLE) *
+      |      ((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS score
+      |  FROM withdf CROSS JOIN n),
       |ranked AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
       |    ORDER BY score DESC, term ASC) AS rk
