@@ -128,6 +128,22 @@ object StreamingPipelines {
       key: String): DataFrame =
     stream.join(dim, Seq(key), "left")
 
+  /** Stream-static incremental dedup — the continuous form of
+    * q_dedup_incremental's daily-crawl shape: arriving documents
+    * survive only if their content hash is absent from the static
+    * corpus index (a hash-only table — no text on the static side),
+    * via a stream-static LEFT ANTI join planned per micro-batch.
+    * Combined with [[streamingDedup]] upstream this gives both
+    * within-stream and against-corpus dedup at landing time. The
+    * anti join keeps no streaming state: at 100 TB the corpus index
+    * is a hash-partitioned parquet table Spark shuffles or
+    * broadcasts per batch, and refreshing it (after a batch
+    * compaction folds new hashes in) is just re-reading the static
+    * source. */
+  def dedupAgainstCorpus(stream: DataFrame, corpusHashes: DataFrame,
+      hashCol: String): DataFrame =
+    stream.join(corpusHashes, Seq(hashCol), "left_anti")
+
   /** One micro-batch of the landing-zone ingest, written
     * idempotently: the batch lands in its own `batch_id=<n>`
     * partition directory with overwrite mode, so a retry of the same

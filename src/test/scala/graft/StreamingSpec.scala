@@ -109,6 +109,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static anti join drops documents whose hash is already in the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("h1", "h3").toDF("content_hash")
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val q = StreamingPipelines.dedupAgainstCorpus(
+        in.toDF().toDF("ts", "content_hash", "doc_id"), corpus, "content_hash")
+      .writeStream.format("memory").queryName("inc_dedup").outputMode("append").start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "h1", 10L), // known -> dropped
+        (Timestamp.valueOf("2024-01-01 10:00:01"), "h2", 11L)) // novel -> kept
+      q.processAllAvailable()
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:01:00"), "h3", 12L), // known -> dropped
+        (Timestamp.valueOf("2024-01-01 10:01:01"), "h4", 13L)) // novel -> kept
+      q.processAllAvailable()
+      val kept = spark.table("inc_dedup").select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept == Set(11L, 13L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("runningStats carries exact integer state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
