@@ -67,13 +67,22 @@ object GraphOps {
     var prevSum = labelSum(labels)
     var converged = labels.isEmpty
     var it = 0
-    while (!converged && it < maxIter) {
-      val viaNeighbours = sym.join(labels, sym("src") === labels("id"))
+    // one min-label propagation step (no materialization)
+    def step(ls: DataFrame): DataFrame = {
+      val viaNeighbours = sym.join(ls, sym("src") === ls("id"))
         .groupBy(col("dst").as("nid")).agg(min(col("lbl")).as("nlbl"))
-      val joined = labels
-        .join(viaNeighbours, labels("id") === viaNeighbours("nid"), "left")
+      ls.join(viaNeighbours, ls("id") === viaNeighbours("nid"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+    }
+    while (!converged && it < maxIter) {
+      // TWO propagation steps per materialized round: labels cross two
+      // hops per job, halving the scheduling/materialization barriers
+      // for a given diameter. The plan per round holds exactly two
+      // join+agg pairs (bounded — lineage still truncates each round),
+      // and the monotone label-sum convergence test is unaffected (a
+      // fixpoint is a fixpoint of the composed step too).
+      val joined = step(step(labels))
       // local mode: LAZY localCheckpoint — the labelSum aggregate below
       // is the one job that materializes this round's labels, decides
       // convergence, AND truncates lineage (a plain persist would leave

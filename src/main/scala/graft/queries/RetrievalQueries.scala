@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.queries.Exact._
 
 /** Retrieval / curation surface over the documents table: TF-IDF
   * term weighting, BM25-style ranking, and incremental
