@@ -222,6 +222,54 @@ object RelationalQueries {
        |WHERE l.l_quantity < 2e-1 * a.aq
        |GROUP BY 1""".stripMargin
 
+  /** TPC-H Q5 shape (local-supplier revenue by nation): the classic
+    * snowflake probe — region→nation filter chain BROADCASTS down the
+    * dimension arms, orders carries the pushed date-range filter into
+    * its scan, and the one big fact table (lineitem) joins customer
+    * orders AND suppliers with the locality condition
+    * c_nationkey = s_nationkey applied as a post-join predicate. At
+    * 100 TB only lineitem⋈orders shuffles; every dimension side is
+    * broadcast (plan-pinned). Revenue is floor-quantized
+    * ([[Exact.qsum]]) like Q3. */
+  def qTpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val asia = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(Exact.qsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  val qTpchQ5Sql: String =
+    s"""SELECT n.n_name,
+       |  ${Exact.qsumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |WHERE r.r_name = 'ASIA'
+       |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+       |  AND c.c_nationkey = s.s_nationkey
+       |GROUP BY 1""".stripMargin
+
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir).select(col("o_custkey"))
@@ -419,6 +467,7 @@ object RelationalQueries {
     "q_semi_anti" -> (qSemiAnti _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q17" -> (qTpchQ17 _),
+    "q_tpch_q5" -> (qTpchQ5 _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_window_running" -> (qWindowRunning _),
     "q_monthly_median" -> (qMonthlyMedian _),
@@ -440,6 +489,7 @@ object RelationalQueries {
     "q_semi_anti" -> qSemiAntiSql,
     "q_tpch_q3" -> qTpchQ3Sql,
     "q_tpch_q17" -> qTpchQ17Sql,
+    "q_tpch_q5" -> qTpchQ5Sql,
     "q_topk_per_group" -> qTopkPerGroupSql,
     "q_window_running" -> qWindowRunningSql,
     "q_monthly_median" -> qMonthlyMedianSql,
