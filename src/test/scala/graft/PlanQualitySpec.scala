@@ -60,6 +60,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("TPC-H Q5 broadcasts the dimension arms and pushes the date range") {
+    val p = executedPlan("q_tpch_q5")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("vocab top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = executedPlan("q_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
