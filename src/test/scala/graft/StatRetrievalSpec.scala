@@ -49,6 +49,21 @@ class StatRetrievalSpec extends SparkSpec {
     assert(total == Tables.events(spark, dir).count())
   }
 
+  test("morton interleave is a bijection over the full 8-bit x 8-bit domain") {
+    // every (x, y) in [0,255]^2 maps to a distinct key in [0, 65535] —
+    // the property that makes the key a lossless cluster/sort column
+    val keys = spark.range(65536)
+      .select((col("id") % 256).as("xb"), (col("id") / 256).cast("long").as("yb"))
+      .select((
+        (0 until 8).map { i =>
+          (shiftleft(shiftright(col("xb"), i).bitwiseAND(lit(1L)), 2 * i)
+            + shiftleft(shiftright(col("yb"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        }.reduce(_ + _)).as("z"))
+    assert(keys.distinct().count() == 65536L)
+    val mm = keys.agg(min(col("z")), max(col("z"))).head()
+    assert(mm.getLong(0) == 0L && mm.getLong(1) == 65535L)
+  }
+
   test("tfidf returns exactly one deterministic top term per tokenized doc") {
     val out = RetrievalQueries.qTfidf(spark, dir)
     val nDocs = Tables.documents(spark, dir)
