@@ -193,15 +193,56 @@ object RetrievalQueries {
       |WHERE content_hash NOT IN (SELECT content_hash FROM corpus)
       |GROUP BY content_hash""".stripMargin
 
+  /** Corpus-statistics quality signal (the Gopher/C4-style filter
+    * family): a document's mean unigram probability under the
+    * corpus's own token distribution. Machine-generated or
+    * boilerplate text skews toward very common tokens (high
+    * typicality); OCR noise and garbage skew rare (low) — both tails
+    * get cut by a curation gate. Shape at scale: token counts are one
+    * aggregation keyed on the token; the per-token probability join
+    * shuffles on the same key; the per-doc mean is a second keyed
+    * aggregation. The 1-row total broadcasts. Probabilities are
+    * floor-quantized at 1e-9 before the mean (computed doubles
+    * aggregated across engines — same rule as Exact.qmean, finer
+    * grain because unigram probabilities are small). */
+  def qUnigramTypicality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(terms("text")).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total_tokens"))
+    toks.join(vocab, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("p", col("cnt").cast("double") / col("total_tokens").cast("double"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(floor(col("p") * lit(1000000000.0)).cast("long")).cast("double")
+          / lit(1000000000.0) / count(lit(1))).as("typicality"))
+  }
+
+  val qUnigramTypicalitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      |  FROM documents),
+      |vocab AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+      |total AS (SELECT COUNT(*) AS total_tokens FROM toks)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CAST(FLOOR((CAST(cnt AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+      |        * 1000000000.0) AS BIGINT)) AS DOUBLE)
+      |    / 1000000000.0 / COUNT(*) AS typicality
+      |FROM toks JOIN vocab USING (token) CROSS JOIN total
+      |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_unigram_typicality" -> (qUnigramTypicality _),
   )
 
   val oracle: Map[String, String] = Map(
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
+    "q_unigram_typicality" -> qUnigramTypicalitySql,
   )
 }

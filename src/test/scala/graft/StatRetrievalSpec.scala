@@ -83,6 +83,21 @@ class StatRetrievalSpec extends SparkSpec {
     assert(rows.forall(_._1 > 0.0))
   }
 
+  test("unigram typicality is a probability-mean: bounded and count-consistent") {
+    val rows = RetrievalQueries.qUnigramTypicality(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Double]("typicality")
+      assert(t > 0.0 && t < 1.0, s"typicality out of range: $t")
+    }
+    // token counts agree with an independent tokenization
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val expected = Tables.documents(spark, dir)
+      .select(size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(total == expected)
+  }
+
   test("incremental dedup: no survivor's hash exists in the corpus half") {
     val docs = Tables.documents(spark, dir).withColumn("h", md5(col("text")))
     val corpusHashes = docs.where(pmod(col("doc_id"), lit(2L)) === 0)
