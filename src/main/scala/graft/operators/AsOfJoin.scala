@@ -39,12 +39,21 @@ object AsOfJoin {
   def nearest(anchors: DataFrame, source: DataFrame, keys: Seq[String],
               anchorTs: String, sourceTs: String, toleranceMs: Long,
               tieBreak: String): DataFrame = {
-    val dist = abs(unix_millis(source(sourceTs)) - unix_millis(anchors(anchorTs)))
-    val cond = keys.map(k => anchors(k) === source(k)).reduce(_ && _) &&
+    // Explicit aliases on both sides: when anchors and source derive
+    // from the same base plan (the common monthly-spine case),
+    // `anchors(k) === source(k)` is a trivially-true self-comparison
+    // that only works via Spark's legacy dataset-id disambiguation
+    // (and warns). Alias-qualified refs are unambiguous by
+    // construction, on every Spark version.
+    val a = anchors.alias("_asof_a")
+    val s = source.alias("_asof_s")
+    val dist = abs(unix_millis(col(s"_asof_s.$sourceTs")) -
+      unix_millis(col(s"_asof_a.$anchorTs")))
+    val cond = keys.map(k => col(s"_asof_a.$k") === col(s"_asof_s.$k")).reduce(_ && _) &&
       dist <= toleranceMs
-    var joined = anchors.join(source, cond, "left")
+    var joined = a.join(s, cond, "left")
       .withColumn("dist", abs(unix_millis(col(sourceTs)) - unix_millis(col(anchorTs))))
-    for (k <- keys) joined = joined.drop(source(k))
+    for (k <- keys) joined = joined.drop(col(s"_asof_s.$k"))
     val anchorKeyCols: Seq[Column] = keys.map(col) :+ col(anchorTs)
     val w = Window.partitionBy(anchorKeyCols: _*)
       .orderBy(col("dist").asc_nulls_last, col(tieBreak).asc_nulls_last)

@@ -86,12 +86,19 @@ object OlapExtraQueries {
   /** Deterministic ("seeded") shuffle — the reference's
     * `wds.shuffle(1000, rng)` with a fixed seed (dataops/dataset.py:
     * 270-276): ordering by a keyed hash gives a reproducible
-    * permutation with no RNG state, stable under any partitioning. */
+    * permutation with no RNG state, stable under any partitioning.
+    *
+    * Both declared forms run through the corpus-scale engine path
+    * ([[graft.operators.ScaleOps.deterministicShuffle]]: ONE
+    * range-partition shuffle + per-partition sort + partition-offset
+    * rank — never a partition-less window), graded against DuckDB's
+    * global ROW_NUMBER. The bounded variant keeps the historical
+    * event_id < 300 slice for round-over-round comparability; the
+    * corpus-wide [[qShuffleRank]] is the scale form. */
   def qDeterministicShuffle(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(md5(concat(lit("seed42|"), col("event_id"))), col("event_id"))
-    Tables.events(spark, dir)
-      .filter(col("event_id") < 300)
-      .withColumn("shuffle_rank", row_number().over(w))
+    graft.operators.ScaleOps.deterministicShuffle(
+        Tables.events(spark, dir).filter(col("event_id") < 300).select("event_id"),
+        "event_id", "seed42")
       .select("event_id", "shuffle_rank")
   }
 
@@ -100,6 +107,23 @@ object OlapExtraQueries {
       |  ROW_NUMBER() OVER (ORDER BY md5('seed42|' || CAST(event_id AS VARCHAR)), event_id)
       |    AS shuffle_rank
       |FROM events WHERE event_id < 300""".stripMargin
+
+  /** Corpus-wide seeded shuffle rank over the FULL events table — the
+    * unbounded form whose global permutation a single window could
+    * not assign at scale. Rank assignment is partition-offset style
+    * (zipWithIndex contract); the oracle states the same total order
+    * as one global ROW_NUMBER. */
+  def qShuffleRank(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.ScaleOps.deterministicShuffle(
+        Tables.events(spark, dir).select("event_id"), "event_id", "seed42")
+      .select("event_id", "shuffle_rank")
+  }
+
+  val qShuffleRankSql: String =
+    """SELECT event_id,
+      |  ROW_NUMBER() OVER (ORDER BY md5('seed42|' || CAST(event_id AS VARCHAR)), event_id)
+      |    AS shuffle_rank
+      |FROM events""".stripMargin
 
   /** Cyclic month index — `fmod(arange(m, m+seq), 12)`
     * (presto.py:203-214): 12 positions from each entity's start
@@ -250,6 +274,7 @@ object OlapExtraQueries {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_json_extract" -> (qJsonExtract _),
     "q_deterministic_shuffle" -> (qDeterministicShuffle _),
+    "q_shuffle_rank" -> (qShuffleRank _),
     "q_cyclic_index" -> (qCyclicIndex _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
@@ -263,6 +288,7 @@ object OlapExtraQueries {
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_deterministic_shuffle" -> qDeterministicShuffleSql,
+    "q_shuffle_rank" -> qShuffleRankSql,
     "q_cyclic_index" -> qCyclicIndexSql,
     "q_pivot" -> qPivotSql,
     "q_unpivot" -> qUnpivotSql,

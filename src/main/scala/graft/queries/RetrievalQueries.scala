@@ -186,8 +186,8 @@ object RetrievalQueries {
 
   val qDedupIncrementalSql: String =
     """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
-      |corpus AS (SELECT content_hash FROM h WHERE doc_id % 2 = 0),
-      |batch AS (SELECT * FROM h WHERE doc_id % 2 = 1)
+      |corpus AS (SELECT content_hash FROM h WHERE ((doc_id % 2) + 2) % 2 = 0),
+      |batch AS (SELECT * FROM h WHERE ((doc_id % 2) + 2) % 2 = 1)
       |SELECT MIN(doc_id) AS doc_id, content_hash, COUNT(*) AS n_batch_dups
       |FROM batch
       |WHERE content_hash NOT IN (SELECT content_hash FROM corpus)

@@ -47,7 +47,16 @@ object StatQueries {
         col("syy") / col("n") - col("mean_y") * col("mean_y"))
       .withColumn("cov_xy",
         col("sxy") / col("n") - col("mean_x") * col("mean_y"))
-      .withColumn("corr_xy", col("cov_xy") / sqrt(col("var_x") * col("var_y")))
+      // degenerate groups (constant x or constant y) have zero — or, from
+      // floating cancellation, tiny-negative — variance; the unguarded
+      // ratio is then 0/0 → NaN in Spark while DuckDB may error on
+      // sqrt(negative). Both engines compute var_* by the identical IEEE
+      // sequence, so guarding on the SAME comparison keeps the branch
+      // decision bit-identical cross-engine: degenerate → NULL.
+      .withColumn("corr_xy",
+        when(col("var_x") > 0 && col("var_y") > 0,
+          col("cov_xy") / sqrt(col("var_x") * col("var_y")))
+          .otherwise(lit(null).cast("double")))
       .select("event_type", "n", "mean_x", "mean_y", "var_x", "var_y", "cov_xy", "corr_xy")
   }
 
@@ -69,8 +78,10 @@ object StatQueries {
        |  exx - mean_x * mean_x AS var_x,
        |  eyy - mean_y * mean_y AS var_y,
        |  exy - mean_x * mean_y AS cov_xy,
-       |  (exy - mean_x * mean_y)
-       |    / sqrt((exx - mean_x * mean_x) * (eyy - mean_y * mean_y)) AS corr_xy
+       |  CASE WHEN (exx - mean_x * mean_x) > 0 AND (eyy - mean_y * mean_y) > 0
+       |    THEN (exy - mean_x * mean_y)
+       |      / sqrt((exx - mean_x * mean_x) * (eyy - mean_y * mean_y))
+       |    ELSE NULL END AS corr_xy
        |FROM m""".stripMargin
 
   /** Per-user z-score anomaly flagging: one window shuffle keyed on
@@ -122,7 +133,11 @@ object StatQueries {
     }.reduce(_ + _)
 
   /** Z-order layout keys: bucket two dimensions (user, event id) to
-    * 8 bits each, interleave into a 16-bit Morton key, and summarize
+    * 8 bits each (engine uses `pmod`, always non-negative; the oracle
+    * spells the same semantics as ((x % 256) + 256) % 256 because
+    * DuckDB's % takes the dividend's sign — identical for the
+    * non-negative testdata ids AND for any future negative ones),
+    * interleave into a 16-bit Morton key, and summarize
     * the resulting 64-block layout (count, key range, exact value
     * sum per block). At 100 TB the Morton key is the sort/cluster
     * column a writer orders by so range predicates on EITHER
@@ -150,7 +165,8 @@ object StatQueries {
     }.mkString(" + ")
     s"""WITH b AS (
        |  SELECT event_id, user_id, value,
-       |    user_id % 256 AS xb, event_id % 256 AS yb
+       |    ((user_id % 256) + 256) % 256 AS xb,
+       |    ((event_id % 256) + 256) % 256 AS yb
        |  FROM events),
        |z AS (
        |  SELECT value, ($interleave) AS zkey FROM b)

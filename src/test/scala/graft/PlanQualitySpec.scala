@@ -90,10 +90,11 @@ class PlanQualitySpec extends SparkSpec {
 
   test("no declared query plans a partition-less window over unbounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
-    // Documented exemptions — rank assigned AFTER the input is bounded to a
-    // literal handful of rows: q_deterministic_shuffle (event_id < 300) and
-    // q_vocab_topk (limit(100) survivors).
-    val exempt = Set("q_deterministic_shuffle", "q_vocab_topk")
+    // Documented exemption — rank assigned AFTER the input is bounded to a
+    // literal handful of rows: q_vocab_topk (limit(100) survivors). The
+    // deterministic-shuffle queries now run the ScaleOps partition-offset
+    // engine path and need no exemption.
+    val exempt = Set("q_vocab_topk")
     for ((name, q) <- SparkEntry.queries if !exempt(name)) {
       val bad = q(spark, dir).queryExecution.optimizedPlan.collect {
         case w: LogicalWindow if w.partitionSpec.isEmpty => w.simpleString(80)
@@ -110,6 +111,29 @@ class PlanQualitySpec extends SparkSpec {
     val p = sel.queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Window"), p)
+  }
+
+  test("as-of join plans as a keyed equi-join, never a nested-loop") {
+    // the aliased self-join rewrite must keep the equi-keys: a lost
+    // key predicate would silently degenerate to NLJ-with-filter.
+    // (q_month_spine also embeds AsOfJoin but its SPINE generation is an
+    // intended broadcast cross of two tiny distinct sets, so the no-NLJ
+    // assertion is only meaningful here.)
+    val p = executedPlan("q_asof_nearest")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"q_asof_nearest lost its equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q_asof_nearest degenerated to NLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q_asof_nearest:\n$p")
+  }
+
+  test("deterministic shuffle queries carry no Window anywhere in the plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    for (q <- Seq("q_deterministic_shuffle", "q_shuffle_rank")) {
+      val wins = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow => w.simpleString(80)
+      }
+      assert(wins.isEmpty, s"$q plans a Window:\n${wins.mkString("\n")}")
+    }
   }
 
   test("whole-stage codegen covers the scan+filter+project pipeline") {

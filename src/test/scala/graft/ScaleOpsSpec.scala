@@ -20,16 +20,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(joined.count() == expected)
   }
 
-  test("partition-offset deterministic shuffle matches the declared bounded query") {
+  test("partition-offset deterministic shuffle matches a global-window reference") {
+    // the semantics pin: the engine path (range partition + local sort +
+    // partition-offset rank) must equal one global ROW_NUMBER over the
+    // same (md5 key, id) total order — the form the declared queries'
+    // DuckDB oracle states
     val dir = "/root/testdata/sf0.001"
-    val declared = queries.OlapExtraQueries.qDeterministicShuffle(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
-    val engine = ScaleOps.deterministicShuffle(
-        Tables.events(spark, dir).filter(col("event_id") < 300)
-          .select("event_id"), "event_id", "seed42", numPartitions = 5)
+    val bounded = Tables.events(spark, dir)
+      .filter(col("event_id") < 300).select("event_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(concat(lit("seed42|"), col("event_id"))), col("event_id"))
+    val reference = bounded
+      .withColumn("shuffle_rank", row_number().over(w).cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(engine == declared,
-      s"engine path diverges from declared query: ${(engine diff declared).take(5)}")
+    val engine = ScaleOps.deterministicShuffle(bounded, "event_id", "seed42",
+        numPartitions = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(engine == reference,
+      s"engine path diverges from window reference: ${(engine diff reference).take(5)}")
   }
 
   test("deterministic shuffle is partition-count-invariant and a full permutation corpus-wide") {
