@@ -21,6 +21,17 @@ package graft
   *    window). So the bench makes TWO full passes over all queries
   *    and reports the per-query minimum across passes — a slow
   *    window during pass 1 is recovered by pass 2 landing elsewhere.
+  *  - A steal-time window long enough to span BOTH passes defeats
+  *    min-of-2 (observed: one capture recorded 165.9 s for a binary
+  *    that measures 67.8-105 s in quiet windows). Defense: a
+  *    committed per-query reference (BENCH_REF.json, falling back to
+  *    the last BENCH_DETAIL.json) gives each query an expected
+  *    timing; any query whose min-of-2 still exceeds 3x its
+  *    reference is re-run (up to 2 more times) and the overall min
+  *    taken. Every such query carries a "noisy" retry count in the
+  *    detail file and the printed line carries the total, so a
+  *    number that REMAINS inflated is visibly flagged rather than
+  *    silently trusted.
   *
   * A warmup query runs first (untimed) so the first measured query
   * doesn't absorb JVM/codegen/session startup; queries run in sorted
@@ -31,6 +42,29 @@ package graft
   */
 object Bench {
   private val MaxLineChars = 1500
+
+  /** Per-query reference seconds from the committed quiet-window run.
+    * BENCH_REF.json is the deliberately-committed reference (bench
+    * never writes it); BENCH_DETAIL.json is the fallback so a fresh
+    * checkout without a ref still self-calibrates against its own
+    * last run. Parsed leniently (regex, not a JSON lib): a malformed
+    * file must degrade to "no retries", never crash the bench. */
+  private def loadReference(): Map[String, Double] = {
+    val path = Seq("BENCH_REF.json", "BENCH_DETAIL.json")
+      .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.exists(_))
+    path match {
+      case None => Map.empty
+      case Some(p) =>
+        try {
+          val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val entry = """"([A-Za-z0-9_]+)":\{"sec":(-?[0-9.]+)""".r
+          entry.findAllMatchIn(text)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(_._2 > 0)
+            .toMap
+        } catch { case _: Throwable => Map.empty }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,7 +95,7 @@ object Bench {
     // per-query min ACROSS the two passes; a run that errored never
     // contributes a timing, and a query only counts as errored if it
     // failed in BOTH passes (a transient blip must not mask success)
-    val results: Seq[(String, Double, Option[String])] = ordered.map { case (name, _) =>
+    val minOf2: Seq[(String, Double, Option[String])] = ordered.map { case (name, _) =>
       val (t1, e1) = p1(name); val (t2, e2) = p2(name)
       (e1, e2) match {
         case (Some(x), Some(_)) => (name, -1.0, Some(x))
@@ -70,18 +104,43 @@ object Bench {
         case (None, None)       => (name, math.min(t1, t2), None)
       }
     }
-    val total = results.collect { case (_, v, None) => v }.sum
+    // targeted third/fourth runs: a noise window spanning both passes
+    // leaves min-of-2 inflated; re-time any query still 3x over its
+    // committed reference (0.5 s absolute floor so sub-second jitter
+    // doesn't trigger re-runs) and keep the overall min. retries > 0
+    // marks the query as having needed noise recovery.
+    val reference = loadReference()
+    val byName = ordered.toMap
+    val results: Seq[(String, Double, Option[String], Int)] = minOf2.map {
+      case (name, v, err) =>
+        var cur = v
+        var retries = 0
+        val needsRetry = (t: Double) =>
+          err.isEmpty && reference.get(name).exists(r => t > 3 * r && t > 0.5)
+        while (needsRetry(cur) && retries < 2) {
+          val t0 = System.nanoTime()
+          val ok = try { byName(name)(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          if (ok) cur = math.min(cur, (System.nanoTime() - t0) / 1e9)
+          retries += 1
+        }
+        (name, cur, err, retries)
+    }
+    val total = results.collect { case (_, v, None, _) => v }.sum
+    val noisyCount = results.count(_._4 > 0)
 
     def sec3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def msInt(v: Double): Long = math.round(v * 1000)
 
-    // full-precision detail file: every query, both raw pass timings
-    val detail = results.map { case (k, v, err) =>
+    // full-precision detail file: every query, both raw pass timings,
+    // plus the retry count for queries that needed noise recovery
+    val detail = results.map { case (k, v, err, retries) =>
       val raw1 = sec3(p1(k)._1); val raw2 = sec3(p2(k)._1)
-      s""""$k":{"sec":${if (err.isDefined) "-1" else sec3(v)},"p1":$raw1,"p2":$raw2${err.map(e => s""","err":"$e"""").getOrElse("")}}"""
+      val noisy = if (retries > 0) s""","noisy":$retries""" else ""
+      s""""$k":{"sec":${if (err.isDefined) "-1" else sec3(v)},"p1":$raw1,"p2":$raw2$noisy${err.map(e => s""","err":"$e"""").getOrElse("")}}"""
     }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.size},"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.size},"noisy":$noisyCount,"queries":$detail,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     try java.nio.file.Files.write(detailPath, (detailJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail file is best-effort; the stdout line is the contract
@@ -91,15 +150,15 @@ object Bench {
     // values in integer ms, truncated so the line stays parseable
     // inside the driver's 2,000-char tail capture
     def key(n: String): String = if (n.startsWith("q_")) n.drop(2) else n
-    val errEntries = results.collect { case (k, _, Some(_)) => s""""${key(k)}":-1""" }
-    val okEntries = results.collect { case (k, v, None) => (k, v) }
+    val errEntries = results.collect { case (k, _, Some(_), _) => s""""${key(k)}":-1""" }
+    val okEntries = results.collect { case (k, v, None, _) => (k, v) }
       .sortBy { case (_, v) => -v }
       .map { case (k, v) => s""""${key(k)}":${msInt(v)}""" }
-    val errs = results.collect { case (k, _, Some(e)) => s""""${key(k)}":"$e"""" }
+    val errs = results.collect { case (k, _, Some(e), _) => s""""${key(k)}":"$e"""" }
       .mkString("{", ",", "}")
     def assemble(entries: Seq[String]): String = {
       val qs = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.size},"qunit":"ms","queries":$qs,"errors":$errs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.size},"noisy":$noisyCount,"qunit":"ms","queries":$qs,"errors":$errs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     }
     val all = errEntries ++ okEntries
     // largest prefix of (errors ++ slowest-first timings) that fits

@@ -14,6 +14,37 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** RDD blocks behind a localCheckpoint'd DataFrame (the LogicalRDD
+    * the checkpoint rewrote the plan to). Used for the lagged cleanup
+    * below; None for plans that are not checkpoint results. */
+  private def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  /** Two-round-lagged executor-storage cleanup for iterative loops:
+    * push each retired round's DataFrame; once a round is TWO
+    * generations old its blocks can no longer be referenced by any
+    * future job (round N only reads round N-1), so unpersist them
+    * eagerly instead of waiting for the ContextCleaner to GC the
+    * dropped reference — on long-running high-diameter graphs the
+    * lingering blocks otherwise grow executor storage with round
+    * count. The one-round lag also keeps a task RETRY of the round
+    * that is still materializing safe. Spark logs a WARN that the
+    * unpersisted RDD "cannot be recomputed" — intended: retired
+    * rounds are provably never read again. */
+  private final class LaggedCleanup {
+    private val q = scala.collection.mutable.Queue.empty[DataFrame]
+    def retire(df: DataFrame): Unit = {
+      q.enqueue(df)
+      if (q.size > 1) backingRdd(q.dequeue()).foreach(_.unpersist(blocking = false))
+    }
+    /** End of loop: every queued round predates the returned fixpoint
+      * DataFrame, so all their blocks can go. */
+    def drain(): Unit =
+      while (q.nonEmpty) backingRdd(q.dequeue()).foreach(_.unpersist(blocking = false))
+  }
+
   /** Connected components by iterative min-label propagation
     * (Pregel-style): every node starts labelled with itself; each
     * round every node takes the min of its own label and its
@@ -67,6 +98,7 @@ object GraphOps {
     var prevSum = labelSum(labels)
     var converged = labels.isEmpty
     var it = 0
+    val cleanup = new LaggedCleanup
     // one min-label propagation step (no materialization)
     def step(ls: DataFrame): DataFrame = {
       val viaNeighbours = sym.join(ls, sym("src") === ls("id"))
@@ -95,10 +127,12 @@ object GraphOps {
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
+      cleanup.retire(labels) // round N materialized → round N-2's blocks freed
       labels = next
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    cleanup.drain() // all retired rounds predate the returned fixpoint
     labels
   }
 
@@ -123,16 +157,28 @@ object GraphOps {
     *   neighbours (and itself) to that minimum.
     *
     * Fixpoint: both rewrites leave the edge set unchanged — checked
-    * exactly via a two-sided anti-join emptiness test (no
-    * checksum-collision risk). At the fixpoint the graph is a star
-    * forest: every node points directly at its component's minimum.
+    * exactly (no checksum-collision risk) by ONE full-outer join on
+    * (u, v) counting rows present on only one side; in local mode
+    * that count is also the job that materializes the round's lazy
+    * localCheckpoint, so each round costs a single job. With
+    * `checkpointDir` set, every round instead writes a RELIABLE
+    * checkpoint (survives executor loss — the cluster-scale mode,
+    * same option as [[connectedComponents]]). At the fixpoint the
+    * graph is a star forest: every node points directly at its
+    * component's minimum.
     *
-    * Output contract matches [[connectedComponents]] exactly: (id,
-    * lbl) for every node appearing in an edge (spec-pinned on path,
-    * clique, and random graphs).
+    * Output contract matches [[connectedComponents]] exactly,
+    * self-loops included: (id, lbl) for every node appearing in an
+    * edge — a node whose only edges are self-loops is its own
+    * singleton component (the final left join below restores such
+    * nodes, which the star iteration itself never sees). Spec-pinned
+    * on path, clique, random, and self-loop graphs in both
+    * checkpoint modes.
     */
   def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val reliable = checkpointDir.isDefined
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     val init = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))
@@ -157,23 +203,41 @@ object GraphOps {
       repointed.where(col("u") =!= col("v")).distinct()
     }
 
-    def sameEdges(a: DataFrame, b: DataFrame): Boolean =
-      a.join(b, Seq("u", "v"), "left_anti").isEmpty &&
-        b.join(a, Seq("u", "v"), "left_anti").isEmpty
+    // fused fixpoint test: edge sets are distinct, so "unchanged" ⟺
+    // the full-outer join on (u, v) has zero one-sided rows — a single
+    // shuffle-join + count, half the per-round jobs of the previous
+    // two-sided anti-join emptiness test, and in local mode the count
+    // doubles as the action materializing `next`'s lazy checkpoint
+    def changedEdges(next: DataFrame, prev: DataFrame): Long =
+      next.withColumn("_n", lit(1))
+        .join(prev.withColumn("_p", lit(1)), Seq("u", "v"), "full_outer")
+        .where(col("_n").isNull || col("_p").isNull)
+        .count()
 
-    var g = init.localCheckpoint()
+    var g = if (reliable) init.checkpoint() else init.localCheckpoint()
     var it = 0
     var converged = g.isEmpty
+    val cleanup = new LaggedCleanup
     while (!converged && it < maxIter) {
-      val next = halfRound(halfRound(g, large = true), large = false).localCheckpoint()
-      converged = sameEdges(next, g)
+      val stepped = halfRound(halfRound(g, large = true), large = false)
+      val next = if (reliable) stepped.checkpoint() else stepped.localCheckpoint(false)
+      converged = changedEdges(next, g) == 0L
+      cleanup.retire(g)
       g = next
       it += 1
     }
     require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
-    // star forest → labelling; roots label themselves
-    g.select(col("u").as("id"), col("v").as("lbl"))
+    cleanup.drain()
+    // star forest → labelling; roots label themselves; nodes the
+    // iteration never saw (self-loop-only) are their own component
+    val starLabels = g.select(col("u").as("id"), col("v").as("lbl"))
       .union(g.select(col("v").as("id"), col("v").as("lbl")))
       .distinct()
+    val allNodes = edges
+      .select(col(srcCol).cast("long").as("id"))
+      .union(edges.select(col(dstCol).cast("long").as("id")))
+      .distinct()
+    allNodes.join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.queries.Exact._
@@ -271,16 +271,71 @@ object RasterQueries {
     * degrees, aspect as an azimuth clockwise from north (flat → 0),
     * hillshade 0–255 under EE's default sun (azimuth 270°, elevation
     * 45°). The trig goes through libm, whose last-ulp rounding
-    * differs between JVM and DuckDB, so this query is declared
-    * rows-only; the closures are pinned by TerrainSpec's
-    * hand-computed plane fixtures and the gradient feed is
-    * oracle-checked as q_terrain_gradient. */
+    * differs between JVM and DuckDB; flooring each output at 1e-6
+    * (the q_unigram_typicality quantize-before-hash pattern) makes
+    * those divergences vanish, so the query IS oracle-graded — the
+    * un-quantized closures stay pinned by TerrainSpec's hand-computed
+    * plane fixtures and the gradient feed by q_terrain_gradient. The
+    * oracle embeds the JVM's exact sun-constant doubles (scientific
+    * notation, so DuckDB parses them as DOUBLE not DECIMAL); the
+    * remaining risk is a last-ulp libm difference landing exactly on
+    * a 1e-6 floor boundary (~1e-8 per value — absent across all
+    * three test scales). */
   def qTerrain(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TerrainOps
+    def quant6(c: Column): Column =
+      floor(c * lit(1000000.0)).cast("long").cast("double") / lit(1000000.0)
     qTerrainGradient(spark, dir)
-      .withColumn("slope_deg", TerrainOps.slopeDeg(col("dzdx"), col("dzdy")))
-      .withColumn("aspect_deg", TerrainOps.aspectDeg(col("dzdx"), col("dzdy")))
-      .withColumn("hillshade", TerrainOps.hillshade(col("dzdx"), col("dzdy")))
+      .withColumn("slope_deg", quant6(TerrainOps.slopeDeg(col("dzdx"), col("dzdy"))))
+      .withColumn("aspect_deg", quant6(TerrainOps.aspectDeg(col("dzdx"), col("dzdy"))))
+      .withColumn("hillshade", quant6(TerrainOps.hillshade(col("dzdx"), col("dzdy"))))
+  }
+
+  val qTerrainSql: String = {
+    // identical doubles to TerrainOps.hillshade's JVM-computed
+    // constants (zenith 45°, azimuth 270°), emitted in scientific
+    // notation so DuckDB binds DOUBLE literals bit-equal to the JVM's
+    val zen = math.toRadians(90.0 - 45.0)
+    def d(v: Double): String = f"$v%.17e"
+    val cosZen = d(math.cos(zen)); val sinZen = d(math.sin(zen))
+    val sunAz = d(math.toRadians(270.0))
+    val aspect =
+      """CASE WHEN dzdx = 0 AND dzdy = 0 THEN 0.0
+        |      ELSE CASE WHEN degrees(atan2(-dzdx, -dzdy)) < 0
+        |                THEN degrees(atan2(-dzdx, -dzdy)) + 360.0
+        |                ELSE degrees(atan2(-dzdx, -dzdy)) END END""".stripMargin
+    def q6(expr: String): String =
+      s"CAST(CAST(FLOOR(($expr) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0"
+    s"""WITH grid AS (
+       |  SELECT user_id AS x, day(ts) AS y, MIN(value) AS v
+       |  FROM events GROUP BY 1, 2),
+       |offsets(dx, dy, role) AS (
+       |  VALUES (-1, 0, 'xm'), (1, 0, 'xp'), (0, -1, 'ym'), (0, 1, 'yp')),
+       |scattered AS (
+       |  SELECT g.x + o.dx AS tx, g.y + o.dy AS ty,
+       |    MAX(CASE WHEN o.role = 'xm' THEN v END) AS vxm,
+       |    MAX(CASE WHEN o.role = 'xp' THEN v END) AS vxp,
+       |    MAX(CASE WHEN o.role = 'ym' THEN v END) AS vym,
+       |    MAX(CASE WHEN o.role = 'yp' THEN v END) AS vyp,
+       |    COUNT(*) AS n
+       |  FROM grid g CROSS JOIN offsets o
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) = 4),
+       |grad AS (
+       |  SELECT g.x, g.y, g.v,
+       |    (s.vxp - s.vxm) / 2.0 AS dzdx,
+       |    (s.vyp - s.vym) / 2.0 AS dzdy,
+       |    ((s.vxp - s.vxm) / 2.0) * ((s.vxp - s.vxm) / 2.0)
+       |      + ((s.vyp - s.vym) / 2.0) * ((s.vyp - s.vym) / 2.0) AS grad_sq
+       |  FROM grid g JOIN scattered s ON g.x = s.tx AND g.y = s.ty)
+       |SELECT x, y, v, dzdx, dzdy, grad_sq,
+       |  ${q6("degrees(atan(sqrt(dzdx * dzdx + dzdy * dzdy)))")} AS slope_deg,
+       |  ${q6(s"($aspect)")} AS aspect_deg,
+       |  ${q6(s"""255.0 * GREATEST(0.0,
+       |    $cosZen * cos(atan(sqrt(dzdx * dzdx + dzdy * dzdy)))
+       |    + $sinZen * sin(atan(sqrt(dzdx * dzdx + dzdy * dzdy)))
+       |      * cos($sunAz - radians($aspect)))""".stripMargin)} AS hillshade
+       |FROM grad""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -298,5 +353,6 @@ object RasterQueries {
     "q_geo_cells" -> qGeoCellsSql,
     "q_bilinear_resample" -> qBilinearResampleSql,
     "q_terrain_gradient" -> qTerrainGradientSql,
+    "q_terrain" -> qTerrainSql,
   )
 }

@@ -444,19 +444,65 @@ object VectorQueries {
       .select(col("vec_id"), col("sub"), col("code"))
   }
 
-  /** Quantized ||x_sub − c_sub||² for every (vector, subspace, code) —
-    * the declared/oracle-expressible distance table. */
-  private def pqQd(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val exp = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+  /** (vec_id, pos, sub, v): every embedding element with its global
+    * position and 8-dim subspace index — the exploded form the
+    * declared PQ family aggregates over. */
+  private def pqExp(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("sub", expr("CAST(pos DIV 8 AS INT)"))
-    val codebook = exp.join(pqAnchors(e), exp("vec_id") === col("aid"))
-      .select(col("code"), col("pos"), col("v").cast("double").as("c"))
-    exp.join(broadcast(codebook), Seq("pos"))
+
+  /** Quantized ||x_sub − c_sub||² for every (vector, subspace, code)
+    * against codebook `cb` (code, pos, c) — the declared/
+    * oracle-expressible distance table. The codebook broadcasts. */
+  private def pqQdAgainst(exp: DataFrame, cb: DataFrame): DataFrame =
+    exp.join(broadcast(cb), Seq("pos"))
       .groupBy(col("vec_id"), col("sub"), col("code"))
       .agg(sum(floor((col("v").cast("double") - col("c")) *
         (col("v").cast("double") - col("c")) * 1e9).cast("long")).as("qdist"))
+
+  /** The sample-based codebook: the 16 anchors' subvectors. */
+  private def pqSampleCodebook(e: DataFrame, exp: DataFrame): DataFrame =
+    exp.join(pqAnchors(e), exp("vec_id") === col("aid"))
+      .select(col("code"), col("pos"), col("v").cast("double").as("c"))
+
+  private def pqQd(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val exp = pqExp(e)
+    pqQdAgainst(exp, pqSampleCodebook(e, exp))
   }
+
+  /** One per-subspace Lloyd refinement of the sample-based codebook —
+    * the [[qKmeansRefine]] machinery wired into PQ (FAISS-style
+    * codebook TRAINING; sample-based anchors are only the init):
+    * assign every subvector to its nearest initial code, then
+    * re-estimate each (code, element) as the quantized mean of its
+    * members. A code that loses every member in a subspace drops out
+    * of that subspace's codebook — the deterministic empty-cluster
+    * rule, identical on both engines. Output (code, pos, c), every
+    * step floor-quantized so the oracle reproduces it bit-exactly.
+    *
+    * Scale shape: the assignment reuses the PQ encoding shuffle
+    * (partial agg keyed (vec_id, sub, code)); the mean is one
+    * shuffle keyed (code, pos); the codebook stays ≤16×64 rows —
+    * broadcast-size at any corpus scale. */
+  private[graft] def pqTrainedCodebook(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val exp = pqExp(e)
+    val a1 = argminCodes(pqQdAgainst(exp, pqSampleCodebook(e, exp)))
+    exp.join(a1, Seq("vec_id", "sub"))
+      .groupBy(col("code"), col("pos"))
+      .agg(quantMeanAgg)
+  }
+
+  /** Distance table under the trained codebook. */
+  private def pqQdTrained(spark: SparkSession, dir: String): DataFrame =
+    pqQdAgainst(pqExp(Tables.embeddings(spark, dir)),
+      pqTrainedCodebook(spark, dir))
+
+  /** Declared-path codes under the trained codebook (for the
+    * PqFastSpec identity pin). */
+  private[graft] def pqCodesQuantizedTrained(spark: SparkSession, dir: String): DataFrame =
+    argminCodes(pqQdTrained(spark, dir))
 
   /** Declared-path PQ codes: argmin of the quantized distance table. */
   private def argminCodes(qd: DataFrame): DataFrame = {
@@ -469,10 +515,11 @@ object VectorQueries {
   private[graft] def pqCodesQuantized(spark: SparkSession, dir: String): DataFrame =
     argminCodes(pqQd(spark, dir))
 
-  def qPqSearch(spark: SparkSession, dir: String): DataFrame = {
-    val qd = pqQd(spark, dir)
-    val codes = argminCodes(qd)
-    // query LUT: the same quantized table restricted to the query set
+  /** The ADC search tail every PQ variant shares: the query LUT is
+    * the quantized distance table restricted to the 5 query vectors
+    * (broadcast — nq×8×16 rows), candidates contribute only their 8
+    * codes, totals rank per query. */
+  private def adcSearch(codes: DataFrame, qd: DataFrame): DataFrame = {
     val lut = qd.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("sub"), col("code"), col("qdist"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
@@ -485,6 +532,11 @@ object VectorQueries {
       .select("qid", "rank", "vec_id", "adist")
   }
 
+  def qPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val qd = pqQd(spark, dir)
+    adcSearch(argminCodes(qd), qd)
+  }
+
   /** PQ search through the engine fast encoder: the N-scale encoding
     * step runs [[pqCodesFast]] (one fused `l2_sq` codegen loop per
     * (vector, subspace, code) over sliced subvectors — no per-element
@@ -494,18 +546,46 @@ object VectorQueries {
     * oracle grades both. Catalyst pushes the `vec_id < 5` LUT filter
     * below the distance aggregate, so the quantized path only ever
     * touches the 5 query vectors. */
-  def qPqSearchFast(spark: SparkSession, dir: String): DataFrame = {
-    val codes = pqCodesFast(spark, dir)
-    val lut = pqQd(spark, dir).filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("sub"), col("code"), col("qdist"))
-    val wTop = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
-    codes.join(broadcast(lut), Seq("sub", "code"))
-      .filter(col("vec_id") =!= col("qid"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("qdist")).as("adist"))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= 5)
-      .select("qid", "rank", "vec_id", "adist")
+  def qPqSearchFast(spark: SparkSession, dir: String): DataFrame =
+    adcSearch(pqCodesFast(spark, dir), pqQd(spark, dir))
+
+  /** PQ search under the TRAINED codebook ([[pqTrainedCodebook]]) —
+    * FAISS-style PQ semantics: encode and score against Lloyd-refined
+    * per-subspace centroids instead of raw sampled subvectors. Same
+    * ADC tail, same top-5 contract as [[qPqSearch]]; the training
+    * adds one assignment pass + one mean pass upstream, both keyed
+    * shuffles, nothing driver-side beyond the same 16-row anchor
+    * collect. */
+  def qPqSearchTrained(spark: SparkSession, dir: String): DataFrame = {
+    val qd = pqQdTrained(spark, dir)
+    adcSearch(argminCodes(qd), qd)
+  }
+
+  /** Engine fast encoder under the TRAINED codebook: the
+    * [[pqCodesFast]] slice-and-fold shape, but trained centroids are
+    * quantized-mean DOUBLES (not float-representable), so the fused
+    * distance kernel is the codegen'd zip_with/aggregate fold over
+    * ARRAY<DOUBLE> instead of `l2_sq`'s ARRAY<FLOAT>. Raw-double
+    * argmin with code tie-break — equal codes to the declared
+    * quantized path unless two centroids sit within ~1e-9 of the
+    * same distance (PqFastSpec pins equality on the fixtures). */
+  private[graft] def pqCodesFastTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val slices = "transform(sequence(0, 7), s -> slice(embedding, s * 8 + 1, 8))"
+    val subs = e.select(col("vec_id"), posexplode(expr(slices)).as(Seq("sub", "svec")))
+    val cvecs = pqTrainedCodebook(spark, dir)
+      .groupBy(col("code"), expr("CAST(pos DIV 8 AS INT)").as("sub"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cvec"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d"), col("code"))
+    subs.join(broadcast(cvecs), Seq("sub"))
+      .withColumn("d", expr(
+        """aggregate(zip_with(svec, cvec,
+          |  (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+          |  0.0D, (a, b) -> a + b)""".stripMargin))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
   }
 
   val qPqSearchSql: String =
@@ -528,6 +608,62 @@ object VectorQueries {
       |    SUM(CAST(FLOOR((CAST(e.v AS DOUBLE) - c.c) * (CAST(e.v AS DOUBLE) - c.c)
       |      * 1000000000.0) AS BIGINT)) AS qdist
       |  FROM exp e JOIN cb c ON e.pos = c.pos GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT vec_id, sub, code,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY qdist, code) AS rk
+      |    FROM qd) WHERE rk = 1),
+      |lut AS (SELECT vec_id AS qid, sub, code, qdist FROM qd WHERE vec_id < 5),
+      |adc AS (
+      |  SELECT l.qid, c.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adist
+      |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+      |  WHERE c.vec_id <> l.qid GROUP BY 1, 2)
+      |SELECT qid, rank, vec_id, adist FROM (
+      |  SELECT qid, vec_id, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rank
+      |  FROM adc) WHERE rank <= 5""".stripMargin
+
+  /** Same CTE chain as [[qPqSearchSql]] with the Lloyd refinement
+    * spliced between the sample codebook and the search: qd0/a1 are
+    * the assignment under the anchors' subvectors, cb1 the
+    * quantized-mean re-estimate (the qKmeansRefine centSql
+    * arithmetic), and the search scores against cb1. */
+  val qPqSearchTrainedSql: String =
+    """WITH exp AS (
+      |  SELECT vec_id, r['pos'] AS pos, r['pos'] // 8 AS sub, r['v'] AS v FROM (
+      |    SELECT vec_id,
+      |      unnest(list_transform(range(len(embedding)),
+      |        i -> {'pos': i, 'v': embedding[i+1]})) AS r
+      |    FROM embeddings)),
+      |anch AS (
+      |  SELECT vec_id AS aid, CAST(rk - 1 AS INT) AS code FROM (
+      |    SELECT vec_id, ROW_NUMBER() OVER (
+      |      ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      |    FROM embeddings) WHERE rk <= 16),
+      |cb0 AS (
+      |  SELECT a.code, e.pos, CAST(e.v AS DOUBLE) AS c
+      |  FROM exp e JOIN anch a ON e.vec_id = a.aid),
+      |qd0 AS (
+      |  SELECT e.vec_id, e.sub, c.code,
+      |    SUM(CAST(FLOOR((CAST(e.v AS DOUBLE) - c.c) * (CAST(e.v AS DOUBLE) - c.c)
+      |      * 1000000000.0) AS BIGINT)) AS qdist
+      |  FROM exp e JOIN cb0 c ON e.pos = c.pos GROUP BY 1, 2, 3),
+      |a1 AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT vec_id, sub, code,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY qdist, code) AS rk
+      |    FROM qd0) WHERE rk = 1),
+      |cb1 AS (
+      |  SELECT a.code, e.pos,
+      |    CAST(SUM(CAST(FLOOR(CAST(e.v AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+      |      / 1000000.0 / COUNT(*) AS c
+      |  FROM exp e JOIN a1 a ON e.vec_id = a.vec_id AND e.sub = a.sub
+      |  GROUP BY 1, 2),
+      |qd AS (
+      |  SELECT e.vec_id, e.sub, c.code,
+      |    SUM(CAST(FLOOR((CAST(e.v AS DOUBLE) - c.c) * (CAST(e.v AS DOUBLE) - c.c)
+      |      * 1000000000.0) AS BIGINT)) AS qdist
+      |  FROM exp e JOIN cb1 c ON e.pos = c.pos GROUP BY 1, 2, 3),
       |codes AS (
       |  SELECT vec_id, sub, code FROM (
       |    SELECT vec_id, sub, code,
@@ -576,6 +712,7 @@ object VectorQueries {
     "q_vector_stats" -> (qVectorStats _),
     "q_pq_search" -> (qPqSearch _),
     "q_pq_search_fast" -> (qPqSearchFast _),
+    "q_pq_search_trained" -> (qPqSearchTrained _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -589,5 +726,6 @@ object VectorQueries {
     "q_vector_stats" -> qVectorStatsSql,
     "q_pq_search" -> qPqSearchSql,
     "q_pq_search_fast" -> qPqSearchSql,
+    "q_pq_search_trained" -> qPqSearchTrainedSql,
   )
 }

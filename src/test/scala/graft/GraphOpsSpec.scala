@@ -79,6 +79,38 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.connectedComponentsStar(empty, "src", "dst").count() == 0)
   }
 
+  test("star CC reliable-checkpoint mode reaches the identical fixpoint on path, clique, and random graphs") {
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.as[(Long, Long)].collect().toMap
+    val path = (1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("src", "dst")
+    val clique = ((for (i <- 1L to 6L; j <- (i + 1) to 6L) yield (i, j)) :+ ((100L, 101L)))
+      .toDF("src", "dst")
+    val rng = new scala.util.Random(11)
+    val rand = (1 to 120).map(_ => (rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    for ((g, shape) <- Seq((path, "path"), (clique, "clique"), (rand, "random"))) {
+      val ckDir = java.nio.file.Files.createTempDirectory("graft_star_ck").toString
+      val local = labelsOf(GraphOps.connectedComponentsStar(g, "src", "dst"))
+      val rel = labelsOf(GraphOps.connectedComponentsStar(g, "src", "dst",
+        checkpointDir = Some(ckDir)))
+      assert(rel == local, s"mode divergence on $shape graph")
+      val wrote = new java.io.File(ckDir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, s"no reliable checkpoint written ($shape)")
+    }
+  }
+
+  test("both CC variants label self-loop-only nodes with themselves") {
+    // node 9 appears ONLY in a self-loop; node 1-2 is a normal pair with
+    // an extra self-loop on 2 — the output contract must match exactly
+    val g = Seq((1L, 2L), (2L, 2L), (9L, 9L)).toDF("src", "dst")
+    val prop = GraphOps.connectedComponents(g, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val star = GraphOps.connectedComponentsStar(g, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(prop == Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
+    assert(star == prop, "star CC diverges from label propagation on self-loop input")
+  }
+
   test("q_dup_clusters representatives are cluster minima and sizes are consistent") {
     val df = SparkEntry.queries("q_dup_clusters")(spark, "/root/testdata/sf0.001")
     val rows = df.select("doc_id", "cluster_rep", "cluster_size")

@@ -30,4 +30,24 @@ class PqFastSpec extends SparkSpec {
       .groupBy("vec_id").count().collect()
     assert(perVec.nonEmpty && perVec.forall(_.getLong(1) == 8L))
   }
+
+  test("fast and quantized encoders assign identical codes under the TRAINED codebook") {
+    val dir = "/root/testdata/sf0.001"
+    val fast = codesOf(VectorQueries.pqCodesFastTrained(spark, dir))
+    val slow = codesOf(VectorQueries.pqCodesQuantizedTrained(spark, dir))
+    assert(fast.nonEmpty)
+    assert(fast == slow,
+      s"only-fast=${(fast -- slow).take(5)} only-quantized=${(slow -- fast).take(5)}")
+  }
+
+  test("training moves the codebook: trained codes differ from sample codes somewhere") {
+    // Lloyd refinement with real data must relocate at least one
+    // centroid enough to change an assignment; identical outputs would
+    // mean the training stage is silently wired to the wrong codebook
+    val dir = "/root/testdata/sf0.001"
+    val sample = codesOf(VectorQueries.pqCodesQuantized(spark, dir))
+    val trained = codesOf(VectorQueries.pqCodesQuantizedTrained(spark, dir))
+    assert(trained.nonEmpty)
+    assert(trained != sample, "trained codebook produced identical assignments to the sample codebook")
+  }
 }
