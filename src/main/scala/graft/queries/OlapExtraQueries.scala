@@ -125,6 +125,33 @@ object OlapExtraQueries {
       |    AS shuffle_rank
       |FROM events""".stripMargin
 
+  /** Skew-salted join, graded against the PLAIN inner-join oracle —
+    * result identity is the whole point of salting (SURVEY §2.3
+    * "skew-safe"): orders→customer replayed through
+    * [[graft.operators.ScaleOps.saltedInnerJoin]] with salt=8, then
+    * aggregated per market segment. At 100 TB the probe side's hot
+    * customer keys spread over 8 reducers instead of one straggler
+    * (the build side replicates 8x — dimension-sized, so the
+    * replication is cheap); locally AQE may still broadcast the tiny
+    * build side, which changes nothing about the output the oracle
+    * checks. Price sum is the exact decimal accumulate (Exact.dsum),
+    * so the 8-way split cannot perturb last ulps. */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.operators.ScaleOps.saltedInnerJoin(orders, cust, "c_custkey", salt = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  val qSaltedJoinSql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+       |  ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment""".stripMargin
+
   /** Cyclic month index — `fmod(arange(m, m+seq), 12)`
     * (presto.py:203-214): 12 positions from each entity's start
     * month, wrapping at year end. */
@@ -275,6 +302,7 @@ object OlapExtraQueries {
     "q_json_extract" -> (qJsonExtract _),
     "q_deterministic_shuffle" -> (qDeterministicShuffle _),
     "q_shuffle_rank" -> (qShuffleRank _),
+    "q_salted_join" -> (qSaltedJoin _),
     "q_cyclic_index" -> (qCyclicIndex _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
@@ -289,6 +317,7 @@ object OlapExtraQueries {
     "q_json_extract" -> qJsonExtractSql,
     "q_deterministic_shuffle" -> qDeterministicShuffleSql,
     "q_shuffle_rank" -> qShuffleRankSql,
+    "q_salted_join" -> qSaltedJoinSql,
     "q_cyclic_index" -> qCyclicIndexSql,
     "q_pivot" -> qPivotSql,
     "q_unpivot" -> qUnpivotSql,

@@ -164,6 +164,88 @@ object RetrievalQueries {
        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
+  /** BM25 with query terms arriving AS DATA (a parameter table) —
+    * the production retrieval shape: queries are rows, not literals
+    * baked into the plan, so the same compiled pipeline serves any
+    * query set. Contrast [[qBm25]], whose 3 fixed terms become
+    * conditional-count columns.
+    *
+    * Shape at scale: ONE tokenization into (doc, term) tf — shuffled
+    * on the composite key; dl per doc is a second aggregation of the
+    * tf rows keyed on doc; the 4-row parameter table broadcasts into
+    * an equi-join that prunes the tf table to query terms only; df
+    * per term is a count window over those pruned rows (partitioned
+    * by term, never global); corpus stats are a broadcast 1-row
+    * aggregate; top-20 is orderBy+limit → TakeOrderedAndProject.
+    *
+    * With terms as data the per-doc score is a SUM over a variable
+    * number of (doc, term) rows, and double addition is
+    * order-dependent — so each per-term partial is floor-quantized
+    * at 1e-9 to a long first (the Exact.qsum rule for computed
+    * doubles; qBm25's literal form instead fixes the addition order
+    * textually). score_q is the quantized score ×1e9 as BIGINT —
+    * scale-free of partitioning on both engines. */
+  def qBm25Params(spark: SparkSession, dir: String): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val docs = Tables.documents(spark, dir)
+    val params = spark.createDataFrame(
+      Seq(Tuple1("spark"), Tuple1("query"), Tuple1("vector"), Tuple1("data")))
+      .toDF("term")
+    val tf = docs
+      .select(col("doc_id"), explode(terms("text")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val perDoc = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val hits = tf
+      .join(broadcast(params), Seq("term"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .join(perDoc, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+    val idfR = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val norm = col("tf").cast("double") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))
+    hits
+      .withColumn("qs",
+        floor(idfR * (col("tf").cast("double") * lit(2.2)) / norm * lit(1000000000.0))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("qs")).as("score_q"))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val qBm25ParamsSql: String =
+    """WITH params(term) AS (VALUES ('spark'), ('query'), ('vector'), ('data')),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      |        FROM documents)
+      |  GROUP BY doc_id, term),
+      |per_doc AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+      |stats AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      |  FROM per_doc),
+      |hits AS (
+      |  SELECT t.doc_id, t.term, t.tf,
+      |    COUNT(*) OVER (PARTITION BY t.term) AS df
+      |  FROM tf t JOIN params p ON t.term = p.term),
+      |scored AS (
+      |  SELECT h.doc_id,
+      |    CAST(FLOOR(
+      |      ((CAST(s.n_docs AS DOUBLE) - CAST(h.df AS DOUBLE) + 0.5)
+      |        / (CAST(h.df AS DOUBLE) + 0.5))
+      |      * (CAST(h.tf AS DOUBLE) * 2.2)
+      |      / (CAST(h.tf AS DOUBLE)
+      |         + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / s.avgdl))
+      |      * 1000000000.0) AS BIGINT) AS qs
+      |  FROM hits h JOIN per_doc d ON h.doc_id = d.doc_id CROSS JOIN stats s)
+      |SELECT doc_id, CAST(SUM(qs) AS BIGINT) AS score_q FROM scored GROUP BY doc_id
+      |ORDER BY score_q DESC, doc_id ASC LIMIT 20""".stripMargin
+
   /** Incremental (batch-vs-corpus) exact dedup — the CCNet-style
     * daily-crawl shape: new documents (odd doc_id here) survive only
     * if their content hash is absent from the existing corpus (even
@@ -235,6 +317,7 @@ object RetrievalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
+    "q_bm25_params" -> (qBm25Params _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_unigram_typicality" -> (qUnigramTypicality _),
   )
@@ -242,6 +325,7 @@ object RetrievalQueries {
   val oracle: Map[String, String] = Map(
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,
+    "q_bm25_params" -> qBm25ParamsSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_unigram_typicality" -> qUnigramTypicalitySql,
   )

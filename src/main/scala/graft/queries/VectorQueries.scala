@@ -679,6 +679,117 @@ object VectorQueries {
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rank
       |  FROM adc) WHERE rank <= 5""".stripMargin
 
+  /** IVF-PQ composite search — the production 100 TB ANN layout
+    * (FAISS `IVFx,PQy`): [[qIvfSearch]]'s coarse quantizer routes
+    * each query to its nprobe=2 inverted lists, and within the probed
+    * lists candidates are scored by [[qPqSearch]]'s asymmetric
+    * distance over 8-byte PQ codes — full vectors are never touched
+    * after encode time.
+    *
+    * Shape at scale: the ONLY per-corpus-row state the search reads
+    * is (cid, 8 codes) — the inverted index; routing is a broadcast
+    * of k×dim centroids + one shuffle keyed on vec_id; candidate
+    * generation shuffles on cid (the IVF partition key — at 100 TB
+    * each list is a parquet partition and pruning happens at the
+    * scan); ADC is a broadcast of the nq×8×16 LUT joined on
+    * (qid, sub, code) with the per-(qid, vec) sum as one keyed
+    * aggregation. No cross join, no global window, nothing
+    * driver-side beyond the shared 16-row anchor collect. */
+  def qIvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // coarse routing — the qIvfSearch machinery (quantized-exact
+    // label-mean centroids, argmax dot assignment, nprobe=2)
+    val exp = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(quantMeanAgg)
+      .select(col("label").as("cid"), col("pos"), col("c"))
+    val dots = exp.join(broadcast(cent), "pos")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(quantDotAgg)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("qdot").desc, col("cid"))
+    val ranked = dots.withColumn("rk", row_number().over(wAssign))
+    val assigned = ranked.filter(col("rk") === 1).select(col("vec_id"), col("cid"))
+    val probes = ranked.filter(col("rk") <= 2 && col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val cand = probes.join(assigned, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    // PQ ADC scoring restricted to the probed lists
+    val qd = pqQd(spark, dir)
+    val codes = argminCodes(qd)
+    val lut = qd.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("sub"), col("code"), col("qdist"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qdist")).as("adist"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "vec_id", "adist")
+  }
+
+  /** [[qIvfSearchSql]]'s routing CTEs (label-mean centroids, argmax
+    * assignment, nprobe=2 probes, probed-list candidates) spliced
+    * onto [[qPqSearchSql]]'s encode/LUT/ADC chain, the ADC restricted
+    * to the candidate pairs. */
+  val qIvfPqSearchSql: String =
+    """WITH exp AS (
+      |  SELECT vec_id, label, r['pos'] AS pos, r['pos'] // 8 AS sub, r['v'] AS v FROM (
+      |    SELECT vec_id, label,
+      |      unnest(list_transform(range(len(embedding)),
+      |        i -> {'pos': i, 'v': embedding[i+1]})) AS r
+      |    FROM embeddings)),
+      |cent AS (
+      |  SELECT label AS cid, pos,
+      |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+      |      / 1000000.0 / COUNT(*) AS c
+      |  FROM exp GROUP BY 1, 2),
+      |dots AS (
+      |  SELECT e.vec_id, c.cid,
+      |    SUM(CAST(FLOOR(CAST(e.v AS DOUBLE) * c.c * 1000000000.0) AS BIGINT)) AS qdot
+      |  FROM exp e JOIN cent c ON e.pos = c.pos GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT vec_id, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qdot DESC, cid) AS rk
+      |  FROM dots),
+      |assigned AS (SELECT vec_id, cid FROM ranked WHERE rk = 1),
+      |probes AS (SELECT vec_id AS qid, cid FROM ranked WHERE rk <= 2 AND vec_id < 5),
+      |cand AS (
+      |  SELECT DISTINCT p.qid, a.vec_id
+      |  FROM probes p JOIN assigned a ON a.cid = p.cid
+      |  WHERE a.vec_id <> p.qid),
+      |anch AS (
+      |  SELECT vec_id AS aid, CAST(rk - 1 AS INT) AS code FROM (
+      |    SELECT vec_id, ROW_NUMBER() OVER (
+      |      ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      |    FROM embeddings) WHERE rk <= 16),
+      |cb AS (
+      |  SELECT a.code, e.pos, CAST(e.v AS DOUBLE) AS c
+      |  FROM exp e JOIN anch a ON e.vec_id = a.aid),
+      |qd AS (
+      |  SELECT e.vec_id, e.sub, c.code,
+      |    SUM(CAST(FLOOR((CAST(e.v AS DOUBLE) - c.c) * (CAST(e.v AS DOUBLE) - c.c)
+      |      * 1000000000.0) AS BIGINT)) AS qdist
+      |  FROM exp e JOIN cb c ON e.pos = c.pos GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT vec_id, sub, code,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY qdist, code) AS rk
+      |    FROM qd) WHERE rk = 1),
+      |lut AS (SELECT vec_id AS qid, sub, code, qdist FROM qd WHERE vec_id < 5),
+      |adc AS (
+      |  SELECT n.qid, n.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adist
+      |  FROM cand n
+      |  JOIN codes c ON c.vec_id = n.vec_id
+      |  JOIN lut l ON l.qid = n.qid AND l.sub = c.sub AND l.code = c.code
+      |  GROUP BY 1, 2)
+      |SELECT qid, rank, vec_id, adist FROM (
+      |  SELECT qid, vec_id, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rank
+      |  FROM adc) WHERE rank <= 5""".stripMargin
+
   /** Per-label vector statistics: count + quantized-mean norm +
     * exact min/max norm (aggregations over computed doubles →
     * floor-quantized, per Exact.qmean). */
@@ -713,6 +824,7 @@ object VectorQueries {
     "q_pq_search" -> (qPqSearch _),
     "q_pq_search_fast" -> (qPqSearchFast _),
     "q_pq_search_trained" -> (qPqSearchTrained _),
+    "q_ivfpq_search" -> (qIvfPqSearch _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -727,5 +839,6 @@ object VectorQueries {
     "q_pq_search" -> qPqSearchSql,
     "q_pq_search_fast" -> qPqSearchSql,
     "q_pq_search_trained" -> qPqSearchTrainedSql,
+    "q_ivfpq_search" -> qIvfPqSearchSql,
   )
 }
