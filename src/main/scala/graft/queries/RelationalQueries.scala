@@ -270,6 +270,52 @@ object RelationalQueries {
        |  AND c.c_nationkey = s.s_nationkey
        |GROUP BY 1""".stripMargin
 
+  /** TPC-H Q18 shape (large-volume customers): the group-HAVING
+    * semi-join family — an aggregate-filtered key set gates the main
+    * multi-join. The big-order key set comes from ONE l_orderkey
+    * aggregation (quantities are small integral doubles, so the sum
+    * is IEEE-exact under any order — no decimal detour needed); it
+    * gates lineitem as a LEFT SEMI join sharing the same l_orderkey
+    * shuffle partitioning as the outer per-order aggregation (AQE
+    * reuses the exchange), then orders joins by key and the
+    * customer dimension broadcasts. Global top-100 is orderBy+limit
+    * → TakeOrderedAndProject. */
+  def qTpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sq"))
+      .filter(col("sq") > 300.0)
+      .select("l_orderkey")
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    l.join(big, Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val qTpchQ18Sql: String =
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+      |  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  o.o_totalprice, s.sum_qty
+      |FROM (
+      |  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      |  FROM lineitem
+      |  WHERE l_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem
+      |    GROUP BY l_orderkey HAVING SUM(l_quantity) > 300.0)
+      |  GROUP BY l_orderkey) s
+      |JOIN orders o ON s.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin
+
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir).select(col("o_custkey"))
@@ -468,6 +514,7 @@ object RelationalQueries {
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q17" -> (qTpchQ17 _),
     "q_tpch_q5" -> (qTpchQ5 _),
+    "q_tpch_q18" -> (qTpchQ18 _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_window_running" -> (qWindowRunning _),
     "q_monthly_median" -> (qMonthlyMedian _),
@@ -490,6 +537,7 @@ object RelationalQueries {
     "q_tpch_q3" -> qTpchQ3Sql,
     "q_tpch_q17" -> qTpchQ17Sql,
     "q_tpch_q5" -> qTpchQ5Sql,
+    "q_tpch_q18" -> qTpchQ18Sql,
     "q_topk_per_group" -> qTopkPerGroupSql,
     "q_window_running" -> qWindowRunningSql,
     "q_monthly_median" -> qMonthlyMedianSql,

@@ -790,6 +790,76 @@ object VectorQueries {
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rank
       |  FROM adc) WHERE rank <= 5""".stripMargin
 
+  /** Cluster-balanced subsampling — the embedding-space curation
+    * shape (publicly described in SemDeDup, Abbas et al. 2023, and
+    * D4, Tirumala et al. 2023: cluster the corpus in embedding
+    * space, then cap each cluster's contribution so over-represented
+    * regions don't dominate the training mix). Strata come from the
+    * LEARNED coarse quantizer ([[qIvfSearch]]'s assignment), not a
+    * label column — the difference from q_class_balance. Keep-rank
+    * within each cluster is a seeded md5 of the vector id (the
+    * q_data_mixture deterministic-acceptance pattern), cap = 40.
+    *
+    * Shape at scale: assignment is a broadcast of k×dim centroids +
+    * one aggregation keyed on vec_id; the keep-rank window is
+    * PARTITIONED by cluster id; the report is one keyed aggregation.
+    * The kept-id sum is an exact integer checksum so the oracle pins
+    * WHICH vectors were kept, not just how many. */
+  def qClusterBalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val exp = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(quantMeanAgg)
+      .select(col("label").as("cid"), col("pos"), col("c"))
+    val dots = exp.join(broadcast(cent), "pos")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(quantDotAgg)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("qdot").desc, col("cid"))
+    val assigned = dots.withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1).select(col("vec_id"), col("cid"))
+    val wKeep = Window.partitionBy(col("cid"))
+      .orderBy(md5(concat(lit("bal|"), col("vec_id").cast("string"))), col("vec_id"))
+    assigned
+      .withColumn("kr", row_number().over(wKeep))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("total"),
+        count(when(col("kr") <= 40, 1)).as("kept"),
+        sum(when(col("kr") <= 40, col("vec_id"))).as("kept_id_sum"))
+  }
+
+  /** [[qIvfSearchSql]]'s assignment CTEs + a per-cluster seeded
+    * keep-rank window + the balance report. */
+  val qClusterBalanceSql: String =
+    """WITH exp AS (
+      |  SELECT vec_id, label, r['pos'] AS pos, r['v'] AS v FROM (
+      |    SELECT vec_id, label,
+      |      unnest(list_transform(range(len(embedding)),
+      |        i -> {'pos': i, 'v': embedding[i+1]})) AS r
+      |    FROM embeddings)),
+      |cent AS (
+      |  SELECT label AS cid, pos,
+      |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+      |      / 1000000.0 / COUNT(*) AS c
+      |  FROM exp GROUP BY 1, 2),
+      |dots AS (
+      |  SELECT e.vec_id, c.cid,
+      |    SUM(CAST(FLOOR(CAST(e.v AS DOUBLE) * c.c * 1000000000.0) AS BIGINT)) AS qdot
+      |  FROM exp e JOIN cent c ON e.pos = c.pos GROUP BY 1, 2),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qdot DESC, cid) AS rk
+      |    FROM dots) WHERE rk = 1),
+      |ranked AS (
+      |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY cid
+      |    ORDER BY md5('bal|' || CAST(vec_id AS VARCHAR)), vec_id) AS kr
+      |  FROM assigned)
+      |SELECT cid, COUNT(*) AS total,
+      |  COUNT(CASE WHEN kr <= 40 THEN 1 END) AS kept,
+      |  CAST(SUM(CASE WHEN kr <= 40 THEN vec_id END) AS BIGINT) AS kept_id_sum
+      |FROM ranked GROUP BY cid""".stripMargin
+
   /** Per-label vector statistics: count + quantized-mean norm +
     * exact min/max norm (aggregations over computed doubles →
     * floor-quantized, per Exact.qmean). */
@@ -825,6 +895,7 @@ object VectorQueries {
     "q_pq_search_fast" -> (qPqSearchFast _),
     "q_pq_search_trained" -> (qPqSearchTrained _),
     "q_ivfpq_search" -> (qIvfPqSearch _),
+    "q_cluster_balance" -> (qClusterBalance _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -840,5 +911,6 @@ object VectorQueries {
     "q_pq_search_fast" -> qPqSearchSql,
     "q_pq_search_trained" -> qPqSearchTrainedSql,
     "q_ivfpq_search" -> qIvfPqSearchSql,
+    "q_cluster_balance" -> qClusterBalanceSql,
   )
 }
