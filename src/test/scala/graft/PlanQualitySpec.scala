@@ -68,6 +68,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("TPC-H Q18 gates via a semi-join, broadcasts customer, takes ordered top-100") {
+    val p = executedPlan("q_tpch_q18")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("vocab top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = executedPlan("q_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
