@@ -31,7 +31,7 @@ object AsOfJoin {
   /** @param anchors   left side; one output row per anchor row
     * @param source    right side; its key columns are dropped from the output
     * @param keys      equi-join key column names present on both sides
-    * @param anchorTs  timestamp column on `anchors` (name must not clash with source columns)
+    * @param anchorTs  timestamp column on `anchors`
     * @param sourceTs  timestamp column on `source`
     * @param toleranceMs max |sourceTs − anchorTs| in milliseconds
     * @param tieBreak  source column ordering distance ties deterministically
@@ -51,12 +51,15 @@ object AsOfJoin {
       unix_millis(col(s"_asof_a.$anchorTs")))
     val cond = keys.map(k => col(s"_asof_a.$k") === col(s"_asof_s.$k")).reduce(_ && _) &&
       dist <= toleranceMs
-    var joined = a.join(s, cond, "left")
-      .withColumn("dist", abs(unix_millis(col(sourceTs)) - unix_millis(col(anchorTs))))
+    // reuse the alias-qualified dist (and qualify every post-join
+    // reference): unqualified names would be AMBIGUOUS_REFERENCE
+    // whenever anchors and source share a column name (e.g.
+    // anchorTs == sourceTs == "ts")
+    var joined = a.join(s, cond, "left").withColumn("dist", dist)
     for (k <- keys) joined = joined.drop(col(s"_asof_s.$k"))
-    val anchorKeyCols: Seq[Column] = keys.map(col) :+ col(anchorTs)
+    val anchorKeyCols: Seq[Column] = keys.map(col) :+ col(s"_asof_a.$anchorTs")
     val w = Window.partitionBy(anchorKeyCols: _*)
-      .orderBy(col("dist").asc_nulls_last, col(tieBreak).asc_nulls_last)
+      .orderBy(col("dist").asc_nulls_last, col(s"_asof_s.$tieBreak").asc_nulls_last)
     joined.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .drop("rk")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-path join utilities (SURVEY §7.0 "minimize shuffles";
@@ -64,15 +64,21 @@ object ScaleOps {
   }
 
   /** Salted join for skewed keys (SURVEY §2 "salting for skew"): the
-    * build side replicates `salt` times, the probe side picks a
-    * deterministic salt from a keyed hash — hot keys spread over
-    * `salt` reducers instead of one straggler. Result is identical to
-    * the plain inner join (verified by spec); use when AQE's runtime
-    * skew split is not available (e.g. storage-partitioned joins). */
+    * build side replicates `salt` times, the probe side picks its
+    * salt by hashing `probeSalt` — a caller-supplied DETERMINISTIC
+    * per-row expression (a row id, a fact-table surrogate key) that
+    * varies within a hot key so its rows spread over `salt` reducers
+    * instead of one straggler. Determinism matters: a
+    * nondeterministic salt (rand, monotonically_increasing_id) feeds
+    * a shuffle key, and a fetch-failure recompute could re-salt rows
+    * differently than the partially-fetched originals — duplicating
+    * or dropping join rows. Result is identical to the plain inner
+    * join (verified by spec); use when AQE's runtime skew split is
+    * not available (e.g. storage-partitioned joins). */
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
-                      salt: Int): DataFrame = {
+                      salt: Int, probeSalt: Column): DataFrame = {
     val saltedLeft = left.withColumn("_salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salt)))
+      pmod(xxhash64(col(key), probeSalt), lit(salt)))
     val saltedRight = right
       .withColumn("_s", explode(expr(s"sequence(0, ${salt - 1})")))
       .withColumn("_salt", col("_s").cast("long")).drop("_s")

@@ -134,14 +134,17 @@ object OlapExtraQueries {
     * (the build side replicates 8x — dimension-sized, so the
     * replication is cheap); locally AQE may still broadcast the tiny
     * build side, which changes nothing about the output the oracle
-    * checks. Price sum is the exact decimal accumulate (Exact.dsum),
-    * so the 8-way split cannot perturb last ulps. */
+    * checks. The probe salt hashes o_orderkey — a DETERMINISTIC
+    * per-row discriminator, so a fetch-failure recompute re-salts
+    * identically. Price sum is the exact decimal accumulate
+    * (Exact.dsum), so the 8-way split cannot perturb last ulps. */
   def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
-      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"), col("o_orderkey"))
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    graft.operators.ScaleOps.saltedInnerJoin(orders, cust, "c_custkey", salt = 8)
+    graft.operators.ScaleOps.saltedInnerJoin(orders, cust, "c_custkey", salt = 8,
+        probeSalt = col("o_orderkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
   }

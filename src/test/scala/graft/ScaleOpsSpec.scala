@@ -68,7 +68,8 @@ class ScaleOpsSpec extends SparkSpec {
     val right = Seq((7L, "hot"), (950L, "cold"), (999L, "cold2")).toDF("k", "rv")
     val plain = left.join(right, "k").select("k", "lv", "rv")
       .collect().map(_.toSeq).sortBy(_.toString)
-    val salted = ScaleOps.saltedInnerJoin(left, right, "k", salt = 8)
+    val salted = ScaleOps.saltedInnerJoin(left, right, "k", salt = 8,
+        probeSalt = org.apache.spark.sql.functions.col("lv"))
       .select("k", "lv", "rv").collect().map(_.toSeq).sortBy(_.toString)
     assert(salted.length == plain.length)
     assert(salted.toSeq == plain.toSeq)
