@@ -35,14 +35,29 @@ object GraphOps {
     * rounds are provably never read again. */
   private final class LaggedCleanup {
     private val q = scala.collection.mutable.Queue.empty[DataFrame]
+    private def free(df: DataFrame): Unit = backingRdd(df).foreach { rdd =>
+      rdd.unpersist(blocking = false)
+      // Reliable mode: the retired round's checkpoint FILES can never
+      // be read again either, and nothing else deletes them — the
+      // ContextCleaner only removes checkpoint files when
+      // spark.cleaner.referenceTracking.cleanCheckpoints is on (off by
+      // default) and even then only at GC time. Without this delete a
+      // long high-diameter run grows the checkpoint dir by one full
+      // edge-set per round. getCheckpointFile is None for local
+      // checkpoints, so local mode is untouched.
+      rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(rdd.context.hadoopConfiguration).delete(p, true)
+      }
+    }
     def retire(df: DataFrame): Unit = {
       q.enqueue(df)
-      if (q.size > 1) backingRdd(q.dequeue()).foreach(_.unpersist(blocking = false))
+      if (q.size > 1) free(q.dequeue())
     }
     /** End of loop: every queued round predates the returned fixpoint
-      * DataFrame, so all their blocks can go. */
-    def drain(): Unit =
-      while (q.nonEmpty) backingRdd(q.dequeue()).foreach(_.unpersist(blocking = false))
+      * DataFrame (or the loop failed and nothing is returned), so all
+      * their blocks and checkpoint files can go. */
+    def drain(): Unit = while (q.nonEmpty) free(q.dequeue())
   }
 
   /** Connected components by iterative min-label propagation
@@ -107,33 +122,43 @@ object GraphOps {
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
     }
-    while (!converged && it < maxIter) {
-      // TWO propagation steps per materialized round: labels cross two
-      // hops per job, halving the scheduling/materialization barriers
-      // for a given diameter. The plan per round holds exactly two
-      // join+agg pairs (bounded — lineage still truncates each round),
-      // and the monotone label-sum convergence test is unaffected (a
-      // fixpoint is a fixpoint of the composed step too).
-      val joined = step(step(labels))
-      // local mode: LAZY localCheckpoint — the labelSum aggregate below
-      // is the one job that materializes this round's labels, decides
-      // convergence, AND truncates lineage (a plain persist would leave
-      // the logical plan growing by one join per round until analysis
-      // blows up on high-diameter graphs). Reliable mode: eager
-      // checkpoint first.
-      val next =
-        if (reliable) truncate(joined)
-        else joined.localCheckpoint(false)
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      cleanup.retire(labels) // round N materialized → round N-2's blocks freed
-      labels = next
-      it += 1
+    try {
+      while (!converged && it < maxIter) {
+        // TWO propagation steps per materialized round: labels cross two
+        // hops per job, halving the scheduling/materialization barriers
+        // for a given diameter. The plan per round holds exactly two
+        // join+agg pairs (bounded — lineage still truncates each round),
+        // and the monotone label-sum convergence test is unaffected (a
+        // fixpoint is a fixpoint of the composed step too).
+        val joined = step(step(labels))
+        // local mode: LAZY localCheckpoint — the labelSum aggregate below
+        // is the one job that materializes this round's labels, decides
+        // convergence, AND truncates lineage (a plain persist would leave
+        // the logical plan growing by one join per round until analysis
+        // blows up on high-diameter graphs). Reliable mode: eager
+        // checkpoint first.
+        val next =
+          if (reliable) truncate(joined)
+          else joined.localCheckpoint(false)
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        cleanup.retire(labels) // round N materialized → round N-2's blocks freed
+        labels = next
+        it += 1
+      }
+      if (!converged) cleanup.retire(labels) // failing: the final round is never returned
+      require(converged, s"connectedComponents did not converge in $maxIter rounds")
+      labels
+    } finally {
+      // success: all retired rounds predate the returned fixpoint.
+      // failure (non-convergence or a job error): nothing is returned,
+      // so the retired rounds' blocks/files must not outlive the call.
+      // `sym` is only read inside the loop (the returned labels plan is
+      // a checkpoint result), so it retires with them.
+      cleanup.retire(sym)
+      cleanup.drain()
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    cleanup.drain() // all retired rounds predate the returned fixpoint
-    labels
   }
 
   /** Connected components by alternating large-star / small-star
@@ -218,16 +243,22 @@ object GraphOps {
     var it = 0
     var converged = g.isEmpty
     val cleanup = new LaggedCleanup
-    while (!converged && it < maxIter) {
-      val stepped = halfRound(halfRound(g, large = true), large = false)
-      val next = if (reliable) stepped.checkpoint() else stepped.localCheckpoint(false)
-      converged = changedEdges(next, g) == 0L
-      cleanup.retire(g)
-      g = next
-      it += 1
+    try {
+      while (!converged && it < maxIter) {
+        val stepped = halfRound(halfRound(g, large = true), large = false)
+        val next = if (reliable) stepped.checkpoint() else stepped.localCheckpoint(false)
+        converged = changedEdges(next, g) == 0L
+        cleanup.retire(g)
+        g = next
+        it += 1
+      }
+      if (!converged) cleanup.retire(g) // failing: the final round is never returned
+      require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+    } finally {
+      // success: retired rounds predate the fixpoint `g` read below.
+      // failure: free them rather than pinning storage for the session.
+      cleanup.drain()
     }
-    require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
-    cleanup.drain()
     // star forest → labelling; roots label themselves; nodes the
     // iteration never saw (self-loop-only) are their own component
     val starLabels = g.select(col("u").as("id"), col("v").as("lbl"))

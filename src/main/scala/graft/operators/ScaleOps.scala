@@ -39,10 +39,18 @@ object ScaleOps {
     *     longs on the driver — control flow, not data);
     *  4. rank = offset(partition) + local index.
     *
-    * Steps 3–4 are RDD `zipWithIndex` — exactly its contract. Output:
-    * the input columns + `shuffle_rank` (1-based). Deterministic and
-    * partition-count-invariant (spec-pinned against the bounded
-    * declared query). */
+    * Steps 3–4 are RDD `zipWithIndex` — exactly its contract.
+    * zipWithIndex's offset pass (step 3) is a real job, so the sorted
+    * rows are RDD-persisted first: that pass materializes the blocks
+    * and the downstream action re-reads them, instead of running the
+    * scan+md5+shuffle+sort pipeline twice per execution. RDD-level
+    * persist, not Dataset.persist — no CacheManager entry to leak
+    * past the query; the ContextCleaner reclaims the blocks when the
+    * returned plan is dropped, and an evicted block recomputes
+    * deterministically (the shuffle map output is fixed, the local
+    * sort is total). Output: the input columns + `shuffle_rank`
+    * (1-based). Deterministic and partition-count-invariant
+    * (spec-pinned against the bounded declared query). */
   def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
                            numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
@@ -57,7 +65,8 @@ object ScaleOps {
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema :+ org.apache.spark.sql.types.StructField(
         "shuffle_rank", org.apache.spark.sql.types.LongType, nullable = false))
-    val ranked = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+    val rows = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = rows.zipWithIndex.map { case (row, idx) =>
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
     }
     spark.createDataFrame(ranked, schema)

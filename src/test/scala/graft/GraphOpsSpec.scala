@@ -10,6 +10,15 @@ class GraphOpsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  /** rdd-* checkpoint directories below `dir` — after a successful
+    * reliable-mode call only the returned fixpoint's should remain
+    * (retired rounds' files are deleted as they age out). */
+  private def rddCheckpointDirs(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).toSeq.flatten.flatMap(walk) :+ f
+    walk(new java.io.File(dir)).filter(f => f.isDirectory && f.getName.startsWith("rdd-"))
+  }
+
   private def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val df = edges.toDF("src", "dst")
     GraphOps.connectedComponents(df, "src", "dst")
@@ -52,6 +61,11 @@ class GraphOpsSpec extends SparkSpec {
     // the reliable mode actually wrote checkpoint data
     val wrote = new java.io.File(ckDir).listFiles()
     assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint was written")
+    // and retired rounds' files were deleted: only the fixpoint remains
+    // (the 7-node path runs multiple rounds, so without the cleanup
+    // several rdd-* dirs would survive here)
+    assert(rddCheckpointDirs(ckDir).size == 1,
+      "retired rounds' checkpoint files were not deleted")
   }
 
   test("large-star/small-star CC matches label propagation on path, clique, and random graphs") {
@@ -96,6 +110,8 @@ class GraphOpsSpec extends SparkSpec {
       assert(rel == local, s"mode divergence on $shape graph")
       val wrote = new java.io.File(ckDir).listFiles()
       assert(wrote != null && wrote.nonEmpty, s"no reliable checkpoint written ($shape)")
+      assert(rddCheckpointDirs(ckDir).size == 1,
+        s"retired rounds' checkpoint files were not deleted ($shape)")
     }
   }
 
