@@ -221,8 +221,18 @@ object VectorQueries {
     * shortlist. The centroid table broadcasts; the only large shuffle
     * keys on the assigned-centroid id (the IVF partition key at
     * 100 TB). */
-  def qIvfSearch(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+  /** The coarse-quantizer routing shared by [[qIvfSearch]],
+    * [[qIvfPqSearch]], and [[qClusterBalance]] (mirrored CTE-for-CTE
+    * by [[ivfRoutingSql]]): quantized-exact label-mean centroids,
+    * broadcast into ONE vec_id-keyed dot aggregation, then every
+    * (vector, centroid) pair ranked per vector by descending
+    * quantized dot with cid as tie-break. One engine copy, one SQL
+    * copy — a change to the quantization scale or the tie-break (the
+    * exact risk quantMeanAgg's doc warns about) lands in every graded
+    * query and its oracle at once instead of desynchronizing one.
+    * Returns (vec_id, cid, qdot, rk); rk=1 is the assignment, rk<=n
+    * the n probe lists. */
+  private def ivfRouting(e: DataFrame): DataFrame = {
     val exp = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
     val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
@@ -233,11 +243,33 @@ object VectorQueries {
       .groupBy(col("vec_id"), col("cid"))
       .agg(quantDotAgg)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("qdot").desc, col("cid"))
-    val assigned = dots.withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1).select(col("vec_id"), col("cid"))
-    val probes = dots.filter(col("vec_id") < 5)
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") <= 2) // nprobe = 2
+    dots.withColumn("rk", row_number().over(wAssign))
+  }
+
+  /** [[ivfRouting]]'s SQL mirror — CTEs `cent`, `dots`, `ranked`,
+    * `assigned`; expects an `exp` CTE with (vec_id, label, pos, v)
+    * already in scope. */
+  private val ivfRoutingSql: String =
+    """cent AS (
+      |  SELECT label AS cid, pos,
+      |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+      |      / 1000000.0 / COUNT(*) AS c
+      |  FROM exp GROUP BY 1, 2),
+      |dots AS (
+      |  SELECT e.vec_id, c.cid,
+      |    SUM(CAST(FLOOR(CAST(e.v AS DOUBLE) * c.c * 1000000000.0) AS BIGINT)) AS qdot
+      |  FROM exp e JOIN cent c ON e.pos = c.pos GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT vec_id, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qdot DESC, cid) AS rk
+      |  FROM dots),
+      |assigned AS (SELECT vec_id, cid FROM ranked WHERE rk = 1)""".stripMargin
+
+  def qIvfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val ranked = ivfRouting(e)
+    val assigned = ranked.filter(col("rk") === 1).select(col("vec_id"), col("cid"))
+    val probes = ranked.filter(col("rk") <= 2 && col("vec_id") < 5) // nprobe = 2
       .select(col("vec_id").as("qid"), col("cid"))
     val qv = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
@@ -259,20 +291,7 @@ object VectorQueries {
        |      unnest(list_transform(range(len(embedding)),
        |        i -> {'pos': i, 'v': embedding[i+1]})) AS r
        |    FROM embeddings)),
-       |cent AS (
-       |  SELECT label AS cid, pos,
-       |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
-       |      / 1000000.0 / COUNT(*) AS c
-       |  FROM exp GROUP BY 1, 2),
-       |dots AS (
-       |  SELECT e.vec_id, c.cid,
-       |    SUM(CAST(FLOOR(CAST(e.v AS DOUBLE) * c.c * 1000000000.0) AS BIGINT)) AS qdot
-       |  FROM exp e JOIN cent c ON e.pos = c.pos GROUP BY 1, 2),
-       |ranked AS (
-       |  SELECT vec_id, cid,
-       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qdot DESC, cid) AS rk
-       |  FROM dots),
-       |assigned AS (SELECT vec_id, cid FROM ranked WHERE rk = 1),
+       |$ivfRoutingSql,
        |probes AS (SELECT vec_id AS qid, cid FROM ranked WHERE rk <= 2 AND vec_id < 5),
        |cand AS (
        |  SELECT DISTINCT p.qid, a.vec_id
@@ -697,18 +716,9 @@ object VectorQueries {
     * driver-side beyond the shared 16-row anchor collect. */
   def qIvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    // coarse routing — the qIvfSearch machinery (quantized-exact
-    // label-mean centroids, argmax dot assignment, nprobe=2)
-    val exp = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(quantMeanAgg)
-      .select(col("label").as("cid"), col("pos"), col("c"))
-    val dots = exp.join(broadcast(cent), "pos")
-      .groupBy(col("vec_id"), col("cid"))
-      .agg(quantDotAgg)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("qdot").desc, col("cid"))
-    val ranked = dots.withColumn("rk", row_number().over(wAssign))
+    // coarse routing — the shared qIvfSearch machinery (quantized-
+    // exact label-mean centroids, argmax dot assignment, nprobe=2)
+    val ranked = ivfRouting(e)
     val assigned = ranked.filter(col("rk") === 1).select(col("vec_id"), col("cid"))
     val probes = ranked.filter(col("rk") <= 2 && col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("cid"))
@@ -735,26 +745,13 @@ object VectorQueries {
     * onto [[qPqSearchSql]]'s encode/LUT/ADC chain, the ADC restricted
     * to the candidate pairs. */
   val qIvfPqSearchSql: String =
-    """WITH exp AS (
+    s"""WITH exp AS (
       |  SELECT vec_id, label, r['pos'] AS pos, r['pos'] // 8 AS sub, r['v'] AS v FROM (
       |    SELECT vec_id, label,
       |      unnest(list_transform(range(len(embedding)),
       |        i -> {'pos': i, 'v': embedding[i+1]})) AS r
       |    FROM embeddings)),
-      |cent AS (
-      |  SELECT label AS cid, pos,
-      |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
-      |      / 1000000.0 / COUNT(*) AS c
-      |  FROM exp GROUP BY 1, 2),
-      |dots AS (
-      |  SELECT e.vec_id, c.cid,
-      |    SUM(CAST(FLOOR(CAST(e.v AS DOUBLE) * c.c * 1000000000.0) AS BIGINT)) AS qdot
-      |  FROM exp e JOIN cent c ON e.pos = c.pos GROUP BY 1, 2),
-      |ranked AS (
-      |  SELECT vec_id, cid,
-      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qdot DESC, cid) AS rk
-      |  FROM dots),
-      |assigned AS (SELECT vec_id, cid FROM ranked WHERE rk = 1),
+      |$ivfRoutingSql,
       |probes AS (SELECT vec_id AS qid, cid FROM ranked WHERE rk <= 2 AND vec_id < 5),
       |cand AS (
       |  SELECT DISTINCT p.qid, a.vec_id
@@ -807,16 +804,7 @@ object VectorQueries {
     * WHICH vectors were kept, not just how many. */
   def qClusterBalance(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val exp = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(quantMeanAgg)
-      .select(col("label").as("cid"), col("pos"), col("c"))
-    val dots = exp.join(broadcast(cent), "pos")
-      .groupBy(col("vec_id"), col("cid"))
-      .agg(quantDotAgg)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("qdot").desc, col("cid"))
-    val assigned = dots.withColumn("rk", row_number().over(wAssign))
+    val assigned = ivfRouting(e)
       .filter(col("rk") === 1).select(col("vec_id"), col("cid"))
     val wKeep = Window.partitionBy(col("cid"))
       .orderBy(md5(concat(lit("bal|"), col("vec_id").cast("string"))), col("vec_id"))
@@ -831,34 +819,21 @@ object VectorQueries {
   /** [[qIvfSearchSql]]'s assignment CTEs + a per-cluster seeded
     * keep-rank window + the balance report. */
   val qClusterBalanceSql: String =
-    """WITH exp AS (
+    s"""WITH exp AS (
       |  SELECT vec_id, label, r['pos'] AS pos, r['v'] AS v FROM (
       |    SELECT vec_id, label,
       |      unnest(list_transform(range(len(embedding)),
       |        i -> {'pos': i, 'v': embedding[i+1]})) AS r
       |    FROM embeddings)),
-      |cent AS (
-      |  SELECT label AS cid, pos,
-      |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
-      |      / 1000000.0 / COUNT(*) AS c
-      |  FROM exp GROUP BY 1, 2),
-      |dots AS (
-      |  SELECT e.vec_id, c.cid,
-      |    SUM(CAST(FLOOR(CAST(e.v AS DOUBLE) * c.c * 1000000000.0) AS BIGINT)) AS qdot
-      |  FROM exp e JOIN cent c ON e.pos = c.pos GROUP BY 1, 2),
-      |assigned AS (
-      |  SELECT vec_id, cid FROM (
-      |    SELECT vec_id, cid,
-      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qdot DESC, cid) AS rk
-      |    FROM dots) WHERE rk = 1),
-      |ranked AS (
+      |$ivfRoutingSql,
+      |keepr AS (
       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY cid
       |    ORDER BY md5('bal|' || CAST(vec_id AS VARCHAR)), vec_id) AS kr
       |  FROM assigned)
       |SELECT cid, COUNT(*) AS total,
       |  COUNT(CASE WHEN kr <= 40 THEN 1 END) AS kept,
       |  CAST(SUM(CASE WHEN kr <= 40 THEN vec_id END) AS BIGINT) AS kept_id_sum
-      |FROM ranked GROUP BY cid""".stripMargin
+      |FROM keepr GROUP BY cid""".stripMargin
 
   /** Per-label vector statistics: count + quantized-mean norm +
     * exact min/max norm (aggregations over computed doubles →
