@@ -112,6 +112,59 @@ object VectorQueries {
        |  JOIN embeddings q ON q.vec_id = c.qid)
        |WHERE rank <= 3""".stripMargin
 
+  /** ANN quality evaluation: recall@3 of the sign-LSH scale path
+    * ([[qAnnSignLsh]]) against the brute-force exact baseline
+    * ([[qCosineTopkNative]]) — the metric that decides whether an
+    * approximate index is good enough to replace the exact scan (the
+    * reference's KNN eval loop, eval/knn.py:4-73, asks exactly this
+    * of its retrieval). Deterministic end to end: both sides break
+    * distance ties by vec_id, so the hit count is oracle-exact; the
+    * ratio is one IEEE division (correctly rounded, engine-invariant).
+    *
+    * Shape at scale: both inputs are the already-scale-safe query
+    * plans (broadcast queries / banded candidates); this adds only a
+    * left join + aggregation over nq×k rows — nothing corpus-sized
+    * moves. */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = qCosineTopkNative(spark, dir).filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id"))
+    val ann = qAnnSignLsh(spark, dir)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    brute.join(ann, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("hit")).as("hits"))
+      .select(col("qid"), col("hits"),
+        (col("hits").cast("double") / lit(3.0)).as("recall_at_3"))
+  }
+
+  val qAnnRecallSql: String =
+    s"""WITH bands AS ($bandsSql),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, e.vec_id AS vec_id
+       |  FROM bands q JOIN bands e ON q.band = e.band AND q.bucket = e.bucket
+       |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+       |ann AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT c.qid, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.qid
+       |        ORDER BY ${cosineSql("q.embedding", "e.embedding")} DESC, c.vec_id) AS rank
+       |    FROM cand c
+       |    JOIN embeddings e ON e.vec_id = c.vec_id
+       |    JOIN embeddings q ON q.vec_id = c.qid)
+       |  WHERE rank <= 3),
+       |brute AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosineSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+       |    FROM embeddings q CROSS JOIN embeddings e
+       |    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= 3)
+       |SELECT b.qid, COUNT(a.vec_id) AS hits,
+       |  CAST(COUNT(a.vec_id) AS DOUBLE) / 3.0 AS recall_at_3
+       |FROM brute b LEFT JOIN ann a ON a.qid = b.qid AND a.vec_id = b.vec_id
+       |GROUP BY b.qid""".stripMargin
+
   /** Same exact top-k as [[qCosineTopk]] but through the native
     * codegen'd `cosine_sim` Catalyst expression
     * ([[graft.expressions.CosineSimilarity]], registered by
@@ -861,6 +914,7 @@ object VectorQueries {
     "q_cosine_topk" -> (qCosineTopk _),
     "q_cosine_topk_native" -> (qCosineTopkNative _),
     "q_ann_sign_lsh" -> (qAnnSignLsh _),
+    "q_ann_recall" -> (qAnnRecall _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_ivf_search" -> (qIvfSearch _),
     "q_kmeans_refine" -> (qKmeansRefine _),
@@ -877,6 +931,7 @@ object VectorQueries {
     "q_cosine_topk" -> qCosineTopkSql,
     "q_cosine_topk_native" -> qCosineTopkSql,
     "q_ann_sign_lsh" -> qAnnSignLshSql,
+    "q_ann_recall" -> qAnnRecallSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_ivf_search" -> qIvfSearchSql,
     "q_kmeans_refine" -> qKmeansRefineSql,
