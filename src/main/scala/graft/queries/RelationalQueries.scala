@@ -316,6 +316,85 @@ object RelationalQueries {
       |JOIN customer c ON o.o_custkey = c.c_custkey
       |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin
 
+  /** TPC-H Q10 shape (returned-item revenue): which customers cost us
+    * the most in returns last quarter. Exercises the fact-filter →
+    * two keyed shuffles → broadcast-dim → global top-k chain: the
+    * returnflag filter cuts lineitem before its l_orderkey join with
+    * the date-bounded orders slice, revenue aggregates on c_custkey
+    * (the second and last shuffle), the customer dimension joins on
+    * the same custkey (AQE reuses the exchange), nation broadcasts,
+    * and the top-20 is orderBy+limit → TakeOrderedAndProject — no
+    * global sort materializes. Revenue through the shared decimal
+    * floor-quantized sum so the 32-partition partial order is
+    * invisible; ties broken by c_custkey. Reference: the per-entity
+    * "worst offenders" report over composites, monthly.py:340-380. */
+  def qTpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val c = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(Exact.qsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val qTpchQ10Sql: String =
+    s"""SELECT c.c_custkey, c.c_name,
+       |  ${Exact.qsumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
+       |  c.c_acctbal, n.n_name
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |WHERE l.l_returnflag = 'R'
+       |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+       |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+       |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q6 shape (forecast revenue change): the no-join scan-kernel
+    * benchmark — every predicate is a scan-pushable range on one
+    * table and the answer is ONE partially-aggregated row, so the
+    * whole query is a single WholeStageCodegen span over the pruned
+    * parquet scan (plan-pinned: all three filters in PushedFilters,
+    * no shuffle beyond the 1-row final agg). The discount bounds are
+    * written as exact-double literals on both engines (5e-2/7e-2 —
+    * DuckDB parses bare 0.05 as DECIMAL, whose double conversion can
+    * differ by an ulp). Revenue through the shared decimal
+    * floor-quantized sum. */
+  def qTpchQ6(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07)
+      .filter(col("l_quantity") < 24.0)
+      .agg(Exact.qsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val qTpchQ6Sql: String =
+    s"""SELECT ${Exact.qsumSql("l_extendedprice * l_discount")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND l_discount >= 5e-2 AND l_discount <= 7e-2
+       |  AND l_quantity < 24.0""".stripMargin
+
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir).select(col("o_custkey"))
@@ -515,6 +594,8 @@ object RelationalQueries {
     "q_tpch_q17" -> (qTpchQ17 _),
     "q_tpch_q5" -> (qTpchQ5 _),
     "q_tpch_q18" -> (qTpchQ18 _),
+    "q_tpch_q10" -> (qTpchQ10 _),
+    "q_tpch_q6" -> (qTpchQ6 _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_window_running" -> (qWindowRunning _),
     "q_monthly_median" -> (qMonthlyMedian _),
@@ -538,6 +619,8 @@ object RelationalQueries {
     "q_tpch_q17" -> qTpchQ17Sql,
     "q_tpch_q5" -> qTpchQ5Sql,
     "q_tpch_q18" -> qTpchQ18Sql,
+    "q_tpch_q10" -> qTpchQ10Sql,
+    "q_tpch_q6" -> qTpchQ6Sql,
     "q_topk_per_group" -> qTopkPerGroupSql,
     "q_window_running" -> qWindowRunningSql,
     "q_monthly_median" -> qMonthlyMedianSql,

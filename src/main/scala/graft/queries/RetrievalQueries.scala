@@ -314,12 +314,62 @@ object RetrievalQueries {
       |FROM toks JOIN vocab USING (token) CROSS JOIN total
       |GROUP BY doc_id""".stripMargin
 
+  /** Token-distribution Shannon entropy per document — the curation
+    * gate that catches repetitive/templated text (low entropy: few
+    * distinct tokens dominate) without needing a reference corpus
+    * the way [[qUnigramTypicality]] does. Reported in nats alongside
+    * token/type counts so a gate can combine them (reference quality
+    * signals: monthly.py:666-690 token stats).
+    *
+    * Shape at scale: term frequencies are one aggregation keyed on
+    * (doc, term); doc lengths reduce the same rows keyed on doc; the
+    * join and the final sum shuffle on doc again (AQE reuses the
+    * exchange). Nothing global, no window.
+    *
+    * Cross-engine determinism: `ln` is libm (JVM vs DuckDB C runtime
+    * may differ in the last ulp — the q_terrain problem), and the
+    * per-doc sum has variable width, so each `-p·ln p` partial is
+    * floor-quantized at 1e-9 to a long BEFORE summing (the
+    * Exact.qsum rule; same accepted quantization-boundary residual
+    * risk as q_terrain's 1e-6, documented there). */
+  def qDocEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(terms("text")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val perDoc = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_tokens"))
+    val p = col("tf").cast("double") / col("n_tokens").cast("double")
+    tf.join(perDoc, Seq("doc_id"))
+      .withColumn("hq", floor(-(p * log(p)) * lit(1000000000.0)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        (sum(col("hq")).cast("double") / lit(1000000000.0)).as("entropy"))
+  }
+
+  val qDocEntropySql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      |        FROM documents)
+      |  GROUP BY doc_id, term),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY doc_id)
+      |SELECT t.doc_id, MAX(p.n_tokens) AS n_tokens, COUNT(*) AS n_terms,
+      |  CAST(SUM(CAST(FLOOR(
+      |      -((CAST(t.tf AS DOUBLE) / CAST(p.n_tokens AS DOUBLE))
+      |        * ln(CAST(t.tf AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)))
+      |      * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS entropy
+      |FROM tf t JOIN per_doc p USING (doc_id)
+      |GROUP BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
     "q_bm25_params" -> (qBm25Params _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_unigram_typicality" -> (qUnigramTypicality _),
+    "q_doc_entropy" -> (qDocEntropy _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -328,5 +378,6 @@ object RetrievalQueries {
     "q_bm25_params" -> qBm25ParamsSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_unigram_typicality" -> qUnigramTypicalitySql,
+    "q_doc_entropy" -> qDocEntropySql,
   )
 }

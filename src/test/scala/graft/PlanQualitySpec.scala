@@ -76,6 +76,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("TPC-H Q6 pushes every predicate to the scan and joins nothing") {
+    val p = executedPlan("q_tpch_q6")
+    // the PushedFilters list is elided in toString past ~100 chars, so
+    // pin its (stable) head plus the post-scan Filter's range predicates
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"), p)
+    assert(p.contains("(l_discount#"), p)
+    assert(p.contains("(l_quantity#"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("TPC-H Q10 pushes the returnflag and date filters and takes ordered top-20") {
+    val p = executedPlan("q_tpch_q10")
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("vocab top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = executedPlan("q_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
