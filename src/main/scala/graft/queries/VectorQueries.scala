@@ -137,32 +137,17 @@ object VectorQueries {
         (col("hits").cast("double") / lit(3.0)).as("recall_at_3"))
   }
 
+  /** Composes the two sibling queries' SQL verbatim (same
+    * one-definition rule as `bandsSql`): a ranking or tie-break
+    * change in either baseline can never leave this oracle stale.
+    * The 3-cutoff and /3.0 denominator are the metric's k, tied to
+    * [[qAnnSignLshSql]]'s top-3. */
   val qAnnRecallSql: String =
-    s"""WITH bands AS ($bandsSql),
-       |cand AS (
-       |  SELECT DISTINCT q.vec_id AS qid, e.vec_id AS vec_id
-       |  FROM bands q JOIN bands e ON q.band = e.band AND q.bucket = e.bucket
-       |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
-       |ann AS (
-       |  SELECT qid, vec_id FROM (
-       |    SELECT c.qid, c.vec_id,
-       |      ROW_NUMBER() OVER (PARTITION BY c.qid
-       |        ORDER BY ${cosineSql("q.embedding", "e.embedding")} DESC, c.vec_id) AS rank
-       |    FROM cand c
-       |    JOIN embeddings e ON e.vec_id = c.vec_id
-       |    JOIN embeddings q ON q.vec_id = c.qid)
-       |  WHERE rank <= 3),
-       |brute AS (
-       |  SELECT qid, vec_id FROM (
-       |    SELECT q.vec_id AS qid, e.vec_id AS vec_id,
-       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${cosineSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
-       |    FROM embeddings q CROSS JOIN embeddings e
-       |    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
-       |  WHERE rank <= 3)
-       |SELECT b.qid, COUNT(a.vec_id) AS hits,
+    s"""SELECT b.qid, COUNT(a.vec_id) AS hits,
        |  CAST(COUNT(a.vec_id) AS DOUBLE) / 3.0 AS recall_at_3
-       |FROM brute b LEFT JOIN ann a ON a.qid = b.qid AND a.vec_id = b.vec_id
+       |FROM (SELECT qid, vec_id FROM ($qCosineTopkSql) WHERE rank <= 3) b
+       |LEFT JOIN (SELECT qid, vec_id FROM ($qAnnSignLshSql)) a
+       |  ON a.qid = b.qid AND a.vec_id = b.vec_id
        |GROUP BY b.qid""".stripMargin
 
   /** Same exact top-k as [[qCosineTopk]] but through the native
