@@ -112,8 +112,8 @@ object VectorQueries {
        |  JOIN embeddings q ON q.vec_id = c.qid)
        |WHERE rank <= 3""".stripMargin
 
-  /** ANN quality evaluation: recall@3 of the sign-LSH scale path
-    * ([[qAnnSignLsh]]) against the brute-force exact baseline
+  /** ANN quality evaluation: recall@3 of an approximate index's
+    * top-3 against the brute-force exact baseline
     * ([[qCosineTopkNative]]) — the metric that decides whether an
     * approximate index is good enough to replace the exact scan (the
     * reference's KNN eval loop, eval/knn.py:4-73, asks exactly this
@@ -121,34 +121,40 @@ object VectorQueries {
     * distance ties by vec_id, so the hit count is oracle-exact; the
     * ratio is one IEEE division (correctly rounded, engine-invariant).
     *
-    * Shape at scale: both inputs are the already-scale-safe query
-    * plans (broadcast queries / banded candidates); this adds only a
-    * left join + aggregation over nq×k rows — nothing corpus-sized
-    * moves. */
-  def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    * Shape at scale: both inputs are already-scale-safe query plans
+    * (broadcast queries / banded or probed candidates); this adds
+    * only a left join + aggregation over nq×k rows — nothing
+    * corpus-sized moves. */
+  private def recallAt3(spark: SparkSession, dir: String,
+      ann: DataFrame): DataFrame = {
     val brute = qCosineTopkNative(spark, dir).filter(col("rank") <= 3)
       .select(col("qid"), col("vec_id"))
-    val ann = qAnnSignLsh(spark, dir)
-      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
-    brute.join(ann, Seq("qid", "vec_id"), "left")
+    val hits = ann.select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    brute.join(hits, Seq("qid", "vec_id"), "left")
       .groupBy(col("qid"))
       .agg(count(col("hit")).as("hits"))
       .select(col("qid"), col("hits"),
         (col("hits").cast("double") / lit(3.0)).as("recall_at_3"))
   }
 
-  /** Composes the two sibling queries' SQL verbatim (same
-    * one-definition rule as `bandsSql`): a ranking or tie-break
-    * change in either baseline can never leave this oracle stale.
-    * The 3-cutoff and /3.0 denominator are the metric's k, tied to
-    * [[qAnnSignLshSql]]'s top-3. */
-  val qAnnRecallSql: String =
+  /** Recall@3 of the sign-LSH path ([[qAnnSignLsh]]). */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAt3(spark, dir, qAnnSignLsh(spark, dir))
+
+  /** Composes the sibling queries' SQL verbatim (same one-definition
+    * rule as `bandsSql`): a ranking or tie-break change in either
+    * baseline can never leave this oracle stale. The 3-cutoff and
+    * /3.0 denominator are the metric's k, tied to the index queries'
+    * top-3. */
+  private def recallAt3Sql(annSql: String): String =
     s"""SELECT b.qid, COUNT(a.vec_id) AS hits,
        |  CAST(COUNT(a.vec_id) AS DOUBLE) / 3.0 AS recall_at_3
        |FROM (SELECT qid, vec_id FROM ($qCosineTopkSql) WHERE rank <= 3) b
-       |LEFT JOIN (SELECT qid, vec_id FROM ($qAnnSignLshSql)) a
+       |LEFT JOIN (SELECT qid, vec_id FROM ($annSql)) a
        |  ON a.qid = b.qid AND a.vec_id = b.vec_id
        |GROUP BY b.qid""".stripMargin
+
+  val qAnnRecallSql: String = recallAt3Sql(qAnnSignLshSql)
 
   /** Same exact top-k as [[qCosineTopk]] but through the native
     * codegen'd `cosine_sim` Catalyst expression
@@ -344,6 +350,15 @@ object VectorQueries {
        |  JOIN embeddings e ON e.vec_id = c.vec_id
        |  JOIN embeddings q ON q.vec_id = c.qid)
        |WHERE rank <= 3""".stripMargin
+
+  /** Recall@3 of the IVF nprobe=2 path ([[qIvfSearch]]) — paired
+    * with [[qAnnRecall]] so the two index families' quality is
+    * directly comparable on the same baseline (the index-selection
+    * decision the eval loop exists for). */
+  def qIvfRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAt3(spark, dir, qIvfSearch(spark, dir))
+
+  val qIvfRecallSql: String = recallAt3Sql(qIvfSearchSql)
 
   /** K-means refinement for the IVF coarse quantizer
     * (completing [[qIvfSearch]]'s missing training half): k=8
@@ -900,6 +915,7 @@ object VectorQueries {
     "q_cosine_topk_native" -> (qCosineTopkNative _),
     "q_ann_sign_lsh" -> (qAnnSignLsh _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_ivf_recall" -> (qIvfRecall _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_ivf_search" -> (qIvfSearch _),
     "q_kmeans_refine" -> (qKmeansRefine _),
@@ -917,6 +933,7 @@ object VectorQueries {
     "q_cosine_topk_native" -> qCosineTopkSql,
     "q_ann_sign_lsh" -> qAnnSignLshSql,
     "q_ann_recall" -> qAnnRecallSql,
+    "q_ivf_recall" -> qIvfRecallSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_ivf_search" -> qIvfSearchSql,
     "q_kmeans_refine" -> qKmeansRefineSql,
