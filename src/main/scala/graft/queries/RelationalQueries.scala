@@ -395,6 +395,116 @@ object RelationalQueries {
        |  AND l_discount >= 5e-2 AND l_discount <= 7e-2
        |  AND l_quantity < 24.0""".stripMargin
 
+  /** TPC-H Q14 shape (promotion effect): what share of a month's
+    * revenue came from promo parts. The whole answer is one broadcast
+    * join (part is the small dimension) over the date-pruned fact
+    * scan plus ONE single-row aggregate — both conditional and total
+    * revenue come out of the same partial agg, so the fact table is
+    * read once and nothing but two accumulators crosses the wire.
+    * The share is a single IEEE division of two floor-quantized exact
+    * sums, identical on both engines. Adaptation: this corpus's
+    * p_type vocabulary is single words, so the PROMO% prefix match is
+    * an equality. */
+  def qTpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-03-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        Exact.qsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        Exact.qsum(rev).as("total_revenue"))
+      .withColumn("promo_pct",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+  }
+
+  val qTpchQ14Sql: String =
+    s"""SELECT promo_revenue, total_revenue,
+       |  100.0 * promo_revenue / total_revenue AS promo_pct
+       |FROM (
+       |  SELECT
+       |    ${Exact.qsumSql("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END")} AS promo_revenue,
+       |    ${Exact.qsumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS total_revenue
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+       |    AND l.l_shipdate < TIMESTAMP '1996-04-01')""".stripMargin
+
+  /** TPC-H Q4 shape (order-priority checking): count a quarter's
+    * orders that have at least one qualifying lineitem — the EXISTS
+    * correlated-subquery family. Spark expresses the EXISTS directly
+    * as a LEFT SEMI join: the probe side deduplicates inside the
+    * join (no distinct pass), both sides carry pushed scan filters,
+    * and the only wide exchange keys on the order key. Adaptation:
+    * this corpus has no commit/receipt dates, so "late" is proxied
+    * by the returned flag — the join shape, not the predicate, is
+    * the point. */
+  def qTpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_orderpriority")
+    val ret = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    o.join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val qTpchQ4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_returnflag = 'R')
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q19 shape (discounted revenue under disjunctive
+    * predicates): the OR-of-ANDs join family. The three arms share
+    * the p_partkey equi-join (broadcast — part is the dimension), so
+    * Catalyst keeps ONE hash join and evaluates the disjunction as a
+    * post-join filter; only the fact-side conjunct common to all
+    * arms (l_quantity <= 30) is pushable. One single-row
+    * floor-quantized aggregate comes back. Adaptation: brand/size/
+    * quantity arms only — this corpus has no p_container or
+    * shipmode columns. */
+  def qTpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1.0, 11.0)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10.0, 20.0)) ||
+        (col("p_brand") === "Brand#24" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20.0, 30.0)))
+      .agg(
+        Exact.qsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val qTpchQ19Sql: String =
+    s"""SELECT
+       |  ${Exact.qsumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       |       AND l.l_quantity BETWEEN 1.0 AND 11.0)
+       |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       |       AND l.l_quantity BETWEEN 10.0 AND 20.0)
+       |   OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+       |       AND l.l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin
+
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir).select(col("o_custkey"))
@@ -596,6 +706,9 @@ object RelationalQueries {
     "q_tpch_q18" -> (qTpchQ18 _),
     "q_tpch_q10" -> (qTpchQ10 _),
     "q_tpch_q6" -> (qTpchQ6 _),
+    "q_tpch_q14" -> (qTpchQ14 _),
+    "q_tpch_q4" -> (qTpchQ4 _),
+    "q_tpch_q19" -> (qTpchQ19 _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_window_running" -> (qWindowRunning _),
     "q_monthly_median" -> (qMonthlyMedian _),
@@ -621,6 +734,9 @@ object RelationalQueries {
     "q_tpch_q18" -> qTpchQ18Sql,
     "q_tpch_q10" -> qTpchQ10Sql,
     "q_tpch_q6" -> qTpchQ6Sql,
+    "q_tpch_q14" -> qTpchQ14Sql,
+    "q_tpch_q4" -> qTpchQ4Sql,
+    "q_tpch_q19" -> qTpchQ19Sql,
     "q_topk_per_group" -> qTopkPerGroupSql,
     "q_window_running" -> qWindowRunningSql,
     "q_monthly_median" -> qMonthlyMedianSql,

@@ -309,6 +309,53 @@ object VectorQueries {
       |  FROM dots),
       |assigned AS (SELECT vec_id, cid FROM ranked WHERE rk = 1)""".stripMargin
 
+  /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540,
+    * public method): cluster the corpus with the shared coarse
+    * quantizer ([[ivfRouting]], rk=1 assignment), then compute exact
+    * cosine ONLY within each cluster — the O(n²/k) bound that makes
+    * embedding dedup tractable at corpus scale, vs the LSH-banded
+    * variant ([[qEmbedNeardup]]) which bounds candidates by bucket
+    * collisions instead. Any pair above the threshold marks the
+    * higher vec_id a duplicate of its lowest-id partner (the keeper),
+    * so the decision is deterministic under any partitioning. Plan:
+    * the centroid table broadcasts inside the routing, the pair join
+    * is a keyed equi-join on cid (NO cross join), and the final
+    * per-duplicate resolution is one groupBy on the duplicate id.
+    * Reference: the dedup mandate (BASELINE embedding variant);
+    * dataops/dataset.py dedup hooks. */
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val assigned = ivfRouting(e).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"))
+    val m = assigned.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+    val a = m.select(col("vec_id").as("ida"), col("cid"), col("embedding").as("ea"))
+    val b = m.select(col("vec_id").as("idb"), col("cid").as("cidb"),
+      col("embedding").as("eb"))
+    a.join(b, col("cid") === col("cidb") && col("ida") < col("idb"))
+      .withColumn("cosine", expr("cosine_sim(ea, eb)"))
+      .filter(col("cosine") >= 0.4)
+      .groupBy(col("idb").as("dup_id"), col("cid"))
+      .agg(min(col("ida")).as("kept_id"), max(col("cosine")).as("max_cosine"))
+  }
+
+  val qSemDedupSql: String =
+    s"""WITH exp AS (
+       |  SELECT vec_id, label, r['pos'] AS pos, r['v'] AS v FROM (
+       |    SELECT vec_id, label,
+       |      unnest(list_transform(range(len(embedding)),
+       |        i -> {'pos': i, 'v': embedding[i+1]})) AS r
+       |    FROM embeddings)),
+       |$ivfRoutingSql,
+       |m AS (
+       |  SELECT a.vec_id, a.cid, e.embedding
+       |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id),
+       |pairs AS (
+       |  SELECT a.cid, a.vec_id AS ida, b.vec_id AS idb,
+       |    ${cosineSql("a.embedding", "b.embedding")} AS cosine
+       |  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |SELECT idb AS dup_id, cid, MIN(ida) AS kept_id, MAX(cosine) AS max_cosine
+       |FROM pairs WHERE cosine >= 0.4 GROUP BY 1, 2""".stripMargin
+
   def qIvfSearch(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val ranked = ivfRouting(e)
@@ -917,6 +964,7 @@ object VectorQueries {
     "q_ann_recall" -> (qAnnRecall _),
     "q_ivf_recall" -> (qIvfRecall _),
     "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_semdedup" -> (qSemDedup _),
     "q_ivf_search" -> (qIvfSearch _),
     "q_kmeans_refine" -> (qKmeansRefine _),
     "q_centroid_assign" -> (qCentroidAssign _),
@@ -935,6 +983,7 @@ object VectorQueries {
     "q_ann_recall" -> qAnnRecallSql,
     "q_ivf_recall" -> qIvfRecallSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
+    "q_semdedup" -> qSemDedupSql,
     "q_ivf_search" -> qIvfSearchSql,
     "q_kmeans_refine" -> qKmeansRefineSql,
     "q_centroid_assign" -> qCentroidAssignSql,
