@@ -95,6 +95,41 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("TPC-H Q14 broadcasts part and pushes the shipdate range to the fact scan") {
+    val p = executedPlan("q_tpch_q14")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_shipdate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("TPC-H Q4's EXISTS plans as a keyed left-semi join on the order key") {
+    val p = executedPlan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("TPC-H Q19's disjunction keeps exactly one broadcast part join") {
+    val p = executedPlan("q_tpch_q19")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("semdedup pairs only within clusters (equi-join on cid), keeper below duplicate") {
+    val p = executedPlan("q_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    val rows = SparkEntry.queries("q_semdedup")(spark, dir).collect()
+    assert(rows.nonEmpty, "fixture yields no semantic duplicates — threshold too strict")
+    for (r <- rows) {
+      val dup = r.getAs[Long]("dup_id"); val kept = r.getAs[Long]("kept_id")
+      assert(kept < dup, s"keeper $kept not below duplicate $dup")
+      assert(r.getAs[Double]("max_cosine") >= 0.4)
+    }
+  }
+
   test("vocab top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = executedPlan("q_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
