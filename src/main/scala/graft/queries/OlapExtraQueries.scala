@@ -255,6 +255,44 @@ object OlapExtraQueries {
       |FROM events WHERE event_id < 2000
       |WINDOW peers AS (PARTITION BY event_type ORDER BY FLOOR(value / 50.0))""".stripMargin
 
+  /** Running DISTINCT count per key — `COUNT(DISTINCT) OVER`, which
+    * Spark's window functions don't support directly. The scalable
+    * rewrite: mark each (user, event_type)'s FIRST occurrence with a
+    * row_number()=1 flag, then running-sum the flags over the user's
+    * time order. No per-row set state ever materializes (the naive
+    * collect_set-over-window carries the whole distinct set in every
+    * row's frame — O(row × distinct) memory), both windows are keyed
+    * (user_id, event_type) / (user_id) so the plan is two keyed
+    * shuffles and nothing global; the ROWS frame plus the
+    * (ts, event_id) total order make the running sum deterministic
+    * under any partitioning. Reference: per-entity cumulative
+    * coverage stats, monthly.py composites family. */
+  def qWindowDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val running = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("first_seen",
+        when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+      .withColumn("distinct_types_so_far", sum(col("first_seen")).over(running))
+      .select("user_id", "event_id", "distinct_types_so_far")
+  }
+
+  val qWindowDistinctSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS distinct_types_so_far
+      |FROM (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                                 ORDER BY ts, event_id) = 1
+      |         THEN 1 ELSE 0 END AS first_seen
+      |  FROM events)""".stripMargin
+
   /** Sequential funnel: users who viewed, then clicked AFTER their
     * first view, then purchased AFTER that first click. Each stage is
     * a groupBy(user) min-timestamp + a join carrying the previous
@@ -310,6 +348,7 @@ object OlapExtraQueries {
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "q_window_ranks" -> (qWindowRanks _),
+    "q_window_distinct" -> (qWindowDistinct _),
     "q_funnel" -> (qFunnel _),
   )
 
@@ -325,6 +364,7 @@ object OlapExtraQueries {
     "q_pivot" -> qPivotSql,
     "q_unpivot" -> qUnpivotSql,
     "q_window_ranks" -> qWindowRanksSql,
+    "q_window_distinct" -> qWindowDistinctSql,
     "q_funnel" -> qFunnelSql,
   )
 }
