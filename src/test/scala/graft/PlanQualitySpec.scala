@@ -130,6 +130,43 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("semdedup guard: an oversized cluster expands linearly, not quadratically") {
+    // Adversarial fixture: 64 vectors whose last 48 dims are constant
+    // (so Lloyd training collapses them into ONE cluster — the exact
+    // failure mode of a non-scaling k) while the 16 sign-LSH dims are
+    // ±0.01 patterns that cancel pairwise within every init cluster
+    // (all 32 initial centroids identical ⇒ tie-break sends everything
+    // to cid 0) yet spread the vectors across LSH buckets.
+    import spark.implicits._
+    val n = 64
+    val rows = (0 until n).map { id =>
+      val flip = (id / 32) % 2 == 1
+      val emb = Array.tabulate(64) { i =>
+        if (i >= 16) 1.0f
+        else {
+          val bit = ((id >> (i % 4)) & 1) == 1
+          if (bit ^ flip) 0.01f else -0.01f
+        }
+      }
+      (id.toLong, emb.toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val cand = queries.VectorQueries.semDedupCandidates(e).collect()
+    val cids = cand.map(_.getAs[Int]("cid")).distinct
+    assert(cids.length == 1, s"fixture must collapse to one cluster, got ${cids.toSeq}")
+    val cap = queries.VectorQueries.SemDedupCap
+    assert(n > cap, "fixture cluster must be oversized for the guard to engage")
+    val allPairs = n * (n - 1) / 2
+    // the guard's hard bound: bands × members (star candidates per
+    // bucket), linear in cluster size — NOT the quadratic all-pairs
+    assert(cand.length <= 4 * n,
+      s"guard bound violated: ${cand.length} candidates > ${4 * n}")
+    assert(cand.length < allPairs / 4,
+      s"guard ineffective: ${cand.length} candidates vs $allPairs all-pairs")
+    for (r <- cand)
+      assert(r.getAs[Long]("ida") < r.getAs[Long]("idb"), "unordered pair emitted")
+  }
+
   test("vocab top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = executedPlan("q_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -38,6 +38,11 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # optional 3rd arg: comma-separated query names (local iteration
+    # with Verify's filtered dump)
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
