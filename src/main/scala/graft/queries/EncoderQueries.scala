@@ -10,11 +10,28 @@ import graft.sources.ObservationsGen
 /** End-to-end embedding pipeline: events → per-(user, month) padded
   * 17-band monthly series with validity masks → TinyEncoder
   * mapPartitions inference → embedding column + summary stats.
-  * Declared WITHOUT an oracle (a transformer is not ANSI-SQL); the
-  * driver records the weaker rows-only check, and EncoderSpec carries
-  * the semantic assertions (shape, determinism, mask invariance).
+  *
+  * Oracle: a transformer is not ANSI-SQL, so these two queries grade
+  * against CHECKED-IN GOLDEN PARQUET FIXTURES (tools/fixtures/,
+  * generated once by [[graft.tools.FixtureGen]]) — the q_terrain
+  * graduation pattern (1e-6 floor quantization) applied to the last
+  * two rows without a recomputing oracle. What the hash pin buys: the
+  * fixed-seed linear algebra, masking semantics, and monthly-series
+  * assembly must stay bit-reproducible under ANY partitioning or
+  * plan change, at all three scale factors (the encoder fixture
+  * carries per-sf rows keyed by the corpus's distinct-user count; the
+  * MAE fixture is input-generator-driven and scale-free). The
+  * SEMANTIC ground truth stays in TinyEncoderSpec/TinyDecoderSpec
+  * (shape, determinism, mask invariance, masked-position prediction)
+  * — the fixture pins regressions, the specs pin meaning.
   */
 object EncoderQueries {
+
+  /** 1e-6 floor quantization — the shared graduation scale (same
+    * constant as q_terrain): kills any cross-platform libm ulp risk
+    * while leaving six stable decimal digits for the hash. */
+  private def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c.cast("double") * 1e6) / 1e6
 
   /** Events → PixelSeries: 12 monthly slots per user; band b of
     * month m = per-band-scaled monthly median (synthetic multi-band
@@ -45,8 +62,8 @@ object EncoderQueries {
       .toDF()
       .select(col("id").as("user_id"),
         size(col("embedding")).as("dim"),
-        expr("cast(aggregate(embedding, 0D, (a, v) -> a + cast(v AS double) * cast(v AS double)) AS double)").as("sq_norm"),
-        col("embedding")(0).as("e0"))
+        q6(expr("cast(aggregate(embedding, 0D, (a, v) -> a + cast(v AS double) * cast(v AS double)) AS double)")).as("sq_norm"),
+        q6(col("embedding")(0)).as("e0"))
   }
 
   /** The complete MAE pretraining objective end-to-end: the masked
@@ -69,8 +86,8 @@ object EncoderQueries {
       .repartition(32)
       .as[TinyDecoder.MaskedExample]
     TinyDecoder.reconstruct(ex).toDF()
-      .select(col("id"), col("n_masked"), col("masked_mse"),
-        col("recon_masked")(0).as("recon0"))
+      .select(col("id"), col("n_masked"), q6(col("masked_mse")).as("masked_mse"),
+        q6(col("recon_masked")(0)).as("recon0"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -78,6 +95,20 @@ object EncoderQueries {
     "q_mae_reconstruct" -> (qMaeReconstruct _),
   )
 
-  /** Intentionally empty: non-SQL-expressible → rows-only check. */
-  val oracle: Map[String, String] = Map.empty
+  /** Golden-fixture oracles (see the object doc): DuckDB reads the
+    * checked-in engine-generated parquet instead of recomputing the
+    * transformer. The encoder fixture holds all three scale factors'
+    * rows, selected by the live corpus's distinct-user count (15/150/
+    * 1500 at sf0.001/0.01/0.1 — unique per sf); the MAE fixture's
+    * input is [[graft.sources.ObservationsGen]] (dir-independent), so
+    * one row set serves every sf. */
+  val oracle: Map[String, String] = Map(
+    "q_encoder_embed" ->
+      """SELECT user_id, dim, sq_norm, e0
+        |FROM read_parquet('/root/repo/tools/fixtures/q_encoder_embed/*.parquet')
+        |WHERE n_users = (SELECT COUNT(DISTINCT user_id) FROM events)""".stripMargin,
+    "q_mae_reconstruct" ->
+      """SELECT id, n_masked, masked_mse, recon0
+        |FROM read_parquet('/root/repo/tools/fixtures/q_mae_reconstruct/*.parquet')""".stripMargin,
+  )
 }
