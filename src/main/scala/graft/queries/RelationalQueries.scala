@@ -505,6 +505,134 @@ object RelationalQueries {
        |   OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
        |       AND l.l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin
 
+  /** TPC-H Q13 shape (customer order-count distribution): the
+    * left-OUTER-join + count-of-counts histogram — the "customers
+    * with zero orders" composition no inner-join query can express.
+    * The defining trick is the predicate living in the JOIN CONDITION
+    * (here: the right side filtered BEFORE the outer join — the same
+    * plan), so a customer whose every order is filtered away survives
+    * with a NULL order side and lands in the c_count=0 group (the
+    * fixture produces that group — graded, not theoretical).
+    * COUNT(o_orderkey) counts non-null matches only. Two keyed
+    * shuffles total (custkey, then the tiny c_count regroup); at
+    * 100 TB the outer join shuffles both sides on custkey and the
+    * histogram regroup moves one row per customer-count. Adaptation:
+    * this corpus has no o_comment — the priority filter stands in. */
+  def qTpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val qTpchQ13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT OUTER JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey)
+      |GROUP BY c_count""".stripMargin
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the stacked
+    * semi + anti SELF-join family — for each late line, ANOTHER
+    * supplier must exist on the order (EXISTS → LEFT SEMI) and NO
+    * other supplier may be late on it (NOT EXISTS → LEFT ANTI), both
+    * self-joins on the order key with the supplier inequality as a
+    * post-key filter. All three lineitem sides share the l_orderkey
+    * shuffle partitioning; the supplier⋈nation dimension arm
+    * broadcasts; top-100 is orderBy+limit → TakeOrderedAndProject.
+    * Adaptation: no commit/receipt dates in this corpus, so "late" is
+    * the returned flag (the q_tpch_q4 proxy), and the single-nation
+    * filter keeps Q21's dimension-filter shape over this corpus's
+    * synthetic nation names. */
+  def qTpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_returnflag")
+    val late = l.filter(col("l_returnflag") === "R").select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val others = l.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val lateOthers = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    val sn = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    late.join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(others,
+        col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"), "left_semi")
+      .join(lateOthers,
+        col("ok3") === col("l_orderkey") && col("sk3") =!= col("l_suppkey"), "left_anti")
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val qTpchQ21Sql: String =
+    """WITH late AS (
+      |  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+      |base AS (
+      |  SELECT l1.l_orderkey, l1.l_suppkey FROM late l1
+      |  WHERE EXISTS (SELECT 1 FROM orders o
+      |                WHERE o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F')
+      |    AND EXISTS (SELECT 1 FROM lineitem l2
+      |                WHERE l2.l_orderkey = l1.l_orderkey
+      |                  AND l2.l_suppkey <> l1.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM late l3
+      |                    WHERE l3.l_orderkey = l1.l_orderkey
+      |                      AND l3.l_suppkey <> l1.l_suppkey))
+      |SELECT s_name, numwait FROM (
+      |  SELECT s.s_name, COUNT(*) AS numwait
+      |  FROM base b
+      |  JOIN supplier s ON s.s_suppkey = b.l_suppkey
+      |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |  WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      |  GROUP BY s.s_name)
+      |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
+  /** The graded sketch tier (SURVEY §2.4's 100 TB distinct path —
+    * closing the "spec-only" gap on [[graft.operators.Sketches]]):
+    * exact aggregates and their sketch counterparts run side by side,
+    * and the OUTPUT is the error-bound verdict, which IS
+    * deterministic even though the sketch values aren't
+    * oracle-reproducible: approx_count_distinct must land within 3×
+    * its 5% configured rsd (floored at ±1 for tiny groups), and
+    * percentile_approx(accuracy=10000) must land between the exact
+    * quantiles at 0.5∓0.01 — a 100× margin over its guaranteed
+    * 1/accuracy rank error (the slack absorbs interpolation edge
+    * effects; a broken sketch still lands far outside). The oracle
+    * asserts exact counts + literal TRUE: a sketch drifting out of
+    * its documented bound fails the hash. Both sketches are
+    * single-pass, mergeable, bounded-memory — the shapes that replace
+    * exact distinct/percentile shuffles at corpus scale. */
+  def qDistinctApprox(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_distinct"),
+        approx_count_distinct(col("user_id"), 0.05).as("ad"),
+        percentile(col("value"), lit(0.49)).as("plo"),
+        percentile(col("value"), lit(0.51)).as("phi"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("pa"))
+      .select(col("event_type"), col("exact_distinct"),
+        (abs(col("ad") - col("exact_distinct")) <=
+          greatest(lit(0.15) * col("exact_distinct"), lit(1.0)))
+          .as("distinct_within_bound"),
+        (col("pa") >= col("plo") && col("pa") <= col("phi"))
+          .as("p50_within_bound"))
+  }
+
+  val qDistinctApproxSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
+      |  TRUE AS distinct_within_bound, TRUE AS p50_within_bound
+      |FROM events GROUP BY event_type""".stripMargin
+
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir).select(col("o_custkey"))
@@ -709,6 +837,9 @@ object RelationalQueries {
     "q_tpch_q14" -> (qTpchQ14 _),
     "q_tpch_q4" -> (qTpchQ4 _),
     "q_tpch_q19" -> (qTpchQ19 _),
+    "q_tpch_q13" -> (qTpchQ13 _),
+    "q_tpch_q21" -> (qTpchQ21 _),
+    "q_distinct_approx" -> (qDistinctApprox _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_window_running" -> (qWindowRunning _),
     "q_monthly_median" -> (qMonthlyMedian _),
@@ -737,6 +868,9 @@ object RelationalQueries {
     "q_tpch_q14" -> qTpchQ14Sql,
     "q_tpch_q4" -> qTpchQ4Sql,
     "q_tpch_q19" -> qTpchQ19Sql,
+    "q_tpch_q13" -> qTpchQ13Sql,
+    "q_tpch_q21" -> qTpchQ21Sql,
+    "q_distinct_approx" -> qDistinctApproxSql,
     "q_topk_per_group" -> qTopkPerGroupSql,
     "q_window_running" -> qWindowRunningSql,
     "q_monthly_median" -> qMonthlyMedianSql,

