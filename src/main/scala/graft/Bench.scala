@@ -46,24 +46,35 @@ object Bench {
   /** Per-query reference seconds from the committed quiet-window run.
     * BENCH_REF.json is the deliberately-committed reference (bench
     * never writes it); BENCH_DETAIL.json is the fallback so a fresh
-    * checkout without a ref still self-calibrates against its own
-    * last run. Parsed leniently (regex, not a JSON lib): a malformed
-    * file must degrade to "no retries", never crash the bench. */
+    * checkout without a ref still self-calibrates — but ONLY when
+    * that last run carried zero noisy flags: a detail file whose own
+    * values are min-of-2-plus-retries from a noisy window would
+    * otherwise become an ever-tightening self-written floor that
+    * ratchets retries on. With no clean reference the bench fails
+    * OPEN (no retries) rather than retry against a suspect one.
+    * Parsed leniently (regex, not a JSON lib): a malformed file must
+    * degrade to "no retries", never crash the bench. */
   private def loadReference(): Map[String, Double] = {
-    val path = Seq("BENCH_REF.json", "BENCH_DETAIL.json")
-      .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.exists(_))
-    path match {
-      case None => Map.empty
-      case Some(p) =>
-        try {
-          val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    def parse(p: java.nio.file.Path, requireQuiet: Boolean): Option[Map[String, Double]] =
+      try {
+        val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val quietOk = !requireQuiet ||
+          """"noisy":(\d+),"queries"""".r.findFirstMatchIn(text)
+            .exists(_.group(1) == "0")
+        if (!quietOk) None
+        else {
           val entry = """"([A-Za-z0-9_]+)":\{"sec":(-?[0-9.]+)""".r
-          entry.findAllMatchIn(text)
+          Some(entry.findAllMatchIn(text)
             .map(m => m.group(1) -> m.group(2).toDouble)
             .filter(_._2 > 0)
-            .toMap
-        } catch { case _: Throwable => Map.empty }
-    }
+            .toMap)
+        }
+      } catch { case _: Throwable => None }
+    val ref = java.nio.file.Paths.get("BENCH_REF.json")
+    val detail = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    if (java.nio.file.Files.exists(ref)) parse(ref, requireQuiet = false).getOrElse(Map.empty)
+    else if (java.nio.file.Files.exists(detail)) parse(detail, requireQuiet = true).getOrElse(Map.empty)
+    else Map.empty
   }
 
   def main(args: Array[String]): Unit = {

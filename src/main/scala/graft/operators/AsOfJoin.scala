@@ -29,7 +29,11 @@ import org.apache.spark.sql.expressions.Window
 object AsOfJoin {
 
   /** @param anchors   left side; one output row per anchor row
-    * @param source    right side; its key columns are dropped from the output
+    * @param source    right side; its key columns are dropped from the
+    *                  output, and any other source column sharing a
+    *                  name with an anchor column is renamed
+    *                  `<name>_src` (the output carries no duplicate
+    *                  names)
     * @param keys      equi-join key column names present on both sides
     * @param anchorTs  timestamp column on `anchors`
     * @param sourceTs  timestamp column on `source`
@@ -55,13 +59,25 @@ object AsOfJoin {
     // reference): unqualified names would be AMBIGUOUS_REFERENCE
     // whenever anchors and source share a column name (e.g.
     // anchorTs == sourceTs == "ts")
-    var joined = a.join(s, cond, "left").withColumn("dist", dist)
-    for (k <- keys) joined = joined.drop(col(s"_asof_s.$k"))
-    val anchorKeyCols: Seq[Column] = keys.map(col) :+ col(s"_asof_a.$anchorTs")
+    val joined = a.join(s, cond, "left").withColumn("dist", dist)
+    val anchorKeyCols: Seq[Column] =
+      keys.map(k => col(s"_asof_a.$k")) :+ col(s"_asof_a.$anchorTs")
     val w = Window.partitionBy(anchorKeyCols: _*)
       .orderBy(col("dist").asc_nulls_last, col(s"_asof_s.$tieBreak").asc_nulls_last)
+    // Explicit output projection: every anchor column under its own
+    // name; source columns minus the join keys, and any source column
+    // whose name an anchor column shares (e.g. anchorTs == sourceTs ==
+    // "ts") renamed to `<name>_src` — the output never carries two
+    // identically-named columns, so a caller's select can't hit
+    // AMBIGUOUS_REFERENCE at use time.
+    val anchorNames = anchors.columns.toSeq
+    val outCols: Seq[Column] =
+      anchorNames.map(n => col(s"_asof_a.$n").as(n)) ++
+      source.columns.toSeq.filterNot(keys.contains).map { n =>
+        col(s"_asof_s.$n").as(if (anchorNames.contains(n)) s"${n}_src" else n)
+      } :+ col("dist")
     joined.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .drop("rk")
+      .select(outCols: _*)
   }
 }

@@ -122,6 +122,7 @@ object GraphOps {
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
     }
+    var returned = false
     try {
       while (!converged && it < maxIter) {
         // TWO propagation steps per materialized round: labels cross two
@@ -140,23 +141,31 @@ object GraphOps {
         val next =
           if (reliable) truncate(joined)
           else joined.localCheckpoint(false)
-        val nextSum = labelSum(next)
+        // hand the current round to the cleanup queue BEFORE the
+        // materializing aggregate: if labelSum throws mid-round, both
+        // the previous round (queued) and this one (tracked as `labels`,
+        // retired in the finally below) are freed — nothing persisted or
+        // checkpointed outlives a failed call. The lag is unchanged:
+        // enqueueing round N-1 frees round N-2, so round N's job can
+        // still read its N-1 parent.
+        cleanup.retire(labels)
+        labels = next
+        val nextSum = labelSum(labels)
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
-        cleanup.retire(labels) // round N materialized → round N-2's blocks freed
-        labels = next
         it += 1
       }
-      if (!converged) cleanup.retire(labels) // failing: the final round is never returned
       require(converged, s"connectedComponents did not converge in $maxIter rounds")
+      returned = true
       labels
     } finally {
       // success: all retired rounds predate the returned fixpoint.
-      // failure (non-convergence or a job error): nothing is returned,
-      // so the retired rounds' blocks/files must not outlive the call.
-      // `sym` is only read inside the loop (the returned labels plan is
-      // a checkpoint result), so it retires with them.
+      // failure (non-convergence or a mid-round job error): nothing is
+      // returned, so the CURRENT round's blocks/files go too. `sym` is
+      // only read inside the loop (the returned labels plan is a
+      // checkpoint result), so it retires in every path.
       cleanup.retire(sym)
+      if (!returned) cleanup.retire(labels)
       cleanup.drain()
     }
   }
@@ -243,20 +252,30 @@ object GraphOps {
     var it = 0
     var converged = g.isEmpty
     val cleanup = new LaggedCleanup
+    var fixed = false
     try {
       while (!converged && it < maxIter) {
         val stepped = halfRound(halfRound(g, large = true), large = false)
         val next = if (reliable) stepped.checkpoint() else stepped.localCheckpoint(false)
-        converged = changedEdges(next, g) == 0L
+        // `next` enters cleanup tracking (as `g`) BEFORE the
+        // materializing changedEdges count: a mid-round failure then
+        // frees the just-checkpointed round in the finally below
+        // instead of leaking its blocks/files for the session. The
+        // fixpoint test still reads the previous round — it sits in
+        // the queue, not yet freed (two-round lag).
+        val prev = g
         cleanup.retire(g)
         g = next
+        converged = changedEdges(g, prev) == 0L
         it += 1
       }
-      if (!converged) cleanup.retire(g) // failing: the final round is never returned
       require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+      fixed = true
     } finally {
       // success: retired rounds predate the fixpoint `g` read below.
-      // failure: free them rather than pinning storage for the session.
+      // failure (non-convergence or a mid-round job error): the current
+      // round is never read again either — free everything.
+      if (!fixed) cleanup.retire(g)
       cleanup.drain()
     }
     // star forest → labelling; roots label themselves; nodes the

@@ -45,12 +45,21 @@ object ScaleOps {
     * and the downstream action re-reads them, instead of running the
     * scan+md5+shuffle+sort pipeline twice per execution. RDD-level
     * persist, not Dataset.persist — no CacheManager entry to leak
-    * past the query; the ContextCleaner reclaims the blocks when the
-    * returned plan is dropped, and an evicted block recomputes
-    * deterministically (the shuffle map output is fixed, the local
-    * sort is total). Output: the input columns + `shuffle_rank`
-    * (1-based). Deterministic and partition-count-invariant
-    * (spec-pinned against the bounded declared query). */
+    * past the query. Storage is SERIALIZED (MEMORY_AND_DISK_SER) to
+    * bound the footprint — deserialized Row caches of a full table
+    * run several× larger — and each call unpersists the PREVIOUS
+    * call's blocks for its session (the long-lived-session pattern:
+    * a bench or notebook re-invoking the operator would otherwise
+    * stack full-table caches until a driver GC lets the
+    * ContextCleaner catch up). An evicted or early-unpersisted block
+    * recomputes deterministically (the shuffle map output is fixed,
+    * the local sort total), so eager cleanup can never change
+    * results. Output: the input columns + `shuffle_rank` (1-based).
+    * Deterministic and partition-count-invariant (spec-pinned against
+    * the bounded declared query). */
+  private val lastShuffleRdd =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.rdd.RDD[_]]()
+
   def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
                            numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
@@ -65,7 +74,10 @@ object ScaleOps {
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema :+ org.apache.spark.sql.types.StructField(
         "shuffle_rank", org.apache.spark.sql.types.LongType, nullable = false))
-    val rows = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val prev = lastShuffleRdd.put(spark.sparkContext.applicationId, rows)
+    if (prev != null && (prev ne rows)) prev.unpersist(blocking = false)
     val ranked = rows.zipWithIndex.map { case (row, idx) =>
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
     }
