@@ -21,16 +21,24 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 refuses
-    * to read natively. Read the raw int64 nanos (legacy conf) and convert
-    * to a microsecond timestamp — truncation, matching how DuckDB (and
-    * any µs engine) reads the same file.
+  /** events.parquet has shipped ts as either TIMESTAMP(NANOS) (which
+    * Spark 4 refuses to read natively — read the raw int64 nanos via
+    * the legacy conf and truncate to microseconds, matching how DuckDB
+    * reads the same file) or plain TIMESTAMP(MICROS) without timezone
+    * (read as NTZ — cast to the session type, identity under the UTC
+    * session). Dispatch on the observed schema so both vintages load
+    * to the same TIMESTAMP column.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
