@@ -36,8 +36,19 @@ object Tables {
     import org.apache.spark.sql.types._
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
+      case _: TimestampNTZType =>
+        // NTZ→TimestampType is value-preserving only when the session
+        // renders instants in UTC; under any other zone the cast would
+        // silently shift every timestamp. Fail loudly instead.
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events(): NTZ ts requires spark.sql.session.timeZone=UTC " +
+            "(Sessions.local sets it); refusing a zone-shifting cast")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => raw
+      case other => throw new IllegalArgumentException(
+        s"events.parquet ts has unsupported type $other — expected " +
+          "TIMESTAMP(NANOS) (int64 via legacy nanosAsLong), TIMESTAMP_NTZ, " +
+          "or TIMESTAMP; a new testdata vintage needs an explicit branch here")
     }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")

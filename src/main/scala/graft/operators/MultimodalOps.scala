@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   * Scala analog of `mapInPandas` (SURVEY §2.11 model-as-function row).
   *
   * The decode kernel REALLY decodes uncompressed binary PPM (P6)
-  * images — a pure-Scala parser, no codec library needed — and falls
-  * back to byte-as-sample for payloads that are not PPM (audio/video
-  * payloads here, and compressed formats like JPEG whose codecs this
-  * container doesn't ship; the reference reads rasters analogously
-  * via rasterio, process_data.py:64-66). Everything around the kernel
+  * images AND uncompressed single-plane baseline TIFF (the
+  * reference's actual raster container — rasterio.open,
+  * process_data.py:64-66) — pure-Scala parsers, no codec library
+  * needed — and falls back to byte-as-sample for anything else
+  * (audio/video payloads here, and compressed formats like JPEG whose
+  * codecs this container doesn't ship). Everything around the kernel
   * is likewise real and load-bearing — the schema, the binary column
   * handling, the per-partition batching (records are processed in
   * fixed-size batches the way a vectorized codec or an inference
@@ -79,6 +80,122 @@ object MultimodalOps {
     Some(DecodedImage(w, h, out))
   }
 
+  /** Pure-Scala decoder for minimal BASELINE TIFF — the reference's
+    * actual raster container (rasterio.open, process_data.py:64-66).
+    * Supports what an uncompressed single-plane GeoTIFF payload needs:
+    * both byte orders (`II*\0` / `MM\0*`), one IFD walked from the
+    * header offset, inline-vs-offset tag values, multi-strip rasters
+    * via StripOffsets/StripByteCounts arrays (RowsPerStrip < height),
+    * 8-bit samples, SamplesPerPixel=1, Compression=1 (none). Returns
+    * None for anything else — compressed, tiled, multi-band, deep —
+    * so callers fall back rather than mis-decode. */
+  def decodeTiff(payload: Array[Byte]): Option[DecodedImage] = {
+    if (payload.length < 8) return None
+    val le = payload(0) == 'I'.toByte && payload(1) == 'I'.toByte
+    val be = payload(0) == 'M'.toByte && payload(1) == 'M'.toByte
+    if (!le && !be) return None
+    def u16(off: Long): Int = {
+      val o = off.toInt
+      if (off < 0 || o + 2 > payload.length) return -1
+      if (le) (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      else ((payload(o) & 0xff) << 8) | (payload(o + 1) & 0xff)
+    }
+    def u32(off: Long): Long = {
+      val o = off.toInt
+      if (off < 0 || o + 4 > payload.length) return -1L
+      if (le) (payload(o) & 0xff).toLong | ((payload(o + 1) & 0xff).toLong << 8) |
+        ((payload(o + 2) & 0xff).toLong << 16) | ((payload(o + 3) & 0xff).toLong << 24)
+      else ((payload(o) & 0xff).toLong << 24) | ((payload(o + 1) & 0xff).toLong << 16) |
+        ((payload(o + 2) & 0xff).toLong << 8) | (payload(o + 3) & 0xff).toLong
+    }
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    val nEntries = u16(ifd)
+    if (nEntries <= 0) return None
+    // TIFF types: 3 = SHORT (2 bytes), 4 = LONG (4 bytes); values of
+    // total size <= 4 live inline in the value field, larger ones at
+    // the offset the field holds.
+    def values(tag: Int): Option[Seq[Long]] = {
+      var i = 0
+      while (i < nEntries) {
+        val off = ifd + 2 + i * 12
+        if (u16(off) == tag) {
+          val typ = u16(off + 2)
+          val count = u32(off + 4)
+          val width = typ match { case 3 => 2L; case 4 => 4L; case _ => return None }
+          if (count <= 0 || count > 65536) return None
+          val base = if (count * width <= 4) off + 8 else u32(off + 8)
+          val vs = (0L until count).map { j =>
+            if (typ == 3) u16(base + 2 * j).toLong else u32(base + 4 * j)
+          }
+          return if (vs.exists(_ < 0)) None else Some(vs)
+        }
+        i += 1
+      }
+      None
+    }
+    def scalar(tag: Int): Option[Long] = values(tag).flatMap(v => v.headOption)
+    val w = scalar(256).getOrElse(-1L)
+    val h = scalar(257).getOrElse(-1L)
+    if (w <= 0 || h <= 0 || w * h > Int.MaxValue / 4) return None
+    if (scalar(259).getOrElse(1L) != 1L) return None // uncompressed only
+    if (scalar(277).getOrElse(1L) != 1L) return None // single-plane only
+    if (values(258).exists(_.exists(_ != 8L))) return None // 8-bit only
+    val (offsets, counts) = (values(273), values(279)) match {
+      case (Some(o), Some(c)) if o.length == c.length => (o, c)
+      case _ => return None
+    }
+    val total = counts.sum
+    if (total != w * h) return None
+    val out = new Array[Int](total.toInt)
+    var written = 0
+    var s = 0
+    while (s < offsets.length) {
+      val so = offsets(s); val sc = counts(s)
+      if (so < 0 || sc < 0 || so + sc > payload.length) return None
+      var j = 0
+      while (j < sc) { out(written) = payload((so + j).toInt) & 0xff; written += 1; j += 1 }
+      s += 1
+    }
+    Some(DecodedImage(w.toInt, h.toInt, out))
+  }
+
+  /** Little-endian baseline-TIFF writer for the generator/spec side:
+    * 8-bit grayscale, RowsPerStrip=1 (h strips — exercises the
+    * external StripOffsets/StripByteCounts arrays whenever h > 1). */
+  private[graft] def encodeTiff(w: Int, h: Int, raster: Array[Byte]): Array[Byte] = {
+    require(raster.length == w * h, s"raster ${raster.length} != $w x $h")
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    out.write('I'); out.write('I'); w16(42)
+    val dataStart = 8
+    val ifdOff = dataStart + raster.length
+    w32(ifdOff)
+    out.write(raster, 0, raster.length)
+    val nEntries = 9
+    val arrBase = ifdOff + 2 + nEntries * 12 + 4
+    w16(nEntries)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      w16(tag); w16(typ); w32(count); w32(value)
+    }
+    entry(256, 4, 1, w) // ImageWidth
+    entry(257, 4, 1, h) // ImageLength
+    entry(258, 3, 1, 8) // BitsPerSample
+    entry(259, 3, 1, 1) // Compression: none
+    entry(262, 3, 1, 1) // Photometric: BlackIsZero
+    entry(273, 4, h, if (h == 1) dataStart else arrBase) // StripOffsets
+    entry(277, 3, 1, 1) // SamplesPerPixel
+    entry(278, 4, 1, 1) // RowsPerStrip
+    entry(279, 4, h, if (h == 1) raster.length else arrBase + 4 * h) // StripByteCounts
+    w32(0) // next-IFD terminator
+    if (h > 1) {
+      (0 until h).foreach(r => w32(dataStart + r * w))
+      (0 until h).foreach(_ => w32(w))
+    }
+    out.toByteArray
+  }
+
   /** Feature fold shared by the decoded-pixel and raw-byte paths. */
   private def features(m: MediaRow, samples: Array[Int]): MediaFeatures = {
     val n = samples.length
@@ -92,11 +209,12 @@ object MultimodalOps {
       if (n == 0) 0 else mn, if (n == 0) 0 else mx, ck)
   }
 
-  /** Decode kernel: true pixel decode for PPM payloads (features over
-    * the decoded RGB samples), byte-as-sample for everything else. */
+  /** Decode kernel: true pixel decode for PPM and baseline-TIFF
+    * payloads (features over the decoded samples), byte-as-sample for
+    * everything else. */
   private def decodeKernel(batch: Seq[MediaRow]): Seq[MediaFeatures] =
     batch.map { m =>
-      val samples = decodePpm(m.payload) match {
+      val samples = decodePpm(m.payload).orElse(decodeTiff(m.payload)) match {
         case Some(img) => img.samples
         case None => m.payload.map(b => b & 0xff)
       }
@@ -160,6 +278,28 @@ object MultimodalOps {
     * These round-trip through [[decodePpm]], so queries over this
     * table grade the true pixel-decode path end-to-end while staying
     * oracle-expressible (ASCII byte == char code). */
+  /** Synthesize REAL baseline-TIFF payloads from the documents table:
+    * the first 2·⌊len/2⌋ ASCII bytes of each text become the raster of
+    * a (len/2)×2 grayscale image behind a spec-conformant
+    * little-endian TIFF header with RowsPerStrip=1 — TWO strips, so
+    * the external StripOffsets/StripByteCounts arrays are on the
+    * graded path, not just the inline-value fast case. Round-trips
+    * through [[decodeTiff]]; the oracle recomputes features from the
+    * source characters (ASCII byte == char code), pinning header
+    * parse, IFD walk, strip concatenation, and sample extraction. */
+  def tiffFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.selectExpr("doc_id", "text").as[(Long, String)]
+      .filter(_._2.length >= 2)
+      .map { case (id, text) =>
+        val w = text.length / 2
+        val h = 2
+        val raster = text.getBytes("UTF-8").take(w * h)
+        MediaRow(id, "image", encodeTiff(w, h, raster), MediaMeta(w, h, 0, 1))
+      }.toDF()
+  }
+
   def ppmFromDocuments(docs: DataFrame): DataFrame = {
     val npx = expr("CAST(length(text) DIV 3 AS INT)")
     docs.filter(length(col("text")) >= 3).select(

@@ -149,10 +149,41 @@ object MultimodalQueries {
       |      i -> ascii(substr(text, i+1, 1))) AS codes
       |  FROM documents WHERE length(text) >= 3)""".stripMargin
 
+  /** TRUE container decode for the reference's actual raster format
+    * (rasterio's TIFF, process_data.py:64-66): payloads are real
+    * little-endian baseline TIFFs ([[MultimodalOps.tiffFromDocuments]],
+    * two strips each so the IFD's external offset arrays are
+    * exercised), and the decode kernel parses header + IFD + strips
+    * (MultimodalOps.decodeTiff). The oracle recomputes the expected
+    * features from the raster's source characters, so the hash pins
+    * the whole container walk end-to-end. */
+  def qTiffDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = MultimodalOps
+      .tiffFromDocuments(Tables.documents(spark, dir))
+      .as[MultimodalOps.MediaRow]
+    MultimodalOps.decodeFeatures(media).toDF()
+  }
+
+  val qTiffDecodeSql: String =
+    """SELECT doc_id AS media_id, 'image' AS kind,
+      |  CAST(len(codes) AS INT) AS n_bytes,
+      |  CAST(list_sum(codes) AS DOUBLE) / len(codes) AS byte_mean,
+      |  CAST(list_min(codes) AS INT) AS byte_min,
+      |  CAST(list_max(codes) AS INT) AS byte_max,
+      |  list_reduce(list_transform(codes, c -> CAST(c AS BIGINT)),
+      |              (a, c) -> (a * 31 + c) % 72057594037927931) AS checksum
+      |FROM (
+      |  SELECT doc_id,
+      |    list_transform(range((length(text) // 2) * 2),
+      |      i -> ascii(substr(text, i+1, 1))) AS codes
+      |  FROM documents WHERE length(text) >= 2)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_manifest" -> (qMediaManifest _),
     "q_media_features" -> (qMediaFeatures _),
     "q_image_decode" -> (qImageDecode _),
+    "q_tiff_decode" -> (qTiffDecode _),
     "q_frame_sample" -> (qFrameSample _),
     "q_resize_features" -> (qResizeFeatures _),
   )
@@ -161,6 +192,7 @@ object MultimodalQueries {
     "q_media_manifest" -> qMediaManifestSql,
     "q_media_features" -> qMediaFeaturesSql,
     "q_image_decode" -> qImageDecodeSql,
+    "q_tiff_decode" -> qTiffDecodeSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_resize_features" -> qResizeFeaturesSql,
   )

@@ -78,6 +78,58 @@ object StreamingPipelines {
       }
   }
 
+  case class Evt(user_id: Long, event_id: Long, event_type: String,
+                 ts: java.sql.Timestamp)
+  case class SeenTypes(types: Set[String])
+  case class DistinctSoFar(user_id: Long, event_id: Long,
+                           distinct_types_so_far: Long)
+
+  /** Streaming dual of the batch q_window_distinct (running
+    * count-distinct of event types per user,
+    * OlapExtraQueries.qWindowDistinct): the per-user first-seen SET is
+    * flatMapGroupsWithState state, each event emits its running
+    * distinct count exactly once (append mode), and the watermark
+    * bounds state two ways — late rows below the horizon are dropped
+    * before the state op, and a user idle past the horizon has their
+    * set evicted via EventTimeTimeout (the same trade
+    * dropDuplicatesWithinWatermark makes: a key returning after the
+    * horizon restarts its count). Within a micro-batch, rows process
+    * in (ts, event_id) order — the batch query's exact total order —
+    * so on in-order arrival the two surfaces agree row for row
+    * (spec-pinned on a shared fixture).
+    *
+    * Scale: state is keyed by user and holds one Set[String] of seen
+    * types per ACTIVE user — O(users-per-horizon × types), sharded
+    * across executors; nothing global, nothing unbounded. */
+  def runningDistinct(events: Dataset[Evt],
+      horizon: String = "1 hour"): Dataset[DistinctSoFar] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", horizon)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeenTypes, DistinctSoFar](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[Evt], state: GroupState[SeenTypes]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var seen = state.getOption.getOrElse(SeenTypes(Set.empty))
+            val out = evs.map { e =>
+              if (!seen.types.contains(e.event_type))
+                seen = SeenTypes(seen.types + e.event_type)
+              DistinctSoFar(key, e.event_id, seen.types.size.toLong)
+            }
+            state.update(seen)
+            // evict once the watermark passes last-activity + horizon
+            state.setTimeoutTimestamp(evs.map(_.ts.getTime).max, horizon)
+            out.iterator
+          }
+      }
+  }
+
   /** Ingestion-time exact dedup — the streaming form of the
     * content-hash dedup (an LLM pipeline dedups as data LANDS, not
     * only in batch): duplicates by key are dropped across

@@ -92,6 +92,62 @@ class MultimodalSpec extends SparkSpec {
     assert(f.n_bytes == 9 && f.byte_mean == 101.0 && f.checksum == 85517489010789L)
   }
 
+  test("encodeTiff → decodeTiff round-trips a two-strip raster") {
+    val raster = (10 until 26).map(_.toByte).toArray // 8×2, RowsPerStrip=1
+    val img = MultimodalOps.decodeTiff(MultimodalOps.encodeTiff(8, 2, raster))
+    assert(img.isDefined)
+    assert(img.get.width == 8 && img.get.height == 2)
+    assert(img.get.samples.toSeq == (10 until 26))
+  }
+
+  test("decodeTiff parses a big-endian single-strip TIFF") {
+    // hand-built MM fixture: raster at offset 8, IFD at 12, SHORT value
+    // left-justified in its 4-byte field (the byte-order trap)
+    val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+    def w16(v: Int): Unit = { buf += ((v >> 8) & 0xff).toByte; buf += (v & 0xff).toByte }
+    def w32(v: Int): Unit = { w16((v >>> 16) & 0xffff); w16(v & 0xffff) }
+    buf += 'M'.toByte; buf += 'M'.toByte; w16(42); w32(12)
+    Seq(50, 60, 70, 80).foreach(b => buf += b.toByte)
+    w16(5)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      w16(tag); w16(typ); w32(count)
+      if (typ == 3) { w16(value); w16(0) } else w32(value)
+    }
+    entry(256, 4, 1, 2); entry(257, 4, 1, 2); entry(259, 3, 1, 1)
+    entry(273, 4, 1, 8); entry(279, 4, 1, 4)
+    w32(0)
+    val img = MultimodalOps.decodeTiff(buf.toArray)
+    assert(img.isDefined, "BE fixture must decode")
+    assert(img.get.width == 2 && img.get.height == 2)
+    assert(img.get.samples.toSeq == Seq(50, 60, 70, 80))
+  }
+
+  test("decodeTiff rejects unsupported or corrupt containers") {
+    val ok = MultimodalOps.encodeTiff(4, 2, (0 until 8).map(_.toByte).toArray)
+    assert(MultimodalOps.decodeTiff(ok).isDefined, "baseline fixture must decode")
+    // compression != 1 (LZW): entry index 3 is tag 259; its value field
+    // sits at ifd(16) + 2 + 3*12 + 8 = 62 in the writer's layout
+    val lzw = ok.clone(); lzw(62) = 5
+    assert(MultimodalOps.decodeTiff(lzw).isEmpty, "compressed must be refused")
+    val truncated = ok.dropRight(4) // loses the StripByteCounts tail
+    assert(MultimodalOps.decodeTiff(truncated).isEmpty, "truncated must be refused")
+    val badMagic = ok.clone(); badMagic(0) = 'X'.toByte
+    assert(MultimodalOps.decodeTiff(badMagic).isEmpty, "bad magic must be refused")
+  }
+
+  test("tiffFromDocuments emits real TIFFs that round-trip through decodeTiff") {
+    import spark.implicits._
+    val docs = Seq((7L, "abcdefghij", "en", "src1", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = MultimodalOps.tiffFromDocuments(docs).as[MediaRow].collect().head
+    assert(m.kind == "image" && m.meta.width == 5 && m.meta.height == 2)
+    val img = MultimodalOps.decodeTiff(m.payload)
+    assert(img.isDefined)
+    assert(img.get.samples.toSeq == "abcdefghij".map(_.toInt))
+    val f = MultimodalOps.decodeFeatures(Seq(m).toDS()).collect().head
+    assert(f.n_bytes == 10 && f.byte_min == 'a'.toInt && f.byte_max == 'j'.toInt)
+  }
+
   test("mediaFromDocuments yields binary payload with typed metadata") {
     import spark.implicits._
     val docs = Seq((7L, "hello", "en", "src1", 5L))

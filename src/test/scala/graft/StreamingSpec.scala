@@ -132,6 +132,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningDistinct agrees with the batch first-seen semantics on a shared fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingPipelines.Evt
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val batch1 = Seq(
+      Evt(1L, 1L, "view", ts("10:00:00")),
+      Evt(1L, 2L, "click", ts("10:01:00")),
+      Evt(2L, 3L, "view", ts("10:00:30")))
+    val batch2 = Seq(
+      Evt(1L, 4L, "view", ts("10:05:00")),     // type replay: count must NOT bump
+      Evt(1L, 5L, "purchase", ts("10:06:00")))
+    val in = MemoryStream[Evt]
+    val q = StreamingPipelines.runningDistinct(in.toDS())
+      .writeStream.format("memory").queryName("rd").outputMode("append").start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("rd").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // batch dual: the q_window_distinct first-seen arithmetic over the
+      // same rows — the two surfaces must agree row for row
+      import org.apache.spark.sql.expressions.Window
+      val firstSeen = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val running = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val batchExpected = (batch1 ++ batch2).toDS().toDF()
+        .withColumn("first_seen",
+          when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+        .withColumn("d", sum(col("first_seen")).over(running))
+        .select("user_id", "event_id", "d").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batchExpected,
+        s"streaming $streamed != batch $batchExpected")
+      assert(streamed((1L, 4L)) == 2L, "replayed type bumped the count")
+      assert(streamed((1L, 5L)) == 3L)
+    } finally q.stop()
+  }
+
+  test("runningDistinct evicts idle state at the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingPipelines.Evt
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val in = MemoryStream[Evt]
+    val q = StreamingPipelines.runningDistinct(in.toDS(), horizon = "1 hour")
+      .writeStream.format("memory").queryName("rd_evict").outputMode("append").start()
+    try {
+      in.addData(Evt(1L, 1L, "view", ts("10:00:00")), Evt(1L, 2L, "click", ts("10:01:00")))
+      q.processAllAvailable()
+      // advance the watermark far past user 1's last activity + horizon
+      in.addData(Evt(99L, 3L, "view", ts("13:00:00")))
+      q.processAllAvailable()
+      // user 1 returns after eviction: the count restarts — bounded
+      // state has a price, and this pins what it is
+      in.addData(Evt(1L, 4L, "view", ts("12:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table("rd_evict").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(rows((1L, 1L)) == 1L && rows((1L, 2L)) == 2L)
+      assert(rows((1L, 4L)) == 1L,
+        s"state not evicted at the horizon: ${rows.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("runningStats carries exact integer state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
