@@ -94,8 +94,30 @@ object ScaleOps {
     * a shuffle key, and a fetch-failure recompute could re-salt rows
     * differently than the partially-fetched originals — duplicating
     * or dropping join rows. Result is identical to the plain inner
-    * join (verified by spec); use when AQE's runtime skew split is
-    * not available (e.g. storage-partitioned joins). */
+    * join (verified by spec).
+    *
+    * DECISION RULE — AQE skew split vs pre-salting (both arms
+    * demonstrated in ScaleOpsSpec):
+    *
+    *  - A skewed join that READS SHUFFLE OUTPUT needs no salting:
+    *    `spark.sql.adaptive.skewJoin` splits the oversized partition
+    *    into mapper-range chunks at runtime (the final adaptive plan
+    *    shows `skew=true`) once the partition exceeds both
+    *    `skewedPartitionFactor` × median and
+    *    `skewedPartitionThresholdInBytes`. Prefer this: zero code,
+    *    reacts to skew you didn't predict, no build-side replication.
+    *  - Pre-salt when there is NO shuffle stage for AQE to re-split:
+    *    bucketed / storage-partitioned joins (the hot bucket stays one
+    *    straggler task — spec shows AQE stays silent), stream-static
+    *    joins planned per micro-batch against state-store partitioning,
+    *    or plans where the join's output partitioning is required
+    *    downstream so AQE declines to break it.
+    *  - Also pre-salt when the hot keys are KNOWN ahead of time and
+    *    task sizing must be deterministic (capacity planning for a
+    *    recurring 100 TB job) rather than reactive — AQE only splits
+    *    after the skewed map output already materialized; salting
+    *    spreads it at map time. The cost: the build side replicates
+    *    `salt`× — keep it for genuinely small-to-medium build sides. */
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
                       salt: Int, probeSalt: Column): DataFrame = {
     val saltedLeft = left.withColumn("_salt",

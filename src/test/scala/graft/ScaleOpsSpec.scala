@@ -61,6 +61,81 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  /** Run `body` with the given SQL confs, restoring previous values
+    * (shared session — a leaked conf would bend sibling suites). */
+  private def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
+    val prev = confs.map { case (k, _) =>
+      k -> util.Try(spark.conf.get(k)).toOption }
+    try { confs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** 90k-row fixture where one key owns ~89k rows — a partition an
+    * order of magnitude beyond its siblings once shuffled. */
+  private def skewedPair = {
+    import spark.implicits._
+    val left = spark.range(90000)
+      .selectExpr("IF(id < 89000, 7L, id) AS k", "id AS lv",
+        "repeat('x', 64) AS pad")
+    val right = Seq((7L, "hot"), (89500L, "cold"), (89900L, "cold2")).toDF("k", "rv")
+    (left, right)
+  }
+
+  test("AQE splits a skewed SHUFFLED join at runtime — no pre-salting needed") {
+    // the decision rule's first arm (ScaleOps.saltedInnerJoin scaladoc):
+    // when the skewed join reads shuffle output, AQE's runtime skew
+    // split handles it — the final adaptive plan carries skew=true
+    val (left, right) = skewedPair
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      val joined = left.join(right, "k")
+      // collect() executes THIS QueryExecution (count() would build a
+      // new one and leave this plan un-finalized)
+      assert(joined.collect().length == 89000 + 1 + 1)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join:\n$plan")
+    }
+  }
+
+  test("AQE cannot split a skewed BUCKETED join — the pre-salting arm") {
+    // the decision rule's second arm: a storage-partitioned join has no
+    // shuffle stage for AQE to re-split, so the hot bucket stays one
+    // straggler task and pre-salting is the available lever
+    val (left, right) = skewedPair
+    ScaleOps.bucketize(spark, left, "bk_skew_l", "k", 8)
+    ScaleOps.bucketize(spark, right, "bk_skew_r", "k", 8)
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB") {
+      val joined = spark.table("bk_skew_l").join(spark.table("bk_skew_r"), "k")
+      assert(joined.collect().length == 89000 + 1 + 1)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"fixture lost its bucketed co-location:\n$plan")
+      assert(!plan.contains("skew=true"),
+        s"AQE unexpectedly split a shuffle-free join:\n$plan")
+      // the lever that DOES work here: pre-salting (correctness pinned
+      // against the plain join below and in the dedicated test)
+      val salted = ScaleOps.saltedInnerJoin(
+          spark.table("bk_skew_l"), spark.table("bk_skew_r"), "k",
+          salt = 8, probeSalt = col("lv"))
+      assert(salted.count() == 89000L + 1 + 1)
+    }
+  }
+
   test("salted join returns exactly the plain join's rows under skew") {
     import spark.implicits._
     // heavily skewed: 90% of left rows share one key
