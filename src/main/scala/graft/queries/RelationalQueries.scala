@@ -633,6 +633,40 @@ object RelationalQueries {
       |  TRUE AS distinct_within_bound, TRUE AS p50_within_bound
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** The quantile-sketch tier graded across the distribution, not just
+    * the median: percentile_approx (KLL/GK-style mergeable summary,
+    * accuracy=10000 ⇒ rank error ≤ 1e-4) at six quantiles per group,
+    * each gated inside the exact [q−0.01, q+0.01] percentile bracket —
+    * a deterministic boolean the oracle pins TRUE, so a sketch
+    * regression (or a merge that loses the rank-error guarantee)
+    * flips a hash-graded cell. The 100 TB story: the sketch is
+    * single-pass and partition-mergeable where exact percentiles cost
+    * a full sort per group; this query IS the calibration harness that
+    * justifies switching. */
+  def qQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq("10" -> 0.10, "25" -> 0.25, "50" -> 0.50,
+      "75" -> 0.75, "90" -> 0.90, "99" -> 0.99)
+    val aggs = qs.flatMap { case (tag, q) => Seq(
+      percentile(col("value"), lit(math.max(q - 0.01, 0.0))).as(s"lo_$tag"),
+      percentile(col("value"), lit(math.min(q + 0.01, 1.0))).as(s"hi_$tag"),
+      percentile_approx(col("value"), lit(q), lit(10000)).as(s"pa_$tag"))
+    }
+    val checks = qs.map { case (tag, _) =>
+      (col(s"pa_$tag") >= col(s"lo_$tag") && col(s"pa_$tag") <= col(s"hi_$tag"))
+        .as(s"within_q$tag")
+    }
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .select(col("event_type") +: col("n") +: checks: _*)
+  }
+
+  val qQuantileSketchSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  TRUE AS within_q10, TRUE AS within_q25, TRUE AS within_q50,
+      |  TRUE AS within_q75, TRUE AS within_q90, TRUE AS within_q99
+      |FROM events GROUP BY event_type""".stripMargin
+
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir).select(col("o_custkey"))
@@ -840,6 +874,7 @@ object RelationalQueries {
     "q_tpch_q13" -> (qTpchQ13 _),
     "q_tpch_q21" -> (qTpchQ21 _),
     "q_distinct_approx" -> (qDistinctApprox _),
+    "q_quantile_sketch" -> (qQuantileSketch _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_window_running" -> (qWindowRunning _),
     "q_monthly_median" -> (qMonthlyMedian _),
@@ -871,6 +906,7 @@ object RelationalQueries {
     "q_tpch_q13" -> qTpchQ13Sql,
     "q_tpch_q21" -> qTpchQ21Sql,
     "q_distinct_approx" -> qDistinctApproxSql,
+    "q_quantile_sketch" -> qQuantileSketchSql,
     "q_topk_per_group" -> qTopkPerGroupSql,
     "q_window_running" -> qWindowRunningSql,
     "q_monthly_median" -> qMonthlyMedianSql,

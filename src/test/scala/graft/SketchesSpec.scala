@@ -20,4 +20,47 @@ class SketchesSpec extends SparkSpec {
         s"${r.get(0)}: p50 approx $approxP vs $exactP")
     }
   }
+
+  test("HLL sketch merge is partition-invariant (associative register max)") {
+    // the mergeability property the 100 TB tier rests on: HLL++
+    // registers merge by element-wise max — commutative and
+    // associative — so the estimate cannot depend on how the corpus
+    // was partitioned or which executor merged first
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, "/root/testdata/sf0.01").select("user_id")
+    val estimates = Seq(1, 3, 7, 16).map { n =>
+      ev.repartition(n)
+        .agg(Sketches.approxDistinct(col("user_id")).as("d"))
+        .collect().head.getLong(0)
+    }
+    assert(estimates.distinct.size == 1,
+      s"HLL estimate depends on partitioning: $estimates")
+    val exact = ev.distinct().count().toDouble
+    assert(math.abs(estimates.head - exact) / exact <= 0.15,
+      s"HLL ${estimates.head} vs exact $exact")
+  }
+
+  test("quantile sketch keeps its rank-error guarantee under any partitioning") {
+    // GK/KLL-style summaries are NOT bit-identical across merge orders
+    // (unlike HLL); the contract that survives a distributed merge is
+    // the rank-error bound — pin THAT across partition counts, at
+    // every declared quantile
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, "/root/testdata/sf0.01").select("value")
+    val qs = Seq(0.10, 0.25, 0.50, 0.75, 0.90, 0.99)
+    val brackets = ev.agg(
+      percentile(col("value"), lit(qs.map(q => math.max(q - 0.01, 0.0)).toArray)).as("lo"),
+      percentile(col("value"), lit(qs.map(q => math.min(q + 0.01, 1.0)).toArray)).as("hi"))
+      .collect().head
+    val lo = brackets.getSeq[Double](0); val hi = brackets.getSeq[Double](1)
+    for (n <- Seq(1, 4, 13)) {
+      val pa = ev.repartition(n)
+        .agg(percentile_approx(col("value"), lit(qs.toArray), lit(10000)).as("pa"))
+        .collect().head.getSeq[Double](0)
+      qs.indices.foreach { i =>
+        assert(pa(i) >= lo(i) && pa(i) <= hi(i),
+          s"n=$n q=${qs(i)}: ${pa(i)} outside [${lo(i)}, ${hi(i)}]")
+      }
+    }
+  }
 }
