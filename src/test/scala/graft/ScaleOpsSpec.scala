@@ -136,6 +136,37 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // the third join-scale lever beside AQE skew split and pre-salting:
+    // a selective dimension filter is turned into a bloom filter
+    // evaluated INSIDE the fact scan (might_contain on the join key),
+    // so at 100 TB most fact rows die at the scan instead of riding
+    // the shuffle to the join — Spark injects it at optimization time
+    // once the sides cross the size thresholds (lowered here to fit
+    // the fixture; production defaults 10MB/10GB)
+    withConfs(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val dir = "/root/testdata/sf0.01"
+      val l = Tables.lineitem(spark, dir).select("l_partkey", "l_quantity")
+      val p = Tables.part(spark, dir).filter(col("p_size") === 1)
+        .select("p_partkey")
+      val j = l.join(p, col("l_partkey") === col("p_partkey"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      // the filter must not change results: equal to the unfiltered plan
+      val n = j.count()
+      val plainN = {
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        try l.join(p, col("l_partkey") === col("p_partkey")).count()
+        finally spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      }
+      assert(n == plainN, s"bloom-filtered join changed the row count: $n vs $plainN")
+    }
+  }
+
   test("salted join returns exactly the plain join's rows under skew") {
     import spark.implicits._
     // heavily skewed: 90% of left rows share one key
