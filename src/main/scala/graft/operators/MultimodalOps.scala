@@ -72,8 +72,12 @@ object MultimodalOps {
     // exactly one whitespace byte separates the header from the raster
     if (pos >= payload.length || !isWs(at(pos))) return None
     pos += 1
-    val n = w * h * 3
-    if (payload.length - pos < n) return None
+    // LONG product: 8-digit header dims would overflow Int (a crafted
+    // "P6 99999999 99999999" must fail the length check, not wrap into
+    // a negative allocation)
+    val nL = w.toLong * h * 3L
+    if (nL > payload.length - pos) return None
+    val n = nL.toInt
     val out = new Array[Int](n)
     var i = 0
     while (i < n) { out(i) = at(pos + i); i += 1 }
@@ -94,15 +98,18 @@ object MultimodalOps {
     val le = payload(0) == 'I'.toByte && payload(1) == 'I'.toByte
     val be = payload(0) == 'M'.toByte && payload(1) == 'M'.toByte
     if (!le && !be) return None
+    // bounds checks in LONG arithmetic BEFORE any toInt: a crafted
+    // 32-bit offset near 2^31 would otherwise truncate to a negative
+    // index and throw instead of returning the None contract
     def u16(off: Long): Int = {
+      if (off < 0 || off + 2 > payload.length) return -1
       val o = off.toInt
-      if (off < 0 || o + 2 > payload.length) return -1
       if (le) (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
       else ((payload(o) & 0xff) << 8) | (payload(o + 1) & 0xff)
     }
     def u32(off: Long): Long = {
+      if (off < 0 || off + 4 > payload.length) return -1L
       val o = off.toInt
-      if (off < 0 || o + 4 > payload.length) return -1L
       if (le) (payload(o) & 0xff).toLong | ((payload(o + 1) & 0xff).toLong << 8) |
         ((payload(o + 2) & 0xff).toLong << 16) | ((payload(o + 3) & 0xff).toLong << 24)
       else ((payload(o) & 0xff).toLong << 24) | ((payload(o + 1) & 0xff).toLong << 16) |
