@@ -685,7 +685,46 @@ object TextQueries {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM off GROUP BY 1, 2""".stripMargin
 
+  /** Sliding-window document chunking with overlap — the RAG /
+    * long-context pretraining windowing shape (fixed chunk size C,
+    * stride S < C so consecutive chunks share C−S chars of context;
+    * the HF `return_overflowing_tokens` + `stride` contract, here at
+    * character granularity). Emits one row per (doc, chunk) with the
+    * chunk's exact length and md5 — the hash pins the BOUNDARY
+    * arithmetic (off-by-one in the start offset or tail clamp flips
+    * every hash), which is the part chunkers get wrong.
+    *
+    * Scale: pure per-document fan-out (≤ len/S rows per doc) with no
+    * shuffle at all — the plan is scan → generate → project, and any
+    * downstream dedup/embedding step inherits chunk_hash as its key. */
+  def qChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val C = 200; val S = 150
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).as("len"))
+      .withColumn("chunk_idx",
+        explode(expr(s"sequence(0L, (len - 1) DIV $S)")))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"substring(text, CAST(chunk_idx * $S + 1 AS INT), $C)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).as("chunk_len"),
+        md5(col("chunk")).as("chunk_hash"))
+  }
+
+  val qChunkOverlapSql: String =
+    """SELECT doc_id, chunk_idx, CAST(length(chunk) AS INT) AS chunk_len,
+      |  md5(chunk) AS chunk_hash
+      |FROM (
+      |  SELECT doc_id, chunk_idx,
+      |    substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200) AS chunk
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      unnest(range((length(text) - 1) // 150 + 1)) AS chunk_idx
+      |    FROM documents WHERE length(text) > 0))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_overlap" -> (qChunkOverlap _),
     "q_data_mixture" -> (qDataMixture _),
     "q_corpus_curation" -> (qCorpusCuration _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -729,5 +768,6 @@ object TextQueries {
     "q_vocab_topk" -> qVocabTopkSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_span_dedup" -> qSpanDedupSql,
+    "q_chunk_overlap" -> qChunkOverlapSql,
   )
 }
