@@ -121,7 +121,13 @@ object MultimodalOps {
     if (nEntries <= 0) return None
     // TIFF types: 3 = SHORT (2 bytes), 4 = LONG (4 bytes); values of
     // total size <= 4 live inline in the value field, larger ones at
-    // the offset the field holds.
+    // the offset the field holds. A tag that is PRESENT but
+    // unparseable (unsupported type, insane count, out-of-bounds
+    // value array) poisons the whole decode rather than reading as
+    // "absent" — absent falls back to the tag's spec default, and a
+    // crafted Compression=LZW stored as type BYTE must not sneak
+    // through that fallback as "uncompressed".
+    var malformed = false
     def values(tag: Int): Option[Seq[Long]] = {
       var i = 0
       while (i < nEntries) {
@@ -129,13 +135,18 @@ object MultimodalOps {
         if (u16(off) == tag) {
           val typ = u16(off + 2)
           val count = u32(off + 4)
-          val width = typ match { case 3 => 2L; case 4 => 4L; case _ => return None }
-          if (count <= 0 || count > 65536) return None
+          val width = typ match {
+            case 3 => 2L
+            case 4 => 4L
+            case _ => malformed = true; return None
+          }
+          if (count <= 0 || count > 65536) { malformed = true; return None }
           val base = if (count * width <= 4) off + 8 else u32(off + 8)
           val vs = (0L until count).map { j =>
             if (typ == 3) u16(base + 2 * j).toLong else u32(base + 4 * j)
           }
-          return if (vs.exists(_ < 0)) None else Some(vs)
+          if (vs.exists(_ < 0)) { malformed = true; return None }
+          return Some(vs)
         }
         i += 1
       }
@@ -152,6 +163,7 @@ object MultimodalOps {
       case (Some(o), Some(c)) if o.length == c.length => (o, c)
       case _ => return None
     }
+    if (malformed) return None
     val total = counts.sum
     if (total != w * h) return None
     val out = new Array[Int](total.toInt)

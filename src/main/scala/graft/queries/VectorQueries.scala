@@ -160,13 +160,33 @@ object VectorQueries {
     * [[qCosineTopkNative]] corpus scan, halving the eval family's
     * cost and removing its one noise-prone subplan. Deterministic, so
     * memoization is observation-free. */
+  /** Bounded driver-side memo shared by every trained-artifact cache
+    * in this module (brute-force baseline, centroids, PQ anchors,
+    * trained codebooks). Each value is a KNOB-bounded Seq (nq×3, k×dim,
+    * 16, 16×64 rows), so the per-entry cost is trivial; the entry-count
+    * bound guards the long-lived-JVM case where many (session, dir)
+    * keys accumulate — evicted entries just recompute (all the
+    * artifacts are deterministic, so eviction is observation-free). */
+  private def memoize[K, V](cache: java.util.concurrent.ConcurrentHashMap[K, V],
+      key: K)(compute: => V): V = {
+    val v = cache.computeIfAbsent(key, _ => compute)
+    if (cache.size > 4) {
+      val it = cache.keySet().iterator()
+      while (cache.size > 4 && it.hasNext) {
+        val k = it.next()
+        if (k != key) it.remove()
+      }
+    }
+    v
+  }
+
   private val bruteTop3Cache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(Long, Long)]]()
 
   private def bruteTop3(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val key = (spark.sparkContext.applicationId, dir)
-    val pairs = bruteTop3Cache.computeIfAbsent(key, _ =>
+    val pairs = memoize(bruteTop3Cache, key)(
       qCosineTopkNative(spark, dir).filter(col("rank") <= 3)
         .select(col("qid"), col("vec_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
@@ -376,7 +396,7 @@ object VectorQueries {
       k: Int = RoutingK): DataFrame = {
     import spark.implicits._
     val key = (spark.sparkContext.applicationId, dir, k)
-    val rows = centroidCache.computeIfAbsent(key, _ =>
+    val rows = memoize(centroidCache, key)(
       ivfTrain(Tables.embeddings(spark, dir), k).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
         .sortBy(t => (t._1, t._2)).toSeq)
@@ -408,7 +428,14 @@ object VectorQueries {
       val it = rankedCache.entrySet().iterator()
       while (rankedCache.size > 2 && it.hasNext) {
         val en = it.next()
-        if (en.getKey != key) { en.getValue.unpersist(blocking = false); it.remove() }
+        if (en.getKey != key) {
+          // an evicted entry may belong to an already-stopped session
+          // (long-lived JVM, fresh appId) — dropping the map reference
+          // is the point; the unpersist is best-effort
+          try en.getValue.unpersist(blocking = false)
+          catch { case scala.util.control.NonFatal(_) => () }
+          it.remove()
+        }
       }
     }
     df
@@ -755,7 +782,7 @@ object VectorQueries {
     // memo is observation-free).
     import spark.implicits._
     val key = (spark.sparkContext.applicationId, dir, kSub)
-    val picked = pqAnchorCache.computeIfAbsent(key, _ =>
+    val picked = memoize(pqAnchorCache, key)(
       pqAnchorSelection(Tables.embeddings(spark, dir), kSub).collect()
         .map(r => (r.getString(1), r.getLong(0)))
         .sorted
@@ -842,7 +869,7 @@ object VectorQueries {
     // arithmetic is deterministic, so the memo round-trips bit-exactly.
     import spark.implicits._
     val key = (spark.sparkContext.applicationId, dir)
-    val rows = pqCodebookCache.computeIfAbsent(key, _ => {
+    val rows = memoize(pqCodebookCache, key) {
       val exp = pqExp(Tables.embeddings(spark, dir))
       val a1 = argminCodes(pqQdAgainst(exp, pqSampleCodebook(spark, dir, exp)))
       exp.join(a1, Seq("vec_id", "sub"))
@@ -850,7 +877,7 @@ object VectorQueries {
         .agg(quantMeanAgg)
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
         .sortBy(t => (t._1, t._2)).toSeq
-    })
+    }
     rows.toDF("code", "pos", "c")
   }
 
