@@ -324,15 +324,6 @@ object VectorQueries {
        |JOIN embeddings y ON y.vec_id = c.idb
        |WHERE ${cosineSql("x.embedding", "y.embedding")} >= 0.45""".stripMargin
 
-  /** IVF search: each query probes only the vectors assigned to its
-    * top-2 of the k=32 trained centroids (nprobe=2 — a 2/k probe
-    * fraction that SHRINKS as a corpus-scale caller raises k) instead
-    * of the whole corpus — the inverted-file ANN scale path.
-    * Centroids are quantized-exact so the probe choice is
-    * deterministic; the final rank is exact cosine over the
-    * shortlist. The centroid table broadcasts; the only large shuffle
-    * keys on the assigned-centroid id (the IVF partition key at
-    * 100 TB). */
   /** The Lloyd TRAINING plan alone — deterministic `vec_id % k` init,
     * one quantized-mean estimate, one argmax-dot re-assignment, one
     * refined mean ([[lloydAssign]]/[[lloydCentroids]], the generalized
@@ -615,6 +606,15 @@ object VectorQueries {
        |SELECT idb AS dup_id, cid, MIN(ida) AS kept_id, MAX(cosine) AS max_cosine
        |FROM pairs WHERE cosine >= 0.4 GROUP BY 1, 2""".stripMargin
 
+  /** IVF search: each query probes only the vectors assigned to its
+    * top-2 of the k=32 trained centroids (nprobe=2 — a 2/k probe
+    * fraction that SHRINKS as a corpus-scale caller raises k) instead
+    * of the whole corpus — the inverted-file ANN scale path. Routing
+    * comes from the materialized per-(session, dir) index
+    * ([[ivfRanked]]); the probe choice is deterministic
+    * (quantized-exact dots) and the final rank is exact cosine over
+    * the shortlist. The only large shuffle keys on the
+    * assigned-centroid id (the IVF partition key at 100 TB). */
   def qIvfSearch(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val ranked = ivfRanked(spark, dir)
