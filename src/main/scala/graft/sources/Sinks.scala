@@ -32,6 +32,34 @@ object Sinks {
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
+  /** Tiled GeoTIFF sink — the reference's per-tile raster export
+    * (monthly.py:42-146), emitting REAL baseline-TIFF containers
+    * ([[graft.operators.MultimodalOps.encodeTiff]]: uncompressed
+    * 8-bit grayscale, strip-per-row) rather than probe files: one
+    * `tile_<id>.tif` per input row, written EXECUTOR-side
+    * (foreachPartition — pixel payloads never pass through the
+    * driver), then an atomic `_SUCCESS` marker once every partition
+    * has landed. Expects (tile_id, width, height, pixels) rows. In
+    * the sandbox the destination is local FS; at 100 TB the
+    * `Files.write` swaps for a Hadoop `FileSystem.create` against the
+    * object store — same bytes, same layout, and the marker keeps the
+    * skip-if-exists idempotence contract (ee_pipeline.py:125-140). */
+  def writeTiffTiles(df: DataFrame, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col("tile_id").cast("long"), col("width").cast("int"),
+        col("height").cast("int"), col("pixels"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          val bytes = graft.operators.MultimodalOps.encodeTiff(
+            r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"tile_${r.getLong(0)}.tif"), bytes)
+        }
+      }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+  }
+
   /** JSON manifest: per-partition row counts written next to the
     * data (the generate_metadata sidecar, as a queryable table). */
   def writeManifest(spark: SparkSession, dataPath: String, manifestPath: String,

@@ -81,4 +81,22 @@ class SourcesSinksSpec extends SparkSpec {
     Tables.documents(spark, schemed).limit(7).write.parquet(out)
     assert(spark.read.parquet(out).count() == 7)
   }
+
+  test("tiled TIFF sink writes real containers that decodeTiff round-trips") {
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    val tiles = Seq(
+      (1L, 4, 2, (0 until 8).map(_.toByte).toArray),
+      (2L, 3, 2, (10 until 16).map(_.toByte).toArray))
+      .toDF("tile_id", "width", "height", "pixels")
+      .repartition(2) // executor-side writes from more than one partition
+    val dir = Files.createTempDirectory("graft_tiff").toString
+    Sinks.writeTiffTiles(tiles, dir)
+    assert(Files.exists(Paths.get(dir, "_SUCCESS")), "completion marker missing")
+    val t1 = MultimodalOps.decodeTiff(Files.readAllBytes(Paths.get(dir, "tile_1.tif")))
+    assert(t1.isDefined && t1.get.width == 4 && t1.get.height == 2)
+    assert(t1.get.samples.toSeq == (0 until 8))
+    val t2 = MultimodalOps.decodeTiff(Files.readAllBytes(Paths.get(dir, "tile_2.tif")))
+    assert(t2.isDefined && t2.get.samples.toSeq == (10 until 16))
+  }
 }
