@@ -54,4 +54,34 @@ object GeoIngest {
           ", "),
         lit("))")).as("wkt")))
       .getOrElse(emptyLayer(spark))
+
+  /** GeoTIFF FILE ingest (SURVEY §2.1 "GeoTIFF read", the rasterio
+    * path process_data.py:64-66): scans a directory of `.tif` files
+    * through Spark's `binaryFile` source — a real distributed file
+    * scan with partition-parallel reads and pathGlobFilter pushdown —
+    * and decodes each container executor-side with
+    * [[graft.operators.MultimodalOps.decodeTiff]]. Files that are not
+    * decodable baseline TIFFs are SKIPPED (the decoder's None
+    * contract), never task failures — one corrupt tile cannot kill a
+    * 100 TB ingest. Output: (tile_id from the `tile_<id>.tif` naming
+    * convention or -1, width, height, samples) — the exact round-trip
+    * of [[Sinks.writeTiffTiles]]. */
+  def readTiffTiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tif")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        graft.operators.MultimodalOps.decodeTiff(bytes).map { img =>
+          val name = path.split('/').last.stripSuffix(".tif")
+          val id = if (name.startsWith("tile_")) {
+            val tail = name.stripPrefix("tile_")
+            if (tail.nonEmpty && tail.forall(_.isDigit)) tail.toLong else -1L
+          } else -1L
+          (id, img.width, img.height, img.samples)
+        }
+      }.toDF("tile_id", "width", "height", "samples")
+  }
 }

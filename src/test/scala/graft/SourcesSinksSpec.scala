@@ -98,5 +98,13 @@ class SourcesSinksSpec extends SparkSpec {
     assert(t1.get.samples.toSeq == (0 until 8))
     val t2 = MultimodalOps.decodeTiff(Files.readAllBytes(Paths.get(dir, "tile_2.tif")))
     assert(t2.isDefined && t2.get.samples.toSeq == (10 until 16))
+
+    // and the distributed file source round-trips the sink's output,
+    // skipping (not failing on) an injected corrupt tile
+    Files.write(Paths.get(dir, "tile_99.tif"), "not a tiff".getBytes("UTF-8"))
+    val back = GeoIngest.readTiffTiles(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](3)).toMap
+    assert(back.keySet == Set(1L, 2L), s"unexpected tiles: ${back.keySet}")
+    assert(back(1L) == (0 until 8) && back(2L) == (10 until 16))
   }
 }
