@@ -84,4 +84,29 @@ object GeoIngest {
         }
       }.toDF("tile_id", "width", "height", "samples")
   }
+
+  /** NumPy `.npy` FILE ingest (SURVEY §2.1 "NumPy read", the
+    * reference's raster interchange format — tif→npy transform,
+    * dataops/main.py:24-43): same distributed binaryFile scan +
+    * executor-side decode + corrupt-file skip as [[readTiffTiles]],
+    * through [[NpyCodec.decode]]. Output: (tile_id, shape, values)
+    * with values widened to Double. */
+  def readNpyFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.npy")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        NpyCodec.decode(bytes).map { npy =>
+          val name = path.split('/').last.stripSuffix(".npy")
+          val id = if (name.startsWith("tile_")) {
+            val tail = name.stripPrefix("tile_")
+            if (tail.nonEmpty && tail.forall(_.isDigit)) tail.toLong else -1L
+          } else -1L
+          (id, npy.shape, npy.values)
+        }
+      }.toDF("tile_id", "shape", "values")
+  }
 }

@@ -60,6 +60,29 @@ object Sinks {
       java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
   }
 
+  /** Tiled npy sink — the reference's tif→npy transform output
+    * (dataops/main.py:24-43): one REAL NumPy v1.0 container
+    * ([[NpyCodec.encodeF4]], byte-identical to `np.save` — spec-pinned
+    * against numpy-generated golden bytes) per input row, written
+    * executor-side like [[writeTiffTiles]], with the same `_SUCCESS`
+    * completion marker. Expects (tile_id, rows, cols, values:
+    * Array[Float]) — cols=0 writes a 1-D array. */
+  def writeNpyTiles(df: DataFrame, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col("tile_id").cast("long"), col("rows").cast("int"),
+        col("cols").cast("int"), col("values"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          val bytes = NpyCodec.encodeF4(r.getInt(1), r.getInt(2),
+            r.getSeq[Float](3).toArray)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"tile_${r.getLong(0)}.npy"), bytes)
+        }
+      }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+  }
+
   /** JSON manifest: per-partition row counts written next to the
     * data (the generate_metadata sidecar, as a queryable table). */
   def writeManifest(spark: SparkSession, dataPath: String, manifestPath: String,
