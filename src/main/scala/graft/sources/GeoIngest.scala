@@ -109,4 +109,27 @@ object GeoIngest {
         }
       }.toDF("tile_id", "shape", "values")
   }
+
+  /** Webdataset tar-shard scan (SURVEY §2.1 "webdataset tar scan",
+    * dataops/dataset.py:31): distributed binaryFile scan over `.tar`
+    * shards, each archive parsed executor-side by
+    * [[TarCodec.decode]] and exploded into one row per
+    * webdataset-grouped record part. Undecodable shards are skipped
+    * (None contract). Output: (shard, key, part, payload). */
+  def readTarShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tar")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val shard = path.split('/').last
+        TarCodec.decode(bytes).toSeq.flatMap { members =>
+          TarCodec.groupByKey(members).flatMap { case (key, parts) =>
+            parts.map { case (part, data) => (shard, key, part, data) }
+          }
+        }
+      }.toDF("shard", "key", "part", "payload")
+  }
 }

@@ -83,6 +83,35 @@ object Sinks {
       java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
   }
 
+  /** Webdataset tar-shard sink — the reference's 144-record shards
+    * (dataops/dataset.py:31), as REAL ustar archives
+    * ([[TarCodec.encode]], readable by tar/webdataset — spec-pinned
+    * byte-compatible with Python tarfile's USTAR output): records
+    * land as `<key>.txt` members, grouped `recordsPerShard` to a
+    * shard, each partition writing its own `shard_<pid>_<i>.tar`
+    * files executor-side, then the `_SUCCESS` marker. Expects
+    * (key: String, payload: Array[Byte]) rows; partition the input
+    * by the key ordering you want sharded (the caller's
+    * deterministic-shuffle or range partitioning — the sink itself
+    * adds no shuffle). */
+  def writeTarShards(df: DataFrame, dir: String, recordsPerShard: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col("key").cast("string"), col("payload"))
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        it.grouped(recordsPerShard).zipWithIndex.foreach { case (group, i) =>
+          val members = group.map { r =>
+            TarCodec.Member(s"${r.getString(0)}.txt", r.getAs[Array[Byte]](1))
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"shard_${pid}_$i.tar"),
+            TarCodec.encode(members))
+        }
+        Iterator.empty
+      }.count(): Unit
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+  }
+
   /** JSON manifest: per-partition row counts written next to the
     * data (the generate_metadata sidecar, as a queryable table). */
   def writeManifest(spark: SparkSession, dataPath: String, manifestPath: String,
