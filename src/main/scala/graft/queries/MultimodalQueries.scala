@@ -179,11 +179,81 @@ object MultimodalQueries {
       |      i -> ascii(substr(text, i+1, 1))) AS codes
       |  FROM documents WHERE length(text) >= 2)""".stripMargin
 
+  /** Webdataset shard arithmetic, oracle-graded: every source's
+    * documents encode into one ustar archive
+    * ([[graft.sources.TarCodec]], the real container) and decode
+    * straight back; the output pins record count, payload byte total,
+    * AND the exact shard size — which the oracle recomputes from
+    * first principles (512-byte header + data padded to 512 per
+    * member + the 1024-byte trailer). An off-by-one anywhere in
+    * header layout, padding, or trailer flips the hash. Distributed
+    * shape: one group per source (the graded ARITHMETIC path; the
+    * N-records-per-shard production sink is
+    * [[graft.sources.Sinks.writeTarShards]]). */
+  def qTarShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (src, it) =>
+        val members = it.toSeq.sortBy(_._2).map { case (_, id, text) =>
+          graft.sources.TarCodec.Member(f"$id%012d.txt", text.getBytes("UTF-8"))
+        }
+        val shard = graft.sources.TarCodec.encode(members)
+        val back = graft.sources.TarCodec.decode(shard)
+          .getOrElse(throw new IllegalStateException(s"own shard undecodable: $src"))
+        (src, back.size.toLong,
+          back.map(_.data.length.toLong).sum, shard.length.toLong)
+      }
+      .toDF("source", "n_records", "payload_bytes", "shard_bytes")
+  }
+
+  val qTarShardsSql: String =
+    """SELECT source, COUNT(*) AS n_records,
+      |  CAST(SUM(length(text)) AS BIGINT) AS payload_bytes,
+      |  CAST(SUM(512 + CEIL(length(text) / 512.0) * 512) + 1024 AS BIGINT)
+      |    AS shard_bytes
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** npy container round-trip, oracle-graded per vector: each
+    * embedding encodes as a real v1.0 `.npy` ([[graft.sources
+    * .NpyCodec.encodeF4]], byte-identical to np.save) and decodes
+    * back; the output pins the container size (10-byte prologue +
+    * 118-byte padded header + 4 bytes per f4 element) and a
+    * floor-quantized sum of the DECODED values — f4→double widening
+    * is exact, so the oracle recomputes the same sum from the raw
+    * embedding column and any lossy step in encode/decode flips the
+    * hash. */
+  def qNpyRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, emb) =>
+        val enc = graft.sources.NpyCodec.encodeF4(emb.length, 0, emb.toArray)
+        val dec = graft.sources.NpyCodec.decode(enc)
+          .getOrElse(throw new IllegalStateException(s"own npy undecodable: $id"))
+        val qsum = dec.values.map(v => math.floor(v * 1e6).toLong).sum
+        (id, enc.length, qsum)
+      }
+      .toDF("vec_id", "npy_bytes", "qsum")
+  }
+
+  val qNpyRoundtripSql: String =
+    """SELECT vec_id, CAST(128 + 4 * len(embedding) AS INT) AS npy_bytes,
+      |  CAST(list_sum(list_transform(embedding,
+      |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))) AS BIGINT)
+      |    AS qsum
+      |FROM embeddings""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_manifest" -> (qMediaManifest _),
     "q_media_features" -> (qMediaFeatures _),
     "q_image_decode" -> (qImageDecode _),
     "q_tiff_decode" -> (qTiffDecode _),
+    "q_tar_shards" -> (qTarShards _),
+    "q_npy_roundtrip" -> (qNpyRoundtrip _),
     "q_frame_sample" -> (qFrameSample _),
     "q_resize_features" -> (qResizeFeatures _),
   )
@@ -193,6 +263,8 @@ object MultimodalQueries {
     "q_media_features" -> qMediaFeaturesSql,
     "q_image_decode" -> qImageDecodeSql,
     "q_tiff_decode" -> qTiffDecodeSql,
+    "q_tar_shards" -> qTarShardsSql,
+    "q_npy_roundtrip" -> qNpyRoundtripSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_resize_features" -> qResizeFeaturesSql,
   )
