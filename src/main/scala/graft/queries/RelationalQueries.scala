@@ -596,6 +596,54 @@ object RelationalQueries {
       |  GROUP BY s.s_name)
       |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  /** TPC-H Q22 shape (global-customers-without-orders histogram),
+    * adapted to this schema: nationkey stands in for the phone prefix
+    * (the original's SUBSTRING(c_phone, 1, 2) — this corpus carries no
+    * phone column, the grouping-by-derived-prefix structure is what
+    * matters). The three Q22 structural elements survive intact:
+    * (1) a SCALAR subquery — the average positive balance over the
+    * candidate set — broadcast to every row (a 1-row broadcast, the
+    * intended singleton nested-loop, never a shuffled cartesian);
+    * (2) an ANTI join against a filtered orders projection — here
+    * "never placed an URGENT order" rather than "never ordered",
+    * because this synthetic corpus gives every customer at least one
+    * order (the original's no-orders arm would grade an empty set);
+    * (3) the final keyed aggregation with an exact decimal-accumulated
+    * balance total. At 100 TB: orders-side anti join shuffles on
+    * custkey, threshold is one number, nothing else moves. */
+  def qTpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    val inSet = Tables.customer(spark, dir)
+      .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val thr = inSet.filter(col("c_acctbal") > 0.0)
+      .agg(Exact.dmean(col("c_acctbal")).as("avg_bal"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    inSet.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        Exact.dsum(col("c_acctbal")).as("totacctbal"))
+  }
+
+  val qTpchQ22Sql: String =
+    s"""WITH inset AS (
+       |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+       |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+       |thr AS (
+       |  SELECT ${Exact.dmeanSql("c_acctbal")} AS avg_bal
+       |  FROM inset WHERE c_acctbal > 0.0)
+       |SELECT c_nationkey, COUNT(*) AS numcust,
+       |  ${Exact.dsumSql("c_acctbal")} AS totacctbal
+       |FROM inset, thr
+       |WHERE c_acctbal > avg_bal
+       |  AND NOT EXISTS (SELECT 1 FROM orders o
+       |                  WHERE o.o_custkey = inset.c_custkey
+       |                    AND o.o_orderpriority = '1-URGENT')
+       |GROUP BY c_nationkey""".stripMargin
+
   /** The graded sketch tier (SURVEY §2.4's 100 TB distinct path —
     * closing the "spec-only" gap on [[graft.operators.Sketches]]):
     * exact aggregates and their sketch counterparts run side by side,
@@ -873,6 +921,7 @@ object RelationalQueries {
     "q_tpch_q19" -> (qTpchQ19 _),
     "q_tpch_q13" -> (qTpchQ13 _),
     "q_tpch_q21" -> (qTpchQ21 _),
+    "q_tpch_q22" -> (qTpchQ22 _),
     "q_distinct_approx" -> (qDistinctApprox _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_topk_per_group" -> (qTopkPerGroup _),
@@ -905,6 +954,7 @@ object RelationalQueries {
     "q_tpch_q19" -> qTpchQ19Sql,
     "q_tpch_q13" -> qTpchQ13Sql,
     "q_tpch_q21" -> qTpchQ21Sql,
+    "q_tpch_q22" -> qTpchQ22Sql,
     "q_distinct_approx" -> qDistinctApproxSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_topk_per_group" -> qTopkPerGroupSql,

@@ -141,6 +141,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("TPC-H Q22 broadcasts the scalar threshold and anti-joins on the key") {
+    val p = executedPlan("q_tpch_q22")
+    assert(p.contains("LeftAnti"), p)
+    // the 1-row scalar threshold rides a broadcast nested loop (the
+    // intended singleton pattern) — never a shuffled cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    // the anti join itself must stay a keyed join, not collapse into
+    // the nested loop
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*LeftAnti".r
+      .findFirstIn(p).isDefined || p.contains("LeftAnti BuildRight"), p)
+  }
+
   test("semdedup pairs only within clusters (equi-join on cid), keeper below duplicate") {
     val p = executedPlan("q_semdedup")
     assert(!p.contains("CartesianProduct"), p)
