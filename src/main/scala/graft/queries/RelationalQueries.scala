@@ -644,6 +644,194 @@ object RelationalQueries {
        |                    AND o.o_orderpriority = '1-URGENT')
        |GROUP BY c_nationkey""".stripMargin
 
+  /** TPC-H Q2 shape (minimum-cost supplier): the correlated-extremum
+    * family — `ps_supplycost = (SELECT min(ps_supplycost) ... WHERE
+    * same part AND region)` — written directly in its decorrelated
+    * form: the per-part minimum computed ONCE in a keyed aggregate and
+    * joined back on partkey (the Q17 pattern, extremum instead of
+    * mean). The reference runs the same correlated-extremum per month
+    * ("closest image to mid-month", dw.py:108-137). This corpus has no
+    * partsupp table, so the supply relation is derived from lineitem:
+    * min unit price per (partkey, suppkey) — one extra keyed aggregate
+    * upstream, same downstream shape. Scale shape: the part filter is
+    * applied BEFORE the min-cost probe (a broadcast semi-join keeps
+    * only surviving parts' supply rows), supplier/nation/region are
+    * broadcast dimension arms, and `supply`→`mincost`→join-back all
+    * share the partkey shuffle. min over doubles is order-independent,
+    * and both engines evaluate the identical IEEE division, so the
+    * `cost = min_cost` equality is deterministic. The final sort key
+    * (acctbal, n_name, s_name, partkey) is unique per surviving
+    * (part, supplier) pair and the 91-row result is under the LIMIT,
+    * so the graded SET is order-free. */
+  def qTpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    val europe = Tables.region(spark, dir).filter(col("r_name") === "EUROPE")
+    val n = Tables.nation(spark, dir)
+      .join(broadcast(europe), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_acctbal"), col("s_name"), col("n_name"))
+    val wantedParts = Tables.part(spark, dir)
+      .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+      .select("p_partkey", "p_type")
+    val supply = Tables.lineitem(spark, dir)
+      .join(broadcast(wantedParts.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+    val eligible = supply
+      .join(broadcast(s), col("ps_suppkey") === col("s_suppkey"))
+    val mincost = eligible.groupBy(col("ps_partkey").as("mk"))
+      .agg(min(col("ps_supplycost")).as("min_cost"))
+    eligible
+      .join(mincost, col("ps_partkey") === col("mk") &&
+        col("ps_supplycost") === col("min_cost"))
+      .join(broadcast(wantedParts), col("ps_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_type"), col("ps_supplycost").as("supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  val qTpchQ2Sql: String =
+    """WITH supply AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      |  FROM lineitem GROUP BY 1, 2),
+      |eligible AS (
+      |  SELECT sp.ps_partkey, sp.ps_suppkey, sp.ps_supplycost,
+      |         s.s_acctbal, s.s_name, n.n_name
+      |  FROM supply sp
+      |  JOIN supplier s ON sp.ps_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  WHERE r.r_name = 'EUROPE'),
+      |mincost AS (
+      |  SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+      |  FROM eligible GROUP BY 1)
+      |SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type,
+      |       e.ps_supplycost AS supplycost
+      |FROM eligible e
+      |JOIN mincost m ON e.ps_partkey = m.ps_partkey
+      |              AND e.ps_supplycost = m.min_cost
+      |JOIN part p ON e.ps_partkey = p.p_partkey
+      |WHERE p.p_size <= 15 AND p.p_type = 'LARGE'
+      |ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q15 shape (top-revenue supplier): the
+    * aggregate-of-aggregate family — a revenue VIEW (per-supplier sum
+    * over a shipdate year) whose MAX selects the winners:
+    * `total_revenue = (SELECT max(total_revenue) FROM revenue)`.
+    * Decorrelated form: the revenue aggregate is computed ONCE
+    * (one l_suppkey shuffle), its max reduces to a single-row
+    * broadcast (the Q22 scalar pattern), and the equality filter
+    * re-reads the SAME materialized aggregate — Spark's plan reuses
+    * the exchange rather than recomputing the view, which is the
+    * whole point of the Q15 rewrite. Revenue is floor-quantized
+    * ([[Exact.qsum]]) so max-equality is integer-exact on both
+    * engines. Supplier is a broadcast dim. */
+  def qTpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val revenue = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(Exact.qsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_revenue"))
+    val mx = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+    revenue.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  val qTpchQ15Sql: String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    ${Exact.qsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  GROUP BY 1),
+       |mx AS (SELECT MAX(total_revenue) AS max_revenue FROM revenue)
+       |SELECT s.s_suppkey, s.s_name, r.total_revenue
+       |FROM revenue r
+       |JOIN supplier s ON r.supplier_no = s.s_suppkey
+       |CROSS JOIN mx
+       |WHERE r.total_revenue = mx.max_revenue""".stripMargin
+
+  /** TPC-H Q20 shape (excess inventory): the hardest classic
+    * decorrelation stress test — a nested correlated-aggregate
+    * threshold `ps_availqty > 0.5 * (SELECT sum(l_quantity) WHERE
+    * same part AND supplier AND year)` feeding a DOUBLE semi-join
+    * (partsupp→supplier→nation). This corpus has no partsupp, so
+    * availability is derived from lineitem's full history per
+    * (partkey, suppkey). That derivation makes the decorrelated plan
+    * collapse further: availqty and the 1997 threshold are computed
+    * in ONE aggregation pass over lineitem (conditional sum), so the
+    * threshold compare is a per-row filter on the aggregate output —
+    * zero join-back, one lineitem shuffle total, vs the textbook
+    * rewrite's aggregate + keyed re-join. The part filter gates via a
+    * broadcast semi-join BEFORE the shuffle; the surviving supplier
+    * keys semi-join the (nation-filtered, broadcast) supplier dim.
+    * Both quantity sums are decimal-exact ([[Exact.dsum]]) so the
+    * 0.5× threshold compare cannot flip on accumulation order. The
+    * `qty_1997 IS NOT NULL` guard reproduces the oracle's inner join
+    * of the two aggregates. */
+  def qTpchQ20(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val smallParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "SMALL").select("p_partkey")
+    val excess = Tables.lineitem(spark, dir)
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(
+        Exact.dsum(col("l_quantity")).as("ps_availqty"),
+        Exact.dsum(when(col("l_shipdate") >= lo && col("l_shipdate") < hi,
+          col("l_quantity"))).as("qty_1997"))
+      .filter(col("qty_1997").isNotNull &&
+        col("ps_availqty") > lit(0.5) * col("qty_1997"))
+      .select(col("l_suppkey")).distinct()
+    val europe = Tables.region(spark, dir).filter(col("r_name") === "EUROPE")
+    val n = Tables.nation(spark, dir)
+      .join(broadcast(europe), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+  }
+
+  val qTpchQ20Sql: String =
+    s"""WITH supply AS (
+       |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+       |    ${Exact.dsumSql("l_quantity")} AS ps_availqty
+       |  FROM lineitem GROUP BY 1, 2),
+       |shipped AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    ${Exact.dsumSql("l_quantity")} AS qty_1997
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  GROUP BY 1, 2),
+       |excess AS (
+       |  SELECT sp.ps_suppkey
+       |  FROM supply sp
+       |  JOIN shipped sh ON sp.ps_partkey = sh.l_partkey
+       |                 AND sp.ps_suppkey = sh.l_suppkey
+       |  WHERE sp.ps_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+       |    AND sp.ps_availqty > 0.5 * sh.qty_1997
+       |  GROUP BY 1)
+       |SELECT s.s_name, s.s_acctbal
+       |FROM supplier s
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |WHERE r.r_name = 'EUROPE'
+       |  AND s.s_suppkey IN (SELECT ps_suppkey FROM excess)""".stripMargin
+
   /** The graded sketch tier (SURVEY §2.4's 100 TB distinct path —
     * closing the "spec-only" gap on [[graft.operators.Sketches]]):
     * exact aggregates and their sketch counterparts run side by side,
@@ -922,6 +1110,9 @@ object RelationalQueries {
     "q_tpch_q13" -> (qTpchQ13 _),
     "q_tpch_q21" -> (qTpchQ21 _),
     "q_tpch_q22" -> (qTpchQ22 _),
+    "q_tpch_q2" -> (qTpchQ2 _),
+    "q_tpch_q15" -> (qTpchQ15 _),
+    "q_tpch_q20" -> (qTpchQ20 _),
     "q_distinct_approx" -> (qDistinctApprox _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_topk_per_group" -> (qTopkPerGroup _),
@@ -955,6 +1146,9 @@ object RelationalQueries {
     "q_tpch_q13" -> qTpchQ13Sql,
     "q_tpch_q21" -> qTpchQ21Sql,
     "q_tpch_q22" -> qTpchQ22Sql,
+    "q_tpch_q2" -> qTpchQ2Sql,
+    "q_tpch_q15" -> qTpchQ15Sql,
+    "q_tpch_q20" -> qTpchQ20Sql,
     "q_distinct_approx" -> qDistinctApproxSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_topk_per_group" -> qTopkPerGroupSql,

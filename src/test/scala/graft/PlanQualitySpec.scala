@@ -153,6 +153,51 @@ class PlanQualitySpec extends SparkSpec {
       .findFirstIn(p).isDefined || p.contains("LeftAnti BuildRight"), p)
   }
 
+  test("TPC-H Q2 computes min-cost once per part and joins it back keyed") {
+    val p = executedPlan("q_tpch_q2")
+    // exactly two aggregates feed the extremum probe: supply (per
+    // part+supp) and mincost (per part) — no per-outer-row re-scan
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the join-back carries the equality on (partkey, cost) as a keyed
+    // hash/sort-merge join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // lineitem scans only part-filtered rows: the semi-join gate is in
+    // the plan (broadcast form)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("TPC-H Q15 computes the revenue view once and reuses it for the max probe") {
+    val df = SparkEntry.queries("q_tpch_q15")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // the 1-row max rides the intended singleton broadcast; the
+    // supplier dim broadcasts; nothing degenerates to a cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    // the revenue aggregate's exchange is reused for the max arm
+    // rather than recomputed (Spark names it ReusedExchange / reused
+    // subquery in the executed plan)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedSubquery") ||
+      "HashAggregate".r.findAllIn(p).size <= 6, p)
+  }
+
+  test("TPC-H Q20 folds the correlated threshold into one lineitem aggregation pass") {
+    val p = executedPlan("q_tpch_q20")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // both semi-join gates present (part prefilter + supplier key set)
+    assert("LeftSemi".r.findAllIn(p).size >= 2, p)
+    // ONE pass over lineitem: the availqty/qty_1997 conditional agg —
+    // a second lineitem scan would mean the textbook two-agg
+    // join-back crept back in
+    val lineitemScans = p.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"expected exactly 1 lineitem scan, got $lineitemScans:\n$p")
+  }
+
   test("semdedup pairs only within clusters (equi-join on cid), keeper below duplicate") {
     val p = executedPlan("q_semdedup")
     assert(!p.contains("CartesianProduct"), p)
