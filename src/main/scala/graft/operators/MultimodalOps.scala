@@ -312,6 +312,12 @@ object MultimodalOps {
     docs.selectExpr("doc_id", "text").as[(Long, String)]
       .filter(_._2.length >= 2)
       .map { case (id, text) =>
+        // ASCII invariant: the q_tiff_decode oracle recomputes pixels
+        // with per-character ascii(), while this side slices UTF-8
+        // bytes — equal only when chars == bytes. Fail loudly if a
+        // future testdata vintage breaks it, rather than desyncing.
+        require(text.forall(_ < 0x80),
+          s"doc $id: non-ASCII text breaks the chars==bytes oracle invariant")
         val w = text.length / 2
         val h = 2
         val raster = text.getBytes("UTF-8").take(w * h)

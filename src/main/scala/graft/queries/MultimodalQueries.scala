@@ -198,6 +198,11 @@ object MultimodalQueries {
       .groupByKey(_._1)
       .mapGroups { (src, it) =>
         val members = it.toSeq.sortBy(_._2).map { case (_, id, text) =>
+          // ASCII invariant: the oracle's payload/shard arithmetic uses
+          // length(text) (characters); these payloads are UTF-8 bytes.
+          // Equal only for pure-ASCII corpora — fail loudly, not desync.
+          require(text.forall(_ < 0x80),
+            s"doc $id: non-ASCII text breaks the chars==bytes oracle invariant")
           graft.sources.TarCodec.Member(f"$id%012d.txt", text.getBytes("UTF-8"))
         }
         val shard = graft.sources.TarCodec.encode(members)

@@ -78,7 +78,7 @@ object GeoIngest {
           val name = path.split('/').last.stripSuffix(".tif")
           val id = if (name.startsWith("tile_")) {
             val tail = name.stripPrefix("tile_")
-            if (tail.nonEmpty && tail.forall(_.isDigit)) tail.toLong else -1L
+            tail.toLongOption.getOrElse(-1L) // 20+-digit / Unicode-digit names map to -1, never throw
           } else -1L
           (id, img.width, img.height, img.samples)
         }
@@ -103,7 +103,7 @@ object GeoIngest {
           val name = path.split('/').last.stripSuffix(".npy")
           val id = if (name.startsWith("tile_")) {
             val tail = name.stripPrefix("tile_")
-            if (tail.nonEmpty && tail.forall(_.isDigit)) tail.toLong else -1L
+            tail.toLongOption.getOrElse(-1L) // 20+-digit / Unicode-digit names map to -1, never throw
           } else -1L
           (id, npy.shape, npy.values)
         }

@@ -66,9 +66,13 @@ object NpyCodec {
     val shapeStr = "'shape':\\s*\\(([^)]*)\\)".r.findFirstMatchIn(header)
       .map(_.group(1)).getOrElse(return None)
     val dims = shapeStr.split(",").map(_.trim).filter(_.nonEmpty)
-    if (dims.isEmpty || dims.length > 2 || !dims.forall(_.forall(_.isDigit)))
-      return None
-    val shape = dims.map(_.toInt).toSeq
+    if (dims.isEmpty || dims.length > 2) return None
+    // toIntOption (not isDigit+toInt): an adversarial oversized dim
+    // like 99999999999 must map to the None contract, not NFE-kill a
+    // readNpyFiles task; isDigit alone also admits Unicode digits.
+    val parsed = dims.map(_.toIntOption)
+    if (parsed.exists(_.isEmpty)) return None
+    val shape = parsed.map(_.get).toSeq
     if (shape.exists(_ < 0)) return None
     val n = shape.map(_.toLong).product
     val itemSize = descr match {

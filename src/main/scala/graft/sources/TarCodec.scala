@@ -101,7 +101,15 @@ object TarCodec {
 
   /** Webdataset grouping: members sharing the dot-stripped prefix
     * form one record — `000001.txt` + `000001.cls` → key `000001`
-    * with two named parts. */
+    * with two named parts.
+    *
+    * Duplicate member names (legal in tar: appended members shadow
+    * earlier ones) resolve LAST-WINS, deliberately matching
+    * `tar -x` extraction semantics — `groupBy` preserves archive
+    * order within each key and `toMap` keeps the later entry. A
+    * dot-less member name yields the empty-string part key (the
+    * whole name is the record key), consistent with webdataset's
+    * "everything after the first dot is the extension" convention. */
   def groupByKey(members: Seq[Member]): Seq[(String, Map[String, Array[Byte]])] =
     members.groupBy(m => m.name.takeWhile(_ != '.'))
       .map { case (k, ms) =>

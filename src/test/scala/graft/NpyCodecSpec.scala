@@ -74,6 +74,24 @@ class NpyCodecSpec extends SparkSpec {
     val u2 = goldenF4.clone()
     "{'descr': '<u2', ".getBytes("US-ASCII").copyToArray(u2, 10)
     assert(NpyCodec.decode(u2).isEmpty, "unsupported dtype must be refused")
+    // adversarial oversized dim: all-digits but > Int.MaxValue — must
+    // map to None (the documented contract), never NumberFormatException
+    def withHeader(h: String): Array[Byte] = {
+      val header = (h + " " * ((64 - (h.length + 11) % 64) % 64) + "\n")
+        .getBytes("US-ASCII")
+      val out = new Array[Byte](10 + header.length)
+      Array[Int](-109, 78, 85, 77, 80, 89, 1, 0).map(_.toByte).copyToArray(out)
+      out(8) = (header.length & 0xff).toByte
+      out(9) = ((header.length >> 8) & 0xff).toByte
+      header.copyToArray(out, 10)
+      out
+    }
+    assert(NpyCodec.decode(withHeader(
+      "{'descr': '<f4', 'fortran_order': False, 'shape': (99999999999,), }"))
+      .isEmpty, "oversized shape dim must be refused, not throw")
+    assert(NpyCodec.decode(withHeader(
+      "{'descr': '<f4', 'fortran_order': False, 'shape': (١٢,), }"))
+      .isEmpty, "Unicode-digit shape dim must be refused, not throw")
   }
 
   test("npy sink writes real containers the distributed source round-trips") {
@@ -88,9 +106,12 @@ class NpyCodecSpec extends SparkSpec {
     assert(Files.exists(Paths.get(dir, "_SUCCESS")))
     // a corrupt file must be skipped, not kill the scan
     Files.write(Paths.get(dir, "tile_99.npy"), "garbage".getBytes("US-ASCII"))
+    // a 20-digit (> Long.MaxValue) tile id must map to -1, not throw
+    Files.write(Paths.get(dir, "tile_99999999999999999999.npy"),
+      NpyCodec.encodeF4(1, 0, Array(5.0f)))
     val back = GeoIngest.readNpyFiles(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getSeq[Double](2)))).toMap
-    assert(back.keySet == Set(1L, 2L), s"unexpected tiles: ${back.keySet}")
+    assert(back.keySet == Set(1L, 2L, -1L), s"unexpected tiles: ${back.keySet}")
     assert(back(1L) == ((Seq(2, 2), Seq(1.0, 2.0, 3.0, 4.0))))
     assert(back(2L) == ((Seq(3), Seq(-1.0, 0.5, 9.0))))
   }

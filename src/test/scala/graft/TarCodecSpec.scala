@@ -60,6 +60,19 @@ class TarCodecSpec extends SparkSpec {
     assert(new String(grouped.head._2("cls"), "US-ASCII") == "7")
   }
 
+  test("duplicate member names resolve last-wins, like tar -x; dot-less names keep the empty part key") {
+    val dup = Seq(
+      TarCodec.Member("000009.txt", "first".getBytes("US-ASCII")),
+      TarCodec.Member("000009.txt", "second".getBytes("US-ASCII")),
+      TarCodec.Member("README", "plain".getBytes("US-ASCII")))
+    val grouped = TarCodec.groupByKey(TarCodec.decode(TarCodec.encode(dup)).get)
+    val rec = grouped.find(_._1 == "000009").get._2
+    assert(new String(rec("txt"), "US-ASCII") == "second",
+      "later archive member must shadow the earlier one")
+    assert(grouped.find(_._1 == "README").get._2.keySet == Set(""),
+      "dot-less member keeps the whole name as key, empty part")
+  }
+
   test("decode refuses corrupt archives instead of throwing") {
     val ok = TarCodec.encode(members)
     val badSum = ok.clone(); badSum(150) = '9'
