@@ -363,6 +363,85 @@ object RetrievalQueries {
       |FROM tf t JOIN per_doc p USING (doc_id)
       |GROUP BY t.doc_id""".stripMargin
 
+  /** Hybrid retrieval fusion — reciprocal-rank fusion (RRF,
+    * Cormack/Clarke/Buettcher SIGIR'09) of the lexical and vector
+    * arms, the first join a production RAG pipeline makes:
+    * `score(d) = Σ_arms 1/(60 + rank_arm(d))`, missing membership
+    * contributing 0. Arms are the two already-graded rankers: the
+    * BM25 parameter-table top-20 ([[qBm25Params]], one shared
+    * lexical query) and brute-force cosine top-20 per query vector
+    * (the [[VectorQueries.qCosineTopk]] plan, qid < 5, self
+    * excluded).
+    *
+    * Shape at scale: each arm bounds itself FIRST (top-20 via
+    * TakeOrderedAndProject resp. per-qid window), so fusion sees
+    * ≤ 20 + 20 rows per query — the full-outer join on
+    * (qid, doc_id) is keyed (never cartesian: the lexical list
+    * replicates to the 5 qids by broadcast), and the re-rank
+    * window is per-qid. Determinism: ranks are integers with
+    * doc_id tie-breaks; 1/(60+rank) is one IEEE division of small
+    * ints; the two-term sum has a textually fixed order; fused
+    * ties break on doc_id. The lexical rank is assigned AFTER the
+    * limit(20) (partition-less window over 20 rows — the
+    * q_vocab_topk exemption pattern). */
+  def qRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wv = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val vec = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", graft.functions.VectorOps.cosine("qe", "embedding"))
+      .withColumn("vrank", row_number().over(wv))
+      .filter(col("vrank") <= 20)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("vrank"))
+    val lex = qBm25Params(spark, dir)
+      .withColumn("lrank",
+        row_number().over(Window.orderBy(col("score_q").desc, col("doc_id"))))
+      .select("doc_id", "lrank")
+    val lexPerQ = q.select("qid").crossJoin(broadcast(lex))
+    vec.join(lexPerQ, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("fused_rank") <= 10)
+      .select("qid", "fused_rank", "doc_id", "rrf")
+  }
+
+  val qRrfFusionSql: String = {
+    val bm25NoLimit = qBm25ParamsSql // already ends in the top-20 limit
+    s"""WITH bm25 AS ($bm25NoLimit),
+       |lex AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS lrank
+       |  FROM bm25),
+       |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5),
+       |lexq AS (SELECT q.qid, l.doc_id, l.lrank FROM qids q CROSS JOIN lex l),
+       |vec AS (
+       |  SELECT qid, doc_id, vrank FROM (
+       |    SELECT q.vec_id AS qid, e.vec_id AS doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${VectorQueries.cosineSql("q.embedding", "e.embedding")} DESC,
+       |        e.vec_id) AS vrank
+       |    FROM embeddings q CROSS JOIN embeddings e
+       |    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+       |  WHERE vrank <= 20),
+       |fused AS (
+       |  SELECT qid, doc_id,
+       |    COALESCE(1e0 / (60 + v.vrank), 0e0)
+       |      + COALESCE(1e0 / (60 + l.lrank), 0e0) AS rrf
+       |  FROM vec v FULL JOIN lexq l USING (qid, doc_id))
+       |SELECT qid, fused_rank, doc_id, rrf FROM (
+       |  SELECT qid, doc_id, rrf,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY rrf DESC, doc_id) AS fused_rank
+       |  FROM fused)
+       |WHERE fused_rank <= 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
@@ -370,6 +449,7 @@ object RetrievalQueries {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_unigram_typicality" -> (qUnigramTypicality _),
     "q_doc_entropy" -> (qDocEntropy _),
+    "q_rrf_fusion" -> (qRrfFusion _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -379,5 +459,6 @@ object RetrievalQueries {
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_unigram_typicality" -> qUnigramTypicalitySql,
     "q_doc_entropy" -> qDocEntropySql,
+    "q_rrf_fusion" -> qRrfFusionSql,
   )
 }

@@ -54,11 +54,11 @@ object VectorQueries {
     exp.join(assign, "vec_id").groupBy(col("cid"), col("pos")).agg(quantMeanAgg)
 
   /** DuckDB text of the same sequential-fold dot product. */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),
        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
 
-  private def cosineSql(a: String, b: String): String =
+  private[queries] def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
   /** Brute-force cosine top-k: the exact baseline. The 5 query

