@@ -84,16 +84,187 @@ object MultimodalOps {
     Some(DecodedImage(w, h, out))
   }
 
-  /** Pure-Scala decoder for minimal BASELINE TIFF — the reference's
-    * actual raster container (rasterio.open, process_data.py:64-66).
-    * Supports what an uncompressed single-plane GeoTIFF payload needs:
-    * both byte orders (`II*\0` / `MM\0*`), one IFD walked from the
-    * header offset, inline-vs-offset tag values, multi-strip rasters
-    * via StripOffsets/StripByteCounts arrays (RowsPerStrip < height),
-    * 8-bit samples, SamplesPerPixel=1, Compression=1 (none). Returns
-    * None for anything else — compressed, tiled, multi-band, deep —
-    * so callers fall back rather than mis-decode. */
-  def decodeTiff(payload: Array[Byte]): Option[DecodedImage] = {
+  /** 8-bit single-band view over [[decodeTiffRaster]] — the byte-pixel
+    * shape [[DecodedImage]] consumers (feature fold, tile ingest)
+    * expect. Returns None for typed/multi-band rasters so those
+    * callers fall back rather than mis-decode; use
+    * [[decodeTiffRaster]] for the general envelope (compression,
+    * tiles, planar, int16/float32). */
+  def decodeTiff(payload: Array[Byte]): Option[DecodedImage] =
+    decodeTiffRaster(payload) match {
+      case Some(r) if r.bands == 1 && r.fmt == "u8" =>
+        Some(DecodedImage(r.width, r.height, r.values.map(_.toInt)))
+      case _ => None
+    }
+
+  /** A decoded TYPED raster: dimensions, band count, sample format
+    * (`u8 i8 u16 i16 u32 i32 f32`) and the row-major band-interleaved
+    * values widened to Double — the general form
+    * `rasterio.open(...).read()` hands the reference
+    * (process_data.py:64-66; srtm.tif itself is a deflate-compressed
+    * tiled planar float32 GeoTIFF). */
+  case class DecodedRaster(width: Int, height: Int, bands: Int, fmt: String,
+                           values: Array[Double])
+
+  /** TIFF-variant LZW decode (TIFF 6.0 spec section 13): MSB-first
+    * 9→12-bit codes, ClearCode=256, EOI=257, EARLY code-width change —
+    * the decoder widens when its table reaches `(1<<width)-2`
+    * (one entry behind the writer's documented 511/1023/2047 switch;
+    * verified against an independently written spec encoder across
+    * the 9→10 boundary, MultimodalSpec golden `goldenLzwWide`).
+    * Returns None unless the stream decodes to EXACTLY `maxOut`
+    * bytes and terminates with EOI — corrupt streams skip, never
+    * throw. */
+  private[graft] def lzwDecode(data: Array[Byte], off: Int, len: Int,
+      maxOut: Int): Option[Array[Byte]] = {
+    if (len <= 0 || maxOut < 0) return None
+    val out = new Array[Byte](maxOut)
+    var outPos = 0
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val slen = new Array[Int](4096)
+    val first = new Array[Byte](4096)
+    var i = 0
+    while (i < 256) {
+      prefix(i) = -1; suffix(i) = i.toByte; slen(i) = 1; first(i) = i.toByte
+      i += 1
+    }
+    var nextCode = 258
+    var width = 9
+    var acc = 0L; var nbits = 0; var pos = off
+    val end = off + len
+    def readCode(): Int = {
+      while (nbits < width) {
+        if (pos >= end) return -1
+        acc = (acc << 8) | (data(pos) & 0xff); pos += 1; nbits += 8
+      }
+      nbits -= width
+      ((acc >>> nbits) & ((1 << width) - 1)).toInt
+    }
+    def emit(code: Int): Boolean = {
+      val l = slen(code)
+      if (outPos + l > maxOut) return false
+      var j = outPos + l - 1; var p = code
+      while (p >= 0) { out(j) = suffix(p); j -= 1; p = prefix(p) }
+      outPos += l
+      true
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = readCode()
+      if (code < 0) return None // ran off the stream before EOI
+      else if (code == 257) done = true
+      else if (code == 256) { nextCode = 258; width = 9; prev = -1 }
+      else if (prev < 0) {
+        if (code > 255) return None // first code after Clear must be a literal
+        if (!emit(code)) return None
+        prev = code
+      } else if (code < nextCode) {
+        if (!emit(code)) return None
+        if (nextCode < 4096) {
+          prefix(nextCode) = prev; suffix(nextCode) = first(code)
+          slen(nextCode) = slen(prev) + 1; first(nextCode) = first(prev)
+          nextCode += 1
+          if (nextCode == (1 << width) - 2 && width < 12) width += 1
+        }
+        prev = code
+      } else if (code == nextCode && nextCode < 4096) {
+        // KwKwK: the emitted string IS the entry being defined
+        prefix(nextCode) = prev; suffix(nextCode) = first(prev)
+        slen(nextCode) = slen(prev) + 1; first(nextCode) = first(prev)
+        nextCode += 1
+        if (!emit(code)) return None
+        if (nextCode == (1 << width) - 2 && width < 12) width += 1
+        prev = code
+      } else return None // code beyond the table: corrupt stream
+    }
+    if (outPos != maxOut) return None
+    Some(out)
+  }
+
+  /** TIFF-variant LZW encode — the writer mirror of [[lzwDecode]]
+    * (spec rule: widen after the table add makes NextCode equal
+    * 511/1023/2047; Clear-and-reset at table code 4094). */
+  private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
+    var acc = 0L; var nbits = 0; var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code; nbits += width
+      while (nbits >= 8) { out.write(((acc >>> (nbits - 8)) & 0xff).toInt); nbits -= 8 }
+    }
+    val table = new java.util.HashMap[Integer, Integer]()
+    var nextCode = 258
+    put(256) // initial Clear, per spec
+    var prev = -1
+    var i = 0
+    while (i < data.length) {
+      val c = data(i) & 0xff
+      if (prev < 0) prev = c
+      else {
+        val key = Integer.valueOf((prev << 8) | c)
+        val hit = table.get(key)
+        if (hit != null) prev = hit.intValue()
+        else {
+          put(prev)
+          table.put(key, Integer.valueOf(nextCode))
+          nextCode += 1
+          if (nextCode == (1 << width) - 1 && width < 12) width += 1
+          if (nextCode == 4094) {
+            put(256); table.clear(); nextCode = 258; width = 9
+          }
+          prev = c
+        }
+      }
+      i += 1
+    }
+    if (prev >= 0) put(prev)
+    put(257) // EOI
+    if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** zlib inflate (TIFF Compression=8, what GDAL's COMPRESS=DEFLATE
+    * writes — the actual encoding of the reference's srtm rasters).
+    * None unless the stream inflates to exactly `maxOut` bytes. */
+  private[graft] def inflate(data: Array[Byte], off: Int, len: Int,
+      maxOut: Int): Option[Array[Byte]] = {
+    if (len <= 0 || maxOut < 0) return None
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data, off, len)
+      val out = new Array[Byte](maxOut)
+      var total = 0
+      var stuck = false
+      while (total < maxOut && !inf.finished() && !stuck) {
+        val n = inf.inflate(out, total, maxOut - total)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stuck = true
+        total += n
+      }
+      if (stuck || total != maxOut) return None
+      if (!inf.finished() && inf.inflate(new Array[Byte](1)) != 0)
+        return None // stream continues past the expected size
+      Some(out)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** General TIFF raster decoder. Beyond the baseline subset, supports
+    * what the reference's real GeoTIFFs use (srtm.tif IFD:
+    * Compression=8 deflate, tiled 256×256, PlanarConfiguration=2,
+    * float32 SampleFormat=3):
+    *  - Compression 1 (none), 5 (TIFF-LZW), 8/32946 (zlib deflate)
+    *  - horizontal-differencing Predictor 2 (integer formats)
+    *  - SamplesPerPixel ≥ 1, chunky (planar=1) AND planar (planar=2)
+    *  - strip (RowsPerStrip) and tile (TileWidth/TileLength) layouts,
+    *    edge tiles padded to full size per spec
+    *  - 8/16/32-bit samples, SampleFormat 1/2/3 (uint/int/float32)
+    *  - both byte orders
+    * Anything else — or any segment that does not decompress to its
+    * exact expected size — returns None: skip, never throw, never
+    * mis-decode. */
+  def decodeTiffRaster(payload: Array[Byte]): Option[DecodedRaster] = {
     if (payload.length < 8) return None
     val le = payload(0) == 'I'.toByte && payload(1) == 'I'.toByte
     val be = payload(0) == 'M'.toByte && payload(1) == 'M'.toByte
@@ -155,28 +326,243 @@ object MultimodalOps {
     def scalar(tag: Int): Option[Long] = values(tag).flatMap(v => v.headOption)
     val w = scalar(256).getOrElse(-1L)
     val h = scalar(257).getOrElse(-1L)
-    if (w <= 0 || h <= 0 || w * h > Int.MaxValue / 4) return None
-    if (scalar(259).getOrElse(1L) != 1L) return None // uncompressed only
-    if (scalar(277).getOrElse(1L) != 1L) return None // single-plane only
-    if (values(258).exists(_.exists(_ != 8L))) return None // 8-bit only
-    val (offsets, counts) = (values(273), values(279)) match {
-      case (Some(o), Some(c)) if o.length == c.length => (o, c)
+    if (w <= 0 || h <= 0) return None
+    val comp = scalar(259).getOrElse(1L)
+    if (comp != 1L && comp != 5L && comp != 8L && comp != 32946L) return None
+    val spp = scalar(277).getOrElse(1L)
+    if (spp < 1 || spp > 16) return None
+    // sample-count envelope: 2^25 doubles = 256 MB per decoded payload
+    if (w * h * spp > (1L << 25)) return None
+    val planar = scalar(284).getOrElse(1L)
+    if (planar != 1L && planar != 2L) return None
+    val bitsSeq = values(258).getOrElse(Seq(8L))
+    if (bitsSeq.isEmpty || bitsSeq.distinct.size != 1) return None
+    val bits = bitsSeq.head
+    val sfSeq = values(339).getOrElse(Seq(1L))
+    if (sfSeq.isEmpty || sfSeq.distinct.size != 1) return None
+    val fmt = (bits, sfSeq.head) match {
+      case (8L, 1L) => "u8"
+      case (8L, 2L) => "i8"
+      case (16L, 1L) => "u16"
+      case (16L, 2L) => "i16"
+      case (32L, 1L) => "u32"
+      case (32L, 2L) => "i32"
+      case (32L, 3L) => "f32"
       case _ => return None
     }
+    val predictor = scalar(317).getOrElse(1L)
+    if (predictor != 1L && predictor != 2L) return None
+    if (predictor == 2L && fmt == "f32") return None // spec: integer data only
+    val bytesPer = (bits / 8L).toInt
+
+    // segmentation: a strip or tile, its compressed extent, its target
+    // placement, and (planar=2) which band it carries
+    case class Seg(off: Long, clen: Long, x0: Int, y0: Int, sw: Int, sh: Int,
+                   plane: Int)
+    val nPlanes = if (planar == 2L) spp.toInt else 1
+    val segSpp = if (planar == 2L) 1 else spp.toInt
+    val tiled = values(322).isDefined || values(324).isDefined
+    val segs: Seq[Seg] =
+      if (tiled) {
+        val tw = scalar(322).getOrElse(-1L)
+        val th = scalar(323).getOrElse(-1L)
+        // spec: tile dims are multiples of 16; edge tiles padded to full
+        if (tw <= 0 || th <= 0 || tw % 16 != 0 || th % 16 != 0 ||
+          tw * th * segSpp > (1L << 25)) return None
+        val (o, c) = (values(324), values(325)) match {
+          case (Some(o0), Some(c0)) if o0.length == c0.length && o0.nonEmpty => (o0, c0)
+          case _ => return None
+        }
+        val across = ((w + tw - 1) / tw).toInt
+        val down = ((h + th - 1) / th).toInt
+        if (o.length != across * down * nPlanes) return None
+        o.indices.map { t =>
+          val plane = t / (across * down)
+          val r = t % (across * down)
+          Seg(o(t), c(t), (r % across * tw).toInt, (r / across * th).toInt,
+            tw.toInt, th.toInt, plane)
+        }
+      } else {
+        val rps0 = scalar(278).getOrElse(h)
+        val rps = if (rps0 <= 0 || rps0 > h) h else rps0
+        val (o, c) = (values(273), values(279)) match {
+          case (Some(o0), Some(c0)) if o0.length == c0.length && o0.nonEmpty => (o0, c0)
+          case _ => return None
+        }
+        val perPlane = ((h + rps - 1) / rps).toInt
+        if (o.length != perPlane * nPlanes) return None
+        o.indices.map { s =>
+          val plane = s / perPlane
+          val r = s % perPlane
+          val y0 = r * rps
+          Seg(o(s), c(s), 0, y0.toInt, w.toInt, math.min(rps, h - y0).toInt,
+            plane)
+        }
+      }
     if (malformed) return None
-    val total = counts.sum
-    if (total != w * h) return None
-    val out = new Array[Int](total.toInt)
-    var written = 0
-    var s = 0
-    while (s < offsets.length) {
-      val so = offsets(s); val sc = counts(s)
-      if (so < 0 || sc < 0 || so + sc > payload.length) return None
-      var j = 0
-      while (j < sc) { out(written) = payload((so + j).toInt) & 0xff; written += 1; j += 1 }
-      s += 1
+
+    val iw = w.toInt; val ih = h.toInt; val ispp = spp.toInt
+    val outv = new Array[Double](iw * ih * ispp)
+    for (seg <- segs) {
+      if (seg.off < 0 || seg.clen <= 0 || seg.off + seg.clen > payload.length)
+        return None
+      val expectL = seg.sw.toLong * seg.sh * segSpp * bytesPer
+      if (expectL > Int.MaxValue) return None
+      val expect = expectL.toInt
+      val raw: Array[Byte] = comp match {
+        case 1L =>
+          if (seg.clen != expectL) return None
+          java.util.Arrays.copyOfRange(payload, seg.off.toInt,
+            (seg.off + seg.clen).toInt)
+        case 5L =>
+          lzwDecode(payload, seg.off.toInt, seg.clen.toInt, expect)
+            .getOrElse(return None)
+        case _ =>
+          inflate(payload, seg.off.toInt, seg.clen.toInt, expect)
+            .getOrElse(return None)
+      }
+      val rowSamples = seg.sw * segSpp
+      val acc = new Array[Int](segSpp)
+      var y = 0
+      while (y < seg.sh) {
+        val rowOff = y * rowSamples * bytesPer
+        var x = 0
+        while (x < rowSamples) {
+          val o = rowOff + x * bytesPer
+          var word: Int =
+            if (bits == 8L) raw(o) & 0xff
+            else if (bits == 16L) {
+              if (le) (raw(o) & 0xff) | ((raw(o + 1) & 0xff) << 8)
+              else ((raw(o) & 0xff) << 8) | (raw(o + 1) & 0xff)
+            } else {
+              if (le) (raw(o) & 0xff) | ((raw(o + 1) & 0xff) << 8) |
+                ((raw(o + 2) & 0xff) << 16) | ((raw(o + 3) & 0xff) << 24)
+              else ((raw(o) & 0xff) << 24) | ((raw(o + 1) & 0xff) << 16) |
+                ((raw(o + 2) & 0xff) << 8) | (raw(o + 3) & 0xff)
+            }
+          val ch = x % segSpp
+          if (predictor == 2L) {
+            // horizontal differencing accumulates per channel, modulo
+            // the word size (Int wrap IS mod 2^32; mask narrower words)
+            if (x >= segSpp) word = word + acc(ch)
+            if (bits == 8L) word &= 0xff
+            else if (bits == 16L) word &= 0xffff
+            acc(ch) = word
+          }
+          val v: Double = fmt match {
+            case "u8" => (word & 0xff).toDouble
+            case "i8" => (word & 0xff).toByte.toDouble
+            case "u16" => (word & 0xffff).toDouble
+            case "i16" => (word & 0xffff).toShort.toDouble
+            case "u32" => (word.toLong & 0xffffffffL).toDouble
+            case "i32" => word.toDouble
+            case _ => java.lang.Float.intBitsToFloat(word).toDouble
+          }
+          val px = seg.x0 + x / segSpp
+          val py = seg.y0 + y
+          if (px < iw && py < ih) {
+            val band = if (planar == 2L) seg.plane else ch
+            outv((py * iw + px) * ispp + band) = v
+          }
+          x += 1
+        }
+        y += 1
+      }
     }
-    Some(DecodedImage(w.toInt, h.toInt, out))
+    Some(DecodedRaster(iw, ih, ispp, fmt, outv))
+  }
+
+  /** General single-strip little-endian TIFF writer — the encoder
+    * mirror of [[decodeTiffRaster]] for the compressed/typed envelope
+    * (LZW, predictor 2, multi-sample chunky, i16/u16/f32/u8). Values
+    * are truncated into the target format's range. */
+  private[graft] def encodeTiffRaster(w: Int, h: Int, spp: Int, fmt: String,
+      values: Array[Double], lzw: Boolean, predictor: Boolean): Array[Byte] = {
+    require(values.length == w * h * spp, s"${values.length} != $w*$h*$spp")
+    require(!(predictor && fmt == "f32"), "predictor 2 is integer-only")
+    val bits = fmt match {
+      case "u8" | "i8" => 8
+      case "u16" | "i16" => 16
+      case _ => 32
+    }
+    val sf = fmt match {
+      case "u8" | "u16" | "u32" => 1
+      case "i8" | "i16" | "i32" => 2
+      case _ => 3
+    }
+    val bytesPer = bits / 8
+    // sample words (unsigned representation), predictor-differenced
+    val words = new Array[Int](values.length)
+    var i = 0
+    while (i < values.length) {
+      words(i) = fmt match {
+        case "f32" => java.lang.Float.floatToIntBits(values(i).toFloat)
+        case _ => values(i).toLong.toInt
+      }
+      i += 1
+    }
+    if (predictor) {
+      var y = 0
+      while (y < h) {
+        val row = y * w * spp
+        var x = w * spp - 1
+        while (x >= spp) {
+          words(row + x) = words(row + x) - words(row + x - spp)
+          x -= 1
+        }
+        y += 1
+      }
+    }
+    val raw = new Array[Byte](values.length * bytesPer)
+    i = 0
+    while (i < words.length) {
+      val v = words(i)
+      val o = i * bytesPer
+      raw(o) = (v & 0xff).toByte
+      if (bytesPer > 1) raw(o + 1) = ((v >>> 8) & 0xff).toByte
+      if (bytesPer > 2) {
+        raw(o + 2) = ((v >>> 16) & 0xff).toByte
+        raw(o + 3) = ((v >>> 24) & 0xff).toByte
+      }
+      i += 1
+    }
+    val strip = if (lzw) lzwEncode(raw) else raw
+    val out = new java.io.ByteArrayOutputStream(strip.length + 256)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    out.write('I'); out.write('I'); w16(42); w32(8)
+    val nEntries = 12
+    val ifdEnd = 8 + 2 + nEntries * 12 + 4
+    // external SHORT arrays for BitsPerSample/SampleFormat when spp > 2
+    val extBits = if (spp > 2) ifdEnd else 0
+    val extSf = if (spp > 2) ifdEnd + 2 * spp else 0
+    val dataStart = if (spp > 2) ifdEnd + 4 * spp else ifdEnd
+    w16(nEntries)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      w16(tag); w16(typ); w32(count); w32(value)
+    }
+    def shortPair(a: Int, b: Int): Int = (a & 0xffff) | (b << 16)
+    entry(256, 3, 1, w)
+    entry(257, 3, 1, h)
+    entry(258, 3, spp,
+      if (spp == 1) bits else if (spp == 2) shortPair(bits, bits) else extBits)
+    entry(259, 3, 1, if (lzw) 5 else 1)
+    entry(262, 3, 1, 1)
+    entry(273, 4, 1, dataStart)
+    entry(277, 3, 1, spp)
+    entry(278, 3, 1, h)
+    entry(279, 4, 1, strip.length)
+    entry(284, 3, 1, 1)
+    entry(317, 3, 1, if (predictor) 2 else 1)
+    entry(339, 3, spp,
+      if (spp == 1) sf else if (spp == 2) shortPair(sf, sf) else extSf)
+    w32(0)
+    if (spp > 2) {
+      (0 until spp).foreach(_ => w16(bits))
+      (0 until spp).foreach(_ => w16(sf))
+    }
+    out.write(strip, 0, strip.length)
+    out.toByteArray
   }
 
   /** Little-endian baseline-TIFF writer for the generator/spec side:

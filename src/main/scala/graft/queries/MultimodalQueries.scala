@@ -245,6 +245,62 @@ object MultimodalQueries {
       .toDF("vec_id", "npy_bytes", "qsum")
   }
 
+  /** Compressed/typed TIFF round-trip, oracle-graded per document —
+    * the widened envelope the reference's rasters actually use
+    * (LZW variant; srtm.tif itself is deflate/tiled/planar, graded
+    * by TiffRasterSpec against pinned stats): each document becomes a
+    * 2-band int16 raster (band 0 = character codes − 100, band 1 = a
+    * position ramp), encoded executor-side as a REAL
+    * LZW-compressed predictor-2 TIFF ([[MultimodalOps
+    * .encodeTiffRaster]]) and decoded straight back
+    * ([[MultimodalOps.decodeTiffRaster]]); the output pins dims,
+    * band count, and both band sums, which the oracle recomputes
+    * from the text alone. Any error in LZW bit packing, the
+    * early-change boundary, predictor reversal, int16 signedness, or
+    * strip arithmetic flips the hash. Pure per-document fan-out, no
+    * shuffle. */
+  def qTiffLzw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .filter(_._2.length >= 2)
+      .map { case (id, text) =>
+        require(text.forall(_ < 0x80),
+          s"doc $id: non-ASCII text breaks the chars==bytes oracle invariant")
+        val w = text.length / 2
+        val n = 2 * w
+        val vals = new Array[Double](n * 2)
+        var p = 0
+        while (p < n) {
+          vals(2 * p) = text.charAt(p).toInt - 100
+          vals(2 * p + 1) = (p * 13) % 255 - 127
+          p += 1
+        }
+        val enc = MultimodalOps.encodeTiffRaster(w, 2, 2, "i16", vals,
+          lzw = true, predictor = true)
+        val dec = MultimodalOps.decodeTiffRaster(enc)
+          .getOrElse(throw new IllegalStateException(s"own tiff undecodable: $id"))
+        var b0 = 0L; var b1 = 0L
+        var i = 0
+        while (i < dec.values.length) {
+          if (i % 2 == 0) b0 += dec.values(i).toLong else b1 += dec.values(i).toLong
+          i += 1
+        }
+        (id, dec.width, dec.height, dec.bands, b0, b1)
+      }
+      .toDF("doc_id", "width", "height", "bands", "b0_sum", "b1_sum")
+  }
+
+  val qTiffLzwSql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) // 2 AS INT) AS width, 2 AS height, 2 AS bands,
+      |  CAST(list_sum(list_transform(range(1, 2 * (length(text) // 2) + 1),
+      |    i -> ascii(substr(text, CAST(i AS INT), 1)) - 100)) AS BIGINT) AS b0_sum,
+      |  CAST(list_sum(list_transform(range(0, 2 * (length(text) // 2)),
+      |    i -> ((i * 13) % 255) - 127)) AS BIGINT) AS b1_sum
+      |FROM documents WHERE length(text) >= 2""".stripMargin
+
   val qNpyRoundtripSql: String =
     """SELECT vec_id, CAST(128 + 4 * len(embedding) AS INT) AS npy_bytes,
       |  CAST(list_sum(list_transform(embedding,
@@ -257,6 +313,7 @@ object MultimodalQueries {
     "q_media_features" -> (qMediaFeatures _),
     "q_image_decode" -> (qImageDecode _),
     "q_tiff_decode" -> (qTiffDecode _),
+    "q_tiff_lzw" -> (qTiffLzw _),
     "q_tar_shards" -> (qTarShards _),
     "q_npy_roundtrip" -> (qNpyRoundtrip _),
     "q_frame_sample" -> (qFrameSample _),
@@ -268,6 +325,7 @@ object MultimodalQueries {
     "q_media_features" -> qMediaFeaturesSql,
     "q_image_decode" -> qImageDecodeSql,
     "q_tiff_decode" -> qTiffDecodeSql,
+    "q_tiff_lzw" -> qTiffLzwSql,
     "q_tar_shards" -> qTarShardsSql,
     "q_npy_roundtrip" -> qNpyRoundtripSql,
     "q_frame_sample" -> qFrameSampleSql,

@@ -125,10 +125,12 @@ class MultimodalSpec extends SparkSpec {
   test("decodeTiff rejects unsupported or corrupt containers") {
     val ok = MultimodalOps.encodeTiff(4, 2, (0 until 8).map(_.toByte).toArray)
     assert(MultimodalOps.decodeTiff(ok).isDefined, "baseline fixture must decode")
-    // compression != 1 (LZW): entry index 3 is tag 259; its value field
-    // sits at ifd(16) + 2 + 3*12 + 8 = 62 in the writer's layout
+    // Compression mis-tagged LZW (entry index 3 is tag 259; value at
+    // ifd(16) + 2 + 3*12 + 8 = 62 in this writer's layout): the strip
+    // holds RAW pixels, not an LZW stream — must refuse, not mis-decode
+    // (real LZW containers decode via decodeTiffRaster, TiffRasterSpec)
     val lzw = ok.clone(); lzw(62) = 5
-    assert(MultimodalOps.decodeTiff(lzw).isEmpty, "compressed must be refused")
+    assert(MultimodalOps.decodeTiff(lzw).isEmpty, "mis-tagged LZW must be refused")
     val truncated = ok.dropRight(4) // loses the StripByteCounts tail
     assert(MultimodalOps.decodeTiff(truncated).isEmpty, "truncated must be refused")
     val badMagic = ok.clone(); badMagic(0) = 'X'.toByte
