@@ -301,6 +301,62 @@ object MultimodalQueries {
       |    i -> ((i * 13) % 255) - 127)) AS BIGINT) AS b1_sum
       |FROM documents WHERE length(text) >= 2""".stripMargin
 
+  /** Audio container round-trip + feature extraction, oracle-graded
+    * per document — the WAV member of the multimodal family: each
+    * document synthesizes a mono 16-bit PCM clip (sample i =
+    * (charcode_i − 100) × 173 at 8 kHz), encodes as a REAL RIFF/WAVE
+    * container ([[graft.sources.WavCodec.encode]], byte-identical to
+    * Python `wave`), decodes straight back, and emits audio features
+    * over the DECODED samples: container size (44-byte canonical
+    * header + 2 bytes/sample — an off-by-one in header layout flips
+    * the hash), duration, RMS (integer square-sum then one IEEE
+    * divide + sqrt, bit-exact cross-engine), and strict
+    * sign-alternation zero crossings. The oracle recomputes all four
+    * from the text. Pure per-document fan-out, no shuffle. */
+  def qWavFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .filter(_._2.nonEmpty)
+      .map { case (id, text) =>
+        require(text.forall(_ < 0x80),
+          s"doc $id: non-ASCII text breaks the chars==bytes oracle invariant")
+        val samples = text.toCharArray.map(c => (c.toInt - 100) * 173)
+        val enc = graft.sources.WavCodec.encode(8000, 1, samples)
+        val dec = graft.sources.WavCodec.decode(enc)
+          .getOrElse(throw new IllegalStateException(s"own wav undecodable: $id"))
+        val n = dec.samples.length
+        var sq = 0L
+        var zc = 0L
+        var i = 0
+        while (i < n) {
+          val s = dec.samples(i).toLong
+          sq += s * s
+          if (i > 0 && s * dec.samples(i - 1) < 0) zc += 1
+          i += 1
+        }
+        (id, enc.length.toLong, n.toDouble / 8000.0, math.sqrt(sq.toDouble / n), zc)
+      }
+      .toDF("doc_id", "wav_bytes", "duration_s", "rms", "zero_crossings")
+  }
+
+  val qWavFeaturesSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, length(text) AS n,
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> (ascii(substr(text, CAST(i AS INT), 1)) - 100) * 173) AS smp
+      |  FROM documents WHERE length(text) >= 1)
+      |SELECT doc_id,
+      |  CAST(44 + 2 * n AS BIGINT) AS wav_bytes,
+      |  CAST(n AS DOUBLE) / 8e3 AS duration_s,
+      |  sqrt(CAST(list_sum(list_transform(smp,
+      |    v -> CAST(v AS BIGINT) * v)) AS DOUBLE) / n) AS rms,
+      |  CAST(len(list_filter(range(1, n),
+      |    i -> smp[CAST(i AS INT)] * smp[CAST(i AS INT) + 1] < 0)) AS BIGINT)
+      |    AS zero_crossings
+      |FROM s""".stripMargin
+
   val qNpyRoundtripSql: String =
     """SELECT vec_id, CAST(128 + 4 * len(embedding) AS INT) AS npy_bytes,
       |  CAST(list_sum(list_transform(embedding,
@@ -314,6 +370,7 @@ object MultimodalQueries {
     "q_image_decode" -> (qImageDecode _),
     "q_tiff_decode" -> (qTiffDecode _),
     "q_tiff_lzw" -> (qTiffLzw _),
+    "q_wav_features" -> (qWavFeatures _),
     "q_tar_shards" -> (qTarShards _),
     "q_npy_roundtrip" -> (qNpyRoundtrip _),
     "q_frame_sample" -> (qFrameSample _),
@@ -326,6 +383,7 @@ object MultimodalQueries {
     "q_image_decode" -> qImageDecodeSql,
     "q_tiff_decode" -> qTiffDecodeSql,
     "q_tiff_lzw" -> qTiffLzwSql,
+    "q_wav_features" -> qWavFeaturesSql,
     "q_tar_shards" -> qTarShardsSql,
     "q_npy_roundtrip" -> qNpyRoundtripSql,
     "q_frame_sample" -> qFrameSampleSql,

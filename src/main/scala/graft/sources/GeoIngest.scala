@@ -110,6 +110,28 @@ object GeoIngest {
       }.toDF("tile_id", "shape", "values")
   }
 
+  /** WAV clip ingest — the audio arm of the multimodal file-source
+    * family: same distributed binaryFile scan + executor-side decode +
+    * corrupt-file skip as [[readTiffTiles]]/[[readNpyFiles]], through
+    * [[WavCodec.decode]]. Output: (clip_id, rate, channels, samples). */
+  def readWavClips(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        WavCodec.decode(bytes).map { wav =>
+          val name = path.split('/').last.stripSuffix(".wav")
+          val id = if (name.startsWith("clip_"))
+            name.stripPrefix("clip_").toLongOption.getOrElse(-1L)
+          else -1L
+          (id, wav.sampleRate, wav.channels, wav.samples)
+        }
+      }.toDF("clip_id", "rate", "channels", "samples")
+  }
+
   /** Webdataset tar-shard scan (SURVEY §2.1 "webdataset tar scan",
     * dataops/dataset.py:31): distributed binaryFile scan over `.tar`
     * shards, each archive parsed executor-side by

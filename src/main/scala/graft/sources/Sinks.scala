@@ -112,6 +112,27 @@ object Sinks {
       java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
   }
 
+  /** WAV clip sink: one real RIFF/PCM container per row, written
+    * executor-side ([[WavCodec.encode]], byte-identical to Python
+    * `wave`), `_SUCCESS` on completion — the audio member of the
+    * multimodal sink family (npy/tiff/tar siblings above). Expects
+    * (clip_id: long, rate: int, channels: int, samples: array<int>). */
+  def writeWavClips(df: DataFrame, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col("clip_id").cast("long"), col("rate").cast("int"),
+        col("channels").cast("int"), col("samples"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          val bytes = WavCodec.encode(r.getInt(1), r.getInt(2),
+            r.getSeq[Int](3).toArray)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"clip_${r.getLong(0)}.wav"), bytes)
+        }
+      }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+  }
+
   /** JSON manifest: per-partition row counts written next to the
     * data (the generate_metadata sidecar, as a queryable table). */
   def writeManifest(spark: SparkSession, dataPath: String, manifestPath: String,
