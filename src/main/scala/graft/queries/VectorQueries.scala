@@ -408,7 +408,7 @@ object VectorQueries {
   private val rankedCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
 
-  private def ivfRanked(spark: SparkSession, dir: String, k: Int = RoutingK): DataFrame = {
+  private[graft] def ivfRanked(spark: SparkSession, dir: String, k: Int = RoutingK): DataFrame = {
     val key = (spark.sparkContext.applicationId, dir, k)
     val df = rankedCache.computeIfAbsent(key, _ =>
       rankCentroids(Tables.embeddings(spark, dir), trainedCentroids(spark, dir, k))

@@ -196,6 +196,57 @@ object StreamingPipelines {
       hashCol: String): DataFrame =
     stream.join(corpusHashes, Seq(hashCol), "left_anti")
 
+  /** Streaming ANN index maintenance — the incremental arm of the
+    * train-once/search-many lifecycle (VectorQueries.trainedCentroids
+    * is the batch build): arriving vectors join the MEMOIZED centroid
+    * relation and append their routing rows (vec_id, cid, rk ≤ 2),
+    * exactly what a daily-crawl pipeline upserts beside a 100 TB
+    * corpus between retrains.
+    *
+    * Shape: the k×dim centroid table is knob-bounded (a FAISS-header
+    * artifact, never corpus-sized), so it enters the stream as a
+    * 1-row broadcast stream-static join — the streaming edition of
+    * the Q22 singleton pattern — and BOTH the k dot products and the
+    * top-2 selection happen inside per-row expressions
+    * (zip_with/aggregate/array_sort). Routing is map-only: no shuffle,
+    * no stateful aggregation, append-mode-legal without a watermark,
+    * unbounded input forever. The quantized dot
+    * (`Σ floor(v·c·1e9)` as long) is bit-identical to the batch
+    * assignment's shuffle aggregate because integer addition is
+    * order-free — StreamingSpec pins batch/streaming agreement and
+    * replay idempotence (deterministic rows ⇒ re-delivery upserts the
+    * same values). */
+  def upsertAssignments(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // (cid, pos, c) → one row per centroid, pos-ordered — the bounded
+    // driver materialization IS the memoized index header
+    val cents = centroids.select(col("cid"), col("pos"), col("c"))
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3)) }
+    require(cents.nonEmpty, "empty centroid relation")
+    val centCol = array(cents.map { case (cid, cs) =>
+      struct(lit(cid).as("cid"), array(cs.map(lit(_)): _*).as("c"))
+    }: _*)
+    val header = spark.range(1).select(centCol.as("cents"))
+    vectors.join(broadcast(header))
+      .withColumn("scored", expr(
+        """transform(cents, ct -> struct(
+          |  aggregate(zip_with(embedding, ct.c,
+          |      (a, b) -> CAST(FLOOR(CAST(a AS DOUBLE) * b * 1e9) AS BIGINT)),
+          |    CAST(0 AS BIGINT), (acc, x) -> acc + x) AS qdot,
+          |  ct.cid AS cid))""".stripMargin))
+      .withColumn("top2", expr(
+        """slice(array_sort(scored, (l, r) ->
+          |  CASE WHEN l.qdot > r.qdot THEN -1 WHEN l.qdot < r.qdot THEN 1
+          |       WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1
+          |       ELSE 0 END), 1, 2)""".stripMargin))
+      .select(col("vec_id"), posexplode(col("top2")).as(Seq("p", "s")))
+      .select(col("vec_id"), col("s.cid").as("cid"),
+        (col("p") + 1).cast("int").as("rk"))
+  }
+
   /** One micro-batch of the landing-zone ingest, written
     * idempotently: the batch lands in its own `batch_id=<n>`
     * partition directory with overwrite mode, so a retry of the same

@@ -173,6 +173,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN assignment agrees with the batch index and replays idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val cents = graft.queries.VectorQueries.trainedCentroids(spark, dir)
+    // the batch search-side index: (vec_id, cid, rk<=2)
+    val batchIdx = graft.queries.VectorQueries.ivfRanked(spark, dir)
+      .filter(col("rk") <= 2).select("vec_id", "cid", "rk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val vecs = Tables.embeddings(spark, dir).filter(col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    assert(vecs.nonEmpty, "fixture lost its vectors")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingPipelines
+      .upsertAssignments(in.toDF().toDF("vec_id", "embedding"), cents)
+      .writeStream.format("memory").queryName("ann_upsert")
+      .outputMode("append").start()
+    try {
+      in.addData(vecs: _*); q.processAllAvailable()
+      // at-least-once re-delivery of the SAME vectors (replay)
+      in.addData(vecs: _*); q.processAllAvailable()
+      val rows = spark.table("ann_upsert").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      val distinct = rows.toSet
+      // agreement: the streamed routing equals the batch index rows for
+      // the streamed ids — same quantized-dot argmax, same tie-breaks
+      val expect = batchIdx.filter(_._1 < 40)
+      assert(distinct == expect,
+        s"streaming/batch disagree: ${(distinct -- expect).take(3)} vs ${(expect -- distinct).take(3)}")
+      // replay idempotence: re-delivery produced bit-identical rows, so
+      // an upsert keyed on (vec_id, rk) converges — nothing new appeared
+      assert(rows.length == 2 * distinct.size,
+        "replay emitted rows that differ from the first delivery")
+      // every vector got exactly rk 1 and 2
+      for ((vid, rs) <- distinct.groupBy(_._1))
+        assert(rs.map(_._3) == Set(1, 2), s"vec $vid incomplete probe list")
+    } finally q.stop()
+  }
+
   test("runningDistinct evicts idle state at the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
