@@ -442,6 +442,52 @@ object RetrievalQueries {
        |WHERE fused_rank <= 10""".stripMargin
   }
 
+  /** RRF recall gate — mirrors q_ann_recall for the fusion arm: how
+    * much of the brute-force cosine top-10 survives into the fused
+    * top-10 per query. Both inputs are deterministic and
+    * oracle-reproducible, so the recall itself is hash-graded (the
+    * quality loop a production hybrid-retrieval stack runs after
+    * every ranker change). The semi-join keys on (qid, doc_id);
+    * recall is one IEEE divide. A qid here always retains ≥ 1
+    * cosine hit (the vector arm feeds the fusion), so no group
+    * vanishes. */
+  def qRrfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val fused = qRrfFusion(spark, dir).select("qid", "doc_id")
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val cos10 = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", graft.functions.VectorOps.cosine("qe", "embedding"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("vec_id").as("doc_id"))
+    fused.join(cos10, Seq("qid", "doc_id"), "left_semi")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("qid"), col("n_common"),
+        (col("n_common") / lit(10.0)).as("recall_at_10"))
+  }
+
+  val qRrfRecallSql: String =
+    s"""WITH fused AS ($qRrfFusionSql),
+       |cos10 AS (
+       |  SELECT qid, doc_id FROM (
+       |    SELECT q.vec_id AS qid, e.vec_id AS doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${VectorQueries.cosineSql("q.embedding", "e.embedding")} DESC,
+       |        e.vec_id) AS rank
+       |    FROM embeddings q CROSS JOIN embeddings e
+       |    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= 10)
+       |SELECT f.qid, COUNT(*) AS n_common,
+       |  COUNT(*) / 1e1 AS recall_at_10
+       |FROM fused f
+       |JOIN cos10 c ON f.qid = c.qid AND f.doc_id = c.doc_id
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
@@ -450,6 +496,7 @@ object RetrievalQueries {
     "q_unigram_typicality" -> (qUnigramTypicality _),
     "q_doc_entropy" -> (qDocEntropy _),
     "q_rrf_fusion" -> (qRrfFusion _),
+    "q_rrf_recall" -> (qRrfRecall _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -460,5 +507,6 @@ object RetrievalQueries {
     "q_unigram_typicality" -> qUnigramTypicalitySql,
     "q_doc_entropy" -> qDocEntropySql,
     "q_rrf_fusion" -> qRrfFusionSql,
+    "q_rrf_recall" -> qRrfRecallSql,
   )
 }

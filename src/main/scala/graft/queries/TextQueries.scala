@@ -723,7 +723,65 @@ object TextQueries {
       |      unnest(range((length(text) - 1) // 150 + 1)) AS chunk_idx
       |    FROM documents WHERE length(text) > 0))""".stripMargin
 
+  /** One graded round of BPE pair-merge induction — the tokenizer-
+    * training step a pretraining pipeline runs over its corpus
+    * (Sennrich et al. 2016): count adjacent character pairs across
+    * the word stream, pick the most frequent merge (count desc, pair
+    * asc — deterministic), then apply it and report the compression
+    * it buys per document. The merge application uses `replace`'s
+    * left-to-right non-overlapping semantics — identical in Spark and
+    * DuckDB — with the merged pair collapsing to one sentinel symbol,
+    * so `sym_after = sym_before − occurrences`.
+    *
+    * Shape at scale: pair counting is ONE explode + keyed aggregate
+    * (shuffle on the pair), the winning merge is a 1-row broadcast
+    * (the scalar pattern), and the re-tokenize pass is per-row
+    * expressions over the word stream with a second keyed aggregate
+    * on doc_id. A full BPE train iterates this plan merge-by-merge,
+    * checkpointing the vocabulary each round. */
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+    val pairs = words.filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+    val top = pairs.groupBy(col("pair").as("merge"))
+      .agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("merge").asc)
+      .limit(1)
+    words.crossJoin(broadcast(top))
+      .groupBy(col("doc_id"), col("merge"), col("pair_count"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("word"))).as("sym_before"),
+        sum(length(col("word")) -
+          length(expr("replace(word, merge, '')"))).as("n_merged"))
+      .select(col("doc_id"), col("merge"), col("pair_count"),
+        col("n_tokens"), col("sym_before"),
+        (col("sym_before") - col("n_merged")).as("sym_after"))
+  }
+
+  val qBpeMergesSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      |  FROM documents),
+      |top AS (
+      |  SELECT pair AS merge, COUNT(*) AS pair_count FROM (
+      |    SELECT unnest(list_transform(range(1, length(word)),
+      |      i -> substr(word, CAST(i AS INT), 2))) AS pair
+      |    FROM words WHERE length(word) >= 2)
+      |  GROUP BY 1 ORDER BY pair_count DESC, merge ASC LIMIT 1)
+      |SELECT w.doc_id, t.merge, t.pair_count,
+      |  COUNT(*) AS n_tokens,
+      |  CAST(SUM(length(w.word)) AS BIGINT) AS sym_before,
+      |  CAST(SUM(length(replace(w.word, t.merge, chr(1)))) AS BIGINT) AS sym_after
+      |FROM words w CROSS JOIN top t
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merges" -> (qBpeMerges _),
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_data_mixture" -> (qDataMixture _),
     "q_corpus_curation" -> (qCorpusCuration _),
@@ -748,6 +806,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bpe_merges" -> qBpeMergesSql,
     "q_data_mixture" -> qDataMixtureSql,
     "q_corpus_curation" -> qCorpusCurationSql,
     "q_pack_sequences" -> qPackSequencesSql,

@@ -313,7 +313,7 @@ class PlanQualitySpec extends SparkSpec {
     // literal handful of rows: q_vocab_topk (limit(100) survivors). The
     // deterministic-shuffle queries now run the ScaleOps partition-offset
     // engine path and need no exemption.
-    val exempt = Set("q_vocab_topk", "q_rrf_fusion") // rrf: lexical rank after limit(20)
+    val exempt = Set("q_vocab_topk", "q_rrf_fusion", "q_rrf_recall") // rrf: lexical rank after limit(20)
     for ((name, q) <- SparkEntry.queries if !exempt(name)) {
       val bad = q(spark, dir).queryExecution.optimizedPlan.collect {
         case w: LogicalWindow if w.partitionSpec.isEmpty => w.simpleString(80)
