@@ -218,7 +218,16 @@ object MultimodalOps {
       }
       i += 1
     }
-    if (prev >= 0) put(prev)
+    if (prev >= 0) {
+      put(prev)
+      // the decoder ADDS AN ENTRY when it processes this final code
+      // (it cannot know no more data follows), so the encoder must
+      // count that phantom add before choosing EOI's width — without
+      // this, a stream whose last data code lands exactly on the
+      // 510/1022/2046 boundary writes EOI 9-bit and is read 10-bit
+      nextCode += 1
+      if (nextCode == (1 << width) - 1 && width < 12) width += 1
+    }
     put(257) // EOI
     if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
     out.toByteArray

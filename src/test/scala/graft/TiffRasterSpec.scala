@@ -133,6 +133,25 @@ class TiffRasterSpec extends SparkSpec {
       .exists(_.sameElements(repet)))
   }
 
+  test("lzw round-trips at EVERY stream-length alignment across the width boundaries") {
+    // the EOI-at-boundary trap: a stream whose final flush code lands
+    // exactly where the decoder widens (510/1022/2046 entries) desyncs
+    // unless the encoder counts the decoder's phantom final add before
+    // choosing EOI's width — sweep every alignment around all three
+    var seed = 3L
+    val base = Array.tabulate(2300) { _ =>
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (seed >>> 56).toByte
+    }
+    val ranges = (200 until 600) ++ (950 until 1150) ++ (1950 until 2250)
+    for (n <- ranges) {
+      val pay = base.take(n)
+      val enc = MultimodalOps.lzwEncode(pay)
+      assert(MultimodalOps.lzwDecode(enc, 0, enc.length, n)
+        .exists(_.sameElements(pay)), s"round-trip failed at length $n")
+    }
+  }
+
   test("corrupt compressed containers are refused, never thrown") {
     // truncated LZW stream
     val t1 = goldenLzwI16.dropRight(6)

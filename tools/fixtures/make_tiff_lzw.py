@@ -43,6 +43,13 @@ def lzw_compress(data: bytes) -> bytes:
         w = c
     if w:
         out_bits.append((table[w], width))
+        # the decoder adds a table entry when it processes this final
+        # code, so count that phantom add before choosing EOI's width
+        # (otherwise a stream ending exactly on the 510/1022/2046
+        # boundary desyncs on the EOI read)
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     out_bits.append((EOI, width))
     # pack MSB-first
     acc = 0
