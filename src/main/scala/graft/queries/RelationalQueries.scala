@@ -832,6 +832,265 @@ object RelationalQueries {
        |WHERE r.r_name = 'EUROPE'
        |  AND s.s_suppkey IN (SELECT ps_suppkey FROM excess)""".stripMargin
 
+  /** TPC-H Q7 shape (volume shipping between two nations): the
+    * symmetric-nation-pair disjunction over a 4-table fact chain.
+    * Both nation dims broadcast with the OR-of-pairs predicate applied
+    * post-join; the shipdate range is pushed to the lineitem scan; the
+    * only wide shuffle is lineitem⋈orders. Revenue is floor-quantized
+    * ([[Exact.qsum]]) per (supp_nation, cust_nation, year) group. */
+  def qTpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val n1 = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+      .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Exact.qsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  val qTpchQ7Sql: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  ${Exact.qsumSql("volume")} AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(year(l.l_shipdate) AS INT) AS l_year,
+       |    l.l_extendedprice * (1.0 - l.l_discount) AS volume
+       |  FROM lineitem l
+       |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  JOIN customer c ON c.c_custkey = o.o_custkey
+       |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+       |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l.l_shipdate < TIMESTAMP '1998-01-01')
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q8 shape (national market share): the conditional-share
+    * aggregate — one snowflake probe computes BOTH the focal nation's
+    * volume and the total in a single grouped pass (two quantized
+    * conditional sums), and the share is one IEEE division of the
+    * two. All dimension arms broadcast; the orderdate range pushes to
+    * the orders scan. */
+  def qTpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val europe = Tables.region(spark, dir).filter(col("r_name") === "EUROPE")
+    val custN = Tables.nation(spark, dir)
+      .join(broadcast(europe), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnk"))
+    val suppN = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("snk"), col("n_name").as("nation"))
+    val p = Tables.part(spark, dir).filter(col("p_type") === "LARGE")
+      .select("p_partkey")
+    val volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custN), col("c_nationkey") === col("cnk"), "left_semi")
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppN), col("s_nationkey") === col("snk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (Exact.qsum(when(col("nation") === "NATION_7", volume).otherwise(lit(0.0))) /
+          Exact.qsum(volume)).as("mkt_share"))
+  }
+
+  val qTpchQ8Sql: String =
+    s"""SELECT o_year,
+       |  ${Exact.qsumSql("CASE WHEN nation = 'NATION_7' THEN volume ELSE 0.0 END")}
+       |    / ${Exact.qsumSql("volume")} AS mkt_share
+       |FROM (
+       |  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       |    l.l_extendedprice * (1.0 - l.l_discount) AS volume,
+       |    n2.n_name AS nation
+       |  FROM lineitem l
+       |  JOIN part p ON p.p_partkey = l.l_partkey
+       |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  JOIN customer c ON c.c_custkey = o.o_custkey
+       |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+       |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+       |  WHERE r.r_name = 'EUROPE' AND p.p_type = 'LARGE'
+       |    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+       |    AND o.o_orderdate < TIMESTAMP '1998-01-01')
+       |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q9 shape (product-type profit): profit = revenue − supply
+    * cost per line, aggregated by (nation, year). This corpus has no
+    * partsupp, so supply cost derives from lineitem (min unit price
+    * per (partkey, suppkey) — the Q2 derivation); the join back is
+    * keyed on the SAME composite key as the derivation's aggregate,
+    * so the two share one exchange. The part-name filter gates via a
+    * broadcast semi-join before anything shuffles; per-row profit is
+    * bit-exact cross-engine (one multiply-subtract chain over
+    * identical doubles) and the group sum is floor-quantized. */
+  def qTpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.part(spark, dir)
+      .filter(col("p_name").like("%red%")).select("p_partkey")
+    val l = Tables.lineitem(spark, dir)
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+    val supply = l.groupBy(
+        col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+    val sn = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    l.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(supply, col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(Exact.qsum(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          col("ps_supplycost") * col("l_quantity")).as("sum_profit"))
+  }
+
+  val qTpchQ9Sql: String =
+    s"""WITH supply AS (
+       |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+       |         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+       |  FROM lineitem
+       |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+       |  GROUP BY 1, 2)
+       |SELECT nation, o_year, ${Exact.qsumSql("amount")} AS sum_profit
+       |FROM (
+       |  SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       |    l.l_extendedprice * (1.0 - l.l_discount)
+       |      - sp.ps_supplycost * l.l_quantity AS amount
+       |  FROM lineitem l
+       |  JOIN part p ON p.p_partkey = l.l_partkey
+       |  JOIN supply sp ON sp.ps_partkey = l.l_partkey
+       |                AND sp.ps_suppkey = l.l_suppkey
+       |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  WHERE p.p_name LIKE '%red%')
+       |GROUP BY 1, 2""".stripMargin
+
+  /** TPC-H Q11 shape (important stock): per-part inventory value
+    * gated by a FRACTION of the scoped total — the
+    * scalar-threshold-over-grouped-sums family. Supply (availqty +
+    * unit cost) derives from lineitem; the nation scope applies as a
+    * broadcast join BEFORE the per-part aggregate; the total is a
+    * 1-row aggregate of the same scoped rows broadcast back (the Q22
+    * singleton). Both sides quantize identically: availqty is
+    * decimal-exact, the value sum floor-quantized, the cutoff one
+    * IEEE multiply. */
+  def qTpchQ11(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name") === "NATION_9")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val scoped = Tables.lineitem(spark, dir)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(
+        Exact.dsum(col("l_quantity")).as("ps_availqty"),
+        min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+      .withColumn("v", col("ps_supplycost") * col("ps_availqty"))
+    val byPart = scoped.groupBy(col("ps_partkey"))
+      .agg(Exact.qsum(col("v")).as("value"))
+    // scale-invariant cutoff: 2.3× the mean per-part value (TPC-H's
+    // FRACTION scales 1/SF for exactly this reason — a fixed fraction
+    // of the total selects nothing once the corpus grows 10×)
+    val thr = scoped.agg((Exact.qsum(col("v")) * lit(2.3) /
+      countDistinct(col("ps_partkey"))).as("cutoff"))
+    byPart.crossJoin(broadcast(thr))
+      .filter(col("value") > col("cutoff"))
+      .select("ps_partkey", "value")
+  }
+
+  val qTpchQ11Sql: String =
+    s"""WITH scoped AS (
+       |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+       |    ${Exact.dsumSql("l_quantity")} AS ps_availqty,
+       |    MIN(l_extendedprice / l_quantity) AS ps_supplycost
+       |  FROM lineitem
+       |  WHERE l_suppkey IN (
+       |    SELECT s_suppkey FROM supplier s
+       |    JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |    WHERE n.n_name = 'NATION_9')
+       |  GROUP BY 1, 2),
+       |vals AS (
+       |  SELECT ps_partkey, ps_supplycost * ps_availqty AS v FROM scoped),
+       |byp AS (
+       |  SELECT ps_partkey, ${Exact.qsumSql("v")} AS value
+       |  FROM vals GROUP BY 1),
+       |thr AS (SELECT ${Exact.qsumSql("v")} * 2.3e0
+       |          / COUNT(DISTINCT ps_partkey) AS cutoff FROM vals)
+       |SELECT b.ps_partkey, b.value
+       |FROM byp b CROSS JOIN thr t
+       |WHERE b.value > t.cutoff""".stripMargin
+
+  /** TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    * counts per part descriptor, with a NOT-IN supplier exclusion.
+    * The supply relation is the distinct (partkey, suppkey) projection
+    * of lineitem (one shuffle); the exclusion list (negative-balance
+    * suppliers — standing in for the original's complaints filter) is
+    * a broadcast ANTI join; part attribute filters apply before the
+    * broadcast join. COUNT(DISTINCT) re-shuffles on the group keys —
+    * two exchanges total at any scale. */
+  def qTpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    val badSupp = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0.0).select("s_suppkey")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#9" && col("p_type") =!= "SMALL" &&
+        col("p_size") <= 25)
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .join(broadcast(badSupp), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+  }
+
+  val qTpchQ16Sql: String =
+    """WITH supply AS (
+      |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      |  FROM lineitem)
+      |SELECT p.p_brand, p.p_type, p.p_size,
+      |  CAST(COUNT(DISTINCT sp.ps_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM supply sp
+      |JOIN part p ON p.p_partkey = sp.ps_partkey
+      |WHERE p.p_brand <> 'Brand#9' AND p.p_type <> 'SMALL' AND p.p_size <= 25
+      |  AND sp.ps_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** The graded sketch tier (SURVEY §2.4's 100 TB distinct path —
     * closing the "spec-only" gap on [[graft.operators.Sketches]]):
     * exact aggregates and their sketch counterparts run side by side,
@@ -1113,6 +1372,11 @@ object RelationalQueries {
     "q_tpch_q2" -> (qTpchQ2 _),
     "q_tpch_q15" -> (qTpchQ15 _),
     "q_tpch_q20" -> (qTpchQ20 _),
+    "q_tpch_q7" -> (qTpchQ7 _),
+    "q_tpch_q8" -> (qTpchQ8 _),
+    "q_tpch_q9" -> (qTpchQ9 _),
+    "q_tpch_q11" -> (qTpchQ11 _),
+    "q_tpch_q16" -> (qTpchQ16 _),
     "q_distinct_approx" -> (qDistinctApprox _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_topk_per_group" -> (qTopkPerGroup _),
@@ -1149,6 +1413,11 @@ object RelationalQueries {
     "q_tpch_q2" -> qTpchQ2Sql,
     "q_tpch_q15" -> qTpchQ15Sql,
     "q_tpch_q20" -> qTpchQ20Sql,
+    "q_tpch_q7" -> qTpchQ7Sql,
+    "q_tpch_q8" -> qTpchQ8Sql,
+    "q_tpch_q9" -> qTpchQ9Sql,
+    "q_tpch_q11" -> qTpchQ11Sql,
+    "q_tpch_q16" -> qTpchQ16Sql,
     "q_distinct_approx" -> qDistinctApproxSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_topk_per_group" -> qTopkPerGroupSql,

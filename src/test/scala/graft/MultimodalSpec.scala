@@ -188,6 +188,32 @@ class MultimodalSpec extends SparkSpec {
         assert(img.samples.length == img.width * img.height) // still-valid decodes stay consistent
       }
     }
+    // widen the same contract to the compressed/typed raster decoder,
+    // the LZW/deflate streams themselves, and the WAV codec: random
+    // corruptions of VALID containers exercise the deep paths (IFD,
+    // strip decompress, predictor, chunk walk) — None, never throw
+    val lzwValid = MultimodalOps.encodeTiffRaster(5, 3, 2, "i16",
+      Array.tabulate(30)(i => (i * 211 % 1000 - 500).toDouble),
+      lzw = true, predictor = true)
+    val wavValid = graft.sources.WavCodec.encode(8000, 2,
+      Array.tabulate(16)(i => i * 1000 - 8000))
+    (1 to 500).foreach { _ =>
+      val soup = Array.fill(rnd.nextInt(96))(rnd.nextInt(256).toByte)
+      MultimodalOps.decodeTiffRaster(soup)
+      graft.sources.WavCodec.decode(soup)
+      MultimodalOps.lzwDecode(soup, 0, soup.length, 64)
+      MultimodalOps.inflate(soup, 0, soup.length, 64)
+      val ct = lzwValid.clone()
+      (1 to 4).foreach(_ => ct(rnd.nextInt(ct.length)) = rnd.nextInt(256).toByte)
+      MultimodalOps.decodeTiffRaster(ct).foreach { r =>
+        assert(r.values.length == r.width * r.height * r.bands)
+      }
+      val cw = wavValid.clone()
+      (1 to 4).foreach(_ => cw(rnd.nextInt(cw.length)) = rnd.nextInt(256).toByte)
+      graft.sources.WavCodec.decode(cw).foreach { w =>
+        assert(w.samples.length % w.channels == 0)
+      }
+    }
   }
 
   test("mediaFromDocuments yields binary payload with typed metadata") {

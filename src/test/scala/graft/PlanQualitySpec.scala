@@ -287,6 +287,33 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("TPC-H Q7/Q8/Q9 broadcast every dimension arm and never degenerate") {
+    for (q <- Seq("q_tpch_q7", "q_tpch_q8", "q_tpch_q9")) {
+      val p = executedPlan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+    }
+    // Q7/Q8 push their date range into the fact-side scan
+    assert(executedPlan("q_tpch_q7").contains("GreaterThanOrEqual(l_shipdate"))
+    assert(executedPlan("q_tpch_q8").contains("GreaterThanOrEqual(o_orderdate"))
+    // Q9's supply derivation and join-back share the (partkey, suppkey)
+    // composite key, and the part-name gate is a broadcast semi-join
+    assert(executedPlan("q_tpch_q9").contains("LeftSemi"))
+  }
+
+  test("TPC-H Q11 broadcasts the scalar cutoff; Q16 anti-joins the exclusion list keyed") {
+    val p11 = executedPlan("q_tpch_q11")
+    assert(!p11.contains("CartesianProduct"), p11)
+    // the 1-row cutoff rides the intended singleton broadcast; the
+    // nation scope gates lineitem via a broadcast semi-join
+    assert(p11.contains("LeftSemi"), p11)
+    val p16 = executedPlan("q_tpch_q16")
+    assert(p16.contains("LeftAnti"), p16)
+    assert(!p16.contains("CartesianProduct"), p16)
+    assert(!p16.contains("BroadcastNestedLoopJoin"), p16)
+  }
+
   test("RRF fusion joins the two bounded arms keyed — no cartesian, per-qid re-rank") {
     val p = executedPlan("q_rrf_fusion")
     // the vector arm's query broadcast is the intended NLJ (same as
