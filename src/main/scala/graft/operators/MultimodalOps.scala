@@ -483,10 +483,13 @@ object MultimodalOps {
 
   /** General single-strip little-endian TIFF writer — the encoder
     * mirror of [[decodeTiffRaster]] for the compressed/typed envelope
-    * (LZW, predictor 2, multi-sample chunky, i16/u16/f32/u8). Values
-    * are truncated into the target format's range. */
+    * (LZW or zlib deflate — the codec GDAL's COMPRESS=DEFLATE writes —
+    * predictor 2, multi-sample chunky, i16/u16/f32/u8). Values are
+    * truncated into the target format's range. */
   private[graft] def encodeTiffRaster(w: Int, h: Int, spp: Int, fmt: String,
-      values: Array[Double], lzw: Boolean, predictor: Boolean): Array[Byte] = {
+      values: Array[Double], lzw: Boolean, predictor: Boolean,
+      deflate: Boolean = false): Array[Byte] = {
+    require(!(lzw && deflate), "pick one compression")
     require(values.length == w * h * spp, s"${values.length} != $w*$h*$spp")
     require(!(predictor && fmt == "f32"), "predictor 2 is integer-only")
     val bits = fmt match {
@@ -535,7 +538,18 @@ object MultimodalOps {
       }
       i += 1
     }
-    val strip = if (lzw) lzwEncode(raw) else raw
+    val strip =
+      if (lzw) lzwEncode(raw)
+      else if (deflate) {
+        val d = new java.util.zip.Deflater()
+        try {
+          d.setInput(raw); d.finish()
+          val buf = new Array[Byte](raw.length + 64)
+          val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 16)
+          while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+          out.toByteArray
+        } finally d.end()
+      } else raw
     val out = new java.io.ByteArrayOutputStream(strip.length + 256)
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
@@ -555,7 +569,7 @@ object MultimodalOps {
     entry(257, 3, 1, h)
     entry(258, 3, spp,
       if (spp == 1) bits else if (spp == 2) shortPair(bits, bits) else extBits)
-    entry(259, 3, 1, if (lzw) 5 else 1)
+    entry(259, 3, 1, if (lzw) 5 else if (deflate) 8 else 1)
     entry(262, 3, 1, 1)
     entry(273, 4, 1, dataStart)
     entry(277, 3, 1, spp)

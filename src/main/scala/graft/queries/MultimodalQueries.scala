@@ -292,6 +292,43 @@ object MultimodalQueries {
       .toDF("doc_id", "width", "height", "bands", "b0_sum", "b1_sum")
   }
 
+  /** Same graded round trip through the DEFLATE arm (Compression=8 —
+    * the codec the reference's own srtm rasters use): identical
+    * text-derived oracle, different container encoding, so the zlib
+    * deflate/inflate pair is graded end-to-end alongside LZW. */
+  def qTiffDeflate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .filter(_._2.length >= 2)
+      .map { case (id, text) =>
+        require(text.forall(_ < 0x80),
+          s"doc $id: non-ASCII text breaks the chars==bytes oracle invariant")
+        val w = text.length / 2
+        val n = 2 * w
+        val vals = new Array[Double](n * 2)
+        var p = 0
+        while (p < n) {
+          vals(2 * p) = text.charAt(p).toInt - 100
+          vals(2 * p + 1) = (p * 13) % 255 - 127
+          p += 1
+        }
+        val enc = MultimodalOps.encodeTiffRaster(w, 2, 2, "i16", vals,
+          lzw = false, predictor = true, deflate = true)
+        val dec = MultimodalOps.decodeTiffRaster(enc)
+          .getOrElse(throw new IllegalStateException(s"own tiff undecodable: $id"))
+        var b0 = 0L; var b1 = 0L
+        var i = 0
+        while (i < dec.values.length) {
+          if (i % 2 == 0) b0 += dec.values(i).toLong else b1 += dec.values(i).toLong
+          i += 1
+        }
+        (id, dec.width, dec.height, dec.bands, b0, b1)
+      }
+      .toDF("doc_id", "width", "height", "bands", "b0_sum", "b1_sum")
+  }
+
   val qTiffLzwSql: String =
     """SELECT doc_id,
       |  CAST(length(text) // 2 AS INT) AS width, 2 AS height, 2 AS bands,
@@ -370,6 +407,7 @@ object MultimodalQueries {
     "q_image_decode" -> (qImageDecode _),
     "q_tiff_decode" -> (qTiffDecode _),
     "q_tiff_lzw" -> (qTiffLzw _),
+    "q_tiff_deflate" -> (qTiffDeflate _),
     "q_wav_features" -> (qWavFeatures _),
     "q_tar_shards" -> (qTarShards _),
     "q_npy_roundtrip" -> (qNpyRoundtrip _),
@@ -383,6 +421,7 @@ object MultimodalQueries {
     "q_image_decode" -> qImageDecodeSql,
     "q_tiff_decode" -> qTiffDecodeSql,
     "q_tiff_lzw" -> qTiffLzwSql,
+    "q_tiff_deflate" -> qTiffLzwSql, // same text-derived oracle; container arm differs
     "q_wav_features" -> qWavFeaturesSql,
     "q_tar_shards" -> qTarShardsSql,
     "q_npy_roundtrip" -> qNpyRoundtripSql,

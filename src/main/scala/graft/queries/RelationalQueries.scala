@@ -832,6 +832,44 @@ object RelationalQueries {
        |WHERE r.r_name = 'EUROPE'
        |  AND s.s_suppkey IN (SELECT ps_suppkey FROM excess)""".stripMargin
 
+  /** TPC-H Q1, the full pricing-summary report (q1_agg is the
+    * flagship's Q1-ish composite; this is the real 8-aggregate
+    * shape): one scan, one grouped aggregation over
+    * (returnflag, linestatus), every sum decimal-exact or
+    * floor-quantized so the hash compare survives any partitioning.
+    * The date filter pushes into the parquet scan. The single
+    * full-table aggregate IS the plan at any scale — partial
+    * aggregation map-side, one exchange on the 6-value group key. */
+  def qTpchQ1(spark: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Exact.dsum(col("l_quantity")).as("sum_qty"),
+        Exact.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Exact.qsum(disc).as("sum_disc_price"),
+        Exact.qsum(disc * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        Exact.dmean(col("l_quantity")).as("avg_qty"),
+        Exact.dmean(col("l_extendedprice")).as("avg_price"),
+        Exact.dmean(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val qTpchQ1Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Exact.dsumSql("l_quantity")} AS sum_qty,
+       |  ${Exact.dsumSql("l_extendedprice")} AS sum_base_price,
+       |  ${Exact.qsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${Exact.qsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |  ${Exact.dmeanSql("l_quantity")} AS avg_qty,
+       |  ${Exact.dmeanSql("l_extendedprice")} AS avg_price,
+       |  ${Exact.dmeanSql("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+       |GROUP BY 1, 2""".stripMargin
+
   /** TPC-H Q7 shape (volume shipping between two nations): the
     * symmetric-nation-pair disjunction over a 4-table fact chain.
     * Both nation dims broadcast with the OR-of-pairs predicate applied
@@ -1372,6 +1410,7 @@ object RelationalQueries {
     "q_tpch_q2" -> (qTpchQ2 _),
     "q_tpch_q15" -> (qTpchQ15 _),
     "q_tpch_q20" -> (qTpchQ20 _),
+    "q_tpch_q1" -> (qTpchQ1 _),
     "q_tpch_q7" -> (qTpchQ7 _),
     "q_tpch_q8" -> (qTpchQ8 _),
     "q_tpch_q9" -> (qTpchQ9 _),
@@ -1413,6 +1452,7 @@ object RelationalQueries {
     "q_tpch_q2" -> qTpchQ2Sql,
     "q_tpch_q15" -> qTpchQ15Sql,
     "q_tpch_q20" -> qTpchQ20Sql,
+    "q_tpch_q1" -> qTpchQ1Sql,
     "q_tpch_q7" -> qTpchQ7Sql,
     "q_tpch_q8" -> qTpchQ8Sql,
     "q_tpch_q9" -> qTpchQ9Sql,

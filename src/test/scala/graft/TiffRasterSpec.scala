@@ -105,15 +105,16 @@ class TiffRasterSpec extends SparkSpec {
       ("i16", 5, 4, 2, (i: Int) => (i * 193 % 30000 - 15000).toDouble),
       ("u16", 6, 2, 3, (i: Int) => (i * 7919 % 60000).toDouble),
       ("f32", 4, 4, 2, (i: Int) => i * 0.25 - 3.5))
-    for ((fmt, w, h, spp, gen) <- cases; lzw <- Seq(false, true);
+    for ((fmt, w, h, spp, gen) <- cases; comp <- Seq("none", "lzw", "deflate");
          pred <- Seq(false, true) if !(pred && fmt == "f32")) {
       val vals = Array.tabulate(w * h * spp)(gen(_))
-      val enc = MultimodalOps.encodeTiffRaster(w, h, spp, fmt, vals, lzw, pred)
+      val enc = MultimodalOps.encodeTiffRaster(w, h, spp, fmt, vals,
+        lzw = comp == "lzw", predictor = pred, deflate = comp == "deflate")
       val dec = MultimodalOps.decodeTiffRaster(enc)
-        .getOrElse(fail(s"round-trip decode failed: $fmt lzw=$lzw pred=$pred"))
+        .getOrElse(fail(s"round-trip decode failed: $fmt $comp pred=$pred"))
       assert((dec.width, dec.height, dec.bands, dec.fmt) == ((w, h, spp, fmt)),
-        s"$fmt lzw=$lzw pred=$pred")
-      assert(dec.values.toSeq == vals.toSeq, s"$fmt lzw=$lzw pred=$pred")
+        s"$fmt $comp pred=$pred")
+      assert(dec.values.toSeq == vals.toSeq, s"$fmt $comp pred=$pred")
     }
   }
 
