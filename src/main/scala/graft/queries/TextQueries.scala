@@ -780,8 +780,53 @@ object TextQueries {
       |FROM words w CROSS JOIN top t
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Misra–Gries heavy hitters, graded by its GUARANTEES (the
+    * q_distinct_approx pattern — sketch content is order-dependent,
+    * the theory bounds are not): a k=16-counter mergeable MG summary
+    * ([[graft.operators.Sketches.MisraGries]]) over the corpus
+    * character stream, gated against exact counts. Every character
+    * with true frequency > n/k must be IN the sketch (the
+    * n/(k+1)-presence guarantee, strictly implied), and its estimate
+    * must undercount by at most n/k. The oracle pins the exact
+    * heavy set + literal TRUE — a sketch losing either guarantee
+    * under Spark's partition-merge order flips a hash-graded cell.
+    * 100 TB story: the summary is single-pass, k-bounded, and
+    * partition-mergeable — hot-token tracking / skew-key detection
+    * without the exact (token → count) shuffle; the driver artifact
+    * is k counters, knob-bounded like the IVF header. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 16
+    val chars = Tables.documents(spark, dir)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]', 0)")).as("ch"))
+    val exact = chars.groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
+    val nRow = chars.agg(count(lit(1)).as("n"))
+    val mg = chars.as[String]
+      .select(new graft.operators.Sketches.MisraGries(k).toColumn).head()
+    val cand = mg.toSeq.toDF("ch", "est")
+    exact.crossJoin(broadcast(nRow))
+      .filter(col("cnt") > col("n") / k)
+      .join(broadcast(cand), Seq("ch"), "left")
+      .select(col("ch"), col("cnt"),
+        col("est").isNotNull.as("in_sketch"),
+        (col("est").isNotNull && col("est") <= col("cnt") &&
+          col("cnt") - coalesce(col("est"), lit(0L)) <= col("n") / k)
+          .as("within_bound"))
+  }
+
+  val qHeavyHittersSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]')) AS ch
+      |  FROM documents),
+      |exact AS (SELECT ch, COUNT(*) AS cnt FROM toks GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM toks)
+      |SELECT ch, cnt, TRUE AS in_sketch, TRUE AS within_bound
+      |FROM exact CROSS JOIN n
+      |WHERE cnt > n / 16""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_data_mixture" -> (qDataMixture _),
     "q_corpus_curation" -> (qCorpusCuration _),
@@ -807,6 +852,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q_bpe_merges" -> qBpeMergesSql,
+    "q_heavy_hitters" -> qHeavyHittersSql,
     "q_data_mixture" -> qDataMixtureSql,
     "q_corpus_curation" -> qCorpusCurationSql,
     "q_pack_sequences" -> qPackSequencesSql,

@@ -63,4 +63,32 @@ class SketchesSpec extends SparkSpec {
       }
     }
   }
+
+  test("Misra-Gries guarantees hold under every partitioning and merge order") {
+    import spark.implicits._
+    val k = 8
+    // zipf-ish stream: item i appears ~N/i times — items 1..3 are
+    // heavy at k=8, the tail forces constant shrinking
+    val stream = (1 to 40).flatMap(i => Seq.fill(2000 / i)(s"item_$i"))
+    val n = stream.length
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 2, 8, 32)) {
+      val mg = spark.createDataset(stream).repartition(parts)
+        .select(new graft.operators.Sketches.MisraGries(k).toColumn).head()
+      assert(mg.size <= k, s"parts=$parts: ${mg.size} counters > k")
+      for ((item, cnt) <- exact if cnt > n.toLong / (k + 1)) {
+        assert(mg.contains(item), s"parts=$parts: heavy $item ($cnt) evicted")
+        val est = mg(item)
+        assert(est <= cnt, s"parts=$parts: $item overcounted $est > $cnt")
+        assert(cnt - est <= n.toLong / (k + 1),
+          s"parts=$parts: $item undercount ${cnt - est} > n/(k+1)")
+      }
+    }
+    // adversarial all-distinct stream: nothing is heavy, the summary
+    // must stay bounded and never throw
+    val distinct = (1 to 5000).map(i => s"u_$i")
+    val mg2 = spark.createDataset(distinct).repartition(16)
+      .select(new graft.operators.Sketches.MisraGries(k).toColumn).head()
+    assert(mg2.size <= k)
+  }
 }
