@@ -45,29 +45,33 @@ object Sketches {
     * order-dependent for borderline items — only the guarantees
     * above are deterministic, which is exactly what
     * q_heavy_hitters grades. */
+  /** MG shrink step, shared by the batch Aggregator and the streaming
+    * state op: subtract the (k+1)-th largest count from every counter
+    * and drop the non-positive — one decrement round charges at most
+    * `cut` to the global error budget (total decrements ≤ n/(k+1)). */
+  private[graft] def mgShrink(m: scala.collection.mutable.Map[String, Long],
+      k: Int): scala.collection.mutable.Map[String, Long] = {
+    if (m.size <= k) return m
+    val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(k)
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    for ((t, c) <- m; d = c - cut; if d > 0) out(t) = d
+    out
+  }
+
   class MisraGries(k: Int) extends org.apache.spark.sql.expressions.Aggregator[
       String, scala.collection.mutable.Map[String, Long], Map[String, Long]] {
     import scala.collection.mutable
     def zero: mutable.Map[String, Long] = mutable.Map.empty
 
-    private def shrink(m: mutable.Map[String, Long]): mutable.Map[String, Long] = {
-      if (m.size <= k) return m
-      // subtract the (k+1)-th largest count from everything, drop <= 0
-      val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(k)
-      val out = mutable.Map.empty[String, Long]
-      for ((t, c) <- m; d = c - cut; if d > 0) out(t) = d
-      out
-    }
-
     def reduce(b: mutable.Map[String, Long], tok: String): mutable.Map[String, Long] = {
       b(tok) = b.getOrElse(tok, 0L) + 1L
-      if (b.size > k) shrink(b) else b
+      if (b.size > k) mgShrink(b, k) else b
     }
 
     def merge(a: mutable.Map[String, Long], b: mutable.Map[String, Long]): mutable.Map[String, Long] = {
       val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
       for ((t, c) <- small) big(t) = big.getOrElse(t, 0L) + c
-      shrink(big)
+      mgShrink(big, k)
     }
 
     def finish(r: mutable.Map[String, Long]): Map[String, Long] = r.toMap

@@ -78,6 +78,43 @@ object StreamingPipelines {
       }
   }
 
+  case class HotSet(key: String, n_seen: Long, items: Seq[(String, Long)])
+
+  /** Streaming dual of the batch q_heavy_hitters: a per-key running
+    * Misra–Gries summary as `mapGroupsWithState` state (update mode),
+    * sharing the batch Aggregator's shrink step
+    * ([[graft.operators.Sketches.mgShrink]]) so both surfaces carry
+    * the SAME guarantees — every item with running frequency
+    * > n_seen/(k+1) is in the emitted hot set, undercounted by at
+    * most that much. State per key is k counters + one count:
+    * knob-bounded forever on an unbounded stream — the hot-token /
+    * skew-key monitor a continuous ingest pipeline runs beside the
+    * batch sketch. Emitted items are (count desc, item asc)-sorted so
+    * the output is deterministic given arrival order. */
+  def runningHeavyHitters(events: Dataset[(String, String)],
+      k: Int): Dataset[HotSet] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Map[String, Long]), HotSet](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[(Long, Map[String, Long])]) =>
+          val (n0, m0) = state.getOption.getOrElse((0L, Map.empty[String, Long]))
+          val buf = scala.collection.mutable.Map[String, Long](m0.toSeq: _*)
+          var n = n0
+          var shrunk = buf
+          rows.foreach { case (_, item) =>
+            n += 1
+            shrunk(item) = shrunk.getOrElse(item, 0L) + 1L
+            if (shrunk.size > k)
+              shrunk = graft.operators.Sketches.mgShrink(shrunk, k)
+          }
+          state.update((n, shrunk.toMap))
+          HotSet(key, n,
+            shrunk.toSeq.sortBy { case (t, c) => (-c, t) })
+      }
+  }
+
   case class Evt(user_id: Long, event_id: Long, event_type: String,
                  ts: java.sql.Timestamp)
   case class SeenTypes(types: Set[String])

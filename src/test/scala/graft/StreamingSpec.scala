@@ -173,6 +173,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("running heavy hitters keeps the MG guarantees across micro-batches, per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8
+    // two keys, zipf-ish item stream split across two batches
+    def zipf(key: String, seed: Int): Seq[(String, String)] =
+      (1 to 30).flatMap(i => Seq.fill(600 / i)((key, s"it${(i + seed) % 30}")))
+    val all = zipf("a", 0) ++ zipf("b", 7)
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val in = MemoryStream[(String, String)]
+    val q = StreamingPipelines.runningHeavyHitters(in.toDS(), k)
+      .writeStream.format("memory").queryName("hh").outputMode("update").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      // update-mode memory sink: the LAST emission per key is final
+      val finals = spark.table("hh").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getSeq[org.apache.spark.sql.Row](2)
+            .map(x => x.getString(0) -> x.getLong(1)).toMap))
+        .groupBy(_._1).map { case (key, rows) => key -> rows.maxBy(_._2) }
+      for ((key, (_, n, hot)) <- finals) {
+        assert(hot.size <= k, s"$key: ${hot.size} counters > k")
+        val exact = all.filter(_._1 == key).groupBy(_._2)
+          .view.mapValues(_.size.toLong).toMap
+        assert(n == exact.values.sum, s"$key: n_seen drifted")
+        for ((item, cnt) <- exact if cnt > n / (k + 1)) {
+          assert(hot.contains(item), s"$key: heavy $item ($cnt) missing")
+          assert(hot(item) <= cnt && cnt - hot(item) <= n / (k + 1),
+            s"$key: $item est ${hot(item)} outside [cnt-n/(k+1), cnt]")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming ANN assignment agrees with the batch index and replays idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
