@@ -62,18 +62,38 @@ object ScaleOps {
 
   def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
                            numPartitions: Int = 0): DataFrame = {
-    val spark = df.sparkSession
     val keyed = df.withColumn("_mk",
       md5(concat(lit(s"$seed|"), col(idCol).cast("string"))))
+    globalRank(keyed, Seq(col("_mk"), col(idCol)), "shuffle_rank",
+      numPartitions, dropAfterSort = Seq("_mk"))
+  }
+
+  /** Global 1-based rank by an arbitrary total order WITHOUT a global
+    * window — the partition-offset machinery [[deterministicShuffle]]
+    * uses, factored out for any sort key. Range-partition on the sort
+    * columns (the ONE shuffle; Spark's sampled range bounds affect
+    * only balance, never the output because the local sort uses the
+    * same total order), sort within partitions, then RDD
+    * `zipWithIndex` assigns rank = per-partition offset + local
+    * index. `sortCols` must be a TOTAL order (append a unique id as
+    * the last key) or ranks of tied rows are partitioning-dependent.
+    * This is the distributed primitive behind exact rank statistics —
+    * q_shuffle_rank's corpus permutation and q_auc's Mann–Whitney
+    * rank sums — where a `Window.orderBy` with no partition would
+    * funnel 100 TB through one task. Persistence/cleanup contract is
+    * documented above. */
+  def globalRank(df: DataFrame, sortCols: Seq[Column], rankCol: String,
+                 numPartitions: Int = 0,
+                 dropAfterSort: Seq[String] = Nil): DataFrame = {
+    val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val sorted = keyed
-      .repartitionByRange(n, col("_mk"), col(idCol))
-      .sortWithinPartitions(col("_mk"), col(idCol))
-      .drop("_mk")
+    val sorted = dropAfterSort.foldLeft(
+      df.repartitionByRange(n, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*))(_.drop(_))
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema :+ org.apache.spark.sql.types.StructField(
-        "shuffle_rank", org.apache.spark.sql.types.LongType, nullable = false))
+        rankCol, org.apache.spark.sql.types.LongType, nullable = false))
     val rows = sorted.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val prev = lastShuffleRdd.put(spark.sparkContext.applicationId, rows)

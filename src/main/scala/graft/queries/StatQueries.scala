@@ -176,15 +176,135 @@ object StatQueries {
        |FROM z GROUP BY 1""".stripMargin
   }
 
+  /** Per-group ordinary least squares (closed form): fit
+    * `value ~ epoch_day(ts)` per event type from the same one-pass
+    * sufficient statistics as [[qCorrStats]] — the trend-fitting step
+    * the reference runs per pixel/band over time (harmonic/linear
+    * fits on composite series). slope, intercept and R² derive from
+    * (n, Σx, Σy, Σx², Σy², Σxy) by a FIXED IEEE sequence written
+    * identically in the oracle; integer x keeps Σx/Σx² exact
+    * (products taken in double to dodge 64-bit overflow at large SF —
+    * same doubles both engines), [[Exact.dsum]] keeps the y-sums
+    * order-independent. One shuffle on event_type, map-side partials
+    * do the heavy lifting — the 100 TB shape for grouped regression.
+    * Degenerate groups (constant x or y) → NULL, guarded on the same
+    * comparison both engines. */
+  def qOlsByGroup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"),
+      datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))).cast("long").as("x"),
+      col("value").as("y"))
+    val s = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      dsum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      dsum(col("y") * col("y")).as("syy"),
+      dsum(col("y") * col("x")).as("sxy"))
+    val dn = col("n").cast("double")
+    val dsx = col("sx").cast("double")
+    val dsxx = col("sxx").cast("double")
+    val num = dn * col("sxy") - dsx * col("sy")
+    val den = dn * dsxx - dsx * dsx
+    val denY = dn * col("syy") - col("sy") * col("sy")
+    s.withColumn("slope", when(den > 0, num / den).otherwise(lit(null).cast("double")))
+      .withColumn("intercept",
+        when(den > 0, (col("sy") - (num / den) * dsx) / dn)
+          .otherwise(lit(null).cast("double")))
+      .withColumn("r2",
+        when(den > 0 && denY > 0, num * num / (den * denY))
+          .otherwise(lit(null).cast("double")))
+      .select("event_type", "n", "slope", "intercept", "r2")
+  }
+
+  val qOlsByGroupSql: String =
+    """WITH s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(x) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+      |    SUM(x * x) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(25,6))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(y * x AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+      |  FROM (SELECT event_type,
+      |          CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+      |          value AS y
+      |        FROM events)
+      |  GROUP BY event_type),
+      |d AS (
+      |  SELECT event_type, n,
+      |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+      |    CAST(n AS DOUBLE) * syy - sy * sy AS den_y,
+      |    CAST(sx AS DOUBLE) AS dsx, sy, CAST(n AS DOUBLE) AS dn
+      |  FROM s)
+      |SELECT event_type, n,
+      |  CASE WHEN den > 0 THEN num / den ELSE NULL END AS slope,
+      |  CASE WHEN den > 0 THEN (sy - (num / den) * dsx) / dn ELSE NULL END AS intercept,
+      |  CASE WHEN den > 0 AND den_y > 0 THEN num * num / (den * den_y)
+      |       ELSE NULL END AS r2
+      |FROM d""".stripMargin
+
+  /** Exact one-vs-rest ROC AUC per event type via the Mann–Whitney
+    * rank-sum identity — the model-eval metric the probe loop
+    * (q_eval_metrics family) was missing. score = value, positives =
+    * the class's rows. Global ranks come from
+    * [[graft.operators.ScaleOps.globalRank]] — range-partition +
+    * zipWithIndex partition offsets, NEVER a partition-less window
+    * (the q_shuffle_rank discipline: a global `Window.orderBy` is the
+    * one-task funnel that dies at 100 TB). Ties in `value` break on
+    * event_id, making the rank — and therefore this AUC variant —
+    * fully deterministic on both engines (documented: tie-broken,
+    * not midrank-averaged; with ~continuous scores the two agree to
+    * O(ties/n²)). Everything stays integer until one fixed IEEE
+    * sequence per class. */
+  def qAuc(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val ranked = graft.operators.ScaleOps.globalRank(
+      ev, Seq(col("value"), col("event_id")), "rk")
+    val tot = ranked.agg(count(lit(1)).as("n_all"))
+    val dpos = col("n_pos").cast("double")
+    val dneg = col("n_neg").cast("double")
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pos"), sum(col("rk")).as("rank_sum"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_neg", col("n_all") - col("n_pos"))
+      .withColumn("auc",
+        (col("rank_sum").cast("double") - dpos * (dpos + lit(1.0)) / lit(2.0))
+          / (dpos * dneg))
+      .select("event_type", "n_pos", "n_neg", "rank_sum", "auc")
+  }
+
+  val qAucSql: String =
+    """WITH r AS (
+      |  SELECT event_type,
+      |    ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk
+      |  FROM events),
+      |tot AS (SELECT COUNT(*) AS n_all FROM r),
+      |g AS (
+      |  SELECT event_type, COUNT(*) AS n_pos,
+      |    CAST(SUM(rk) AS BIGINT) AS rank_sum
+      |  FROM r GROUP BY event_type)
+      |SELECT event_type, n_pos, n_all - n_pos AS n_neg, rank_sum,
+      |  (CAST(rank_sum AS DOUBLE)
+      |     - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+      |    / (CAST(n_pos AS DOUBLE) * CAST(n_all - n_pos AS DOUBLE)) AS auc
+      |FROM g CROSS JOIN tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corr_stats" -> (qCorrStats _),
     "q_anomaly_zscore" -> (qAnomalyZscore _),
     "q_zorder" -> (qZorder _),
+    "q_ols_by_group" -> (qOlsByGroup _),
+    "q_auc" -> (qAuc _),
   )
 
   val oracle: Map[String, String] = Map(
     "q_corr_stats" -> qCorrStatsSql,
     "q_anomaly_zscore" -> qAnomalyZscoreSql,
     "q_zorder" -> qZorderSql,
+    "q_ols_by_group" -> qOlsByGroupSql,
+    "q_auc" -> qAucSql,
   )
 }

@@ -109,4 +109,64 @@ class StatRetrievalSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("content_hash")).distinct.length == out.length)
     assert(out.forall(_.getAs[Long]("doc_id") % 2 == 1))
   }
+
+  test("grouped OLS agrees with Spark's built-in regr_slope/intercept/r2") {
+    val ours = StatQueries.qOlsByGroup(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("slope"), r.getAs[Double]("intercept"), r.getAs[Double]("r2"))).toMap
+    val ref = Tables.events(spark, dir)
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))).cast("double").as("x"),
+        col("value").as("y"))
+      .groupBy("event_type")
+      .agg(regr_slope(col("y"), col("x")).as("s"),
+        regr_intercept(col("y"), col("x")).as("i"),
+        regr_r2(col("y"), col("x")).as("r"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(ours.keySet == ref.keySet)
+    for ((k, (s, i, r2)) <- ours) {
+      assert(math.abs(s - ref(k)._1) < 1e-6, s"$k slope: $s vs ${ref(k)._1}")
+      assert(math.abs(i - ref(k)._2) < 1e-3, s"$k intercept: $i vs ${ref(k)._2}")
+      assert(math.abs(r2 - ref(k)._3) < 1e-6, s"$k r2: $r2 vs ${ref(k)._3}")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("AUC matches a naive global-window rank computation and is bounded") {
+    import org.apache.spark.sql.expressions.Window
+    val ours = StatQueries.qAuc(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("auc")).toMap
+    // naive reference: partition-less rank window (fine on the tiny spec
+    // fixture; the engine path must never do this — that's the point)
+    val ranked = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("value"), col("event_id"))).cast("long"))
+    val nAll = ranked.count()
+    val ref = ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("np"), sum("rk").as("rs"))
+      .collect().map { r =>
+        val (np, rs) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+        r.getString(0) -> (rs - np * (np + 1.0) / 2.0) / (np * (nAll - np))
+      }.toMap
+    assert(ours.keySet == ref.keySet)
+    for ((k, a) <- ours) {
+      assert(a == ref(k), s"$k auc: $a vs ${ref(k)}")
+      assert(a > 0.0 && a < 1.0)
+    }
+  }
+
+  test("AUC is 1.0 / 0.5-ish on a constructed separable/random fixture") {
+    import spark.implicits._
+    // separable: every positive outranks every negative → tie-free AUC 1
+    val df = (1 to 50).map(i => (i.toLong, if (i > 25) "pos" else "neg",
+      if (i > 25) 100.0 + i else i.toDouble)).toDF("event_id", "event_type", "value")
+    val ranked = graft.operators.ScaleOps.globalRank(
+      df, Seq(col("value"), col("event_id")), "rk")
+    val rs = ranked.where(col("event_type") === "pos")
+      .agg(sum("rk")).head().getLong(0).toDouble
+    val auc = (rs - 25.0 * 26.0 / 2.0) / (25.0 * 25.0)
+    assert(auc == 1.0)
+  }
 }
