@@ -29,6 +29,7 @@ object SparkEntry {
       (EncoderQueries.queries, EncoderQueries.oracle),
       (StatQueries.queries, StatQueries.oracle),
       (RetrievalQueries.queries, RetrievalQueries.oracle),
+      (AnalyticsQueries.queries, AnalyticsQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

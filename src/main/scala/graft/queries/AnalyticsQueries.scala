@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.queries.Exact._
+import graft.operators.PipelineOps
+
+/** Graph-analytics, sampling, and attribution surface — the corpus
+  * curation companions the dedup/retrieval families feed into:
+  * link-graph importance (PageRank), weighted subsampling (priority
+  * sampling), and first-touch revenue attribution.
+  */
+object AnalyticsQueries {
+
+  /** PageRank over the symmetrized part–supplier bipartite graph
+    * (3 power-iteration rounds, d = 0.85) — the link-analysis tier
+    * beyond connected components: q_dup_clusters answers "what is
+    * connected", this answers "what is central". Supplier nodes keep
+    * their key; part nodes are offset by 1e6 to disjoin the id
+    * spaces. The reference's per-entity importance weighting
+    * (class-frequency weights, preprocessing.py) is the same
+    * compute-weight-then-join shape.
+    *
+    * Scale: [[graft.operators.GraphOps.pageRank]] — one keyed
+    * shuffle per round, integer contribution sums (floor-quantized
+    * at 1e-12) so the reduction is partitioning-independent, N as a
+    * broadcast 1-row aggregate. Top-50 is orderBy+limit →
+    * TakeOrderedAndProject. The symmetrized graph has no dangling
+    * nodes, so total rank mass is conserved (spec-pinned). */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val pairs = li.select(col("l_suppkey").as("src"),
+      (col("l_partkey") + lit(1000000L)).as("dst")).distinct()
+    val sym = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.GraphOps.pageRank(sym, "src", "dst", iters = 3, damping = 0.85)
+      .orderBy(col("rank").desc, col("node").asc)
+      .limit(50)
+      .select(col("node"), col("outdeg").as("degree"), col("rank"))
+  }
+
+  val qPagerankSql: String = {
+    // one power-iteration round: previous rank relation `r` (node,
+    // outdeg, rank) → next. The contribution is floor-quantized to a
+    // BIGINT before the dst-sum (order-independent); the damping
+    // update is written as (1e0 - 8.5e-1) so both engines compute the
+    // IDENTICAL IEEE subtraction the engine's `lit(1 - damping)` does.
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT d.node, d.outdeg, n.n_nodes,
+         |    (1e0 - 8.5e-1) / CAST(n.n_nodes AS DOUBLE)
+         |      + 8.5e-1 * (CAST(COALESCE(s.cs, 0) AS BIGINT) / 1e12) AS rank
+         |  FROM deg d CROSS JOIN n
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(c.c) AS cs
+         |    FROM e JOIN (
+         |      SELECT node,
+         |        CAST(FLOOR(rank / CAST(outdeg AS DOUBLE) * 1e12) AS BIGINT) AS c
+         |      FROM $prev) c
+         |    ON e.src = c.node
+         |    GROUP BY e.dst) s
+         |  ON d.node = s.node)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+       |  FROM lineitem),
+       |e AS (SELECT src, dst FROM pairs
+       |      UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+       |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+       |r0 AS (
+       |  SELECT d.node, d.outdeg, n.n_nodes,
+       |    1e0 / CAST(n.n_nodes AS DOUBLE) AS rank
+       |  FROM deg d CROSS JOIN n),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT node, outdeg AS degree, rank FROM r3
+       |ORDER BY rank DESC, node ASC LIMIT 50""".stripMargin
+  }
+
+  /** Weighted sampling WITHOUT replacement — priority sampling
+    * (Ohlsson's sequential Poisson / Duffield–Lund–Thorup): each
+    * document draws a deterministic uniform u from its keyed hash and
+    * gets priority `w / u`; the global top-30 priorities ARE the
+    * weighted sample. Equivalent in distribution to
+    * Efraimidis–Spirtes u^(1/w) ordering but uses ONE IEEE division
+    * instead of a transcendental pow — which is what makes the
+    * result bit-reproducible across engines (libm pow is not
+    * correctly rounded; division is). Weight = n_chars, so long
+    * documents are proportionally favoured — the
+    * sample-by-token-budget step of corpus mixing (q_data_mixture is
+    * the Bernoulli dual; this is the fixed-size dual).
+    *
+    * Determinism/scale: u = (h24 + 0.5)/2^24 from the first six hex
+    * digits of md5('ws|'+doc_id) — the q_data_mixture hash source, so
+    * reproducible under any partitioning/retry; the top-30 is
+    * orderBy+limit → TakeOrderedAndProject (per-partition heaps, no
+    * global sort); ties (collision probability ~ n²/2²⁵) break on
+    * doc_id. */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = (1 to 6).map(i =>
+        PipelineOps.hexDigit("concat('ws|', cast(doc_id AS string))", i))
+      .reduce((a, b) => a * lit(16) + b)
+    Tables.documents(spark, dir)
+      .withColumn("priority",
+        col("n_chars").cast("double") * lit(16777216.0) /
+          (h.cast("double") + lit(0.5)))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(30)
+      .select(col("doc_id"), col("n_chars"), col("priority"))
+  }
+
+  val qWeightedSampleSql: String = {
+    val h = (1 to 6).map(i =>
+        PipelineOps.hexDigitSql("concat('ws|', cast(doc_id AS VARCHAR))", i.toString)
+          .replace("instr(", "strpos("))
+      .reduce((a, b) => s"(($a) * 16 + ($b))")
+    s"""SELECT doc_id, n_chars,
+       |  CAST(n_chars AS DOUBLE) * 16777216e0 / (CAST($h AS DOUBLE) + 5e-1)
+       |    AS priority
+       |FROM documents
+       |ORDER BY priority DESC, doc_id ASC LIMIT 30""".stripMargin
+  }
+
+  /** First-touch attribution: credit each user's purchase revenue to
+    * the CHANNEL of their first-ever event (earliest ts, event_id
+    * tie-break) — the classic marketing-analytics join of a per-key
+    * "first composite" (q_first_composite's shape) with a filtered
+    * aggregate. One window keyed on user_id (never global), one
+    * keyed join, decimal-exact revenue sums. */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val firstTouch = ev
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("channel"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("revenue"))
+    firstTouch.join(purchases, Seq("user_id"), "left")
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("n_purchases"), lit(0L))).as("n_purchases"),
+        (sum(coalesce(col("revenue"), lit(0.0)).cast(Dec)).cast("double"))
+          .as("revenue"))
+  }
+
+  val qAttributionSql: String =
+    """WITH first_touch AS (
+      |  SELECT user_id, event_type AS channel FROM (
+      |    SELECT user_id, event_type,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY ts ASC, event_id ASC) AS rn
+      |    FROM events)
+      |  WHERE rn = 1),
+      |purchases AS (
+      |  SELECT user_id, COUNT(*) AS n_purchases,
+      |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+      |SELECT f.channel, COUNT(*) AS n_users,
+      |  CAST(SUM(COALESCE(p.n_purchases, 0)) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CAST(COALESCE(p.revenue, 0e0) AS DECIMAL(25,6))) AS DOUBLE)
+      |    AS revenue
+      |FROM first_touch f LEFT JOIN purchases p ON f.user_id = p.user_id
+      |GROUP BY f.channel""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (qPagerank _),
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_attribution" -> (qAttribution _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pagerank" -> qPagerankSql,
+    "q_weighted_sample" -> qWeightedSampleSql,
+    "q_attribution" -> qAttributionSql,
+  )
+}

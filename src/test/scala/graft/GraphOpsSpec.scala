@@ -140,4 +140,70 @@ class GraphOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("pageRank: hand-computed star graph, one round") {
+    // symmetric star a=1 center, leaves 2 and 3; after one round:
+    // r(a) = 0.15/3 + 0.85*(1/3/1 + 1/3/1), r(leaf) = 0.15/3 + 0.85*(1/3/2)
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = GraphOps.pageRank(g, "src", "dst", iters = 1)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    val third = math.floor(1.0 / 3 / 1 * 1e12) // quantized leaf contribution
+    val expA = 0.15 / 3 + 0.85 * ((third + third) / 1e12)
+    val expLeaf = 0.15 / 3 + 0.85 * (math.floor(1.0 / 3 / 2 * 1e12) / 1e12)
+    assert(math.abs(r(1L) - expA) < 1e-12, s"center: ${r(1L)} vs $expA")
+    assert(math.abs(r(2L) - expLeaf) < 1e-12)
+    assert(r(2L) == r(3L), "symmetric leaves must tie exactly")
+  }
+
+  test("pageRank conserves rank mass on a symmetric graph and rewards degree") {
+    val df = SparkEntry.queries("q_pagerank")(spark, "/root/testdata/sf0.001")
+    val rows = df.as[(Long, Long, Double)].collect()
+    assert(rows.length == 50)
+    // suppliers (node < 1e6) have ~20x the degree of parts — every
+    // supplier node (10 at sf0.001) must outrank the part tail, with a
+    // supplier at #1
+    assert(rows.head._1 < 1000000L, "rank #1 should be the high-degree side")
+    assert(rows.count(_._1 < 1000000L) == 10, "all 10 suppliers in the top-50")
+    // mass conservation over the FULL rank vector (no dangling nodes):
+    // quantization loses < 1e-12 per (node, round)
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val pairs = li.select(col("l_suppkey").as("src"),
+      (col("l_partkey") + lit(1000000L)).as("dst")).distinct()
+    val sym = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val full = GraphOps.pageRank(sym, "src", "dst", iters = 3)
+    val n = full.count()
+    val mass = full.agg(sum(col("rank"))).head().getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-6 * n, s"mass $mass drifted (n=$n)")
+  }
+
+  test("weighted sample: exactly the top-30 priorities, recomputed independently") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_weighted_sample")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 30)
+    // recompute every doc's priority via an independent jvm-side md5
+    val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
+      .as[(Long, Long)].collect()
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val all = docs.map { case (id, w) =>
+      val h = java.lang.Long.parseLong(md5hex(s"ws|$id").take(6), 16)
+      (id, w, w.toDouble * 16777216.0 / (h.toDouble + 0.5))
+    }
+    val expect = all.sortBy(t => (-t._3, t._1)).take(30)
+    assert(out.sortBy(t => (-t._3, t._1)).toSeq == expect.toSeq)
+  }
+
+  test("first-touch attribution: totals reconcile with the raw purchase sum") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_attribution")(spark, dir).collect()
+    val ev = Tables.events(spark, dir)
+    // every user has a first event, so attribution partitions users and
+    // loses no revenue
+    assert(out.map(_.getAs[Long]("n_users")).sum == ev.select("user_id").distinct().count())
+    val attributed = out.map(_.getAs[Double]("revenue")).sum
+    val raw = ev.where(col("event_type") === "purchase")
+      .agg(sum(col("value"))).head().getDouble(0)
+    assert(math.abs(attributed - raw) < 1e-6, s"$attributed vs $raw")
+  }
 }
