@@ -488,7 +488,90 @@ object RetrievalQueries {
        |JOIN cos10 c ON f.qid = c.qid AND f.doc_id = c.doc_id
        |GROUP BY 1""".stripMargin
 
+  /** Ranking-quality eval — NDCG@10, reciprocal rank, and
+    * precision@10 of the fused ranking ([[qRrfFusion]]) against a
+    * graded relevance oracle: the brute-force cosine top-10 with
+    * rel = 11 − cosine_rank (rank 1 → grade 10). This is the metric
+    * loop a retrieval stack runs after every ranker change —
+    * q_ann_recall generalized from set overlap to position-weighted
+    * gain. Every query has exactly 10 relevant docs, so the ideal
+    * DCG is the same Σ(11−i)/log₂(i+1) on both engines.
+    *
+    * Determinism: rel and ranks are small ints; each DCG term
+    * rel/log₂(rank+1) is floor-quantized at 1e-9 to a long before
+    * summing (log₂ is libm — the qDocEntropy rule), and NDCG is one
+    * long-vs-long division. Shape: both feeders bound themselves
+    * before the keyed (qid, doc_id) join; per-qid aggregation ends
+    * the plan — nothing global anywhere. */
+  def qRetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val fused = qRrfFusion(spark, dir).select("qid", "fused_rank", "doc_id")
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val rel = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", graft.functions.VectorOps.cosine("qe", "embedding"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= 10)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        (lit(11) - col("crank")).cast("long").as("rel"))
+    val idcg = (1 to 10).map(i =>
+        floor(lit((11 - i).toDouble) / log2(lit(i.toDouble + 1.0)) * lit(1e9)).cast("long"))
+      .reduce(_ + _)
+    fused.join(rel, Seq("qid", "doc_id"), "left")
+      .withColumn("g", coalesce(col("rel"), lit(0L)))
+      .withColumn("dcg_term",
+        floor(col("g").cast("double") /
+            log2(col("fused_rank").cast("double") + lit(1.0)) * lit(1e9))
+          .cast("long"))
+      .groupBy(col("qid"))
+      .agg(
+        count(when(col("g") > 0, 1)).as("n_rel_ret"),
+        min(when(col("g") > 0, col("fused_rank"))).as("first_rel_rank"),
+        sum(col("dcg_term")).as("dcg_q"))
+      .withColumn("p_at_10", col("n_rel_ret").cast("double") / lit(10.0))
+      .withColumn("rr",
+        coalesce(lit(1.0) / col("first_rel_rank").cast("double"), lit(0.0)))
+      .withColumn("ndcg", col("dcg_q").cast("double") / idcg.cast("double"))
+      .select("qid", "n_rel_ret", "p_at_10", "rr", "ndcg")
+  }
+
+  val qRetrievalEvalSql: String =
+    s"""WITH fused AS ($qRrfFusionSql),
+       |rel AS (
+       |  SELECT qid, doc_id, CAST(11 - crank AS BIGINT) AS rel FROM (
+       |    SELECT q.vec_id AS qid, e.vec_id AS doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${VectorQueries.cosineSql("q.embedding", "e.embedding")} DESC,
+       |        e.vec_id) AS crank
+       |    FROM embeddings q CROSS JOIN embeddings e
+       |    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+       |  WHERE crank <= 10),
+       |idcg AS (
+       |  SELECT CAST(SUM(CAST(FLOOR(CAST(11 - i AS DOUBLE)
+       |      / log2(CAST(i AS DOUBLE) + 1e0) * 1e9) AS BIGINT)) AS BIGINT) AS idcg_q
+       |  FROM (SELECT unnest(range(1, 11)) AS i)),
+       |scored AS (
+       |  SELECT f.qid, f.fused_rank, COALESCE(r.rel, 0) AS g
+       |  FROM fused f LEFT JOIN rel r ON f.qid = r.qid AND f.doc_id = r.doc_id),
+       |agg AS (
+       |  SELECT qid,
+       |    COUNT(CASE WHEN g > 0 THEN 1 END) AS n_rel_ret,
+       |    MIN(CASE WHEN g > 0 THEN fused_rank END) AS first_rel_rank,
+       |    CAST(SUM(CAST(FLOOR(CAST(g AS DOUBLE)
+       |      / log2(CAST(fused_rank AS DOUBLE) + 1e0) * 1e9) AS BIGINT)) AS BIGINT)
+       |      AS dcg_q
+       |  FROM scored GROUP BY qid)
+       |SELECT qid, n_rel_ret,
+       |  CAST(n_rel_ret AS DOUBLE) / 1e1 AS p_at_10,
+       |  COALESCE(1e0 / CAST(first_rel_rank AS DOUBLE), 0e0) AS rr,
+       |  CAST(dcg_q AS DOUBLE) / CAST(i.idcg_q AS DOUBLE) AS ndcg
+       |FROM agg CROSS JOIN idcg i""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retrieval_eval" -> (qRetrievalEval _),
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
     "q_bm25_params" -> (qBm25Params _),
@@ -508,5 +591,6 @@ object RetrievalQueries {
     "q_doc_entropy" -> qDocEntropySql,
     "q_rrf_fusion" -> qRrfFusionSql,
     "q_rrf_recall" -> qRrfRecallSql,
+    "q_retrieval_eval" -> qRetrievalEvalSql,
   )
 }

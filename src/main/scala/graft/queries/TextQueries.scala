@@ -824,7 +824,70 @@ object TextQueries {
       |FROM exact CROSS JOIN n
       |WHERE cnt > n / 16""".stripMargin
 
+  /** Per-document mean log-probability under the corpus's own
+    * add-one-smoothed bigram language model — the perplexity-style
+    * quality filter one tier above [[qUnigramTypicality]] (CCNet
+    * scores documents with a KenLM n-gram model the same way:
+    * low log-prob = out-of-domain or garbage, suspiciously high =
+    * boilerplate). logp(w2|w1) = ln((c(w1,w2)+1)/(c(w1·)+V)).
+    *
+    * Scale shape: bigrams are a pure PER-ROW array fan-out
+    * (`transform(sequence)` over the token array — no window, no
+    * position self-join, no shuffle to form pairs); the model tables
+    * c2/c1 are two keyed aggregations; scoring joins shuffle on the
+    * same keys; V broadcasts as a 1-row aggregate. Cross-engine
+    * determinism: each bigram's ln(·) is floor-quantized at 1e-9 to
+    * a long before the per-doc sum (the qDocEntropy rule). */
+  def qBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("t", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+    val toks = docs.select(col("doc_id"), explode(col("t")).as("w"))
+    val vocab = toks.agg(count_distinct(col("w")).as("v"))
+    val bi = docs.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bi.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lq",
+        floor(log((col("c2").cast("double") + lit(1.0)) /
+            (col("c1").cast("double") + col("v").cast("double"))) * lit(1e9))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lq")).cast("double") / lit(1e9) / count(lit(1))).as("avg_logp"))
+  }
+
+  val qBigramLmSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+      |  FROM documents),
+      |toks AS (SELECT doc_id, unnest(t) AS w FROM d),
+      |vocab AS (SELECT COUNT(DISTINCT w) AS v FROM toks),
+      |bi AS (
+      |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |      i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS bg
+      |    FROM d WHERE len(t) >= 2)),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1)
+      |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(CAST(FLOOR(ln(
+      |      (CAST(c2.c2 AS DOUBLE) + 1e0)
+      |        / (CAST(c1.c1 AS DOUBLE) + CAST(v.v AS DOUBLE))) * 1e9)
+      |    AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS avg_logp
+      |FROM bi b
+      |JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      |JOIN c1 ON b.w1 = c1.w1
+      |CROSS JOIN vocab v
+      |GROUP BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bigram_lm" -> (qBigramLm _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_chunk_overlap" -> (qChunkOverlap _),
@@ -851,6 +914,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bigram_lm" -> qBigramLmSql,
     "q_bpe_merges" -> qBpeMergesSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_data_mixture" -> qDataMixtureSql,

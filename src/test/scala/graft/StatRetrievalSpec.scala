@@ -157,6 +157,36 @@ class StatRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bigram LM: negative log-probs, bigram counts reconcile with token arrays") {
+    val out = graft.queries.TextQueries.qBigramLm(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Double]("avg_logp") < 0.0))
+    val total = out.map(_.getAs[Long]("n_bigrams")).sum
+    val expected = Tables.documents(spark, dir)
+      .select(size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("n"))
+      .where(col("n") >= 2)
+      .agg(sum(col("n") - 1)).head().getLong(0)
+    assert(total == expected, s"bigram total $total vs $expected")
+  }
+
+  test("retrieval eval: ndcg/p@10 bounded and consistent with the rrf recall gate") {
+    val out = RetrievalQueries.qRetrievalEval(spark, dir).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("n_rel_ret"), r.getAs[Double]("p_at_10"),
+          r.getAs[Double]("rr"), r.getAs[Double]("ndcg"))).toMap
+    assert(out.size == 5)
+    for ((q, (n, p, rr, ndcg)) <- out) {
+      assert(p == n / 10.0, s"$q p@10 inconsistent")
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"$q ndcg out of range: $ndcg")
+      assert(rr >= 0.0 && rr <= 1.0, s"$q rr out of range: $rr")
+      assert((n == 0) == (rr == 0.0), s"$q rr/n_rel_ret disagree")
+    }
+    val recall = RetrievalQueries.qRrfRecall(spark, dir).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("n_common")).toMap
+    // same (fused ∩ cosine-top-10) membership on both paths
+    for ((q, n) <- recall) assert(out(q)._1 == n, s"$q n_rel_ret vs n_common")
+  }
+
   test("AUC is 1.0 / 0.5-ish on a constructed separable/random fixture") {
     import spark.implicits._
     // separable: every positive outranks every negative → tie-free AUC 1
