@@ -78,4 +78,52 @@ object Sketches {
     def bufferEncoder = org.apache.spark.sql.Encoders.kryo[mutable.Map[String, Long]]
     def outputEncoder = org.apache.spark.sql.Encoders.kryo[Map[String, Long]]
   }
+
+  /** Count–min sketch (Cormode–Muthukrishnan, J.Alg 2005): a d×w
+    * counter matrix; add(x) increments cell (i, hᵢ(x)) in each of the
+    * d rows; estimate(x) = minᵢ cell(i, hᵢ(x)). The complement of
+    * [[MisraGries]] in the frequency tier: MG undercounts (tracked
+    * items only), CMS OVERcounts (every item answerable) — est ≥
+    * true always (counters only increase: the deterministic
+    * guarantee), and est ≤ true + (e/w)·N with probability
+    * ≥ 1 − e^(−d) per query (the ε–δ analysis).
+    *
+    * Unlike MG, the sketch is LINEAR: merge is cell-wise addition,
+    * so the matrix CONTENT — not just its guarantees — is identical
+    * under any partitioning/merge order. d·w longs of state
+    * (knob-bounded, like the IVF header) replace an exact
+    * (token → count) shuffle at 100 TB; the per-row hash is
+    * MurmurHash3 with a per-row seed, evaluated executor-side. */
+  class CountMin(d: Int, w: Int) extends org.apache.spark.sql.expressions.Aggregator[
+      String, Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](d * w)
+    def reduce(b: Array[Long], x: String): Array[Long] = {
+      var i = 0
+      while (i < d) { b(Sketches.cmCell(i, w, x)) += 1L; i += 1 }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Array[Long]]
+    def outputEncoder = org.apache.spark.sql.Encoders.kryo[Array[Long]]
+  }
+
+  /** Row-i cell index for item x in a width-w CMS row (flat d×w
+    * layout). Seeded MurmurHash3 — deterministic across JVMs. */
+  private[graft] def cmCell(i: Int, w: Int, x: String): Int = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(x, 0x9e3779b9 * (i + 1))
+    i * w + java.lang.Math.floorMod(h, w)
+  }
+
+  /** Point estimate from a finished CMS array: min over the d rows. */
+  def cmEstimate(sk: Array[Long], d: Int, w: Int, x: String): Long = {
+    var best = Long.MaxValue
+    var i = 0
+    while (i < d) { best = math.min(best, sk(cmCell(i, w, x))); i += 1 }
+    best
+  }
 }

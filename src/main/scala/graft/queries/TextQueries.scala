@@ -824,6 +824,44 @@ object TextQueries {
       |FROM exact CROSS JOIN n
       |WHERE cnt > n / 16""".stripMargin
 
+  /** Count–min sketch graded by its guarantees (the q_heavy_hitters
+    * pattern, dual error direction): a d=4 × w=256 CMS
+    * ([[graft.operators.Sketches.CountMin]]) over the corpus
+    * character stream, gated per letter against exact counts.
+    * `no_undercount` (est ≥ true) is CMS's deterministic guarantee —
+    * counters only increase; `within_eps` checks est ≤ true + ⌈e·N/w⌉,
+    * the ε=e/w analysis bound, deterministic here because data and
+    * seeds are fixed. The oracle pins exact counts + literal TRUEs.
+    * Unlike MG the sketch is LINEAR (merge = cell-wise add), so its
+    * content is partitioning-INVARIANT — SketchesSpec pins exact
+    * matrix equality across splits. Driver artifact: d·w = 1024
+    * longs, knob-bounded. */
+  def qCmsGuarantee(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (d, w) = (4, 256)
+    val chars = Tables.documents(spark, dir)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]', 0)")).as("ch"))
+    val exact = chars.groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
+    val nRow = chars.agg(count(lit(1)).as("n"))
+    val sk = chars.as[String]
+      .select(new graft.operators.Sketches.CountMin(d, w).toColumn).head()
+    val ests = ('a' to 'z').map { c =>
+      (c.toString, graft.operators.Sketches.cmEstimate(sk, d, w, c.toString))
+    }.toDF("ch", "est")
+    exact.join(broadcast(ests), Seq("ch"))
+      .crossJoin(broadcast(nRow))
+      .select(col("ch"), col("cnt"),
+        (col("est") >= col("cnt")).as("no_undercount"),
+        (col("est") <= col("cnt") +
+          ceil(lit(math.E) * col("n") / w).cast("long")).as("within_eps"))
+  }
+
+  val qCmsGuaranteeSql: String =
+    """SELECT ch, COUNT(*) AS cnt, TRUE AS no_undercount, TRUE AS within_eps
+      |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]')) AS ch
+      |      FROM documents)
+      |GROUP BY ch""".stripMargin
+
   /** Per-document mean log-probability under the corpus's own
     * add-one-smoothed bigram language model — the perplexity-style
     * quality filter one tier above [[qUnigramTypicality]] (CCNet
@@ -888,6 +926,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bigram_lm" -> (qBigramLm _),
+    "q_cms_guarantee" -> (qCmsGuarantee _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_chunk_overlap" -> (qChunkOverlap _),
@@ -915,6 +954,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q_bigram_lm" -> qBigramLmSql,
+    "q_cms_guarantee" -> qCmsGuaranteeSql,
     "q_bpe_merges" -> qBpeMergesSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_data_mixture" -> qDataMixtureSql,

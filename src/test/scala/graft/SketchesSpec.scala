@@ -91,4 +91,30 @@ class SketchesSpec extends SparkSpec {
       .select(new graft.operators.Sketches.MisraGries(k).toColumn).head()
     assert(mg2.size <= k)
   }
+
+  test("count-min is linear: identical matrix under every partitioning, never undercounts") {
+    import spark.implicits._
+    val (d, w) = (4, 64)
+    val stream = (1 to 30).flatMap(i => Seq.fill(1000 / i)(s"item_$i"))
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val matrices = Seq(1, 2, 8, 32).map { parts =>
+      spark.createDataset(stream).repartition(parts)
+        .select(new Sketches.CountMin(d, w).toColumn).head()
+    }
+    // linearity: merge order CANNOT change the content, bit for bit
+    for (m <- matrices.tail)
+      assert(java.util.Arrays.equals(m, matrices.head),
+        "CMS content depends on partitioning — linearity broken")
+    val sk = matrices.head
+    // every row's total equals the stream length (each add hits each row once)
+    for (i <- 0 until d)
+      assert(sk.slice(i * w, (i + 1) * w).sum == stream.length.toLong)
+    // deterministic guarantee: estimates never undercount; and an
+    // absent item's estimate is pure collision mass, bounded by e*N/w
+    for ((item, cnt) <- exact)
+      assert(Sketches.cmEstimate(sk, d, w, item) >= cnt, s"$item undercounted")
+    val absent = Sketches.cmEstimate(sk, d, w, "never_seen")
+    assert(absent <= math.ceil(math.E * stream.length / w).toLong,
+      s"absent-item estimate $absent exceeds the eps bound")
+  }
 }
