@@ -570,8 +570,123 @@ object RetrievalQueries {
        |  CAST(dcg_q AS DOUBLE) / CAST(i.idcg_q AS DOUBLE) AS ndcg
        |FROM agg CROSS JOIN idcg i""".stripMargin
 
+  /** Maximal-marginal-relevance re-rank (Carbonell–Goldstein '98) —
+    * the diversification step after retrieval: greedily pick k=4 of
+    * the cosine top-8 per query, each pick maximizing
+    * `λ·rel − (1−λ)·max-sim-to-already-picked` (λ=0.7), so the
+    * result trades relevance against redundancy — the answer to
+    * "my top-k are 5 near-duplicates" that pairs with the semdedup
+    * family.
+    *
+    * Determinism: relevance and pairwise similarity floor-quantize
+    * at 1e-9 to LONGs first, and λ is applied as the INTEGER form
+    * `7·relq − 3·simq` (λ scaled by 10) — every comparison in the
+    * greedy argmax is integer, ties break on doc_id; no float ever
+    * decides a pick. Shape at scale: candidates bound themselves
+    * FIRST (per-qid top-8 window), so the pairwise-similarity join
+    * is 8×8 per query — keyed on qid, never a corpus cartesian; the
+    * greedy loop is 3 bounded rounds of keyed join + per-qid argmax
+    * windows, all on ≤ 40-row relations. */
+  def qMmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val cand = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", graft.functions.VectorOps.cosine("qe", "embedding"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 8)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        floor(col("cosine") * lit(1e9)).cast("long").as("relq"),
+        col("embedding").as("de"))
+    val pair = cand.select(col("qid"), col("doc_id").as("d1"), col("de").as("e1"))
+      .join(cand.select(col("qid"), col("doc_id").as("d2"), col("de").as("e2")), Seq("qid"))
+      .filter(col("d1") =!= col("d2"))
+      .select(col("qid"), col("d1"), col("d2"),
+        floor(graft.functions.VectorOps.cosine("e1", "e2") * lit(1e9))
+          .cast("long").as("simq"))
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("relq").desc, col("doc_id"))
+    var picks = cand
+      .withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
+      .select(col("qid"), col("doc_id"),
+        (col("relq") * lit(7L)).as("mmrq"), lit(1).as("pick_order"))
+    var selected = picks.select(col("qid"), col("doc_id"))
+    for (t <- 2 to 4) {
+      val pen = pair
+        .join(selected.withColumnRenamed("doc_id", "d2"), Seq("qid", "d2"))
+        .groupBy(col("qid"), col("d1").as("doc_id"))
+        .agg(max(col("simq")).as("penq"))
+      val wt = Window.partitionBy(col("qid")).orderBy(col("mmrq").desc, col("doc_id"))
+      val pick = cand.join(selected, Seq("qid", "doc_id"), "left_anti")
+        .join(pen, Seq("qid", "doc_id"))
+        .withColumn("mmrq", col("relq") * lit(7L) - col("penq") * lit(3L))
+        .withColumn("rk", row_number().over(wt)).filter(col("rk") === 1)
+        .select(col("qid"), col("doc_id"), col("mmrq"), lit(t).as("pick_order"))
+      picks = picks.union(pick)
+      selected = picks.select(col("qid"), col("doc_id"))
+    }
+    picks.select("qid", "pick_order", "doc_id", "mmrq")
+  }
+
+  val qMmrRerankSql: String = {
+    def round(t: Int): String =
+      s"""p$t AS (
+         |  SELECT qid, doc_id, mmrq, $t AS pick_order FROM (
+         |    SELECT c.qid, c.doc_id, c.relq * 7 - p.penq * 3 AS mmrq,
+         |      ROW_NUMBER() OVER (PARTITION BY c.qid
+         |        ORDER BY (c.relq * 7 - p.penq * 3) DESC, c.doc_id) AS rk
+         |    FROM cand c
+         |    JOIN (SELECT pr.qid, pr.d1, MAX(pr.simq) AS penq
+         |          FROM pair pr JOIN sel${t - 1} s
+         |            ON pr.qid = s.qid AND pr.d2 = s.doc_id
+         |          GROUP BY pr.qid, pr.d1) p
+         |      ON p.qid = c.qid AND p.d1 = c.doc_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s2
+         |                      WHERE s2.qid = c.qid AND s2.doc_id = c.doc_id))
+         |  WHERE rk = 1),
+         |sel$t AS (SELECT qid, doc_id FROM sel${t - 1}
+         |          UNION ALL SELECT qid, doc_id FROM p$t)""".stripMargin
+    s"""WITH qv AS (
+       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT qid, doc_id, relq FROM (
+       |    SELECT q.qid, e.vec_id AS doc_id,
+       |      CAST(FLOOR((${VectorQueries.cosineSql("q.qe", "e.embedding")}) * 1e9)
+       |        AS BIGINT) AS relq,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ${VectorQueries.cosineSql("q.qe", "e.embedding")} DESC,
+       |        e.vec_id) AS rk
+       |    FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> q.qid)
+       |  WHERE rk <= 8),
+       |pair AS (
+       |  SELECT c1.qid, c1.doc_id AS d1, c2.doc_id AS d2,
+       |    CAST(FLOOR((${VectorQueries.cosineSql("e1.embedding", "e2.embedding")}) * 1e9)
+       |      AS BIGINT) AS simq
+       |  FROM cand c1
+       |  JOIN cand c2 ON c1.qid = c2.qid AND c1.doc_id <> c2.doc_id
+       |  JOIN embeddings e1 ON e1.vec_id = c1.doc_id
+       |  JOIN embeddings e2 ON e2.vec_id = c2.doc_id),
+       |p1 AS (
+       |  SELECT qid, doc_id, relq * 7 AS mmrq, 1 AS pick_order FROM (
+       |    SELECT qid, doc_id, relq,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY relq DESC, doc_id) AS rk
+       |    FROM cand)
+       |  WHERE rk = 1),
+       |sel1 AS (SELECT qid, doc_id FROM p1),
+       |${round(2)},
+       |${round(3)},
+       |${round(4)}
+       |SELECT qid, pick_order, doc_id, mmrq FROM (
+       |  SELECT * FROM p1 UNION ALL SELECT * FROM p2
+       |  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_retrieval_eval" -> (qRetrievalEval _),
+    "q_mmr_rerank" -> (qMmrRerank _),
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
     "q_bm25_params" -> (qBm25Params _),
@@ -592,5 +707,6 @@ object RetrievalQueries {
     "q_rrf_fusion" -> qRrfFusionSql,
     "q_rrf_recall" -> qRrfRecallSql,
     "q_retrieval_eval" -> qRetrievalEvalSql,
+    "q_mmr_rerank" -> qMmrRerankSql,
   )
 }

@@ -187,6 +187,42 @@ class StatRetrievalSpec extends SparkSpec {
     for ((q, n) <- recall) assert(out(q)._1 == n, s"$q n_rel_ret vs n_common")
   }
 
+  test("MMR re-rank matches an independent JVM greedy recomputation") {
+    val out = RetrievalQueries.qMmrRerank(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("pick_order"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("mmrq")))
+    assert(out.length == 20) // 5 qids x 4 picks
+    // rebuild candidates + pairwise sims straight from the vectors
+    val vecs = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      // same sequential fold as VectorOps.cosine
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (qid <- 0L until 5L) {
+      val qe = vecs(qid)
+      val cand = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, math.floor(cos(qe, v) * 1e9).toLong) }
+        .sortBy(t => (-t._2, t._1)).take(8)
+      var sel = List.empty[Long]
+      val expected = (1 to 4).map { t =>
+        val scored = cand.filterNot(c => sel.contains(c._1)).map { case (id, relq) =>
+          val pen = if (sel.isEmpty) 0L
+            else sel.map(s => math.floor(cos(vecs(id), vecs(s)) * 1e9).toLong).max
+          (id, 7L * relq - 3L * pen)
+        }
+        val (id, mmrq) = scored.minBy(t2 => (-t2._2, t2._1))
+        sel = sel :+ id
+        (qid, t, id, mmrq)
+      }
+      val got = out.filter(_._1 == qid).sortBy(_._2).toSeq
+      assert(got == expected, s"qid $qid: $got vs $expected")
+    }
+  }
+
   test("AUC is 1.0 / 0.5-ish on a constructed separable/random fixture") {
     import spark.implicits._
     // separable: every positive outranks every negative → tie-free AUC 1
