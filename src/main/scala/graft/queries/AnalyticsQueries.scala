@@ -167,14 +167,58 @@ object AnalyticsQueries {
       |FROM first_touch f LEFT JOIN purchases p ON f.user_id = p.user_id
       |GROUP BY f.channel""".stripMargin
 
+  /** Triangle census of the co-order part graph (parts are adjacent
+    * when some order contains both) — the clustering-structure
+    * measure beyond components and centrality: triangle density is
+    * the standard cohesion signal (and the building block of local
+    * clustering coefficients). Engine path:
+    * [[graft.operators.GraphOps.triangles]] — degree-oriented wedge
+    * join, O(m^1.5) not Σdeg², every join keyed. The oracle counts
+    * the same triangles by the naive a<b<c triple self-join —
+    * algorithm-independent agreement, same integer. */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val l2 = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    val edges = li.join(l2, Seq("l_orderkey"))
+      .where(col("l_partkey") < col("p2"))
+      .select(col("l_partkey").as("a"), col("p2").as("b"))
+      .distinct()
+    val nNodes = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .agg(count_distinct(col("node")).as("n_nodes"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val nTri = graft.operators.GraphOps.triangles(edges, "a", "b")
+      .agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri)
+  }
+
+  val qTrianglesSql: String =
+    """WITH pe AS (
+      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+      |nodes AS (
+      |  SELECT COUNT(DISTINCT node) AS n_nodes FROM (
+      |    SELECT a AS node FROM pe UNION ALL SELECT b AS node FROM pe)),
+      |ecnt AS (SELECT COUNT(*) AS n_edges FROM pe),
+      |tri AS (
+      |  SELECT COUNT(*) AS n_triangles
+      |  FROM pe e1
+      |  JOIN pe e2 ON e1.b = e2.a
+      |  JOIN pe e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT n_nodes, n_edges, n_triangles
+      |FROM nodes CROSS JOIN ecnt CROSS JOIN tri""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
+    "q_triangles" -> (qTriangles _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_attribution" -> (qAttribution _),
   )
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
+    "q_triangles" -> qTrianglesSql,
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_attribution" -> qAttributionSql,
   )

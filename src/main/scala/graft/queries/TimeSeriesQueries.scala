@@ -245,7 +245,74 @@ object TimeSeriesQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
       |             RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Bounded-window exponential moving average (decay 0.9 over the
+    * last 20 observations) per user — the smoothing/forecast-baseline
+    * step of the reference's per-pixel temporal compositing family
+    * (a monthly median is the robust composite; EWMA is the recency-
+    * weighted one). ewma_i = Σ_{k=0..19} w_k·x_{i−k} / Σ w_k with
+    * w_k = 0.9^k.
+    *
+    * Cross-engine determinism, three layers: (1) the weights are NOT
+    * pow(0.9,k) — libm pow is not correctly rounded — but a driver-
+    * computed repeated-product table whose exact doubles embed as
+    * %.17e literals in the oracle (bit-identical by construction);
+    * (2) each weighted term floor-quantizes at 1e-6 to a long before
+    * the variable-width sum (the Exact.qsum rule); (3) the final
+    * ratio is one IEEE divide of two longs-as-doubles. Shape at
+    * scale: row indexing is a per-user window (never global); the
+    * 20-row band is an equi-join on user_id with a range predicate
+    * on the index plus a broadcast 20-row weight join — shuffle only
+    * on user_id, fan-out capped at 20 per row by construction. */
+  def qEwma(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weights = ewmaWeights.zipWithIndex.map { case (w, k) => (k, w) }
+    val wdf = spark.createDataFrame(weights).toDF("k", "w")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val idx = Tables.events(spark, dir)
+      .where(col("user_id") < 50)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("i", row_number().over(w).cast("long"))
+    val a = idx.select(col("user_id"), col("i"), col("event_id"))
+    val b = idx.select(col("user_id"), col("i").as("j"), col("value").as("xj"))
+    a.join(b, Seq("user_id"))
+      .where(col("j") >= col("i") - 19 && col("j") <= col("i"))
+      .join(broadcast(wdf), (col("i") - col("j")).cast("int") === col("k"))
+      .groupBy(col("user_id"), col("i"), col("event_id"))
+      .agg(
+        count(lit(1)).as("n_window"),
+        sum(floor(col("xj") * col("w") * lit(1000000.0)).cast("long")).as("numq"),
+        sum(floor(col("w") * lit(1000000.0)).cast("long")).as("denq"))
+      .withColumn("ewma", col("numq").cast("double") / col("denq").cast("double"))
+      .select("user_id", "i", "event_id", "n_window", "ewma")
+  }
+
+  /** w_k = 0.9^k by repeated IEEE multiplication — exact doubles,
+    * shared by the engine (as literals) and the oracle (as %.17e
+    * text, which parses back to the identical bits). */
+  private val ewmaWeights: Seq[Double] =
+    Iterator.iterate(1.0)(_ * 0.9).take(20).toSeq
+
+  val qEwmaSql: String = {
+    val vals = ewmaWeights.zipWithIndex
+      .map { case (w, k) => f"($k, $w%.17e)" }.mkString(", ")
+    s"""WITH wt(k, w) AS (VALUES $vals),
+       |idx AS (
+       |  SELECT user_id, event_id, value,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS BIGINT) AS i
+       |  FROM events WHERE user_id < 50)
+       |SELECT a.user_id, a.i, a.event_id, COUNT(*) AS n_window,
+       |  CAST(SUM(CAST(FLOOR(b.value * wt.w * 1e6) AS BIGINT)) AS DOUBLE)
+       |    / CAST(SUM(CAST(FLOOR(wt.w * 1e6) AS BIGINT)) AS DOUBLE) AS ewma
+       |FROM idx a
+       |JOIN idx b ON a.user_id = b.user_id
+       |  AND b.i BETWEEN a.i - 19 AND a.i
+       |JOIN wt ON CAST(a.i - b.i AS INTEGER) = wt.k
+       |GROUP BY a.user_id, a.i, a.event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma" -> (qEwma _),
     "q_sessionize" -> (qSessionize _),
     "q_rolling_range" -> (qRollingRange _),
     "q_asof_nearest" -> (qAsofNearest _),
@@ -257,6 +324,7 @@ object TimeSeriesQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ewma" -> qEwmaSql,
     "q_sessionize" -> qSessionizeSql,
     "q_rolling_range" -> qRollingRangeSql,
     "q_asof_nearest" -> qAsofNearestSql,

@@ -194,6 +194,47 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.sortBy(t => (-t._3, t._1)).toSeq == expect.toSeq)
   }
 
+  test("triangles: K4, path, star, and noisy-input fixtures") {
+    import graft.operators.GraphOps
+    // K4 = 4 triangles; enumeration is exact and deduped
+    val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    val t4 = GraphOps.triangles(k4, "src", "dst").collect()
+    assert(t4.length == 4)
+    assert(t4.map(r => Set(r.getLong(0), r.getLong(1), r.getLong(2))).distinct.length == 4)
+    // path and star are triangle-free
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(GraphOps.triangles(path, "src", "dst").count() == 0)
+    val star = (2 to 6).map(i => (1L, i.toLong)).toDF("src", "dst")
+    assert(GraphOps.triangles(star, "src", "dst").count() == 0)
+    // duplicates (both orders) and self-loops don't change the census
+    val noisy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 3L), (1L, 2L))
+      .toDF("src", "dst")
+    assert(GraphOps.triangles(noisy, "src", "dst").count() == 1)
+  }
+
+  test("ewma: first observation passes through, result stays inside the window hull") {
+    val out = SparkEntry.queries("q_ewma")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("i"),
+        r.getAs[Long]("n_window"), r.getAs[Double]("ewma")))
+    assert(out.nonEmpty)
+    assert(out.forall(_._3 <= 20), "window wider than 20")
+    assert(out.forall(t => t._3 == math.min(t._2, 20L)), "window width must be min(i, 20)")
+    // i = 1 rows: ewma == floor-quantized x_1 (weight exactly 1.0)
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .where(col("user_id") < 50)
+    val firsts = ev.withColumn("i", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+      .where(col("i") === 1)
+      .select("user_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((u, i, _, e) <- out if i == 1L) {
+      val x = firsts(u)
+      assert(math.abs(e - math.floor(x * 1e6) / 1e6) < 2e-6, s"user $u first ewma $e vs $x")
+    }
+  }
+
   test("first-touch attribution: totals reconcile with the raw purchase sum") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("q_attribution")(spark, dir).collect()
