@@ -115,6 +115,41 @@ object StreamingPipelines {
       }
   }
 
+  case class CmsState(key: String, n_seen: Long, cells: Array[Long])
+
+  /** Streaming count–min: the CMS
+    * ([[graft.operators.Sketches.CountMin]]) as per-key
+    * `mapGroupsWithState` state, sharing the batch sketch's cell hash
+    * ([[graft.operators.Sketches.cmCell]]). CMS is LINEAR (cell-wise
+    * addition), so unlike the Misra–Gries dual the streaming state is
+    * not merely guarantee-equivalent to the batch sketch — it is the
+    * IDENTICAL matrix after any prefix, regardless of micro-batch
+    * boundaries (spec-pinned bit-for-bit against the batch
+    * Aggregator on a shared fixture). State per key: d·w longs +
+    * one count — knob-bounded forever on an unbounded stream. */
+  def runningCountMin(events: Dataset[(String, String)],
+      d: Int, w: Int): Dataset[CmsState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Array[Long]), CmsState](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[(Long, Array[Long])]) =>
+          val (n0, c0) = state.getOption.getOrElse((0L, new Array[Long](d * w)))
+          var n = n0
+          rows.foreach { case (_, item) =>
+            n += 1
+            var i = 0
+            while (i < d) {
+              c0(graft.operators.Sketches.cmCell(i, w, item)) += 1L
+              i += 1
+            }
+          }
+          state.update((n, c0))
+          CmsState(key, n, c0.clone())
+      }
+  }
+
   case class Evt(user_id: Long, event_id: Long, event_type: String,
                  ts: java.sql.Timestamp)
   case class SeenTypes(types: Set[String])

@@ -208,6 +208,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("running count-min equals the batch sketch bit-for-bit after any prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (d, w) = (4, 64)
+    val stream = (1 to 25).flatMap(i => Seq.fill(400 / i)(("a", s"tok_$i")))
+    val (b1, b2) = stream.splitAt(stream.length / 3)
+    val in = MemoryStream[(String, String)]
+    val q = StreamingPipelines.runningCountMin(in.toDS(), d, w)
+      .writeStream.format("memory").queryName("cms").outputMode("update").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val fin = spark.table("cms").collect()
+        .map(r => (r.getLong(1), r.getSeq[Long](2).toArray))
+        .maxBy(_._1)
+      assert(fin._1 == stream.length.toLong)
+      // linearity: the streamed state IS the batch matrix, exactly —
+      // micro-batch boundaries cannot matter for a linear sketch
+      val batch = spark.createDataset(stream.map(_._2)).repartition(8)
+        .select(new graft.operators.Sketches.CountMin(d, w).toColumn).head()
+      assert(java.util.Arrays.equals(fin._2, batch),
+        "streamed CMS diverged from the batch matrix")
+    } finally q.stop()
+  }
+
   test("streaming ANN assignment agrees with the batch index and replays idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
