@@ -780,6 +780,70 @@ object TextQueries {
       |FROM words w CROSS JOIN top t
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Two TRUE rounds of BPE training — [[qBpeMerges]] iterated with
+    * the recount in between, which is what makes it BPE rather than
+    * frequent-bigram mining: round 2 counts pairs over the corpus
+    * WITH round 1's merge already collapsed to its sentinel symbol,
+    * so merges can chain (the second merge may contain the first's
+    * sentinel — exactly how multi-character tokens grow). Each
+    * round: keyed pair-count shuffle → 1-row broadcast winner →
+    * per-row `replace` (left-to-right non-overlapping, identical in
+    * Spark and DuckDB). Output: both merges, their counts, and the
+    * per-document symbol-count trajectory sym0 ≥ sym1 ≥ sym2 — the
+    * compression curve a tokenizer trainer monitors. */
+  def qBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    def topPair(ws: DataFrame, c: String) = ws
+      .filter(length(col(c)) >= 2)
+      .select(explode(expr(
+        s"transform(sequence(1, length($c) - 1), i -> substring($c, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(1)
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w0"))
+    val t1 = topPair(words, "w0").select(col("pair").as("m1"), col("cnt").as("c1"))
+    val s1 = words.crossJoin(broadcast(t1))
+      .withColumn("w1", expr("replace(w0, m1, char(1))"))
+    val t2 = topPair(s1, "w1").select(col("pair").as("m2"), col("cnt").as("c2"))
+    val s2 = s1.crossJoin(broadcast(t2))
+      .withColumn("w2", expr("replace(w1, m2, char(2))"))
+    s2.groupBy(col("doc_id"), col("m1"), col("c1"), col("m2"), col("c2"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("w0"))).as("sym0"),
+        sum(length(col("w1"))).as("sym1"),
+        sum(length(col("w2"))).as("sym2"))
+  }
+
+  val qBpeApplySql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w0
+      |  FROM documents),
+      |t1 AS (
+      |  SELECT pair AS m1, COUNT(*) AS c1 FROM (
+      |    SELECT unnest(list_transform(range(1, length(w0)),
+      |      i -> substr(w0, CAST(i AS INT), 2))) AS pair
+      |    FROM words WHERE length(w0) >= 2)
+      |  GROUP BY 1 ORDER BY c1 DESC, m1 ASC LIMIT 1),
+      |s1 AS (
+      |  SELECT doc_id, w0, m1, c1, replace(w0, m1, chr(1)) AS w1
+      |  FROM words CROSS JOIN t1),
+      |t2 AS (
+      |  SELECT pair AS m2, COUNT(*) AS c2 FROM (
+      |    SELECT unnest(list_transform(range(1, length(w1)),
+      |      i -> substr(w1, CAST(i AS INT), 2))) AS pair
+      |    FROM s1 WHERE length(w1) >= 2)
+      |  GROUP BY 1 ORDER BY c2 DESC, m2 ASC LIMIT 1),
+      |s2 AS (
+      |  SELECT doc_id, w0, w1, m1, c1, m2, c2, replace(w1, m2, chr(2)) AS w2
+      |  FROM s1 CROSS JOIN t2)
+      |SELECT doc_id, m1, c1, m2, c2, COUNT(*) AS n_tokens,
+      |  CAST(SUM(length(w0)) AS BIGINT) AS sym0,
+      |  CAST(SUM(length(w1)) AS BIGINT) AS sym1,
+      |  CAST(SUM(length(w2)) AS BIGINT) AS sym2
+      |FROM s2 GROUP BY 1, 2, 3, 4, 5""".stripMargin
+
   /** Misra–Gries heavy hitters, graded by its GUARANTEES (the
     * q_distinct_approx pattern — sketch content is order-dependent,
     * the theory bounds are not): a k=16-counter mergeable MG summary
@@ -928,6 +992,7 @@ object TextQueries {
     "q_bigram_lm" -> (qBigramLm _),
     "q_cms_guarantee" -> (qCmsGuarantee _),
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_apply" -> (qBpeApply _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_data_mixture" -> (qDataMixture _),
@@ -956,6 +1021,7 @@ object TextQueries {
     "q_bigram_lm" -> qBigramLmSql,
     "q_cms_guarantee" -> qCmsGuaranteeSql,
     "q_bpe_merges" -> qBpeMergesSql,
+    "q_bpe_apply" -> qBpeApplySql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_data_mixture" -> qDataMixtureSql,
     "q_corpus_curation" -> qCorpusCurationSql,

@@ -42,4 +42,22 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(capped.toSeq == loose.toSeq)
   }
+
+  test("bpe apply: symbol counts contract monotonically and round 2 recounts") {
+    val out = graft.queries.TextQueries.qBpeApply(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val (m1, c1) = (out.head.getAs[String]("m1"), out.head.getAs[Long]("c1"))
+    val (m2, c2) = (out.head.getAs[String]("m2"), out.head.getAs[Long]("c2"))
+    assert(m1.length == 2 && m2.length == 2)
+    assert(m1 != m2, "round 2 re-picked the collapsed pair")
+    assert(c1 >= c2, "round 1 winner must be the global max")
+    out.foreach { r =>
+      val (s0, s1, s2) = (r.getAs[Long]("sym0"), r.getAs[Long]("sym1"), r.getAs[Long]("sym2"))
+      assert(s0 >= s1 && s1 >= s2, s"doc ${r.get(0)}: $s0 -> $s1 -> $s2 not monotone")
+    }
+    // the corpus as a whole must actually compress in both rounds
+    assert(out.map(_.getAs[Long]("sym0")).sum > out.map(_.getAs[Long]("sym1")).sum)
+    assert(out.map(_.getAs[Long]("sym1")).sum > out.map(_.getAs[Long]("sym2")).sum)
+  }
 }
