@@ -340,7 +340,9 @@ class PlanQualitySpec extends SparkSpec {
     // literal handful of rows: q_vocab_topk (limit(100) survivors). The
     // deterministic-shuffle queries now run the ScaleOps partition-offset
     // engine path and need no exemption.
-    val exempt = Set("q_vocab_topk", "q_rrf_fusion", "q_rrf_recall") // rrf: lexical rank after limit(20)
+    // rrf family: lexical rank assigned after limit(20);
+    // q_retrieval_eval embeds the fusion subtree and inherits it
+    val exempt = Set("q_vocab_topk", "q_rrf_fusion", "q_rrf_recall", "q_retrieval_eval")
     for ((name, q) <- SparkEntry.queries if !exempt(name)) {
       val bad = q(spark, dir).queryExecution.optimizedPlan.collect {
         case w: LogicalWindow if w.partitionSpec.isEmpty => w.simpleString(80)
@@ -386,5 +388,46 @@ class PlanQualitySpec extends SparkSpec {
     val p = executedPlan("q_filter_predicates")
     // codegen'd stages render as "*(n) Operator" in the executed plan
     assert(p.contains("*(1)"), p)
+  }
+
+  test("graph/rank analytics keep every join keyed — no cartesian anywhere") {
+    // pagerank: per-round contribution join keyed on src; triangles:
+    // degree-oriented wedge join keyed on (src) then (v, w); mmr: the
+    // pairwise-similarity join keyed on qid; ewma: the 20-row band is
+    // an equi-join on user_id with a range filter. The only NLJs are
+    // intended 1-row broadcasts (N, corpus stats).
+    for (q <- Seq("q_pagerank", "q_triangles", "q_mmr_rerank", "q_ewma", "q_bigram_lm")) {
+      val p = executedPlan(q)
+      assert(!p.contains("CartesianProduct"), s"$q degenerated to cartesian:\n$p")
+    }
+  }
+
+  test("weighted sample plans as TakeOrderedAndProject with no shuffle-heavy ops") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val df = SparkEntry.queries("q_weighted_sample")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow => w.simpleString(80)
+    }
+    assert(wins.isEmpty, s"priority sampling needs no window:\n${wins.mkString("\n")}")
+  }
+
+  test("AUC ranks via the partition-offset path — no window at all in the plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val wins = SparkEntry.queries("q_auc")(spark, dir).queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow => w.simpleString(80)
+    }
+    assert(wins.isEmpty, s"q_auc plans a Window:\n${wins.mkString("\n")}")
+  }
+
+  test("ewma band join stays a keyed equi-join with the range as a post-filter") {
+    val p = executedPlan("q_ewma")
+    // keyed equi-join on user_id (broadcast at spec SF, shuffled at scale)
+    // with the band range as a join-level post-filter — never an NLJ
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"q_ewma lost its user_id equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q_ewma band join degenerated:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q_ewma:\n$p")
   }
 }
