@@ -291,6 +291,28 @@ object GraphOps {
       .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
   }
 
+  /** Eagerly localCheckpoint a relation that downstream subtrees read
+    * MANY times (edge lists feeding degree tables, orientation, and
+    * closure probes): without it Spark recomputes the full upstream
+    * subtree — e.g. a fact-table self-join — once per read, which
+    * turned the sf0.1 triangle census into 6 redundant edge builds.
+    * Per-(session, tag) memo unpersists the previous call's blocks,
+    * so repeated invocations in a long-lived session (bench loops,
+    * notebooks) hold at most one checkpoint per tag. Blocks evicted
+    * early recompute deterministically — correctness is unaffected. */
+  private val smallMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.rdd.RDD[_]]()
+
+  private[graft] def materializeOnce(df: DataFrame, tag: String): DataFrame = {
+    val out = df.localCheckpoint()
+    val key = df.sparkSession.sparkContext.applicationId + "|" + tag
+    backingRdd(out).foreach { rdd =>
+      val prev = smallMemo.put(key, rdd)
+      if (prev != null && (prev ne rdd)) prev.unpersist(blocking = false)
+    }
+    out
+  }
+
   /** Fixed-iteration PageRank over a DIRECTED edge list — the
     * importance-ranking companion to [[connectedComponents]]: dedup
     * clusters tell you what is the same, PageRank tells you what is
@@ -317,10 +339,12 @@ object GraphOps {
     * unrolled plan needs no lineage truncation. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-    val deg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg"))
+    val e = materializeOnce(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")), "pagerank_edges")
+    val deg = materializeOnce(
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg")),
+      "pagerank_deg")
     val nTab = deg.agg(count(lit(1)).as("n_nodes"))
     // rank table carries (node, outdeg, n_nodes, rank)
     var ranks = deg.crossJoin(broadcast(nTab))
@@ -360,10 +384,11 @@ object GraphOps {
     *         each triangle exactly once
     */
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
+    val e = materializeOnce(
+      edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct(), "triangle_edges")
     val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // orient: src = lower (deg, id), dst = higher; carry dst's ordkey

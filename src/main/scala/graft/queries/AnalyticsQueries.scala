@@ -167,11 +167,17 @@ object AnalyticsQueries {
       |FROM first_touch f LEFT JOIN purchases p ON f.user_id = p.user_id
       |GROUP BY f.channel""".stripMargin
 
-  /** Triangle census of the co-order part graph (parts are adjacent
-    * when some order contains both) — the clustering-structure
+  /** Triangle census of the FREQUENT co-order part graph (parts are
+    * adjacent when ≥ 2 distinct orders contain both — the classic
+    * market-basket support threshold) — the clustering-structure
     * measure beyond components and centrality: triangle density is
     * the standard cohesion signal (and the building block of local
-    * clustering coefficients). Engine path:
+    * clustering coefficients). The support cut is the scale lever,
+    * same role as ngram_jaccard's df cap: single co-occurrence is
+    * noise that makes the graph quadratically dense (1.2M edges at
+    * sf0.1) while the support-2 graph holds ~4k signal edges — prune
+    * BEFORE the O(m^1.5) step, at the keyed aggregate where it costs
+    * one HAVING. Engine path:
     * [[graft.operators.GraphOps.triangles]] — degree-oriented wedge
     * join, O(m^1.5) not Σdeg², every join keyed. The oracle counts
     * the same triangles by the naive a<b<c triple self-join —
@@ -179,10 +185,15 @@ object AnalyticsQueries {
   def qTriangles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
     val l2 = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
-    val edges = li.join(l2, Seq("l_orderkey"))
-      .where(col("l_partkey") < col("p2"))
-      .select(col("l_partkey").as("a"), col("p2").as("b"))
-      .distinct()
+    // materialize once: the self-join + support aggregate would
+    // otherwise re-run for each of the three census aggregates
+    val edges = graft.operators.GraphOps.materializeOnce(
+      li.join(l2, Seq("l_orderkey"))
+        .where(col("l_partkey") < col("p2"))
+        .groupBy(col("l_partkey").as("a"), col("p2").as("b"))
+        .agg(count(lit(1)).as("sup"))
+        .where(col("sup") >= 2)
+        .select("a", "b"), "q_triangles_edges")
     val nNodes = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node")))
       .agg(count_distinct(col("node")).as("n_nodes"))
@@ -194,9 +205,12 @@ object AnalyticsQueries {
 
   val qTrianglesSql: String =
     """WITH pe AS (
-      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
-      |  FROM lineitem l1 JOIN lineitem l2
-      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+      |  SELECT a, b FROM (
+      |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, COUNT(*) AS sup
+      |    FROM lineitem l1 JOIN lineitem l2
+      |      ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      |    GROUP BY 1, 2)
+      |  WHERE sup >= 2),
       |nodes AS (
       |  SELECT COUNT(DISTINCT node) AS n_nodes FROM (
       |    SELECT a AS node FROM pe UNION ALL SELECT b AS node FROM pe)),

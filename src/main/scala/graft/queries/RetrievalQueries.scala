@@ -593,20 +593,25 @@ object RetrievalQueries {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    val cand = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cosine", graft.functions.VectorOps.cosine("qe", "embedding"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 8)
-      .select(col("qid"), col("vec_id").as("doc_id"),
-        floor(col("cosine") * lit(1e9)).cast("long").as("relq"),
-        col("embedding").as("de"))
-    val pair = cand.select(col("qid"), col("doc_id").as("d1"), col("de").as("e1"))
-      .join(cand.select(col("qid"), col("doc_id").as("d2"), col("de").as("e2")), Seq("qid"))
-      .filter(col("d1") =!= col("d2"))
-      .select(col("qid"), col("d1"), col("d2"),
-        floor(graft.functions.VectorOps.cosine("e1", "e2") * lit(1e9))
-          .cast("long").as("simq"))
+    // 40 rows, but the subtree above it is a corpus-wide cosine top-8
+    // — and the greedy rounds below read it ~8 times. Materialize once
+    // (same recompute trap as the triangle census edge build).
+    val cand = graft.operators.GraphOps.materializeOnce(
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine", graft.functions.VectorOps.cosine("qe", "embedding"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 8)
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          floor(col("cosine") * lit(1e9)).cast("long").as("relq"),
+          col("embedding").as("de")), "mmr_cand")
+    val pair = graft.operators.GraphOps.materializeOnce(
+      cand.select(col("qid"), col("doc_id").as("d1"), col("de").as("e1"))
+        .join(cand.select(col("qid"), col("doc_id").as("d2"), col("de").as("e2")), Seq("qid"))
+        .filter(col("d1") =!= col("d2"))
+        .select(col("qid"), col("d1"), col("d2"),
+          floor(graft.functions.VectorOps.cosine("e1", "e2") * lit(1e9))
+            .cast("long").as("simq")), "mmr_pair")
     val w1 = Window.partitionBy(col("qid")).orderBy(col("relq").desc, col("doc_id"))
     var picks = cand
       .withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
