@@ -223,9 +223,89 @@ object AnalyticsQueries {
       |SELECT n_nodes, n_edges, n_triangles
       |FROM nodes CROSS JOIN ecnt CROSS JOIN tri""".stripMargin
 
+  /** Grid-density clustering (DBSCAN-lite) over the embedding plane:
+    * bucket points into h=0.05 cells on the first two embedding
+    * dims, keep cells with ≥ 8 points (the minPts density gate),
+    * connect 8-neighborhood-adjacent dense cells, and label each
+    * connected region via
+    * [[graft.operators.GraphOps.connectedComponents]] — the
+    * grid-based formulation that replaces DBSCAN's ε-range search
+    * with a keyed equi-join on shifted cell keys (the q_geo_cells
+    * trick), which is what makes density clustering distributable:
+    * no pairwise distances, one shuffle per step, CC on the CELL
+    * graph (thousands of nodes regardless of corpus size). Points in
+    * sparse cells report as the noise row (cluster_rep = −1). The
+    * oracle recomputes the fixpoint as a recursive-CTE transitive
+    * closure — algorithm-independent agreement (the q_dup_clusters
+    * pattern). Cell indices are exact: float→double cast and
+    * floor-divide are bit-identical on both engines. */
+  def qDensityCluster(spark: SparkSession, dir: String): DataFrame = {
+    val (h, minPts) = (0.05, 8)
+    val cellId = (cx: org.apache.spark.sql.Column, cy: org.apache.spark.sql.Column) =>
+      (cx + lit(1000L)) * lit(2000L) + (cy + lit(1000L))
+    val pts = Tables.embeddings(spark, dir).select(
+      floor(col("embedding").getItem(0).cast("double") / lit(h)).cast("long").as("cx"),
+      floor(col("embedding").getItem(1).cast("double") / lit(h)).cast("long").as("cy"))
+    val cells = pts.groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+    val dense = graft.operators.GraphOps.materializeOnce(
+      cells.where(col("n") >= minPts)
+        .withColumn("cid", cellId(col("cx"), col("cy"))), "density_dense")
+    val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+      (1, -1), (1, 0), (1, 1))
+    val odf = spark.createDataFrame(offs).toDF("dx", "dy")
+    val shifted = dense.crossJoin(broadcast(odf))
+      .select((col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"),
+        col("cid").as("src"))
+    val edges = shifted.join(dense.select(col("cx"), col("cy"), col("cid").as("dst")),
+      Seq("cx", "cy"))
+    val lab = graft.operators.GraphOps.connectedComponents(edges, "src", "dst")
+    val clusters = dense
+      .join(lab.withColumnRenamed("id", "cid"), Seq("cid"))
+      .groupBy(col("lbl").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_points"))
+    val noise = cells.where(col("n") < minPts)
+      .agg(count(lit(1)).as("n_cells"),
+        coalesce(sum(col("n")), lit(0L)).as("n_points"))
+      .select(lit(-1L).as("cluster_rep"), col("n_cells"), col("n_points"))
+    clusters.unionByName(noise)
+  }
+
+  val qDensityClusterSql: String =
+    """WITH RECURSIVE pts AS (
+      |  SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) / 5e-2) AS BIGINT) AS cx,
+      |         CAST(FLOOR(CAST(embedding[2] AS DOUBLE) / 5e-2) AS BIGINT) AS cy
+      |  FROM embeddings),
+      |cells AS (SELECT cx, cy, COUNT(*) AS n FROM pts GROUP BY 1, 2),
+      |dense AS (
+      |  SELECT cx, cy, n, (cx + 1000) * 2000 + (cy + 1000) AS cid
+      |  FROM cells WHERE n >= 8),
+      |offs(dx, dy) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,0),
+      |                        (0,1), (1,-1), (1,0), (1,1)),
+      |edges AS (
+      |  SELECT a.cid AS src, b.cid AS dst
+      |  FROM dense a CROSS JOIN offs o
+      |  JOIN dense b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach AS (
+      |  SELECT id, id AS lbl FROM nodes
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |lab AS (SELECT id AS cid, MIN(lbl) AS lbl FROM reach GROUP BY 1),
+      |clusters AS (
+      |  SELECT l.lbl AS cluster_rep, COUNT(*) AS n_cells,
+      |    CAST(SUM(d.n) AS BIGINT) AS n_points
+      |  FROM dense d JOIN lab l ON d.cid = l.cid GROUP BY 1),
+      |noise AS (
+      |  SELECT CAST(-1 AS BIGINT) AS cluster_rep, COUNT(*) AS n_cells,
+      |    CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_points
+      |  FROM cells WHERE n < 8)
+      |SELECT cluster_rep, n_cells, n_points FROM clusters
+      |UNION ALL SELECT cluster_rep, n_cells, n_points FROM noise""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
     "q_triangles" -> (qTriangles _),
+    "q_density_cluster" -> (qDensityCluster _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_attribution" -> (qAttribution _),
   )
@@ -233,6 +313,7 @@ object AnalyticsQueries {
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
     "q_triangles" -> qTrianglesSql,
+    "q_density_cluster" -> qDensityClusterSql,
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_attribution" -> qAttributionSql,
   )

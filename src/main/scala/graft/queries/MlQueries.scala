@@ -367,7 +367,113 @@ object MlQueries {
        |GROUP BY s.event_type""".stripMargin
   }
 
+  /** 5-fold cross-validated OLS in ONE pass over the data — the
+    * distributed CV trick: per-fold sufficient statistics aggregate
+    * once (folds assigned by the deterministic keyed hash,
+    * [[PipelineOps.hexDigit]] mod 5 — the q_stratified_split source),
+    * and fold f's TRAINING statistics are totals − fold_f, a pure
+    * subtraction of already-exact sums. No per-fold re-scan, no 5×
+    * shuffle: the "leave-fold-out by complement" identity that makes
+    * k-fold CV cost one aggregation at 100 TB. Each fold's
+    * slope/intercept (the qOlsByGroup closed form) then scores its
+    * own held-out rows via a 5-row broadcast join; per-row squared
+    * residuals floor-quantize at 1e-6 before the MSE mean (computed
+    * doubles under aggregation — the Exact.qmean rule).
+    * Output: per fold — train/test sizes, the fold model, held-out
+    * MSE. The spread across folds is the variance estimate a model
+    * selection loop reads. */
+  def qKfoldOls(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      pmod(PipelineOps.hexDigit("concat('cv|', cast(event_id AS string))", 1),
+        lit(5)).as("fold"),
+      datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+        .cast("long").as("x"),
+      col("value").as("y"))
+    val perFold = ev.groupBy(col("fold")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      dsum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      dsum(col("y") * col("x")).as("sxy"))
+    val tot = perFold.agg(
+      sum(col("n")).as("tn"),
+      sum(col("sx")).as("tsx"),
+      sum(col("sy").cast(Dec)).cast("double").as("tsy"),
+      sum(col("sxx")).as("tsxx"),
+      sum(col("sxy").cast(Dec)).cast("double").as("tsxy"))
+    val train = perFold.crossJoin(broadcast(tot))
+      .withColumn("n_train", col("tn") - col("n"))
+      .withColumn("rsx", col("tsx") - col("sx"))
+      .withColumn("rsy", col("tsy") - col("sy"))
+      .withColumn("rsxx", col("tsxx") - col("sxx"))
+      .withColumn("rsxy", col("tsxy") - col("sxy"))
+    val dn = col("n_train").cast("double")
+    val dsx = col("rsx").cast("double")
+    val num = dn * col("rsxy") - dsx * col("rsy")
+    val den = dn * col("rsxx").cast("double") - dsx * dsx
+    val models = train
+      .withColumn("slope", num / den)
+      .withColumn("intercept", (col("rsy") - (num / den) * dsx) / dn)
+      .select(col("fold"), col("n_train"), col("n").as("n_test"),
+        col("slope"), col("intercept"))
+    ev.join(broadcast(models), Seq("fold"))
+      .withColumn("r2q",
+        floor(
+          (col("y") - (col("intercept") + col("slope") * col("x").cast("double"))) *
+          (col("y") - (col("intercept") + col("slope") * col("x").cast("double"))) *
+          lit(1000000.0)).cast("long"))
+      .groupBy(col("fold"), col("n_train"), col("n_test"),
+        col("slope"), col("intercept"))
+      .agg((sum(col("r2q")).cast("double") / lit(1000000.0) / count(lit(1)))
+        .as("mse"))
+  }
+
+  val qKfoldOlsSql: String = {
+    val fold = PipelineOps.hexDigitSql("concat('cv|', cast(event_id AS VARCHAR))", "1")
+      .replace("instr(", "strpos(")
+    s"""WITH ev AS (
+       |  SELECT (($fold) % 5 + 5) % 5 AS fold,
+       |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+       |    value AS y
+       |  FROM events),
+       |per_fold AS (
+       |  SELECT fold, COUNT(*) AS n,
+       |    SUM(x) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+       |    SUM(x * x) AS sxx,
+       |    CAST(SUM(CAST(y * x AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+       |  FROM ev GROUP BY fold),
+       |tot AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(sx) AS BIGINT) AS tsx,
+       |    CAST(SUM(CAST(sy AS DECIMAL(25,6))) AS DOUBLE) AS tsy,
+       |    CAST(SUM(sxx) AS BIGINT) AS tsxx,
+       |    CAST(SUM(CAST(sxy AS DECIMAL(25,6))) AS DOUBLE) AS tsxy
+       |  FROM per_fold),
+       |train AS (
+       |  SELECT fold, n AS n_test, tn - n AS n_train,
+       |    tsx - sx AS rsx, tsy - sy AS rsy, tsxx - sxx AS rsxx, tsxy - sxy AS rsxy
+       |  FROM per_fold CROSS JOIN tot),
+       |models AS (
+       |  SELECT fold, n_train, n_test,
+       |    (CAST(n_train AS DOUBLE) * rsxy - CAST(rsx AS DOUBLE) * rsy)
+       |      / (CAST(n_train AS DOUBLE) * CAST(rsxx AS DOUBLE)
+       |         - CAST(rsx AS DOUBLE) * CAST(rsx AS DOUBLE)) AS slope,
+       |    (rsy - ((CAST(n_train AS DOUBLE) * rsxy - CAST(rsx AS DOUBLE) * rsy)
+       |      / (CAST(n_train AS DOUBLE) * CAST(rsxx AS DOUBLE)
+       |         - CAST(rsx AS DOUBLE) * CAST(rsx AS DOUBLE))) * CAST(rsx AS DOUBLE))
+       |      / CAST(n_train AS DOUBLE) AS intercept
+       |  FROM train)
+       |SELECT m.fold, m.n_train, m.n_test, m.slope, m.intercept,
+       |  CAST(SUM(CAST(FLOOR(
+       |      (e.y - (m.intercept + m.slope * CAST(e.x AS DOUBLE)))
+       |      * (e.y - (m.intercept + m.slope * CAST(e.x AS DOUBLE)))
+       |      * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS mse
+       |FROM ev e JOIN models m ON e.fold = m.fold
+       |GROUP BY m.fold, m.n_train, m.n_test, m.slope, m.intercept""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kfold_ols" -> (qKfoldOls _),
     "q_knn_exact" -> (qKnnExact _),
     "q_knn_k20_exact" -> (qKnnK20Exact _),
     "q_knn_k100_exact" -> (qKnnK100Exact _),
@@ -381,6 +487,7 @@ object MlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_kfold_ols" -> qKfoldOlsSql,
     "q_knn_exact" -> qKnnExactSql,
     "q_knn_k20_exact" -> qKnnK20ExactSql,
     "q_knn_k100_exact" -> qKnnK100ExactSql,

@@ -888,6 +888,40 @@ object TextQueries {
       |FROM exact CROSS JOIN n
       |WHERE cnt > n / 16""".stripMargin
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. '09):
+    * vectorize each document into a FIXED 16-bucket space without a
+    * vocabulary pass — bucket = keyed hash of the token, value = sum
+    * of ±1 signs from a second hash (the signed variant that makes
+    * collisions cancel in expectation). This is the vectorizer a
+    * streaming/low-memory pipeline uses instead of q_tfidf's
+    * vocabulary join: no global state, no second scan, output width
+    * knob-bounded forever. Shape: one explode + one keyed aggregate
+    * on (doc, bucket); everything integer-exact (md5-digit hashes —
+    * the q_data_mixture source — and ±1 sums). */
+  def qFeatureHash(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = PipelineOps.hexDigit("concat('fh|', token)", 1)
+    val sign = when(PipelineOps.hexDigit("concat('fh|', token)", 2) < 8, lit(1L))
+      .otherwise(lit(-1L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("token"))
+      .select(col("doc_id"), bucket.as("bucket"), sign.as("s"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(col("s")).as("fval"))
+  }
+
+  val qFeatureHashSql: String = {
+    val b = PipelineOps.hexDigitSql("concat('fh|', token)", "1")
+      .replace("instr(", "strpos(")
+    val s = PipelineOps.hexDigitSql("concat('fh|', token)", "2")
+      .replace("instr(", "strpos(")
+    s"""SELECT doc_id, ($b) AS bucket, COUNT(*) AS cnt,
+       |  CAST(SUM(CASE WHEN ($s) < 8 THEN 1 ELSE -1 END) AS BIGINT) AS fval
+       |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+       |      FROM documents)
+       |GROUP BY doc_id, ($b)""".stripMargin
+  }
+
   /** Count–min sketch graded by its guarantees (the q_heavy_hitters
     * pattern, dual error direction): a d=4 × w=256 CMS
     * ([[graft.operators.Sketches.CountMin]]) over the corpus
@@ -991,6 +1025,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bigram_lm" -> (qBigramLm _),
     "q_cms_guarantee" -> (qCmsGuarantee _),
+    "q_feature_hash" -> (qFeatureHash _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_apply" -> (qBpeApply _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -1020,6 +1055,7 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "q_bigram_lm" -> qBigramLmSql,
     "q_cms_guarantee" -> qCmsGuaranteeSql,
+    "q_feature_hash" -> qFeatureHashSql,
     "q_bpe_merges" -> qBpeMergesSql,
     "q_bpe_apply" -> qBpeApplySql,
     "q_heavy_hitters" -> qHeavyHittersSql,
