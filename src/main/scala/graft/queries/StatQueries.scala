@@ -176,6 +176,84 @@ object StatQueries {
        |FROM z GROUP BY 1""".stripMargin
   }
 
+  /** One xy→d Hilbert-curve refinement stage at scale `s` (the
+    * classic iterative algorithm, e.g. Hamilton's compact form): the
+    * quadrant term added to d, then the data-dependent
+    * reflect+transpose that keeps successive cells adjacent. Emitted
+    * as SQL TEXT so the engine (`selectExpr`) and the DuckDB oracle
+    * run the IDENTICAL integer arithmetic — no dialect divergence
+    * possible. The XOR in `(3·rx) ⊕ ry` is folded to pure CASE
+    * arithmetic (rx=1 → 3−ry, else ry), valid because rx, ry ∈ {0,1}. */
+  private def hilbertStage(s: Int): (String, String, String) = {
+    val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+    // reflection uses the FULL-domain mask 255 (= bitwise complement
+    // within [0,256)), not s-1: later stages re-extract lower bits with
+    // `& s`, which only stays consistent under the all-ones reflection
+    val nd = s"d + ${s.toLong * s} * (CASE WHEN $rx = 1 THEN 3 - $ry ELSE $ry END)"
+    val nx = s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN 255 - y ELSE y END) ELSE x END"
+    val ny = s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN 255 - x ELSE x END) ELSE y END"
+    (nx, ny, nd)
+  }
+
+  private val hilbertScales = Seq(128, 64, 32, 16, 8, 4, 2, 1)
+
+  /** Apply the full 8-level Hilbert transform to a frame with integer
+    * columns (x, y) in [0,256)² plus passenger columns, yielding `d`
+    * in [0, 65536). Shared by the declared query and the spec's
+    * bijection/adjacency checks. */
+  private[graft] def hilbertKey(df: DataFrame, passengers: Seq[String]): DataFrame = {
+    val start = df.selectExpr(passengers ++ Seq("x", "y", "CAST(0 AS BIGINT) AS d"): _*)
+    hilbertScales.foldLeft(start) { (acc, s) =>
+      val (nx, ny, nd) = hilbertStage(s)
+      acc.selectExpr(passengers ++ Seq(s"$nx AS x", s"$ny AS y", s"$nd AS d"): _*)
+    }
+  }
+
+  /** Hilbert-curve layout keys — q_zorder's stronger sibling: bucket
+    * the same two dimensions to 8 bits each, map through the 8-level
+    * Hilbert transform, and summarize the 64-block layout. Why a
+    * second space-filling curve: Morton keys jump at quadrant
+    * boundaries, Hilbert's successive cells are always GRID-ADJACENT
+    * (spec-pinned over the full domain), so range predicates on
+    * either dimension touch fewer, more contiguous file ranges — the
+    * layout Delta/Iceberg reach for when Z-order clustering still
+    * splits hot ranges. Pure per-row integer expressions (generated
+    * once, run textually identically on both engines), one shuffle
+    * on the 64-value block key. */
+  def qHilbert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("value"),
+        pmod(col("user_id"), lit(256L)).as("x"),
+        pmod(col("event_id"), lit(256L)).as("y"))
+    hilbertKey(ev, Seq("value"))
+      .withColumn("block", shiftright(col("d"), 10))
+      .groupBy(col("block"))
+      .agg(count(lit(1)).as("n"),
+        min(col("d")).as("min_h"),
+        max(col("d")).as("max_h"),
+        dsum(col("value")).as("sum_value"))
+  }
+
+  val qHilbertSql: String = {
+    val stages = hilbertScales.zipWithIndex.map { case (s, i) =>
+      val (nx, ny, nd) = hilbertStage(s)
+      s"""h${i + 1} AS (
+         |  SELECT value, $nx AS x, $ny AS y, $nd AS d FROM h$i)"""
+    }.mkString(",\n")
+    s"""WITH h0 AS (
+       |  SELECT value,
+       |    ((user_id % 256) + 256) % 256 AS x,
+       |    ((event_id % 256) + 256) % 256 AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM events),
+       |$stages
+       |SELECT d >> 10 AS block, COUNT(*) AS n,
+       |  MIN(d) AS min_h, MAX(d) AS max_h,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM h8 GROUP BY 1""".stripMargin
+  }
+
   /** Per-group ordinary least squares (closed form): fit
     * `value ~ epoch_day(ts)` per event type from the same one-pass
     * sufficient statistics as [[qCorrStats]] — the trend-fitting step
@@ -296,6 +374,7 @@ object StatQueries {
     "q_corr_stats" -> (qCorrStats _),
     "q_anomaly_zscore" -> (qAnomalyZscore _),
     "q_zorder" -> (qZorder _),
+    "q_hilbert" -> (qHilbert _),
     "q_ols_by_group" -> (qOlsByGroup _),
     "q_auc" -> (qAuc _),
   )
@@ -304,6 +383,7 @@ object StatQueries {
     "q_corr_stats" -> qCorrStatsSql,
     "q_anomaly_zscore" -> qAnomalyZscoreSql,
     "q_zorder" -> qZorderSql,
+    "q_hilbert" -> qHilbertSql,
     "q_ols_by_group" -> qOlsByGroupSql,
     "q_auc" -> qAucSql,
   )

@@ -64,6 +64,34 @@ class StatRetrievalSpec extends SparkSpec {
     assert(mm.getLong(0) == 0L && mm.getLong(1) == 65535L)
   }
 
+  test("hilbert transform is a bijection whose consecutive cells are grid-adjacent") {
+    // bijection over the full 8-bit x 8-bit domain (the q_zorder morton
+    // test's dual) plus THE Hilbert property: successive d values are
+    // always one grid step apart — no quadrant jumps, which is exactly
+    // why it beats Morton for range locality
+    // the transform consumes x/y (rotation state) — carry the ORIGINAL
+    // coordinates along as passengers for the adjacency check
+    val dom = spark.range(65536)
+      .select((col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+      .withColumn("ox", col("x")).withColumn("oy", col("y"))
+    val keyed = StatQueries.hilbertKey(dom, Seq("ox", "oy"))
+    assert(keyed.select("d").distinct().count() == 65536L)
+    val mm = keyed.agg(min(col("d")), max(col("d"))).head()
+    assert(mm.getLong(0) == 0L && mm.getLong(1) == 65535L)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+    val jumps = keyed
+      .withColumn("px", lag(col("ox"), 1).over(w))
+      .withColumn("py", lag(col("oy"), 1).over(w))
+      .where(col("px").isNotNull &&
+        abs(col("ox") - col("px")) + abs(col("oy") - col("py")) =!= 1)
+      .count()
+    assert(jumps == 0L, s"$jumps consecutive-d pairs are not grid neighbours")
+    // and the declared query's blocks tile the corpus
+    val blocks = StatQueries.qHilbert(spark, dir).collect()
+    assert(blocks.map(_.getAs[Long]("n")).sum == Tables.events(spark, dir).count())
+    assert(blocks.forall(r => r.getAs[Long]("block") >= 0 && r.getAs[Long]("block") < 64))
+  }
+
   test("tfidf returns exactly one deterministic top term per tokenized doc") {
     val out = RetrievalQueries.qTfidf(spark, dir)
     val nDocs = Tables.documents(spark, dir)
