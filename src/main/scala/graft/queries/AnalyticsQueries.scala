@@ -302,10 +302,77 @@ object AnalyticsQueries {
       |SELECT cluster_rep, n_cells, n_points FROM clusters
       |UNION ALL SELECT cluster_rep, n_cells, n_points FROM noise""".stripMargin
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence — the behavioural "language model" of the event stream
+    * (and the exact relational shape of bigram LM estimation,
+    * q_bigram_lm, applied to sessions instead of words): next event
+    * via a per-user lead window (keyed, never global), transition
+    * counts by one (from, to) aggregate, probabilities as one IEEE
+    * divide of exact integer counts. */
+  def qMarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seq = Tables.events(spark, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+    val cnt = seq.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    cnt.join(tot, Seq("from_type"))
+      .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
+      .select("from_type", "to_type", "n", "n_from", "p")
+  }
+
+  val qMarkovTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM cnt GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n, t.n_from,
+      |  CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+      |FROM cnt c JOIN tot t ON c.from_type = t.from_type""".stripMargin
+
+  /** Retention cohort matrix — the product-analytics staple: users
+    * cohorted by their first-activity WEEK (epoch-day div 7 — the
+    * testdata spans one month, so weeks are the natural grain), then
+    * counted as retained in each subsequent week they appear. Week
+    * indices are pure integers, cohorts come from one per-user min
+    * aggregate, the matrix from one (cohort, offset) aggregate over
+    * distinct user-weeks — three keyed shuffles, no windows at all. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      expr("datediff(cast(ts AS date), to_date('1970-01-01')) div 7")
+        .cast("long").as("w"))
+    val active = ev.distinct()
+    val cohort = active.groupBy(col("user_id")).agg(min(col("w")).as("w0"))
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("w0").as("cohort_week"), (col("w") - col("w0")).as("weeks_since"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val qRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS w
+      |  FROM events),
+      |cohort AS (SELECT user_id, MIN(w) AS w0 FROM ev GROUP BY 1)
+      |SELECT c.w0 AS cohort_week, e.w - c.w0 AS weeks_since,
+      |  COUNT(*) AS n_users
+      |FROM ev e JOIN cohort c ON e.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
     "q_triangles" -> (qTriangles _),
     "q_density_cluster" -> (qDensityCluster _),
+    "q_markov_transitions" -> (qMarkovTransitions _),
+    "q_retention" -> (qRetention _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_attribution" -> (qAttribution _),
   )
@@ -314,6 +381,8 @@ object AnalyticsQueries {
     "q_pagerank" -> qPagerankSql,
     "q_triangles" -> qTrianglesSql,
     "q_density_cluster" -> qDensityClusterSql,
+    "q_markov_transitions" -> qMarkovTransitionsSql,
+    "q_retention" -> qRetentionSql,
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_attribution" -> qAttributionSql,
   )

@@ -370,7 +370,44 @@ object StatQueries {
       |    / (CAST(n_pos AS DOUBLE) * CAST(n_all - n_pos AS DOUBLE)) AS auc
       |FROM g CROSS JOIN tot""".stripMargin
 
+  /** Equi-depth (equal-count) binning of the value column into 8
+    * buckets — the quantile-binning step feature pipelines run
+    * before discretization, and the statistics a layout optimizer
+    * uses for range pruning. NTILE is the textbook spelling but
+    * plans as a partition-less window (the one-task funnel); the
+    * engine instead assigns global ranks via
+    * [[graft.operators.ScaleOps.globalRank]] (range-partition +
+    * partition offsets) and derives the bucket as integer
+    * (rank−1)·8 div n — bit-identical to the oracle's ROW_NUMBER
+    * formulation and exactly NTILE's split (the first n mod 8
+    * buckets get the extra row). All integers until none: min/max
+    * per bucket are raw column values. */
+  def qEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("value"))
+    val ranked = graft.operators.ScaleOps.globalRank(
+      ev, Seq(col("value"), col("event_id")), "rk")
+    val tot = ranked.agg(count(lit(1)).as("n_all"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket", expr("((rk - 1) * 8) div n_all"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+  }
+
+  val qEquidepthSql: String =
+    """WITH r AS (
+      |  SELECT value,
+      |    ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk
+      |  FROM events),
+      |tot AS (SELECT COUNT(*) AS n_all FROM r)
+      |SELECT ((rk - 1) * 8) // n_all AS bucket, COUNT(*) AS n,
+      |  MIN(value) AS min_v, MAX(value) AS max_v
+      |FROM r CROSS JOIN tot
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_equidepth" -> (qEquidepth _),
     "q_corr_stats" -> (qCorrStats _),
     "q_anomaly_zscore" -> (qAnomalyZscore _),
     "q_zorder" -> (qZorder _),
@@ -380,6 +417,7 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_equidepth" -> qEquidepthSql,
     "q_corr_stats" -> qCorrStatsSql,
     "q_anomaly_zscore" -> qAnomalyZscoreSql,
     "q_zorder" -> qZorderSql,

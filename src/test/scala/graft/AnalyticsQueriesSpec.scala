@@ -69,6 +69,50 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(lbls == 2, s"expected the two blobs as two components, got $lbls")
   }
 
+  test("markov transitions: rows normalize to 1, counts reconcile with sequences") {
+    val out = SparkEntry.queries("q_markov_transitions")(spark, dir).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+        r.getAs[Long]("n"), r.getAs[Long]("n_from"), r.getAs[Double]("p")))
+    assert(out.nonEmpty)
+    for ((from, rows) <- out.groupBy(_._1)) {
+      assert(rows.map(_._3).sum == rows.head._4, s"$from: n_from inconsistent")
+      val psum = rows.map(_._5).sum
+      assert(math.abs(psum - 1.0) < 1e-9, s"$from: row sums to $psum")
+    }
+    // every user contributes (events - 1) transitions
+    val ev = Tables.events(spark, dir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(out.map(_._3).sum == expected)
+  }
+
+  test("retention: offset-0 diagonal counts every user exactly once") {
+    val out = SparkEntry.queries("q_retention")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("weeks_since"),
+        r.getAs[Long]("n_users")))
+    assert(out.forall(_._2 >= 0))
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(out.filter(_._2 == 0L).map(_._3).sum == users,
+      "every user appears in their own cohort's week 0")
+    // retention can only shrink relative to the cohort size
+    for ((cohort, rows) <- out.groupBy(_._1)) {
+      val base = rows.find(_._2 == 0L).map(_._3).getOrElse(0L)
+      assert(rows.forall(_._3 <= base), s"cohort $cohort retains more than it started with")
+    }
+  }
+
+  test("equi-depth buckets differ by at most one row and are value-ordered") {
+    val out = SparkEntry.queries("q_equidepth")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n"),
+        r.getAs[Double]("min_v"), r.getAs[Double]("max_v")))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until 8L).toSeq)
+    assert(out.map(_._2).sum == Tables.events(spark, dir).count())
+    assert(out.map(_._2).max - out.map(_._2).min <= 1, "equi-depth violated")
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._4, s"bucket ${b._1} overlaps ${a._1}")
+    }
+  }
+
   test("feature hashing reconciles with token counts, sign parity holds") {
     val out = graft.queries.TextQueries.qFeatureHash(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("bucket"),
