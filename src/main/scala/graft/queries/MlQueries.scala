@@ -472,7 +472,105 @@ object MlQueries {
        |GROUP BY m.fold, m.n_train, m.n_test, m.slope, m.intercept""".stripMargin
   }
 
+  /** Multinomial naive Bayes language classifier — the TRAINED
+    * counterpart of the q_lang_id marker heuristic, and the shape of
+    * the fastText-style quality/language classifiers LLM data
+    * pipelines run over every document (CCNet/RefinedWeb use exactly
+    * this train-on-labels → score-the-corpus loop). Train on even
+    * doc_ids, score the held-out odd ones: add-one-smoothed per-class
+    * token likelihoods + log priors, argmax per document.
+    *
+    * Every stage is keyed: the model (cw) is a (class, word)
+    * aggregation joined back to test tokens on the same key; the
+    * 5-row class table, vocab size, and priors broadcast; the argmax
+    * is a per-doc window. Zero-token documents still classify on the
+    * prior alone via the test×class spine. Cross-engine determinism:
+    * each ln(·) floor-quantizes at 1e-9 to a long (the q_bigram_lm
+    * rule), sums are integer, tie-break is (scoreq DESC, class ASC).
+    * At 100 TB only cw scales with the corpus — and it shrinks to
+    * the vocabulary after one aggregation; scoring reads each token
+    * once per class. */
+  def qNbLang(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("t", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val test = docs.filter(col("doc_id") % 2 === 1)
+    val toks = train.select(col("lang"), explode(col("t")).as("w"))
+    val cw = toks.groupBy(col("lang").as("cls"), col("w"))
+      .agg(count(lit(1)).as("cw"))
+    val ct = toks.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("ct"))
+    val vocab = toks.select(col("w")).distinct().agg(count(lit(1)).as("v"))
+    val nTrain = train.agg(count(lit(1)).as("n_all"))
+    val prior = train.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(nTrain))
+      .withColumn("priorq",
+        floor(log(col("nd").cast("double") / col("n_all").cast("double")) * lit(1e9))
+          .cast("long"))
+      .select(col("cls"), col("priorq"))
+    val classes = ct.crossJoin(broadcast(vocab))
+    val testToks = test.select(col("doc_id"), explode(col("t")).as("w"))
+    val contrib = testToks
+      .crossJoin(broadcast(classes))
+      .join(cw, Seq("cls", "w"), "left")
+      .withColumn("lpq",
+        floor(log((coalesce(col("cw"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("ct").cast("double") + col("v").cast("double"))) * lit(1e9))
+          .cast("long"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("lpq")).as("sum_lpq"), count(lit(1)).as("n_tokens"))
+    val spine = test.select(col("doc_id"), col("lang")).crossJoin(broadcast(prior))
+    val scored = spine.join(contrib, Seq("doc_id", "cls"), "left")
+      .withColumn("scoreq", col("priorq") + coalesce(col("sum_lpq"), lit(0L)))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("scoreq").desc, col("cls").asc)
+    scored.withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang").as("actual_lang"),
+              col("cls").as("pred_lang"), col("scoreq"),
+              coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
+  val qNbLangSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS t
+      |  FROM documents),
+      |train AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+      |test AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+      |toks AS (SELECT lang, unnest(t) AS w FROM train),
+      |cw AS (SELECT lang AS cls, w, COUNT(*) AS cw FROM toks GROUP BY 1, 2),
+      |ct AS (SELECT lang AS cls, COUNT(*) AS ct FROM toks GROUP BY 1),
+      |vocab AS (SELECT COUNT(DISTINCT w) AS v FROM toks),
+      |ntr AS (SELECT COUNT(*) AS n_all FROM train),
+      |prior AS (
+      |  SELECT lang AS cls,
+      |    CAST(FLOOR(ln(CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(n.n_all) AS DOUBLE))
+      |      * 1e9) AS BIGINT) AS priorq
+      |  FROM train CROSS JOIN ntr n GROUP BY lang),
+      |tt AS (SELECT doc_id, unnest(t) AS w FROM test),
+      |contrib AS (
+      |  SELECT tt.doc_id, c.cls,
+      |    SUM(CAST(FLOOR(ln(
+      |        (CAST(COALESCE(cw.cw, 0) AS DOUBLE) + 1e0)
+      |          / (CAST(c.ct AS DOUBLE) + CAST(v.v AS DOUBLE))) * 1e9) AS BIGINT))
+      |      AS sum_lpq,
+      |    COUNT(*) AS n_tokens
+      |  FROM tt CROSS JOIN ct c CROSS JOIN vocab v
+      |  LEFT JOIN cw ON cw.cls = c.cls AND cw.w = tt.w
+      |  GROUP BY 1, 2),
+      |spine AS (SELECT te.doc_id, te.lang, p.cls, p.priorq FROM test te CROSS JOIN prior p),
+      |scored AS (
+      |  SELECT s.doc_id, s.lang, s.cls,
+      |    CAST(s.priorq + COALESCE(c.sum_lpq, 0) AS BIGINT) AS scoreq,
+      |    CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens
+      |  FROM spine s LEFT JOIN contrib c ON c.doc_id = s.doc_id AND c.cls = s.cls)
+      |SELECT doc_id, lang AS actual_lang, cls AS pred_lang, scoreq, n_tokens
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY scoreq DESC, cls ASC) AS rk
+      |      FROM scored)
+      |WHERE rk = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nb_lang" -> (qNbLang _),
     "q_kfold_ols" -> (qKfoldOls _),
     "q_knn_exact" -> (qKnnExact _),
     "q_knn_k20_exact" -> (qKnnK20Exact _),
@@ -487,6 +585,7 @@ object MlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_nb_lang" -> qNbLangSql,
     "q_kfold_ols" -> qKfoldOlsSql,
     "q_knn_exact" -> qKnnExactSql,
     "q_knn_k20_exact" -> qKnnK20ExactSql,

@@ -1129,6 +1129,51 @@ object RelationalQueries {
       |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** TPC-H Q12 shape (shipping-mode priority split) — the last of the
+    * 22 classic shapes: a fact-to-fact keyed join where the GROUP BY
+    * key lives on one side (lineitem's ship mode) and the CASE split
+    * lives on the other (orders' priority). Both sides are facts at
+    * scale, so the plan is a single orderkey-keyed shuffle join — the
+    * orders side carries only (key, priority), nothing else crosses
+    * the wire — followed by a two-row hash agg whose high/low counts
+    * come out of ONE pass (conditional sums, not two joins).
+    * Adaptation: this corpus has no l_shipmode/commitdate/receiptdate
+    * columns, so ship mode is a deterministic key-derived label
+    * (suppkey mod 3 → MAIL/SHIP/AIR, filtered to MAIL/SHIP exactly as
+    * Q12 does) and the receipt-year window is the shipdate year; the
+    * late-commit chain is out of reach of this schema (same gap noted
+    * at [[qTpchQ4]]) — the join/agg shape is the point. */
+  def qTpchQ12(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val modes = array(lit("MAIL"), lit("SHIP"), lit("AIR"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .withColumn("ship_mode",
+        element_at(modes, pmod(col("l_suppkey"), lit(3)).cast("int") + 1))
+      .filter(col("ship_mode").isin("MAIL", "SHIP"))
+      .select("l_orderkey", "ship_mode")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("ship_mode"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+  }
+
+  val qTpchQ12Sql: String =
+    """SELECT (['MAIL','SHIP','AIR'])[CAST(l_suppkey % 3 AS INT) + 1] AS ship_mode,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS low_line_count
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND (['MAIL','SHIP','AIR'])[CAST(l_suppkey % 3 AS INT) + 1] IN ('MAIL','SHIP')
+      |GROUP BY 1""".stripMargin
+
   /** The graded sketch tier (SURVEY §2.4's 100 TB distinct path —
     * closing the "spec-only" gap on [[graft.operators.Sketches]]):
     * exact aggregates and their sketch counterparts run side by side,
@@ -1416,6 +1461,7 @@ object RelationalQueries {
     "q_tpch_q9" -> (qTpchQ9 _),
     "q_tpch_q11" -> (qTpchQ11 _),
     "q_tpch_q16" -> (qTpchQ16 _),
+    "q_tpch_q12" -> (qTpchQ12 _),
     "q_distinct_approx" -> (qDistinctApprox _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_topk_per_group" -> (qTopkPerGroup _),
@@ -1458,6 +1504,7 @@ object RelationalQueries {
     "q_tpch_q9" -> qTpchQ9Sql,
     "q_tpch_q11" -> qTpchQ11Sql,
     "q_tpch_q16" -> qTpchQ16Sql,
+    "q_tpch_q12" -> qTpchQ12Sql,
     "q_distinct_approx" -> qDistinctApproxSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_topk_per_group" -> qTopkPerGroupSql,

@@ -311,7 +311,202 @@ object TimeSeriesQueries {
        |GROUP BY a.user_id, a.i, a.event_id""".stripMargin
   }
 
+  /** Last-observation-carried-forward gap fill — the imputation the
+    * reference's month-spine sentinel default (composite.py:251-256)
+    * and nearest-image fallback (dw.py:108-137) approximate: every
+    * (user, day) cell gets the most recent observed daily mean at
+    * or before it. The spine is the qMonthSpine cross of users ×
+    * days; the fill is ONE user-partitioned ordered window with
+    * `last(_, ignoreNulls)` — no self-join, no global window, shuffle
+    * keyed on user_id only (a 1000-executor cluster fills each user's
+    * bounded daily series locally). Leading gaps stay NULL (nothing
+    * to carry); `was_observed` marks fills apart from observations. */
+  def qLocf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val users = ev.select(col("user_id")).distinct()
+    val days = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("day")).distinct()
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(dmean(col("value")).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    users.crossJoin(days)
+      .join(purchases, Seq("user_id", "day"), "left")
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day"), col("filled"),
+              col("v").isNotNull.as("was_observed"))
+  }
+
+  val qLocfSql: String =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |m AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events),
+       |p AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+       |             ${dmeanSql("value")} AS v
+       |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT u.user_id, m.day, p.v
+       |  FROM u CROSS JOIN m
+       |  LEFT JOIN p ON p.user_id = u.user_id AND p.day = m.day)
+       |SELECT user_id, day,
+       |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+       |  v IS NOT NULL AS was_observed
+       |FROM spine""".stripMargin
+
+  /** Linear interpolation of interior gaps — the step past LOCF: a
+    * missing day between two observed ones gets the straight-line
+    * value between them, leading/trailing gaps extend the nearest
+    * observation. Four ignore-nulls windows (prev/next value and
+    * day index) over the user-keyed spine — still no self-join; the
+    * day index is the exact integer epoch-day, so the interpolation
+    * weight is one IEEE divide of two exact integer differences,
+    * identical on both engines. */
+  def qInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val users = ev.select(col("user_id")).distinct()
+    val days = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("day")).distinct()
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(dmean(col("value")).as("v"))
+    val idx = datediff(to_date(col("day")), lit("1970-01-01").cast("date")).cast("long")
+    val back = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsI = when(col("v").isNotNull, col("i"))
+    users.crossJoin(days)
+      .join(purchases, Seq("user_id", "day"), "left")
+      .withColumn("i", idx)
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("pi", last(obsI, ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("ni", first(obsI, ignoreNulls = true).over(fwd))
+      .withColumn("interp",
+        when(col("v").isNotNull, col("v"))
+        .when(col("pv").isNotNull && col("nv").isNotNull,
+          col("pv") + (col("nv") - col("pv")) *
+            ((col("i") - col("pi")).cast("double") /
+             (col("ni") - col("pi")).cast("double")))
+        .when(col("pv").isNotNull, col("pv"))
+        .otherwise(col("nv")))
+      .select(col("user_id"), col("day"), col("interp"),
+              col("v").isNotNull.as("was_observed"))
+  }
+
+  val qInterpolateSql: String =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |m AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events),
+       |p AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+       |             ${dmeanSql("value")} AS v
+       |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT u.user_id, m.day, p.v,
+       |    CAST(date_diff('day', DATE '1970-01-01', CAST(m.day AS DATE)) AS BIGINT) AS i
+       |  FROM u CROSS JOIN m
+       |  LEFT JOIN p ON p.user_id = u.user_id AND p.day = m.day),
+       |fill AS (
+       |  SELECT user_id, day, v, i,
+       |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+       |    last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+       |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+       |    first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY day
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+       |  FROM spine)
+       |SELECT user_id, day,
+       |  CASE WHEN v IS NOT NULL THEN v
+       |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+       |         pv + (nv - pv) * (CAST(i - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE))
+       |       WHEN pv IS NOT NULL THEN pv
+       |       ELSE nv END AS interp,
+       |  v IS NOT NULL AS was_observed
+       |FROM fill""".stripMargin
+
+  /** Autocorrelation function at lags 1–3 over each user's daily
+    * mean series — the seasonality probe a monthly-composite pipeline
+    * (monthly.py:722-735) runs before choosing its window length.
+    * acf_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)², computed in one
+    * user-keyed window pass: the three lags come from three `lead`s
+    * over the same ordered window (one shuffle), the per-user mean
+    * and denominator from the same unordered partition frame, and an
+    * unpivot fans the lags out AFTER the window so the series is read
+    * once. Both sums floor-quantize products to longs (the Exact rule)
+    * so partition order can't move a ulp; the final ratio is one
+    * integer-over-integer IEEE divide. */
+  def qAcf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(dmean(col("value")).as("v"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("user_id"))
+    val base = daily
+      .withColumn("xbar",
+        sum(col("v").cast(Dec)).over(wAll).cast("double") /
+          count(lit(1)).over(wAll))
+      .withColumn("denq",
+        sum(floor((col("v") - col("xbar")) * (col("v") - col("xbar")) *
+          lit(1000000.0)).cast("long")).over(wAll))
+      .withColumn("l1", lead(col("v"), 1).over(wOrd))
+      .withColumn("l2", lead(col("v"), 2).over(wOrd))
+      .withColumn("l3", lead(col("v"), 3).over(wOrd))
+    base.select(col("user_id"), col("v"), col("xbar"), col("denq"),
+        expr("stack(3, 1, l1, 2, l2, 3, l3)").as(Seq("lag", "lv")))
+      .filter(col("lv").isNotNull)
+      .groupBy(col("user_id"), col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(floor((col("v") - col("xbar")) * (col("lv") - col("xbar")) *
+          lit(1000000.0)).cast("long")).as("numq"),
+        first(col("denq")).as("dq"))
+      .filter(col("dq") > 0L)
+      .withColumn("acf", col("numq").cast("double") / col("dq").cast("double"))
+      .select(col("user_id"), col("lag").cast("int").as("lag"),
+              col("n_pairs"), col("acf"))
+  }
+
+  val qAcfSql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+       |         ${dmeanSql("value")} AS v
+       |  FROM events GROUP BY 1, 2),
+       |base AS (
+       |  SELECT user_id, day, v,
+       |    CAST(SUM(CAST(v AS DECIMAL(25,6))) OVER (PARTITION BY user_id) AS DOUBLE)
+       |      / COUNT(*) OVER (PARTITION BY user_id) AS xbar,
+       |    lead(v, 1) OVER (PARTITION BY user_id ORDER BY day) AS l1,
+       |    lead(v, 2) OVER (PARTITION BY user_id ORDER BY day) AS l2,
+       |    lead(v, 3) OVER (PARTITION BY user_id ORDER BY day) AS l3
+       |  FROM daily),
+       |den AS (
+       |  SELECT user_id, day, v, xbar, l1, l2, l3,
+       |    SUM(CAST(FLOOR((v - xbar) * (v - xbar) * 1000000.0) AS BIGINT))
+       |      OVER (PARTITION BY user_id) AS denq
+       |  FROM base),
+       |pairs AS (
+       |  SELECT user_id, v, xbar, denq, lag, lv FROM (
+       |    SELECT user_id, v, xbar, denq,
+       |      unnest([{'lag': 1, 'lv': l1}, {'lag': 2, 'lv': l2},
+       |              {'lag': 3, 'lv': l3}], recursive := true)
+       |    FROM den)
+       |  WHERE lv IS NOT NULL)
+       |SELECT user_id, CAST(lag AS INT) AS lag, COUNT(*) AS n_pairs,
+       |  CAST(SUM(CAST(FLOOR((v - xbar) * (lv - xbar) * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |    / CAST(ANY_VALUE(denq) AS DOUBLE) AS acf
+       |FROM pairs
+       |GROUP BY user_id, lag
+       |HAVING ANY_VALUE(denq) > 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_locf" -> (qLocf _),
+    "q_interpolate" -> (qInterpolate _),
+    "q_acf" -> (qAcf _),
     "q_ewma" -> (qEwma _),
     "q_sessionize" -> (qSessionize _),
     "q_rolling_range" -> (qRollingRange _),
@@ -324,6 +519,9 @@ object TimeSeriesQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_locf" -> qLocfSql,
+    "q_interpolate" -> qInterpolateSql,
+    "q_acf" -> qAcfSql,
     "q_ewma" -> qEwmaSql,
     "q_sessionize" -> qSessionizeSql,
     "q_rolling_range" -> qRollingRangeSql,

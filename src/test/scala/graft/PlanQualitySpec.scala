@@ -198,6 +198,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(lineitemScans == 1, s"expected exactly 1 lineitem scan, got $lineitemScans:\n$p")
   }
 
+  test("TPC-H Q12 joins fact-to-fact keyed on orderkey, split in one agg pass") {
+    val p = executedPlan("q_tpch_q12")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the ship-date window is pushed into the lineitem scan
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // high/low counts come from ONE aggregation over the joined rows —
+    // a second orders or lineitem scan would mean two joins crept in
+    val factScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && (l.contains("lineitem") || l.contains("orders")))
+    assert(factScans == 2, s"expected exactly 1 lineitem + 1 orders scan:\n$p")
+  }
+
+  test("gap-fill family stays windowed per user: no self-join, no global window") {
+    for (q <- Seq("q_locf", "q_interpolate", "q_acf")) {
+      val p = executedPlan(q)
+      assert(!p.contains("CartesianProduct") ||
+        // the user×day spine cross of two tiny distinct sets is the one
+        // sanctioned product (bounded: |users| × |days|, both group-bys)
+        q != "q_acf", s"$q:\n$p")
+      // every window is keyed on user_id — a partition-less window
+      // would serialize the whole corpus through one task
+      val globalWindows = p.linesIterator.count(l =>
+        l.contains("Window") && l.contains("windowspecdefinition()") )
+      assert(globalWindows == 0, s"$q has a partition-less window:\n$p")
+    }
+    // ACF reads the daily series once: one events scan feeds all 3 lags
+    val pAcf = executedPlan("q_acf")
+    val evScans = pAcf.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(evScans == 1, s"expected 1 events scan for q_acf:\n$pAcf")
+  }
+
   test("semdedup pairs only within clusters (equi-join on cid), keeper below duplicate") {
     val p = executedPlan("q_semdedup")
     assert(!p.contains("CartesianProduct"), p)
