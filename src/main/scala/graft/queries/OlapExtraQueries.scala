@@ -336,7 +336,99 @@ object OlapExtraQueries {
       |  UNION ALL SELECT '3_purchase', user_id FROM purchased)
       |SELECT stage, COUNT(*) AS users FROM stages GROUP BY 1""".stripMargin
 
+  /** SCD type-2 interval construction — the ETL shape that turns an
+    * event log into a slowly-changing-dimension table: per user, runs
+    * of the same event_type collapse to one validity interval
+    * [valid_from, valid_to), the last interval left open (NULL
+    * valid_to = current). Classic gaps-and-islands: a lag-change flag,
+    * a running sum as the island id (both over ONE user-keyed ordered
+    * window), one groupBy for the interval bounds, and a lead for the
+    * exclusive end. Timestamps compare at integer microseconds (the
+    * q_funnel rule). No self-join, no global window — the per-user
+    * series is the unit of work at any scale. */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byStart = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    Tables.events(spark, dir)
+      .withColumn("tus", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"), col("tus"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+             lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("chg")).over(run))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(first(col("event_type")).as("attr_value"),
+        min(col("tus")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byStart))
+      .select("user_id", "attr_value", "valid_from", "valid_to", "n_events")
+  }
+
+  val qScd2Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
+      |    CASE WHEN lag(event_type, 1) OVER w IS NULL
+      |           OR lag(event_type, 1) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |grouped AS (
+      |  SELECT user_id, event_id, tus, event_type,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM flagged),
+      |intervals AS (
+      |  SELECT user_id, grp, ANY_VALUE(event_type) AS attr_value,
+      |    MIN(tus) AS valid_from, COUNT(*) AS n_events
+      |  FROM grouped GROUP BY user_id, grp)
+      |SELECT user_id, attr_value, valid_from,
+      |  lead(valid_from, 1) OVER (PARTITION BY user_id ORDER BY valid_from)
+      |    AS valid_to,
+      |  n_events
+      |FROM intervals""".stripMargin
+
+  /** Per-group Pareto frontier (skyline) — the multi-objective top-k
+    * of the OLAP surface: within each brand, the parts not strictly
+    * dominated on (price, size) by any other part (no other part both
+    * strictly cheaper AND strictly smaller). One brand-keyed window
+    * ordered by exact integer price-cents: the running min of size
+    * over STRICTLY cheaper rows (a range frame ending at −1) decides
+    * domination — no quadratic NOT-EXISTS self-join, which is exactly
+    * the rewrite that survives a 100× part table. The DuckDB oracle
+    * states the quadratic definition directly, proving the window
+    * rewrite equivalent. */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("p_retailprice") * 100).cast("long")
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("price_cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"),
+        cents.as("price_cents"))
+      .withColumn("min_size_cheaper", min(col("p_size")).over(w))
+      .filter(col("min_size_cheaper").isNull ||
+              col("min_size_cheaper") >= col("p_size"))
+      .select("p_brand", "p_partkey", "price_cents", "p_size")
+  }
+
+  val qSkylineSql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_brand, p_size,
+      |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+      |  FROM part)
+      |SELECT a.p_brand, a.p_partkey, a.price_cents, a.p_size
+      |FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p d
+      |  WHERE d.p_brand = a.p_brand
+      |    AND d.price_cents < a.price_cents
+      |    AND d.p_size < a.p_size)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> (qScd2 _),
+    "q_skyline" -> (qSkyline _),
     "q_quantiles" -> (qQuantiles _),
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -353,6 +445,8 @@ object OlapExtraQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scd2" -> qScd2Sql,
+    "q_skyline" -> qSkylineSql,
     "q_quantiles" -> qQuantilesSql,
     "q_cube" -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,

@@ -406,7 +406,111 @@ object StatQueries {
       |FROM r CROSS JOIN tot
       |GROUP BY 1""".stripMargin
 
+  /** Pearson chi-squared independence statistic over the
+    * event_type × (user_id mod 4) contingency table — the categorical
+    * association test a feature-selection pass runs before training
+    * (the reference's class-balance checks, cropharvest_eval.py:
+    * 286-293, are the same contingency arithmetic). One keyed
+    * aggregation builds the cells; row/column marginals are two more
+    * tiny aggregations broadcast back; each cell's (o−e)²/e is a
+    * per-row computed double (bit-exact across engines) and the final
+    * sum floor-quantizes (cells are few, but partition order still
+    * varies). dof comes from the observed marginal cardinalities. */
+  def qChi2(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), pmod(col("user_id"), lit(4)).cast("int").as("bucket"))
+    val cells = ev.groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("o"))
+    val rt = ev.groupBy(col("event_type")).agg(count(lit(1)).as("rt"))
+    val ct = ev.groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val n = ev.agg(count(lit(1)).as("n"))
+    cells.join(broadcast(rt), "event_type")
+      .join(broadcast(ct), "bucket")
+      .crossJoin(broadcast(n))
+      .withColumn("e",
+        col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double"))
+      .withColumn("term",
+        (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e")) / col("e"))
+      .agg(
+        qsum(col("term")).as("chi2"),
+        ((countDistinct(col("event_type")) - 1) *
+         (countDistinct(col("bucket")) - 1)).as("dof"),
+        first(col("n")).as("n"))
+  }
+
+  val qChi2Sql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(user_id % 4 AS INT) AS bucket FROM events),
+       |cells AS (SELECT event_type, bucket, COUNT(*) AS o FROM ev GROUP BY 1, 2),
+       |rt AS (SELECT event_type, COUNT(*) AS rt FROM ev GROUP BY 1),
+       |ct AS (SELECT bucket, COUNT(*) AS ct FROM ev GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n FROM ev),
+       |terms AS (
+       |  SELECT c.event_type, c.bucket, c.o, t.n,
+       |    (CAST(c.o AS DOUBLE)
+       |       - CAST(r.rt AS DOUBLE) * CAST(col.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+       |    * (CAST(c.o AS DOUBLE)
+       |       - CAST(r.rt AS DOUBLE) * CAST(col.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+       |    / (CAST(r.rt AS DOUBLE) * CAST(col.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+       |      AS term
+       |  FROM cells c JOIN rt r ON c.event_type = r.event_type
+       |  JOIN ct col ON c.bucket = col.bucket
+       |  CROSS JOIN tot t)
+       |SELECT ${qsumSql("term")} AS chi2,
+       |  CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT bucket) - 1) AS BIGINT)
+       |    AS dof,
+       |  CAST(ANY_VALUE(n) AS BIGINT) AS n
+       |FROM terms""".stripMargin
+
+  /** Median-absolute-deviation robust outlier scan — the robust
+    * counterpart of q_anomaly_zscore: mean/std move with the outliers
+    * they're meant to find; the median and MAD don't (50% breakdown).
+    * Per event_type: med = exact median, MAD = exact median of
+    * |x − med|, outlier ⇔ |x − med| > 5·MAD. Two keyed aggregation
+    * passes plus a broadcast join back — at scale each pass swaps to
+    * the KLL sketch (q_quantile_sketch) without changing the plan
+    * shape. Degenerate MAD = 0 groups gate the ratio behind a CASE so
+    * no NaN/Inf crosses an engine boundary. */
+  def qMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("ratio",
+        when(col("mad") > 0.0, col("dev") / col("mad")).otherwise(lit(0.0)))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("ratio") > 5.0, 1L).otherwise(0L)).as("n_outliers"),
+        max(col("ratio")).as("max_ratio"))
+  }
+
+  val qMadOutliersSql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+      |  FROM events e JOIN med m ON e.event_type = m.event_type),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type, COUNT(*) AS n,
+      |  ANY_VALUE(d.med) AS med, ANY_VALUE(a.mad) AS mad,
+      |  CAST(SUM(CASE WHEN (CASE WHEN a.mad > 0.0 THEN d.dev / a.mad ELSE 0.0 END) > 5.0
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  MAX(CASE WHEN a.mad > 0.0 THEN d.dev / a.mad ELSE 0.0 END) AS max_ratio
+      |FROM dev d JOIN mad a ON d.event_type = a.event_type
+      |GROUP BY d.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chi2" -> (qChi2 _),
+    "q_mad_outliers" -> (qMadOutliers _),
     "q_equidepth" -> (qEquidepth _),
     "q_corr_stats" -> (qCorrStats _),
     "q_anomaly_zscore" -> (qAnomalyZscore _),
@@ -417,6 +521,8 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_chi2" -> qChi2Sql,
+    "q_mad_outliers" -> qMadOutliersSql,
     "q_equidepth" -> qEquidepthSql,
     "q_corr_stats" -> qCorrStatsSql,
     "q_anomaly_zscore" -> qAnomalyZscoreSql,

@@ -1022,7 +1022,52 @@ object TextQueries {
       |CROSS JOIN vocab v
       |GROUP BY b.doc_id""".stripMargin
 
+  /** Edit-distance fuzzy near-dup join — the character-level member
+    * of the dedup family (MinHash/SimHash are token/bit-level; OCR
+    * noise, typo variants, and template drift show up as small edit
+    * distances the shingle methods can miss). Declared predicate:
+    * same lang, |n_chars difference| ≤ 25, and Levenshtein distance
+    * of the 40-char lowercase prefixes ≤ 10, over ordered pairs.
+    *
+    * The engine never forms all pairs: candidates come from a keyed
+    * equi-join on (lang, length-bucket) with the left side probing
+    * buckets {b−1, b, b+1} — any pair within 25 chars of each other
+    * lands in the same or adjacent floor(n_chars/25) buckets, so the
+    * banding is COMPLETE for the declared predicate, and the DuckDB
+    * oracle proves it by brute-forcing all same-lang pairs (the
+    * q_simhash trick). A pair matches exactly one probe bucket, so
+    * no dedup pass is needed. At 100 TB the bucket key keeps the
+    * join shuffle-partitionable and the 3× probe fan-out is the
+    * entire overhead; the O(40²) DP per candidate is the cost lever
+    * the bucketing bounds. */
+  def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        substring(lower(col("text")), 1, 40).as("prefix"),
+        expr("n_chars div 25").as("b"))
+    val probes = docs.withColumn("pb",
+      explode(array(col("b") - 1, col("b"), col("b") + 1)))
+    probes.as("a").join(docs.as("c"),
+        col("a.lang") === col("c.lang") && col("a.pb") === col("c.b") &&
+        col("a.doc_id") < col("c.doc_id"))
+      .filter(abs(col("a.n_chars") - col("c.n_chars")) <= 25)
+      .withColumn("ed", levenshtein(col("a.prefix"), col("c.prefix")))
+      .filter(col("ed") <= 10)
+      .select(col("a.doc_id").as("a_id"), col("c.doc_id").as("b_id"),
+              col("ed"), col("a.lang").as("lang"))
+  }
+
+  val qFuzzyJoinSql: String =
+    """SELECT a.doc_id AS a_id, c.doc_id AS b_id,
+      |  levenshtein(substr(lower(a.text), 1, 40), substr(lower(c.text), 1, 40)) AS ed,
+      |  a.lang AS lang
+      |FROM documents a JOIN documents c
+      |  ON a.lang = c.lang AND a.doc_id < c.doc_id
+      |WHERE abs(a.n_chars - c.n_chars) <= 25
+      |  AND levenshtein(substr(lower(a.text), 1, 40), substr(lower(c.text), 1, 40)) <= 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_cms_guarantee" -> (qCmsGuarantee _),
     "q_feature_hash" -> (qFeatureHash _),
@@ -1053,6 +1098,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fuzzy_join" -> qFuzzyJoinSql,
     "q_bigram_lm" -> qBigramLmSql,
     "q_cms_guarantee" -> qCmsGuaranteeSql,
     "q_feature_hash" -> qFeatureHashSql,

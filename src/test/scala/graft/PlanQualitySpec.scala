@@ -231,6 +231,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(evScans == 1, s"expected 1 events scan for q_acf:\n$pAcf")
   }
 
+  test("fuzzy join generates candidates from the (lang, bucket) equi-join, never all pairs") {
+    val p = executedPlan("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("skyline is the windowed rewrite: one part scan, no quadratic self-join") {
+    val p = executedPlan("q_skyline")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+    val partScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("part"))
+    assert(partScans == 1, s"expected 1 part scan (the NOT-EXISTS rewrite doubles it):\n$p")
+  }
+
+  test("naive Bayes scores every held-out doc; model joins are keyed, classes broadcast") {
+    val p = executedPlan("q_nb_lang")
+    assert(!p.contains("CartesianProduct"), p)
+    val rows = SparkEntry.queries("q_nb_lang")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val langs = Set("de", "en", "es", "fr", "zh")
+    for (r <- rows) {
+      assert(langs.contains(r.getAs[String]("pred_lang")))
+      // log-probability scores are strictly negative by construction
+      assert(r.getAs[Long]("scoreq") < 0L, s"non-negative log score: $r")
+    }
+    // exactly one prediction per held-out doc
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+  }
+
   test("semdedup pairs only within clusters (equi-join on cid), keeper below duplicate") {
     val p = executedPlan("q_semdedup")
     assert(!p.contains("CartesianProduct"), p)
