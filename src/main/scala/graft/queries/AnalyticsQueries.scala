@@ -367,7 +367,130 @@ object AnalyticsQueries {
       |FROM ev e JOIN cohort c ON e.user_id = c.user_id
       |GROUP BY 1, 2""".stripMargin
 
+  /** Association-rule mining, 2-itemsets (market-basket lift): parts
+    * co-purchased in the same order with support ≥ 3, scored by
+    * confidence and lift. The pair generation is the canonical
+    * basket-bounded self-join — keyed on l_orderkey, so fan-out per
+    * order is (items-per-order choose 2), never corpus-quadratic;
+    * min-support prunes before the metric joins, which key on part.
+    * Counts stay integers end-to-end; confidence and lift are each
+    * ONE division/expression over exact integers, identical across
+    * engines. At 100 TB this is the a-priori candidate step — the
+    * same plan with a hashed-aggregate pair count. */
+  def qAssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val supp = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
+    val nOrders = b.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    b.as("a").join(b.as("c"),
+        col("a.l_orderkey") === col("c.l_orderkey") &&
+        col("a.l_partkey") < col("c.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("c.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= 3)
+      .join(supp.select(col("l_partkey").as("part_a"), col("supp").as("supp_a")), "part_a")
+      .join(supp.select(col("l_partkey").as("part_b"), col("supp").as("supp_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("conf_ab",
+        col("supp_ab").cast("double") / col("supp_a").cast("double"))
+      .withColumn("lift",
+        col("supp_ab").cast("double") * col("n_orders").cast("double") /
+          (col("supp_a").cast("double") * col("supp_b").cast("double")))
+      .select("part_a", "part_b", "supp_ab", "supp_a", "supp_b", "conf_ab", "lift")
+  }
+
+  val qAssocRulesSql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |supp AS (SELECT l_partkey, COUNT(*) AS supp FROM b GROUP BY 1),
+      |no AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, c.l_partkey AS part_b, COUNT(*) AS supp_ab
+      |  FROM b a JOIN b c
+      |    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 3)
+      |SELECT p.part_a, p.part_b, CAST(p.supp_ab AS BIGINT) AS supp_ab,
+      |  CAST(sa.supp AS BIGINT) AS supp_a, CAST(sb.supp AS BIGINT) AS supp_b,
+      |  CAST(p.supp_ab AS DOUBLE) / CAST(sa.supp AS DOUBLE) AS conf_ab,
+      |  CAST(p.supp_ab AS DOUBLE) * CAST(no.n_orders AS DOUBLE)
+      |    / (CAST(sa.supp AS DOUBLE) * CAST(sb.supp AS DOUBLE)) AS lift
+      |FROM pairs p
+      |JOIN supp sa ON sa.l_partkey = p.part_a
+      |JOIN supp sb ON sb.l_partkey = p.part_b
+      |CROSS JOIN no""".stripMargin
+
+  /** Cross-user concurrent-session detection — the interval-overlap
+    * join: pairs of sessions (different users, both with ≥ 2 events)
+    * whose [start, end] spans intersect. Sessions come from the
+    * q_sessionize gaps-and-islands pass; the pair generation is
+    * BIN-BLOCKED, not all-pairs: each session explodes to the hour
+    * buckets it covers and candidates equi-join on the bucket — two
+    * overlapping intervals both cover the bucket containing their
+    * intersection start, so the blocking is complete; the exact span
+    * predicate then filters, and a groupBy collapses multi-bucket
+    * duplicates. The DuckDB oracle brute-forces all session pairs
+    * with the same predicate, proving blocked completeness. At scale
+    * the bucket key is the shuffle key; bucket width trades fan-out
+    * (intervals spanning many buckets) against candidate density —
+    * the q_spatial_join grid argument in time. */
+  def qIntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 1800000L, 1)
+        .otherwise(0))
+      .withColumn("session_id", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(unix_micros(min(col("ts"))).as("st"),
+        unix_micros(max(col("ts"))).as("en"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    val hourUs = 3600L * 1000000L
+    val binned = sess.withColumn("bucket",
+      explode(expr(s"sequence(st div $hourUs, en div $hourUs)")))
+    binned.as("a").join(binned.as("c"),
+        col("a.bucket") === col("c.bucket") &&
+        col("a.user_id") < col("c.user_id") &&
+        col("a.st") <= col("c.en") && col("c.st") <= col("a.en"))
+      .groupBy(
+        col("a.user_id").as("user_a"), col("a.session_id").as("session_a"),
+        col("c.user_id").as("user_b"), col("c.session_id").as("session_b"))
+      .agg(
+        (least(first(col("a.en")), first(col("c.en"))) -
+         greatest(first(col("a.st")), first(col("c.st")))).as("overlap_us"))
+  }
+
+  val qIntervalOverlapSql: String =
+    """WITH b AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1
+      |         ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM b),
+      |sess AS (
+      |  SELECT user_id, session_id,
+      |    epoch_us(MIN(ts)) AS st, epoch_us(MAX(ts)) AS en, COUNT(*) AS n
+      |  FROM s GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2)
+      |SELECT a.user_id AS user_a, a.session_id AS session_a,
+      |  c.user_id AS user_b, c.session_id AS session_b,
+      |  least(a.en, c.en) - greatest(a.st, c.st) AS overlap_us
+      |FROM sess a JOIN sess c
+      |  ON a.user_id < c.user_id AND a.st <= c.en AND c.st <= a.en""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assoc_rules" -> (qAssocRules _),
+    "q_interval_overlap" -> (qIntervalOverlap _),
     "q_pagerank" -> (qPagerank _),
     "q_triangles" -> (qTriangles _),
     "q_density_cluster" -> (qDensityCluster _),
@@ -378,6 +501,8 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_assoc_rules" -> qAssocRulesSql,
+    "q_interval_overlap" -> qIntervalOverlapSql,
     "q_pagerank" -> qPagerankSql,
     "q_triangles" -> qTrianglesSql,
     "q_density_cluster" -> qDensityClusterSql,

@@ -508,7 +508,77 @@ object StatQueries {
       |FROM dev d JOIN mad a ON d.event_type = a.event_type
       |GROUP BY d.event_type""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov statistic (click vs purchase value
+    * distributions) — the distribution-drift gate a data pipeline
+    * runs between corpus vintages before retraining. D = max over the
+    * merged order of |F̂₁ − F̂₂|, computed EXACTLY in integers:
+    * |i₁·n₂ − i₂·n₁| at each merged position, one final divide by
+    * n₁·n₂. No partition-less window anywhere: the merged rank and
+    * both per-sample ranks come from [[graft.operators.ScaleOps
+    * .globalRank]] (range-partition + zipWithIndex), so the CDF walk
+    * distributes — the per-sample rank of a row and its merged rank
+    * give the other sample's prefix count by subtraction. Ties
+    * across samples break by (value, sample, event_id) — the step
+    * function is evaluated at every merged position, which equals
+    * the classic statistic when no cross-sample value ties exist. */
+  def qKsTest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ScaleOps
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("value"),
+        when(col("event_type") === "click", 0).otherwise(1).as("s"))
+    def sortCols = Seq(col("value"), col("s"), col("event_id"))
+    val merged = ScaleOps.globalRank(ev, sortCols, "r")
+    val perSample =
+      ScaleOps.globalRank(ev.filter(col("s") === 0), sortCols, "rs")
+        .unionByName(
+          ScaleOps.globalRank(ev.filter(col("s") === 1), sortCols, "rs"))
+        .select(col("event_id"), col("rs"))
+    val n = ev.groupBy().agg(
+      sum(when(col("s") === 0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("s") === 1, 1L).otherwise(0L)).as("n2"))
+    merged.join(perSample, "event_id")
+      .crossJoin(broadcast(n))
+      .withColumn("i1", when(col("s") === 0, col("rs")).otherwise(col("r") - col("rs")))
+      .withColumn("i2", col("r") - col("i1"))
+      .withColumn("d_num", abs(col("i1") * col("n2") - col("i2") * col("n1")))
+      .groupBy()
+      .agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+        max(col("d_num")).as("ks_num"))
+      .withColumn("ks",
+        col("ks_num").cast("double") / (col("n1") * col("n2")).cast("double"))
+  }
+
+  val qKsTestSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, value,
+      |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS s
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |m AS (
+      |  SELECT event_id, s,
+      |    ROW_NUMBER() OVER (ORDER BY value, s, event_id) AS r,
+      |    ROW_NUMBER() OVER (PARTITION BY s ORDER BY value, s, event_id) AS rs
+      |  FROM ev),
+      |n AS (
+      |  SELECT SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS n1,
+      |         SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n2
+      |  FROM ev),
+      |d AS (
+      |  SELECT n.n1, n.n2,
+      |    abs((CASE WHEN m.s = 0 THEN m.rs ELSE m.r - m.rs END) * n.n2
+      |      - (m.r - (CASE WHEN m.s = 0 THEN m.rs ELSE m.r - m.rs END)) * n.n1)
+      |      AS d_num
+      |  FROM m CROSS JOIN n)
+      |SELECT CAST(ANY_VALUE(n1) AS BIGINT) AS n1,
+      |  CAST(ANY_VALUE(n2) AS BIGINT) AS n2,
+      |  CAST(MAX(d_num) AS BIGINT) AS ks_num,
+      |  CAST(CAST(MAX(d_num) AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(ANY_VALUE(n1) AS BIGINT) * CAST(ANY_VALUE(n2) AS BIGINT) AS DOUBLE)
+      |    AS ks
+      |FROM d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test" -> (qKsTest _),
     "q_chi2" -> (qChi2 _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_equidepth" -> (qEquidepth _),
@@ -521,6 +591,7 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ks_test" -> qKsTestSql,
     "q_chi2" -> qChi2Sql,
     "q_mad_outliers" -> qMadOutliersSql,
     "q_equidepth" -> qEquidepthSql,

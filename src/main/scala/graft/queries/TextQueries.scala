@@ -1066,7 +1066,67 @@ object TextQueries {
       |WHERE abs(a.n_chars - c.n_chars) <= 25
       |  AND levenshtein(substr(lower(a.text), 1, 40), substr(lower(c.text), 1, 40)) <= 10""".stripMargin
 
+  /** Pointwise-mutual-information feature selection: the top-5 most
+    * class-discriminative tokens per language by
+    * PMI = ln(p(w|c) / p(w)), min count 20 — the vocabulary-pruning
+    * step that picks the features a classifier like [[qNbLang]]
+    * actually needs (and the same arithmetic as TF-IDF's rarity
+    * weighting, but against class priors). Three keyed aggregations
+    * (class-token, token, class totals) + a 1-row broadcast corpus
+    * count; PMI is one quantized ln of an exact-integer ratio (the
+    * q_bigram_lm rule); the per-class top-5 is a class-keyed window
+    * with (pmiq DESC, w ASC) tie-break. */
+  def qPmiTokens(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .withColumn("t", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .select(col("lang"), explode(col("t")).as("w"))
+    val cw = toks.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cw"))
+    val cWord = toks.groupBy(col("w")).agg(count(lit(1)).as("c_all"))
+    val cTot = toks.groupBy(col("lang")).agg(count(lit(1)).as("ct"))
+    val n = toks.agg(count(lit(1)).as("n_tot"))
+    val wTop = Window.partitionBy(col("lang"))
+      .orderBy(col("pmiq").desc, col("w").asc)
+    cw.filter(col("cw") >= 20)
+      .join(cWord, "w")
+      .join(broadcast(cTot), "lang")
+      .crossJoin(broadcast(n))
+      .withColumn("pmiq",
+        floor(log((col("cw").cast("double") * col("n_tot").cast("double")) /
+            (col("ct").cast("double") * col("c_all").cast("double"))) * lit(1e9))
+          .cast("long"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("w"), col("cw"), col("pmiq"))
+  }
+
+  val qPmiTokensSql: String =
+    """WITH toks AS (
+      |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |  FROM documents),
+      |cw AS (SELECT lang, w, COUNT(*) AS cw FROM toks GROUP BY 1, 2),
+      |cword AS (SELECT w, COUNT(*) AS c_all FROM toks GROUP BY 1),
+      |ctot AS (SELECT lang, COUNT(*) AS ct FROM toks GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_tot FROM toks),
+      |scored AS (
+      |  SELECT cw.lang, cw.w, cw.cw,
+      |    CAST(FLOOR(ln(
+      |        (CAST(cw.cw AS DOUBLE) * CAST(n.n_tot AS DOUBLE))
+      |          / (CAST(ctot.ct AS DOUBLE) * CAST(cword.c_all AS DOUBLE))) * 1e9)
+      |      AS BIGINT) AS pmiq
+      |  FROM cw
+      |  JOIN cword ON cword.w = cw.w
+      |  JOIN ctot ON ctot.lang = cw.lang
+      |  CROSS JOIN n
+      |  WHERE cw.cw >= 20)
+      |SELECT lang, rk, w, cw, pmiq FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY pmiq DESC, w ASC) AS rk
+      |  FROM scored)
+      |WHERE rk <= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pmi_tokens" -> (qPmiTokens _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_cms_guarantee" -> (qCmsGuarantee _),
@@ -1098,6 +1158,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pmi_tokens" -> qPmiTokensSql,
     "q_fuzzy_join" -> qFuzzyJoinSql,
     "q_bigram_lm" -> qBigramLmSql,
     "q_cms_guarantee" -> qCmsGuaranteeSql,

@@ -262,6 +262,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
   }
 
+  test("basket pair-generation and interval overlap are keyed joins, never all-pairs") {
+    for (q <- Seq("q_assoc_rules", "q_interval_overlap")) {
+      val p = executedPlan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // the only nested-loop allowed is the 1-row totals broadcast
+      // (crossJoin against a single-row aggregate); the PAIR join must
+      // stay a hash join on its key
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, s"$q:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("KS statistic has no partition-less window: ranks come from the range-partition path") {
+    val p = executedPlan("q_ks_test")
+    assert(!p.contains("CartesianProduct"), p)
+    // the engine path is globalRank (zipWithIndex), not Window.orderBy —
+    // any Window node here means the partition-less rank crept back in
+    assert(!p.contains("RunningWindowFunction") &&
+      !p.linesIterator.exists(l => l.contains("Window") && l.contains("windowspecdefinition(")),
+      s"q_ks_test uses a window:\n$p")
+  }
+
   test("semdedup pairs only within clusters (equi-join on cid), keeper below duplicate") {
     val p = executedPlan("q_semdedup")
     assert(!p.contains("CartesianProduct"), p)
