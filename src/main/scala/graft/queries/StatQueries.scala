@@ -577,7 +577,164 @@ object StatQueries {
       |    AS ks
       |FROM d""".stripMargin
 
+  /** Winsorized mean per event_type — the robust-aggregation member
+    * between plain mean (outlier-hostage) and median (discards
+    * magnitude): clamp to the exact [p05, p95] quantiles, then
+    * aggregate the clamped values. Two passes: one exact-percentile
+    * aggregation broadcast back, one clamp + quantized-mean pass.
+    * The clamp is per-row least/greatest (bit-exact); the mean of
+    * COMPUTED doubles floor-quantizes (the Exact.qmean rule). */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type")).agg(
+      percentile(col("value"), lit(0.05)).as("p05"),
+      percentile(col("value"), lit(0.95)).as("p95"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("w", least(greatest(col("value"), col("p05")), col("p95")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        first(col("p05")).as("p05"),
+        first(col("p95")).as("p95"),
+        qmean(col("w")).as("winsorized_mean"),
+        qmean(col("value")).as("raw_mean"))
+  }
+
+  val qWinsorizeSql: String =
+    s"""WITH bounds AS (
+       |  SELECT event_type,
+       |    quantile_cont(value, 0.05) AS p05,
+       |    quantile_cont(value, 0.95) AS p95
+       |  FROM events GROUP BY 1),
+       |cl AS (
+       |  SELECT e.event_type, e.value, b.p05, b.p95,
+       |    least(greatest(e.value, b.p05), b.p95) AS w
+       |  FROM events e JOIN bounds b ON e.event_type = b.event_type)
+       |SELECT event_type, COUNT(*) AS n,
+       |  ANY_VALUE(p05) AS p05, ANY_VALUE(p95) AS p95,
+       |  ${qmeanSql("w")} AS winsorized_mean,
+       |  ${qmeanSql("value")} AS raw_mean
+       |FROM cl GROUP BY event_type""".stripMargin
+
+  /** CUSUM change detection per user — running cumulative sum of
+    * deviations from the corpus mean; a level shift in a user's
+    * series shows as a large |cusum| excursion (the classic
+    * change-point screen a monitoring pipeline runs per entity).
+    * The corpus mean is ONE broadcast scalar (exact decimal mean);
+    * the running sum is a user-keyed ordered window over
+    * floor-quantized deviations — longs, so the prefix sums are
+    * exact and partition-order-proof. Output per user: the extreme
+    * excursions and their range, de-quantized once. */
+  def qCusum(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val mu = ev.agg(dmean(col("value")).as("mu"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.crossJoin(broadcast(mu))
+      .withColumn("devq", floor((col("value") - col("mu")) * lit(1000000.0)).cast("long"))
+      .withColumn("cusumq", sum(col("devq")).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("cusumq")).cast("double") / lit(1e6)).as("max_cusum"),
+        (min(col("cusumq")).cast("double") / lit(1e6)).as("min_cusum"),
+        ((max(col("cusumq")) - min(col("cusumq"))).cast("double") / lit(1e6))
+          .as("cusum_range"))
+  }
+
+  val qCusumSql: String =
+    s"""WITH mu AS (SELECT ${dmeanSql("value")} AS mu FROM events),
+       |c AS (
+       |  SELECT e.user_id,
+       |    SUM(CAST(FLOOR((e.value - m.mu) * 1000000.0) AS BIGINT))
+       |      OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusumq
+       |  FROM events e CROSS JOIN mu m)
+       |SELECT user_id, COUNT(*) AS n,
+       |  CAST(MAX(cusumq) AS DOUBLE) / 1e6 AS max_cusum,
+       |  CAST(MIN(cusumq) AS DOUBLE) / 1e6 AS min_cusum,
+       |  CAST(MAX(cusumq) - MIN(cusumq) AS DOUBLE) / 1e6 AS cusum_range
+       |FROM c GROUP BY user_id""".stripMargin
+
+  /** Decision-tree split scoring — information gain of thresholding
+    * `value` at each decile, predicting event_type: the inner loop of
+    * tree induction (the reference's RF probes, eval/eval.py:191-211,
+    * grow trees from exactly this statistic). One exact-percentile
+    * aggregation yields the 9 candidate thresholds (a 9-row broadcast
+    * fan-out, not a per-row candidate scan); one pass counts
+    * (threshold, side, label) cells; entropies assemble from the
+    * counts with quantized ln terms weighted by exact integer counts,
+    * so the gain ranking is deterministic. Output: every candidate
+    * with its gain, ordered columns — no argmax tie to break. */
+  def qInfoGain(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val nRow = ev.agg(count(lit(1)).as("n"))
+    val thresholds = ev.agg(
+        percentile(col("value"), typedLit((1 to 9).map(_ / 10.0))).as("ts"))
+      .select(posexplode(col("ts")).as(Seq("tidx", "thr")))
+    val cells = ev.crossJoin(broadcast(thresholds))
+      .withColumn("side", when(col("value") <= col("thr"), 0).otherwise(1))
+      .groupBy(col("tidx"), col("thr"), col("side"), col("event_type"))
+      .agg(count(lit(1)).as("nc"))
+    val sideTot = cells.groupBy(col("tidx"), col("side"))
+      .agg(sum(col("nc")).as("ns"))
+    // parent entropy term: -sum_c n_c * lnq(n_c / n)  (threshold-free)
+    val parentQ = ev.groupBy(col("event_type")).agg(count(lit(1)).as("nc"))
+      .crossJoin(broadcast(nRow))
+      .agg(sum(-col("nc") *
+        floor(log(col("nc").cast("double") / col("n").cast("double")) * lit(1e9))
+          .cast("long")).as("entpq"))
+    cells.join(sideTot, Seq("tidx", "side"))
+      .withColumn("termq",
+        -col("nc") *
+          floor(log(col("nc").cast("double") / col("ns").cast("double")) * lit(1e9))
+            .cast("long"))
+      .groupBy(col("tidx"), col("thr"))
+      .agg(sum(col("termq")).as("entcq"),
+        sum(when(col("side") === 0, col("nc")).otherwise(0L)).as("n_left"),
+        sum(when(col("side") === 1, col("nc")).otherwise(0L)).as("n_right"))
+      .crossJoin(broadcast(parentQ))
+      .crossJoin(broadcast(nRow))
+      .withColumn("gain",
+        (col("entpq") - col("entcq")).cast("double") / col("n").cast("double") / lit(1e9))
+      .select("tidx", "thr", "n_left", "n_right", "gain")
+  }
+
+  val qInfoGainSql: String =
+    """WITH ev AS (SELECT event_type, value FROM events),
+      |n AS (SELECT COUNT(*) AS n FROM ev),
+      |thr AS (
+      |  SELECT tidx, thr FROM (
+      |    SELECT unnest(list_transform(range(9),
+      |        i -> {'tidx': i, 'thr': qs[i + 1]}), recursive := true)
+      |    FROM (SELECT quantile_cont(value,
+      |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs FROM ev))),
+      |cells AS (
+      |  SELECT t.tidx, t.thr,
+      |    CASE WHEN e.value <= t.thr THEN 0 ELSE 1 END AS side,
+      |    e.event_type, COUNT(*) AS nc
+      |  FROM ev e CROSS JOIN thr t
+      |  GROUP BY 1, 2, 3, 4),
+      |stot AS (SELECT tidx, side, SUM(nc) AS ns FROM cells GROUP BY 1, 2),
+      |parent AS (
+      |  SELECT SUM(-nc * CAST(FLOOR(ln(CAST(nc AS DOUBLE)
+      |      / CAST(nn.n AS DOUBLE)) * 1e9) AS BIGINT)) AS entpq
+      |  FROM (SELECT event_type, COUNT(*) AS nc FROM ev GROUP BY 1)
+      |  CROSS JOIN n nn),
+      |child AS (
+      |  SELECT c.tidx, c.thr,
+      |    SUM(-c.nc * CAST(FLOOR(ln(CAST(c.nc AS DOUBLE)
+      |        / CAST(s.ns AS DOUBLE)) * 1e9) AS BIGINT)) AS entcq,
+      |    CAST(SUM(CASE WHEN c.side = 0 THEN c.nc ELSE 0 END) AS BIGINT) AS n_left,
+      |    CAST(SUM(CASE WHEN c.side = 1 THEN c.nc ELSE 0 END) AS BIGINT) AS n_right
+      |  FROM cells c JOIN stot s ON c.tidx = s.tidx AND c.side = s.side
+      |  GROUP BY 1, 2)
+      |SELECT CAST(ch.tidx AS INT) AS tidx, ch.thr, ch.n_left, ch.n_right,
+      |  CAST(p.entpq - ch.entcq AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1e9 AS gain
+      |FROM child ch CROSS JOIN parent p CROSS JOIN n nn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winsorize" -> (qWinsorize _),
+    "q_cusum" -> (qCusum _),
+    "q_info_gain" -> (qInfoGain _),
     "q_ks_test" -> (qKsTest _),
     "q_chi2" -> (qChi2 _),
     "q_mad_outliers" -> (qMadOutliers _),
@@ -591,6 +748,9 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_winsorize" -> qWinsorizeSql,
+    "q_cusum" -> qCusumSql,
+    "q_info_gain" -> qInfoGainSql,
     "q_ks_test" -> qKsTestSql,
     "q_chi2" -> qChi2Sql,
     "q_mad_outliers" -> qMadOutliersSql,

@@ -288,6 +288,41 @@ object StreamingPipelines {
     * order-free — StreamingSpec pins batch/streaming agreement and
     * replay idempotence (deterministic rows ⇒ re-delivery upserts the
     * same values). */
+  /** Streaming drift contingency — the incremental arm of the batch
+    * chi-squared gate (q_chi2): a running (event_type, bucket) count
+    * table maintained as a streaming aggregation in update mode. The
+    * state is LINEAR (one long per cell, merged by addition — the
+    * runningCountMin property), so the table after any prefix of
+    * batches equals the batch aggregation over the same rows, and the
+    * chi-squared statistic derived from it equals the batch statistic
+    * — a drift monitor can re-test after every micro-batch without a
+    * corpus rescan. Keyed by the cell, shards across executors. */
+  def runningContingency(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
+        pmod(col("user_id"), lit(4)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("o"))
+
+  /** The chi-squared statistic from a materialized contingency table
+    * — shared by the streaming monitor (per micro-batch, over the
+    * running counts) and the batch gate; all-integer marginals, one
+    * quantized-term sum (the q_chi2 arithmetic). */
+  def chi2FromCounts(cells: DataFrame): DataFrame = {
+    val rt = cells.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("bucket")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    cells.join(broadcast(rt), "event_type")
+      .join(broadcast(ct), "bucket")
+      .crossJoin(broadcast(n))
+      .withColumn("e",
+        col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double"))
+      .withColumn("term",
+        (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e")) / col("e"))
+      .agg(
+        (sum(floor(col("term") * lit(1000000.0)).cast("long")).cast("double") /
+          lit(1000000.0)).as("chi2"),
+        first(col("n")).as("n"))
+  }
+
   def upsertAssignments(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._

@@ -383,4 +383,48 @@ class StreamingSpec extends SparkSpec {
     StreamingPipelines.ingestBatch(Seq((3L, 50.0)).toDF("id", "value"), 8L, dest)
     assert(spark.read.parquet(dest).count() == 3)
   }
+
+  test("runningContingency counts equal the batch table after every prefix; chi2 matches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new Timestamp(1704103200000L + sec * 1000L)
+    // (ts, user_id, event_type) rows split into two micro-batches
+    val batch1 = Seq((ts(0), 1L, "view"), (ts(1), 2L, "click"), (ts(2), 3L, "view"),
+      (ts(3), 4L, "purchase"), (ts(4), 5L, "view"))
+    val batch2 = Seq((ts(5), 6L, "click"), (ts(6), 7L, "view"), (ts(7), 1L, "click"),
+      (ts(8), 2L, "purchase"))
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val stream = StreamingPipelines.runningContingency(
+      in.toDF().toDF("ts", "user_id", "event_type"))
+    val q = stream.writeStream.format("memory").queryName("rc")
+      .outputMode("complete").start()
+    try {
+      def tableCounts = spark.table("rc").collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      def batchCounts(rows: Seq[(Timestamp, Long, String)]) =
+        StreamingPipelines.runningContingency(
+            rows.toDF("ts", "user_id", "event_type"))
+          .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      in.addData(batch1: _*); q.processAllAvailable()
+      assert(tableCounts == batchCounts(batch1),
+        "after batch 1 the running table diverges from the batch aggregation")
+      in.addData(batch2: _*); q.processAllAvailable()
+      val streamed = tableCounts
+      assert(streamed == batchCounts(batch1 ++ batch2),
+        "linear-state property broken: streaming counts != batch counts")
+      // the derived statistic agrees between the two surfaces
+      // (snapshot the sink view first: chi2FromCounts self-joins its
+      // input, and a MemoryPlan view can't be referenced twice)
+      val snapshot = streamed.toSeq
+        .map { case ((t, b), o) => (t, b, o) }
+        .toDF("event_type", "bucket", "o")
+      val chiStream = StreamingPipelines.chi2FromCounts(snapshot)
+        .collect().head.getDouble(0)
+      val chiBatch = StreamingPipelines.chi2FromCounts(
+          StreamingPipelines.runningContingency(
+            (batch1 ++ batch2).toDF("ts", "user_id", "event_type")))
+        .collect().head.getDouble(0)
+      assert(chiStream == chiBatch, s"chi2 $chiStream != $chiBatch")
+    } finally q.stop()
+  }
 }
