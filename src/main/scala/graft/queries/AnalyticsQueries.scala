@@ -488,7 +488,95 @@ object AnalyticsQueries {
       |FROM sess a JOIN sess c
       |  ON a.user_id < c.user_id AND a.st <= c.en AND c.st <= a.en""".stripMargin
 
+  /** Bounded-depth BFS shortest-path distance — the frontier-expansion
+    * iteration the graph tier was missing next to components
+    * (q_dup_clusters) and centrality (q_pagerank): distance ≤ 3 from a
+    * deterministic seed set (partkey ≡ 0 mod 100) over the co-purchase
+    * graph (parts sharing ≥ 2 orders, symmetrized). Three rounds of
+    * (frontier ⋈ edges) keyed on the node — each round ONE shuffle, the
+    * min-distance aggregate is the round's materialization (the
+    * GraphOps fixpoint discipline), and the frontier only carries
+    * NEWLY-reached nodes so repeated expansion of settled nodes never
+    * happens. The DuckDB oracle is a recursive CTE with UNION dedup —
+    * same semantics, declaratively stated. */
+  def qBfsDepth(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val half = b.as("a").join(b.as("c"),
+        col("a.l_orderkey") === col("c.l_orderkey") &&
+        col("a.l_partkey") < col("c.l_partkey"))
+      .groupBy(col("a.l_partkey").as("s"), col("c.l_partkey").as("d"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select("s", "d")
+    val edges = half.unionByName(half.select(col("d").as("s"), col("s").as("d")))
+      .localCheckpoint(false)
+    var dist = Tables.part(spark, dir)
+      .filter(col("p_partkey") % 100 === 0)
+      .select(col("p_partkey").as("node"), lit(0).as("dist"))
+      .localCheckpoint(false)
+    var frontier = dist
+    for (round <- 1 to 3) {
+      val reached = frontier.join(edges, col("node") === col("s"))
+        .select(col("d").as("node"), lit(round).as("dist"))
+        .join(dist.select(col("node").as("seen")), col("node") === col("seen"), "left_anti")
+        .distinct()
+        .localCheckpoint(false)
+      dist = dist.unionByName(reached).localCheckpoint(false)
+      frontier = reached
+    }
+    dist.groupBy(col("node")).agg(min(col("dist")).as("dist"))
+  }
+
+  val qBfsDepthSql: String =
+    """WITH RECURSIVE b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |half AS (
+      |  SELECT a.l_partkey AS s, c.l_partkey AS d
+      |  FROM b a JOIN b c
+      |    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |edges AS (SELECT s, d FROM half UNION ALL SELECT d, s FROM half),
+      |seeds AS (SELECT p_partkey AS node FROM part WHERE p_partkey % 100 = 0),
+      |walk(node, dist) AS (
+      |  SELECT node, 0 FROM seeds
+      |  UNION
+      |  SELECT e.d, w.dist + 1
+      |  FROM walk w JOIN edges e ON e.s = w.node
+      |  WHERE w.dist < 3)
+      |SELECT node, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY node""".stripMargin
+
+  /** Per-user dormancy / resurrection scan — the churn-analytics
+    * cousin of q_retention: gaps > 24 h between a user's consecutive
+    * events, i.e. the user went dormant and came back. One user-keyed
+    * ordered window (lag), integer-microsecond gap arithmetic, one
+    * aggregation. Only users with at least one resurrection emit. */
+  def qResurrection(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("gap") > 86400000000L, 1L).otherwise(0L)).as("n_resurrections"),
+        max(col("gap")).as("max_gap_us"))
+      .filter(col("n_resurrections") > 0)
+  }
+
+  val qResurrectionSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN gap > 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_resurrections,
+      |  MAX(gap) AS max_gap_us
+      |FROM g GROUP BY user_id
+      |HAVING SUM(CASE WHEN gap > 86400000000 THEN 1 ELSE 0 END) > 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bfs_depth" -> (qBfsDepth _),
+    "q_resurrection" -> (qResurrection _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_interval_overlap" -> (qIntervalOverlap _),
     "q_pagerank" -> (qPagerank _),
@@ -501,6 +589,8 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bfs_depth" -> qBfsDepthSql,
+    "q_resurrection" -> qResurrectionSql,
     "q_assoc_rules" -> qAssocRulesSql,
     "q_interval_overlap" -> qIntervalOverlapSql,
     "q_pagerank" -> qPagerankSql,

@@ -401,7 +401,59 @@ object MultimodalQueries {
       |    AS qsum
       |FROM embeddings""".stripMargin
 
+  /** Compressed JSONL shard round-trip, oracle-graded per source —
+    * the `.jsonl.gz` ingestion path web-scale text corpora ship in
+    * (the gzip analogue of [[qTarShards]]): each source's documents
+    * serialize to JSON lines, the shard gzips via
+    * [[graft.sources.GzipCodec.encode]] (real RFC 1952 members,
+    * MTIME=0), decodes straight back (inflate + CRC-32 + ISIZE
+    * verified), and the lines re-parse. The output pins the line
+    * count, the exact UNCOMPRESSED payload size, and content sums —
+    * all recomputed by the oracle from the documents table alone
+    * (line = `{"doc_id":<id>,"text":"<text>"}` + newline ⇒
+    * 22 + len(id) + len(text) bytes), so any fault in the JSON
+    * framing, deflate round-trip, or trailer checks flips the hash.
+    * Compressed size is NOT graded (codec-dependent) — only the
+    * verified round-trip content is. Pure per-source fan-out. */
+  def qJsonlGz(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (src, it) =>
+        val docs = it.toSeq.sortBy(_._2)
+        docs.foreach { case (_, id, text) =>
+          // printable-ASCII invariant: the oracle counts characters and
+          // assumes no JSON escaping — fail loudly on a corpus change
+          require(text.forall(c => c >= 0x20 && c < 0x7f && c != '"' && c != '\\'),
+            s"doc $id: text needs JSON escaping; oracle arithmetic breaks")
+        }
+        val payload = docs
+          .map { case (_, id, text) => s"""{"doc_id":$id,"text":"$text"}""" }
+          .mkString("", "\n", "\n").getBytes("UTF-8")
+        val gz = graft.sources.GzipCodec.encode(s"$src.jsonl", payload)
+        val back = graft.sources.GzipCodec.decode(gz)
+          .getOrElse(throw new IllegalStateException(s"own shard undecodable: $src"))
+        val lines = new String(back.data, "UTF-8").split('\n').filter(_.nonEmpty)
+        val ids = lines.map(l => l.drop(10).takeWhile(_ != ',').toLong)
+        (src, lines.length.toLong, back.data.length.toLong,
+          ids.sum, lines.map(_.length.toLong).sum)
+      }
+      .toDF("source", "n_lines", "payload_bytes", "id_sum", "line_chars")
+  }
+
+  val qJsonlGzSql: String =
+    """SELECT source, COUNT(*) AS n_lines,
+      |  CAST(SUM(22 + length(CAST(doc_id AS VARCHAR)) + length(text)) AS BIGINT)
+      |    AS payload_bytes,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM(21 + length(CAST(doc_id AS VARCHAR)) + length(text)) AS BIGINT)
+      |    AS line_chars
+      |FROM documents GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jsonl_gz" -> (qJsonlGz _),
     "q_media_manifest" -> (qMediaManifest _),
     "q_media_features" -> (qMediaFeatures _),
     "q_image_decode" -> (qImageDecode _),
@@ -416,6 +468,7 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_jsonl_gz" -> qJsonlGzSql,
     "q_media_manifest" -> qMediaManifestSql,
     "q_media_features" -> qMediaFeaturesSql,
     "q_image_decode" -> qImageDecodeSql,

@@ -426,7 +426,45 @@ object OlapExtraQueries {
       |    AND d.price_cents < a.price_cents
       |    AND d.p_size < a.p_size)""".stripMargin
 
+  /** Column statistics profiler — the ANALYZE-style pass an engine
+    * runs to feed its cost model (NDV for join planning, null
+    * fractions for selectivity, min/max for zone maps): one unpivot
+    * fans three lineitem measures into (column, value) rows, then ONE
+    * keyed aggregation computes count / nulls / exact NDV / min / max
+    * per column. At 100 TB the exact NDV swaps to the HLL sketch
+    * (q_distinct_approx's tier) with the identical plan shape; the
+    * unpivot keeps it one scan for any number of profiled columns —
+    * per-column scans would multiply the read. */
+  def qColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(expr(
+        """stack(3,
+          |  'l_quantity', l_quantity,
+          |  'l_extendedprice', l_extendedprice,
+          |  'l_discount', l_discount)""".stripMargin).as(Seq("col_name", "v")))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("ndv"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+  }
+
+  val qColumnProfileSql: String =
+    """SELECT col_name, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |  CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+      |  MIN(v) AS min_v, MAX(v) AS max_v
+      |FROM (
+      |  SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_discount', l_discount FROM lineitem)
+      |GROUP BY col_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_column_profile" -> (qColumnProfile _),
     "q_scd2" -> (qScd2 _),
     "q_skyline" -> (qSkyline _),
     "q_quantiles" -> (qQuantiles _),
@@ -445,6 +483,7 @@ object OlapExtraQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_column_profile" -> qColumnProfileSql,
     "q_scd2" -> qScd2Sql,
     "q_skyline" -> qSkylineSql,
     "q_quantiles" -> qQuantilesSql,

@@ -132,6 +132,30 @@ object GeoIngest {
       }.toDF("clip_id", "rate", "channels", "samples")
   }
 
+  /** Compressed JSONL shard scan: distributed binaryFile scan over
+    * `.jsonl.gz` shards, each member inflated + CRC-verified
+    * executor-side by [[GzipCodec.decode]] and exploded into one row
+    * per JSON line. Corrupt shards (bad magic, truncated body, CRC or
+    * length mismatch) are skipped — the None contract — so one bad
+    * object in a 100 TB bucket costs its shard, not the job.
+    * Output: (shard, member_name, line). */
+  def readJsonlGz(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.gz")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val shard = path.split('/').last
+        GzipCodec.decode(bytes).toSeq.flatMap { gz =>
+          new String(gz.data, "UTF-8").split('\n').toSeq
+            .filter(_.nonEmpty)
+            .map(line => (shard, gz.name, line))
+        }
+      }.toDF("shard", "member_name", "line")
+  }
+
   /** Webdataset tar-shard scan (SURVEY §2.1 "webdataset tar scan",
     * dataops/dataset.py:31): distributed binaryFile scan over `.tar`
     * shards, each archive parsed executor-side by

@@ -112,6 +112,33 @@ object Sinks {
       java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
   }
 
+  /** Compressed JSONL shard sink — the `.jsonl.gz` layout web-scale
+    * text corpora ship in (the gzip member of the shard-sink family:
+    * tar/npy/tiff/wav siblings around it): records land as JSON
+    * lines, grouped `recordsPerShard` per shard, each partition
+    * writing its own `shard_<pid>_<i>.jsonl.gz` executor-side via
+    * [[GzipCodec.encode]] (MTIME=0 — identical input, identical
+    * bytes), then the `_SUCCESS` marker. Expects (key, json) string
+    * rows; the sink adds no shuffle — partition upstream by the
+    * ordering you want sharded. */
+  def writeJsonlGz(df: DataFrame, dir: String, recordsPerShard: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col("key").cast("string"), col("json").cast("string"))
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        it.grouped(recordsPerShard).zipWithIndex.foreach { case (group, i) =>
+          val fname = s"shard_${pid}_$i.jsonl.gz"
+          val payload = group.map(_.getString(1)).mkString("", "\n", "\n")
+            .getBytes("UTF-8")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, fname),
+            GzipCodec.encode(fname.stripSuffix(".gz"), payload))
+        }
+        Iterator.empty
+      }.count(): Unit
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+  }
+
   /** WAV clip sink: one real RIFF/PCM container per row, written
     * executor-side ([[WavCodec.encode]], byte-identical to Python
     * `wave`), `_SUCCESS` on completion — the audio member of the

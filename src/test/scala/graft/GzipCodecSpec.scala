@@ -1,0 +1,101 @@
+package graft
+
+import graft.sources.{GeoIngest, GzipCodec, Sinks}
+import org.apache.spark.sql.functions._
+
+/** RFC 1952 gzip codec: decoder golden-pinned against Python
+  * `gzip.compress(payload, mtime=0)` output (a foreign zlib stream the
+  * decoder must walk faithfully), encoder round-trip, the refusal
+  * contract for corrupt members, and the distributed sink→scan path. */
+class GzipCodecSpec extends SparkSpec {
+
+  private val goldenPayload =
+    "{\"doc_id\":1,\"text\":\"the quick brown fox\"}\n" +
+    "{\"doc_id\":2,\"text\":\"jumps over\"}\n"
+
+  // python3: gzip.compress(payload.encode(), mtime=0)
+  private val goldenGz: Array[Byte] = Array[Int](
+    0x1f, 0x8b, 0x08, 0x00, 0x00, 0x00, 0x00, 0x00, 0x02, 0x03, 0xab, 0x56,
+    0x4a, 0xc9, 0x4f, 0x8e, 0xcf, 0x4c, 0x51, 0xb2, 0x32, 0xd4, 0x51, 0x2a,
+    0x49, 0xad, 0x28, 0x51, 0xb2, 0x52, 0x2a, 0xc9, 0x48, 0x55, 0x28, 0x2c,
+    0xcd, 0x4c, 0xce, 0x56, 0x48, 0x2a, 0xca, 0x2f, 0xcf, 0x53, 0x48, 0xcb,
+    0xaf, 0x50, 0xaa, 0xe5, 0xaa, 0x86, 0xab, 0x34, 0x82, 0xab, 0xcc, 0x2a,
+    0xcd, 0x2d, 0x28, 0x56, 0xc8, 0x2f, 0x4b, 0x2d, 0x02, 0x2a, 0x00, 0x00,
+    0xe4, 0x9e, 0xb6, 0x0f, 0x4b, 0x00, 0x00, 0x00).map(_.toByte)
+
+  test("decodes a Python-gzip golden member (no FNAME, foreign deflate stream)") {
+    val gz = GzipCodec.decode(goldenGz)
+    assert(gz.isDefined, "golden member refused")
+    assert(gz.get.name == "", "gzip.compress writes no FNAME")
+    assert(new String(gz.get.data, "UTF-8") == goldenPayload)
+  }
+
+  test("encode→decode round-trips payload and FNAME") {
+    val data = ("x" * 10000 + goldenPayload).getBytes("UTF-8")
+    val enc = GzipCodec.encode("shard_0.jsonl", data)
+    assert(enc.length < data.length, "compressible payload did not shrink")
+    val dec = GzipCodec.decode(enc)
+    assert(dec.isDefined)
+    assert(dec.get.name == "shard_0.jsonl")
+    assert(dec.get.data.toSeq == data.toSeq)
+  }
+
+  test("refusal contract: every corruption class returns None, never throws") {
+    val good = GzipCodec.encode("a.jsonl", goldenPayload.getBytes("UTF-8"))
+    def mutate(i: Int, b: Byte) = { val c = good.clone(); c(i) = b; c }
+    assert(GzipCodec.decode(Array.emptyByteArray).isEmpty, "empty")
+    assert(GzipCodec.decode(good.take(17)).isEmpty, "shorter than min member")
+    assert(GzipCodec.decode(mutate(0, 0x00)).isEmpty, "bad magic")
+    assert(GzipCodec.decode(mutate(2, 7)).isEmpty, "non-deflate CM")
+    assert(GzipCodec.decode(mutate(3, 0xe0.toByte)).isEmpty, "reserved FLG bits")
+    assert(GzipCodec.decode(good.dropRight(9)).isEmpty, "truncated body+trailer")
+    // flip one bit inside the compressed body → inflate error or CRC fail
+    assert(GzipCodec.decode(mutate(good.length - 12, 0x55)).isEmpty, "corrupt body")
+    // flip the stored CRC → trailer check fails on an intact body
+    assert(GzipCodec.decode(mutate(good.length - 8,
+      (good(good.length - 8) ^ 0xff).toByte)).isEmpty, "CRC mismatch")
+    // flip ISIZE → length check fails
+    assert(GzipCodec.decode(mutate(good.length - 4,
+      (good(good.length - 4) ^ 0xff).toByte)).isEmpty, "ISIZE mismatch")
+  }
+
+  test("optional header fields: FEXTRA + FCOMMENT + FHCRC are walked correctly") {
+    // hand-build a member with all optional fields around the golden body
+    val bare = GzipCodec.encode("", goldenPayload.getBytes("UTF-8"))
+    val body = bare.drop(10) // deflate stream + trailer
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, (0x04 | 0x10 | 0x02).toByte,
+      0, 0, 0, 0, 0, 0xff.toByte))
+    out.write(Array[Byte](3, 0, 1, 2, 3))          // FEXTRA: xlen=3 + payload
+    out.write("a comment".getBytes("ISO-8859-1")); out.write(0) // FCOMMENT
+    out.write(Array[Byte](0x12, 0x34))             // FHCRC (unchecked)
+    out.write(body)
+    val dec = GzipCodec.decode(out.toByteArray)
+    assert(dec.isDefined, "all-optional-fields member refused")
+    assert(new String(dec.get.data, "UTF-8") == goldenPayload)
+  }
+
+  test("sink→scan round-trip across partitions; corrupt shard skipped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jsonlgz").toString
+    val rows = (1 to 20).map(i => (f"k$i%03d", s"""{"i":$i}"""))
+    Sinks.writeJsonlGz(
+      rows.toDF("key", "json").repartition(3), dir, recordsPerShard = 4)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+    val back = GeoIngest.readJsonlGz(spark, dir)
+    assert(back.count() == 20)
+    // every line round-trips; member names match their shard files
+    val lines = back.select("line").as[String].collect().toSet
+    assert(lines == rows.map(_._2).toSet)
+    val badNames = back.filter(!col("shard").startsWith("shard_")).count()
+    assert(badNames == 0)
+    // corrupt shard: truncated member must be skipped, not fatal
+    val victim = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".gz")).findFirst().get()
+    val bytes = java.nio.file.Files.readAllBytes(victim)
+    java.nio.file.Files.write(victim, bytes.take(bytes.length / 2))
+    val after = GeoIngest.readJsonlGz(spark, dir).count()
+    assert(after < 20, "corrupt shard still contributed rows")
+    assert(after > 0, "one corrupt shard killed the whole scan")
+  }
+}
