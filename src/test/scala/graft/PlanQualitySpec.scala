@@ -284,6 +284,26 @@ class PlanQualitySpec extends SparkSpec {
       s"q_ks_test uses a window:\n$p")
   }
 
+  test("PCA power iteration: covariance pairs keyed on vec_id, iterations reuse one cov") {
+    val p = executedPlan("q_pca_power")
+    assert(!p.contains("CartesianProduct"), p)
+    // the d² pair fan-out must be the vec_id equi-join, not all-pairs
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    // localCheckpoint truncates the covariance lineage: the embeddings
+    // parquet is NOT rescanned by the three matvec rounds
+    val embScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("embeddings"))
+    assert(embScans == 0,
+      s"matvec rounds rescan the embeddings parquet (checkpoint lost):\n$p")
+    // the loadings are a unit-∞-norm vector: max |loadingq| == 1e6
+    val rows = SparkEntry.queries("q_pca_power")(spark, dir).collect()
+    assert(rows.length == 64)
+    assert(rows.map(r => math.abs(r.getAs[Long]("loadingq"))).max == 1000000L)
+    assert(rows.map(_.getAs[Long]("eigq")).distinct.length == 1)
+    assert(rows.head.getAs[Long]("eigq") > 0L, "eigenvalue estimate not positive")
+  }
+
   test("semdedup pairs only within clusters (equi-join on cid), keeper below duplicate") {
     val p = executedPlan("q_semdedup")
     assert(!p.contains("CartesianProduct"), p)
