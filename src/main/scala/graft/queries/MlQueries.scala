@@ -569,7 +569,142 @@ object MlQueries {
       |      FROM scored)
       |WHERE rk = 1""".stripMargin
 
+  /** Nearest-class-centroid (Rocchio) classifier over the embedding
+    * table — the geometric sibling of [[qNbLang]] and the simplest
+    * member of the probe family (eval/eval.py:191-211): class means
+    * from the even-id train split, squared-L2 assignment of the odd-id
+    * held-out vectors, deterministic argmin. The centroid table is
+    * (labels × dims) rows — a broadcast model; distances accumulate as
+    * floor-quantized per-dimension terms (order-free longs) keyed on
+    * (vec, label); the argmin is a per-vector window with (distq ASC,
+    * label ASC) tie-break. One corpus-sized shuffle (the posexplode
+    * groupBy); everything downstream is keyed or broadcast. */
+  def qCentroidClassify(spark: SparkSession, dir: String): DataFrame =
+    centroidPredictions(spark, dir)
+      .select(col("vec_id"), col("actual_label"), col("pred_label"), col("distq"))
+
+  private def centroidPredictions(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val exp = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val train = exp.filter(col("vec_id") % 2 === 0)
+    val test = exp.filter(col("vec_id") % 2 === 1)
+    val cent = train.groupBy(col("label").as("cls"), col("pos"))
+      .agg(Exact.qmean(col("x")).as("c"))
+    val dist = test.join(broadcast(cent), Seq("pos"))
+      .groupBy(col("vec_id"), col("cls"))
+      .agg(first(col("label")).as("actual_label"),
+        sum(floor((col("x") - col("c")) * (col("x") - col("c")) * lit(1e6))
+          .cast("long")).as("distq"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("distq").asc, col("cls").asc)
+    dist.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("actual_label"),
+        col("cls").as("pred_label"), col("distq"))
+  }
+
+  val centroidPredictionsSql: String =
+    """WITH exp AS (
+      |  SELECT vec_id, label, CAST(i - 1 AS INT) AS pos,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+      |train AS (SELECT * FROM exp WHERE vec_id % 2 = 0),
+      |test AS (SELECT * FROM exp WHERE vec_id % 2 = 1),
+      |cent AS (
+      |  SELECT label AS cls, pos,
+      |    CAST(SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+      |      / 1000000.0 / COUNT(x) AS c
+      |  FROM train GROUP BY 1, 2),
+      |dist AS (
+      |  SELECT t.vec_id, ct.cls, ANY_VALUE(t.label) AS actual_label,
+      |    CAST(SUM(CAST(FLOOR((t.x - ct.c) * (t.x - ct.c) * 1e6) AS BIGINT))
+      |      AS BIGINT) AS distq
+      |  FROM test t JOIN cent ct ON t.pos = ct.pos
+      |  GROUP BY 1, 2)
+      |SELECT vec_id, actual_label, cls AS pred_label, distq
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |        ORDER BY distq ASC, cls ASC) AS rk FROM dist)
+      |WHERE rk = 1""".stripMargin
+
+  val qCentroidClassifySql: String = centroidPredictionsSql
+
+  /** Macro-averaged F1 of the centroid classifier — the per-class
+    * precision/recall/F1 table plus the macro mean, the multi-class
+    * eval summary the reference computes with sklearn
+    * (cropharvest_eval.py:368-370 weighted F1; macro is the
+    * class-balance-blind variant). Confusion cells are exact integer
+    * counts; each ratio is one guarded IEEE division; the macro mean
+    * quantizes the five F1 doubles before averaging (the qmean rule).
+    * Output: one row per class + the 'MACRO' summary row. */
+  def qMacroF1(spark: SparkSession, dir: String): DataFrame = {
+    // cls as STRING end-to-end: the labels are numeric, and the union
+    // with the 'MACRO' summary row must not coerce the label column
+    // back to a numeric type (ANSI would fail casting 'MACRO')
+    val pred = centroidPredictions(spark, dir).localCheckpoint(false)
+    val classes = pred.select(col("actual_label").cast("string").as("cls")).distinct()
+    val tp = pred.filter(col("pred_label") === col("actual_label"))
+      .groupBy(col("actual_label").cast("string").as("cls")).agg(count(lit(1)).as("tp"))
+    val predN = pred.groupBy(col("pred_label").cast("string").as("cls")).agg(count(lit(1)).as("np"))
+    val actN = pred.groupBy(col("actual_label").cast("string").as("cls")).agg(count(lit(1)).as("na"))
+    val perClass = classes
+      .join(tp, Seq("cls"), "left").join(predN, Seq("cls"), "left")
+      .join(actN, Seq("cls"), "left")
+      .withColumn("tp", coalesce(col("tp"), lit(0L)))
+      .withColumn("np", coalesce(col("np"), lit(0L)))
+      .withColumn("na", coalesce(col("na"), lit(0L)))
+      .withColumn("p", when(col("np") > 0,
+        col("tp").cast("double") / col("np").cast("double")).otherwise(lit(0.0)))
+      .withColumn("r", when(col("na") > 0,
+        col("tp").cast("double") / col("na").cast("double")).otherwise(lit(0.0)))
+      .withColumn("f1", when(col("p") + col("r") > 0,
+        lit(2.0) * col("p") * col("r") / (col("p") + col("r"))).otherwise(lit(0.0)))
+    val macroRow = perClass.agg(
+        (sum(floor(col("f1") * lit(1e9)).cast("long")).cast("double") / lit(1e9) /
+          count(lit(1))).as("f1"))
+      .select(lit("MACRO").as("cls"), lit(null).cast("long").as("tp"),
+        lit(null).cast("long").as("np"), lit(null).cast("long").as("na"),
+        lit(null).cast("double").as("p"), lit(null).cast("double").as("r"),
+        col("f1"))
+    perClass.select("cls", "tp", "np", "na", "p", "r", "f1")
+      .unionByName(macroRow)
+  }
+
+  val qMacroF1Sql: String =
+    s"""WITH pred AS ($centroidPredictionsSql),
+       |classes AS (SELECT DISTINCT CAST(actual_label AS VARCHAR) AS cls FROM pred),
+       |tp AS (SELECT CAST(actual_label AS VARCHAR) AS cls, COUNT(*) AS tp FROM pred
+       |       WHERE pred_label = actual_label GROUP BY 1),
+       |np AS (SELECT CAST(pred_label AS VARCHAR) AS cls, COUNT(*) AS np FROM pred GROUP BY 1),
+       |na AS (SELECT CAST(actual_label AS VARCHAR) AS cls, COUNT(*) AS na FROM pred GROUP BY 1),
+       |per AS (
+       |  SELECT c.cls,
+       |    COALESCE(tp.tp, 0) AS tp, COALESCE(np.np, 0) AS np,
+       |    COALESCE(na.na, 0) AS na,
+       |    CASE WHEN COALESCE(np.np, 0) > 0
+       |      THEN CAST(COALESCE(tp.tp, 0) AS DOUBLE) / CAST(np.np AS DOUBLE)
+       |      ELSE 0.0 END AS p,
+       |    CASE WHEN COALESCE(na.na, 0) > 0
+       |      THEN CAST(COALESCE(tp.tp, 0) AS DOUBLE) / CAST(na.na AS DOUBLE)
+       |      ELSE 0.0 END AS r
+       |  FROM classes c
+       |  LEFT JOIN tp ON tp.cls = c.cls
+       |  LEFT JOIN np ON np.cls = c.cls
+       |  LEFT JOIN na ON na.cls = c.cls),
+       |scored AS (
+       |  SELECT cls, CAST(tp AS BIGINT) AS tp, CAST(np AS BIGINT) AS np,
+       |    CAST(na AS BIGINT) AS na, p, r,
+       |    CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END AS f1
+       |  FROM per)
+       |SELECT cls, tp, np, na, p, r, f1 FROM scored
+       |UNION ALL
+       |SELECT 'MACRO', NULL, NULL, NULL, NULL, NULL,
+       |  CAST(SUM(CAST(FLOOR(f1 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*)
+       |FROM scored""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_centroid_classify" -> (qCentroidClassify _),
+    "q_macro_f1" -> (qMacroF1 _),
     "q_nb_lang" -> (qNbLang _),
     "q_kfold_ols" -> (qKfoldOls _),
     "q_knn_exact" -> (qKnnExact _),
@@ -585,6 +720,8 @@ object MlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_centroid_classify" -> qCentroidClassifySql,
+    "q_macro_f1" -> qMacroF1Sql,
     "q_nb_lang" -> qNbLangSql,
     "q_kfold_ols" -> qKfoldOlsSql,
     "q_knn_exact" -> qKnnExactSql,

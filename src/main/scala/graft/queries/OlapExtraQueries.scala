@@ -463,7 +463,49 @@ object OlapExtraQueries {
       |  SELECT 'l_discount', l_discount FROM lineitem)
       |GROUP BY col_name""".stripMargin
 
+  /** Incremental aggregate maintenance — the daily-ETL merge shape: a
+    * standing per-user summary (days 1–14 of the month) absorbs the
+    * new partition's partial aggregate (day 15 onward) WITHOUT
+    * rescanning history: merged = full-outer join on the key +
+    * coalesced sufficient-statistic addition (counts add; decimal
+    * sums add; mins/maxes combine). The oracle recomputes the summary
+    * from the full table, so a green hash proves the merge operator
+    * equals the rescan — the mergeability that makes 100 TB rollups
+    * incremental (each day touches one partition, never the corpus).
+    * Mirrors the reference's idempotent skip-if-exists accumulation
+    * (ee_pipeline.py:125-140) done relationally. */
+  def qIncrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("d", dayofmonth(col("ts")))
+    def summarize(part: DataFrame): DataFrame = part.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(Dec)).as("s"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val old = summarize(ev.filter(col("d") <= 14))
+      .select(col("user_id"), col("n").as("n_old"), col("s").as("s_old"),
+        col("mn").as("mn_old"), col("mx").as("mx_old"))
+    val fresh = summarize(ev.filter(col("d") >= 15))
+      .select(col("user_id"), col("n").as("n_new"), col("s").as("s_new"),
+        col("mn").as("mn_new"), col("mx").as("mx_new"))
+    old.join(fresh, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L))).as("n"),
+        (coalesce(col("s_old"), lit(0).cast(Dec)) +
+         coalesce(col("s_new"), lit(0).cast(Dec))).cast("double").as("sum_value"),
+        least(coalesce(col("mn_old"), col("mn_new")),
+              coalesce(col("mn_new"), col("mn_old"))).as("min_value"),
+        greatest(coalesce(col("mx_old"), col("mx_new")),
+                 coalesce(col("mx_new"), col("mx_old"))).as("max_value"))
+  }
+
+  val qIncrAggSql: String =
+    """SELECT user_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+      |  MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events GROUP BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incr_agg" -> (qIncrAgg _),
     "q_column_profile" -> (qColumnProfile _),
     "q_scd2" -> (qScd2 _),
     "q_skyline" -> (qSkyline _),
@@ -483,6 +525,7 @@ object OlapExtraQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_incr_agg" -> qIncrAggSql,
     "q_column_profile" -> qColumnProfileSql,
     "q_scd2" -> qScd2Sql,
     "q_skyline" -> qSkylineSql,

@@ -1047,12 +1047,16 @@ object TextQueries {
         expr("n_chars div 25").as("b"))
     val probes = docs.withColumn("pb",
       explode(array(col("b") - 1, col("b"), col("b") + 1)))
+    // threshold-banded DP (O(k·n) with early exit, returns -1 above the
+    // bound) — ~8× cheaper than the full O(n²) distance on the ~99% of
+    // candidates that miss; exact distance for every kept pair, so the
+    // full-DP oracle still hash-matches
     probes.as("a").join(docs.as("c"),
         col("a.lang") === col("c.lang") && col("a.pb") === col("c.b") &&
         col("a.doc_id") < col("c.doc_id"))
       .filter(abs(col("a.n_chars") - col("c.n_chars")) <= 25)
-      .withColumn("ed", levenshtein(col("a.prefix"), col("c.prefix")))
-      .filter(col("ed") <= 10)
+      .withColumn("ed", levenshtein(col("a.prefix"), col("c.prefix"), 10))
+      .filter(col("ed") >= 0 && col("ed") <= 10)
       .select(col("a.doc_id").as("a_id"), col("c.doc_id").as("b_id"),
               col("ed"), col("a.lang").as("lang"))
   }
