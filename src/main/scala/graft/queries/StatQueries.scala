@@ -731,7 +731,168 @@ object StatQueries {
       |  CAST(p.entpq - ch.entcq AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1e9 AS gain
       |FROM child ch CROSS JOIN parent p CROSS JOIN n nn""".stripMargin
 
+  /** Deterministic A/B experiment readout with the Welch t statistic —
+    * the experimentation-analytics shape: arm assignment is a pure
+    * hash of the unit id (md5 first hex digit < '8' → arm A, the
+    * q_data_mixture acceptance idiom — reproducible under any
+    * partitioning, no RNG state), the outcome is the purchase value,
+    * and the readout is one conditional-aggregation pass producing
+    * both arms' sufficient statistics, then the fixed IEEE sequence
+    * for Welch's t and its Satterthwaite df. Population variance from
+    * exact decimal sums (the qCorrStats rule). One shuffle, two
+    * accumulator sets. */
+  def qAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("armA",
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+    val agg = ev.agg(
+      sum(when(col("armA"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("armA"), 1L).otherwise(0L)).as("nb"),
+      sum(when(col("armA"), col("value").cast(Dec))).cast("double").as("sa"),
+      sum(when(!col("armA"), col("value").cast(Dec))).cast("double").as("sb"),
+      sum(when(col("armA"), (col("value") * col("value")).cast(Dec)))
+        .cast("double").as("sxa"),
+      sum(when(!col("armA"), (col("value") * col("value")).cast(Dec)))
+        .cast("double").as("sxb"))
+    agg
+      .withColumn("mean_a", col("sa") / col("na"))
+      .withColumn("mean_b", col("sb") / col("nb"))
+      .withColumn("var_a",
+        (col("sxa") / col("na") - col("mean_a") * col("mean_a")) *
+          (col("na").cast("double") / (col("na") - 1).cast("double")))
+      .withColumn("var_b",
+        (col("sxb") / col("nb") - col("mean_b") * col("mean_b")) *
+          (col("nb").cast("double") / (col("nb") - 1).cast("double")))
+      .withColumn("se2",
+        col("var_a") / col("na").cast("double") + col("var_b") / col("nb").cast("double"))
+      .withColumn("t", (col("mean_a") - col("mean_b")) / sqrt(col("se2")))
+      .withColumn("df",
+        col("se2") * col("se2") /
+          ((col("var_a") / col("na").cast("double")) * (col("var_a") / col("na").cast("double")) /
+             (col("na") - 1).cast("double") +
+           (col("var_b") / col("nb").cast("double")) * (col("var_b") / col("nb").cast("double")) /
+             (col("nb") - 1).cast("double")))
+      .select("na", "nb", "mean_a", "mean_b", "var_a", "var_b", "t", "df")
+  }
+
+  val qAbTestSql: String =
+    """WITH s AS (
+      |  SELECT
+      |    SUM(CASE WHEN arma THEN 1 ELSE 0 END) AS na,
+      |    SUM(CASE WHEN NOT arma THEN 1 ELSE 0 END) AS nb,
+      |    CAST(SUM(CASE WHEN arma THEN CAST(value AS DECIMAL(25,6)) END) AS DOUBLE) AS sa,
+      |    CAST(SUM(CASE WHEN NOT arma THEN CAST(value AS DECIMAL(25,6)) END) AS DOUBLE) AS sb,
+      |    CAST(SUM(CASE WHEN arma THEN CAST(value * value AS DECIMAL(25,6)) END) AS DOUBLE) AS sxa,
+      |    CAST(SUM(CASE WHEN NOT arma THEN CAST(value * value AS DECIMAL(25,6)) END) AS DOUBLE) AS sxb
+      |  FROM (
+      |    SELECT value,
+      |      substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS arma
+      |    FROM events WHERE event_type = 'purchase')),
+      |m AS (
+      |  SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+      |    sa / na AS mean_a, sb / nb AS mean_b,
+      |    (sxa / na - (sa / na) * (sa / na))
+      |      * (CAST(na AS DOUBLE) / CAST(na - 1 AS DOUBLE)) AS var_a,
+      |    (sxb / nb - (sb / nb) * (sb / nb))
+      |      * (CAST(nb AS DOUBLE) / CAST(nb - 1 AS DOUBLE)) AS var_b
+      |  FROM s),
+      |e AS (
+      |  SELECT *, var_a / CAST(na AS DOUBLE) + var_b / CAST(nb AS DOUBLE) AS se2
+      |  FROM m)
+      |SELECT na, nb, mean_a, mean_b, var_a, var_b,
+      |  (mean_a - mean_b) / sqrt(se2) AS t,
+      |  se2 * se2 /
+      |    ((var_a / CAST(na AS DOUBLE)) * (var_a / CAST(na AS DOUBLE))
+      |       / CAST(na - 1 AS DOUBLE)
+      |     + (var_b / CAST(nb AS DOUBLE)) * (var_b / CAST(nb AS DOUBLE))
+      |       / CAST(nb - 1 AS DOUBLE)) AS df
+      |FROM e""".stripMargin
+
+  /** Audience-overlap matrix — exact Jaccard between event-type user
+    * audiences (the cross-channel overlap report; at 100 TB the exact
+    * per-pair intersect swaps to theta/HLL sketches with the same
+    * output shape): distinct (type, user) pairs once, pair
+    * intersections via ONE user-keyed self-join, sizes joined back
+    * broadcast, single-division Jaccard. */
+  def qAudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val aud = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = aud.groupBy(col("event_type")).agg(count(lit(1)).as("sz"))
+    aud.as("x").join(aud.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+        col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("sz").as("na"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("sz").as("nb"))), "type_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+      .select("type_a", "type_b", "inter", "na", "nb", "jaccard")
+  }
+
+  val qAudienceOverlapSql: String =
+    """WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
+      |sizes AS (SELECT event_type, COUNT(*) AS sz FROM aud GROUP BY 1),
+      |inter AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b, COUNT(*) AS inter
+      |  FROM aud x JOIN aud y
+      |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT i.type_a, i.type_b, i.inter,
+      |  CAST(sa.sz AS BIGINT) AS na, CAST(sb.sz AS BIGINT) AS nb,
+      |  CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+      |FROM inter i
+      |JOIN sizes sa ON sa.event_type = i.type_a
+      |JOIN sizes sb ON sb.event_type = i.type_b""".stripMargin
+
+  /** Quadkey tile pyramid — the multi-resolution rollup a tile server
+    * precomputes: the 16-bit Morton key (the [[qZorder]] layout key)
+    * aggregated at four zoom levels by PREFIX truncation (level l =
+    * top 2l bits = the enclosing quadtree cell), fanned out by one
+    * 4-row generator so the events scan runs once. The same shape as
+    * rollup, but on the spatial hierarchy the interleaved key encodes
+    * — range-pruning a tile at any level is a contiguous zkey range. */
+  def qQuadPyramid(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("xb", pmod(col("user_id"), lit(256L)))
+      .withColumn("yb", pmod(col("event_id"), lit(256L)))
+      .withColumn("zkey", morton8(col("xb"), col("yb")))
+    ev.select(col("value"), expr(
+        """stack(4,
+          |  1, zkey >> 14,
+          |  2, zkey >> 12,
+          |  3, zkey >> 10,
+          |  4, zkey >> 8)""".stripMargin).as(Seq("zoom", "cell")))
+      .groupBy(col("zoom"), col("cell"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+  }
+
+  val qQuadPyramidSql: String = {
+    val interleave = (0 until 8).map { i =>
+      s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT value,
+       |    ((user_id % 256) + 256) % 256 AS xb,
+       |    ((event_id % 256) + 256) % 256 AS yb
+       |  FROM events),
+       |z AS (SELECT value, ($interleave) AS zkey FROM b),
+       |lv AS (
+       |  SELECT value, lvl.zoom,
+       |    CASE lvl.zoom WHEN 1 THEN zkey >> 14 WHEN 2 THEN zkey >> 12
+       |                  WHEN 3 THEN zkey >> 10 ELSE zkey >> 8 END AS cell
+       |  FROM z CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS zoom) lvl)
+       |SELECT zoom, cell, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+       |FROM lv GROUP BY zoom, cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_test" -> (qAbTest _),
+    "q_audience_overlap" -> (qAudienceOverlap _),
+    "q_quad_pyramid" -> (qQuadPyramid _),
     "q_winsorize" -> (qWinsorize _),
     "q_cusum" -> (qCusum _),
     "q_info_gain" -> (qInfoGain _),
@@ -748,6 +909,9 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ab_test" -> qAbTestSql,
+    "q_audience_overlap" -> qAudienceOverlapSql,
+    "q_quad_pyramid" -> qQuadPyramidSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_cusum" -> qCusumSql,
     "q_info_gain" -> qInfoGainSql,
