@@ -338,7 +338,82 @@ object RasterQueries {
        |FROM grad""".stripMargin
   }
 
+  /** Inverse-distance-weighted interpolation of scattered points onto
+    * a regular target grid — the gridding step between the reference's
+    * point extractions (preprocessing.py per-point series) and its
+    * raster products: v(t) = Σ wᵢvᵢ / Σ wᵢ with wᵢ = 1/dᵢ² over
+    * points within 300 km. The candidate generation is the standard
+    * 3×3 grid-cell block (each target probes its 5° cell and the 8
+    * neighbors — complete because the radius is under one cell span),
+    * so the join keys on the cell, never all pairs; the brute-force
+    * DuckDB oracle proves completeness (the q_spatial_join argument).
+    * Weighted sums floor-quantize per term; the final ratio is one
+    * integer-over-integer divide. Coincident points (d = 0) are
+    * excluded by the d > 0 guard, identically on both engines. */
+  def qIdwInterp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoOps
+    val pts = Tables.events(spark, dir)
+      .select(col("event_id"), col("value"),
+        ((col("user_id") - 7.5) * 2).as("lat"),
+        ((col("value") % 180) - 90.0).as("lon"))
+      .withColumn("pcell_lat", floor(col("lat") / 5.0).cast("long"))
+      .withColumn("pcell_lon", floor(col("lon") / 5.0).cast("long"))
+    val targets = spark.range(0, 100)
+      .select((col("id") / 10).cast("int").as("ti"),
+        (col("id") % 10).cast("int").as("tj"))
+      .withColumn("tlat", col("ti").cast("double") * 5.0 + 2.5)
+      .withColumn("tlon", lit(-50.0) + col("tj").cast("double") * 5.0 + 2.5)
+      .withColumn("off", explode(expr("sequence(0, 8)")))
+      .withColumn("cell_lat",
+        floor(col("tlat") / 5.0).cast("long") + (col("off") / 3).cast("long") - 1)
+      .withColumn("cell_lon",
+        floor(col("tlon") / 5.0).cast("long") + pmod(col("off"), lit(3)).cast("long") - 1)
+    targets.join(pts,
+        col("cell_lat") === col("pcell_lat") && col("cell_lon") === col("pcell_lon"))
+      .withColumn("d", GeoOps.equirectKm(col("tlat"), col("tlon"),
+        col("lat"), col("lon"), cosRef))
+      .filter(col("d") > 0.0 && col("d") <= 300.0)
+      .withColumn("w", lit(1.0) / (col("d") * col("d")))
+      .groupBy(col("ti"), col("tj"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(floor(col("w") * col("value") * lit(1e6)).cast("long")).as("wvq"),
+        sum(floor(col("w") * lit(1e9)).cast("long")).as("wq"))
+      .filter(col("wq") > 0L)
+      .withColumn("idw_value",
+        col("wvq").cast("double") * lit(1000.0) / col("wq").cast("double"))
+      .select("ti", "tj", "n_pts", "idw_value")
+  }
+
+  val qIdwInterpSql: String = {
+    val dxf = (GeoOps2KmPerDegLat * cosRef).toString + "e0"
+    val klat = GeoOps2KmPerDegLat.toString + "e0"
+    s"""WITH pts AS (
+       |  SELECT event_id, value, (user_id - 7.5) * 2 AS lat,
+       |    (value % 180) - 90.0 AS lon
+       |  FROM events),
+       |targets AS (
+       |  SELECT CAST(i // 10 AS INT) AS ti, CAST(i % 10 AS INT) AS tj,
+       |    CAST(i // 10 AS DOUBLE) * 5.0 + 2.5 AS tlat,
+       |    -50.0 + CAST(i % 10 AS DOUBLE) * 5.0 + 2.5 AS tlon
+       |  FROM (SELECT unnest(range(100)) AS i)),
+       |pairs AS (
+       |  SELECT t.ti, t.tj, p.value,
+       |    sqrt(((p.lat - t.tlat) * $klat) * ((p.lat - t.tlat) * $klat)
+       |       + ((p.lon - t.tlon) * $dxf) * ((p.lon - t.tlon) * $dxf)) AS d
+       |  FROM targets t JOIN pts p
+       |    ON abs(p.lat - t.tlat) <= 10.0 AND abs(p.lon - t.tlon) <= 10.0),
+       |w AS (
+       |  SELECT ti, tj, value, 1.0 / (d * d) AS w
+       |  FROM pairs WHERE d > 0.0 AND d <= 300.0)
+       |SELECT ti, tj, COUNT(*) AS n_pts,
+       |  CAST(SUM(CAST(FLOOR(w * value * 1e6) AS BIGINT)) AS DOUBLE) * 1000.0
+       |    / CAST(SUM(CAST(FLOOR(w * 1e9) AS BIGINT)) AS DOUBLE) AS idw_value
+       |FROM w GROUP BY ti, tj
+       |HAVING SUM(CAST(FLOOR(w * 1e9) AS BIGINT)) > 0""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_idw_interp" -> (qIdwInterp _),
     "q_focal_min" -> (qFocalMin _),
     "q_spatial_join" -> (qSpatialJoin _),
     "q_geo_cells" -> (qGeoCells _),
@@ -348,6 +423,7 @@ object RasterQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_idw_interp" -> qIdwInterpSql,
     "q_focal_min" -> qFocalMinSql,
     "q_spatial_join" -> qSpatialJoinSql,
     "q_geo_cells" -> qGeoCellsSql,

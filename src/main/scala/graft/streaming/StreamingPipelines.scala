@@ -288,6 +288,46 @@ object StreamingPipelines {
     * order-free — StreamingSpec pins batch/streaming agreement and
     * replay idempotence (deterministic rows ⇒ re-delivery upserts the
     * same values). */
+  case class DayCell(user_id: Long, ts: java.sql.Timestamp, day: String,
+    v: Option[Double])
+  case class LastObs(v: Double)
+  case class Filled(user_id: Long, day: String, filled: Option[Double],
+    was_observed: Boolean)
+
+  /** Streaming last-observation-carried-forward — the incremental arm
+    * of the batch gap fill (q_locf): per user, arriving day cells
+    * (value present = observation, absent = gap) emit their filled
+    * value from ONE scalar of state, the last observed value — the
+    * minimal-state streaming imputation. Within a micro-batch rows
+    * sort by day (the q_locf window order); leading gaps emit None
+    * exactly like the batch window's null. EventTimeTimeout evicts a
+    * user idle past the watermark horizon, bounding state at one
+    * double per live user. */
+  def runningLocf(cells: Dataset[DayCell],
+      horizon: String = "1 hour"): Dataset[Filled] = {
+    import cells.sparkSession.implicits._
+    cells
+      .withWatermark("ts", horizon)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastObs, Filled](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[DayCell], state: GroupState[LastObs]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val cs = rows.toSeq.sortBy(_.day)
+            var last = state.getOption
+            val out = cs.map { c =>
+              c.v.foreach(v => last = Some(LastObs(v)))
+              Filled(key, c.day, c.v.orElse(last.map(_.v)), c.v.isDefined)
+            }
+            last.foreach(state.update)
+            state.setTimeoutTimestamp(cs.map(_.ts.getTime).max, horizon)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming drift contingency — the incremental arm of the batch
     * chi-squared gate (q_chi2): a running (event_type, bucket) count
     * table maintained as a streaming aggregation in update mode. The

@@ -427,4 +427,43 @@ class StreamingSpec extends SparkSpec {
       assert(chiStream == chiBatch, s"chi2 $chiStream != $chiBatch")
     } finally q.stop()
   }
+
+  test("runningLocf agrees with the batch ignore-nulls window on a shared fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingPipelines.{DayCell, Filled}
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    // user 1: gap, obs(2.0), gap, obs(5.0), gap; user 2: leading gaps only
+    val batch1 = Seq(
+      DayCell(1L, ts("10:00:00"), "d01", None),
+      DayCell(1L, ts("10:01:00"), "d02", Some(2.0)),
+      DayCell(2L, ts("10:00:30"), "d01", None))
+    val batch2 = Seq(
+      DayCell(1L, ts("10:05:00"), "d03", None),          // carries 2.0 ACROSS batches
+      DayCell(1L, ts("10:06:00"), "d04", Some(5.0)),
+      DayCell(1L, ts("10:07:00"), "d05", None),          // carries 5.0
+      DayCell(2L, ts("10:06:30"), "d02", None))          // still leading gap
+    val in = MemoryStream[DayCell]
+    val q = StreamingPipelines.runningLocf(in.toDS())
+      .writeStream.format("memory").queryName("locf").outputMode("append").start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("locf").as[Filled].collect()
+        .map(f => (f.user_id, f.day) -> ((f.filled, f.was_observed))).toMap
+      // batch dual: last(v, ignoreNulls) over the same rows, user-keyed
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expected = (batch1 ++ batch2).toDS().toDF()
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("day"), col("filled"), col("v").isNotNull.as("obs"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          ((if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))).toMap
+      assert(streamed == expected, s"streaming $streamed != batch $expected")
+      assert(streamed((1L, "d03")) == ((Some(2.0), false)), "cross-batch carry broken")
+      assert(streamed((2L, "d02")) == ((None, false)), "leading gap filled from nothing")
+    } finally q.stop()
+  }
 }
