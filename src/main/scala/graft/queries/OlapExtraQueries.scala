@@ -504,7 +504,125 @@ object OlapExtraQueries {
       |  MIN(value) AS min_value, MAX(value) AS max_value
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Multi-count single-scan report — the TPC-DS Q88 shape: many
+    * disjoint conditional counts (here: per event-type × value-band
+    * cell) answered by ONE pass with N conditional aggregates, where
+    * the naive form is N separate filtered scans (or an N-way
+    * self-join union). The plan is one scan + one single-row partial
+    * agg — nothing but 9 accumulators crosses the wire; the shape a
+    * reporting dashboard compiles its tile battery into. */
+  def qMultiCount(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def cnt(t: String, lo: Double, hi: Double) =
+      sum(when(col("event_type") === t && col("value") >= lo && col("value") < hi,
+        1L).otherwise(0L))
+    ev.agg(
+      cnt("click", 0.0, 50.0).as("click_low"),
+      cnt("click", 50.0, 200.0).as("click_mid"),
+      cnt("click", 200.0, 1e9).as("click_high"),
+      cnt("view", 0.0, 50.0).as("view_low"),
+      cnt("view", 50.0, 200.0).as("view_mid"),
+      cnt("view", 200.0, 1e9).as("view_high"),
+      cnt("purchase", 0.0, 50.0).as("purchase_low"),
+      cnt("purchase", 50.0, 200.0).as("purchase_mid"),
+      cnt("purchase", 200.0, 1e9).as("purchase_high"))
+  }
+
+  val qMultiCountSql: String = {
+    def cnt(t: String, lo: String, hi: String, as: String) =
+      s"CAST(SUM(CASE WHEN event_type = '$t' AND value >= $lo AND value < $hi THEN 1 ELSE 0 END) AS BIGINT) AS $as"
+    s"""SELECT
+       |  ${cnt("click", "0.0", "50.0", "click_low")},
+       |  ${cnt("click", "50.0", "200.0", "click_mid")},
+       |  ${cnt("click", "200.0", "1e9", "click_high")},
+       |  ${cnt("view", "0.0", "50.0", "view_low")},
+       |  ${cnt("view", "50.0", "200.0", "view_mid")},
+       |  ${cnt("view", "200.0", "1e9", "view_high")},
+       |  ${cnt("purchase", "0.0", "50.0", "purchase_low")},
+       |  ${cnt("purchase", "50.0", "200.0", "purchase_mid")},
+       |  ${cnt("purchase", "200.0", "1e9", "purchase_high")}
+       |FROM events""".stripMargin
+  }
+
+  /** ROLLUP with GROUPING() indicators — the part of the grouping-set
+    * surface q_rollup/q_cube leave implicit: the grouping_id bitmask
+    * and per-column grouping flags that let a consumer tell a real
+    * NULL key from a subtotal row (the standard OLAP-cube metadata
+    * columns). Same one-shuffle expand plan as rollup. */
+  def qGroupingId(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        grouping_id().cast("long").as("gid"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+  }
+
+  val qGroupingIdSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Discrete percentile (percentile_disc semantics): the smallest
+    * ACTUAL value at or above each rank cutoff — no interpolation, so
+    * the result is always a member of the data (what a capacity
+    * planner wants from a latency p95). Implemented per group as an
+    * ordered-array selection (`collect_list` + `sort_array` +
+    * ceil-rank index) — the group cardinality is the per-key series,
+    * bounded; at corpus scale the same semantics come from the KLL
+    * sketch's rank query. */
+  def qPercentileDisc(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("value"))).as("vs"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        expr("vs[CAST(ceil(0.5 * n) AS INT) - 1]").as("p50_disc"),
+        expr("vs[CAST(ceil(0.9 * n) AS INT) - 1]").as("p90_disc"),
+        expr("vs[CAST(ceil(0.99 * n) AS INT) - 1]").as("p99_disc"))
+  }
+
+  val qPercentileDiscSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  (list_sort(list(value)))[CAST(ceil(0.5 * COUNT(*)) AS INT)] AS p50_disc,
+      |  (list_sort(list(value)))[CAST(ceil(0.9 * COUNT(*)) AS INT)] AS p90_disc,
+      |  (list_sort(list(value)))[CAST(ceil(0.99 * COUNT(*)) AS INT)] AS p99_disc
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Hopping (sliding) windows — `window(ts, 4 days, 2 days)`: each
+    * event lands in the two overlapping windows covering it, the
+    * aggregation is per (window, type) — the batch form of the
+    * streaming sliding-window composite (SURVEY §2.10 notes sliding
+    * windows as engine surface). The fan-out is the window overlap
+    * factor (2), paid at map side before one keyed shuffle. */
+  def qHopping(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "4 days", "2 days"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  val qHoppingSql: String =
+    s"""WITH hopped AS (
+       |  SELECT e.event_type, e.value, hop.s AS w_start
+       |  FROM events e, UNNEST([
+       |      CAST(FLOOR((epoch(e.ts) - 0) / 172800) AS BIGINT) * 172800 - 172800,
+       |      CAST(FLOOR((epoch(e.ts) - 0) / 172800) AS BIGINT) * 172800
+       |    ]) AS hop(s)
+       |  WHERE epoch(e.ts) >= hop.s AND epoch(e.ts) < hop.s + 345600)
+       |SELECT w_start, event_type, COUNT(*) AS n,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM hopped GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multi_count" -> (qMultiCount _),
+    "q_grouping_id" -> (qGroupingId _),
+    "q_percentile_disc" -> (qPercentileDisc _),
+    "q_hopping" -> (qHopping _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_column_profile" -> (qColumnProfile _),
     "q_scd2" -> (qScd2 _),
@@ -525,6 +643,10 @@ object OlapExtraQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multi_count" -> qMultiCountSql,
+    "q_grouping_id" -> qGroupingIdSql,
+    "q_percentile_disc" -> qPercentileDiscSql,
+    "q_hopping" -> qHoppingSql,
     "q_incr_agg" -> qIncrAggSql,
     "q_column_profile" -> qColumnProfileSql,
     "q_scd2" -> qScd2Sql,
