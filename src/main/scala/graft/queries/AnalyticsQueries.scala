@@ -574,7 +574,93 @@ object AnalyticsQueries {
       |FROM g GROUP BY user_id
       |HAVING SUM(CASE WHEN gap > 86400000000 THEN 1 ELSE 0 END) > 0""".stripMargin
 
+  /** Bitmap-index build + bitmap-AND intersection — the OLAP
+    * acceleration structure (roaring-style, here fixed 64-bit blocks):
+    * each event_type's user audience compresses to one long per
+    * 32-user block (`bit_or` of single-bit masks — mergeable, so the
+    * build is one map-combinable aggregation), and audience
+    * intersections become popcounts of block-wise ANDs — a keyed join
+    * on the block id over |users|/32 rows instead of a row-level
+    * set intersection. Cardinalities from popcount sums cross-check
+    * q_audience_overlap's exact intersections (same numbers, ~32×
+    * less data moved). 32-user blocks keep every shift below bit 63
+    * — DuckDB's checked BIGINT shift rejects 1 << 63. */
+  def qBitmapIndex(spark: SparkSession, dir: String): DataFrame = {
+    val blocks = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type"), expr("user_id div 32").as("blk"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))")
+        .as("bm"))
+    val sizes = blocks.groupBy(col("event_type"))
+      .agg(sum(expr("bit_count(bm)")).as("card"), count(lit(1)).as("n_blocks"))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") &&
+        col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(sum(expr("bit_count(x.bm & y.bm)")).as("inter"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("card").as("card_a"), col("n_blocks").as("blocks_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("card").as("card_b"))), "type_b")
+      .select("type_a", "type_b", "inter", "card_a", "card_b", "blocks_a")
+  }
+
+  val qBitmapIndexSql: String =
+    """WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
+      |blocks AS (
+      |  SELECT event_type, user_id // 32 AS blk,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bm
+      |  FROM aud GROUP BY 1, 2),
+      |sizes AS (
+      |  SELECT event_type, CAST(SUM(bit_count(bm)) AS BIGINT) AS card,
+      |    COUNT(*) AS n_blocks
+      |  FROM blocks GROUP BY 1),
+      |inter AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |    CAST(SUM(bit_count(x.bm & y.bm)) AS BIGINT) AS inter
+      |  FROM blocks x JOIN blocks y
+      |    ON x.blk = y.blk AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT i.type_a, i.type_b, i.inter,
+      |  sa.card AS card_a, sb.card AS card_b, sa.n_blocks AS blocks_a
+      |FROM inter i
+      |JOIN sizes sa ON sa.event_type = i.type_a
+      |JOIN sizes sb ON sb.event_type = i.type_b""".stripMargin
+
+  /** Degree distribution of the co-purchase graph — the first summary
+    * a graph pipeline prints (power-law check, hub detection feeding
+    * the q_triangles degree-orientation choice): per-node degree over
+    * the symmetrized edge set, then the degree histogram. Two keyed
+    * aggregations after the same basket pair-generation as
+    * q_assoc_rules. */
+  def qDegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val half = b.as("a").join(b.as("c"),
+        col("a.l_orderkey") === col("c.l_orderkey") &&
+        col("a.l_partkey") < col("c.l_partkey"))
+      .groupBy(col("a.l_partkey").as("s"), col("c.l_partkey").as("d"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select("s", "d")
+    half.unionByName(half.select(col("d").as("s"), col("s").as("d")))
+      .groupBy(col("s")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+  }
+
+  val qDegreeDistSql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |half AS (
+      |  SELECT a.l_partkey AS s, c.l_partkey AS d
+      |  FROM b a JOIN b c
+      |    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |edges AS (SELECT s, d FROM half UNION ALL SELECT d, s FROM half),
+      |deg AS (SELECT s, COUNT(*) AS degree FROM edges GROUP BY s)
+      |SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bitmap_index" -> (qBitmapIndex _),
+    "q_degree_dist" -> (qDegreeDist _),
     "q_bfs_depth" -> (qBfsDepth _),
     "q_resurrection" -> (qResurrection _),
     "q_assoc_rules" -> (qAssocRules _),
@@ -589,6 +675,8 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bitmap_index" -> qBitmapIndexSql,
+    "q_degree_dist" -> qDegreeDistSql,
     "q_bfs_depth" -> qBfsDepthSql,
     "q_resurrection" -> qResurrectionSql,
     "q_assoc_rules" -> qAssocRulesSql,

@@ -1241,7 +1241,67 @@ object TextQueries {
       |       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6 AS intercept
       |FROM s""".stripMargin
 
+  /** Prefix-filtered set-similarity self-join (All-Pairs/ppjoin,
+    * Jaccard ≥ 0.9 over token SETS) — the third blocking discipline in
+    * the near-dup family next to LSH banding (q_minhash_lsh) and
+    * df-capped inverted shingles (q_ngram_jaccard): order the corpus
+    * vocabulary rarest-first (df ASC, token ASC), keep only each
+    * document's first |x| − ⌈0.9·|x|⌉ + 1 tokens in that order (the
+    * ppjoin prefix), and generate candidates from the prefix-token
+    * equi-join — any pair at Jaccard ≥ 0.9 MUST share a prefix token
+    * (prefix-filter theorem), and the rarest-first order makes the
+    * posting lists short. The verification is INTEGER-exact:
+    * 10·|∩| ≥ 9·|∪| decides the threshold with no floating point.
+    * ⌈0.9·|x|⌉ is exact rational arithmetic ((9·sz + 9) div 10) so the
+    * prefix can never round one token short. The DuckDB oracle
+    * brute-forces all pairs — a green hash PROVES the filter complete.
+    * At 100 TB the prefix join is the only corpus-sized shuffle,
+    * keyed on the (rare) prefix token. */
+  def qPrefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0))"))
+          .as("w"))
+    val dfc = toks.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val wRank = Window.partitionBy(col("doc_id")).orderBy(col("dfc").asc, col("w").asc)
+    val prefix = toks.join(dfc, "w").join(sizes, "doc_id")
+      .withColumn("trk", row_number().over(wRank))
+      .withColumn("p", col("sz") - expr("(9 * sz + 9) div 10") + 1)
+      .filter(col("trk") <= col("p"))
+      .select(col("doc_id"), col("w"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sets = toks.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("w"))).as("ts"), count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("ts").as("ats"), col("sz").as("sza")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("ts").as("bts"), col("sz").as("szb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("ats"), col("bts"))).cast("long"))
+      .filter(lit(10L) * col("inter") >= lit(9L) * (col("sza") + col("szb") - col("inter")))
+      .select(col("a_id"), col("b_id"), col("inter"), col("sza"), col("szb"))
+  }
+
+  val qPrefixFilterJoinSql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |  FROM documents),
+      |sets AS (
+      |  SELECT doc_id, list_sort(list(w)) AS ts, COUNT(*) AS sz
+      |  FROM toks GROUP BY 1)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+      |  a.sz AS sza, b.sz AS szb
+      |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      |WHERE 10 * len(list_intersect(a.ts, b.ts))
+      |  >= 9 * (a.sz + b.sz - len(list_intersect(a.ts, b.ts)))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_prefix_filter_join" -> (qPrefixFilterJoin _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_zipf_fit" -> (qZipfFit _),
     "q_pmi_tokens" -> (qPmiTokens _),
@@ -1276,6 +1336,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_prefix_filter_join" -> qPrefixFilterJoinSql,
     "q_gopher_rules" -> qGopherRulesSql,
     "q_zipf_fit" -> qZipfFitSql,
     "q_pmi_tokens" -> qPmiTokensSql,

@@ -304,6 +304,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(rows.head.getAs[Long]("eigq") > 0L, "eigenvalue estimate not positive")
   }
 
+  test("bitmap-index intersections equal the exact audience overlaps") {
+    def asMap(q: String) = SparkEntry.queries(q)(spark, dir).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        r.getAs[Long]("inter")).toMap
+    val bitmap = asMap("q_bitmap_index")
+    val exact = asMap("q_audience_overlap")
+    assert(bitmap == exact,
+      s"bitmap AND-popcounts diverge from exact intersections:\n$bitmap\nvs\n$exact")
+  }
+
+  test("prefix-filter join candidates come from the prefix-token equi-join, never all pairs") {
+    val p = executedPlan("q_prefix_filter_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("semdedup pairs only within clusters (equi-join on cid), keeper below duplicate") {
     val p = executedPlan("q_semdedup")
     assert(!p.contains("CartesianProduct"), p)
