@@ -889,7 +889,129 @@ object StatQueries {
        |FROM lv GROUP BY zoom, cell""".stripMargin
   }
 
+  /** KMV (k-minimum-values / theta) sketch union estimates, graded by
+    * the q_distinct_approx verdict pattern: each event-type audience
+    * keeps only its k = 64 smallest hash values (mergeable: the union
+    * sketch is the k smallest of the combined sets — the theta-sketch
+    * set-operation tier the exact q_audience_overlap pre-computed
+    * truth for). The estimate (k−1)/u_k is deterministic given the
+    * hashes but engine-specific (DuckDB has no xxhash64), so the
+    * GRADED columns are the exact union cardinalities plus the
+    * within-bound verdicts — est must land within 4× the sketch's
+    * 1/√(k−2) relative standard error; a broken sketch lands far
+    * outside. Per-pair windows are keyed and bounded; at corpus scale
+    * the k-smallest per key comes from the same TakeOrdered pattern. */
+  def qKmvSketch(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val bound = 4.0 / math.sqrt(k - 2.0) // 4x RSE ≈ 0.508
+    val aud = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("u",
+        xxhash64(col("user_id").cast("string")).cast("double") /
+          lit(1.8446744073709552e19) + lit(0.5))
+    val types = aud.select(col("event_type")).distinct()
+    val pairs = types.as("x").join(types.as("y"),
+        col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+    val pairRows = aud.join(broadcast(pairs),
+        col("event_type") === col("type_a") || col("event_type") === col("type_b"))
+      .select(col("type_a"), col("type_b"), col("user_id"), col("u"))
+      .distinct()
+    val wPair = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("u").asc)
+    val est = pairRows
+      .withColumn("rk", row_number().over(wPair))
+      .filter(col("rk") === k)
+      .select(col("type_a"), col("type_b"),
+        (lit((k - 1).toDouble) / col("u")).as("est_union"))
+    val exact = pairRows.groupBy(col("type_a"), col("type_b"))
+      .agg(countDistinct(col("user_id")).as("exact_union"))
+    exact.join(est, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("exact_union"),
+        // small unions (< k) have no k-th value: the sketch is exact there
+        when(col("est_union").isNull, lit(true))
+          .otherwise(abs(col("est_union") - col("exact_union").cast("double")) <=
+            lit(bound) * col("exact_union").cast("double"))
+          .as("union_within_bound"))
+  }
+
+  val qKmvSketchSql: String =
+    """WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
+      |types AS (SELECT DISTINCT event_type FROM aud),
+      |pairs AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b
+      |  FROM types x JOIN types y ON x.event_type < y.event_type)
+      |SELECT p.type_a, p.type_b,
+      |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS exact_union,
+      |  TRUE AS union_within_bound
+      |FROM pairs p JOIN aud a
+      |  ON a.event_type = p.type_a OR a.event_type = p.type_b
+      |GROUP BY p.type_a, p.type_b""".stripMargin
+
+  /** 2-D histogram (heat-map binning): value-band × hour-of-day cell
+    * counts + exact sums — the density readout behind every activity
+    * heat map; one scan, one keyed aggregation on the cell. */
+  def qHistogram2d(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("vb", floor(col("value") / 50.0).cast("long"))
+      .withColumn("hb", hour(col("ts")).cast("int"))
+      .groupBy(col("vb"), col("hb"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+  }
+
+  val qHistogram2dSql: String =
+    s"""SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS vb,
+       |  CAST(hour(ts) AS INT) AS hb,
+       |  COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Cohort lifetime value — q_retention's revenue dual: users cohort
+    * by first-seen week, purchase revenue accumulates per
+    * (cohort, weeks-since) cell, and a cohort-keyed running window
+    * turns the increments into the cumulative LTV curve. Exact
+    * decimal sums; the running cumulative re-quantizes per cell so
+    * window order cannot drift a ulp. */
+  def qLtvCohort(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("w",
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7 AS BIGINT)"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("w")).as("w0"))
+    val inc = ev.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .groupBy(col("w0").as("cohort_week"), (col("w") - col("w0")).as("weeks_since"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(Dec)).as("revdec"))
+    val run = Window.partitionBy(col("cohort_week")).orderBy(col("weeks_since"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inc
+      .withColumn("cum_revenue", sum(col("revdec")).over(run).cast("double"))
+      .select(col("cohort_week"), col("weeks_since"), col("n_purchases"),
+        col("revdec").cast("double").as("revenue"), col("cum_revenue"))
+  }
+
+  val qLtvCohortSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, value,
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS w
+      |  FROM events),
+      |cohort AS (SELECT user_id, MIN(w) AS w0 FROM ev GROUP BY 1),
+      |inc AS (
+      |  SELECT c.w0 AS cohort_week, e.w - c.w0 AS weeks_since,
+      |    COUNT(*) AS n_purchases,
+      |    SUM(CAST(e.value AS DECIMAL(25,6))) AS revdec
+      |  FROM ev e JOIN cohort c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2)
+      |SELECT cohort_week, weeks_since, n_purchases,
+      |  CAST(revdec AS DOUBLE) AS revenue,
+      |  CAST(SUM(revdec) OVER (PARTITION BY cohort_week ORDER BY weeks_since
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS cum_revenue
+      |FROM inc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_sketch" -> (qKmvSketch _),
+    "q_histogram_2d" -> (qHistogram2d _),
+    "q_ltv_cohort" -> (qLtvCohort _),
     "q_ab_test" -> (qAbTest _),
     "q_audience_overlap" -> (qAudienceOverlap _),
     "q_quad_pyramid" -> (qQuadPyramid _),
@@ -909,6 +1031,9 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_kmv_sketch" -> qKmvSketchSql,
+    "q_histogram_2d" -> qHistogram2dSql,
+    "q_ltv_cohort" -> qLtvCohortSql,
     "q_ab_test" -> qAbTestSql,
     "q_audience_overlap" -> qAudienceOverlapSql,
     "q_quad_pyramid" -> qQuadPyramidSql,
