@@ -1174,6 +1174,79 @@ object RelationalQueries {
       |  AND (['MAIL','SHIP','AIR'])[CAST(l_suppkey % 3 AS INT) + 1] IN ('MAIL','SHIP')
       |GROUP BY 1""".stripMargin
 
+  /** Ratio-to-parent hierarchy report: each nation's revenue share of
+    * its region — the percent-of-parent OLAP shape (one keyed
+    * aggregation to the leaf level, one region-keyed window for the
+    * parent total, one division). Revenue sums are exact decimal;
+    * the share divides the two exact doubles once. The region window
+    * partitions on the 5-value region key — bounded fan-in because
+    * the window input is the 25-row nation aggregate, not the fact
+    * table. */
+  def qShareOfRegion(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
+    val byNation = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(Exact.dsum(col("o_totalprice")).as("nation_rev"))
+    val wReg = Window.partitionBy(col("r_name"))
+    byNation
+      .withColumn("region_rev",
+        sum(col("nation_rev").cast(Exact.Dec)).over(wReg).cast("double"))
+      .withColumn("share", col("nation_rev") / col("region_rev"))
+      .select("r_name", "n_name", "nation_rev", "region_rev", "share")
+  }
+
+  val qShareOfRegionSql: String =
+    s"""WITH by_nation AS (
+       |  SELECT r.r_name, n.n_name,
+       |    ${Exact.dsumSql("o.o_totalprice")} AS nation_rev
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  JOIN region r ON n.n_regionkey = r.r_regionkey
+       |  GROUP BY 1, 2)
+       |SELECT r_name, n_name, nation_rev,
+       |  CAST(SUM(CAST(nation_rev AS DECIMAL(25,6))) OVER (PARTITION BY r_name)
+       |    AS DOUBLE) AS region_rev,
+       |  nation_rev / CAST(SUM(CAST(nation_rev AS DECIMAL(25,6)))
+       |    OVER (PARTITION BY r_name) AS DOUBLE) AS share
+       |FROM by_nation""".stripMargin
+
+  /** NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    * join-semantics member plain equi-joins can't express: NULL keys
+    * MATCH each other instead of vanishing. Dirty dimension keys
+    * (here: customers whose phone prefix parses to NULL) still join
+    * to the NULL bucket of the reference table. Spark plans `<=>` as
+    * a hash join (null-safe keys hash like values) — still keyed,
+    * never a nested loop. */
+  def qNullsafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .withColumn("seg",
+        when(col("c_acctbal") >= 0, col("c_mktsegment"))
+          .otherwise(lit(null).cast("string")))
+    val refTable = Tables.customer(spark, dir)
+      .withColumn("seg",
+        when(col("c_acctbal") >= 0, col("c_mktsegment"))
+          .otherwise(lit(null).cast("string")))
+      .groupBy(col("seg")).agg(count(lit(1)).as("seg_total"))
+    cust.join(refTable, cust("seg") <=> refTable("seg"))
+      .groupBy(cust("seg").as("seg"))
+      .agg(count(lit(1)).as("n"), first(col("seg_total")).as("seg_total"))
+  }
+
+  val qNullsafeJoinSql: String =
+    """WITH c AS (
+      |  SELECT CASE WHEN c_acctbal >= 0 THEN c_mktsegment END AS seg
+      |  FROM customer),
+      |ref AS (SELECT seg, COUNT(*) AS seg_total FROM c GROUP BY seg)
+      |SELECT c.seg, COUNT(*) AS n, ANY_VALUE(ref.seg_total) AS seg_total
+      |FROM c JOIN ref ON c.seg IS NOT DISTINCT FROM ref.seg
+      |GROUP BY c.seg""".stripMargin
+
   /** The graded sketch tier (SURVEY §2.4's 100 TB distinct path —
     * closing the "spec-only" gap on [[graft.operators.Sketches]]):
     * exact aggregates and their sketch counterparts run side by side,
@@ -1462,6 +1535,8 @@ object RelationalQueries {
     "q_tpch_q11" -> (qTpchQ11 _),
     "q_tpch_q16" -> (qTpchQ16 _),
     "q_tpch_q12" -> (qTpchQ12 _),
+    "q_share_of_region" -> (qShareOfRegion _),
+    "q_nullsafe_join" -> (qNullsafeJoin _),
     "q_distinct_approx" -> (qDistinctApprox _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_topk_per_group" -> (qTopkPerGroup _),
@@ -1505,6 +1580,8 @@ object RelationalQueries {
     "q_tpch_q11" -> qTpchQ11Sql,
     "q_tpch_q16" -> qTpchQ16Sql,
     "q_tpch_q12" -> qTpchQ12Sql,
+    "q_share_of_region" -> qShareOfRegionSql,
+    "q_nullsafe_join" -> qNullsafeJoinSql,
     "q_distinct_approx" -> qDistinctApproxSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_topk_per_group" -> qTopkPerGroupSql,

@@ -1300,7 +1300,37 @@ object TextQueries {
       |WHERE 10 * len(list_intersect(a.ts, b.ts))
       |  >= 9 * (a.sz + b.sz - len(list_intersect(a.ts, b.ts)))""".stripMargin
 
+  /** Outer generator semantics (`explode_outer` / LATERAL ... ON TRUE):
+    * documents whose long-word list is EMPTY survive the explode as a
+    * NULL row instead of vanishing — the left-join-shaped generator a
+    * feature extractor needs when "no match" is itself a signal (the
+    * plain explode silently drops those documents and skews any
+    * downstream rate). Grouping keeps the NULL bucket visible: one
+    * row per long word + one row for the no-long-word documents. */
+  def qExplodeOuter(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("longw",
+        expr("filter(regexp_extract_all(lower(text), '[a-z]+', 0), w -> length(w) >= 8)"))
+      .select(col("doc_id"), explode_outer(col("longw")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+  }
+
+  val qExplodeOuterSql: String =
+    """WITH lw AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+      |                w -> length(w) >= 8) AS longw
+      |  FROM documents),
+      |exploded AS (
+      |  SELECT doc_id, CASE WHEN len(longw) = 0 THEN NULL ELSE u.w END AS w
+      |  FROM lw LEFT JOIN LATERAL (SELECT unnest(longw) AS w) u ON TRUE)
+      |SELECT w, COUNT(*) AS n,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM exploded GROUP BY w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_explode_outer" -> (qExplodeOuter _),
     "q_prefix_filter_join" -> (qPrefixFilterJoin _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_zipf_fit" -> (qZipfFit _),
@@ -1336,6 +1366,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_explode_outer" -> qExplodeOuterSql,
     "q_prefix_filter_join" -> qPrefixFilterJoinSql,
     "q_gopher_rules" -> qGopherRulesSql,
     "q_zipf_fit" -> qZipfFitSql,

@@ -160,6 +160,34 @@ object Sinks {
       java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
   }
 
+  /** Small-file compaction — the table-maintenance pass every
+    * long-running lake needs: a directory that accumulated many small
+    * parquet files (per-trigger streaming appends, over-parallel
+    * writes) is rewritten at a target file count, preserving rows
+    * exactly. Returns (files_before, files_after). The rewrite goes
+    * through a temp dir + atomic-ish swap so a crash mid-compact
+    * leaves either the old or the new layout, never a mix — the same
+    * idempotence discipline as the batchId-keyed streaming sink. At
+    * 100 TB this runs per partition (compact the day you just
+    * finalized), never over the whole table. */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int): (Int, Int) = {
+    def parquetFiles(d: String): Array[java.io.File] =
+      new java.io.File(d).listFiles((_, n) => n.endsWith(".parquet"))
+    val before = parquetFiles(dir).length
+    val tmp = dir + "_compacting"
+    spark.read.parquet(dir).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val old = dir + "_precompact"
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir), java.nio.file.Paths.get(old))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(dir))
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(old))
+    (before, parquetFiles(dir).length)
+  }
+
   /** JSON manifest: per-partition row counts written next to the
     * data (the generate_metadata sidecar, as a queryable table). */
   def writeManifest(spark: SparkSession, dataPath: String, manifestPath: String,
