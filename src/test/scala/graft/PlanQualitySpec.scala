@@ -463,8 +463,10 @@ class PlanQualitySpec extends SparkSpec {
     // deterministic-shuffle queries now run the ScaleOps partition-offset
     // engine path and need no exemption.
     // rrf family: lexical rank assigned after limit(20);
-    // q_retrieval_eval embeds the fusion subtree and inherits it
-    val exempt = Set("q_vocab_topk", "q_rrf_fusion", "q_rrf_recall", "q_retrieval_eval")
+    // q_retrieval_eval embeds the fusion subtree and inherits it;
+    // q_zipf_fit: rank over the TakeOrderedAndProject top-100 survivors
+    val exempt = Set("q_vocab_topk", "q_rrf_fusion", "q_rrf_recall",
+      "q_retrieval_eval", "q_zipf_fit")
     for ((name, q) <- SparkEntry.queries if !exempt(name)) {
       val bad = q(spark, dir).queryExecution.optimizedPlan.collect {
         case w: LogicalWindow if w.partitionSpec.isEmpty => w.simpleString(80)
