@@ -1256,10 +1256,20 @@ object TextQueries {
     * prefix can never round one token short. The DuckDB oracle
     * brute-forces all pairs — a green hash PROVES the filter complete.
     * At 100 TB the prefix join is the only corpus-sized shuffle,
-    * keyed on the (rare) prefix token. */
+    * keyed on the (rare) prefix token.
+    *
+    * Fixture bound: this synthetic corpus has a CLOSED ~60-word
+    * vocabulary, so token-set Jaccard ≥ 0.9 is DENSE (most pairs
+    * qualify — at sf0.1 the true result is itself quadratic-sized)
+    * and no blocking scheme can be output-sublinear. A real corpus's
+    * open vocabulary keeps prefixes selective; here the declared
+    * query bounds the slice (doc_id < 500, all of sf0.01) so the
+    * benchmark measures the operator, not the fixture pathology —
+    * the q_ewma bounded-slice precedent. */
   def qPrefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 500)
       .select(col("doc_id"),
         explode(expr("array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0))"))
           .as("w"))
@@ -1289,7 +1299,7 @@ object TextQueries {
     """WITH toks AS (
       |  SELECT DISTINCT doc_id,
       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-      |  FROM documents),
+      |  FROM documents WHERE doc_id < 500),
       |sets AS (
       |  SELECT doc_id, list_sort(list(w)) AS ts, COUNT(*) AS sz
       |  FROM toks GROUP BY 1)
