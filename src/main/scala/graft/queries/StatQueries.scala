@@ -1008,7 +1008,91 @@ object StatQueries {
       |    AS cum_revenue
       |FROM inc""".stripMargin
 
+  /** Peak concurrency by interval sweep — "how many sessions were
+    * open at once, and when": the classic +1/−1 boundary sweep, made
+    * distributed with the q_ks_test rank identity instead of a
+    * partition-less running sum. Session boundaries merge into one
+    * total order (t, kind, user, session); at a START boundary the
+    * number of open sessions is (#starts ≤ here) − (#ends before
+    * here) = 2·r_starts − r_merged — three [[graft.operators
+    * .ScaleOps.globalRank]] passes (range-partition + zipWithIndex),
+    * pure integer arithmetic, no window anywhere. Ends sort after
+    * starts at equal timestamps, so back-to-back sessions touching at
+    * a boundary count as concurrent (closed-interval convention,
+    * stated identically in the oracle). Output: session count, the
+    * peak, and the earliest time it is attained. */
+  def qMaxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ScaleOps
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 1800000L, 1)
+        .otherwise(0))
+      .withColumn("session_id", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(unix_micros(min(col("ts"))).as("st"), unix_micros(max(col("ts"))).as("en"))
+    val pts = sess.select(col("st").as("t"), lit(0).as("kind"),
+        col("user_id"), col("session_id"))
+      .unionByName(sess.select(col("en").as("t"), lit(1).as("kind"),
+        col("user_id"), col("session_id")))
+    def sortCols = Seq(col("t"), col("kind"), col("user_id"), col("session_id"))
+    val merged = ScaleOps.globalRank(pts, sortCols, "r")
+    val starts = ScaleOps.globalRank(pts.filter(col("kind") === 0), sortCols, "rs")
+      .select(col("user_id").as("su"), col("session_id").as("ss"), col("rs"))
+    val conc = merged.filter(col("kind") === 0)
+      .join(starts, col("user_id") === col("su") && col("session_id") === col("ss"))
+      .withColumn("open", lit(2L) * col("rs") - col("r"))
+    val m = conc.agg(max(col("open")).as("peak"))
+    conc.crossJoin(broadcast(m))
+      .filter(col("open") === col("peak"))
+      .agg(
+        first(col("peak")).as("max_concurrency"),
+        min(col("t")).as("at_us"))
+      .crossJoin(broadcast(sess.agg(count(lit(1)).as("n_sessions"))))
+      .select("n_sessions", "max_concurrency", "at_us")
+  }
+
+  val qMaxConcurrencySql: String =
+    """WITH b AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1
+      |         ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM b),
+      |sess AS (
+      |  SELECT user_id, session_id,
+      |    epoch_us(MIN(ts)) AS st, epoch_us(MAX(ts)) AS en
+      |  FROM s GROUP BY 1, 2),
+      |pts AS (
+      |  SELECT st AS t, 0 AS kind, user_id, session_id FROM sess
+      |  UNION ALL
+      |  SELECT en AS t, 1 AS kind, user_id, session_id FROM sess),
+      |ranked AS (
+      |  SELECT t, kind, user_id, session_id,
+      |    ROW_NUMBER() OVER (ORDER BY t, kind, user_id, session_id) AS r,
+      |    ROW_NUMBER() OVER (PARTITION BY kind
+      |      ORDER BY t, kind, user_id, session_id) AS rs
+      |  FROM pts),
+      |conc AS (
+      |  SELECT t, 2 * rs - r AS open FROM ranked WHERE kind = 0),
+      |peak AS (SELECT MAX(open) AS peak FROM conc)
+      |SELECT (SELECT COUNT(*) FROM sess) AS n_sessions,
+      |  CAST(ANY_VALUE(p.peak) AS BIGINT) AS max_concurrency,
+      |  MIN(c.t) AS at_us
+      |FROM conc c CROSS JOIN peak p
+      |WHERE c.open = p.peak""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_max_concurrency" -> (qMaxConcurrency _),
     "q_kmv_sketch" -> (qKmvSketch _),
     "q_histogram_2d" -> (qHistogram2d _),
     "q_ltv_cohort" -> (qLtvCohort _),
@@ -1031,6 +1115,7 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_max_concurrency" -> qMaxConcurrencySql,
     "q_kmv_sketch" -> qKmvSketchSql,
     "q_histogram_2d" -> qHistogram2dSql,
     "q_ltv_cohort" -> qLtvCohortSql,

@@ -503,7 +503,110 @@ object TimeSeriesQueries {
        |GROUP BY user_id, lag
        |HAVING ANY_VALUE(denq) > 0""".stripMargin
 
+  /** Backward-only as-of join (pandas merge_asof / kdb aj default
+    * direction): each purchase picks up the same user's LAST click
+    * strictly before it — not the nearest in either direction
+    * (q_asof_nearest's semantics). No join at all: the events merge
+    * per user in ONE ordered window and an ignore-nulls `last` over
+    * the conditional click columns carries the state — the LOCF-join
+    * fusion that replaces a per-anchor subquery with a single keyed
+    * pass. Strictly-before comes from the 1-preceding frame end.
+    * Purchases with no prior click keep NULLs (the left-join
+    * contract). Integer-microsecond gap arithmetic. */
+  def qAsofBackward(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("click_t", when(col("event_type") === "click", col("tus")))
+      .withColumn("click_v", when(col("event_type") === "click", col("value")))
+      .withColumn("last_click_t", last(col("click_t"), ignoreNulls = true).over(w))
+      .withColumn("last_click_v", last(col("click_v"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value").as("purchase_value"),
+        col("last_click_v"),
+        (col("tus") - col("last_click_t")).as("gap_us"))
+  }
+
+  val qAsofBackwardSql: String =
+    """WITH m AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tus,
+      |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_t,
+      |    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_v
+      |  FROM events)
+      |SELECT user_id, event_id, value AS purchase_value,
+      |  last_click_v, tus - last_click_t AS gap_us
+      |FROM m WHERE event_type = 'purchase'""".stripMargin
+
+  /** SCD type-1 MERGE classification — the CDC upsert readout: the
+    * standing dimension (each user's latest state from days ≤ 14)
+    * merges with the update batch (days ≥ 15), and every output row
+    * is classified inserted / updated / unchanged / retained with its
+    * final state — the audit a MERGE INTO statement leaves behind.
+    * Two keyed latest-row windows + one full-outer merge; all
+    * comparisons exact. */
+  def qMergeScd1(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def latest(part: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus").desc, col("event_id").desc)
+      part.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type"), col("value"))
+    }
+    val ev = Tables.events(spark, dir)
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("d", dayofmonth(col("ts")))
+    val base = latest(ev.filter(col("d") <= 14))
+      .select(col("user_id"), col("event_type").as("base_type"),
+        col("value").as("base_value"))
+    val upd = latest(ev.filter(col("d") >= 15))
+      .select(col("user_id"), col("event_type").as("new_type"),
+        col("value").as("new_value"))
+    base.join(upd, Seq("user_id"), "full_outer")
+      .withColumn("action",
+        when(col("base_type").isNull, lit("inserted"))
+        .when(col("new_type").isNull, lit("retained"))
+        .when(col("new_type") === col("base_type") &&
+              col("new_value") === col("base_value"), lit("unchanged"))
+        .otherwise(lit("updated")))
+      .select(col("user_id"), col("action"),
+        coalesce(col("new_type"), col("base_type")).as("final_type"),
+        coalesce(col("new_value"), col("base_value")).as("final_value"))
+  }
+
+  val qMergeScd1Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, value, event_id, epoch_us(ts) AS tus,
+      |    day(ts) AS d
+      |  FROM events),
+      |base AS (
+      |  SELECT user_id, event_type AS base_type, value AS base_value FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY tus DESC, event_id DESC) AS rk
+      |    FROM ev WHERE d <= 14) WHERE rk = 1),
+      |upd AS (
+      |  SELECT user_id, event_type AS new_type, value AS new_value FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY tus DESC, event_id DESC) AS rk
+      |    FROM ev WHERE d >= 15) WHERE rk = 1)
+      |SELECT COALESCE(b.user_id, u.user_id) AS user_id,
+      |  CASE WHEN b.base_type IS NULL THEN 'inserted'
+      |       WHEN u.new_type IS NULL THEN 'retained'
+      |       WHEN u.new_type = b.base_type AND u.new_value = b.base_value
+      |         THEN 'unchanged'
+      |       ELSE 'updated' END AS action,
+      |  COALESCE(u.new_type, b.base_type) AS final_type,
+      |  COALESCE(u.new_value, b.base_value) AS final_value
+      |FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_backward" -> (qAsofBackward _),
+    "q_merge_scd1" -> (qMergeScd1 _),
     "q_locf" -> (qLocf _),
     "q_interpolate" -> (qInterpolate _),
     "q_acf" -> (qAcf _),
@@ -519,6 +622,8 @@ object TimeSeriesQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_asof_backward" -> qAsofBackwardSql,
+    "q_merge_scd1" -> qMergeScd1Sql,
     "q_locf" -> qLocfSql,
     "q_interpolate" -> qInterpolateSql,
     "q_acf" -> qAcfSql,
