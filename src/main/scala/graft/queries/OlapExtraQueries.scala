@@ -618,7 +618,67 @@ object OlapExtraQueries {
        |  ${dsumSql("value")} AS sum_value
        |FROM hopped GROUP BY 1, 2""".stripMargin
 
+  /** Ordered string aggregation (LISTAGG / string_agg ... ORDER BY):
+    * each user's first five event types joined into a '>'-separated
+    * path string — the readable journey column a product-analytics
+    * export ships. Determinism is the point: the aggregation ORDER
+    * (ts, event_id) is part of the semantics, expressed in Spark as
+    * sort_array over (key, value) structs before the join — collect
+    * order never leaks through. */
+  def qStringAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("tus", unix_micros(col("ts")))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("tus"), col("event_id"),
+        col("event_type")))).as("s"))
+      .select(col("user_id"),
+        expr("concat_ws('>', transform(slice(s, 1, 5), x -> x.event_type))")
+          .as("path"),
+        size(col("s")).cast("long").as("n_events"))
+  }
+
+  val qStringAggSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      |  FROM events)
+      |SELECT user_id,
+      |  string_agg(event_type, '>' ORDER BY rk) AS path,
+      |  ANY_VALUE(n_events) AS n_events
+      |FROM r WHERE rk <= 5
+      |GROUP BY user_id""".stripMargin
+
+  /** Band (range-lookup) join: each value finds its grade in a small
+    * range-dimension table via a BETWEEN predicate — the classic
+    * tax-bracket/grade-band shape equi-joins can't express. The band
+    * table broadcasts (non-equi broadcast join — the sanctioned
+    * nested loop against a 4-row build side); at scale the
+    * alternative rewrite is a width_bucket-style computed key, but
+    * the JOIN form survives irregular band edges. */
+  def qBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("D", 0.0, 100.0), ("C", 100.0, 300.0),
+      ("B", 300.0, 450.0), ("A", 450.0, 1e9)).toDF("grade", "lo", "hi")
+    Tables.events(spark, dir)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("grade"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+  }
+
+  val qBandJoinSql: String =
+    s"""WITH bands(grade, lo, hi) AS (
+       |  VALUES ('D', 0.0, 100.0), ('C', 100.0, 300.0),
+       |         ('B', 300.0, 450.0), ('A', 450.0, 1e9))
+       |SELECT b.grade, COUNT(*) AS n, ${dsumSql("e.value")} AS sum_value
+       |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+       |GROUP BY b.grade""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_string_agg" -> (qStringAgg _),
+    "q_band_join" -> (qBandJoin _),
     "q_multi_count" -> (qMultiCount _),
     "q_grouping_id" -> (qGroupingId _),
     "q_percentile_disc" -> (qPercentileDisc _),
@@ -643,6 +703,8 @@ object OlapExtraQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_string_agg" -> qStringAggSql,
+    "q_band_join" -> qBandJoinSql,
     "q_multi_count" -> qMultiCountSql,
     "q_grouping_id" -> qGroupingIdSql,
     "q_percentile_disc" -> qPercentileDiscSql,

@@ -1339,7 +1339,61 @@ object TextQueries {
       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
       |FROM exploded GROUP BY w""".stripMargin
 
+  /** Entity resolution end-to-end — the composite the dedup family
+    * exists for: character-level near-dup PAIRS (the q_fuzzy_join
+    * banded Levenshtein predicate) close into CLUSTERS (GraphOps
+    * connected components, the q_dup_clusters fixpoint), and each
+    * cluster elects a CANONICAL record (longest text, doc_id
+    * tie-break) — merge survivors plus their member count, the
+    * master-data table an ER pipeline emits. One declarative chain:
+    * banded pair join → O(rounds) keyed CC → per-cluster argmax
+    * window. The oracle recomputes the same chain from the
+    * brute-force pair predicate and a recursive-CTE closure — any
+    * divergence in pairs, clustering, or election flips the hash. */
+  def qEntityResolution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = qFuzzyJoin(spark, dir).select(col("a_id"), col("b_id"))
+    val labels = graft.operators.GraphOps.connectedComponents(pairs, "a_id", "b_id")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val members = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+      .join(docs, "doc_id")
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    members.withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        min(when(col("rk") === 1, col("doc_id"))).as("canonical_doc"),
+        min(when(col("rk") === 1, col("n_chars"))).as("canonical_len"))
+  }
+
+  val qEntityResolutionSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.doc_id AS a_id, c.doc_id AS b_id
+      |  FROM documents a JOIN documents c
+      |    ON a.lang = c.lang AND a.doc_id < c.doc_id
+      |  WHERE abs(a.n_chars - c.n_chars) <= 25
+      |    AND levenshtein(substr(lower(a.text), 1, 40),
+      |                    substr(lower(c.text), 1, 40)) <= 10),
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+      |          UNION SELECT b_id, a_id FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach AS (
+      |  SELECT id, id AS lbl FROM nodes
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_rep FROM reach GROUP BY 1),
+      |m AS (
+      |  SELECT cl.cluster_rep, cl.doc_id, d.n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_rep
+      |      ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rk
+      |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+      |SELECT cluster_rep, COUNT(*) AS n_members,
+      |  MIN(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc,
+      |  MIN(CASE WHEN rk = 1 THEN n_chars END) AS canonical_len
+      |FROM m GROUP BY cluster_rep""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entity_resolution" -> (qEntityResolution _),
     "q_explode_outer" -> (qExplodeOuter _),
     "q_prefix_filter_join" -> (qPrefixFilterJoin _),
     "q_gopher_rules" -> (qGopherRules _),
@@ -1376,6 +1430,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_entity_resolution" -> qEntityResolutionSql,
     "q_explode_outer" -> qExplodeOuterSql,
     "q_prefix_filter_join" -> qPrefixFilterJoinSql,
     "q_gopher_rules" -> qGopherRulesSql,
