@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -658,7 +658,160 @@ object AnalyticsQueries {
       |deg AS (SELECT s, COUNT(*) AS degree FROM edges GROUP BY s)
       |SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree""".stripMargin
 
+  /** DAU/WAU stickiness — daily active users over trailing-7-day
+    * active users, the product-metric pair behind every engagement
+    * dashboard. The trailing-window DISTINCT is the hard part: a
+    * sliding count-distinct cannot come from a running window
+    * (distinct doesn't decompose), so each (day, user) activity row
+    * fans out to the ≤ 7 target days whose trailing window covers it
+    * (the q_hopping map-side fan-out) and ONE keyed
+    * distinct-aggregation per target day finishes it. Stickiness is a
+    * single integer-ratio divide. */
+  def qDauWau(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)").as("d"))
+      .distinct()
+    val dau = act.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = act
+      .withColumn("target", explode(expr("sequence(d, d + 6)")))
+      .groupBy(col("target").as("d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    // keep only days that actually occur (the fan-out creates 6
+    // phantom trailing days past the corpus end)
+    dau.join(wau, "d")
+      .withColumn("stickiness", col("dau").cast("double") / col("wau").cast("double"))
+      .select("d", "dau", "wau", "stickiness")
+  }
+
+  val qDauWauSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+      |  FROM events),
+      |dau AS (SELECT d, COUNT(*) AS dau FROM act GROUP BY d),
+      |wau AS (
+      |  SELECT target AS d, COUNT(DISTINCT user_id) AS wau FROM (
+      |    SELECT user_id, unnest(range(d, d + 7)) AS target FROM act)
+      |  GROUP BY 1)
+      |SELECT dau.d, dau.dau, CAST(wau.wau AS BIGINT) AS wau,
+      |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+      |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin
+
+  /** RFM segmentation — recency / frequency / monetary quartile codes
+    * per purchasing user, the classic customer-base cut. The quartile
+    * ASSIGNMENT is scale-safe: exact quartile thresholds come from ONE
+    * 1-row aggregate (broadcast back), and each user compares against
+    * them — never an NTILE window over the whole user base (the
+    * partition-less-rank shape this engine bans). Threshold
+    * comparisons use <= consistently so boundary ties land identically
+    * on both engines; output is the segment histogram plus per-segment
+    * exact revenue. */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val maxD = Tables.events(spark, dir)
+      .agg(max(expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"))
+        .as("dmax"))
+    val perUser = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("d", expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"))
+      .groupBy(col("user_id"))
+      .agg(max(col("d")).as("last_d"),
+        count(lit(1)).as("f"),
+        dsum(col("value")).as("m"))
+      .crossJoin(broadcast(maxD))
+      .withColumn("r", col("dmax") - col("last_d"))
+    val cuts = perUser.agg(
+      percentile(col("r").cast("double"), typedLit(Seq(0.25, 0.5, 0.75))).as("rc"),
+      percentile(col("f").cast("double"), typedLit(Seq(0.25, 0.5, 0.75))).as("fc"),
+      percentile(col("m"), typedLit(Seq(0.25, 0.5, 0.75))).as("mc"))
+    def code(v: Column, cutsCol: Column, reverse: Boolean): Column = {
+      val c1 = element_at(cutsCol, 1); val c2 = element_at(cutsCol, 2)
+      val c3 = element_at(cutsCol, 3)
+      val q = when(v <= c1, 1).when(v <= c2, 2).when(v <= c3, 3).otherwise(4)
+      if (reverse) lit(5) - q else q // low recency = GOOD = 4
+    }
+    perUser.crossJoin(broadcast(cuts))
+      .withColumn("r_code", code(col("r").cast("double"), col("rc"), reverse = true))
+      .withColumn("f_code", code(col("f").cast("double"), col("fc"), reverse = false))
+      .withColumn("m_code", code(col("m"), col("mc"), reverse = false))
+      .groupBy(col("r_code"), col("f_code"), col("m_code"))
+      .agg(count(lit(1)).as("n_users"), dsum(col("m")).as("segment_revenue"))
+  }
+
+  val qRfmSql: String =
+    s"""WITH dm AS (
+       |  SELECT MAX(CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT))
+       |    AS dmax FROM events),
+       |pu AS (
+       |  SELECT e.user_id,
+       |    ANY_VALUE(dm.dmax)
+       |      - MAX(CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)) AS r,
+       |    COUNT(*) AS f,
+       |    ${dsumSql("e.value")} AS m
+       |  FROM events e CROSS JOIN dm
+       |  WHERE e.event_type = 'purchase'
+       |  GROUP BY e.user_id),
+       |cuts AS (
+       |  SELECT quantile_cont(CAST(r AS DOUBLE), [0.25, 0.5, 0.75]) AS rc,
+       |         quantile_cont(CAST(f AS DOUBLE), [0.25, 0.5, 0.75]) AS fc,
+       |         quantile_cont(m, [0.25, 0.5, 0.75]) AS mc
+       |  FROM pu),
+       |coded AS (
+       |  SELECT pu.m,
+       |    5 - (CASE WHEN CAST(pu.r AS DOUBLE) <= c.rc[1] THEN 1
+       |              WHEN CAST(pu.r AS DOUBLE) <= c.rc[2] THEN 2
+       |              WHEN CAST(pu.r AS DOUBLE) <= c.rc[3] THEN 3 ELSE 4 END) AS r_code,
+       |    CASE WHEN CAST(pu.f AS DOUBLE) <= c.fc[1] THEN 1
+       |         WHEN CAST(pu.f AS DOUBLE) <= c.fc[2] THEN 2
+       |         WHEN CAST(pu.f AS DOUBLE) <= c.fc[3] THEN 3 ELSE 4 END AS f_code,
+       |    CASE WHEN pu.m <= c.mc[1] THEN 1
+       |         WHEN pu.m <= c.mc[2] THEN 2
+       |         WHEN pu.m <= c.mc[3] THEN 3 ELSE 4 END AS m_code
+       |  FROM pu CROSS JOIN cuts c)
+       |SELECT r_code, f_code, m_code, COUNT(*) AS n_users,
+       |  ${dsumSql("m")} AS segment_revenue
+       |FROM coded GROUP BY 1, 2, 3""".stripMargin
+
+  /** Forward conversion (view → purchase within 10 minutes) — the
+    * asof-FORWARD direction completing the backward/nearest family:
+    * each view picks up the same user's NEXT purchase via an
+    * ignore-nulls `first` over the 1-following frame, then the
+    * conversion predicate bounds the gap. One keyed window pass — no
+    * per-view subquery, no join. */
+  def qViewToPurchase(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("p_t", when(col("event_type") === "purchase", col("tus")))
+      .withColumn("next_p", first(col("p_t"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "view")
+      .withColumn("gap", col("next_p") - col("tus"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_views"),
+        sum(when(col("gap") <= 600000000L, 1L).otherwise(0L)).as("n_converted"),
+        min(col("gap")).as("min_gap_us"))
+  }
+
+  val qViewToPurchaseSql: String =
+    """WITH m AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tus,
+      |    first_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_views,
+      |  CAST(SUM(CASE WHEN next_p - tus <= 600000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_converted,
+      |  MIN(next_p - tus) AS min_gap_us
+      |FROM m WHERE event_type = 'view'
+      |GROUP BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dau_wau" -> (qDauWau _),
+    "q_rfm" -> (qRfm _),
+    "q_view_to_purchase" -> (qViewToPurchase _),
     "q_bitmap_index" -> (qBitmapIndex _),
     "q_degree_dist" -> (qDegreeDist _),
     "q_bfs_depth" -> (qBfsDepth _),
@@ -675,6 +828,9 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dau_wau" -> qDauWauSql,
+    "q_rfm" -> qRfmSql,
+    "q_view_to_purchase" -> qViewToPurchaseSql,
     "q_bitmap_index" -> qBitmapIndexSql,
     "q_degree_dist" -> qDegreeDistSql,
     "q_bfs_depth" -> qBfsDepthSql,
