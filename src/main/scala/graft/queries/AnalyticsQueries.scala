@@ -808,7 +808,111 @@ object AnalyticsQueries {
       |FROM m WHERE event_type = 'view'
       |GROUP BY user_id""".stripMargin
 
+  /** Growth accounting — the weekly new / retained / resurrected /
+    * churned decomposition every growth team reports: per (user, week)
+    * activity distinct once, each user's first week from one keyed
+    * aggregate, and the week-over-week classification from a
+    * full-outer self-join of activity against itself shifted one week
+    * (keyed on (user, week)) — new: first activity; retained: active
+    * both weeks; resurrected: active now, idle last week, not new;
+    * churned: active last week, gone this week (attributed to the
+    * week they went missing). Identity: retained + churned = last
+    * week's actives, per construction. All integer counts. */
+  def qGrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7 AS BIGINT)")
+          .as("w"))
+      .distinct()
+    val firstW = act.groupBy(col("user_id")).agg(min(col("w")).as("w0"))
+    val cur = act.select(col("user_id"), col("w"))
+    val prev = act.select(col("user_id"), (col("w") + 1).as("w"),
+      lit(1).as("was_prev"))
+    cur.withColumn("is_cur", lit(1))
+      .join(prev, Seq("user_id", "w"), "full_outer")
+      .join(firstW, "user_id")
+      .groupBy(col("w"))
+      .agg(
+        sum(when(col("is_cur") === 1 && col("w") === col("w0"), 1L).otherwise(0L))
+          .as("new_users"),
+        sum(when(col("is_cur") === 1 && col("was_prev") === 1, 1L).otherwise(0L))
+          .as("retained"),
+        sum(when(col("is_cur") === 1 && col("was_prev").isNull &&
+          col("w") > col("w0"), 1L).otherwise(0L)).as("resurrected"),
+        sum(when(col("is_cur").isNull && col("was_prev") === 1, 1L).otherwise(0L))
+          .as("churned"))
+  }
+
+  val qGrowthAccountingSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS w
+      |  FROM events),
+      |fw AS (SELECT user_id, MIN(w) AS w0 FROM act GROUP BY 1),
+      |cur AS (SELECT user_id, w, 1 AS is_cur FROM act),
+      |prev AS (SELECT user_id, w + 1 AS w, 1 AS was_prev FROM act),
+      |j AS (
+      |  SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+      |    COALESCE(c.w, p.w) AS w, c.is_cur, p.was_prev
+      |  FROM cur c FULL OUTER JOIN prev p
+      |    ON c.user_id = p.user_id AND c.w = p.w)
+      |SELECT j.w,
+      |  CAST(SUM(CASE WHEN j.is_cur = 1 AND j.w = f.w0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS new_users,
+      |  CAST(SUM(CASE WHEN j.is_cur = 1 AND j.was_prev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS retained,
+      |  CAST(SUM(CASE WHEN j.is_cur = 1 AND j.was_prev IS NULL AND j.w > f.w0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+      |  CAST(SUM(CASE WHEN j.is_cur IS NULL AND j.was_prev = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS churned
+      |FROM j JOIN fw f ON f.user_id = j.user_id
+      |GROUP BY j.w""".stripMargin
+
+  /** Seasonal-naive forecast backtest — the baseline every forecasting
+    * pipeline must beat: predict each day's total as the SAME WEEKDAY
+    * one week earlier (lag-7 over the daily aggregate), score the
+    * overlap by quantized MAE and bias per event type. A lag over the
+    * tiny per-type daily series (keyed window), exact daily sums, one
+    * quantized error aggregation. */
+  def qSeasonalNaive(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)").as("d"))
+      .agg(dsum(col("value")).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    daily
+      .withColumn("pred", lag(col("v"), 7).over(w))
+      .filter(col("pred").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        (sum(floor(abs(col("v") - col("pred")) * lit(1e6)).cast("long"))
+          .cast("double") / lit(1e6) / count(lit(1))).as("mae"),
+        (sum(floor((col("v") - col("pred")) * lit(1e6)).cast("long"))
+          .cast("double") / lit(1e6) / count(lit(1))).as("bias"))
+  }
+
+  val qSeasonalNaiveSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+       |    ${dsumSql("value")} AS v
+       |  FROM events GROUP BY 1, 2),
+       |l AS (
+       |  SELECT event_type, v,
+       |    lag(v, 7) OVER (PARTITION BY event_type ORDER BY d) AS pred
+       |  FROM daily)
+       |SELECT event_type, COUNT(*) AS n_days,
+       |  CAST(SUM(CAST(FLOOR(abs(v - pred) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+       |    / COUNT(*) AS mae,
+       |  CAST(SUM(CAST(FLOOR((v - pred) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+       |    / COUNT(*) AS bias
+       |FROM l WHERE pred IS NOT NULL
+       |GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_growth_accounting" -> (qGrowthAccounting _),
+    "q_seasonal_naive" -> (qSeasonalNaive _),
     "q_dau_wau" -> (qDauWau _),
     "q_rfm" -> (qRfm _),
     "q_view_to_purchase" -> (qViewToPurchase _),
@@ -828,6 +932,8 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_growth_accounting" -> qGrowthAccountingSql,
+    "q_seasonal_naive" -> qSeasonalNaiveSql,
     "q_dau_wau" -> qDauWauSql,
     "q_rfm" -> qRfmSql,
     "q_view_to_purchase" -> qViewToPurchaseSql,
