@@ -149,4 +149,47 @@ class PropertySpec extends SparkSpec {
     val bad = out.filter(ndCols.map(c => col(c) < -1.0 || col(c) > 1.0).reduce(_ || _)).count()
     assert(bad == 0)
   }
+
+  test("property: gzip encode->decode round-trips arbitrary payloads and names") {
+    import graft.sources.GzipCodec
+    val gen = for {
+      n <- Gen.chooseNum(0, 5000)
+      bytes <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))
+      name <- Gen.oneOf("", "a.jsonl", "shard_0001.jsonl", "x" * 99)
+    } yield (bytes, name)
+    val seed0 = Seed(42L)
+    var seed = seed0
+    for (_ <- 1 to 50) {
+      val (bytes, name) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val enc = GzipCodec.encode(name, bytes)
+      val dec = GzipCodec.decode(enc)
+      assert(dec.isDefined, s"refused own output (n=${bytes.length}, name=$name)")
+      assert(dec.get.name == name)
+      assert(java.util.Arrays.equals(dec.get.data, bytes),
+        s"payload mangled at n=${bytes.length}")
+      // truncating anywhere in the body/trailer must refuse, not mangle
+      val cut = enc.length - 1 - (bytes.length % 7)
+      assert(GzipCodec.decode(enc.take(cut)).isEmpty, s"truncation at $cut accepted")
+    }
+  }
+
+  test("property: KMV union sketch equals merge of member sketches") {
+    // k-smallest-of-union == k-smallest of (k-smallest(A) ++ k-smallest(B)):
+    // the mergeability that makes the theta tier distributable
+    val k = 16
+    def sketch(xs: Set[Long]): Seq[Long] = xs.toSeq.sorted.take(k)
+    val gen = for {
+      a <- Gen.containerOf[Set, Long](Gen.chooseNum(0L, 10000L))
+      b <- Gen.containerOf[Set, Long](Gen.chooseNum(0L, 10000L))
+    } yield (a, b)
+    var seed = Seed(7L)
+    for (_ <- 1 to 100) {
+      val (a, b) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val direct = sketch(a ++ b)
+      val merged = (sketch(a) ++ sketch(b)).distinct.sorted.take(k)
+      assert(direct == merged, s"KMV merge broken: |a|=${a.size} |b|=${b.size}")
+    }
+  }
 }
