@@ -910,7 +910,85 @@ object AnalyticsQueries {
        |FROM l WHERE pred IS NOT NULL
        |GROUP BY event_type""".stripMargin
 
+  /** Week-over-week growth per event type — the trend line over the
+    * q_growth_accounting decomposition: weekly exact revenue, lag-1
+    * via a type-keyed window, growth as one guarded division (first
+    * week and zero-base weeks emit NULL, identically cross-engine). */
+  def qWowGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7 AS BIGINT)")
+          .as("w"))
+      .agg(dsum(col("value")).as("rev"), count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("w"))
+    weekly
+      .withColumn("prev_rev", lag(col("rev"), 1).over(byType))
+      .withColumn("wow_growth",
+        when(col("prev_rev") > 0.0,
+          (col("rev") - col("prev_rev")) / col("prev_rev"))
+          .otherwise(lit(null).cast("double")))
+      .select("event_type", "w", "n", "rev", "prev_rev", "wow_growth")
+  }
+
+  val qWowGrowthSql: String =
+    s"""WITH weekly AS (
+       |  SELECT event_type,
+       |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS w,
+       |    ${dsumSql("value")} AS rev, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |l AS (
+       |  SELECT event_type, w, n, rev,
+       |    lag(rev, 1) OVER (PARTITION BY event_type ORDER BY w) AS prev_rev
+       |  FROM weekly)
+       |SELECT event_type, w, n, rev, prev_rev,
+       |  CASE WHEN prev_rev > 0.0 THEN (rev - prev_rev) / prev_rev END AS wow_growth
+       |FROM l""".stripMargin
+
+  /** Top movers — the parts with the biggest absolute week-over-week
+    * revenue swings: part-week exact revenue, a PART-keyed lag (the
+    * key that shards at any scale, unlike a per-type global series),
+    * and a TakeOrderedAndProject top-15 by |Δ| with integer-cents
+    * ordering so ranking ties cannot straddle an ulp. */
+  def qTopMovers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pw = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') div 7 AS BIGINT)")
+          .as("w"))
+      .agg(dsum(col("l_extendedprice")).as("rev"))
+    val byPart = Window.partitionBy(col("l_partkey")).orderBy(col("w"))
+    pw.withColumn("prev_rev", lag(col("rev"), 1).over(byPart))
+      .filter(col("prev_rev").isNotNull)
+      .withColumn("delta_cents",
+        (floor(col("rev") * 100.0) - floor(col("prev_rev") * 100.0)).cast("long"))
+      .orderBy(abs(col("delta_cents")).desc, col("l_partkey").asc, col("w").asc)
+      .limit(15)
+      .select(col("l_partkey"), col("w"), col("rev"), col("prev_rev"),
+        col("delta_cents"))
+  }
+
+  val qTopMoversSql: String =
+    s"""WITH pw AS (
+       |  SELECT l_partkey,
+       |    CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) // 7
+       |      AS BIGINT) AS w,
+       |    ${dsumSql("l_extendedprice")} AS rev
+       |  FROM lineitem GROUP BY 1, 2),
+       |l AS (
+       |  SELECT l_partkey, w, rev,
+       |    lag(rev, 1) OVER (PARTITION BY l_partkey ORDER BY w) AS prev_rev
+       |  FROM pw)
+       |SELECT l_partkey, w, rev, prev_rev,
+       |  CAST(FLOOR(rev * 100.0) - FLOOR(prev_rev * 100.0) AS BIGINT) AS delta_cents
+       |FROM l WHERE prev_rev IS NOT NULL
+       |ORDER BY abs(CAST(FLOOR(rev * 100.0) - FLOOR(prev_rev * 100.0) AS BIGINT)) DESC,
+       |  l_partkey ASC, w ASC
+       |LIMIT 15""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wow_growth" -> (qWowGrowth _),
+    "q_top_movers" -> (qTopMovers _),
     "q_growth_accounting" -> (qGrowthAccounting _),
     "q_seasonal_naive" -> (qSeasonalNaive _),
     "q_dau_wau" -> (qDauWau _),
@@ -932,6 +1010,8 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_wow_growth" -> qWowGrowthSql,
+    "q_top_movers" -> qTopMoversSql,
     "q_growth_accounting" -> qGrowthAccountingSql,
     "q_seasonal_naive" -> qSeasonalNaiveSql,
     "q_dau_wau" -> qDauWauSql,
