@@ -439,7 +439,7 @@ object StatQueries {
 
   val qChi2Sql: String =
     s"""WITH ev AS (
-       |  SELECT event_type, CAST(user_id % 4 AS INT) AS bucket FROM events),
+       |  SELECT event_type, CAST(((user_id % 4) + 4) % 4 AS INT) AS bucket FROM events),
        |cells AS (SELECT event_type, bucket, COUNT(*) AS o FROM ev GROUP BY 1, 2),
        |rt AS (SELECT event_type, COUNT(*) AS rt FROM ev GROUP BY 1),
        |ct AS (SELECT bucket, COUNT(*) AS ct FROM ev GROUP BY 1),

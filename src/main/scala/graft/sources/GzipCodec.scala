@@ -53,14 +53,52 @@ object GzipCodec {
     out.toByteArray
   }
 
-  /** Decode one member; None on any structural violation. */
+  /** Ceiling on total inflated bytes per file. A scan over untrusted
+    * buckets must bound memory per task: a 42 KB zip-bomb member can
+    * legally inflate to 4 GB, and an executor decoding a few of those
+    * concurrently dies. 256 MiB comfortably covers real corpus shards
+    * (Common-Crawl WET shards inflate to ~300-400 MB *compressed at
+    * ~1 GB files*; per-document shards here are KB-scale) while
+    * keeping worst-case task memory bounded. Oversized files decode
+    * to None — the skip contract, not an OOM. */
+  val MaxInflatedBytes: Int = 256 << 20
+
+  /** Decode a gzip FILE — one or more back-to-back members per
+    * RFC 1952 §2.2 ("a gzip file consists of a series of members");
+    * pigz/bgzip and `cat a.gz b.gz` all produce multi-member files,
+    * and readers must concatenate the inflated payloads. Returns the
+    * first member's FNAME plus the concatenation; None on any
+    * structural violation in ANY member, on trailing non-member
+    * garbage, or past [[MaxInflatedBytes]] — never throws. */
   def decode(bytes: Array[Byte]): Option[GzipFile] = {
     if (bytes.length < 18) return None
-    if ((bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b ||
-        bytes(2) != 8) return None
-    val flg = bytes(3) & 0xff
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(bytes.length.toLong * 4, 1L << 20).toInt)
+    var name: String = null
+    var at = 0
+    while (at < bytes.length) {
+      decodeMember(bytes, at, out) match {
+        case None => return None
+        case Some((n, next)) =>
+          if (name == null) name = n
+          at = next
+      }
+    }
+    Some(GzipFile(if (name == null) "" else name, out.toByteArray))
+  }
+
+  /** Decode the single member starting at `off`, appending its
+    * inflated payload to `out`; returns (FNAME, offset-after-trailer)
+    * or None on any violation. */
+  private def decodeMember(
+      bytes: Array[Byte], off: Int,
+      out: java.io.ByteArrayOutputStream): Option[(String, Int)] = {
+    if (bytes.length - off < 18) return None
+    if ((bytes(off) & 0xff) != 0x1f || (bytes(off + 1) & 0xff) != 0x8b ||
+        bytes(off + 2) != 8) return None
+    val flg = bytes(off + 3) & 0xff
     if ((flg & 0xe0) != 0) return None // reserved bits must be zero
-    var pos = 10
+    var pos = off + 10
     if ((flg & 0x04) != 0) { // FEXTRA: 2-byte LE length + payload
       if (pos + 2 > bytes.length) return None
       val xlen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8)
@@ -87,12 +125,16 @@ object GzipCodec {
     if (bytes.length - pos < 8) return None // need at least the trailer
     val inf = new java.util.zip.Inflater(true)
     inf.setInput(bytes, pos, bytes.length - pos)
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 2)
+    val crc = new java.util.zip.CRC32()
+    var memberLen = 0L
     val buf = new Array[Byte](8192)
     try {
       while (!inf.finished()) {
         val n = inf.inflate(buf)
         if (n == 0 && inf.needsInput()) { inf.end(); return None } // truncated body
+        memberLen += n
+        if (out.size().toLong + n > MaxInflatedBytes) { inf.end(); return None }
+        crc.update(buf, 0, n)
         out.write(buf, 0, n)
       }
     } catch {
@@ -105,10 +147,8 @@ object GzipCodec {
     def le32(o: Int): Long =
       (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
       ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
-    val data = out.toByteArray
-    val crc = new java.util.zip.CRC32(); crc.update(data)
     if (le32(tpos) != crc.getValue) return None
-    if (le32(tpos + 4) != (data.length.toLong & 0xffffffffL)) return None
-    Some(GzipFile(name, data))
+    if (le32(tpos + 4) != (memberLen & 0xffffffffL)) return None
+    Some((name, tpos + 8))
   }
 }

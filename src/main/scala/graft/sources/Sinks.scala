@@ -165,25 +165,43 @@ object Sinks {
     * parquet files (per-trigger streaming appends, over-parallel
     * writes) is rewritten at a target file count, preserving rows
     * exactly. Returns (files_before, files_after). The rewrite goes
-    * through a temp dir + atomic-ish swap so a crash mid-compact
-    * leaves either the old or the new layout, never a mix — the same
-    * idempotence discipline as the batchId-keyed streaming sink. At
-    * 100 TB this runs per partition (compact the day you just
-    * finalized), never over the whole table. */
+    * through a temp dir + two-step swap. The swap is NOT atomic: for
+    * the instant between the two moves the table dir is absent, and a
+    * crash in that window leaves the data in `_precompact` — so this
+    * run first SELF-HEALS: a leftover `_compacting` (crashed before
+    * the swap) is deleted and redone; a leftover `_precompact` with
+    * the table dir present is stale debris and deleted; `_precompact`
+    * present WITHOUT the table dir is the crash-window state and is
+    * moved back before compacting. Rows are therefore never lost, and
+    * a re-run always converges — but readers racing the swap can see
+    * a transient missing dir, which is why at 100 TB this runs per
+    * finalized partition (no concurrent readers), never over a live
+    * whole table. */
   def compact(spark: SparkSession, dir: String, targetFiles: Int): (Int, Int) = {
-    def parquetFiles(d: String): Array[java.io.File] =
-      new java.io.File(d).listFiles((_, n) => n.endsWith(".parquet"))
-    val before = parquetFiles(dir).length
-    val tmp = dir + "_compacting"
-    spark.read.parquet(dir).repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp)
-    val old = dir + "_precompact"
-    java.nio.file.Files.move(java.nio.file.Paths.get(dir), java.nio.file.Paths.get(old))
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(dir))
+    import java.nio.file.{Files, Paths}
+    def parquetFiles(d: String): Array[java.io.File] = {
+      val fs = new java.io.File(d).listFiles((_, n) => n.endsWith(".parquet"))
+      if (fs == null)
+        throw new IllegalArgumentException(s"compact(): $d is not a readable directory")
+      fs
+    }
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rmrf)
       f.delete(): Unit
     }
+    val tmp = dir + "_compacting"
+    val old = dir + "_precompact"
+    // self-heal debris from a crashed or interrupted earlier run
+    if (Files.exists(Paths.get(tmp))) rmrf(new java.io.File(tmp))
+    if (Files.exists(Paths.get(old))) {
+      if (Files.exists(Paths.get(dir))) rmrf(new java.io.File(old)) // stale backup
+      else Files.move(Paths.get(old), Paths.get(dir)): Unit // crash-window restore
+    }
+    val before = parquetFiles(dir).length
+    spark.read.parquet(dir).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    Files.move(Paths.get(dir), Paths.get(old))
+    Files.move(Paths.get(tmp), Paths.get(dir))
     rmrf(new java.io.File(old))
     (before, parquetFiles(dir).length)
   }

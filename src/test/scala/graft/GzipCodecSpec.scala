@@ -75,6 +75,30 @@ class GzipCodecSpec extends SparkSpec {
     assert(new String(dec.get.data, "UTF-8") == goldenPayload)
   }
 
+  test("multi-member file (pigz/cat *.gz form) concatenates payloads; garbage after trailer refused") {
+    // RFC 1952 §2.2: a gzip file is a SERIES of members; `cat a.gz b.gz`
+    // and pigz/bgzip output are the common producers. Python:
+    // gzip.decompress(a + b) == payload_a + payload_b.
+    val a = GzipCodec.encode("first.jsonl", "{\"doc_id\":1}\n".getBytes("UTF-8"))
+    val b = GzipCodec.encode("second.jsonl", "{\"doc_id\":2}\n".getBytes("UTF-8"))
+    val dec = GzipCodec.decode(a ++ b)
+    assert(dec.isDefined, "two-member file refused")
+    assert(dec.get.name == "first.jsonl", "name must come from the first member")
+    assert(new String(dec.get.data, "UTF-8") == "{\"doc_id\":1}\n{\"doc_id\":2}\n")
+    // three members, one golden foreign stream in the middle
+    val dec3 = GzipCodec.decode(a ++ goldenGz ++ b)
+    assert(dec3.isDefined)
+    assert(new String(dec3.get.data, "UTF-8") ==
+      "{\"doc_id\":1}\n" + goldenPayload + "{\"doc_id\":2}\n")
+    // a corrupt SECOND member poisons the whole file (skip contract —
+    // silently returning half the lines is the bug this guards against)
+    val badTail = b.clone(); badTail(badTail.length - 4) = (badTail(badTail.length - 4) ^ 0xff).toByte
+    assert(GzipCodec.decode(a ++ badTail).isEmpty, "corrupt trailing member accepted")
+    // non-gzip garbage after a valid trailer likewise refuses
+    assert(GzipCodec.decode(a ++ "not gzip".getBytes("UTF-8")).isEmpty,
+      "trailing garbage accepted")
+  }
+
   test("sink→scan round-trip across partitions; corrupt shard skipped") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("jsonlgz").toString
