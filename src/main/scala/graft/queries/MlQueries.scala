@@ -702,7 +702,139 @@ object MlQueries {
        |  CAST(SUM(CAST(FLOOR(f1 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*)
        |FROM scored""".stripMargin
 
+  // ---- Probe inference (fixed weights) -------------------------------
+  //
+  // The reference fits sklearn LogisticRegression / RandomForest probes
+  // on frozen encoder embeddings and scores the val split
+  // (eval/eval.py:191-211). Training is sklearn-internal (seeded LBFGS /
+  // bootstrap) and not oracle-reproducible, so the graded surface here is
+  // the INFERENCE operator — the distributed scoring pass a fitted probe
+  // runs over the corpus — with deterministic fixed weights generated
+  // from one integer formula on BOTH engine and oracle sides. spark.ml
+  // fitting itself lives in operators/MlProbes (spec-verified).
+  //
+  // Scale shape: scoring is a map-only pass (weights broadcast as
+  // literals; at 100 TB they'd broadcast as a one-row table), argmax is
+  // a per-row array fold — the only shuffle is the final confusion-cell
+  // aggregation, whose cardinality is #classes², not data.
+
+  private val LrClasses = 10
+  private val LrDims = 64
+  /** w(c,d) ∈ [-9, 9]: one integer formula shared by engine + oracle. */
+  private def lrW(c: Int, d: Int): Int = (((c * LrDims + d) * 37 + 11) % 19) - 9
+  /** b(c) ∈ [-8, 8]. */
+  private def lrB(c: Int): Int = ((c * 53) % 17) - 8
+
+  /** Multinomial LR probe inference: score_c = (b_c + Σ_d w(c,d)·x_d)/10,
+    * argmax class (ties → smaller c), confusion cells (label, pred, n)
+    * with a quantized score checksum. Per-row arithmetic is a
+    * sequential-fold dot product — bit-exact across engines (same
+    * left-fold order, all-double ops). */
+  def qLrProbe(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val scoreCols = (0 until LrClasses).map { c =>
+      val ws = (0 until LrDims).map(d => lrW(c, d)).mkString(",")
+      struct(
+        expr(s"""(aggregate(zip_with(embedding, array($ws),
+                |   (x, w) -> CAST(x AS DOUBLE) * w),
+                | 0D, (acc, v) -> acc + v) + ${lrB(c)}) / 10.0""".stripMargin)
+          .as("score"),
+        lit(c).as("cls"))
+    }
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("s.score").desc, col("s.cls"))
+    e.withColumn("s", explode(array(scoreCols: _*)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("label"), col("s.cls").as("pred"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("s.score") * lit(1000000.0)).cast("long")).as("score_q"))
+  }
+
+  val qLrProbeSql: String = {
+    val arms = (0 until LrClasses).map { c =>
+      val ws = (0 until LrDims).map(d => lrW(c, d)).mkString(",")
+      s"""SELECT vec_id, label, $c AS cls,
+         |  (list_reduce(list_transform(list_zip(embedding, [$ws]),
+         |      p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)
+         |   + ${lrB(c)}) / 10.0 AS score
+         |FROM embeddings""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH scored AS (
+       |$arms),
+       |ranked AS (
+       |  SELECT label, cls, score, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cls) AS rk
+       |  FROM scored)
+       |SELECT label, cls AS pred, COUNT(*) AS n,
+       |  CAST(SUM(CAST(FLOOR(score * 1e6) AS BIGINT)) AS BIGINT) AS score_q
+       |FROM ranked WHERE rk = 1
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  private val RfTrees = 16
+  /** Depth-2 tree t: split dims/thresholds + leaf classes, one integer
+    * formula on both sides. Thresholds are exact-binary doubles so the
+    * float comparison is engine-independent. */
+  private def rfD1(t: Int): Int = (t * 7 + 1) % 64 + 1   // 1-based dim
+  private def rfD2(t: Int): Int = (t * 11 + 3) % 64 + 1
+  private def rfD3(t: Int): Int = (t * 13 + 5) % 64 + 1
+  private def rfLeaf(t: Int, leaf: Int): Int = (t * 3 + leaf * 5 + 1) % 10
+
+  /** Random-forest probe inference: 16 fixed depth-2 trees vote per
+    * row; majority class (ties → smaller class) vs label as confusion
+    * cells. The tree walk is a per-row CASE cascade (map-only); votes
+    * never leave the row — the vote histogram is an array fold, so the
+    * only shuffle is the #classes²-cell confusion aggregate. */
+  def qRfVote(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val votes = (0 until RfTrees).map { t =>
+      expr(s"""CASE WHEN CAST(embedding[${rfD1(t) - 1}] AS DOUBLE) < 0.0D
+              |  THEN CASE WHEN CAST(embedding[${rfD2(t) - 1}] AS DOUBLE) < -0.0625D
+              |    THEN ${rfLeaf(t, 0)} ELSE ${rfLeaf(t, 1)} END
+              |  ELSE CASE WHEN CAST(embedding[${rfD3(t) - 1}] AS DOUBLE) < 0.0625D
+              |    THEN ${rfLeaf(t, 2)} ELSE ${rfLeaf(t, 3)} END END""".stripMargin)
+    }
+    // vote histogram + argmax entirely inside the row: count votes for
+    // each class c, pick (count desc, c asc) via a single fold
+    e.withColumn("votes", array(votes: _*))
+      .withColumn("pred", expr(
+        s"""aggregate(sequence(0, ${LrClasses - 1}),
+           |  named_struct('best', -1, 'cnt', -1),
+           |  (acc, c) -> CASE
+           |    WHEN size(filter(votes, v -> v = c)) > acc.cnt
+           |      THEN named_struct('best', c, 'cnt', size(filter(votes, v -> v = c)))
+           |    ELSE acc END,
+           |  acc -> acc.best)""".stripMargin))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val qRfVoteSql: String = {
+    val voteExprs = (0 until RfTrees).map { t =>
+      s"""CASE WHEN CAST(embedding[${rfD1(t)}] AS DOUBLE) < 0.0
+         |  THEN CASE WHEN CAST(embedding[${rfD2(t)}] AS DOUBLE) < -0.0625
+         |    THEN ${rfLeaf(t, 0)} ELSE ${rfLeaf(t, 1)} END
+         |  ELSE CASE WHEN CAST(embedding[${rfD3(t)}] AS DOUBLE) < 0.0625
+         |    THEN ${rfLeaf(t, 2)} ELSE ${rfLeaf(t, 3)} END END""".stripMargin
+    }.map(e => s"SELECT vec_id, label, ($e) AS v FROM embeddings")
+     .mkString("\nUNION ALL\n")
+    s"""WITH votes AS (
+       |$voteExprs),
+       |hist AS (
+       |  SELECT vec_id, label, v, COUNT(*) AS cnt FROM votes GROUP BY 1, 2, 3),
+       |ranked AS (
+       |  SELECT label, v, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY cnt DESC, v) AS rk
+       |  FROM hist)
+       |SELECT label, v AS pred, COUNT(*) AS n
+       |FROM ranked WHERE rk = 1
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lr_probe" -> (qLrProbe _),
+    "q_rf_vote" -> (qRfVote _),
     "q_centroid_classify" -> (qCentroidClassify _),
     "q_macro_f1" -> (qMacroF1 _),
     "q_nb_lang" -> (qNbLang _),
@@ -720,6 +852,8 @@ object MlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_lr_probe" -> qLrProbeSql,
+    "q_rf_vote" -> qRfVoteSql,
     "q_centroid_classify" -> qCentroidClassifySql,
     "q_macro_f1" -> qMacroF1Sql,
     "q_nb_lang" -> qNbLangSql,
