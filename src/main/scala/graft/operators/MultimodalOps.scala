@@ -481,6 +481,134 @@ object MultimodalOps {
     Some(DecodedRaster(iw, ih, ispp, fmt, outv))
   }
 
+  /** GeoTIFF georeferencing: the affine raster→model mapping GDAL
+    * writes as ModelPixelScale (33550) + ModelTiepoint (33922), plus
+    * the CRS code from the GeoKey directory (34735) — the transform
+    * the reference reads back as `dataset.transform` /
+    * `[xScale, xShear, xTranslation, yShear, yScale, yTranslation]`
+    * (crop_mapping_processing_data_collection_monthly.py:71,
+    * src/test.py:23-34). `pixelIsArea` is GTRasterTypeGeoKey (1025):
+    * under the area convention the tiepoint names a pixel CORNER and
+    * rasterio's `transform.xy(row, col)` center coordinate adds half
+    * a pixel — [[TiffGeoref.pixelLon]]/[[TiffGeoref.pixelLat]]
+    * reproduce exactly that. */
+  case class TiffGeoref(scaleX: Double, scaleY: Double,
+      tieCol: Double, tieRow: Double, tieX: Double, tieY: Double,
+      epsg: Int, pixelIsArea: Boolean) {
+    private val half = if (pixelIsArea) 0.5 else 0.0
+    /** Model-space X (lon for EPSG:4326) of pixel column `c`'s center. */
+    def pixelLon(c: Int): Double = tieX + (c + half - tieCol) * scaleX
+    /** Model-space Y (lat for EPSG:4326) of pixel row `r`'s center —
+      * GeoTIFF Y scale is positive with north-up rasters; rows grow
+      * southward, hence the subtraction. */
+    def pixelLat(r: Int): Double = tieY - (r + half - tieRow) * scaleY
+  }
+
+  /** Parse the georeferencing tags out of a TIFF payload. Returns
+    * None when either ModelPixelScale or ModelTiepoint is absent or
+    * malformed (an unreferenced raster is not an error for the PIXEL
+    * decoder, but georef consumers must not invent coordinates).
+    * EPSG comes from GeographicTypeGeoKey (2048) or, failing that,
+    * ProjectedCSTypeGeoKey (3072); 0 when no GeoKey directory — the
+    * tags can legally appear without one. Never throws. */
+  def decodeTiffGeoref(payload: Array[Byte]): Option[TiffGeoref] = {
+    if (payload.length < 8) return None
+    val le = payload(0) == 'I'.toByte && payload(1) == 'I'.toByte
+    val be = payload(0) == 'M'.toByte && payload(1) == 'M'.toByte
+    if (!le && !be) return None
+    def u16(off: Long): Int = {
+      if (off < 0 || off + 2 > payload.length) return -1
+      val o = off.toInt
+      if (le) (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      else ((payload(o) & 0xff) << 8) | (payload(o + 1) & 0xff)
+    }
+    def u32(off: Long): Long = {
+      if (off < 0 || off + 4 > payload.length) return -1L
+      val o = off.toInt
+      if (le) (payload(o) & 0xff).toLong | ((payload(o + 1) & 0xff).toLong << 8) |
+        ((payload(o + 2) & 0xff).toLong << 16) | ((payload(o + 3) & 0xff).toLong << 24)
+      else ((payload(o) & 0xff).toLong << 24) | ((payload(o + 1) & 0xff).toLong << 16) |
+        ((payload(o + 2) & 0xff).toLong << 8) | (payload(o + 3) & 0xff).toLong
+    }
+    def f64(off: Long): Option[Double] = {
+      if (off < 0 || off + 8 > payload.length) return None
+      var bits = 0L
+      var j = 0
+      while (j < 8) {
+        val b = payload(off.toInt + j) & 0xffL
+        bits |= (if (le) b << (8 * j) else b << (8 * (7 - j)))
+        j += 1
+      }
+      Some(java.lang.Double.longBitsToDouble(bits))
+    }
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    val nEntries = u16(ifd)
+    if (nEntries <= 0) return None
+    // locate a tag's (type, count, value-offset); inline vs external
+    // per the usual <=4-byte rule
+    def field(tag: Int): Option[(Int, Long, Long)] = {
+      var i = 0
+      while (i < nEntries) {
+        val off = ifd + 2 + i * 12
+        if (u16(off) == tag) {
+          val typ = u16(off + 2)
+          val count = u32(off + 4)
+          if (count <= 0 || count > 65536) return None
+          val width = typ match {
+            case 3 => 2L
+            case 4 => 4L
+            case 12 => 8L
+            case _ => return None
+          }
+          val base = if (count * width <= 4) off + 8 else u32(off + 8)
+          return Some((typ, count, base))
+        }
+        i += 1
+      }
+      None
+    }
+    def doubles(tag: Int, minCount: Int): Option[IndexedSeq[Double]] =
+      field(tag) match {
+        case Some((12, count, base)) if count >= minCount =>
+          val vs = (0L until count).map(j => f64(base + 8 * j))
+          if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get))
+        case _ => None
+      }
+    val scale = doubles(33550, 3).getOrElse(return None)
+    val tie = doubles(33922, 6).getOrElse(return None)
+    // GeoKey directory: SHORT array of 4-short header + 4-short keys
+    // (KeyID, TIFFTagLocation, Count, Value) — values we need are
+    // inline (TIFFTagLocation 0)
+    var epsg = 0
+    var rasterType = 1 // spec default RasterPixelIsArea
+    field(34735) match {
+      case Some((3, count, base)) if count >= 4 =>
+        val nKeys = u16(base + 6)
+        var k = 0
+        var geodetic = 0
+        var projected = 0
+        while (k < nKeys && 4L * (k + 2) <= count) {
+          val ko = base + 8L * (k + 1)
+          val keyId = u16(ko)
+          val loc = u16(ko + 2)
+          val value = u16(ko + 6)
+          if (loc == 0) keyId match {
+            case 1025 => rasterType = value
+            case 2048 => geodetic = value
+            case 3072 => projected = value
+            case _ => ()
+          }
+          k += 1
+        }
+        epsg = if (geodetic != 0) geodetic else projected
+      case _ => ()
+    }
+    if (scale(0) <= 0 || scale(1) <= 0) return None
+    Some(TiffGeoref(scale(0), scale(1), tie(0), tie(1), tie(3), tie(4),
+      epsg, rasterType == 1))
+  }
+
   /** General single-strip little-endian TIFF writer — the encoder
     * mirror of [[decodeTiffRaster]] for the compressed/typed envelope
     * (LZW or zlib deflate — the codec GDAL's COMPRESS=DEFLATE writes —
@@ -488,7 +616,7 @@ object MultimodalOps {
     * truncated into the target format's range. */
   private[graft] def encodeTiffRaster(w: Int, h: Int, spp: Int, fmt: String,
       values: Array[Double], lzw: Boolean, predictor: Boolean,
-      deflate: Boolean = false): Array[Byte] = {
+      deflate: Boolean = false, georef: Option[TiffGeoref] = None): Array[Byte] = {
     require(!(lzw && deflate), "pick one compression")
     require(values.length == w * h * spp, s"${values.length} != $w*$h*$spp")
     require(!(predictor && fmt == "f32"), "predictor 2 is integer-only")
@@ -554,12 +682,23 @@ object MultimodalOps {
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
     out.write('I'); out.write('I'); w16(42); w32(8)
-    val nEntries = 12
+    def w64(v: Double): Unit = {
+      val bits64 = java.lang.Double.doubleToLongBits(v)
+      var j = 0
+      while (j < 8) { out.write(((bits64 >>> (8 * j)) & 0xff).toInt); j += 1 }
+    }
+    val nEntries = 12 + (if (georef.isDefined) 3 else 0)
     val ifdEnd = 8 + 2 + nEntries * 12 + 4
     // external SHORT arrays for BitsPerSample/SampleFormat when spp > 2
     val extBits = if (spp > 2) ifdEnd else 0
     val extSf = if (spp > 2) ifdEnd + 2 * spp else 0
-    val dataStart = if (spp > 2) ifdEnd + 4 * spp else ifdEnd
+    // geo arrays after the sample-format shorts: 3 scale doubles,
+    // 6 tiepoint doubles, 16 GeoKey shorts = 104 external bytes
+    val geoBase = ifdEnd + (if (spp > 2) 4 * spp else 0)
+    val scaleOff = geoBase
+    val tieOff = geoBase + 24
+    val keysOff = geoBase + 72
+    val dataStart = geoBase + (if (georef.isDefined) 104 else 0)
     w16(nEntries)
     def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
       w16(tag); w16(typ); w32(count); w32(value)
@@ -579,10 +718,27 @@ object MultimodalOps {
     entry(317, 3, 1, if (predictor) 2 else 1)
     entry(339, 3, spp,
       if (spp == 1) sf else if (spp == 2) shortPair(sf, sf) else extSf)
+    georef.foreach { _ =>
+      entry(33550, 12, 3, scaleOff)  // ModelPixelScale
+      entry(33922, 12, 6, tieOff)    // ModelTiepoint
+      entry(34735, 3, 16, keysOff)   // GeoKeyDirectory
+    }
     w32(0)
     if (spp > 2) {
       (0 until spp).foreach(_ => w16(bits))
       (0 until spp).foreach(_ => w16(sf))
+    }
+    georef.foreach { g =>
+      w64(g.scaleX); w64(g.scaleY); w64(0.0)
+      w64(g.tieCol); w64(g.tieRow); w64(0.0)
+      w64(g.tieX); w64(g.tieY); w64(0.0)
+      // GeoKey directory header (version 1.1, 3 keys) + GTModelType=2
+      // (geographic), GTRasterType, GeographicType=epsg — the minimal
+      // directory GDAL writes for an EPSG:4326 raster
+      Seq(1, 1, 0, 3,
+        1024, 0, 1, 2,
+        1025, 0, 1, if (g.pixelIsArea) 1 else 2,
+        2048, 0, 1, g.epsg).foreach(w16)
     }
     out.write(strip, 0, strip.length)
     out.toByteArray

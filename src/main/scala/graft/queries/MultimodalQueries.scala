@@ -452,7 +452,70 @@ object MultimodalQueries {
       |    AS line_chars
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Georeferenced-GeoTIFF round-trip, oracle-graded: each document
+    * becomes a single-band i16 LZW raster carrying REAL GeoTIFF
+    * georeferencing tags — ModelPixelScale/ModelTiepoint doubles and
+    * a GeoKey directory ([[MultimodalOps.encodeTiffRaster]] with
+    * georef) — decoded back through BOTH kernels: pixels via
+    * decodeTiffRaster (geo tags must not perturb the pixel walk) and
+    * the affine via [[MultimodalOps.decodeTiffGeoref]]. The output
+    * pins the EPSG code and the four edge pixel-CENTER coordinates
+    * (the rasterio `transform.xy` convention the reference uses,
+    * presto's per-pixel lon/lat meshgrid), which the oracle recomputes
+    * from doc_id alone — scales are power-of-two rationals so every
+    * coordinate is exact-binary on both engines. Any error in DOUBLE
+    * tag encoding, tiepoint ordering, GeoKey layout, or the
+    * half-pixel area convention flips the hash. Decode parity with
+    * the reference's own GDAL tifs is pinned in TiffRasterSpec. */
+  def qTiffGeoref(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .filter(_._2.length >= 2)
+      .map { case (id, text) =>
+        require(text.forall(_ < 0x80),
+          s"doc $id: non-ASCII text breaks the chars==bytes oracle invariant")
+        val w = text.length / 2
+        val vals = new Array[Double](2 * w)
+        var p = 0
+        while (p < 2 * w) { vals(p) = text.charAt(p).toInt - 100; p += 1 }
+        val g = MultimodalOps.TiffGeoref(
+          scaleX = (id % 7 + 1) / 1024.0,
+          scaleY = (id % 5 + 1) / 2048.0,
+          tieCol = 0.0, tieRow = 0.0,
+          tieX = (id % 360) - 180.0,
+          tieY = 90.0 - (id % 180),
+          epsg = 4326, pixelIsArea = true)
+        val enc = MultimodalOps.encodeTiffRaster(w, 2, 1, "i16", vals,
+          lzw = true, predictor = true, georef = Some(g))
+        val dec = MultimodalOps.decodeTiffRaster(enc)
+          .getOrElse(throw new IllegalStateException(s"own tiff undecodable: $id"))
+        val gr = MultimodalOps.decodeTiffGeoref(enc)
+          .getOrElse(throw new IllegalStateException(s"own georef undecodable: $id"))
+        (id, gr.epsg, dec.width, dec.height,
+          gr.pixelLon(0), gr.pixelLon(dec.width - 1),
+          gr.pixelLat(0), gr.pixelLat(dec.height - 1),
+          dec.values.map(_.toLong).sum)
+      }
+      .toDF("doc_id", "epsg", "width", "height",
+        "lon_w", "lon_e", "lat_n", "lat_s", "b_sum")
+  }
+
+  val qTiffGeorefSql: String =
+    """SELECT doc_id, 4326 AS epsg,
+      |  CAST(length(text) // 2 AS INT) AS width, 2 AS height,
+      |  (doc_id % 360) - 180 + 0.5 * ((doc_id % 7 + 1) / 1024.0) AS lon_w,
+      |  (doc_id % 360) - 180
+      |    + ((length(text) // 2) - 1 + 0.5) * ((doc_id % 7 + 1) / 1024.0) AS lon_e,
+      |  90 - (doc_id % 180) - 0.5 * ((doc_id % 5 + 1) / 2048.0) AS lat_n,
+      |  90 - (doc_id % 180) - 1.5 * ((doc_id % 5 + 1) / 2048.0) AS lat_s,
+      |  CAST(list_sum(list_transform(range((length(text) // 2) * 2),
+      |    i -> ascii(substr(text, i+1, 1)) - 100)) AS BIGINT) AS b_sum
+      |FROM documents WHERE length(text) >= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tiff_georef" -> (qTiffGeoref _),
     "q_jsonl_gz" -> (qJsonlGz _),
     "q_media_manifest" -> (qMediaManifest _),
     "q_media_features" -> (qMediaFeatures _),
@@ -478,6 +541,7 @@ object MultimodalQueries {
     "q_wav_features" -> qWavFeaturesSql,
     "q_tar_shards" -> qTarShardsSql,
     "q_npy_roundtrip" -> qNpyRoundtripSql,
+    "q_tiff_georef" -> qTiffGeorefSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_resize_features" -> qResizeFeaturesSql,
   )

@@ -85,6 +85,40 @@ object GeoIngest {
       }.toDF("tile_id", "width", "height", "samples")
   }
 
+  /** Georeferenced per-pixel GeoTIFF ingest — the presto ingest shape:
+    * the reference derives a lon/lat for every raster pixel from the
+    * file's affine transform (rioxarray coords / the meshgrid in its
+    * EE pipeline) and lands (lon, lat, band values) rows. Same
+    * distributed binaryFile scan + corrupt-skip as [[readTiffTiles]],
+    * but through the typed decoder + [[graft.operators.MultimodalOps
+    * .decodeTiffGeoref]]: files without ModelPixelScale/ModelTiepoint
+    * are SKIPPED (coordinates are never invented). Output one row per
+    * (pixel, band): (tile, band, row, col, value, lon, lat) with
+    * pixel-CENTER coordinates under the raster-is-area convention —
+    * ready to join/groupBy like the `observations` table. The per-file
+    * flatMap fan-out is data-parallel; at 100 TB the scan partitions
+    * by file and no shuffle happens until the caller aggregates. */
+  def readTiffGeoPixels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tif")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.split('/').last.stripSuffix(".tif")
+        for {
+          r <- graft.operators.MultimodalOps.decodeTiffRaster(bytes).toSeq
+          g <- graft.operators.MultimodalOps.decodeTiffGeoref(bytes).toSeq
+          row <- 0 until r.height
+          c <- 0 until r.width
+          b <- 0 until r.bands
+        } yield (name, b, row, c,
+          r.values((row * r.width + c) * r.bands + b),
+          g.pixelLon(c), g.pixelLat(row))
+      }.toDF("tile", "band", "row", "col", "value", "lon", "lat")
+  }
+
   /** NumPy `.npy` FILE ingest (SURVEY §2.1 "NumPy read", the
     * reference's raster interchange format — tif→npy transform,
     * dataops/main.py:24-43): same distributed binaryFile scan +

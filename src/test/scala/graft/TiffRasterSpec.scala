@@ -213,4 +213,80 @@ class TiffRasterSpec extends SparkSpec {
       assert(q == qsum100, s"$path quantized sum $q != $qsum100")
     }
   }
+
+  test("the reference's real GDAL GeoTIFFs georeference against GDAL-pinned affines") {
+    // ModelPixelScale / ModelTiepoint / GeoKey values pinned from an
+    // independent Python struct walk of the same files (exact doubles
+    // as stored — GDAL wrote them, we only read). All four are
+    // EPSG:4326 pixel-is-area rasters.
+    val cases = Seq(
+      ("/root/reference/src/srtm.tif",
+        0.0008084837557075694, 0.0008084837557075694,
+        -14.639215364596959, 14.2163783603619),
+      ("/root/reference/src/srtm2.tif",
+        8.983152841195215e-5, 8.983152841195215e-5,
+        -14.639035701540134, 14.216019034248252),
+      ("/root/reference/src/resampled_srtm.tif",
+        4.865874455647408e-5, 5.6144705257470096e-5,
+        -14.639215364596959, 14.2163783603619),
+      ("/root/reference/src/masque_classes.tif",
+        8.983152841195215e-5, 8.983152841195215e-5,
+        -16.354099241981125, 14.294621621608709))
+    assume(cases.forall(c => Files.exists(Paths.get(c._1))),
+      "reference rasters not present")
+    for ((path, sx, sy, tx, ty) <- cases) {
+      val bytes = Files.readAllBytes(Paths.get(path))
+      val g = MultimodalOps.decodeTiffGeoref(bytes)
+        .getOrElse(fail(s"$path georef failed to decode"))
+      assert(g.scaleX == sx && g.scaleY == sy, s"$path scale $g")
+      assert(g.tieCol == 0.0 && g.tieRow == 0.0, s"$path tiepoint raster $g")
+      assert(g.tieX == tx && g.tieY == ty, s"$path tiepoint model $g")
+      assert(g.epsg == 4326 && g.pixelIsArea, s"$path CRS keys $g")
+      // rasterio center-coordinate convention: corner + half a pixel
+      assert(g.pixelLon(0) == tx + 0.5 * sx, path)
+      assert(g.pixelLat(0) == ty - 0.5 * sy, path)
+    }
+  }
+
+  test("georef encode→decode round-trips exactly; ungeoreferenced rasters return None") {
+    val vals = Array.tabulate(12)(i => (i * 7 % 50 - 25).toDouble)
+    val g = MultimodalOps.TiffGeoref(0.001953125, 0.0009765625,
+      0.0, 0.0, -17.25, 14.75, 4326, pixelIsArea = true)
+    val enc = MultimodalOps.encodeTiffRaster(4, 3, 1, "i16", vals,
+      lzw = true, predictor = true, georef = Some(g))
+    // geo tags must not perturb the pixel decode
+    val r = MultimodalOps.decodeTiffRaster(enc).getOrElse(fail("pixels"))
+    assert(r.values.toSeq == vals.toSeq)
+    val back = MultimodalOps.decodeTiffGeoref(enc).getOrElse(fail("georef"))
+    assert(back == g, "georef round-trip drifted")
+    // without georef the same raster parses pixels but refuses coords
+    val bare = MultimodalOps.encodeTiffRaster(4, 3, 1, "i16", vals,
+      lzw = true, predictor = true)
+    assert(MultimodalOps.decodeTiffRaster(bare).isDefined)
+    assert(MultimodalOps.decodeTiffGeoref(bare).isEmpty,
+      "coordinates invented for an unreferenced raster")
+  }
+
+  test("readTiffGeoPixels lands per-pixel lon/lat rows; unreferenced tiles skipped") {
+    val dir = Files.createTempDirectory("geopix").toString
+    val vals = Array.tabulate(6)(i => i.toDouble)
+    val g = MultimodalOps.TiffGeoref(0.25, 0.125, 0.0, 0.0, 10.0, 20.0, 4326, true)
+    Files.write(Paths.get(dir, "tile_1.tif"),
+      MultimodalOps.encodeTiffRaster(3, 2, 1, "i16", vals,
+        lzw = false, predictor = false, georef = Some(g)))
+    Files.write(Paths.get(dir, "tile_2.tif"),
+      MultimodalOps.encodeTiffRaster(3, 2, 1, "i16", vals,
+        lzw = false, predictor = false)) // no georef → skipped
+    Files.write(Paths.get(dir, "bad.tif"), Array[Byte](1, 2, 3))
+    val px = graft.sources.GeoIngest.readTiffGeoPixels(spark, dir)
+    val rows = px.collect().map(r => (r.getString(0), r.getInt(2), r.getInt(3),
+      r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.length == 6, "one referenced 3x2 tile → 6 pixel rows")
+    assert(rows.forall(_._1 == "tile_1"))
+    val corner = rows.find(r => r._2 == 0 && r._3 == 0).get
+    assert(corner._5 == 10.0 + 0.5 * 0.25 && corner._6 == 20.0 - 0.5 * 0.125)
+    val far = rows.find(r => r._2 == 1 && r._3 == 2).get
+    assert(far._5 == 10.0 + 2.5 * 0.25 && far._6 == 20.0 - 1.5 * 0.125)
+    assert(far._4 == 5.0)
+  }
 }
