@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.Reproject
 import graft.queries.Exact._
 
 /** Raster-semantics operators in relational form (SURVEY §2.2 erosion
@@ -412,7 +413,66 @@ object RasterQueries {
        |HAVING SUM(CAST(FLOOR(w * 1e9) AS BIGINT)) > 0""".stripMargin
   }
 
+  /** General CRS reprojection, oracle-graded — the reference's
+    * `.resample("bilinear").reproject(crs='EPSG:4326', scale=10)`
+    * (crop_mapping_processing_data_collection_monthly.py:334-337):
+    * the events grid plays a source raster georeferenced in EPSG:4326
+    * at 1/128° (x=user_id columns, y=day rows); the target is a
+    * 36×60 local-meters window at 500 m scale whose CRS→CRS mapping
+    * is the equirectangular closed form (1° lon = 97405 m at the
+    * window's latitude, 1° lat = 110540 m — integer constants so
+    * every coordinate rounds identically on both engines). The whole
+    * pipeline — target grid, CRS math, fractional source pixels,
+    * 4-corner bilinear weights, edge gate — runs through
+    * [[graft.operators.Reproject.reprojectBilinear]]; the oracle
+    * re-derives it from the same closed form. The omerc
+    * forward/inverse pair the reference anchors chips with is graded
+    * separately (OmercSpec ±1 m vs pyproj). */
+  def qReproject(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("x"), dayofmonth(col("ts")).as("y"))
+      .agg(min(col("value")).as("v"))
+    val srcCrs = Reproject.GridCrs(-17.0, 15.0, 0.0078125, 0.0078125)
+    val dstCrs = Reproject.GridCrs(0.0, 0.0, 500.0, 500.0)
+    Reproject.reprojectBilinear(src, 36, 60, dstCrs, srcCrs,
+      mapX = (mx, _) => lit(-17.0) + mx / lit(97405.0),
+      mapY = (_, my) => lit(15.0) + my / lit(110540.0))
+  }
+
+  val qReprojectSql: String =
+    """WITH src AS (
+      |  SELECT user_id AS x, day(ts) AS y, MIN(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |targets AS (
+      |  SELECT tx, ty,
+      |    ((-17.0 + (tx * 500.0 + 0.0) / 97405.0) - (-17.0)) / 0.0078125 AS u,
+      |    -((15.0 + (0.0 - ty * 500.0) / 110540.0) - 15.0) / 0.0078125 AS w
+      |  FROM (SELECT unnest(range(36)) AS tx), (SELECT unnest(range(60)) AS ty)),
+      |t2 AS (
+      |  SELECT tx, ty, u, w,
+      |    CAST(FLOOR(u) AS BIGINT) AS x0, CAST(FLOOR(w) AS BIGINT) AS y0,
+      |    u - CAST(FLOOR(u) AS BIGINT) AS fx, w - CAST(FLOOR(w) AS BIGINT) AS fy
+      |  FROM targets),
+      |corners AS (
+      |  SELECT tx, ty, fx, fy,
+      |    x0 + (i % 2) AS x, y0 + (i // 2) AS y, i % 2 AS dx, i // 2 AS dy,
+      |    (CASE WHEN i % 2 = 1 THEN fx ELSE 1.0e0 - fx END)
+      |      * (CASE WHEN i // 2 = 1 THEN fy ELSE 1.0e0 - fy END) AS wt
+      |  FROM t2, (SELECT unnest(range(4)) AS i)),
+      |agg AS (
+      |  SELECT tx, ty,
+      |    MAX(CASE WHEN dx = 0 AND dy = 0 THEN wt * v END) AS c00,
+      |    MAX(CASE WHEN dx = 1 AND dy = 0 THEN wt * v END) AS c10,
+      |    MAX(CASE WHEN dx = 0 AND dy = 1 THEN wt * v END) AS c01,
+      |    MAX(CASE WHEN dx = 1 AND dy = 1 THEN wt * v END) AS c11,
+      |    COUNT(*) AS found
+      |  FROM corners c JOIN src s ON c.x = s.x AND c.y = s.y
+      |  GROUP BY 1, 2)
+      |SELECT tx, ty, c00 + c10 + c01 + c11 AS resampled
+      |FROM agg WHERE found = 4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_reproject" -> (qReproject _),
     "q_idw_interp" -> (qIdwInterp _),
     "q_focal_min" -> (qFocalMin _),
     "q_spatial_join" -> (qSpatialJoin _),
@@ -423,6 +483,7 @@ object RasterQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_reproject" -> qReprojectSql,
     "q_idw_interp" -> qIdwInterpSql,
     "q_focal_min" -> qFocalMinSql,
     "q_spatial_join" -> qSpatialJoinSql,
