@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.MultimodalOps
 import graft.queries.Exact._
+import graft.sources.PngCodec
 
 /** Multimodal-column surface: binary payloads + typed metadata
   * (BASELINE.json mandate). The features query runs through the real
@@ -514,7 +515,63 @@ object MultimodalQueries {
       |    i -> ascii(substr(text, i+1, 1)) - 100)) AS BIGINT) AS b_sum
       |FROM documents WHERE length(text) >= 2""".stripMargin
 
+  /** PNG container round-trip, oracle-graded — the image format
+    * web-scale multimodal corpora actually ship (PNG/JPEG members in
+    * webdataset tars; the reference's own chips move as TIFF/npy,
+    * graded above): each document's characters become an RGB image
+    * (w = len/6 columns × 2 rows × 3 channels), encoded executor-side
+    * as a REAL PNG ([[graft.sources.PngCodec]] — signature, CRC'd
+    * chunks, zlib scanlines) and decoded straight back. The output
+    * pins dims, the pixel sum, and a rolling checksum the oracle
+    * recomputes from the text alone — any error in chunk layout, CRC
+    * arithmetic, zlib framing, or filter reversal flips the hash.
+    * (Filters 1-4 are exercised by PngCodecSpec's foreign-writer
+    * goldens; the writer here emits filter-0 rows.) Pure per-document
+    * fan-out, no shuffle. */
+  def qPngDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .filter(_._2.length >= 6)
+      .map { case (id, text) =>
+        require(text.forall(_ < 0x80),
+          s"doc $id: non-ASCII text breaks the chars==bytes oracle invariant")
+        val w = text.length / 6
+        val n = 6 * w
+        val pix = new Array[Byte](n)
+        var p = 0
+        while (p < n) { pix(p) = text.charAt(p).toByte; p += 1 }
+        val enc = PngCodec.encode(w, 2, 3, pix)
+        val dec = PngCodec.decode(enc)
+          .getOrElse(throw new IllegalStateException(s"own png undecodable: $id"))
+        var sum = 0L; var ck = 0L
+        var i = 0
+        while (i < dec.pixels.length) {
+          val v = dec.pixels(i) & 0xff
+          sum += v
+          ck = (ck * 31 + v) % 72057594037927931L
+          i += 1
+        }
+        (id, dec.width, dec.height, dec.channels, sum, ck)
+      }
+      .toDF("doc_id", "width", "height", "channels", "px_sum", "checksum")
+  }
+
+  val qPngDecodeSql: String =
+    """SELECT doc_id, CAST(length(text) // 6 AS INT) AS width, 2 AS height,
+      |  3 AS channels,
+      |  CAST(list_sum(codes) AS BIGINT) AS px_sum,
+      |  list_reduce(list_transform(codes, c -> CAST(c AS BIGINT)),
+      |              (a, c) -> (a * 31 + c) % 72057594037927931) AS checksum
+      |FROM (
+      |  SELECT doc_id, text,
+      |    list_transform(range((length(text) // 6) * 6),
+      |      i -> ascii(substr(text, i+1, 1))) AS codes
+      |  FROM documents WHERE length(text) >= 6)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_png_decode" -> (qPngDecode _),
     "q_tiff_georef" -> (qTiffGeoref _),
     "q_jsonl_gz" -> (qJsonlGz _),
     "q_media_manifest" -> (qMediaManifest _),
@@ -542,6 +599,7 @@ object MultimodalQueries {
     "q_tar_shards" -> qTarShardsSql,
     "q_npy_roundtrip" -> qNpyRoundtripSql,
     "q_tiff_georef" -> qTiffGeorefSql,
+    "q_png_decode" -> qPngDecodeSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_resize_features" -> qResizeFeaturesSql,
   )
