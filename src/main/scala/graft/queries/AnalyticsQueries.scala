@@ -500,12 +500,22 @@ object AnalyticsQueries {
     * happens. The DuckDB oracle is a recursive CTE with UNION dedup —
     * same semantics, declaratively stated. */
   def qBfsDepth(spark: SparkSession, dir: String): DataFrame = {
-    val b = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val half = b.as("a").join(b.as("c"),
-        col("a.l_orderkey") === col("c.l_orderkey") &&
-        col("a.l_partkey") < col("c.l_partkey"))
-      .groupBy(col("a.l_partkey").as("s"), col("c.l_partkey").as("d"))
+    // co-purchase pairs WITHOUT a self-join: one shuffle gathers each
+    // order's distinct part set (collect_set also subsumes the
+    // DISTINCT), pairs explode in-row over the sorted set (x < y by
+    // construction), one more shuffle counts support — two exchanges
+    // where distinct + self-join + groupBy cost three to four. Order
+    // baskets are bounded (TPC-H ≤ 7 lines), so the in-row quadratic
+    // is as safe as the join it replaces, which produced the same
+    // pair rows through the shuffle.
+    val half = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y ->
+          |    struct(x AS s, y AS d))))""".stripMargin)).as("p"))
+      .groupBy(col("p.s").as("s"), col("p.d").as("d"))
       .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
       .select("s", "d")
     val edges = half.unionByName(half.select(col("d").as("s"), col("s").as("d")))

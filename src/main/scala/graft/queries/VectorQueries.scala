@@ -153,45 +153,19 @@ object VectorQueries {
     * (broadcast queries / banded or probed candidates); this adds
     * only a left join + aggregation over nq×k rows — nothing
     * corpus-sized moves. */
-  /** The brute-force top-3 ground truth, computed ONCE per (session,
-    * dir) and re-emitted as a 15-row local relation (nq×3 — bounded
-    * driver control flow, the pqAnchors pattern): q_ann_recall and
-    * q_ivf_recall share it instead of each re-running the full
-    * [[qCosineTopkNative]] corpus scan, halving the eval family's
-    * cost and removing its one noise-prone subplan. Deterministic, so
-    * memoization is observation-free. */
-  /** Bounded driver-side memo shared by every trained-artifact cache
-    * in this module (brute-force baseline, centroids, PQ anchors,
-    * trained codebooks). Each value is a KNOB-bounded Seq (nq×3, k×dim,
-    * 16, 16×64 rows), so the per-entry cost is trivial; the entry-count
-    * bound guards the long-lived-JVM case where many (session, dir)
-    * keys accumulate — evicted entries just recompute (all the
-    * artifacts are deterministic, so eviction is observation-free). */
-  private def memoize[K, V](cache: java.util.concurrent.ConcurrentHashMap[K, V],
-      key: K)(compute: => V): V = {
-    val v = cache.computeIfAbsent(key, _ => compute)
-    if (cache.size > 4) {
-      val it = cache.keySet().iterator()
-      while (cache.size > 4 && it.hasNext) {
-        val k = it.next()
-        if (k != key) it.remove()
-      }
-    }
-    v
-  }
-
-  private val bruteTop3Cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(Long, Long)]]()
-
-  private def bruteTop3(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val key = (spark.sparkContext.applicationId, dir)
-    val pairs = memoize(bruteTop3Cache, key)(
+  /** The brute-force top-3 ground truth, built ONCE per data dir and
+    * stored as a warehouse table ([[graft.operators.IndexStore]] —
+    * nq×3 rows): q_ann_recall and q_ivf_recall scan it instead of
+    * each re-running the full [[qCosineTopkNative]] corpus pass,
+    * halving the eval family's cost and removing its one noise-prone
+    * subplan. Deterministic, so cross-session reuse is
+    * observation-free. */
+  private def bruteTop3(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.IndexStore.materialize(spark, "brute_top3",
+        graft.operators.IndexStore.keyOf(dir)) {
       qCosineTopkNative(spark, dir).filter(col("rank") <= 3)
         .select(col("qid"), col("vec_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
-    pairs.toDF("qid", "vec_id")
-  }
+    }
 
   private def recallAt3(spark: SparkSession, dir: String,
       ann: DataFrame): DataFrame = {
@@ -371,66 +345,36 @@ object VectorQueries {
   private[graft] def ivfRouting(e: DataFrame, k: Int = RoutingK): DataFrame =
     rankCentroids(e, ivfTrain(e, k))
 
-  /** Driver-side memo of the trained centroids per (session, dir, k),
-    * re-emitted as a broadcast-able local relation — the
-    * [[bruteTop3]]/[[pqAnchors]] bounded-driver pattern. k×dim rows
-    * (32×64 at the default knob) regardless of corpus size: the
-    * collect is bounded by the KNOB, so the same lifecycle holds at
-    * 100 TB (FAISS ships exactly this artifact as the trained index
-    * header). Deterministic arithmetic end to end (floor-quantized
-    * sums, cid tie-breaks), so memoization is observation-free and an
-    * evicted entry would retrain bit-identically. */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Seq[(Int, Int, Double)]]()
-
+  /** The trained centroid table per (dir, k), stored as a warehouse
+    * table ([[graft.operators.IndexStore]]): k×dim rows (32×64 at the
+    * default knob) regardless of corpus size — the artifact FAISS
+    * ships as the trained index header, here as parquet any session
+    * scans back. Deterministic arithmetic end to end (floor-quantized
+    * sums, cid tie-breaks), so cross-session reuse is
+    * observation-free and a rebuild is bit-identical. */
   private[graft] def trainedCentroids(spark: SparkSession, dir: String,
-      k: Int = RoutingK): DataFrame = {
-    import spark.implicits._
-    val key = (spark.sparkContext.applicationId, dir, k)
-    val rows = memoize(centroidCache, key)(
-      ivfTrain(Tables.embeddings(spark, dir), k).collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-        .sortBy(t => (t._1, t._2)).toSeq)
-    rows.toDF("cid", "pos", "c")
-  }
+      k: Int = RoutingK): DataFrame =
+    graft.operators.IndexStore.materialize(spark, "ivf_centroids",
+        graft.operators.IndexStore.keyOf(dir, k.toString)) {
+      ivfTrain(Tables.embeddings(spark, dir), k)
+    }
 
   /** The materialized index SEARCH side: (vec_id, cid, rk) for rk<=2 —
     * the assignment (rk=1) plus the nprobe=2 probe lists every
-    * consumer needs — persisted SERIALIZED per (session, dir) so the
-    * assignment scan runs once, not once per query. This is the
-    * inverted-index lifecycle at 100 TB: the assignment table is
-    * written beside the corpus (partitioned by cid) and every search
-    * reads it; here the persisted DataFrame stands in for that table.
-    * Bounded like the ScaleOps shuffle cache: at most two (dir, k)
-    * indexes stay materialized per session, others unpersist (eviction
-    * is safe — recompute from the memoized centroids is one
-    * deterministic pass). */
-  private val rankedCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
-
-  private[graft] def ivfRanked(spark: SparkSession, dir: String, k: Int = RoutingK): DataFrame = {
-    val key = (spark.sparkContext.applicationId, dir, k)
-    val df = rankedCache.computeIfAbsent(key, _ =>
+    * consumer needs — stored as a warehouse table per (dir, k) so the
+    * assignment scan runs once EVER, not once per query or session.
+    * This is the inverted-index lifecycle at 100 TB: the assignment
+    * table is written beside the corpus (partitioned by cid) and
+    * every search reads it; rebuilds are deterministic (quantized
+    * dots, cid tie-breaks), so the stored table is bit-equivalent to
+    * a fresh pass. */
+  private[graft] def ivfRanked(spark: SparkSession, dir: String, k: Int = RoutingK): DataFrame =
+    graft.operators.IndexStore.materialize(spark, "ivf_assign",
+        graft.operators.IndexStore.keyOf(dir, k.toString)) {
       rankCentroids(Tables.embeddings(spark, dir), trainedCentroids(spark, dir, k))
         .filter(col("rk") <= 2)
         .select(col("vec_id"), col("cid"), col("rk"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
-    if (rankedCache.size > 2) {
-      val it = rankedCache.entrySet().iterator()
-      while (rankedCache.size > 2 && it.hasNext) {
-        val en = it.next()
-        if (en.getKey != key) {
-          // an evicted entry may belong to an already-stopped session
-          // (long-lived JVM, fresh appId) — dropping the map reference
-          // is the point; the unpersist is best-effort
-          try en.getValue.unpersist(blocking = false)
-          catch { case scala.util.control.NonFatal(_) => () }
-          it.remove()
-        }
-      }
     }
-    df
-  }
 
   /** [[ivfRouting]]'s SQL mirror — CTEs `init`, `cent0`, `d0`, `a1`,
     * `cent`, `dots`, `ranked`, `assigned`; expects an `exp` CTE with
@@ -766,31 +710,27 @@ object VectorQueries {
       .orderBy(col("mk"), col("vec_id"))
       .limit(kSub)
 
-  private val pqAnchorCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Seq[(Long, Int)]]()
-
-  private def pqAnchors(spark: SparkSession, dir: String, kSub: Int = 16): DataFrame = {
-    // Run the TakeOrderedAndProject selection ONCE per (session, dir)
-    // and land its 16 rows on the driver (bounded driver control flow,
-    // like the CC convergence aggregate), then re-emit them as a
-    // broadcast-able local relation. Leaving the selection inline
-    // instead would duplicate a full-table-scan subtree into every one
-    // of the four places the codebook feeds — measured 30× slower at
-    // sf0.1 in a long-lived session — whereas a 16-row local relation
-    // costs nothing to rejoin; memoizing it across queries removes the
-    // repeated selection scan too (deterministic md5 ranking, so the
-    // memo is observation-free).
-    import spark.implicits._
-    val key = (spark.sparkContext.applicationId, dir, kSub)
-    val picked = memoize(pqAnchorCache, key)(
+  private def pqAnchors(spark: SparkSession, dir: String, kSub: Int = 16): DataFrame =
+    // Run the TakeOrderedAndProject selection ONCE per data dir and
+    // store the 16-row (aid, code) table in the warehouse. Leaving
+    // the selection inline instead would duplicate a full-table-scan
+    // subtree into every one of the four places the codebook feeds —
+    // measured 30× slower at sf0.1 in a long-lived session — whereas
+    // the stored table costs nothing to rejoin. The code assignment
+    // (rank in md5 order) happens in a bounded 16-row driver pass
+    // inside the BUILD step only (deterministic md5 ranking, so
+    // cross-session reuse is observation-free).
+    graft.operators.IndexStore.materialize(spark, "pq_anchors",
+        graft.operators.IndexStore.keyOf(dir, kSub.toString)) {
+      import spark.implicits._
       pqAnchorSelection(Tables.embeddings(spark, dir), kSub).collect()
         .map(r => (r.getString(1), r.getLong(0)))
         .sorted
         .zipWithIndex
         .map { case ((_, vecId), code) => (vecId, code) }
-        .toSeq)
-    picked.toDF("aid", "code")
-  }
+        .toSeq
+        .toDF("aid", "code")
+    }
 
   /** Engine-path PQ encoder: one fused [[graft.expressions.L2Squared]]
     * per (vector, subspace, code) over `slice`d 8-dim subvectors —
@@ -858,28 +798,22 @@ object VectorQueries {
     * (partial agg keyed (vec_id, sub, code)); the mean is one
     * shuffle keyed (code, pos); the codebook stays ≤16×64 rows —
     * broadcast-size at any corpus scale. */
-  private val pqCodebookCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(Int, Int, Double)]]()
-
-  private[graft] def pqTrainedCodebook(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def pqTrainedCodebook(spark: SparkSession, dir: String): DataFrame =
     // Codebook TRAINING is a build step, not a search step: run the
-    // assignment + quantized-mean passes once per (session, dir) and
-    // memoize the ≤16×64-row result on the driver (the same bounded
+    // assignment + quantized-mean passes once per data dir and store
+    // the ≤16×64-row result as a warehouse table (the same bounded
     // artifact FAISS persists as the trained PQ codebook). Quantized
-    // arithmetic is deterministic, so the memo round-trips bit-exactly.
-    import spark.implicits._
-    val key = (spark.sparkContext.applicationId, dir)
-    val rows = memoize(pqCodebookCache, key) {
+    // arithmetic is deterministic, so the table round-trips
+    // bit-exactly across sessions.
+    graft.operators.IndexStore.materialize(spark, "pq_codebook",
+        graft.operators.IndexStore.keyOf(dir)) {
       val exp = pqExp(Tables.embeddings(spark, dir))
       val a1 = argminCodes(pqQdAgainst(exp, pqSampleCodebook(spark, dir, exp)))
       exp.join(a1, Seq("vec_id", "sub"))
         .groupBy(col("code"), col("pos"))
         .agg(quantMeanAgg)
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-        .sortBy(t => (t._1, t._2)).toSeq
+        .select(col("code"), col("pos"), col("c"))
     }
-    rows.toDF("code", "pos", "c")
-  }
 
   /** Distance table under the trained codebook. */
   private def pqQdTrained(spark: SparkSession, dir: String): DataFrame =

@@ -43,4 +43,54 @@ class LakehouseSpec extends SparkSpec {
     assert(b2 == after && a2 <= 3)
     assert(spark.read.parquet(dir).count() == 1000)
   }
+
+  test("compaction self-heals debris from a crashed earlier run") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("compactcrash").toString
+    val dir = base + "/t"
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(8).write.parquet(dir)
+    // leftover _compacting (crashed before swap) and stale _precompact
+    Files.createDirectories(Paths.get(dir + "_compacting"))
+    Files.write(Paths.get(dir + "_compacting", "junk.parquet"), Array[Byte](1))
+    Files.createDirectories(Paths.get(dir + "_precompact"))
+    val (_, after) = Sinks.compact(spark, dir, targetFiles = 2)
+    assert(after <= 2)
+    assert(spark.read.parquet(dir).count() == 100, "rows lost through debris")
+    assert(!Files.exists(Paths.get(dir + "_precompact")))
+    assert(!Files.exists(Paths.get(dir + "_compacting")))
+    // crash-window state: table dir gone, _precompact holds the data
+    Files.move(Paths.get(dir), Paths.get(dir + "_precompact"))
+    val (_, a3) = Sinks.compact(spark, dir, targetFiles = 2)
+    assert(a3 <= 2)
+    assert(spark.read.parquet(dir).count() == 100, "crash-window restore lost rows")
+  }
+
+  test("index artifacts build once, land as warehouse tables, and round-trip") {
+    import graft.operators.IndexStore
+    import spark.implicits._
+    var builds = 0
+    // unique key per run: the warehouse store deliberately SURVIVES
+    // across sessions, so a fixed key would read a previous test
+    // run's artifact and never exercise the build path
+    val key = IndexStore.keyOf("lakehouse-spec-fixture",
+      java.util.UUID.randomUUID().toString)
+    def table = IndexStore.materialize(spark, "spec_artifact", key) {
+      builds += 1
+      Seq((1, 0, 0.5), (1, 1, -0.25), (2, 0, 1.0)).toDF("cid", "pos", "c")
+    }
+    val first = table.orderBy("cid", "pos").collect().toSeq
+    val second = table.orderBy("cid", "pos").collect().toSeq
+    assert(builds == 1, s"artifact rebuilt on re-read ($builds builds)")
+    assert(first == second && first.size == 3, "artifact did not round-trip")
+    // the returned plan must SCAN the stored table, not inline the build
+    val plan = table.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet") || plan.contains("Scan parquet"),
+      s"consumer plan is not a table scan:\n$plan")
+    // dropping the stored table forces a deterministic rebuild
+    IndexStore.drop(spark, "spec_artifact", key)
+    val fresh = table.count()
+    assert(fresh == 3 && builds == 2, "drop() did not force a rebuild")
+  }
 }

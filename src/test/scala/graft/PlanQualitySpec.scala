@@ -371,22 +371,22 @@ class PlanQualitySpec extends SparkSpec {
 
   test("IVF searches read the materialized index, not an inline training subtree") {
     // the train-once/search-many lifecycle pin: after the build step
-    // runs, every routing consumer's plan must read the persisted
-    // (vec_id, cid, rk) index (InMemoryTableScan) and carry NO Lloyd
-    // training — the r9 verdict's one weak component was exactly this
-    // retraining fused into each search
+    // runs, every routing consumer's plan must SCAN the warehouse
+    // index tables (IndexStore parquet under graft_index/) and carry
+    // NO Lloyd training — the r9 verdict's one weak component was
+    // exactly this retraining fused into each search
     SparkEntry.queries("q_ivf_build")(spark, dir).count() // build once
     for (q <- Seq("q_ivf_search", "q_ivfpq_search", "q_semdedup", "q_cluster_balance")) {
       val p = executedPlan(q)
-      assert(p.contains("InMemoryTableScan"),
-        s"$q does not read the materialized routing index:\n$p")
+      assert(p.contains("graft_index"),
+        s"$q does not read the materialized warehouse index:\n$p")
     }
-    // the centroid artifact itself is a bounded local relation, so the
-    // build query's plan has no corpus-scan subtree either once memoized
+    // the build query itself re-reads the stored centroid table — its
+    // plan scans graft_index instead of carrying the training subtree
     val buildPlan = SparkEntry.queries("q_ivf_build")(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(buildPlan.contains("LocalTableScan"),
-      s"q_ivf_build is not re-emitting the memoized centroids:\n$buildPlan")
+    assert(buildPlan.contains("graft_index"),
+      s"q_ivf_build is not re-reading the stored centroids:\n$buildPlan")
   }
 
   test("vocab top-k plans as TakeOrderedAndProject, not a global sort") {
