@@ -56,6 +56,22 @@ object TextOps {
     lit(0.5) * lenScore + lit(0.5) * least(stopRatio * 5.0, lit(1.0))
   }
 
+  /** Curation scoring + keep decision applied to dedup KEEPERS — the
+    * shared kernel of the batch corpus-curation query
+    * (qCorpusCuration) and the streaming landing-zone ingest
+    * ([[graft.streaming.StreamingPipelines.curateBatch]]), so the
+    * two arms cannot drift: adds (n_tokens, quality, kept) where
+    * kept ⟺ zero PII spans ∧ quality ≥ 0.5. Keeper SELECTION stays
+    * with the caller (global window in batch; within-batch window +
+    * registry anti-join in streaming) because that is exactly the
+    * part whose incremental form differs. */
+  def curationScore(keepers: DataFrame): DataFrame =
+    keepers
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .withColumn("quality", qualityScore("text"))
+      .withColumn("kept",
+        piiCount("text") === 0 && col("quality") >= 0.5)
+
   /** Word n-gram shingles (distinct) from a docs DF with (idCol, textCol). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs.select(col(idCol), expr(s"regexp_extract_all($textCol, '\\\\S+', 0)").as("t"))

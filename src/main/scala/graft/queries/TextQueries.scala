@@ -602,13 +602,14 @@ object TextQueries {
   def qCorpusCuration(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(TextOps.dedupKey(col("text"))).orderBy(col("doc_id"))
-    Tables.documents(spark, dir)
+    val keepers = Tables.documents(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1) // dedup keeper
-      .filter(TextOps.piiCount("text") === 0)
-      .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
-      .withColumn("quality", TextOps.qualityScore("text"))
-      .filter(col("quality") >= 0.5)
+    // scoring + keep decision shared with the streaming ingest
+    // (StreamingPipelines.curateBatch) — batch/stream parity by
+    // construction, spec-pinned end to end in StreamingSpec
+    TextOps.curationScore(keepers)
+      .filter(col("kept"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).cast("long").as("total_tokens"),

@@ -406,6 +406,70 @@ object StreamingPipelines {
     batch.withColumn("norm_value", col("value") / 100.0)
       .write.mode("overwrite").parquet(s"$destDir/batch_id=$batchId")
 
+  /** One micro-batch of the streaming corpus-curation ingest — the
+    * cloud-function-triggered pipeline shape (the reference's GCF
+    * entry point fires per landed object, dataops/main.py:24-43)
+    * with the SAME stages as the batch q_corpus_curation:
+    *
+    *  1. within-batch dedup keeper (first doc_id per content key);
+    *  2. registry anti-join: a keeper whose key already landed in an
+    *     EARLIER batch is a cross-batch duplicate and drops. Only
+    *     batches with id < batchId count — a retried batch must
+    *     never anti-join against its own partial output;
+    *  3. the shared scoring kernel [[graft.operators.TextOps
+    *     .curationScore]] adds (n_tokens, quality, kept).
+    *
+    * EVERY keeper row lands (with its `kept` flag), not just curated
+    * ones: the registry must remember keys whose keeper FAILED the
+    * content filters, or a later duplicate of a rejected keeper would
+    * resurrect — the one divergence a curated-only registry would
+    * have from the batch pipeline's dedup-then-filter order. Writes
+    * are idempotent per batch (`batch_id=<n>` partition, overwrite
+    * mode — the [[ingestBatch]] discipline). */
+  def curateBatch(batch: DataFrame, batchId: Long, destDir: String): Unit = {
+    val spark = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dkey")).orderBy(col("doc_id"))
+    val keepers = batch
+      .withColumn("dkey", graft.operators.TextOps.dedupKey(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val prior: DataFrame =
+      if (new java.io.File(destDir).exists())
+        spark.read.option("basePath", destDir).parquet(destDir)
+          .filter(col("batch_id") < batchId)
+          .select(col("dkey")).distinct()
+      else spark.emptyDataFrame.select(lit("").as("dkey")).limit(0)
+    val fresh = keepers.join(prior, Seq("dkey"), "left_anti")
+    graft.operators.TextOps.curationScore(fresh)
+      .select(col("doc_id"), col("lang"), col("dkey"),
+        col("n_tokens"), col("quality"), col("kept"))
+      .write.mode("overwrite").parquet(s"$destDir/batch_id=$batchId")
+  }
+
+  /** The streaming corpus-curation pipeline: landing-zone parquet
+    * files → [[curateBatch]] per micro-batch, exactly-once end to end
+    * (checkpoint pins each batch's file set; the sink is idempotent
+    * per batch id). After the stream drains, `destDir` read as one
+    * table and filtered to `kept` equals the batch q_corpus_curation
+    * keeper set over the same files — provided files land in doc_id
+    * order, which is how a crawl's landing zone accretes
+    * (monotonically increasing ids per shard). */
+  def curationIngest(spark: SparkSession, schema: StructType, srcDir: String,
+                     destDir: String, checkpointDir: String,
+                     maxFilesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateBatch(batch, batchId, destDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Pattern 1: landing-zone file ingest → parquet, exactly-once
     * end-to-end: the checkpoint pins each batch's file set (a batch
     * id always maps to the same input files), and [[ingestBatch]]

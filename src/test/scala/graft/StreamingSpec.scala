@@ -466,4 +466,100 @@ class StreamingSpec extends SparkSpec {
       assert(streamed((2L, "d02")) == ((None, false)), "leading gap filled from nothing")
     } finally q.stop()
   }
+
+  test("streaming curation equals the batch pipeline end-to-end on a file-drop fixture") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    import org.apache.spark.sql.expressions.Window
+    val src = Files.createTempDirectory("cur_src").toString
+    val dest = Files.createTempDirectory("cur_dest").toString + "/t"
+    val ckpt = Files.createTempDirectory("cur_ckpt").toString
+
+    // landing-zone fixture: the real documents table dropped as three
+    // doc_id-ordered files, the last one re-emitting five earlier
+    // texts under new ids (cross-batch duplicates — including
+    // whatever keep-flags they carry) plus two fresh docs
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(base.length >= 20, "fixture too small to split")
+    val (fileA, rest) = base.splitAt(base.length / 2)
+    val dupes = fileA.take(5).map { case (id, l, t) => (id + 100000L, l, t) }
+    val fresh = Seq(
+      (900001L, "en", "the quick brown fox is one of the best of the tests in the corpus and it is fine " * 4),
+      (900002L, "de", "kurz"))
+    val fileC = rest ++ dupes ++ fresh
+    def land(rows: Seq[(Long, String, String)], mtime: Long): Unit = {
+      rows.toDF("doc_id", "lang", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+      // FileStreamSource orders by modification time: pin it so the
+      // drop order is deterministic doc_id order
+      new java.io.File(src).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && f.lastModified() > mtime)
+        .foreach(f => f.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    land(fileA.toSeq, t0)
+    land(fileC, t0 + 10000)
+    val schema = Seq((1L, "en", "x")).toDF("doc_id", "lang", "text").schema
+
+    val q1 = StreamingPipelines.curationIngest(spark, schema, src, dest, ckpt,
+      maxFilesPerTrigger = 1)
+    q1.awaitTermination()
+
+    def streamRows() = spark.read.option("basePath", dest).parquet(dest)
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("kept"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+
+    // batch arm over the SAME landed rows, through the same shared kernel
+    val allLanded = spark.read.parquet(src)
+    val w = Window.partitionBy(col("dkey")).orderBy(col("doc_id"))
+    val batchRows = TextOps.curationScore(
+        allLanded.withColumn("dkey", TextOps.dedupKey(col("text")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("kept"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+
+    val streamed = streamRows()
+    assert(streamed == batchRows,
+      s"stream/batch keeper sets diverge: only-stream=${streamed -- batchRows}, " +
+        s"only-batch=${batchRows -- streamed}")
+    // the re-emitted texts were cross-BATCH duplicates: their new ids
+    // must not appear (the registry anti-join caught them)
+    assert(dupes.forall(d => !streamed.exists(_._1 == d._1)),
+      "cross-batch duplicate resurrected under a new id")
+    // curated aggregate parity with the declared batch query shape
+    val aggStream = spark.read.option("basePath", dest).parquet(dest)
+      .filter(col("kept"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val aggBatch = TextOps.curationScore(
+        allLanded.withColumn("dkey", TextOps.dedupKey(col("text")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn"))
+      .filter(col("kept"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(aggStream == aggBatch, "per-lang curated aggregates diverge")
+
+    // at-least-once retry: re-running the FIRST batch replaces its own
+    // partition with identical rows (prior filter excludes batch 0 itself)
+    StreamingPipelines.curateBatch(
+      fileA.toSeq.toDF("doc_id", "lang", "text"), 0L, dest)
+    assert(streamRows() == streamed, "batch retry changed the curated table")
+
+    // restart with the same checkpoint: nothing reprocessed
+    val q2 = StreamingPipelines.curationIngest(spark, schema, src, dest, ckpt,
+      maxFilesPerTrigger = 1)
+    q2.awaitTermination()
+    assert(streamRows() == streamed, "restart reprocessed landed batches")
+  }
 }
