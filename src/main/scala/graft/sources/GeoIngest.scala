@@ -119,6 +119,30 @@ object GeoIngest {
       }.toDF("tile", "band", "row", "col", "value", "lon", "lat")
   }
 
+  /** HDF5 FILE ingest (SURVEY §2.1 "HDF5 read" — the CropHarvest
+    * test-instance containers, eval/cropharvest_extensions.py:323-377):
+    * same distributed binaryFile scan + corrupt-skip as the tif/npy
+    * siblings, through [[Hdf5Codec.decode]]. One output row per
+    * DATASET per file: (file, dataset, shape, dtype, values) with
+    * values widened to Double — the h5py `hf[key][:]` read, as rows a
+    * pipeline explodes/aggregates from there. Files outside the
+    * decoder's envelope (chunked, compressed, v2 headers) skip whole,
+    * never throw. */
+  def readH5Files(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.h5")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.split('/').last.stripSuffix(".h5")
+        Hdf5Codec.decode(bytes).toSeq.flatten.map { d =>
+          (name, d.name, d.shape, d.dtype, d.values)
+        }
+      }.toDF("file", "dataset", "shape", "dtype", "values")
+  }
+
   /** NumPy `.npy` FILE ingest (SURVEY §2.1 "NumPy read", the
     * reference's raster interchange format — tif→npy transform,
     * dataops/main.py:24-43): same distributed binaryFile scan +

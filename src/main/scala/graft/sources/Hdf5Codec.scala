@@ -1,0 +1,234 @@
+package graft.sources
+
+/** Minimal pure-Scala HDF5 reader for the fixed CropHarvest layout —
+  * the one reference container format that previously had only a
+  * parquet stand-in (SURVEY §2.1): `h5py.File(path, 'w')` +
+  * `create_dataset(key, data=ndarray)` per key
+  * (eval/cropharvest_extensions.py:323-377, engineer.py upstream),
+  * which under h5py's default settings is
+  *
+  *  - superblock version 0 (v2/v3 headers are parsed far enough to
+  *    refuse cleanly),
+  *  - a root group addressed by a v1 B-tree over SNOD symbol nodes
+  *    with names in a local heap,
+  *  - v1 object headers per dataset (dataspace v1, datatype classes
+  *    fixed-point/float in little-endian, layout v3 class 1
+  *    CONTIGUOUS),
+  *  - raw data following each header.
+  *
+  * Refusal contract (the [[GzipCodec]]/[[PngCodec]] discipline):
+  * anything outside that envelope — chunked/compressed layout,
+  * big-endian or non-scalar datatypes, fractured B-trees deeper than
+  * one level, truncated anything — returns None, never throws, so
+  * one corrupt object skips instead of killing a distributed scan.
+  * Unknown MESSAGES (attributes, mtimes, fill values) are skipped per
+  * the spec; unknown STRUCTURE is refused. Values widen to Double
+  * (the [[graft.operators.MultimodalOps.DecodedRaster]] convention).
+  *
+  * Golden-pinned against an independent from-scratch Python struct
+  * writer (tools/h5_golden.py) following the same public spec.
+  */
+object Hdf5Codec {
+
+  /** One decoded dataset: name, shape, source dtype, row-major values
+    * widened to Double. */
+  case class H5Dataset(name: String, shape: Seq[Long], dtype: String,
+                       values: Array[Double])
+
+  private val Signature =
+    Array[Int](0x89, 0x48, 0x44, 0x46, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+  private val Undef = -1L // 0xFFFF.. as signed
+
+  /** Total element ceiling across all datasets (2^25 doubles =
+    * 256 MB decoded) — the decode-size envelope every codec here
+    * carries. */
+  val MaxElements: Long = 1L << 25
+
+  def decode(bytes: Array[Byte]): Option[Seq[H5Dataset]] = {
+    if (bytes.length < 96) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != Signature(i)) return None; i += 1 }
+
+    def u8(o: Long): Int = {
+      if (o < 0 || o + 1 > bytes.length) return -1
+      bytes(o.toInt) & 0xff
+    }
+    def u16(o: Long): Int = {
+      if (o < 0 || o + 2 > bytes.length) return -1
+      (bytes(o.toInt) & 0xff) | ((bytes(o.toInt + 1) & 0xff) << 8)
+    }
+    def u32(o: Long): Long = {
+      if (o < 0 || o + 4 > bytes.length) return -1L
+      var v = 0L; var j = 0
+      while (j < 4) { v |= (bytes(o.toInt + j) & 0xffL) << (8 * j); j += 1 }
+      v
+    }
+    def u64(o: Long): Long = {
+      if (o < 0 || o + 8 > bytes.length) return Long.MinValue
+      var v = 0L; var j = 0
+      while (j < 8) { v |= (bytes(o.toInt + j) & 0xffL) << (8 * j); j += 1 }
+      v
+    }
+
+    // ---- superblock: v0 fully; v2/v3 parsed enough to refuse the
+    // object-header-v2 world cleanly rather than misread it
+    val sbVersion = u8(8)
+    if (sbVersion != 0) return None // v2/v3 ⇒ v2 object headers ("OHDR") — out of envelope
+    if (u8(13) != 8 || u8(14) != 8) return None // offsets/lengths must be 8 bytes
+    // root group symbol table entry at offset 56: header address at +8,
+    // cache type at +16 (0 = none, 1 = cached stab — both fine, the
+    // header's own stab message is authoritative)
+    val rootHeader = u64(56 + 8)
+    if (rootHeader <= 0) return None
+
+    // ---- v1 object header walk: returns (msgType, bodyOffset, bodySize)
+    def messages(headerAt: Long): Option[Seq[(Int, Long, Int)]] = {
+      if (u8(headerAt) != 1) return None // v1 only
+      val nmsgs = u16(headerAt + 2)
+      val hdrSize = u32(headerAt + 8)
+      if (nmsgs < 0 || nmsgs > 1024 || hdrSize < 0) return None
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int)]
+      // blocks: (start, size) — continuation messages extend the walk
+      var blocks = List((headerAt + 16, hdrSize))
+      var remaining = nmsgs
+      while (remaining > 0 && blocks.nonEmpty) {
+        val (start, size) = blocks.head
+        blocks = blocks.tail
+        var pos = start
+        val end = start + size
+        while (remaining > 0 && pos + 8 <= end) {
+          val typ = u16(pos)
+          val msize = u16(pos + 2)
+          if (msize < 0 || pos + 8 + msize > end) return None
+          if (typ == 0x0010) { // continuation: offset u64 + length u64
+            if (msize < 16) return None
+            blocks = blocks :+ ((u64(pos + 8), u64(pos + 16)))
+          } else out += ((typ, pos + 8, msize))
+          remaining -= 1
+          pos += 8 + msize
+        }
+      }
+      if (remaining != 0) None else Some(out.toSeq)
+    }
+
+    // ---- root group: symbol table message → b-tree + heap
+    val rootMsgs = messages(rootHeader).getOrElse(return None)
+    val stab = rootMsgs.find(_._1 == 0x0011).getOrElse(return None)
+    val btreeAt = u64(stab._2)
+    val heapAt = u64(stab._2 + 8)
+    if (btreeAt <= 0 || heapAt <= 0) return None
+
+    // local heap: data segment address at +24 (after sig+ver+res, seg
+    // size u64, free-list head u64)
+    if (!(u8(heapAt) == 'H' && u8(heapAt + 1) == 'E' &&
+          u8(heapAt + 2) == 'A' && u8(heapAt + 3) == 'P')) return None
+    val heapData = u64(heapAt + 24)
+    def heapName(off: Long): Option[String] = {
+      val at = heapData + off
+      if (at < 0 || at >= bytes.length) return None
+      var e = at.toInt
+      while (e < bytes.length && bytes(e) != 0) e += 1
+      if (e >= bytes.length) None
+      else Some(new String(bytes, at.toInt, e - at.toInt, "US-ASCII"))
+    }
+
+    // b-tree: single leaf (level 0) is the CropHarvest shape; deeper
+    // trees (thousands of links) are out of envelope
+    if (!(u8(btreeAt) == 'T' && u8(btreeAt + 1) == 'R' &&
+          u8(btreeAt + 2) == 'E' && u8(btreeAt + 3) == 'E')) return None
+    if (u8(btreeAt + 4) != 0) return None // node type: group
+    if (u8(btreeAt + 5) != 0) return None // level 0 (leaf)
+    val nChildren = u16(btreeAt + 6)
+    if (nChildren < 0 || nChildren > 64) return None
+
+    // symbol nodes → (name, object header address)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var ci = 0
+    while (ci < nChildren) {
+      // child i address sits after the 24-byte node header + key 0,
+      // alternating key/child (keys and children are 8 bytes each)
+      val childAt = u64(btreeAt + 24 + 8 + ci * 16L)
+      if (!(u8(childAt) == 'S' && u8(childAt + 1) == 'N' &&
+            u8(childAt + 2) == 'O' && u8(childAt + 3) == 'D')) return None
+      val nsyms = u16(childAt + 6)
+      if (nsyms < 0 || nsyms > 1024) return None
+      var si = 0
+      while (si < nsyms) {
+        val ste = childAt + 8 + si * 40L
+        val nameOff = u64(ste)
+        val objAt = u64(ste + 8)
+        val name = heapName(nameOff).getOrElse(return None)
+        entries += ((name, objAt))
+        si += 1
+      }
+      ci += 1
+    }
+
+    // ---- per-dataset decode
+    var totalElems = 0L
+    val out = entries.toSeq.map { case (name, objAt) =>
+      val msgs = messages(objAt).getOrElse(return None)
+      // dataspace v1: version, rank, flags, dims (maxdims skipped)
+      val (shape: Seq[Long]) = msgs.find(_._1 == 0x0001) match {
+        case Some((_, b, _)) =>
+          if (u8(b) != 1) return None
+          val rank = u8(b + 1)
+          if (rank < 0 || rank > 8) return None
+          (0 until rank).map(d => u64(b + 8 + 8L * d))
+        case None => return None
+      }
+      if (shape.exists(_ < 0)) return None
+      // datatype: class 0 fixed / class 1 float, LE scalar
+      val dtype: String = msgs.find(_._1 == 0x0003) match {
+        case Some((_, b, _)) =>
+          val clsVer = u8(b)
+          val cls = clsVer & 0x0f
+          val bits0 = u8(b + 1)
+          val size = u32(b + 4)
+          if ((bits0 & 0x01) != 0) return None // big-endian out of envelope
+          (cls, size) match {
+            case (1, 4L) => "f4"
+            case (1, 8L) => "f8"
+            case (0, sz) if sz == 1L || sz == 2L || sz == 4L || sz == 8L =>
+              (if ((bits0 & 0x08) != 0) "i" else "u") + sz
+            case _ => return None
+          }
+        case None => return None
+      }
+      // layout v3 class 1 (contiguous): address + size
+      val (dataAt, dataSize) = msgs.find(_._1 == 0x0008) match {
+        case Some((_, b, _)) =>
+          if (u8(b) != 3) return None
+          if (u8(b + 1) != 1) return None // chunked/compact out of envelope
+          (u64(b + 2), u64(b + 10))
+        case None => return None
+      }
+      val nElems = shape.product
+      totalElems += nElems
+      if (totalElems > MaxElements) return None
+      val width = dtype.substring(1).toInt
+      if (nElems * width != dataSize) return None
+      if (dataAt < 0 || dataAt + dataSize > bytes.length) return None
+      val values = new Array[Double](nElems.toInt)
+      var k = 0
+      while (k < values.length) {
+        val o = dataAt + k.toLong * width
+        values(k) = dtype match {
+          case "f4" => java.lang.Float.intBitsToFloat(u32(o).toInt).toDouble
+          case "f8" => java.lang.Double.longBitsToDouble(u64(o))
+          case "i1" => bytes(o.toInt).toDouble
+          case "u1" => (bytes(o.toInt) & 0xff).toDouble
+          case "i2" => u16(o).toShort.toDouble
+          case "u2" => u16(o).toDouble
+          case "i4" => u32(o).toInt.toDouble
+          case "u4" => u32(o).toDouble
+          case "i8" => u64(o).toDouble
+          case "u8" => u64(o).toDouble // ≥2^63 widens like numpy→float
+        }
+        k += 1
+      }
+      H5Dataset(name, shape, dtype, values)
+    }
+    Some(out)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.tools
+
+import graft.{Sessions, SparkEntry}
+
+/** Scale checkpoint: measure each selected query at sf0.1 AND at the
+  * derived sf1 (10× rows, [[ScaleGen]]) back-to-back in ONE JVM, and
+  * report the per-query scaling ratio/exponent. Interleaving the two
+  * scales per query keeps a hypervisor steal window from biasing one
+  * scale's numbers; each (query, scale) takes the MIN of two runs
+  * (first run per scale also absorbs codegen). Writes
+  * `BENCH_sf1_r12.json` and prints one summary JSON line.
+  *
+  * Exponent semantics: e = log(t_big/t_small) / log(10) — 1.0 is
+  * perfectly linear in rows, < 1 means fixed per-query overhead still
+  * dominates at sf1, > 1 superlinear. Queries whose work is bounded
+  * by a knob rather than the corpus (fixed query sets, k-row
+  * artifacts) legitimately sit far below 1.
+  */
+object ScaleBench {
+  private val Selected: Seq[String] = Seq(
+    // top-30 by committed reference time
+    "q_dup_clusters_star", "q_entity_resolution", "q_bfs_depth",
+    "q_fuzzy_join", "q_pagerank", "q_max_concurrency", "q_mmr_rerank",
+    "q_dup_clusters", "q_triangles", "q_ngram_jaccard", "q_degree_dist",
+    "q_assoc_rules", "q_density_cluster", "q_minhash_lsh_xx",
+    "q_eval_metrics", "q_simhash", "q_nb_lang", "q_bpe_apply",
+    "q_top_movers", "q_rrf_recall", "q_minhash_lsh",
+    "q_prefix_filter_join", "q_decontaminate", "q_bigram_lm",
+    "q_ivfpq_search", "q_pca_power", "q_retrieval_eval",
+    "q_heavy_hitters", "q_eval_metrics_exact", "q_rrf_fusion",
+    // mandated families + drift re-baselines + core relational
+    "q_ks_test", "q_cluster_balance", "q_ivf_build", "q_ivf_search",
+    "q_pq_search", "q_semdedup", "q_embed_neardup", "q_span_dedup",
+    "q_dedup_exact", "q_cosine_topk_native", "q_knn_classify",
+    "q1_agg", "q_join_star", "q_monthly_median", "q_window_running",
+    "q_sessionize", "q_tfidf", "q_bm25", "q_token_stats", "q_gopher_rules")
+
+  def main(args: Array[String]): Unit = {
+    val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val big = if (args.length > 1) args(1) else "/root/repo/testdata_sf1"
+    val out = if (args.length > 2) args(2) else "BENCH_sf1_r12.json"
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+
+    def once(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup both scales (parquet footers, codegen, session init)
+    once("q1_agg", small); once("q1_agg", big)
+
+    val rows = Selected.filter(SparkEntry.queries.contains).map { name =>
+      val s1 = once(name, small); val b1 = once(name, big)
+      val s2 = once(name, small); val b2 = once(name, big)
+      val s = math.min(s1, s2); val b = math.min(b1, b2)
+      val ratio = b / s
+      val expn = math.log(ratio) / math.log(10.0)
+      println(f"$name%-24s sf0.1=$s%7.2fs sf1=$b%7.2fs ratio=$ratio%6.2f exp=$expn%5.2f")
+      (name, s, b, ratio, expn)
+    }
+    val totalS = rows.map(_._2).sum
+    val totalB = rows.map(_._3).sum
+    val json = new StringBuilder
+    json ++= s"""{"metric":"scale_checkpoint","sf_small":0.1,"sf_big":1.0,"""
+    json ++= s""""n_queries":${rows.size},"total_sf01":${f"$totalS%.2f"},"total_sf1":${f"$totalB%.2f"},"""
+    json ++= s""""total_ratio":${f"${totalB / totalS}%.3f"},"queries":{"""
+    json ++= rows.map { case (n, s, b, r, e) =>
+      s""""$n":{"sf01":${f"$s%.3f"},"sf1":${f"$b%.3f"},"ratio":${f"$r%.3f"},"exp":${f"$e%.3f"}}"""
+    }.mkString(",")
+    json ++= "}}"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json.toString)
+    println(json.takeRight(200))
+    println(f"TOTALS sf0.1=$totalS%.1fs sf1=$totalB%.1fs ratio=${totalB / totalS}%.2f")
+    spark.stop()
+  }
+}

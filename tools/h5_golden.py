@@ -1,0 +1,185 @@
+#!/usr/bin/env python3
+"""From-scratch HDF5 writer (public format spec, no h5py) used to pin
+Hdf5Codec goldens — the same independent-foreign-writer practice as the
+TIFF/gzip/PNG fixtures. Emits the fixed layout h5py's default
+(libver='earliest') produces for `create_dataset(key, data=ndarray)`:
+superblock v0, root group with v1 B-tree + SNOD + local heap,
+v1 object headers, contiguous storage, native little-endian types.
+"""
+import struct, sys
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+def align8(n):
+    return (n + 7) & ~7
+
+class Writer:
+    def __init__(self):
+        self.buf = bytearray()
+    def tell(self):
+        return len(self.buf)
+    def w(self, b):
+        self.buf += b
+    def pad_to(self, n):
+        self.buf += b"\x00" * (n - len(self.buf))
+
+def dtype_message(dtype):
+    # returns the datatype message body
+    if dtype in ("f4", "f8"):
+        size = 4 if dtype == "f4" else 8
+        cls_ver = (1 << 4) | 1          # version 1, class 1 (float)
+        # bit field: byte order LE(0), lo pad 0, hi pad 0, int pad 0,
+        # mantissa norm 2 (msb set), sign location bit 8..15
+        bits0 = 0x20                    # mantissa normalization = 2 -> bits 4-5 = 10
+        sign_loc = 31 if size == 4 else 63
+        bits1 = sign_loc & 0xFF
+        bits2 = 0
+        if size == 4:
+            props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+        else:
+            props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+        return struct.pack("<BBBBI", cls_ver, bits0, bits1, bits2, size) + props
+    if dtype in ("i1", "i2", "i4", "i8", "u1", "u2", "u4", "u8"):
+        size = int(dtype[1])
+        signed = dtype[0] == "i"
+        cls_ver = (1 << 4) | 0          # version 1, class 0 (fixed-point)
+        bits0 = 0x08 if signed else 0x00  # bit 3 = signed (2's complement)
+        props = struct.pack("<HH", 0, size * 8)
+        return struct.pack("<BBBBI", cls_ver, bits0, 0, 0, size) + props
+    raise ValueError(dtype)
+
+def pack_values(dtype, values):
+    fmt = {"f4": "f", "f8": "d", "i1": "b", "i2": "h", "i4": "i", "i8": "q",
+           "u1": "B", "u2": "H", "u4": "I", "u8": "Q"}[dtype]
+    return struct.pack("<%d%s" % (len(values), fmt), *values)
+
+def object_header(messages):
+    # v1 object header: prefix (12 bytes) + 4 pad, 8-aligned messages
+    body = b""
+    for typ, mbody in messages:
+        mbody_p = mbody + b"\x00" * (align8(len(mbody)) - len(mbody))
+        body += struct.pack("<HHBBBB", typ, len(mbody_p), 0, 0, 0, 0) + mbody_p
+    return struct.pack("<BBHII", 1, 0, len(messages), 1, len(body)) + b"\x00" * 4 + body
+
+def dataset_header(shape, dtype, data_addr, data_size, with_maxdims=True, extra_msgs=()):
+    rank = len(shape)
+    flags = 1 if with_maxdims else 0
+    ds = struct.pack("<BBBBI", 1, rank, flags, 0, 0)
+    ds += b"".join(struct.pack("<Q", d) for d in shape)
+    if with_maxdims:
+        ds += b"".join(struct.pack("<Q", d) for d in shape)
+    dt = dtype_message(dtype)
+    # layout v3 class 1 (contiguous): address + size
+    lay = struct.pack("<BBQQ", 3, 1, data_addr, data_size)
+    # fill value v2: alloc time 2 (late), write time 0, defined 0
+    fill = struct.pack("<BBBB", 2, 2, 0, 0)
+    msgs = [(0x0001, ds), (0x0005, fill), (0x0003, dt), (0x0008, lay)]
+    msgs.extend(extra_msgs)
+    return object_header(msgs)
+
+def write_h5(datasets, heap_pad=0):
+    """datasets: list of (name, shape, dtype, flat_values). Returns bytes."""
+    w = Writer()
+    # ---- superblock v0 (96 bytes incl the root symbol-table entry)
+    w.w(b"\x89HDF\r\n\x1a\n")
+    w.w(struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0))
+    w.w(struct.pack("<HHI", 4, 16, 0))
+    w.w(struct.pack("<QQQQ", 0, UNDEF, 0, UNDEF))  # eof patched later
+    root_ste_at = w.tell()
+    w.w(b"\x00" * 40)
+    assert w.tell() == 96
+
+    # ---- root group object header (symbol table message)
+    root_oh_at = w.tell()
+    stab_body_at_placeholder = b"\x00" * 16
+    root_oh = object_header([(0x0011, stab_body_at_placeholder)])
+    w.w(root_oh)
+
+    # ---- local heap: names NUL-terminated, 8-aligned, offset 0 = ""
+    names = [n for n, _, _, _ in datasets]
+    heap_data = bytearray(b"\x00" * 8)      # offset 0: empty string slot
+    name_off = {}
+    for n in names:
+        name_off[n] = len(heap_data)
+        nb = n.encode() + b"\x00"
+        heap_data += nb + b"\x00" * (align8(len(nb)) - len(nb))
+    heap_data += b"\x00" * heap_pad
+    heap_hdr_at = w.tell()
+    heap_data_at = heap_hdr_at + 32
+    w.w(b"HEAP" + struct.pack("<BBBB", 0, 0, 0, 0) +
+        struct.pack("<QQQ", len(heap_data), UNDEF, heap_data_at))
+    w.w(bytes(heap_data))
+
+    # ---- SNOD with one entry per dataset (alphabetical, B-tree order)
+    order = sorted(names)
+    snod_at = w.tell()
+    snod = b"SNOD" + struct.pack("<BBH", 1, 0, len(order))
+    ste_patch = []  # (buf offset of header addr, dataset name)
+    for n in order:
+        ste_patch.append((w.tell() + len(snod) + 8, n))
+        snod += struct.pack("<QQI", name_off[n], 0, 0) + b"\x00" * 20
+    w.w(snod)
+
+    # ---- B-tree v1, one leaf with one child (the SNOD)
+    btree_at = w.tell()
+    w.w(b"TREE" + struct.pack("<BBH", 0, 0, 1) + struct.pack("<QQ", UNDEF, UNDEF))
+    w.w(struct.pack("<Q", 0))                 # key 0: offset of "" (min)
+    w.w(struct.pack("<Q", snod_at))           # child 0
+    w.w(struct.pack("<Q", name_off[order[-1]]))  # key 1: last name
+
+    # patch root stab message (btree addr, heap addr): the message body
+    # starts 16 (prefix) + 8 (msg header) into the root object header
+    stab_at = root_oh_at + 16 + 8
+    w.buf[stab_at:stab_at + 16] = struct.pack("<QQ", btree_at, heap_hdr_at)
+    # patch the superblock root STE: name offset 0, header addr, no cache
+    w.buf[root_ste_at:root_ste_at + 16] = struct.pack("<QQ", 0, root_oh_at)
+
+    # ---- dataset object headers + data
+    for name, shape, dtype, values in datasets:
+        data = pack_values(dtype, values)
+        oh_at = w.tell()
+        hdr = dataset_header(shape, dtype, 0, len(data))
+        data_at = oh_at + len(hdr)
+        hdr = dataset_header(shape, dtype, data_at, len(data))
+        assert len(hdr) == len(dataset_header(shape, dtype, 0, len(data)))
+        w.w(hdr)
+        w.w(data)
+        # patch the SNOD entry header address
+        for patch_at, n in ste_patch:
+            if n == name:
+                w.buf[patch_at:patch_at + 8] = struct.pack("<Q", oh_at)
+
+    # patch EOF address
+    w.buf[40:48] = struct.pack("<Q", len(w.buf))
+    return bytes(w.buf)
+
+if __name__ == "__main__":
+    # CropHarvest-shaped test instance: x (n, t, bands) f8, y i8,
+    # lats/lons f8 — eval/cropharvest_extensions.py:368-377
+    n, t, b = 3, 4, 2
+    x = [((i * 7 + 3) % 11) * 0.25 for i in range(n * t * b)]
+    y = [1, 0, 1]
+    lats = [14.5, -3.25, 48.0]
+    lons = [-16.25, 36.5, 2.125]
+    blob = write_h5([
+        ("hours", (n, t, b), "f8", x),
+        ("y", (n,), "i8", y),
+        ("lats", (n,), "f8", lats),
+        ("lons", (n,), "f8", lons),
+    ])
+    f32 = write_h5([("arr", (2, 3), "f4", [0.5, -1.25, 2.0, 3.5, -0.125, 7.0])])
+    i4 = write_h5([("mask", (4,), "i4", [-2, 0, 5, 123456])])
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/h5_goldens"
+    import os
+    os.makedirs(out, exist_ok=True)
+    open(out + "/instance.h5", "wb").write(blob)
+    open(out + "/f32.h5", "wb").write(f32)
+    open(out + "/i4.h5", "wb").write(i4)
+    def scala(nm, bb):
+        rows = [", ".join("0x%02x" % x for x in bb[i:i+14]) for i in range(0, len(bb), 14)]
+        return ("  private val %s: Array[Byte] = Array[Int](\n    " % nm
+                + ",\n    ".join(rows) + ").map(_.toByte)")
+    print(scala("goldenInstance", blob))
+    print(scala("goldenF32", f32))
+    print(scala("goldenI4", i4))
+    print("// instance.h5 bytes:", len(blob))
