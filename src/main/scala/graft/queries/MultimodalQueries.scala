@@ -570,7 +570,59 @@ object MultimodalQueries {
       |      i -> ascii(substr(text, i+1, 1))) AS codes
       |  FROM documents WHERE length(text) >= 6)""".stripMargin
 
+  /** Baseline-JPEG decode, oracle-graded per PIXEL against committed
+    * foreign fixtures: the four `.jpg` streams in
+    * `tools/fixtures/q_jpeg_decode/` were written by the independent
+    * from-scratch Python encoder in `tools/jpeg_golden.py` (own FDCT,
+    * own canonical-Huffman coder), covering grayscale, RGB 4:4:4,
+    * RGB 4:2:0 with odd dimensions, and 4:2:0 with DRI/RSTn restart
+    * markers. [[graft.sources.JpegCodec]] decodes them via the shared
+    * integer spec (fixed-point IDCT / replicate upsample / fixed-point
+    * YCbCr→RGB) and the oracle reads the expected pixels the Python
+    * decoder produced — every Huffman bit, dequantize, IDCT rounding,
+    * upsample index, and color constant must agree or the hash flips.
+    * Distributed shape: binaryFile scan → per-file decode fan-out →
+    * per-pixel explode; no shuffle (grayscale replicates to r=g=b,
+    * matching the golden's convention). */
+  def qJpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.jpg")
+      .load("/root/repo/tools/fixtures/q_jpeg_decode")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".jpg")
+        val img = graft.sources.JpegCodec.decode(bytes)
+          .getOrElse(throw new IllegalStateException(s"fixture undecodable: $name"))
+        val out = new Array[(String, Int, Int, Int, Int, Int)](img.width * img.height)
+        var y = 0
+        while (y < img.height) {
+          var x = 0
+          while (x < img.width) {
+            val i = y * img.width + x
+            val (r, g, b): (Int, Int, Int) =
+              if (img.channels == 1) {
+                val v = img.pixels(i) & 0xff; (v, v, v)
+              } else
+                (img.pixels(i * 3) & 0xff, img.pixels(i * 3 + 1) & 0xff,
+                  img.pixels(i * 3 + 2) & 0xff)
+            out(i) = (name, y, x, r, g, b)
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+      .toDF("name", "y", "x", "r", "g", "b")
+  }
+
+  val qJpegDecodeSql: String =
+    """SELECT name, y, x, r, g, b
+      |FROM read_parquet('/root/repo/tools/fixtures/q_jpeg_decode/golden/*.parquet')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jpeg_decode" -> (qJpegDecode _),
     "q_png_decode" -> (qPngDecode _),
     "q_tiff_georef" -> (qTiffGeoref _),
     "q_jsonl_gz" -> (qJsonlGz _),
@@ -588,6 +640,7 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_jpeg_decode" -> qJpegDecodeSql,
     "q_jsonl_gz" -> qJsonlGzSql,
     "q_media_manifest" -> qMediaManifestSql,
     "q_media_features" -> qMediaFeaturesSql,

@@ -1,0 +1,392 @@
+package graft.sources
+
+import scala.collection.mutable
+
+/** Baseline-JPEG (ISO/IEC 10918-1 SOF0) decoder for multimodal binary
+  * columns — real LLM training corpora (LAION-style webdatasets,
+  * reference `dataops/` image shards) carry JPEG, not PPM/TIFF.
+  *
+  * Scope: baseline sequential Huffman, 8-bit, 1 (grayscale) or 3
+  * (YCbCr) components, any h/v sampling factors up to 2 (4:4:4, 4:2:2,
+  * 4:2:0), multiple DQT/DHT segments, DRI/RSTn restart intervals,
+  * APPn/COM skipped. Everything else — progressive (SOF2), arithmetic
+  * coding (SOF9+), 12-bit precision, CMYK, truncated or corrupt
+  * streams — is refused with None, never an exception: corrupt shards
+  * in a 100 TB crawl must skip, not kill the stage (same contract as
+  * [[GzipCodec]]/[[TarCodec]]).
+  *
+  * The inverse pipeline is a FIXED INTEGER SPEC shared bit-for-bit
+  * with the independent from-scratch Python golden writer/decoder in
+  * `tools/jpeg_golden.py` (which produced the committed fixtures in
+  * `tools/fixtures/q_jpeg_decode/`):
+  *
+  *  - dequantize: `coef * q` exactly;
+  *  - IDCT: 14-bit fixed-point basis `T(u)(x) = round(16384 * c(u)/2 *
+  *    cos((2x+1)u pi/16))`, `acc = sum F(v)(u) T(u)(x) T(v)(y)` in
+  *    Long, `sample = clamp(128 + ((acc + 2^27) >> 28))`;
+  *  - chroma upsampling: replicate `(x / hRatio, y / vRatio)`;
+  *  - YCbCr→RGB: 16-bit fixed point, `R = clamp(Y + ((91881 Cr' +
+  *    32768) >> 16))` etc.
+  *
+  * Integer arithmetic end-to-end means the Scala decode is EXACTLY
+  * reproducible against the Python pipeline — pinned per-pixel by
+  * JpegCodecSpec and oracle-graded by q_jpeg_decode.
+  *
+  * JPEG itself leaves the IDCT implementation-defined (10918-1 only
+  * bounds accuracy); any fixed rounding discipline is a conforming
+  * choice, and fixing one is what makes the result hashable.
+  */
+object JpegCodec {
+
+  /** Decoded image: `pixels` is row-major, channel-interleaved
+    * (RGB triplets for 3-component frames, single bytes for gray). */
+  final case class JpegImage(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  // 14-bit fixed-point IDCT basis (generated once by tools/jpeg_golden.py)
+  private val IdctT: Array[Array[Int]] = Array(
+    Array(5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793),
+    Array(8035, 6811, 4551, 1598, -1598, -4551, -6811, -8035),
+    Array(7568, 3135, -3135, -7568, -7568, -3135, 3135, 7568),
+    Array(6811, -1598, -8035, -4551, 4551, 8035, 1598, -6811),
+    Array(5793, -5793, -5793, 5793, 5793, -5793, -5793, 5793),
+    Array(4551, -8035, 1598, 6811, -6811, -1598, 8035, -4551),
+    Array(3135, -7568, 7568, -3135, -3135, 7568, -7568, 3135),
+    Array(1598, -4551, 6811, -8035, 8035, -6811, 4551, -1598))
+
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  private final class Refused extends RuntimeException(null, null, false, false)
+  private def refuse(): Nothing = throw new Refused
+
+  /** Entropy-coded-segment bit reader with 0xFF00 byte unstuffing. */
+  private final class BitReader(d: Array[Byte], var p: Int) {
+    private var acc = 0
+    private var n = 0
+    def byteAlign(): Unit = { acc = 0; n = 0 }
+    /** Low byte of an RSTn marker at the current (aligned) position, or -1. */
+    def peekRst(): Int =
+      if (p + 1 < d.length && (d(p) & 0xff) == 0xff &&
+          (d(p + 1) & 0xff) >= 0xd0 && (d(p + 1) & 0xff) <= 0xd7) d(p + 1) & 0xff
+      else -1
+    def skipMarker(): Unit = { p += 2; byteAlign() }
+    def bit(): Int = {
+      if (n == 0) {
+        if (p >= d.length) refuse()
+        val b = d(p) & 0xff; p += 1
+        if (b == 0xff) {
+          if (p >= d.length) refuse()
+          if ((d(p) & 0xff) == 0x00) p += 1
+          else refuse() // marker inside entropy data = truncated scan
+        }
+        acc = b; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def bits(k: Int): Int = {
+      var v = 0; var i = 0
+      while (i < k) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  /** Canonical Huffman decode table keyed (length << 16) | code. */
+  private def huffTable(bits: Array[Int], vals: Array[Int]): mutable.HashMap[Int, Int] = {
+    val t = new mutable.HashMap[Int, Int]
+    var code = 0; var k = 0; var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        if (k >= vals.length) refuse()
+        t.put((len << 16) | code, vals(k)); code += 1; k += 1; i += 1
+      }
+      code <<= 1; len += 1
+    }
+    t
+  }
+
+  private def readHuff(br: BitReader, t: mutable.HashMap[Int, Int]): Int = {
+    var code = 0; var len = 1
+    while (len <= 16) {
+      code = (code << 1) | br.bit()
+      val v = t.getOrElse((len << 16) | code, -1)
+      if (v >= 0) return v
+      len += 1
+    }
+    refuse()
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s != 0 && v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** The shared fixed-point IDCT; F is natural (row, col) order. */
+  private def idctBlock(f: Array[Int], out: Array[Int]): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0L
+        var u = 0
+        while (u < 8) {
+          val tu = IdctT(u)(x).toLong
+          var v = 0
+          while (v < 8) {
+            acc += f(v * 8 + u) * tu * IdctT(v)(y)
+            v += 1
+          }
+          u += 1
+        }
+        val s = 128 + ((acc + (1L << 27)) >> 28).toInt
+        out(y * 8 + x) = if (s < 0) 0 else if (s > 255) 255 else s
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private final case class Comp(id: Int, h: Int, v: Int, tq: Int)
+
+  /** Decode a baseline JPEG; None for anything outside the supported
+    * profile or any malformed stream. Never throws. */
+  def decode(bytes: Array[Byte]): Option[JpegImage] =
+    try Some(decodeOrRefuse(bytes))
+    catch { case _: Refused | _: RuntimeException | _: IndexOutOfBoundsException => None }
+
+  private def decodeOrRefuse(d: Array[Byte]): JpegImage = {
+    if (d.length < 4 || (d(0) & 0xff) != 0xff || (d(1) & 0xff) != 0xd8) refuse()
+    var p = 2
+    val quant = new Array[Array[Int]](4)
+    val huffDc = new Array[mutable.HashMap[Int, Int]](4)
+    val huffAc = new Array[mutable.HashMap[Int, Int]](4)
+    var width = 0; var height = 0
+    var comps: Array[Comp] = null
+    var restart = 0
+
+    def u16(o: Int): Int = {
+      if (o + 1 >= d.length) refuse()
+      ((d(o) & 0xff) << 8) | (d(o + 1) & 0xff)
+    }
+
+    while (true) {
+      if (p + 1 >= d.length || (d(p) & 0xff) != 0xff) refuse()
+      val m = d(p + 1) & 0xff
+      if (m == 0xd9) refuse() // EOI before any SOS
+      val ln = u16(p + 2)
+      if (ln < 2 || p + 2 + ln > d.length) refuse()
+      val bo = p + 4 // body offset, length ln - 2
+      val bend = p + 2 + ln
+      m match {
+        case 0xdb => // DQT (possibly several tables)
+          var q = bo
+          while (q < bend) {
+            val pq = (d(q) & 0xff) >> 4
+            val tid = d(q) & 0x0f
+            if (pq != 0 || tid > 3 || q + 65 > bend) refuse() // 8-bit tables only
+            val tab = new Array[Int](64)
+            var i = 0
+            while (i < 64) { tab(Zigzag(i)) = d(q + 1 + i) & 0xff; i += 1 }
+            quant(tid) = tab
+            q += 65
+          }
+        case 0xc4 => // DHT (possibly several tables)
+          var q = bo
+          while (q < bend) {
+            val tc = (d(q) & 0xff) >> 4
+            val th = d(q) & 0x0f
+            if (tc > 1 || th > 3 || q + 17 > bend) refuse()
+            val bits = Array.tabulate(16)(i => d(q + 1 + i) & 0xff)
+            val nv = bits.sum
+            if (q + 17 + nv > bend || nv > 256) refuse()
+            val vals = Array.tabulate(nv)(i => d(q + 17 + i) & 0xff)
+            val t = huffTable(bits, vals)
+            if (tc == 0) huffDc(th) = t else huffAc(th) = t
+            q += 17 + nv
+          }
+        case 0xc0 | 0xc1 => // baseline / extended-sequential Huffman
+          if ((d(bo) & 0xff) != 8) refuse() // 8-bit precision only
+          height = u16(bo + 1); width = u16(bo + 3)
+          val nc = d(bo + 5) & 0xff
+          if (width == 0 || height == 0 || (nc != 1 && nc != 3)) refuse()
+          if (bo + 6 + 3 * nc > bend) refuse()
+          comps = Array.tabulate(nc) { i =>
+            val cid = d(bo + 6 + 3 * i) & 0xff
+            val hv = d(bo + 7 + 3 * i) & 0xff
+            val c = Comp(cid, hv >> 4, hv & 0x0f, d(bo + 8 + 3 * i) & 0xff)
+            if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3) refuse()
+            c
+          }
+        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          refuse() // progressive / lossless / arithmetic: out of profile
+        case 0xdd => // DRI
+          if (ln != 4) refuse()
+          restart = u16(bo)
+        case 0xda => // SOS — single interleaved baseline scan
+          if (comps == null) refuse()
+          val ns = d(bo) & 0xff
+          if (ns != comps.length || bo + 1 + 2 * ns + 3 > bend) refuse()
+          val scanDc = new Array[Int](comps.length)
+          val scanAc = new Array[Int](comps.length)
+          var i = 0
+          while (i < ns) {
+            val cs = d(bo + 1 + 2 * i) & 0xff
+            val ci = comps.indexWhere(_.id == cs)
+            if (ci < 0) refuse()
+            val tt = d(bo + 2 + 2 * i) & 0xff
+            scanDc(ci) = tt >> 4; scanAc(ci) = tt & 0x0f
+            i += 1
+          }
+          val ss = d(bo + 1 + 2 * ns) & 0xff
+          val se = d(bo + 2 + 2 * ns) & 0xff
+          val ahal = d(bo + 3 + 2 * ns) & 0xff
+          if (ss != 0 || se != 63 || ahal != 0) refuse() // non-baseline scan
+          return decodeScan(d, bend, width, height, comps, scanDc, scanAc,
+            quant, huffDc, huffAc, restart)
+        case _ => () // APPn, COM, others: skip
+      }
+      p = p + 2 + ln
+    }
+    refuse()
+  }
+
+  private def decodeScan(
+      d: Array[Byte], scanStart: Int, width: Int, height: Int,
+      comps: Array[Comp], scanDc: Array[Int], scanAc: Array[Int],
+      quant: Array[Array[Int]],
+      huffDc: Array[mutable.HashMap[Int, Int]],
+      huffAc: Array[mutable.HashMap[Int, Int]],
+      restart: Int): JpegImage = {
+    val nc = comps.length
+    var hmax = 1; var vmax = 1
+    comps.foreach { c => hmax = math.max(hmax, c.h); vmax = math.max(vmax, c.v) }
+    val mcux = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcuy = (height + 8 * vmax - 1) / (8 * vmax)
+    // per-component sample planes at full MCU-padded size
+    val planeW = Array.tabulate(nc)(i => mcux * 8 * comps(i).h)
+    val planes = Array.tabulate(nc)(i => new Array[Int](planeW(i) * mcuy * 8 * comps(i).v))
+    comps.foreach { c =>
+      if (quant(c.tq) == null) refuse()
+    }
+    var i = 0
+    while (i < nc) {
+      if (huffDc(scanDc(i)) == null || huffAc(scanAc(i)) == null) refuse()
+      i += 1
+    }
+
+    val br = new BitReader(d, scanStart)
+    val preds = new Array[Int](nc)
+    val zz = new Array[Int](64)
+    val blk = new Array[Int](64)
+    var mcu = 0
+    var rst = 0
+    var my = 0
+    while (my < mcuy) {
+      var mx = 0
+      while (mx < mcux) {
+        if (restart > 0 && mcu > 0 && mcu % restart == 0) {
+          br.byteAlign()
+          if (br.peekRst() != 0xd0 + (rst & 7)) refuse()
+          br.skipMarker()
+          rst += 1
+          java.util.Arrays.fill(preds, 0)
+        }
+        var ci = 0
+        while (ci < nc) {
+          val c = comps(ci)
+          val q = quant(c.tq)
+          val dcT = huffDc(scanDc(ci))
+          val acT = huffAc(scanAc(ci))
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              java.util.Arrays.fill(zz, 0)
+              val s = readHuff(br, dcT)
+              if (s > 11) refuse()
+              val diff = if (s != 0) extend(br.bits(s), s) else 0
+              preds(ci) += diff
+              zz(0) = preds(ci) * q(0)
+              var k = 1
+              var done = false
+              while (k < 64 && !done) {
+                val rs = readHuff(br, acT)
+                val r = rs >> 4
+                val s2 = rs & 0x0f
+                if (s2 == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else done = true // EOB
+                } else {
+                  k += r
+                  if (k > 63) refuse()
+                  zz(Zigzag(k)) = extend(br.bits(s2), s2) * q(Zigzag(k))
+                  k += 1
+                }
+              }
+              idctBlock(zz, blk)
+              val y0 = (my * c.v + by) * 8
+              val x0 = (mx * c.h + bx) * 8
+              val pw = planeW(ci)
+              val plane = planes(ci)
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  plane((y0 + yy) * pw + x0 + xx) = blk(yy * 8 + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+
+    if (nc == 1) {
+      val out = new Array[Byte](width * height)
+      val pw = planeW(0)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          out(y * width + x) = planes(0)(y * pw + x).toByte
+          x += 1
+        }
+        y += 1
+      }
+      JpegImage(width, height, 1, out)
+    } else {
+      val out = new Array[Byte](width * height * 3)
+      val hr1 = hmax / comps(1).h; val vr1 = vmax / comps(1).v
+      val hr2 = hmax / comps(2).h; val vr2 = vmax / comps(2).v
+      val pw0 = planeW(0); val pw1 = planeW(1); val pw2 = planeW(2)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yv = planes(0)(y * pw0 + x)
+          val cb = planes(1)((y / vr1) * pw1 + (x / hr1)) - 128
+          val cr = planes(2)((y / vr2) * pw2 + (x / hr2)) - 128
+          val o = (y * width + x) * 3
+          out(o) = clamp255(yv + ((91881 * cr + 32768) >> 16)).toByte
+          out(o + 1) = clamp255(yv - ((22554 * cb + 46802 * cr + 32768) >> 16)).toByte
+          out(o + 2) = clamp255(yv + ((116130 * cb + 32768) >> 16)).toByte
+          x += 1
+        }
+        y += 1
+      }
+      JpegImage(width, height, 3, out)
+    }
+  }
+}
