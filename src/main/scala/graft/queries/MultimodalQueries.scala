@@ -621,7 +621,64 @@ object MultimodalQueries {
     """SELECT name, y, x, r, g, b
       |FROM read_parquet('/root/repo/tools/fixtures/q_jpeg_decode/golden/*.parquet')""".stripMargin
 
+  /** NetCDF classic (CDF-1) container round-trip, oracle-graded — the
+    * reference's prediction sink is `ds.to_netcdf` per test instance,
+    * later recombined (cropharvest_eval.py:213-218). Each source's
+    * documents become one REAL `.nc` dataset ([[graft.sources
+    * .NetcdfCodec]], byte-pinned in NetcdfCodecSpec against an
+    * independent Python CDF-1 writer): instance-dim int vars + a
+    * double score var + a char id var, encoded then decoded straight
+    * back. The output pins the decoded sums AND the exact container
+    * size, which the oracle recomputes from first principles
+    * (8-byte magic/numrecs + dim/var list layout = 220 fixed header
+    * bytes for this schema + 16 bytes per instance + the 4-padded
+    * char var) — any drift in name padding, vsize rounding, or begin
+    * offsets flips the hash. Distributed shape: one group per source
+    * (executor-side encode/decode, no driver I/O). */
+  def qNetcdfRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.NetcdfCodec
+    import graft.sources.NetcdfCodec._
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), length(col("text")).cast("int").as("tl"))
+      .as[(String, Long, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (src, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val n = rows.length
+        val ids = rows.map { r =>
+          require(r._2 <= Int.MaxValue, s"doc_id ${r._2} exceeds NC_INT")
+          r._2.toInt
+        }
+        val nc = Nc(
+          dims = Seq(Dim("instance", n), Dim("srclen", src.length)),
+          gatts = Nil,
+          vars = Seq(
+            Variable("doc_id", Array(0), Nil, IntData(ids)),
+            Variable("text_len", Array(0), Nil, IntData(rows.map(_._3))),
+            // k * 0.25 sums are exact in double regardless of order
+            Variable("score", Array(0), Nil, DoubleData(rows.map(_._3 * 0.25))),
+            Variable("src", Array(1), Nil, CharData(src))))
+        val bytes = NetcdfCodec.encode(nc)
+        val back = NetcdfCodec.decode(bytes)
+          .getOrElse(throw new IllegalStateException(s"own nc undecodable: $src"))
+        val idSum = back.vars(0).data.asInstanceOf[IntData].v.map(_.toLong).sum
+        val scoreSum = back.vars(2).data.asInstanceOf[DoubleData].v.sum
+        (src, n.toLong, idSum, scoreSum, bytes.length.toLong)
+      }
+      .toDF("source", "n_records", "id_sum", "score_sum", "nc_bytes")
+  }
+
+  val qNetcdfRoundtripSql: String =
+    """SELECT source, COUNT(*) AS n_records,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM(length(text)) AS DOUBLE) * 0.25 AS score_sum,
+      |  CAST(220 + 16 * COUNT(*) + CEIL(length(source) / 4.0) * 4 AS BIGINT)
+      |    AS nc_bytes
+      |FROM documents GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_netcdf_roundtrip" -> (qNetcdfRoundtrip _),
     "q_jpeg_decode" -> (qJpegDecode _),
     "q_png_decode" -> (qPngDecode _),
     "q_tiff_georef" -> (qTiffGeoref _),
@@ -640,6 +697,7 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_netcdf_roundtrip" -> qNetcdfRoundtripSql,
     "q_jpeg_decode" -> qJpegDecodeSql,
     "q_jsonl_gz" -> qJsonlGzSql,
     "q_media_manifest" -> qMediaManifestSql,

@@ -160,6 +160,47 @@ object Sinks {
       java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
   }
 
+  /** NetCDF classic sink: one real CDF-1 `.nc` prediction dataset per
+    * group, written executor-side — the reference's per-test-instance
+    * `ds.to_netcdf` sink (cropharvest_eval.py:213-218) as a
+    * distributed write ([[NetcdfCodec.encode]], byte-pinned against an
+    * independent Python CDF-1 writer), `_SUCCESS` on completion.
+    * Expects (group_id: string, lat: array<double>, lon: array<double>,
+    * preds: array<double>), aligned arrays per row. */
+  def writeNetcdfFiles(df: DataFrame, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col("group_id").cast("string"), col("lat"), col("lon"), col("preds"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          val gid = r.getString(0)
+          val lat = r.getSeq[Double](1).toArray
+          val lon = r.getSeq[Double](2).toArray
+          val preds = r.getSeq[Double](3).toArray
+          require(lat.length == lon.length && lon.length == preds.length,
+            s"group $gid: unaligned lat/lon/preds arrays")
+          val nc = NetcdfCodec.Nc(
+            dims = Seq(NetcdfCodec.Dim("instance", lat.length),
+              NetcdfCodec.Dim("idlen", gid.length)),
+            gatts = Seq(NetcdfCodec.Attr("title", "graft predictions")),
+            vars = Seq(
+              NetcdfCodec.Variable("lat", Array(0),
+                Seq(NetcdfCodec.Attr("units", "degrees_north")),
+                NetcdfCodec.DoubleData(lat)),
+              NetcdfCodec.Variable("lon", Array(0),
+                Seq(NetcdfCodec.Attr("units", "degrees_east")),
+                NetcdfCodec.DoubleData(lon)),
+              NetcdfCodec.Variable("preds", Array(0), Nil,
+                NetcdfCodec.DoubleData(preds)),
+              NetcdfCodec.Variable("test_id", Array(1), Nil,
+                NetcdfCodec.CharData(gid))))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"$gid.nc"), NetcdfCodec.encode(nc))
+        }
+      }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+  }
+
   /** Small-file compaction — the table-maintenance pass every
     * long-running lake needs: a directory that accumulated many small
     * parquet files (per-trigger streaming appends, over-parallel

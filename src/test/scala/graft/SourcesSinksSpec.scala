@@ -107,4 +107,25 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back.keySet == Set(1L, 2L), s"unexpected tiles: ${back.keySet}")
     assert(back(1L) == (0 until 8) && back(2L) == (10 until 16))
   }
+
+  test("NetCDF sink writes real CDF-1 prediction datasets per group") {
+    import spark.implicits._
+    import graft.sources.NetcdfCodec
+    val groups = Seq(
+      ("togo-001", Array(14.5, 14.625), Array(-16.5, -16.375), Array(0.25, 0.75)),
+      ("togo-002", Array(15.0, 15.125, 15.25), Array(-16.0, -15.875, -15.75),
+        Array(0.5, 0.125, 0.9375)))
+      .toDF("group_id", "lat", "lon", "preds")
+      .repartition(2)
+    val dir = Files.createTempDirectory("graft_nc").toString
+    Sinks.writeNetcdfFiles(groups, dir)
+    assert(Files.exists(Paths.get(dir, "_SUCCESS")), "completion marker missing")
+    val nc = NetcdfCodec.decode(Files.readAllBytes(Paths.get(dir, "togo-002.nc")))
+      .getOrElse(fail("sink output refused by own decoder"))
+    assert(nc.dims.head == NetcdfCodec.Dim("instance", 3))
+    assert(nc.vars.map(_.name) == Seq("lat", "lon", "preds", "test_id"))
+    assert(nc.vars(2).data.asInstanceOf[NetcdfCodec.DoubleData].v.toSeq ==
+      Seq(0.5, 0.125, 0.9375))
+    assert(nc.vars(3).data.asInstanceOf[NetcdfCodec.CharData].s == "togo-002")
+  }
 }
