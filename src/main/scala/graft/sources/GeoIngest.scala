@@ -85,6 +85,39 @@ object GeoIngest {
       }.toDF("tile_id", "width", "height", "samples")
   }
 
+  /** Distributed NetCDF prediction-dataset ingest — the combine half
+    * of the reference's eval loop (`TestInstance.load_from_nc` over
+    * `results_dir.glob("*.nc")`, cropharvest_eval.py:216-218): a
+    * binaryFile scan over `.nc` files written by
+    * [[Sinks.writeNetcdfFiles]] (or any conforming CDF-1 writer),
+    * decoded executor-side by [[NetcdfCodec.decode]] into one row per
+    * instance (test_id, lat, lon, pred). Files that are not CDF-1, use
+    * record variables, or lack the lat/lon/preds schema are SKIPPED,
+    * not failed — the corrupt-shard contract of every scan here. The
+    * per-file fan-out is data-parallel; downstream metric aggregation
+    * is an ordinary groupBy. */
+  def readNetcdfFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.nc")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) =>
+        NetcdfCodec.decode(bytes).toSeq.flatMap { nc =>
+          val byName = nc.vars.map(v => v.name -> v.data).toMap
+          (byName.get("lat"), byName.get("lon"), byName.get("preds"),
+            byName.get("test_id")) match {
+            case (Some(NetcdfCodec.DoubleData(lat)), Some(NetcdfCodec.DoubleData(lon)),
+                Some(NetcdfCodec.DoubleData(preds)), Some(NetcdfCodec.CharData(id)))
+                if lat.length == lon.length && lon.length == preds.length =>
+              lat.indices.map(i => (id, i, lat(i), lon(i), preds(i)))
+            case _ => Nil // schema mismatch: skip the file, never throw
+          }
+        }
+      }.toDF("test_id", "instance", "lat", "lon", "pred")
+  }
+
   /** Georeferenced per-pixel GeoTIFF ingest — the presto ingest shape:
     * the reference derives a lon/lat for every raster pixel from the
     * file's affine transform (rioxarray coords / the meshgrid in its

@@ -160,6 +160,30 @@ object Sinks {
       java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
   }
 
+  /** PNG tile sink — the viz/export member of the multimodal sink
+    * family (the reference plots rasters to PNG in its notebooks; web
+    * corpora ship PNG members in webdataset tars): one real PNG
+    * (signature, CRC'd chunks, zlib scanlines — [[PngCodec.encode]],
+    * decoder-pinned against a foreign Python writer) per row, written
+    * executor-side, `_SUCCESS` on completion. Expects
+    * (tile_id: long, width: int, height: int, channels: int,
+    * pixels: binary) with pixels row-major channel-interleaved. */
+  def writePngTiles(df: DataFrame, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col("tile_id").cast("long"), col("width").cast("int"),
+        col("height").cast("int"), col("channels").cast("int"), col("pixels"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          val bytes = PngCodec.encode(r.getInt(1), r.getInt(2), r.getInt(3),
+            r.getAs[Array[Byte]](4))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"tile_${r.getLong(0)}.png"), bytes)
+        }
+      }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+  }
+
   /** NetCDF classic sink: one real CDF-1 `.nc` prediction dataset per
     * group, written executor-side — the reference's per-test-instance
     * `ds.to_netcdf` sink (cropharvest_eval.py:213-218) as a

@@ -66,6 +66,10 @@ class JpegCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     checkExact("rgb420_21x13", "rgb420_21x13.jpg")
   }
 
+  test("RGB 4:2:2 19x11: horizontal-only chroma subsampling") {
+    checkExact("rgb422_19x11", "rgb422_19x11.jpg")
+  }
+
   test("RGB 4:2:0 48x32 with DRI=1: restart markers + DC predictor resets") {
     checkExact("rgb420r_48x32", "rgb420r_48x32.jpg")
   }

@@ -108,6 +108,41 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back(1L) == (0 until 8) && back(2L) == (10 until 16))
   }
 
+  test("PNG tile sink writes real containers the codec round-trips") {
+    import spark.implicits._
+    import graft.sources.PngCodec
+    val tiles = Seq(
+      (7L, 3, 2, 3, (0 until 18).map(_.toByte).toArray),
+      (8L, 2, 2, 1, Array[Byte](10, 20, 30, 40)))
+      .toDF("tile_id", "width", "height", "channels", "pixels")
+      .repartition(2)
+    val dir = Files.createTempDirectory("graft_png").toString
+    Sinks.writePngTiles(tiles, dir)
+    assert(Files.exists(Paths.get(dir, "_SUCCESS")), "completion marker missing")
+    val p7 = PngCodec.decode(Files.readAllBytes(Paths.get(dir, "tile_7.png")))
+      .getOrElse(fail("sink png refused by own decoder"))
+    assert((p7.width, p7.height, p7.channels) == ((3, 2, 3)))
+    assert(p7.pixels.toSeq == (0 until 18).map(_.toByte))
+    val p8 = PngCodec.decode(Files.readAllBytes(Paths.get(dir, "tile_8.png")))
+      .getOrElse(fail("sink png refused by own decoder"))
+    assert(p8.pixels.toSeq == Seq[Byte](10, 20, 30, 40))
+  }
+
+  test("NetCDF source combines sink output, skipping corrupt files") {
+    import spark.implicits._
+    val groups = Seq(
+      ("t1", Array(14.5), Array(-16.5), Array(0.25)),
+      ("t2", Array(15.0, 15.5), Array(-16.0, -15.5), Array(0.5, 0.75)))
+      .toDF("group_id", "lat", "lon", "preds")
+    val dir = Files.createTempDirectory("graft_ncread").toString
+    Sinks.writeNetcdfFiles(groups, dir)
+    Files.write(Paths.get(dir, "broken.nc"), "not a netcdf".getBytes("UTF-8"))
+    val back = GeoIngest.readNetcdfFiles(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(4)))
+    assert(back.length == 3, s"expected 3 instances, got ${back.toSeq}")
+    assert(back.toSet == Set(("t1", 0, 0.25), ("t2", 0, 0.5), ("t2", 1, 0.75)))
+  }
+
   test("NetCDF sink writes real CDF-1 prediction datasets per group") {
     import spark.implicits._
     import graft.sources.NetcdfCodec

@@ -225,6 +225,15 @@ def rgb_to_ycbcr(rgb):
     return clip(y), clip(cb), clip(cr)
 
 
+def subsample_h(plane):
+    """4:2:2 horizontal-only chroma subsampling (box average of 1x2)."""
+    h, w = plane.shape
+    pw = (w + 1) // 2 * 2
+    p = np.pad(plane, ((0, 0), (0, pw - w)), mode="edge").astype(np.float64)
+    avg = (p[:, 0::2] + p[:, 1::2]) / 2.0
+    return np.floor(avg + 0.5).astype(np.int64)
+
+
 def subsample2(plane):
     h, w = plane.shape
     ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
@@ -284,6 +293,9 @@ def encode_jpeg(gray=None, rgb=None, subsampling="444", restart=0):
         if subsampling == "420":
             cb, cr = subsample2(cb), subsample2(cr)
             hs, vs = 2, 2
+        elif subsampling == "422":
+            cb, cr = subsample_h(cb), subsample_h(cr)
+            hs, vs = 2, 1
         else:
             hs, vs = 1, 1
         out += seg(0xDB, b"\x00" + zz_l)
@@ -577,6 +589,7 @@ def main():
         ("gray_16x12", encode_jpeg(gray=synth_gray(12, 16))),
         ("rgb444_12x10", encode_jpeg(rgb=synth_rgb(10, 12, 1), subsampling="444")),
         ("rgb420_21x13", encode_jpeg(rgb=synth_rgb(13, 21, 2), subsampling="420")),
+        ("rgb422_19x11", encode_jpeg(rgb=synth_rgb(11, 19, 4), subsampling="422")),
         ("rgb420r_48x32", encode_jpeg(rgb=synth_rgb(32, 48, 3), subsampling="420",
                                       restart=1)),
     ]
