@@ -213,8 +213,17 @@ object GraphOps {
       maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
     val reliable = checkpointDir.isDefined
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    val init = edges
-      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+    // Materialize the RAW pair list once: both the iteration's seed
+    // AND the final all-nodes restore read it. Without this base the
+    // closing left join re-executes the caller's whole edge subtree —
+    // for dedup graphs that is the banded MinHash candidate
+    // generation, easily as expensive as the CC rounds themselves.
+    val base = {
+      val b = edges
+        .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      if (reliable) b.checkpoint() else b.localCheckpoint()
+    }
+    val init = base
       .where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
@@ -227,7 +236,13 @@ object GraphOps {
     // semantics, roughly half the shuffle stages per CC round, which
     // is what the round cost is made of at small scale (at cluster
     // scale the window and the join shuffle the same bytes).
-    def halfRound(g: DataFrame, large: Boolean): DataFrame = {
+    // `dedup = false` skips the half-round's distinct: large-star
+    // emits at most one edge per symmetric input row (≤ |E| rows), so
+    // duplicates between the two halves of a round never compound —
+    // only the end-of-round (small-star) distinct must run to bound
+    // growth ACROSS rounds. Saves one exchange per CC round; the
+    // window's min is duplicate-invariant, so semantics are identical.
+    def halfRound(g: DataFrame, large: Boolean, dedup: Boolean): DataFrame = {
       val sym = g.union(g.select(col("v").as("u"), col("u").as("v")))
       val wm = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
       val withM = sym.withColumn("m",
@@ -238,7 +253,8 @@ object GraphOps {
         else withM.where(col("v") <= col("u"))
           .select(col("v").as("u"), col("m").as("v"))
           .union(withM.select(col("u"), col("m").as("v")))
-      repointed.where(col("u") =!= col("v")).distinct()
+      val live = repointed.where(col("u") =!= col("v"))
+      if (dedup) live.distinct() else live
     }
 
     // fused fixpoint test: edge sets are distinct, so "unchanged" ⟺
@@ -255,22 +271,33 @@ object GraphOps {
     var g = if (reliable) init.checkpoint() else init.localCheckpoint()
     var it = 0
     var converged = g.isEmpty
+    // g was just materialized by isEmpty; its count is a cheap re-read
+    var prevCount = if (converged) 0L else g.count()
     val cleanup = new LaggedCleanup
     var fixed = false
     try {
       while (!converged && it < maxIter) {
-        val stepped = halfRound(halfRound(g, large = true), large = false)
+        val stepped =
+          halfRound(halfRound(g, large = true, dedup = false), large = false, dedup = true)
         val next = if (reliable) stepped.checkpoint() else stepped.localCheckpoint(false)
         // `next` enters cleanup tracking (as `g`) BEFORE the
-        // materializing changedEdges count: a mid-round failure then
-        // frees the just-checkpointed round in the finally below
-        // instead of leaking its blocks/files for the session. The
-        // fixpoint test still reads the previous round — it sits in
-        // the queue, not yet freed (two-round lag).
+        // materializing count: a mid-round failure then frees the
+        // just-checkpointed round in the finally below instead of
+        // leaking its blocks/files for the session. The fixpoint test
+        // still reads the previous round — it sits in the queue, not
+        // yet freed (two-round lag).
         val prev = g
         cleanup.retire(g)
         g = next
-        converged = changedEdges(g, prev) == 0L
+        // two-tier exact fixpoint test: the count (which doubles as
+        // the job materializing the lazy checkpoint) differing proves
+        // change without the join; only a stable count pays the
+        // set-equality full-outer join — and both sides arrive
+        // hash-clustered on (u, v) from their round-final distincts,
+        // so that join plans exchange-free.
+        val cnt = g.count()
+        converged = cnt == prevCount && changedEdges(g, prev) == 0L
+        prevCount = cnt
         it += 1
       }
       require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
@@ -287,9 +314,9 @@ object GraphOps {
     val starLabels = g.select(col("u").as("id"), col("v").as("lbl"))
       .union(g.select(col("v").as("id"), col("v").as("lbl")))
       .distinct()
-    val allNodes = edges
-      .select(col(srcCol).cast("long").as("id"))
-      .union(edges.select(col(dstCol).cast("long").as("id")))
+    val allNodes = base
+      .select(col("u").as("id"))
+      .union(base.select(col("v").as("id")))
       .distinct()
     allNodes.join(starLabels, Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))

@@ -110,7 +110,11 @@ class GraphOpsSpec extends SparkSpec {
       assert(rel == local, s"mode divergence on $shape graph")
       val wrote = new java.io.File(ckDir).listFiles()
       assert(wrote != null && wrote.nonEmpty, s"no reliable checkpoint written ($shape)")
-      assert(rddCheckpointDirs(ckDir).size == 1,
+      // exactly TWO checkpoints outlive the call: the fixpoint star
+      // forest and the materialized raw-pair base (the returned plan
+      // reads both — base feeds the all-nodes restore); every retired
+      // ROUND's files must be gone
+      assert(rddCheckpointDirs(ckDir).size == 2,
         s"retired rounds' checkpoint files were not deleted ($shape)")
     }
   }
