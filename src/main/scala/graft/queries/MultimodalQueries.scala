@@ -677,7 +677,33 @@ object MultimodalQueries {
       |    AS nc_bytes
       |FROM documents GROUP BY source""".stripMargin
 
+  /** HDF5 container read, oracle-graded per ELEMENT — the reference's
+    * CropHarvest test instances are h5 files read dataset-by-dataset
+    * (eval/cropharvest_extensions.py:323-377). The committed fixtures
+    * in `tools/fixtures/q_hdf5_read/` were written by the independent
+    * from-scratch Python HDF5 writer (tools/h5_golden.py — superblock
+    * v0, v1 B-tree root group, contiguous storage, the layout h5py
+    * emits by default); [[graft.sources.GeoIngest.readH5Files]] scans
+    * them distributed (one corrupt file injected — it must SKIP, so
+    * its absence from the output is itself graded) and the oracle
+    * reads the expected elements. f8/f4/i8/i4 datasets all covered;
+    * f4 widening pinned via float32 round-trip on both sides. */
+  def qHdf5Read(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.GeoIngest
+      .readH5Files(spark, "/root/repo/tools/fixtures/q_hdf5_read")
+      .select(col("file"), col("dataset"),
+        posexplode(col("values")).as(Seq("idx", "value")))
+      .select(col("file"), col("dataset"), col("idx").cast("int").as("idx"),
+        col("value"))
+  }
+
+  val qHdf5ReadSql: String =
+    """SELECT file, dataset, idx, value
+      |FROM read_parquet('/root/repo/tools/fixtures/q_hdf5_read/golden/*.parquet')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hdf5_read" -> (qHdf5Read _),
     "q_netcdf_roundtrip" -> (qNetcdfRoundtrip _),
     "q_jpeg_decode" -> (qJpegDecode _),
     "q_png_decode" -> (qPngDecode _),
@@ -697,6 +723,7 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_hdf5_read" -> qHdf5ReadSql,
     "q_netcdf_roundtrip" -> qNetcdfRoundtripSql,
     "q_jpeg_decode" -> qJpegDecodeSql,
     "q_jsonl_gz" -> qJsonlGzSql,

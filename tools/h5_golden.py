@@ -175,6 +175,38 @@ if __name__ == "__main__":
     open(out + "/instance.h5", "wb").write(blob)
     open(out + "/f32.h5", "wb").write(f32)
     open(out + "/i4.h5", "wb").write(i4)
+    # an out-of-envelope file: the scan must SKIP it, not fail
+    open(out + "/corrupt.h5", "wb").write(b"\x89HDF\r\n\x1a\nGARBAGE")
+
+    # expected per-element rows for the q_hdf5_read oracle: values as
+    # the DECODER widens them (f4 via float32 round-trip)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rows = {"file": [], "dataset": [], "idx": [], "value": []}
+    expected = [
+        ("instance", [("hours", x), ("y", [float(v) for v in y]),
+                      ("lats", lats), ("lons", lons)]),
+        ("f32", [("arr", [float(np.float32(v))
+                          for v in [0.5, -1.25, 2.0, 3.5, -0.125, 7.0]])]),
+        ("i4", [("mask", [float(v) for v in [-2, 0, 5, 123456]])]),
+    ]
+    for fname, dsets in expected:
+        for ds, vals in dsets:
+            for i, v in enumerate(vals):
+                rows["file"].append(fname)
+                rows["dataset"].append(ds)
+                rows["idx"].append(i)
+                rows["value"].append(float(v))
+    gdir = out + "/golden"
+    os.makedirs(gdir, exist_ok=True)
+    pq.write_table(pa.table({
+        "file": pa.array(rows["file"], pa.string()),
+        "dataset": pa.array(rows["dataset"], pa.string()),
+        "idx": pa.array(rows["idx"], pa.int32()),
+        "value": pa.array(rows["value"], pa.float64()),
+    }), gdir + "/expected.parquet")
+    print("golden rows:", len(rows["file"]))
     def scala(nm, bb):
         rows = [", ".join("0x%02x" % x for x in bb[i:i+14]) for i in range(0, len(bb), 14)]
         return ("  private val %s: Array[Byte] = Array[Int](\n    " % nm
