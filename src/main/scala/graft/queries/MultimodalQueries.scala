@@ -702,7 +702,91 @@ object MultimodalQueries {
     """SELECT file, dataset, idx, value
       |FROM read_parquet('/root/repo/tools/fixtures/q_hdf5_read/golden/*.parquet')""".stripMargin
 
+  /** Webdataset shard round-trip, oracle-graded — the LAION-style
+    * layout web-scale multimodal training actually uses: ONE tar shard
+    * per source whose members are per-sample PAIRS (`{id}.txt` caption
+    * + `{id}.png` image, grouped by basename — the webdataset
+    * convention). Composes two real containers end-to-end: each doc's
+    * characters render to an RGB PNG ([[graft.sources.PngCodec]]),
+    * both members pack into a ustar archive ([[graft.sources
+    * .TarCodec]]), the shard decodes back, members re-pair by
+    * basename, and the PNGs decode to pixels. The output pins member
+    * counts, caption payload bytes, and per-doc pixel sum + rolling
+    * checksum summed per source — all recomputed by the oracle from
+    * the text alone, so an error in EITHER container layer or the
+    * pairing flips the hash. Distributed shape: one group per source,
+    * executor-side encode/decode, no shuffle beyond the groupBy. */
+  def qWebdataset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+      .as[(String, Long, String)]
+      .filter(_._3.length >= 6)
+      .groupByKey(_._1)
+      .mapGroups { (src, it) =>
+        val docs = it.toSeq.sortBy(_._2)
+        val members = docs.flatMap { case (_, id, text) =>
+          require(text.forall(_ < 0x80),
+            s"doc $id: non-ASCII text breaks the chars==bytes oracle invariant")
+          val w = text.length / 6
+          val pix = new Array[Byte](6 * w)
+          var p = 0
+          while (p < pix.length) { pix(p) = text.charAt(p).toByte; p += 1 }
+          Seq(
+            graft.sources.TarCodec.Member(f"$id%012d.txt", text.getBytes("UTF-8")),
+            graft.sources.TarCodec.Member(f"$id%012d.png",
+              PngCodec.encode(w, 2, 3, pix)))
+        }
+        val shard = graft.sources.TarCodec.encode(members)
+        val back = graft.sources.TarCodec.decode(shard)
+          .getOrElse(throw new IllegalStateException(s"own shard undecodable: $src"))
+        // re-pair by basename, the webdataset grouping rule
+        val bySample = back.groupBy(_.name.takeWhile(_ != '.'))
+        var nTxt = 0L; var nPng = 0L; var txtBytes = 0L
+        var pxSum = 0L; var ckSum = 0L
+        bySample.toSeq.sortBy(_._1).foreach { case (_, ms) =>
+          val txt = ms.find(_.name.endsWith(".txt"))
+            .getOrElse(throw new IllegalStateException("unpaired sample: no txt"))
+          val png = ms.find(_.name.endsWith(".png"))
+            .getOrElse(throw new IllegalStateException("unpaired sample: no png"))
+          nTxt += 1; nPng += 1
+          txtBytes += txt.data.length
+          val img = PngCodec.decode(png.data)
+            .getOrElse(throw new IllegalStateException("member png undecodable"))
+          var ck = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i) & 0xff
+            pxSum += v
+            ck = (ck * 31 + v) % 72057594037927931L
+            i += 1
+          }
+          ckSum += ck
+        }
+        (src, nTxt, nPng, txtBytes, pxSum, ckSum)
+      }
+      .toDF("source", "n_txt", "n_png", "txt_bytes", "px_sum", "ck_sum")
+  }
+
+  val qWebdatasetSql: String =
+    """SELECT source, COUNT(*) AS n_txt, COUNT(*) AS n_png,
+      |  CAST(SUM(length(text)) AS BIGINT) AS txt_bytes,
+      |  CAST(SUM(px) AS BIGINT) AS px_sum,
+      |  CAST(SUM(ck) AS BIGINT) AS ck_sum
+      |FROM (
+      |  SELECT source, text,
+      |    list_sum(codes) AS px,
+      |    list_reduce(list_transform(codes, c -> CAST(c AS BIGINT)),
+      |                (a, c) -> (a * 31 + c) % 72057594037927931) AS ck
+      |  FROM (
+      |    SELECT source, text,
+      |      list_transform(range((length(text) // 6) * 6),
+      |        i -> ascii(substr(text, i+1, 1))) AS codes
+      |    FROM documents WHERE length(text) >= 6))
+      |GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_webdataset" -> (qWebdataset _),
     "q_hdf5_read" -> (qHdf5Read _),
     "q_netcdf_roundtrip" -> (qNetcdfRoundtrip _),
     "q_jpeg_decode" -> (qJpegDecode _),
@@ -723,6 +807,7 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_webdataset" -> qWebdatasetSql,
     "q_hdf5_read" -> qHdf5ReadSql,
     "q_netcdf_roundtrip" -> qNetcdfRoundtripSql,
     "q_jpeg_decode" -> qJpegDecodeSql,
