@@ -96,11 +96,21 @@ object GeoIngest {
     * not failed — the corrupt-shard contract of every scan here. The
     * per-file fan-out is data-parallel; downstream metric aggregation
     * is an ordinary groupBy. */
-  def readNetcdfFiles(spark: SparkSession, dir: String): DataFrame = {
+  def readNetcdfFiles(spark: SparkSession, dir: String): DataFrame =
+    decodeNetcdfBatch(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.nc")
+        .load(dir))
+
+  /** The decode half of [[readNetcdfFiles]] over any binaryFile-schema
+    * relation — shared verbatim by the batch scan above and the
+    * streaming landing-zone ingest ([[graft.streaming
+    * .StreamingPipelines.netcdfIngest]]), so batch and stream cannot
+    * drift. */
+  def decodeNetcdfBatch(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.nc")
-      .load(dir)
+    files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (_, bytes) =>

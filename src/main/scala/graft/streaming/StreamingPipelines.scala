@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Structured Streaming surface (SURVEY §2.10).
   *
@@ -477,6 +477,39 @@ object StreamingPipelines {
     * neither skip nor duplicate rows. The destination is a
     * batch_id-partitioned parquet layout readable as one table.
     * `maxFilesPerTrigger` is the backpressure knob. */
+  /** Streaming NetCDF landing-zone ingest — the eval recombine step
+    * ([[graft.sources.GeoIngest.readNetcdfFiles]], the reference's
+    * `load_from_nc` over a results dir) as a continuous pipeline:
+    * every `.nc` prediction shard that LANDS is decoded through the
+    * SAME shared kernel as the batch scan
+    * ([[graft.sources.GeoIngest.decodeNetcdfBatch]]) and upserted
+    * into a batch_id-partitioned parquet table, exactly-once under
+    * retries (checkpoint pins each batch's file set; the
+    * mode-overwrite per-batch-dir sink is replay-idempotent).
+    * Corrupt or out-of-profile files skip inside the kernel — a bad
+    * shard never stalls the stream. */
+  def netcdfIngest(spark: SparkSession, srcDir: String, destDir: String,
+                   checkpointDir: String, maxFilesPerTrigger: Int = 100): StreamingQuery =
+    spark.readStream
+      .format("binaryFile")
+      // file stream sources require the schema up front; binaryFile's is fixed
+      .schema(StructType(Seq(
+        StructField("path", org.apache.spark.sql.types.StringType),
+        StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+        StructField("length", org.apache.spark.sql.types.LongType),
+        StructField("content", org.apache.spark.sql.types.BinaryType))))
+      .option("pathGlobFilter", "*.nc")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.GeoIngest.decodeNetcdfBatch(batch)
+          .write.mode("overwrite").parquet(s"$destDir/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def fileIngest(spark: SparkSession, schema: StructType, srcDir: String,
                  destDir: String, checkpointDir: String,
                  maxFilesPerTrigger: Int = 100): StreamingQuery =

@@ -345,6 +345,43 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("norm_value") === 0.5).count() == 1)
   }
 
+  test("netcdfIngest streams landed .nc shards through the batch decode kernel exactly once") {
+    import spark.implicits._
+    import graft.sources.{GeoIngest, Sinks}
+    val src = Files.createTempDirectory("graft_nc_src").toString
+    val dest = Files.createTempDirectory("graft_nc_dest").toString
+    val ckpt = Files.createTempDirectory("graft_nc_ckpt").toString
+
+    // first landing: two prediction shards + one corrupt file
+    Sinks.writeNetcdfFiles(
+      Seq(("t1", Array(14.5), Array(-16.5), Array(0.25)),
+        ("t2", Array(15.0, 15.5), Array(-16.0, -15.5), Array(0.5, 0.75)))
+        .toDF("group_id", "lat", "lon", "preds"), src)
+    Files.write(java.nio.file.Paths.get(src, "broken.nc"),
+      "not a netcdf".getBytes("UTF-8"))
+    StreamingPipelines.netcdfIngest(spark, src, dest, ckpt).awaitTermination()
+    val first = spark.read.parquet(dest)
+    assert(first.count() == 3, "corrupt shard must skip, good ones decode")
+
+    // replay with same checkpoint: nothing reprocessed
+    StreamingPipelines.netcdfIngest(spark, src, dest, ckpt).awaitTermination()
+    assert(spark.read.parquet(dest).count() == 3)
+
+    // a newly landed shard is picked up incrementally
+    Sinks.writeNetcdfFiles(
+      Seq(("t3", Array(16.0), Array(-15.0), Array(0.875)))
+        .toDF("group_id", "lat", "lon", "preds"), src)
+    StreamingPipelines.netcdfIngest(spark, src, dest, ckpt).awaitTermination()
+    val streamed = spark.read.parquet(dest)
+      .select("test_id", "instance", "lat", "lon", "pred")
+
+    // stream/batch parity: identical rows to the one-shot batch scan
+    val batch = GeoIngest.readNetcdfFiles(spark, src)
+    assert(streamed.count() == 4)
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty,
+      "streaming ingest diverged from the batch decode")
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
