@@ -62,6 +62,279 @@ object JpegCodec {
   private final class Refused extends RuntimeException(null, null, false, false)
   private def refuse(): Nothing = throw new Refused
 
+  // ------------------------------------------------------------- encode
+  //
+  // The SHARED INTEGER ENCODE SPEC (mirrored by the independent Python
+  // integer encoder in tools/jpeg_golden.py, whose output the spec pins
+  // byte-for-byte):
+  //   RGB→YCbCr 16-bit fixed point (arithmetic-shift floor);
+  //   FDCT through the SAME 14-bit basis table as the IDCT:
+  //     F(v)(u) = (Σ_xy (s(y)(x)-128) T(u)(x) T(v)(y) + 2^27) >> 28;
+  //   quantize round-half-away-from-zero: sgn(F)·((2|F| + q) / (2q));
+  //   Annex-K Huffman tables, 4:4:4 (no subsampling) or grayscale;
+  //   blocks pad by edge replication.
+
+  private val DcLumaBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = (0 to 11).toArray
+  private val DcChromaBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val AcLumaBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumaVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+  private val AcChromaBits = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChromaVals = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+  private val QuantLuma = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+  private val QuantChroma = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** Canonical codes: value -> (code, length). */
+  private def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    val m = Map.newBuilder[Int, (Int, Int)]
+    var code = 0; var k = 0; var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) { m += vals(k) -> ((code, len)); code += 1; k += 1; i += 1 }
+      code <<= 1; len += 1
+    }
+    m.result()
+  }
+
+  private final class BitWriter {
+    val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var n = 0
+    def put(value: Int, length: Int): Unit = {
+      var i = length - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((value >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def align(): Unit = if (n > 0) put((1 << (8 - n)) - 1, 8 - n)
+  }
+
+  private def category(v: Int): Int = {
+    var a = math.abs(v); var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** FDCT + quantize per the shared integer spec; samples 0..255
+    * row-major; returns natural-order (row v, col u) coefficients. */
+  private def fdctQuant(samples: Array[Int], quant: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var x = 0
+        while (x < 8) {
+          val tu = IdctT(u)(x).toLong
+          var y = 0
+          while (y < 8) {
+            acc += (samples(y * 8 + x) - 128) * tu * IdctT(v)(y)
+            y += 1
+          }
+          x += 1
+        }
+        val f = ((acc + (1L << 27)) >> 28).toInt
+        val q = quant(v * 8 + u)
+        val aq = (2 * math.abs(f) + q) / (2 * q)
+        out(v * 8 + u) = if (f >= 0) aq else -aq
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  private def encodeBlock(bw: BitWriter, coefs: Array[Int], pred: Int,
+      dc: Map[Int, (Int, Int)], ac: Map[Int, (Int, Int)]): Int = {
+    val zz = Array.tabulate(64)(i => coefs(Zigzag(i)))
+    val diff = zz(0) - pred
+    val s = category(diff)
+    val (c0, l0) = dc(s)
+    bw.put(c0, l0)
+    if (s != 0) bw.put(if (diff > 0) diff else diff + (1 << s) - 1, s)
+    var last = 63
+    while (last > 0 && zz(last) == 0) last -= 1
+    var run = 0
+    var k = 1
+    while (k <= last) {
+      if (zz(k) == 0) run += 1
+      else {
+        while (run > 15) { val (cz, lz) = ac(0xf0); bw.put(cz, lz); run -= 16 }
+        val s2 = category(zz(k))
+        val (ca, la) = ac((run << 4) | s2)
+        bw.put(ca, la)
+        bw.put(if (zz(k) > 0) zz(k) else zz(k) + (1 << s2) - 1, s2)
+        run = 0
+      }
+      k += 1
+    }
+    if (last < 63) { val (ce, le) = ac(0x00); bw.put(ce, le) }
+    zz(0)
+  }
+
+  private def seg(out: java.io.ByteArrayOutputStream, marker: Int,
+      payload: Array[Byte]): Unit = {
+    out.write(0xff); out.write(marker)
+    val len = payload.length + 2
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    out.write(payload, 0, payload.length)
+  }
+
+  private def zzBytes(q: Array[Int]): Array[Byte] =
+    Array.tabulate(64)(i => q(Zigzag(i)).toByte)
+
+  /** One 8x8 block of a plane with edge replication past the borders. */
+  private def block(plane: Array[Int], w: Int, h: Int, bx: Int, by: Int): Array[Int] =
+    Array.tabulate(64) { i =>
+      val y = math.min(by * 8 + i / 8, h - 1)
+      val x = math.min(bx * 8 + i % 8, w - 1)
+      plane(y * w + x)
+    }
+
+  /** Encode a baseline JPEG per the shared integer spec: grayscale
+    * (channels = 1) or RGB 4:4:4 (channels = 3), Annex-K tables, no
+    * subsampling — byte-identical to the independent Python integer
+    * encoder (spec-pinned), so the sink's output is reproducible
+    * across engines. `pixels` row-major, channel-interleaved. */
+  def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, "empty image")
+    require(channels == 1 || channels == 3, s"channels=$channels (1 or 3)")
+    require(pixels.length == width * height * channels,
+      s"${pixels.length} bytes != $width*$height*$channels")
+    val dcL = huffCodes(DcLumaBits, DcVals)
+    val acL = huffCodes(AcLumaBits, AcLumaVals)
+    val dcC = huffCodes(DcChromaBits, DcVals)
+    val acC = huffCodes(AcChromaBits, AcChromaVals)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    seg(out, 0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val bh = (height + 7) / 8
+    val bw_ = (width + 7) / 8
+    val bw = new BitWriter
+
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Array[Byte] =
+      (Array((cls << 4) | id) ++ bits ++ vals).map(_.toByte)
+
+    if (channels == 1) {
+      val plane = Array.tabulate(width * height)(i => pixels(i) & 0xff)
+      seg(out, 0xdb, Array[Byte](0) ++ zzBytes(QuantLuma))
+      seg(out, 0xc0, Array[Byte](8, (height >> 8).toByte, height.toByte,
+        (width >> 8).toByte, width.toByte, 1, 1, 0x11, 0))
+      seg(out, 0xc4, dht(0, 0, DcLumaBits, DcVals))
+      seg(out, 0xc4, dht(1, 0, AcLumaBits, AcLumaVals))
+      seg(out, 0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+      var pred = 0
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw_) {
+          pred = encodeBlock(bw,
+            fdctQuant(block(plane, width, height, bx, by), QuantLuma), pred, dcL, acL)
+          bx += 1
+        }
+        by += 1
+      }
+    } else {
+      val yp = new Array[Int](width * height)
+      val cbp = new Array[Int](width * height)
+      val crp = new Array[Int](width * height)
+      var i = 0
+      while (i < width * height) {
+        val r = pixels(i * 3) & 0xff
+        val g = pixels(i * 3 + 1) & 0xff
+        val b = pixels(i * 3 + 2) & 0xff
+        yp(i) = clamp255((19595 * r + 38470 * g + 7471 * b + 32768) >> 16)
+        cbp(i) = clamp255(((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16) + 128)
+        crp(i) = clamp255(((32768 * r - 27439 * g - 5329 * b + 32768) >> 16) + 128)
+        i += 1
+      }
+      seg(out, 0xdb, Array[Byte](0) ++ zzBytes(QuantLuma))
+      seg(out, 0xdb, Array[Byte](1) ++ zzBytes(QuantChroma))
+      seg(out, 0xc0, Array[Byte](8, (height >> 8).toByte, height.toByte,
+        (width >> 8).toByte, width.toByte, 3,
+        1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+      seg(out, 0xc4, dht(0, 0, DcLumaBits, DcVals))
+      seg(out, 0xc4, dht(1, 0, AcLumaBits, AcLumaVals))
+      seg(out, 0xc4, dht(0, 1, DcChromaBits, DcVals))
+      seg(out, 0xc4, dht(1, 1, AcChromaBits, AcChromaVals))
+      seg(out, 0xda, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+      val preds = new Array[Int](3)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw_) {
+          preds(0) = encodeBlock(bw,
+            fdctQuant(block(yp, width, height, bx, by), QuantLuma), preds(0), dcL, acL)
+          preds(1) = encodeBlock(bw,
+            fdctQuant(block(cbp, width, height, bx, by), QuantChroma), preds(1), dcC, acC)
+          preds(2) = encodeBlock(bw,
+            fdctQuant(block(crp, width, height, bx, by), QuantChroma), preds(2), dcC, acC)
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    bw.align()
+    val data = bw.out.toByteArray
+    out.write(data, 0, data.length)
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
   /** Entropy-coded-segment bit reader with 0xFF00 byte unstuffing. */
   private final class BitReader(d: Array[Byte], var p: Int) {
     private var acc = 0

@@ -160,6 +160,31 @@ object Sinks {
       java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
   }
 
+  /** JPEG tile sink — the lossy-image member of the multimodal sink
+    * family (web corpora ship JPEG): one real baseline JPEG per row
+    * via the shared integer encode spec ([[JpegCodec.encode]],
+    * byte-pinned against an independent Python integer encoder), so
+    * the sink's bytes are REPRODUCIBLE — re-running the job emits
+    * identical files, which is what makes a 100 TB image-shard write
+    * verifiable. Executor-side, `_SUCCESS` on completion. Expects
+    * (tile_id: long, width: int, height: int, channels: int (1|3),
+    * pixels: binary row-major interleaved). */
+  def writeJpegTiles(df: DataFrame, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col("tile_id").cast("long"), col("width").cast("int"),
+        col("height").cast("int"), col("channels").cast("int"), col("pixels"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          val bytes = JpegCodec.encode(r.getInt(1), r.getInt(2), r.getInt(3),
+            r.getAs[Array[Byte]](4))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"tile_${r.getLong(0)}.jpg"), bytes)
+        }
+      }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+  }
+
   /** PNG tile sink — the viz/export member of the multimodal sink
     * family (the reference plots rasters to PNG in its notebooks; web
     * corpora ship PNG members in webdataset tars): one real PNG

@@ -99,6 +99,43 @@ class JpegCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(JpegCodec.decode(d).isEmpty)
   }
 
+  test("encoder is byte-identical to the Python integer encoder (grayscale, odd dims)") {
+    val w = 13; val h = 7
+    val pix = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      pix(y * w + x) = ((x * 13 + y * 29 + ((x * y) % 17) * 3) % 256).toByte
+    val enc = JpegCodec.encode(w, h, 1, pix)
+    val golden = Files.readAllBytes(Paths.get("tools/fixtures/jpeg_enc/gray_13x7.jpg"))
+    assert(enc.length == golden.length, s"${enc.length} vs ${golden.length}")
+    assert(enc.sameElements(golden))
+  }
+
+  test("encoder is byte-identical to the Python integer encoder (RGB 4:4:4, odd dims)") {
+    val w = 11; val h = 9
+    val pix = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      pix(i) = ((x * 7 + y * 11 + 5) % 256).toByte
+      pix(i + 1) = ((x * 3 + y * 17 + 25) % 256).toByte
+      pix(i + 2) = (((x + y) * 23 + 45) % 256).toByte
+    }
+    val enc = JpegCodec.encode(w, h, 3, pix)
+    val golden = Files.readAllBytes(Paths.get("tools/fixtures/jpeg_enc/rgb_11x9.jpg"))
+    assert(enc.length == golden.length, s"${enc.length} vs ${golden.length}")
+    assert(enc.sameElements(golden))
+  }
+
+  test("encode(x) decodes with own decoder, lossy-close on smooth images") {
+    val w = 16; val h = 16
+    val pix = Array.tabulate(w * h)(i => (60 + 3 * (i % w) + 2 * (i / w)).toByte)
+    val img = JpegCodec.decode(JpegCodec.encode(w, h, 1, pix))
+      .getOrElse(fail("own stream refused"))
+    assert((img.width, img.height, img.channels) == ((w, h, 1)))
+    val maxErr = (0 until w * h)
+      .map(i => math.abs((img.pixels(i) & 0xff) - (pix(i) & 0xff))).max
+    assert(maxErr <= 4, s"smooth-gradient round-trip error $maxErr")
+  }
+
   test("refusal: garbage and empty input return None") {
     assert(JpegCodec.decode(Array[Byte]()).isEmpty)
     assert(JpegCodec.decode(Array.fill[Byte](64)(0x41)).isEmpty)

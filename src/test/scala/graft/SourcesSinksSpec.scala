@@ -128,6 +128,24 @@ class SourcesSinksSpec extends SparkSpec {
     assert(p8.pixels.toSeq == Seq[Byte](10, 20, 30, 40))
   }
 
+  test("JPEG tile sink writes real baseline streams the codec decodes") {
+    import spark.implicits._
+    import graft.sources.JpegCodec
+    val w = 16; val h = 8
+    val smooth = Array.tabulate(w * h)(i => (40 + 2 * (i % w) + 3 * (i / w)).toByte)
+    val tiles = Seq((5L, w, h, 1, smooth))
+      .toDF("tile_id", "width", "height", "channels", "pixels")
+    val dir = Files.createTempDirectory("graft_jpg").toString
+    Sinks.writeJpegTiles(tiles, dir)
+    assert(Files.exists(Paths.get(dir, "_SUCCESS")), "completion marker missing")
+    val img = JpegCodec.decode(Files.readAllBytes(Paths.get(dir, "tile_5.jpg")))
+      .getOrElse(fail("sink jpeg refused by own decoder"))
+    assert((img.width, img.height, img.channels) == ((w, h, 1)))
+    val maxErr = (0 until w * h)
+      .map(i => math.abs((img.pixels(i) & 0xff) - (smooth(i) & 0xff))).max
+    assert(maxErr <= 4, s"smooth tile round-trip error $maxErr")
+  }
+
   test("NetCDF source combines sink output, skipping corrupt files") {
     import spark.implicits._
     val groups = Seq(

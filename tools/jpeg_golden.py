@@ -583,6 +583,124 @@ def synth_rgb(h, w, seed):
     return a
 
 
+# ------------------------------------------------- integer-spec encoder
+# The SHARED ENCODE SPEC for JpegCodec.encode: all-integer, so Scala
+# can reproduce it byte-for-byte.
+#   RGB->YCbCr: 16-bit fixed point, arithmetic-shift floor:
+#     Y  = (19595 R + 38470 G + 7471 B + 32768) >> 16
+#     Cb = ((-11059 R - 21709 G + 32768 B + 32768) >> 16) + 128
+#     Cr = ((32768 R - 27439 G - 5329 B + 32768) >> 16) + 128
+#   FDCT: the same 14-bit table as the IDCT (T = IDCT_T):
+#     F[u][v] = (sum_xy f[x][y] T[u][x] T[v][y] + 2^27) >> 28,
+#     f = sample - 128
+#   Quantize, round-half-away-from-zero:
+#     sgn(F) * ((2|F| + q) // (2 q))
+#   Entropy: Annex-K tables, 4:4:4 (no subsampling) or grayscale.
+
+
+def int_rgb_to_ycbcr(r, g, b):
+    y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+    cb = ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16) + 128
+    cr = ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16) + 128
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)
+    return clamp(y), clamp(cb), clamp(cr)
+
+
+def int_fdct_quant(block, quant):
+    """block: 8x8 list of samples 0..255; returns 8x8 quantized coefs."""
+    f = [[block[y][x] - 128 for x in range(8)] for y in range(8)]
+    out = [[0] * 8 for _ in range(8)]
+    for u in range(8):
+        for v in range(8):
+            acc = 0
+            for x in range(8):
+                tu = IDCT_T[u][x]
+                for y in range(8):
+                    acc += f[y][x] * tu * IDCT_T[v][y]
+            F = (acc + (1 << 27)) >> 28
+            q = quant[v * 8 + u]
+            aq = (2 * abs(F) + q) // (2 * q)
+            out[v][u] = aq if F >= 0 else -aq
+    return out
+
+
+def encode_jpeg_int(gray=None, rgb=None):
+    """The integer-spec encoder (grayscale or RGB 4:4:4) — the byte
+    stream JpegCodec.encode must reproduce exactly."""
+    import numpy as np  # only for input handling
+    dc_l = huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = huff_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_l = bytes([QUANT_LUMA[ZIGZAG[i]] for i in range(64)])
+    zz_c = bytes([QUANT_CHROMA[ZIGZAG[i]] for i in range(64)])
+
+    def enc_block_int(bw, coefs2d, pred, dcc, acc_):
+        class A:  # adapt 2d list to the .flat indexing encode_block uses
+            flat = [coefs2d[i // 8][i % 8] for i in range(64)]
+        return encode_block(bw, A, pred, dcc, acc_)
+
+    def plane_blocks(plane, h, w):
+        bh, bwid = (h + 7) // 8, (w + 7) // 8
+        for by in range(bh):
+            for bx in range(bwid):
+                blk = [[int(plane[min(by * 8 + y, h - 1)][min(bx * 8 + x, w - 1)])
+                        for x in range(8)] for y in range(8)]
+                yield blk
+
+    if gray is not None:
+        h, w = len(gray), len(gray[0])
+        out += seg(0xDB, b"\x00" + zz_l)
+        out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        out += seg(0xC4, bytes([0x00] + DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+        out += seg(0xC4, bytes([0x10] + AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        bw = BitWriter()
+        pred = 0
+        for blk in plane_blocks(gray, h, w):
+            pred = enc_block_int(bw, int_fdct_quant(blk, QUANT_LUMA), pred, dc_l, ac_l)
+        bw.align()
+        out += bw.out
+    else:
+        h, w = len(rgb), len(rgb[0])
+        yp = [[0] * w for _ in range(h)]
+        cbp = [[0] * w for _ in range(h)]
+        crp = [[0] * w for _ in range(h)]
+        for yy in range(h):
+            for xx in range(w):
+                r, g, b = rgb[yy][xx]
+                yv, cbv, crv = int_rgb_to_ycbcr(int(r), int(g), int(b))
+                yp[yy][xx], cbp[yy][xx], crp[yy][xx] = yv, cbv, crv
+        out += seg(0xDB, b"\x00" + zz_l)
+        out += seg(0xDB, b"\x01" + zz_c)
+        comp = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+        out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + comp)
+        out += seg(0xC4, bytes([0x00] + DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+        out += seg(0xC4, bytes([0x10] + AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+        out += seg(0xC4, bytes([0x01] + DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS))
+        out += seg(0xC4, bytes([0x11] + AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS))
+        out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        bw = BitWriter()
+        preds = [0, 0, 0]
+        bh, bwid = (h + 7) // 8, (w + 7) // 8
+        gy = plane_blocks(yp, h, w)
+        gcb = plane_blocks(cbp, h, w)
+        gcr = plane_blocks(crp, h, w)
+        for _ in range(bh * bwid):
+            preds[0] = enc_block_int(bw, int_fdct_quant(next(gy), QUANT_LUMA),
+                                     preds[0], dc_l, ac_l)
+            preds[1] = enc_block_int(bw, int_fdct_quant(next(gcb), QUANT_CHROMA),
+                                     preds[1], dc_c, ac_c)
+            preds[2] = enc_block_int(bw, int_fdct_quant(next(gcr), QUANT_CHROMA),
+                                     preds[2], dc_c, ac_c)
+        bw.align()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     fixtures = [
@@ -622,6 +740,25 @@ def main():
     })
     pq.write_table(t, os.path.join(gdir, "expected.parquet"))
     print(f"golden rows: {t.num_rows}")
+
+    # encoder goldens: the byte streams JpegCodec.encode must reproduce
+    # EXACTLY (shared integer encode spec; odd dims exercise the
+    # edge-replicate block padding). Same synth formulas as the Scala spec.
+    encdir = os.path.join(os.path.dirname(__file__), "fixtures", "jpeg_enc")
+    os.makedirs(encdir, exist_ok=True)
+    eg = [[(x * 13 + y * 29 + ((x * y) % 17) * 3) % 256 for x in range(13)]
+          for y in range(7)]
+    er = [[((x * 7 + y * 11 + 5) % 256, (x * 3 + y * 17 + 25) % 256,
+            ((x + y) * 23 + 45) % 256) for x in range(11)] for y in range(9)]
+    eb_g = encode_jpeg_int(gray=eg)
+    eb_r = encode_jpeg_int(rgb=er)
+    open(os.path.join(encdir, "gray_13x7.jpg"), "wb").write(eb_g)
+    open(os.path.join(encdir, "rgb_11x9.jpg"), "wb").write(eb_r)
+    print(f"encoder goldens: gray {len(eb_g)} bytes, rgb {len(eb_r)} bytes")
+    # the integer-spec streams must themselves decode sanely
+    for nm, bb in (("enc-gray", eb_g), ("enc-rgb", eb_r)):
+        hh, ww, nc, _ = decode_jpeg(bb)
+        print(f"  {nm}: decodes {ww}x{hh} comps={nc}")
 
     # print the Scala IDCT table for JpegCodec.scala
     print("IDCT_T (scale 2^14):")
