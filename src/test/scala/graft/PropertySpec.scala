@@ -174,6 +174,74 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: JPEG encode->decode never refuses and bounds the per-pixel error") {
+    import graft.sources.JpegCodec
+    val gen = for {
+      w <- Gen.chooseNum(1, 24)
+      h <- Gen.chooseNum(1, 24)
+      ch <- Gen.oneOf(1, 3)
+      base <- Gen.chooseNum(0, 255)
+      sx <- Gen.chooseNum(-4, 4)
+      sy <- Gen.chooseNum(-4, 4)
+    } yield (w, h, ch, base, sx, sy)
+    var seed = Seed(7L)
+    for (_ <- 1 to 40) {
+      val (w, h, ch, base, sx, sy) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      // smooth planes: JPEG's error bound is only meaningful without
+      // high-frequency content; arbitrary noise is covered by the
+      // never-throws half of the property
+      val pix = Array.tabulate(w * h * ch) { i =>
+        val p = i / ch
+        val v = base + sx * (p % w) + sy * (p / w)
+        (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+      }
+      val enc = JpegCodec.encode(w, h, ch, pix)
+      val dec = JpegCodec.decode(enc)
+      assert(dec.isDefined, s"refused own stream (w=$w h=$h ch=$ch)")
+      val img = dec.get
+      assert((img.width, img.height, img.channels) == ((w, h, ch)))
+      // clamped-gradient plateaus keep blocks smooth enough for a
+      // conservative bound; the pin for EXACT values is the golden spec
+      val maxErr = (0 until w * h * ch)
+        .map(i => math.abs((img.pixels(i) & 0xff) - (pix(i) & 0xff))).max
+      assert(maxErr <= 24, s"round-trip error $maxErr (w=$w h=$h ch=$ch b=$base $sx/$sy)")
+      // random corruption mid-stream must refuse or decode, never throw
+      val cut = enc.length / 2
+      JpegCodec.decode(enc.take(cut))
+      ()
+    }
+  }
+
+  test("property: NetCDF encode->decode round-trips arbitrary variable sets") {
+    import graft.sources.NetcdfCodec
+    import graft.sources.NetcdfCodec._
+    val gen = for {
+      n <- Gen.chooseNum(1, 40)
+      doubles <- Gen.containerOfN[Array, Double](n,
+        Gen.oneOf(Gen.chooseNum(-1e18, 1e18), Gen.oneOf(0.0, -0.0, 1.5, Double.MaxValue)))
+      ints <- Gen.containerOfN[Array, Int](n, Gen.chooseNum(Int.MinValue, Int.MaxValue))
+      nameLen <- Gen.chooseNum(1, 37)
+    } yield (n, doubles, ints, "v" * nameLen)
+    var seed = Seed(11L)
+    for (_ <- 1 to 50) {
+      val (n, ds, is, nm) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val nc = Nc(Seq(Dim("i", n)), Seq(Attr("t", nm)), Seq(
+        Variable(nm, Array(0), Seq(Attr("a", Array(ds(0)))), DoubleData(ds)),
+        Variable("ints", Array(0), Nil, IntData(is))))
+      val enc = NetcdfCodec.encode(nc)
+      val back = NetcdfCodec.decode(enc).getOrElse(fail(s"refused own file (n=$n)"))
+      // bit-exact double round-trip (IEEE bits through big-endian i/o)
+      assert(back.vars(0).data.asInstanceOf[DoubleData].v
+        .map(java.lang.Double.doubleToRawLongBits).toSeq ==
+        ds.map(java.lang.Double.doubleToRawLongBits).toSeq)
+      assert(back.vars(1).data.asInstanceOf[IntData].v.toSeq == is.toSeq)
+      // any truncation refuses
+      assert(NetcdfCodec.decode(enc.take(enc.length - 1 - (n % 5))).isEmpty)
+    }
+  }
+
   test("property: KMV union sketch equals merge of member sketches") {
     // k-smallest-of-union == k-smallest of (k-smallest(A) ++ k-smallest(B)):
     // the mergeability that makes the theta tier distributable
