@@ -13,13 +13,16 @@ package graft.sources
   *    with names in a local heap,
   *  - v1 object headers per dataset (dataspace v1, datatype classes
   *    fixed-point/float in little-endian, layout v3 class 1
-  *    CONTIGUOUS),
-  *  - raw data following each header.
+  *    CONTIGUOUS — or class 2 CHUNKED with an optional deflate
+  *    filter pipeline, the `h5py compression="gzip"` shape: single
+  *    leaf-level chunk B-tree, full-size edge-padded chunks),
+  *  - raw data following each header (or per-chunk blobs).
   *
   * Refusal contract (the [[GzipCodec]]/[[PngCodec]] discipline):
-  * anything outside that envelope — chunked/compressed layout,
-  * big-endian or non-scalar datatypes, fractured B-trees deeper than
-  * one level, truncated anything — returns None, never throws, so
+  * anything outside that envelope — compact layout, non-deflate or
+  * stacked filters, multi-level chunk B-trees,
+  * big-endian or non-scalar datatypes, fractured group B-trees deeper
+  * than one level, truncated anything — returns None, never throws, so
   * one corrupt object skips instead of killing a distributed scan.
   * Unknown MESSAGES (attributes, mtimes, fill values) are skipped per
   * the spec; unknown STRUCTURE is refused. Values widen to Double
@@ -195,40 +198,172 @@ object Hdf5Codec {
           }
         case None => return None
       }
-      // layout v3 class 1 (contiguous): address + size
-      val (dataAt, dataSize) = msgs.find(_._1 == 0x0008) match {
-        case Some((_, b, _)) =>
-          if (u8(b) != 3) return None
-          if (u8(b + 1) != 1) return None // chunked/compact out of envelope
-          (u64(b + 2), u64(b + 10))
-        case None => return None
-      }
       val nElems = shape.product
       totalElems += nElems
       if (totalElems > MaxElements) return None
       val width = dtype.substring(1).toInt
-      if (nElems * width != dataSize) return None
-      if (dataAt < 0 || dataAt + dataSize > bytes.length) return None
+
+      // filter pipeline (0x000B): absent, or exactly one deflate filter
+      val hasDeflate: Boolean = msgs.find(_._1 == 0x000b) match {
+        case None => false
+        case Some((_, b, _)) =>
+          if (u8(b) != 1) return None // pipeline v2+ out of envelope
+          if (u8(b + 1) != 1) return None // >1 filter (shuffle etc.) refused
+          if (u16(b + 8) != 1) return None // filter id 1 = deflate only
+          if (u16(b + 10) != 0) return None // named filters out of envelope
+          true
+      }
+
+      // layout v3: class 1 (contiguous) or class 2 (chunked)
+      val raw: Array[Byte] = msgs.find(_._1 == 0x0008) match {
+        case None => return None
+        case Some((_, b, _)) =>
+          if (u8(b) != 3) return None
+          u8(b + 1) match {
+            case 1 => // contiguous: address + size
+              if (hasDeflate) return None // filters need chunked layout
+              val dataAt = u64(b + 2); val dataSize = u64(b + 10)
+              if (nElems * width != dataSize) return None
+              if (dataAt < 0 || dataAt + dataSize > bytes.length) return None
+              java.util.Arrays.copyOfRange(bytes, dataAt.toInt, (dataAt + dataSize).toInt)
+            case 2 => // chunked: dimensionality, B-tree address, chunk dims
+              val dimy = u8(b + 2)
+              val rank = shape.size
+              if (dimy != rank + 1) return None
+              val btreeAt = u64(b + 3)
+              val chunkDims = (0 until rank).map(d => u32(b + 11 + 4L * d))
+              if (u32(b + 11 + 4L * rank) != width) return None
+              if (chunkDims.exists(d => d <= 0 || d > (1 << 24))) return None
+              val chunkElems = chunkDims.product
+              if (chunkElems <= 0 || chunkElems > MaxElements) return None
+              readChunked(bytes, btreeAt, shape, chunkDims, width.toInt,
+                hasDeflate).getOrElse(return None)
+            case _ => return None // compact (0) out of envelope
+          }
+      }
+
+      def ru16(o: Int): Int = (raw(o) & 0xff) | ((raw(o + 1) & 0xff) << 8)
+      def ru32(o: Int): Long =
+        (ru16(o).toLong) | (ru16(o + 2).toLong << 16)
+      def ru64(o: Int): Long = ru32(o) | (ru32(o + 4) << 32)
       val values = new Array[Double](nElems.toInt)
       var k = 0
       while (k < values.length) {
-        val o = dataAt + k.toLong * width
+        val o = k * width
         values(k) = dtype match {
-          case "f4" => java.lang.Float.intBitsToFloat(u32(o).toInt).toDouble
-          case "f8" => java.lang.Double.longBitsToDouble(u64(o))
-          case "i1" => bytes(o.toInt).toDouble
-          case "u1" => (bytes(o.toInt) & 0xff).toDouble
-          case "i2" => u16(o).toShort.toDouble
-          case "u2" => u16(o).toDouble
-          case "i4" => u32(o).toInt.toDouble
-          case "u4" => u32(o).toDouble
-          case "i8" => u64(o).toDouble
-          case "u8" => u64(o).toDouble // ≥2^63 widens like numpy→float
+          case "f4" => java.lang.Float.intBitsToFloat(ru32(o).toInt).toDouble
+          case "f8" => java.lang.Double.longBitsToDouble(ru64(o))
+          case "i1" => raw(o).toDouble
+          case "u1" => (raw(o) & 0xff).toDouble
+          case "i2" => ru16(o).toShort.toDouble
+          case "u2" => ru16(o).toDouble
+          case "i4" => ru32(o).toInt.toDouble
+          case "u4" => ru32(o).toDouble
+          case "i8" => ru64(o).toDouble
+          case "u8" => ru64(o).toDouble // ≥2^63 widens like numpy→float
         }
         k += 1
       }
       H5Dataset(name, shape, dtype, values)
     }
     Some(out)
+  }
+
+  /** Assemble a chunked dataset's raw little-endian element bytes from
+    * its v1 chunk B-tree (node type 1, LEVEL 0 ONLY — deeper trees are
+    * refused; a CropHarvest-scale instance fits one leaf). Chunks are
+    * full-size (edge chunks zero-padded per the format), optionally
+    * deflate-compressed (`h5py compression="gzip"`); elements outside
+    * the dataset bounds are discarded on scatter. None on any
+    * structural violation. */
+  private def readChunked(bytes: Array[Byte], btreeAt: Long, shape: Seq[Long],
+      chunkDims: Seq[Long], width: Int, deflate: Boolean): Option[Array[Byte]] = {
+    def u8(o: Long): Int =
+      if (o < 0 || o + 1 > bytes.length) -1 else bytes(o.toInt) & 0xff
+    def u16(o: Long): Int =
+      if (o < 0 || o + 2 > bytes.length) -1
+      else (bytes(o.toInt) & 0xff) | ((bytes(o.toInt + 1) & 0xff) << 8)
+    def u32(o: Long): Long =
+      if (o < 0 || o + 4 > bytes.length) -1L
+      else u16(o).toLong | (u16(o + 2).toLong << 16)
+    def u64(o: Long): Long =
+      if (o < 0 || o + 8 > bytes.length) -1L
+      else u32(o) | (u32(o + 4) << 32)
+
+    if (!(u8(btreeAt) == 'T' && u8(btreeAt + 1) == 'R' &&
+          u8(btreeAt + 2) == 'E' && u8(btreeAt + 3) == 'E')) return None
+    if (u8(btreeAt + 4) != 1) return None // node type 1 = raw data chunks
+    if (u8(btreeAt + 5) != 0) return None // level > 0 out of envelope
+    val n = u16(btreeAt + 6)
+    if (n < 0 || n > 4096) return None
+    val rank = shape.size
+    val keySize = 8 + 8 * (rank + 1)
+
+    val nElems = shape.product
+    if (nElems > Int.MaxValue / width) return None
+    val raw = new Array[Byte](nElems.toInt * width)
+    // row-major element strides for dataset and chunk
+    def strides(dims: Seq[Long]): Array[Long] = {
+      val s = new Array[Long](dims.size)
+      var acc = 1L
+      var d = dims.size - 1
+      while (d >= 0) { s(d) = acc; acc *= dims(d); d -= 1 }
+      s
+    }
+    val dStr = strides(shape)
+    val cStr = strides(chunkDims)
+    val chunkElems = chunkDims.product.toInt
+    val fullChunkBytes = chunkElems * width
+
+    var i = 0
+    while (i < n) {
+      val kAt = btreeAt + 24 + i.toLong * (keySize + 8)
+      val nbytes = u32(kAt)
+      val mask = u32(kAt + 4)
+      val offs = Array.tabulate(rank)(d => u64(kAt + 8 + 8L * d))
+      if (offs.exists(_ < 0)) return None
+      val childAt = u64(kAt + keySize)
+      if (nbytes <= 0 || childAt < 0 || childAt + nbytes > bytes.length) return None
+
+      val chunkRaw: Array[Byte] =
+        if (deflate && (mask & 1L) == 0L) {
+          val inf = new java.util.zip.Inflater()
+          try {
+            inf.setInput(bytes, childAt.toInt, nbytes.toInt)
+            val outBuf = new Array[Byte](fullChunkBytes)
+            var got = 0
+            while (got < fullChunkBytes && !inf.finished()) {
+              val r = inf.inflate(outBuf, got, fullChunkBytes - got)
+              if (r == 0 && inf.needsInput()) return None // truncated stream
+              got += r
+            }
+            if (got != fullChunkBytes) return None
+            outBuf
+          } catch {
+            case _: java.util.zip.DataFormatException => return None
+          } finally inf.end()
+        } else {
+          if (nbytes != fullChunkBytes) return None
+          java.util.Arrays.copyOfRange(bytes, childAt.toInt, (childAt + nbytes).toInt)
+        }
+
+      // scatter in-bounds elements into the dataset's raw buffer
+      var ci = 0
+      while (ci < chunkElems) {
+        var flat = 0L
+        var oob = false
+        var d = 0
+        while (d < rank && !oob) {
+          val coord = (ci / cStr(d)) % chunkDims(d) + offs(d)
+          if (coord >= shape(d)) oob = true else flat += coord * dStr(d)
+          d += 1
+        }
+        if (!oob)
+          System.arraycopy(chunkRaw, ci * width, raw, flat.toInt * width, width)
+        ci += 1
+      }
+      i += 1
+    }
+    Some(raw)
   }
 }

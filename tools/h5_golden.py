@@ -77,6 +77,53 @@ def dataset_header(shape, dtype, data_addr, data_size, with_maxdims=True, extra_
     msgs.extend(extra_msgs)
     return object_header(msgs)
 
+def chunked_layout_msgs(shape, dtype, chunk_shape, btree_addr, level=6):
+    """Layout v3 class 2 (chunked) + filter-pipeline v1 (deflate)."""
+    rank = len(shape)
+    size = {"f4": 4, "f8": 8, "i1": 1, "i2": 2, "i4": 4, "i8": 8,
+            "u1": 1, "u2": 2, "u4": 4, "u8": 8}[dtype]
+    lay = struct.pack("<BBB", 3, 2, rank + 1) + struct.pack("<Q", btree_addr)
+    lay += b"".join(struct.pack("<I", d) for d in chunk_shape)
+    lay += struct.pack("<I", size)
+    # pipeline v1: one filter, id 1 (deflate), no name, one client value
+    pipe = struct.pack("<BB", 1, 1) + b"\x00" * 6
+    pipe += struct.pack("<HHHH", 1, 0, 0, 1) + struct.pack("<I", level)
+    pipe += b"\x00" * 4  # odd client-value count pads to 8
+    return lay, pipe
+
+
+def chunk_blobs(shape, dtype, values, chunk_shape, level=6):
+    """Full-size (edge-padded with zeros) chunks, row-major grid order:
+    [(grid_offsets, compressed_bytes)]."""
+    import zlib
+    rank = len(shape)
+    grid = [(shape[d] + chunk_shape[d] - 1) // chunk_shape[d] for d in range(rank)]
+    def strides(dims):
+        s = [1] * len(dims)
+        for d in range(len(dims) - 2, -1, -1):
+            s[d] = s[d + 1] * dims[d + 1]
+        return s
+    dstr = strides(shape)
+    cstr = strides(chunk_shape)
+    nchunk_elems = 1
+    for d in chunk_shape:
+        nchunk_elems *= d
+    out = []
+    def rec(d, off):
+        if d == rank:
+            vals = [0] * nchunk_elems
+            for ci in range(nchunk_elems):
+                coords = [(ci // cstr[k]) % chunk_shape[k] + off[k] for k in range(rank)]
+                if all(coords[k] < shape[k] for k in range(rank)):
+                    vals[ci] = values[sum(coords[k] * dstr[k] for k in range(rank))]
+            out.append((tuple(off), zlib.compress(pack_values(dtype, vals), level)))
+            return
+        for g in range(grid[d]):
+            rec(d + 1, off + [g * chunk_shape[d]])
+    rec(0, [])
+    return out
+
+
 def write_h5(datasets, heap_pad=0):
     """datasets: list of (name, shape, dtype, flat_values). Returns bytes."""
     w = Writer()
@@ -96,7 +143,7 @@ def write_h5(datasets, heap_pad=0):
     w.w(root_oh)
 
     # ---- local heap: names NUL-terminated, 8-aligned, offset 0 = ""
-    names = [n for n, _, _, _ in datasets]
+    names = [spec[0] for spec in datasets]
     heap_data = bytearray(b"\x00" * 8)      # offset 0: empty string slot
     name_off = {}
     for n in names:
@@ -135,15 +182,58 @@ def write_h5(datasets, heap_pad=0):
     w.buf[root_ste_at:root_ste_at + 16] = struct.pack("<QQ", 0, root_oh_at)
 
     # ---- dataset object headers + data
-    for name, shape, dtype, values in datasets:
-        data = pack_values(dtype, values)
+    for spec in datasets:
+        name, shape, dtype, values = spec[:4]
+        chunk_shape = spec[4] if len(spec) > 4 else None
         oh_at = w.tell()
-        hdr = dataset_header(shape, dtype, 0, len(data))
-        data_at = oh_at + len(hdr)
-        hdr = dataset_header(shape, dtype, data_at, len(data))
-        assert len(hdr) == len(dataset_header(shape, dtype, 0, len(data)))
-        w.w(hdr)
-        w.w(data)
+        if chunk_shape is None:
+            data = pack_values(dtype, values)
+            hdr = dataset_header(shape, dtype, 0, len(data))
+            data_at = oh_at + len(hdr)
+            hdr = dataset_header(shape, dtype, data_at, len(data))
+            assert len(hdr) == len(dataset_header(shape, dtype, 0, len(data)))
+            w.w(hdr)
+            w.w(data)
+        else:
+            # chunked + deflate: header(layout->btree, pipeline) then the
+            # v1 chunk B-tree (type 1, level 0) then the compressed chunks
+            rank = len(shape)
+            blobs = chunk_blobs(shape, dtype, values, chunk_shape)
+            def hdr_for(btree_at):
+                lay, pipe = chunked_layout_msgs(shape, dtype, chunk_shape, btree_at)
+                rank_ = len(shape)
+                ds = struct.pack("<BBBBI", 1, rank_, 1, 0, 0)
+                ds += b"".join(struct.pack("<Q", d) for d in shape)
+                ds += b"".join(struct.pack("<Q", d) for d in shape)
+                fill = struct.pack("<BBBB", 2, 2, 0, 0)
+                return object_header([(0x0001, ds), (0x0005, fill),
+                                      (0x000B, pipe), (0x0003, dtype_message(dtype)),
+                                      (0x0008, lay)])
+            h0 = hdr_for(0)
+            btree_at = oh_at + len(h0)
+            hdr = hdr_for(btree_at)
+            assert len(hdr) == len(h0)
+            keysize = 8 + 8 * (rank + 1)
+            node_len = 24 + len(blobs) * (keysize + 8) + keysize
+            node = b"TREE" + struct.pack("<BBH", 1, 0, len(blobs))
+            node += struct.pack("<QQ", UNDEF, UNDEF)
+            chunk_at = btree_at + node_len
+            addrs = []
+            for off, blob in blobs:
+                addrs.append(chunk_at)
+                chunk_at += len(blob)
+            for i, (off, blob) in enumerate(blobs):
+                node += struct.pack("<II", len(blob), 0)
+                node += b"".join(struct.pack("<Q", o) for o in off)
+                node += struct.pack("<Q", 0)  # trailing element-dim offset
+                node += struct.pack("<Q", addrs[i])
+            # final (upper-bound) key — the reader ignores its contents
+            node += struct.pack("<II", 0, 0) + b"\x00" * (8 * (rank + 1))
+            assert len(node) == node_len
+            w.w(hdr)
+            w.w(node)
+            for _, blob in blobs:
+                w.w(blob)
         # patch the SNOD entry header address
         for patch_at, n in ste_patch:
             if n == name:
@@ -169,12 +259,22 @@ if __name__ == "__main__":
     ])
     f32 = write_h5([("arr", (2, 3), "f4", [0.5, -1.25, 2.0, 3.5, -0.125, 7.0])])
     i4 = write_h5([("mask", (4,), "i4", [-2, 0, 5, 123456])])
+    # chunked + deflate (the h5py compression="gzip" layout): 2x3
+    # chunks over a 5x7 grid exercise edge clipping; a 1-d i4 vector
+    # exercises a second chunk grid in the same file
+    gvals = [((r * 7 + c) * 3 + 1) * 0.5 for r in range(5) for c in range(7)]
+    cvals = [v * v - 7 for v in range(10)]
+    chunked = write_h5([
+        ("grid", (5, 7), "f8", gvals, (2, 3)),
+        ("cvec", (10,), "i4", cvals, (4,)),
+    ])
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/h5_goldens"
     import os
     os.makedirs(out, exist_ok=True)
     open(out + "/instance.h5", "wb").write(blob)
     open(out + "/f32.h5", "wb").write(f32)
     open(out + "/i4.h5", "wb").write(i4)
+    open(out + "/chunked.h5", "wb").write(chunked)
     # an out-of-envelope file: the scan must SKIP it, not fail
     open(out + "/corrupt.h5", "wb").write(b"\x89HDF\r\n\x1a\nGARBAGE")
 
@@ -190,6 +290,8 @@ if __name__ == "__main__":
         ("f32", [("arr", [float(np.float32(v))
                           for v in [0.5, -1.25, 2.0, 3.5, -0.125, 7.0]])]),
         ("i4", [("mask", [float(v) for v in [-2, 0, 5, 123456]])]),
+        ("chunked", [("cvec", [float(v) for v in cvals]),
+                     ("grid", gvals)]),
     ]
     for fname, dsets in expected:
         for ds, vals in dsets:
