@@ -42,6 +42,13 @@ object JpegCodec {
     * (RGB triplets for 3-component frames, single bytes for gray). */
   final case class JpegImage(width: Int, height: Int, channels: Int, pixels: Array[Byte])
 
+  /** Decode-size envelope (the [[Hdf5Codec.MaxElements]] discipline):
+    * a 16-byte header claiming 65535x65535 would otherwise allocate
+    * ~12 GB on an executor before a single entropy bit is read —
+    * untrusted-corpus scans need the cap, not the OOM. 64 Mpx covers
+    * any sane training-corpus image. */
+  val MaxPixels: Long = 1L << 26
+
   // 14-bit fixed-point IDCT basis (generated once by tools/jpeg_golden.py)
   private val IdctT: Array[Array[Int]] = Array(
     Array(5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793),
@@ -252,6 +259,7 @@ object JpegCodec {
     * across engines. `pixels` row-major, channel-interleaved. */
   def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte]): Array[Byte] = {
     require(width > 0 && height > 0, "empty image")
+    require(width <= 65535 && height <= 65535, "JPEG dimension fields are 16-bit")
     require(channels == 1 || channels == 3, s"channels=$channels (1 or 3)")
     require(pixels.length == width * height * channels,
       s"${pixels.length} bytes != $width*$height*$channels")
@@ -486,6 +494,7 @@ object JpegCodec {
           height = u16(bo + 1); width = u16(bo + 3)
           val nc = d(bo + 5) & 0xff
           if (width == 0 || height == 0 || (nc != 1 && nc != 3)) refuse()
+          if (width.toLong * height > MaxPixels) refuse()
           if (bo + 6 + 3 * nc > bend) refuse()
           comps = Array.tabulate(nc) { i =>
             val cid = d(bo + 6 + 3 * i) & 0xff

@@ -48,6 +48,12 @@ object NetcdfCodec {
   private val NcVariable = 0x0b
   private val NcAttribute = 0x0c
 
+  /** Decode-size envelope (the [[Hdf5Codec.MaxElements]] discipline):
+    * headers are tiny, claimed dims are not — cap total decoded
+    * elements so a hostile 40-byte header can't allocate gigabytes
+    * on an executor. */
+  val MaxElements: Long = 1L << 25
+
   private def typeOf(d: Data): Int = d match {
     case _: CharData => 2
     case _: IntData => 4
@@ -201,7 +207,7 @@ object NetcdfCodec {
       (0 until n).map { _ =>
         val nm = name()
         val t = i32(); val ne = i32()
-        if (ne < 0 || ne > (1 << 24)) refuse()
+        if (ne < 0 || ne > (1 << 16)) refuse() // attr payloads are small
         t match {
           case 2 =>
             val s = new String(take(ne), StandardCharsets.UTF_8); skipPad(ne)
@@ -254,9 +260,11 @@ object NetcdfCodec {
           (nm, dimIds, atts, t, vsize, begin)
         }
       else refuse()
+    var totalElems = 0L
     val vars = varHdrs.map { case (nm, dimIds, atts, t, vsize, begin) =>
       val n = dimIds.map(i => dims(i).length.toLong).product
-      if (n > Int.MaxValue / 8) refuse()
+      totalElems += n
+      if (n > Int.MaxValue / 8 || totalElems > MaxElements) refuse()
       val nelems = n.toInt
       val raw = pad4(nelems * sizeOfType(t))
       if (vsize != raw) refuse()

@@ -136,6 +136,17 @@ class JpegCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(maxErr <= 4, s"smooth-gradient round-trip error $maxErr")
   }
 
+  test("refusal: a header claiming 65535x65535 refuses before allocating") {
+    val d = readFix("gray_16x12.jpg").clone()
+    val i = d.indices.dropRight(1)
+      .find(i => (d(i) & 0xff) == 0xff && (d(i + 1) & 0xff) == 0xc0)
+      .getOrElse(fail("no SOF0 in fixture"))
+    // SOF0 payload: len(2) precision(1) height(2) width(2)...
+    d(i + 5) = 0xff.toByte; d(i + 6) = 0xff.toByte // height = 65535
+    d(i + 7) = 0xff.toByte; d(i + 8) = 0xff.toByte // width = 65535
+    assert(JpegCodec.decode(d).isEmpty, "decompression-bomb dims accepted")
+  }
+
   test("refusal: garbage and empty input return None") {
     assert(JpegCodec.decode(Array[Byte]()).isEmpty)
     assert(JpegCodec.decode(Array.fill[Byte](64)(0x41)).isEmpty)
