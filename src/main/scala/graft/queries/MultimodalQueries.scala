@@ -583,7 +583,12 @@ object MultimodalQueries {
     * upsample index, and color constant must agree or the hash flips.
     * Distributed shape: binaryFile scan → per-file decode fan-out →
     * per-pixel explode; no shuffle (grayscale replicates to r=g=b,
-    * matching the golden's convention). */
+    * matching the golden's convention).
+    *
+    * Note the scan reads the COMMITTED repo fixtures, not `dir`: the
+    * inputs are pinned goldens, same on every SF (the single-node
+    * harness shares one filesystem; a cluster deployment would stage
+    * `tools/fixtures/` to shared storage). */
   def qJpegDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
@@ -650,8 +655,11 @@ object MultimodalQueries {
           require(r._2 <= Int.MaxValue, s"doc_id ${r._2} exceeds NC_INT")
           r._2.toInt
         }
+        // NC_CHAR elements are bytes; source names are ASCII in this
+        // corpus so chars == bytes, but size the dim in bytes anyway
         val nc = Nc(
-          dims = Seq(Dim("instance", n), Dim("srclen", src.length)),
+          dims = Seq(Dim("instance", n),
+            Dim("srclen", src.getBytes("UTF-8").length)),
           gatts = Nil,
           vars = Seq(
             Variable("doc_id", Array(0), Nil, IntData(ids)),
@@ -687,7 +695,9 @@ object MultimodalQueries {
     * them distributed (one corrupt file injected — it must SKIP, so
     * its absence from the output is itself graded) and the oracle
     * reads the expected elements. f8/f4/i8/i4 datasets all covered;
-    * f4 widening pinned via float32 round-trip on both sides. */
+    * f4 widening pinned via float32 round-trip on both sides. Like
+    * [[qJpegDecode]], the scan reads the committed repo fixtures, not
+    * `dir` — pinned goldens, same at every SF. */
   def qHdf5Read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.sources.GeoIngest

@@ -298,6 +298,14 @@ object Hdf5Codec {
     if (n < 0 || n > 4096) return None
     val rank = shape.size
     val keySize = 8 + 8 * (rank + 1)
+    // chunks larger than the dataset, or more entries than the chunk
+    // grid holds, are not a layout any writer produces — refusing them
+    // bounds scatter work by the dataset size (a KB-scale file could
+    // otherwise demand ~1e11 discarded iterations)
+    if ((0 until rank).exists(d => chunkDims(d) > math.max(shape(d), 1L))) return None
+    val gridChunks = (0 until rank)
+      .map(d => (shape(d) + chunkDims(d) - 1) / chunkDims(d)).product
+    if (n > gridChunks) return None
 
     val nElems = shape.product
     if (nElems > Int.MaxValue / width) return None
@@ -334,7 +342,9 @@ object Hdf5Codec {
             var got = 0
             while (got < fullChunkBytes && !inf.finished()) {
               val r = inf.inflate(outBuf, got, fullChunkBytes - got)
-              if (r == 0 && inf.needsInput()) return None // truncated stream
+              // r == 0 with needsInput = truncated; needsDictionary
+              // (zlib FDICT) would otherwise spin this loop forever
+              if (r == 0 && (inf.needsInput() || inf.needsDictionary())) return None
               got += r
             }
             if (got != fullChunkBytes) return None

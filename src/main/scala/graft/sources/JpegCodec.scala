@@ -538,16 +538,29 @@ object JpegCodec {
 
   private def decodeScan(
       d: Array[Byte], scanStart: Int, width: Int, height: Int,
-      comps: Array[Comp], scanDc: Array[Int], scanAc: Array[Int],
+      comps0: Array[Comp], scanDc: Array[Int], scanAc: Array[Int],
       quant: Array[Array[Int]],
       huffDc: Array[mutable.HashMap[Int, Int]],
       huffAc: Array[mutable.HashMap[Int, Int]],
       restart: Int): JpegImage = {
-    val nc = comps.length
+    val nc = comps0.length
+    // 10918-1: a single-component scan is NON-INTERLEAVED — one data
+    // unit per MCU in raster order over ceil(w/8) x ceil(h/8),
+    // regardless of the declared sampling factors (files converted
+    // from 4:2:0 color keep h=v=2 on their only component). Forcing
+    // 1x1 factors reproduces exactly that geometry.
+    val comps = if (nc == 1) Array(comps0(0).copy(h = 1, v = 1)) else comps0
     var hmax = 1; var vmax = 1
     comps.foreach { c => hmax = math.max(hmax, c.h); vmax = math.max(vmax, c.v) }
     val mcux = (width + 8 * hmax - 1) / (8 * hmax)
     val mcuy = (height + 8 * vmax - 1) / (8 * vmax)
+    // the MaxPixels check bounds w*h; the MCU-PADDED planes must be
+    // bounded too, or a 1 x MaxPixels header allocates 16x that
+    var paddedSamples = 0L
+    comps.foreach { c =>
+      paddedSamples += mcux.toLong * 8 * c.h * mcuy * 8 * c.v
+    }
+    if (paddedSamples > MaxPixels * 8) refuse()
     // per-component sample planes at full MCU-padded size
     val planeW = Array.tabulate(nc)(i => mcux * 8 * comps(i).h)
     val planes = Array.tabulate(nc)(i => new Array[Int](planeW(i) * mcuy * 8 * comps(i).v))
@@ -650,6 +663,10 @@ object JpegCodec {
       JpegImage(width, height, 1, out)
     } else {
       val out = new Array[Byte](width * height * 3)
+      // replicate-upsample EVERY component by its own ratio — luma too:
+      // a conforming file may sample chroma finer than luma (Y 1x1,
+      // C 2x2), in which case the LUMA plane is the subsampled one
+      val hr0 = hmax / comps(0).h; val vr0 = vmax / comps(0).v
       val hr1 = hmax / comps(1).h; val vr1 = vmax / comps(1).v
       val hr2 = hmax / comps(2).h; val vr2 = vmax / comps(2).v
       val pw0 = planeW(0); val pw1 = planeW(1); val pw2 = planeW(2)
@@ -657,7 +674,7 @@ object JpegCodec {
       while (y < height) {
         var x = 0
         while (x < width) {
-          val yv = planes(0)(y * pw0 + x)
+          val yv = planes(0)((y / vr0) * pw0 + (x / hr0))
           val cb = planes(1)((y / vr1) * pw1 + (x / hr1)) - 128
           val cr = planes(2)((y / vr2) * pw2 + (x / hr2)) - 128
           val o = (y * width + x) * 3

@@ -68,7 +68,10 @@ object NetcdfCodec {
     case _ => refuse()
   }
   private def countOf(d: Data): Int = d match {
-    case CharData(s) => s.length
+    // NC_CHAR elements are BYTES: a non-ASCII string's UTF-8 length,
+    // not its UTF-16 code-unit count — conflating them would shift
+    // every later variable's begin offset and garble the container
+    case CharData(s) => s.getBytes(StandardCharsets.UTF_8).length
     case IntData(v) => v.length
     case FloatData(v) => v.length
     case DoubleData(v) => v.length

@@ -222,11 +222,21 @@ object Sinks {
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         it.foreach { r =>
           val gid = r.getString(0)
+          // the group id becomes a FILENAME: a data-supplied "../x" or
+          // "a/b" must fail loudly here, not escape the sink directory
+          require(gid.nonEmpty && gid.forall(c =>
+              c < 0x80 && (c.isLetterOrDigit || c == '.' || c == '_' || c == '-')) &&
+              gid != "." && gid != "..",
+            s"group id '$gid' is not a safe filename component")
           val lat = r.getSeq[Double](1).toArray
           val lon = r.getSeq[Double](2).toArray
           val preds = r.getSeq[Double](3).toArray
           require(lat.length == lon.length && lon.length == preds.length,
             s"group $gid: unaligned lat/lon/preds arrays")
+          // a 0-length dim means a record dim in CDF-1, which our own
+          // reader refuses — an empty group must fail the WRITE loudly
+          // rather than silently vanish under the corrupt-shard skip
+          require(lat.nonEmpty, s"group $gid: empty prediction set")
           val nc = NetcdfCodec.Nc(
             dims = Seq(NetcdfCodec.Dim("instance", lat.length),
               NetcdfCodec.Dim("idlen", gid.length)),

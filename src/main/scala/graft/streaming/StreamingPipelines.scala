@@ -470,13 +470,6 @@ object StreamingPipelines {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** Pattern 1: landing-zone file ingest → parquet, exactly-once
-    * end-to-end: the checkpoint pins each batch's file set (a batch
-    * id always maps to the same input files), and [[ingestBatch]]
-    * makes the sink idempotent under batch retries, so replays
-    * neither skip nor duplicate rows. The destination is a
-    * batch_id-partitioned parquet layout readable as one table.
-    * `maxFilesPerTrigger` is the backpressure knob. */
   /** Streaming NetCDF landing-zone ingest — the eval recombine step
     * ([[graft.sources.GeoIngest.readNetcdfFiles]], the reference's
     * `load_from_nc` over a results dir) as a continuous pipeline:
@@ -510,6 +503,13 @@ object StreamingPipelines {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Pattern 1: landing-zone file ingest → parquet, exactly-once
+    * end-to-end: the checkpoint pins each batch's file set (a batch
+    * id always maps to the same input files), and [[ingestBatch]]
+    * makes the sink idempotent under batch retries, so replays
+    * neither skip nor duplicate rows. The destination is a
+    * batch_id-partitioned parquet layout readable as one table.
+    * `maxFilesPerTrigger` is the backpressure knob. */
   def fileIngest(spark: SparkSession, schema: StructType, srcDir: String,
                  destDir: String, checkpointDir: String,
                  maxFilesPerTrigger: Int = 100): StreamingQuery =

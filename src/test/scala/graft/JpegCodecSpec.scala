@@ -136,6 +136,25 @@ class JpegCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(maxErr <= 4, s"smooth-gradient round-trip error $maxErr")
   }
 
+  test("grayscale frames with declared 2x2 sampling decode non-interleaved") {
+    // 10918-1: a single-component scan is non-interleaved — raster
+    // order of 8x8 units regardless of sampling factors (files
+    // converted from 4:2:0 color keep h=v=2 on their only component).
+    // Patching the factors must therefore NOT change the decode.
+    val base = readFix("gray_16x12.jpg")
+    val ref = JpegCodec.decode(base).getOrElse(fail("refused"))
+    val d = base.clone()
+    val i = d.indices.dropRight(1)
+      .find(i => (d(i) & 0xff) == 0xff && (d(i + 1) & 0xff) == 0xc0)
+      .getOrElse(fail("no SOF0 in fixture"))
+    // SOF0 payload: len(2) prec(1) h(2) w(2) nc(1) cid(1) HV(1) ...
+    assert((d(i + 11) & 0xff) == 0x11, "expected 1x1 factors in fixture")
+    d(i + 11) = 0x22.toByte
+    val patched = JpegCodec.decode(d).getOrElse(fail("2x2 grayscale refused"))
+    assert(patched.pixels.sameElements(ref.pixels),
+      "sampling factors changed a single-component decode")
+  }
+
   test("refusal: a header claiming 65535x65535 refuses before allocating") {
     val d = readFix("gray_16x12.jpg").clone()
     val i = d.indices.dropRight(1)

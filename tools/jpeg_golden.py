@@ -491,6 +491,10 @@ def decode_jpeg(data):
                 scomp.append((cs, tt >> 4, tt & 0x0F))
             p = p + 2 + ln
             h, w, comps = frame
+            # 10918-1: single-component scans are non-interleaved —
+            # raster order of 8x8 units regardless of declared factors
+            if len(comps) == 1:
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -551,7 +555,7 @@ def decode_jpeg(data):
                 clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)
                 for y in range(h):
                     for x in range(w):
-                        yv = int(planes[0][y][x])
+                        yv = int(planes[0][y // (vmax // comps[0][2])][x // (hmax // comps[0][1])])
                         cbv = int(planes[1][y // (vmax // comps[1][2])][x // (hmax // comps[1][1])]) - 128
                         crv = int(planes[2][y // (vmax // comps[2][2])][x // (hmax // comps[2][1])]) - 128
                         out[y, x, 0] = clamp(yv + ((91881 * crv + 32768) >> 16))
