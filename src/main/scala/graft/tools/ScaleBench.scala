@@ -33,7 +33,10 @@ object ScaleBench {
     "q_pq_search", "q_semdedup", "q_embed_neardup", "q_span_dedup",
     "q_dedup_exact", "q_cosine_topk_native", "q_knn_classify",
     "q1_agg", "q_join_star", "q_monthly_median", "q_window_running",
-    "q_sessionize", "q_tfidf", "q_bm25", "q_token_stats", "q_gopher_rules")
+    "q_sessionize", "q_tfidf", "q_bm25", "q_token_stats", "q_gopher_rules",
+    // round-12 corpus-dependent additions (container encode/decode per
+    // source group — expected ~linear in corpus bytes)
+    "q_webdataset", "q_netcdf_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
