@@ -104,11 +104,11 @@ object EncoderQueries {
     * one row set serves every sf. */
   val oracle: Map[String, String] = Map(
     "q_encoder_embed" ->
-      """SELECT user_id, dim, sq_norm, e0
-        |FROM read_parquet('/root/repo/tools/fixtures/q_encoder_embed/*.parquet')
+      s"""SELECT user_id, dim, sq_norm, e0
+        |FROM read_parquet('${graft.Fixtures.base}/q_encoder_embed/*.parquet')
         |WHERE n_users = (SELECT COUNT(DISTINCT user_id) FROM events)""".stripMargin,
     "q_mae_reconstruct" ->
-      """SELECT id, n_masked, masked_mse, recon0
-        |FROM read_parquet('/root/repo/tools/fixtures/q_mae_reconstruct/*.parquet')""".stripMargin,
+      s"""SELECT id, n_masked, masked_mse, recon0
+        |FROM read_parquet('${graft.Fixtures.base}/q_mae_reconstruct/*.parquet')""".stripMargin,
   )
 }

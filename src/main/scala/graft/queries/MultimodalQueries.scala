@@ -593,7 +593,7 @@ object MultimodalQueries {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.jpg")
-      .load("/root/repo/tools/fixtures/q_jpeg_decode")
+      .load(graft.Fixtures.path("q_jpeg_decode"))
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
@@ -623,8 +623,8 @@ object MultimodalQueries {
   }
 
   val qJpegDecodeSql: String =
-    """SELECT name, y, x, r, g, b
-      |FROM read_parquet('/root/repo/tools/fixtures/q_jpeg_decode/golden/*.parquet')""".stripMargin
+    s"""SELECT name, y, x, r, g, b
+      |FROM read_parquet('${graft.Fixtures.base}/q_jpeg_decode/golden/*.parquet')""".stripMargin
 
   /** NetCDF classic (CDF-1) container round-trip, oracle-graded — the
     * reference's prediction sink is `ds.to_netcdf` per test instance,
@@ -701,7 +701,7 @@ object MultimodalQueries {
   def qHdf5Read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.sources.GeoIngest
-      .readH5Files(spark, "/root/repo/tools/fixtures/q_hdf5_read")
+      .readH5Files(spark, graft.Fixtures.path("q_hdf5_read"))
       .select(col("file"), col("dataset"),
         posexplode(col("values")).as(Seq("idx", "value")))
       .select(col("file"), col("dataset"), col("idx").cast("int").as("idx"),
@@ -709,8 +709,8 @@ object MultimodalQueries {
   }
 
   val qHdf5ReadSql: String =
-    """SELECT file, dataset, idx, value
-      |FROM read_parquet('/root/repo/tools/fixtures/q_hdf5_read/golden/*.parquet')""".stripMargin
+    s"""SELECT file, dataset, idx, value
+      |FROM read_parquet('${graft.Fixtures.base}/q_hdf5_read/golden/*.parquet')""".stripMargin
 
   /** Webdataset shard round-trip, oracle-graded — the LAION-style
     * layout web-scale multimodal training actually uses: ONE tar shard

@@ -162,7 +162,7 @@ object VectorQueries {
     * observation-free. */
   private def bruteTop3(spark: SparkSession, dir: String): DataFrame =
     graft.operators.IndexStore.materialize(spark, "brute_top3",
-        graft.operators.IndexStore.keyOf(dir)) {
+        graft.operators.IndexStore.dataKey(dir)) {
       qCosineTopkNative(spark, dir).filter(col("rank") <= 3)
         .select(col("qid"), col("vec_id"))
     }
@@ -355,7 +355,7 @@ object VectorQueries {
   private[graft] def trainedCentroids(spark: SparkSession, dir: String,
       k: Int = RoutingK): DataFrame =
     graft.operators.IndexStore.materialize(spark, "ivf_centroids",
-        graft.operators.IndexStore.keyOf(dir, k.toString)) {
+        graft.operators.IndexStore.dataKey(dir, k.toString)) {
       ivfTrain(Tables.embeddings(spark, dir), k)
     }
 
@@ -370,7 +370,7 @@ object VectorQueries {
     * a fresh pass. */
   private[graft] def ivfRanked(spark: SparkSession, dir: String, k: Int = RoutingK): DataFrame =
     graft.operators.IndexStore.materialize(spark, "ivf_assign",
-        graft.operators.IndexStore.keyOf(dir, k.toString)) {
+        graft.operators.IndexStore.dataKey(dir, k.toString)) {
       rankCentroids(Tables.embeddings(spark, dir), trainedCentroids(spark, dir, k))
         .filter(col("rk") <= 2)
         .select(col("vec_id"), col("cid"), col("rk"))
@@ -721,7 +721,7 @@ object VectorQueries {
     // inside the BUILD step only (deterministic md5 ranking, so
     // cross-session reuse is observation-free).
     graft.operators.IndexStore.materialize(spark, "pq_anchors",
-        graft.operators.IndexStore.keyOf(dir, kSub.toString)) {
+        graft.operators.IndexStore.dataKey(dir, kSub.toString)) {
       import spark.implicits._
       pqAnchorSelection(Tables.embeddings(spark, dir), kSub).collect()
         .map(r => (r.getString(1), r.getLong(0)))
@@ -806,7 +806,7 @@ object VectorQueries {
     // arithmetic is deterministic, so the table round-trips
     // bit-exactly across sessions.
     graft.operators.IndexStore.materialize(spark, "pq_codebook",
-        graft.operators.IndexStore.keyOf(dir)) {
+        graft.operators.IndexStore.dataKey(dir)) {
       val exp = pqExp(Tables.embeddings(spark, dir))
       val a1 = argminCodes(pqQdAgainst(exp, pqSampleCodebook(spark, dir, exp)))
       exp.join(a1, Seq("vec_id", "sub"))

@@ -47,7 +47,13 @@ object Hdf5Codec {
     * carries. */
   val MaxElements: Long = 1L << 25
 
-  def decode(bytes: Array[Byte]): Option[Seq[H5Dataset]] = {
+  /** Catch-all wrapper (the JpegCodec pattern): a structurally hostile
+    * file must SKIP (None), never throw out of a scan task. */
+  def decode(bytes: Array[Byte]): Option[Seq[H5Dataset]] =
+    try decodeImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeImpl(bytes: Array[Byte]): Option[Seq[H5Dataset]] = {
     if (bytes.length < 96) return None
     var i = 0
     while (i < 8) { if (bytes(i) != Signature(i)) return None; i += 1 }
@@ -198,7 +204,13 @@ object Hdf5Codec {
           }
         case None => return None
       }
-      val nElems = shape.product
+      // overflow-safe product: attacker-controlled u64 dims could wrap a
+      // plain shape.product past the MaxElements gate
+      var nElems = 1L
+      for (d <- shape) {
+        if (d < 0 || (d > 0 && nElems > MaxElements / d)) return None
+        nElems *= d
+      }
       totalElems += nElems
       if (totalElems > MaxElements) return None
       val width = dtype.substring(1).toInt

@@ -170,7 +170,11 @@ object PngCodec {
     try {
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) { inf.end(); return None } // truncated
+        // truncated input, or an FDICT zlib header (needsDictionary):
+        // either way the stream can make no further progress — skip
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
+          inf.end(); return None
+        }
         got += n
       }
       // stream must end exactly here: surplus pixel data is a

@@ -40,7 +40,7 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val big = if (args.length > 1) args(1) else "/root/repo/testdata_sf1"
+    val big = if (args.length > 1) args(1) else new java.io.File("testdata_sf1").getAbsolutePath
     val out = if (args.length > 2) args(2) else "BENCH_sf1_r12.json"
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
 

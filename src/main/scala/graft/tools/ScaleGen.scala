@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val outDir = if (args.length > 1) args(1) else "/root/repo/testdata_sf1"
+    val outDir = if (args.length > 1) args(1) else new java.io.File("testdata_sf1").getAbsolutePath
     val factor = if (args.length > 2) args(2).toInt else 10
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
 

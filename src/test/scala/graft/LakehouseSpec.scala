@@ -93,4 +93,32 @@ class LakehouseSpec extends SparkSpec {
     val fresh = table.count()
     assert(fresh == 3 && builds == 2, "drop() did not force a rebuild")
   }
+
+  test("dataKey fingerprints the corpus: rewriting data in place rebuilds") {
+    import graft.operators.IndexStore
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val dataDir = Files.createTempDirectory("graft-fp").toString
+    Files.write(Paths.get(dataDir, "part-0"), "v1-bytes".getBytes("UTF-8"))
+    var builds = 0
+    def table(salt: String) =
+      IndexStore.materialize(spark, "spec_fp",
+          IndexStore.dataKey(dataDir, salt)) {
+        builds += 1
+        Seq((builds, "artifact")).toDF("build", "tag")
+      }
+    val salt = java.util.UUID.randomUUID().toString
+    assert(table(salt).count() == 1 && builds == 1)
+    assert(table(salt).count() == 1 && builds == 1, "same bytes rebuilt")
+    // rewrite the corpus in place: same path, new bytes + mtime —
+    // the round-12 staleness hazard. The key must change and rebuild.
+    Files.write(Paths.get(dataDir, "part-0"), "v2-bytes-longer".getBytes("UTF-8"))
+    assert(table(salt).select("build").as[Int].head() == 2,
+      "stale artifact served after in-place corpus rewrite")
+    assert(builds == 2)
+    // knobs still differentiate keys for identical data
+    assert(IndexStore.dataKey(dataDir, "k=16") != IndexStore.dataKey(dataDir, "k=32"))
+    // a missing dir fingerprints without throwing
+    assert(IndexStore.fingerprint(dataDir + "-absent") == "absent")
+  }
 }

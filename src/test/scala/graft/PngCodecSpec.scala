@@ -135,4 +135,24 @@ class PngCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
     assert(PngCodec.decode(huge).isEmpty, "oversized dims accepted")
   }
+
+  test("FDICT zlib header in IDAT skips instead of spinning the inflate loop") {
+    // CMF=0x78, FLG=0x20: FDICT bit set, (0x78*256+0x20) % 31 == 0 —
+    // a VALID zlib header that makes JDK Inflater return 0 forever
+    // with needsInput()=false and finished()=false. Regression for the
+    // executor-thread-hang found in review: decode must return None.
+    val good = PngCodec.encode(2, 2, 1, Array.tabulate(4)(i => (i * 9).toByte))
+    val ihdrEnd = 8 + 12 + 13
+    val payload = Array[Byte](0x78, 0x20, 0x01, 0x02, 0x03, 0x04, 0x00, 0x00)
+    val typ = "IDAT".getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32(); crc.update(typ); crc.update(payload)
+    val idat = java.nio.ByteBuffer.allocate(12 + payload.length)
+      .putInt(payload.length).put(typ).put(payload)
+      .putInt(crc.getValue.toInt).array()
+    val iend = good.takeRight(12)
+    val hostile = good.take(ihdrEnd) ++ idat ++ iend
+    val t0 = System.nanoTime()
+    assert(PngCodec.decode(hostile).isEmpty, "FDICT stream accepted")
+    assert((System.nanoTime() - t0) < 5e9, "decode did not return promptly")
+  }
 }
