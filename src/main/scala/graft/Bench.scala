@@ -58,8 +58,12 @@ object Bench {
     def parse(p: java.nio.file.Path, requireQuiet: Boolean): Option[Map[String, Double]] =
       try {
         val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        // header "noisy" count precedes the queries map, so the FIRST
+        // match is the header even though per-query retry markers also
+        // spell "noisy" (the header layout gained a steal_sec field
+        // between noisy and queries — don't anchor on adjacency)
         val quietOk = !requireQuiet ||
-          """"noisy":(\d+),"queries"""".r.findFirstMatchIn(text)
+          """"noisy":(\d+)""".r.findFirstMatchIn(text)
             .exists(_.group(1) == "0")
         if (!quietOk) None
         else {
@@ -77,9 +81,32 @@ object Bench {
     else Map.empty
   }
 
+  /** Cumulative hypervisor steal ticks (USER_HZ, summed over all
+    * cpus) from /proc/stat — field 8 of the aggregate "cpu" line.
+    * -1 when unreadable (non-Linux): every consumer treats that as
+    * "no telemetry", never as zero steal. The shared box this runs
+    * on has shown 10-30x per-query swings from steal windows;
+    * recording the counter per query makes an inflated number
+    * ADJUDICABLE (was the box stolen, or did the code regress?)
+    * instead of a judgement call. */
+  private def stealTicks(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+")
+        if (f.length > 8 && f(0) == "cpu") f(8).toLong else -1L
+      } finally src.close()
+    } catch { case _: Throwable => -1L }
+
+  /** Steal seconds between two tick readings (100 Hz USER_HZ), or
+    * -1 when either bookend was unreadable. */
+  private def stealSec(t0: Long, t1: Long): Double =
+    if (t0 < 0 || t1 < 0) -1.0 else (t1 - t0) * 0.01
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runSteal0 = stealTicks()
     val spark = Sessions.local(cpus)
     require(SparkEntry.queries.contains("q1_agg"), "warmup query q1_agg is not declared")
     // warmup: a representative agg touches parquet read + shuffle + codegen paths
@@ -88,11 +115,13 @@ object Bench {
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     def pass(qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)]):
-        Map[String, (Double, Option[String])] = qs.map { case (name, fn) =>
+        Map[String, (Double, Option[String], Double)] = qs.map { case (name, fn) =>
+      val s0 = stealTicks()
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
                 catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-      name -> (((System.nanoTime() - t0) / 1e9, err))
+      val t = (System.nanoTime() - t0) / 1e9
+      name -> ((t, err, stealSec(s0, stealTicks())))
     }.toMap
     // pass 2 runs in REVERSE order: external noise on a shared box
     // arrives in contiguous TIME windows, which under a repeated
@@ -107,7 +136,7 @@ object Bench {
     // contributes a timing, and a query only counts as errored if it
     // failed in BOTH passes (a transient blip must not mask success)
     val minOf2: Seq[(String, Double, Option[String])] = ordered.map { case (name, _) =>
-      val (t1, e1) = p1(name); val (t2, e2) = p2(name)
+      val (t1, e1, _) = p1(name); val (t2, e2, _) = p2(name)
       (e1, e2) match {
         case (Some(x), Some(_)) => (name, -1.0, Some(x))
         case (Some(_), None)    => (name, t2, None)
@@ -144,14 +173,17 @@ object Bench {
     def msInt(v: Double): Long = math.round(v * 1000)
 
     // full-precision detail file: every query, both raw pass timings,
-    // plus the retry count for queries that needed noise recovery
+    // each pass's steal-seconds (st1/st2, -1 = no telemetry), plus
+    // the retry count for queries that needed noise recovery
     val detail = results.map { case (k, v, err, retries) =>
       val raw1 = sec3(p1(k)._1); val raw2 = sec3(p2(k)._1)
+      val st1 = sec3(p1(k)._3); val st2 = sec3(p2(k)._3)
       val noisy = if (retries > 0) s""","noisy":$retries""" else ""
-      s""""$k":{"sec":${if (err.isDefined) "-1" else sec3(v)},"p1":$raw1,"p2":$raw2$noisy${err.map(e => s""","err":"$e"""").getOrElse("")}}"""
+      s""""$k":{"sec":${if (err.isDefined) "-1" else sec3(v)},"p1":$raw1,"p2":$raw2,"st1":$st1,"st2":$st2$noisy${err.map(e => s""","err":"$e"""").getOrElse("")}}"""
     }.mkString("{", ",", "}")
+    val runStealSec = stealSec(runSteal0, stealTicks())
     val detailJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.size},"noisy":$noisyCount,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.size},"noisy":$noisyCount,"steal_sec":${sec3(runStealSec)},"queries":$detail,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     try java.nio.file.Files.write(detailPath, (detailJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail file is best-effort; the stdout line is the contract
@@ -169,7 +201,7 @@ object Bench {
       .mkString("{", ",", "}")
     def assemble(entries: Seq[String]): String = {
       val qs = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.size},"noisy":$noisyCount,"qunit":"ms","queries":$qs,"errors":$errs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.size},"noisy":$noisyCount,"steal_sec":${sec3(runStealSec)},"qunit":"ms","queries":$qs,"errors":$errs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     }
     val all = errEntries ++ okEntries
     // largest prefix of (errors ++ slowest-first timings) that fits
