@@ -14,17 +14,19 @@ import graft.queries.Exact._
   * eval/treesat_eval.py confusion math).
   *
   * The KNN candidate plan is sign-LSH banded, not a cartesian: each
-  * vector gets a 16-bit sign signature (signs of the first 16
-  * embedding dims); candidates are (val, train) pairs sharing at
-  * least one band bucket, then an exact hamming filter and
-  * exact-cosine ranking among candidates. By pigeonhole, a pair
-  * within hamming H cannot differ in all of H+1 (or more) bands, so
-  * the banded equi-join finds EVERY qualifying pair — the DuckDB
-  * oracle brute-forces all pairs with the same hamming filter, so a
-  * green hash proves the blocked plan complete (the q_simhash
-  * trick). All k∈{5,20,100} share the hamming≤5 / 6-band radius; at
-  * small SF the ~10 % candidate pool bounds the effective k for
-  * k=100 (both engines identically). Note the banded family is a
+  * vector gets a corpus-scaled 6·w(n)-bit sign signature (signs of
+  * the first 6·w embedding dims, w = clamp(⌈log₂ n⌉ − 7, 3, 10) —
+  * see [[bandWidthFor]]); candidates are (val, train) pairs sharing
+  * at least one of 6 uniform w-bit band buckets, then an exact
+  * hamming filter and exact-cosine ranking among candidates. By
+  * pigeonhole, a pair within hamming H cannot differ in all of H+1
+  * (or more) bands, so the banded equi-join finds EVERY qualifying
+  * pair — the DuckDB oracle brute-forces all pairs with the same
+  * hamming filter over the same dynamic signature, so a green hash
+  * proves the blocked plan complete (the q_simhash trick). All
+  * k∈{5,20,100} share the hamming≤5 / 6-band radius; the candidate
+  * pool bounds the effective k for k=100 (both engines
+  * identically). Note the banded family is a
   * DIFFERENT estimator from sklearn-exact KNN: neighbours outside
   * the hamming ball are out of scope by definition, and a query
   * vector with zero candidates yields no prediction row —
@@ -39,54 +41,84 @@ object MlQueries {
   private val splitDuck = PipelineOps.hashSplitSql("cast(vec_id AS VARCHAR)", 12)
     .replace("instr(", "strpos(")
 
-  /** (band id, bit offset, width) band partition of the 16 signature
-    * bits. The pigeonhole invariant: a partition into H+1 or more
-    * bands makes the banded join provably complete for hamming ≤ H;
-    * 6 bands cover hamming ≤ 5 (~10 % candidate rate on random
-    * signs). Wider hamming radii need narrower buckets whose join
-    * fan-out approaches the cross product (2-bit buckets emit
-    * ~|val|·|train|/4 rows per band pre-distinct) — so every k
-    * shares this one radius, and a small candidate pool simply
-    * bounds the effective k (exactly mirrored by the oracle). */
-  private[graft] val bands6 = Seq((0, 0, 3), (1, 3, 3), (2, 6, 3), (3, 9, 3), (4, 12, 2), (5, 14, 2))
+  /** Corpus-scaled band width w(n) = clamp(⌈log₂ n⌉ − 7, 3, 10): the
+    * signature is 6 uniform bands of w bits (6w ≤ 60, one BIGINT).
+    * The round-12 scale finding was exp 1.18 at the sf0.1→sf1 decade
+    * because a FIXED 16-bit signature gives each band ≤8 buckets —
+    * occupancy grows linearly with the corpus and banded candidates
+    * quadratically. Scaling 2^w with n (the raise-k-with-n IVF
+    * discipline) keeps per-band bucket occupancy ~flat; the hamming≤5
+    * ball over the wider signature tightens as the corpus grows,
+    * which is the right estimator behavior — with more data the k-th
+    * neighbor is closer, so the candidate radius should shrink. The
+    * pigeonhole completeness proof is width-independent (6 bands > 5
+    * allowed diffs; PropertySpec re-proves it for every w in 3..10)
+    * and the DuckDB oracle stays brute-force over the SAME dynamic
+    * ball, so the banded plan is still proven complete, not sampled.
+    * Thresholds are integer compares (n ≤ 2^(w+7)), NOT float log2:
+    * Spark and DuckDB must pick the same w for the same corpus. */
+  private[graft] def bandWidthFor(n: Long): Int =
+    (3 to 9).find(w => n <= (1L << (w + 7))).getOrElse(10)
 
-  /** 16-bit sign signature of the first 16 embedding dims. */
+  /** The same rule as [[bandWidthFor]], as a SQL CASE over a column
+    * `n` — ONE threshold table serves Scala, Spark SQL and DuckDB. */
+  private[graft] val bandWidthCaseSql: String =
+    "CASE " + (3 to 9).map(w => s"WHEN n <= ${1L << (w + 7)} THEN $w")
+      .mkString(" ") + " ELSE 10 END"
+
+  /** (band id, bit offset, width) uniform layout at width w — the
+    * production bucket rule (band b = bits [b·w, (b+1)·w)) in the
+    * form the completeness property test consumes. */
+  private[graft] def bandDefs(w: Int): Seq[(Int, Int, Int)] =
+    (0 until 6).map(b => (b, b * w, w))
+
+  /** 6w-bit sign signature of the first 6·bw embedding dims (bw is
+    * the corpus-scaled width column). */
   private val sigExpr =
-    """aggregate(transform(sequence(0, 15),
+    """aggregate(transform(sequence(0, 6 * bw - 1),
       |  i -> IF(element_at(embedding, i + 1) >= 0, shiftleft(1L, i), 0L)),
       |  0L, (a, b) -> a | b)""".stripMargin
 
-  private def bands(sig: Column, defs: Seq[(Int, Int, Int)]): Column =
-    array(defs.map { case (b, off, w) =>
-      struct(lit(b).as("band"),
-        shiftright(sig, off).bitwiseAND(lit((1L << w) - 1)).as("bucket"))
-    }: _*)
+  /** Uniform band explode at runtime width bw: band b keys on bits
+    * [b·bw, (b+1)·bw) of the signature. */
+  private val bandsExpr =
+    """transform(sequence(0, 5), b -> named_struct(
+      |  'band', b,
+      |  'bucket', shiftright(sig, b * bw) & (shiftleft(1L, bw) - 1)))""".stripMargin
 
   /** Exact top-k (cosine desc, tid tie-break) among the banded
     * hamming≤maxHamming candidates, for the hash-val split vs the
-    * hash-train split. Columns: vid, vlabel, tid, tlabel, cosine, rk. */
+    * hash-train split. Columns: vid, vlabel, tid, tlabel, cosine, rk.
+    * The corpus-size knob w is resolved at plan-construction time by
+    * one metadata-cheap count (the raise-k-with-n IVF discipline), so
+    * the executed plan is pure literals — a broadcast 1-row crossJoin
+    * would read as a BroadcastNestedLoopJoin in every plan audit and
+    * block constant-folding of the signature width. */
   private def knnTopK(spark: SparkSession, dir: String, k: Int,
-      maxHamming: Int, defs: Seq[(Int, Int, Int)]): DataFrame = {
-    require(defs.length > maxHamming, "need more bands than allowed bit diffs")
-    val e = Tables.embeddings(spark, dir)
+      maxHamming: Int = 5): DataFrame = {
+    val e0 = Tables.embeddings(spark, dir)
+    val e = e0
+      .withColumn("bw", lit(bandWidthFor(e0.count())))
       .withColumn("split", PipelineOps.hashSplit("cast(vec_id AS string)", 12))
       .withColumn("sig", expr(sigExpr))
     val train = e.filter(col("split") === "train")
       .select(col("vec_id").as("tid"), col("embedding").as("te"),
-        col("label").as("tlabel"), col("sig").as("tsig"))
+        col("label").as("tlabel"), col("sig").as("tsig"), col("bw"))
     val valid = e.filter(col("split") === "val")
       .select(col("vec_id").as("vid"), col("embedding").as("ve"),
-        col("label").as("vlabel"), col("sig").as("vsig"))
-    val tBands = train.select(col("tid"), explode(bands(col("tsig"), defs)).as("bb"))
+        col("label").as("vlabel"), col("sig").as("vsig"), col("bw"))
+    val tBands = train
+      .select(col("tid"), explode(expr(bandsExpr.replace("sig", "tsig"))).as("bb"))
       .select(col("tid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val vBands = valid.select(col("vid"), explode(bands(col("vsig"), defs)).as("bb"))
+    val vBands = valid
+      .select(col("vid"), explode(expr(bandsExpr.replace("sig", "vsig"))).as("bb"))
       .select(col("vid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     // The LSH shuffle: equi-join on (band, bucket). Both sides scale
-    // with the corpus; no broadcast, no cartesian.
+    // with the corpus; no broadcast of corpus data, no cartesian.
     val cand = tBands.join(vBands, Seq("band", "bucket"))
       .select("vid", "tid").distinct()
     val wTop = Window.partitionBy(col("vid")).orderBy(col("cosine").desc, col("tid"))
-    cand.join(valid, "vid").join(train, "tid")
+    cand.join(valid.drop("bw"), "vid").join(train.drop("bw"), "tid")
       .filter(expr("bit_count(vsig ^ tsig)") <= maxHamming)
       .withColumn("cosine", expr("cosine_sim(ve, te)"))
       .withColumn("rk", row_number().over(wTop))
@@ -95,11 +127,11 @@ object MlQueries {
 
   /** Majority-vote confusion matrix at a given k; vote ties break on
     * the smaller label (eval/knn.py KNeighborsClassifier analog). */
-  private def knnConfusion(spark: SparkSession, dir: String, k: Int,
-      maxHamming: Int, defs: Seq[(Int, Int, Int)]): DataFrame = {
+  private def knnConfusion(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
     val wVote = Window.partitionBy(col("vid"))
       .orderBy(col("votes").desc, col("tlabel"))
-    knnTopK(spark, dir, k, maxHamming, defs)
+    knnTopK(spark, dir, k)
       .groupBy(col("vid"), col("vlabel"), col("tlabel"))
       .agg(count(lit(1)).as("votes"))
       .withColumn("vrk", row_number().over(wVote))
@@ -114,18 +146,18 @@ object MlQueries {
   // the sklearn-comparable numbers, so metric consumers can't confuse
   // the two.
   def qKnnClassify(spark: SparkSession, dir: String): DataFrame =
-    knnConfusion(spark, dir, 5, 5, bands6)
+    knnConfusion(spark, dir, 5)
   def qKnnK20Banded(spark: SparkSession, dir: String): DataFrame =
-    knnConfusion(spark, dir, 20, 5, bands6)
+    knnConfusion(spark, dir, 20)
   def qKnnK100Banded(spark: SparkSession, dir: String): DataFrame =
-    knnConfusion(spark, dir, 100, 5, bands6)
+    knnConfusion(spark, dir, 100)
 
   /** KNN regression (eval/knn.py KNeighborsRegressor analog): the
     * prediction is the plain mean of the k=5 nearest neighbours'
     * numeric targets. Integer sums divide exactly once on each
     * engine, so the double is bit-exact cross-engine. */
   def qKnnRegress(spark: SparkSession, dir: String): DataFrame =
-    knnTopK(spark, dir, 5, 5, bands6)
+    knnTopK(spark, dir, 5)
       .groupBy(col("vid"), col("vlabel").as("label"))
       .agg((sum(col("tlabel")).cast("double") / count(lit(1))).as("knn_pred"))
 
@@ -214,13 +246,18 @@ object MlQueries {
     s"""list_reduce(list_transform(list_zip($a, $b),
        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
 
-  /** Brute-force CTE chain sp/tr/va/topk/pred: ALL (val, train) pairs
-    * filtered to hamming≤5, ranked by exact cosine — no banding, so
-    * the compare proves the Spark banded plan's completeness. */
+  /** Brute-force CTE chain nn/sp/tr/va/topk/pred: ALL (val, train)
+    * pairs filtered to hamming≤5 over the corpus-scaled 6·w(n)-bit
+    * signature ([[bandWidthCaseSql]], the SAME threshold table the
+    * Spark plan uses), ranked by exact cosine — no banding, so the
+    * compare proves the Spark banded plan complete over the dynamic
+    * ball. */
   private def knnPredSql(k: Int, maxHamming: Int = 5): String = {
     val cos = s"""(${dotSql("v.ve", "t.te")} / (sqrt(${dotSql("v.ve", "v.ve")}) * sqrt(${dotSql("t.te", "t.te")})))"""
-    s"""sp AS (SELECT vec_id, embedding, label,
-       |    list_reduce(list_transform(range(16),
+    s"""nn AS (SELECT $bandWidthCaseSql AS bw
+       |    FROM (SELECT COUNT(*) AS n FROM embeddings)),
+       |sp AS (SELECT vec_id, embedding, label,
+       |    list_reduce(list_transform(range(6 * (SELECT bw FROM nn)),
        |      i -> CASE WHEN embedding[i+1] >= 0 THEN (CAST(1 AS BIGINT) << i)
        |           ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS sig,
        |    $splitDuck AS split FROM embeddings),

@@ -86,22 +86,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("KNN band partition is pigeonhole-complete: any pair within hamming 5 shares a band") {
-    // the PRODUCTION band layout — a layout change re-proves (or
+  test("KNN band partition is pigeonhole-complete at every corpus-scaled width") {
+    // the PRODUCTION band layout rule (uniform 6 bands of w bits,
+    // w = bandWidthFor(n) ∈ [3,10]) — a layout change re-proves (or
     // fails) the completeness theorem here, never a stale mirror
-    val defs = graft.queries.MlQueries.bands6
-    def buckets(sig: Long): Seq[Long] =
-      defs.map { case (_, off, w) => (sig >> off) & ((1L << w) - 1) }
-    val g = for {
-      sig <- Gen.chooseNum(0L, (1L << 16) - 1)
-      nFlips <- Gen.chooseNum(0, 5)
-      flips <- Gen.listOfN(nFlips, Gen.chooseNum(0, 15))
-    } yield (sig, flips)
-    forSamples(g) { case (sig, flips) =>
-      val other = flips.foldLeft(sig)((s, b) => s ^ (1L << b))
-      assert(java.lang.Long.bitCount(sig ^ other) <= 5)
-      val shared = buckets(sig).zip(buckets(other)).exists { case (a, b) => a == b }
-      assert(shared, s"pair within hamming 5 shares no band: $sig vs $other")
+    for (w <- 3 to 10) {
+      val defs = graft.queries.MlQueries.bandDefs(w)
+      assert(defs.length == 6 && defs.map(_._3).sum == 6 * w)
+      def buckets(sig: Long): Seq[Long] =
+        defs.map { case (_, off, bw) => (sig >> off) & ((1L << bw) - 1) }
+      val bits = 6 * w
+      val g = for {
+        sig <- Gen.chooseNum(0L, (1L << bits) - 1)
+        nFlips <- Gen.chooseNum(0, 5)
+        flips <- Gen.listOfN(nFlips, Gen.chooseNum(0, bits - 1))
+      } yield (sig, flips)
+      forSamples(g, n = 40) { case (sig, flips) =>
+        val other = flips.foldLeft(sig)((s, b) => s ^ (1L << b))
+        assert(java.lang.Long.bitCount(sig ^ other) <= 5)
+        val shared = buckets(sig).zip(buckets(other)).exists { case (a, b) => a == b }
+        assert(shared, s"w=$w pair within hamming 5 shares no band: $sig vs $other")
+      }
+    }
+    // the width rule itself: integer thresholds == ceil(log2 n) - 7
+    def ceilLog2(n: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    for (n <- Seq(1L, 2L, 500L, 1024L, 1025L, 2000L, 2048L, 2049L, 20000L,
+        65536L, 65537L, 1000000L)) {
+      val expect = math.min(10, math.max(3, if (n <= 1) 3 else ceilLog2(n) - 7))
+      assert(graft.queries.MlQueries.bandWidthFor(n) == expect, s"n=$n")
     }
   }
 
