@@ -589,11 +589,32 @@ object MultimodalQueries {
     * inputs are pinned goldens, same on every SF (the single-node
     * harness shares one filesystem; a cluster deployment would stage
     * `tools/fixtures/` to shared storage). */
-  def qJpegDecode(spark: SparkSession, dir: String): DataFrame = {
+  def qJpegDecode(spark: SparkSession, dir: String): DataFrame =
+    jpegPixels(spark, graft.Fixtures.path("q_jpeg_decode"))
+
+  /** Progressive (SOF2) JPEG decode, oracle-graded per pixel — the
+    * same discipline as [[qJpegDecode]] over the five committed
+    * progressive fixtures written by the independent Python
+    * progressive encoder (`tools/jpeg_progressive_golden.py`:
+    * spectral selection + successive approximation in the libjpeg
+    * standard-script shape, per-scan Huffman tables, real EOB runs,
+    * restart markers; coefficient-roundtrip-verified there by an
+    * independent Python progressive decoder). The golden pixels are
+    * the shared-integer-spec decode of the baseline sibling carrying
+    * identical quantized coefficients, so every scan-assembly step in
+    * [[graft.sources.JpegCodec]]'s SOF2 path — DC holdback bits, AC
+    * band merge, EOB-run bookkeeping, refinement correction bits,
+    * restart resets — must be exact or the hash flips. Progressive is
+    * the dominant web-image coding, so this closes the biggest
+    * real-corpus coverage gap a LAION-style crawl would hit. */
+  def qJpegProgressive(spark: SparkSession, dir: String): DataFrame =
+    jpegPixels(spark, graft.Fixtures.path("q_jpeg_progressive"))
+
+  private def jpegPixels(spark: SparkSession, fixtureDir: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.jpg")
-      .load(graft.Fixtures.path("q_jpeg_decode"))
+      .load(fixtureDir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
@@ -625,6 +646,10 @@ object MultimodalQueries {
   val qJpegDecodeSql: String =
     s"""SELECT name, y, x, r, g, b
       |FROM read_parquet('${graft.Fixtures.base}/q_jpeg_decode/golden/*.parquet')""".stripMargin
+
+  val qJpegProgressiveSql: String =
+    s"""SELECT name, y, x, r, g, b
+      |FROM read_parquet('${graft.Fixtures.base}/q_jpeg_progressive/golden/*.parquet')""".stripMargin
 
   /** NetCDF classic (CDF-1) container round-trip, oracle-graded — the
     * reference's prediction sink is `ds.to_netcdf` per test instance,
@@ -778,6 +803,99 @@ object MultimodalQueries {
       .toDF("source", "n_txt", "n_png", "txt_bytes", "px_sum", "ck_sum")
   }
 
+  /** Webdataset shard round-trip with caption+JPEG pairs — the actual
+    * LAION member layout (`{id}.txt` + `{id}.jpg`, reference
+    * dataops/dataset.py:31,258-278); the PNG variant above is kept
+    * deliberately as the lossless self-contained oracle. JPEG decode
+    * is lossy, so per-pixel content can't be recomputed from text by
+    * SQL; instead each sample's image is one of the TEN committed
+    * foreign fixtures (five baseline + five progressive), selected by
+    * `doc_id % 10` over the sorted fixture names, and the oracle
+    * recomputes every per-pixel sum from the independent Python
+    * goldens joined to `documents` by the same modulus — so the tar
+    * packing, basename pairing, AND the full baseline+progressive
+    * decode paths are all on the hash. The fixture bytes ride the
+    * closure (ten small committed files — bounded control artifact,
+    * not corpus data); shards build and decode executor-side, one per
+    * source, no shuffle beyond the groupBy. */
+  def qWebdatasetJpeg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures: Seq[(String, Array[Byte])] =
+      (listJpgs(graft.Fixtures.path("q_jpeg_decode")) ++
+        listJpgs(graft.Fixtures.path("q_jpeg_progressive"))).sortBy(_._1)
+    val nFix = fixtures.length
+    require(nFix > 0, "no committed jpeg fixtures found")
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+      .as[(String, Long, String)]
+      .filter(_._3.length >= 6)
+      .groupByKey(_._1)
+      .mapGroups { (src, it) =>
+        val docs = it.toSeq.sortBy(_._2)
+        val members = docs.flatMap { case (_, id, text) =>
+          Seq(
+            graft.sources.TarCodec.Member(f"$id%012d.txt", text.getBytes("UTF-8")),
+            graft.sources.TarCodec.Member(f"$id%012d.jpg",
+              fixtures((id % nFix).toInt)._2))
+        }
+        val shard = graft.sources.TarCodec.encode(members)
+        val back = graft.sources.TarCodec.decode(shard)
+          .getOrElse(throw new IllegalStateException(s"own shard undecodable: $src"))
+        val bySample = back.groupBy(_.name.takeWhile(_ != '.'))
+        var nTxt = 0L; var nJpg = 0L; var txtBytes = 0L
+        var pxSum = 0L; var nPx = 0L
+        bySample.toSeq.sortBy(_._1).foreach { case (_, ms) =>
+          val txt = ms.find(_.name.endsWith(".txt"))
+            .getOrElse(throw new IllegalStateException("unpaired sample: no txt"))
+          val jpg = ms.find(_.name.endsWith(".jpg"))
+            .getOrElse(throw new IllegalStateException("unpaired sample: no jpg"))
+          nTxt += 1; nJpg += 1
+          txtBytes += txt.data.length
+          val img = graft.sources.JpegCodec.decode(jpg.data)
+            .getOrElse(throw new IllegalStateException("member jpg undecodable"))
+          nPx += img.width.toLong * img.height
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i) & 0xff
+            // gray replicates to r=g=b, the golden-parquet convention
+            pxSum += (if (img.channels == 1) 3L * v else v.toLong)
+            i += 1
+          }
+        }
+        (src, nTxt, nJpg, txtBytes, pxSum, nPx)
+      }
+      .toDF("source", "n_txt", "n_jpg", "txt_bytes", "px_sum", "n_px")
+  }
+
+  private def listJpgs(dirPath: String): Seq[(String, Array[Byte])] = {
+    val d = new java.io.File(dirPath)
+    Option(d.listFiles).getOrElse(Array.empty).toSeq
+      .filter(_.getName.endsWith(".jpg"))
+      .map(f => f.getName.stripSuffix(".jpg") ->
+        java.nio.file.Files.readAllBytes(f.toPath))
+  }
+
+  /** Oracle: per-fixture pixel sums from the two committed golden
+    * parquets, joined to `documents` by the same doc_id % N rule. */
+  val qWebdatasetJpegSql: String =
+    s"""WITH fx AS (
+      |  SELECT name, ROW_NUMBER() OVER (ORDER BY name) - 1 AS fi,
+      |    CAST(SUM(r + g + b) AS BIGINT) AS px, COUNT(*) AS npx
+      |  FROM (
+      |    SELECT * FROM read_parquet('${graft.Fixtures.base}/q_jpeg_decode/golden/*.parquet')
+      |    UNION ALL
+      |    SELECT * FROM read_parquet('${graft.Fixtures.base}/q_jpeg_progressive/golden/*.parquet'))
+      |  GROUP BY name),
+      |n AS (SELECT COUNT(*) AS nfix FROM fx)
+      |SELECT d.source, COUNT(*) AS n_txt, COUNT(*) AS n_jpg,
+      |  CAST(SUM(length(d.text)) AS BIGINT) AS txt_bytes,
+      |  CAST(SUM(fx.px) AS BIGINT) AS px_sum,
+      |  CAST(SUM(fx.npx) AS BIGINT) AS n_px
+      |FROM documents d
+      |JOIN fx ON fx.fi = d.doc_id % (SELECT nfix FROM n)
+      |WHERE length(d.text) >= 6
+      |GROUP BY d.source""".stripMargin
+
   val qWebdatasetSql: String =
     """SELECT source, COUNT(*) AS n_txt, COUNT(*) AS n_png,
       |  CAST(SUM(length(text)) AS BIGINT) AS txt_bytes,
@@ -797,9 +915,11 @@ object MultimodalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_webdataset" -> (qWebdataset _),
+    "q_webdataset_jpeg" -> (qWebdatasetJpeg _),
     "q_hdf5_read" -> (qHdf5Read _),
     "q_netcdf_roundtrip" -> (qNetcdfRoundtrip _),
     "q_jpeg_decode" -> (qJpegDecode _),
+    "q_jpeg_progressive" -> (qJpegProgressive _),
     "q_png_decode" -> (qPngDecode _),
     "q_tiff_georef" -> (qTiffGeoref _),
     "q_jsonl_gz" -> (qJsonlGz _),
@@ -818,9 +938,11 @@ object MultimodalQueries {
 
   val oracle: Map[String, String] = Map(
     "q_webdataset" -> qWebdatasetSql,
+    "q_webdataset_jpeg" -> qWebdatasetJpegSql,
     "q_hdf5_read" -> qHdf5ReadSql,
     "q_netcdf_roundtrip" -> qNetcdfRoundtripSql,
     "q_jpeg_decode" -> qJpegDecodeSql,
+    "q_jpeg_progressive" -> qJpegProgressiveSql,
     "q_jsonl_gz" -> qJsonlGzSql,
     "q_media_manifest" -> qMediaManifestSql,
     "q_media_features" -> qMediaFeaturesSql,

@@ -2,17 +2,20 @@ package graft.sources
 
 import scala.collection.mutable
 
-/** Baseline-JPEG (ISO/IEC 10918-1 SOF0) decoder for multimodal binary
-  * columns — real LLM training corpora (LAION-style webdatasets,
-  * reference `dataops/` image shards) carry JPEG, not PPM/TIFF.
+/** JPEG (ISO/IEC 10918-1) decoder for multimodal binary columns —
+  * real LLM training corpora (LAION-style webdatasets, reference
+  * `dataops/` image shards) carry JPEG, not PPM/TIFF.
   *
-  * Scope: baseline sequential Huffman, 8-bit, 1 (grayscale) or 3
-  * (YCbCr) components, any h/v sampling factors up to 2 (4:4:4, 4:2:2,
-  * 4:2:0), multiple DQT/DHT segments, DRI/RSTn restart intervals,
-  * APPn/COM skipped. Everything else — progressive (SOF2), arithmetic
-  * coding (SOF9+), 12-bit precision, CMYK, truncated or corrupt
-  * streams — is refused with None, never an exception: corrupt shards
-  * in a 100 TB crawl must skip, not kill the stage (same contract as
+  * Scope: baseline sequential Huffman (SOF0/SOF1) AND progressive
+  * Huffman (SOF2 — spectral selection + successive approximation,
+  * the dominant web-image coding; see [[ProgState]]), 8-bit, 1
+  * (grayscale) or 3 (YCbCr) components, any h/v sampling factors up
+  * to 2 (4:4:4, 4:2:2, 4:2:0), multiple DQT/DHT segments (including
+  * per-scan table redefinition), DRI/RSTn restart intervals, APPn/COM
+  * skipped. Everything else — arithmetic coding (SOF9+), lossless,
+  * 12-bit precision, CMYK, truncated or corrupt streams — is refused
+  * with None, never an exception: corrupt shards in a 100 TB crawl
+  * must skip, not kill the stage (same contract as
   * [[GzipCodec]]/[[TarCodec]]).
   *
   * The inverse pipeline is a FIXED INTEGER SPEC shared bit-for-bit
@@ -433,6 +436,287 @@ object JpegCodec {
 
   private final case class Comp(id: Int, h: Int, v: Int, tq: Int)
 
+  /** Accumulated progressive (SOF2) frame state: per-component
+    * MCU-padded coefficient grids (natural order, 64 ints per block)
+    * filled in by successive scans — spectral-selection bands and
+    * successive-approximation bit planes per ITU-T T.81 G.2 — then
+    * dequantized + IDCTed once at EOI. Scan-assembly algorithms
+    * mirror the independent Python encoder/decoder pair in
+    * `tools/jpeg_progressive_golden.py` (shared integer spec).
+    *
+    * Geometry: interleaved DC scans cover the full MCU-padded block
+    * grid; non-interleaved scans cover only the ceil(samples/8)
+    * sub-grid (T.81 A.2.2), so MCU-pad blocks legitimately end with
+    * DC-only coefficients — they're cropped by assembly anyway. */
+  private final class ProgState(val width: Int, val height: Int,
+      val comps: Array[Comp]) {
+    val nc: Int = comps.length
+    var hmax = 1; var vmax = 1
+    comps.foreach { c => hmax = math.max(hmax, c.h); vmax = math.max(vmax, c.v) }
+    val mcux: Int = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcuy: Int = (height + 8 * vmax - 1) / (8 * vmax)
+    val gw: Array[Int] = Array.tabulate(nc)(i => mcux * comps(i).h)
+    val gh: Array[Int] = Array.tabulate(nc)(i => mcuy * comps(i).v)
+    val cbw: Array[Int] = Array.tabulate(nc) { i =>
+      ((width * comps(i).h + hmax - 1) / hmax + 7) / 8
+    }
+    val cbh: Array[Int] = Array.tabulate(nc) { i =>
+      ((height * comps(i).v + vmax - 1) / vmax + 7) / 8
+    }
+    locally {
+      // same decode-size envelope as the baseline path: the grids are
+      // 4-byte ints, bounded BEFORE allocation
+      var paddedSamples = 0L
+      var i = 0
+      while (i < nc) { paddedSamples += gw(i).toLong * 8 * gh(i) * 8; i += 1 }
+      if (paddedSamples > MaxPixels * 8) refuse()
+    }
+    val grids: Array[Array[Int]] =
+      Array.tabulate(nc)(i => new Array[Int](gw(i) * gh(i) * 64))
+    var sawScan = false
+
+    /** One scan's data units; returns the byte offset of the next
+      * marker after the entropy segment. */
+    def scan(d: Array[Byte], start: Int, cis: Array[Int],
+        dcTid: Array[Int], acTid: Array[Int], ss: Int, se: Int,
+        ah: Int, al: Int, restart: Int,
+        huffDc: Array[mutable.HashMap[Int, Int]],
+        huffAc: Array[mutable.HashMap[Int, Int]]): Int = {
+      val isDc = ss == 0
+      if (isDc && se != 0) refuse()
+      if (!isDc && (cis.length != 1 || ss > se || se > 63)) refuse()
+      if (ah > 13 || al > 13) refuse()
+      val br = new BitReader(d, start)
+      var eobrun = 0
+      if (cis.length > 1) {
+        // interleaved DC scan in MCU order over the padded grid
+        val dcT = Array.tabulate(cis.length) { j =>
+          if (ah == 0) {
+            val t = huffDc(dcTid(cis(j))); if (t == null) refuse(); t
+          } else null
+        }
+        val preds = new Array[Int](nc)
+        var mcu = 0; var rst = 0
+        var my = 0
+        while (my < mcuy) {
+          var mx = 0
+          while (mx < mcux) {
+            if (restart > 0 && mcu > 0 && mcu % restart == 0) {
+              br.byteAlign()
+              if (br.peekRst() != 0xd0 + (rst & 7)) refuse()
+              br.skipMarker()
+              rst += 1
+              java.util.Arrays.fill(preds, 0)
+            }
+            var j = 0
+            while (j < cis.length) {
+              val ci = cis(j); val c = comps(ci)
+              var by = 0
+              while (by < c.v) {
+                var bx = 0
+                while (bx < c.h) {
+                  val bi = ((my * c.v + by) * gw(ci) + (mx * c.h + bx)) * 64
+                  dcUnit(br, grids(ci), bi, preds, ci, ah, al, dcT(j))
+                  bx += 1
+                }
+                by += 1
+              }
+              j += 1
+            }
+            mcu += 1; mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // non-interleaved: raster over the component's ceil sub-grid
+        val ci = cis(0)
+        val dcT =
+          if (isDc && ah == 0) {
+            val t = huffDc(dcTid(ci)); if (t == null) refuse(); t
+          } else null
+        val acT =
+          if (!isDc) {
+            val t = huffAc(acTid(ci)); if (t == null) refuse(); t
+          } else null
+        val preds = new Array[Int](nc)
+        var n = 0; var rst = 0
+        var by = 0
+        while (by < cbh(ci)) {
+          var bx = 0
+          while (bx < cbw(ci)) {
+            if (restart > 0 && n > 0 && n % restart == 0) {
+              br.byteAlign()
+              if (br.peekRst() != 0xd0 + (rst & 7)) refuse()
+              br.skipMarker()
+              rst += 1
+              java.util.Arrays.fill(preds, 0)
+              eobrun = 0
+            }
+            val bi = (by * gw(ci) + bx) * 64
+            if (isDc) dcUnit(br, grids(ci), bi, preds, ci, ah, al, dcT)
+            else if (ah == 0) eobrun = acFirst(br, acT, grids(ci), bi, ss, se, al, eobrun)
+            else eobrun = acRefine(br, acT, grids(ci), bi, ss, se, al, eobrun)
+            n += 1; bx += 1
+          }
+          by += 1
+        }
+      }
+      if (eobrun != 0) refuse() // EOB run spilling past the last block
+      sawScan = true
+      // resume the marker walk at the next real marker (pad bits and
+      // stuffed FF00 pairs may trail the last consumed entropy byte)
+      var q = br.p
+      while (q + 1 < d.length &&
+          !((d(q) & 0xff) == 0xff && (d(q + 1) & 0xff) != 0)) q += 1
+      if (q + 1 >= d.length) refuse()
+      q
+    }
+
+    /** DC data unit: first scan decodes a diff and seeds coef<<al;
+      * refinement appends one raw bit at position al. */
+    private def dcUnit(br: BitReader, g: Array[Int], bi: Int,
+        preds: Array[Int], ci: Int, ah: Int, al: Int,
+        dcT: mutable.HashMap[Int, Int]): Unit =
+      if (ah == 0) {
+        val s = readHuff(br, dcT)
+        if (s > 11) refuse()
+        val diff = if (s != 0) extend(br.bits(s), s) else 0
+        preds(ci) += diff
+        g(bi) = preds(ci) << al
+      } else {
+        if (br.bit() != 0) g(bi) |= 1 << al
+      }
+
+    /** AC first scan (T.81 G.2.2 / libjpeg decode_mcu_AC_first):
+      * EOB-run aware band decode; returns the remaining EOB run. */
+    private def acFirst(br: BitReader, acT: mutable.HashMap[Int, Int],
+        g: Array[Int], bi: Int, ss: Int, se: Int, al: Int,
+        eobrun0: Int): Int = {
+      if (eobrun0 > 0) return eobrun0 - 1
+      var k = ss
+      while (k <= se) {
+        val rs = readHuff(br, acT)
+        val r = rs >> 4; val s = rs & 0x0f
+        if (s == 0) {
+          if (r != 15) {
+            var run = 1 << r
+            if (r > 0) run += br.bits(r)
+            return run - 1 // this block is one of the run
+          }
+          k += 16 // ZRL
+        } else {
+          k += r
+          if (k > se) refuse()
+          g(bi + Zigzag(k)) = extend(br.bits(s), s) << al
+          k += 1
+        }
+      }
+      0
+    }
+
+    /** AC refinement scan (T.81 G.2.3 / libjpeg decode_mcu_AC_refine):
+      * correction bits for known-nonzero coefficients interleaved with
+      * newly-nonzero ±1<<al insertions; returns the remaining EOB run
+      * (EOB-run blocks still refine their nonzero coefficients). */
+    private def acRefine(br: BitReader, acT: mutable.HashMap[Int, Int],
+        g: Array[Int], bi: Int, ss: Int, se: Int, al: Int,
+        eobrun0: Int): Int = {
+      var eobrun = eobrun0
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var eob = false
+        while (k <= se && !eob) {
+          val rs = readHuff(br, acT)
+          var r = rs >> 4; val s = rs & 0x0f
+          var newval = 0
+          if (s == 0) {
+            if (r != 15) {
+              eobrun = 1 << r
+              if (r > 0) eobrun += br.bits(r)
+              eob = true
+            }
+            // r == 15: ZRL — skip 16 zero-history coefficients below
+          } else {
+            if (s != 1) refuse() // magnitude must be 1 in refinement
+            newval = if (br.bit() != 0) p1 else m1
+          }
+          if (!eob) {
+            var advancing = true
+            while (k <= se && advancing) {
+              val z = bi + Zigzag(k)
+              if (g(z) != 0) {
+                if (br.bit() != 0 && (g(z) & p1) == 0)
+                  g(z) += (if (g(z) >= 0) p1 else m1)
+                k += 1
+              } else if (r == 0) advancing = false
+              else { r -= 1; k += 1 }
+            }
+            if (newval != 0) {
+              if (k > se) refuse()
+              g(bi + Zigzag(k)) = newval
+            }
+            k += 1
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // end-of-band: remaining positions still carry correction bits
+        // for already-nonzero coefficients
+        while (k <= se) {
+          val z = bi + Zigzag(k)
+          if (g(z) != 0) {
+            if (br.bit() != 0 && (g(z) & p1) == 0)
+              g(z) += (if (g(z) >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      eobrun
+    }
+
+    /** Dequantize + IDCT every block, then the shared assembly. */
+    def reconstruct(quant: Array[Array[Int]]): JpegImage = {
+      comps.foreach { c => if (quant(c.tq) == null) refuse() }
+      val planeW = Array.tabulate(nc)(i => gw(i) * 8)
+      val planes = Array.tabulate(nc)(i => new Array[Int](gw(i) * 8 * gh(i) * 8))
+      val zz = new Array[Int](64)
+      val blk = new Array[Int](64)
+      var ci = 0
+      while (ci < nc) {
+        val q = quant(comps(ci).tq)
+        val g = grids(ci)
+        val pw = planeW(ci)
+        var by = 0
+        while (by < gh(ci)) {
+          var bx = 0
+          while (bx < gw(ci)) {
+            val bi = (by * gw(ci) + bx) * 64
+            var j = 0
+            while (j < 64) { zz(j) = g(bi + j) * q(j); j += 1 }
+            idctBlock(zz, blk)
+            val y0 = by * 8; val x0 = bx * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                planes(ci)((y0 + yy) * pw + x0 + xx) = blk(yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      assembleImage(width, height, nc, comps, hmax, vmax, planeW, planes)
+    }
+  }
+
   /** Decode a baseline JPEG; None for anything outside the supported
     * profile or any malformed stream. Never throws. */
   def decode(bytes: Array[Byte]): Option[JpegImage] =
@@ -448,6 +732,8 @@ object JpegCodec {
     var width = 0; var height = 0
     var comps: Array[Comp] = null
     var restart = 0
+    var prog: ProgState = null
+    var pNext = -1
 
     def u16(o: Int): Int = {
       if (o + 1 >= d.length) refuse()
@@ -457,7 +743,13 @@ object JpegCodec {
     while (true) {
       if (p + 1 >= d.length || (d(p) & 0xff) != 0xff) refuse()
       val m = d(p + 1) & 0xff
-      if (m == 0xd9) refuse() // EOI before any SOS
+      if (m == 0xd9) {
+        // EOI: a progressive frame reconstructs here from the
+        // accumulated coefficient grids; for baseline it means no SOS
+        // arrived — malformed
+        if (prog != null && prog.sawScan) return prog.reconstruct(quant)
+        refuse()
+      }
       val ln = u16(p + 2)
       if (ln < 2 || p + 2 + ln > d.length) refuse()
       val bo = p + 4 // body offset, length ln - 2
@@ -489,8 +781,9 @@ object JpegCodec {
             if (tc == 0) huffDc(th) = t else huffAc(th) = t
             q += 17 + nv
           }
-        case 0xc0 | 0xc1 => // baseline / extended-sequential Huffman
+        case 0xc0 | 0xc1 | 0xc2 => // baseline / ext-sequential / progressive Huffman
           if ((d(bo) & 0xff) != 8) refuse() // 8-bit precision only
+          if (comps != null) refuse() // second frame header
           height = u16(bo + 1); width = u16(bo + 3)
           val nc = d(bo + 5) & 0xff
           if (width == 0 || height == 0 || (nc != 1 && nc != 3)) refuse()
@@ -503,11 +796,39 @@ object JpegCodec {
             if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3) refuse()
             c
           }
-        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          refuse() // progressive / lossless / arithmetic: out of profile
+          if (m == 0xc2) {
+            // single-component progressive frames are wholly
+            // non-interleaved: force 1x1 like the baseline scan path
+            val cs = if (nc == 1) Array(comps(0).copy(h = 1, v = 1)) else comps
+            prog = new ProgState(width, height, cs)
+          }
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          refuse() // lossless / arithmetic / differential: out of profile
         case 0xdd => // DRI
           if (ln != 4) refuse()
           restart = u16(bo)
+        case 0xda if prog != null => // SOS — one progressive scan
+          val ns = d(bo) & 0xff
+          if (ns < 1 || ns > prog.nc || bo + 1 + 2 * ns + 3 > bend) refuse()
+          val cis = new Array[Int](ns)
+          val dcTid = new Array[Int](prog.nc)
+          val acTid = new Array[Int](prog.nc)
+          var i = 0
+          while (i < ns) {
+            val cs = d(bo + 1 + 2 * i) & 0xff
+            val ci = prog.comps.indexWhere(_.id == cs)
+            if (ci < 0) refuse()
+            cis(i) = ci
+            val tt = d(bo + 2 + 2 * i) & 0xff
+            dcTid(ci) = tt >> 4; acTid(ci) = tt & 0x0f
+            if (dcTid(ci) > 3 || acTid(ci) > 3) refuse()
+            i += 1
+          }
+          val ss = d(bo + 1 + 2 * ns) & 0xff
+          val se = d(bo + 2 + 2 * ns) & 0xff
+          val ahal = d(bo + 3 + 2 * ns) & 0xff
+          pNext = prog.scan(d, bend, cis, dcTid, acTid, ss, se,
+            ahal >> 4, ahal & 0x0f, restart, huffDc, huffAc)
         case 0xda => // SOS — single interleaved baseline scan
           if (comps == null) refuse()
           val ns = d(bo) & 0xff
@@ -531,7 +852,7 @@ object JpegCodec {
             quant, huffDc, huffAc, restart)
         case _ => () // APPn, COM, others: skip
       }
-      p = p + 2 + ln
+      p = if (pNext >= 0) { val t = pNext; pNext = -1; t } else p + 2 + ln
     }
     refuse()
   }
@@ -648,6 +969,14 @@ object JpegCodec {
       my += 1
     }
 
+    assembleImage(width, height, nc, comps, hmax, vmax, planeW, planes)
+  }
+
+  /** Shared plane→image assembly (baseline + progressive): replicate
+    * upsampling + fixed-point YCbCr→RGB per the shared decode spec. */
+  private def assembleImage(width: Int, height: Int, nc: Int,
+      comps: Array[Comp], hmax: Int, vmax: Int,
+      planeW: Array[Int], planes: Array[Array[Int]]): JpegImage = {
     if (nc == 1) {
       val out = new Array[Byte](width * height)
       val pw = planeW(0)
