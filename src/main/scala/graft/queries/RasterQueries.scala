@@ -471,8 +471,83 @@ object RasterQueries {
       |SELECT tx, ty, c00 + c10 + c01 + c11 AS resampled
       |FROM agg WHERE found = 4""".stripMargin
 
+  /** UTM→EPSG:4326 reprojection, oracle-graded — the reference's REAL
+    * projected CRS pair: its Senegal rasters live in UTM zone 28N and
+    * `Transformer.from_crs(...)` / `.reproject(crs='EPSG:4326',
+    * scale=10)` (presto_modeling.py:86-91; monthly.py:334-337) move
+    * between them. The events grid plays a 500 m UTM-28N source
+    * raster; the target is a 36×60 geographic window at 1/512° whose
+    * CRS→CRS mapping is the full transverse-Mercator forward series
+    * ([[graft.functions.Tmerc]]) — polynomial sin/cos over pure IEEE
+    * arithmetic, the IDENTICAL staged SQL running through Spark
+    * `expr()` here and verbatim CTEs in the oracle, so every E/N
+    * (and therefore every bilinear weight) is bit-exact cross-engine.
+    * TmercSpec independently pins the series (Simpson meridian arc,
+    * k0 scale, roundtrip). Same distributed shape as [[qReproject]]:
+    * codegen'd target projection, one equi-join gather, found=4 edge
+    * gate. */
+  def qReprojectUtm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Tmerc
+    val src = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("x"), dayofmonth(col("ts")).as("y"))
+      .agg(min(col("value")).as("v"))
+    val srcCrs = Reproject.GridCrs(390000.0, 1700000.0, 500.0, 500.0)
+    val dstCrs = Reproject.GridCrs(-16.02, 15.365, 0.001953125, 0.001953125)
+    var targets = spark.range(0, 36L).toDF("tx")
+      .crossJoin(spark.range(0, 60L).toDF("ty"))
+      .withColumn("lon", dstCrs.toModelX(col("tx")))
+      .withColumn("lat", dstCrs.toModelY(col("ty")))
+    for (stage <- Tmerc.pipeline(Tmerc.centralMeridian(28)); (nm, ex) <- stage)
+      targets = targets.withColumn(nm, expr(ex))
+    Reproject.bilinearGather(src, targets
+      .withColumn("u", srcCrs.toPixelX(col("utm_e")))
+      .withColumn("w", srcCrs.toPixelY(col("utm_n")))
+      .select("tx", "ty", "u", "w"))
+  }
+
+  val qReprojectUtmSql: String = {
+    val inner =
+      """SELECT tx, ty,
+        |    (tx * 0.001953125 + (-1.602e1)) AS lon,
+        |    (1.5365e1 - ty * 0.001953125) AS lat
+        |  FROM (SELECT unnest(range(36)) AS tx), (SELECT unnest(range(60)) AS ty)""".stripMargin
+    val projected = graft.functions.Tmerc.pipelineSql(
+      inner, graft.functions.Tmerc.centralMeridian(28))
+    s"""WITH src AS (
+      |  SELECT user_id AS x, day(ts) AS y, MIN(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |targets AS (
+      |  SELECT tx, ty,
+      |    ((utm_e - 390000.0) / 500.0) AS u,
+      |    (-((utm_n - 1700000.0) / 500.0)) AS w
+      |  FROM $projected),
+      |t2 AS (
+      |  SELECT tx, ty, u, w,
+      |    CAST(FLOOR(u) AS BIGINT) AS x0, CAST(FLOOR(w) AS BIGINT) AS y0,
+      |    u - CAST(FLOOR(u) AS BIGINT) AS fx, w - CAST(FLOOR(w) AS BIGINT) AS fy
+      |  FROM targets),
+      |corners AS (
+      |  SELECT tx, ty, fx, fy,
+      |    x0 + (i % 2) AS x, y0 + (i // 2) AS y, i % 2 AS dx, i // 2 AS dy,
+      |    (CASE WHEN i % 2 = 1 THEN fx ELSE 1.0e0 - fx END)
+      |      * (CASE WHEN i // 2 = 1 THEN fy ELSE 1.0e0 - fy END) AS wt
+      |  FROM t2, (SELECT unnest(range(4)) AS i)),
+      |agg AS (
+      |  SELECT tx, ty,
+      |    MAX(CASE WHEN dx = 0 AND dy = 0 THEN wt * v END) AS c00,
+      |    MAX(CASE WHEN dx = 1 AND dy = 0 THEN wt * v END) AS c10,
+      |    MAX(CASE WHEN dx = 0 AND dy = 1 THEN wt * v END) AS c01,
+      |    MAX(CASE WHEN dx = 1 AND dy = 1 THEN wt * v END) AS c11,
+      |    COUNT(*) AS found
+      |  FROM corners c JOIN src s ON c.x = s.x AND c.y = s.y
+      |  GROUP BY 1, 2)
+      |SELECT tx, ty, c00 + c10 + c01 + c11 AS resampled
+      |FROM agg WHERE found = 4""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_reproject" -> (qReproject _),
+    "q_reproject_utm" -> (qReprojectUtm _),
     "q_idw_interp" -> (qIdwInterp _),
     "q_focal_min" -> (qFocalMin _),
     "q_spatial_join" -> (qSpatialJoin _),
@@ -484,6 +559,7 @@ object RasterQueries {
 
   val oracle: Map[String, String] = Map(
     "q_reproject" -> qReprojectSql,
+    "q_reproject_utm" -> qReprojectUtmSql,
     "q_idw_interp" -> qIdwInterpSql,
     "q_focal_min" -> qFocalMinSql,
     "q_spatial_join" -> qSpatialJoinSql,
