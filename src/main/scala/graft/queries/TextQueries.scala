@@ -1051,7 +1051,14 @@ object TextQueries {
     // threshold-banded DP (O(k·n) with early exit, returns -1 above the
     // bound) — ~8× cheaper than the full O(n²) distance on the ~99% of
     // candidates that miss; exact distance for every kept pair, so the
-    // full-DP oracle still hash-matches
+    // full-DP oracle still hash-matches.
+    // (Measured dead end, round 13: a char-histogram counting filter
+    // before the DP — ed >= L1/2, 85% prune at sf1 — was tried in two
+    // forms and REMOVED: as array<int> + zip_with/aggregate it ran 2×
+    // slower than no filter (higher-order lambdas evaluate off the
+    // codegen path), and as 26 plain int columns it cost ~4 min of
+    // cold Catalyst planning (constraint propagation through a join
+    // over 26 column pairs) for a ~15% steady-state win.)
     probes.as("a").join(docs.as("c"),
         col("a.lang") === col("c.lang") && col("a.pb") === col("c.b") &&
         col("a.doc_id") < col("c.doc_id"))
@@ -1354,7 +1361,11 @@ object TextQueries {
   def qEntityResolution(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = qFuzzyJoin(spark, dir).select(col("a_id"), col("b_id"))
-    val labels = graft.operators.GraphOps.connectedComponents(pairs, "a_id", "b_id")
+    // star CC (O(log n) rounds + base materialization so the banded
+    // fuzzy join runs once, not once per consumer) — same (id, lbl)
+    // min-label contract as the label-prop engine, measurably faster
+    // on the replica-clique graphs an ER corpus produces at scale
+    val labels = graft.operators.GraphOps.connectedComponentsStar(pairs, "a_id", "b_id")
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
     val members = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
       .join(docs, "doc_id")

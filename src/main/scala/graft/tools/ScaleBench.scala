@@ -8,7 +8,7 @@ import graft.{Sessions, SparkEntry}
   * scales per query keeps a hypervisor steal window from biasing one
   * scale's numbers; each (query, scale) takes the MIN of two runs
   * (first run per scale also absorbs codegen). Writes
-  * `BENCH_sf1_r12.json` and prints one summary JSON line.
+  * `BENCH_sf1_r13.json` and prints one summary JSON line.
   *
   * Exponent semantics: e = log(t_big/t_small) / log(10) — 1.0 is
   * perfectly linear in rows, < 1 means fixed per-query overhead still
@@ -36,12 +36,55 @@ object ScaleBench {
     "q_sessionize", "q_tfidf", "q_bm25", "q_token_stats", "q_gopher_rules",
     // round-12 corpus-dependent additions (container encode/decode per
     // source group — expected ~linear in corpus bytes)
-    "q_webdataset", "q_netcdf_roundtrip")
+    "q_webdataset", "q_netcdf_roundtrip",
+    // round-13 widening to the full corpus-driven surface (verdict
+    // ask: ≥100 queries in the measured decade). Fixture-pinned
+    // queries (jpeg/hdf5/tiff/wav/npy goldens, encoder tables) are
+    // deliberately absent — their input doesn't scale with SF, so an
+    // exponent would be noise, not signal.
+    // TPC-H, all 22 shapes:
+    "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
+    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20",
+    "q_tpch_q21", "q_tpch_q22",
+    // text-quality / curation tier:
+    "q_lang_id", "q_pii_scan", "q_repetition", "q_doc_entropy",
+    "q_unigram_typicality", "q_quality_score", "q_pmi_tokens",
+    "q_chunk_overlap", "q_data_mixture", "q_corpus_curation",
+    "q_pack_sequences", "q_dedup_keep", "q_dedup_incremental",
+    "q_fingerprint", "q_feature_hash", "q_vocab_topk", "q_bpe_merges",
+    "q_zipf_fit", "q_webdataset_jpeg",
+    // analytics / funnels:
+    "q_dau_wau", "q_retention", "q_funnel", "q_attribution", "q_rfm",
+    "q_ltv_cohort", "q_growth_accounting", "q_resurrection",
+    "q_wow_growth", "q_markov_transitions", "q_view_to_purchase",
+    "q_audience_overlap", "q_interval_overlap", "q_multi_count",
+    // stats tier:
+    "q_quantiles", "q_histogram", "q_histogram_2d", "q_equidepth",
+    "q_corr_stats", "q_chi2", "q_info_gain", "q_mad_outliers",
+    "q_winsorize", "q_anomaly_zscore", "q_cusum", "q_ewma",
+    "q_ols_by_group", "q_kfold_ols", "q_ab_test",
+    // windows / time series:
+    "q_window_ranks", "q_window_distinct", "q_rolling_range", "q_locf",
+    "q_interpolate", "q_scd2", "q_hopping", "q_asof_nearest",
+    "q_asof_backward", "q_topk_per_group",
+    // ML / vector tier:
+    "q_knn_k20_banded", "q_knn_k100_banded", "q_knn_regress",
+    "q_knn_exact", "q_lr_probe", "q_rf_vote", "q_centroid_assign",
+    "q_kmeans_refine", "q_stratified_split", "q_class_balance",
+    "q_ann_sign_lsh", "q_cosine_topk", "q_ann_recall", "q_ivf_recall",
+    "q_pq_search_fast", "q_pq_search_trained", "q_kmv_sketch",
+    "q_quantile_sketch", "q_distinct", "q_distinct_approx",
+    // core relational shapes:
+    "q_join_outer", "q_semi_anti", "q_setops", "q_salted_join",
+    "q_band_join", "q_nullsafe_join", "q_sort_limit", "q_string_agg",
+    "q_filter_predicates", "q_month_spine", "q_calendar")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val big = if (args.length > 1) args(1) else new java.io.File("testdata_sf1").getAbsolutePath
-    val out = if (args.length > 2) args(2) else "BENCH_sf1_r12.json"
+    val out = if (args.length > 2) args(2) else "BENCH_sf1_r13.json"
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
 
     def once(name: String, dir: String): Double = {
