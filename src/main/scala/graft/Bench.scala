@@ -67,11 +67,25 @@ object Bench {
             .exists(_.group(1) == "0")
         if (!quietOk) None
         else {
+          // detail format: "name":{"sec":N,...}; flat format (older
+          // committed refs): "name":N inside the queries map. The flat
+          // fallback matters: a reference that parses to ZERO entries
+          // silently disables the noise-retry tier entirely (found in
+          // round 13 — the r12 flat BENCH_REF never matched the detail
+          // regex, so no retry ever fired against it).
           val entry = """"([A-Za-z0-9_]+)":\{"sec":(-?[0-9.]+)""".r
-          Some(entry.findAllMatchIn(text)
+          val detail = entry.findAllMatchIn(text)
             .map(m => m.group(1) -> m.group(2).toDouble)
             .filter(_._2 > 0)
-            .toMap)
+            .toMap
+          if (detail.nonEmpty) Some(detail)
+          else {
+            val flat = """"(q[A-Za-z0-9_]*|q1_agg)":(-?[0-9.]+)""".r
+            Some(flat.findAllMatchIn(text)
+              .map(m => m.group(1) -> m.group(2).toDouble)
+              .filter(_._2 > 0)
+              .toMap)
+          }
         }
       } catch { case _: Throwable => None }
     val ref = java.nio.file.Paths.get("BENCH_REF.json")
