@@ -13,14 +13,16 @@ package graft.sources
   *    with names in a local heap,
   *  - v1 object headers per dataset (dataspace v1, datatype classes
   *    fixed-point/float in little-endian, layout v3 class 1
-  *    CONTIGUOUS — or class 2 CHUNKED with an optional deflate
-  *    filter pipeline, the `h5py compression="gzip"` shape: single
-  *    leaf-level chunk B-tree, full-size edge-padded chunks),
+  *    CONTIGUOUS — or class 2 CHUNKED with an optional filter
+  *    pipeline of deflate and/or byte-shuffle, the
+  *    `h5py compression="gzip"` / `shuffle=True` shapes: chunk
+  *    B-trees at any depth (budget-bounded recursive walk),
+  *    full-size edge-padded chunks),
   *  - raw data following each header (or per-chunk blobs).
   *
   * Refusal contract (the [[GzipCodec]]/[[PngCodec]] discipline):
-  * anything outside that envelope — compact layout, non-deflate or
-  * stacked filters, multi-level chunk B-trees,
+  * anything outside that envelope — compact layout, filters beyond
+  * deflate+shuffle,
   * big-endian or non-scalar datatypes, fractured group B-trees deeper
   * than one level, truncated anything — returns None, never throws, so
   * one corrupt object skips instead of killing a distributed scan.
@@ -216,14 +218,31 @@ object Hdf5Codec {
       val width = dtype.substring(1).toInt
 
       // filter pipeline (0x000B): absent, or exactly one deflate filter
-      val hasDeflate: Boolean = msgs.find(_._1 == 0x000b) match {
-        case None => false
+      // pipeline v1, filters in APPLICATION order — any subset of
+      // {shuffle (2), deflate (1)}, each at most once (covers the
+      // common h5py shapes compression="gzip" and shuffle=True,
+      // compression="gzip"); anything else refused
+      val filters: List[Int] = msgs.find(_._1 == 0x000b) match {
+        case None => Nil
         case Some((_, b, _)) =>
           if (u8(b) != 1) return None // pipeline v2+ out of envelope
-          if (u8(b + 1) != 1) return None // >1 filter (shuffle etc.) refused
-          if (u16(b + 8) != 1) return None // filter id 1 = deflate only
-          if (u16(b + 10) != 0) return None // named filters out of envelope
-          true
+          val nf = u8(b + 1)
+          if (nf < 1 || nf > 2) return None
+          var fs = List.empty[Int]
+          var q = b + 8
+          var k = 0
+          while (k < nf) {
+            val fid = u16(q)
+            if (fid != 1 && fid != 2) return None // deflate/shuffle only
+            if (u16(q + 2) != 0) return None // named filters out of envelope
+            val nvals = u16(q + 6)
+            if (nvals < 0 || nvals > 8) return None
+            fs = fs :+ fid
+            q += 8 + 4L * nvals + (if (nvals % 2 == 1) 4L else 0L)
+            k += 1
+          }
+          if (fs.distinct.size != fs.size) return None
+          fs
       }
 
       // layout v3: class 1 (contiguous) or class 2 (chunked)
@@ -233,7 +252,7 @@ object Hdf5Codec {
           if (u8(b) != 3) return None
           u8(b + 1) match {
             case 1 => // contiguous: address + size
-              if (hasDeflate) return None // filters need chunked layout
+              if (filters.nonEmpty) return None // filters need chunked layout
               val dataAt = u64(b + 2); val dataSize = u64(b + 10)
               if (nElems * width != dataSize) return None
               if (dataAt < 0 || dataAt + dataSize > bytes.length) return None
@@ -249,7 +268,7 @@ object Hdf5Codec {
               val chunkElems = chunkDims.product
               if (chunkElems <= 0 || chunkElems > MaxElements) return None
               readChunked(bytes, btreeAt, shape, chunkDims, width.toInt,
-                hasDeflate).getOrElse(return None)
+                filters).getOrElse(return None)
             case _ => return None // compact (0) out of envelope
           }
       }
@@ -282,14 +301,18 @@ object Hdf5Codec {
   }
 
   /** Assemble a chunked dataset's raw little-endian element bytes from
-    * its v1 chunk B-tree (node type 1, LEVEL 0 ONLY — deeper trees are
-    * refused; a CropHarvest-scale instance fits one leaf). Chunks are
-    * full-size (edge chunks zero-padded per the format), optionally
-    * deflate-compressed (`h5py compression="gzip"`); elements outside
-    * the dataset bounds are discarded on scatter. None on any
-    * structural violation. */
+    * its v1 chunk B-tree — leaf nodes directly, or INTERNAL nodes
+    * (level > 0) walked recursively with a depth cap of 8 and a
+    * global node/chunk budget bounded by the chunk grid, so a hostile
+    * pointer graph can't explode the walk. Chunks are full-size
+    * (edge chunks zero-padded per the format); the optional filter
+    * pipeline is inverted in reverse application order — deflate
+    * (id 1, `h5py compression="gzip"`) and byte-shuffle (id 2,
+    * `h5py shuffle=True`), honoring the per-chunk filter-skip mask.
+    * Elements outside the dataset bounds are discarded on scatter.
+    * None on any structural violation. */
   private def readChunked(bytes: Array[Byte], btreeAt: Long, shape: Seq[Long],
-      chunkDims: Seq[Long], width: Int, deflate: Boolean): Option[Array[Byte]] = {
+      chunkDims: Seq[Long], width: Int, filters: Seq[Int]): Option[Array[Byte]] = {
     def u8(o: Long): Int =
       if (o < 0 || o + 1 > bytes.length) -1 else bytes(o.toInt) & 0xff
     def u16(o: Long): Int =
@@ -302,12 +325,6 @@ object Hdf5Codec {
       if (o < 0 || o + 8 > bytes.length) -1L
       else u32(o) | (u32(o + 4) << 32)
 
-    if (!(u8(btreeAt) == 'T' && u8(btreeAt + 1) == 'R' &&
-          u8(btreeAt + 2) == 'E' && u8(btreeAt + 3) == 'E')) return None
-    if (u8(btreeAt + 4) != 1) return None // node type 1 = raw data chunks
-    if (u8(btreeAt + 5) != 0) return None // level > 0 out of envelope
-    val n = u16(btreeAt + 6)
-    if (n < 0 || n > 4096) return None
     val rank = shape.size
     val keySize = 8 + 8 * (rank + 1)
     // chunks larger than the dataset, or more entries than the chunk
@@ -317,7 +334,6 @@ object Hdf5Codec {
     if ((0 until rank).exists(d => chunkDims(d) > math.max(shape(d), 1L))) return None
     val gridChunks = (0 until rank)
       .map(d => (shape(d) + chunkDims(d) - 1) / chunkDims(d)).product
-    if (n > gridChunks) return None
 
     val nElems = shape.product
     if (nElems > Int.MaxValue / width) return None
@@ -335,39 +351,75 @@ object Hdf5Codec {
     val chunkElems = chunkDims.product.toInt
     val fullChunkBytes = chunkElems * width
 
-    var i = 0
-    while (i < n) {
-      val kAt = btreeAt + 24 + i.toLong * (keySize + 8)
+    /** Byte-unshuffle: stored layout groups byte j of every element
+      * together (out(i*w + j) = in(j*n + i)). Length-preserving. */
+    def unshuffle(in: Array[Byte]): Array[Byte] = {
+      val n = chunkElems
+      val out = new Array[Byte](in.length)
+      var j = 0
+      while (j < width) {
+        val base = j * n
+        var i = 0
+        while (i < n) { out(i * width + j) = in(base + i); i += 1 }
+        j += 1
+      }
+      out
+    }
+
+    /** One leaf entry: decode the chunk through the (unskipped)
+      * inverse filters and scatter it. */
+    def chunkEntry(kAt: Long): Boolean = {
       val nbytes = u32(kAt)
       val mask = u32(kAt + 4)
       val offs = Array.tabulate(rank)(d => u64(kAt + 8 + 8L * d))
-      if (offs.exists(_ < 0)) return None
+      if (offs.exists(_ < 0)) return false
       val childAt = u64(kAt + keySize)
-      if (nbytes <= 0 || childAt < 0 || childAt + nbytes > bytes.length) return None
+      if (nbytes <= 0 || childAt < 0 || childAt + nbytes > bytes.length) return false
 
-      val chunkRaw: Array[Byte] =
-        if (deflate && (mask & 1L) == 0L) {
-          val inf = new java.util.zip.Inflater()
-          try {
-            inf.setInput(bytes, childAt.toInt, nbytes.toInt)
-            val outBuf = new Array[Byte](fullChunkBytes)
-            var got = 0
-            while (got < fullChunkBytes && !inf.finished()) {
-              val r = inf.inflate(outBuf, got, fullChunkBytes - got)
-              // r == 0 with needsInput = truncated; needsDictionary
-              // (zlib FDICT) would otherwise spin this loop forever
-              if (r == 0 && (inf.needsInput() || inf.needsDictionary())) return None
-              got += r
-            }
-            if (got != fullChunkBytes) return None
-            outBuf
-          } catch {
-            case _: java.util.zip.DataFormatException => return None
-          } finally inf.end()
-        } else {
-          if (nbytes != fullChunkBytes) return None
-          java.util.Arrays.copyOfRange(bytes, childAt.toInt, (childAt + nbytes).toInt)
+      var data: Array[Byte] = null // lazily materialized stored bytes
+      // invert filters in reverse application order; mask bit i set
+      // means filter i was SKIPPED for this chunk
+      var fi = filters.size - 1
+      while (fi >= 0) {
+        if (((mask >> fi) & 1L) == 0L) {
+          filters(fi) match {
+            case 1 => // deflate: inflate to exactly the full chunk size
+              if (data != null) return false // deflate must see stored bytes
+              val inf = new java.util.zip.Inflater()
+              try {
+                inf.setInput(bytes, childAt.toInt, nbytes.toInt)
+                val outBuf = new Array[Byte](fullChunkBytes)
+                var got = 0
+                while (got < fullChunkBytes && !inf.finished()) {
+                  val r = inf.inflate(outBuf, got, fullChunkBytes - got)
+                  // r == 0 with needsInput = truncated; needsDictionary
+                  // (zlib FDICT) would otherwise spin this loop forever
+                  if (r == 0 && (inf.needsInput() || inf.needsDictionary())) return false
+                  got += r
+                }
+                if (got != fullChunkBytes) return false
+                data = outBuf
+              } catch {
+                case _: java.util.zip.DataFormatException => return false
+              } finally inf.end()
+            case 2 => // byte shuffle
+              if (data == null) {
+                if (nbytes != fullChunkBytes) return false
+                data = java.util.Arrays.copyOfRange(
+                  bytes, childAt.toInt, (childAt + nbytes).toInt)
+              }
+              data = unshuffle(data)
+            case _ => return false
+          }
         }
+        fi -= 1
+      }
+      if (data == null) {
+        if (nbytes != fullChunkBytes) return false
+        data = java.util.Arrays.copyOfRange(
+          bytes, childAt.toInt, (childAt + nbytes).toInt)
+      }
+      if (data.length != fullChunkBytes) return false
 
       // scatter in-bounds elements into the dataset's raw buffer
       var ci = 0
@@ -381,11 +433,43 @@ object Hdf5Codec {
           d += 1
         }
         if (!oob)
-          System.arraycopy(chunkRaw, ci * width, raw, flat.toInt * width, width)
+          System.arraycopy(data, ci * width, raw, flat.toInt * width, width)
         ci += 1
       }
-      i += 1
+      true
     }
-    Some(raw)
+
+    // recursive node walk; the budgets make the worst hostile pointer
+    // graph cost O(gridChunks + nodes) rather than exponential
+    var chunksSeen = 0L
+    var nodesSeen = 0L
+    def walk(nodeAt: Long, depth: Int): Boolean = {
+      if (depth > 8) return false
+      nodesSeen += 1
+      if (nodesSeen > 4096) return false
+      if (!(u8(nodeAt) == 'T' && u8(nodeAt + 1) == 'R' &&
+            u8(nodeAt + 2) == 'E' && u8(nodeAt + 3) == 'E')) return false
+      if (u8(nodeAt + 4) != 1) return false // node type 1 = raw data chunks
+      val level = u8(nodeAt + 5)
+      if (level < 0) return false
+      val n = u16(nodeAt + 6)
+      if (n < 0 || n > 4096) return false
+      var i = 0
+      while (i < n) {
+        val kAt = nodeAt + 24 + i.toLong * (keySize + 8)
+        if (level == 0) {
+          chunksSeen += 1
+          if (chunksSeen > gridChunks) return false
+          if (!chunkEntry(kAt)) return false
+        } else {
+          val childAt = u64(kAt + keySize)
+          if (childAt < 0) return false
+          if (!walk(childAt, depth + 1)) return false
+        }
+        i += 1
+      }
+      true
+    }
+    if (!walk(btreeAt, 0)) None else Some(raw)
   }
 }

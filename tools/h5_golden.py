@@ -77,24 +77,42 @@ def dataset_header(shape, dtype, data_addr, data_size, with_maxdims=True, extra_
     msgs.extend(extra_msgs)
     return object_header(msgs)
 
-def chunked_layout_msgs(shape, dtype, chunk_shape, btree_addr, level=6):
-    """Layout v3 class 2 (chunked) + filter-pipeline v1 (deflate)."""
+def chunked_layout_msgs(shape, dtype, chunk_shape, btree_addr, level=6,
+                        shuffle=False):
+    """Layout v3 class 2 (chunked) + filter-pipeline v1: deflate, or
+    shuffle then deflate (the h5py shuffle=True, compression="gzip"
+    application order)."""
     rank = len(shape)
     size = {"f4": 4, "f8": 8, "i1": 1, "i2": 2, "i4": 4, "i8": 8,
             "u1": 1, "u2": 2, "u4": 4, "u8": 8}[dtype]
     lay = struct.pack("<BBB", 3, 2, rank + 1) + struct.pack("<Q", btree_addr)
     lay += b"".join(struct.pack("<I", d) for d in chunk_shape)
     lay += struct.pack("<I", size)
-    # pipeline v1: one filter, id 1 (deflate), no name, one client value
-    pipe = struct.pack("<BB", 1, 1) + b"\x00" * 6
+    nf = 2 if shuffle else 1
+    pipe = struct.pack("<BB", 1, nf) + b"\x00" * 6
+    if shuffle:
+        # filter id 2 (shuffle), one client value = element size
+        pipe += struct.pack("<HHHH", 2, 0, 0, 1) + struct.pack("<I", size)
+        pipe += b"\x00" * 4  # odd client-value count pads to 8
     pipe += struct.pack("<HHHH", 1, 0, 0, 1) + struct.pack("<I", level)
     pipe += b"\x00" * 4  # odd client-value count pads to 8
     return lay, pipe
 
 
-def chunk_blobs(shape, dtype, values, chunk_shape, level=6):
+def shuffle_bytes(raw, size):
+    """HDF5 byte-shuffle: group byte j of every element together."""
+    n = len(raw) // size
+    out = bytearray(len(raw))
+    for i in range(n):
+        for j in range(size):
+            out[j * n + i] = raw[i * size + j]
+    return bytes(out)
+
+
+def chunk_blobs(shape, dtype, values, chunk_shape, level=6, shuffle=False):
     """Full-size (edge-padded with zeros) chunks, row-major grid order:
-    [(grid_offsets, compressed_bytes)]."""
+    [(grid_offsets, compressed_bytes)]; shuffle applies the byte
+    transpose before deflate (pipeline application order)."""
     import zlib
     rank = len(shape)
     grid = [(shape[d] + chunk_shape[d] - 1) // chunk_shape[d] for d in range(rank)]
@@ -116,7 +134,12 @@ def chunk_blobs(shape, dtype, values, chunk_shape, level=6):
                 coords = [(ci // cstr[k]) % chunk_shape[k] + off[k] for k in range(rank)]
                 if all(coords[k] < shape[k] for k in range(rank)):
                     vals[ci] = values[sum(coords[k] * dstr[k] for k in range(rank))]
-            out.append((tuple(off), zlib.compress(pack_values(dtype, vals), level)))
+            raw = pack_values(dtype, vals)
+            if shuffle:
+                size = {"f4": 4, "f8": 8, "i1": 1, "i2": 2, "i4": 4,
+                        "i8": 8, "u1": 1, "u2": 2, "u4": 4, "u8": 8}[dtype]
+                raw = shuffle_bytes(raw, size)
+            out.append((tuple(off), zlib.compress(raw, level)))
             return
         for g in range(grid[d]):
             rec(d + 1, off + [g * chunk_shape[d]])
@@ -195,12 +218,18 @@ def write_h5(datasets, heap_pad=0):
             w.w(hdr)
             w.w(data)
         else:
-            # chunked + deflate: header(layout->btree, pipeline) then the
-            # v1 chunk B-tree (type 1, level 0) then the compressed chunks
+            # chunked: header(layout->btree, pipeline) then the v1 chunk
+            # B-tree — one leaf, or (levels=2) an internal node over two
+            # leaves — then the compressed chunks
+            opts = spec[5] if len(spec) > 5 else {}
+            shuffle = bool(opts.get("shuffle"))
+            levels = int(opts.get("levels", 1))
             rank = len(shape)
-            blobs = chunk_blobs(shape, dtype, values, chunk_shape)
+            blobs = chunk_blobs(shape, dtype, values, chunk_shape,
+                                shuffle=shuffle)
             def hdr_for(btree_at):
-                lay, pipe = chunked_layout_msgs(shape, dtype, chunk_shape, btree_at)
+                lay, pipe = chunked_layout_msgs(shape, dtype, chunk_shape,
+                                                btree_at, shuffle=shuffle)
                 rank_ = len(shape)
                 ds = struct.pack("<BBBBI", 1, rank_, 1, 0, 0)
                 ds += b"".join(struct.pack("<Q", d) for d in shape)
@@ -214,24 +243,56 @@ def write_h5(datasets, heap_pad=0):
             hdr = hdr_for(btree_at)
             assert len(hdr) == len(h0)
             keysize = 8 + 8 * (rank + 1)
-            node_len = 24 + len(blobs) * (keysize + 8) + keysize
-            node = b"TREE" + struct.pack("<BBH", 1, 0, len(blobs))
-            node += struct.pack("<QQ", UNDEF, UNDEF)
-            chunk_at = btree_at + node_len
-            addrs = []
-            for off, blob in blobs:
-                addrs.append(chunk_at)
-                chunk_at += len(blob)
-            for i, (off, blob) in enumerate(blobs):
-                node += struct.pack("<II", len(blob), 0)
-                node += b"".join(struct.pack("<Q", o) for o in off)
-                node += struct.pack("<Q", 0)  # trailing element-dim offset
-                node += struct.pack("<Q", addrs[i])
-            # final (upper-bound) key — the reader ignores its contents
-            node += struct.pack("<II", 0, 0) + b"\x00" * (8 * (rank + 1))
-            assert len(node) == node_len
+
+            def chunk_key(off, blob):
+                k = struct.pack("<II", len(blob), 0)
+                k += b"".join(struct.pack("<Q", o) for o in off)
+                k += struct.pack("<Q", 0)  # trailing element-dim offset
+                return k
+
+            def leaf_node(entries, addrs):
+                node = b"TREE" + struct.pack("<BBH", 1, 0, len(entries))
+                node += struct.pack("<QQ", UNDEF, UNDEF)
+                for (off, blob), addr in zip(entries, addrs):
+                    node += chunk_key(off, blob) + struct.pack("<Q", addr)
+                node += struct.pack("<II", 0, 0) + b"\x00" * (8 * (rank + 1))
+                return node
+
+            if levels == 1:
+                node_len = 24 + len(blobs) * (keysize + 8) + keysize
+                chunk_at = btree_at + node_len
+                addrs = []
+                for off, blob in blobs:
+                    addrs.append(chunk_at)
+                    chunk_at += len(blob)
+                nodes = leaf_node(blobs, addrs)
+            else:
+                assert levels == 2 and len(blobs) >= 2
+                half = (len(blobs) + 1) // 2
+                groups = [blobs[:half], blobs[half:]]
+                int_len = 24 + 2 * (keysize + 8) + keysize
+                leaf_lens = [24 + len(g) * (keysize + 8) + keysize
+                             for g in groups]
+                leaf_at = [btree_at + int_len,
+                           btree_at + int_len + leaf_lens[0]]
+                chunk_at = leaf_at[1] + leaf_lens[1]
+                addrs = []
+                for off, blob in blobs:
+                    addrs.append(chunk_at)
+                    chunk_at += len(blob)
+                # internal node (level 1): key_i = first chunk key of
+                # child i, child pointers to the leaf nodes
+                inode = b"TREE" + struct.pack("<BBH", 1, 1, 2)
+                inode += struct.pack("<QQ", UNDEF, UNDEF)
+                inode += chunk_key(*groups[0][0]) + struct.pack("<Q", leaf_at[0])
+                inode += chunk_key(*groups[1][0]) + struct.pack("<Q", leaf_at[1])
+                inode += struct.pack("<II", 0, 0) + b"\x00" * (8 * (rank + 1))
+                assert len(inode) == int_len
+                nodes = inode
+                nodes += leaf_node(groups[0], addrs[:half])
+                nodes += leaf_node(groups[1], addrs[half:])
             w.w(hdr)
-            w.w(node)
+            w.w(nodes)
             for _, blob in blobs:
                 w.w(blob)
         # patch the SNOD entry header address
@@ -268,6 +329,16 @@ if __name__ == "__main__":
         ("grid", (5, 7), "f8", gvals, (2, 3)),
         ("cvec", (10,), "i4", cvals, (4,)),
     ])
+    # shuffle=True, compression="gzip" (filter pipeline of 2) plus a
+    # 2-level chunk B-tree in the same file: the round-13 envelope
+    svals = [((r * 5 + c) * 7 + 2) * 0.25 for r in range(6) for c in range(5)]
+    dvals = [((r * 8 + c) * 13 + 5) % 1000 - 300 for r in range(9) for c in range(8)]
+    shuffled = write_h5([
+        ("sgrid", (6, 5), "f8", svals, (3, 2), {"shuffle": True}),
+        ("deep", (9, 8), "i2", dvals, (2, 3), {"levels": 2}),
+        ("both", (7, 4), "f4", [v * 0.5 - 3.0 for v in range(28)], (2, 2),
+         {"shuffle": True, "levels": 2}),
+    ])
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/h5_goldens"
     import os
     os.makedirs(out, exist_ok=True)
@@ -275,6 +346,7 @@ if __name__ == "__main__":
     open(out + "/f32.h5", "wb").write(f32)
     open(out + "/i4.h5", "wb").write(i4)
     open(out + "/chunked.h5", "wb").write(chunked)
+    open(out + "/shuffled.h5", "wb").write(shuffled)
     # an out-of-envelope file: the scan must SKIP it, not fail
     open(out + "/corrupt.h5", "wb").write(b"\x89HDF\r\n\x1a\nGARBAGE")
 
@@ -292,6 +364,10 @@ if __name__ == "__main__":
         ("i4", [("mask", [float(v) for v in [-2, 0, 5, 123456]])]),
         ("chunked", [("cvec", [float(v) for v in cvals]),
                      ("grid", gvals)]),
+        ("shuffled", [("both", [float(np.float32(v * 0.5 - 3.0))
+                                for v in range(28)]),
+                      ("deep", [float(v) for v in dvals]),
+                      ("sgrid", svals)]),
     ]
     for fname, dsets in expected:
         for ds, vals in dsets:
