@@ -7,8 +7,10 @@ package graft.sources
   * (eval/cropharvest_extensions.py:323-377, engineer.py upstream),
   * which under h5py's default settings is
   *
-  *  - superblock version 0 (v2/v3 headers are parsed far enough to
-  *    refuse cleanly),
+  *  - superblock version 0, OR superblock v2/v3 with version-2
+  *    ("OHDR") object headers and compact inline hard links — the
+  *    h5py libver='latest' shape (dense fractal-heap link storage
+  *    and layout-v4 chunk indexes stay refused),
   *  - a root group addressed by a v1 B-tree over SNOD symbol nodes
   *    with names in a local heap,
   *  - v1 object headers per dataset (dataspace v1, datatype classes
@@ -81,19 +83,78 @@ object Hdf5Codec {
       v
     }
 
-    // ---- superblock: v0 fully; v2/v3 parsed enough to refuse the
-    // object-header-v2 world cleanly rather than misread it
+    // ---- superblock: v0 (symbol-table root) or v2/v3 (OHDR root —
+    // the h5py libver='latest' world; v3 shares v2's field layout)
     val sbVersion = u8(8)
-    if (sbVersion != 0) return None // v2/v3 ⇒ v2 object headers ("OHDR") — out of envelope
-    if (u8(13) != 8 || u8(14) != 8) return None // offsets/lengths must be 8 bytes
-    // root group symbol table entry at offset 56: header address at +8,
-    // cache type at +16 (0 = none, 1 = cached stab — both fine, the
-    // header's own stab message is authoritative)
-    val rootHeader = u64(56 + 8)
+    val rootHeader = sbVersion match {
+      case 0 =>
+        if (u8(13) != 8 || u8(14) != 8) return None // offsets/lengths must be 8 bytes
+        // root group symbol table entry at offset 56: header address at
+        // +8, cache type at +16 (0 = none, 1 = cached stab — both fine,
+        // the header's own stab message is authoritative)
+        u64(56 + 8)
+      case 2 | 3 =>
+        if (u8(9) != 8 || u8(10) != 8) return None // offsets/lengths must be 8 bytes
+        // base addr +12, extension +20, EOF +28, root header +36
+        u64(36)
+      case _ => return None // v1 never shipped; anything else is hostile
+    }
     if (rootHeader <= 0) return None
+
+    // ---- v2 ("OHDR") object header walk: no message count — the walk
+    // consumes the chunk-0 area, following OCHK continuation blocks;
+    // trailing lookup3 checksums are not verified (every read is
+    // bounds-checked, so a corrupt header degrades to a refusal)
+    def messagesV2(headerAt: Long): Option[Seq[(Int, Long, Int)]] = {
+      if (u8(headerAt + 4) != 2) return None
+      val flags = u8(headerAt + 5)
+      var pos = headerAt + 6
+      if ((flags & 0x20) != 0) pos += 16 // 4 timestamps
+      if ((flags & 0x10) != 0) pos += 4 // attribute phase-change
+      val szBytes = 1 << (flags & 0x03)
+      val chunk0 = szBytes match {
+        case 1 => u8(pos).toLong
+        case 2 => u16(pos).toLong
+        case 4 => u32(pos)
+        case _ => u64(pos)
+      }
+      pos += szBytes
+      if (chunk0 < 0 || chunk0 > (1 << 26) || pos + chunk0 > bytes.length) return None
+      val track = (flags & 0x04) != 0
+      val hdrLen = if (track) 6 else 4 // type(1) size(2) flags(1) [order(2)]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int)]
+      var blocks = List((pos, pos + chunk0))
+      var blockCount = 0
+      while (blocks.nonEmpty) {
+        blockCount += 1
+        if (blockCount > 32) return None // continuation cycles
+        val (start, end) = blocks.head
+        blocks = blocks.tail
+        var p2 = start
+        while (p2 + hdrLen <= end) {
+          val typ = u8(p2)
+          val msize = u16(p2 + 1)
+          val bodyAt = p2 + hdrLen
+          if (msize < 0 || bodyAt + msize > end) return None
+          if (typ == 0x10) { // continuation: OCHK block, checksum-tailed
+            if (msize < 16) return None
+            val off = u64(bodyAt); val len = u64(bodyAt + 8)
+            if (off < 0 || len < 12 || off + len > bytes.length) return None
+            if (!(u8(off) == 'O' && u8(off + 1) == 'C' &&
+                  u8(off + 2) == 'H' && u8(off + 3) == 'K')) return None
+            blocks = blocks :+ ((off + 4, off + len - 4))
+          } else out += ((typ, bodyAt, msize))
+          p2 = bodyAt + msize
+        }
+      }
+      Some(out.toSeq)
+    }
 
     // ---- v1 object header walk: returns (msgType, bodyOffset, bodySize)
     def messages(headerAt: Long): Option[Seq[(Int, Long, Int)]] = {
+      if (u8(headerAt) == 'O' && u8(headerAt + 1) == 'H' &&
+          u8(headerAt + 2) == 'D' && u8(headerAt + 3) == 'R')
+        return messagesV2(headerAt)
       if (u8(headerAt) != 1) return None // v1 only
       val nmsgs = u16(headerAt + 2)
       val hdrSize = u32(headerAt + 8)
@@ -122,70 +183,118 @@ object Hdf5Codec {
       if (remaining != 0) None else Some(out.toSeq)
     }
 
-    // ---- root group: symbol table message → b-tree + heap
+    // ---- root group: EITHER a symbol-table message (v0 world:
+    // b-tree + heap + SNOD) OR compact inline hard-link messages
+    // (v2 OHDR world); dense link storage (fractal heap) refused
     val rootMsgs = messages(rootHeader).getOrElse(return None)
-    val stab = rootMsgs.find(_._1 == 0x0011).getOrElse(return None)
-    val btreeAt = u64(stab._2)
-    val heapAt = u64(stab._2 + 8)
-    if (btreeAt <= 0 || heapAt <= 0) return None
-
-    // local heap: data segment address at +24 (after sig+ver+res, seg
-    // size u64, free-list head u64)
-    if (!(u8(heapAt) == 'H' && u8(heapAt + 1) == 'E' &&
-          u8(heapAt + 2) == 'A' && u8(heapAt + 3) == 'P')) return None
-    val heapData = u64(heapAt + 24)
-    def heapName(off: Long): Option[String] = {
-      val at = heapData + off
-      if (at < 0 || at >= bytes.length) return None
-      var e = at.toInt
-      while (e < bytes.length && bytes(e) != 0) e += 1
-      if (e >= bytes.length) None
-      else Some(new String(bytes, at.toInt, e - at.toInt, "US-ASCII"))
-    }
-
-    // b-tree: single leaf (level 0) is the CropHarvest shape; deeper
-    // trees (thousands of links) are out of envelope
-    if (!(u8(btreeAt) == 'T' && u8(btreeAt + 1) == 'R' &&
-          u8(btreeAt + 2) == 'E' && u8(btreeAt + 3) == 'E')) return None
-    if (u8(btreeAt + 4) != 0) return None // node type: group
-    if (u8(btreeAt + 5) != 0) return None // level 0 (leaf)
-    val nChildren = u16(btreeAt + 6)
-    if (nChildren < 0 || nChildren > 64) return None
-
-    // symbol nodes → (name, object header address)
     val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    var ci = 0
-    while (ci < nChildren) {
-      // child i address sits after the 24-byte node header + key 0,
-      // alternating key/child (keys and children are 8 bytes each)
-      val childAt = u64(btreeAt + 24 + 8 + ci * 16L)
-      if (!(u8(childAt) == 'S' && u8(childAt + 1) == 'N' &&
-            u8(childAt + 2) == 'O' && u8(childAt + 3) == 'D')) return None
-      val nsyms = u16(childAt + 6)
-      if (nsyms < 0 || nsyms > 1024) return None
-      var si = 0
-      while (si < nsyms) {
-        val ste = childAt + 8 + si * 40L
-        val nameOff = u64(ste)
-        val objAt = u64(ste + 8)
-        val name = heapName(nameOff).getOrElse(return None)
-        entries += ((name, objAt))
-        si += 1
-      }
-      ci += 1
+    rootMsgs.find(_._1 == 0x0011) match {
+      case Some(stab) =>
+        val btreeAt = u64(stab._2)
+        val heapAt = u64(stab._2 + 8)
+        if (btreeAt <= 0 || heapAt <= 0) return None
+
+        // local heap: data segment address at +24 (after sig+ver+res,
+        // seg size u64, free-list head u64)
+        if (!(u8(heapAt) == 'H' && u8(heapAt + 1) == 'E' &&
+              u8(heapAt + 2) == 'A' && u8(heapAt + 3) == 'P')) return None
+        val heapData = u64(heapAt + 24)
+        def heapName(off: Long): Option[String] = {
+          val at = heapData + off
+          if (at < 0 || at >= bytes.length) return None
+          var e = at.toInt
+          while (e < bytes.length && bytes(e) != 0) e += 1
+          if (e >= bytes.length) None
+          else Some(new String(bytes, at.toInt, e - at.toInt, "US-ASCII"))
+        }
+
+        // b-tree: single leaf (level 0) is the CropHarvest shape; deeper
+        // trees (thousands of links) are out of envelope
+        if (!(u8(btreeAt) == 'T' && u8(btreeAt + 1) == 'R' &&
+              u8(btreeAt + 2) == 'E' && u8(btreeAt + 3) == 'E')) return None
+        if (u8(btreeAt + 4) != 0) return None // node type: group
+        if (u8(btreeAt + 5) != 0) return None // level 0 (leaf)
+        val nChildren = u16(btreeAt + 6)
+        if (nChildren < 0 || nChildren > 64) return None
+
+        // symbol nodes → (name, object header address)
+        var ci = 0
+        while (ci < nChildren) {
+          // child i address sits after the 24-byte node header + key 0,
+          // alternating key/child (keys and children are 8 bytes each)
+          val childAt = u64(btreeAt + 24 + 8 + ci * 16L)
+          if (!(u8(childAt) == 'S' && u8(childAt + 1) == 'N' &&
+                u8(childAt + 2) == 'O' && u8(childAt + 3) == 'D')) return None
+          val nsyms = u16(childAt + 6)
+          if (nsyms < 0 || nsyms > 1024) return None
+          var si = 0
+          while (si < nsyms) {
+            val ste = childAt + 8 + si * 40L
+            val nameOff = u64(ste)
+            val objAt = u64(ste + 8)
+            val name = heapName(nameOff).getOrElse(return None)
+            entries += ((name, objAt))
+            si += 1
+          }
+          ci += 1
+        }
+      case None =>
+        // compact-link group. The link-info message, when present,
+        // must not point at a fractal heap (dense storage)
+        rootMsgs.find(_._1 == 0x0002).foreach { case (_, b, _) =>
+          if (u8(b) != 0) return None
+          val liFlags = u8(b + 1)
+          var q = b + 2
+          if ((liFlags & 1) != 0) q += 8 // max creation index
+          if (u64(q) != Undef) return None // fractal heap: out of envelope
+        }
+        for ((t, b, _) <- rootMsgs if t == 0x0006) {
+          if (u8(b) != 1) return None // link message v1 only
+          val lf = u8(b + 1)
+          var q = b + 2
+          val ltype = if ((lf & 0x08) != 0) { val v = u8(q); q += 1; v } else 0
+          if (ltype != 0) return None // hard links only
+          if ((lf & 0x04) != 0) q += 8 // creation order
+          if ((lf & 0x10) != 0) q += 1 // charset
+          val lenSz = 1 << (lf & 0x03)
+          val nameLen = lenSz match {
+            case 1 => u8(q).toLong
+            case 2 => u16(q).toLong
+            case 4 => u32(q)
+            case _ => u64(q)
+          }
+          q += lenSz
+          if (nameLen <= 0 || nameLen > 255 || q + nameLen + 8 > bytes.length) return None
+          val name = new String(bytes, q.toInt, nameLen.toInt, "UTF-8")
+          q += nameLen
+          val objAt = u64(q)
+          if (objAt <= 0) return None
+          entries += ((name, objAt))
+        }
+        if (entries.isEmpty) return None
+        // v0's b-tree yields names alphabetically; match that order
+        val sorted = entries.sortBy(_._1)
+        entries.clear()
+        entries ++= sorted
     }
 
     // ---- per-dataset decode
     var totalElems = 0L
     val out = entries.toSeq.map { case (name, objAt) =>
       val msgs = messages(objAt).getOrElse(return None)
-      // dataspace v1: version, rank, flags, dims (maxdims skipped)
+      // dataspace v1 (version, rank, flags, 5 reserved, dims) or v2
+      // (version, rank, flags, type, dims); maxdims skipped in both
       val (shape: Seq[Long]) = msgs.find(_._1 == 0x0001) match {
         case Some((_, b, _)) =>
-          if (u8(b) != 1) return None
+          val ver = u8(b)
           val rank = u8(b + 1)
           if (rank < 0 || rank > 8) return None
-          (0 until rank).map(d => u64(b + 8 + 8L * d))
+          val dimsAt = ver match {
+            case 1 => b + 8
+            case 2 => b + 4
+            case _ => return None
+          }
+          (0 until rank).map(d => u64(dimsAt + 8L * d))
         case None => return None
       }
       if (shape.exists(_ < 0)) return None

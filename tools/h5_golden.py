@@ -304,6 +304,158 @@ def write_h5(datasets, heap_pad=0):
     w.buf[40:48] = struct.pack("<Q", len(w.buf))
     return bytes(w.buf)
 
+
+# ---------------------------------------------------------------- v2 world
+def lookup3(data, initval=0):
+    """Bob Jenkins lookup3 hashword/hashlittle — the checksum HDF5 v2
+    metadata carries (public domain algorithm, from lookup3.c)."""
+    M = 0xFFFFFFFF
+    def rot(x, k):
+        return ((x << k) | (x >> (32 - k))) & M
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + initval) & M
+    i = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[i:i+4], "little")) & M
+        b = (b + int.from_bytes(data[i+4:i+8], "little")) & M
+        c = (c + int.from_bytes(data[i+8:i+12], "little")) & M
+        # mix
+        a = (a - c) & M; a ^= rot(c, 4);  c = (c + b) & M
+        b = (b - a) & M; b ^= rot(a, 6);  a = (a + c) & M
+        c = (c - b) & M; c ^= rot(b, 8);  b = (b + a) & M
+        a = (a - c) & M; a ^= rot(c, 16); c = (c + b) & M
+        b = (b - a) & M; b ^= rot(a, 19); a = (a + c) & M
+        c = (c - b) & M; c ^= rot(b, 4);  b = (b + a) & M
+        i += 12
+        length -= 12
+    tail = data[i:] + b"\x00" * (12 - length)
+    if length > 0:
+        a = (a + int.from_bytes(tail[0:4], "little")) & M
+        b = (b + int.from_bytes(tail[4:8], "little")) & M
+        c = (c + int.from_bytes(tail[8:12], "little")) & M
+        # final
+        c ^= b; c = (c - rot(b, 14)) & M
+        a ^= c; a = (a - rot(c, 11)) & M
+        b ^= a; b = (b - rot(a, 25)) & M
+        c ^= b; c = (c - rot(b, 16)) & M
+        a ^= c; a = (a - rot(c, 4)) & M
+        b ^= a; b = (b - rot(a, 14)) & M
+        c ^= b; c = (c - rot(b, 24)) & M
+    return c
+
+
+def ohdr_v2(messages):
+    """v2 object header: OHDR, version 2, flags (4-byte chunk0 size,
+    nothing tracked), chunk-0 size, messages (type 1B, size 2B,
+    flags 1B), lookup3 checksum."""
+    body = b""
+    for typ, mbody in messages:
+        body += struct.pack("<BHB", typ, len(mbody), 0) + mbody
+    hdr = b"OHDR" + struct.pack("<BB", 2, 0x02) + struct.pack("<I", len(body)) + body
+    return hdr + struct.pack("<I", lookup3(hdr))
+
+
+def link_msg(name, addr):
+    """Hard-link message v1: 1-byte name length, no extras."""
+    nb = name.encode()
+    assert len(nb) < 256
+    return struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", addr)
+
+
+def dataspace_v2(shape):
+    return (struct.pack("<BBBB", 2, len(shape), 0, 1) +
+            b"".join(struct.pack("<Q", d) for d in shape))
+
+
+def write_h5_v2(datasets):
+    """v2-superblock file: OHDR root group with compact (inline) hard
+    links, v2 dataset headers with v2 dataspaces; contiguous layout,
+    or chunked (v1 chunk B-tree) when a chunk shape is given —
+    the h5py libver='latest' world minus layout-v4 chunk indexes."""
+    w = Writer()
+    # superblock v2: sig, ver, offsets, lengths, flags, base, ext, eof, root, cksum
+    w.w(b"\x89HDF\r\n\x1a\n")
+    w.w(struct.pack("<BBBB", 2, 8, 8, 0))
+    w.w(struct.pack("<QQQQ", 0, UNDEF, 0, 48))  # eof patched later; root at 48
+    w.w(struct.pack("<I", 0))  # checksum patched after eof is known
+    assert w.tell() == 48
+
+    # root group header: link info (no dense storage), group info,
+    # one hard link per dataset. Link messages carry PATCHED addresses,
+    # so build once with zeros to size, then rebuild.
+    def root_hdr(addrs):
+        li = struct.pack("<BB", 0, 0) + struct.pack("<QQ", UNDEF, UNDEF)
+        gi = struct.pack("<BB", 0, 0)
+        msgs = [(0x0002, li), (0x000A, gi)]
+        for (name, *_), addr in zip(datasets, addrs):
+            msgs.append((0x0006, link_msg(name, addr)))
+        return ohdr_v2(msgs)
+
+    h0 = root_hdr([0] * len(datasets))
+    data_start = 48 + len(h0)
+
+    # lay out the dataset headers/data serially from data_start
+    chunks_out = []
+    addrs = []
+    at = data_start
+    built = []
+    for spec in datasets:
+        name, shape, dtype, values = spec[:4]
+        chunk_shape = spec[4] if len(spec) > 4 else None
+        addrs.append(at)
+        if chunk_shape is None:
+            data = pack_values(dtype, values)
+            def hdr_for(a, shape=shape, dtype=dtype, n=len(data)):
+                lay = struct.pack("<BBQQ", 3, 1, a, n)
+                return ohdr_v2([(0x0001, dataspace_v2(shape)),
+                                (0x0003, dtype_message(dtype)),
+                                (0x0008, lay)])
+            hlen = len(hdr_for(0))
+            hdr = hdr_for(at + hlen)
+            assert len(hdr) == hlen
+            built.append(hdr + data)
+        else:
+            blobs = chunk_blobs(shape, dtype, values, chunk_shape)
+            rank = len(shape)
+            def hdr_for(btree_at, shape=shape, dtype=dtype, chunk_shape=chunk_shape):
+                lay, pipe = chunked_layout_msgs(shape, dtype, chunk_shape, btree_at)
+                return ohdr_v2([(0x0001, dataspace_v2(shape)),
+                                (0x000B, pipe),
+                                (0x0003, dtype_message(dtype)),
+                                (0x0008, lay)])
+            hlen = len(hdr_for(0))
+            btree_at = at + hlen
+            hdr = hdr_for(btree_at)
+            assert len(hdr) == hlen
+            keysize = 8 + 8 * (rank + 1)
+            node_len = 24 + len(blobs) * (keysize + 8) + keysize
+            chunk_at = btree_at + node_len
+            caddrs = []
+            for off, blob in blobs:
+                caddrs.append(chunk_at)
+                chunk_at += len(blob)
+            node = b"TREE" + struct.pack("<BBH", 1, 0, len(blobs))
+            node += struct.pack("<QQ", UNDEF, UNDEF)
+            for (off, blob), ca in zip(blobs, caddrs):
+                node += struct.pack("<II", len(blob), 0)
+                node += b"".join(struct.pack("<Q", o) for o in off)
+                node += struct.pack("<Q", 0) + struct.pack("<Q", ca)
+            node += struct.pack("<II", 0, 0) + b"\x00" * (8 * (rank + 1))
+            assert len(node) == node_len
+            built.append(hdr + node + b"".join(b for _, b in blobs))
+        at += len(built[-1])
+
+    hdr = root_hdr(addrs)
+    assert len(hdr) == len(h0)
+    w.w(hdr)
+    for b in built:
+        w.w(b)
+    # patch eof + superblock checksum (over bytes 0..43)
+    w.buf[28:36] = struct.pack("<Q", len(w.buf))
+    w.buf[44:48] = struct.pack("<I", lookup3(bytes(w.buf[0:44])))
+    return bytes(w.buf)
+
+
 if __name__ == "__main__":
     # CropHarvest-shaped test instance: x (n, t, bands) f8, y i8,
     # lats/lons f8 — eval/cropharvest_extensions.py:368-377
@@ -347,6 +499,17 @@ if __name__ == "__main__":
     open(out + "/i4.h5", "wb").write(i4)
     open(out + "/chunked.h5", "wb").write(chunked)
     open(out + "/shuffled.h5", "wb").write(shuffled)
+    # v2 superblock / OHDR world (h5py libver='latest', contiguous +
+    # v1-btree chunked): contiguous f8 + i2 and one gzip-chunked f4
+    v2vals = [((i * 11 + 4) % 23) * 0.125 - 1.0 for i in range(12)]
+    v2ints = [((i * 5 + 2) % 400) - 150 for i in range(9)]
+    v2ch = [(i * 3 + 1) * 0.5 for i in range(20)]
+    v2 = write_h5_v2([
+        ("cont", (3, 4), "f8", v2vals),
+        ("ints", (9,), "i2", v2ints),
+        ("zch", (4, 5), "f4", v2ch, (2, 2)),
+    ])
+    open(out + "/v2latest.h5", "wb").write(v2)
     # an out-of-envelope file: the scan must SKIP it, not fail
     open(out + "/corrupt.h5", "wb").write(b"\x89HDF\r\n\x1a\nGARBAGE")
 
@@ -368,6 +531,9 @@ if __name__ == "__main__":
                                 for v in range(28)]),
                       ("deep", [float(v) for v in dvals]),
                       ("sgrid", svals)]),
+        ("v2latest", [("cont", v2vals),
+                      ("ints", [float(v) for v in v2ints]),
+                      ("zch", [float(np.float32(v)) for v in v2ch])]),
     ]
     for fname, dsets in expected:
         for ds, vals in dsets:
