@@ -128,9 +128,16 @@ object Tmerc {
   def sinSql(x: String): String = s"(($x) * ${horner(s"($x) * ($x)", SinC)})"
   def cosSql(x: String): String = horner(s"($x) * ($x)", CosC)
 
+  /** Shortest-repr double literal with a FORCED exponent marker: a
+    * bare decimal like `6378137.0` parses as DECIMAL in DuckDB, whose
+    * arithmetic overflows on literal×literal products (and whose
+    * decimal→double conversion can drift a ulp); `...e0` parses as a
+    * double in both engines. */
   private def d(v: Double): String = {
     val s = v.toString
-    if (s.contains('E')) s.replace("E", "e") else s
+    if (s.contains('E')) s.replace("E", "e")
+    else if (s.contains('e')) s
+    else s + "e0"
   }
 
   /** The forward series as dependency-ordered stages of (name, SQL
@@ -179,8 +186,73 @@ object Tmerc {
     * `lat` columns) in one CTE per pipeline stage, ending with every
     * original column plus `utm_e`/`utm_n`. */
   def pipelineSql(innerSql: String, lon0Deg: Double): String =
-    pipeline(lon0Deg).foldLeft(s"($innerSql)") { (acc, stage) =>
+    stagesSql(innerSql, pipeline(lon0Deg))
+
+  private def stagesSql(innerSql: String,
+      stages: Seq[Seq[(String, String)]]): String =
+    stages.foldLeft(s"($innerSql)") { (acc, stage) =>
       val cols = stage.map { case (n, e) => s"$e AS $n" }.mkString(", ")
       s"(SELECT *, $cols FROM $acc)"
     }
+
+  /** The INVERSE series (footpoint latitude, Snyder 3-26/8-12..8-25)
+    * in the same shared-SQL discipline: feed columns `utm_e`/`utm_n`
+    * (meters, northern convention); yields `lon`/`lat` (degrees).
+    * sin/cos run through the pinned polynomials on the footpoint
+    * angles, so results stay bit-exact cross-engine. */
+  def inversePipeline(lon0Deg: Double): Seq[Seq[(String, String)]] = {
+    val e1 = (1.0 - math.sqrt(1.0 - E2)) / (1.0 + math.sqrt(1.0 - E2))
+    val j1 = 3.0 * e1 / 2.0 - 27.0 * e1 * e1 * e1 / 32.0
+    val j2 = 21.0 * e1 * e1 / 16.0 - 55.0 * e1 * e1 * e1 * e1 / 32.0
+    val j3 = 151.0 * e1 * e1 * e1 / 96.0
+    val j4 = 1097.0 * e1 * e1 * e1 * e1 / 512.0
+    Seq(
+      Seq("ti_mu" -> s"((utm_n / ${d(K0)}) / (${d(A)} * ${d(M0)}))"),
+      Seq(
+        "ti_smu" -> sinSql("ti_mu"),
+        "ti_cmu" -> cosSql("ti_mu")),
+      Seq(
+        "ti_s2u" -> "(2.0 * ti_smu * ti_cmu)",
+        "ti_c2u" -> "(1.0 - 2.0 * ti_smu * ti_smu)"),
+      Seq(
+        "ti_s4u" -> "(2.0 * ti_s2u * ti_c2u)",
+        "ti_c4u" -> "(1.0 - 2.0 * ti_s2u * ti_s2u)"),
+      Seq(
+        "ti_s6u" -> "(ti_s2u * ti_c4u + ti_c2u * ti_s4u)",
+        "ti_s8u" -> "(2.0 * ti_s4u * ti_c4u)"),
+      Seq(
+        "ti_fp" -> (s"(ti_mu + ${d(j1)} * ti_s2u + ${d(j2)} * ti_s4u" +
+          s" + ${d(j3)} * ti_s6u + ${d(j4)} * ti_s8u)")),
+      Seq(
+        "ti_sp" -> sinSql("ti_fp"),
+        "ti_cp" -> cosSql("ti_fp")),
+      Seq(
+        "ti_t" -> "(ti_sp / ti_cp)",
+        "ti_w2" -> s"(1.0 - ${d(E2)} * ti_sp * ti_sp)"),
+      Seq(
+        "ti_tt" -> "(ti_t * ti_t)",
+        "ti_cc" -> s"(${d(Ep2)} * ti_cp * ti_cp)",
+        "ti_n1" -> s"(${d(A)} / sqrt(ti_w2))",
+        "ti_r1" -> s"(${d(A)} * ${d(1.0 - E2)} / (ti_w2 * sqrt(ti_w2)))"),
+      Seq(
+        "ti_dd" -> s"((utm_e - ${d(FalseEasting)}) / (ti_n1 * ${d(K0)}))"),
+      Seq("ti_dd2" -> "(ti_dd * ti_dd)"),
+      Seq(
+        "lat" -> (s"((ti_fp - (ti_n1 * ti_t / ti_r1) * (ti_dd2 / 2.0" +
+          " - (5.0 + 3.0 * ti_tt + 10.0 * ti_cc - 4.0 * ti_cc * ti_cc" +
+          s" - 9.0 * ${d(Ep2)}) * ti_dd2 * ti_dd2 / 24.0" +
+          " + (61.0 + 90.0 * ti_tt + 298.0 * ti_cc + 45.0 * ti_tt * ti_tt" +
+          s" - 252.0 * ${d(Ep2)} - 3.0 * ti_cc * ti_cc)" +
+          s" * ti_dd2 * ti_dd2 * ti_dd2 / 720.0)) / ${d(D2R)})"),
+        "lon" -> (s"(${d(lon0Deg)} + ((ti_dd" +
+          " - (1.0 + 2.0 * ti_tt + ti_cc) * ti_dd2 * ti_dd / 6.0" +
+          " + (5.0 - 2.0 * ti_cc + 28.0 * ti_tt - 3.0 * ti_cc * ti_cc" +
+          s" + 8.0 * ${d(Ep2)} + 24.0 * ti_tt * ti_tt)" +
+          s" * ti_dd2 * ti_dd2 * ti_dd / 120.0) / ti_cp) / ${d(D2R)})"))
+    )
+  }
+
+  /** Oracle wrapper for [[inversePipeline]]. */
+  def inversePipelineSql(innerSql: String, lon0Deg: Double): String =
+    stagesSql(innerSql, inversePipeline(lon0Deg))
 }

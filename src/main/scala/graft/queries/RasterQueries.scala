@@ -545,9 +545,78 @@ object RasterQueries {
       |FROM agg WHERE found = 4""".stripMargin
   }
 
+  /** The OTHER direction — EPSG:4326 → UTM target grid, the
+    * reference's chip-extraction move (metric windows cut from
+    * geographic rasters, presto_modeling.py:86-91): a 36×60 window of
+    * 500 m UTM-28N pixels gathers from the 1/128° geographic events
+    * grid through the transverse-Mercator INVERSE series
+    * ([[graft.functions.Tmerc.inversePipeline]] — footpoint-latitude
+    * expansion over the same pinned polynomial sin/cos, identical
+    * staged SQL on both engines). With [[qReprojectUtm]] this closes
+    * the CRS pair in both directions. */
+  def qReprojectToUtm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Tmerc
+    val src = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("x"), dayofmonth(col("ts")).as("y"))
+      .agg(min(col("value")).as("v"))
+    val srcCrs = Reproject.GridCrs(-17.0, 15.0, 0.0078125, 0.0078125)
+    val dstCrs = Reproject.GridCrs(288000.0, 1652000.0, 500.0, 500.0)
+    var targets = spark.range(0, 36L).toDF("tx")
+      .crossJoin(spark.range(0, 60L).toDF("ty"))
+      .withColumn("utm_e", dstCrs.toModelX(col("tx")))
+      .withColumn("utm_n", dstCrs.toModelY(col("ty")))
+    for (stage <- Tmerc.inversePipeline(Tmerc.centralMeridian(28)); (nm, ex) <- stage)
+      targets = targets.withColumn(nm, expr(ex))
+    Reproject.bilinearGather(src, targets
+      .withColumn("u", srcCrs.toPixelX(col("lon")))
+      .withColumn("w", srcCrs.toPixelY(col("lat")))
+      .select("tx", "ty", "u", "w"))
+  }
+
+  val qReprojectToUtmSql: String = {
+    val inner =
+      """SELECT tx, ty,
+        |    (tx * 500.0 + 288000.0) AS utm_e,
+        |    (1652000.0 - ty * 500.0) AS utm_n
+        |  FROM (SELECT unnest(range(36)) AS tx), (SELECT unnest(range(60)) AS ty)""".stripMargin
+    val projected = graft.functions.Tmerc.inversePipelineSql(
+      inner, graft.functions.Tmerc.centralMeridian(28))
+    s"""WITH src AS (
+      |  SELECT user_id AS x, day(ts) AS y, MIN(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |targets AS (
+      |  SELECT tx, ty,
+      |    ((lon - (-17.0)) / 0.0078125) AS u,
+      |    (-((lat - 15.0) / 0.0078125)) AS w
+      |  FROM $projected),
+      |t2 AS (
+      |  SELECT tx, ty, u, w,
+      |    CAST(FLOOR(u) AS BIGINT) AS x0, CAST(FLOOR(w) AS BIGINT) AS y0,
+      |    u - CAST(FLOOR(u) AS BIGINT) AS fx, w - CAST(FLOOR(w) AS BIGINT) AS fy
+      |  FROM targets),
+      |corners AS (
+      |  SELECT tx, ty, fx, fy,
+      |    x0 + (i % 2) AS x, y0 + (i // 2) AS y, i % 2 AS dx, i // 2 AS dy,
+      |    (CASE WHEN i % 2 = 1 THEN fx ELSE 1.0e0 - fx END)
+      |      * (CASE WHEN i // 2 = 1 THEN fy ELSE 1.0e0 - fy END) AS wt
+      |  FROM t2, (SELECT unnest(range(4)) AS i)),
+      |agg AS (
+      |  SELECT tx, ty,
+      |    MAX(CASE WHEN dx = 0 AND dy = 0 THEN wt * v END) AS c00,
+      |    MAX(CASE WHEN dx = 1 AND dy = 0 THEN wt * v END) AS c10,
+      |    MAX(CASE WHEN dx = 0 AND dy = 1 THEN wt * v END) AS c01,
+      |    MAX(CASE WHEN dx = 1 AND dy = 1 THEN wt * v END) AS c11,
+      |    COUNT(*) AS found
+      |  FROM corners c JOIN src s ON c.x = s.x AND c.y = s.y
+      |  GROUP BY 1, 2)
+      |SELECT tx, ty, c00 + c10 + c01 + c11 AS resampled
+      |FROM agg WHERE found = 4""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_reproject" -> (qReproject _),
     "q_reproject_utm" -> (qReprojectUtm _),
+    "q_reproject_to_utm" -> (qReprojectToUtm _),
     "q_idw_interp" -> (qIdwInterp _),
     "q_focal_min" -> (qFocalMin _),
     "q_spatial_join" -> (qSpatialJoin _),
@@ -560,6 +629,7 @@ object RasterQueries {
   val oracle: Map[String, String] = Map(
     "q_reproject" -> qReprojectSql,
     "q_reproject_utm" -> qReprojectUtmSql,
+    "q_reproject_to_utm" -> qReprojectToUtmSql,
     "q_idw_interp" -> qIdwInterpSql,
     "q_focal_min" -> qFocalMinSql,
     "q_spatial_join" -> qSpatialJoinSql,

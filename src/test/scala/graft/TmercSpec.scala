@@ -81,6 +81,38 @@ class TmercSpec extends SparkSpec {
     }
   }
 
+  test("shared-SQL inverse pipeline matches the scalar libm inverse < 1e-9 deg") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pts = for (e <- Seq(288000.0, 338700.0, 500000.0, 611000.0);
+                   n <- Seq(1622500.0, 1647930.0, 1700000.0, 4500000.0))
+      yield (e, n)
+    var df = pts.toDF("utm_e", "utm_n")
+    for (stage <- Tmerc.inversePipeline(Lon0); (nm, ex) <- stage)
+      df = df.withColumn(nm, expr(ex))
+    val got = df.select("utm_e", "utm_n", "lon", "lat").collect()
+    got.foreach { r =>
+      val (lon, lat) = Tmerc.inverse(r.getDouble(0), r.getDouble(1), Lon0)
+      assert(math.abs(r.getDouble(2) - lon) < 1e-9,
+        s"(${r.getDouble(0)},${r.getDouble(1)}) lon sql=${r.getDouble(2)} libm=$lon")
+      assert(math.abs(r.getDouble(3) - lat) < 1e-9,
+        s"(${r.getDouble(0)},${r.getDouble(1)}) lat sql=${r.getDouble(3)} libm=$lat")
+    }
+    // and the SQL inverse undoes the SQL forward: full roundtrip < 1e-9 deg
+    var rt = Seq((-16.97, 14.9), (-16.02, 15.365), (-15.0, 14.0))
+      .toDF("lon0c", "lat0c")
+      .withColumn("lon", col("lon0c")).withColumn("lat", col("lat0c"))
+    for (stage <- Tmerc.pipeline(Lon0); (nm, ex) <- stage)
+      rt = rt.withColumn(nm, expr(ex))
+    rt = rt.drop("lon", "lat")
+    for (stage <- Tmerc.inversePipeline(Lon0); (nm, ex) <- stage)
+      rt = rt.withColumn(nm, expr(ex))
+    rt.select("lon0c", "lat0c", "lon", "lat").collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) < 1e-9, r.toString)
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) < 1e-9, r.toString)
+    }
+  }
+
   test("polynomial sin/cos track libm to ~1 ulp over the latitude range") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
