@@ -24,7 +24,7 @@ package graft.sources
   *
   * Refusal contract (the [[GzipCodec]]/[[PngCodec]] discipline):
   * anything outside that envelope — compact layout, filters beyond
-  * deflate+shuffle,
+  * deflate+shuffle, extensible-array / v2-B-tree chunk indexes,
   * big-endian or non-scalar datatypes, fractured group B-trees deeper
   * than one level, truncated anything — returns None, never throws, so
   * one corrupt object skips instead of killing a distributed scan.
@@ -354,12 +354,13 @@ object Hdf5Codec {
           fs
       }
 
-      // layout v3: class 1 (contiguous) or class 2 (chunked)
+      // layout v3 (class 1 contiguous / class 2 chunked + v1 B-tree)
+      // or v4 (class 2 chunked with single-chunk / implicit /
+      // fixed-array indexes — the libver='latest' chunked world)
       val raw: Array[Byte] = msgs.find(_._1 == 0x0008) match {
         case None => return None
-        case Some((_, b, _)) =>
-          if (u8(b) != 3) return None
-          u8(b + 1) match {
+        case Some((_, b, _)) => u8(b) match {
+          case 3 => u8(b + 1) match {
             case 1 => // contiguous: address + size
               if (filters.nonEmpty) return None // filters need chunked layout
               val dataAt = u64(b + 2); val dataSize = u64(b + 10)
@@ -380,6 +381,32 @@ object Hdf5Codec {
                 filters).getOrElse(return None)
             case _ => return None // compact (0) out of envelope
           }
+          case 4 =>
+            if (u8(b + 1) != 2) return None // v4 is chunked-only here
+            // flags(1), dimensionality(1), dim-size-encoded-length(1),
+            // dims (rank+1, last = element size), index type, info
+            val dimy = u8(b + 3)
+            val rank = shape.size
+            if (dimy != rank + 1) return None
+            val encLen = u8(b + 4)
+            if (encLen < 1 || encLen > 8) return None
+            def dimAt(i: Int): Long = {
+              val o = b + 5 + i.toLong * encLen
+              if (o + encLen > bytes.length) return -1L
+              var v = 0L; var j = 0
+              while (j < encLen) { v |= (bytes(o.toInt + j) & 0xffL) << (8 * j); j += 1 }
+              v
+            }
+            val chunkDims = (0 until rank).map(dimAt(_))
+            if (dimAt(rank) != width) return None
+            if (chunkDims.exists(d => d <= 0 || d > (1 << 24))) return None
+            val chunkElems = chunkDims.product
+            if (chunkElems <= 0 || chunkElems > MaxElements) return None
+            val infoAt = b + 5 + encLen.toLong * (rank + 1)
+            readChunkedV4(bytes, infoAt, shape, chunkDims, width.toInt,
+              filters).getOrElse(return None)
+          case _ => return None // layout v1/v2 out of envelope
+        }
       }
 
       def ru16(o: Int): Int = (raw(o) & 0xff) | ((raw(o + 1) & 0xff) << 8)
@@ -408,61 +435,40 @@ object Hdf5Codec {
     }
     Some(out)
   }
-
-  /** Assemble a chunked dataset's raw little-endian element bytes from
-    * its v1 chunk B-tree — leaf nodes directly, or INTERNAL nodes
-    * (level > 0) walked recursively with a depth cap of 8 and a
-    * global node/chunk budget bounded by the chunk grid, so a hostile
-    * pointer graph can't explode the walk. Chunks are full-size
-    * (edge chunks zero-padded per the format); the optional filter
-    * pipeline is inverted in reverse application order — deflate
-    * (id 1, `h5py compression="gzip"`) and byte-shuffle (id 2,
-    * `h5py shuffle=True`), honoring the per-chunk filter-skip mask.
-    * Elements outside the dataset bounds are discarded on scatter.
-    * None on any structural violation. */
-  private def readChunked(bytes: Array[Byte], btreeAt: Long, shape: Seq[Long],
-      chunkDims: Seq[Long], width: Int, filters: Seq[Int]): Option[Array[Byte]] = {
-    def u8(o: Long): Int =
-      if (o < 0 || o + 1 > bytes.length) -1 else bytes(o.toInt) & 0xff
-    def u16(o: Long): Int =
-      if (o < 0 || o + 2 > bytes.length) -1
-      else (bytes(o.toInt) & 0xff) | ((bytes(o.toInt + 1) & 0xff) << 8)
-    def u32(o: Long): Long =
-      if (o < 0 || o + 4 > bytes.length) -1L
-      else u16(o).toLong | (u16(o + 2).toLong << 16)
-    def u64(o: Long): Long =
-      if (o < 0 || o + 8 > bytes.length) -1L
-      else u32(o) | (u32(o + 4) << 32)
-
-    val rank = shape.size
-    val keySize = 8 + 8 * (rank + 1)
-    // chunks larger than the dataset, or more entries than the chunk
-    // grid holds, are not a layout any writer produces — refusing them
-    // bounds scatter work by the dataset size (a KB-scale file could
-    // otherwise demand ~1e11 discarded iterations)
-    if ((0 until rank).exists(d => chunkDims(d) > math.max(shape(d), 1L))) return None
-    val gridChunks = (0 until rank)
-      .map(d => (shape(d) + chunkDims(d) - 1) / chunkDims(d)).product
-
-    val nElems = shape.product
-    if (nElems > Int.MaxValue / width) return None
-    val raw = new Array[Byte](nElems.toInt * width)
-    // row-major element strides for dataset and chunk
-    def strides(dims: Seq[Long]): Array[Long] = {
+  /** Shared chunk assembly: scatter a stream of chunk descriptors
+    * (grid offsets, stored address/size, per-chunk filter mask) into
+    * the dataset's raw little-endian buffer, inverting the filter
+    * pipeline per chunk. Used by every chunk-index flavor (v1 B-tree,
+    * layout-v4 single-chunk / implicit / fixed-array). */
+  private final class ChunkAssembler(bytes: Array[Byte], shape: Seq[Long],
+      chunkDims: Seq[Long], width: Int, filters: Seq[Int]) {
+    val rank: Int = shape.size
+    // chunks larger than the dataset are not a layout any writer
+    // produces — refusing them bounds scatter work by the dataset size
+    val valid: Boolean =
+      !(0 until rank).exists(d => chunkDims(d) > math.max(shape(d), 1L)) &&
+        shape.product <= Int.MaxValue / width
+    val gridChunks: Long =
+      if (!valid) 0L
+      else (0 until rank).map(d => (shape(d) + chunkDims(d) - 1) / chunkDims(d)).product
+    val raw: Array[Byte] =
+      if (!valid) Array.emptyByteArray
+      else new Array[Byte](shape.product.toInt * width)
+    private def strides(dims: Seq[Long]): Array[Long] = {
       val s = new Array[Long](dims.size)
       var acc = 1L
       var d = dims.size - 1
       while (d >= 0) { s(d) = acc; acc *= dims(d); d -= 1 }
       s
     }
-    val dStr = strides(shape)
-    val cStr = strides(chunkDims)
-    val chunkElems = chunkDims.product.toInt
-    val fullChunkBytes = chunkElems * width
+    private val dStr = strides(shape)
+    private val cStr = strides(chunkDims)
+    val chunkElems: Int = chunkDims.product.toInt
+    val fullChunkBytes: Int = chunkElems * width
 
     /** Byte-unshuffle: stored layout groups byte j of every element
       * together (out(i*w + j) = in(j*n + i)). Length-preserving. */
-    def unshuffle(in: Array[Byte]): Array[Byte] = {
+    private def unshuffle(in: Array[Byte]): Array[Byte] = {
       val n = chunkElems
       val out = new Array[Byte](in.length)
       var j = 0
@@ -475,14 +481,11 @@ object Hdf5Codec {
       out
     }
 
-    /** One leaf entry: decode the chunk through the (unskipped)
-      * inverse filters and scatter it. */
-    def chunkEntry(kAt: Long): Boolean = {
-      val nbytes = u32(kAt)
-      val mask = u32(kAt + 4)
-      val offs = Array.tabulate(rank)(d => u64(kAt + 8 + 8L * d))
+    /** Decode one chunk through the (unskipped) inverse filters and
+      * scatter its in-bounds elements. */
+    def chunkEntry(offs: Array[Long], childAt: Long, nbytes: Long,
+        mask: Long): Boolean = {
       if (offs.exists(_ < 0)) return false
-      val childAt = u64(kAt + keySize)
       if (nbytes <= 0 || childAt < 0 || childAt + nbytes > bytes.length) return false
 
       var data: Array[Byte] = null // lazily materialized stored bytes
@@ -548,6 +551,46 @@ object Hdf5Codec {
       true
     }
 
+    /** Grid offsets of chunk `i` in row-major chunk-grid order (the
+      * layout-v4 implicit/fixed-array element order). */
+    def gridOffsets(i: Long): Array[Long] = {
+      val out = new Array[Long](rank)
+      var rem = i
+      var d = rank - 1
+      while (d >= 0) {
+        val g = (shape(d) + chunkDims(d) - 1) / chunkDims(d)
+        out(d) = (rem % g) * chunkDims(d)
+        rem /= g
+        d -= 1
+      }
+      out
+    }
+  }
+
+  /** Assemble a chunked dataset's raw little-endian element bytes from
+    * its v1 chunk B-tree — leaf nodes directly, or INTERNAL nodes
+    * (level > 0) walked recursively with a depth cap of 8 and a
+    * global node/chunk budget bounded by the chunk grid, so a hostile
+    * pointer graph can't explode the walk. */
+  private def readChunked(bytes: Array[Byte], btreeAt: Long, shape: Seq[Long],
+      chunkDims: Seq[Long], width: Int, filters: Seq[Int]): Option[Array[Byte]] = {
+    def u8(o: Long): Int =
+      if (o < 0 || o + 1 > bytes.length) -1 else bytes(o.toInt) & 0xff
+    def u16(o: Long): Int =
+      if (o < 0 || o + 2 > bytes.length) -1
+      else (bytes(o.toInt) & 0xff) | ((bytes(o.toInt + 1) & 0xff) << 8)
+    def u32(o: Long): Long =
+      if (o < 0 || o + 4 > bytes.length) -1L
+      else u16(o).toLong | (u16(o + 2).toLong << 16)
+    def u64(o: Long): Long =
+      if (o < 0 || o + 8 > bytes.length) -1L
+      else u32(o) | (u32(o + 4) << 32)
+
+    val asm = new ChunkAssembler(bytes, shape, chunkDims, width, filters)
+    if (!asm.valid) return None
+    val rank = shape.size
+    val keySize = 8 + 8 * (rank + 1)
+
     // recursive node walk; the budgets make the worst hostile pointer
     // graph cost O(gridChunks + nodes) rather than exponential
     var chunksSeen = 0L
@@ -568,8 +611,12 @@ object Hdf5Codec {
         val kAt = nodeAt + 24 + i.toLong * (keySize + 8)
         if (level == 0) {
           chunksSeen += 1
-          if (chunksSeen > gridChunks) return false
-          if (!chunkEntry(kAt)) return false
+          if (chunksSeen > asm.gridChunks) return false
+          val nbytes = u32(kAt)
+          val mask = u32(kAt + 4)
+          val offs = Array.tabulate(rank)(d => u64(kAt + 8 + 8L * d))
+          val childAt = u64(kAt + keySize)
+          if (!asm.chunkEntry(offs, childAt, nbytes, mask)) return false
         } else {
           val childAt = u64(kAt + keySize)
           if (childAt < 0) return false
@@ -579,6 +626,97 @@ object Hdf5Codec {
       }
       true
     }
-    if (!walk(btreeAt, 0)) None else Some(raw)
+    if (!walk(btreeAt, 0)) None else Some(asm.raw)
+  }
+
+  /** Layout-v4 chunk indexes (the h5py libver='latest' chunked world):
+    * Single Chunk (type 1), Implicit (type 2 — contiguous full chunks
+    * in row-major grid order, unfiltered), and unpaged Fixed Array
+    * (type 3 — FAHD header + FADB data block; filtered elements carry
+    * address + stored size + per-chunk filter mask). Extensible
+    * arrays and v2 B-trees stay refused. `infoAt` points at the
+    * indexing-type byte inside the layout message. */
+  private def readChunkedV4(bytes: Array[Byte], infoAt: Long, shape: Seq[Long],
+      chunkDims: Seq[Long], width: Int, filters: Seq[Int]): Option[Array[Byte]] = {
+    def u8(o: Long): Int =
+      if (o < 0 || o + 1 > bytes.length) -1 else bytes(o.toInt) & 0xff
+    def uN(o: Long, n: Int): Long = {
+      if (n <= 0 || n > 8 || o < 0 || o + n > bytes.length) return -1L
+      var v = 0L; var j = 0
+      while (j < n) { v |= (bytes(o.toInt + j) & 0xffL) << (8 * j); j += 1 }
+      v
+    }
+    val asm = new ChunkAssembler(bytes, shape, chunkDims, width, filters)
+    if (!asm.valid) return None
+    if (asm.gridChunks > (1 << 20)) return None
+
+    val idxType = u8(infoAt)
+    idxType match {
+      case 1 => // single chunk covering the whole (padded) dataset
+        if (asm.gridChunks != 1) return None
+        var q = infoAt + 1
+        val (nbytes, mask) =
+          if (filters.nonEmpty) {
+            val sz = uN(q, 8); val m = uN(q + 8, 4); q += 12
+            (sz, m)
+          } else (asm.fullChunkBytes.toLong, 0L)
+        val addr = uN(q, 8)
+        if (!asm.chunkEntry(new Array[Long](shape.size), addr, nbytes, mask))
+          None
+        else Some(asm.raw)
+      case 2 => // implicit: full unfiltered chunks, contiguous, grid order
+        if (filters.nonEmpty) return None
+        val base = uN(infoAt + 1, 8)
+        if (base < 0) return None
+        var i = 0L
+        while (i < asm.gridChunks) {
+          if (!asm.chunkEntry(asm.gridOffsets(i),
+              base + i * asm.fullChunkBytes, asm.fullChunkBytes.toLong, 0L))
+            return None
+          i += 1
+        }
+        Some(asm.raw)
+      case 3 => // fixed array, unpaged
+        // indexing info: page bits (1 byte), then the FAHD address
+        val fahd = uN(infoAt + 2, 8)
+        if (fahd < 0) return None
+        if (!(u8(fahd) == 'F' && u8(fahd + 1) == 'A' &&
+              u8(fahd + 2) == 'H' && u8(fahd + 3) == 'D')) return None
+        if (u8(fahd + 4) != 0) return None // FA version 0
+        val clientId = u8(fahd + 5)
+        if (clientId != 0 && clientId != 1) return None
+        if ((clientId == 1) != filters.nonEmpty) return None
+        val entrySize = u8(fahd + 6)
+        val pageBits = u8(fahd + 7)
+        val maxN = uN(fahd + 8, 8)
+        val fadb = uN(fahd + 16, 8)
+        if (maxN != asm.gridChunks) return None
+        if (pageBits < 1 || pageBits > 20 || maxN > (1L << pageBits))
+          return None // paged fixed arrays out of envelope
+        if (fadb < 0) return None
+        if (!(u8(fadb) == 'F' && u8(fadb + 1) == 'A' &&
+              u8(fadb + 2) == 'D' && u8(fadb + 3) == 'B')) return None
+        if (u8(fadb + 4) != 0 || u8(fadb + 5) != clientId) return None
+        // header addr (8) precedes the element array
+        val elems = fadb + 14
+        val szBytes = entrySize - 12 // filtered: addr(8) + size + mask(4)
+        if (clientId == 1 && (szBytes < 1 || szBytes > 8)) return None
+        if (clientId == 0 && entrySize != 8) return None
+        var i = 0L
+        while (i < maxN) {
+          val eAt = elems + i * entrySize
+          val addr = uN(eAt, 8)
+          val (nbytes, mask) =
+            if (clientId == 1) (uN(eAt + 8, szBytes), uN(eAt + 8 + szBytes, 4))
+            else (asm.fullChunkBytes.toLong, 0L)
+          if (addr != Undef) { // undefined address = unallocated chunk
+            if (!asm.chunkEntry(asm.gridOffsets(i), addr, nbytes, mask))
+              return None
+          }
+          i += 1
+        }
+        Some(asm.raw)
+      case _ => None // extensible array (4) / v2 b-tree (5) out of envelope
+    }
   }
 }

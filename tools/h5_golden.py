@@ -367,6 +367,18 @@ def dataspace_v2(shape):
             b"".join(struct.pack("<Q", d) for d in shape))
 
 
+def layout_v4(shape, dtype, chunk_shape, idx_type, info, addr):
+    """Layout v4 class 2: flags 0, rank+1 dims (last = element size)
+    as u64, index type byte + type info + address."""
+    size = {"f4": 4, "f8": 8, "i1": 1, "i2": 2, "i4": 4, "i8": 8,
+            "u1": 1, "u2": 2, "u4": 4, "u8": 8}[dtype]
+    lay = struct.pack("<BBBBB", 4, 2, 0, len(shape) + 1, 8)
+    lay += b"".join(struct.pack("<Q", d) for d in chunk_shape)
+    lay += struct.pack("<Q", size)
+    lay += struct.pack("<B", idx_type) + info + struct.pack("<Q", addr)
+    return lay
+
+
 def write_h5_v2(datasets):
     """v2-superblock file: OHDR root group with compact (inline) hard
     links, v2 dataset headers with v2 dataspaces; contiguous layout,
@@ -415,34 +427,103 @@ def write_h5_v2(datasets):
             assert len(hdr) == hlen
             built.append(hdr + data)
         else:
-            blobs = chunk_blobs(shape, dtype, values, chunk_shape)
+            opts = spec[5] if len(spec) > 5 else {}
+            index = opts.get("index", "btree1")
+            filtered = index != "implicit"
             rank = len(shape)
-            def hdr_for(btree_at, shape=shape, dtype=dtype, chunk_shape=chunk_shape):
-                lay, pipe = chunked_layout_msgs(shape, dtype, chunk_shape, btree_at)
-                return ohdr_v2([(0x0001, dataspace_v2(shape)),
-                                (0x000B, pipe),
-                                (0x0003, dtype_message(dtype)),
-                                (0x0008, lay)])
-            hlen = len(hdr_for(0))
-            btree_at = at + hlen
-            hdr = hdr_for(btree_at)
-            assert len(hdr) == hlen
-            keysize = 8 + 8 * (rank + 1)
-            node_len = 24 + len(blobs) * (keysize + 8) + keysize
-            chunk_at = btree_at + node_len
-            caddrs = []
-            for off, blob in blobs:
-                caddrs.append(chunk_at)
-                chunk_at += len(blob)
-            node = b"TREE" + struct.pack("<BBH", 1, 0, len(blobs))
-            node += struct.pack("<QQ", UNDEF, UNDEF)
-            for (off, blob), ca in zip(blobs, caddrs):
-                node += struct.pack("<II", len(blob), 0)
-                node += b"".join(struct.pack("<Q", o) for o in off)
-                node += struct.pack("<Q", 0) + struct.pack("<Q", ca)
-            node += struct.pack("<II", 0, 0) + b"\x00" * (8 * (rank + 1))
-            assert len(node) == node_len
-            built.append(hdr + node + b"".join(b for _, b in blobs))
+            size = {"f4": 4, "f8": 8, "i1": 1, "i2": 2, "i4": 4, "i8": 8,
+                    "u1": 1, "u2": 2, "u4": 4, "u8": 8}[dtype]
+            nchunk = 1
+            for d, c in zip(shape, chunk_shape):
+                nchunk *= (d + c - 1) // c
+            if filtered:
+                blobs = chunk_blobs(shape, dtype, values, chunk_shape)
+            else:
+                # implicit: raw full-size chunks, no compression
+                zblobs = chunk_blobs(shape, dtype, values, chunk_shape)
+                import zlib as _z
+                blobs = [(off, _z.decompress(b)) for off, b in zblobs]
+
+            def mk_hdr(lay_msgs):
+                msgs = [(0x0001, dataspace_v2(shape))]
+                if filtered:
+                    _, pipe = chunked_layout_msgs(shape, dtype, chunk_shape, 0)
+                    msgs.append((0x000B, pipe))
+                msgs.append((0x0003, dtype_message(dtype)))
+                msgs.append((0x0008, lay_msgs))
+                return ohdr_v2(msgs)
+
+            if index == "btree1":
+                def hdr_for(btree_at):
+                    lay, _ = chunked_layout_msgs(shape, dtype, chunk_shape, btree_at)
+                    return mk_hdr(lay)
+                hlen = len(hdr_for(0))
+                btree_at = at + hlen
+                hdr = hdr_for(btree_at)
+                assert len(hdr) == hlen
+                keysize = 8 + 8 * (rank + 1)
+                node_len = 24 + len(blobs) * (keysize + 8) + keysize
+                chunk_at = btree_at + node_len
+                caddrs = []
+                for off, blob in blobs:
+                    caddrs.append(chunk_at)
+                    chunk_at += len(blob)
+                node = b"TREE" + struct.pack("<BBH", 1, 0, len(blobs))
+                node += struct.pack("<QQ", UNDEF, UNDEF)
+                for (off, blob), ca in zip(blobs, caddrs):
+                    node += struct.pack("<II", len(blob), 0)
+                    node += b"".join(struct.pack("<Q", o) for o in off)
+                    node += struct.pack("<Q", 0) + struct.pack("<Q", ca)
+                node += struct.pack("<II", 0, 0) + b"\x00" * (8 * (rank + 1))
+                assert len(node) == node_len
+                built.append(hdr + node + b"".join(b for _, b in blobs))
+            elif index == "single":
+                assert nchunk == 1 and filtered
+                blob = blobs[0][1]
+                info = struct.pack("<QI", len(blob), 0)  # size + filter mask
+                def hdr_for(a):
+                    return mk_hdr(layout_v4(shape, dtype, chunk_shape, 1, info, a))
+                hlen = len(hdr_for(0))
+                hdr = hdr_for(at + hlen)
+                assert len(hdr) == hlen
+                built.append(hdr + blob)
+            elif index == "implicit":
+                def hdr_for(a):
+                    return mk_hdr(layout_v4(shape, dtype, chunk_shape, 2, b"", a))
+                hlen = len(hdr_for(0))
+                hdr = hdr_for(at + hlen)
+                assert len(hdr) == hlen
+                built.append(hdr + b"".join(b for _, b in blobs))
+            elif index == "fixedarray":
+                assert filtered
+                entry = 16  # addr(8) + size(4) + mask(4)
+                fadb_len = 14 + nchunk * entry + 4
+                def fa_for(fahd_at):
+                    fadb_at = fahd_at + 28
+                    chunk_at = fadb_at + fadb_len
+                    caddrs = []
+                    for off, blob in blobs:
+                        caddrs.append(chunk_at)
+                        chunk_at += len(blob)
+                    fahd = (b"FAHD" + struct.pack("<BBBB", 0, 1, entry, 10) +
+                            struct.pack("<QQ", nchunk, fadb_at))
+                    fahd += struct.pack("<I", lookup3(fahd))
+                    fadb = b"FADB" + struct.pack("<BB", 0, 1) + struct.pack("<Q", fahd_at)
+                    for (off, blob), ca in zip(blobs, caddrs):
+                        fadb += struct.pack("<QII", ca, len(blob), 0)
+                    fadb += struct.pack("<I", lookup3(fadb))
+                    assert len(fadb) == fadb_len
+                    return fahd + fadb
+                info = struct.pack("<B", 10)  # page bits
+                def hdr_for(fahd_at):
+                    return mk_hdr(layout_v4(shape, dtype, chunk_shape, 3, info, fahd_at))
+                hlen = len(hdr_for(0))
+                fahd_at = at + hlen
+                hdr = hdr_for(fahd_at)
+                assert len(hdr) == hlen
+                built.append(hdr + fa_for(fahd_at) + b"".join(b for _, b in blobs))
+            else:
+                raise ValueError(index)
         at += len(built[-1])
 
     hdr = root_hdr(addrs)
@@ -510,6 +591,17 @@ if __name__ == "__main__":
         ("zch", (4, 5), "f4", v2ch, (2, 2)),
     ])
     open(out + "/v2latest.h5", "wb").write(v2)
+    # layout-v4 chunk indexes (the libver='latest' CHUNKED world):
+    # single-chunk gzip, implicit (contiguous raw chunks), fixed array
+    scv = [((i * 17 + 3) % 31) * 0.5 for i in range(30)]
+    impv = [((i * 9 + 1) % 250) - 100 for i in range(8)]
+    fav = [(i * 7 + 2) * 0.25 for i in range(42)]
+    v4 = write_h5_v2([
+        ("fa", (6, 7), "f4", fav, (3, 4), {"index": "fixedarray"}),
+        ("imp", (8,), "i4", impv, (4,), {"index": "implicit"}),
+        ("sc", (5, 6), "f8", scv, (5, 6), {"index": "single"}),
+    ])
+    open(out + "/v4chunks.h5", "wb").write(v4)
     # an out-of-envelope file: the scan must SKIP it, not fail
     open(out + "/corrupt.h5", "wb").write(b"\x89HDF\r\n\x1a\nGARBAGE")
 
@@ -534,6 +626,9 @@ if __name__ == "__main__":
         ("v2latest", [("cont", v2vals),
                       ("ints", [float(v) for v in v2ints]),
                       ("zch", [float(np.float32(v)) for v in v2ch])]),
+        ("v4chunks", [("fa", [float(np.float32(v)) for v in fav]),
+                      ("imp", [float(v) for v in impv]),
+                      ("sc", scv)]),
     ]
     for fname, dsets in expected:
         for ds, vals in dsets:
