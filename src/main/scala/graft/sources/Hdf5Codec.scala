@@ -8,9 +8,10 @@ package graft.sources
   * which under h5py's default settings is
   *
   *  - superblock version 0, OR superblock v2/v3 with version-2
-  *    ("OHDR") object headers and compact inline hard links — the
-  *    h5py libver='latest' shape (dense fractal-heap link storage
-  *    and layout-v4 chunk indexes stay refused),
+  *    ("OHDR") object headers, compact inline hard links, and
+  *    layout-v4 chunk indexes (single-chunk / implicit / unpaged
+  *    fixed array) — the h5py libver='latest' shape (dense
+  *    fractal-heap link storage stays refused),
   *  - a root group addressed by a v1 B-tree over SNOD symbol nodes
   *    with names in a local heap,
   *  - v1 object headers per dataset (dataspace v1, datatype classes
