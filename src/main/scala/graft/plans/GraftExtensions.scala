@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, L2Squared}
+import graft.expressions.{CosineSimilarity, FloatsToFp16, Fp16ToFloats, L2Squared}
 
 /** Engine extension point, installed with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`:
@@ -11,6 +11,8 @@ import graft.expressions.{CosineSimilarity, L2Squared}
   *  - `cosine_sim(a, b)` — native codegen'd cosine similarity
   *    ([[graft.expressions.CosineSimilarity]]) available from SQL and
   *    `expr(...)`.
+  *  - `fp16_vec(binary)` / `fp16_pack(array<float>)` — IEEE binary16
+  *    embedding wire-format pack/unpack ([[graft.expressions.Fp16]]).
   *  - [[SimplifyBitmaskConjunction]] — QA-bitmask conjunction folding
   *    in the optimizer.
   */
@@ -24,6 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("l2_sq"),
       new ExpressionInfo(classOf[L2Squared].getName, "l2_sq"),
       (children: Seq[Expression]) => L2Squared(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("fp16_vec"),
+      new ExpressionInfo(classOf[Fp16ToFloats].getName, "fp16_vec"),
+      (children: Seq[Expression]) => Fp16ToFloats(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("fp16_pack"),
+      new ExpressionInfo(classOf[FloatsToFp16].getName, "fp16_pack"),
+      (children: Seq[Expression]) => FloatsToFp16(children(0))))
     ext.injectOptimizerRule(_ => SimplifyBitmaskConjunction)
   }
 }

@@ -1266,7 +1266,39 @@ object VectorQueries {
       |  CAST(FLOOR(m3.m * 1e6) AS BIGINT) AS eigq
       |FROM v3 CROSS JOIN m3""".stripMargin
 
+  /** fp16 embedding wire-format roundtrip, oracle-graded — the
+    * storage move a 100 TB vector lake actually makes (fp16 halves
+    * the bytes; safetensors/faiss-style packed little-endian halfs).
+    * Each embedding dim quantizes to a multiple of 2⁻⁸ (exactly
+    * representable in binary16 at these magnitudes), packs through
+    * the native codegen'd [[graft.expressions.FloatsToFp16]], decodes
+    * back with [[graft.expressions.Fp16ToFloats]], and the per-vector
+    * decoded sums + byte counts land on the hash. The oracle
+    * recomputes the sums from the quantization arithmetic alone
+    * (floor/×2⁸ — exact IEEE ops on both engines), so any encode OR
+    * decode bit error flips the result; Fp16Spec separately proves
+    * the pair exhaustively RNE-correct over all 65 536 half patterns.
+    * Sums of 2⁻⁸-granular values are exact in double, so no
+    * quantized-sum discipline is needed. */
+  def qFp16Roundtrip(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("packed", expr(
+        "fp16_pack(transform(embedding, " +
+          "x -> cast(floor(cast(x AS double) * 256.0d) / 256.0d AS float)))"))
+      .withColumn("back", expr("fp16_vec(packed)"))
+      .select(col("vec_id"), col("label"),
+        length(col("packed")).as("n_bytes"),
+        expr("aggregate(back, 0.0d, (a, x) -> a + cast(x AS double))").as("dec_sum"))
+
+  val qFp16RoundtripSql: String =
+    """SELECT vec_id, label,
+      |  CAST(2 * len(embedding) AS INT) AS n_bytes,
+      |  list_sum(list_transform(embedding,
+      |    x -> floor(CAST(x AS DOUBLE) * 256.0e0) / 256.0e0)) AS dec_sum
+      |FROM embeddings""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fp16_roundtrip" -> (qFp16Roundtrip _),
     "q_pca_power" -> (qPcaPower _),
     "q_cosine_topk" -> (qCosineTopk _),
     "q_cosine_topk_native" -> (qCosineTopkNative _),
@@ -1291,6 +1323,7 @@ object VectorQueries {
     "q_pca_power" -> qPcaPowerSql,
     "q_cosine_topk" -> qCosineTopkSql,
     "q_cosine_topk_native" -> qCosineTopkSql,
+    "q_fp16_roundtrip" -> qFp16RoundtripSql,
     "q_ann_sign_lsh" -> qAnnSignLshSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ivf_recall" -> qIvfRecallSql,
