@@ -111,6 +111,88 @@ object Fp16 {
   }
 }
 
+/** bfloat16 — the TRAINING-side 16-bit format (fp32's exponent range,
+  * 8 mantissa bits): decode is a plain high-half shift, encode is RNE
+  * via the carry-propagating rounding add. Same exhaustive-proof
+  * discipline as [[Fp16]] (Fp16Spec sweeps all 65 536 bf16 patterns
+  * and the RNE midpoints). */
+object Bf16 {
+  /** bf16 bits (low 16 of the Int) → float: high half of fp32. */
+  def bf16ToFloat(h: Int): Float =
+    java.lang.Float.intBitsToFloat((h & 0xffff) << 16)
+
+  /** float → bf16 bits, round-to-nearest-even; NaN keeps its high
+    * payload bits (quiet bit forced if they truncate away). */
+  def floatToBf16(f: Float): Int = {
+    val bits = java.lang.Float.floatToRawIntBits(f)
+    if ((bits & 0x7f800000) == 0x7f800000 && (bits & 0x7fffff) != 0) {
+      val h = bits >>> 16
+      return if ((h & 0x7f) == 0) h | 0x40 else h // keep NaN-ness
+    }
+    // RNE: add 0x7fff + lsb-of-result; the carry propagates through
+    // mantissa into exponent, and FLT_MAX rounds to inf correctly
+    (bits + 0x7fff + ((bits >>> 16) & 1)) >>> 16
+  }
+
+  def decode(packed: Array[Byte]): ArrayData = {
+    val n = packed.length / 2
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = bf16ToFloat((packed(2 * i) & 0xff) | ((packed(2 * i + 1) & 0xff) << 8))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def encode(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val out = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val h = if (arr.isNullAt(i)) 0 else floatToBf16(arr.getFloat(i))
+      out(2 * i) = (h & 0xff).toByte
+      out(2 * i + 1) = ((h >>> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** `bf16_vec(binary)` → `ARRAY<FLOAT>`: unpack little-endian bf16. */
+case class Bf16ToFloats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bf16_vec expects BINARY input, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "bf16_vec"
+  override protected def nullSafeEval(input: Any): Any =
+    Bf16.decode(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Bf16.decode($c)")
+  override protected def withNewChildInternal(newChild: Expression): Bf16ToFloats =
+    copy(child = newChild)
+}
+
+/** `bf16_pack(array<float>)` → `BINARY`: RNE pack to bf16. */
+case class FloatsToBf16(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bf16_pack expects ARRAY<FLOAT> input, got ${t.sql}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bf16_pack"
+  override protected def nullSafeEval(input: Any): Any =
+    Bf16.encode(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Bf16.encode($c)")
+  override protected def withNewChildInternal(newChild: Expression): FloatsToBf16 =
+    copy(child = newChild)
+}
+
 /** `fp16_vec(binary)` → `ARRAY<FLOAT>`: unpack little-endian halfs. */
 case class Fp16ToFloats(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, FloatsToFp16, Fp16ToFloats, L2Squared}
+import graft.expressions.{Bf16ToFloats, CosineSimilarity, FloatsToBf16, FloatsToFp16, Fp16ToFloats, L2Squared}
 
 /** Engine extension point, installed with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`:
@@ -12,7 +12,9 @@ import graft.expressions.{CosineSimilarity, FloatsToFp16, Fp16ToFloats, L2Square
   *    ([[graft.expressions.CosineSimilarity]]) available from SQL and
   *    `expr(...)`.
   *  - `fp16_vec(binary)` / `fp16_pack(array<float>)` — IEEE binary16
-  *    embedding wire-format pack/unpack ([[graft.expressions.Fp16]]).
+  *    embedding wire-format pack/unpack ([[graft.expressions.Fp16]]);
+  *    `bf16_vec` / `bf16_pack` — the bfloat16 training-side siblings
+  *    ([[graft.expressions.Bf16]]).
   *  - [[SimplifyBitmaskConjunction]] — QA-bitmask conjunction folding
   *    in the optimizer.
   */
@@ -34,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("fp16_pack"),
       new ExpressionInfo(classOf[FloatsToFp16].getName, "fp16_pack"),
       (children: Seq[Expression]) => FloatsToFp16(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("bf16_vec"),
+      new ExpressionInfo(classOf[Bf16ToFloats].getName, "bf16_vec"),
+      (children: Seq[Expression]) => Bf16ToFloats(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("bf16_pack"),
+      new ExpressionInfo(classOf[FloatsToBf16].getName, "bf16_pack"),
+      (children: Seq[Expression]) => FloatsToBf16(children(0))))
     ext.injectOptimizerRule(_ => SimplifyBitmaskConjunction)
   }
 }

@@ -1282,19 +1282,26 @@ object VectorQueries {
     * quantized-sum discipline is needed. */
   def qFp16Roundtrip(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .withColumn("packed", expr(
-        "fp16_pack(transform(embedding, " +
-          "x -> cast(floor(cast(x AS double) * 256.0d) / 256.0d AS float)))"))
+      .withColumn("q", expr(
+        "transform(embedding, " +
+          "x -> cast(floor(cast(x AS double) * 256.0d) / 256.0d AS float))"))
+      .withColumn("packed", expr("fp16_pack(q)"))
       .withColumn("back", expr("fp16_vec(packed)"))
+      // bf16 (8 mantissa bits) also holds 2^-8 multiples below 1.0
+      // exactly, so the SAME oracle sum grades both codecs
+      .withColumn("bback", expr("bf16_vec(bf16_pack(q))"))
       .select(col("vec_id"), col("label"),
         length(col("packed")).as("n_bytes"),
-        expr("aggregate(back, 0.0d, (a, x) -> a + cast(x AS double))").as("dec_sum"))
+        expr("aggregate(back, 0.0d, (a, x) -> a + cast(x AS double))").as("dec_sum"),
+        expr("aggregate(bback, 0.0d, (a, x) -> a + cast(x AS double))").as("bf16_sum"))
 
   val qFp16RoundtripSql: String =
     """SELECT vec_id, label,
       |  CAST(2 * len(embedding) AS INT) AS n_bytes,
       |  list_sum(list_transform(embedding,
-      |    x -> floor(CAST(x AS DOUBLE) * 256.0e0) / 256.0e0)) AS dec_sum
+      |    x -> floor(CAST(x AS DOUBLE) * 256.0e0) / 256.0e0)) AS dec_sum,
+      |  list_sum(list_transform(embedding,
+      |    x -> floor(CAST(x AS DOUBLE) * 256.0e0) / 256.0e0)) AS bf16_sum
       |FROM embeddings""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -69,6 +69,35 @@ class Fp16Spec extends SparkSpec {
     }
   }
 
+  test("bf16: encode(decode(h)) identity on all 65536 patterns; exhaustive RNE") {
+    import graft.expressions.Bf16
+    var h = 0
+    while (h < 0x10000) {
+      val f = Bf16.bf16ToFloat(h)
+      val back = Bf16.floatToBf16(f)
+      val isNan = (h & 0x7f80) == 0x7f80 && (h & 0x7f) != 0
+      if (isNan) assert((back & 0x7f80) == 0x7f80 && (back & 0x7f) != 0, f"$h%04x")
+      else assert(back == h, f"pattern $h%04x -> $f -> $back%04x")
+      h += 1
+    }
+    // midpoint RNE over finite positives (stop before inf)
+    h = 0
+    while (h < 0x7f7f) {
+      val lo = Bf16.bf16ToFloat(h)
+      val hi = Bf16.bf16ToFloat(h + 1)
+      if (!lo.isNaN && !hi.isNaN && !hi.isInfinite) {
+        // the midpoint is exactly a float (one extra mantissa bit fits)
+        val mid = java.lang.Float.intBitsToFloat((h << 16) | 0x8000)
+        val even = if ((h & 1) == 0) h else h + 1
+        assert(Bf16.floatToBf16(mid) == even, f"mid of $h%04x")
+      }
+      h += 1
+    }
+    assert(Bf16.floatToBf16(Float.MaxValue) == 0x7f80) // rounds to inf
+    assert(Bf16.floatToBf16(1.0f) == 0x3f80)
+    assert(Bf16.floatToBf16(-2.0f) == 0xc000)
+  }
+
   test("catalyst surface: fp16_pack/fp16_vec round-trip through codegen") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
