@@ -703,6 +703,12 @@ object Hdf5Codec {
         val szBytes = entrySize - 12 // filtered: addr(8) + size + mask(4)
         if (clientId == 1 && (szBytes < 1 || szBytes > 8)) return None
         if (clientId == 0 && entrySize != 8) return None
+        // the whole element array must be in-bounds BEFORE the loop:
+        // an out-of-range uN read returns -1L, which is
+        // indistinguishable from the legitimate undefined-address
+        // sentinel below — a truncated array would otherwise decode
+        // silently as all-unallocated (all zeros) instead of refusing
+        if (elems + maxN * entrySize > bytes.length) return None
         var i = 0L
         while (i < maxN) {
           val eAt = elems + i * entrySize
