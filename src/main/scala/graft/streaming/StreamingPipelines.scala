@@ -503,6 +503,73 @@ object StreamingPipelines {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** One micro-batch of landed webdataset shards → per-sample feature
+    * rows, executor-side: each tar decodes ([[graft.sources
+    * .TarCodec]]), members pair by basename (the webdataset rule),
+    * and each sample's image decodes through [[graft.sources
+    * .JpegCodec]] — baseline AND progressive, since a real crawl
+    * carries both. The skip contract composes: a corrupt SHARD drops
+    * whole, an undecodable or unpaired MEMBER drops that sample, and
+    * neither kills the stream. */
+  def decodeWebdatasetBatch(batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch.select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val shard = path.substring(path.lastIndexOf('/') + 1)
+        graft.sources.TarCodec.decode(bytes) match {
+          case None => Seq.empty // corrupt shard: skip, not kill
+          case Some(members) =>
+            members.groupBy(_.name.takeWhile(_ != '.')).toSeq
+              .sortBy(_._1)
+              .flatMap { case (sample, ms) =>
+                for {
+                  txt <- ms.find(_.name.endsWith(".txt"))
+                  jpg <- ms.find(_.name.endsWith(".jpg"))
+                  img <- graft.sources.JpegCodec.decode(jpg.data)
+                } yield {
+                  var px = 0L
+                  var i = 0
+                  while (i < img.pixels.length) { px += img.pixels(i) & 0xff; i += 1 }
+                  (shard, sample, txt.data.length, img.width, img.height,
+                    img.channels, px)
+                }
+              }
+        }
+      }
+      .toDF("shard", "sample", "caption_bytes", "width", "height",
+        "channels", "px_sum")
+  }
+
+  /** Webdataset shard stream — the LAION crawl AS A STREAM: tar
+    * shards land in a directory, each micro-batch decodes its members
+    * through [[decodeWebdatasetBatch]], and per-sample rows append as
+    * a batch_id-partitioned parquet table, exactly-once under the
+    * checkpoint (same discipline as [[netcdfIngest]]). At crawl scale
+    * `maxFilesPerTrigger` is the backpressure knob and the per-shard
+    * decode fans out across executors — the batch q_webdataset_jpeg
+    * plan and this stream share every decode kernel. */
+  def webdatasetIngest(spark: SparkSession, srcDir: String, destDir: String,
+                       checkpointDir: String,
+                       maxFilesPerTrigger: Int = 100): StreamingQuery =
+    spark.readStream
+      .format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", org.apache.spark.sql.types.StringType),
+        StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+        StructField("length", org.apache.spark.sql.types.LongType),
+        StructField("content", org.apache.spark.sql.types.BinaryType))))
+      .option("pathGlobFilter", "*.tar")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        decodeWebdatasetBatch(batch)
+          .write.mode("overwrite").parquet(s"$destDir/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Pattern 1: landing-zone file ingest → parquet, exactly-once
     * end-to-end: the checkpoint pins each batch's file set (a batch
     * id always maps to the same input files), and [[ingestBatch]]

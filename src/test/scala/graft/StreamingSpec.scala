@@ -382,6 +382,60 @@ class StreamingSpec extends SparkSpec {
       "streaming ingest diverged from the batch decode")
   }
 
+  test("webdatasetIngest streams tar shards of caption+JPEG pairs, skipping corruption") {
+    import spark.implicits._
+    import graft.sources.{JpegCodec, TarCodec}
+    val src = Files.createTempDirectory("graft_wds_src").toString
+    val dest = Files.createTempDirectory("graft_wds_dest").toString
+    val ckpt = Files.createTempDirectory("graft_wds_ckpt").toString
+
+    // committed fixtures: one baseline + one PROGRESSIVE jpeg (a real
+    // crawl carries both codings in the same shard)
+    val base = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      graft.Fixtures.path("q_jpeg_decode") + "/rgb444_12x10.jpg"))
+    val prog = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      graft.Fixtures.path("q_jpeg_progressive") + "/prog_gray_16x12.jpg"))
+    def shard(samples: Seq[(String, String, Array[Byte])]): Array[Byte] =
+      TarCodec.encode(samples.flatMap { case (id, cap, jpg) =>
+        Seq(TarCodec.Member(s"$id.txt", cap.getBytes("UTF-8")),
+          TarCodec.Member(s"$id.jpg", jpg))
+      })
+    Files.write(java.nio.file.Paths.get(src, "s0.tar"), shard(Seq(
+      ("a01", "a baseline sample", base),
+      ("a02", "a progressive sample", prog),
+      ("a03", "corrupt image member", Array[Byte](1, 2, 3)), // drops
+    )))
+    // one unpaired caption (no jpg) + a wholly corrupt shard
+    Files.write(java.nio.file.Paths.get(src, "s1.tar"), shard(Seq(
+      ("b01", "another baseline", base))) ++ Array.emptyByteArray)
+    Files.write(java.nio.file.Paths.get(src, "broken.tar"),
+      "not a tar at all".getBytes("UTF-8"))
+
+    StreamingPipelines.webdatasetIngest(spark, src, dest, ckpt).awaitTermination()
+    val out = spark.read.parquet(dest)
+    assert(out.count() == 3, "3 decodable pairs: a01, a02, b01")
+    // replay with the same checkpoint: nothing reprocessed
+    StreamingPipelines.webdatasetIngest(spark, src, dest, ckpt).awaitTermination()
+    assert(spark.read.parquet(dest).count() == 3)
+
+    // per-sample features match a direct decode of the same fixtures
+    val img = JpegCodec.decode(base).get
+    var px = 0L
+    img.pixels.foreach(b => px += b & 0xff)
+    val a01 = out.filter($"sample" === "a01")
+      .select("width", "height", "channels", "px_sum").head()
+    assert((a01.getInt(0), a01.getInt(1), a01.getInt(2), a01.getLong(3)) ==
+      ((12, 10, 3, px)))
+    val a02 = out.filter($"sample" === "a02").select("width", "height", "channels").head()
+    assert((a02.getInt(0), a02.getInt(1), a02.getInt(2)) == ((16, 12, 1)))
+
+    // a newly landed shard is picked up incrementally
+    Files.write(java.nio.file.Paths.get(src, "s2.tar"), shard(Seq(
+      ("c01", "late arrival", prog))))
+    StreamingPipelines.webdatasetIngest(spark, src, dest, ckpt).awaitTermination()
+    assert(spark.read.parquet(dest).count() == 4)
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
