@@ -1282,9 +1282,15 @@ object VectorQueries {
     * quantized-sum discipline is needed. */
   def qFp16Roundtrip(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
+      // clamp to |q| <= 255/256: bf16 (8 mantissa bits) only holds
+      // 2^-8 multiples exactly BELOW 1.0 — without the clamp, a
+      // future corpus vintage with any dim >= 1.0 would make the
+      // bf16 leg diverge from the pass-through oracle and the
+      // mismatch would be blamed on the codec
       .withColumn("q", expr(
         "transform(embedding, " +
-          "x -> cast(floor(cast(x AS double) * 256.0d) / 256.0d AS float))"))
+          "x -> cast(greatest(-0.99609375d, least(0.99609375d, " +
+          "floor(cast(x AS double) * 256.0d) / 256.0d)) AS float))"))
       .withColumn("packed", expr("fp16_pack(q)"))
       .withColumn("back", expr("fp16_vec(packed)"))
       // bf16 (8 mantissa bits) also holds 2^-8 multiples below 1.0
@@ -1299,9 +1305,11 @@ object VectorQueries {
     """SELECT vec_id, label,
       |  CAST(2 * len(embedding) AS INT) AS n_bytes,
       |  list_sum(list_transform(embedding,
-      |    x -> floor(CAST(x AS DOUBLE) * 256.0e0) / 256.0e0)) AS dec_sum,
+      |    x -> greatest(-0.99609375e0, least(0.99609375e0,
+      |           floor(CAST(x AS DOUBLE) * 256.0e0) / 256.0e0)))) AS dec_sum,
       |  list_sum(list_transform(embedding,
-      |    x -> floor(CAST(x AS DOUBLE) * 256.0e0) / 256.0e0)) AS bf16_sum
+      |    x -> greatest(-0.99609375e0, least(0.99609375e0,
+      |           floor(CAST(x AS DOUBLE) * 256.0e0) / 256.0e0)))) AS bf16_sum
       |FROM embeddings""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -481,8 +481,14 @@ object StreamingPipelines {
     * mode-overwrite per-batch-dir sink is replay-idempotent).
     * Corrupt or out-of-profile files skip inside the kernel — a bad
     * shard never stalls the stream. */
-  def netcdfIngest(spark: SparkSession, srcDir: String, destDir: String,
-                   checkpointDir: String, maxFilesPerTrigger: Int = 100): StreamingQuery =
+  /** Shared landed-binary-shard ingest discipline: binaryFile stream
+    * over one glob, per-batch executor-side decode, batch_id-
+    * partitioned parquet sink (idempotent under batch retries via
+    * overwrite), checkpointed AvailableNow. One copy of the recipe so
+    * the per-format ingests can't drift. */
+  private def binaryShardIngest(spark: SparkSession, srcDir: String,
+      glob: String, destDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int)(decode: DataFrame => DataFrame): StreamingQuery =
     spark.readStream
       .format("binaryFile")
       // file stream sources require the schema up front; binaryFile's is fixed
@@ -491,17 +497,22 @@ object StreamingPipelines {
         StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
         StructField("length", org.apache.spark.sql.types.LongType),
         StructField("content", org.apache.spark.sql.types.BinaryType))))
-      .option("pathGlobFilter", "*.nc")
+      .option("pathGlobFilter", glob)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.sources.GeoIngest.decodeNetcdfBatch(batch)
+        decode(batch)
           .write.mode("overwrite").parquet(s"$destDir/batch_id=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  def netcdfIngest(spark: SparkSession, srcDir: String, destDir: String,
+                   checkpointDir: String, maxFilesPerTrigger: Int = 100): StreamingQuery =
+    binaryShardIngest(spark, srcDir, "*.nc", destDir, checkpointDir,
+      maxFilesPerTrigger)(graft.sources.GeoIngest.decodeNetcdfBatch)
 
   /** One micro-batch of landed webdataset shards → per-sample feature
     * rows, executor-side: each tar decodes ([[graft.sources
@@ -519,7 +530,14 @@ object StreamingPipelines {
         graft.sources.TarCodec.decode(bytes) match {
           case None => Seq.empty // corrupt shard: skip, not kill
           case Some(members) =>
-            members.groupBy(_.name.takeWhile(_ != '.')).toSeq
+            // webdataset key: basename AFTER the last '/', up to the
+            // first '.' — real shards (tar -cf shard.tar .) prefix
+            // members with "./", which a naive takeWhile would
+            // collapse into one group and silently mispair
+            def sampleKey(n: String): String =
+              n.substring(n.lastIndexOf('/') + 1).takeWhile(_ != '.')
+            members.groupBy(m => sampleKey(m.name)).toSeq
+              .filter(_._1.nonEmpty) // directory entries / dotfiles
               .sortBy(_._1)
               .flatMap { case (sample, ms) =>
                 for {
@@ -551,24 +569,8 @@ object StreamingPipelines {
   def webdatasetIngest(spark: SparkSession, srcDir: String, destDir: String,
                        checkpointDir: String,
                        maxFilesPerTrigger: Int = 100): StreamingQuery =
-    spark.readStream
-      .format("binaryFile")
-      .schema(StructType(Seq(
-        StructField("path", org.apache.spark.sql.types.StringType),
-        StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
-        StructField("length", org.apache.spark.sql.types.LongType),
-        StructField("content", org.apache.spark.sql.types.BinaryType))))
-      .option("pathGlobFilter", "*.tar")
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .load(srcDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        decodeWebdatasetBatch(batch)
-          .write.mode("overwrite").parquet(s"$destDir/batch_id=$batchId")
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    binaryShardIngest(spark, srcDir, "*.tar", destDir, checkpointDir,
+      maxFilesPerTrigger)(decodeWebdatasetBatch)
 
   /** Pattern 1: landing-zone file ingest → parquet, exactly-once
     * end-to-end: the checkpoint pins each batch's file set (a batch

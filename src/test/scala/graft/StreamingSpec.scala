@@ -405,9 +405,13 @@ class StreamingSpec extends SparkSpec {
       ("a02", "a progressive sample", prog),
       ("a03", "corrupt image member", Array[Byte](1, 2, 3)), // drops
     )))
-    // one unpaired caption (no jpg) + a wholly corrupt shard
-    Files.write(java.nio.file.Paths.get(src, "s1.tar"), shard(Seq(
-      ("b01", "another baseline", base))) ++ Array.emptyByteArray)
+    // a shard with a "./"-prefixed member layout (tar -cf shard.tar .)
+    // plus a genuinely unpaired caption (c99.txt with no image) —
+    // both must pair/skip correctly, not collapse or kill
+    Files.write(java.nio.file.Paths.get(src, "s1.tar"), TarCodec.encode(Seq(
+      TarCodec.Member("./b01.txt", "another baseline".getBytes("UTF-8")),
+      TarCodec.Member("./b01.jpg", base),
+      TarCodec.Member("./c99.txt", "caption without an image".getBytes("UTF-8")))))
     Files.write(java.nio.file.Paths.get(src, "broken.tar"),
       "not a tar at all".getBytes("UTF-8"))
 
@@ -428,6 +432,10 @@ class StreamingSpec extends SparkSpec {
       ((12, 10, 3, px)))
     val a02 = out.filter($"sample" === "a02").select("width", "height", "channels").head()
     assert((a02.getInt(0), a02.getInt(1), a02.getInt(2)) == ((16, 12, 1)))
+    // the dotted-prefix shard paired by basename, and the unpaired
+    // caption is absent
+    assert(out.filter($"sample" === "b01").count() == 1)
+    assert(out.filter($"sample" === "c99").count() == 0)
 
     // a newly landed shard is picked up incrementally
     Files.write(java.nio.file.Paths.get(src, "s2.tar"), shard(Seq(
