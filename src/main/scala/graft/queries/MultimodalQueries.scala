@@ -737,6 +737,59 @@ object MultimodalQueries {
     s"""SELECT file, dataset, idx, value
       |FROM read_parquet('${graft.Fixtures.base}/q_hdf5_read/golden/*.parquet')""".stripMargin
 
+  /** WARC crawl-archive extraction, oracle-graded per record — the
+    * Common Crawl ingest every web-scale LLM corpus starts from
+    * (C4/RefinedWeb/FineWeb are all `.warc.gz` descendants; the
+    * reference's GCS-object ingest, monthly.py:738-749, is the same
+    * bucket-of-shards idea in its EE-specific form). The committed
+    * fixtures in `tools/fixtures/q_warc_extract/` were written by the
+    * independent Python writer (tools/warc_golden.py — Python gzip
+    * members, hand-built WARC/HTTP grammar): warcinfo / request /
+    * response / metadata / revisit records; response bodies cover
+    * identity, chunked, gzip, and chunked+gzip encodings, plus one
+    * undecodable (brotli) payload that must keep its record with a
+    * NULL http_status (per-record degrade) and two structurally
+    * corrupt archives whose ABSENCE from the output is itself graded
+    * (per-file skip). [[graft.sources.GeoIngest.readWarcFiles]] scans
+    * them distributed; the oracle reads the expected rows (payload
+    * md5 computed by Python hashlib, never by Spark). */
+  def qWarcExtract(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readWarcFiles(spark, graft.Fixtures.path("q_warc_extract"))
+      .select(col("file"), col("rec_idx"), col("warc_type"),
+        col("target_uri"), col("http_status"), col("mime"),
+        length(col("payload")).as("payload_len"),
+        md5(col("payload")).as("payload_md5"))
+  }
+
+  val qWarcExtractSql: String =
+    s"""SELECT file, rec_idx, warc_type, target_uri, http_status, mime,
+      |  payload_len, payload_md5
+      |FROM read_parquet('${graft.Fixtures.base}/q_warc_extract/golden/*.parquet')""".stripMargin
+
+  /** Zstd JSONL shard scan, oracle-graded per line — the `.jsonl.zst`
+    * wire format modern text corpora ship in (RedPajama/Dolma/
+    * FineWeb), the zstd sibling of [[qJsonlGz]]. Fixtures written by
+    * pyarrow's zstd codec (real libzstd, tools/warc_golden.py):
+    * single-frame, multi-frame-with-skippable-between (the `cat
+    * a.zst b.zst` / frame-per-block layouts), leading-skippable, and
+    * one truncated shard that must skip whole. Line JSON is parsed
+    * with the native `get_json_object` expression (no UDF); the
+    * oracle reads rows computed by Python json+hashlib. */
+  def qJsonlZst(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readJsonlZst(spark, graft.Fixtures.path("q_jsonl_zst"))
+      .select(col("shard"), col("line_idx"),
+        get_json_object(col("line"), "$.doc_id").cast("long").as("doc_id"),
+        get_json_object(col("line"), "$.lang").as("lang"),
+        length(get_json_object(col("line"), "$.text")).as("text_len"),
+        md5(get_json_object(col("line"), "$.text")).as("text_md5"))
+  }
+
+  val qJsonlZstSql: String =
+    s"""SELECT shard, line_idx, doc_id, lang, text_len, text_md5
+      |FROM read_parquet('${graft.Fixtures.base}/q_jsonl_zst/golden/*.parquet')""".stripMargin
+
   /** Webdataset shard round-trip, oracle-graded — the LAION-style
     * layout web-scale multimodal training actually uses: ONE tar shard
     * per source whose members are per-sample PAIRS (`{id}.txt` caption
@@ -923,6 +976,8 @@ object MultimodalQueries {
     "q_png_decode" -> (qPngDecode _),
     "q_tiff_georef" -> (qTiffGeoref _),
     "q_jsonl_gz" -> (qJsonlGz _),
+    "q_jsonl_zst" -> (qJsonlZst _),
+    "q_warc_extract" -> (qWarcExtract _),
     "q_media_manifest" -> (qMediaManifest _),
     "q_media_features" -> (qMediaFeatures _),
     "q_image_decode" -> (qImageDecode _),
@@ -944,6 +999,8 @@ object MultimodalQueries {
     "q_jpeg_decode" -> qJpegDecodeSql,
     "q_jpeg_progressive" -> qJpegProgressiveSql,
     "q_jsonl_gz" -> qJsonlGzSql,
+    "q_jsonl_zst" -> qJsonlZstSql,
+    "q_warc_extract" -> qWarcExtractSql,
     "q_media_manifest" -> qMediaManifestSql,
     "q_media_features" -> qMediaFeaturesSql,
     "q_image_decode" -> qImageDecodeSql,

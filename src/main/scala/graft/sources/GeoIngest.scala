@@ -279,4 +279,64 @@ object GeoIngest {
         }
       }.toDF("shard", "key", "part", "payload")
   }
+
+  /** Zstd-compressed JSONL shard scan — the `.jsonl.zst` wire format
+    * modern web corpora ship in (RedPajama/Dolma/FineWeb), the zstd
+    * sibling of [[readJsonlGz]]: distributed binaryFile scan, each
+    * shard's frames inflated executor-side by [[ZstdCodec.decode]]
+    * (multi-frame + skippable-frame aware, inflation-capped) and
+    * exploded into one row per JSON line. Corrupt shards decode to
+    * None and are skipped. Output: (shard, line_idx, line). */
+  def readJsonlZst(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.zst")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val shard = path.split('/').last
+        ZstdCodec.decode(bytes).toSeq.flatMap { data =>
+          new String(data, "UTF-8").split('\n').toSeq
+            .filter(_.nonEmpty).zipWithIndex
+            .map { case (l, i) => (shard, i.toLong, l) }
+        }
+      }.toDF("shard", "line_idx", "line")
+  }
+
+  /** WARC crawl-archive scan — the Common Crawl ingest front door:
+    * distributed binaryFile scan over `.warc.gz` (one gzip member per
+    * record; [[GzipCodec.decode]] concatenates members) and plain
+    * `.warc` files, each parsed executor-side by [[WarcCodec.parse]].
+    * Response records additionally decode their HTTP payload
+    * ([[WarcCodec.httpResponse]]: status line, chunked transfer
+    * coding, gzip content coding); a response whose payload cannot be
+    * decoded keeps its record row with a NULL status (per-record
+    * degrade), while a structurally corrupt FILE is skipped whole
+    * (per-file None contract). Output: (file, rec_idx, warc_type,
+    * target_uri, http_status, mime, payload). */
+  def readWarcFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.split('/').last
+        val raw =
+          if (file.endsWith(".gz")) GzipCodec.decode(bytes).map(_.data)
+          else Some(bytes)
+        raw.flatMap(WarcCodec.parse).toSeq.flatten.map { r =>
+          val http =
+            if (r.warcType == "response") WarcCodec.httpResponse(r.block)
+            else None
+          val status: Option[Int] = http.map(_.status)
+          val mime = http.map(_.contentType).getOrElse(r.contentType)
+          val payload = http.map(_.payload).getOrElse(r.block)
+          (file, r.idx, r.warcType, r.targetUri, status, mime, payload)
+        }
+      }.toDF("file", "rec_idx", "warc_type", "target_uri",
+        "http_status", "mime", "payload")
+  }
 }

@@ -247,6 +247,11 @@ object Hdf5Codec {
           val liFlags = u8(b + 1)
           var q = b + 2
           if ((liFlags & 1) != 0) q += 8 // max creation index
+          // bounds-check BEFORE the Undef compare: u64 on a truncated
+          // buffer returns -1L == Undef, which would alias "truncated
+          // link-info" to "no fractal heap" and pass the gate instead
+          // of refusing (the fixed-array reader guards the same way)
+          if (q + 8 > bytes.length) return None
           if (u64(q) != Undef) return None // fractal heap: out of envelope
         }
         for ((t, b, _) <- rootMsgs if t == 0x0006) {

@@ -181,4 +181,16 @@ class SourcesSinksSpec extends SparkSpec {
       Seq(0.5, 0.125, 0.9375))
     assert(nc.vars(3).data.asInstanceOf[NetcdfCodec.CharData].s == "togo-002")
   }
+
+  test("Fixtures.resolve fails fast on a bogus base, naming the override knobs") {
+    val ex = intercept[IllegalStateException] {
+      Fixtures.resolve(Seq("/nonexistent/a", "/nonexistent/b"))
+    }
+    assert(ex.getMessage.contains("/nonexistent/a"))
+    assert(ex.getMessage.contains("graft.fixtures.dir"))
+    assert(ex.getMessage.contains("GRAFT_FIXTURES_DIR"))
+    // and the happy path still resolves the first existing candidate
+    val tmp = Files.createTempDirectory("graft_fix").toString
+    assert(Fixtures.resolve(Seq("/nonexistent/a", tmp)) == tmp)
+  }
 }
