@@ -845,6 +845,151 @@ object TextQueries {
       |  CAST(SUM(length(w2)) AS BIGINT) AS sym2
       |FROM s2 GROUP BY 1, 2, 3, 4, 5""".stripMargin
 
+  /** Full BPE tokenizer training to a target vocabulary — the
+    * [[qBpeMerges]]/[[qBpeApply]] unit steps iterated to
+    * [[graft.operators.BpeTrain.V]] merges with the recount between
+    * every round (Sennrich et al. 2016), i.e. the loop a pretraining
+    * pipeline runs to produce its merges.txt. Output: the merge
+    * table — one row per round with the winning pair (as codepoints:
+    * sentinels are control characters), its overlap-counted
+    * frequency, and the corpus symbol count AFTER the round (the
+    * compression trajectory, strictly decreasing — pinned by
+    * BpeTrainSpec). The oracle recomputes the whole train
+    * independently as a DuckDB recursive CTE over the word-frequency
+    * table, so every merge choice, tie-break, and the per-round
+    * corpus totals are end-to-end cross-engine-graded — the Spark
+    * side derives totals INCREMENTALLY (initial total minus
+    * non-overlap removals) while DuckDB re-sums `cnt·len(word)` from
+    * state each round, so a drift in replace semantics on either
+    * side flips a hash cell. Plan shape: see [[graft.operators.BpeTrain]]
+    * (one corpus shuffle, then V tiny keyed aggregates + 1-row
+    * collects; model materialized build-once in IndexStore). */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrain.model(spark, dir)
+      .filter(col("kind") === "merge")
+      .select(col("merge_idx"), col("lhs_code"), col("rhs_code"),
+        col("pair_count"), col("total_syms"))
+
+  val qBpeTrainSql: String =
+    s"""WITH RECURSIVE wf AS (
+      |  SELECT word, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      |    FROM documents)
+      |  GROUP BY 1),
+      |st AS (
+      |  SELECT 0 AS it, word AS word0, word, cnt,
+      |    '' AS m, CAST(0 AS BIGINT) AS mc
+      |  FROM wf
+      |  UNION ALL
+      |  SELECT it + 1 AS it, word0,
+      |    replace(word, top_m, chr(it + 1)) AS word, cnt,
+      |    top_m AS m, CAST(top_c AS BIGINT) AS mc
+      |  FROM (
+      |    SELECT DISTINCT it, word0, word, cnt,
+      |      first_value(pair) OVER w AS top_m,
+      |      first_value(pc)   OVER w AS top_c
+      |    FROM (
+      |      SELECT it, word0, word, cnt, pair,
+      |        CASE WHEN pair IS NULL THEN NULL
+      |             ELSE SUM(cnt) OVER (PARTITION BY pair) END AS pc
+      |      FROM (
+      |        SELECT it, word0, word, cnt,
+      |          unnest(CASE WHEN length(word) >= 2
+      |            THEN list_transform(range(1, length(word)),
+      |                   i -> substr(word, CAST(i AS INT), 2))
+      |            ELSE [NULL] END) AS pair
+      |        FROM st WHERE it < ${graft.operators.BpeTrain.V}))
+      |    WINDOW w AS (
+      |      ORDER BY CASE WHEN pc IS NULL THEN 1 ELSE 0 END,
+      |               pc DESC, pair ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |  WHERE top_m IS NOT NULL)
+      |SELECT it AS merge_idx,
+      |  ascii(substr(m, 1, 1)) AS lhs_code,
+      |  ascii(substr(m, 2, 1)) AS rhs_code,
+      |  mc AS pair_count,
+      |  CAST(SUM(cnt * length(word)) AS BIGINT) AS total_syms
+      |FROM st WHERE it >= 1
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** The corpus re-tokenized by the trained model — the second half
+    * of the BPE-train grading: every document's word stream mapped
+    * through the final word → symbol-string vocabulary (a broadcast
+    * join against the 31-row map at fixture scale; still a broadcast
+    * at web scale, where a 100k-merge vocab is megabytes). Grades
+    * per-document word/char/token counts plus a codepoint checksum of
+    * the actual token strings, so the exact tokenization — not just
+    * its size — must match the oracle's independently re-trained
+    * model. */
+  def qBpeTrainTokens(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = graft.operators.BpeTrain.model(spark, dir)
+      .filter(col("kind") === "vocab")
+      .select(col("word0"), col("word"))
+      .withColumn("tok_checksum", expr(
+        "aggregate(sequence(1, length(word)), 0L, " +
+          "(acc, i) -> acc + ascii(substring(word, i, 1)))"))
+    val dw = Tables.documents(spark, dir).select(col("doc_id"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .as("word0"))
+    dw.join(broadcast(vocab), "word0")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word0"))).as("n_chars"),
+        sum(length(col("word"))).as("n_tokens"),
+        sum(col("tok_checksum")).as("token_checksum"))
+  }
+
+  val qBpeTrainTokensSql: String =
+    s"""WITH RECURSIVE wf AS (
+      |  SELECT word, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      |    FROM documents)
+      |  GROUP BY 1),
+      |st AS (
+      |  SELECT 0 AS it, word AS word0, word, cnt,
+      |    '' AS m, CAST(0 AS BIGINT) AS mc
+      |  FROM wf
+      |  UNION ALL
+      |  SELECT it + 1 AS it, word0,
+      |    replace(word, top_m, chr(it + 1)) AS word, cnt,
+      |    top_m AS m, CAST(top_c AS BIGINT) AS mc
+      |  FROM (
+      |    SELECT DISTINCT it, word0, word, cnt,
+      |      first_value(pair) OVER w AS top_m,
+      |      first_value(pc)   OVER w AS top_c
+      |    FROM (
+      |      SELECT it, word0, word, cnt, pair,
+      |        CASE WHEN pair IS NULL THEN NULL
+      |             ELSE SUM(cnt) OVER (PARTITION BY pair) END AS pc
+      |      FROM (
+      |        SELECT it, word0, word, cnt,
+      |          unnest(CASE WHEN length(word) >= 2
+      |            THEN list_transform(range(1, length(word)),
+      |                   i -> substr(word, CAST(i AS INT), 2))
+      |            ELSE [NULL] END) AS pair
+      |        FROM st WHERE it < ${graft.operators.BpeTrain.V}))
+      |    WINDOW w AS (
+      |      ORDER BY CASE WHEN pc IS NULL THEN 1 ELSE 0 END,
+      |               pc DESC, pair ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |  WHERE top_m IS NOT NULL),
+      |vmap AS (
+      |  SELECT word0, word,
+      |    CAST(list_sum(list_transform(range(1, length(word) + 1),
+      |      i -> ascii(substr(word, CAST(i AS INT), 1)))) AS BIGINT)
+      |      AS tok_checksum
+      |  FROM st WHERE it = (SELECT MAX(it) FROM st)),
+      |dw AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word0
+      |  FROM documents)
+      |SELECT dw.doc_id, COUNT(*) AS n_words,
+      |  CAST(SUM(length(dw.word0)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(length(v.word)) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(v.tok_checksum) AS BIGINT) AS token_checksum
+      |FROM dw JOIN vmap v ON dw.word0 = v.word0
+      |GROUP BY 1""".stripMargin
+
   /** Misra–Gries heavy hitters, graded by its GUARANTEES (the
     * q_distinct_approx pattern — sketch content is order-dependent,
     * the theory bounds are not): a k=16-counter mergeable MG summary
@@ -1417,6 +1562,8 @@ object TextQueries {
     "q_feature_hash" -> (qFeatureHash _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_apply" -> (qBpeApply _),
+    "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_train_tokens" -> (qBpeTrainTokens _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_data_mixture" -> (qDataMixture _),
@@ -1454,6 +1601,8 @@ object TextQueries {
     "q_feature_hash" -> qFeatureHashSql,
     "q_bpe_merges" -> qBpeMergesSql,
     "q_bpe_apply" -> qBpeApplySql,
+    "q_bpe_train" -> qBpeTrainSql,
+    "q_bpe_train_tokens" -> qBpeTrainTokensSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_data_mixture" -> qDataMixtureSql,
     "q_corpus_curation" -> qCorpusCurationSql,

@@ -8,7 +8,11 @@ import graft.{Sessions, SparkEntry}
   * scales per query keeps a hypervisor steal window from biasing one
   * scale's numbers; each (query, scale) takes the MIN of two runs
   * (first run per scale also absorbs codegen). Writes
-  * `BENCH_sf1_r13.json` and prints one summary JSON line.
+  * `BENCH_sf1_r14.json` and prints one summary JSON line.
+  *
+  * Coverage: every declared query EXCEPT the five golden-pinned ones
+  * (committed foreign fixtures whose size does not scale with SF) —
+  * the complement is pinned by ScaleBenchSpec.
   *
   * Exponent semantics: e = log(t_big/t_small) / log(10) — 1.0 is
   * perfectly linear in rows, < 1 means fixed per-query overhead still
@@ -17,7 +21,7 @@ import graft.{Sessions, SparkEntry}
   * artifacts) legitimately sit far below 1.
   */
 object ScaleBench {
-  private val Selected: Seq[String] = Seq(
+  private[graft] val Selected: Seq[String] = Seq(
     // top-30 by committed reference time
     "q_dup_clusters_star", "q_entity_resolution", "q_bfs_depth",
     "q_fuzzy_join", "q_pagerank", "q_max_concurrency", "q_mmr_rerank",
@@ -38,10 +42,7 @@ object ScaleBench {
     // source group — expected ~linear in corpus bytes)
     "q_webdataset", "q_netcdf_roundtrip",
     // round-13 widening to the full corpus-driven surface (verdict
-    // ask: ≥100 queries in the measured decade). Fixture-pinned
-    // queries (jpeg/hdf5/tiff/wav/npy goldens, encoder tables) are
-    // deliberately absent — their input doesn't scale with SF, so an
-    // exponent would be noise, not signal.
+    // ask: ≥100 queries in the measured decade).
     // TPC-H, all 22 shapes:
     "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
     "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
@@ -79,12 +80,50 @@ object ScaleBench {
     // core relational shapes:
     "q_join_outer", "q_semi_anti", "q_setops", "q_salted_join",
     "q_band_join", "q_nullsafe_join", "q_sort_limit", "q_string_agg",
-    "q_filter_predicates", "q_month_spine", "q_calendar")
+    "q_filter_predicates", "q_month_spine", "q_calendar",
+    // round-14 widening to the WHOLE declared surface except the five
+    // golden-pinned queries (q_hdf5_read, q_jpeg_decode,
+    // q_jpeg_progressive, q_warc_extract, q_jsonl_zst) whose input is
+    // a committed foreign fixture that does not scale with SF — see
+    // SCALE.md's exemption table. Everything below reads the sfDir
+    // corpus (the container-codec rows synthesize their containers
+    // FROM corpus tables, so decode cost does scale with SF):
+    "q_acf", "q_auc", "q_bilinear_resample", "q_bitmap_index",
+    "q_bitmask_qa", "q_bm25_params", "q_bpe_train",
+    "q_bpe_train_tokens", "q_centroid_classify",
+    "q_chipping", "q_cms_guarantee", "q_column_profile", "q_count_gate",
+    "q_cube", "q_cyclic_index", "q_date_funcs",
+    "q_deterministic_shuffle", "q_encoder_embed", "q_explode_outer",
+    "q_first_composite", "q_focal_min", "q_fp16_roundtrip",
+    "q_frame_sample", "q_geo_cells", "q_grouping_id", "q_grouping_sets",
+    "q_hilbert", "q_idw_interp", "q_image_decode", "q_incr_agg",
+    "q_input_assembly", "q_json_extract", "q_jsonl_gz",
+    "q_knn_k100_exact", "q_knn_k20_exact", "q_macro_f1",
+    "q_mae_reconstruct", "q_map_lookup", "q_mask_generation",
+    "q_media_features", "q_media_manifest", "q_merge_scd1",
+    "q_mode_composite", "q_mosaiks1d", "q_normalize_bands",
+    "q_npy_roundtrip", "q_pad_clip", "q_percentile_disc", "q_pivot",
+    "q_png_decode", "q_quad_pyramid", "q_regression_metrics",
+    "q_reproject", "q_reproject_to_utm", "q_reproject_utm",
+    "q_resize_features", "q_rollup", "q_scale_normalize",
+    "q_seasonal_naive", "q_share_of_region", "q_shuffle_rank",
+    "q_skyline", "q_spatial_join", "q_string_funcs",
+    "q_sufficient_stats", "q_suffstats_typed", "q_tar_shards",
+    "q_terrain", "q_terrain_gradient", "q_tiff_decode",
+    "q_tiff_deflate", "q_tiff_georef", "q_tiff_lzw", "q_union_sensors",
+    "q_unpivot", "q_vector_stats", "q_veg_indices",
+    "q_veg_indices_rows", "q_wav_features", "q_weighted_sample",
+    "q_zorder")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val big = if (args.length > 1) args(1) else new java.io.File("testdata_sf1").getAbsolutePath
-    val out = if (args.length > 2) args(2) else "BENCH_sf1_r13.json"
+    val out = if (args.length > 2) args(2) else "BENCH_sf1_r14.json"
+    // optional 4th arg: comma-separated subset (splice-capture for
+    // queries added after a full run — note the splice in the capture's
+    // provenance when merging)
+    val subset: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSet) else None
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
 
     def once(name: String, dir: String): Double = {
@@ -95,7 +134,8 @@ object ScaleBench {
     // warmup both scales (parquet footers, codegen, session init)
     once("q1_agg", small); once("q1_agg", big)
 
-    val rows = Selected.filter(SparkEntry.queries.contains).map { name =>
+    val rows = Selected.filter(SparkEntry.queries.contains)
+      .filter(n => subset.forall(_.contains(n))).map { name =>
       val s1 = once(name, small); val b1 = once(name, big)
       val s2 = once(name, small); val b2 = once(name, big)
       val s = math.min(s1, s2); val b = math.min(b1, b2)

@@ -13,14 +13,24 @@ import org.apache.spark.sql.functions._
   * 10× like a real corpus. Content columns are perturbed
   * deterministically where sameness would change an algorithm's
   * complexity class rather than its scale:
-  *  - documents: a per-replica tag replaces the 2 leading chars, so
-  *    near-dup cluster SIZES stay fixture-like while the corpus
-  *    grows 10× (identical replicas would grow every LSH bucket 10×
-  *    and the pair count 100× — a different workload, not a bigger
-  *    one);
-  *  - embeddings: each replica rotates the vector by i positions
-  *    (norm- and distribution-preserving), keeping ANN bucket
-  *    occupancy fixture-like.
+  *  - documents: replica i applies a Caesar rotation of the letter
+  *    alphabet (a→(a+i), case-preserved; rep 0 is the identity so
+  *    sf0.1 embeds verbatim). Rotation is a bijection on the token
+  *    alphabet, so lengths, Zipf shape, per-doc token counts and the
+  *    WITHIN-replica near-dup structure are preserved exactly, while
+  *    cross-replica docs share (almost) no shingles — so the TRUE
+  *    near-dup pair set grows linearly in replicas, like a real
+  *    crawl's, not quadratically (the round-13 fixture's 2-leading-
+  *    char tag left replicas of one doc simhash/minhash-near each
+  *    other: every LSH bucket grew 10× and the pair count 100× — a
+  *    different workload, not a bigger one);
+  *  - embeddings: replica i rotates the vector by i positions AND
+  *    flips coordinate signs by a per-(replica, index) hash (rep 0
+  *    identity). A diagonal ±1 transform is an isometry — norms and
+  *    all WITHIN-replica cosines are exact-preserved — while the
+  *    cosine between different replicas of the same vector becomes a
+  *    random-sign sum ≈ 0, so ANN bucket occupancy and true-neighbor
+  *    counts grow fixture-like (linearly), not degenerately.
   * nation/region stay fixed (TPC-H dimension semantics).
   */
 object ScaleGen {
@@ -77,14 +87,16 @@ object ScaleGen {
         .withColumn("user_id", col("user_id") + r * U)
     }, "events")
 
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    def rot(s: String, i: Int) = s.drop(i % s.length) + s.take(i % s.length)
+    val caesar = (1 until factor).foldLeft(when(col("rep") === 0, col("text"))) {
+      (acc, i) =>
+        acc.when(col("rep") === i, translate(col("text"),
+          lower + lower.toUpperCase, rot(lower, i) + rot(lower, i).toUpperCase))
+    }
     write(scaled(Tables.documents(spark, srcDir)) { (d, r) =>
       d.withColumn("doc_id", col("doc_id") + r * DOC)
-        // per-replica leading tag, length-preserving (ASCII 'a'+i):
-        // shifts the dedup prefix and the leading shingles without
-        // changing length/token statistics materially
-        .withColumn("text", expr(
-          "concat(char(97 + CAST(rep AS INT)), char(97 + CAST(rep AS INT)), " +
-            "substring(text, 3))"))
+        .withColumn("text", caesar)
     }, "documents")
 
     write(scaled(Tables.embeddings(spark, srcDir)) { (d, r) =>
@@ -92,6 +104,10 @@ object ScaleGen {
         .withColumn("embedding", expr(
           "concat(slice(embedding, CAST(rep AS INT) + 1, 64 - CAST(rep AS INT)), " +
             "slice(embedding, 1, CAST(rep AS INT)))"))
+        .withColumn("embedding", expr(
+          "CASE WHEN rep = 0 THEN embedding ELSE " +
+            "transform(embedding, (x, i) -> " +
+            "CASE WHEN pmod(hash(rep, i), 2) = 1 THEN -x ELSE x END) END"))
     }, "embeddings")
 
     spark.stop()

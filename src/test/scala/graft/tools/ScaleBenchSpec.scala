@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the scale-checkpoint coverage contract: every declared query
+  * is measured across the sf0.1→sf1 decade EXCEPT the golden-pinned
+  * ones, whose input is a committed foreign fixture that does not
+  * scale with SF (an exponent there would be noise, not signal). Any
+  * new query must either join the measured set or this exemption list
+  * with a reason in SCALE.md.
+  */
+class ScaleBenchSpec extends AnyFunSuite {
+  private val GoldenPinned = Set(
+    "q_hdf5_read",          // committed h5py-written golden files
+    "q_jpeg_decode",        // committed Pillow-written baseline JPEGs
+    "q_jpeg_progressive",   // committed progressive-SOF2 goldens
+    "q_warc_extract",       // committed Python-warcio-shaped WARC goldens
+    "q_jsonl_zst")          // committed python-zstandard-written shards
+
+  test("Selected is duplicate-free and every name is a declared query") {
+    assert(ScaleBench.Selected.distinct.size === ScaleBench.Selected.size)
+    val declared = graft.SparkEntry.queries.keySet
+    val unknown = ScaleBench.Selected.filterNot(declared)
+    assert(unknown.isEmpty, s"ScaleBench selects undeclared queries: $unknown")
+  }
+
+  test("the unmeasured complement is exactly the golden-pinned exemptions") {
+    val declared = graft.SparkEntry.queries.keySet
+    val unmeasured = declared -- ScaleBench.Selected.toSet
+    assert(unmeasured === GoldenPinned,
+      s"unmeasured minus exemptions: ${unmeasured -- GoldenPinned}; " +
+        s"exempted but measured/undeclared: ${GoldenPinned -- unmeasured}")
+  }
+}
