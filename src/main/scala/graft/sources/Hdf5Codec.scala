@@ -10,8 +10,10 @@ package graft.sources
   *  - superblock version 0, OR superblock v2/v3 with version-2
   *    ("OHDR") object headers, compact inline hard links, and
   *    layout-v4 chunk indexes (single-chunk / implicit / unpaged
-  *    fixed array) — the h5py libver='latest' shape (dense
-  *    fractal-heap link storage stays refused),
+  *    fixed array / unpaged extensible array with its EAHD → EAIB →
+  *    EASB → EADB walk — the index h5py writes for ANY
+  *    maxshape=resizable dataset) — the h5py libver='latest' shape
+  *    (dense fractal-heap link storage stays refused),
   *  - a root group addressed by a v1 B-tree over SNOD symbol nodes
   *    with names in a local heap,
   *  - v1 object headers per dataset (dataspace v1, datatype classes
@@ -25,7 +27,8 @@ package graft.sources
   *
   * Refusal contract (the [[GzipCodec]]/[[PngCodec]] discipline):
   * anything outside that envelope — compact layout, filters beyond
-  * deflate+shuffle, extensible-array / v2-B-tree chunk indexes,
+  * deflate+shuffle, v2-B-tree chunk indexes, PAGED fixed/extensible
+  * arrays (data blocks past 2^page-bits elements),
   * big-endian or non-scalar datatypes, fractured group B-trees deeper
   * than one level, truncated anything — returns None, never throws, so
   * one corrupt object skips instead of killing a distributed scan.
@@ -637,11 +640,16 @@ object Hdf5Codec {
 
   /** Layout-v4 chunk indexes (the h5py libver='latest' chunked world):
     * Single Chunk (type 1), Implicit (type 2 — contiguous full chunks
-    * in row-major grid order, unfiltered), and unpaged Fixed Array
+    * in row-major grid order, unfiltered), unpaged Fixed Array
     * (type 3 — FAHD header + FADB data block; filtered elements carry
-    * address + stored size + per-chunk filter mask). Extensible
-    * arrays and v2 B-trees stay refused. `infoAt` points at the
-    * indexing-type byte inside the layout message. */
+    * address + stored size + per-chunk filter mask), and unpaged
+    * Extensible Array (type 4 — EAHD header, EAIB index block holding
+    * the first elements + the first super blocks' data-block
+    * addresses, EASB secondary blocks for deeper super blocks, EADB
+    * data blocks; the H5EA doubling: super block u carries 2^(u/2)
+    * data blocks of min_elmts·2^((u+1)/2) elements). v2 B-trees stay
+    * refused. `infoAt` points at the indexing-type byte inside the
+    * layout message. */
   private def readChunkedV4(bytes: Array[Byte], infoAt: Long, shape: Seq[Long],
       chunkDims: Seq[Long], width: Int, filters: Seq[Int]): Option[Array[Byte]] = {
     def u8(o: Long): Int =
@@ -728,7 +736,136 @@ object Hdf5Codec {
           i += 1
         }
         Some(asm.raw)
-      case _ => None // extensible array (4) / v2 b-tree (5) out of envelope
+      case 4 => // extensible array (the h5py maxshape/resizable world)
+        // EAHD header (layout info bytes are the same creation params;
+        // the header is authoritative): element size, max-nelmts bits,
+        // index-block elmts, data-block min elmts, super-block min
+        // data ptrs, max data-block-page nelmts bits
+        val eahd = uN(infoAt + 6, 8)
+        if (eahd < 0 || eahd + 72 > bytes.length) return None
+        if (!(u8(eahd) == 'E' && u8(eahd + 1) == 'A' &&
+              u8(eahd + 2) == 'H' && u8(eahd + 3) == 'D')) return None
+        if (u8(eahd + 4) != 0) return None // EA version 0
+        val clientId = u8(eahd + 5)
+        if (clientId != 0 && clientId != 1) return None
+        if ((clientId == 1) != filters.nonEmpty) return None
+        val elmtSize = u8(eahd + 6)
+        val maxBits = u8(eahd + 7)
+        val idxElmts = u8(eahd + 8)
+        val minElmts = u8(eahd + 9)
+        val minPtrs = u8(eahd + 10)
+        val pgBits = u8(eahd + 11)
+        // the doubling math requires power-of-two knobs (the library
+        // enforces the same at creation)
+        if (maxBits < 1 || maxBits > 64) return None
+        if (minElmts < 1 || (minElmts & (minElmts - 1)) != 0) return None
+        if (minPtrs < 2 || (minPtrs & (minPtrs - 1)) != 0) return None
+        val offSz = (maxBits + 7) / 8
+        val szBytes = elmtSize - 12 // filtered: addr(8) + size + mask(4)
+        if (clientId == 1 && (szBytes < 1 || szBytes > 8)) return None
+        if (clientId == 0 && elmtSize != 8) return None
+        def log2(x: Int) = 31 - Integer.numberOfLeadingZeros(x)
+        val nsblks = 2 * (maxBits - log2(minElmts))
+        val iblkSblks = 2 * log2(minPtrs)
+        val ndblkAddrs = 2 * (minPtrs - 1)
+        val nsblkAddrs = nsblks - iblkSblks
+        if (nsblkAddrs < 0) return None
+        // super block u: 2^(u/2) data blocks of minElmts·2^((u+1)/2)
+        // elements (H5EAhdr doubling)
+        def sNdblks(u: Int): Long = 1L << (u / 2)
+        def sDnel(u: Int): Long = minElmts.toLong << ((u + 1) / 2)
+
+        // one chunk-index element; gi = global grid index
+        def elemEntry(at: Long, gi: Long): Boolean = {
+          val addr = uN(at, 8)
+          if (addr == Undef) return true // unallocated chunk
+          val (nb, mask) =
+            if (clientId == 1) (uN(at + 8, szBytes), uN(at + 8 + szBytes, 4))
+            else (asm.fullChunkBytes.toLong, 0L)
+          asm.chunkEntry(asm.gridOffsets(gi), addr, nb, mask)
+        }
+        // data block: prefix + block offset, then dnel elements whose
+        // grid indexes start at idxElmts + startElem. Whole element
+        // array bounds-checked BEFORE reading (a truncated block must
+        // refuse, not alias to all-unallocated — the fixed-array rule)
+        def readDblk(at: Long, startElem: Long, dnel: Long): Boolean = {
+          if (dnel > (1L << math.min(pgBits, 62))) return false // paged
+          if (!(u8(at) == 'E' && u8(at + 1) == 'A' &&
+                u8(at + 2) == 'D' && u8(at + 3) == 'B')) return false
+          if (u8(at + 4) != 0 || u8(at + 5) != clientId) return false
+          val eAt = at + 6 + 8 + offSz // header addr + block offset
+          if (eAt + dnel * elmtSize + 4 > bytes.length) return false
+          var t = 0L
+          while (t < dnel) {
+            val gi = idxElmts + startElem + t
+            if (gi >= asm.gridChunks) return true // capacity past grid
+            if (!elemEntry(eAt + t * elmtSize, gi)) return false
+            t += 1
+          }
+          true
+        }
+        // secondary block for super block u: prefix + block offset,
+        // then that super block's data block addresses
+        def readSblk(at: Long, u: Int, startIdx: Long): Boolean = {
+          if (!(u8(at) == 'E' && u8(at + 1) == 'A' &&
+                u8(at + 2) == 'S' && u8(at + 3) == 'B')) return false
+          if (u8(at + 4) != 0 || u8(at + 5) != clientId) return false
+          val aAt = at + 6 + 8 + offSz
+          val nd = sNdblks(u); val dn = sDnel(u)
+          if (aAt + nd * 8 + 4 > bytes.length) return false
+          var j = 0L
+          while (j < nd) {
+            val da = uN(aAt + j * 8, 8)
+            if (da != Undef && !readDblk(da, startIdx + j * dn, dn))
+              return false
+            j += 1
+          }
+          true
+        }
+
+        // index block: direct elements, then the first iblkSblks super
+        // blocks' data block addresses, then secondary block addresses
+        val iblk = uN(eahd + 60, 8)
+        if (iblk < 0) return None
+        if (!(u8(iblk) == 'E' && u8(iblk + 1) == 'A' &&
+              u8(iblk + 2) == 'I' && u8(iblk + 3) == 'B')) return None
+        if (u8(iblk + 4) != 0 || u8(iblk + 5) != clientId) return None
+        val elemsAt = iblk + 6 + 8
+        val dblkAddrsAt = elemsAt + idxElmts.toLong * elmtSize
+        val sblkAddrsAt = dblkAddrsAt + ndblkAddrs.toLong * 8
+        if (sblkAddrsAt + nsblkAddrs.toLong * 8 + 4 > bytes.length)
+          return None
+        var i = 0
+        while (i < idxElmts && i < asm.gridChunks) {
+          if (!elemEntry(elemsAt + i.toLong * elmtSize, i)) return None
+          i += 1
+        }
+        var startIdx = 0L // element offset past the index-block elmts
+        var slot = 0
+        var u = 0
+        while (u < iblkSblks && idxElmts + startIdx < asm.gridChunks) {
+          val nd = sNdblks(u).toInt; val dn = sDnel(u)
+          var j = 0
+          while (j < nd) {
+            val da = uN(dblkAddrsAt + slot.toLong * 8, 8)
+            if (da != Undef && !readDblk(da, startIdx + j.toLong * dn, dn))
+              return None
+            slot += 1; j += 1
+          }
+          startIdx += nd * dn
+          u = u + 1
+        }
+        var s = 0
+        while (s + iblkSblks < nsblks &&
+               idxElmts + startIdx < asm.gridChunks) {
+          val su = iblkSblks + s
+          val sa = uN(sblkAddrsAt + s.toLong * 8, 8)
+          if (sa != Undef && !readSblk(sa, su, startIdx)) return None
+          startIdx += sNdblks(su) * sDnel(su)
+          s += 1
+        }
+        Some(asm.raw)
+      case _ => None // v2 b-tree (5) out of envelope
     }
   }
 }

@@ -522,6 +522,147 @@ def write_h5_v2(datasets):
                 hdr = hdr_for(fahd_at)
                 assert len(hdr) == hlen
                 built.append(hdr + fa_for(fahd_at) + b"".join(b for _, b in blobs))
+            elif index == "extarray":
+                # Extensible Array chunk index (layout-v4 type 4) with
+                # the H5D chunk-client creation parameters the HDF5
+                # library hardwires (H5Dearray.c): max_nelmts_bits=32,
+                # idx_blk_elmts=4, sup_blk_min_data_ptrs=4,
+                # data_blk_min_elmts=16, max_dblk_page_nelmts_bits=10.
+                # Super-block doubling per H5EAhdr.c: sblk u holds
+                # 2^(u//2) data blocks of 16*2^((u+1)//2) elements; the
+                # first 2*log2(4)=4 super blocks' data blocks are
+                # addressed directly from the index block (6 slots),
+                # later super blocks via EASB secondary blocks.
+                assert filtered
+                MAXB, IDXE, MINP, MINE, PGB = 32, 4, 4, 4, 10
+                # (MINE is data_blk_min_elmts — see pack below)
+                MINE = 16
+                entry = 16          # addr(8) + size(4) + mask(4)
+                offsz = (MAXB + 7) // 8
+                nsblks = 2 * (MAXB - 4)        # log2(MINE)=4
+                iblk_sblks = 4                 # 2*log2(MINP)
+                ndblk_addrs = 2 * (MINP - 1)
+                nsblk_addrs = nsblks - iblk_sblks
+                def sblk_info(u):
+                    ndblks = 1 << (u // 2)
+                    dnel = MINE << ((u + 1) // 2)
+                    start_idx = sum((1 << (v // 2)) * (MINE << ((v + 1) // 2))
+                                    for v in range(u))
+                    start_dblk = sum(1 << (v // 2) for v in range(u))
+                    return ndblks, dnel, start_idx, start_dblk
+                def elmt(addr, blob):
+                    if addr is None:
+                        return struct.pack("<QII", UNDEF, 0, 0)
+                    return struct.pack("<QII", addr, len(blob), 0)
+                def ea_for(eahd_at):
+                    eahd_len = 12 + 6 * 8 + 8 + 4
+                    eaib_len = (6 + 8 + IDXE * entry +
+                                (ndblk_addrs + nsblk_addrs) * 8 + 4)
+                    eaib_at = eahd_at + eahd_len
+                    # which data blocks / secondary blocks exist for
+                    # nchunk elements beyond the IDXE index-block ones
+                    nrest = max(0, nchunk - IDXE)
+                    dblks = []   # (sblk u, j within sblk, elmt start, nelmts)
+                    u = 0
+                    while True:
+                        ndb, dnel, sidx, sdblk = sblk_info(u)
+                        if sidx >= nrest:
+                            break
+                        for j in range(ndb):
+                            if sidx + j * dnel >= nrest:
+                                break
+                            dblks.append((u, j, sidx + j * dnel, dnel))
+                        u += 1
+                    sblks = sorted(set(u for u, *_ in dblks
+                                       if u >= iblk_sblks))
+                    # lay out: EAHD, EAIB, EASBs, EADBs, then chunks
+                    easb_len = {u: 6 + 8 + offsz + sblk_info(u)[0] * 8 + 4
+                                for u in sblks}
+                    eadb_len = {(u, j): 6 + 8 + offsz + dn * entry + 4
+                                for (u, j, st, dn) in dblks}
+                    pos = eaib_at + eaib_len
+                    easb_at = {}
+                    for u in sblks:
+                        easb_at[u] = pos
+                        pos += easb_len[u]
+                    eadb_at = {}
+                    for (u, j, st, dn) in dblks:
+                        eadb_at[(u, j)] = pos
+                        pos += eadb_len[(u, j)]
+                    caddrs = []
+                    for off, blob in blobs:
+                        caddrs.append(pos)
+                        pos += len(blob)
+                    # EAHD: params, stats, index block address
+                    eahd = (b"EAHD" + struct.pack("<BB", 0, 1) +
+                            struct.pack("<BBBBBB", entry, MAXB, IDXE,
+                                        MINE, MINP, PGB) +
+                            struct.pack("<QQQQQQ",
+                                        len(sblks),
+                                        max(easb_len.values()) if sblks else 0,
+                                        len(dblks),
+                                        max(eadb_len.values()) if dblks else 0,
+                                        nchunk, nchunk) +
+                            struct.pack("<Q", eaib_at))
+                    eahd += struct.pack("<I", lookup3(eahd))
+                    assert len(eahd) == eahd_len
+                    # EAIB: direct elements, dblk addrs, sblk addrs
+                    eaib = (b"EAIB" + struct.pack("<BB", 0, 1) +
+                            struct.pack("<Q", eahd_at))
+                    for i in range(IDXE):
+                        eaib += elmt(caddrs[i], blobs[i][1]) if i < nchunk \
+                            else elmt(None, None)
+                    slot = 0
+                    for (u, j, st, dn) in dblks:
+                        if u < iblk_sblks:
+                            _, _, _, sdblk = sblk_info(u)
+                            while slot < sdblk + j:
+                                eaib += struct.pack("<Q", UNDEF); slot += 1
+                            eaib += struct.pack("<Q", eadb_at[(u, j)])
+                            slot += 1
+                    while slot < ndblk_addrs:
+                        eaib += struct.pack("<Q", UNDEF); slot += 1
+                    for s in range(nsblk_addrs):
+                        u = iblk_sblks + s
+                        eaib += struct.pack("<Q", easb_at.get(u, UNDEF))
+                    eaib += struct.pack("<I", lookup3(eaib))
+                    assert len(eaib) == eaib_len
+                    out = eahd + eaib
+                    # EASBs: block offset + data block addresses
+                    for u in sblks:
+                        ndb, dnel, sidx, sdblk = sblk_info(u)
+                        sb = (b"EASB" + struct.pack("<BB", 0, 1) +
+                              struct.pack("<Q", eahd_at) +
+                              (IDXE + sidx).to_bytes(offsz, "little"))
+                        for j in range(ndb):
+                            sb += struct.pack("<Q",
+                                              eadb_at.get((u, j), UNDEF))
+                        sb += struct.pack("<I", lookup3(sb))
+                        assert len(sb) == easb_len[u]
+                        out += sb
+                    # EADBs: block offset + elements (unset slots are
+                    # the class fill value: undefined address)
+                    for (u, j, st, dn) in dblks:
+                        db = (b"EADB" + struct.pack("<BB", 0, 1) +
+                              struct.pack("<Q", eahd_at) +
+                              (IDXE + st).to_bytes(offsz, "little"))
+                        for t in range(dn):
+                            gi = IDXE + st + t
+                            db += elmt(caddrs[gi], blobs[gi][1]) \
+                                if gi < nchunk else elmt(None, None)
+                        db += struct.pack("<I", lookup3(db))
+                        assert len(db) == eadb_len[(u, j)]
+                        out += db
+                    return out + b"".join(b for _, b in blobs)
+                info = struct.pack("<BBBBB", MAXB, IDXE, MINP, MINE, PGB)
+                def hdr_for(eahd_at):
+                    return mk_hdr(layout_v4(shape, dtype, chunk_shape, 4,
+                                            info, eahd_at))
+                hlen = len(hdr_for(0))
+                eahd_at = at + hlen
+                hdr = hdr_for(eahd_at)
+                assert len(hdr) == hlen
+                built.append(hdr + ea_for(eahd_at))
             else:
                 raise ValueError(index)
         at += len(built[-1])
@@ -602,6 +743,21 @@ if __name__ == "__main__":
         ("sc", (5, 6), "f8", scv, (5, 6), {"index": "single"}),
     ])
     open(out + "/v4chunks.h5", "wb").write(v4)
+    # extensible-array chunk indexes (what h5py writes for ANY
+    # maxshape=... resizable dataset): ea1 exercises index-block
+    # elements + a full sblk0 data block + a partially-filled sblk1
+    # block (unset elements = undefined-address fill); ea2 a 2-D grid
+    # with edge clipping; eadeep 500 chunks — deep enough that super
+    # block 4's data blocks hang off an EASB secondary block
+    eav1 = [((i * 13 + 5) % 101) * 0.25 - 8.0 for i in range(100)]
+    eav2 = [((r * 10 + c) * 7 + 3) * 0.125 for r in range(9) for c in range(10)]
+    eavd = [((i * 29 + 11) % 2001) - 1000 for i in range(2000)]
+    eac = write_h5_v2([
+        ("ea1", (100,), "f4", eav1, (4,), {"index": "extarray"}),
+        ("ea2", (9, 10), "f8", eav2, (2, 3), {"index": "extarray"}),
+        ("eadeep", (2000,), "i2", eavd, (4,), {"index": "extarray"}),
+    ])
+    open(out + "/eachunks.h5", "wb").write(eac)
     # an out-of-envelope file: the scan must SKIP it, not fail
     open(out + "/corrupt.h5", "wb").write(b"\x89HDF\r\n\x1a\nGARBAGE")
 
@@ -629,6 +785,9 @@ if __name__ == "__main__":
         ("v4chunks", [("fa", [float(np.float32(v)) for v in fav]),
                       ("imp", [float(v) for v in impv]),
                       ("sc", scv)]),
+        ("eachunks", [("ea1", [float(np.float32(v)) for v in eav1]),
+                      ("ea2", eav2),
+                      ("eadeep", [float(v) for v in eavd])]),
     ]
     for fname, dsets in expected:
         for ds, vals in dsets:
