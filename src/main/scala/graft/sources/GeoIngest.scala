@@ -315,11 +315,21 @@ object GeoIngest {
     * degrade), while a structurally corrupt FILE is skipped whole
     * (per-file None contract). Output: (file, rec_idx, warc_type,
     * target_uri, http_status, mime, payload). */
-  def readWarcFiles(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc*")
-      .load(dir)
+  def readWarcFiles(spark: SparkSession, dir: String): DataFrame =
+    decodeWarcBatch(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(dir))
+
+  /** One batch of (path, content) WARC files → per-record rows —
+    * shared by the batch scan above and the streaming ingest arm
+    * ([[graft.streaming.StreamingPipelines.warcIngest]]) so the two
+    * paths cannot drift. Per-file refusal (a corrupt archive yields
+    * no rows), per-record payload degrade (an undecodable HTTP body
+    * falls back to the raw block). */
+  def decodeWarcBatch(batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>

@@ -12,7 +12,8 @@ package graft.sources
   *    layout-v4 chunk indexes (single-chunk / implicit / unpaged
   *    fixed array / unpaged extensible array with its EAHD → EAIB →
   *    EASB → EADB walk — the index h5py writes for ANY
-  *    maxshape=resizable dataset) — the h5py libver='latest' shape
+  *    maxshape=resizable dataset — / depth-≤1 v2 B-trees, the index
+  *    for >1 unlimited dimension) — the h5py libver='latest' shape
   *    (dense fractal-heap link storage stays refused),
   *  - a root group addressed by a v1 B-tree over SNOD symbol nodes
   *    with names in a local heap,
@@ -27,8 +28,8 @@ package graft.sources
   *
   * Refusal contract (the [[GzipCodec]]/[[PngCodec]] discipline):
   * anything outside that envelope — compact layout, filters beyond
-  * deflate+shuffle, v2-B-tree chunk indexes, PAGED fixed/extensible
-  * arrays (data blocks past 2^page-bits elements),
+  * deflate+shuffle, v2 chunk B-trees deeper than one level, PAGED
+  * fixed/extensible arrays (data blocks past 2^page-bits elements),
   * big-endian or non-scalar datatypes, fractured group B-trees deeper
   * than one level, truncated anything — returns None, never throws, so
   * one corrupt object skips instead of killing a distributed scan.
@@ -647,9 +648,11 @@ object Hdf5Codec {
     * the first elements + the first super blocks' data-block
     * addresses, EASB secondary blocks for deeper super blocks, EADB
     * data blocks; the H5EA doubling: super block u carries 2^(u/2)
-    * data blocks of min_elmts·2^((u+1)/2) elements). v2 B-trees stay
-    * refused. `infoAt` points at the indexing-type byte inside the
-    * layout message. */
+    * data blocks of min_elmts·2^((u+1)/2) elements), and v2 B-trees
+    * to depth 1 (type 5 — BTHD header, BTIN internal root whose
+    * separator records are real chunk records, BTLF leaves; records
+    * carry scaled grid offsets). `infoAt` points at the
+    * indexing-type byte inside the layout message. */
   private def readChunkedV4(bytes: Array[Byte], infoAt: Long, shape: Seq[Long],
       chunkDims: Seq[Long], width: Int, filters: Seq[Int]): Option[Array[Byte]] = {
     def u8(o: Long): Int =
@@ -865,7 +868,105 @@ object Hdf5Codec {
           s += 1
         }
         Some(asm.raw)
-      case _ => None // v2 b-tree (5) out of envelope
+      case 5 => // v2 B-tree chunk index (depth ≤ 1; h5py's index for
+        // >1 unlimited dimension). Unlike FA/EA, the tree holds only
+        // WRITTEN chunks — records carry the chunk's scaled (grid)
+        // offsets, so placement needs no capacity math.
+        // layout info: node size (4), split % (1), merge % (1)
+        val bthd = uN(infoAt + 7, 8)
+        if (bthd < 0 || bthd + 38 > bytes.length) return None
+        if (!(u8(bthd) == 'B' && u8(bthd + 1) == 'T' &&
+              u8(bthd + 2) == 'H' && u8(bthd + 3) == 'D')) return None
+        if (u8(bthd + 4) != 0) return None // v2 B-tree version 0
+        val btype = u8(bthd + 5) // record type: 10 raw / 11 filtered
+        if (btype != 10 && btype != 11) return None
+        if ((btype == 11) != filters.nonEmpty) return None
+        val nodeSize = uN(bthd + 6, 4)
+        val recSize = uN(bthd + 10, 2).toInt
+        val depth = uN(bthd + 12, 2).toInt
+        val rootAddr = uN(bthd + 16, 8)
+        val rootNrec = uN(bthd + 24, 2).toInt
+        val rank = shape.size
+        val base = if (btype == 11) 12 + 8 * rank else 8 + 8 * rank
+        val szChunk = recSize - base // filtered: encoded-chunk-size len
+        if (btype == 11 && (szChunk < 1 || szChunk > 8)) return None
+        if (btype == 10 && szChunk != 0) return None
+        if (depth > 1) return None // deeper trees out of envelope
+        if (nodeSize < 10 + recSize || nodeSize > (1L << 26)) return None
+        val maxLeaf = ((nodeSize - 10) / recSize).toInt
+        // the record-count field in child pointers is sized to the
+        // LEAF capacity (the largest — H5B2hdr max_nrec_size)
+        def encSize(x: Long): Int = {
+          var n = 1
+          while (n < 8 && x >= (1L << (8 * n))) n += 1
+          n
+        }
+        val nrecSz = encSize(maxLeaf)
+
+        def rec(at: Long): Boolean = {
+          val addr = uN(at, 8)
+          var p = at + 8
+          val (nb, mask) =
+            if (btype == 11) {
+              val s = uN(p, szChunk); val m = uN(p + szChunk, 4)
+              p += szChunk + 4
+              (s, m)
+            } else (asm.fullChunkBytes.toLong, 0L)
+          val offs = new Array[Long](rank)
+          var k = 0
+          while (k < rank) {
+            val scaled = uN(p + k * 8, 8)
+            if (scaled < 0) return false
+            offs(k) = scaled * chunkDims(k)
+            k += 1
+          }
+          asm.chunkEntry(offs, addr, nb, mask)
+        }
+        def leaf(at: Long, nrec: Int): Boolean = {
+          if (nrec < 0 || nrec > maxLeaf) return false
+          if (at < 0 || at + 6 + nrec.toLong * recSize + 4 > bytes.length)
+            return false
+          if (!(u8(at) == 'B' && u8(at + 1) == 'T' &&
+                u8(at + 2) == 'L' && u8(at + 3) == 'F')) return false
+          if (u8(at + 4) != 0 || u8(at + 5) != btype) return false
+          var i = 0
+          while (i < nrec) {
+            if (!rec(at + 6 + i.toLong * recSize)) return false
+            i += 1
+          }
+          true
+        }
+        if (depth == 0) {
+          if (!leaf(rootAddr, rootNrec)) return None
+        } else {
+          // internal root: records block, then nrec+1 child pointers
+          // (child address + record count), per H5B2cache order
+          if (rootAddr < 0) return None
+          val recsAt = rootAddr + 6
+          val ptrsAt = recsAt + rootNrec.toLong * recSize
+          if (ptrsAt + (rootNrec + 1).toLong * (8 + nrecSz) + 4 >
+              bytes.length) return None
+          if (!(u8(rootAddr) == 'B' && u8(rootAddr + 1) == 'T' &&
+                u8(rootAddr + 2) == 'I' && u8(rootAddr + 3) == 'N'))
+            return None
+          if (u8(rootAddr + 4) != 0 || u8(rootAddr + 5) != btype)
+            return None
+          var i = 0
+          while (i < rootNrec) {
+            if (!rec(recsAt + i.toLong * recSize)) return None
+            i += 1
+          }
+          var c = 0
+          while (c <= rootNrec) {
+            val pAt = ptrsAt + c.toLong * (8 + nrecSz)
+            val childAddr = uN(pAt, 8)
+            val childN = uN(pAt + 8, nrecSz)
+            if (!leaf(childAddr, childN.toInt)) return None
+            c += 1
+          }
+        }
+        Some(asm.raw)
+      case _ => None // paged variants / unknown index types
     }
   }
 }

@@ -572,6 +572,17 @@ object StreamingPipelines {
     binaryShardIngest(spark, srcDir, "*.tar", destDir, checkpointDir,
       maxFilesPerTrigger)(decodeWebdatasetBatch)
 
+  /** Streaming WARC ingest — crawl archives landing as `*.warc.gz`
+    * (the Common Crawl delivery shape) decoded to per-record rows per
+    * micro-batch, exactly-once, with the per-file refusal / per-record
+    * degrade contract of the batch path (one shared decode:
+    * [[graft.sources.GeoIngest.decodeWarcBatch]]). */
+  def warcIngest(spark: SparkSession, srcDir: String, destDir: String,
+                 checkpointDir: String,
+                 maxFilesPerTrigger: Int = 100): StreamingQuery =
+    binaryShardIngest(spark, srcDir, "*.warc*", destDir, checkpointDir,
+      maxFilesPerTrigger)(graft.sources.GeoIngest.decodeWarcBatch)
+
   /** Pattern 1: landing-zone file ingest → parquet, exactly-once
     * end-to-end: the checkpoint pins each batch's file set (a batch
     * id always maps to the same input files), and [[ingestBatch]]

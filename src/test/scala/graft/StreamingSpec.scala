@@ -444,6 +444,46 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dest).count() == 4)
   }
 
+  test("warcIngest streams crawl archives with batch parity, replay idempotence, incremental pickup") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_warc_src").toString
+    val dest = Files.createTempDirectory("graft_warc_dest").toString
+    val ckpt = Files.createTempDirectory("graft_warc_ckpt").toString
+    // the committed q_warc_extract fixtures: two gzip archives, one
+    // bare .warc, one corrupt archive that must skip whole
+    val fx = graft.Fixtures.path("q_warc_extract")
+    for (f <- Seq("crawl-00.warc.gz", "crawl-01.warc.gz", "crawl-02.warc",
+                  "corrupt-04.warc.gz"))
+      Files.copy(java.nio.file.Paths.get(fx, f),
+        java.nio.file.Paths.get(src, f))
+
+    StreamingPipelines.warcIngest(spark, src, dest, ckpt).awaitTermination()
+    val streamed = spark.read.parquet(dest)
+      .select("file", "rec_idx", "warc_type", "target_uri", "http_status",
+        "mime", "payload")
+    val batch = graft.sources.GeoIngest.readWarcFiles(spark, src)
+      .select("file", "rec_idx", "warc_type", "target_uri", "http_status",
+        "mime", "payload")
+    assert(streamed.count() > 0)
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty,
+      "streaming WARC ingest diverged from the batch decode")
+    assert(streamed.filter($"file" === "corrupt-04.warc.gz").count() == 0,
+      "corrupt archive leaked records")
+
+    // replay with the same checkpoint: nothing reprocessed
+    val n1 = streamed.count()
+    StreamingPipelines.warcIngest(spark, src, dest, ckpt).awaitTermination()
+    assert(spark.read.parquet(dest).count() == n1)
+    // a newly landed archive is picked up incrementally
+    Files.copy(java.nio.file.Paths.get(fx, "crawl-00.warc.gz"),
+      java.nio.file.Paths.get(src, "late-05.warc.gz"))
+    StreamingPipelines.warcIngest(spark, src, dest, ckpt).awaitTermination()
+    val after = spark.read.parquet(dest)
+    assert(after.count() > n1, "late archive not ingested")
+    assert(after.filter($"file" === "late-05.warc.gz").count() ==
+      streamed.filter($"file" === "crawl-00.warc.gz").count())
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

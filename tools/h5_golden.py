@@ -429,7 +429,7 @@ def write_h5_v2(datasets):
         else:
             opts = spec[5] if len(spec) > 5 else {}
             index = opts.get("index", "btree1")
-            filtered = index != "implicit"
+            filtered = index != "implicit" and not opts.get("raw")
             rank = len(shape)
             size = {"f4": 4, "f8": 8, "i1": 1, "i2": 2, "i4": 4, "i8": 8,
                     "u1": 1, "u2": 2, "u4": 4, "u8": 8}[dtype]
@@ -663,6 +663,114 @@ def write_h5_v2(datasets):
                 hdr = hdr_for(eahd_at)
                 assert len(hdr) == hlen
                 built.append(hdr + ea_for(eahd_at))
+            elif index == "btree2":
+                # v2 B-tree chunk index (layout-v4 type 5): BTHD header,
+                # BTLF leaf root at depth 0, or a BTIN internal root
+                # whose separator records are real chunk records and
+                # whose child pointers carry (address, nrec) with the
+                # leaf-capacity-sized record-count field (H5B2 layout).
+                # Node size 2048, split/merge 100/40 — the H5D defaults.
+                NODE = 2048
+                btype = 11 if filtered else 10
+                rec_size = (8 + 4 + 4 + 8 * rank) if filtered else (8 + 8 * rank)
+                max_leaf = (NODE - 10) // rec_size
+                def enc_size(x):
+                    n = 1
+                    while x >= (1 << (8 * n)):
+                        n += 1
+                    return n
+                nrec_sz = enc_size(max_leaf)
+                grid = [(shape[d] + chunk_shape[d] - 1) // chunk_shape[d]
+                        for d in range(rank)]
+                def scaled(off):
+                    return [off[d] // chunk_shape[d] for d in range(rank)]
+                def record(off, blob, addr):
+                    r = struct.pack("<Q", addr)
+                    if filtered:
+                        r += struct.pack("<II", len(blob), 0)
+                    r += b"".join(struct.pack("<Q", s) for s in scaled(off))
+                    assert len(r) == rec_size
+                    return r
+                def bt_for(bthd_at):
+                    n = len(blobs)
+                    if n <= max_leaf:
+                        depth, leaves, root_recs = 0, [list(range(n))], []
+                    else:
+                        nleaves = -(-(n) // max_leaf)
+                        while (nleaves - 1) + nleaves * max_leaf < n:
+                            nleaves += 1
+                        # separator record between consecutive leaves
+                        body = n - (nleaves - 1)
+                        base, extra = divmod(body, nleaves)
+                        leaves, root_recs, pos = [], [], 0
+                        for li in range(nleaves):
+                            take = base + (1 if li < extra else 0)
+                            leaves.append(list(range(pos, pos + take)))
+                            pos += take
+                            if li < nleaves - 1:
+                                root_recs.append(pos)
+                                pos += 1
+                        depth = 1
+                        assert pos == n and all(len(l) <= max_leaf for l in leaves)
+                    root_len = (6 + len(leaves[0]) * rec_size + 4) if depth == 0 \
+                        else (6 + len(root_recs) * rec_size +
+                              (len(leaves)) * (8 + nrec_sz) + 4)
+                    leaf_lens = [6 + len(l) * rec_size + 4 for l in leaves]
+                    root_at = bthd_at + 38
+                    leaf_at = []
+                    pos2 = root_at + (0 if depth == 0 else root_len)
+                    if depth == 0:
+                        leaf_at = [root_at]
+                        chunk_at = root_at + root_len
+                    else:
+                        for ll in leaf_lens:
+                            leaf_at.append(pos2)
+                            pos2 += ll
+                        chunk_at = pos2
+                    caddrs = []
+                    for off, blob in blobs:
+                        caddrs.append(chunk_at)
+                        chunk_at += len(blob)
+                    bthd = (b"BTHD" + struct.pack("<BB", 0, btype) +
+                            struct.pack("<IHH", NODE, rec_size, depth) +
+                            struct.pack("<BB", 100, 40) +
+                            struct.pack("<QH", root_at,
+                                        len(leaves[0]) if depth == 0
+                                        else len(root_recs)) +
+                            struct.pack("<Q", n))
+                    bthd += struct.pack("<I", lookup3(bthd))
+                    assert len(bthd) == 38
+                    out = bthd
+                    def leaf_node(idxs):
+                        nd = b"BTLF" + struct.pack("<BB", 0, btype)
+                        for i in idxs:
+                            nd += record(blobs[i][0], blobs[i][1], caddrs[i])
+                        nd += struct.pack("<I", lookup3(nd))
+                        return nd
+                    if depth == 0:
+                        out += leaf_node(leaves[0])
+                    else:
+                        root = b"BTIN" + struct.pack("<BB", 0, btype)
+                        for i in root_recs:
+                            root += record(blobs[i][0], blobs[i][1], caddrs[i])
+                        for la, l in zip(leaf_at, leaves):
+                            root += struct.pack("<Q", la)
+                            root += len(l).to_bytes(nrec_sz, "little")
+                        root += struct.pack("<I", lookup3(root))
+                        assert len(root) == root_len
+                        out += root
+                        for l in leaves:
+                            out += leaf_node(l)
+                    return out + b"".join(b for _, b in blobs)
+                info = struct.pack("<IBB", NODE, 100, 40)
+                def hdr_for(bthd_at):
+                    return mk_hdr(layout_v4(shape, dtype, chunk_shape, 5,
+                                            info, bthd_at))
+                hlen = len(hdr_for(0))
+                bthd_at = at + hlen
+                hdr = hdr_for(bthd_at)
+                assert len(hdr) == hlen
+                built.append(hdr + bt_for(bthd_at))
             else:
                 raise ValueError(index)
         at += len(built[-1])
@@ -758,6 +866,22 @@ if __name__ == "__main__":
         ("eadeep", (2000,), "i2", eavd, (4,), {"index": "extarray"}),
     ])
     open(out + "/eachunks.h5", "wb").write(eac)
+    # v2 B-tree chunk indexes (what h5py writes for >1 unlimited
+    # dimension): bt1/bt2 depth-0 single-leaf roots (1-D and 2-D with
+    # edge clipping), btdeep 500 chunks — a depth-1 tree whose BTIN
+    # root holds real separator records and 6 leaf pointers, btraw an
+    # unfiltered (record type 10) tree over raw chunks
+    btv1 = [((i * 19 + 7) % 83) * 0.5 - 11.0 for i in range(60)]
+    btv2 = [((r * 10 + c) * 11 + 1) * 0.0625 for r in range(9) for c in range(10)]
+    btvd = [((i * 37 + 13) % 4001) - 2000 for i in range(2000)]
+    btvr = [((i * 23 + 3) % 199) - 77 for i in range(40)]
+    btc = write_h5_v2([
+        ("bt1", (60,), "f4", btv1, (4,), {"index": "btree2"}),
+        ("bt2", (9, 10), "f8", btv2, (2, 3), {"index": "btree2"}),
+        ("btdeep", (2000,), "i4", btvd, (4,), {"index": "btree2"}),
+        ("btraw", (40,), "i2", btvr, (5,), {"index": "btree2", "raw": True}),
+    ])
+    open(out + "/btchunks.h5", "wb").write(btc)
     # an out-of-envelope file: the scan must SKIP it, not fail
     open(out + "/corrupt.h5", "wb").write(b"\x89HDF\r\n\x1a\nGARBAGE")
 
@@ -788,6 +912,10 @@ if __name__ == "__main__":
         ("eachunks", [("ea1", [float(np.float32(v)) for v in eav1]),
                       ("ea2", eav2),
                       ("eadeep", [float(v) for v in eavd])]),
+        ("btchunks", [("bt1", [float(np.float32(v)) for v in btv1]),
+                      ("bt2", btv2),
+                      ("btdeep", [float(v) for v in btvd]),
+                      ("btraw", [float(v) for v in btvr])]),
     ]
     for fname, dsets in expected:
         for ds, vals in dsets:
