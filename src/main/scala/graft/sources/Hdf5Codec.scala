@@ -9,8 +9,9 @@ package graft.sources
   *
   *  - superblock version 0, OR superblock v2/v3 with version-2
   *    ("OHDR") object headers, compact inline hard links, and
-  *    layout-v4 chunk indexes (single-chunk / implicit / unpaged
-  *    fixed array / unpaged extensible array with its EAHD → EAIB →
+  *    layout-v4 chunk indexes (single-chunk / implicit / fixed
+  *    array INCLUDING the paged form any >2^page-bits-chunk dataset
+  *    gets / unpaged extensible array with its EAHD → EAIB →
   *    EASB → EADB walk — the index h5py writes for ANY
   *    maxshape=resizable dataset — / depth-≤1 v2 B-trees, the index
   *    for >1 unlimited dimension) — the h5py libver='latest' shape
@@ -29,7 +30,8 @@ package graft.sources
   * Refusal contract (the [[GzipCodec]]/[[PngCodec]] discipline):
   * anything outside that envelope — compact layout, filters beyond
   * deflate+shuffle, v2 chunk B-trees deeper than one level, PAGED
-  * fixed/extensible arrays (data blocks past 2^page-bits elements),
+  * extensible-array data blocks (past 2^page-bits elements; paged
+  * FIXED arrays — the common >2^page-bits-chunks case — ARE read),
   * big-endian or non-scalar datatypes, fractured group B-trees deeper
   * than one level, truncated anything — returns None, never throws, so
   * one corrupt object skips instead of killing a distributed scan.
@@ -641,9 +643,11 @@ object Hdf5Codec {
 
   /** Layout-v4 chunk indexes (the h5py libver='latest' chunked world):
     * Single Chunk (type 1), Implicit (type 2 — contiguous full chunks
-    * in row-major grid order, unfiltered), unpaged Fixed Array
-    * (type 3 — FAHD header + FADB data block; filtered elements carry
-    * address + stored size + per-chunk filter mask), and unpaged
+    * in row-major grid order, unfiltered), Fixed Array
+    * (type 3 — FAHD header + FADB data block, unpaged or PAGED with
+    * a page bitmap and per-page checksummed element pages; filtered
+    * elements carry address + stored size + per-chunk filter mask),
+    * and unpaged
     * Extensible Array (type 4 — EAHD header, EAIB index block holding
     * the first elements + the first super blocks' data-block
     * addresses, EASB secondary blocks for deeper super blocks, EADB
@@ -708,35 +712,68 @@ object Hdf5Codec {
         val maxN = uN(fahd + 8, 8)
         val fadb = uN(fahd + 16, 8)
         if (maxN != asm.gridChunks) return None
-        if (pageBits < 1 || pageBits > 20 || maxN > (1L << pageBits))
-          return None // paged fixed arrays out of envelope
+        if (pageBits < 1 || pageBits > 20) return None
         if (fadb < 0) return None
         if (!(u8(fadb) == 'F' && u8(fadb + 1) == 'A' &&
               u8(fadb + 2) == 'D' && u8(fadb + 3) == 'B')) return None
         if (u8(fadb + 4) != 0 || u8(fadb + 5) != clientId) return None
-        // header addr (8) precedes the element array
-        val elems = fadb + 14
         val szBytes = entrySize - 12 // filtered: addr(8) + size + mask(4)
         if (clientId == 1 && (szBytes < 1 || szBytes > 8)) return None
         if (clientId == 0 && entrySize != 8) return None
-        // the whole element array must be in-bounds BEFORE the loop:
-        // an out-of-range uN read returns -1L, which is
-        // indistinguishable from the legitimate undefined-address
-        // sentinel below — a truncated array would otherwise decode
-        // silently as all-unallocated (all zeros) instead of refusing
-        if (elems + maxN * entrySize > bytes.length) return None
-        var i = 0L
-        while (i < maxN) {
-          val eAt = elems + i * entrySize
+        // one element, global grid index gi; arrays are bounds-checked
+        // BEFORE their loops: an out-of-range uN read returns -1L,
+        // which is indistinguishable from the legitimate
+        // undefined-address sentinel — a truncated array would
+        // otherwise decode silently as all-unallocated instead of
+        // refusing
+        def faElem(eAt: Long, gi: Long): Boolean = {
           val addr = uN(eAt, 8)
+          if (addr == Undef) return true // unallocated chunk
           val (nbytes, mask) =
             if (clientId == 1) (uN(eAt + 8, szBytes), uN(eAt + 8 + szBytes, 4))
             else (asm.fullChunkBytes.toLong, 0L)
-          if (addr != Undef) { // undefined address = unallocated chunk
-            if (!asm.chunkEntry(asm.gridOffsets(i), addr, nbytes, mask))
-              return None
+          asm.chunkEntry(asm.gridOffsets(gi), addr, nbytes, mask)
+        }
+        val pageElems = 1L << pageBits
+        if (maxN <= pageElems) {
+          // unpaged: the element array lives inline after the header
+          // address, then the block checksum
+          val elems = fadb + 14
+          if (elems + maxN * entrySize + 4 > bytes.length) return None
+          var i = 0L
+          while (i < maxN) {
+            if (!faElem(elems + i * entrySize, i)) return None
+            i += 1
           }
-          i += 1
+        } else {
+          // PAGED (any dataset past 2^page-bits chunks — the normal
+          // case at scale): the FADB holds only a page bitmap (bit p
+          // set = page initialized) + its checksum; element pages
+          // follow contiguously, each page carrying its own checksum
+          val npages = (maxN + pageElems - 1) >> pageBits
+          val bmLen = (npages + 7) / 8
+          val bitmapAt = fadb + 14
+          val pagesAt = bitmapAt + bmLen + 4
+          if (pagesAt + maxN * entrySize + 4L * npages > bytes.length)
+            return None
+          var p = 0L
+          var gi = 0L
+          var at = pagesAt
+          while (p < npages) {
+            val inPage = math.min(pageElems, maxN - gi)
+            val initialized =
+              ((u8(bitmapAt + p / 8) >> (p % 8).toInt) & 1) == 1
+            if (initialized) {
+              var t = 0L
+              while (t < inPage) {
+                if (!faElem(at + t * entrySize, gi + t)) return None
+                t += 1
+              }
+            } // uninitialized page: every chunk in it is unallocated
+            at += inPage * entrySize + 4
+            gi += inPage
+            p += 1
+          }
         }
         Some(asm.raw)
       case 4 => // extensible array (the h5py maxshape/resizable world)

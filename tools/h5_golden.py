@@ -495,26 +495,54 @@ def write_h5_v2(datasets):
                 assert len(hdr) == hlen
                 built.append(hdr + b"".join(b for _, b in blobs))
             elif index == "fixedarray":
+                # Unpaged when nchunk fits one page (2^page_bits), else
+                # PAGED: the FADB holds only a page bitmap (1 bit per
+                # page, set = initialized) and its checksum; element
+                # pages follow the block contiguously, each page being
+                # up-to-2^page_bits elements + its own 4-byte checksum.
                 assert filtered
                 entry = 16  # addr(8) + size(4) + mask(4)
-                fadb_len = 14 + nchunk * entry + 4
+                PGB = 10
+                psize = 1 << PGB
+                paged = nchunk > psize
+                if paged:
+                    npages = -(-nchunk // psize)
+                    bmlen = -(-npages // 8)
+                    fadb_len = 14 + bmlen + 4
+                    pages_len = nchunk * entry + 4 * npages
+                else:
+                    fadb_len = 14 + nchunk * entry + 4
+                    pages_len = 0
                 def fa_for(fahd_at):
                     fadb_at = fahd_at + 28
-                    chunk_at = fadb_at + fadb_len
+                    chunk_at = fadb_at + fadb_len + pages_len
                     caddrs = []
                     for off, blob in blobs:
                         caddrs.append(chunk_at)
                         chunk_at += len(blob)
-                    fahd = (b"FAHD" + struct.pack("<BBBB", 0, 1, entry, 10) +
+                    fahd = (b"FAHD" + struct.pack("<BBBB", 0, 1, entry, PGB) +
                             struct.pack("<QQ", nchunk, fadb_at))
                     fahd += struct.pack("<I", lookup3(fahd))
                     fadb = b"FADB" + struct.pack("<BB", 0, 1) + struct.pack("<Q", fahd_at)
-                    for (off, blob), ca in zip(blobs, caddrs):
-                        fadb += struct.pack("<QII", ca, len(blob), 0)
+                    elems = b"".join(
+                        struct.pack("<QII", ca, len(blob), 0)
+                        for (off, blob), ca in zip(blobs, caddrs))
+                    if paged:
+                        fadb += b"\xff" * (npages // 8)
+                        if npages % 8:
+                            fadb += bytes([(1 << (npages % 8)) - 1])
+                        fadb += struct.pack("<I", lookup3(fadb))
+                        pages = b""
+                        for p in range(npages):
+                            pg = elems[p * psize * entry:(p + 1) * psize * entry]
+                            pages += pg + struct.pack("<I", lookup3(pg))
+                        assert len(fadb) == fadb_len and len(pages) == pages_len
+                        return fahd + fadb + pages
+                    fadb += elems
                     fadb += struct.pack("<I", lookup3(fadb))
                     assert len(fadb) == fadb_len
                     return fahd + fadb
-                info = struct.pack("<B", 10)  # page bits
+                info = struct.pack("<B", PGB)  # page bits
                 def hdr_for(fahd_at):
                     return mk_hdr(layout_v4(shape, dtype, chunk_shape, 3, info, fahd_at))
                 hlen = len(hdr_for(0))
@@ -882,6 +910,14 @@ if __name__ == "__main__":
         ("btraw", (40,), "i2", btvr, (5,), {"index": "btree2", "raw": True}),
     ])
     open(out + "/btchunks.h5", "wb").write(btc)
+    # PAGED fixed array: 1250 chunks > the 1024-element page, so the
+    # FADB carries a page bitmap and two element pages (the second
+    # partial) — the layout ANY dataset past 2^page_bits chunks gets
+    fpv = [((i * 41 + 17) % 3001) - 1500 for i in range(5000)]
+    fap = write_h5_v2([
+        ("fap", (5000,), "i2", fpv, (4,), {"index": "fixedarray"}),
+    ])
+    open(out + "/fapaged.h5", "wb").write(fap)
     # an out-of-envelope file: the scan must SKIP it, not fail
     open(out + "/corrupt.h5", "wb").write(b"\x89HDF\r\n\x1a\nGARBAGE")
 
@@ -916,6 +952,7 @@ if __name__ == "__main__":
                       ("bt2", btv2),
                       ("btdeep", [float(v) for v in btvd]),
                       ("btraw", [float(v) for v in btvr])]),
+        ("fapaged", [("fap", [float(v) for v in fpv])]),
     ]
     for fname, dsets in expected:
         for ds, vals in dsets:
