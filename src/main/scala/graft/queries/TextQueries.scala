@@ -1203,7 +1203,14 @@ object TextQueries {
     // slower than no filter (higher-order lambdas evaluate off the
     // codegen path), and as 26 plain int columns it cost ~4 min of
     // cold Catalyst planning (constraint propagation through a join
-    // over 26 column pairs) for a ~15% steady-state win.)
+    // over 26 column pairs) for a ~15% steady-state win. Round 14
+    // tried a THIRD form — a single 64-bit charset mask per doc with
+    // a codegen'd bit_count lower-bound filter per candidate — and it
+    // measured 1.5× SLOWER at sf1 (23.8→35.7 s warm): the
+    // threshold-banded DP with early exit is already cheaper than the
+    // extra per-candidate work, i.e. the cost lever here is candidate
+    // GENERATION (the bucket join itself), which no post-join filter
+    // touches.)
     probes.as("a").join(docs.as("c"),
         col("a.lang") === col("c.lang") && col("a.pb") === col("c.b") &&
         col("a.doc_id") < col("c.doc_id"))

@@ -500,8 +500,8 @@ def write_h5_v2(datasets):
                 # page, set = initialized) and its checksum; element
                 # pages follow the block contiguously, each page being
                 # up-to-2^page_bits elements + its own 4-byte checksum.
-                assert filtered
-                entry = 16  # addr(8) + size(4) + mask(4)
+                client = 1 if filtered else 0
+                entry = 16 if filtered else 8  # addr(8) [+ size(4) + mask(4)]
                 PGB = 10
                 psize = 1 << PGB
                 paged = nchunk > psize
@@ -520,12 +520,14 @@ def write_h5_v2(datasets):
                     for off, blob in blobs:
                         caddrs.append(chunk_at)
                         chunk_at += len(blob)
-                    fahd = (b"FAHD" + struct.pack("<BBBB", 0, 1, entry, PGB) +
+                    fahd = (b"FAHD" + struct.pack("<BBBB", 0, client, entry, PGB) +
                             struct.pack("<QQ", nchunk, fadb_at))
                     fahd += struct.pack("<I", lookup3(fahd))
-                    fadb = b"FADB" + struct.pack("<BB", 0, 1) + struct.pack("<Q", fahd_at)
+                    fadb = (b"FADB" + struct.pack("<BB", 0, client) +
+                            struct.pack("<Q", fahd_at))
                     elems = b"".join(
-                        struct.pack("<QII", ca, len(blob), 0)
+                        (struct.pack("<QII", ca, len(blob), 0) if filtered
+                         else struct.pack("<Q", ca))
                         for (off, blob), ca in zip(blobs, caddrs))
                     if paged:
                         fadb += b"\xff" * (npages // 8)
@@ -561,11 +563,9 @@ def write_h5_v2(datasets):
                 # first 2*log2(4)=4 super blocks' data blocks are
                 # addressed directly from the index block (6 slots),
                 # later super blocks via EASB secondary blocks.
-                assert filtered
-                MAXB, IDXE, MINP, MINE, PGB = 32, 4, 4, 4, 10
-                # (MINE is data_blk_min_elmts — see pack below)
-                MINE = 16
-                entry = 16          # addr(8) + size(4) + mask(4)
+                client = 1 if filtered else 0
+                MAXB, IDXE, MINP, MINE, PGB = 32, 4, 4, 16, 10
+                entry = 16 if filtered else 8  # addr(8) [+ size(4) + mask(4)]
                 offsz = (MAXB + 7) // 8
                 nsblks = 2 * (MAXB - 4)        # log2(MINE)=4
                 iblk_sblks = 4                 # 2*log2(MINP)
@@ -579,6 +579,8 @@ def write_h5_v2(datasets):
                     start_dblk = sum(1 << (v // 2) for v in range(u))
                     return ndblks, dnel, start_idx, start_dblk
                 def elmt(addr, blob):
+                    if not filtered:
+                        return struct.pack("<Q", UNDEF if addr is None else addr)
                     if addr is None:
                         return struct.pack("<QII", UNDEF, 0, 0)
                     return struct.pack("<QII", addr, len(blob), 0)
@@ -622,7 +624,7 @@ def write_h5_v2(datasets):
                         caddrs.append(pos)
                         pos += len(blob)
                     # EAHD: params, stats, index block address
-                    eahd = (b"EAHD" + struct.pack("<BB", 0, 1) +
+                    eahd = (b"EAHD" + struct.pack("<BB", 0, client) +
                             struct.pack("<BBBBBB", entry, MAXB, IDXE,
                                         MINE, MINP, PGB) +
                             struct.pack("<QQQQQQ",
@@ -635,7 +637,7 @@ def write_h5_v2(datasets):
                     eahd += struct.pack("<I", lookup3(eahd))
                     assert len(eahd) == eahd_len
                     # EAIB: direct elements, dblk addrs, sblk addrs
-                    eaib = (b"EAIB" + struct.pack("<BB", 0, 1) +
+                    eaib = (b"EAIB" + struct.pack("<BB", 0, client) +
                             struct.pack("<Q", eahd_at))
                     for i in range(IDXE):
                         eaib += elmt(caddrs[i], blobs[i][1]) if i < nchunk \
@@ -659,7 +661,7 @@ def write_h5_v2(datasets):
                     # EASBs: block offset + data block addresses
                     for u in sblks:
                         ndb, dnel, sidx, sdblk = sblk_info(u)
-                        sb = (b"EASB" + struct.pack("<BB", 0, 1) +
+                        sb = (b"EASB" + struct.pack("<BB", 0, client) +
                               struct.pack("<Q", eahd_at) +
                               (IDXE + sidx).to_bytes(offsz, "little"))
                         for j in range(ndb):
@@ -671,7 +673,7 @@ def write_h5_v2(datasets):
                     # EADBs: block offset + elements (unset slots are
                     # the class fill value: undefined address)
                     for (u, j, st, dn) in dblks:
-                        db = (b"EADB" + struct.pack("<BB", 0, 1) +
+                        db = (b"EADB" + struct.pack("<BB", 0, client) +
                               struct.pack("<Q", eahd_at) +
                               (IDXE + st).to_bytes(offsz, "little"))
                         for t in range(dn):
@@ -888,10 +890,12 @@ if __name__ == "__main__":
     eav1 = [((i * 13 + 5) % 101) * 0.25 - 8.0 for i in range(100)]
     eav2 = [((r * 10 + c) * 7 + 3) * 0.125 for r in range(9) for c in range(10)]
     eavd = [((i * 29 + 11) % 2001) - 1000 for i in range(2000)]
+    eavr = [((i * 31 + 9) % 500) - 250 for i in range(48)]
     eac = write_h5_v2([
         ("ea1", (100,), "f4", eav1, (4,), {"index": "extarray"}),
         ("ea2", (9, 10), "f8", eav2, (2, 3), {"index": "extarray"}),
         ("eadeep", (2000,), "i2", eavd, (4,), {"index": "extarray"}),
+        ("earaw", (48,), "i4", eavr, (6,), {"index": "extarray", "raw": True}),
     ])
     open(out + "/eachunks.h5", "wb").write(eac)
     # v2 B-tree chunk indexes (what h5py writes for >1 unlimited
@@ -914,8 +918,10 @@ if __name__ == "__main__":
     # FADB carries a page bitmap and two element pages (the second
     # partial) — the layout ANY dataset past 2^page_bits chunks gets
     fpv = [((i * 41 + 17) % 3001) - 1500 for i in range(5000)]
+    frv = [(i * 13 + 5) * 0.25 - 20.0 for i in range(44)]
     fap = write_h5_v2([
         ("fap", (5000,), "i2", fpv, (4,), {"index": "fixedarray"}),
+        ("faraw", (44,), "f8", frv, (4,), {"index": "fixedarray", "raw": True}),
     ])
     open(out + "/fapaged.h5", "wb").write(fap)
     # an out-of-envelope file: the scan must SKIP it, not fail
@@ -947,12 +953,14 @@ if __name__ == "__main__":
                       ("sc", scv)]),
         ("eachunks", [("ea1", [float(np.float32(v)) for v in eav1]),
                       ("ea2", eav2),
-                      ("eadeep", [float(v) for v in eavd])]),
+                      ("eadeep", [float(v) for v in eavd]),
+                      ("earaw", [float(v) for v in eavr])]),
         ("btchunks", [("bt1", [float(np.float32(v)) for v in btv1]),
                       ("bt2", btv2),
                       ("btdeep", [float(v) for v in btvd]),
                       ("btraw", [float(v) for v in btvr])]),
-        ("fapaged", [("fap", [float(v) for v in fpv])]),
+        ("fapaged", [("fap", [float(v) for v in fpv]),
+                     ("faraw", frv)]),
     ]
     for fname, dsets in expected:
         for ds, vals in dsets:
