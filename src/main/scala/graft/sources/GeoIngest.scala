@@ -287,11 +287,19 @@ object GeoIngest {
     * (multi-frame + skippable-frame aware, inflation-capped) and
     * exploded into one row per JSON line. Corrupt shards decode to
     * None and are skipped. Output: (shard, line_idx, line). */
-  def readJsonlZst(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.zst")
-      .load(dir)
+  def readJsonlZst(spark: SparkSession, dir: String): DataFrame =
+    decodeJsonlZstBatch(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.zst")
+        .load(dir))
+
+  /** One batch of (path, content) `.jsonl.zst` shards → per-line rows —
+    * shared by the batch scan above and the streaming ingest arm
+    * ([[graft.streaming.StreamingPipelines.zstIngest]]). A corrupt
+    * shard decodes to nothing (per-file skip). */
+  def decodeJsonlZstBatch(batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>

@@ -583,6 +583,16 @@ object StreamingPipelines {
     binaryShardIngest(spark, srcDir, "*.warc*", destDir, checkpointDir,
       maxFilesPerTrigger)(graft.sources.GeoIngest.decodeWarcBatch)
 
+  /** Streaming `.jsonl.zst` shard ingest — the compressed-JSONL
+    * delivery shape modern web corpora ship in, decoded to per-line
+    * rows per micro-batch, exactly-once; one decode shared with the
+    * batch path ([[graft.sources.GeoIngest.decodeJsonlZstBatch]]). */
+  def zstIngest(spark: SparkSession, srcDir: String, destDir: String,
+                checkpointDir: String,
+                maxFilesPerTrigger: Int = 100): StreamingQuery =
+    binaryShardIngest(spark, srcDir, "*.zst", destDir, checkpointDir,
+      maxFilesPerTrigger)(graft.sources.GeoIngest.decodeJsonlZstBatch)
+
   /** Pattern 1: landing-zone file ingest → parquet, exactly-once
     * end-to-end: the checkpoint pins each batch's file set (a batch
     * id always maps to the same input files), and [[ingestBatch]]

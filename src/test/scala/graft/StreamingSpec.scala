@@ -484,6 +484,32 @@ class StreamingSpec extends SparkSpec {
       streamed.filter($"file" === "crawl-00.warc.gz").count())
   }
 
+  test("zstIngest streams jsonl.zst shards with batch parity and replay idempotence") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_zst_src").toString
+    val dest = Files.createTempDirectory("graft_zst_dest").toString
+    val ckpt = Files.createTempDirectory("graft_zst_ckpt").toString
+    val fx = graft.Fixtures.path("q_jsonl_zst")
+    for (f <- Seq("docs-00.jsonl.zst", "docs-01.jsonl.zst",
+                  "docs-02.jsonl.zst", "corrupt-03.jsonl.zst"))
+      Files.copy(java.nio.file.Paths.get(fx, f),
+        java.nio.file.Paths.get(src, f))
+
+    StreamingPipelines.zstIngest(spark, src, dest, ckpt).awaitTermination()
+    val streamed = spark.read.parquet(dest)
+      .select("shard", "line_idx", "line")
+    val batch = graft.sources.GeoIngest.readJsonlZst(spark, src)
+    assert(streamed.count() > 0)
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty,
+      "streaming zst ingest diverged from the batch decode")
+    assert(streamed.filter($"shard" === "corrupt-03.jsonl.zst").count() == 0,
+      "corrupt shard leaked lines")
+    // replay with the same checkpoint: nothing reprocessed
+    val n1 = streamed.count()
+    StreamingPipelines.zstIngest(spark, src, dest, ckpt).awaitTermination()
+    assert(spark.read.parquet(dest).count() == n1)
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
