@@ -1168,6 +1168,115 @@ object TextQueries {
       |CROSS JOIN vocab v
       |GROUP BY b.doc_id""".stripMargin
 
+  /** URL canonicalization — the dedup-by-URL key every web-corpus
+    * pipeline computes before content dedup (C4 deduplicated on
+    * normalized URL; CCNet/RefinedWeb carry the same key): lowercase
+    * scheme+host, strip the fragment, drop default ports (80/443 for
+    * their schemes ONLY — a mismatched port survives), strip a
+    * leading `www.`, remove `utm_*` tracking parameters while
+    * preserving the remaining query order, trim a trailing path
+    * slash, and extract the registrable-ish domain (last two host
+    * labels) for per-domain accounting. Raw URLs are synthesized
+    * deterministically from doc_id (mixed-case schemes/hosts, an
+    * explicit :443 crossed with all schemes so the default-port rule
+    * is CONDITIONAL, utm-polluted and clean query strings,
+    * fragments) by the SAME formula in both engines; the
+    * normalization itself is implemented INDEPENDENTLY — Spark
+    * split_part/filter-lambda/regexp vs DuckDB
+    * str_split/list_filter/regexp — so every rule is
+    * cross-engine-graded per doc. Pure per-row string expressions:
+    * no shuffle, no UDF; at 100 TB this runs inside the scan stage. */
+  def qUrlNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val raw =
+      """concat(
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTP://'
+        |       WHEN 1 THEN 'https://WWW.' ELSE 'https://' END,
+        |  'Site', doc_id % 11, '.Example.COM',
+        |  CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
+        |  '/Dir', doc_id % 5, '/page',
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN concat('?utm_source=feed&id=', doc_id % 7, '&utm_campaign=x')
+        |    ELSE concat('?id=', doc_id % 7) END,
+        |  CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)""".stripMargin
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(raw).as("url"))
+      .withColumn("base", expr("split_part(url, '#', 1)"))
+      .withColumn("scheme", expr("lower(split_part(base, '://', 1))"))
+      .withColumn("rest", expr("split_part(base, '://', 2)"))
+      .withColumn("hostport", expr("split_part(rest, '/', 1)"))
+      .withColumn("pathq", expr("substring(rest, length(hostport) + 1)"))
+      .withColumn("host", expr(
+        "regexp_replace(lower(split_part(hostport, ':', 1)), '^www\\\\.', '')"))
+      .withColumn("port", expr("split_part(hostport, ':', 2)"))
+      .withColumn("path", expr("split_part(pathq, '?', 1)"))
+      .withColumn("qs", expr("split_part(pathq, '?', 2)"))
+      .withColumn("qkeep", expr(
+        "array_join(filter(split(qs, '&'), " +
+          "p -> p NOT LIKE 'utm_%' AND p != ''), '&')"))
+      .withColumn("portpart", expr(
+        "CASE WHEN port = '' OR (scheme = 'https' AND port = '443') " +
+          "OR (scheme = 'http' AND port = '80') " +
+          "THEN '' ELSE concat(':', port) END"))
+      .withColumn("canon_url", expr(
+        "concat(scheme, '://', host, portpart, " +
+          "regexp_replace(path, '/$', ''), " +
+          "CASE WHEN qkeep = '' THEN '' ELSE concat('?', qkeep) END)"))
+      .withColumn("domain", expr(
+        "regexp_extract(host, '([^.]+\\\\.[^.]+)$', 1)"))
+      .select(col("doc_id"), col("url"), col("canon_url"),
+        col("host"), col("domain"))
+  }
+
+  val qUrlNormalizeSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id, concat(
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTP://'
+      |         WHEN 1 THEN 'https://WWW.' ELSE 'https://' END,
+      |    'Site', doc_id % 11, '.Example.COM',
+      |    CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
+      |    '/Dir', doc_id % 5, '/page',
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN concat('?utm_source=feed&id=', doc_id % 7, '&utm_campaign=x')
+      |      ELSE concat('?id=', doc_id % 7) END,
+      |    CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+      |  FROM documents),
+      |p1 AS (
+      |  SELECT doc_id, url,
+      |    split_part(url, '#', 1) AS base FROM raw),
+      |p2 AS (
+      |  SELECT doc_id, url,
+      |    lower(split_part(base, '://', 1)) AS scheme,
+      |    split_part(base, '://', 2) AS rest FROM p1),
+      |p3 AS (
+      |  SELECT *, split_part(rest, '/', 1) AS hostport,
+      |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+      |  FROM p2),
+      |p4 AS (
+      |  SELECT doc_id, url, scheme,
+      |    regexp_replace(lower(split_part(hostport, ':', 1)), '^www\.', '')
+      |      AS host,
+      |    split_part(hostport, ':', 2) AS port,
+      |    split_part(pathq, '?', 1) AS path,
+      |    split_part(pathq, '?', 2) AS qs
+      |  FROM p3),
+      |p5 AS (
+      |  SELECT *,
+      |    coalesce(list_aggregate(list_filter(str_split(qs, '&'),
+      |      p -> NOT p LIKE 'utm_%' AND p != ''), 'string_agg', '&'), '')
+      |      AS qkeep,
+      |    CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+      |         OR (scheme = 'http' AND port = '80')
+      |      THEN '' ELSE concat(':', port) END AS portpart
+      |  FROM p4)
+      |SELECT doc_id, url,
+      |  concat(scheme, '://', host, portpart,
+      |    regexp_replace(path, '/$', ''),
+      |    CASE WHEN qkeep = '' THEN '' ELSE concat('?', qkeep) END)
+      |    AS canon_url,
+      |  host,
+      |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+      |FROM p5""".stripMargin
+
   /** Edit-distance fuzzy near-dup join — the character-level member
     * of the dedup family (MinHash/SimHash are token/bit-level; OCR
     * noise, typo variants, and template drift show up as small edit
@@ -1564,6 +1673,7 @@ object TextQueries {
     "q_zipf_fit" -> (qZipfFit _),
     "q_pmi_tokens" -> (qPmiTokens _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_url_normalize" -> (qUrlNormalize _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_cms_guarantee" -> (qCmsGuarantee _),
     "q_feature_hash" -> (qFeatureHash _),
@@ -1603,6 +1713,7 @@ object TextQueries {
     "q_zipf_fit" -> qZipfFitSql,
     "q_pmi_tokens" -> qPmiTokensSql,
     "q_fuzzy_join" -> qFuzzyJoinSql,
+    "q_url_normalize" -> qUrlNormalizeSql,
     "q_bigram_lm" -> qBigramLmSql,
     "q_cms_guarantee" -> qCmsGuaranteeSql,
     "q_feature_hash" -> qFeatureHashSql,

@@ -111,7 +111,7 @@ object ScaleBench {
     "q_sufficient_stats", "q_suffstats_typed", "q_tar_shards",
     "q_terrain", "q_terrain_gradient", "q_tiff_decode",
     "q_tiff_deflate", "q_tiff_georef", "q_tiff_lzw", "q_union_sensors",
-    "q_unpivot", "q_vector_stats", "q_veg_indices",
+    "q_unpivot", "q_url_normalize", "q_vector_stats", "q_veg_indices",
     "q_veg_indices_rows", "q_wav_features", "q_weighted_sample",
     "q_zorder")
 
