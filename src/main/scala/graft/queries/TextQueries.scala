@@ -1277,6 +1277,75 @@ object TextQueries {
       |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
       |FROM p5""".stripMargin
 
+  /** HTML → text extraction — step 1 of every web-corpus pipeline
+    * (C4's "extracted text" starts here; trafilatura/justext are the
+    * production versions of this shape): drop `<script>`/`<style>`
+    * blocks WITH their contents, strip remaining tags to a space,
+    * decode the five predefined character entities (amp LAST so
+    * `&amp;lt;` cannot double-decode), collapse runs of spaces, trim.
+    * Per-doc synthetic HTML wraps the corpus text by the same
+    * deterministic formula in both engines (title/heading from
+    * doc_id, a style rule, a script whose BODY contains entities —
+    * they must vanish with the block — and an entity-laden trailer
+    * whose decoded `<b>` must SURVIVE as text because decoding runs
+    * after tag-stripping); the extraction itself is implemented
+    * independently per engine. Pure per-row regexp/replace chains —
+    * codegen'd, no shuffle; at 100 TB this is the scan-stage
+    * transform between a WARC payload and every text operator. */
+  def qHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val raw =
+      """concat('<html><head><title>Doc ', doc_id,
+        |  '</title><style>.c{color:red}</style>',
+        |  '<script>if(1&lt;2){alert("x&amp;y")}</script></head>',
+        |  '<body><h1>Heading ', doc_id % 7, '</h1><p>', text,
+        |  '</p><div class="x">tail &amp;co &lt;b&gt;bold&lt;/b&gt; ',
+        |  '&quot;q&quot; &#39;a&#39;</div></body></html>')""".stripMargin
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(raw).as("html"))
+      .withColumn("noscript", expr(
+        "regexp_replace(regexp_replace(html, " +
+          "'<script[^>]*>.*?</script>', ' '), " +
+          "'<style[^>]*>.*?</style>', ' ')"))
+      .withColumn("notags", expr(
+        "regexp_replace(noscript, '<[^>]+>', ' ')"))
+      .withColumn("decoded", expr(
+        "replace(replace(replace(replace(replace(notags, " +
+          "'&lt;', '<'), '&gt;', '>'), '&quot;', '\\\"'), " +
+          "'&#39;', \"'\"), '&amp;', '&')"))
+      .withColumn("text_clean", expr(
+        "trim(regexp_replace(decoded, ' +', ' '))"))
+      .select(col("doc_id"), length(col("html")).as("n_raw"),
+        col("text_clean"), length(col("text_clean")).as("n_clean"))
+  }
+
+  val qHtmlExtractSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id, concat('<html><head><title>Doc ', doc_id,
+      |    '</title><style>.c{color:red}</style>',
+      |    '<script>if(1&lt;2){alert("x&amp;y")}</script></head>',
+      |    '<body><h1>Heading ', doc_id % 7, '</h1><p>', text,
+      |    '</p><div class="x">tail &amp;co &lt;b&gt;bold&lt;/b&gt; ',
+      |    '&quot;q&quot; &#39;a&#39;</div></body></html>') AS html
+      |  FROM documents),
+      |stripped AS (
+      |  SELECT doc_id, html,
+      |    regexp_replace(regexp_replace(regexp_replace(html,
+      |      '<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '<style[^>]*>.*?</style>', ' ', 'g'),
+      |      '<[^>]+>', ' ', 'g') AS notags
+      |  FROM raw),
+      |decoded AS (
+      |  SELECT doc_id, html,
+      |    replace(replace(replace(replace(replace(notags,
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |      '&#39;', chr(39)), '&amp;', '&') AS dec
+      |  FROM stripped)
+      |SELECT doc_id, CAST(length(html) AS INT) AS n_raw,
+      |  trim(regexp_replace(dec, ' +', ' ', 'g')) AS text_clean,
+      |  CAST(length(trim(regexp_replace(dec, ' +', ' ', 'g'))) AS INT)
+      |    AS n_clean
+      |FROM decoded""".stripMargin
+
   /** Edit-distance fuzzy near-dup join — the character-level member
     * of the dedup family (MinHash/SimHash are token/bit-level; OCR
     * noise, typo variants, and template drift show up as small edit
@@ -1674,6 +1743,7 @@ object TextQueries {
     "q_pmi_tokens" -> (qPmiTokens _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_url_normalize" -> (qUrlNormalize _),
+    "q_html_extract" -> (qHtmlExtract _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_cms_guarantee" -> (qCmsGuarantee _),
     "q_feature_hash" -> (qFeatureHash _),
@@ -1714,6 +1784,7 @@ object TextQueries {
     "q_pmi_tokens" -> qPmiTokensSql,
     "q_fuzzy_join" -> qFuzzyJoinSql,
     "q_url_normalize" -> qUrlNormalizeSql,
+    "q_html_extract" -> qHtmlExtractSql,
     "q_bigram_lm" -> qBigramLmSql,
     "q_cms_guarantee" -> qCmsGuaranteeSql,
     "q_feature_hash" -> qFeatureHashSql,
