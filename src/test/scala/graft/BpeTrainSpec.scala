@@ -57,6 +57,48 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("training exhausts early on a tiny corpus, in both engines identically") {
+    // a corpus whose merge space runs dry long before V: the loop must
+    // STOP (not emit null/empty merges), the vocab must be fully
+    // collapsed, and the DuckDB recursive oracle must agree row-for-row
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_tiny").toString
+    Seq((0L, "ab ab cd", "en", "s", 8L), (1L, "ab cd cd", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = SparkEntry.queries("q_bpe_train")(spark, dir)
+      .orderBy(col("merge_idx")).collect()
+    assert(merges.length < graft.operators.BpeTrain.V,
+      "tiny corpus cannot sustain V merges")
+    assert(merges.nonEmpty)
+    // every word is 2 letters: after its pair merges, all words are
+    // single symbols — exactly 2 merges ('ab' then 'cd')
+    assert(merges.length == 2)
+    assert(merges.map(r => (r.getAs[Int]("lhs_code").toChar,
+      r.getAs[Int]("rhs_code").toChar)).toSeq == Seq(('a', 'b'), ('c', 'd')))
+    // total_syms: 6 words × 2 chars = 12 → 9 (3 'ab' collapse) → 6
+    assert(merges.map(_.getAs[Long]("total_syms")).toSeq == Seq(9L, 6L))
+    // the DuckDB oracle, run over the same tiny corpus, agrees exactly
+    val duck = new java.io.File("/usr/bin/python3").exists()
+    if (duck) {
+      import scala.sys.process._
+      val sql = SparkEntry.oracleSql("q_bpe_train")
+        .replace("FROM documents", s"FROM read_parquet('$dir/documents.parquet/*.parquet')")
+      val script =
+        s"""import duckdb, json
+           |rows = duckdb.connect().execute(${"\"\"\""}$sql${"\"\"\""}).fetchall()
+           |print(json.dumps(sorted(rows)))""".stripMargin
+      val f = java.nio.file.Files.createTempFile("bpe_oracle", ".py")
+      java.nio.file.Files.writeString(f, script)
+      val out = Seq("python3", f.toString).!!.trim
+      val expect = merges.map(r => Seq(r.getAs[Int]("merge_idx"),
+        r.getAs[Int]("lhs_code"), r.getAs[Int]("rhs_code"),
+        r.getAs[Long]("pair_count"), r.getAs[Long]("total_syms"))
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      assert(out == expect, s"oracle disagreed on exhaustion: $out vs $expect")
+    }
+  }
+
   test("re-tokenized corpus totals reconcile with the trajectory") {
     val toks = SparkEntry.queries("q_bpe_train_tokens")(spark, dir)
       .agg(sum(col("n_tokens")), sum(col("n_chars"))).head()
