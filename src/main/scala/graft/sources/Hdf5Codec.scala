@@ -13,8 +13,9 @@ package graft.sources
   *    array INCLUDING the paged form any >2^page-bits-chunk dataset
   *    gets / unpaged extensible array with its EAHD → EAIB →
   *    EASB → EADB walk — the index h5py writes for ANY
-  *    maxshape=resizable dataset — / depth-≤1 v2 B-trees, the index
-  *    for >1 unlimited dimension) — the h5py libver='latest' shape
+  *    maxshape=resizable dataset — / v2 B-trees at any depth
+  *    (budget-bounded), the index for >1 unlimited dimension) — the
+  *    h5py libver='latest' shape
   *    (dense fractal-heap link storage stays refused),
   *  - a root group addressed by a v1 B-tree over SNOD symbol nodes
   *    with names in a local heap,
@@ -29,7 +30,7 @@ package graft.sources
   *
   * Refusal contract (the [[GzipCodec]]/[[PngCodec]] discipline):
   * anything outside that envelope — compact layout, filters beyond
-  * deflate+shuffle, v2 chunk B-trees deeper than one level, PAGED
+  * deflate+shuffle, PAGED
   * extensible-array data blocks (past 2^page-bits elements; paged
   * FIXED arrays — the common >2^page-bits-chunks case — ARE read),
   * big-endian or non-scalar datatypes, fractured group B-trees deeper
@@ -653,9 +654,11 @@ object Hdf5Codec {
     * addresses, EASB secondary blocks for deeper super blocks, EADB
     * data blocks; the H5EA doubling: super block u carries 2^(u/2)
     * data blocks of min_elmts·2^((u+1)/2) elements), and v2 B-trees
-    * to depth 1 (type 5 — BTHD header, BTIN internal root whose
-    * separator records are real chunk records, BTLF leaves; records
-    * carry scaled grid offsets). `infoAt` points at the
+    * at ANY depth (type 5 — BTHD header, BTIN internal nodes whose
+    * separator records are real chunk records and whose child
+    * pointers carry nrec + cumulative counts per the H5B2 node_info
+    * sizing, BTLF leaves; records carry scaled grid offsets;
+    * budget-bounded recursion). `infoAt` points at the
     * indexing-type byte inside the layout message. */
   private def readChunkedV4(bytes: Array[Byte], infoAt: Long, shape: Seq[Long],
       chunkDims: Seq[Long], width: Int, filters: Seq[Int]): Option[Array[Byte]] = {
@@ -905,10 +908,10 @@ object Hdf5Codec {
           s += 1
         }
         Some(asm.raw)
-      case 5 => // v2 B-tree chunk index (depth ≤ 1; h5py's index for
-        // >1 unlimited dimension). Unlike FA/EA, the tree holds only
-        // WRITTEN chunks — records carry the chunk's scaled (grid)
-        // offsets, so placement needs no capacity math.
+      case 5 => // v2 B-tree chunk index at ANY depth (budget-bounded;
+        // h5py's index for >1 unlimited dimension). Unlike FA/EA, the
+        // tree holds only WRITTEN chunks — records carry the chunk's
+        // scaled (grid) offsets, so placement needs no capacity math.
         // layout info: node size (4), split % (1), merge % (1)
         val bthd = uN(infoAt + 7, 8)
         if (bthd < 0 || bthd + 38 > bytes.length) return None
@@ -928,17 +931,37 @@ object Hdf5Codec {
         val szChunk = recSize - base // filtered: encoded-chunk-size len
         if (btype == 11 && (szChunk < 1 || szChunk > 8)) return None
         if (btype == 10 && szChunk != 0) return None
-        if (depth > 1) return None // deeper trees out of envelope
+        if (depth > 8) return None // hostile-depth backstop
         if (nodeSize < 10 + recSize || nodeSize > (1L << 26)) return None
         val maxLeaf = ((nodeSize - 10) / recSize).toInt
         // the record-count field in child pointers is sized to the
-        // LEAF capacity (the largest — H5B2hdr max_nrec_size)
+        // LEAF capacity (the largest — H5B2hdr max_nrec_size); the
+        // cumulative-count field at level d is sized to that level's
+        // maximum subtree record count (cum_max_nrec_size)
         def encSize(x: Long): Int = {
           var n = 1
           while (n < 8 && x >= (1L << (8 * n))) n += 1
           n
         }
         val nrecSz = encSize(maxLeaf)
+        // per-level H5B2 capacity math (H5EAhdr-style doubling does
+        // not apply here; these are the H5B2hdr node_info formulas)
+        val cum = new Array[Long](depth + 1)
+        val cumSz = new Array[Int](depth + 1)
+        val maxInt = new Array[Int](depth + 1)
+        cum(0) = maxLeaf; cumSz(0) = encSize(maxLeaf)
+        var lvl = 1
+        while (lvl <= depth) {
+          val psz = 8 + nrecSz + (if (lvl - 1 >= 1) cumSz(lvl - 1) else 0)
+          if (nodeSize < 10 + psz + recSize + psz) return None
+          maxInt(lvl) = ((nodeSize - 10 - psz) / (recSize + psz)).toInt
+          // overflow-guarded cumulative capacity
+          val c = maxInt(lvl).toLong + (maxInt(lvl).toLong + 1) * cum(lvl - 1)
+          if (cum(lvl - 1) > 0 && c / (maxInt(lvl) + 1) < cum(lvl - 1))
+            return None // capacity overflow: refuse, don't wrap
+          cum(lvl) = c; cumSz(lvl) = encSize(c)
+          lvl += 1
+        }
 
         def rec(at: Long): Boolean = {
           val addr = uN(at, 8)
@@ -959,49 +982,57 @@ object Hdf5Codec {
           }
           asm.chunkEntry(offs, addr, nb, mask)
         }
-        def leaf(at: Long, nrec: Int): Boolean = {
-          if (nrec < 0 || nrec > maxLeaf) return false
-          if (at < 0 || at + 6 + nrec.toLong * recSize + 4 > bytes.length)
-            return false
-          if (!(u8(at) == 'B' && u8(at + 1) == 'T' &&
-                u8(at + 2) == 'L' && u8(at + 3) == 'F')) return false
-          if (u8(at + 4) != 0 || u8(at + 5) != btype) return false
-          var i = 0
-          while (i < nrec) {
-            if (!rec(at + 6 + i.toLong * recSize)) return false
-            i += 1
+        // recursive walk, budget-bounded: a hostile pointer graph can
+        // place at most gridChunks records before refusal
+        var recBudget = asm.gridChunks
+        def readNode(at: Long, d: Int, nrec: Int): Boolean = {
+          if (at < 0) return false
+          if (nrec < 0) return false
+          recBudget -= nrec
+          if (recBudget < 0) return false
+          if (d == 0) {
+            if (nrec > maxLeaf) return false
+            if (at + 6 + nrec.toLong * recSize + 4 > bytes.length)
+              return false
+            if (!(u8(at) == 'B' && u8(at + 1) == 'T' &&
+                  u8(at + 2) == 'L' && u8(at + 3) == 'F')) return false
+            if (u8(at + 4) != 0 || u8(at + 5) != btype) return false
+            var i = 0
+            while (i < nrec) {
+              if (!rec(at + 6 + i.toLong * recSize)) return false
+              i += 1
+            }
+            true
+          } else {
+            // internal node: records block, then nrec+1 child pointers
+            // (child address + record count + cumulative count when
+            // the child is itself internal), per H5B2cache order
+            if (nrec > maxInt(d)) return false
+            val psz = 8 + nrecSz + (if (d - 1 >= 1) cumSz(d - 1) else 0)
+            val recsAt = at + 6
+            val ptrsAt = recsAt + nrec.toLong * recSize
+            if (ptrsAt + (nrec + 1).toLong * psz + 4 > bytes.length)
+              return false
+            if (!(u8(at) == 'B' && u8(at + 1) == 'T' &&
+                  u8(at + 2) == 'I' && u8(at + 3) == 'N')) return false
+            if (u8(at + 4) != 0 || u8(at + 5) != btype) return false
+            var i = 0
+            while (i < nrec) {
+              if (!rec(recsAt + i.toLong * recSize)) return false
+              i += 1
+            }
+            var c = 0
+            while (c <= nrec) {
+              val pAt = ptrsAt + c.toLong * psz
+              val childAddr = uN(pAt, 8)
+              val childN = uN(pAt + 8, nrecSz)
+              if (!readNode(childAddr, d - 1, childN.toInt)) return false
+              c += 1
+            }
+            true
           }
-          true
         }
-        if (depth == 0) {
-          if (!leaf(rootAddr, rootNrec)) return None
-        } else {
-          // internal root: records block, then nrec+1 child pointers
-          // (child address + record count), per H5B2cache order
-          if (rootAddr < 0) return None
-          val recsAt = rootAddr + 6
-          val ptrsAt = recsAt + rootNrec.toLong * recSize
-          if (ptrsAt + (rootNrec + 1).toLong * (8 + nrecSz) + 4 >
-              bytes.length) return None
-          if (!(u8(rootAddr) == 'B' && u8(rootAddr + 1) == 'T' &&
-                u8(rootAddr + 2) == 'I' && u8(rootAddr + 3) == 'N'))
-            return None
-          if (u8(rootAddr + 4) != 0 || u8(rootAddr + 5) != btype)
-            return None
-          var i = 0
-          while (i < rootNrec) {
-            if (!rec(recsAt + i.toLong * recSize)) return None
-            i += 1
-          }
-          var c = 0
-          while (c <= rootNrec) {
-            val pAt = ptrsAt + c.toLong * (8 + nrecSz)
-            val childAddr = uN(pAt, 8)
-            val childN = uN(pAt + 8, nrecSz)
-            if (!leaf(childAddr, childN.toInt)) return None
-            c += 1
-          }
-        }
+        if (!readNode(rootAddr, depth, rootNrec)) return None
         Some(asm.raw)
       case _ => None // paged variants / unknown index types
     }

@@ -723,74 +723,103 @@ def write_h5_v2(datasets):
                     return r
                 def bt_for(bthd_at):
                     n = len(blobs)
-                    if n <= max_leaf:
-                        depth, leaves, root_recs = 0, [list(range(n))], []
-                    else:
-                        nleaves = -(-(n) // max_leaf)
-                        while (nleaves - 1) + nleaves * max_leaf < n:
-                            nleaves += 1
-                        # separator record between consecutive leaves
-                        body = n - (nleaves - 1)
-                        base, extra = divmod(body, nleaves)
-                        leaves, root_recs, pos = [], [], 0
-                        for li in range(nleaves):
-                            take = base + (1 if li < extra else 0)
-                            leaves.append(list(range(pos, pos + take)))
+                    # per-level capacities (H5B2hdr node_info): cum[d]
+                    # is the max records a depth-d subtree holds;
+                    # internal child pointers are addr + nrec
+                    # (leaf-capacity-sized) + cumulative count (sized
+                    # to the child level) when the child is internal
+                    cum = [max_leaf]
+                    cum_sz = [enc_size(max_leaf)]
+                    max_int = [0]
+                    while cum[-1] < n:
+                        d = len(cum)
+                        psz = 8 + nrec_sz + (cum_sz[d - 1] if d - 1 >= 1 else 0)
+                        mi = (NODE - 10 - psz) // (rec_size + psz)
+                        max_int.append(mi)
+                        cum.append(mi + (mi + 1) * cum[d - 1])
+                        cum_sz.append(enc_size(cum[-1]))
+                    depth = len(cum) - 1
+
+                    def split(idxs, d):
+                        if d == 0:
+                            assert len(idxs) <= max_leaf
+                            return ("leaf", idxs)
+                        k = max(2, -(-(len(idxs) + 1) // (cum[d - 1] + 1)))
+                        assert k - 1 <= max_int[d]
+                        body = len(idxs) - (k - 1)
+                        base, extra = divmod(body, k)
+                        seps, kids, pos = [], [], 0
+                        for i in range(k):
+                            take = base + (1 if i < extra else 0)
+                            kids.append(split(idxs[pos:pos + take], d - 1))
                             pos += take
-                            if li < nleaves - 1:
-                                root_recs.append(pos)
+                            if i < k - 1:
+                                seps.append(idxs[pos])
                                 pos += 1
-                        depth = 1
-                        assert pos == n and all(len(l) <= max_leaf for l in leaves)
-                    root_len = (6 + len(leaves[0]) * rec_size + 4) if depth == 0 \
-                        else (6 + len(root_recs) * rec_size +
-                              (len(leaves)) * (8 + nrec_sz) + 4)
-                    leaf_lens = [6 + len(l) * rec_size + 4 for l in leaves]
-                    root_at = bthd_at + 38
-                    leaf_at = []
-                    pos2 = root_at + (0 if depth == 0 else root_len)
-                    if depth == 0:
-                        leaf_at = [root_at]
-                        chunk_at = root_at + root_len
-                    else:
-                        for ll in leaf_lens:
-                            leaf_at.append(pos2)
-                            pos2 += ll
-                        chunk_at = pos2
+                        assert pos == len(idxs)
+                        return ("int", d, seps, kids)
+                    root = split(list(range(n)), depth)
+
+                    def count(nd):
+                        if nd[0] == "leaf":
+                            return len(nd[1])
+                        return len(nd[2]) + sum(count(k) for k in nd[3])
+
+                    def nlen(nd):
+                        if nd[0] == "leaf":
+                            return 6 + len(nd[1]) * rec_size + 4
+                        d = nd[1]
+                        psz = 8 + nrec_sz + (cum_sz[d - 1] if d - 1 >= 1 else 0)
+                        return 6 + len(nd[2]) * rec_size + len(nd[3]) * psz + 4
+
+                    order = []
+                    q = [root]
+                    while q:
+                        nd = q.pop(0)
+                        order.append(nd)
+                        if nd[0] == "int":
+                            q.extend(nd[3])
+                    addr = {}
+                    pos2 = bthd_at + 38
+                    for nd in order:
+                        addr[id(nd)] = pos2
+                        pos2 += nlen(nd)
+                    chunk_at = pos2
                     caddrs = []
                     for off, blob in blobs:
                         caddrs.append(chunk_at)
                         chunk_at += len(blob)
+                    root_nrec = len(root[1]) if root[0] == "leaf" else len(root[2])
                     bthd = (b"BTHD" + struct.pack("<BB", 0, btype) +
                             struct.pack("<IHH", NODE, rec_size, depth) +
                             struct.pack("<BB", 100, 40) +
-                            struct.pack("<QH", root_at,
-                                        len(leaves[0]) if depth == 0
-                                        else len(root_recs)) +
+                            struct.pack("<QH", addr[id(root)], root_nrec) +
                             struct.pack("<Q", n))
                     bthd += struct.pack("<I", lookup3(bthd))
                     assert len(bthd) == 38
                     out = bthd
-                    def leaf_node(idxs):
-                        nd = b"BTLF" + struct.pack("<BB", 0, btype)
-                        for i in idxs:
-                            nd += record(blobs[i][0], blobs[i][1], caddrs[i])
-                        nd += struct.pack("<I", lookup3(nd))
-                        return nd
-                    if depth == 0:
-                        out += leaf_node(leaves[0])
-                    else:
-                        root = b"BTIN" + struct.pack("<BB", 0, btype)
-                        for i in root_recs:
-                            root += record(blobs[i][0], blobs[i][1], caddrs[i])
-                        for la, l in zip(leaf_at, leaves):
-                            root += struct.pack("<Q", la)
-                            root += len(l).to_bytes(nrec_sz, "little")
-                        root += struct.pack("<I", lookup3(root))
-                        assert len(root) == root_len
-                        out += root
-                        for l in leaves:
-                            out += leaf_node(l)
+
+                    def emit(nd):
+                        if nd[0] == "leaf":
+                            b = b"BTLF" + struct.pack("<BB", 0, btype)
+                            for i in nd[1]:
+                                b += record(blobs[i][0], blobs[i][1], caddrs[i])
+                        else:
+                            d = nd[1]
+                            b = b"BTIN" + struct.pack("<BB", 0, btype)
+                            for i in nd[2]:
+                                b += record(blobs[i][0], blobs[i][1], caddrs[i])
+                            for k in nd[3]:
+                                kn = len(k[1]) if k[0] == "leaf" else len(k[2])
+                                b += struct.pack("<Q", addr[id(k)])
+                                b += kn.to_bytes(nrec_sz, "little")
+                                if d - 1 >= 1:
+                                    b += count(k).to_bytes(cum_sz[d - 1], "little")
+                        b += struct.pack("<I", lookup3(b))
+                        assert len(b) == nlen(nd)
+                        return b
+                    for nd in order:
+                        out += emit(nd)
                     return out + b"".join(b for _, b in blobs)
                 info = struct.pack("<IBB", NODE, 100, 40)
                 def hdr_for(bthd_at):
@@ -907,9 +936,14 @@ if __name__ == "__main__":
     btv2 = [((r * 10 + c) * 11 + 1) * 0.0625 for r in range(9) for c in range(10)]
     btvd = [((i * 37 + 13) % 4001) - 2000 for i in range(2000)]
     btvr = [((i * 23 + 3) % 199) - 77 for i in range(40)]
+    # 6000 chunks > the 5269-record depth-1 capacity at node size 2048
+    # -> a depth-2 tree (internal root over internal children over
+    # leaves, cumulative-count child-pointer fields)
+    btv3 = [((i * 7 + 3) % 256) - 128 for i in range(24000)]
     btc = write_h5_v2([
         ("bt1", (60,), "f4", btv1, (4,), {"index": "btree2"}),
         ("bt2", (9, 10), "f8", btv2, (2, 3), {"index": "btree2"}),
+        ("bt3deep", (24000,), "i1", btv3, (4,), {"index": "btree2"}),
         ("btdeep", (2000,), "i4", btvd, (4,), {"index": "btree2"}),
         ("btraw", (40,), "i2", btvr, (5,), {"index": "btree2", "raw": True}),
     ])
@@ -957,6 +991,7 @@ if __name__ == "__main__":
                       ("earaw", [float(v) for v in eavr])]),
         ("btchunks", [("bt1", [float(np.float32(v)) for v in btv1]),
                       ("bt2", btv2),
+                      ("bt3deep", [float(v) for v in btv3]),
                       ("btdeep", [float(v) for v in btvd]),
                       ("btraw", [float(v) for v in btvr])]),
         ("fapaged", [("fap", [float(v) for v in fpv]),
