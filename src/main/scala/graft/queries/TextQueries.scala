@@ -1279,8 +1279,10 @@ object TextQueries {
 
   /** HTML → text extraction — step 1 of every web-corpus pipeline
     * (C4's "extracted text" starts here; trafilatura/justext are the
-    * production versions of this shape): drop `<script>`/`<style>`
-    * blocks WITH their contents, strip remaining tags to a space,
+    * production versions of this shape): drop comments and `<script>`/`<style>`
+    * blocks WITH their contents (comments FIRST — their bodies may
+    * contain `>` and tags, which would mis-split the generic tag
+    * regex), strip remaining tags to a space,
     * decode the five predefined character entities (amp LAST so
     * `&amp;lt;` cannot double-decode), collapse runs of spaces, trim.
     * Per-doc synthetic HTML wraps the corpus text by the same
@@ -1297,13 +1299,15 @@ object TextQueries {
       """concat('<html><head><title>Doc ', doc_id,
         |  '</title><style>.c{color:red}</style>',
         |  '<script>if(1&lt;2){alert("x&amp;y")}</script></head>',
-        |  '<body><h1>Heading ', doc_id % 7, '</h1><p>', text,
+        |  '<body><!-- nav > main, <b>skip me</b> --><h1>Heading ', doc_id % 7,
+        |  '</h1><p>', text,
         |  '</p><div class="x">tail &amp;co &lt;b&gt;bold&lt;/b&gt; ',
         |  '&quot;q&quot; &#39;a&#39;</div></body></html>')""".stripMargin
     Tables.documents(spark, dir)
       .select(col("doc_id"), expr(raw).as("html"))
       .withColumn("noscript", expr(
-        "regexp_replace(regexp_replace(html, " +
+        "regexp_replace(regexp_replace(regexp_replace(html, " +
+          "'<!--.*?-->', ' '), " +
           "'<script[^>]*>.*?</script>', ' '), " +
           "'<style[^>]*>.*?</style>', ' ')"))
       .withColumn("notags", expr(
@@ -1323,16 +1327,19 @@ object TextQueries {
       |  SELECT doc_id, concat('<html><head><title>Doc ', doc_id,
       |    '</title><style>.c{color:red}</style>',
       |    '<script>if(1&lt;2){alert("x&amp;y")}</script></head>',
-      |    '<body><h1>Heading ', doc_id % 7, '</h1><p>', text,
+      |    '<body><!-- nav > main, <b>skip me</b> --><h1>Heading ',
+      |    doc_id % 7, '</h1><p>', text,
       |    '</p><div class="x">tail &amp;co &lt;b&gt;bold&lt;/b&gt; ',
       |    '&quot;q&quot; &#39;a&#39;</div></body></html>') AS html
       |  FROM documents),
       |stripped AS (
       |  SELECT doc_id, html,
-      |    regexp_replace(regexp_replace(regexp_replace(html,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      |      '<!--.*?-->', ' ', 'g'),
       |      '<script[^>]*>.*?</script>', ' ', 'g'),
       |      '<style[^>]*>.*?</style>', ' ', 'g'),
-      |      '<[^>]+>', ' ', 'g') AS notags
+      |      '<[^>]+>', ' ', 'g')
+      |      AS notags
       |  FROM raw),
       |decoded AS (
       |  SELECT doc_id, html,
