@@ -966,7 +966,39 @@ object MultimodalQueries {
       |    FROM documents WHERE length(text) >= 6))
       |GROUP BY source""".stripMargin
 
+  /** TFRecord + `tf.train.Example` shard scan, oracle-graded per
+    * feature ELEMENT — the classic training-example wire format
+    * (TensorFlow shards; T5/C4 shipped this way), the protobuf
+    * sibling of the webdataset tar layout. The reference materializes
+    * examples as npy/h5 artifacts (dataops/dataset.py); TFRecord is
+    * the same examples-in-shards idea as TF-era pipelines ship it.
+    * Fixtures in `tools/fixtures/q_tfrecord_read/` were written by the
+    * independent Python writer (tools/tfrecord_golden.py — hand-built
+    * crc32c framing + proto wire bytes): canonical bytes/int64/float
+    * features, negative varints, NaN-payload float bits, unpacked and
+    * split-packed list encodings, unknown fields at every message
+    * level, duplicate map keys (last wins), oneof kind override, a
+    * non-proto record kept as a degraded `unparsed` row, a whole-file
+    * gzipped shard, and two corrupt shards whose ABSENCE from the
+    * output is itself graded (CRC flip / truncation → per-file skip).
+    * [[graft.sources.GeoIngest.readTfRecordFiles]] scans distributed;
+    * floats are graded by their raw LE wire bits (bit-exact). */
+  def qTfrecordRead(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readTfRecordFiles(spark, graft.Fixtures.path("q_tfrecord_read"))
+      .select(col("file"), col("rec_idx"), col("key"), col("kind"),
+        col("elem_idx"), col("int_val"), col("float_bits"),
+        length(col("bytes_val")).as("bytes_len"),
+        md5(col("bytes_val")).as("bytes_md5"))
+  }
+
+  val qTfrecordReadSql: String =
+    s"""SELECT file, rec_idx, key, kind, elem_idx, int_val, float_bits,
+      |  bytes_len, bytes_md5
+      |FROM read_parquet('${graft.Fixtures.base}/q_tfrecord_read/golden/*.parquet')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfrecord_read" -> (qTfrecordRead _),
     "q_webdataset" -> (qWebdataset _),
     "q_webdataset_jpeg" -> (qWebdatasetJpeg _),
     "q_hdf5_read" -> (qHdf5Read _),
@@ -992,6 +1024,7 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_tfrecord_read" -> qTfrecordReadSql,
     "q_webdataset" -> qWebdatasetSql,
     "q_webdataset_jpeg" -> qWebdatasetJpegSql,
     "q_hdf5_read" -> qHdf5ReadSql,
