@@ -112,6 +112,71 @@ object Sinks {
       java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
   }
 
+  /** TFRecord shard sink — the write half of the TFRecord surface:
+    * each row becomes one `tf.train.Example` with a feature per
+    * column, mapped by Spark type the way the public TF connectors do
+    * (string/binary → bytes_list; integral/boolean → int64_list;
+    * float → float_list, double downcast to float32; arrays
+    * element-wise; NULL columns are ABSENT features, the TF
+    * convention). Deterministic wire choices ([[TfRecordCodec
+    * .encodeExample]]: packed lists, schema field order) make the
+    * bytes reproducible across engines that choose the same — pinned
+    * byte-identical against the independent Python writer in the
+    * spec. Shards of `recordsPerShard` records land per partition as
+    * `shard_<pid>_<i>.tfrecord`; no shuffle — partition upstream by
+    * the ordering you want sharded. */
+  def writeTfRecordShards(df: DataFrame, dir: String, recordsPerShard: Int): Unit = {
+    import org.apache.spark.sql.types._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val fields: Array[(String, DataType)] =
+      df.schema.fields.map(f => (f.name, f.dataType))
+    df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      def scalar(dt: DataType, v: Any): Option[TfRecordCodec.Feature] = dt match {
+        case StringType => Some(TfRecordCodec.Feature("bytes", Vector.empty,
+          Vector.empty, Vector(v.asInstanceOf[String].getBytes("UTF-8"))))
+        case BinaryType => Some(TfRecordCodec.Feature("bytes", Vector.empty,
+          Vector.empty, Vector(v.asInstanceOf[Array[Byte]])))
+        case LongType | IntegerType | ShortType | ByteType | BooleanType =>
+          val l = v match {
+            case b: Boolean => if (b) 1L else 0L
+            case n: Number  => n.longValue()
+          }
+          Some(TfRecordCodec.Feature("int64", Vector(l), Vector.empty, Vector.empty))
+        case FloatType => Some(TfRecordCodec.Feature("float", Vector.empty,
+          Vector(java.lang.Float.floatToRawIntBits(v.asInstanceOf[Float])),
+          Vector.empty))
+        case DoubleType => Some(TfRecordCodec.Feature("float", Vector.empty,
+          Vector(java.lang.Float.floatToRawIntBits(
+            v.asInstanceOf[Double].toFloat)), Vector.empty))
+        case _ => None
+      }
+      def feature(dt: DataType, v: Any): Option[TfRecordCodec.Feature] = dt match {
+        case ArrayType(et, _) =>
+          val elems = v.asInstanceOf[scala.collection.Seq[Any]]
+            .flatMap(e => if (e == null) None else scalar(et, e))
+          if (elems.isEmpty) None
+          else Some(elems.reduce { (a, b) => TfRecordCodec.Feature(a.kind,
+            a.ints ++ b.ints, a.floatBits ++ b.floatBits, a.bytess ++ b.bytess) })
+        case dt => scalar(dt, v)
+      }
+      it.grouped(recordsPerShard).zipWithIndex.foreach { case (group, i) =>
+        val out = new java.io.ByteArrayOutputStream()
+        group.foreach { row =>
+          val entries = fields.zipWithIndex.toSeq.flatMap { case ((n, dt), j) =>
+            if (row.isNullAt(j)) None else feature(dt, row.get(j)).map(n -> _)
+          }
+          out.write(TfRecordCodec.frame(TfRecordCodec.encodeExample(entries)))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"shard_${pid}_$i.tfrecord"),
+          out.toByteArray)
+      }
+      Iterator.empty
+    }.count(): Unit
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+  }
+
   /** Compressed JSONL shard sink — the `.jsonl.gz` layout web-scale
     * text corpora ship in (the gzip member of the shard-sink family:
     * tar/npy/tiff/wav siblings around it): records land as JSON

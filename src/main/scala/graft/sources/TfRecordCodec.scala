@@ -104,6 +104,80 @@ object TfRecordCodec {
     v
   }
 
+  // ---- encoder (the sink's half) -------------------------------------
+
+  /** Frame one record payload per the TFRecord spec. */
+  def frame(rec: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(rec.length + 16)
+    val ln = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { ln(i) = (rec.length.toLong >> (8 * i)).toByte; i += 1 }
+    out.write(ln)
+    writeLe32(out, maskedCrc32c(ln, 0, 8))
+    out.write(rec)
+    writeLe32(out, maskedCrc32c(rec, 0, rec.length))
+    out.toByteArray
+  }
+
+  /** Encode a `tf.train.Example` from ordered feature entries —
+    * deterministic wire choices (packed int64/float lists, features
+    * in the given order) so identical input yields identical bytes
+    * across writers that make the same choices. */
+  def encodeExample(entries: Seq[(String, Feature)]): Array[Byte] = {
+    val feats = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (k, f) =>
+      val fb = new java.io.ByteArrayOutputStream()
+      f.kind match {
+        case "bytes" =>
+          val body = new java.io.ByteArrayOutputStream()
+          f.bytess.foreach(v => writeLd(body, 1, v))
+          writeLd(fb, 1, body.toByteArray)
+        case "float" =>
+          val packed = new java.io.ByteArrayOutputStream(f.floatBits.size * 4)
+          f.floatBits.foreach(writeLe32(packed, _))
+          val body = new java.io.ByteArrayOutputStream()
+          writeLd(body, 1, packed.toByteArray)
+          writeLd(fb, 2, body.toByteArray)
+        case "int64" =>
+          val packed = new java.io.ByteArrayOutputStream()
+          f.ints.foreach(writeVarint(packed, _))
+          val body = new java.io.ByteArrayOutputStream()
+          writeLd(body, 1, packed.toByteArray)
+          writeLd(fb, 3, body.toByteArray)
+        case _ => ()
+      }
+      val ent = new java.io.ByteArrayOutputStream()
+      writeLd(ent, 1, k.getBytes("UTF-8"))
+      writeLd(ent, 2, fb.toByteArray)
+      writeLd(feats, 1, ent.toByteArray)
+    }
+    val ex = new java.io.ByteArrayOutputStream()
+    writeLd(ex, 1, feats.toByteArray)
+    ex.toByteArray
+  }
+
+  private def writeVarint(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    var x = v
+    var more = true
+    while (more) {
+      val b = (x & 0x7f).toInt
+      x = x >>> 7
+      if (x != 0) out.write(b | 0x80) else { out.write(b); more = false }
+    }
+  }
+
+  private def writeLe32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+  }
+
+  private def writeLd(
+      out: java.io.ByteArrayOutputStream, field: Int, body: Array[Byte]): Unit = {
+    writeVarint(out, (field.toLong << 3) | 2)
+    writeVarint(out, body.length.toLong)
+    out.write(body)
+  }
+
   // ---- bounded protobuf walker ---------------------------------------
 
   /** Decode one varint at `pos` within [0, end); returns (value, next)
