@@ -583,6 +583,17 @@ object StreamingPipelines {
     binaryShardIngest(spark, srcDir, "*.warc*", destDir, checkpointDir,
       maxFilesPerTrigger)(graft.sources.GeoIngest.decodeWarcBatch)
 
+  /** Streaming TFRecord shard ingest — training-example shards
+    * decoded to per-feature-element rows per micro-batch,
+    * exactly-once; one decode shared with the batch path
+    * ([[graft.sources.GeoIngest.decodeTfRecordBatch]]) so the two
+    * cannot drift. */
+  def tfrecordIngest(spark: SparkSession, srcDir: String, destDir: String,
+                     checkpointDir: String,
+                     maxFilesPerTrigger: Int = 100): StreamingQuery =
+    binaryShardIngest(spark, srcDir, "*.tfrecord*", destDir, checkpointDir,
+      maxFilesPerTrigger)(graft.sources.GeoIngest.decodeTfRecordBatch)
+
   /** Streaming `.jsonl.zst` shard ingest — the compressed-JSONL
     * delivery shape modern web corpora ship in, decoded to per-line
     * rows per micro-batch, exactly-once; one decode shared with the

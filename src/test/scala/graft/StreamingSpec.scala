@@ -484,6 +484,35 @@ class StreamingSpec extends SparkSpec {
       streamed.filter($"file" === "crawl-00.warc.gz").count())
   }
 
+  test("tfrecordIngest streams training shards with batch parity and replay idempotence") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_tfr_src").toString
+    val dest = Files.createTempDirectory("graft_tfr_dest").toString
+    val ckpt = Files.createTempDirectory("graft_tfr_ckpt").toString
+    val fx = graft.Fixtures.path("q_tfrecord_read")
+    for (f <- Seq("train-00.tfrecord", "train-01.tfrecord",
+                  "train-02.tfrecord.gz", "corrupt-03.tfrecord"))
+      Files.copy(java.nio.file.Paths.get(fx, f),
+        java.nio.file.Paths.get(src, f))
+
+    StreamingPipelines.tfrecordIngest(spark, src, dest, ckpt).awaitTermination()
+    val cols = Seq("file", "rec_idx", "key", "kind", "elem_idx",
+      "int_val", "float_bits", "bytes_val")
+    val streamed = spark.read.parquet(dest).select(cols.head, cols.tail: _*)
+    val batch = graft.sources.GeoIngest.readTfRecordFiles(spark, src)
+      .select(cols.head, cols.tail: _*)
+    assert(streamed.count() > 0)
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty,
+      "streaming TFRecord ingest diverged from the batch decode")
+    assert(streamed.filter($"file" === "corrupt-03.tfrecord").count() == 0,
+      "corrupt shard leaked records")
+
+    // replay with the same checkpoint: nothing reprocessed
+    val n1 = streamed.count()
+    StreamingPipelines.tfrecordIngest(spark, src, dest, ckpt).awaitTermination()
+    assert(spark.read.parquet(dest).count() == n1)
+  }
+
   test("zstIngest streams jsonl.zst shards with batch parity and replay idempotence") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_zst_src").toString
