@@ -997,7 +997,33 @@ object MultimodalQueries {
       |  bytes_len, bytes_md5
       |FROM read_parquet('${graft.Fixtures.base}/q_tfrecord_read/golden/*.parquet')""".stripMargin
 
+  /** ZIP archive scan, oracle-graded per member — the other archive
+    * shape datasets ship in next to tar (Kaggle exports, scraped-doc
+    * bundles); its END-anchored central directory is what makes it
+    * range-read-friendly on an object store. Fixtures in
+    * `tools/fixtures/q_zip_scan/` were written by Python's zipfile
+    * (tools/zip_golden.py — real zlib deflate + central directories):
+    * stored and deflated members, nested paths, a directory entry
+    * (structural — not emitted), an empty member, an archive comment
+    * (EOCD backward scan), a unicode name, a data-descriptor archive
+    * written through a non-seekable stream (local headers carry zero
+    * sizes; the central directory carries truth), a bzip2 member that
+    * must skip per-MEMBER while its siblings survive, and a truncated
+    * archive that must skip per-FILE — both absences graded. */
+  def qZipScan(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readZipFiles(spark, graft.Fixtures.path("q_zip_scan"))
+      .select(col("file"), col("member"), col("method"),
+        length(col("content")).as("size"),
+        md5(col("content")).as("md5"))
+  }
+
+  val qZipScanSql: String =
+    s"""SELECT file, member, method, size, md5
+      |FROM read_parquet('${graft.Fixtures.base}/q_zip_scan/golden/*.parquet')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zip_scan" -> (qZipScan _),
     "q_tfrecord_read" -> (qTfrecordRead _),
     "q_webdataset" -> (qWebdataset _),
     "q_webdataset_jpeg" -> (qWebdatasetJpeg _),
@@ -1024,6 +1050,7 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_zip_scan" -> qZipScanSql,
     "q_tfrecord_read" -> qTfrecordReadSql,
     "q_webdataset" -> qWebdatasetSql,
     "q_webdataset_jpeg" -> qWebdatasetJpegSql,

@@ -358,6 +358,29 @@ object GeoIngest {
         "http_status", "mime", "payload")
   }
 
+  /** ZIP archive scan — the other dataset archive shape next to
+    * tar/webdataset (Kaggle exports, image-caption bundles):
+    * distributed binaryFile scan over `*.zip`, each decoded
+    * executor-side by [[ZipCodec.decode]] (central-directory walk;
+    * stored + deflate members; per-member CRC verify). A structurally
+    * broken archive is skipped whole; a single bad member (unsupported
+    * method, encryption, CRC fail) skips that member only. Output:
+    * (file, member, method, content). */
+  def readZipFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.zip")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.split('/').last
+        ZipCodec.decode(bytes).toSeq.flatten.map { m =>
+          (file, m.name, m.method, m.data)
+        }
+      }.toDF("file", "member", "method", "content")
+  }
+
   /** TFRecord shard scan — the classic training-example wire format:
     * distributed binaryFile scan over `.tfrecord` (and whole-file
     * gzipped `.tfrecord.gz`) shards, each frame-checked and
