@@ -1022,7 +1022,34 @@ object MultimodalQueries {
     s"""SELECT file, member, method, size, md5
       |FROM read_parquet('${graft.Fixtures.base}/q_zip_scan/golden/*.parquet')""".stripMargin
 
+  /** Avro object-container scan, oracle-graded per field cell — the
+    * warehouse/Kafka interchange format on its way into a corpus.
+    * Fixtures in `tools/fixtures/q_avro_read/` are hand-encoded per
+    * the Avro 1.11 spec by tools/avro_golden.py (zigzag varints,
+    * union branches, array blocks, deflate blocks — no Avro library
+    * anywhere in the writer), decoded here by the Avro runtime on
+    * Spark's own classpath — two independent implementations meeting
+    * over the wire. Null and deflate codecs, multi-block files,
+    * union(null,string), array<long>, NaN floats; a sync-flipped and
+    * an unknown-codec file whose ABSENCE is graded (whole-file
+    * refusal). Floats/doubles grade by raw IEEE bits. */
+  def qAvroRead(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readAvroFiles(spark, graft.Fixtures.path("q_avro_read"))
+      .select(col("file"), col("rec_idx"), col("field"), col("elem_idx"),
+        col("vtype"), col("long_val"), col("float_bits"),
+        col("double_bits"), col("str_val"),
+        length(col("bytes_val")).as("bytes_len"),
+        md5(col("bytes_val")).as("bytes_md5"))
+  }
+
+  val qAvroReadSql: String =
+    s"""SELECT file, rec_idx, field, elem_idx, vtype, long_val, float_bits,
+      |  double_bits, str_val, bytes_len, bytes_md5
+      |FROM read_parquet('${graft.Fixtures.base}/q_avro_read/golden/*.parquet')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_avro_read" -> (qAvroRead _),
     "q_zip_scan" -> (qZipScan _),
     "q_tfrecord_read" -> (qTfrecordRead _),
     "q_webdataset" -> (qWebdataset _),
@@ -1050,6 +1077,7 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_avro_read" -> qAvroReadSql,
     "q_zip_scan" -> qZipScanSql,
     "q_tfrecord_read" -> qTfrecordReadSql,
     "q_webdataset" -> qWebdatasetSql,

@@ -381,6 +381,29 @@ object GeoIngest {
       }.toDF("file", "member", "method", "content")
   }
 
+  /** Avro object-container scan — warehouse/Kafka-archive interchange
+    * on its way into a corpus: distributed binaryFile scan over
+    * `*.avro`, each decoded executor-side by [[AvroIngest.decode]]
+    * (platform Avro runtime; whole-file refusal on any decode fault).
+    * Output: one row per record field (per element for arrays), with
+    * float/double as raw IEEE bits. */
+  def readAvroFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.avro")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.split('/').last
+        AvroIngest.decode(bytes).toSeq.flatten.map { case (idx, c) =>
+          (file, idx, c.field, c.elem_idx, c.vtype, c.long_val,
+            c.float_bits, c.double_bits, c.str_val, c.bytes_val)
+        }
+      }.toDF("file", "rec_idx", "field", "elem_idx", "vtype",
+        "long_val", "float_bits", "double_bits", "str_val", "bytes_val")
+  }
+
   /** TFRecord shard scan — the classic training-example wire format:
     * distributed binaryFile scan over `.tfrecord` (and whole-file
     * gzipped `.tfrecord.gz`) shards, each frame-checked and
