@@ -247,8 +247,10 @@ object Hdf5Codec {
           ci += 1
         }
       case None =>
-        // compact-link group. The link-info message, when present,
-        // must not point at a fractal heap (dense storage)
+        // compact-link group — OR dense link storage when the
+        // link-info message carries a fractal heap (the layout any
+        // group past its compact-storage threshold gets: heap objects
+        // are link messages, enumerated via the name-index v2 B-tree)
         rootMsgs.find(_._1 == 0x0002).foreach { case (_, b, _) =>
           if (u8(b) != 0) return None
           val liFlags = u8(b + 1)
@@ -259,7 +261,13 @@ object Hdf5Codec {
           // link-info" to "no fractal heap" and pass the gate instead
           // of refusing (the fixed-array reader guards the same way)
           if (q + 8 > bytes.length) return None
-          if (u64(q) != Undef) return None // fractal heap: out of envelope
+          val fheapAt = u64(q)
+          if (fheapAt != Undef) {
+            val nameBtAt = u64(q + 8)
+            if (nameBtAt == Long.MinValue || nameBtAt == Undef) return None
+            entries ++= denseLinks(bytes, fheapAt, nameBtAt)
+              .getOrElse(return None)
+          }
         }
         for ((t, b, _) <- rootMsgs if t == 0x0006) {
           if (u8(b) != 1) return None // link message v1 only
@@ -585,6 +593,214 @@ object Hdf5Codec {
     * (level > 0) walked recursively with a depth cap of 8 and a
     * global node/chunk budget bounded by the chunk grid, so a hostile
     * pointer graph can't explode the walk. */
+  /** Dense link storage: FRHP fractal heap (managed objects are v1
+    * link messages; doubling-table direct blocks, root either a
+    * single direct block or an FHIB indirect block of direct
+    * children) enumerated through the name-index v2 B-tree (type 5
+    * records: 4-byte name hash + managed heap ID, walked at any depth
+    * with the same H5B2 node_info sizing as the chunk-index walker).
+    * Envelope refusals, matching the rest of the codec: filtered
+    * heaps, huge/tiny heap IDs (objects past the managed ceiling),
+    * and indirect-over-indirect rows (heaps past ~10k links at
+    * default creation parameters) return None. */
+  private def denseLinks(
+      bytes: Array[Byte], fheapAt: Long, btAt: Long): Option[Seq[(String, Long)]] = {
+    def u8(o: Long): Int =
+      if (o < 0 || o + 1 > bytes.length) -1 else bytes(o.toInt) & 0xff
+    def uN(o: Long, n: Int): Long = {
+      if (n <= 0 || n > 8 || o < 0 || o + n > bytes.length) return Long.MinValue
+      var v = 0L; var j = 0
+      while (j < n) { v |= (bytes(o.toInt + j) & 0xffL) << (8 * j); j += 1 }
+      v
+    }
+    def sig4(o: Long, s: String): Boolean =
+      u8(o) == s.charAt(0) && u8(o + 1) == s.charAt(1) &&
+        u8(o + 2) == s.charAt(2) && u8(o + 3) == s.charAt(3)
+    def encSize(x: Long): Int = {
+      var n = 1
+      while (n < 8 && x >= (1L << (8 * n))) n += 1
+      n
+    }
+
+    // ---- FRHP header
+    if (fheapAt < 0 || fheapAt + 146 > bytes.length) return None
+    if (!sig4(fheapAt, "FRHP") || u8(fheapAt + 4) != 0) return None
+    val heapIdLen = uN(fheapAt + 5, 2).toInt
+    val ioFilterLen = uN(fheapAt + 7, 2).toInt
+    if (ioFilterLen != 0) return None // filtered heap: out of envelope
+    val maxManaged = uN(fheapAt + 10, 4)
+    val nManaged = uN(fheapAt + 70, 8)
+    val nHuge = uN(fheapAt + 86, 8)
+    val nTiny = uN(fheapAt + 102, 8)
+    if (nHuge != 0 || nTiny != 0) return None
+    if (nManaged < 0 || nManaged > 100000) return None
+    val tblWidth = uN(fheapAt + 110, 2).toInt
+    val startSize = uN(fheapAt + 112, 8)
+    val maxDirect = uN(fheapAt + 120, 8)
+    val maxHeapBits = uN(fheapAt + 128, 2).toInt
+    val rootAddr = uN(fheapAt + 132, 8)
+    val curRows = uN(fheapAt + 140, 2).toInt
+    if (tblWidth < 1 || tblWidth > 1024) return None
+    if (startSize < 16 || startSize > (1L << 30) ||
+        java.lang.Long.bitCount(startSize) != 1) return None
+    if (maxDirect < startSize || maxDirect > (1L << 30) ||
+        java.lang.Long.bitCount(maxDirect) != 1) return None
+    if (maxHeapBits < 8 || maxHeapBits > 64) return None
+    if (rootAddr == Long.MinValue || rootAddr == Undef) return None
+    val offBytes = (maxHeapBits + 7) / 8
+    val lenBytes = encSize(maxManaged)
+    if (heapIdLen != 1 + offBytes + lenBytes) return None
+    def log2(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val maxDirectRows = log2(maxDirect) - log2(startSize) + 2
+
+    // doubling-table row geometry: rows 0 and 1 are startSize, row
+    // r>=2 is startSize<<(r-1); row r starts at heap offset
+    // width * (sum of earlier row block sizes)
+    def rowSize(r: Int): Long = if (r < 2) startSize else startSize << (r - 1)
+    def rowStart(r: Int): Long = {
+      var s = 0L; var i = 0
+      while (i < r) { s += tblWidth * rowSize(i); i += 1 }
+      s
+    }
+
+    /** heap-space offset → file position of that byte (within a
+      * direct block), or None past the written envelope. */
+    def filePos(off: Long, len: Long): Option[Long] = {
+      if (off < 0 || len <= 0) return None
+      if (curRows == 0) {
+        // root IS a single direct block of startSize
+        if (off + len > startSize) return None
+        if (!sig4(rootAddr, "FHDB")) return None
+        Some(rootAddr + off)
+      } else {
+        if (!sig4(rootAddr, "FHIB")) return None
+        var r = 0
+        while (r < maxDirectRows && off >= rowStart(r) + tblWidth * rowSize(r))
+          r += 1
+        if (r >= maxDirectRows || r >= curRows) return None // indirect child rows: out of envelope
+        val col = ((off - rowStart(r)) / rowSize(r)).toInt
+        val blockStart = rowStart(r) + col.toLong * rowSize(r)
+        if (off + len > blockStart + rowSize(r)) return None
+        val childAt = rootAddr + 4 + 1 + 8 + offBytes + (r.toLong * tblWidth + col) * 8
+        val child = uN(childAt, 8)
+        if (child == Long.MinValue || child == Undef) return None
+        if (!sig4(child, "FHDB")) return None
+        Some(child + (off - blockStart))
+      }
+    }
+
+    /** v1 link message body at a resolved heap object. */
+    def linkAt(at: Long, len: Long): Option[(String, Long)] = {
+      val end = at + len
+      if (end > bytes.length) return None
+      if (u8(at) != 1) return None
+      val lf = u8(at + 1)
+      var q = at + 2
+      val ltype = if ((lf & 0x08) != 0) { val v = u8(q); q += 1; v } else 0
+      if (ltype != 0) return None // hard links only
+      if ((lf & 0x04) != 0) q += 8 // creation order
+      if ((lf & 0x10) != 0) q += 1 // charset
+      val lenSz = 1 << (lf & 0x03)
+      val nameLen = uN(q, lenSz)
+      q += lenSz
+      if (nameLen <= 0 || nameLen > 255 || q + nameLen + 8 > end) return None
+      val name = new String(bytes, q.toInt, nameLen.toInt, "UTF-8")
+      val objAt = uN(q + nameLen, 8)
+      if (objAt <= 0) return None
+      Some((name, objAt))
+    }
+
+    /** One type-5 record: skip the 4-byte hash, resolve the managed
+      * heap ID. */
+    val found = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def rec(at: Long): Boolean = {
+      val id0 = u8(at + 4)
+      if (id0 < 0) return false
+      if ((id0 >>> 6) != 0) return false      // heap ID version
+      if (((id0 >>> 4) & 3) != 0) return false // managed only (no huge/tiny)
+      val off = uN(at + 5, offBytes)
+      val len = uN(at + 5 + offBytes, lenBytes)
+      if (off == Long.MinValue || len == Long.MinValue) return false
+      if (len > maxManaged) return false
+      val fp = filePos(off, len).getOrElse(return false)
+      val lk = linkAt(fp, len).getOrElse(return false)
+      found += lk
+      true
+    }
+
+    // ---- name-index v2 B-tree (same traversal discipline as the
+    // chunk-index walker; record type 5, record payload = hash + id)
+    if (btAt < 0 || btAt + 38 > bytes.length) return None
+    if (!sig4(btAt, "BTHD") || u8(btAt + 4) != 0) return None
+    if (u8(btAt + 5) != 5) return None // link-name records
+    val nodeSize = uN(btAt + 6, 4)
+    val recSize = uN(btAt + 10, 2).toInt
+    val depth = uN(btAt + 12, 2).toInt
+    val rootNAddr = uN(btAt + 16, 8)
+    val rootNrec = uN(btAt + 24, 2).toInt
+    if (recSize != 4 + heapIdLen) return None
+    if (depth > 8) return None
+    if (nodeSize < 10 + recSize || nodeSize > (1L << 26)) return None
+    val maxLeaf = ((nodeSize - 10) / recSize).toInt
+    val nrecSz = encSize(maxLeaf)
+    val cum = new Array[Long](depth + 1)
+    val cumSz = new Array[Int](depth + 1)
+    val maxInt = new Array[Int](depth + 1)
+    cum(0) = maxLeaf; cumSz(0) = encSize(maxLeaf)
+    var lvl = 1
+    while (lvl <= depth) {
+      val psz = 8 + nrecSz + (if (lvl - 1 >= 1) cumSz(lvl - 1) else 0)
+      if (nodeSize < 10 + psz + recSize + psz) return None
+      maxInt(lvl) = ((nodeSize - 10 - psz) / (recSize + psz)).toInt
+      val c = maxInt(lvl).toLong + (maxInt(lvl).toLong + 1) * cum(lvl - 1)
+      if (cum(lvl - 1) > 0 && c / (maxInt(lvl) + 1) < cum(lvl - 1)) return None
+      cum(lvl) = c; cumSz(lvl) = encSize(c)
+      lvl += 1
+    }
+    var recBudget = nManaged
+    def readNode(at: Long, d: Int, nrec: Int): Boolean = {
+      if (at < 0 || nrec < 0) return false
+      recBudget -= nrec
+      if (recBudget < 0) return false
+      if (d == 0) {
+        if (nrec > maxLeaf) return false
+        if (at + 6 + nrec.toLong * recSize + 4 > bytes.length) return false
+        if (!sig4(at, "BTLF")) return false
+        if (u8(at + 4) != 0 || u8(at + 5) != 5) return false
+        var i = 0
+        while (i < nrec) {
+          if (!rec(at + 6 + i.toLong * recSize)) return false
+          i += 1
+        }
+        true
+      } else {
+        if (nrec > maxInt(d)) return false
+        val psz = 8 + nrecSz + (if (d - 1 >= 1) cumSz(d - 1) else 0)
+        val recsAt = at + 6
+        val ptrsAt = recsAt + nrec.toLong * recSize
+        if (ptrsAt + (nrec + 1).toLong * psz + 4 > bytes.length) return false
+        if (!sig4(at, "BTIN")) return false
+        if (u8(at + 4) != 0 || u8(at + 5) != 5) return false
+        var i = 0
+        while (i < nrec) {
+          if (!rec(recsAt + i.toLong * recSize)) return false
+          i += 1
+        }
+        var c = 0
+        while (c <= nrec) {
+          val pAt = ptrsAt + c.toLong * psz
+          if (!readNode(uN(pAt, 8), d - 1, uN(pAt + 8, nrecSz).toInt))
+            return false
+          c += 1
+        }
+        true
+      }
+    }
+    if (!readNode(rootNAddr, depth, rootNrec)) return None
+    if (found.isEmpty || found.size.toLong != nManaged) return None
+    Some(found.toSeq)
+  }
+
   private def readChunked(bytes: Array[Byte], btreeAt: Long, shape: Seq[Long],
       chunkDims: Seq[Long], width: Int, filters: Seq[Int]): Option[Array[Byte]] = {
     def u8(o: Long): Int =

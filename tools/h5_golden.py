@@ -379,6 +379,234 @@ def layout_v4(shape, dtype, chunk_shape, idx_type, info, addr):
     return lay
 
 
+def write_h5_dense(datasets, btree_depth=0):
+    """v2-superblock file whose root group uses DENSE link storage:
+    the link-info message points at a fractal heap (FRHP; managed
+    objects are v1 link messages; checksummed direct blocks under a
+    doubling table of width 4, start 256, max-direct 1024; root is a
+    single direct block when everything fits, else an FHIB indirect
+    block) and a name-index v2 B-tree (BTHD, type-5 records =
+    lookup3(name) hash + 7-byte managed heap ID; depth 0 leaf root or
+    depth 1 with a BTIN root). Datasets are contiguous."""
+    W, S, MAXD, MAXBITS, MAXOBJ = 4, 256, 1024, 32, 512
+    OFFB, LENB = 4, 2  # -> heap ID length 7
+    w = Writer()
+    w.w(b"\x89HDF\r\n\x1a\n")
+    w.w(struct.pack("<BBBB", 2, 8, 8, 0))
+    w.w(struct.pack("<QQQQ", 0, UNDEF, 0, 48))
+    w.w(struct.pack("<I", 0))
+    assert w.tell() == 48
+
+    def root_hdr(fheap_at, bt_at):
+        li = struct.pack("<BB", 0, 0) + struct.pack("<QQ", fheap_at, bt_at)
+        gi = struct.pack("<BB", 0, 0)
+        return ohdr_v2([(0x0002, li), (0x000A, gi)])
+
+    h0 = root_hdr(0, 0)
+    at = 48 + len(h0)
+
+    # contiguous datasets
+    built = []
+    addrs = []
+    for name, shape, dtype, values in datasets:
+        data = pack_values(dtype, values)
+        addrs.append(at)
+
+        def hdr_for(a, shape=shape, dtype=dtype, n=len(data)):
+            lay = struct.pack("<BBQQ", 3, 1, a, n)
+            return ohdr_v2([(0x0001, dataspace_v2(shape)),
+                            (0x0003, dtype_message(dtype)),
+                            (0x0008, lay)])
+        hlen = len(hdr_for(0))
+        hdr = hdr_for(at + hlen)
+        assert len(hdr) == hlen
+        built.append(hdr + data)
+        at += len(hdr) + len(data)
+
+    # ---- lay link messages into heap space (objects never span
+    # blocks; each block starts with a 21-byte checksummed header)
+    HDRB = 4 + 1 + 8 + OFFB + 4
+    msgs = [link_msg(name, a) for (name, *_), a in zip(datasets, addrs)]
+
+    def row_size(r):
+        return S if r < 2 else S << (r - 1)
+
+    def block_start(idx):
+        r, c = idx // W, idx % W
+        s = sum(W * row_size(i) for i in range(r))
+        return s + c * row_size(r)
+
+    ids = []  # (hash, off, ln) per link
+    blocks = {}  # block idx -> bytearray payload after header
+    bi, cursor = 0, HDRB
+    for name_msg, (name, *_) in zip(msgs, datasets):
+        r = bi // W
+        if cursor + len(name_msg) > row_size(r):
+            bi += 1
+            cursor = HDRB
+            r = bi // W
+        off = block_start(bi) + cursor
+        blocks.setdefault(bi, bytearray())
+        blocks[bi] += name_msg
+        ids.append((lookup3(name.encode()), off, len(name_msg)))
+        cursor += len(name_msg)
+    nblocks = bi + 1
+    cur_rows = 0 if nblocks == 1 else -(-nblocks // W)
+
+    fheap_at = at
+    frhp_len = 146
+    if cur_rows == 0:
+        root_block_at = fheap_at + frhp_len
+        heap_len = frhp_len + S
+        root_addr = root_block_at
+    else:
+        fhib_len = 4 + 1 + 8 + OFFB + cur_rows * W * 8 + 4
+        root_addr = fheap_at + frhp_len
+        dblock0 = root_addr + fhib_len
+        dblock_at = []
+        a2 = dblock0
+        for i in range(cur_rows * W):
+            if i < nblocks:
+                dblock_at.append(a2)
+                a2 += row_size(i // W)
+            else:
+                dblock_at.append(UNDEF)
+        heap_len = (a2 - fheap_at)
+
+    bt_at = fheap_at + heap_len
+
+    # ---- FRHP
+    managed_space = block_start(nblocks - 1) + row_size((nblocks - 1) // W)
+    frhp = b"FRHP" + struct.pack("<B", 0)
+    frhp += struct.pack("<HHB", 1 + OFFB + LENB, 0, 2)  # id len, filters, flags
+    frhp += struct.pack("<I", MAXOBJ)
+    frhp += struct.pack("<QQ", 0, UNDEF)        # next huge id, huge bt2
+    frhp += struct.pack("<QQ", 0, UNDEF)        # free space, fs mgr
+    frhp += struct.pack("<QQ", managed_space, managed_space)
+    frhp += struct.pack("<Q", 0)                # iterator offset
+    frhp += struct.pack("<Q", len(msgs))        # managed count
+    frhp += struct.pack("<QQQQ", 0, 0, 0, 0)    # huge/tiny sizes+counts
+    frhp += struct.pack("<H", W)
+    frhp += struct.pack("<QQ", S, MAXD)
+    frhp += struct.pack("<HH", MAXBITS, 0)      # max heap bits, start rows
+    frhp += struct.pack("<Q", root_addr)
+    frhp += struct.pack("<H", cur_rows)
+    frhp += struct.pack("<I", lookup3(frhp))
+    assert len(frhp) == frhp_len
+
+    def direct_block(idx):
+        r = idx // W
+        payload = blocks.get(idx, bytearray())
+        b = bytearray()
+        b += b"FHDB" + struct.pack("<B", 0) + struct.pack("<Q", fheap_at)
+        b += struct.pack("<I", block_start(idx))[:OFFB]
+        b += b"\x00" * 4  # checksum placeholder
+        b += payload
+        b += b"\x00" * (row_size(r) - len(b))
+        ck = lookup3(bytes(b))
+        b[HDRB - 4:HDRB] = struct.pack("<I", ck)
+        return bytes(b)
+
+    heap = bytearray(frhp)
+    if cur_rows == 0:
+        heap += direct_block(0)
+    else:
+        fhib = bytearray()
+        fhib += b"FHIB" + struct.pack("<B", 0) + struct.pack("<Q", fheap_at)
+        fhib += struct.pack("<I", 0)[:OFFB]
+        for i in range(cur_rows * W):
+            fhib += struct.pack("<Q", dblock_at[i])
+        fhib += struct.pack("<I", lookup3(bytes(fhib)))
+        assert len(fhib) == fhib_len
+        heap += fhib
+        for i in range(nblocks):
+            heap += direct_block(i)
+    assert len(heap) == heap_len
+
+    # ---- name-index v2 B-tree (records sorted by hash, the tree order)
+    recs = sorted(ids)
+    RECSZ = 4 + 1 + OFFB + LENB
+    NODESZ = 512
+
+    def rec_bytes(h, off, ln):
+        return (struct.pack("<I", h) + b"\x00"
+                + struct.pack("<I", off)[:OFFB]
+                + struct.pack("<H", ln)[:LENB])
+
+    max_leaf = (NODESZ - 10) // RECSZ
+    if btree_depth == 0:
+        assert len(recs) <= max_leaf
+        leaf = b"BTLF" + struct.pack("<BB", 0, 5)
+        leaf += b"".join(rec_bytes(*r) for r in recs)
+        leaf += struct.pack("<I", lookup3(leaf))
+        root_n_addr = bt_at + 38
+        nodes = leaf
+        root_nrec = len(recs)
+        depth = 0
+    else:
+        # depth 1: leaves of up to max_leaf records separated by real
+        # records promoted into the BTIN root
+        groups, seps = [], []
+        i = 0
+        per = max_leaf - 5
+        while i < len(recs):
+            groups.append(recs[i:i + per])
+            i += per
+            if i < len(recs):
+                seps.append(recs[i])
+                i += 1
+        leaves = []
+        for g in groups:
+            leaf = b"BTLF" + struct.pack("<BB", 0, 5)
+            leaf += b"".join(rec_bytes(*r) for r in g)
+            leaf += struct.pack("<I", lookup3(leaf))
+            leaves.append(leaf)
+        nrec_sz = 1
+        while (1 << (8 * nrec_sz)) <= max_leaf:
+            nrec_sz += 1
+        psz = 8 + nrec_sz  # child is a leaf: no cumulative field
+        root_n_addr = bt_at + 38
+        leaf_at = [root_n_addr]  # patched: root BTIN first, then leaves
+        btin_len = 6 + len(seps) * RECSZ + (len(seps) + 1) * psz + 4
+        a3 = root_n_addr + btin_len
+        leaf_addr = []
+        for leaf in leaves:
+            leaf_addr.append(a3)
+            a3 += len(leaf)
+        btin = b"BTIN" + struct.pack("<BB", 0, 5)
+        btin += b"".join(rec_bytes(*s) for s in seps)
+        for la, g in zip(leaf_addr, groups):
+            btin += struct.pack("<Q", la)
+            btin += struct.pack("<I", len(g))[:nrec_sz]
+        btin += struct.pack("<I", lookup3(btin))
+        assert len(btin) == btin_len
+        nodes = btin + b"".join(leaves)
+        root_nrec = len(seps)
+        depth = 1
+
+    bthd = b"BTHD" + struct.pack("<BB", 0, 5)
+    bthd += struct.pack("<IHH", NODESZ, RECSZ, depth)
+    bthd += struct.pack("<BB", 100, 40)
+    bthd += struct.pack("<Q", root_n_addr)
+    bthd += struct.pack("<H", root_nrec)
+    bthd += struct.pack("<Q", len(recs))
+    bthd += struct.pack("<I", lookup3(bthd))
+    assert len(bthd) == 38
+
+    # ---- assemble
+    w.w(root_hdr(fheap_at, bt_at))
+    for b in built:
+        w.w(b)
+    assert w.tell() == fheap_at
+    w.w(bytes(heap))
+    assert w.tell() == bt_at
+    w.w(bthd + nodes)
+
+    w.buf[28:36] = struct.pack("<Q", len(w.buf))
+    w.buf[44:48] = struct.pack("<I", lookup3(bytes(w.buf[0:44])))
+    return bytes(w.buf)
+
+
 def write_h5_v2(datasets):
     """v2-superblock file: OHDR root group with compact (inline) hard
     links, v2 dataset headers with v2 dataspaces; contiguous layout,
@@ -958,6 +1186,27 @@ if __name__ == "__main__":
         ("faraw", (44,), "f8", frv, (4,), {"index": "fixedarray", "raw": True}),
     ])
     open(out + "/fapaged.h5", "wb").write(fap)
+    # dense link storage (the layout any group past its compact
+    # threshold gets): dense.h5 fits one root direct block + a leaf
+    # B-tree root; densebig.h5 spans 3 doubling-table rows of direct
+    # blocks under an FHIB root and a depth-1 name B-tree (BTIN root
+    # whose separator records are real links)
+    dnv = {
+        "alpha": [0.5, -1.25, 7.0],
+        "beta": [3.0, 9.5],
+        "gamma": [-2.0, 0.25, 11.0, 4.5],
+        "delta": [1.0],
+        "epsilon": [6.25, -8.5],
+        "zeta": [0.125, 2.5, -3.75],
+    }
+    dense = write_h5_dense(
+        [(k, (len(v),), "f8", v) for k, v in sorted(dnv.items())])
+    open(out + "/dense.h5", "wb").write(dense)
+    dbv = {"d%03d" % i: [i * 0.5, -i * 0.25, i * 1.0 + 0.125]
+           for i in range(120)}
+    densebig = write_h5_dense(
+        [(k, (3,), "f8", dbv[k]) for k in sorted(dbv)], btree_depth=1)
+    open(out + "/densebig.h5", "wb").write(densebig)
     # an out-of-envelope file: the scan must SKIP it, not fail
     open(out + "/corrupt.h5", "wb").write(b"\x89HDF\r\n\x1a\nGARBAGE")
 
@@ -996,6 +1245,8 @@ if __name__ == "__main__":
                       ("btraw", [float(v) for v in btvr])]),
         ("fapaged", [("fap", [float(v) for v in fpv]),
                      ("faraw", frv)]),
+        ("dense", [(k, dnv[k]) for k in sorted(dnv)]),
+        ("densebig", [(k, dbv[k]) for k in sorted(dbv)]),
     ]
     for fname, dsets in expected:
         for ds, vals in dsets:
