@@ -1048,8 +1048,36 @@ object MultimodalQueries {
       |  double_bits, str_val, bytes_len, bytes_md5
       |FROM read_parquet('${graft.Fixtures.base}/q_avro_read/golden/*.parquet')""".stripMargin
 
+  /** safetensors shard scan, oracle-graded per tensor element — the
+    * named-tensor interchange format modern ML artifacts ship in
+    * (weight shards, embedding dumps); the reference materializes the
+    * same artifacts as npy/h5 (dataops/dataset.py). Fixtures in
+    * `tools/fixtures/q_safetensors_read/` are hand-assembled per the
+    * public format by tools/safetensors_golden.py (8-byte LE header
+    * length + JSON header + raw LE spans — no safetensors library
+    * anywhere); [[graft.sources.SafetensorsCodec]] decodes with strict
+    * header parsing and span-tiling validation. f32 NaN payloads,
+    * f16/bf16/fp8 raw bits, i64 negatives, u64 top-bit values, a 0-d
+    * scalar, a zero-size tensor, escaped + unicode tensor names, a
+    * space-padded header; four structurally broken files (span
+    * overlap, span gap, unknown dtype, truncated data) whose ABSENCE
+    * is graded — whole-file refusal. Every value grades by its raw
+    * little-endian bits zero-extended to a long: bit-exact for every
+    * dtype. */
+  def qSafetensorsRead(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readSafetensorsFiles(spark, graft.Fixtures.path("q_safetensors_read"))
+      .select(col("file"), col("tensor"), col("dtype"), col("shape"),
+        col("elem_idx"), col("bits"))
+  }
+
+  val qSafetensorsReadSql: String =
+    s"""SELECT file, tensor, dtype, shape, elem_idx, bits
+      |FROM read_parquet('${graft.Fixtures.base}/q_safetensors_read/golden/*.parquet')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_avro_read" -> (qAvroRead _),
+    "q_safetensors_read" -> (qSafetensorsRead _),
     "q_zip_scan" -> (qZipScan _),
     "q_tfrecord_read" -> (qTfrecordRead _),
     "q_webdataset" -> (qWebdataset _),
@@ -1078,6 +1106,7 @@ object MultimodalQueries {
 
   val oracle: Map[String, String] = Map(
     "q_avro_read" -> qAvroReadSql,
+    "q_safetensors_read" -> qSafetensorsReadSql,
     "q_zip_scan" -> qZipScanSql,
     "q_tfrecord_read" -> qTfrecordReadSql,
     "q_webdataset" -> qWebdatasetSql,

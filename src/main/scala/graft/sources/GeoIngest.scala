@@ -358,6 +358,30 @@ object GeoIngest {
         "http_status", "mime", "payload")
   }
 
+  /** safetensors shard scan — named-tensor artifacts (weight shards,
+    * precomputed embedding dumps) on their way into a corpus:
+    * distributed binaryFile scan over `*.safetensors`, each decoded
+    * executor-side by [[SafetensorsCodec.decode]] (8-byte LE header
+    * length, strict JSON header, span-tiling validation; whole-file
+    * refusal on any structural fault — a weight shard is
+    * all-or-nothing). Output: one row per tensor ELEMENT with the raw
+    * little-endian bits zero-extended to a long, so every dtype
+    * (f16/bf16/f32/f64/ints/bool) grades bit-exactly. */
+  def readSafetensorsFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.safetensors")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.split('/').last
+        SafetensorsCodec.decode(bytes).toSeq.flatten.map { e =>
+          (file, e.name, e.dtype, e.shape, e.idx, e.bits)
+        }
+      }.toDF("file", "tensor", "dtype", "shape", "elem_idx", "bits")
+  }
+
   /** ZIP archive scan — the other dataset archive shape next to
     * tar/webdataset (Kaggle exports, image-caption bundles):
     * distributed binaryFile scan over `*.zip`, each decoded
