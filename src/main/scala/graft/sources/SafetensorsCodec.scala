@@ -117,6 +117,52 @@ object SafetensorsCodec {
     Some(out.result())
   }
 
+  /** Encode named tensors to a shard in canonical form: header keys
+    * in argument order, compact separators, no alignment padding,
+    * names escaped minimally (quote, backslash, control chars) with
+    * non-ASCII kept as raw UTF-8 — byte-for-byte the output of
+    * Python's `json.dumps(..., separators=(",",":"),
+    * ensure_ascii=False)` over the same entries, which is what pins
+    * the sink against the independent writer in
+    * tools/safetensors_golden.py. Caller supplies raw little-endian
+    * data per tensor; spans are laid end to end from 0. */
+  def encode(tensors: Seq[(String, String, Seq[Long], Array[Byte])]): Array[Byte] = {
+    val h = new java.lang.StringBuilder("{")
+    var off = 0L
+    tensors.zipWithIndex.foreach { case ((name, dtype, shape, data), i) =>
+      val size = DtypeSize(dtype)
+      val count = shape.foldLeft(1L)(_ * _)
+      require(count * size == data.length,
+        s"$name: shape ${shape.mkString("x")} x $dtype != ${data.length} bytes")
+      if (i > 0) h.append(',')
+      h.append('"')
+      name.foreach {
+        case '"' => h.append("\\\"")
+        case '\\' => h.append("\\\\")
+        case '\b' => h.append("\\b")
+        case '\f' => h.append("\\f")
+        case '\n' => h.append("\\n")
+        case '\r' => h.append("\\r")
+        case '\t' => h.append("\\t")
+        case c if c < ' ' => h.append(f"\\u${c.toInt}%04x")
+        case c => h.append(c)
+      }
+      h.append("\":{\"dtype\":\"").append(dtype)
+        .append("\",\"shape\":[").append(shape.mkString(","))
+        .append("],\"data_offsets\":[").append(off).append(',')
+        .append(off + data.length).append("]}")
+      off += data.length
+    }
+    h.append('}')
+    val hb = h.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = java.nio.ByteBuffer
+      .allocate(8 + hb.length + off.toInt)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.putLong(hb.length.toLong).put(hb)
+    tensors.foreach { case (_, _, _, data) => out.put(data) }
+    out.array()
+  }
+
   // ---- strict JSON for exactly the header grammar -------------------
 
   private final class Fail extends RuntimeException(null, null, false, false)

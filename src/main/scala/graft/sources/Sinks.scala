@@ -177,6 +177,47 @@ object Sinks {
       java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
   }
 
+  /** safetensors shard sink — the embedding-dump layout downstream
+    * training jobs actually mmap: per shard a stacked `embeddings`
+    * F32 [n, dim] matrix plus an aligned `ids` I64 [n] vector,
+    * grouped `rowsPerShard` per shard, each partition writing its own
+    * `shard_<pid>_<i>.safetensors` executor-side via
+    * [[SafetensorsCodec.encode]] (canonical header — identical input,
+    * identical bytes; spec-pinned byte-compatible with the Python
+    * writer in tools/safetensors_golden.py), then the `_SUCCESS`
+    * marker. Expects (id: Long, embedding: Array[Float]) rows with a
+    * uniform dimension; the sink adds no shuffle — partition upstream
+    * by the ordering you want sharded. */
+  def writeSafetensorsShards(df: DataFrame, dir: String, rowsPerShard: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col("id").cast("long"), col("embedding"))
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        it.grouped(rowsPerShard).zipWithIndex.foreach { case (group, i) =>
+          val n = group.size
+          val dim = group.head.getSeq[Float](1).length
+          val emb = java.nio.ByteBuffer.allocate(n * dim * 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val ids = java.nio.ByteBuffer.allocate(n * 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          group.foreach { r =>
+            val v = r.getSeq[Float](1)
+            require(v.length == dim,
+              s"ragged embedding: ${v.length} != $dim in shard ${pid}_$i")
+            v.foreach(emb.putFloat)
+            ids.putLong(r.getLong(0))
+          }
+          val bytes = SafetensorsCodec.encode(Seq(
+            ("embeddings", "F32", Seq(n.toLong, dim.toLong), emb.array()),
+            ("ids", "I64", Seq(n.toLong), ids.array())))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"shard_${pid}_$i.safetensors"), bytes)
+        }
+        Iterator.empty
+      }.count(): Unit
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+  }
+
   /** Compressed JSONL shard sink — the `.jsonl.gz` layout web-scale
     * text corpora ship in (the gzip member of the shard-sink family:
     * tar/npy/tiff/wav siblings around it): records land as JSON

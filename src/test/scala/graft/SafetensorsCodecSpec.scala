@@ -127,6 +127,50 @@ class SafetensorsCodecSpec extends SparkSpec {
     assert(SafetensorsCodec.decode(huge).isEmpty)
   }
 
+  test("encoder is byte-identical to the independent Python writer") {
+    val expected = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      graft.Fixtures.base, "q_safetensors_read", "sinkparity-06.safetensors"))
+    def f32le(vs: Float*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(vs.size * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putFloat); b.array()
+    }
+    def i64le(vs: Long*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(vs.size * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putLong); b.array()
+    }
+    val mine = SafetensorsCodec.encode(Seq(
+      ("embeddings", "F32", Seq(2L, 3L),
+        f32le(0.5f, -1.25f, 2.0f, 3.5f, -0.75f, 0.0625f)),
+      ("ids", "I64", Seq(2L), i64le(11L, -42L))))
+    assert(mine.sameElements(expected))
+  }
+
+  test("sink writes decodable shards; read back round-trips ids and values") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = (0 until 10)
+      .map(i => (i.toLong, Array.tabulate(4)(k => i * 10f + k * 0.25f)))
+      .toDF("id", "embedding").repartition(2, col("id"))
+    val dir = java.nio.file.Files.createTempDirectory("stsink").toString
+    graft.sources.Sinks.writeSafetensorsShards(df, dir, 3)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+    val back = graft.sources.GeoIngest.readSafetensorsFiles(spark, dir)
+    val embRows = back.filter(col("tensor") === "embeddings").count()
+    val idRows = back.where(col("tensor") === "ids")
+      .select(col("bits")).as[Long].collect().sorted
+    assert(embRows == 40 && idRows.toSeq == (0L until 10L))
+    // one shard decodes with aligned [n,dim] shape
+    val shard = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".safetensors")).findFirst().get()
+    val es = SafetensorsCodec.decode(
+      java.nio.file.Files.readAllBytes(shard)).get
+    val emb = es.filter(_.name == "embeddings")
+    val n = es.count(_.name == "ids")
+    assert(emb.head.shape == s"${n}x4" && emb.size == n * 4)
+  }
+
   test("distributed ingest: one row per element per file, corrupt shards skipped") {
     val dir = java.nio.file.Files.createTempDirectory("stscan").toString
     java.nio.file.Files.write(

@@ -161,6 +161,15 @@ write_file("trunc-05.safetensors", [
     ("a", "F64", [4], [1.0, 2.0, 3.0, 4.0]),
 ], golden=False, mutate=lambda e, d: d[:-5])
 
+# sink parity: the exact (embeddings F32 [n,dim] + ids I64 [n]) layout
+# Sinks.writeSafetensorsShards emits, written INDEPENDENTLY here —
+# SafetensorsCodecSpec pins the Scala encoder byte-for-byte against
+# this file, and the scan grades it like any other shard
+write_file("sinkparity-06.safetensors", [
+    ("embeddings", "F32", [2, 3], [0.5, -1.25, 2.0, 3.5, -0.75, 0.0625]),
+    ("ids", "I64", [2], [11, -42]),
+])
+
 schema = pa.schema([
     ("file", pa.string()), ("tensor", pa.string()), ("dtype", pa.string()),
     ("shape", pa.string()), ("elem_idx", pa.int64()), ("bits", pa.int64()),
