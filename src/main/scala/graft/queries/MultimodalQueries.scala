@@ -1048,6 +1048,32 @@ object MultimodalQueries {
       |  double_bits, str_val, bytes_len, bytes_md5
       |FROM read_parquet('${graft.Fixtures.base}/q_avro_read/golden/*.parquet')""".stripMargin
 
+  /** Arrow IPC scan, oracle-graded per value cell — the columnar
+    * interchange format dataset tooling trades (Feather V2 exports;
+    * the HuggingFace-datasets cache ships the STREAM framing of the
+    * same format). Fixtures in `tools/fixtures/q_arrow_read/` are
+    * written by pyarrow ITSELF — the reference implementation
+    * (tools/arrow_golden.py) — while [[graft.sources.ArrowCodec]]
+    * walks the flatbuffers tables and buffer layout from scratch: two
+    * independent implementations meeting over the wire, graded per
+    * cell. Both framings; int widths 8-64 signed+unsigned, half/
+    * single/double floats (NaN payloads bit-exact), bool bitmaps,
+    * utf8 + binary with nulls, fixed_size_list<f32,3> embeddings,
+    * list<i64> with null/empty lists and null elements, multi-batch
+    * files; three refusal fixtures (zstd-compressed bodies,
+    * dictionary encoding, truncated footer) whose ABSENCE is graded. */
+  def qArrowRead(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readArrowFiles(spark, graft.Fixtures.path("q_arrow_read"))
+      .select(col("file"), col("batch"), col("col"), col("row"),
+        col("elem_idx"), col("vtype"), col("is_null"), col("bits"),
+        col("str_val"))
+  }
+
+  val qArrowReadSql: String =
+    s"""SELECT file, batch, col, row, elem_idx, vtype, is_null, bits, str_val
+      |FROM read_parquet('${graft.Fixtures.base}/q_arrow_read/golden/*.parquet')""".stripMargin
+
   /** safetensors shard scan, oracle-graded per tensor element — the
     * named-tensor interchange format modern ML artifacts ship in
     * (weight shards, embedding dumps); the reference materializes the
@@ -1078,6 +1104,7 @@ object MultimodalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_avro_read" -> (qAvroRead _),
     "q_safetensors_read" -> (qSafetensorsRead _),
+    "q_arrow_read" -> (qArrowRead _),
     "q_zip_scan" -> (qZipScan _),
     "q_tfrecord_read" -> (qTfrecordRead _),
     "q_webdataset" -> (qWebdataset _),
@@ -1107,6 +1134,7 @@ object MultimodalQueries {
   val oracle: Map[String, String] = Map(
     "q_avro_read" -> qAvroReadSql,
     "q_safetensors_read" -> qSafetensorsReadSql,
+    "q_arrow_read" -> qArrowReadSql,
     "q_zip_scan" -> qZipScanSql,
     "q_tfrecord_read" -> qTfrecordReadSql,
     "q_webdataset" -> qWebdatasetSql,

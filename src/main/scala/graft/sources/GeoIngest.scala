@@ -358,6 +358,30 @@ object GeoIngest {
         "http_status", "mime", "payload")
   }
 
+  /** Arrow IPC scan — Feather V2 exports and HF-datasets-style
+    * streams on their way into a corpus: distributed binaryFile scan
+    * over `*.arrow`, each decoded executor-side by
+    * [[ArrowCodec.decode]] (from-scratch flatbuffers walk over both
+    * IPC framings; whole-file refusal on any structural fault,
+    * dictionary encoding, or compressed bodies). Output: one row per
+    * value cell, raw LE bits zero-extended to a long (bit-exact for
+    * every numeric type), strings as UTF-8, binary as hex. */
+  def readArrowFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.arrow")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.split('/').last
+        ArrowCodec.decode(bytes).toSeq.flatten.map { c =>
+          (file, c.batch, c.col, c.row, c.elem, c.vtype, c.isNull, c.bits, c.str)
+        }
+      }.toDF("file", "batch", "col", "row", "elem_idx", "vtype",
+        "is_null", "bits", "str_val")
+  }
+
   /** safetensors shard scan — named-tensor artifacts (weight shards,
     * precomputed embedding dumps) on their way into a corpus:
     * distributed binaryFile scan over `*.safetensors`, each decoded

@@ -1,0 +1,203 @@
+#!/usr/bin/env python3
+"""Foreign-fixture writer for the Arrow IPC scan (q_arrow_read) —
+fixtures are written by pyarrow itself (the format's reference
+implementation), never by the engine under test; the golden parquet is
+computed from the PYTHON values used to build the arrays (struct.pack
+bits on this side, the Scala flatbuffers walk on the other — two
+independent paths meeting over the wire).
+
+Covers BOTH wire shapes: the IPC FILE format (Feather V2 — trailing
+footer, the dataset-export shape) and the IPC STREAM format (the
+HuggingFace-datasets cache shape — sequential encapsulated messages).
+
+Layout written under tools/fixtures/q_arrow_read/:
+  table-00.arrow    FILE format, TWO record batches: i64/i32/u8/f64/
+                    f32/f16/bool/utf8/binary, nulls in several columns,
+                    unicode + empty strings, NaN-payload floats
+  embed-01.arrow    FILE format: fixed_size_list<f32,3> embeddings,
+                    list<i64> (null list, empty list, null element),
+                    i64 ids
+  stream-02.arrow   STREAM format: i64 + utf8, two batches + EOS
+  zstdipc-03.arrow  FILE format, zstd-compressed bodies -> refusal
+  dict-04.arrow     dictionary-encoded column -> refusal
+  trunc-05.arrow    table-00 cut mid-footer -> refusal
+The three bad files' ABSENCE from the golden is itself graded.
+"""
+import os, struct
+
+import pyarrow as pa
+import pyarrow.ipc as ipc
+import pyarrow.parquet as pq
+
+BASE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+D = os.path.join(BASE, "q_arrow_read")
+os.makedirs(os.path.join(D, "golden"), exist_ok=True)
+
+ROWS = []  # (file, batch, col, row, elem_idx, vtype, is_null, bits, str_val)
+
+
+def signed64(v):
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def bits_of(vtype, v):
+    if vtype in ("f32",):
+        raw = struct.pack("<f", v) if isinstance(v, float) else struct.pack("<I", v)
+        return signed64(int.from_bytes(raw, "little"))
+    if vtype == "f64":
+        raw = struct.pack("<d", v) if isinstance(v, float) else struct.pack("<Q", v)
+        return signed64(int.from_bytes(raw, "little"))
+    if vtype == "f16":
+        raw = struct.pack("<e", v) if isinstance(v, float) else struct.pack("<H", v)
+        return int.from_bytes(raw, "little")
+    if vtype == "bool":
+        return 1 if v else 0
+    if vtype.startswith("i") or vtype.startswith("u"):
+        width = int(vtype[1:]) // 8
+        return signed64(v & ((1 << (8 * width)) - 1))
+    raise ValueError(vtype)
+
+
+def emit(fname, batch, col, row, elem, vtype, value):
+    if value is None:
+        ROWS.append((fname, batch, col, row, elem, vtype, True, None, None))
+    elif vtype == "utf8":
+        ROWS.append((fname, batch, col, row, elem, vtype, False, None, value))
+    elif vtype == "bin":
+        ROWS.append((fname, batch, col, row, elem, vtype, False, None, value.hex()))
+    else:
+        ROWS.append((fname, batch, col, row, elem, vtype, False,
+                     bits_of(vtype, value), None))
+
+
+def emit_batch(fname, bi, cols):
+    """cols: list of (name, vtype, leaf_vtype_or_None, values)."""
+    for name, vtype, leaf, values in cols:
+        for ri, v in enumerate(values):
+            if leaf is None:
+                emit(fname, bi, name, ri, None, vtype, v)
+            elif v is None:
+                emit(fname, bi, name, ri, None, vtype, None)
+            else:
+                for ei, e in enumerate(v):
+                    emit(fname, bi, name, ri, ei, leaf, e)
+
+
+# ---- table-00.arrow: the primitive/utf8/binary surface, 2 batches
+f16 = pa.float16()
+import numpy as np  # noqa: E402  (pandas dependency; half literals)
+
+b0 = [
+    ("ids", "i64", None, [1, None, -3, 9007199254740993]),
+    ("small", "i32", None, [-2147483648, 2147483647, 0, None]),
+    ("tiny", "u8", None, [0, 255, 17, 128]),
+    ("xs", "f64", None, [2.5, None, -1e308, float("nan")]),
+    ("ys", "f32", None, [0.5, -0.0, 3.5, None]),
+    ("hs", "f16", None, [1.5, -2.25, 0.0009765625, None]),
+    ("ok", "bool", None, [True, None, False, True]),
+    ("name", "utf8", None, ["café", "", None, "naïve £9"]),
+    ("blob", "bin", None, [b"\x00\x01", b"", None, b"\xff\xfe\xfd"]),
+]
+b1 = [
+    ("ids", "i64", None, [7, 8]),
+    ("small", "i32", None, [5, None]),
+    ("tiny", "u8", None, [9, 10]),
+    ("xs", "f64", None, [1.0, 2.0]),
+    ("ys", "f32", None, [None, None]),
+    ("hs", "f16", None, [65504.0, -0.0]),
+    ("ok", "bool", None, [False, False]),
+    ("name", "utf8", None, ["r2", None]),
+    ("blob", "bin", None, [None, b"z"]),
+]
+
+
+def arrow_array(vtype, values):
+    t = {"i64": pa.int64(), "i32": pa.int32(), "u8": pa.uint8(),
+         "f64": pa.float64(), "f32": pa.float32(), "f16": f16,
+         "bool": pa.bool_(), "utf8": pa.string(), "bin": pa.binary()}[vtype]
+    if vtype == "f16":
+        vals = [None if v is None else np.float16(v) for v in values]
+        return pa.array(vals, type=t)
+    return pa.array(values, type=t)
+
+
+def batch_of(cols):
+    return pa.record_batch(
+        [arrow_array(vt, vals) for _, vt, _, vals in cols],
+        names=[n for n, *_ in cols])
+
+
+with open(os.path.join(D, "table-00.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, batch_of(b0).schema)
+    w.write_batch(batch_of(b0))
+    w.write_batch(batch_of(b1))
+    w.close()
+emit_batch("table-00.arrow", 0, b0)
+emit_batch("table-00.arrow", 1, b1)
+
+# ---- embed-01.arrow: nested embedding shapes
+eb = [
+    ("id", "i64", None, [100, 101, 102, 103]),
+    ("vec", "fsl3<f32>", "f32",
+     [[0.5, -1.25, 2.0], None, [3.5, 0.0625, -0.75], [1.0, 2.0, 3.0]]),
+    ("toks", "list<i64>", "i64",
+     [[1, 2, 3], [], None, [42, None]]),
+]
+schema = pa.schema([
+    ("id", pa.int64()),
+    ("vec", pa.list_(pa.float32(), 3)),
+    ("toks", pa.list_(pa.int64())),
+])
+eb_arrays = [
+    pa.array(eb[0][3], type=pa.int64()),
+    pa.array(eb[1][3], type=pa.list_(pa.float32(), 3)),
+    pa.array(eb[2][3], type=pa.list_(pa.int64())),
+]
+with open(os.path.join(D, "embed-01.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, schema)
+    w.write_batch(pa.record_batch(eb_arrays, schema=schema))
+    w.close()
+emit_batch("embed-01.arrow", 0, eb)
+
+# ---- stream-02.arrow: the STREAM wire shape (HF datasets cache)
+s0 = [("k", "i64", None, [10, 20]),
+      ("t", "utf8", None, ["stream", None])]
+s1 = [("k", "i64", None, [None]),
+      ("t", "utf8", None, ["fin"])]
+with open(os.path.join(D, "stream-02.arrow"), "wb") as fh:
+    w = ipc.new_stream(fh, batch_of(s0).schema)
+    w.write_batch(batch_of(s0))
+    w.write_batch(batch_of(s1))
+    w.close()
+emit_batch("stream-02.arrow", 0, s0)
+emit_batch("stream-02.arrow", 1, s1)
+
+# ---- refusal fixtures
+with open(os.path.join(D, "zstdipc-03.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, batch_of(b0).schema,
+                     options=ipc.IpcWriteOptions(compression="zstd"))
+    w.write_batch(batch_of(b0))
+    w.close()
+
+dict_arr = pa.array(["a", "b", "a", "c"]).dictionary_encode()
+dict_batch = pa.record_batch([dict_arr], names=["d"])
+with open(os.path.join(D, "dict-04.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, dict_batch.schema)
+    w.write_batch(dict_batch)
+    w.close()
+
+with open(os.path.join(D, "table-00.arrow"), "rb") as fh:
+    whole = fh.read()
+with open(os.path.join(D, "trunc-05.arrow"), "wb") as fh:
+    fh.write(whole[:-60])
+
+schema_g = pa.schema([
+    ("file", pa.string()), ("batch", pa.int32()), ("col", pa.string()),
+    ("row", pa.int64()), ("elem_idx", pa.int64()), ("vtype", pa.string()),
+    ("is_null", pa.bool_()), ("bits", pa.int64()), ("str_val", pa.string()),
+])
+tbl = pa.Table.from_pylist(
+    [dict(zip([f.name for f in schema_g], r)) for r in ROWS], schema=schema_g)
+pq.write_table(tbl, os.path.join(D, "golden", "expected.parquet"))
+print(f"wrote {len(ROWS)} golden rows across "
+      f"{len(set(r[0] for r in ROWS))} graded files")
