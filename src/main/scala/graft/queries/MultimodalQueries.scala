@@ -790,6 +790,30 @@ object MultimodalQueries {
     s"""SELECT shard, line_idx, doc_id, lang, text_len, text_md5
       |FROM read_parquet('${graft.Fixtures.base}/q_jsonl_zst/golden/*.parquet')""".stripMargin
 
+  /** bzip2-compressed JSONL shard scan, oracle-graded per line — the
+    * delivery shape of Wikipedia dumps and pushshift archives, the
+    * bzip2 sibling of q_jsonl_gz/q_jsonl_zst. Fixtures in
+    * `tools/fixtures/q_jsonl_bz2/` were written by Python's stdlib
+    * bz2 (real libbzip2, tools/bz2_golden.py): a single stream, TWO
+    * concatenated streams at different block sizes (the pbzip2
+    * shape), a unicode shard, plus a truncated stream and a
+    * trailing-garbage shard whose ABSENCE is graded (whole-file
+    * skip). Decoded by [[graft.sources.Bz2Codec]] — the platform
+    * block decode behind this engine's framing/refusal contract. */
+  def qJsonlBz2(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readJsonlBz2(spark, graft.Fixtures.path("q_jsonl_bz2"))
+      .select(col("shard"), col("line_idx"),
+        get_json_object(col("line"), "$.doc_id").cast("long").as("doc_id"),
+        get_json_object(col("line"), "$.lang").as("lang"),
+        length(get_json_object(col("line"), "$.text")).as("text_len"),
+        md5(get_json_object(col("line"), "$.text")).as("text_md5"))
+  }
+
+  val qJsonlBz2Sql: String =
+    s"""SELECT shard, line_idx, doc_id, lang, text_len, text_md5
+      |FROM read_parquet('${graft.Fixtures.base}/q_jsonl_bz2/golden/*.parquet')""".stripMargin
+
   /** Webdataset shard round-trip, oracle-graded — the LAION-style
     * layout web-scale multimodal training actually uses: ONE tar shard
     * per source whose members are per-sample PAIRS (`{id}.txt` caption
@@ -1117,6 +1141,7 @@ object MultimodalQueries {
     "q_tiff_georef" -> (qTiffGeoref _),
     "q_jsonl_gz" -> (qJsonlGz _),
     "q_jsonl_zst" -> (qJsonlZst _),
+    "q_jsonl_bz2" -> (qJsonlBz2 _),
     "q_warc_extract" -> (qWarcExtract _),
     "q_media_manifest" -> (qMediaManifest _),
     "q_media_features" -> (qMediaFeatures _),
@@ -1145,6 +1170,7 @@ object MultimodalQueries {
     "q_jpeg_progressive" -> qJpegProgressiveSql,
     "q_jsonl_gz" -> qJsonlGzSql,
     "q_jsonl_zst" -> qJsonlZstSql,
+    "q_jsonl_bz2" -> qJsonlBz2Sql,
     "q_warc_extract" -> qWarcExtractSql,
     "q_media_manifest" -> qMediaManifestSql,
     "q_media_features" -> qMediaFeaturesSql,

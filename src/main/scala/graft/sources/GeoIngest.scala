@@ -312,6 +312,39 @@ object GeoIngest {
       }.toDF("shard", "line_idx", "line")
   }
 
+  /** bzip2-compressed JSONL shard scan — the compression the long
+    * tail of public corpora still ships in (Wikipedia dumps,
+    * pushshift archives), the bzip2 sibling of [[readJsonlGz]] /
+    * [[readJsonlZst]]: distributed binaryFile scan, each shard's
+    * streams decompressed executor-side by [[Bz2Codec.decode]]
+    * (multi-stream aware, inflation-capped) and exploded into one row
+    * per JSON line. Corrupt shards decode to None and are skipped.
+    * Output: (shard, line_idx, line). */
+  def readJsonlBz2(spark: SparkSession, dir: String): DataFrame =
+    decodeJsonlBz2Batch(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bz2")
+        .load(dir))
+
+  /** One batch of (path, content) `.jsonl.bz2` shards → per-line rows —
+    * shared by the batch scan above and the streaming ingest arm
+    * ([[graft.streaming.StreamingPipelines.bz2Ingest]]). A corrupt
+    * shard decodes to nothing (per-file skip). */
+  def decodeJsonlBz2Batch(batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val shard = path.split('/').last
+        Bz2Codec.decode(bytes).toSeq.flatMap { data =>
+          new String(data, "UTF-8").split('\n').toSeq
+            .filter(_.nonEmpty).zipWithIndex
+            .map { case (l, i) => (shard, i.toLong, l) }
+        }
+      }.toDF("shard", "line_idx", "line")
+  }
+
   /** WARC crawl-archive scan — the Common Crawl ingest front door:
     * distributed binaryFile scan over `.warc.gz` (one gzip member per
     * record; [[GzipCodec.decode]] concatenates members) and plain

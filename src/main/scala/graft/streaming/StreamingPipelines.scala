@@ -604,6 +604,17 @@ object StreamingPipelines {
     binaryShardIngest(spark, srcDir, "*.zst", destDir, checkpointDir,
       maxFilesPerTrigger)(graft.sources.GeoIngest.decodeJsonlZstBatch)
 
+  /** Streaming `.jsonl.bz2` shard ingest — the bzip2 sibling of
+    * [[zstIngest]] (Wikipedia-dump / pushshift delivery shape),
+    * decoded to per-line rows per micro-batch, exactly-once; one
+    * decode shared with the batch path
+    * ([[graft.sources.GeoIngest.decodeJsonlBz2Batch]]). */
+  def bz2Ingest(spark: SparkSession, srcDir: String, destDir: String,
+                checkpointDir: String,
+                maxFilesPerTrigger: Int = 100): StreamingQuery =
+    binaryShardIngest(spark, srcDir, "*.bz2", destDir, checkpointDir,
+      maxFilesPerTrigger)(graft.sources.GeoIngest.decodeJsonlBz2Batch)
+
   /** Pattern 1: landing-zone file ingest → parquet, exactly-once
     * end-to-end: the checkpoint pins each batch's file set (a batch
     * id always maps to the same input files), and [[ingestBatch]]

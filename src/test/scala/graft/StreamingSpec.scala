@@ -539,6 +539,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dest).count() == n1)
   }
 
+  test("bz2Ingest streams jsonl.bz2 shards with batch parity and replay idempotence") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_bz2_src").toString
+    val dest = Files.createTempDirectory("graft_bz2_dest").toString
+    val ckpt = Files.createTempDirectory("graft_bz2_ckpt").toString
+    val fx = graft.Fixtures.path("q_jsonl_bz2")
+    for (f <- Seq("docs-00.jsonl.bz2", "docs-01.jsonl.bz2",
+                  "docs-02.jsonl.bz2", "corrupt-03.jsonl.bz2"))
+      Files.copy(java.nio.file.Paths.get(fx, f),
+        java.nio.file.Paths.get(src, f))
+
+    StreamingPipelines.bz2Ingest(spark, src, dest, ckpt).awaitTermination()
+    val streamed = spark.read.parquet(dest)
+      .select("shard", "line_idx", "line")
+    val batch = graft.sources.GeoIngest.readJsonlBz2(spark, src)
+    assert(streamed.count() > 0)
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty,
+      "streaming bz2 ingest diverged from the batch decode")
+    assert(streamed.filter($"shard" === "corrupt-03.jsonl.bz2").count() == 0,
+      "corrupt shard leaked lines")
+    // replay with the same checkpoint: nothing reprocessed
+    val n1 = streamed.count()
+    StreamingPipelines.bz2Ingest(spark, src, dest, ckpt).awaitTermination()
+    assert(spark.read.parquet(dest).count() == n1)
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
