@@ -1072,6 +1072,30 @@ object MultimodalQueries {
       |  double_bits, str_val, bytes_len, bytes_md5
       |FROM read_parquet('${graft.Fixtures.base}/q_avro_read/golden/*.parquet')""".stripMargin
 
+  /** GIF scan, oracle-graded per pixel — the web-corpus long-tail
+    * image format a LAION-style crawl decodes or skips constantly,
+    * and (animated) the smallest real frame-sample case. Fixtures in
+    * `tools/fixtures/q_gif_decode/` are assembled by a from-scratch
+    * Python GIF ENCODER (tools/gif_golden.py — spec LZW with the
+    * early-grow rule, sub-blocks, interlace passes, local color
+    * tables; no imaging library anywhere); [[graft.sources.GifCodec]]
+    * decodes independently. Two-frame animation with a canvas-offset
+    * rect, a GIF87a INTERLACED frame, a local-palette frame behind
+    * comment + application extensions, and a 128x96 stress frame that
+    * fills the LZW dictionary to 4096 and resets mid-stream; a
+    * truncated file and an out-of-range-code file whose ABSENCE is
+    * graded (whole-file refusal). */
+  def qGifDecode(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readGifFiles(spark, graft.Fixtures.path("q_gif_decode"))
+      .select(col("file"), col("frame"), col("y"), col("x"),
+        col("r"), col("g"), col("b"))
+  }
+
+  val qGifDecodeSql: String =
+    s"""SELECT file, frame, y, x, r, g, b
+      |FROM read_parquet('${graft.Fixtures.base}/q_gif_decode/golden/*.parquet')""".stripMargin
+
   /** Arrow IPC scan, oracle-graded per value cell — the columnar
     * interchange format dataset tooling trades (Feather V2 exports;
     * the HuggingFace-datasets cache ships the STREAM framing of the
@@ -1129,6 +1153,7 @@ object MultimodalQueries {
     "q_avro_read" -> (qAvroRead _),
     "q_safetensors_read" -> (qSafetensorsRead _),
     "q_arrow_read" -> (qArrowRead _),
+    "q_gif_decode" -> (qGifDecode _),
     "q_zip_scan" -> (qZipScan _),
     "q_tfrecord_read" -> (qTfrecordRead _),
     "q_webdataset" -> (qWebdataset _),
@@ -1160,6 +1185,7 @@ object MultimodalQueries {
     "q_avro_read" -> qAvroReadSql,
     "q_safetensors_read" -> qSafetensorsReadSql,
     "q_arrow_read" -> qArrowReadSql,
+    "q_gif_decode" -> qGifDecodeSql,
     "q_zip_scan" -> qZipScanSql,
     "q_tfrecord_read" -> qTfrecordReadSql,
     "q_webdataset" -> qWebdatasetSql,

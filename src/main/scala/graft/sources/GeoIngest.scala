@@ -391,6 +391,33 @@ object GeoIngest {
         "http_status", "mime", "payload")
   }
 
+  /** GIF scan — the web-corpus long-tail image format (and the
+    * smallest real frame-sampling case: animated GIFs): distributed
+    * binaryFile scan over `*.gif`, each decoded executor-side by
+    * [[GifCodec.decode]] (spec LZW, interlace, local palettes;
+    * whole-file refusal on any structural fault). Output: one row per
+    * pixel per frame at CANVAS coordinates. */
+  def readGifFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.gif")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.split('/').last
+        GifCodec.decode(bytes).toSeq.flatten.flatMap { f =>
+          (0 until f.h).iterator.flatMap { y =>
+            (0 until f.w).iterator.map { x =>
+              val o = 3 * (y * f.w + x)
+              (file, f.idx, f.top + y, f.left + x,
+                f.rgb(o) & 0xff, f.rgb(o + 1) & 0xff, f.rgb(o + 2) & 0xff)
+            }
+          }
+        }
+      }.toDF("file", "frame", "y", "x", "r", "g", "b")
+  }
+
   /** Arrow IPC scan — Feather V2 exports and HF-datasets-style
     * streams on their way into a corpus: distributed binaryFile scan
     * over `*.arrow`, each decoded executor-side by

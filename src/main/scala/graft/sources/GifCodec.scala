@@ -1,0 +1,219 @@
+package graft.sources
+
+/** GIF codec (GIF87a/89a) — still everywhere in web crawls; a
+  * LAION-style multimodal pipeline decodes or skips one constantly,
+  * and animated GIFs are the smallest real case of the frame-sample
+  * discipline (q_frame_sample). Sibling of [[PngCodec]]/[[JpegCodec]]
+  * in the image family; the reference's imagery path is
+  * GeoTIFF/PNG-shaped (dataops/monthly.py), GIF is the web-corpus
+  * long tail next to it.
+  *
+  * Decode walks the public spec: logical screen descriptor + global
+  * color table, extension blocks skipped by sub-block framing, image
+  * descriptors with optional local color tables and interlace, and
+  * the GIF flavor of LZW — variable-width codes packed LSB-first
+  * across 255-byte sub-blocks, width growing when the dictionary
+  * reaches the current ceiling (cap 12 bits), CLEAR resetting
+  * mid-stream (the dictionary-full path), the kwkwk self-reference
+  * case. Frames decode independently (no disposal composition —
+  * that's presentation, not data); pixels emit at CANVAS coordinates
+  * through the active palette.
+  *
+  * Contract: whole-file refusal (None) on any structural fault — bad
+  * magic, truncated blocks, out-of-range LZW code, pixel shortfall,
+  * missing palette, budget breach. Never throws. */
+object GifCodec {
+
+  /** One decoded frame: canvas offsets and packed RGB (3 bytes/px). */
+  case class Frame(idx: Int, left: Int, top: Int, w: Int, h: Int,
+      interlaced: Boolean, rgb: Array[Byte])
+
+  val MaxFrames: Int = 1024
+  val MaxPixels: Long = 64L << 20
+
+  private final class Fail extends RuntimeException(null, null, false, false)
+  private val fail = new Fail
+  private def err(): Nothing = throw fail
+
+  def decode(bytes: Array[Byte]): Option[Vector[Frame]] =
+    try Some(run(bytes))
+    catch { case _: Fail => None }
+
+  private def run(b: Array[Byte]): Vector[Frame] = {
+    def u8(p: Int): Int = { if (p < 0 || p >= b.length) err(); b(p) & 0xff }
+    def u16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
+
+    if (b.length < 13 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != '8' || (b(4) != '7' && b(4) != '9') || b(5) != 'a') err()
+    val packed = u8(10)
+    var p = 13
+    val global: Array[Byte] =
+      if ((packed & 0x80) != 0) {
+        val n = 3 * (1 << ((packed & 7) + 1))
+        if (p + n > b.length) err()
+        val t = java.util.Arrays.copyOfRange(b, p, p + n)
+        p += n
+        t
+      } else null
+
+    /** Skip a sub-block chain, returning the position after its 0 end. */
+    def skipSubBlocks(q0: Int): Int = {
+      var q = q0
+      while (u8(q) != 0) q += 1 + u8(q)
+      q + 1
+    }
+
+    /** Concatenate a sub-block chain's payload. */
+    def readSubBlocks(q0: Int): (Array[Byte], Int) = {
+      val out = new java.io.ByteArrayOutputStream()
+      var q = q0
+      while (u8(q) != 0) {
+        val n = u8(q)
+        if (q + 1 + n > b.length) err()
+        out.write(b, q + 1, n)
+        q += 1 + n
+      }
+      (out.toByteArray, q + 1)
+    }
+
+    /** GIF LZW: LSB-first variable-width codes → `want` pixel indices. */
+    def lzw(data: Array[Byte], minCode: Int, want: Int): Array[Byte] = {
+      if (minCode < 2 || minCode > 8) err()
+      val clear = 1 << minCode
+      val end = clear + 1
+      // dictionary as (prefix link, appended byte); roots are self-terminal
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      val out = new Array[Byte](want)
+      var produced = 0
+      var cs = minCode + 1
+      var next = end + 1
+      var prev = -1
+      var acc = 0L
+      var nbits = 0
+      var dp = 0
+      val stack = new Array[Byte](4096)
+
+      def emitEntry(code0: Int, extra: Int): Unit = {
+        // walk the chain onto a stack, then pop in order
+        var top = 0
+        if (extra >= 0) { stack(top) = extra.toByte; top += 1 }
+        var c = code0
+        while (c >= clear + 2) {
+          if (top >= stack.length) err()
+          stack(top) = suffix(c); top += 1
+          c = prefix(c)
+        }
+        if (c >= clear) err()
+        if (top >= stack.length) err()
+        stack(top) = c.toByte; top += 1
+        while (top > 0) {
+          top -= 1
+          if (produced < want) { out(produced) = stack(top); produced += 1 }
+          else err() // more pixels than the frame declares
+        }
+      }
+      def firstByteOf(code: Int): Int = {
+        var c = code
+        while (c >= clear + 2) c = prefix(c)
+        if (c >= clear) err()
+        c
+      }
+
+      var done = false
+      while (!done) {
+        while (nbits < cs && dp < data.length) {
+          acc |= (data(dp) & 0xffL) << nbits
+          nbits += 8
+          dp += 1
+        }
+        if (nbits < cs) err() // ran out of bits before END
+        val code = (acc & ((1L << cs) - 1)).toInt
+        acc >>= cs
+        nbits -= cs
+        if (code == clear) {
+          cs = minCode + 1; next = end + 1; prev = -1
+        } else if (code == end) {
+          done = true
+        } else if (prev < 0) {
+          if (code >= clear) err() // first code after clear must be a root
+          emitEntry(code, -1)
+          prev = code
+        } else {
+          if (code > next || (code == next && next >= 4096)) err()
+          if (code == next) emitEntry(prev, firstByteOf(prev)) // kwkwk
+          else emitEntry(code, -1)
+          if (next < 4096) {
+            prefix(next) = prev
+            suffix(next) = (if (code == next) firstByteOf(prev)
+              else firstByteOf(code)).toByte
+            next += 1
+            if (next == (1 << cs) && cs < 12) cs += 1
+          }
+          prev = code
+        }
+      }
+      if (produced != want) err()
+      out
+    }
+
+    val frames = Vector.newBuilder[Frame]
+    var idx = 0
+    var pixelBudget = MaxPixels
+    var done = false
+    while (!done) {
+      u8(p) match {
+        case 0x3b => done = true
+        case 0x21 => // extension: label + sub-blocks
+          p = skipSubBlocks(p + 2)
+        case 0x2c =>
+          if (idx >= MaxFrames) err()
+          val left = u16(p + 1); val top = u16(p + 3)
+          val w = u16(p + 5); val h = u16(p + 7)
+          val fp = u8(p + 9)
+          p += 10
+          if (w == 0 || h == 0) err()
+          if (w.toLong * h > pixelBudget) err()
+          pixelBudget -= w.toLong * h
+          val palette: Array[Byte] =
+            if ((fp & 0x80) != 0) {
+              val n = 3 * (1 << ((fp & 7) + 1))
+              if (p + n > b.length) err()
+              val t = java.util.Arrays.copyOfRange(b, p, p + n)
+              p += n
+              t
+            } else if (global != null) global
+            else err() // no palette anywhere: undecodable
+          val minCode = u8(p)
+          p += 1
+          val (data, after) = readSubBlocks(p)
+          p = after
+          val interlaced = (fp & 0x40) != 0
+          val streamPix = lzw(data, minCode, w * h)
+          // indices → rows (deinterlace) → RGB
+          val rgb = new Array[Byte](3 * w * h)
+          val rowOrder: Seq[Int] =
+            if (!interlaced) 0 until h
+            else Seq((0, 8), (4, 8), (2, 4), (1, 2))
+              .flatMap { case (s, st) => s until h by st }
+          var src = 0
+          for (y <- rowOrder) {
+            var x = 0
+            while (x < w) {
+              val ci = streamPix(src) & 0xff
+              if (3 * ci + 2 >= palette.length) err()
+              val o = 3 * (y * w + x)
+              rgb(o) = palette(3 * ci)
+              rgb(o + 1) = palette(3 * ci + 1)
+              rgb(o + 2) = palette(3 * ci + 2)
+              src += 1; x += 1
+            }
+          }
+          frames += Frame(idx, left, top, w, h, interlaced, rgb)
+          idx += 1
+        case _ => err()
+      }
+    }
+    frames.result()
+  }
+}
