@@ -1072,6 +1072,31 @@ object MultimodalQueries {
       |  double_bits, str_val, bytes_len, bytes_md5
       |FROM read_parquet('${graft.Fixtures.base}/q_avro_read/golden/*.parquet')""".stripMargin
 
+  /** MediaWiki dump scan, oracle-graded per page — Wikipedia's
+    * `pages-articles.xml.bz2` exactly as published (the wiki slice of
+    * every serious pretraining mix: The Pile, RedPajama, Dolma).
+    * Fixtures in `tools/fixtures/q_wiki_pages/` are hand-assembled
+    * export XML (tools/wiki_golden.py escapes; [[graft.sources
+    * .WikiXml]] unescapes with a single left-to-right entity pass —
+    * the two must be exact inverses over the fixture's entity zoo:
+    * `&amp;#65;` must survive as literal `&#65;`, numeric decimal and
+    * hex entities must decode, a replace-chain would double-decode
+    * both). Multistream bzip2 (two concatenated members split
+    * mid-document), a redirect page, non-zero namespaces, a
+    * self-closed empty `<text/>`; a truncated shard and a
+    * non-mediawiki shard whose ABSENCE is graded. */
+  def qWikiPages(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readWikiDumps(spark, graft.Fixtures.path("q_wiki_pages"))
+      .select(col("shard"), col("page_id"), col("ns"), col("title"),
+        col("redirect"), length(col("text")).as("text_len"),
+        md5(col("text")).as("text_md5"))
+  }
+
+  val qWikiPagesSql: String =
+    s"""SELECT shard, page_id, ns, title, redirect, text_len, text_md5
+      |FROM read_parquet('${graft.Fixtures.base}/q_wiki_pages/golden/*.parquet')""".stripMargin
+
   /** GIF scan, oracle-graded per pixel — the web-corpus long-tail
     * image format a LAION-style crawl decodes or skips constantly,
     * and (animated) the smallest real frame-sample case. Fixtures in
@@ -1154,6 +1179,7 @@ object MultimodalQueries {
     "q_safetensors_read" -> (qSafetensorsRead _),
     "q_arrow_read" -> (qArrowRead _),
     "q_gif_decode" -> (qGifDecode _),
+    "q_wiki_pages" -> (qWikiPages _),
     "q_zip_scan" -> (qZipScan _),
     "q_tfrecord_read" -> (qTfrecordRead _),
     "q_webdataset" -> (qWebdataset _),
@@ -1186,6 +1212,7 @@ object MultimodalQueries {
     "q_safetensors_read" -> qSafetensorsReadSql,
     "q_arrow_read" -> qArrowReadSql,
     "q_gif_decode" -> qGifDecodeSql,
+    "q_wiki_pages" -> qWikiPagesSql,
     "q_zip_scan" -> qZipScanSql,
     "q_tfrecord_read" -> qTfrecordReadSql,
     "q_webdataset" -> qWebdatasetSql,

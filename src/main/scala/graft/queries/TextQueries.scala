@@ -1353,6 +1353,132 @@ object TextQueries {
       |    AS n_clean
       |FROM decoded""".stripMargin
 
+  /** Wikitext → plain text — the wiki sibling of [[qHtmlExtract]]:
+    * every pretraining mix carries a Wikipedia slice, and this is the
+    * transform between [[graft.sources.WikiXml]]'s page text and the
+    * text operators. Canonical rule chain, identical in both engines
+    * but implemented independently (Spark Column API vs DuckDB SQL):
+    * comments, `<ref>` blocks, then ITERATED innermost-first removal —
+    * templates `{{…}}` (nested: 5 rounds), tables `{|…|}`, and a
+    * 3-round link trio where each round first drops bracket-free
+    * NAMESPACED links (`[[File:…]]`, `[[Catégorie:…]]`), then
+    * rewrites piped links to their display text, then plain links to
+    * their target — so a caption's inner link resolves in round k and
+    * its File wrapper dies in round k+1, caption and all. External
+    * `[url label]` keeps the label; leftover tags strip; apostrophe
+    * bold/italic runs drop; heading `==` runs drop; the five
+    * predefined entities decode AFTER tag-stripping (amp last);
+    * whitespace collapses. Per-doc synthetic wikitext wraps the
+    * corpus text by the same deterministic formula in both engines —
+    * nested template, File link with an embedded piped link in its
+    * caption, table, category, external link, ref, comment, heading,
+    * entity trailer. Pure per-row regexp chains — codegen'd, no
+    * shuffle; at 100 TB this is a scan-stage transform. */
+  def qWikitextClean(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val id = col("doc_id").cast("string")
+    val raw: Column = concat(
+      lit("{{Infobox ville|nom=Doc "), id,
+      lit("|taille={{small|"), (col("doc_id") % 5).cast("string"),
+      lit("}}}}\n== Présentation ==\n'''Doc "),
+      id, lit("''' est une ''entrée''<ref name=\"s\">source &amp; détails</ref> du corpus.\n[[File:Carte "),
+      (col("doc_id") % 7).cast("string"),
+      lit(".png|thumb|Légende avec [[lien interne|texte]]]]\n"),
+      col("text"),
+      lit("\nVoir [[bassin arachidier|le bassin]] et [[Dakar]]. Site: [https://x.test/p?id="),
+      id, lit(" site officiel]\n<!-- commentaire <b>caché</b> -->\n{| class=\"wikitable\"\n|-\n| a || b\n|}\n[[Catégorie:Sénégal]] &lt;fin&gt; &amp;co"))
+    def rr(c: Column, pat: String, rep: String = " "): Column =
+      regexp_replace(c, pat, rep)
+    var c: Column = rr(raw, "<!--.*?-->")
+    c = rr(c, "<ref[^>]*/>")
+    c = rr(c, "<ref[^>]*>.*?</ref>")
+    for (_ <- 1 to 5) c = rr(c, "\\{\\{[^{}]*\\}\\}")
+    for (_ <- 1 to 2) c = rr(c, "\\{\\|[^{}]*\\|\\}")
+    for (_ <- 1 to 3) {
+      c = rr(c, "\\[\\[[^\\[\\]|:]*:[^\\[\\]]*\\]\\]")
+      c = rr(c, "\\[\\[[^\\[\\]|]*\\|([^\\[\\]]*)\\]\\]", "$1")
+      c = rr(c, "\\[\\[([^\\[\\]|]*)\\]\\]", "$1")
+    }
+    c = rr(c, "\\[https?://[^ \\]]* ([^\\]]*)\\]", "$1")
+    c = rr(c, "\\[https?://[^\\]]*\\]")
+    c = rr(c, "<[^>]+>")
+    c = rr(c, "''+", "")
+    c = rr(c, "==+")
+    c = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(c, "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+      "&#39;", "'"), "&amp;", "&")
+    c = trim(regexp_replace(c, "\\s+", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), length(raw).as("n_raw"), c.as("text_clean"))
+      .withColumn("n_clean", length(col("text_clean")))
+  }
+
+  val qWikitextCleanSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id, concat('{{Infobox ville|nom=Doc ', doc_id,
+      |    '|taille={{small|', doc_id % 5, '}}}}', chr(10),
+      |    '== Présentation ==', chr(10), repeat(chr(39),3), 'Doc ', doc_id,
+      |    repeat(chr(39),3), ' est une ', repeat(chr(39),2), 'entrée',
+      |    repeat(chr(39),2), '<ref name="s">source &amp; détails</ref>',
+      |    ' du corpus.', chr(10), '[[File:Carte ', doc_id % 7,
+      |    '.png|thumb|Légende avec [[lien interne|texte]]]]', chr(10),
+      |    text, chr(10),
+      |    'Voir [[bassin arachidier|le bassin]] et [[Dakar]].',
+      |    ' Site: [https://x.test/p?id=', doc_id, ' site officiel]',
+      |    chr(10), '<!-- commentaire <b>caché</b> -->', chr(10),
+      |    '{| class="wikitable"', chr(10), '|-', chr(10), '| a || b',
+      |    chr(10), '|}', chr(10),
+      |    '[[Catégorie:Sénégal]] &lt;fin&gt; &amp;co') AS w
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, w,
+      |  regexp_replace(regexp_replace(regexp_replace(w,
+      |    '<!--.*?-->', ' ', 'g'),
+      |    '<ref[^>]*/>', ' ', 'g'),
+      |    '<ref[^>]*>.*?</ref>', ' ', 'g') AS c FROM raw),
+      |s2 AS (SELECT doc_id, w,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(c,
+      |    '\{\{[^{}]*\}\}', ' ', 'g'), '\{\{[^{}]*\}\}', ' ', 'g'),
+      |    '\{\{[^{}]*\}\}', ' ', 'g'), '\{\{[^{}]*\}\}', ' ', 'g'),
+      |    '\{\{[^{}]*\}\}', ' ', 'g') AS c FROM s1),
+      |s3 AS (SELECT doc_id, w,
+      |  regexp_replace(regexp_replace(c,
+      |    '\{\|[^{}]*\|\}', ' ', 'g'), '\{\|[^{}]*\|\}', ' ', 'g')
+      |    AS c FROM s2),
+      |l1 AS (SELECT doc_id, w,
+      |  regexp_replace(regexp_replace(regexp_replace(c,
+      |    '\[\[[^\[\]|:]*:[^\[\]]*\]\]', ' ', 'g'),
+      |    '\[\[[^\[\]|]*\|([^\[\]]*)\]\]', '\1', 'g'),
+      |    '\[\[([^\[\]|]*)\]\]', '\1', 'g') AS c FROM s3),
+      |l2 AS (SELECT doc_id, w,
+      |  regexp_replace(regexp_replace(regexp_replace(c,
+      |    '\[\[[^\[\]|:]*:[^\[\]]*\]\]', ' ', 'g'),
+      |    '\[\[[^\[\]|]*\|([^\[\]]*)\]\]', '\1', 'g'),
+      |    '\[\[([^\[\]|]*)\]\]', '\1', 'g') AS c FROM l1),
+      |l3 AS (SELECT doc_id, w,
+      |  regexp_replace(regexp_replace(regexp_replace(c,
+      |    '\[\[[^\[\]|:]*:[^\[\]]*\]\]', ' ', 'g'),
+      |    '\[\[[^\[\]|]*\|([^\[\]]*)\]\]', '\1', 'g'),
+      |    '\[\[([^\[\]|]*)\]\]', '\1', 'g') AS c FROM l2),
+      |s4 AS (SELECT doc_id, w,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(c,
+      |    '\[https?://[^ \]]* ([^\]]*)\]', '\1', 'g'),
+      |    '\[https?://[^\]]*\]', ' ', 'g'),
+      |    '<[^>]+>', ' ', 'g'),
+      |    repeat(chr(39),2) || '+', '', 'g'),
+      |    '==+', ' ', 'g') AS c FROM l3),
+      |s5 AS (SELECT doc_id, w,
+      |  replace(replace(replace(replace(replace(c,
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |    '&#39;', chr(39)), '&amp;', '&') AS c FROM s4)
+      |SELECT doc_id, CAST(length(w) AS INT) AS n_raw,
+      |  trim(regexp_replace(c, '\s+', ' ', 'g')) AS text_clean,
+      |  CAST(length(trim(regexp_replace(c, '\s+', ' ', 'g'))) AS INT)
+      |    AS n_clean
+      |FROM s5""".stripMargin
+
   /** Edit-distance fuzzy near-dup join — the character-level member
     * of the dedup family (MinHash/SimHash are token/bit-level; OCR
     * noise, typo variants, and template drift show up as small edit
@@ -1751,6 +1877,7 @@ object TextQueries {
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_html_extract" -> (qHtmlExtract _),
+    "q_wikitext_clean" -> (qWikitextClean _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_cms_guarantee" -> (qCmsGuarantee _),
     "q_feature_hash" -> (qFeatureHash _),
@@ -1792,6 +1919,7 @@ object TextQueries {
     "q_fuzzy_join" -> qFuzzyJoinSql,
     "q_url_normalize" -> qUrlNormalizeSql,
     "q_html_extract" -> qHtmlExtractSql,
+    "q_wikitext_clean" -> qWikitextCleanSql,
     "q_bigram_lm" -> qBigramLmSql,
     "q_cms_guarantee" -> qCmsGuaranteeSql,
     "q_feature_hash" -> qFeatureHashSql,

@@ -345,6 +345,33 @@ object GeoIngest {
       }.toDF("shard", "line_idx", "line")
   }
 
+  /** MediaWiki dump scan — `pages-articles.xml.bz2` as Wikipedia
+    * actually publishes it (the wiki slice of every serious
+    * pretraining mix): distributed binaryFile scan over `*.xml.bz2`
+    * (+ plain `*.xml`), each shard bzip2-decompressed by
+    * [[Bz2Codec.decode]] and page-scanned by [[WikiXml.parse]]
+    * executor-side. A shard that is not a mediawiki document (or
+    * fails decompression) is skipped whole; a malformed page inside a
+    * valid dump is skipped alone. Output: (shard, page_id, ns, title,
+    * redirect, text). */
+  def readWikiDumps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xml*")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val shard = path.split('/').last
+        val xml =
+          if (shard.endsWith(".bz2")) Bz2Codec.decode(bytes)
+          else Some(bytes)
+        xml.map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+          .flatMap(WikiXml.parse).toSeq.flatten
+          .map(p => (shard, p.id, p.ns, p.title, p.redirect, p.text))
+      }.toDF("shard", "page_id", "ns", "title", "redirect", "text")
+  }
+
   /** WARC crawl-archive scan — the Common Crawl ingest front door:
     * distributed binaryFile scan over `.warc.gz` (one gzip member per
     * record; [[GzipCodec.decode]] concatenates members) and plain

@@ -15,7 +15,15 @@ class ScaleBenchSpec extends AnyFunSuite {
     "q_jpeg_decode",        // committed Pillow-written baseline JPEGs
     "q_jpeg_progressive",   // committed progressive-SOF2 goldens
     "q_warc_extract",       // committed Python-warcio-shaped WARC goldens
-    "q_jsonl_zst")          // committed python-zstandard-written shards
+    "q_jsonl_zst",          // committed python-zstandard-written shards
+    "q_tfrecord_read",      // committed hand-framed tf.train.Example shards
+    "q_zip_scan",           // committed Python-zipfile archives
+    "q_avro_read",          // committed hand-encoded Avro containers
+    "q_safetensors_read",   // committed hand-assembled safetensors shards
+    "q_arrow_read",         // committed pyarrow-written IPC files
+    "q_jsonl_bz2",          // committed Python-bz2-written shards
+    "q_gif_decode",         // committed hand-encoded GIF files
+    "q_wiki_pages")         // committed hand-assembled MediaWiki dumps
 
   test("Selected is duplicate-free and every name is a declared query") {
     assert(ScaleBench.Selected.distinct.size === ScaleBench.Selected.size)
