@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{Bf16ToFloats, CosineSimilarity, FloatsToBf16, FloatsToFp16, Fp16ToFloats, L2Squared}
+import graft.expressions.{Bf16ToFloats, CosineSimilarity, FloatsToBf16, FloatsToFp16, Fp16ToFloats, L2Squared, NfcNormalize, NfkcNormalize, StripAccents}
 
 /** Engine extension point, installed with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`:
@@ -44,6 +44,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bf16_pack"),
       new ExpressionInfo(classOf[FloatsToBf16].getName, "bf16_pack"),
       (children: Seq[Expression]) => FloatsToBf16(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("unicode_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "unicode_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("unicode_nfkc"),
+      new ExpressionInfo(classOf[NfkcNormalize].getName, "unicode_nfkc"),
+      (children: Seq[Expression]) => NfkcNormalize(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (children: Seq[Expression]) => StripAccents(children(0))))
     ext.injectOptimizerRule(_ => SimplifyBitmaskConjunction)
   }
 }

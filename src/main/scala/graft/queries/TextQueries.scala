@@ -1479,6 +1479,62 @@ object TextQueries {
       |    AS n_clean
       |FROM s5""".stripMargin
 
+  /** Unicode normalization — the step BEFORE every dedup hash (CCNet/
+    * Dolma/C4 all normalize first: "café" spelled precomposed and
+    * with a combining acute must hash identically or exact-dedup
+    * silently misses). Spark has no built-in normalizer, so
+    * `unicode_nfc` / `strip_accents` are native codegen'd Catalyst
+    * expressions ([[graft.expressions.UnicodeNorm]], injected via
+    * GraftExtensions) over `java.text.Normalizer`; DuckDB's
+    * `nfc_normalize` / `strip_accents` come from utf8proc — two
+    * INDEPENDENT Unicode implementations that must agree byte-for-
+    * byte over the fixture's combining zoo (acute, diaeresis, tilde,
+    * cedilla, multi-mark stacks) or the hash flips. The fold chain is
+    * the canonical dedup key: strip_accents(lower(nfc(s))). Per-row
+    * scalar work — codegen'd, no shuffle; at 100 TB this runs inside
+    * the scan stage of every dedup pass. */
+  def qUnicodeNorm(spark: SparkSession, dir: String): DataFrame = {
+    // combining sequences spelled as explicit escapes: a source-file
+    // normalization pass would otherwise silently precompose them and
+    // the fixture would stop exercising composition
+    val dirty = concat(col("text"),
+      lit(" caf"), lit("e\u0301"), // e + combining acute
+      lit(" u\u0308ber ga\u0303o"), // u + diaeresis, a + tilde
+      lit(" c\u0327a"), // c + cedilla
+      lit(" e\u0301\u0327tude"), // stacked marks, wrong canonical order
+      lit(" d\u00e9j\u00e0 vu")) // precomposed for contrast
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), dirty.as("dirty"))
+      .withColumn("nfc", expr("unicode_nfc(dirty)"))
+      .withColumn("folded", expr("strip_accents(lower(nfc))"))
+      .select(col("doc_id"),
+        length(col("dirty")).as("n_dirty"),
+        length(col("nfc")).as("n_nfc"),
+        md5(col("nfc")).as("nfc_md5"),
+        length(col("folded")).as("n_fold"),
+        md5(col("folded")).as("fold_md5"))
+  }
+
+  val qUnicodeNormSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, concat(text,
+      |    ' caf', 'e', chr(769),
+      |    ' u', chr(776), 'ber ga', chr(771), 'o',
+      |    ' c', chr(807), 'a',
+      |    ' e', chr(769), chr(807), 'tude',
+      |    ' déjà vu') AS dirty
+      |  FROM documents),
+      |n AS (SELECT doc_id, dirty, nfc_normalize(dirty) AS nfc FROM d),
+      |f AS (SELECT doc_id, dirty, nfc,
+      |        strip_accents(lower(nfc)) AS folded FROM n)
+      |SELECT doc_id,
+      |  CAST(length(dirty) AS INT) AS n_dirty,
+      |  CAST(length(nfc) AS INT) AS n_nfc,
+      |  md5(nfc) AS nfc_md5,
+      |  CAST(length(folded) AS INT) AS n_fold,
+      |  md5(folded) AS fold_md5
+      |FROM f""".stripMargin
+
   /** Edit-distance fuzzy near-dup join — the character-level member
     * of the dedup family (MinHash/SimHash are token/bit-level; OCR
     * noise, typo variants, and template drift show up as small edit
@@ -1878,6 +1934,7 @@ object TextQueries {
     "q_url_normalize" -> (qUrlNormalize _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_wikitext_clean" -> (qWikitextClean _),
+    "q_unicode_norm" -> (qUnicodeNorm _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_cms_guarantee" -> (qCmsGuarantee _),
     "q_feature_hash" -> (qFeatureHash _),
@@ -1920,6 +1977,7 @@ object TextQueries {
     "q_url_normalize" -> qUrlNormalizeSql,
     "q_html_extract" -> qHtmlExtractSql,
     "q_wikitext_clean" -> qWikitextCleanSql,
+    "q_unicode_norm" -> qUnicodeNormSql,
     "q_bigram_lm" -> qBigramLmSql,
     "q_cms_guarantee" -> qCmsGuaranteeSql,
     "q_feature_hash" -> qFeatureHashSql,
