@@ -218,6 +218,44 @@ object Sinks {
       java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
   }
 
+  /** Arrow IPC (Feather V2) shard sink — the columnar sibling of
+    * [[writeSafetensorsShards]]: per shard one record batch of
+    * `id` int64 + `embedding` fixed_size_list<float32, dim>, grouped
+    * `rowsPerShard` per shard, each partition writing its own
+    * `shard_<pid>_<i>.arrow` executor-side via
+    * [[ArrowWrite.encodeFile]] (from-scratch flatbuffers builder;
+    * pyarrow-readable — cross-validated in tools/arrow_golden.py),
+    * then the `_SUCCESS` marker. Expects (id: Long,
+    * embedding: Array[Float]) rows with a uniform dimension; the sink
+    * adds no shuffle — partition upstream by the ordering you want
+    * sharded. */
+  def writeArrowShards(df: DataFrame, dir: String, rowsPerShard: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col("id").cast("long"), col("embedding"))
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        it.grouped(rowsPerShard).zipWithIndex.foreach { case (group, i) =>
+          val n = group.size
+          val dim = group.head.getSeq[Float](1).length
+          val ids = new Array[Long](n)
+          val emb = new Array[Float](n * dim)
+          group.zipWithIndex.foreach { case (r, k) =>
+            ids(k) = r.getLong(0)
+            val v = r.getSeq[Float](1)
+            require(v.length == dim,
+              s"ragged embedding: ${v.length} != $dim in shard ${pid}_$i")
+            var j = 0
+            while (j < dim) { emb(k * dim + j) = v(j); j += 1 }
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"shard_${pid}_$i.arrow"),
+            ArrowWrite.encodeFile(ids, emb, dim))
+        }
+        Iterator.empty
+      }.count(): Unit
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+  }
+
   /** Compressed JSONL shard sink — the `.jsonl.gz` layout web-scale
     * text corpora ship in (the gzip member of the shard-sink family:
     * tar/npy/tiff/wav siblings around it): records land as JSON

@@ -191,6 +191,25 @@ with open(os.path.join(D, "table-00.arrow"), "rb") as fh:
 with open(os.path.join(D, "trunc-05.arrow"), "wb") as fh:
     fh.write(whole[:-60])
 
+# ---- sink cross-validation: sink-06.arrow is produced by the ENGINE's
+# own writer (ArrowWrite.encodeFile — from-scratch flatbuffers); golden
+# rows for it come from PYARROW's independent read, so the scan grade
+# pins writer and reader against the reference implementation at once.
+sink_path = os.path.join(D, "sink-06.arrow")
+if os.path.exists(sink_path):
+    t = ipc.open_file(sink_path).read_all()
+    ids = t.column("id").to_pylist()
+    embs = t.column("embedding").to_pylist()
+    assert t.schema.field("embedding").type == pa.list_(pa.float32(), 4)
+    for ri, (i64v, vec) in enumerate(zip(ids, embs)):
+        emit("sink-06.arrow", 0, "id", ri, None, "i64", i64v)
+        for ei, e in enumerate(vec):
+            emit("sink-06.arrow", 0, "embedding", ri, ei, "f32", e)
+    print("sink-06.arrow verified via pyarrow: %d rows" % len(ids))
+else:
+    raise SystemExit("sink-06.arrow missing — regenerate it with the "
+                     "ArrowWrite fixture writer before running this script")
+
 schema_g = pa.schema([
     ("file", pa.string()), ("batch", pa.int32()), ("col", pa.string()),
     ("row", pa.int64()), ("elem_idx", pa.int64()), ("vtype", pa.string()),
