@@ -1535,6 +1535,64 @@ object TextQueries {
       |  md5(folded) AS fold_md5
       |FROM f""".stripMargin
 
+  /** Sentence segmentation — the unit most quality filters operate on
+    * (Gopher's sentence stats, NeMo-Curator's sentence-level dedup,
+    * FineWeb's terminal-punctuation ratio all need sentence bounds
+    * first). Canonical rule, identical in both engines: a sentence is
+    * a maximal run of non-terminators plus its trailing `[.!?]` run
+    * (`[^.!?]+[.!?]*` — the final fragment without a terminator is a
+    * sentence too), trimmed, empties dropped BEFORE indexing so
+    * sent_idx is dense over kept sentences. Emitted per sentence with
+    * char and whitespace-token counts. Pure per-row regexp + explode —
+    * no shuffle; at 100 TB this is a scan-stage generator feeding the
+    * per-sentence filters. */
+  def qSentences(spark: SparkSession, dir: String): DataFrame = {
+    // the synthetic corpus carries no punctuation — inject terminators
+    // by the same deterministic formula in both engines so the
+    // splitter has real multi-sentence structure to segment
+    val punct = concat(
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        " table ", ". Table "),
+        " query ", "? Query "),
+        " value ", "! Value "),
+      lit("."))
+    val sents = filter(
+      transform(
+        regexp_extract_all(punct, lit("[^.!?]+[.!?]*"), lit(0)),
+        x => trim(x)),
+      x => x =!= "")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(sents).as(Seq("sent_idx", "sent")))
+      .select(col("doc_id"), col("sent_idx").cast("int").as("sent_idx"),
+        col("sent"), length(col("sent")).as("n_chars"),
+        size(regexp_extract_all(col("sent"), lit("\\S+"), lit(0)))
+          .as("n_toks"))
+  }
+
+  val qSentencesSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    concat(regexp_replace(regexp_replace(regexp_replace(text,
+      |      ' table ', '. Table ', 'g'),
+      |      ' query ', '? Query ', 'g'),
+      |      ' value ', '! Value ', 'g'), '.') AS punct
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(
+      |      regexp_extract_all(punct, '[^.!?]+[.!?]*'), x -> trim(x)),
+      |      x -> x != '') AS sents
+      |  FROM p),
+      |u AS (
+      |  SELECT doc_id,
+      |    unnest(range(len(sents))) AS i,
+      |    unnest(sents) AS sent
+      |  FROM s)
+      |SELECT doc_id, CAST(i AS INT) AS sent_idx, sent,
+      |  CAST(length(sent) AS INT) AS n_chars,
+      |  CAST(len(regexp_extract_all(sent, '\S+')) AS INT) AS n_toks
+      |FROM u""".stripMargin
+
   /** Edit-distance fuzzy near-dup join — the character-level member
     * of the dedup family (MinHash/SimHash are token/bit-level; OCR
     * noise, typo variants, and template drift show up as small edit
@@ -1935,6 +1993,7 @@ object TextQueries {
     "q_html_extract" -> (qHtmlExtract _),
     "q_wikitext_clean" -> (qWikitextClean _),
     "q_unicode_norm" -> (qUnicodeNorm _),
+    "q_sentences" -> (qSentences _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_cms_guarantee" -> (qCmsGuarantee _),
     "q_feature_hash" -> (qFeatureHash _),
@@ -1978,6 +2037,7 @@ object TextQueries {
     "q_html_extract" -> qHtmlExtractSql,
     "q_wikitext_clean" -> qWikitextCleanSql,
     "q_unicode_norm" -> qUnicodeNormSql,
+    "q_sentences" -> qSentencesSql,
     "q_bigram_lm" -> qBigramLmSql,
     "q_cms_guarantee" -> qCmsGuaranteeSql,
     "q_feature_hash" -> qFeatureHashSql,
