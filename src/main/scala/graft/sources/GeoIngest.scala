@@ -478,11 +478,20 @@ object GeoIngest {
     * all-or-nothing). Output: one row per tensor ELEMENT with the raw
     * little-endian bits zero-extended to a long, so every dtype
     * (f16/bf16/f32/f64/ints/bool) grades bit-exactly. */
-  def readSafetensorsFiles(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.safetensors")
-      .load(dir)
+  def readSafetensorsFiles(spark: SparkSession, dir: String): DataFrame =
+    decodeSafetensorsBatch(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.safetensors")
+        .load(dir))
+
+  /** One batch of (path, content) safetensors shards → per-element
+    * rows — shared by the batch scan above and the streaming ingest
+    * arm ([[graft.streaming.StreamingPipelines.safetensorsIngest]])
+    * so the two paths cannot drift. A corrupt shard decodes to
+    * nothing (whole-file skip). */
+  def decodeSafetensorsBatch(batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>

@@ -604,6 +604,17 @@ object StreamingPipelines {
     binaryShardIngest(spark, srcDir, "*.zst", destDir, checkpointDir,
       maxFilesPerTrigger)(graft.sources.GeoIngest.decodeJsonlZstBatch)
 
+  /** Streaming safetensors shard ingest — embedding/weight dumps
+    * landing as `.safetensors` shards (the tensor sibling of the
+    * webdataset arm), decoded to per-element rows per micro-batch,
+    * exactly-once; one decode shared with the batch path
+    * ([[graft.sources.GeoIngest.decodeSafetensorsBatch]]). */
+  def safetensorsIngest(spark: SparkSession, srcDir: String, destDir: String,
+                        checkpointDir: String,
+                        maxFilesPerTrigger: Int = 100): StreamingQuery =
+    binaryShardIngest(spark, srcDir, "*.safetensors", destDir, checkpointDir,
+      maxFilesPerTrigger)(graft.sources.GeoIngest.decodeSafetensorsBatch)
+
   /** Streaming `.jsonl.bz2` shard ingest — the bzip2 sibling of
     * [[zstIngest]] (Wikipedia-dump / pushshift delivery shape),
     * decoded to per-line rows per micro-batch, exactly-once; one

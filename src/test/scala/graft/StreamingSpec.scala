@@ -565,6 +565,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dest).count() == n1)
   }
 
+  test("safetensorsIngest streams tensor shards with batch parity and replay idempotence") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_st_src").toString
+    val dest = Files.createTempDirectory("graft_st_dest").toString
+    val ckpt = Files.createTempDirectory("graft_st_ckpt").toString
+    val fx = graft.Fixtures.path("q_safetensors_read")
+    for (f <- Seq("embed-00.safetensors", "weights-01.safetensors",
+                  "trunc-05.safetensors"))
+      Files.copy(java.nio.file.Paths.get(fx, f),
+        java.nio.file.Paths.get(src, f))
+
+    StreamingPipelines.safetensorsIngest(spark, src, dest, ckpt).awaitTermination()
+    val streamed = spark.read.parquet(dest)
+      .select("file", "tensor", "dtype", "shape", "elem_idx", "bits")
+    val batch = graft.sources.GeoIngest.readSafetensorsFiles(spark, src)
+    assert(streamed.count() > 0)
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty,
+      "streaming safetensors ingest diverged from the batch decode")
+    assert(streamed.filter($"file" === "trunc-05.safetensors").count() == 0,
+      "corrupt shard leaked elements")
+    // replay with the same checkpoint: nothing reprocessed
+    val n1 = streamed.count()
+    StreamingPipelines.safetensorsIngest(spark, src, dest, ckpt).awaitTermination()
+    assert(spark.read.parquet(dest).count() == n1)
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
