@@ -1072,6 +1072,68 @@ object MultimodalQueries {
       |  double_bits, str_val, bytes_len, bytes_md5
       |FROM read_parquet('${graft.Fixtures.base}/q_avro_read/golden/*.parquet')""".stripMargin
 
+  /** GIF encode→decode round-trip, oracle-graded — the corpus-driven
+    * scale path of the GIF family (q_gif_decode grades the committed
+    * foreign fixtures; THIS one scales with SF): each doc's
+    * characters map to palette indices, [[graft.sources.GifCodec]]
+    * encodes a real GIF89a (its LZW coder mirrors the decoder's
+    * growth/reset rules) and decodes it back, and the checksum runs
+    * over the decoded RGB BYTES through a formula palette — so any
+    * drift in the LZW round-trip, palette resolution, or row order
+    * flips the hash the oracle recomputes from the text alone.
+    * Distributed shape: per-row encode/decode fan-out, no shuffle. */
+  def qGifRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pal = Array.tabulate(16 * 3) { j =>
+      val i = j / 3
+      (j % 3 match {
+        case 0 => (i * 17) % 256
+        case 1 => (i * 29 + 3) % 256
+        case 2 => (i * 47 + 11) % 256
+      }).toByte
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .filter(_._2.length >= 6)
+      .map { case (id, text) =>
+        val w = text.length / 6
+        val n = 6 * w
+        val idx = new Array[Byte](n)
+        var p = 0
+        while (p < n) { idx(p) = (text.charAt(p) % 16).toByte; p += 1 }
+        val enc = graft.sources.GifCodec.encode(w, 6, pal, idx)
+        val dec = graft.sources.GifCodec.decode(enc)
+          .getOrElse(throw new IllegalStateException(s"own gif undecodable: $id"))
+          .head
+        var sum = 0L; var ck = 0L
+        var i = 0
+        while (i < dec.rgb.length) {
+          val v = dec.rgb(i) & 0xff
+          sum += v
+          ck = (ck * 31 + v) % 72057594037927931L
+          i += 1
+        }
+        require(enc.length > 13, s"doc $id: degenerate gif")
+        (id, dec.w, dec.h, sum, ck)
+      }
+      .toDF("doc_id", "width", "height", "px_sum", "checksum")
+  }
+
+  val qGifRoundtripSql: String =
+    """SELECT doc_id, CAST(length(text) // 6 AS INT) AS width, 6 AS height,
+      |  CAST(list_sum(vals) AS BIGINT) AS px_sum,
+      |  list_reduce(list_transform(vals, c -> CAST(c AS BIGINT)),
+      |              (a, c) -> (a * 31 + c) % 72057594037927931) AS checksum
+      |FROM (
+      |  SELECT doc_id, text,
+      |    flatten(list_transform(range((length(text) // 6) * 6),
+      |      i -> [((ascii(substr(text, i+1, 1)) % 16) * 17) % 256,
+      |            ((ascii(substr(text, i+1, 1)) % 16) * 29 + 3) % 256,
+      |            ((ascii(substr(text, i+1, 1)) % 16) * 47 + 11) % 256]))
+      |      AS vals
+      |  FROM documents WHERE length(text) >= 6)""".stripMargin
+
   /** MediaWiki dump scan, oracle-graded per page — Wikipedia's
     * `pages-articles.xml.bz2` exactly as published (the wiki slice of
     * every serious pretraining mix: The Pile, RedPajama, Dolma).
@@ -1180,6 +1242,7 @@ object MultimodalQueries {
     "q_arrow_read" -> (qArrowRead _),
     "q_gif_decode" -> (qGifDecode _),
     "q_wiki_pages" -> (qWikiPages _),
+    "q_gif_roundtrip" -> (qGifRoundtrip _),
     "q_zip_scan" -> (qZipScan _),
     "q_tfrecord_read" -> (qTfrecordRead _),
     "q_webdataset" -> (qWebdataset _),
@@ -1213,6 +1276,7 @@ object MultimodalQueries {
     "q_arrow_read" -> qArrowReadSql,
     "q_gif_decode" -> qGifDecodeSql,
     "q_wiki_pages" -> qWikiPagesSql,
+    "q_gif_roundtrip" -> qGifRoundtripSql,
     "q_zip_scan" -> qZipScanSql,
     "q_tfrecord_read" -> qTfrecordReadSql,
     "q_webdataset" -> qWebdatasetSql,

@@ -39,6 +39,103 @@ object GifCodec {
     try Some(run(bytes))
     catch { case _: Fail => None }
 
+  /** Encode one full-canvas frame as GIF89a: global palette (length a
+    * power of two ≥ 4 colors, 3 bytes each), one image descriptor, no
+    * interlace; the LZW coder mirrors the decoder's conventions
+    * exactly (early-grow at (1<<cs)+1, CLEAR + reset when the
+    * dictionary reaches 4096). Round-trip pinned by spec and by the
+    * corpus-driven q_gif_roundtrip oracle. */
+  def encode(w: Int, h: Int, palette: Array[Byte], indices: Array[Byte]): Array[Byte] = {
+    val colors = palette.length / 3
+    require(colors >= 4 && Integer.bitCount(colors) == 1 &&
+      palette.length == 3 * colors, s"palette must be a power of two: $colors")
+    require(indices.length == w * h, s"${indices.length} != $w x $h")
+    val bits = 31 - Integer.numberOfLeadingZeros(colors)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes)
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0x80 | (bits - 1)); out.write(0); out.write(0)
+    out.write(palette, 0, palette.length)
+    out.write(0x2c)
+    out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0) // no local table, no interlace
+    val minCode = math.max(2, bits)
+    out.write(minCode)
+    val data = lzwEncode(indices, minCode)
+    var p = 0
+    while (p < data.length) {
+      val k = math.min(255, data.length - p)
+      out.write(k)
+      out.write(data, p, k)
+      p += k
+    }
+    out.write(0)
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** GIF LZW encoder (LSB-first, variable width) — the exact mirror
+    * of the decoder's growth/reset rules. Dictionary is a hash on
+    * (prefix code, next byte). */
+  private def lzwEncode(indices: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nbits = 0
+    var cs = minCode + 1
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nbits
+      nbits += cs
+      while (nbits >= 8) { out.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+    }
+    var dict = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+    var next = end + 1
+    def reset(): Unit = {
+      dict = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+      next = end + 1; cs = minCode + 1
+    }
+    put(clear)
+    if (indices.nonEmpty) {
+      var cur = indices(0) & 0xff
+      var i = 1
+      while (i < indices.length) {
+        val c = indices(i) & 0xff
+        val key = java.lang.Long.valueOf((cur.toLong << 8) | c)
+        val hit = dict.get(key)
+        if (hit != null) {
+          cur = hit.intValue()
+        } else {
+          put(cur)
+          if (next < 4096) {
+            dict.put(key, next)
+            next += 1
+            if (next == (1 << cs) + 1 && cs < 12) cs += 1
+          } else {
+            put(clear); reset()
+          }
+          cur = c
+        }
+        i += 1
+      }
+      put(cur)
+      // the decoder ADDS an entry after reading this final code and
+      // may cross a width boundary before reading END — mirror that
+      // bookkeeping or END arrives one bit narrow (found by a real
+      // corpus doc whose stream ends exactly at the 256-entry line)
+      if (next < 4096) {
+        next += 1
+        if (next == (1 << cs) + 1 && cs < 12) cs += 1
+      }
+    }
+    put(end)
+    if (nbits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
   private def run(b: Array[Byte]): Vector[Frame] = {
     def u8(p: Int): Int = { if (p < 0 || p >= b.length) err(); b(p) & 0xff }
     def u16(p: Int): Int = u8(p) | (u8(p + 1) << 8)

@@ -95,6 +95,50 @@ class GifCodecSpec extends SparkSpec {
     }
   }
 
+  test("encoder round-trips through the decoder, including a dictionary-full stream") {
+    val pal = Array.tabulate(8 * 3)(j => ((j * 31 + 5) % 256).toByte)
+    // patterned frame
+    val idx = Array.tabulate(20 * 9)(k => ((k * 7 + k / 20) % 8).toByte)
+    val enc = GifCodec.encode(20, 9, pal, idx)
+    val f = GifCodec.decode(enc).get.head
+    assert(f.w == 20 && f.h == 9)
+    for (k <- idx.indices; c <- 0 to 2)
+      assert(f.rgb(3 * k + c) == pal(3 * (idx(k) & 0xff) + c), s"k=$k c=$c")
+    // pseudo-random frame large enough to fill the dictionary: the
+    // encoder must emit a mid-stream CLEAR the decoder survives
+    var st = 99L
+    val big = Array.tabulate(160 * 120) { _ =>
+      st = (st * 1103515245L + 12345L) & 0x7fffffffL
+      ((st >> 16) % 8).toByte
+    }
+    val enc2 = GifCodec.encode(160, 120, pal, big)
+    val f2 = GifCodec.decode(enc2).get.head
+    var ok = true
+    for (k <- big.indices)
+      ok &&= f2.rgb(3 * k) == pal(3 * (big(k) & 0xff))
+    assert(ok)
+    // empty-ish and single-color frames
+    val flat = GifCodec.encode(4, 3, pal, Array.fill(12)(5.toByte))
+    assert(GifCodec.decode(flat).get.head.rgb(0) == pal(15))
+  }
+
+  test("streams ending exactly on a width boundary round-trip (END-code width)") {
+    // sweep lengths of text-like repetitive data so some stream's final
+    // dictionary add lands exactly on the 2^cs line — the case where a
+    // naive encoder writes END one bit narrow (found via corpus doc 57)
+    val pal = Array.tabulate(16 * 3)(j => ((j * 13 + 1) % 256).toByte)
+    for (n <- 1 to 600) {
+      val idx = Array.tabulate(n)(k => ((k / 5 + k % 3) % 16).toByte)
+      val w = n
+      val enc = GifCodec.encode(w, 1, pal, idx)
+      val dec = GifCodec.decode(enc)
+      assert(dec.nonEmpty, s"n=$n refused")
+      val f = dec.get.head
+      for (k <- idx.indices)
+        assert(f.rgb(3 * k) == pal(3 * (idx(k) & 0xff)), s"n=$n k=$k")
+    }
+  }
+
   test("distributed ingest: per-pixel rows at canvas coords, corrupt files skipped") {
     val df = graft.sources.GeoIngest.readGifFiles(
       spark, graft.Fixtures.path("q_gif_decode"))

@@ -77,6 +77,13 @@ def lzw_encode(indices, min_code_size):
         w = bytes([c])
     if w:
         put(table[w], cs)
+        # the decoder adds an entry after this final code and may grow
+        # the width before reading END -- mirror it (same fix as the
+        # Scala encoder; streams ending on the 2^cs boundary need it)
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << cs) + 1 and cs < 12:
+                cs += 1
     put(end, cs)
     if nbits:
         out.append(acc & 0xFF)
