@@ -283,6 +283,33 @@ object Sinks {
       java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
   }
 
+  /** Zstd-compressed JSONL shard sink — the `.jsonl.zst` layout
+    * modern web corpora actually publish (RedPajama/Dolma/FineWeb),
+    * the zstd sibling of [[writeJsonlGz]]: records land as JSON
+    * lines, grouped `recordsPerShard` per shard, each partition
+    * writing its own `shard_<pid>_<i>.jsonl.zst` executor-side via
+    * [[ZstdCodec.encode]] (single frame, deterministic bytes —
+    * cross-read by pyarrow's zstd in tools/warc_golden.py), then the
+    * `_SUCCESS` marker. Expects (key, json) string rows; the sink
+    * adds no shuffle — partition upstream by the ordering you want
+    * sharded. */
+  def writeJsonlZst(df: DataFrame, dir: String, recordsPerShard: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col("key").cast("string"), col("json").cast("string"))
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        it.grouped(recordsPerShard).zipWithIndex.foreach { case (group, i) =>
+          val payload = group.map(_.getString(1)).mkString("", "\n", "\n")
+            .getBytes("UTF-8")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"shard_${pid}_$i.jsonl.zst"),
+            ZstdCodec.encode(payload))
+        }
+        Iterator.empty
+      }.count(): Unit
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+  }
+
   /** WAV clip sink: one real RIFF/PCM container per row, written
     * executor-side ([[WavCodec.encode]], byte-identical to Python
     * `wave`), `_SUCCESS` on completion — the audio member of the

@@ -25,13 +25,12 @@ package graft.sources
 object ZstdCodec {
 
   /** Encode one frame (used by round-trip specs and deterministic
-    * shard writers; level 3 = zstd default). */
-  def encode(data: Array[Byte], level: Int = 3): Array[Byte] = {
-    val bo = new java.io.ByteArrayOutputStream(data.length / 3 + 64)
-    val z = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(bo, level)
-    z.write(data); z.close()
-    bo.toByteArray
-  }
+    * shard writers; level 3 = zstd default). Single-shot, so the
+    * frame header carries the CONTENT SIZE — what downstream
+    * one-shot decompressors (pyarrow among them) need to allocate;
+    * the streaming OutputStream API would omit it. */
+  def encode(data: Array[Byte], level: Int = 3): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(data, level)
 
   /** Decode a zstd FILE — one or more back-to-back frames, skippable
     * frames allowed anywhere. None on empty input, truncation, CRC /

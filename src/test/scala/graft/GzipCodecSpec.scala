@@ -122,4 +122,25 @@ class GzipCodecSpec extends SparkSpec {
     assert(after < 20, "corrupt shard still contributed rows")
     assert(after > 0, "one corrupt shard killed the whole scan")
   }
+
+  test("zst sink→scan round-trip across partitions; frame carries content size") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jsonlzst").toString
+    val rows = (1 to 20).map(i => (f"k$i%03d", s"""{"i":$i}"""))
+    graft.sources.Sinks.writeJsonlZst(
+      rows.toDF("key", "json").repartition(3), dir, recordsPerShard = 4)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+    val back = graft.sources.GeoIngest.readJsonlZst(spark, dir)
+    assert(back.count() == 20)
+    assert(back.select("line").as[String].collect().toSet == rows.map(_._2).toSet)
+    // single-shot frames must carry the content size (FCS) so one-shot
+    // decompressors (pyarrow cross-reads the committed sink fixture)
+    // can allocate: descriptor FCS flag != 0 or single-segment set
+    val shard = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".zst")).findFirst().get()
+    val b = java.nio.file.Files.readAllBytes(shard)
+    val fhd = b(4) & 0xff
+    assert((fhd >> 6) != 0 || ((fhd >> 5) & 1) == 1, f"no FCS: fhd=$fhd%02x")
+  }
+
 }

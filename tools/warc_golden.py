@@ -311,6 +311,36 @@ def make_zst():
     with open(os.path.join(d, "corrupt-03.jsonl.zst"), "wb") as f:
         f.write(whole[:len(whole) - 7])
 
+    # sink cross-validation: sink-04.jsonl.zst is produced by the
+    # ENGINE's own writer (Sinks.writeJsonlZst via ZstdCodec.encode);
+    # golden rows come from PYARROW's independent decompression, so the
+    # scan grade pins writer and reader against real libzstd at once.
+    sink_path = os.path.join(d, "sink-04.jsonl.zst")
+    if not os.path.exists(sink_path):
+        raise SystemExit("sink-04.jsonl.zst missing — regenerate it with "
+                         "the writeJsonlZst fixture writer first")
+    with open(sink_path, "rb") as f:
+        blob = f.read()
+    assert blob[:4] == b"\x28\xb5\x2f\xfd", "not a zstd frame"
+    # frame-header content size (RFC 8878): descriptor byte -> FCS field
+    fhd = blob[4]
+    fcs_flag, single_seg = fhd >> 6, (fhd >> 5) & 1
+    p = 5 + (0 if single_seg else 1) + (0, 1, 2, 4)[fhd & 3]
+    if fcs_flag == 0:
+        size = blob[p] if single_seg else None
+    elif fcs_flag == 1:
+        size = int.from_bytes(blob[p:p + 2], "little") + 256
+    elif fcs_flag == 2:
+        size = int.from_bytes(blob[p:p + 4], "little")
+    else:
+        size = int.from_bytes(blob[p:p + 8], "little")
+    assert size is not None, "frame lacks a content size"
+    text = pa.Codec("zstd").decompress(blob, size, asbytes=True).decode()
+    sink_lines = [l for l in text.split("\n") if l]
+    record("sink-04.jsonl.zst", sink_lines)
+    print("sink-04.jsonl.zst verified via pyarrow/libzstd: %d lines"
+          % len(sink_lines))
+
     table = pa.table({
         "shard": pa.array([r[0] for r in rows], pa.string()),
         "line_idx": pa.array([r[1] for r in rows], pa.int64()),
