@@ -1072,6 +1072,25 @@ object MultimodalQueries {
       |  double_bits, str_val, bytes_len, bytes_md5
       |FROM read_parquet('${graft.Fixtures.base}/q_avro_read/golden/*.parquet')""".stripMargin
 
+  /** BMP scan, oracle-graded per pixel — the uncompressed DIB format
+    * web crawls still surface. Fixtures in
+    * `tools/fixtures/q_bmp_decode/` are hand-assembled per the public
+    * format by tools/bmp_golden.py (no imaging library):
+    * stride-padded 24-bit bottom-up, 8-bit and 1-bit indexed with
+    * BGRA palettes, top-down 32-bit BGRX, and RLE8 with runs,
+    * odd-count absolute mode, a delta skip over background, and an
+    * early end-of-line; a truncated file and a BI_BITFIELDS file
+    * whose ABSENCE is graded (whole-file refusal). */
+  def qBmpDecode(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readBmpFiles(spark, graft.Fixtures.path("q_bmp_decode"))
+      .select(col("file"), col("y"), col("x"), col("r"), col("g"), col("b"))
+  }
+
+  val qBmpDecodeSql: String =
+    s"""SELECT file, y, x, r, g, b
+      |FROM read_parquet('${graft.Fixtures.base}/q_bmp_decode/golden/*.parquet')""".stripMargin
+
   /** GIF encode→decode round-trip, oracle-graded — the corpus-driven
     * scale path of the GIF family (q_gif_decode grades the committed
     * foreign fixtures; THIS one scales with SF): each doc's
@@ -1243,6 +1262,7 @@ object MultimodalQueries {
     "q_gif_decode" -> (qGifDecode _),
     "q_wiki_pages" -> (qWikiPages _),
     "q_gif_roundtrip" -> (qGifRoundtrip _),
+    "q_bmp_decode" -> (qBmpDecode _),
     "q_zip_scan" -> (qZipScan _),
     "q_tfrecord_read" -> (qTfrecordRead _),
     "q_webdataset" -> (qWebdataset _),
@@ -1277,6 +1297,7 @@ object MultimodalQueries {
     "q_gif_decode" -> qGifDecodeSql,
     "q_wiki_pages" -> qWikiPagesSql,
     "q_gif_roundtrip" -> qGifRoundtripSql,
+    "q_bmp_decode" -> qBmpDecodeSql,
     "q_zip_scan" -> qZipScanSql,
     "q_tfrecord_read" -> qTfrecordReadSql,
     "q_webdataset" -> qWebdatasetSql,

@@ -418,6 +418,32 @@ object GeoIngest {
         "http_status", "mime", "payload")
   }
 
+  /** BMP scan — the uncompressed long-tail image format old sites and
+    * scanned-doc dumps still surface: distributed binaryFile scan
+    * over `*.bmp`, each decoded executor-side by [[BmpCodec.decode]]
+    * (indexed/BGR/BGRX/RLE8 envelope; whole-file refusal). Output:
+    * one row per pixel, top-down coordinates. */
+  def readBmpFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bmp")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.split('/').last
+        BmpCodec.decode(bytes).toSeq.flatMap { img =>
+          (0 until img.h).iterator.flatMap { y =>
+            (0 until img.w).iterator.map { x =>
+              val o = 3 * (y * img.w + x)
+              (file, y, x, img.rgb(o) & 0xff, img.rgb(o + 1) & 0xff,
+                img.rgb(o + 2) & 0xff)
+            }
+          }
+        }
+      }.toDF("file", "y", "x", "r", "g", "b")
+  }
+
   /** GIF scan — the web-corpus long-tail image format (and the
     * smallest real frame-sampling case: animated GIFs): distributed
     * binaryFile scan over `*.gif`, each decoded executor-side by

@@ -23,7 +23,8 @@ class ScaleBenchSpec extends AnyFunSuite {
     "q_arrow_read",         // committed pyarrow-written IPC files
     "q_jsonl_bz2",          // committed Python-bz2-written shards
     "q_gif_decode",         // committed hand-encoded GIF files
-    "q_wiki_pages")         // committed hand-assembled MediaWiki dumps
+    "q_wiki_pages",         // committed hand-assembled MediaWiki dumps
+    "q_bmp_decode")         // committed hand-assembled BMP files
 
   test("Selected is duplicate-free and every name is a declared query") {
     assert(ScaleBench.Selected.distinct.size === ScaleBench.Selected.size)
