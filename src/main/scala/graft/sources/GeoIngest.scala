@@ -259,20 +259,28 @@ object GeoIngest {
 
   /** Webdataset tar-shard scan (SURVEY §2.1 "webdataset tar scan",
     * dataops/dataset.py:31): distributed binaryFile scan over `.tar`
-    * shards, each archive parsed executor-side by
+    * shards — plus the compressed deliveries webdataset actually
+    * ships (`.tar.gz` / `.tgz` via [[GzipCodec]], `.tar.zst` via
+    * [[ZstdCodec]]) — each archive parsed executor-side by
     * [[TarCodec.decode]] and exploded into one row per
     * webdataset-grouped record part. Undecodable shards are skipped
-    * (None contract). Output: (shard, key, part, payload). */
+    * (None contract, at either layer). Output: (shard, key, part,
+    * payload). */
   def readTarShards(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tar")
+      .option("pathGlobFilter", "*.{tar,tar.gz,tgz,tar.zst}")
       .load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val shard = path.split('/').last
-        TarCodec.decode(bytes).toSeq.flatMap { members =>
+        val raw: Option[Array[Byte]] =
+          if (shard.endsWith(".tar.gz") || shard.endsWith(".tgz"))
+            GzipCodec.decode(bytes).map(_.data)
+          else if (shard.endsWith(".tar.zst")) ZstdCodec.decode(bytes)
+          else Some(bytes)
+        raw.flatMap(TarCodec.decode).toSeq.flatMap { members =>
           TarCodec.groupByKey(members).flatMap { case (key, parts) =>
             parts.map { case (part, data) => (shard, key, part, data) }
           }

@@ -99,4 +99,28 @@ class TarCodecSpec extends SparkSpec {
       s"lost records: ${back.keySet}")
     assert(back("doc_003") == "payload 3")
   }
+
+  test("compressed tar deliveries: .tar.gz/.tgz/.tar.zst scan alongside plain .tar") {
+    import spark.implicits._
+    val docs = (1 to 4).map(i => (f"cd_$i%02d", s"body $i".getBytes("US-ASCII")))
+      .toDF("key", "payload").coalesce(1)
+    val plain = Files.createTempDirectory("graft_tarc").toString
+    Sinks.writeTarShards(docs, plain, recordsPerShard = 10)
+    val tarBytes = Files.readAllBytes(
+      Files.list(Paths.get(plain)).filter(_.toString.endsWith(".tar"))
+        .findFirst().get())
+    val dir = Files.createTempDirectory("graft_tarmix").toString
+    Files.write(Paths.get(dir, "a.tar.gz"),
+      graft.sources.GzipCodec.encode("a.tar", tarBytes))
+    Files.write(Paths.get(dir, "b.tgz"),
+      graft.sources.GzipCodec.encode("b.tar", tarBytes))
+    Files.write(Paths.get(dir, "c.tar.zst"), graft.sources.ZstdCodec.encode(tarBytes))
+    Files.write(Paths.get(dir, "d.tar"), tarBytes)
+    // corrupt compressed shard: skipped at the gzip layer, scan survives
+    Files.write(Paths.get(dir, "bad.tar.gz"), "not gzip".getBytes("US-ASCII"))
+    val back = GeoIngest.readTarShards(spark, dir)
+    assert(back.count() == 4L * 4) // 4 good shards x 4 records
+    val shards = back.select("shard").distinct().collect().map(_.getString(0)).toSet
+    assert(shards == Set("a.tar.gz", "b.tgz", "c.tar.zst", "d.tar"))
+  }
 }
