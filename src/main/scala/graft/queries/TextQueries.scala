@@ -1593,6 +1593,43 @@ object TextQueries {
       |  CAST(len(regexp_extract_all(sent, '\S+')) AS INT) AS n_toks
       |FROM u""".stripMargin
 
+  /** Sentence-level exact dedup — the NeMo-Curator/Dolma pass that
+    * removes boilerplate SENTENCES repeated across documents (nav
+    * text, disclaimers, licence blurbs) where document-level dedup
+    * sees distinct docs. Composes [[qSentences]]: explode to
+    * sentences, group by the sentence's md5 (the 100 TB shape —
+    * shuffle carries a 16-byte key + counts, never the text), keep
+    * the first occurrence by (doc_id, sent_idx) encoded into one
+    * orderable long, report copies and the tokens dedup would save.
+    * One hash-keyed shuffle; map-side partial aggregation applies. */
+  def qSentenceDedup(spark: SparkSession, dir: String): DataFrame = {
+    val key = col("doc_id") * 1000000L + col("sent_idx")
+    qSentences(spark, dir)
+      .select(md5(col("sent")).as("sent_md5"), key.as("k"), col("n_toks"))
+      .groupBy(col("sent_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("k")).as("keep_k"),
+        first(col("n_toks")).as("toks"))
+      .filter(col("n_copies") >= 2)
+      .select(col("sent_md5"), col("n_copies"),
+        expr("keep_k div 1000000").as("keep_doc"),
+        (col("keep_k") % 1000000L).cast("int").as("keep_idx"),
+        ((col("n_copies") - 1) * col("toks")).as("toks_saved"))
+  }
+
+  val qSentenceDedupSql: String = {
+    val sentences = qSentencesSql
+    s"""WITH sent AS ($sentences)
+      |SELECT md5(sent) AS sent_md5,
+      |  count(*) AS n_copies,
+      |  CAST(min(doc_id * 1000000 + sent_idx) // 1000000 AS BIGINT)
+      |    AS keep_doc,
+      |  CAST(min(doc_id * 1000000 + sent_idx) % 1000000 AS INT) AS keep_idx,
+      |  (count(*) - 1) * CAST(min(n_toks) AS BIGINT) AS toks_saved
+      |FROM sent
+      |GROUP BY md5(sent)
+      |HAVING count(*) >= 2""".stripMargin
+  }
+
   /** Edit-distance fuzzy near-dup join — the character-level member
     * of the dedup family (MinHash/SimHash are token/bit-level; OCR
     * noise, typo variants, and template drift show up as small edit
@@ -1994,6 +2031,7 @@ object TextQueries {
     "q_wikitext_clean" -> (qWikitextClean _),
     "q_unicode_norm" -> (qUnicodeNorm _),
     "q_sentences" -> (qSentences _),
+    "q_sentence_dedup" -> (qSentenceDedup _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_cms_guarantee" -> (qCmsGuarantee _),
     "q_feature_hash" -> (qFeatureHash _),
@@ -2038,6 +2076,7 @@ object TextQueries {
     "q_wikitext_clean" -> qWikitextCleanSql,
     "q_unicode_norm" -> qUnicodeNormSql,
     "q_sentences" -> qSentencesSql,
+    "q_sentence_dedup" -> qSentenceDedupSql,
     "q_bigram_lm" -> qBigramLmSql,
     "q_cms_guarantee" -> qCmsGuaranteeSql,
     "q_feature_hash" -> qFeatureHashSql,

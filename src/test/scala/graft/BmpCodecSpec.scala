@@ -87,6 +87,16 @@ class BmpCodecSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(byFile == Map(
       "rgb24-00.bmp" -> 20L, "pal8-01.bmp" -> 21L, "mono-02.bmp" -> 55L,
-      "rgb32-03.bmp" -> 16L, "rle8-04.bmp" -> 40L))
+      "rgb32-03.bmp" -> 16L, "rle8-04.bmp" -> 40L, "pal4-07.bmp" -> 15L))
+  }
+
+  test("4-bit nibble packing decodes high-nibble-first with odd width") {
+    val img = BmpCodec.decode(fixture("pal4-07.bmp")).get
+    assert(img.w == 5 && img.h == 3 && img.bpp == 4)
+    // idx (x*2 + y*7) % 16, palette r = (i*17)%256
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val i = (x * 2 + y * 7) % 16
+      assert((img.rgb(3 * (y * 5 + x)) & 0xff) == (i * 17) % 256, s"$x,$y")
+    }
   }
 }

@@ -93,6 +93,21 @@ with open(os.path.join(D, "mono-02.bmp"), "wb") as f:
             + mono_quads + data)
 emit("mono-02.bmp", w, h, [MONO[i] for i in bits])
 
+# ---- pal4-07: 4-bit indexed, odd width (nibble packing + padding)
+w, h = 5, 3
+idx4 = [(x * 2 + y * 7) % 16 for y in range(h) for x in range(w)]
+stride = ((w * 4 + 31) // 32) * 4
+data = b""
+for y in reversed(range(h)):
+    row = bytearray(stride)
+    for x in range(w):
+        row[x // 2] |= idx4[y * w + x] << (4 if x % 2 == 0 else 0)
+    data += bytes(row)
+with open(os.path.join(D, "pal4-07.bmp"), "wb") as f:
+    f.write(headers(w, h, 4, palette_n=16, data_size=len(data))
+            + pal_quads + data)
+emit("pal4-07.bmp", w, h, [PAL[i] for i in idx4])
+
 # ---- rgb32-03: top-down BGRX
 w, h = 4, 4
 px = [((x * 63) % 256, (y * 77) % 256, (x * y * 13) % 256)
