@@ -211,9 +211,9 @@ object ArrowWrite {
     b.finish(b.endTable())
   }
 
-  /** One shard: ids + row-major embeddings → complete `.arrow` file
-    * bytes (magic, schema message, one record batch, footer). */
-  def encodeFile(ids: Array[Long], emb: Array[Float], dim: Int): Array[Byte] = {
+  /** Shared assembly: (schema message, batch message, body bytes). */
+  private def buildParts(ids: Array[Long], emb: Array[Float],
+      dim: Int): (Array[Byte], Array[Byte], Array[Byte]) = {
     val n = ids.length
     require(emb.length == n * dim, s"embedding buffer ${emb.length} != $n x $dim")
     val idBytes = 8 * n
@@ -253,6 +253,27 @@ object ArrowWrite {
     for (i <- 0 until n * dim) {
       le32(body, p, java.lang.Float.floatToRawIntBits(emb(i)).toLong); p += 4
     }
+    (schemaMsg, batchMsg, body)
+  }
+
+  /** One shard in the IPC STREAM framing — the HuggingFace-datasets
+    * cache shape: schema message, one record batch, end-of-stream
+    * marker; no footer, readable by `pyarrow.ipc.open_stream`. */
+  def encodeStream(ids: Array[Long], emb: Array[Float], dim: Int): Array[Byte] = {
+    val (schemaMsg, batchMsg, body) = buildParts(ids, emb, dim)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(schemaMsg)
+    out.write(batchMsg)
+    out.write(body)
+    out.write(Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0)) // EOS
+    out.toByteArray
+  }
+
+  /** One shard: ids + row-major embeddings → complete `.arrow` file
+    * bytes (magic, schema message, one record batch, footer). */
+  def encodeFile(ids: Array[Long], emb: Array[Float], dim: Int): Array[Byte] = {
+    val (schemaMsg, batchMsg, body) = buildParts(ids, emb, dim)
+    val bodyLen = body.length
 
     val batchOffset = 8 + schemaMsg.length
     val footerFb = {

@@ -228,8 +228,11 @@ object Sinks {
     * then the `_SUCCESS` marker. Expects (id: Long,
     * embedding: Array[Float]) rows with a uniform dimension; the sink
     * adds no shuffle — partition upstream by the ordering you want
-    * sharded. */
-  def writeArrowShards(df: DataFrame, dir: String, rowsPerShard: Int): Unit = {
+    * sharded. `stream = true` writes the IPC STREAM framing instead
+    * (the HF-datasets cache shape; same `.arrow` extension — readers
+    * dispatch on the magic). */
+  def writeArrowShards(df: DataFrame, dir: String, rowsPerShard: Int,
+      stream: Boolean = false): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     df.select(col("id").cast("long"), col("embedding"))
       .rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -248,7 +251,8 @@ object Sinks {
           }
           java.nio.file.Files.write(
             java.nio.file.Paths.get(dir, s"shard_${pid}_$i.arrow"),
-            ArrowWrite.encodeFile(ids, emb, dim))
+            if (stream) ArrowWrite.encodeStream(ids, emb, dim)
+            else ArrowWrite.encodeFile(ids, emb, dim))
         }
         Iterator.empty
       }.count(): Unit

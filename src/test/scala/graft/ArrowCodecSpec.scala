@@ -109,6 +109,22 @@ class ArrowCodecSpec extends SparkSpec {
       .sameElements(expected))
   }
 
+  test("stream-framing writer round-trips and matches the committed fixture") {
+    val ids = Array(5L, 6L)
+    val emb = Array(1.5f, -2.5f, 0.25f, 8f, 9f, 10f)
+    val bytes = graft.sources.ArrowWrite.encodeStream(ids, emb, 3)
+    val cells = ArrowCodec.decode(bytes).get
+    assert(cells.filter(_.col == "id").flatMap(_.bits) == Vector(5L, 6L))
+    assert(cells.count(_.col == "embedding") == 6)
+    // committed stream fixture stays byte-reproducible (pyarrow
+    // re-verifies it in tools/arrow_golden.py)
+    val n = 5; val dim = 2
+    val fids = Array.tabulate(n)(i => 900L + i)
+    val femb = Array.tabulate(n * dim)(k => (k % 13) * 0.5f - 2f)
+    assert(graft.sources.ArrowWrite.encodeStream(fids, femb, dim)
+      .sameElements(fixture("sinkstream-07.arrow")))
+  }
+
   test("sink writes shards the scan reads back; ids and values exact") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

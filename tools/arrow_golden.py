@@ -210,6 +210,25 @@ else:
     raise SystemExit("sink-06.arrow missing — regenerate it with the "
                      "ArrowWrite fixture writer before running this script")
 
+# sinkstream-07.arrow: the engine writer's STREAM framing (HF cache
+# shape), read back by pyarrow.ipc.open_stream — same cross-validation
+# discipline as sink-06
+stream_path = os.path.join(D, "sinkstream-07.arrow")
+if os.path.exists(stream_path):
+    t = ipc.open_stream(stream_path).read_all()
+    ids = t.column("id").to_pylist()
+    embs = t.column("embedding").to_pylist()
+    assert t.schema.field("embedding").type == pa.list_(pa.float32(), 2)
+    for ri, (i64v, vec) in enumerate(zip(ids, embs)):
+        emit("sinkstream-07.arrow", 0, "id", ri, None, "i64", i64v)
+        for ei, e in enumerate(vec):
+            emit("sinkstream-07.arrow", 0, "embedding", ri, ei, "f32", e)
+    print("sinkstream-07.arrow verified via pyarrow open_stream: %d rows"
+          % len(ids))
+else:
+    raise SystemExit("sinkstream-07.arrow missing — regenerate it with the "
+                     "ArrowWrite stream fixture writer first")
+
 schema_g = pa.schema([
     ("file", pa.string()), ("batch", pa.int32()), ("col", pa.string()),
     ("row", pa.int64()), ("elem_idx", pa.int64()), ("vtype", pa.string()),
