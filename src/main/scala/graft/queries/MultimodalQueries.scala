@@ -1116,7 +1116,7 @@ object MultimodalQueries {
       .as[(Long, String)]
       .filter(_._2.length >= 6)
       .map { case (id, text) =>
-        val w = text.length / 6
+        val w = math.min(text.length / 6, 65535) // GIF dims are u16
         val n = 6 * w
         val idx = new Array[Byte](n)
         var p = 0
@@ -1140,13 +1140,14 @@ object MultimodalQueries {
   }
 
   val qGifRoundtripSql: String =
-    """SELECT doc_id, CAST(length(text) // 6 AS INT) AS width, 6 AS height,
+    """SELECT doc_id, CAST(least(length(text) // 6, 65535) AS INT) AS width,
+      |  6 AS height,
       |  CAST(list_sum(vals) AS BIGINT) AS px_sum,
       |  list_reduce(list_transform(vals, c -> CAST(c AS BIGINT)),
       |              (a, c) -> (a * 31 + c) % 72057594037927931) AS checksum
       |FROM (
       |  SELECT doc_id, text,
-      |    flatten(list_transform(range((length(text) // 6) * 6),
+      |    flatten(list_transform(range(least(length(text) // 6, 65535) * 6),
       |      i -> [((ascii(substr(text, i+1, 1)) % 16) * 17) % 256,
       |            ((ascii(substr(text, i+1, 1)) % 16) * 29 + 3) % 256,
       |            ((ascii(substr(text, i+1, 1)) % 16) * 47 + 11) % 256]))

@@ -1538,14 +1538,16 @@ object TextQueries {
   /** Sentence segmentation — the unit most quality filters operate on
     * (Gopher's sentence stats, NeMo-Curator's sentence-level dedup,
     * FineWeb's terminal-punctuation ratio all need sentence bounds
-    * first). Canonical rule, identical in both engines: a sentence is
-    * a maximal run of non-terminators plus its trailing `[.!?]` run
-    * (`[^.!?]+[.!?]*` — the final fragment without a terminator is a
-    * sentence too), trimmed, empties dropped BEFORE indexing so
-    * sent_idx is dense over kept sentences. Emitted per sentence with
-    * char and whitespace-token counts. Pure per-row regexp + explode —
-    * no shuffle; at 100 TB this is a scan-stage generator feeding the
-    * per-sentence filters. */
+    * first). Canonical rule, identical in both engines: a sentence
+    * STARTS at a non-space non-terminator and runs through its
+    * trailing `[.!?]` run (`[^.!?\s][^.!?]*[.!?]*` — the final
+    * fragment without a terminator is a sentence too), then trims.
+    * The start anchor means matches are never empty, so sent_idx is
+    * dense straight off the match array — no higher-order
+    * filter/transform lambdas (those fall off whole-stage codegen;
+    * measured in round 13), just regexp_extract_all + posexplode +
+    * plain column functions. No shuffle; at 100 TB this is a
+    * scan-stage generator feeding the per-sentence filters. */
   def qSentences(spark: SparkSession, dir: String): DataFrame = {
     // the synthetic corpus carries no punctuation — inject terminators
     // by the same deterministic formula in both engines so the
@@ -1556,15 +1558,14 @@ object TextQueries {
         " query ", "? Query "),
         " value ", "! Value "),
       lit("."))
-    val sents = filter(
-      transform(
-        regexp_extract_all(punct, lit("[^.!?]+[.!?]*"), lit(0)),
-        x => trim(x)),
-      x => x =!= "")
+    val matches =
+      regexp_extract_all(punct, lit("[^.!?\\s][^.!?]*[.!?]*"), lit(0))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(sents).as(Seq("sent_idx", "sent")))
+      .select(col("doc_id"), posexplode(matches).as(Seq("sent_idx", "raw")))
       .select(col("doc_id"), col("sent_idx").cast("int").as("sent_idx"),
-        col("sent"), length(col("sent")).as("n_chars"),
+        trim(col("raw")).as("sent"))
+      .select(col("doc_id"), col("sent_idx"), col("sent"),
+        length(col("sent")).as("n_chars"),
         size(regexp_extract_all(col("sent"), lit("\\S+"), lit(0)))
           .as("n_toks"))
   }
@@ -1579,14 +1580,12 @@ object TextQueries {
       |  FROM documents),
       |s AS (
       |  SELECT doc_id,
-      |    list_filter(list_transform(
-      |      regexp_extract_all(punct, '[^.!?]+[.!?]*'), x -> trim(x)),
-      |      x -> x != '') AS sents
+      |    regexp_extract_all(punct, '[^.!?\s][^.!?]*[.!?]*') AS sents
       |  FROM p),
       |u AS (
       |  SELECT doc_id,
       |    unnest(range(len(sents))) AS i,
-      |    unnest(sents) AS sent
+      |    trim(unnest(sents)) AS sent
       |  FROM s)
       |SELECT doc_id, CAST(i AS INT) AS sent_idx, sent,
       |  CAST(length(sent) AS INT) AS n_chars,

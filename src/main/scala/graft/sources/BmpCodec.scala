@@ -38,6 +38,10 @@ object BmpCodec {
 
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') err()
     val dataOff = i32(10)
+    // a negative/out-of-file offset must refuse HERE: the 24/32-bit
+    // branch reads pixel bytes raw, and `dataOff.toLong + size > len`
+    // alone lets a negative offset through to an AIOOBE
+    if (dataOff < 14 || dataOff > b.length) err()
     val hdrSize = i32(14)
     if (hdrSize < 40 || hdrSize > 256) err() // v3/v4/v5 info headers
     val w = i32(18)

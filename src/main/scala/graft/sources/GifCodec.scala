@@ -49,6 +49,8 @@ object GifCodec {
     val colors = palette.length / 3
     require(colors >= 4 && Integer.bitCount(colors) == 1 &&
       palette.length == 3 * colors, s"palette must be a power of two: $colors")
+    require(w >= 1 && w <= 0xffff && h >= 1 && h <= 0xffff,
+      s"GIF dimensions are u16: $w x $h") // silent wrap would declare w=0
     require(indices.length == w * h, s"${indices.length} != $w x $h")
     val bits = 31 - Integer.numberOfLeadingZeros(colors)
     val out = new java.io.ByteArrayOutputStream()

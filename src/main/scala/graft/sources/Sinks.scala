@@ -195,6 +195,8 @@ object Sinks {
         it.grouped(rowsPerShard).zipWithIndex.foreach { case (group, i) =>
           val n = group.size
           val dim = group.head.getSeq[Float](1).length
+          require(n.toLong * dim * 4 <= Int.MaxValue,
+            s"shard too large: $n x $dim floats — lower rowsPerShard")
           val emb = java.nio.ByteBuffer.allocate(n * dim * 4)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
           val ids = java.nio.ByteBuffer.allocate(n * 8)
@@ -239,6 +241,8 @@ object Sinks {
         it.grouped(rowsPerShard).zipWithIndex.foreach { case (group, i) =>
           val n = group.size
           val dim = group.head.getSeq[Float](1).length
+          require(n.toLong * dim * 4 <= Int.MaxValue,
+            s"shard too large: $n x $dim floats — lower rowsPerShard")
           val ids = new Array[Long](n)
           val emb = new Array[Float](n * dim)
           group.zipWithIndex.foreach { case (r, k) =>

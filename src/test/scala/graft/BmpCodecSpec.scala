@@ -65,6 +65,11 @@ class BmpCodecSpec extends SparkSpec {
     val zw = fixture("rgb24-00.bmp").clone()
     zw(18) = 0; zw(19) = 0; zw(20) = 0; zw(21) = 0
     assert(BmpCodec.decode(zw).isEmpty)
+    // negative pixel-data offset: the 24-bit branch reads raw, so the
+    // header gate must refuse (review finding — was an AIOOBE escape)
+    val neg = fixture("rgb24-00.bmp").clone()
+    neg(10) = 0xf0.toByte; neg(11) = -1; neg(12) = -1; neg(13) = -1
+    assert(BmpCodec.decode(neg).isEmpty)
   }
 
   test("hostile bytes never throw: truncations and single-byte fuzz") {

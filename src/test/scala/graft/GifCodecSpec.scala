@@ -120,6 +120,10 @@ class GifCodecSpec extends SparkSpec {
     // empty-ish and single-color frames
     val flat = GifCodec.encode(4, 3, pal, Array.fill(12)(5.toByte))
     assert(GifCodec.decode(flat).get.head.rgb(0) == pal(15))
+    // u16 dimension fields: oversize must fail fast, not wrap to w=0
+    intercept[IllegalArgumentException] {
+      GifCodec.encode(65536, 1, pal, new Array[Byte](65536))
+    }
   }
 
   test("streams ending exactly on a width boundary round-trip (END-code width)") {
