@@ -362,11 +362,20 @@ object GeoIngest {
     * fails decompression) is skipped whole; a malformed page inside a
     * valid dump is skipped alone. Output: (shard, page_id, ns, title,
     * redirect, text). */
-  def readWikiDumps(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.xml*")
-      .load(dir)
+  def readWikiDumps(spark: SparkSession, dir: String): DataFrame =
+    decodeWikiBatch(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.xml*")
+        .load(dir))
+
+  /** One batch of (path, content) dump shards → per-page rows —
+    * shared by the batch scan above and the streaming ingest arm
+    * ([[graft.streaming.StreamingPipelines.wikiIngest]]) so the two
+    * paths cannot drift. A non-mediawiki or corrupt shard decodes to
+    * nothing (per-shard skip); a malformed page degrades alone. */
+  def decodeWikiBatch(batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
@@ -487,11 +496,20 @@ object GeoIngest {
     * dictionary encoding, or compressed bodies). Output: one row per
     * value cell, raw LE bits zero-extended to a long (bit-exact for
     * every numeric type), strings as UTF-8, binary as hex. */
-  def readArrowFiles(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.arrow")
-      .load(dir)
+  def readArrowFiles(spark: SparkSession, dir: String): DataFrame =
+    decodeArrowBatch(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.arrow")
+        .load(dir))
+
+  /** One batch of (path, content) Arrow objects → per-cell rows —
+    * shared by the batch scan above and the streaming ingest arm
+    * ([[graft.streaming.StreamingPipelines.arrowIngest]]) so the two
+    * paths cannot drift. A corrupt object decodes to nothing
+    * (whole-file skip). */
+  def decodeArrowBatch(batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>

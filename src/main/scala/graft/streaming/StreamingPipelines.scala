@@ -604,6 +604,26 @@ object StreamingPipelines {
     binaryShardIngest(spark, srcDir, "*.zst", destDir, checkpointDir,
       maxFilesPerTrigger)(graft.sources.GeoIngest.decodeJsonlZstBatch)
 
+  /** Streaming Arrow shard ingest — Feather V2 exports or HF-cache
+    * stream files landing as `.arrow` shards, decoded to per-cell
+    * rows per micro-batch, exactly-once; one decode shared with the
+    * batch path ([[graft.sources.GeoIngest.decodeArrowBatch]]). */
+  def arrowIngest(spark: SparkSession, srcDir: String, destDir: String,
+                  checkpointDir: String,
+                  maxFilesPerTrigger: Int = 100): StreamingQuery =
+    binaryShardIngest(spark, srcDir, "*.arrow", destDir, checkpointDir,
+      maxFilesPerTrigger)(graft.sources.GeoIngest.decodeArrowBatch)
+
+  /** Streaming MediaWiki dump ingest — `pages-articles` shards landing
+    * as `.xml.bz2`, parsed to per-page rows per micro-batch,
+    * exactly-once; one decode shared with the batch path
+    * ([[graft.sources.GeoIngest.decodeWikiBatch]]). */
+  def wikiIngest(spark: SparkSession, srcDir: String, destDir: String,
+                 checkpointDir: String,
+                 maxFilesPerTrigger: Int = 100): StreamingQuery =
+    binaryShardIngest(spark, srcDir, "*.xml*", destDir, checkpointDir,
+      maxFilesPerTrigger)(graft.sources.GeoIngest.decodeWikiBatch)
+
   /** Streaming safetensors shard ingest — embedding/weight dumps
     * landing as `.safetensors` shards (the tensor sibling of the
     * webdataset arm), decoded to per-element rows per micro-batch,

@@ -591,6 +591,44 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dest).count() == n1)
   }
 
+  test("arrowIngest and wikiIngest stream shards with batch parity") {
+    import spark.implicits._
+    // arrow
+    val asrc = Files.createTempDirectory("graft_ar_src").toString
+    val adest = Files.createTempDirectory("graft_ar_dest").toString
+    val ackpt = Files.createTempDirectory("graft_ar_ckpt").toString
+    val afx = graft.Fixtures.path("q_arrow_read")
+    for (f <- Seq("table-00.arrow", "stream-02.arrow", "trunc-05.arrow"))
+      Files.copy(java.nio.file.Paths.get(afx, f),
+        java.nio.file.Paths.get(asrc, f))
+    StreamingPipelines.arrowIngest(spark, asrc, adest, ackpt).awaitTermination()
+    val astreamed = spark.read.parquet(adest)
+      .select("file", "batch", "col", "row", "elem_idx", "vtype",
+        "is_null", "bits", "str_val")
+    val abatch = graft.sources.GeoIngest.readArrowFiles(spark, asrc)
+    assert(astreamed.count() > 0)
+    assert(abatch.exceptAll(astreamed).isEmpty &&
+      astreamed.exceptAll(abatch).isEmpty,
+      "streaming arrow ingest diverged from the batch decode")
+    assert(astreamed.filter($"file" === "trunc-05.arrow").count() == 0)
+    // wiki
+    val wsrc = Files.createTempDirectory("graft_wk_src").toString
+    val wdest = Files.createTempDirectory("graft_wk_dest").toString
+    val wckpt = Files.createTempDirectory("graft_wk_ckpt").toString
+    val wfx = graft.Fixtures.path("q_wiki_pages")
+    for (f <- Seq("wiki-00.xml.bz2", "wiki-01.xml.bz2", "corrupt-02.xml.bz2"))
+      Files.copy(java.nio.file.Paths.get(wfx, f),
+        java.nio.file.Paths.get(wsrc, f))
+    StreamingPipelines.wikiIngest(spark, wsrc, wdest, wckpt).awaitTermination()
+    val wstreamed = spark.read.parquet(wdest)
+      .select("shard", "page_id", "ns", "title", "redirect", "text")
+    val wbatch = graft.sources.GeoIngest.readWikiDumps(spark, wsrc)
+    assert(wstreamed.count() == 8)
+    assert(wbatch.exceptAll(wstreamed).isEmpty &&
+      wstreamed.exceptAll(wbatch).isEmpty,
+      "streaming wiki ingest diverged from the batch decode")
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
