@@ -1154,6 +1154,139 @@ object MultimodalQueries {
       |      AS vals
       |  FROM documents WHERE length(text) >= 6)""".stripMargin
 
+  /** safetensors shard round-trip, oracle-graded per shard group —
+    * the corpus-driven scale path of the safetensors WRITE surface
+    * (q_safetensors_read grades committed fixtures; THIS one scales
+    * with SF): each vec_id%16 group stacks its embeddings into the
+    * sink's exact layout (embeddings F32 [n,dim] + ids I64 [n]),
+    * encodes through [[graft.sources.SafetensorsCodec.encode]],
+    * decodes straight back, and folds a rolling checksum over the
+    * decoded element stream (embeddings row-major, then ids) in
+    * vec_id order — so any drift in the canonical header, span
+    * layout, or bit packing flips the hash the oracle recomputes from
+    * the embeddings table alone. The shard byte length is ALSO graded
+    * (the canonical header makes it computable in SQL — a one-byte
+    * header change fails the oracle). The group count is the
+    * parallelism knob at 100 TB; one keyed shuffle. */
+  def qSafetensorsRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .groupByKey(_._1 % 16)
+      .mapGroups { (grp, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val n = rows.length
+        val dim = rows.head._2.length
+        val emb = java.nio.ByteBuffer.allocate(n * dim * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val ids = java.nio.ByteBuffer.allocate(n * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        rows.foreach { case (id, v) => v.foreach(emb.putFloat); ids.putLong(id) }
+        val bytes = graft.sources.SafetensorsCodec.encode(Seq(
+          ("embeddings", "F32", Seq(n.toLong, dim.toLong), emb.array()),
+          ("ids", "I64", Seq(n.toLong), ids.array())))
+        val es = graft.sources.SafetensorsCodec.decode(bytes)
+          .getOrElse(throw new IllegalStateException(s"own shard undecodable: $grp"))
+        var ck = 0L
+        var qsum = 0L
+        es.foreach { e =>
+          val q =
+            if (e.dtype == "F32") {
+              val f = java.lang.Float.intBitsToFloat(e.bits.toInt)
+              val x = math.floor(f.toDouble * 1e6).toLong
+              qsum += x
+              x
+            } else e.bits
+          ck = (ck * 31 + q) % 72057594037927931L
+        }
+        (grp, n, bytes.length, qsum, ck)
+      }
+      .toDF("grp", "n_rows", "shard_bytes", "qsum", "ck")
+  }
+
+  val qSafetensorsRoundtripSql: String =
+    """WITH g AS (
+      |  SELECT vec_id % 16 AS grp,
+      |    count(*) AS n,
+      |    any_value(len(embedding)) AS d,
+      |    flatten(list(list_transform(embedding,
+      |      v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))
+      |      ORDER BY vec_id)) AS qs,
+      |    list(vec_id ORDER BY vec_id) AS ids
+      |  FROM embeddings GROUP BY 1)
+      |SELECT grp, CAST(n AS INT) AS n_rows,
+      |  CAST(8 + length(concat('{"embeddings":{"dtype":"F32","shape":[',
+      |    n, ',', d, '],"data_offsets":[0,', 4 * n * d,
+      |    ']},"ids":{"dtype":"I64","shape":[', n, '],"data_offsets":[',
+      |    4 * n * d, ',', 4 * n * d + 8 * n, ']}}'))
+      |    + 4 * n * d + 8 * n AS INT) AS shard_bytes,
+      |  CAST(list_sum(qs) AS BIGINT) AS qsum,
+      |  list_reduce(qs || ids, (a, c) -> (a * 31 + c) % 72057594037927931)
+      |    AS ck
+      |FROM g""".stripMargin
+
+  /** Arrow shard round-trip, oracle-graded per shard group — the
+    * corpus-driven scale path of the Arrow WRITE surface: each
+    * vec_id%16 group encodes through [[graft.sources.ArrowWrite
+    * .encodeFile]] (full Feather V2: flatbuffers schema/batch/footer)
+    * and decodes back through the scan codec; the rolling checksum
+    * folds the decoded cell stream in the codec's emission order (id
+    * column, then embeddings row-major) so any drift in the builder's
+    * vtables, buffer layout, or body offsets flips the hash the
+    * oracle recomputes from the embeddings table alone. One keyed
+    * shuffle; group count is the 100 TB knob. */
+  def qArrowRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .groupByKey(_._1 % 16)
+      .mapGroups { (grp, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val n = rows.length
+        val dim = rows.head._2.length
+        val ids = rows.map(_._1)
+        val emb = new Array[Float](n * dim)
+        var k = 0
+        rows.foreach { case (_, v) => v.foreach { f => emb(k) = f; k += 1 } }
+        val bytes = graft.sources.ArrowWrite.encodeFile(ids, emb, dim)
+        val cells = graft.sources.ArrowCodec.decode(bytes)
+          .getOrElse(throw new IllegalStateException(s"own arrow undecodable: $grp"))
+        var ck = 0L
+        var qsum = 0L
+        cells.foreach { c =>
+          val q =
+            if (c.vtype == "f32") {
+              val f = java.lang.Float.intBitsToFloat(c.bits.get.toInt)
+              val x = math.floor(f.toDouble * 1e6).toLong
+              qsum += x
+              x
+            } else c.bits.get
+          ck = (ck * 31 + q) % 72057594037927931L
+        }
+        (grp, n, cells.size, qsum, ck)
+      }
+      .toDF("grp", "n_rows", "n_cells", "qsum", "ck")
+  }
+
+  val qArrowRoundtripSql: String =
+    """WITH g AS (
+      |  SELECT vec_id % 16 AS grp,
+      |    count(*) AS n,
+      |    any_value(len(embedding)) AS d,
+      |    flatten(list(list_transform(embedding,
+      |      v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))
+      |      ORDER BY vec_id)) AS qs,
+      |    list(vec_id ORDER BY vec_id) AS ids
+      |  FROM embeddings GROUP BY 1)
+      |SELECT grp, CAST(n AS INT) AS n_rows,
+      |  CAST(n * (1 + d) AS INT) AS n_cells,
+      |  CAST(list_sum(qs) AS BIGINT) AS qsum,
+      |  list_reduce(ids || qs, (a, c) -> (a * 31 + c) % 72057594037927931)
+      |    AS ck
+      |FROM g""".stripMargin
+
   /** MediaWiki dump scan, oracle-graded per page — Wikipedia's
     * `pages-articles.xml.bz2` exactly as published (the wiki slice of
     * every serious pretraining mix: The Pile, RedPajama, Dolma).
@@ -1264,6 +1397,8 @@ object MultimodalQueries {
     "q_wiki_pages" -> (qWikiPages _),
     "q_gif_roundtrip" -> (qGifRoundtrip _),
     "q_bmp_decode" -> (qBmpDecode _),
+    "q_safetensors_roundtrip" -> (qSafetensorsRoundtrip _),
+    "q_arrow_roundtrip" -> (qArrowRoundtrip _),
     "q_zip_scan" -> (qZipScan _),
     "q_tfrecord_read" -> (qTfrecordRead _),
     "q_webdataset" -> (qWebdataset _),
@@ -1299,6 +1434,8 @@ object MultimodalQueries {
     "q_wiki_pages" -> qWikiPagesSql,
     "q_gif_roundtrip" -> qGifRoundtripSql,
     "q_bmp_decode" -> qBmpDecodeSql,
+    "q_safetensors_roundtrip" -> qSafetensorsRoundtripSql,
+    "q_arrow_roundtrip" -> qArrowRoundtripSql,
     "q_zip_scan" -> qZipScanSql,
     "q_tfrecord_read" -> qTfrecordReadSql,
     "q_webdataset" -> qWebdatasetSql,
