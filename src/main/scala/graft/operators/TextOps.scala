@@ -15,6 +15,40 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** The canonical wikitext → plain-text chain (shared by the
+    * synthetic-corpus q_wikitext_clean and the real-dump q_wiki_clean
+    * so the rule set cannot fork): comments, `<ref>` blocks, iterated
+    * innermost-first template/table removal, the 3-round link trio
+    * (namespaced links die bracket-free one round after their
+    * captions' inner links resolve), external-link labels, leftover
+    * tags, apostrophe runs, heading `==` runs, the five predefined
+    * entities AFTER tag-stripping (amp last), whitespace collapse.
+    * Pure regexp_replace chain — codegen'd, no HOF lambdas. The
+    * DuckDB mirror lives in TextQueries.wikitextCleanSqlFor. */
+  def wikitextClean(raw: Column): Column = {
+    def rr(c: Column, pat: String, rep: String = " "): Column =
+      regexp_replace(c, pat, rep)
+    var c: Column = rr(raw, "<!--.*?-->")
+    c = rr(c, "<ref[^>]*/>")
+    c = rr(c, "<ref[^>]*>.*?</ref>")
+    for (_ <- 1 to 5) c = rr(c, "\\{\\{[^{}]*\\}\\}")
+    for (_ <- 1 to 2) c = rr(c, "\\{\\|[^{}]*\\|\\}")
+    for (_ <- 1 to 3) {
+      c = rr(c, "\\[\\[[^\\[\\]|:]*:[^\\[\\]]*\\]\\]")
+      c = rr(c, "\\[\\[[^\\[\\]|]*\\|([^\\[\\]]*)\\]\\]", "$1")
+      c = rr(c, "\\[\\[([^\\[\\]|]*)\\]\\]", "$1")
+    }
+    c = rr(c, "\\[https?://[^ \\]]* ([^\\]]*)\\]", "$1")
+    c = rr(c, "\\[https?://[^\\]]*\\]")
+    c = rr(c, "<[^>]+>")
+    c = rr(c, "''+", "")
+    c = rr(c, "==+")
+    c = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(c, "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+      "&#39;", "'"), "&amp;", "&")
+    trim(regexp_replace(c, "\\s+", " "))
+  }
+
   /** Whitespace tokens (the reference tokenizes with `split`,
     * monthly.py:666; `\S+` avoids empty tokens on both engines). */
   def tokens(text: Column): Column =

@@ -1312,6 +1312,31 @@ object MultimodalQueries {
     s"""SELECT shard, page_id, ns, title, redirect, text_len, text_md5
       |FROM read_parquet('${graft.Fixtures.base}/q_wiki_pages/golden/*.parquet')""".stripMargin
 
+  /** End-to-end wiki ingest: dump parse → wikitext clean, oracle-
+    * graded per page over REAL wikitext (templates, piped links,
+    * categories, tables, headings from the fixture dump — not the
+    * synthetic formula q_wikitext_clean uses). The Spark side runs
+    * [[graft.sources.WikiXml]] then the SHARED canonical chain
+    * ([[graft.operators.TextOps.wikitextClean]]); the oracle reads
+    * the golden parquet's raw page text (written by the independent
+    * Python escaper) and applies the SAME chain in its own SQL
+    * implementation (TextQueries.wikitextCleanSqlFor) — dump parse,
+    * entity decode, and all fifteen cleaning stages must agree or the
+    * hash flips. This is the first two stages of every wiki slice in
+    * a pretraining mix, composed. */
+  def qWikiClean(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readWikiDumps(spark, graft.Fixtures.path("q_wiki_pages"))
+      .select(col("page_id"), length(col("text")).as("n_raw"),
+        graft.operators.TextOps.wikitextClean(col("text")).as("text_clean"))
+      .withColumn("n_clean", length(col("text_clean")))
+  }
+
+  val qWikiCleanSql: String = graft.queries.TextQueries.wikitextCleanSqlFor(
+    s"""SELECT page_id AS k, text AS w
+      |  FROM read_parquet('${graft.Fixtures.base}/q_wiki_pages/golden/*.parquet')""".stripMargin,
+    "page_id")
+
   /** GIF scan, oracle-graded per pixel — the web-corpus long-tail
     * image format a LAION-style crawl decodes or skips constantly,
     * and (animated) the smallest real frame-sample case. Fixtures in
@@ -1395,6 +1420,7 @@ object MultimodalQueries {
     "q_arrow_read" -> (qArrowRead _),
     "q_gif_decode" -> (qGifDecode _),
     "q_wiki_pages" -> (qWikiPages _),
+    "q_wiki_clean" -> (qWikiClean _),
     "q_gif_roundtrip" -> (qGifRoundtrip _),
     "q_bmp_decode" -> (qBmpDecode _),
     "q_safetensors_roundtrip" -> (qSafetensorsRoundtrip _),
@@ -1432,6 +1458,7 @@ object MultimodalQueries {
     "q_arrow_read" -> qArrowReadSql,
     "q_gif_decode" -> qGifDecodeSql,
     "q_wiki_pages" -> qWikiPagesSql,
+    "q_wiki_clean" -> qWikiCleanSql,
     "q_gif_roundtrip" -> qGifRoundtripSql,
     "q_bmp_decode" -> qBmpDecodeSql,
     "q_safetensors_roundtrip" -> qSafetensorsRoundtripSql,

@@ -1387,36 +1387,63 @@ object TextQueries {
       col("text"),
       lit("\nVoir [[bassin arachidier|le bassin]] et [[Dakar]]. Site: [https://x.test/p?id="),
       id, lit(" site officiel]\n<!-- commentaire <b>caché</b> -->\n{| class=\"wikitable\"\n|-\n| a || b\n|}\n[[Catégorie:Sénégal]] &lt;fin&gt; &amp;co"))
-    def rr(c: Column, pat: String, rep: String = " "): Column =
-      regexp_replace(c, pat, rep)
-    var c: Column = rr(raw, "<!--.*?-->")
-    c = rr(c, "<ref[^>]*/>")
-    c = rr(c, "<ref[^>]*>.*?</ref>")
-    for (_ <- 1 to 5) c = rr(c, "\\{\\{[^{}]*\\}\\}")
-    for (_ <- 1 to 2) c = rr(c, "\\{\\|[^{}]*\\|\\}")
-    for (_ <- 1 to 3) {
-      c = rr(c, "\\[\\[[^\\[\\]|:]*:[^\\[\\]]*\\]\\]")
-      c = rr(c, "\\[\\[[^\\[\\]|]*\\|([^\\[\\]]*)\\]\\]", "$1")
-      c = rr(c, "\\[\\[([^\\[\\]|]*)\\]\\]", "$1")
-    }
-    c = rr(c, "\\[https?://[^ \\]]* ([^\\]]*)\\]", "$1")
-    c = rr(c, "\\[https?://[^\\]]*\\]")
-    c = rr(c, "<[^>]+>")
-    c = rr(c, "''+", "")
-    c = rr(c, "==+")
-    c = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(c, "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
-      "&#39;", "'"), "&amp;", "&")
-    c = trim(regexp_replace(c, "\\s+", " "))
+    val c = graft.operators.TextOps.wikitextClean(raw)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .select(col("doc_id"), length(raw).as("n_raw"), c.as("text_clean"))
       .withColumn("n_clean", length(col("text_clean")))
   }
 
-  val qWikitextCleanSql: String =
-    """WITH raw AS (
-      |  SELECT doc_id, concat('{{Infobox ville|nom=Doc ', doc_id,
+  /** DuckDB mirror of [[graft.operators.TextOps.wikitextClean]],
+    * parameterized by a source SELECT yielding (k, w) — shared by the
+    * synthetic-corpus and real-dump wiki-clean oracles so the two
+    * rule sets cannot fork. */
+  def wikitextCleanSqlFor(src: String, keyAlias: String): String = {
+    val linkRound =
+      """regexp_replace(regexp_replace(regexp_replace(c,
+        |    '\[\[[^\[\]|:]*:[^\[\]]*\]\]', ' ', 'g'),
+        |    '\[\[[^\[\]|]*\|([^\[\]]*)\]\]', '\1', 'g'),
+        |    '\[\[([^\[\]|]*)\]\]', '\1', 'g')""".stripMargin
+    raw"""WITH raw AS ($src),
+      |s1 AS (SELECT k, w,
+      |  regexp_replace(regexp_replace(regexp_replace(w,
+      |    '<!--.*?-->', ' ', 'g'),
+      |    '<ref[^>]*/>', ' ', 'g'),
+      |    '<ref[^>]*>.*?</ref>', ' ', 'g') AS c FROM raw),
+      |s2 AS (SELECT k, w,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(c,
+      |    '\{\{[^{}]*\}\}', ' ', 'g'), '\{\{[^{}]*\}\}', ' ', 'g'),
+      |    '\{\{[^{}]*\}\}', ' ', 'g'), '\{\{[^{}]*\}\}', ' ', 'g'),
+      |    '\{\{[^{}]*\}\}', ' ', 'g') AS c FROM s1),
+      |s3 AS (SELECT k, w,
+      |  regexp_replace(regexp_replace(c,
+      |    '\{\|[^{}]*\|\}', ' ', 'g'), '\{\|[^{}]*\|\}', ' ', 'g')
+      |    AS c FROM s2),
+      |l1 AS (SELECT k, w, $linkRound AS c FROM s3),
+      |l2 AS (SELECT k, w, $linkRound AS c FROM l1),
+      |l3 AS (SELECT k, w, $linkRound AS c FROM l2),
+      |s4 AS (SELECT k, w,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(c,
+      |    '\[https?://[^ \]]* ([^\]]*)\]', '\1', 'g'),
+      |    '\[https?://[^\]]*\]', ' ', 'g'),
+      |    '<[^>]+>', ' ', 'g'),
+      |    repeat(chr(39),2) || '+', '', 'g'),
+      |    '==+', ' ', 'g') AS c FROM l3),
+      |s5 AS (SELECT k, w,
+      |  replace(replace(replace(replace(replace(c,
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |    '&#39;', chr(39)), '&amp;', '&') AS c FROM s4)
+      |SELECT k AS $keyAlias, CAST(length(w) AS INT) AS n_raw,
+      |  trim(regexp_replace(c, '\s+', ' ', 'g')) AS text_clean,
+      |  CAST(length(trim(regexp_replace(c, '\s+', ' ', 'g'))) AS INT)
+      |    AS n_clean
+      |FROM s5""".stripMargin
+  }
+
+  val qWikitextCleanSql: String = wikitextCleanSqlFor(
+    """SELECT doc_id AS k, concat('{{Infobox ville|nom=Doc ', doc_id,
       |    '|taille={{small|', doc_id % 5, '}}}}', chr(10),
       |    '== Présentation ==', chr(10), repeat(chr(39),3), 'Doc ', doc_id,
       |    repeat(chr(39),3), ' est une ', repeat(chr(39),2), 'entrée',
@@ -1430,54 +1457,7 @@ object TextQueries {
       |    '{| class="wikitable"', chr(10), '|-', chr(10), '| a || b',
       |    chr(10), '|}', chr(10),
       |    '[[Catégorie:Sénégal]] &lt;fin&gt; &amp;co') AS w
-      |  FROM documents),
-      |s1 AS (SELECT doc_id, w,
-      |  regexp_replace(regexp_replace(regexp_replace(w,
-      |    '<!--.*?-->', ' ', 'g'),
-      |    '<ref[^>]*/>', ' ', 'g'),
-      |    '<ref[^>]*>.*?</ref>', ' ', 'g') AS c FROM raw),
-      |s2 AS (SELECT doc_id, w,
-      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |  regexp_replace(c,
-      |    '\{\{[^{}]*\}\}', ' ', 'g'), '\{\{[^{}]*\}\}', ' ', 'g'),
-      |    '\{\{[^{}]*\}\}', ' ', 'g'), '\{\{[^{}]*\}\}', ' ', 'g'),
-      |    '\{\{[^{}]*\}\}', ' ', 'g') AS c FROM s1),
-      |s3 AS (SELECT doc_id, w,
-      |  regexp_replace(regexp_replace(c,
-      |    '\{\|[^{}]*\|\}', ' ', 'g'), '\{\|[^{}]*\|\}', ' ', 'g')
-      |    AS c FROM s2),
-      |l1 AS (SELECT doc_id, w,
-      |  regexp_replace(regexp_replace(regexp_replace(c,
-      |    '\[\[[^\[\]|:]*:[^\[\]]*\]\]', ' ', 'g'),
-      |    '\[\[[^\[\]|]*\|([^\[\]]*)\]\]', '\1', 'g'),
-      |    '\[\[([^\[\]|]*)\]\]', '\1', 'g') AS c FROM s3),
-      |l2 AS (SELECT doc_id, w,
-      |  regexp_replace(regexp_replace(regexp_replace(c,
-      |    '\[\[[^\[\]|:]*:[^\[\]]*\]\]', ' ', 'g'),
-      |    '\[\[[^\[\]|]*\|([^\[\]]*)\]\]', '\1', 'g'),
-      |    '\[\[([^\[\]|]*)\]\]', '\1', 'g') AS c FROM l1),
-      |l3 AS (SELECT doc_id, w,
-      |  regexp_replace(regexp_replace(regexp_replace(c,
-      |    '\[\[[^\[\]|:]*:[^\[\]]*\]\]', ' ', 'g'),
-      |    '\[\[[^\[\]|]*\|([^\[\]]*)\]\]', '\1', 'g'),
-      |    '\[\[([^\[\]|]*)\]\]', '\1', 'g') AS c FROM l2),
-      |s4 AS (SELECT doc_id, w,
-      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |  regexp_replace(c,
-      |    '\[https?://[^ \]]* ([^\]]*)\]', '\1', 'g'),
-      |    '\[https?://[^\]]*\]', ' ', 'g'),
-      |    '<[^>]+>', ' ', 'g'),
-      |    repeat(chr(39),2) || '+', '', 'g'),
-      |    '==+', ' ', 'g') AS c FROM l3),
-      |s5 AS (SELECT doc_id, w,
-      |  replace(replace(replace(replace(replace(c,
-      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-      |    '&#39;', chr(39)), '&amp;', '&') AS c FROM s4)
-      |SELECT doc_id, CAST(length(w) AS INT) AS n_raw,
-      |  trim(regexp_replace(c, '\s+', ' ', 'g')) AS text_clean,
-      |  CAST(length(trim(regexp_replace(c, '\s+', ' ', 'g'))) AS INT)
-      |    AS n_clean
-      |FROM s5""".stripMargin
+      |  FROM documents""".stripMargin, "doc_id")
 
   /** Unicode normalization — the step BEFORE every dedup hash (CCNet/
     * Dolma/C4 all normalize first: "café" spelled precomposed and

@@ -24,6 +24,7 @@ class ScaleBenchSpec extends AnyFunSuite {
     "q_jsonl_bz2",          // committed Python-bz2-written shards
     "q_gif_decode",         // committed hand-encoded GIF files
     "q_wiki_pages",         // committed hand-assembled MediaWiki dumps
+    "q_wiki_clean",         // same fixture dumps, cleaning stage composed
     "q_bmp_decode")         // committed hand-assembled BMP files
 
   test("Selected is duplicate-free and every name is a declared query") {

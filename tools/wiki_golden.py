@@ -69,8 +69,10 @@ def dump(pages):
 
 
 def record(shard, pid, ns, title, redirect, text):
+    # `text` rides along so the q_wiki_clean oracle can apply the
+    # wikitext-clean chain to the RAW page text independently
     ROWS.append((shard, pid, ns, title, redirect, len(text),
-                 hashlib.md5(text.encode()).hexdigest()))
+                 hashlib.md5(text.encode()).hexdigest(), text))
 
 
 # ---- wiki-00: the entity zoo
@@ -126,6 +128,7 @@ schema = pa.schema([
     ("shard", pa.string()), ("page_id", pa.int64()), ("ns", pa.int32()),
     ("title", pa.string()), ("redirect", pa.string()),
     ("text_len", pa.int32()), ("text_md5", pa.string()),
+    ("text", pa.string()),
 ])
 tbl = pa.Table.from_pylist(
     [dict(zip([f.name for f in schema], r)) for r in ROWS], schema=schema)
