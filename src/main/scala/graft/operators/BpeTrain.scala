@@ -11,6 +11,21 @@ import graft.Tables
   * tokenize/normalize text surface the reference's curation pipeline
   * implies (model_presto text ops; see TextQueries scaladoc).
   *
+  * Symbols are INTEGER CODES: initial symbols are the codepoints of
+  * the [a-z] alphabet (97..122); merge round N mints code 255+N, so
+  * the trainable vocabulary is unbounded in V (a real 32k–100k-merge
+  * run fits; the previous chr(round) sentinel scheme capped V at ~96).
+  * The carrier is a fixed-width string — each symbol serializes as
+  * `g` + 5 decimal digits — NOT array<int>: with a one-char sentinel
+  * that never appears inside a token, `replace`/`locate`/`substring`
+  * over the carrier are EXACTLY the left-to-right non-overlapping
+  * merge-scan BPE needs, misaligned matches are impossible (a pair
+  * pattern starts with `g` and `g` only occurs at token boundaries),
+  * and the whole loop stays inside codegen'd string primitives on
+  * both engines — an array<int> + fold representation would drop the
+  * hot per-round aggregate off whole-stage codegen (HOF lambdas are
+  * interpreted) and force the DuckDB oracle through list_reduce.
+  *
   * Algorithm (exactly the classical one, expressed Spark-first):
   *  1. ONE corpus-sized shuffle up front: the word-frequency table
   *     `(word, cnt)` — BPE trains on distinct words weighted by count,
@@ -23,32 +38,39 @@ import graft.Tables
   *     (overlap-counted, the q_bpe_merges convention), and alongside
   *     it the non-overlapping symbol removal `replace` would buy
   *     (counted once per word via a first-position gate). The argmax
-  *     (count DESC, pair ASC — both engines compare ASCII/control
-  *     bytes identically) is a 1-row collect: the scalar pattern, the
-  *     merge table IS the driver-side artifact being trained.
-  *  3. Apply the merge as a per-row `replace` collapsing the pair to
-  *     the round's sentinel symbol `chr(round)` (sentinels 1..V stay
-  *     below 'a'=97, so they never collide with the [a-z] alphabet),
-  *     and lazily localCheckpoint so round N+1's aggregate
-  *     materializes a lineage-free vocab table (the GraphOps rounds
-  *     discipline — a plain chain of withColumns would grow the plan
-  *     per round until analysis blows up).
+  *     (count DESC, pair ASC — fixed-width decimal encoding makes the
+  *     string order the numeric (lhs, rhs) order on both engines) is
+  *     a 1-row collect: the scalar pattern, the merge table IS the
+  *     driver-side artifact being trained.
+  *  3. Apply the merge as a per-row `replace` collapsing the 12-char
+  *     pair to the round's 6-char code token, and lazily
+  *     localCheckpoint so round N+1's aggregate materializes a
+  *     lineage-free vocab table (the GraphOps rounds discipline — a
+  *     plain chain of withColumns would grow the plan per round until
+  *     analysis blows up).
   *  4. Stop at [[V]] merges or when no adjacent pair remains.
   *
   * The trained model lands in [[IndexStore]] (build-once-read-many,
   * content-fingerprint keyed) as ONE table holding both row kinds:
   * `kind='merge'` rows — the merge table with the per-round corpus
   * compression trajectory — and `kind='vocab'` rows — the final
-  * word → symbol-string map, i.e. the re-tokenizer. Consumers
+  * word → coded-symbol-string map, i.e. the re-tokenizer. Consumers
   * project/filter; the training subtree never appears in their plans.
   */
 object BpeTrain {
 
-  /** Target merge count — sized to the fixture corpus (31 distinct
-    * words, 107 possible merges at sf0.01) so training neither
-    * exhausts nor degenerates; real tokenizers run the same loop to
-    * 32k–100k. */
-  val V = 64
+  /** Target merge count. The fixture corpus exhausts its merge space
+    * before 256 (every distinct word collapses to one symbol — the
+    * loop and the DuckDB oracle stop at the same round, graded), so
+    * this exercises the exhaustion path; real tokenizers run the same
+    * loop to 32k–100k, which the integer-code representation admits. */
+  val V = 256
+
+  /** Serialized width of one symbol token (`g` + 5 decimal digits). */
+  val TokW = 6
+
+  /** Serialize a symbol code as its fixed-width carrier token. */
+  def tok(code: Int): String = f"g$code%05d"
 
   /** The trained model table: kind, merge_idx, lhs_code, rhs_code,
     * pair_count, total_syms, word0, word. */
@@ -57,20 +79,24 @@ object BpeTrain {
       IndexStore.dataKey(dir, s"v=$V"))(train(spark, dir))
 
   private def train(spark: SparkSession, dir: String): DataFrame = {
-    // 1. the one corpus-sized shuffle: word frequencies
+    // 1. the one corpus-sized shuffle: word frequencies, then the
+    // fixed-width code encoding (per-word transform, done once)
     var vocab = Tables.documents(spark, dir)
       .select(explode(
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word0"))
       .groupBy("word0").agg(count(lit(1)).as("cnt"))
-      .withColumn("word", col("word0"))
+      .withColumn("word", expr(
+        "concat_ws('', transform(sequence(1, length(word0)), " +
+          "i -> concat('g', lpad(cast(ascii(substring(word0, i, 1)) " +
+          "as string), 5, '0'))))"))
       .localCheckpoint()
 
     val stats = vocab
-      .agg(sum(col("cnt") * length(col("word"))), count(lit(1))).head()
+      .agg(sum(col("cnt") * length(col("word0"))), count(lit(1))).head()
     var totalSyms = stats.getLong(0)
 
     // Size the vocab table to its ROW count, not the session default:
-    // the V-round loop pays per-task scheduling 64×, and a checkpointed
+    // the V-round loop pays per-task scheduling V×, and a checkpointed
     // RDD's partitioning is pinned (AQE only coalesces post-shuffle).
     // A web-scale vocab (millions of distinct words) keeps many
     // partitions; the fixture's 31 rows collapse to one.
@@ -84,10 +110,11 @@ object BpeTrain {
     var exhausted = false
     while (it <= V && !exhausted) {
       // 2. fused ranking + removal aggregate: one shuffle on the pair
-      val top = vocab.filter(length(col("word")) >= 2)
+      val top = vocab.filter(length(col("word")) >= 2 * TokW)
         .select(col("cnt"), col("word"), explode(expr(
-          "transform(sequence(1, length(word) - 1), " +
-            "i -> struct(substring(word, i, 2) AS pair, i AS pos))"))
+          s"transform(sequence(1, length(word) DIV $TokW - 1), " +
+            s"i -> struct(substring(word, (i-1)*$TokW+1, ${2 * TokW}) AS pair, " +
+            "i AS pos))"))
           .as("p"))
         .select(col("cnt"), col("word"),
           col("p.pair").as("pair"), col("p.pos").as("pos"))
@@ -95,11 +122,14 @@ object BpeTrain {
         .agg(
           sum(col("cnt")).as("pc"),
           // symbols `replace` removes, counted once per word at the
-          // pair's first position (left-to-right non-overlapping)
-          sum(when(expr("pos = locate(pair, word)"),
+          // pair's first position (left-to-right non-overlapping);
+          // each 12→6-char collapse removes exactly one symbol, so
+          // occurrences = char shrinkage / (2*TokW - 1) under an
+          // 'x' probe replacement
+          sum(when(expr(s"(pos-1)*$TokW+1 = locate(pair, word)"),
             col("cnt") *
-              (length(col("word")) -
-                length(expr("replace(word, pair, 'x')"))))
+              expr(s"(length(word) - length(replace(word, pair, 'x'))) " +
+                s"DIV ${2 * TokW - 1}"))
             .otherwise(lit(0L))).as("removed"))
         .orderBy(col("pc").desc, col("pair").asc)
         .limit(1).collect()
@@ -109,11 +139,13 @@ object BpeTrain {
         val m = top(0).getString(0)
         val mc = top(0).getLong(1)
         totalSyms -= top(0).getLong(2)
-        merges += ((it, m.charAt(0).toInt, m.charAt(1).toInt, mc, totalSyms))
-        // 3. apply the merge; sentinel = chr(it)
+        val lhs = m.substring(1, TokW).toInt
+        val rhs = m.substring(TokW + 1, 2 * TokW).toInt
+        merges += ((it, lhs, rhs, mc, totalSyms))
+        // 3. apply the merge; new code = 255 + round
         vocab = vocab
           .withColumn("word",
-            replace(col("word"), lit(m), lit(it.toChar.toString)))
+            replace(col("word"), lit(m), lit(tok(255 + it))))
           .localCheckpoint(false) // lazy: next round's aggregate runs it
         it += 1
       }

@@ -28,9 +28,12 @@ object TextOps {
   def wikitextClean(raw: Column): Column = {
     def rr(c: Column, pat: String, rep: String = " "): Column =
       regexp_replace(c, pat, rep)
-    var c: Column = rr(raw, "<!--.*?-->")
+    // (?s): real markup wraps comment/ref bodies across lines — the
+    // negated-class patterns below match newlines already, but `.`
+    // does not without DOTALL
+    var c: Column = rr(raw, "(?s)<!--.*?-->")
     c = rr(c, "<ref[^>]*/>")
-    c = rr(c, "<ref[^>]*>.*?</ref>")
+    c = rr(c, "(?s)<ref[^>]*>.*?</ref>")
     for (_ <- 1 to 5) c = rr(c, "\\{\\{[^{}]*\\}\\}")
     for (_ <- 1 to 2) c = rr(c, "\\{\\|[^{}]*\\|\\}")
     for (_ <- 1 to 3) {

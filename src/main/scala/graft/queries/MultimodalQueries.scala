@@ -1032,8 +1032,12 @@ object MultimodalQueries {
     * (EOCD backward scan), a unicode name, a data-descriptor archive
     * written through a non-seekable stream (local headers carry zero
     * sizes; the central directory carries truth), a bzip2 member that
-    * must skip per-MEMBER while its siblings survive, and a truncated
-    * archive that must skip per-FILE — both absences graded. */
+    * must skip per-MEMBER while its siblings survive, a truncated
+    * archive that must skip per-FILE — both absences graded — and a
+    * hand-assembled ZIP64 archive (saturated EOCD sentinels → zip64
+    * locator → zip64 EOCD record, per-entry 0x0001 extras at both
+    * widths; cross-validated by Python zipfile's own reader), the
+    * NORMAL >4 GiB / >65k-member delivery shape at 100 TB scale. */
   def qZipScan(spark: SparkSession, dir: String): DataFrame = {
     graft.sources.GeoIngest
       .readZipFiles(spark, graft.Fixtures.path("q_zip_scan"))
@@ -1373,8 +1377,13 @@ object MultimodalQueries {
     * single/double floats (NaN payloads bit-exact), bool bitmaps,
     * utf8 + binary with nulls, fixed_size_list<f32,3> embeddings,
     * list<i64> with null/empty lists and null elements, multi-batch
-    * files; three refusal fixtures (zstd-compressed bodies,
-    * dictionary encoding, truncated footer) whose ABSENCE is graded. */
+    * files; compressed bodies both spec codecs (ZSTD and LZ4_FRAME —
+    * including a STOCK `pyarrow.feather.write_feather` output, whose
+    * default is LZ4 + dictionary-encoded categoricals); dictionary
+    * columns in both framings with int32 and int8 indices resolved
+    * through DictionaryBatch messages; two refusal fixtures
+    * (truncated footer, trailing bytes after the stream EOS marker)
+    * whose ABSENCE is graded. */
   def qArrowRead(spark: SparkSession, dir: String): DataFrame = {
     graft.sources.GeoIngest
       .readArrowFiles(spark, graft.Fixtures.path("q_arrow_read"))

@@ -850,8 +850,10 @@ object TextQueries {
     * [[graft.operators.BpeTrain.V]] merges with the recount between
     * every round (Sennrich et al. 2016), i.e. the loop a pretraining
     * pipeline runs to produce its merges.txt. Output: the merge
-    * table — one row per round with the winning pair (as codepoints:
-    * sentinels are control characters), its overlap-counted
+    * table — one row per round with the winning pair as INTEGER
+    * SYMBOL CODES (letters are their codepoints; merge round N mints
+    * code 255+N, so V is unbounded — see the carrier discussion in
+    * [[graft.operators.BpeTrain]]), its overlap-counted
     * frequency, and the corpus symbol count AFTER the round (the
     * compression trajectory, strictly decreasing — pinned by
     * BpeTrainSpec). The oracle recomputes the whole train
@@ -870,19 +872,30 @@ object TextQueries {
       .select(col("merge_idx"), col("lhs_code"), col("rhs_code"),
         col("pair_count"), col("total_syms"))
 
-  val qBpeTrainSql: String =
+  /** Shared recursive-CTE trainer for the two BPE oracles: the same
+    * fixed-width integer-code carrier as [[graft.operators.BpeTrain]]
+    * (`g` + 5 decimal digits per symbol; merge round N mints code
+    * 255+N), retrained from scratch by DuckDB. */
+  private def bpeTrainStateSql: String =
     s"""WITH RECURSIVE wf AS (
-      |  SELECT word, COUNT(*) AS cnt FROM (
-      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-      |    FROM documents)
-      |  GROUP BY 1),
+      |  SELECT word0,
+      |    array_to_string(list_transform(range(1, length(word0) + 1),
+      |      i -> 'g' || lpad(CAST(ascii(substr(word0, CAST(i AS INT), 1))
+      |        AS VARCHAR), 5, '0')), '') AS word,
+      |    cnt
+      |  FROM (
+      |    SELECT word AS word0, COUNT(*) AS cnt FROM (
+      |      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      |      FROM documents)
+      |    GROUP BY 1)),
       |st AS (
-      |  SELECT 0 AS it, word AS word0, word, cnt,
+      |  SELECT 0 AS it, word0, word, cnt,
       |    '' AS m, CAST(0 AS BIGINT) AS mc
       |  FROM wf
       |  UNION ALL
       |  SELECT it + 1 AS it, word0,
-      |    replace(word, top_m, chr(it + 1)) AS word, cnt,
+      |    replace(word, top_m,
+      |      'g' || lpad(CAST(256 + it AS VARCHAR), 5, '0')) AS word, cnt,
       |    top_m AS m, CAST(top_c AS BIGINT) AS mc
       |  FROM (
       |    SELECT DISTINCT it, word0, word, cnt,
@@ -894,21 +907,24 @@ object TextQueries {
       |             ELSE SUM(cnt) OVER (PARTITION BY pair) END AS pc
       |      FROM (
       |        SELECT it, word0, word, cnt,
-      |          unnest(CASE WHEN length(word) >= 2
-      |            THEN list_transform(range(1, length(word)),
-      |                   i -> substr(word, CAST(i AS INT), 2))
+      |          unnest(CASE WHEN length(word) >= 12
+      |            THEN list_transform(range(1, length(word) // 6),
+      |                   i -> substr(word, CAST((i - 1) * 6 + 1 AS INT), 12))
       |            ELSE [NULL] END) AS pair
       |        FROM st WHERE it < ${graft.operators.BpeTrain.V}))
       |    WINDOW w AS (
       |      ORDER BY CASE WHEN pc IS NULL THEN 1 ELSE 0 END,
       |               pc DESC, pair ASC
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
-      |  WHERE top_m IS NOT NULL)
+      |  WHERE top_m IS NOT NULL)""".stripMargin
+
+  val qBpeTrainSql: String =
+    s"""$bpeTrainStateSql
       |SELECT it AS merge_idx,
-      |  ascii(substr(m, 1, 1)) AS lhs_code,
-      |  ascii(substr(m, 2, 1)) AS rhs_code,
+      |  CAST(substr(m, 2, 5) AS INT) AS lhs_code,
+      |  CAST(substr(m, 8, 5) AS INT) AS rhs_code,
       |  mc AS pair_count,
-      |  CAST(SUM(cnt * length(word)) AS BIGINT) AS total_syms
+      |  CAST(SUM(cnt * (length(word) // 6)) AS BIGINT) AS total_syms
       |FROM st WHERE it >= 1
       |GROUP BY 1, 2, 3, 4""".stripMargin
 
@@ -922,12 +938,15 @@ object TextQueries {
     * its size — must match the oracle's independently re-trained
     * model. */
   def qBpeTrainTokens(spark: SparkSession, dir: String): DataFrame = {
+    // tok_checksum sums the integer CODES of the word's final symbols
+    // (decoded from the fixed-width carrier — an aggregate HOF, but
+    // only over the broadcast-side vocab table, never the corpus)
     val vocab = graft.operators.BpeTrain.model(spark, dir)
       .filter(col("kind") === "vocab")
       .select(col("word0"), col("word"))
       .withColumn("tok_checksum", expr(
-        "aggregate(sequence(1, length(word)), 0L, " +
-          "(acc, i) -> acc + ascii(substring(word, i, 1)))"))
+        "aggregate(sequence(1, length(word) DIV 6), CAST(0 AS BIGINT), " +
+          "(acc, i) -> acc + CAST(substring(word, (i-1)*6+2, 5) AS BIGINT))"))
     val dw = Tables.documents(spark, dir).select(col("doc_id"),
       explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
         .as("word0"))
@@ -935,48 +954,17 @@ object TextQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("word0"))).as("n_chars"),
-        sum(length(col("word"))).as("n_tokens"),
+        sum(expr("length(word) DIV 6")).as("n_tokens"),
         sum(col("tok_checksum")).as("token_checksum"))
   }
 
   val qBpeTrainTokensSql: String =
-    s"""WITH RECURSIVE wf AS (
-      |  SELECT word, COUNT(*) AS cnt FROM (
-      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-      |    FROM documents)
-      |  GROUP BY 1),
-      |st AS (
-      |  SELECT 0 AS it, word AS word0, word, cnt,
-      |    '' AS m, CAST(0 AS BIGINT) AS mc
-      |  FROM wf
-      |  UNION ALL
-      |  SELECT it + 1 AS it, word0,
-      |    replace(word, top_m, chr(it + 1)) AS word, cnt,
-      |    top_m AS m, CAST(top_c AS BIGINT) AS mc
-      |  FROM (
-      |    SELECT DISTINCT it, word0, word, cnt,
-      |      first_value(pair) OVER w AS top_m,
-      |      first_value(pc)   OVER w AS top_c
-      |    FROM (
-      |      SELECT it, word0, word, cnt, pair,
-      |        CASE WHEN pair IS NULL THEN NULL
-      |             ELSE SUM(cnt) OVER (PARTITION BY pair) END AS pc
-      |      FROM (
-      |        SELECT it, word0, word, cnt,
-      |          unnest(CASE WHEN length(word) >= 2
-      |            THEN list_transform(range(1, length(word)),
-      |                   i -> substr(word, CAST(i AS INT), 2))
-      |            ELSE [NULL] END) AS pair
-      |        FROM st WHERE it < ${graft.operators.BpeTrain.V}))
-      |    WINDOW w AS (
-      |      ORDER BY CASE WHEN pc IS NULL THEN 1 ELSE 0 END,
-      |               pc DESC, pair ASC
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
-      |  WHERE top_m IS NOT NULL),
+    s"""$bpeTrainStateSql,
       |vmap AS (
       |  SELECT word0, word,
-      |    CAST(list_sum(list_transform(range(1, length(word) + 1),
-      |      i -> ascii(substr(word, CAST(i AS INT), 1)))) AS BIGINT)
+      |    CAST(list_sum(list_transform(range(1, length(word) // 6 + 1),
+      |      i -> CAST(substr(word, CAST((i - 1) * 6 + 2 AS INT), 5)
+      |             AS BIGINT))) AS BIGINT)
       |      AS tok_checksum
       |  FROM st WHERE it = (SELECT MAX(it) FROM st)),
       |dw AS (
@@ -985,7 +973,7 @@ object TextQueries {
       |  FROM documents)
       |SELECT dw.doc_id, COUNT(*) AS n_words,
       |  CAST(SUM(length(dw.word0)) AS BIGINT) AS n_chars,
-      |  CAST(SUM(length(v.word)) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(length(v.word) // 6) AS BIGINT) AS n_tokens,
       |  CAST(SUM(v.tok_checksum) AS BIGINT) AS token_checksum
       |FROM dw JOIN vmap v ON dw.word0 = v.word0
       |GROUP BY 1""".stripMargin
@@ -1282,7 +1270,10 @@ object TextQueries {
     * production versions of this shape): drop comments and `<script>`/`<style>`
     * blocks WITH their contents (comments FIRST — their bodies may
     * contain `>` and tags, which would mis-split the generic tag
-    * regex), strip remaining tags to a space,
+    * regex; all three run DOTALL `(?s)` because real crawls wrap
+    * comment and script bodies across lines, and the fixture embeds
+    * newlines inside all three block types), strip remaining tags to
+    * a space,
     * decode the five predefined character entities (amp LAST so
     * `&amp;lt;` cannot double-decode), collapse runs of spaces, trim.
     * Per-doc synthetic HTML wraps the corpus text by the same
@@ -1297,9 +1288,11 @@ object TextQueries {
   def qHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
     val raw =
       """concat('<html><head><title>Doc ', doc_id,
-        |  '</title><style>.c{color:red}</style>',
-        |  '<script>if(1&lt;2){alert("x&amp;y")}</script></head>',
-        |  '<body><!-- nav > main, <b>skip me</b> --><h1>Heading ', doc_id % 7,
+        |  '</title><style>.c{color:red}', chr(10), '.d{margin:0}</style>',
+        |  '<script>if(1&lt;2){', chr(10), '  alert("x&amp;y")', chr(10),
+        |  '}</script></head>',
+        |  '<body><!-- nav > main,', chr(10), ' <b>skip me</b>', chr(10),
+        |  ' --><h1>Heading ', doc_id % 7,
         |  '</h1><p>', text,
         |  '</p><div class="x">tail &amp;co &lt;b&gt;bold&lt;/b&gt; ',
         |  '&quot;q&quot; &#39;a&#39;</div></body></html>')""".stripMargin
@@ -1307,9 +1300,9 @@ object TextQueries {
       .select(col("doc_id"), expr(raw).as("html"))
       .withColumn("noscript", expr(
         "regexp_replace(regexp_replace(regexp_replace(html, " +
-          "'<!--.*?-->', ' '), " +
-          "'<script[^>]*>.*?</script>', ' '), " +
-          "'<style[^>]*>.*?</style>', ' ')"))
+          "'(?s)<!--.*?-->', ' '), " +
+          "'(?s)<script[^>]*>.*?</script>', ' '), " +
+          "'(?s)<style[^>]*>.*?</style>', ' ')"))
       .withColumn("notags", expr(
         "regexp_replace(noscript, '<[^>]+>', ' ')"))
       .withColumn("decoded", expr(
@@ -1325,9 +1318,11 @@ object TextQueries {
   val qHtmlExtractSql: String =
     """WITH raw AS (
       |  SELECT doc_id, concat('<html><head><title>Doc ', doc_id,
-      |    '</title><style>.c{color:red}</style>',
-      |    '<script>if(1&lt;2){alert("x&amp;y")}</script></head>',
-      |    '<body><!-- nav > main, <b>skip me</b> --><h1>Heading ',
+      |    '</title><style>.c{color:red}', chr(10), '.d{margin:0}</style>',
+      |    '<script>if(1&lt;2){', chr(10), '  alert("x&amp;y")', chr(10),
+      |    '}</script></head>',
+      |    '<body><!-- nav > main,', chr(10), ' <b>skip me</b>', chr(10),
+      |    ' --><h1>Heading ',
       |    doc_id % 7, '</h1><p>', text,
       |    '</p><div class="x">tail &amp;co &lt;b&gt;bold&lt;/b&gt; ',
       |    '&quot;q&quot; &#39;a&#39;</div></body></html>') AS html
@@ -1335,9 +1330,9 @@ object TextQueries {
       |stripped AS (
       |  SELECT doc_id, html,
       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-      |      '<!--.*?-->', ' ', 'g'),
-      |      '<script[^>]*>.*?</script>', ' ', 'g'),
-      |      '<style[^>]*>.*?</style>', ' ', 'g'),
+      |      '(?s)<!--.*?-->', ' ', 'g'),
+      |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
       |      '<[^>]+>', ' ', 'g')
       |      AS notags
       |  FROM raw),
@@ -1371,9 +1366,12 @@ object TextQueries {
     * whitespace collapses. Per-doc synthetic wikitext wraps the
     * corpus text by the same deterministic formula in both engines —
     * nested template, File link with an embedded piped link in its
-    * caption, table, category, external link, ref, comment, heading,
-    * entity trailer. Pure per-row regexp chains — codegen'd, no
-    * shuffle; at 100 TB this is a scan-stage transform. */
+    * caption, table, category, external link, MULTI-LINE ref and
+    * MULTI-LINE comment (the comment/ref regexes run DOTALL `(?s)`;
+    * the template/table/link patterns use negated char classes and
+    * match newlines by construction), heading, entity trailer. Pure
+    * per-row regexp chains — codegen'd, no shuffle; at 100 TB this is
+    * a scan-stage transform. */
   def qWikitextClean(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Column
     val id = col("doc_id").cast("string")
@@ -1381,12 +1379,12 @@ object TextQueries {
       lit("{{Infobox ville|nom=Doc "), id,
       lit("|taille={{small|"), (col("doc_id") % 5).cast("string"),
       lit("}}}}\n== Présentation ==\n'''Doc "),
-      id, lit("''' est une ''entrée''<ref name=\"s\">source &amp; détails</ref> du corpus.\n[[File:Carte "),
+      id, lit("''' est une ''entrée''<ref name=\"s\">source &amp;\n détails</ref> du corpus.\n[[File:Carte "),
       (col("doc_id") % 7).cast("string"),
       lit(".png|thumb|Légende avec [[lien interne|texte]]]]\n"),
       col("text"),
       lit("\nVoir [[bassin arachidier|le bassin]] et [[Dakar]]. Site: [https://x.test/p?id="),
-      id, lit(" site officiel]\n<!-- commentaire <b>caché</b> -->\n{| class=\"wikitable\"\n|-\n| a || b\n|}\n[[Catégorie:Sénégal]] &lt;fin&gt; &amp;co"))
+      id, lit(" site officiel]\n<!-- commentaire\n <b>caché</b>\n sur deux lignes -->\n{| class=\"wikitable\"\n|-\n| a || b\n|}\n[[Catégorie:Sénégal]] &lt;fin&gt; &amp;co"))
     val c = graft.operators.TextOps.wikitextClean(raw)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
@@ -1407,9 +1405,9 @@ object TextQueries {
     raw"""WITH raw AS ($src),
       |s1 AS (SELECT k, w,
       |  regexp_replace(regexp_replace(regexp_replace(w,
-      |    '<!--.*?-->', ' ', 'g'),
+      |    '(?s)<!--.*?-->', ' ', 'g'),
       |    '<ref[^>]*/>', ' ', 'g'),
-      |    '<ref[^>]*>.*?</ref>', ' ', 'g') AS c FROM raw),
+      |    '(?s)<ref[^>]*>.*?</ref>', ' ', 'g') AS c FROM raw),
       |s2 AS (SELECT k, w,
       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |  regexp_replace(c,
@@ -1447,13 +1445,15 @@ object TextQueries {
       |    '|taille={{small|', doc_id % 5, '}}}}', chr(10),
       |    '== Présentation ==', chr(10), repeat(chr(39),3), 'Doc ', doc_id,
       |    repeat(chr(39),3), ' est une ', repeat(chr(39),2), 'entrée',
-      |    repeat(chr(39),2), '<ref name="s">source &amp; détails</ref>',
+      |    repeat(chr(39),2), '<ref name="s">source &amp;', chr(10),
+      |    ' détails</ref>',
       |    ' du corpus.', chr(10), '[[File:Carte ', doc_id % 7,
       |    '.png|thumb|Légende avec [[lien interne|texte]]]]', chr(10),
       |    text, chr(10),
       |    'Voir [[bassin arachidier|le bassin]] et [[Dakar]].',
       |    ' Site: [https://x.test/p?id=', doc_id, ' site officiel]',
-      |    chr(10), '<!-- commentaire <b>caché</b> -->', chr(10),
+      |    chr(10), '<!-- commentaire', chr(10), ' <b>caché</b>',
+      |    chr(10), ' sur deux lignes -->', chr(10),
       |    '{| class="wikitable"', chr(10), '|-', chr(10), '| a || b',
       |    chr(10), '|}', chr(10),
       |    '[[Catégorie:Sénégal]] &lt;fin&gt; &amp;co') AS w

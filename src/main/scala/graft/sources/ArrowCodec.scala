@@ -20,12 +20,21 @@ package graft.sources
   *
   * Envelope: Int 8/16/32/64 (signed+unsigned), FloatingPoint
   * half/single/double, Bool, Utf8, Binary, List<primitive> and
-  * FixedSizeList<primitive>. Documented refusals, all whole-file (a
-  * columnar table is all-or-nothing): dictionary encoding, compressed
-  * bodies (BodyCompression), other logical types, nesting deeper than
-  * one list level. Values emit as raw little-endian bits zero-extended
-  * to a long (bit-exact NaN payloads), strings as UTF-8, binary as
-  * lowercase hex. Never throws.
+  * FixedSizeList<primitive>; dictionary-encoded columns over any of
+  * the scalar types (pandas-categorical exports dictionary-encode BY
+  * DEFAULT — indices of any Int width map through the
+  * DictionaryBatch-delivered value column, replacement dictionaries
+  * honored in stream order); compressed bodies (BodyCompression) for
+  * the two spec codecs LZ4_FRAME — pyarrow Feather V2's DEFAULT — and
+  * ZSTD, each buffer carrying its own int64 uncompressed-length
+  * prefix (-1 = stored raw), decompressed under [[MaxBufBytes]].
+  * Documented refusals, all whole-file (a columnar table is
+  * all-or-nothing): delta dictionaries, dictionary-of-nested, other
+  * logical types, nesting deeper than one list level, trailing bytes
+  * after a stream's end-of-stream marker. Values emit as raw
+  * little-endian bits zero-extended to a long (bit-exact NaN
+  * payloads), strings as UTF-8, binary as lowercase hex. Never
+  * throws.
   */
 object ArrowCodec {
 
@@ -39,6 +48,9 @@ object ArrowCodec {
   val MaxBatches: Int = 65536
   val MaxFields: Int = 4096
   val MaxMetaBytes: Int = 1 << 20
+  /** Per-buffer decompressed ceiling (the codecs' MaxInflatedBytes
+    * stance): a compressed buffer declaring more refuses the file. */
+  val MaxBufBytes: Long = GzipCodec.MaxInflatedBytes.toLong
 
   private final class Fail extends RuntimeException(null, null, false, false)
   private val fail = new Fail
@@ -117,7 +129,12 @@ object ArrowCodec {
   private case class ListT(child: Prim, childBool: Boolean, fixed: Int,
       label: String) extends Typ
 
-  private case class FieldSpec(name: String, typ: Typ)
+  /** Dictionary encoding of a field: dictionary id + index width in
+    * bytes + index signedness (DictionaryEncoding.indexType; absent
+    * defaults to int32 signed per the spec). */
+  private case class Dict(id: Long, w: Int, signed: Boolean)
+
+  private case class FieldSpec(name: String, typ: Typ, dict: Option[Dict])
 
   /** Parse a Field table (Schema.fbs): name(0) nullable(1)
     * type_type(2) type(3) dictionary(4) children(5). */
@@ -125,7 +142,26 @@ object ArrowCodec {
     val namePos = field(b, fpos, 0)
     if (namePos < 0) err()
     val name = str(b, namePos)
-    if (field(b, fpos, 4) >= 0) err() // dictionary-encoded: refuse
+    // DictionaryEncoding: id(0) indexType(1) isOrdered(2)
+    val dict = field(b, fpos, 4) match {
+      case dp if dp < 0 => None
+      case dp =>
+        val dt = indirect(b, dp)
+        val idPos = field(b, dt, 0)
+        val id = if (idPos < 0) 0L else i64(b, idPos)
+        val itPos = field(b, dt, 1)
+        val (w, signed) =
+          if (itPos < 0) (4, true)
+          else {
+            val t = indirect(b, itPos)
+            val bwPos = field(b, t, 0)
+            val bw = if (bwPos < 0) 0 else i32(b, bwPos)
+            val sgPos = field(b, t, 1)
+            if (bw != 8 && bw != 16 && bw != 32 && bw != 64) err()
+            (bw / 8, sgPos >= 0 && u8(b, sgPos) != 0)
+          }
+        Some(Dict(id, w, signed))
+    }
     val ttPos = field(b, fpos, 2)
     val tt = if (ttPos < 0) 0 else u8(b, ttPos)
     val tvPos = field(b, fpos, 3)
@@ -162,7 +198,9 @@ object ArrowCodec {
       case 6 => BoolT
       case 12 => // List
         if (depth > 0) err()
-        parseField(b, childField(0), depth + 1).typ match {
+        val child = parseField(b, childField(0), depth + 1)
+        if (child.dict.isDefined) err() // dictionary-encoded list child: refuse
+        child.typ match {
           case p: Prim => ListT(p, childBool = false, fixed = 0, s"list<${p.label}>")
           case BoolT => ListT(Prim("bool", 0), childBool = true, 0, "list<bool>")
           case _ => err()
@@ -172,14 +210,17 @@ object ArrowCodec {
         val lsPos = field(b, typeTable, 0)
         val ls = if (lsPos < 0) err() else i32(b, lsPos)
         if (ls <= 0 || ls > 65536) err()
-        parseField(b, childField(0), depth + 1).typ match {
+        val child = parseField(b, childField(0), depth + 1)
+        if (child.dict.isDefined) err()
+        child.typ match {
           case p: Prim => ListT(p, childBool = false, ls, s"fsl$ls<${p.label}>")
           case BoolT => ListT(Prim("bool", 0), childBool = true, ls, s"fsl$ls<bool>")
           case _ => err()
         }
       case _ => err() // Null/Decimal/Date/Time/Timestamp/Struct/Union/...: refuse
     }
-    FieldSpec(name, typ)
+    if (dict.isDefined && typ.isInstanceOf[ListT]) err() // dict-of-nested: refuse
+    FieldSpec(name, typ, dict)
   }
 
   /** Parse a Schema table: fields(1). */
@@ -193,11 +234,74 @@ object ArrowCodec {
 
   // ---- record batch ---------------------------------------------------
 
+  /** One constituent buffer: a window into the message body, or a
+    * freshly decompressed array when the batch carries
+    * BodyCompression. Every read is bounds-checked against the
+    * WINDOW, not the backing array — an uncompressed slice must not
+    * silently read its neighbor buffer. */
+  private case class Buf(a: Array[Byte], at: Long, len: Long)
+
+  private def bu8(x: Buf, i: Long): Int = {
+    if (i < 0 || i + 1 > x.len) err()
+    u8(x.a, x.at + i)
+  }
+  private def buN(x: Buf, i: Long, n: Int): Long = {
+    if (i < 0 || i + n > x.len) err()
+    uN(x.a, x.at + i, n)
+  }
+
+  /** Decompress one buffer body per the spec codec enum:
+    * 0 = LZ4_FRAME (the LZ4 frame format, pyarrow Feather V2's
+    * default), 1 = ZSTD. Exact-length contract: the produced bytes
+    * must be exactly `ulen` with no trailing frame data. */
+  private def decompress(b: Array[Byte], at: Long, clen: Long, ulen: Long,
+      zstd: Boolean): Array[Byte] = {
+    if (clen < 0 || at < 0 || at + clen > b.length) err()
+    if (ulen < 0 || ulen > MaxBufBytes) err()
+    val src = java.util.Arrays.copyOfRange(b, at.toInt, (at + clen).toInt)
+    val dst = new Array[Byte](ulen.toInt)
+    try {
+      if (zstd) {
+        val n = com.github.luben.zstd.Zstd.decompressByteArray(
+          dst, 0, dst.length, src, 0, src.length)
+        if (n != dst.length) err()
+      } else {
+        val in = new net.jpountz.lz4.LZ4FrameInputStream(
+          new java.io.ByteArrayInputStream(src))
+        try {
+          var done = 0
+          var n = 0
+          while (done < dst.length && n >= 0) {
+            n = in.read(dst, done, dst.length - done)
+            if (n > 0) done += n
+          }
+          if (done != dst.length || in.read() != -1) err()
+        } finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => err() }
+    dst
+  }
+
   /** Decode one RecordBatch message body into cells. */
   private def decodeBatch(b: Array[Byte], rbPos: Long, bodyAt: Long,
       bodyLen: Long, fields: Vector[FieldSpec], batchIdx: Int,
+      dicts: scala.collection.Map[Long, Vector[Cell]],
       out: scala.collection.mutable.ArrayBuffer[Cell]): Unit = {
-    if (field(b, rbPos, 3) >= 0) err() // BodyCompression: refuse
+    // BodyCompression(3): codec(0) 0=LZ4_FRAME 1=ZSTD; method(1) 0=BUFFER
+    val comp: Option[Boolean] = field(b, rbPos, 3) match {
+      case cp if cp < 0 => None
+      case cp =>
+        val ct = indirect(b, cp)
+        val cdPos = field(b, ct, 0)
+        val codec = if (cdPos < 0) 0 else u8(b, cdPos)
+        val mPos = field(b, ct, 1)
+        if (mPos >= 0 && u8(b, mPos) != 0) err() // only BUFFER method exists
+        codec match {
+          case 0 => Some(false) // LZ4_FRAME
+          case 1 => Some(true)  // ZSTD
+          case _ => err()
+        }
+    }
     val lenPos = field(b, rbPos, 0)
     val rows = if (lenPos < 0) 0L else i64(b, lenPos)
     if (rows < 0 || rows > MaxCells) err()
@@ -213,50 +317,84 @@ object ArrowCodec {
       val p = nodesAt + 16 * ni; ni += 1
       (i64(b, p), i64(b, p + 8)) // (length, null_count)
     }
-    def nextBuf(): (Long, Long) = {
+    def nextBuf(): Buf = {
       if (bi >= nBufs) err()
       val p = bufsAt + 16 * bi; bi += 1
       val off = i64(b, p); val len = i64(b, p + 8)
       if (off < 0 || len < 0 || off + len > bodyLen) err()
-      (bodyAt + off, len)
+      val at = bodyAt + off
+      comp match {
+        case None => Buf(b, at, len)
+        case Some(_) if len == 0 => Buf(b, at, 0)
+        case Some(z) =>
+          // int64 uncompressed-length prefix; -1 = stored uncompressed
+          if (len < 8) err()
+          val ulen = i64(b, at)
+          if (ulen == -1L) Buf(b, at + 8, len - 8)
+          else {
+            val d = decompress(b, at + 8, len - 8, ulen, z)
+            Buf(d, 0, d.length.toLong)
+          }
+      }
     }
     // validity bitmap reader; a zero-length buffer means all-valid
-    def valid(buf: (Long, Long), n: Long): Long => Boolean = {
-      val (at, len) = buf
-      if (len == 0) _ => true
-      else { i => if (i / 8 >= len) err() else (u8(b, at + i / 8) >> (i % 8).toInt & 1) == 1 }
+    def valid(buf: Buf, n: Long): Long => Boolean = {
+      if (buf.len == 0) _ => true
+      else i => (bu8(buf, i / 8) >> (i % 8).toInt & 1) == 1
     }
-    def bitsAt(at: Long, width: Int, i: Long): Long = uN(b, at + i * width, width)
-    def boolAt(at: Long, dlen: Long, i: Long): Long = {
-      if (i / 8 >= dlen) err()
-      (u8(b, at + i / 8) >> (i % 8).toInt & 1).toLong
-    }
+    def bitsAt(buf: Buf, width: Int, i: Long): Long = buN(buf, i * width, width)
+    def boolAt(buf: Buf, i: Long): Long =
+      (bu8(buf, i / 8) >> (i % 8).toInt & 1).toLong
     if (out.size + rows * fields.size > MaxCells) err()
 
-    for (f <- fields) f.typ match {
+    for (f <- fields) if (f.dict.isDefined) {
+      // dictionary-encoded column: one node, validity + index buffer;
+      // each index maps through the DictionaryBatch-delivered values
+      val d = f.dict.get
+      val dictVals = dicts.getOrElse(d.id, err())
+      val (len, _) = nextNode()
+      if (len != rows) err()
+      val v = valid(nextBuf(), len)
+      val idx = nextBuf()
+      var i = 0L
+      while (i < len) {
+        if (!v(i))
+          out += Cell(batchIdx, f.name, i, None, f.typ.label, isNull = true, None, None)
+        else {
+          var k = buN(idx, i * d.w, d.w)
+          if (d.signed && d.w < 8) {
+            val sh = 64 - 8 * d.w
+            k = (k << sh) >> sh
+          }
+          if (k < 0 || k >= dictVals.size) err()
+          val dv = dictVals(k.toInt)
+          out += Cell(batchIdx, f.name, i, None, dv.vtype, dv.isNull, dv.bits, dv.str)
+        }
+        i += 1
+      }
+    } else f.typ match {
       case Prim(label, width) =>
         val (len, _) = nextNode()
         if (len != rows) err()
         val v = valid(nextBuf(), len)
-        val (dat, dlen) = nextBuf()
+        val dat = nextBuf()
         var i = 0L
         while (i < len) {
-          if (v(i)) {
-            if ((i + 1) * width > dlen) err()
+          if (v(i))
             out += Cell(batchIdx, f.name, i, None, label, isNull = false,
               Some(bitsAt(dat, width, i)), None)
-          } else out += Cell(batchIdx, f.name, i, None, label, isNull = true, None, None)
+          else out += Cell(batchIdx, f.name, i, None, label, isNull = true, None, None)
           i += 1
         }
       case BoolT =>
         val (len, _) = nextNode()
         if (len != rows) err()
         val v = valid(nextBuf(), len)
-        val (dat, dlen) = nextBuf()
+        val dat = nextBuf()
         var i = 0L
         while (i < len) {
           if (v(i)) out += Cell(batchIdx, f.name, i, None, "bool", isNull = false,
-            Some(boolAt(dat, dlen, i)), None)
+            Some(boolAt(dat, i)), None)
           else out += Cell(batchIdx, f.name, i, None, "bool", isNull = true, None, None)
           i += 1
         }
@@ -264,17 +402,17 @@ object ArrowCodec {
         val (len, _) = nextNode()
         if (len != rows) err()
         val v = valid(nextBuf(), len)
-        val (offs, olen) = nextBuf()
-        if ((len + 1) * 4 > olen) err()
-        val (dat, dlen) = nextBuf()
+        val offs = nextBuf()
+        if ((len + 1) * 4 > offs.len) err()
+        val dat = nextBuf()
         var i = 0L
         while (i < len) {
           if (v(i)) {
-            val s = u32(b, offs + 4 * i)
-            val e = u32(b, offs + 4 * (i + 1))
-            if (e < s || e > dlen) err()
+            val s = buN(offs, 4 * i, 4)
+            val e = buN(offs, 4 * (i + 1), 4)
+            if (e < s || e > dat.len) err()
             val raw = new Array[Byte]((e - s).toInt)
-            System.arraycopy(b, (dat + s).toInt, raw, 0, raw.length)
+            System.arraycopy(dat.a, (dat.at + s).toInt, raw, 0, raw.length)
             val text =
               if (label == "utf8")
                 new String(raw, java.nio.charset.StandardCharsets.UTF_8)
@@ -287,23 +425,20 @@ object ArrowCodec {
         val (len, _) = nextNode()
         if (len != rows) err()
         val v = valid(nextBuf(), len)
-        val (offs, olen) =
-          if (fixed == 0) nextBuf() else (0L, 0L)
-        if (fixed == 0 && (len + 1) * 4 > olen) err()
+        val offs = if (fixed == 0) nextBuf() else Buf(b, 0, 0)
+        if (fixed == 0 && (len + 1) * 4 > offs.len) err()
         val (clen, _) = nextNode()
         val cv = valid(nextBuf(), clen)
-        val (cdat, cdlen) = nextBuf()
+        val cdat = nextBuf()
         def childCell(row: Long, k: Long, ci: Long): Cell =
           if (!cv(ci))
             Cell(batchIdx, f.name, row, Some(k), child.label, isNull = true, None, None)
           else if (childBool)
             Cell(batchIdx, f.name, row, Some(k), "bool", isNull = false,
-              Some(boolAt(cdat, cdlen, ci)), None)
-          else {
-            if ((ci + 1) * child.width > cdlen) err()
+              Some(boolAt(cdat, ci)), None)
+          else
             Cell(batchIdx, f.name, row, Some(k), child.label, isNull = false,
               Some(bitsAt(cdat, child.width, ci)), None)
-          }
         var i = 0L
         while (i < len) {
           if (!v(i))
@@ -315,8 +450,8 @@ object ArrowCodec {
               out += childCell(i, k, i * fixed + k); k += 1
             }
           } else {
-            val s = u32(b, offs + 4 * i)
-            val e = u32(b, offs + 4 * (i + 1))
+            val s = buN(offs, 4 * i, 4)
+            val e = buN(offs, 4 * (i + 1), 4)
             if (e < s || e > clen) err()
             var k = 0L
             while (k < e - s) {
@@ -329,30 +464,54 @@ object ArrowCodec {
     }
   }
 
+  /** Decode a DictionaryBatch message: id(0) data(1: RecordBatch)
+    * isDelta(2). The data batch carries ONE column of the value type;
+    * its cells (in row order) become the dictionary's value table.
+    * Delta dictionaries refuse; a repeated id is a spec REPLACEMENT
+    * and overwrites in stream order. */
+  private def decodeDictionary(b: Array[Byte], dbPos: Long, bodyAt: Long,
+      bodyLen: Long, fields: Vector[FieldSpec],
+      dicts: scala.collection.mutable.Map[Long, Vector[Cell]]): Unit = {
+    val idPos = field(b, dbPos, 0)
+    val id = if (idPos < 0) 0L else i64(b, idPos)
+    val deltaPos = field(b, dbPos, 2)
+    if (deltaPos >= 0 && u8(b, deltaPos) != 0) err() // delta: refuse
+    val spec = fields.find(_.dict.exists(_.id == id)).getOrElse(err())
+    val rbPos = field(b, dbPos, 1)
+    if (rbPos < 0) err()
+    val tmp = scala.collection.mutable.ArrayBuffer.empty[Cell]
+    decodeBatch(b, indirect(b, rbPos), bodyAt, bodyLen,
+      Vector(FieldSpec(spec.name, spec.typ, None)), 0, dicts, tmp)
+    dicts(id) = tmp.toVector
+  }
+
   // ---- message framing ------------------------------------------------
 
-  /** Parse the encapsulated message at `p`: returns (message table
-    * position, body position, body length, next position), or None at
-    * a clean end-of-stream marker. */
-  private def message(b: Array[Byte], p: Long): Option[(Long, Long, Long, Long)] = {
+  /** Parse the encapsulated message at `p`: Right((message table
+    * position, body position, body length, next position)), or
+    * Left(position past the marker) at a clean end-of-stream marker. */
+  private def message(b: Array[Byte], p: Long): Either[Long, (Long, Long, Long, Long)] = {
     var q = p
     var metaLen = u32(b, q)
     q += 4
     if (metaLen == 0xffffffffL) { metaLen = u32(b, q); q += 4 } // continuation
-    if (metaLen == 0) return None // end-of-stream
+    if (metaLen == 0) return Left(q) // end-of-stream
     if (metaLen > MaxMetaBytes || q + metaLen > b.length) err()
     val root = q + u32(b, q)
     if (root >= q + metaLen) err()
     val blPos = field(b, root, 3)
     val bodyLen = if (blPos < 0) 0L else i64(b, blPos)
     if (bodyLen < 0 || q + metaLen + bodyLen > b.length) err()
-    Some((root, q + metaLen, bodyLen, q + metaLen + bodyLen))
+    Right((root, q + metaLen, bodyLen, q + metaLen + bodyLen))
+  }
+
+  private def headerType(b: Array[Byte], msgPos: Long): Int = {
+    val htPos = field(b, msgPos, 1)
+    if (htPos < 0) 0 else u8(b, htPos)
   }
 
   private def headerOf(b: Array[Byte], msgPos: Long, wantType: Int): Long = {
-    val htPos = field(b, msgPos, 1)
-    val ht = if (htPos < 0) 0 else u8(b, htPos)
-    if (ht != wantType) err() // DictionaryBatch (2) lands here: refuse
+    if (headerType(b, msgPos) != wantType) err()
     val hPos = field(b, msgPos, 2)
     if (hPos < 0) err()
     indirect(b, hPos)
@@ -360,7 +519,9 @@ object ArrowCodec {
 
   // ---- the two framings -----------------------------------------------
 
-  /** FILE format: trailing footer names the schema + batch blocks. */
+  /** FILE format: trailing footer names the schema + dictionary and
+    * batch blocks; dictionaries decode first (batch indices resolve
+    * against them). */
   private def decodeFile(b: Array[Byte]): Option[Vector[Cell]] = {
     val n = b.length
     if (n < 8 + 10 || !hasMagic(b, n - 6)) err()
@@ -369,11 +530,32 @@ object ArrowCodec {
     if (footerLen < 4 || footerPos < 8) err()
     val root = footerPos + u32(b, footerPos)
     // Footer: version(0) schema(1) dictionaries(2) recordBatches(3)
-    val dicPos = field(b, root, 2)
-    if (dicPos >= 0 && vec(b, dicPos, 24)._1 > 0) err() // dictionary batches: refuse
     val sPos = field(b, root, 1)
     if (sPos < 0) err()
     val fields = parseSchema(b, indirect(b, sPos))
+    val dicts = scala.collection.mutable.Map.empty[Long, Vector[Cell]]
+    def blockAt(at: Long, i: Long): (Long, Long, Long) = {
+      val p = at + 24 * i
+      val off = i64(b, p)
+      val metaDataLen = i32(b, p + 8).toLong
+      val bodyLen = i64(b, p + 16)
+      if (off < 0 || metaDataLen < 8 || bodyLen < 0 ||
+          off + metaDataLen + bodyLen > n) err()
+      (off, metaDataLen, bodyLen)
+    }
+    val dicPos = field(b, root, 2)
+    if (dicPos >= 0) {
+      val (nd, dat) = vec(b, dicPos, 24)
+      if (nd > MaxBatches) err()
+      var i = 0L
+      while (i < nd) {
+        val (off, metaDataLen, bodyLen) = blockAt(dat, i)
+        val (msgRoot, _, _, _) = message(b, off).getOrElse(err())
+        decodeDictionary(b, headerOf(b, msgRoot, 2), off + metaDataLen,
+          bodyLen, fields, dicts)
+        i += 1
+      }
+    }
     val rbPos = field(b, root, 3)
     if (rbPos < 0) err()
     val (nb, at) = vec(b, rbPos, 24)
@@ -381,37 +563,43 @@ object ArrowCodec {
     val out = scala.collection.mutable.ArrayBuffer.empty[Cell]
     var i = 0L
     while (i < nb) {
-      val p = at + 24 * i
-      val off = i64(b, p)
-      val metaDataLen = i32(b, p + 8)
-      val bodyLen = i64(b, p + 16)
-      if (off < 0 || metaDataLen < 8 || bodyLen < 0 ||
-          off + metaDataLen + bodyLen > n) err()
+      val (off, metaDataLen, bodyLen) = blockAt(at, i)
       val (msgRoot, _, _, _) = message(b, off).getOrElse(err())
       val rb = headerOf(b, msgRoot, 3)
-      decodeBatch(b, rb, off + metaDataLen, bodyLen, fields, i.toInt, out)
+      decodeBatch(b, rb, off + metaDataLen, bodyLen, fields, i.toInt, dicts, out)
       i += 1
     }
     Some(out.toVector)
   }
 
-  /** STREAM format: Schema message, then RecordBatch messages, then
-    * an end-of-stream marker (or clean EOF). */
+  /** STREAM format: Schema message, then DictionaryBatch/RecordBatch
+    * messages in stream order, then an end-of-stream marker (or clean
+    * EOF). Trailing bytes past the marker refuse the file — the
+    * strict-trailing-garbage stance the gzip/bz2/zip codecs share. */
   private def decodeStream(b: Array[Byte]): Option[Vector[Cell]] = {
     val (sRoot, _, _, afterSchema) = message(b, 0).getOrElse(err())
     val fields = parseSchema(b, headerOf(b, sRoot, 1))
+    val dicts = scala.collection.mutable.Map.empty[Long, Vector[Cell]]
     val out = scala.collection.mutable.ArrayBuffer.empty[Cell]
     var p = afterSchema
     var batch = 0
     var done = false
     while (!done && p < b.length) {
       message(b, p) match {
-        case None => done = true
-        case Some((mRoot, bodyAt, bodyLen, next)) =>
-          if (batch >= MaxBatches) err()
-          val rb = headerOf(b, mRoot, 3)
-          decodeBatch(b, rb, bodyAt, bodyLen, fields, batch, out)
-          batch += 1
+        case Left(after) =>
+          if (after != b.length) err() // trailing garbage after EOS
+          done = true
+        case Right((mRoot, bodyAt, bodyLen, next)) =>
+          headerType(b, mRoot) match {
+            case 2 =>
+              decodeDictionary(b, headerOf(b, mRoot, 2), bodyAt, bodyLen,
+                fields, dicts)
+            case _ =>
+              if (batch >= MaxBatches) err()
+              val rb = headerOf(b, mRoot, 3)
+              decodeBatch(b, rb, bodyAt, bodyLen, fields, batch, dicts, out)
+              batch += 1
+          }
           p = next
       }
     }

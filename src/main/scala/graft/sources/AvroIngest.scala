@@ -26,6 +26,14 @@ object AvroIngest {
 
   val MaxRecords: Int = 100000
 
+  /** Decoded-cell byte budget (strings/bytes at their length, scalars
+    * at 8): the deflate codec inflates blocks executor-side before any
+    * record cap applies, so the budget is checked after EVERY record —
+    * a bomb file refuses at the first over-budget record instead of
+    * accumulating the whole container (same MaxInflatedBytes stance as
+    * the gzip/bz2/zstd/zip codecs). */
+  val MaxDecodedBytes: Long = GzipCodec.MaxInflatedBytes.toLong
+
   /** (field, elem_idx, vtype, long_val, float_bits, double_bits,
     * str_val, bytes_val) — elem_idx is None for scalar fields. */
   case class Cell(
@@ -42,17 +50,25 @@ object AvroIngest {
       try {
         val out = Vector.newBuilder[(Int, Cell)]
         var idx = 0
+        var budget = MaxDecodedBytes
         while (reader.hasNext) {
           if (idx >= MaxRecords) return None
           val rec = reader.next()
           rec.getSchema.getFields.forEach { f =>
-            cells(f.name, rec.get(f.pos)).foreach(c => out += ((idx, c)))
+            cells(f.name, rec.get(f.pos)).foreach { c =>
+              budget -= 8L + c.str_val.fold(0)(_.length) +
+                c.bytes_val.fold(0)(_.length)
+              out += ((idx, c))
+            }
           }
+          if (budget < 0) return None
           idx += 1
         }
         Some(out.result())
       } finally reader.close()
-    } catch { case _: Throwable => None }
+      // NonFatal only: OOM/LinkageError must propagate, not become a
+      // silent per-file skip
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private def cells(field: String, v: Any): Seq[Cell] = v match {

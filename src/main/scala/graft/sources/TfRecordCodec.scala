@@ -74,7 +74,9 @@ object TfRecordCodec {
       if (maskedCrc32c(bytes, pos, 8) != lenCrc) return None
       val dataOff = pos + 12
       val ilen = len.toInt
-      if (dataOff + ilen + 4 > bytes.length) return None
+      // Long arithmetic: near the 2 GiB array ceiling dataOff+ilen+4
+      // wraps negative in Int and would pass the bound
+      if (dataOff.toLong + ilen + 4 > bytes.length) return None
       val dataCrc = u32le(bytes, dataOff + ilen)
       if (maskedCrc32c(bytes, dataOff, ilen) != dataCrc) return None
       out += java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + ilen)

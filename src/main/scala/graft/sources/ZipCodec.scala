@@ -16,16 +16,27 @@ package graft.sources
   * via [[java.util.zip.Inflater]]) or copy (method 0, stored), and
   * check CRC-32 + declared size.
   *
+  * ZIP64 (APPNOTE 4.5) is first-class: when the EOCD carries the
+  * 0xFFFF / 0xFFFFFFFF sentinels the walk continues through the
+  * ZIP64 EOCD locator into the ZIP64 EOCD record for the real
+  * count/size/offset, and central-directory entries whose
+  * size/offset fields are saturated resolve them from the 0x0001
+  * extra field — at 100 TB scale the >4 GiB / >65k-member archive is
+  * the NORMAL delivery shape, and the central-directory-first walk
+  * is exactly what lets a scan range-read members out of one without
+  * touching the rest. (In this in-memory codec a single OBJECT is
+  * still bounded by the byte-array it arrived in; the format walk is
+  * the scale path.) Multi-disk archives refuse — a split archive is
+  * a mastering artifact, not a data-lake object.
+  *
   * Contract discipline as the other container codecs: a structurally
   * broken ARCHIVE (bad EOCD/central-directory bounds or signatures,
   * counts over caps) refuses whole with None; a single bad MEMBER —
   * unsupported method (bzip2/lzma/zstd), encryption flag, local
-  * header mismatch, deflate error, CRC or size mismatch — degrades
-  * per member (skipped, the rest of the archive survives). Directory
-  * entries (name ends '/') are structural, not data, and are not
-  * emitted. ZIP64 archives are a documented refusal (EOCD counts of
-  * 0xFFFF / sizes of 0xFFFFFFFF): the 4 GiB member ceiling already
-  * exceeds the per-task budget this engine allows one object.
+  * header mismatch, deflate error, CRC or size mismatch, size over
+  * [[MaxMemberBytes]] — degrades per member (skipped, the rest of
+  * the archive survives). Directory entries (name ends '/') are
+  * structural, not data, and are not emitted.
   */
 object ZipCodec {
 
@@ -38,17 +49,41 @@ object ZipCodec {
   private val EocdSig = 0x06054b50
   private val CenSig = 0x02014b50
   private val LocSig = 0x04034b50
+  private val Eocd64Sig = 0x06064b50
+  private val Loc64Sig = 0x07064b50
 
   /** Decode an archive to its file members (per-member degrade), or
     * None if the central structure is broken. Never throws. */
   def decode(bytes: Array[Byte]): Option[Vector[Member]] = {
     val eocd = findEocd(bytes).getOrElse(return None)
-    val total = u16(bytes, eocd + 10)
-    val cdSize = u32(bytes, eocd + 12)
-    val cdOff = u32(bytes, eocd + 16)
-    if (total == 0xffff || cdOff == 0xffffffffL) return None // ZIP64
+    var total: Long = u16(bytes, eocd + 10)
+    var cdSize: Long = u32(bytes, eocd + 12)
+    var cdOff: Long = u32(bytes, eocd + 16)
+    val disk = u16(bytes, eocd + 4)
+    val cdDisk = u16(bytes, eocd + 6)
+    val onDisk = u16(bytes, eocd + 8)
+    if (total == 0xffffL || onDisk == 0xffff || cdSize == 0xffffffffL ||
+        cdOff == 0xffffffffL || disk == 0xffff || cdDisk == 0xffff) {
+      // ZIP64: the locator sits directly before the EOCD and names
+      // the ZIP64 EOCD record holding the real 64-bit values
+      val loc = eocd - 20
+      if (loc < 0 || u32(bytes, loc) != Loc64Sig) return None
+      if (u32(bytes, loc + 4) != 0 || u32(bytes, loc + 16) != 1) return None // multi-disk
+      val e64 = i64le(bytes, loc + 8)
+      if (e64 < 0 || e64 + 56 > loc || u32(bytes, e64.toInt) != Eocd64Sig)
+        return None
+      val p64 = e64.toInt
+      if (u32(bytes, p64 + 16) != 0 || u32(bytes, p64 + 20) != 0) return None // disks
+      total = i64le(bytes, p64 + 32)
+      if (i64le(bytes, p64 + 24) != total) return None // on-disk != total
+      cdSize = i64le(bytes, p64 + 40)
+      cdOff = i64le(bytes, p64 + 48)
+      if (cdOff < 0 || cdSize < 0 || cdOff + cdSize > e64) return None
+    } else {
+      if (disk != 0 || cdDisk != 0 || onDisk != total) return None
+      if (cdOff + cdSize > eocd) return None
+    }
     if (total > MaxMembers) return None
-    if (cdOff + cdSize > eocd) return None
     val out = Vector.newBuilder[Member]
     var p = cdOff.toInt
     var n = 0
@@ -58,25 +93,65 @@ object ZipCodec {
       val flags = u16(bytes, p + 8)
       val method = u16(bytes, p + 10)
       val crc = u32(bytes, p + 16)
-      val csize = u32(bytes, p + 20)
-      val usize = u32(bytes, p + 24)
+      var csize = u32(bytes, p + 20)
+      var usize = u32(bytes, p + 24)
       val nameLen = u16(bytes, p + 28)
       val extraLen = u16(bytes, p + 30)
       val commentLen = u16(bytes, p + 32)
-      val locOff = u32(bytes, p + 42)
-      if (p + 46 + nameLen > bytes.length) return None
+      val diskStart = u16(bytes, p + 34)
+      var locOff = u32(bytes, p + 42)
+      if (p + 46 + nameLen + extraLen > bytes.length) return None
       val name = new String(bytes, p + 46, nameLen, "UTF-8")
+      // ZIP64 extra (id 0x0001): 64-bit values, present IN ORDER for
+      // exactly the header fields that carry the 0xFFFFFFFF sentinel
+      if (usize == 0xffffffffL || csize == 0xffffffffL ||
+          locOff == 0xffffffffL || diskStart == 0xffff) {
+        var q = p + 46 + nameLen
+        val qEnd = q + extraLen
+        var found = false
+        while (q + 4 <= qEnd && !found) {
+          val id = u16(bytes, q)
+          val sz = u16(bytes, q + 2)
+          if (q + 4 + sz > qEnd) return None
+          if (id == 0x0001) {
+            var r = q + 4
+            val rEnd = q + 4 + sz
+            if (usize == 0xffffffffL) {
+              if (r + 8 > rEnd) return None
+              usize = i64le(bytes, r); r += 8
+            }
+            if (csize == 0xffffffffL) {
+              if (r + 8 > rEnd) return None
+              csize = i64le(bytes, r); r += 8
+            }
+            if (locOff == 0xffffffffL) {
+              if (r + 8 > rEnd) return None
+              locOff = i64le(bytes, r); r += 8
+            }
+            if (diskStart == 0xffff) {
+              if (r + 4 > rEnd || u32(bytes, r) != 0) return None
+            }
+            if (usize < 0 || csize < 0 || locOff < 0) return None
+            found = true
+          }
+          q += 4 + sz
+        }
+        if (!found) return None
+      } else if (diskStart != 0) return None
       p += 46 + nameLen + extraLen + commentLen
       n += 1
       if (!name.endsWith("/")) {
-        if (csize == 0xffffffffL || usize == 0xffffffffL) return None // ZIP64
-        if (usize <= MaxMemberBytes && usize <= budget)
+        if (usize <= MaxMemberBytes && usize <= budget &&
+            csize <= Int.MaxValue)
           member(bytes, name, flags, method, crc, csize.toInt, usize.toInt,
             locOff).foreach { m => budget -= m.data.length; out += m }
       }
     }
     Some(out.result())
   }
+
+  private def i64le(b: Array[Byte], p: Int): Long =
+    u32(b, p) | (u32(b, p + 4) << 32)
 
   /** One member: local-header check + decompress + CRC/size verify.
     * None skips the member, not the archive. */

@@ -60,10 +60,43 @@ class ArrowCodecSpec extends SparkSpec {
     assert(cells.find(c => c.col == "t" && c.batch == 1).get.str.contains("fin"))
   }
 
-  test("refusals: compressed bodies, dictionary encoding, truncation") {
-    assert(ArrowCodec.decode(fixture("zstdipc-03.arrow")).isEmpty)
-    assert(ArrowCodec.decode(fixture("dict-04.arrow")).isEmpty)
+  test("compressed bodies: ZSTD and LZ4_FRAME decode identical to the plain file") {
+    val plain = ArrowCodec.decode(fixture("table-00.arrow")).get
+    val zstd = ArrowCodec.decode(fixture("zstdipc-03.arrow")).get
+    assert(zstd == plain.filter(_.batch == 0)) // zstd file holds batch 0 only
+    val lz4 = ArrowCodec.decode(fixture("lz4-08.arrow")).get
+    assert(lz4 == plain) // lz4 file holds both batches
+  }
+
+  test("dictionary-encoded columns resolve through the DictionaryBatch") {
+    val cells = ArrowCodec.decode(fixture("dict-04.arrow")).get
+    assert(cells.map(_.str) ==
+      Vector(Some("a"), Some("b"), Some("a"), Some("c")))
+    assert(cells.forall(_.vtype == "utf8"))
+    // stock write_feather output: LZ4 bodies + categorical column
+    val f9 = ArrowCodec.decode(fixture("feather-09.arrow")).get
+    val src = f9.filter(_.col == "source")
+    assert(src.map(_.str) == Vector(Some("news"), Some("web"), None,
+      Some("web"), Some("code"), Some("news"), Some("web"), Some("code")))
+    assert(src(2).isNull)
+    // stream framing, int8 indices, null index slot
+    val s10 = ArrowCodec.decode(fixture("streamdict-10.arrow")).get
+    val c = s10.filter(_.col == "c")
+    assert(c.map(_.str) ==
+      Vector(Some("x"), Some("yy"), None, Some("zzz"), Some("yy")))
+  }
+
+  test("refusals: truncation, trailing garbage after stream EOS") {
     assert(ArrowCodec.decode(fixture("trunc-05.arrow")).isEmpty)
+    assert(ArrowCodec.decode(fixture("garbage-11.arrow")).isEmpty)
+    // one flipped byte in a compressed body must refuse, not throw
+    val z = fixture("zstdipc-03.arrow")
+    var j = z.length / 3
+    while (j < z.length / 3 + 40 && j < z.length) {
+      val m = z.clone(); m(j) = (m(j) ^ 0x5a).toByte
+      ArrowCodec.decode(m)
+      j += 1
+    }
   }
 
   test("hostile bytes never throw: truncations and fuzz over both framings") {

@@ -19,12 +19,14 @@ class BpeTrainSpec extends SparkSpec {
       r.getAs[Int]("rhs_code"), r.getAs[Long]("pair_count"),
       r.getAs[Long]("total_syms")))
 
-  test("merge indices are 1..n with no gaps; codes are letters or earlier sentinels") {
+  test("merge indices are 1..n with no gaps; codes are letters or earlier merges") {
     assert(merges.nonEmpty)
     assert(merges.map(_._1).toSeq == (1 to merges.length))
+    // merge round N mints integer code 255+N: a pair side is either a
+    // letter codepoint or a code minted by a STRICTLY EARLIER round
     for ((idx, lhs, rhs, _, _) <- merges; code <- Seq(lhs, rhs))
       assert((code >= 'a'.toInt && code <= 'z'.toInt) ||
-        (code >= 1 && code < idx),
+        (code >= 256 && code < 255 + idx),
         s"merge $idx references invalid symbol $code")
   }
 
@@ -39,20 +41,27 @@ class BpeTrainSpec extends SparkSpec {
   }
 
   test("final vocab expands losslessly back to the source words") {
-    // expansion map: letters expand to themselves; sentinel i expands
-    // to exp(lhs) + exp(rhs) of merge i (well-founded: codes < idx)
+    // expansion map: letter codes expand to themselves; code 255+i
+    // expands to exp(lhs) + exp(rhs) of merge i (well-founded: pair
+    // codes come from strictly earlier rounds)
     val exp = scala.collection.mutable.Map.empty[Int, String]
     def expand(code: Int): String =
-      if (code >= 'a'.toInt) code.toChar.toString else exp(code)
+      if (code < 256) code.toChar.toString else exp(code)
     for ((idx, lhs, rhs, _, _) <- merges)
-      exp(idx) = expand(lhs) + expand(rhs)
+      exp(255 + idx) = expand(lhs) + expand(rhs)
     val vocab = graft.operators.BpeTrain.model(spark, dir)
       .filter(col("kind") === "vocab")
       .select(col("word0"), col("word")).collect()
     assert(vocab.nonEmpty)
+    val W = graft.operators.BpeTrain.TokW
     vocab.foreach { r =>
       val w0 = r.getString(0); val w = r.getString(1)
-      assert(w.map(c => expand(c.toInt)).mkString == w0,
+      assert(w.length % W == 0, s"carrier not $W-aligned for '$w0'")
+      val codes = w.grouped(W).map { t =>
+        assert(t.charAt(0) == 'g', s"bad token '$t' in '$w0'")
+        t.substring(1).toInt
+      }.toSeq
+      assert(codes.map(expand).mkString == w0,
         s"vocab entry for '$w0' does not expand back")
     }
   }

@@ -51,6 +51,31 @@ class ZipCodecSpec extends AnyFunSuite {
     assert(ms.map(_.name) == Vector("dir/x"))
   }
 
+  test("zip64: saturated EOCD walks locator -> zip64 EOCD; per-entry 0x0001 extras") {
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      graft.Fixtures.base, "q_zip_scan", "zip64-04.zip"))
+    val ms = ZipCodec.decode(b).get
+    assert(ms.map(_.name) == Vector("big/part-000.txt", "big/part-001.txt"))
+    assert(ms(0).method == 0 && ms(0).data.length == 224)
+    assert(ms(1).method == 8 && ms(1).data.length == 366)
+    assert(new String(ms(0).data, "UTF-8").startsWith("zip64 stored member"))
+    // structural damage inside the zip64 chain refuses whole
+    val noLoc = b.clone
+    val locAt = b.length - 22 - 20
+    noLoc(locAt) = 'X'.toByte // locator signature
+    assert(ZipCodec.decode(noLoc).isEmpty)
+    val badE64 = b.clone
+    badE64(locAt + 8) = (badE64(locAt + 8) ^ 0x40).toByte // e64 offset
+    assert(ZipCodec.decode(badE64).isEmpty)
+    // dropping the 0x0001 extra id orphans the sentinels: refuse
+    val noExtra = b.clone
+    val nameAt = indexOfSlice(noExtra, "big/part-000.txt".getBytes)
+    val cdAt = indexOfSlice(noExtra, "big/part-000.txt".getBytes, nameAt + 1)
+    assert(cdAt > 0)
+    noExtra(cdAt + 16) = 0x33 // extra header id low byte
+    assert(ZipCodec.decode(noExtra).isEmpty)
+  }
+
   test("per-file refusal: truncation, EOCD damage, bogus bytes") {
     assert(ZipCodec.decode(Array.emptyByteArray).isEmpty)
     assert(ZipCodec.decode(basic.dropRight(1)).isEmpty)
@@ -103,8 +128,9 @@ class ZipCodecSpec extends AnyFunSuite {
     }
   }
 
-  private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int = {
-    var i = 0
+  private def indexOfSlice(hay: Array[Byte], needle: Array[Byte],
+      from: Int = 0): Int = {
+    var i = math.max(0, from)
     while (i + needle.length <= hay.length) {
       var j = 0
       while (j < needle.length && hay(i + j) == needle(j)) j += 1

@@ -18,10 +18,15 @@ Layout written under tools/fixtures/q_arrow_read/:
                     list<i64> (null list, empty list, null element),
                     i64 ids
   stream-02.arrow   STREAM format: i64 + utf8, two batches + EOS
-  zstdipc-03.arrow  FILE format, zstd-compressed bodies -> refusal
-  dict-04.arrow     dictionary-encoded column -> refusal
+  zstdipc-03.arrow  FILE format, ZSTD-compressed bodies (GRADED)
+  dict-04.arrow     dictionary-encoded utf8 column (GRADED)
   trunc-05.arrow    table-00 cut mid-footer -> refusal
-The three bad files' ABSENCE from the golden is itself graded.
+  lz4-08.arrow      FILE format, LZ4_FRAME-compressed bodies, 2 batches
+  feather-09.arrow  STOCK pyarrow.feather.write_feather output: default
+                    LZ4 compression + a dictionary (categorical) column
+  streamdict-10.arrow STREAM framing, LZ4 bodies + int8-index dictionary
+  garbage-11.arrow  stream-02 + trailing junk after EOS -> refusal
+The two bad files' ABSENCE from the golden is itself graded.
 """
 import os, struct
 
@@ -172,24 +177,81 @@ with open(os.path.join(D, "stream-02.arrow"), "wb") as fh:
 emit_batch("stream-02.arrow", 0, s0)
 emit_batch("stream-02.arrow", 1, s1)
 
-# ---- refusal fixtures
+# ---- compressed bodies (GRADED): ZSTD file, LZ4_FRAME file — the
+# pyarrow Feather V2 DEFAULT is LZ4, so this is what stock exports are
 with open(os.path.join(D, "zstdipc-03.arrow"), "wb") as fh:
     w = ipc.new_file(fh, batch_of(b0).schema,
                      options=ipc.IpcWriteOptions(compression="zstd"))
     w.write_batch(batch_of(b0))
     w.close()
+emit_batch("zstdipc-03.arrow", 0, b0)
 
-dict_arr = pa.array(["a", "b", "a", "c"]).dictionary_encode()
+with open(os.path.join(D, "lz4-08.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, batch_of(b0).schema,
+                     options=ipc.IpcWriteOptions(compression="lz4"))
+    w.write_batch(batch_of(b0))
+    w.write_batch(batch_of(b1))
+    w.close()
+emit_batch("lz4-08.arrow", 0, b0)
+emit_batch("lz4-08.arrow", 1, b1)
+
+# ---- dictionary-encoded columns (GRADED): the pandas-categorical
+# export shape — indices resolve through the DictionaryBatch message,
+# golden rows carry the RESOLVED values as a plain utf8 column
+dict_vals = ["a", "b", "a", "c"]
+dict_arr = pa.array(dict_vals).dictionary_encode()
 dict_batch = pa.record_batch([dict_arr], names=["d"])
 with open(os.path.join(D, "dict-04.arrow"), "wb") as fh:
     w = ipc.new_file(fh, dict_batch.schema)
     w.write_batch(dict_batch)
     w.close()
+emit_batch("dict-04.arrow", 0, [("d", "utf8", None, dict_vals)])
 
+# feather-09: STOCK write_feather output (default LZ4 + categorical) —
+# the exact first-file shape a real user hands the engine
+import pyarrow.feather as feather  # noqa: E402
+cat_vals = ["news", "web", None, "web", "code", "news", "web", "code"]
+f9_ids = list(range(8))
+f9_txt = ["d%d" % i for i in range(7)] + [None]
+f9 = pa.table({
+    "doc_id": pa.array(f9_ids, type=pa.int64()),
+    "source": pa.array(cat_vals).dictionary_encode(),
+    "txt": pa.array(f9_txt),
+})
+feather.write_feather(f9, os.path.join(D, "feather-09.arrow"))
+emit_batch("feather-09.arrow", 0, [
+    ("doc_id", "i64", None, f9_ids),
+    ("source", "utf8", None, cat_vals),
+    ("txt", "utf8", None, f9_txt),
+])
+
+# streamdict-10: STREAM framing with LZ4 bodies AND an int8-index
+# dictionary — dictionary message order + narrow index widths
+s10_vals = ["x", "yy", None, "zzz", "yy"]
+s10_ids = [7, 8, 9, 10, 11]
+d10 = pa.DictionaryArray.from_arrays(
+    pa.array([0, 1, None, 2, 1], type=pa.int8()), pa.array(["x", "yy", "zzz"]))
+t10 = pa.table({"k": pa.array(s10_ids, type=pa.int64()), "c": d10})
+with open(os.path.join(D, "streamdict-10.arrow"), "wb") as fh:
+    w = ipc.new_stream(fh, t10.schema,
+                       options=ipc.IpcWriteOptions(compression="lz4"))
+    w.write_table(t10)
+    w.close()
+emit_batch("streamdict-10.arrow", 0, [
+    ("k", "i64", None, s10_ids),
+    ("c", "utf8", None, s10_vals),
+])
+
+# ---- refusal fixtures
 with open(os.path.join(D, "table-00.arrow"), "rb") as fh:
     whole = fh.read()
 with open(os.path.join(D, "trunc-05.arrow"), "wb") as fh:
     fh.write(whole[:-60])
+
+with open(os.path.join(D, "stream-02.arrow"), "rb") as fh:
+    s2 = fh.read()
+with open(os.path.join(D, "garbage-11.arrow"), "wb") as fh:
+    fh.write(s2 + b"JUNKJUNK")  # bytes past the EOS marker: refuse
 
 # ---- sink cross-validation: sink-06.arrow is produced by the ENGINE's
 # own writer (ArrowWrite.encodeFile — from-scratch flatbuffers); golden
