@@ -11,9 +11,12 @@ package graft.sources
   *    ("OHDR") object headers, compact inline hard links, and
   *    layout-v4 chunk indexes (single-chunk / implicit / fixed
   *    array INCLUDING the paged form any >2^page-bits-chunk dataset
-  *    gets / unpaged extensible array with its EAHD → EAIB →
+  *    gets / extensible array with its EAHD → EAIB →
   *    EASB → EADB walk — the index h5py writes for ANY
-  *    maxshape=resizable dataset — / v2 B-trees at any depth
+  *    maxshape=resizable dataset — INCLUDING paged EA data blocks
+  *    (element pages + the owning super block's per-data-block
+  *    page-init bitmasks, the shape past ~65k chunks at default
+  *    creation params) / v2 B-trees at any depth
   *    (budget-bounded), the index for >1 unlimited dimension) — the
   *    h5py libver='latest' shape
   *    (dense fractal-heap link storage stays refused),
@@ -30,9 +33,9 @@ package graft.sources
   *
   * Refusal contract (the [[GzipCodec]]/[[PngCodec]] discipline):
   * anything outside that envelope — compact layout, filters beyond
-  * deflate+shuffle, PAGED
-  * extensible-array data blocks (past 2^page-bits elements; paged
-  * FIXED arrays — the common >2^page-bits-chunks case — ARE read),
+  * deflate+shuffle, a paged data block referenced directly from an
+  * EA INDEX block (no page-init bitmap exists there; the library's
+  * doubling math never produces one),
   * big-endian or non-scalar datatypes, fractured group B-trees deeper
   * than one level, truncated anything — returns None, never throws, so
   * one corrupt object skips instead of killing a distributed scan.
@@ -1043,12 +1046,17 @@ object Hdf5Codec {
             else (asm.fullChunkBytes.toLong, 0L)
           asm.chunkEntry(asm.gridOffsets(gi), addr, nb, mask)
         }
-        // data block: prefix + block offset, then dnel elements whose
-        // grid indexes start at idxElmts + startElem. Whole element
-        // array bounds-checked BEFORE reading (a truncated block must
-        // refuse, not alias to all-unallocated — the fixed-array rule)
+        val pageElems = 1L << math.min(pgBits, 62)
+        // data block (UNPAGED): prefix + block offset, then dnel
+        // elements whose grid indexes start at idxElmts + startElem.
+        // Whole element array bounds-checked BEFORE reading (a
+        // truncated block must refuse, not alias to all-unallocated —
+        // the fixed-array rule). A paged block reached from the INDEX
+        // block refuses: index-block-referenced data blocks carry no
+        // page-init bitmap (the library's doubling math never pages
+        // them under any sane creation params).
         def readDblk(at: Long, startElem: Long, dnel: Long): Boolean = {
-          if (dnel > (1L << math.min(pgBits, 62))) return false // paged
+          if (dnel > pageElems) return false // paged: needs EASB bitmap
           if (!(u8(at) == 'E' && u8(at + 1) == 'A' &&
                 u8(at + 2) == 'D' && u8(at + 3) == 'B')) return false
           if (u8(at + 4) != 0 || u8(at + 5) != clientId) return false
@@ -1063,20 +1071,65 @@ object Hdf5Codec {
           }
           true
         }
+        // data block (PAGED — dnel past 2^pgBits, i.e. any dataset
+        // past ~65k chunks at the library's default creation params):
+        // the block itself is prefix + checksum only; element PAGES
+        // (each pageElems elements + own checksum) follow contiguously.
+        // Which pages are initialized lives in the OWNING super
+        // block's per-data-block page-init bitmask (bmAt); an
+        // uninitialized page's chunks are unallocated and its bytes
+        // are never read. The full page span is bounds-checked before
+        // any element is touched.
+        def readPagedDblk(at: Long, startElem: Long, dnel: Long,
+            bmAt: Long): Boolean = {
+          if (!(u8(at) == 'E' && u8(at + 1) == 'A' &&
+                u8(at + 2) == 'D' && u8(at + 3) == 'B')) return false
+          if (u8(at + 4) != 0 || u8(at + 5) != clientId) return false
+          val npages = dnel / pageElems // both powers of two: exact
+          val pageLen = pageElems * elmtSize + 4
+          val pagesAt = at + 6 + 8 + offSz + 4 // prefix + its checksum
+          if (pagesAt + npages * pageLen > bytes.length) return false
+          var p = 0L
+          while (p < npages) {
+            val init = (u8(bmAt + p / 8) >> (p % 8).toInt & 1) == 1
+            if (init) {
+              val eAt = pagesAt + p * pageLen
+              var t = 0L
+              while (t < pageElems) {
+                val gi = idxElmts + startElem + p * pageElems + t
+                if (gi >= asm.gridChunks) return true
+                if (!elemEntry(eAt + t * elmtSize, gi)) return false
+                t += 1
+              }
+            } // uninitialized page: every chunk in it is unallocated
+            p += 1
+          }
+          true
+        }
         // secondary block for super block u: prefix + block offset,
-        // then that super block's data block addresses
+        // then — when this super block's data blocks are paged — one
+        // page-init bitmask PER data block, then the data block
+        // addresses
         def readSblk(at: Long, u: Int, startIdx: Long): Boolean = {
           if (!(u8(at) == 'E' && u8(at + 1) == 'A' &&
                 u8(at + 2) == 'S' && u8(at + 3) == 'B')) return false
           if (u8(at + 4) != 0 || u8(at + 5) != clientId) return false
-          val aAt = at + 6 + 8 + offSz
           val nd = sNdblks(u); val dn = sDnel(u)
+          val paged = dn > pageElems
+          val bmSize = if (paged) (dn / pageElems + 7) / 8 else 0L
+          val bmAt0 = at + 6 + 8 + offSz
+          val aAt = bmAt0 + nd * bmSize
           if (aAt + nd * 8 + 4 > bytes.length) return false
           var j = 0L
           while (j < nd) {
             val da = uN(aAt + j * 8, 8)
-            if (da != Undef && !readDblk(da, startIdx + j * dn, dn))
-              return false
+            if (da != Undef) {
+              val ok =
+                if (paged) readPagedDblk(da, startIdx + j * dn, dn,
+                  bmAt0 + j * bmSize)
+                else readDblk(da, startIdx + j * dn, dn)
+              if (!ok) return false
+            }
             j += 1
           }
           true

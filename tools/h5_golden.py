@@ -791,11 +791,21 @@ def write_h5_v2(datasets):
                 # first 2*log2(4)=4 super blocks' data blocks are
                 # addressed directly from the index block (6 slots),
                 # later super blocks via EASB secondary blocks.
+                # Creation knobs: mine/pgb overridable so a fixture can
+                # FORCE paged data blocks at fixture scale (mine=4,
+                # pgb=4 pages super blocks u>=5) — the same layout any
+                # default-knob dataset gets past ~65k chunks. The
+                # library invariant MINE*MINP <= 2^PGB must hold so
+                # index-block-referenced data blocks stay unpaged.
                 client = 1 if filtered else 0
-                MAXB, IDXE, MINP, MINE, PGB = 32, 4, 4, 16, 10
+                MAXB, IDXE, MINP = 32, 4, 4
+                MINE = int(opts.get("mine", 16))
+                PGB = int(opts.get("pgb", 10))
+                assert MINE * MINP <= (1 << PGB)
+                psize = 1 << PGB
                 entry = 16 if filtered else 8  # addr(8) [+ size(4) + mask(4)]
                 offsz = (MAXB + 7) // 8
-                nsblks = 2 * (MAXB - 4)        # log2(MINE)=4
+                nsblks = 2 * (MAXB - (MINE.bit_length() - 1))
                 iblk_sblks = 4                 # 2*log2(MINP)
                 ndblk_addrs = 2 * (MINP - 1)
                 nsblk_addrs = nsblks - iblk_sblks
@@ -834,9 +844,20 @@ def write_h5_v2(datasets):
                     sblks = sorted(set(u for u, *_ in dblks
                                        if u >= iblk_sblks))
                     # lay out: EAHD, EAIB, EASBs, EADBs, then chunks
-                    easb_len = {u: 6 + 8 + offsz + sblk_info(u)[0] * 8 + 4
+                    # paged data block: prefix + own checksum, then
+                    # npages pages of psize elements + page checksum;
+                    # the owning EASB carries one page-init bitmask
+                    # PER data block, before the addresses
+                    def bmlen_of(dn):
+                        return -(-(dn // psize) // 8) if dn > psize else 0
+                    easb_len = {u: 6 + 8 + offsz +
+                                sblk_info(u)[0] * (8 + bmlen_of(sblk_info(u)[1]))
+                                + 4
                                 for u in sblks}
-                    eadb_len = {(u, j): 6 + 8 + offsz + dn * entry + 4
+                    eadb_len = {(u, j): (6 + 8 + offsz + 4 +
+                                         (dn // psize) * (psize * entry + 4))
+                                if dn > psize
+                                else 6 + 8 + offsz + dn * entry + 4
                                 for (u, j, st, dn) in dblks}
                     pos = eaib_at + eaib_len
                     easb_at = {}
@@ -886,12 +907,24 @@ def write_h5_v2(datasets):
                     eaib += struct.pack("<I", lookup3(eaib))
                     assert len(eaib) == eaib_len
                     out = eahd + eaib
-                    # EASBs: block offset + data block addresses
+                    # EASBs: block offset + (if paged) per-data-block
+                    # page-init bitmasks + data block addresses. A page
+                    # is initialized iff it holds any element < nrest.
                     for u in sblks:
                         ndb, dnel, sidx, sdblk = sblk_info(u)
                         sb = (b"EASB" + struct.pack("<BB", 0, client) +
                               struct.pack("<Q", eahd_at) +
                               (IDXE + sidx).to_bytes(offsz, "little"))
+                        bmlen = bmlen_of(dnel)
+                        if bmlen:
+                            npg = dnel // psize
+                            for j in range(ndb):
+                                bits = 0
+                                if (u, j) in eadb_at:
+                                    for p in range(npg):
+                                        if sidx + j * dnel + p * psize < nrest:
+                                            bits |= 1 << p
+                                sb += bits.to_bytes(bmlen, "little")
                         for j in range(ndb):
                             sb += struct.pack("<Q",
                                               eadb_at.get((u, j), UNDEF))
@@ -899,16 +932,34 @@ def write_h5_v2(datasets):
                         assert len(sb) == easb_len[u]
                         out += sb
                     # EADBs: block offset + elements (unset slots are
-                    # the class fill value: undefined address)
+                    # the class fill value: undefined address). PAGED
+                    # blocks hold only prefix + checksum; element pages
+                    # (each with its own checksum) follow contiguously,
+                    # and an UNINITIALIZED page's bytes are junk the
+                    # reader must never touch.
                     for (u, j, st, dn) in dblks:
-                        db = (b"EADB" + struct.pack("<BB", 0, client) +
-                              struct.pack("<Q", eahd_at) +
-                              (IDXE + st).to_bytes(offsz, "little"))
-                        for t in range(dn):
-                            gi = IDXE + st + t
-                            db += elmt(caddrs[gi], blobs[gi][1]) \
-                                if gi < nchunk else elmt(None, None)
-                        db += struct.pack("<I", lookup3(db))
+                        prefix = (b"EADB" + struct.pack("<BB", 0, client) +
+                                  struct.pack("<Q", eahd_at) +
+                                  (IDXE + st).to_bytes(offsz, "little"))
+                        if dn > psize:
+                            db = prefix + struct.pack("<I", lookup3(prefix))
+                            for p in range(dn // psize):
+                                if st + p * psize < nrest:
+                                    pg = b""
+                                    for t in range(psize):
+                                        gi = IDXE + st + p * psize + t
+                                        pg += elmt(caddrs[gi], blobs[gi][1]) \
+                                            if gi < nchunk else elmt(None, None)
+                                    db += pg + struct.pack("<I", lookup3(pg))
+                                else:
+                                    db += b"\xee" * (psize * entry + 4)
+                        else:
+                            db = prefix
+                            for t in range(dn):
+                                gi = IDXE + st + t
+                                db += elmt(caddrs[gi], blobs[gi][1]) \
+                                    if gi < nchunk else elmt(None, None)
+                            db += struct.pack("<I", lookup3(db))
                         assert len(db) == eadb_len[(u, j)]
                         out += db
                     return out + b"".join(b for _, b in blobs)
@@ -1186,6 +1237,25 @@ if __name__ == "__main__":
         ("faraw", (44,), "f8", frv, (4,), {"index": "fixedarray", "raw": True}),
     ])
     open(out + "/fapaged.h5", "wb").write(fap)
+    # PAGED extensible-array data blocks: creation knobs mine=4,
+    # pgb=4 force super blocks u>=5 into paged data blocks (2 pages
+    # of 16 elements, each page with its own checksum, plus a
+    # per-data-block page-init bitmask in the owning EASB) — the
+    # layout ANY resizable dataset gets past ~65k chunks at default
+    # creation params. eap (deflate-filtered, 168 chunks): super
+    # block 5 holds one fully-paged block and one whose SECOND page
+    # is uninitialized junk the reader must never touch; eapraw
+    # (raw, 300 chunks) reaches super block 6 (8 dblk slots, the
+    # tail UNDEF).
+    epv = [((i * 43 + 7) % 1301) * 0.25 - 160.0 for i in range(670)]
+    eprv = [((i * 53 + 19) % 4001) - 2000 for i in range(1200)]
+    epc = write_h5_v2([
+        ("eap", (670,), "f4", epv, (4,),
+         {"index": "extarray", "mine": 4, "pgb": 4}),
+        ("eapraw", (1200,), "i2", eprv, (4,),
+         {"index": "extarray", "raw": True, "mine": 4, "pgb": 4}),
+    ])
+    open(out + "/eapaged.h5", "wb").write(epc)
     # dense link storage (the layout any group past its compact
     # threshold gets): dense.h5 fits one root direct block + a leaf
     # B-tree root; densebig.h5 spans 3 doubling-table rows of direct
@@ -1245,6 +1315,8 @@ if __name__ == "__main__":
                       ("btraw", [float(v) for v in btvr])]),
         ("fapaged", [("fap", [float(v) for v in fpv]),
                      ("faraw", frv)]),
+        ("eapaged", [("eap", [float(np.float32(v)) for v in epv]),
+                     ("eapraw", [float(v) for v in eprv])]),
         ("dense", [(k, dnv[k]) for k in sorted(dnv)]),
         ("densebig", [(k, dbv[k]) for k in sorted(dbv)]),
     ]
