@@ -15,9 +15,13 @@ package graft.sources
   * across 255-byte sub-blocks, width growing when the dictionary
   * reaches the current ceiling (cap 12 bits), CLEAR resetting
   * mid-stream (the dictionary-full path), the kwkwk self-reference
-  * case. Frames decode independently (no disposal composition —
-  * that's presentation, not data); pixels emit at CANVAS coordinates
-  * through the active palette.
+  * case. [[decode]] emits frames independently at CANVAS coordinates
+  * through the active palette; [[composite]] additionally applies the
+  * graphic-control extension's disposal methods (none / do-not-dispose
+  * / restore-to-background / restore-to-previous) and transparency to
+  * produce the full-canvas frames a vision pipeline actually samples —
+  * web-corpus GIFs are predominantly animated, and per-frame rects are
+  * deltas, not images.
   *
   * Contract: whole-file refusal (None) on any structural fault — bad
   * magic, truncated blocks, out-of-range LZW code, pixel shortfall,
@@ -28,6 +32,22 @@ object GifCodec {
   case class Frame(idx: Int, left: Int, top: Int, w: Int, h: Int,
       interlaced: Boolean, rgb: Array[Byte])
 
+  /** One COMPOSITED animation frame: the full logical screen after
+    * this frame paints over its predecessors per their disposal
+    * methods. Packed RGBA (4 bytes/px); alpha 0 = never painted
+    * (restore-to-background restores to transparent — the
+    * web-decoder consensus; the 89a spec's background-COLOR wording
+    * predates transparency and no modern renderer follows it). */
+  case class CanvasFrame(idx: Int, w: Int, h: Int, rgba: Array[Byte])
+
+  /** Decoded frame plus the graphic-control state that governs its
+    * composition: deinterlaced row-major palette indices, the active
+    * palette, the GCE disposal method (0..3) and transparent index
+    * (-1 when opaque). */
+  private case class Raw(idx: Int, left: Int, top: Int, w: Int, h: Int,
+      interlaced: Boolean, indices: Array[Byte], palette: Array[Byte],
+      disposal: Int, transp: Int)
+
   val MaxFrames: Int = 1024
   val MaxPixels: Long = 64L << 20
 
@@ -36,8 +56,74 @@ object GifCodec {
   private def err(): Nothing = throw fail
 
   def decode(bytes: Array[Byte]): Option[Vector[Frame]] =
-    try Some(run(bytes))
+    try Some(run(bytes)._3.map { f =>
+      val rgb = new Array[Byte](3 * f.w * f.h)
+      var i = 0
+      while (i < f.indices.length) {
+        val ci = f.indices(i) & 0xff
+        rgb(3 * i) = f.palette(3 * ci)
+        rgb(3 * i + 1) = f.palette(3 * ci + 1)
+        rgb(3 * i + 2) = f.palette(3 * ci + 2)
+        i += 1
+      }
+      Frame(f.idx, f.left, f.top, f.w, f.h, f.interlaced, rgb)
+    })
     catch { case _: Fail => None }
+
+  /** Composited animation: every frame as a full-canvas RGBA snapshot
+    * per the GCE disposal state machine. Canvas starts transparent;
+    * each frame paints its rect (skipping transparent-index pixels),
+    * the snapshot is taken, then the frame's disposal runs: 0/1 keep
+    * the canvas, 2 restores the frame RECT to transparent, 3 restores
+    * the whole canvas to its pre-frame state. Refusals on top of
+    * [[decode]]'s: a frame rect off the logical screen, a reserved
+    * disposal method (4..7), a screen over [[MaxPixels]]. */
+  def composite(bytes: Array[Byte]): Option[Vector[CanvasFrame]] =
+    try {
+      val (sw, sh, raws) = run(bytes)
+      if (sw == 0 || sh == 0) err()
+      if (sw.toLong * sh > MaxPixels) err()
+      if (raws.length.toLong * sw * sh > MaxPixels) err()
+      val canvas = new Array[Byte](4 * sw * sh)
+      val out = Vector.newBuilder[CanvasFrame]
+      raws.foreach { f =>
+        if (f.disposal > 3) err() // 4..7: reserved by the spec
+        if (f.left + f.w > sw || f.top + f.h > sh) err()
+        val before =
+          if (f.disposal == 3) java.util.Arrays.copyOf(canvas, canvas.length)
+          else null
+        var y = 0
+        while (y < f.h) {
+          var x = 0
+          while (x < f.w) {
+            val ci = f.indices(y * f.w + x) & 0xff
+            if (ci != f.transp) {
+              val o = 4 * ((f.top + y) * sw + (f.left + x))
+              canvas(o) = f.palette(3 * ci)
+              canvas(o + 1) = f.palette(3 * ci + 1)
+              canvas(o + 2) = f.palette(3 * ci + 2)
+              canvas(o + 3) = -1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        out += CanvasFrame(f.idx, sw, sh,
+          java.util.Arrays.copyOf(canvas, canvas.length))
+        f.disposal match {
+          case 2 =>
+            var yy = 0
+            while (yy < f.h) {
+              val row = 4 * ((f.top + yy) * sw + f.left)
+              java.util.Arrays.fill(canvas, row, row + 4 * f.w, 0.toByte)
+              yy += 1
+            }
+          case 3 => System.arraycopy(before, 0, canvas, 0, canvas.length)
+          case _ => ()
+        }
+      }
+      Some(out.result())
+    } catch { case _: Fail => None }
 
   /** Encode one full-canvas frame as GIF89a: global palette (length a
     * power of two ≥ 4 colors, 3 bytes each), one image descriptor, no
@@ -138,12 +224,13 @@ object GifCodec {
     out.toByteArray
   }
 
-  private def run(b: Array[Byte]): Vector[Frame] = {
+  private def run(b: Array[Byte]): (Int, Int, Vector[Raw]) = {
     def u8(p: Int): Int = { if (p < 0 || p >= b.length) err(); b(p) & 0xff }
     def u16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
 
     if (b.length < 13 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
         b(3) != '8' || (b(4) != '7' && b(4) != '9') || b(5) != 'a') err()
+    val screenW = u16(6); val screenH = u16(8)
     val packed = u8(10)
     var p = 13
     val global: Array[Byte] =
@@ -256,14 +343,22 @@ object GifCodec {
       out
     }
 
-    val frames = Vector.newBuilder[Frame]
+    val frames = Vector.newBuilder[Raw]
     var idx = 0
     var pixelBudget = MaxPixels
     var done = false
+    // graphic-control state for the NEXT image descriptor only
+    var pendDisposal = 0
+    var pendTransp = -1
     while (!done) {
       u8(p) match {
         case 0x3b => done = true
         case 0x21 => // extension: label + sub-blocks
+          if (u8(p + 1) == 0xf9 && u8(p + 2) >= 4) {
+            val pk = u8(p + 3)
+            pendDisposal = (pk >> 2) & 7
+            pendTransp = if ((pk & 1) != 0) u8(p + 6) else -1
+          }
           p = skipSubBlocks(p + 2)
         case 0x2c =>
           if (idx >= MaxFrames) err()
@@ -289,8 +384,10 @@ object GifCodec {
           p = after
           val interlaced = (fp & 0x40) != 0
           val streamPix = lzw(data, minCode, w * h)
-          // indices → rows (deinterlace) → RGB
-          val rgb = new Array[Byte](3 * w * h)
+          // stream order → row-major (deinterlace); every index must
+          // resolve in the active palette (the decode-path contract,
+          // whether or not the pixel later paints as transparent)
+          val indices = new Array[Byte](w * h)
           val rowOrder: Seq[Int] =
             if (!interlaced) 0 until h
             else Seq((0, 8), (4, 8), (2, 4), (1, 2))
@@ -301,18 +398,17 @@ object GifCodec {
             while (x < w) {
               val ci = streamPix(src) & 0xff
               if (3 * ci + 2 >= palette.length) err()
-              val o = 3 * (y * w + x)
-              rgb(o) = palette(3 * ci)
-              rgb(o + 1) = palette(3 * ci + 1)
-              rgb(o + 2) = palette(3 * ci + 2)
+              indices(y * w + x) = streamPix(src)
               src += 1; x += 1
             }
           }
-          frames += Frame(idx, left, top, w, h, interlaced, rgb)
+          frames += Raw(idx, left, top, w, h, interlaced, indices,
+            palette, pendDisposal, pendTransp)
+          pendDisposal = 0; pendTransp = -1
           idx += 1
         case _ => err()
       }
     }
-    frames.result()
+    (screenW, screenH, frames.result())
   }
 }

@@ -143,6 +143,96 @@ class GifCodecSpec extends SparkSpec {
     }
   }
 
+  private def frameFixture(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      graft.Fixtures.base, "q_gif_frames", name))
+
+  private def px(f: GifCodec.CanvasFrame, y: Int, x: Int): (Int, Int, Int, Int) = {
+    val o = 4 * (y * f.w + x)
+    (f.rgba(o) & 0xff, f.rgba(o + 1) & 0xff, f.rgba(o + 2) & 0xff,
+      f.rgba(o + 3) & 0xff)
+  }
+
+  test("composite: do-not-dispose, transparency holes, restore-to-background") {
+    val fs = GifCodec.composite(frameFixture("dispose-00.gif")).get
+    assert(fs.map(f => (f.idx, f.w, f.h)) ==
+      Vector((0, 10, 8), (1, 10, 8), (2, 10, 8), (3, 10, 8)))
+    // frame 0 paints the full canvas: base idx (x*5 + y*3) % 8
+    assert(px(fs(0), 0, 0) == ((0, 0, 0, 255)))
+    assert(px(fs(0), 2, 3) == ((0, 255, 255, 255))) // idx 5
+    // frame 1 rect at (2,1) 5x4, idx (lx + 2*ly) % 5, transparent = 3:
+    // lx=3,ly=0 is the hole — base idx (5*5+3)%8=4 shows through
+    assert(px(fs(1), 1, 5) == ((255, 255, 0, 255)))
+    assert(px(fs(1), 1, 2) == ((0, 0, 0, 255))) // painted idx 0
+    // frame 2's restore-to-BACKGROUND rect at (6,4) 3x3 is visible in
+    // its OWN snapshot (idx (lx*ly+6)%8 = 6 at origin)...
+    assert(px(fs(2), 4, 6) == ((255, 0, 255, 255)))
+    // ...but transparent in frame 3's; frame 3 paints (0,6) 4x2 idx 1
+    assert(px(fs(3), 4, 6) == ((0, 0, 0, 0)))
+    assert(px(fs(3), 6, 0) == ((255, 0, 0, 255)))
+    // and frame 1's paint persists (disposal 1 = do not dispose)
+    assert(px(fs(3), 1, 5) == ((255, 255, 0, 255)))
+  }
+
+  test("composite: restore-to-previous rolls the canvas back") {
+    val fs = GifCodec.composite(frameFixture("dispose-01.gif")).get
+    assert(fs.length == 3 && fs.forall(f => f.w == 8 && f.h == 6))
+    // frame 1 rect (3,2) 4x4 idx (lx*3+ly*5)%4, transparent = 0:
+    // lx=1,ly=1 is a hole (base idx (4*2+3)%8=3); lx=2,ly=0 paints idx 2
+    assert(px(fs(1), 3, 4) == ((0, 0, 255, 255)))
+    assert(px(fs(1), 2, 5) == ((0, 255, 0, 255)))
+    // frame 2: frame 1's rect has VANISHED (restored to frame 0,
+    // base idx (5*2+2)%8=4 at (2,5)); frame 2 paints (0,0) 2x2 idx 2
+    assert(px(fs(2), 2, 5) == ((255, 255, 0, 255)))
+    assert(px(fs(2), 0, 0) == ((0, 255, 0, 255)))
+  }
+
+  test("composite: partial first frame keeps an alpha-0 border; interlaced delta") {
+    val fs = GifCodec.composite(frameFixture("dispose-02.gif")).get
+    assert(fs.length == 2 && fs.forall(f => f.w == 12 && f.h == 9))
+    assert(px(fs(0), 0, 0) == ((0, 0, 0, 0))) // never painted
+    assert(px(fs(1), 0, 0) == ((0, 0, 0, 0))) // still never painted
+    assert(px(fs(1), 8, 5) == ((0, 0, 0, 0))) // y=8 outside both rects
+    // frame 1 (interlaced, LOCAL palette) at (2,0): canvas (2,3) is
+    // local (lx=1, ly=2) -> idx (7+4)%6 = 5 -> LOCAL[5] = (0,0,1)
+    assert(px(fs(1), 2, 3) == ((0, 0, 1, 255)))
+  }
+
+  test("composite refusals: off-screen rect, reserved disposal; decode unaffected") {
+    val off = frameFixture("offscreen-03.gif")
+    assert(GifCodec.composite(off).isEmpty, "off-screen rect must refuse")
+    assert(GifCodec.decode(off).nonEmpty, "decode has no canvas contract")
+    // reserved disposal method 4: flip dispose-00's first GCE
+    val g = frameFixture("dispose-00.gif").clone()
+    val gceAt = g.indexOfSlice(Array[Byte](0x21, 0xf9.toByte, 0x04))
+    assert(gceAt > 0)
+    g(gceAt + 3) = (4 << 2).toByte
+    assert(GifCodec.composite(g).isEmpty, "reserved disposal must refuse")
+    assert(GifCodec.decode(g).nonEmpty)
+  }
+
+  test("composite never throws under truncation and single-byte fuzz") {
+    val good = frameFixture("dispose-00.gif")
+    (0 until good.length).foreach(k => GifCodec.composite(good.take(k)))
+    var j = 0
+    while (j < good.length) {
+      val m = good.clone(); m(j) = (m(j) ^ 0x4b).toByte
+      GifCodec.composite(m)
+      j += 1
+    }
+  }
+
+  test("distributed canvas ingest: full-canvas rows, refused files absent") {
+    val df = graft.sources.GeoIngest.readGifCanvases(
+      spark, graft.Fixtures.path("q_gif_frames"))
+    val byFile = df.groupBy("file").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byFile == Map(
+      "dispose-00.gif" -> 4L * 10 * 8,
+      "dispose-01.gif" -> 3L * 8 * 6,
+      "dispose-02.gif" -> 2L * 12 * 9)) // offscreen-03 refused
+  }
+
   test("distributed ingest: per-pixel rows at canvas coords, corrupt files skipped") {
     val df = graft.sources.GeoIngest.readGifFiles(
       spark, graft.Fixtures.path("q_gif_decode"))

@@ -227,3 +227,127 @@ tbl = pa.Table.from_pylist(
 pq.write_table(tbl, os.path.join(D, "golden", "expected.parquet"))
 print(f"wrote {len(ROWS)} golden rows across "
       f"{len(set(r[0] for r in ROWS))} graded files")
+
+# ===== q_gif_frames: composited animation canvases =====
+# Web-corpus GIFs are predominantly ANIMATED, and per-frame rects are
+# deltas, not images: what a vision pipeline samples is the full
+# canvas after the graphic-control extension's disposal state machine
+# (none / do-not-dispose / restore-to-background / restore-to-
+# previous) and transparency. The golden is computed by the
+# INDEPENDENT compositor below over the palette indices used to
+# encode — never by the engine under test. Restore-to-background
+# restores to TRANSPARENT (the universal web-decoder consensus; the
+# 89a background-COLOR wording predates transparency).
+DF = os.path.join(BASE, "q_gif_frames")
+os.makedirs(os.path.join(DF, "golden"), exist_ok=True)
+FROWS = []  # (file, frame, y, x, r, g, b, a)
+
+
+def gce(disposal, transp=None):
+    packed = (disposal << 2) | (1 if transp is not None else 0)
+    return bytes([0x21, 0xF9, 0x04, packed, 0x0A, 0x00,
+                  transp if transp is not None else 0, 0x00])
+
+
+def composite_golden(fname, sw, sh, frames):
+    """frames: (left, top, w, h, indices, palette, disposal, transp)"""
+    canvas = [[None] * sw for _ in range(sh)]  # None = transparent
+    for fi, (left, top, w, h, idx, pal, disposal, transp) in \
+            enumerate(frames):
+        before = [row[:] for row in canvas] if disposal == 3 else None
+        for y in range(h):
+            for x in range(w):
+                ci = idx[y * w + x]
+                if ci != transp:
+                    canvas[top + y][left + x] = pal[ci]
+        for y in range(sh):
+            for x in range(sw):
+                px = canvas[y][x]
+                if px is None:
+                    FROWS.append((fname, fi, y, x, 0, 0, 0, 0))
+                else:
+                    FROWS.append((fname, fi, y, x,
+                                  px[0], px[1], px[2], 255))
+        if disposal == 2:
+            for y in range(h):
+                for x in range(w):
+                    canvas[top + y][left + x] = None
+        elif disposal == 3:
+            canvas = before
+
+
+# dispose-00: none + transparency-over-base + restore-to-background.
+# frame0 full canvas (no GCE); frame1 do-not-dispose rect whose
+# index-3 pixels are TRANSPARENT (base shows through); frame2
+# restore-to-BACKGROUND rect (visible in its own snapshot, the rect
+# transparent afterwards); frame3 paints elsewhere over the hole.
+d0f0 = bytes((x * 5 + y * 3) % 8 for y in range(8) for x in range(10))
+d0f1 = bytes((x + 2 * y) % 5 for y in range(4) for x in range(5))
+d0f2 = bytes((x * y + 6) % 8 for y in range(3) for x in range(3))
+d0f3 = bytes((x * 7 + 1) % 8 for y in range(2) for x in range(4))
+with open(os.path.join(DF, "dispose-00.gif"), "wb") as fh:
+    fh.write(gif(b"89a", 10, 8, PAL8, [
+        frame_block(0, 0, 10, 8, d0f0, 3),
+        gce(1, transp=3), frame_block(2, 1, 5, 4, d0f1, 3),
+        gce(2), frame_block(6, 4, 3, 3, d0f2, 3),
+        frame_block(0, 6, 4, 2, d0f3, 3),
+    ]))
+composite_golden("dispose-00.gif", 10, 8, [
+    (0, 0, 10, 8, d0f0, PAL8, 0, None),
+    (2, 1, 5, 4, d0f1, PAL8, 1, 3),
+    (6, 4, 3, 3, d0f2, PAL8, 2, None),
+    (0, 6, 4, 2, d0f3, PAL8, 0, None),
+])
+
+# dispose-01: restore-to-PREVIOUS — frame1's rect must vanish from
+# frame2's base; frame1 also carries transparency (index 0).
+d1f0 = bytes((x * 2 + y) % 8 for y in range(6) for x in range(8))
+d1f1 = bytes((x * 3 + y * 5) % 4 for y in range(4) for x in range(4))
+d1f2 = bytes((x + y + 2) % 8 for y in range(2) for x in range(2))
+with open(os.path.join(DF, "dispose-01.gif"), "wb") as fh:
+    fh.write(gif(b"89a", 8, 6, PAL8, [
+        frame_block(0, 0, 8, 6, d1f0, 3),
+        gce(3, transp=0), frame_block(3, 2, 4, 4, d1f1, 3),
+        gce(1), frame_block(0, 0, 2, 2, d1f2, 3),
+    ]))
+composite_golden("dispose-01.gif", 8, 6, [
+    (0, 0, 8, 6, d1f0, PAL8, 0, None),
+    (3, 2, 4, 4, d1f1, PAL8, 3, 0),
+    (0, 0, 2, 2, d1f2, PAL8, 1, None),
+])
+
+# dispose-02: partial FIRST frame (alpha-0 border survives into every
+# snapshot) + an INTERLACED local-palette second frame.
+d2f0 = bytes((x * x + y) % 4 for y in range(5) for x in range(6))
+d2f1 = bytes((x * 7 + y * y) % 6 for y in range(8) for x in range(8))
+with open(os.path.join(DF, "dispose-02.gif"), "wb") as fh:
+    fh.write(gif(b"89a", 12, 9, PAL4, [
+        gce(1), frame_block(3, 2, 6, 5, d2f0, 2),
+        gce(1), frame_block(2, 0, 8, 8, d2f1, 3, interlaced=True,
+                            local_palette=LOCAL),
+    ]))
+composite_golden("dispose-02.gif", 12, 9, [
+    (3, 2, 6, 5, d2f0, PAL4, 1, None),
+    (2, 0, 8, 8, d2f1, LOCAL, 1, None),
+])
+
+# offscreen-03: a frame rect past the logical screen — the composite
+# path refuses the WHOLE file; its absence from the golden is graded.
+with open(os.path.join(DF, "offscreen-03.gif"), "wb") as fh:
+    fh.write(gif(b"89a", 6, 4, PAL8, [
+        frame_block(4, 2, 5, 3, bytes((x + y) % 8
+                                      for y in range(3)
+                                      for x in range(5)), 3),
+    ]))
+
+fschema = pa.schema([
+    ("file", pa.string()), ("frame", pa.int32()), ("y", pa.int32()),
+    ("x", pa.int32()), ("r", pa.int32()), ("g", pa.int32()),
+    ("b", pa.int32()), ("a", pa.int32()),
+])
+ftbl = pa.Table.from_pylist(
+    [dict(zip([f.name for f in fschema], r)) for r in FROWS],
+    schema=fschema)
+pq.write_table(ftbl, os.path.join(DF, "golden", "expected.parquet"))
+print(f"wrote {len(FROWS)} composited golden rows across "
+      f"{len(set(r[0] for r in FROWS))} graded files")
