@@ -1365,6 +1365,107 @@ object MultimodalQueries {
     s"""SELECT file, frame, y, x, r, g, b
       |FROM read_parquet('${graft.Fixtures.base}/q_gif_decode/golden/*.parquet')""".stripMargin
 
+  /** Composited GIF animation, oracle-graded per canvas pixel — what
+    * a vision pipeline actually samples from an animated GIF (the
+    * predominant web-corpus case): full-canvas RGBA frames after the
+    * graphic-control disposal state machine and transparency, via
+    * [[graft.sources.GifCodec.composite]]. Fixtures exercise
+    * do-not-dispose over a base frame, transparency holes,
+    * restore-to-background (the rect goes transparent for the NEXT
+    * frame but is visible in its own snapshot), restore-to-previous,
+    * a partial first frame whose alpha-0 border survives every
+    * snapshot, and an interlaced local-palette delta frame; an
+    * off-screen rect file's ABSENCE is graded (whole-file refusal).
+    * Golden computed by an independent Python compositor over the
+    * encode-side palette indices (tools/gif_golden.py). */
+  def qGifFrames(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readGifCanvases(spark, graft.Fixtures.path("q_gif_frames"))
+      .select(col("file"), col("frame"), col("y"), col("x"),
+        col("r"), col("g"), col("b"), col("a"))
+  }
+
+  val qGifFramesSql: String =
+    s"""SELECT file, frame, y, x, r, g, b, a
+      |FROM read_parquet('${graft.Fixtures.base}/q_gif_frames/golden/*.parquet')""".stripMargin
+
+  /** MP4 / ISO-BMFF sample tables, oracle-graded per sample — a video
+    * pipeline's first job over a crawled MP4 is recovering per-sample
+    * (offset, size, dts/pts, sync) from `stbl` so frames can be
+    * ranged-fetched and stride-sampled WITHOUT decoding (codec
+    * payloads are opaque by design — the brief's multimodal stub
+    * boundary). Fixtures are assembled by a from-scratch Python
+    * ISO-BMFF writer (tools/mp4_golden.py — no media library
+    * anywhere); [[graft.sources.Mp4Codec]] walks independently.
+    * Covered: multi-run stts, stsc chunk-run expansion, varied +
+    * CONSTANT stsz, stco + co64, stss (absent = all sync), signed
+    * ctts, version-1 time boxes, interleaved A/V chunks, skip-boxes;
+    * a fragmented (moof) file, a truncated mdat, and a size<8 box
+    * are refused — their ABSENCE from the golden is graded. The md5
+    * column hashes each sample's actual byte span: the table is only
+    * correct if the payloads it names are fetchable. */
+  def qMp4Samples(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readMp4Files(spark, graft.Fixtures.path("q_mp4_samples"))
+      .select(col("file"), col("track"), col("handler"), col("codec"),
+        col("tsc"), col("smp"), col("chunk"), col("off"), col("size"),
+        col("dts"), col("dur"), col("pts"), col("sync"), col("md5"))
+  }
+
+  val qMp4SamplesSql: String =
+    s"""SELECT file, track, handler, codec, tsc, smp, chunk, off, size,
+      |  dts, dur, pts, sync, md5
+      |FROM read_parquet('${graft.Fixtures.base}/q_mp4_samples/golden/*.parquet')""".stripMargin
+
+  /** Subtitle cues, oracle-graded per cue — WebVTT (YouTube-style ASR
+    * output) and SRT (movie/TV corpora), the caption layer of a video
+    * corpus. Fixtures hand-written against the public formats
+    * (tools/vtt_golden.py): NOTE/STYLE blocks, cue identifiers, cue
+    * settings, short-form timestamps, hour-boundary cues, CRLF SRT
+    * with comma decimals, a header-only file (zero rows), and a
+    * headerless file whose ABSENCE is graded (whole-file refusal). */
+  def qVttCues(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readSubtitleFiles(spark, graft.Fixtures.path("q_vtt_cues"))
+      .select(col("file"), col("cue"), col("start_ms"), col("end_ms"),
+        col("text"))
+  }
+
+  val qVttCuesSql: String =
+    s"""SELECT file, cue, start_ms, end_ms, text
+      |FROM read_parquet('${graft.Fixtures.base}/q_vtt_cues/golden/*.parquet')""".stripMargin
+
+  /** Caption-to-frame alignment — HOW video-text training pairs are
+    * built: every cap-06.mp4 video sample (pts converted to wall ms
+    * through the track timescale) joined to the cap-06.vtt cue whose
+    * [start_ms, end_ms) window contains it. Frames in caption gaps
+    * drop out (inner join); both sides are REAL container walks
+    * ([[graft.sources.Mp4Codec]] + [[graft.sources.SubtitleCodec]]),
+    * not synthetic stubs. At corpus scale the cue side is per-video
+    * and bounded — the join broadcasts. */
+  def qCaptionAlign(spark: SparkSession, dir: String): DataFrame = {
+    val samples = graft.sources.GeoIngest
+      .readMp4Files(spark, graft.Fixtures.path("q_mp4_samples"))
+      .filter(col("file") === "cap-06.mp4")
+      .withColumn("pts_ms", expr("pts * 1000L DIV tsc"))
+    val cues = graft.sources.GeoIngest
+      .readSubtitleFiles(spark, graft.Fixtures.path("q_vtt_cues"))
+      .filter(col("file") === "cap-06.vtt")
+      .select(col("cue"), col("start_ms"), col("end_ms"), col("text"))
+    samples.join(broadcast(cues),
+        col("start_ms") <= col("pts_ms") && col("pts_ms") < col("end_ms"))
+      .select(col("smp"), col("pts_ms"), col("sync"), col("cue"),
+        col("text"))
+  }
+
+  val qCaptionAlignSql: String =
+    s"""SELECT s.smp, s.pts * 1000 // s.tsc AS pts_ms, s.sync, c.cue, c.text
+      |FROM read_parquet('${graft.Fixtures.base}/q_mp4_samples/golden/*.parquet') s
+      |JOIN read_parquet('${graft.Fixtures.base}/q_vtt_cues/golden/*.parquet') c
+      |  ON c.start_ms <= s.pts * 1000 // s.tsc
+      | AND s.pts * 1000 // s.tsc < c.end_ms
+      |WHERE s.file = 'cap-06.mp4' AND c.file = 'cap-06.vtt'""".stripMargin
+
   /** Arrow IPC scan, oracle-graded per value cell — the columnar
     * interchange format dataset tooling trades (Feather V2 exports;
     * the HuggingFace-datasets cache ships the STREAM framing of the
@@ -1428,6 +1529,10 @@ object MultimodalQueries {
     "q_safetensors_read" -> (qSafetensorsRead _),
     "q_arrow_read" -> (qArrowRead _),
     "q_gif_decode" -> (qGifDecode _),
+    "q_gif_frames" -> (qGifFrames _),
+    "q_mp4_samples" -> (qMp4Samples _),
+    "q_vtt_cues" -> (qVttCues _),
+    "q_caption_align" -> (qCaptionAlign _),
     "q_wiki_pages" -> (qWikiPages _),
     "q_wiki_clean" -> (qWikiClean _),
     "q_gif_roundtrip" -> (qGifRoundtrip _),
@@ -1466,6 +1571,10 @@ object MultimodalQueries {
     "q_safetensors_read" -> qSafetensorsReadSql,
     "q_arrow_read" -> qArrowReadSql,
     "q_gif_decode" -> qGifDecodeSql,
+    "q_gif_frames" -> qGifFramesSql,
+    "q_mp4_samples" -> qMp4SamplesSql,
+    "q_vtt_cues" -> qVttCuesSql,
+    "q_caption_align" -> qCaptionAlignSql,
     "q_wiki_pages" -> qWikiPagesSql,
     "q_wiki_clean" -> qWikiCleanSql,
     "q_gif_roundtrip" -> qGifRoundtripSql,

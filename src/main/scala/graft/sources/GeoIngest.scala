@@ -488,6 +488,34 @@ object GeoIngest {
       }.toDF("file", "frame", "y", "x", "r", "g", "b")
   }
 
+  /** Composited GIF animation scan — what a vision pipeline actually
+    * samples from an animated GIF: full-canvas frames after the GCE
+    * disposal state machine (none / do-not-dispose / restore-to-
+    * background / restore-to-previous) and transparency, via
+    * [[GifCodec.composite]]. One row per canvas pixel per frame;
+    * alpha 0 = never painted. Whole-file refusal on any structural
+    * fault, off-screen rect, or reserved disposal method. */
+  def readGifCanvases(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.gif")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.split('/').last
+        GifCodec.composite(bytes).toSeq.flatten.flatMap { f =>
+          (0 until f.h).iterator.flatMap { y =>
+            (0 until f.w).iterator.map { x =>
+              val o = 4 * (y * f.w + x)
+              (file, f.idx, y, x, f.rgba(o) & 0xff, f.rgba(o + 1) & 0xff,
+                f.rgba(o + 2) & 0xff, f.rgba(o + 3) & 0xff)
+            }
+          }
+        }
+      }.toDF("file", "frame", "y", "x", "r", "g", "b", "a")
+  }
+
   /** Arrow IPC scan — Feather V2 exports and HF-datasets-style
     * streams on their way into a corpus: distributed binaryFile scan
     * over `*.arrow`, each decoded executor-side by
@@ -610,6 +638,54 @@ object GeoIngest {
     * is not a parseable `tf.train.Example` keeps a single degraded
     * row (kind `unparsed`, payload in bytes_val); a file with any
     * framing/CRC violation is skipped whole. */
+  /** MP4 / ISO-BMFF sample-table scan — the container walk a video
+    * pipeline runs BEFORE any decode: per-sample (offset, size, dts,
+    * pts, sync) rows from `moov/trak/mdia/minf/stbl` via
+    * [[Mp4Codec.decode]], plus the md5 of each sample's byte span —
+    * proving the table actually names fetchable payloads (the
+    * ranged-read contract an object store serves). Whole-file refusal
+    * on structural faults or fragmented (moof) files. */
+  def readMp4Files(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.mp4")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.split('/').last
+        Mp4Codec.decode(bytes).toSeq.flatten.map { s =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.update(bytes, s.off.toInt, s.size.toInt)
+          val hex = md.digest().map("%02x".format(_)).mkString
+          (file, s.track, s.handler, s.codec, s.tsc, s.smp, s.chunk,
+            s.off, s.size, s.dts, s.dur, s.pts, if (s.sync) 1 else 0, hex)
+        }
+      }.toDF("file", "track", "handler", "codec", "tsc", "smp", "chunk",
+        "off", "size", "dts", "dur", "pts", "sync", "md5")
+  }
+
+  /** Subtitle-cue scan — WebVTT and SRT caption files (the text half
+    * of caption-to-frame alignment), parsed executor-side by
+    * [[SubtitleCodec]] with whole-file refusal on structural faults.
+    * One row per cue: [start_ms, end_ms) wall time + payload text. */
+  def readSubtitleFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.{vtt,srt}")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.split('/').last
+        val cues =
+          if (file.endsWith(".srt")) SubtitleCodec.decodeSrt(bytes)
+          else SubtitleCodec.decodeVtt(bytes)
+        cues.toSeq.flatten.map(c =>
+          (file, c.idx, c.startMs, c.endMs, c.text))
+      }.toDF("file", "cue", "start_ms", "end_ms", "text")
+  }
+
   def readTfRecordFiles(spark: SparkSession, dir: String): DataFrame =
     decodeTfRecordBatch(
       spark.read.format("binaryFile")

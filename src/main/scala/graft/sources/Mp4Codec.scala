@@ -1,0 +1,272 @@
+package graft.sources
+
+/** MP4 / ISO-BMFF sample-table walker (ISO/IEC 14496-12) — the first
+  * thing a video pipeline does with a crawled MP4 is NOT decode: it
+  * recovers the per-sample (offset, size, timestamp, sync) table from
+  * `moov/trak/mdia/minf/stbl` so frames can be ranged-fetched and
+  * stride-sampled (the q_frame_sample discipline over REAL container
+  * bytes; decode itself needs codec libraries and stays out of engine
+  * scope, the same stub boundary as the brief's multimodal columns).
+  * Reference-adjacent anchor: the reference's imagery ingest walks
+  * GeoTIFF containers the same way (dataops/monthly.py) — container
+  * math in-engine, pixel codecs at the edge.
+  *
+  * Walk: length-prefixed boxes (32-bit size, size=1 → 64-bit
+  * largesize, size=0 → to-end-of-enclosure), unknown boxes skipped by
+  * size as the spec requires; per track the sample-table quartet
+  * stts/stsc/stsz/stco (+ co64 64-bit offsets, stss sync table, ctts
+  * composition offsets v0 unsigned and v1 signed) expands run-length
+  * entries to one row per sample. Every sample's byte span is
+  * bounds-checked against the file — the table is only emitted if the
+  * payloads it names are actually fetchable.
+  *
+  * Refusal contract (the [[GzipCodec]]/[[Hdf5Codec]] discipline):
+  * whole-file None on any structural fault — a box size under 8 or
+  * past its enclosure, a truncated table, stsc/stts/stsz/stco
+  * inconsistencies, a sample span outside the file, counts over
+  * [[MaxSamples]], or a FRAGMENTED file (`moof`: the sample tables
+  * live in movie fragments, out of envelope — DASH/HLS segments are
+  * a separate, documented refusal). Never throws. */
+object Mp4Codec {
+
+  /** One sample: 0-based index and chunk, absolute file offset/size,
+    * decode + presentation timestamps in track-timescale units (`tsc`
+    * ticks per second, from mdhd — what converts dts/pts to wall
+    * time for caption alignment and stride sampling). */
+  case class Sample(track: Int, handler: String, codec: String,
+      tsc: Long, smp: Int, chunk: Int, off: Long, size: Long,
+      dts: Long, dur: Long, pts: Long, sync: Boolean)
+
+  val MaxSamples: Int = 1 << 20
+  val MaxTracks: Int = 64
+
+  private final class Fail extends RuntimeException(null, null, false, false)
+  private val fail = new Fail
+  private def err(): Nothing = throw fail
+
+  def decode(bytes: Array[Byte]): Option[Vector[Sample]] =
+    try Some(run(bytes))
+    catch { case _: Fail => None }
+
+  private def run(b: Array[Byte]): Vector[Sample] = {
+    def u8(p: Long): Int = {
+      if (p < 0 || p >= b.length) err(); b(p.toInt) & 0xff
+    }
+    def u16(p: Long): Int = (u8(p) << 8) | u8(p + 1)
+    def u32(p: Long): Long =
+      ((u8(p).toLong << 24) | (u8(p + 1) << 16) | (u8(p + 2) << 8) |
+        u8(p + 3)) & 0xffffffffL
+    def u64(p: Long): Long = {
+      val v = (u32(p) << 32) | u32(p + 4)
+      if (v < 0) err() // an offset past 2^63 is hostile, not media
+      v
+    }
+    def fourcc(p: Long): String =
+      new String(Array(u8(p).toByte, u8(p + 1).toByte, u8(p + 2).toByte,
+        u8(p + 3).toByte), java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Walk the box sequence in [from, to), invoking f(type, body
+      * start, body end). Size 1 → 64-bit largesize; size 0 → runs to
+      * the end of the enclosure. */
+    def boxes(from: Long, to: Long)(f: (String, Long, Long) => Unit): Unit = {
+      var p = from
+      while (p < to) {
+        if (p + 8 > to) err()
+        val sz0 = u32(p)
+        val typ = fourcc(p + 4)
+        val (bodyAt, end) =
+          if (sz0 == 1) { if (p + 16 > to) err(); (p + 16, p + u64(p + 8)) }
+          else if (sz0 == 0) (p + 8, to)
+          else (p + 8, p + sz0)
+        if (end < bodyAt || end > to) err()
+        f(typ, bodyAt, end)
+        p = end
+      }
+    }
+
+    val samples = Vector.newBuilder[Sample]
+    var sawMoov = false
+    var nTracks = 0
+
+    def readTrack(tFrom: Long, tTo: Long): Unit = {
+      if (nTracks >= MaxTracks) err()
+      nTracks += 1
+      var trackId = -1
+      var handler = ""
+      var codec = ""
+      var timescale = 0L
+      var sttsRuns: Array[(Long, Long)] = null
+      var cttsRuns: Array[(Long, Long)] = null
+      var stscEnts: Array[(Long, Long)] = null // (firstChunk, samplesPerChunk)
+      var sizes: Array[Long] = null
+      var constSize = 0L
+      var sampleCount = -1L
+      var chunkOffs: Array[Long] = null
+      var syncSet: java.util.HashSet[Long] = null
+
+      def readStbl(sFrom: Long, sTo: Long): Unit =
+        boxes(sFrom, sTo) { (typ, at, end) =>
+          typ match {
+            case "stsd" =>
+              if (end - at < 8) err()
+              val n = u32(at + 4)
+              if (n >= 1) {
+                // first sample entry: size(4) + format 4cc; the
+                // codec-specific tail is opaque by design
+                if (end - at < 16) err()
+                codec = fourcc(at + 12)
+              }
+            case "stts" =>
+              val n = u32(at + 4)
+              if (at + 8 + n * 8 > end || n > MaxSamples) err()
+              sttsRuns = Array.tabulate(n.toInt)(i =>
+                (u32(at + 8 + i * 8L), u32(at + 12 + i * 8L)))
+            case "ctts" =>
+              val v = u8(at)
+              val n = u32(at + 4)
+              if (at + 8 + n * 8 > end || n > MaxSamples) err()
+              cttsRuns = Array.tabulate(n.toInt) { i =>
+                val c = u32(at + 8 + i * 8L)
+                val raw = u32(at + 12 + i * 8L)
+                (c, if (v == 1) raw.toInt.toLong else raw)
+              }
+            case "stsc" =>
+              val n = u32(at + 4)
+              if (at + 8 + n * 12 > end || n > MaxSamples) err()
+              stscEnts = Array.tabulate(n.toInt)(i =>
+                (u32(at + 8 + i * 12L), u32(at + 12 + i * 12L)))
+            case "stsz" =>
+              constSize = u32(at + 4)
+              sampleCount = u32(at + 8)
+              if (sampleCount > MaxSamples) err()
+              if (constSize == 0) {
+                if (at + 12 + sampleCount * 4 > end) err()
+                sizes = Array.tabulate(sampleCount.toInt)(i =>
+                  u32(at + 12 + i * 4L))
+              }
+            case "stco" =>
+              val n = u32(at + 4)
+              if (at + 8 + n * 4 > end || n > MaxSamples) err()
+              chunkOffs = Array.tabulate(n.toInt)(i => u32(at + 8 + i * 4L))
+            case "co64" =>
+              val n = u32(at + 4)
+              if (at + 8 + n * 8 > end || n > MaxSamples) err()
+              chunkOffs = Array.tabulate(n.toInt)(i => u64(at + 8 + i * 8L))
+            case "stss" =>
+              val n = u32(at + 4)
+              if (at + 8 + n * 4 > end || n > MaxSamples) err()
+              syncSet = new java.util.HashSet[Long]()
+              var i = 0
+              while (i < n) { syncSet.add(u32(at + 8 + i * 4L)); i += 1 }
+            case _ => () // stsh/stdp/sgpd/…: not needed for the table
+          }
+        }
+
+      boxes(tFrom, tTo) { (typ, at, end) =>
+        typ match {
+          case "tkhd" =>
+            val v = u8(at)
+            trackId = (if (v == 1) u32(at + 20) else u32(at + 12)).toInt
+          case "mdia" =>
+            boxes(at, end) { (t2, a2, e2) =>
+              t2 match {
+                case "mdhd" =>
+                  val v = u8(a2)
+                  timescale = if (v == 1) u32(a2 + 20) else u32(a2 + 12)
+                case "hdlr" =>
+                  if (e2 - a2 < 12) err()
+                  handler = fourcc(a2 + 8)
+                case "minf" =>
+                  boxes(a2, e2) { (t3, a3, e3) =>
+                    if (t3 == "stbl") readStbl(a3, e3)
+                  }
+                case _ => ()
+              }
+            }
+          case _ => ()
+        }
+      }
+
+      // a track with no sample table (e.g. metadata-only) emits no rows
+      if (sampleCount < 0 && chunkOffs == null && sttsRuns == null) return
+      if (trackId < 0 || sampleCount < 0 || sttsRuns == null ||
+          stscEnts == null || chunkOffs == null) err()
+      if (timescale <= 0) err() // mdhd absent or zero: times unusable
+      val n = sampleCount.toInt
+      if (constSize == 0 && (sizes == null || sizes.length != n)) err()
+
+      // expand stts → per-sample durations (total count must match)
+      val durs = new Array[Long](n)
+      var di = 0
+      sttsRuns.foreach { case (count, delta) =>
+        if (count > n - di) err()
+        var k = 0L
+        while (k < count) { durs(di) = delta; di += 1; k += 1 }
+      }
+      if (di != n) err()
+      // expand ctts → per-sample composition offsets (0 when absent)
+      val ctsOff = new Array[Long](n)
+      if (cttsRuns != null) {
+        var ci = 0
+        cttsRuns.foreach { case (count, off) =>
+          if (count > n - ci) err()
+          var k = 0L
+          while (k < count) { ctsOff(ci) = off; ci += 1; k += 1 }
+        }
+        if (ci != n) err()
+      }
+      // expand stsc runs → per-chunk sample counts
+      val nChunks = chunkOffs.length
+      val spc = new Array[Long](nChunks)
+      var e = 0
+      while (e < stscEnts.length) {
+        val first = stscEnts(e)._1
+        val cnt = stscEnts(e)._2
+        val last =
+          if (e + 1 < stscEnts.length) stscEnts(e + 1)._1 else nChunks + 1L
+        if (first < 1 || first > last || last > nChunks + 1L) err()
+        var c = first
+        while (c < last) { spc((c - 1).toInt) = cnt; c += 1 }
+        e += 1
+      }
+      var spcSum = 0L
+      spc.foreach(spcSum += _)
+      if (spcSum != n) err()
+
+      var si = 0
+      var dts = 0L
+      var ci2 = 0
+      while (ci2 < nChunks) {
+        var off = chunkOffs(ci2)
+        var k = 0L
+        while (k < spc(ci2)) {
+          val size = if (constSize != 0) constSize else sizes(si)
+          if (off < 0 || size < 0 || off + size > b.length) err()
+          val sync = syncSet == null || syncSet.contains(si + 1L)
+          samples += Sample(trackId, handler, codec, timescale, si, ci2,
+            off, size, dts, durs(si), dts + ctsOff(si), sync)
+          dts += durs(si)
+          off += size
+          si += 1
+          k += 1
+        }
+        ci2 += 1
+      }
+    }
+
+    boxes(0L, b.length.toLong) { (typ, at, end) =>
+      typ match {
+        case "moof" => err() // fragmented: tables live in fragments
+        case "moov" =>
+          sawMoov = true
+          boxes(at, end) { (t2, a2, e2) =>
+            if (t2 == "moof") err()
+            if (t2 == "trak") readTrack(a2, e2)
+          }
+        case _ => () // ftyp/mdat/free/…: skipped by size
+      }
+    }
+    if (!sawMoov) err()
+    samples.result()
+  }
+}

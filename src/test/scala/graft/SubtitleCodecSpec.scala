@@ -1,0 +1,79 @@
+package graft
+
+import graft.sources.SubtitleCodec
+
+/** Contract specs for the WebVTT/SRT codec: block segmentation,
+  * NOTE/STYLE skipping, identifier lines, cue settings, short-form
+  * and hour-boundary timestamps, CRLF SRT, the refusal contract, and
+  * never-throw under fuzz; plus the caption-to-frame alignment join
+  * (value grading runs through oracle q_vtt_cues / q_caption_align). */
+class SubtitleCodecSpec extends SparkSpec {
+
+  private def fixture(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      graft.Fixtures.base, "q_vtt_cues", name))
+
+  test("VTT: notes and styles skipped, ids and settings handled, stamps exact") {
+    val cs = SubtitleCodec.decodeVtt(fixture("talk-00.vtt")).get
+    assert(cs.length == 4)
+    assert(cs(0) == SubtitleCodec.Cue(0, 0L, 2500L,
+      "Welcome back, everyone."))
+    // multi-line payload joined with \n; settings after the end stamp
+    assert(cs(1).text ==
+      "Today we cover container formats\nand why they matter.")
+    assert(cs(1).startMs == 2500L && cs(1).endMs == 5000L)
+    // short-form MM:SS.mmm
+    assert(cs(2).startMs == 61000L && cs(2).endMs == 63750L)
+    // hour boundary
+    assert(cs(3).startMs == 3599000L && cs(3).endMs == 3601500L)
+  }
+
+  test("SRT: counters, comma decimals, CRLF") {
+    val cs = SubtitleCodec.decodeSrt(fixture("talk-01.srt")).get
+    assert(cs.length == 3)
+    assert(cs(0) == SubtitleCodec.Cue(0, 100L, 1900L, "Premier sous-titre."))
+    assert(cs(1).text == "Deux lignes de texte\nsur un seul cue.")
+    assert(cs(2).endMs == 7000L)
+  }
+
+  test("refusals and the empty-but-valid case") {
+    assert(SubtitleCodec.decodeVtt(fixture("empty-02.vtt")).get.isEmpty)
+    assert(SubtitleCodec.decodeVtt(fixture("bad-03.vtt")).isEmpty, "no header")
+    assert(SubtitleCodec.decodeVtt(Array.emptyByteArray).isEmpty)
+    assert(SubtitleCodec.decodeSrt(Array.emptyByteArray).isEmpty)
+    // end <= start must refuse
+    val rev = "WEBVTT\n\n00:05.000 --> 00:04.000\nbackwards\n"
+    assert(SubtitleCodec.decodeVtt(rev.getBytes("UTF-8")).isEmpty)
+    // a malformed timing line poisons the file, not just the cue
+    val mal = "WEBVTT\n\n00:01.000 --> later\noops\n"
+    assert(SubtitleCodec.decodeVtt(mal.getBytes("UTF-8")).isEmpty)
+  }
+
+  test("hostile bytes never throw: truncations and single-byte fuzz") {
+    val good = fixture("talk-00.vtt")
+    (0 until good.length by 2).foreach { k =>
+      SubtitleCodec.decodeVtt(good.take(k))
+      SubtitleCodec.decodeSrt(good.take(k))
+    }
+    var j = 0
+    while (j < good.length) {
+      val m = good.clone(); m(j) = (m(j) ^ 0x3a).toByte
+      SubtitleCodec.decodeVtt(m)
+      j += 1
+    }
+  }
+
+  test("caption-to-frame alignment joins real container walks") {
+    val df = graft.queries.MultimodalQueries
+      .qCaptionAlign(spark, graft.Fixtures.base)
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1),
+      r.getInt(3))).sortBy(_._1)
+    // 12 samples at 250 ms; cues [0,600) [600,1250) [1600,2400)
+    // [2400,3400): samples 5 (1250 ms) and 6 (1500 ms) fall in the gap
+    assert(rows.map(_._1).toSeq ==
+      Seq(0, 1, 2, 3, 4, 7, 8, 9, 10, 11))
+    assert(rows.collect { case (_, pts, cue) if pts < 600 => cue }
+      .forall(_ == 0))
+    assert(rows.filter(r => r._2 >= 2400).forall(_._3 == 3))
+  }
+}

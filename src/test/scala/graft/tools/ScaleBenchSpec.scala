@@ -25,7 +25,11 @@ class ScaleBenchSpec extends AnyFunSuite {
     "q_gif_decode",         // committed hand-encoded GIF files
     "q_wiki_pages",         // committed hand-assembled MediaWiki dumps
     "q_wiki_clean",         // same fixture dumps, cleaning stage composed
-    "q_bmp_decode")         // committed hand-assembled BMP files
+    "q_bmp_decode",         // committed hand-assembled BMP files
+    "q_gif_frames",         // committed animated-GIF disposal fixtures
+    "q_mp4_samples",        // committed hand-assembled ISO-BMFF files
+    "q_vtt_cues",           // committed hand-written WebVTT/SRT files
+    "q_caption_align")      // joins the two fixture walks above
 
   test("Selected is duplicate-free and every name is a declared query") {
     assert(ScaleBench.Selected.distinct.size === ScaleBench.Selected.size)

@@ -1,0 +1,386 @@
+#!/usr/bin/env python3
+"""Foreign-fixture writer for the MP4/ISO-BMFF sample-table scan
+(q_mp4_samples) — files are assembled by a from-scratch ISO base
+media file format WRITER against the public spec (ISO/IEC 14496-12:
+nested length-prefixed boxes, ftyp/moov/trak/mdia/minf/stbl, the
+sample-table quartet stts/stsc/stsz/stco (+co64/stss/ctts), version-0
+and version-1 full boxes), NOT by any media library and never by the
+engine under test; the golden parquet is computed from the tables
+used to WRITE. A video pipeline's first job over a crawled MP4 is
+exactly this walk: recover per-sample (offset, size, dts, sync) so
+frames can be ranged-fetched and sampled without decoding — decode
+itself needs codec libraries and stays out of engine scope.
+
+Layout written under tools/fixtures/q_mp4_samples/:
+  vid-00.mp4    one video track: 10 samples over 3 chunks (stsc with
+                two runs), varied sizes (stsz sample_size=0 + table),
+                two stts runs, sync samples {1,5,9} (stss), ctts
+                composition offsets (B-frame shape), 32-bit stco
+  av-01.mp4     video + audio tracks: audio has CONSTANT sample size
+                (stsz sample_size != 0, no table) and no stss (all
+                sync per spec); free/udta boxes to skip on the way
+  co64-02.mp4   64-bit chunk offsets (co64) + version-1 mvhd/tkhd/
+                mdhd (64-bit durations/times)
+  frag-03.mp4   a fragmented (moof) file -> whole-file refusal: the
+                sample tables live in movie fragments, out of envelope
+  trunc-04.mp4  mdat shorter than the sample table claims -> refusal
+  badbox-05.mp4 box size < 8 -> refusal
+The three bad files' ABSENCE from the golden is itself graded.
+"""
+import hashlib
+import os
+import struct
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+D = os.path.join(BASE, "q_mp4_samples")
+os.makedirs(os.path.join(D, "golden"), exist_ok=True)
+
+ROWS = []  # (file, track, handler, codec, tsc, smp, chunk, off, size,
+#             dts, dur, pts, sync, md5)
+
+
+def box(typ, payload):
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def full(typ, version, flags, payload):
+    return box(typ, struct.pack(">B3s", version,
+                                flags.to_bytes(3, "big")) + payload)
+
+
+def ftyp():
+    return box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+
+
+def mvhd(timescale, duration, v=0):
+    if v:
+        body = struct.pack(">QQIQ", 3, 4, timescale, duration)
+    else:
+        body = struct.pack(">IIII", 3, 4, timescale, duration)
+    body += struct.pack(">i", 0x00010000) + struct.pack(">h", 0x0100)
+    body += b"\x00" * 10
+    body += struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    body += b"\x00" * 24
+    body += struct.pack(">I", 99)  # next track id
+    return full(b"mvhd", v, 0, body)
+
+
+def tkhd(track_id, duration, v=0):
+    if v:
+        body = struct.pack(">QQIIQ", 3, 4, track_id, 0, duration)
+    else:
+        body = struct.pack(">IIIII", 3, 4, track_id, 0, duration)
+    body += b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0x0100, 0)
+    body += struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    body += struct.pack(">II", 640 << 16, 480 << 16)
+    return full(b"tkhd", v, 3, body)
+
+
+def mdhd(timescale, duration, v=0):
+    if v:
+        body = struct.pack(">QQIQ", 3, 4, timescale, duration)
+    else:
+        body = struct.pack(">IIII", 3, 4, timescale, duration)
+    body += struct.pack(">HH", 0x55C4, 0)  # language 'und'
+    return full(b"mdhd", v, 0, body)
+
+
+def hdlr(handler, name):
+    return full(b"hdlr", 0, 0,
+                struct.pack(">I4s12x", 0, handler) + name + b"\x00")
+
+
+def dinf():
+    url = full(b"url ", 0, 1, b"")
+    return box(b"dinf", full(b"dref", 0, 0, struct.pack(">I", 1) + url))
+
+
+def stsd(codec):
+    # a minimal sample entry: 6 reserved + data_reference_index, then
+    # opaque codec-specific bytes the walker must NOT need to parse
+    entry = box(codec, b"\x00" * 6 + struct.pack(">H", 1) + b"\xAA" * 16)
+    return full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+
+
+def stts(runs):
+    body = struct.pack(">I", len(runs))
+    for count, delta in runs:
+        body += struct.pack(">II", count, delta)
+    return full(b"stts", 0, 0, body)
+
+
+def ctts(entries, v=0):
+    body = struct.pack(">I", len(entries))
+    for count, off in entries:
+        body += struct.pack(">Ii" if v else ">II", count, off)
+    return full(b"ctts", v, 0, body)
+
+
+def stsc(entries):
+    body = struct.pack(">I", len(entries))
+    for first_chunk, spc, sdi in entries:
+        body += struct.pack(">III", first_chunk, spc, sdi)
+    return full(b"stsc", 0, 0, body)
+
+
+def stsz(sizes, const=0):
+    body = struct.pack(">II", const, len(sizes))
+    if not const:
+        for s in sizes:
+            body += struct.pack(">I", s)
+    return full(b"stsz", 0, 0, body)
+
+
+def stco(offsets):
+    body = struct.pack(">I", len(offsets))
+    for o in offsets:
+        body += struct.pack(">I", o)
+    return full(b"stco", 0, 0, body)
+
+
+def co64(offsets):
+    body = struct.pack(">I", len(offsets))
+    for o in offsets:
+        body += struct.pack(">Q", o)
+    return full(b"co64", 0, 0, body)
+
+
+def stss(samples):
+    body = struct.pack(">I", len(samples))
+    for s in samples:
+        body += struct.pack(">I", s)
+    return full(b"stss", 0, 0, body)
+
+
+class Track:
+    def __init__(self, track_id, handler, codec, timescale, sizes,
+                 stts_runs, stsc_entries, chunks, sync=None,
+                 ctts_entries=None, const_size=0, use_co64=False, v=0):
+        self.track_id = track_id
+        self.handler = handler          # b"vide" / b"soun"
+        self.codec = codec              # b"avc1" / b"mp4a"
+        self.timescale = timescale
+        self.sizes = sizes              # per-sample byte sizes
+        self.stts_runs = stts_runs      # [(count, delta)]
+        self.stsc_entries = stsc_entries  # [(first_chunk, spc, sdi)]
+        self.chunks = chunks            # number of chunks
+        self.sync = sync                # 1-based sync sample list or None
+        self.ctts_entries = ctts_entries
+        self.const_size = const_size
+        self.use_co64 = use_co64
+        self.v = v
+
+    def samples_per_chunk(self):
+        """Expand stsc to a per-chunk sample count (spec run-length)."""
+        out = []
+        for i, (first, spc, _) in enumerate(self.stsc_entries):
+            last = (self.stsc_entries[i + 1][0]
+                    if i + 1 < len(self.stsc_entries) else self.chunks + 1)
+            out.extend([spc] * (last - first))
+        assert len(out) == self.chunks and sum(out) == len(self.sizes)
+        return out
+
+    def durations(self):
+        out = []
+        for count, delta in self.stts_runs:
+            out.extend([delta] * count)
+        assert len(out) == len(self.sizes)
+        return out
+
+    def cts_offsets(self):
+        if not self.ctts_entries:
+            return [0] * len(self.sizes)
+        out = []
+        for count, off in self.ctts_entries:
+            out.extend([off] * count)
+        assert len(out) == len(self.sizes)
+        return out
+
+
+def lcg_bytes(n, seed):
+    state = seed
+    out = bytearray()
+    for _ in range(n):
+        state = (state * 1103515245 + 12345) & 0x7FFFFFFF
+        out.append((state >> 16) & 0xFF)
+    return bytes(out)
+
+
+def build(fname, tracks, movie_timescale=1000, extra_moov=b"",
+          mdat_pad=0, v=0):
+    """Assemble ftyp+moov+mdat; chunk payloads interleave by track
+    round-robin (the real muxer shape). Returns file bytes and emits
+    golden rows."""
+    # lay out chunk payloads: round-robin over tracks' chunks
+    order = []
+    for ci in range(max(t.chunks for t in tracks)):
+        for t in tracks:
+            if ci < t.chunks:
+                order.append((t, ci))
+    payloads = {}
+    seed = 7
+    for t in tracks:
+        spc = t.samples_per_chunk()
+        si = 0
+        for ci in range(t.chunks):
+            chunk = []
+            for _ in range(spc[ci]):
+                chunk.append(lcg_bytes(t.sizes[si], seed))
+                seed += 11
+                si += 1
+            payloads[(t.track_id, ci)] = chunk
+    # moov size must be known before chunk offsets; build moov with
+    # placeholder offsets first to measure, then rebuild with truth
+    def moov_bytes(chunk_offsets):
+        traks = b""
+        for t in tracks:
+            total_dur = sum(t.durations())
+            stbl = stsd(t.codec) + stts(t.stts_runs)
+            if t.ctts_entries:
+                stbl += ctts(t.ctts_entries)
+            stbl += stsc(t.stsc_entries)
+            stbl += stsz(t.sizes, t.const_size)
+            offs = chunk_offsets[t.track_id]
+            stbl += co64(offs) if t.use_co64 else stco(offs)
+            if t.sync is not None:
+                stbl += stss(t.sync)
+            mhd = (full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+                   if t.handler == b"vide"
+                   else full(b"smhd", 0, 0, struct.pack(">HH", 0, 0)))
+            minf = box(b"minf", mhd + dinf() + box(b"stbl", stbl))
+            mdia = box(b"mdia", mdhd(t.timescale, total_dur, t.v) +
+                       hdlr(t.handler, b"graft golden") + minf)
+            traks += box(b"trak", tkhd(t.track_id, total_dur, t.v) + mdia)
+        return box(b"moov", mvhd(movie_timescale, 4000, v) + traks +
+                   extra_moov)
+    zero_offs = {t.track_id: [0] * t.chunks for t in tracks}
+    head_len = len(ftyp()) + len(moov_bytes(zero_offs))
+    mdat_payload = b"\xEE" * mdat_pad  # leading pad inside mdat
+    chunk_offsets = {t.track_id: [] for t in tracks}
+    pos = head_len + 8 + len(mdat_payload)
+    blob = bytearray(mdat_payload)
+    for (t, ci) in order:
+        chunk_offsets[t.track_id].append(pos)
+        for s in payloads[(t.track_id, ci)]:
+            blob += s
+            pos += len(s)
+    data = ftyp() + moov_bytes(chunk_offsets) + box(b"mdat", bytes(blob))
+    with open(os.path.join(D, fname), "wb") as fh:
+        fh.write(data)
+    # golden rows (the INDEPENDENT expansion of the tables)
+    for t in tracks:
+        spc = t.samples_per_chunk()
+        durs = t.durations()
+        ctss = t.cts_offsets()
+        si = 0
+        dts = 0
+        for ci in range(t.chunks):
+            off = chunk_offsets[t.track_id][ci]
+            for _ in range(spc[ci]):
+                size = t.sizes[si]
+                payload = data[off:off + size]
+                assert len(payload) == size
+                sync = (1 if t.sync is None or (si + 1) in t.sync else 0)
+                ROWS.append((fname, t.track_id,
+                             t.handler.decode(), t.codec.decode(),
+                             t.timescale, si, ci, off, size, dts,
+                             durs[si], dts + ctss[si], sync,
+                             hashlib.md5(payload).hexdigest()))
+                dts += durs[si]
+                off += size
+                si += 1
+
+
+# ---- vid-00.mp4: one video track, rich sample table
+vid = Track(
+    track_id=1, handler=b"vide", codec=b"avc1", timescale=600,
+    sizes=[900, 120, 80, 150, 700, 95, 130, 110, 650, 60],
+    stts_runs=[(6, 20), (4, 25)],
+    stsc_entries=[(1, 4, 1), (3, 2, 1)],  # chunks 1-2: 4 samples, 3: 2
+    chunks=3,
+    sync=[1, 5, 9],
+    ctts_entries=[(1, 0), (2, 40), (3, 0), (2, 40), (2, 0)],
+)
+build("vid-00.mp4", [vid])
+
+# ---- av-01.mp4: video + constant-size audio, skip-boxes in the way
+vid2 = Track(
+    track_id=1, handler=b"vide", codec=b"avc1", timescale=600,
+    sizes=[400, 90, 85, 380, 75],
+    stts_runs=[(5, 24)],
+    stsc_entries=[(1, 3, 1), (2, 2, 1)],
+    chunks=2,
+    sync=[1, 4],
+)
+aud = Track(
+    track_id=2, handler=b"soun", codec=b"mp4a", timescale=44100,
+    sizes=[64] * 8,
+    stts_runs=[(8, 1024)],
+    stsc_entries=[(1, 4, 1)],
+    chunks=2,
+    sync=None,  # no stss: every sample is sync per spec
+    const_size=64,
+)
+build("av-01.mp4", [vid2, aud],
+      extra_moov=box(b"udta", box(b"free", b"skip me")))
+
+# ---- co64-02.mp4: 64-bit offsets + version-1 time boxes
+v1 = Track(
+    track_id=1, handler=b"vide", codec=b"hvc1", timescale=90000,
+    sizes=[300, 70, 320, 55],
+    stts_runs=[(4, 3000)],
+    stsc_entries=[(1, 2, 1)],
+    chunks=2,
+    sync=[1, 3],
+    use_co64=True, v=1,
+)
+build("co64-02.mp4", [v1], mdat_pad=5, v=1)
+
+# ---- cap-06.mp4: the caption-alignment subject (q_caption_align) —
+# timescale 1000 (ticks = milliseconds), 12 samples of 250 ms over 3
+# chunks; cues live in q_vtt_cues/cap-06.vtt (tools/vtt_golden.py)
+cap = Track(
+    track_id=1, handler=b"vide", codec=b"avc1", timescale=1000,
+    sizes=[220, 60, 75, 210, 65, 80, 205, 55, 70, 215, 50, 85],
+    stts_runs=[(12, 250)],
+    stsc_entries=[(1, 4, 1)],
+    chunks=3,
+    sync=[1, 4, 7, 10],
+)
+build("cap-06.mp4", [cap])
+
+# ---- frag-03.mp4: moof present -> refuse whole file
+frag = (ftyp() +
+        box(b"moov", mvhd(1000, 0) ) +
+        box(b"moof", full(b"mfhd", 0, 0, struct.pack(">I", 1))) +
+        box(b"mdat", b"\x11" * 32))
+with open(os.path.join(D, "frag-03.mp4"), "wb") as fh:
+    fh.write(frag)
+
+# ---- trunc-04.mp4: vid-00 cut inside its mdat payload
+with open(os.path.join(D, "vid-00.mp4"), "rb") as fh:
+    good = fh.read()
+with open(os.path.join(D, "trunc-04.mp4"), "wb") as fh:
+    fh.write(good[:len(good) - 700])
+
+# ---- badbox-05.mp4: a box that claims size 4 (< header)
+with open(os.path.join(D, "badbox-05.mp4"), "wb") as fh:
+    fh.write(ftyp() + struct.pack(">I", 4) + b"junk" + b"\x00" * 8)
+
+schema = pa.schema([
+    ("file", pa.string()), ("track", pa.int32()),
+    ("handler", pa.string()), ("codec", pa.string()),
+    ("tsc", pa.int64()),
+    ("smp", pa.int32()), ("chunk", pa.int32()),
+    ("off", pa.int64()), ("size", pa.int64()),
+    ("dts", pa.int64()), ("dur", pa.int64()), ("pts", pa.int64()),
+    ("sync", pa.int32()), ("md5", pa.string()),
+])
+tbl = pa.Table.from_pylist(
+    [dict(zip([f.name for f in schema], r)) for r in ROWS], schema=schema)
+pq.write_table(tbl, os.path.join(D, "golden", "expected.parquet"))
+print(f"wrote {len(ROWS)} golden sample rows across "
+      f"{len(set(r[0] for r in ROWS))} graded files")
