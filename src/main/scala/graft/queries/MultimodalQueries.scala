@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.MultimodalOps
@@ -1435,6 +1435,82 @@ object MultimodalQueries {
     s"""SELECT file, cue, start_ms, end_ms, text
       |FROM read_parquet('${graft.Fixtures.base}/q_vtt_cues/golden/*.parquet')""".stripMargin
 
+  /** EXIF metadata, oracle-graded per tag value — the image-side PII
+    * surface: crawled JPEGs carry camera metadata in an APP1 TIFF
+    * tree, and its GPS sub-IFD is personal data a corpus pipeline
+    * must surface and strip (the image counterpart of q_pii_scrub).
+    * Fixtures assembled by a from-scratch Python APP1/TIFF writer
+    * (tools/exif_golden.py): little- AND big-endian blocks, inline vs
+    * offset values, ASCII/SHORT/LONG/RATIONAL/UNDEFINED/SRATIONAL
+    * types, EXIF + GPS sub-IFD pointers; a no-Exif JPEG contributes
+    * zero rows and a truncated-IFD file's ABSENCE is graded. */
+  def qExifMeta(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readExifFiles(spark, graft.Fixtures.path("q_exif_meta"))
+      .select(col("file"), col("ifd"), col("tag"), col("ttype"),
+        col("idx"), col("num"), col("den"), col("sval"))
+  }
+
+  val qExifMetaSql: String =
+    s"""SELECT file, ifd, tag, ttype, idx, num, den, sval
+      |FROM read_parquet('${graft.Fixtures.base}/q_exif_meta/golden/*.parquet')""".stripMargin
+
+  /** GPS coordinates decoded to signed decimal degrees — the actual
+    * PII-curation output: degrees + minutes/60 + seconds/3600 from
+    * the three GPS rationals, sign from the N/S–E/W refs, altitude
+    * when present. Computed from the ENGINE's own q_exif_meta rows
+    * (the oracle recomputes from the golden tag rows with the same
+    * fixed-order arithmetic — per-row double math is bit-exact across
+    * engines). One row per geotagged image. */
+  def qExifGps(spark: SparkSession, dir: String): DataFrame = {
+    val g = qExifMeta(spark, dir).filter(col("ifd") === "gps")
+    def comp(tag: Int, idx: Int): Column =
+      max(when(col("tag") === tag && col("idx") === idx,
+        col("num").cast("double") / col("den").cast("double")))
+    def ref(tag: Int): Column =
+      max(when(col("tag") === tag, col("sval")))
+    val piv = g.groupBy(col("file")).agg(
+      comp(2, 0).as("lat_d"), comp(2, 1).as("lat_m"), comp(2, 2).as("lat_s"),
+      comp(4, 0).as("lon_d"), comp(4, 1).as("lon_m"), comp(4, 2).as("lon_s"),
+      comp(6, 0).as("alt_raw"),
+      max(when(col("tag") === 5 && col("idx") === 0, col("num"))).as("alt_ref"),
+      ref(1).as("lat_ref"), ref(3).as("lon_ref"))
+    piv.filter(col("lat_d").isNotNull && col("lon_d").isNotNull)
+      .select(col("file"),
+        ((col("lat_d") + col("lat_m") / 60.0 + col("lat_s") / 3600.0) *
+          when(col("lat_ref") === "S", -1.0).otherwise(1.0)).as("lat"),
+        ((col("lon_d") + col("lon_m") / 60.0 + col("lon_s") / 3600.0) *
+          when(col("lon_ref") === "W", -1.0).otherwise(1.0)).as("lon"),
+        (col("alt_raw") *
+          when(col("alt_ref") === 1, -1.0).otherwise(1.0)).as("alt_m"))
+  }
+
+  val qExifGpsSql: String =
+    s"""WITH g AS (
+      |  SELECT * FROM read_parquet('${graft.Fixtures.base}/q_exif_meta/golden/*.parquet')
+      |  WHERE ifd = 'gps'),
+      |piv AS (
+      |  SELECT file,
+      |    max(CASE WHEN tag=2 AND idx=0 THEN CAST(num AS DOUBLE)/CAST(den AS DOUBLE) END) AS lat_d,
+      |    max(CASE WHEN tag=2 AND idx=1 THEN CAST(num AS DOUBLE)/CAST(den AS DOUBLE) END) AS lat_m,
+      |    max(CASE WHEN tag=2 AND idx=2 THEN CAST(num AS DOUBLE)/CAST(den AS DOUBLE) END) AS lat_s,
+      |    max(CASE WHEN tag=4 AND idx=0 THEN CAST(num AS DOUBLE)/CAST(den AS DOUBLE) END) AS lon_d,
+      |    max(CASE WHEN tag=4 AND idx=1 THEN CAST(num AS DOUBLE)/CAST(den AS DOUBLE) END) AS lon_m,
+      |    max(CASE WHEN tag=4 AND idx=2 THEN CAST(num AS DOUBLE)/CAST(den AS DOUBLE) END) AS lon_s,
+      |    max(CASE WHEN tag=6 AND idx=0 THEN CAST(num AS DOUBLE)/CAST(den AS DOUBLE) END) AS alt_raw,
+      |    max(CASE WHEN tag=5 AND idx=0 THEN num END) AS alt_ref,
+      |    max(CASE WHEN tag=1 THEN sval END) AS lat_ref,
+      |    max(CASE WHEN tag=3 THEN sval END) AS lon_ref
+      |  FROM g GROUP BY file)
+      |SELECT file,
+      |  (lat_d + lat_m / 60.0 + lat_s / 3600.0) *
+      |    (CASE WHEN lat_ref = 'S' THEN -1.0 ELSE 1.0 END) AS lat,
+      |  (lon_d + lon_m / 60.0 + lon_s / 3600.0) *
+      |    (CASE WHEN lon_ref = 'W' THEN -1.0 ELSE 1.0 END) AS lon,
+      |  alt_raw * (CASE WHEN alt_ref = 1 THEN -1.0 ELSE 1.0 END) AS alt_m
+      |FROM piv
+      |WHERE lat_d IS NOT NULL AND lon_d IS NOT NULL""".stripMargin
+
   /** Caption-to-frame alignment — HOW video-text training pairs are
     * built: every cap-06.mp4 video sample (pts converted to wall ms
     * through the track timescale) joined to the cap-06.vtt cue whose
@@ -1533,6 +1609,8 @@ object MultimodalQueries {
     "q_mp4_samples" -> (qMp4Samples _),
     "q_vtt_cues" -> (qVttCues _),
     "q_caption_align" -> (qCaptionAlign _),
+    "q_exif_meta" -> (qExifMeta _),
+    "q_exif_gps" -> (qExifGps _),
     "q_wiki_pages" -> (qWikiPages _),
     "q_wiki_clean" -> (qWikiClean _),
     "q_gif_roundtrip" -> (qGifRoundtrip _),
@@ -1575,6 +1653,8 @@ object MultimodalQueries {
     "q_mp4_samples" -> qMp4SamplesSql,
     "q_vtt_cues" -> qVttCuesSql,
     "q_caption_align" -> qCaptionAlignSql,
+    "q_exif_meta" -> qExifMetaSql,
+    "q_exif_gps" -> qExifGpsSql,
     "q_wiki_pages" -> qWikiPagesSql,
     "q_wiki_clean" -> qWikiCleanSql,
     "q_gif_roundtrip" -> qGifRoundtripSql,

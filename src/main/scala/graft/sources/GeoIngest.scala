@@ -645,11 +645,18 @@ object GeoIngest {
     * proving the table actually names fetchable payloads (the
     * ranged-read contract an object store serves). Whole-file refusal
     * on structural faults or fragmented (moof) files. */
-  def readMp4Files(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.mp4")
-      .load(dir)
+  def readMp4Files(spark: SparkSession, dir: String): DataFrame =
+    decodeMp4Batch(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mp4")
+        .load(dir))
+
+  /** One batch of (path, content) MP4 files → per-sample rows —
+    * shared by the batch scan and the streaming arm so the two
+    * paths cannot drift. */
+  def decodeMp4Batch(batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
@@ -665,15 +672,42 @@ object GeoIngest {
         "off", "size", "dts", "dur", "pts", "sync", "md5")
   }
 
+  /** EXIF metadata scan — one row per tag value from the APP1 TIFF
+    * tree of each JPEG, via [[ExifCodec.parse]]: the image-side PII
+    * surface (GPS sub-IFD) plus orientation/camera metadata. A JPEG
+    * without an Exif segment contributes zero rows; a malformed TIFF
+    * block refuses the whole file. */
+  def readExifFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.jpg")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.split('/').last
+        ExifCodec.parse(bytes).toSeq.flatten.map(t =>
+          (file, t.ifd, t.tag, t.ttype, t.idx, t.num, t.den,
+            Option(t.sval)))
+      }.toDF("file", "ifd", "tag", "ttype", "idx", "num", "den", "sval")
+  }
+
   /** Subtitle-cue scan — WebVTT and SRT caption files (the text half
     * of caption-to-frame alignment), parsed executor-side by
     * [[SubtitleCodec]] with whole-file refusal on structural faults.
     * One row per cue: [start_ms, end_ms) wall time + payload text. */
-  def readSubtitleFiles(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.{vtt,srt}")
-      .load(dir)
+  def readSubtitleFiles(spark: SparkSession, dir: String): DataFrame =
+    decodeSubtitleBatch(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{vtt,srt}")
+        .load(dir))
+
+  /** One batch of (path, content) caption files → per-cue rows —
+    * shared by the batch scan and the streaming arm so the two
+    * paths cannot drift. */
+  def decodeSubtitleBatch(batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>

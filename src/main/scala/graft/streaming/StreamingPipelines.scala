@@ -614,6 +614,27 @@ object StreamingPipelines {
     binaryShardIngest(spark, srcDir, "*.arrow", destDir, checkpointDir,
       maxFilesPerTrigger)(graft.sources.GeoIngest.decodeArrowBatch)
 
+  /** Streaming caption ingest — WebVTT/SRT files landing as an ASR
+    * pipeline emits them, parsed to per-cue rows per micro-batch,
+    * exactly-once; one decode shared with the batch path
+    * ([[graft.sources.GeoIngest.decodeSubtitleBatch]]). */
+  def subtitleIngest(spark: SparkSession, srcDir: String, destDir: String,
+                     checkpointDir: String,
+                     maxFilesPerTrigger: Int = 100): StreamingQuery =
+    binaryShardIngest(spark, srcDir, "*.{vtt,srt}", destDir, checkpointDir,
+      maxFilesPerTrigger)(graft.sources.GeoIngest.decodeSubtitleBatch)
+
+  /** Streaming MP4 ingest — video files landing in a crawl directory,
+    * each walked to its per-sample (offset, size, pts, sync) table
+    * per micro-batch, exactly-once; one walk shared with the batch
+    * path ([[graft.sources.GeoIngest.decodeMp4Batch]]) — the
+    * frame-fetch plan for a video corpus as a stream. */
+  def mp4Ingest(spark: SparkSession, srcDir: String, destDir: String,
+                checkpointDir: String,
+                maxFilesPerTrigger: Int = 100): StreamingQuery =
+    binaryShardIngest(spark, srcDir, "*.mp4", destDir, checkpointDir,
+      maxFilesPerTrigger)(graft.sources.GeoIngest.decodeMp4Batch)
+
   /** Streaming MediaWiki dump ingest — `pages-articles` shards landing
     * as `.xml.bz2`, parsed to per-page rows per micro-batch,
     * exactly-once; one decode shared with the batch path

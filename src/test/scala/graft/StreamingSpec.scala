@@ -629,6 +629,44 @@ class StreamingSpec extends SparkSpec {
       "streaming wiki ingest diverged from the batch decode")
   }
 
+  test("mp4Ingest and subtitleIngest stream files with batch parity") {
+    import spark.implicits._
+    // mp4: the sample-table walk as a stream
+    val msrc = Files.createTempDirectory("graft_mp_src").toString
+    val mdest = Files.createTempDirectory("graft_mp_dest").toString
+    val mckpt = Files.createTempDirectory("graft_mp_ckpt").toString
+    val mfx = graft.Fixtures.path("q_mp4_samples")
+    for (f <- Seq("vid-00.mp4", "av-01.mp4", "frag-03.mp4"))
+      Files.copy(java.nio.file.Paths.get(mfx, f),
+        java.nio.file.Paths.get(msrc, f))
+    StreamingPipelines.mp4Ingest(spark, msrc, mdest, mckpt).awaitTermination()
+    val mstreamed = spark.read.parquet(mdest)
+      .select("file", "track", "handler", "codec", "tsc", "smp", "chunk",
+        "off", "size", "dts", "dur", "pts", "sync", "md5")
+    val mbatch = graft.sources.GeoIngest.readMp4Files(spark, msrc)
+    assert(mstreamed.count() == 23) // 10 + 13; frag-03 refused
+    assert(mbatch.exceptAll(mstreamed).isEmpty &&
+      mstreamed.exceptAll(mbatch).isEmpty,
+      "streaming mp4 ingest diverged from the batch walk")
+    // captions: ASR output landing as VTT/SRT
+    val ssrc = Files.createTempDirectory("graft_st_src").toString
+    val sdest = Files.createTempDirectory("graft_st_dest").toString
+    val sckpt = Files.createTempDirectory("graft_st_ckpt").toString
+    val sfx = graft.Fixtures.path("q_vtt_cues")
+    for (f <- Seq("talk-00.vtt", "talk-01.srt", "bad-03.vtt"))
+      Files.copy(java.nio.file.Paths.get(sfx, f),
+        java.nio.file.Paths.get(ssrc, f))
+    StreamingPipelines.subtitleIngest(spark, ssrc, sdest, sckpt)
+      .awaitTermination()
+    val sstreamed = spark.read.parquet(sdest)
+      .select("file", "cue", "start_ms", "end_ms", "text")
+    val sbatch = graft.sources.GeoIngest.readSubtitleFiles(spark, ssrc)
+    assert(sstreamed.count() == 7) // 4 + 3; bad-03 refused
+    assert(sbatch.exceptAll(sstreamed).isEmpty &&
+      sstreamed.exceptAll(sbatch).isEmpty,
+      "streaming subtitle ingest diverged from the batch decode")
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

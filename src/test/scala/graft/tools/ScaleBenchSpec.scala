@@ -29,7 +29,9 @@ class ScaleBenchSpec extends AnyFunSuite {
     "q_gif_frames",         // committed animated-GIF disposal fixtures
     "q_mp4_samples",        // committed hand-assembled ISO-BMFF files
     "q_vtt_cues",           // committed hand-written WebVTT/SRT files
-    "q_caption_align")      // joins the two fixture walks above
+    "q_caption_align",      // joins the two fixture walks above
+    "q_exif_meta",          // committed hand-assembled APP1/TIFF JPEGs
+    "q_exif_gps")           // decimal-degree stage over the same fixtures
 
   test("Selected is duplicate-free and every name is a declared query") {
     assert(ScaleBench.Selected.distinct.size === ScaleBench.Selected.size)
