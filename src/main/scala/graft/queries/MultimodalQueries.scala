@@ -1435,6 +1435,28 @@ object MultimodalQueries {
     s"""SELECT file, cue, start_ms, end_ms, text
       |FROM read_parquet('${graft.Fixtures.base}/q_vtt_cues/golden/*.parquet')""".stripMargin
 
+  /** PDF text runs, oracle-graded — PDF is the dominant document
+    * format in crawled corpora, and "extract the shown text" is every
+    * document pipeline's first operator. The codec walks the classic
+    * envelope from scratch (startxref → xref tables with
+    * incremental-update /Prev chains, the page tree, content-stream
+    * token scan over Tj/'/"/TJ, FlateDecode, literal-string
+    * escapes/octal, hex strings, indirect /Length); the contract is
+    * layout-free — one row per shown string run in stream order.
+    * Fixtures from a from-scratch Python PDF writer
+    * (tools/pdf_golden.py): an incremental update whose NEW content
+    * supersedes the old, an xref-STREAM file and a truncated file
+    * whose ABSENCE is graded. */
+  def qPdfText(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readPdfFiles(spark, graft.Fixtures.path("q_pdf_text"))
+      .select(col("file"), col("page"), col("run"), col("text"))
+  }
+
+  val qPdfTextSql: String =
+    s"""SELECT file, page, run, text
+      |FROM read_parquet('${graft.Fixtures.base}/q_pdf_text/golden/*.parquet')""".stripMargin
+
   /** EXIF metadata, oracle-graded per tag value — the image-side PII
     * surface: crawled JPEGs carry camera metadata in an APP1 TIFF
     * tree, and its GPS sub-IFD is personal data a corpus pipeline
@@ -1611,6 +1633,7 @@ object MultimodalQueries {
     "q_caption_align" -> (qCaptionAlign _),
     "q_exif_meta" -> (qExifMeta _),
     "q_exif_gps" -> (qExifGps _),
+    "q_pdf_text" -> (qPdfText _),
     "q_wiki_pages" -> (qWikiPages _),
     "q_wiki_clean" -> (qWikiClean _),
     "q_gif_roundtrip" -> (qGifRoundtrip _),
@@ -1655,6 +1678,7 @@ object MultimodalQueries {
     "q_caption_align" -> qCaptionAlignSql,
     "q_exif_meta" -> qExifMetaSql,
     "q_exif_gps" -> qExifGpsSql,
+    "q_pdf_text" -> qPdfTextSql,
     "q_wiki_pages" -> qWikiPagesSql,
     "q_wiki_clean" -> qWikiCleanSql,
     "q_gif_roundtrip" -> qGifRoundtripSql,

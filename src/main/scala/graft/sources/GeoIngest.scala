@@ -672,6 +672,31 @@ object GeoIngest {
         "off", "size", "dts", "dur", "pts", "sync", "md5")
   }
 
+  /** PDF text scan — one row per shown text run from each document's
+    * content streams, via [[PdfCodec.decode]]: the first operator a
+    * document-corpus pipeline runs over the dominant crawled document
+    * format. Whole-file refusal on envelope faults (xref streams,
+    * encryption, non-Flate filters, truncation). */
+  def readPdfFiles(spark: SparkSession, dir: String): DataFrame =
+    decodePdfBatch(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(dir))
+
+  /** One batch of (path, content) PDFs → per-text-run rows — shared
+    * by the batch scan and any streaming arm so paths cannot drift. */
+  def decodePdfBatch(batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.split('/').last
+        PdfCodec.decode(bytes).toSeq.flatten.map(r =>
+          (file, r.page, r.run, r.text))
+      }.toDF("file", "page", "run", "text")
+  }
+
   /** EXIF metadata scan — one row per tag value from the APP1 TIFF
     * tree of each JPEG, via [[ExifCodec.parse]]: the image-side PII
     * surface (GPS sub-IFD) plus orientation/camera metadata. A JPEG

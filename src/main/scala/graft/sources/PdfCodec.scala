@@ -1,0 +1,587 @@
+package graft.sources
+
+/** PDF text-run codec — PDF is the dominant format of crawled
+  * document corpora, and "extract the shown text" is the first
+  * operator every document pipeline runs over one. This walks the
+  * ISO 32000 classic envelope from scratch: startxref → classic
+  * cross-reference tables (incremental-update /Prev chains, newest
+  * definition wins), indirect objects via a recursive-descent value
+  * parser (dicts, arrays, names with #xx escapes, literal strings
+  * with escape/octal sequences, hex strings, refs, streams with
+  * indirect /Length), the /Root → /Pages → /Kids page tree, and a
+  * content-stream token scan that emits one text RUN per show
+  * operator (Tj, ', ", and each string element of TJ) in stream
+  * order. The contract is deliberately layout-free — no font
+  * metrics, no positioning — which is exactly what a text-corpus
+  * pipeline consumes and what stays deterministic.
+  *
+  * Envelope refusals (whole-file None, the [[GzipCodec]] discipline):
+  * cross-reference STREAMS (PDF 1.5 /Type /XRef — the startxref
+  * offset landing on an object), filters beyond FlateDecode,
+  * encrypted documents (/Encrypt in the trailer), a truncated or
+  * looped xref chain, object/page/run/inflation budgets. Strings
+  * decode as Latin-1 (PDFDocEncoding agrees on the fixture range);
+  * composed-font ToUnicode CMaps are out of envelope. Never throws. */
+object PdfCodec {
+
+  /** One shown text run: 0-based page and per-page run index. */
+  case class Run(page: Int, run: Int, text: String)
+
+  val MaxObjects: Int = 100000
+  val MaxPages: Int = 10000
+  val MaxRuns: Int = 100000
+  val MaxInflatedBytes: Int = GzipCodec.MaxInflatedBytes
+
+  private final class Fail extends RuntimeException(null, null, false, false)
+  private val fail = new Fail
+  private def err(): Nothing = throw fail
+
+  // ---- value model -------------------------------------------------
+  private sealed trait PVal
+  private case class PNum(v: Double) extends PVal
+  private case class PName(v: String) extends PVal
+  private case class PStr(v: Array[Byte]) extends PVal
+  private case class PArr(vs: Vector[PVal]) extends PVal
+  private case class PDict(m: Map[String, PVal]) extends PVal
+  private case class PRef(num: Int) extends PVal
+  private case class PStream(dict: PDict, dataAt: Int) extends PVal
+  private case object POther extends PVal // bool/null: carried, unused
+
+  def decode(bytes: Array[Byte]): Option[Vector[Run]] =
+    try Some(run(bytes))
+    catch { case _: Fail => None }
+
+  private def run(b: Array[Byte]): Vector[Run] = {
+    def u8(p: Int): Int = { if (p < 0 || p >= b.length) err(); b(p) & 0xff }
+    if (b.length < 16 || !new String(b, 0, 5,
+        java.nio.charset.StandardCharsets.ISO_8859_1).startsWith("%PDF-"))
+      err()
+
+    def isWs(c: Int) = c == ' ' || c == '\n' || c == '\r' || c == '\t' ||
+      c == '\f' || c == 0
+    def isDelim(c: Int) = c == '(' || c == ')' || c == '<' || c == '>' ||
+      c == '[' || c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
+
+    // ---- a cursor-based tokenizer/parser over the whole file ------
+    final class P(var p: Int, val end: Int) {
+      def skipWs(): Unit = {
+        var go = true
+        while (go) {
+          while (p < end && isWs(u8(p))) p += 1
+          if (p < end && u8(p) == '%') { // comment to EOL
+            while (p < end && u8(p) != '\n' && u8(p) != '\r') p += 1
+          } else go = false
+        }
+      }
+      def word(): String = {
+        skipWs()
+        val s = p
+        while (p < end && !isWs(u8(p)) && !isDelim(u8(p))) p += 1
+        if (p == s) err()
+        new String(b, s, p - s, java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
+      /** Parse one value. Number-number-`R` lookahead folds to PRef. */
+      def value(depth: Int): PVal = {
+        if (depth > 48) err()
+        skipWs()
+        if (p >= end) err()
+        u8(p) match {
+          case '/' =>
+            p += 1
+            val sb = new java.lang.StringBuilder()
+            while (p < end && !isWs(u8(p)) && !isDelim(u8(p))) {
+              if (u8(p) == '#' && p + 2 < end) {
+                sb.append(Integer.parseInt(
+                  new String(b, p + 1, 2,
+                    java.nio.charset.StandardCharsets.ISO_8859_1), 16).toChar)
+                p += 3
+              } else { sb.append(u8(p).toChar); p += 1 }
+            }
+            PName(sb.toString)
+          case '(' => PStr(literalString())
+          case '<' =>
+            if (p + 1 < end && u8(p + 1) == '<') dict(depth)
+            else PStr(hexString())
+          case '[' =>
+            p += 1
+            val vs = Vector.newBuilder[PVal]
+            skipWs()
+            while ({ skipWs(); p < end && u8(p) != ']' })
+              vs += value(depth + 1)
+            if (p >= end) err()
+            p += 1
+            PArr(vs.result())
+          case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+            val n1 = number()
+            // ref lookahead: int int R
+            val save = p
+            if (n1 >= 0 && n1 == n1.floor) {
+              skipWs()
+              if (p < end && u8(p) >= '0' && u8(p) <= '9') {
+                number()
+                skipWs()
+                if (p < end && u8(p) == 'R' &&
+                    (p + 1 >= end || isWs(u8(p + 1)) || isDelim(u8(p + 1)))) {
+                  p += 1
+                  return PRef(n1.toInt)
+                }
+              }
+              p = save
+            }
+            PNum(n1)
+          case _ =>
+            word() match {
+              case "true" | "false" | "null" => POther
+              case _ => err()
+            }
+        }
+      }
+      def number(): Double = {
+        skipWs()
+        val s = p
+        if (p < end && (u8(p) == '+' || u8(p) == '-')) p += 1
+        var digits = false
+        while (p < end && ((u8(p) >= '0' && u8(p) <= '9') || u8(p) == '.')) {
+          if (u8(p) != '.') digits = true
+          p += 1
+        }
+        if (!digits) err()
+        java.lang.Double.parseDouble(
+          new String(b, s, p - s, java.nio.charset.StandardCharsets.ISO_8859_1))
+      }
+      def literalString(): Array[Byte] = {
+        if (u8(p) != '(') err()
+        p += 1
+        val out = new java.io.ByteArrayOutputStream()
+        var nest = 1
+        while (nest > 0) {
+          if (p >= end) err()
+          u8(p) match {
+            case '\\' =>
+              if (p + 1 >= end) err()
+              u8(p + 1) match {
+                case 'n' => out.write('\n'); p += 2
+                case 'r' => out.write('\r'); p += 2
+                case 't' => out.write('\t'); p += 2
+                case 'b' => out.write('\b'); p += 2
+                case 'f' => out.write('\f'); p += 2
+                case '(' => out.write('('); p += 2
+                case ')' => out.write(')'); p += 2
+                case '\\' => out.write('\\'); p += 2
+                case '\r' => // line continuation
+                  p += 2; if (p < end && u8(p) == '\n') p += 1
+                case '\n' => p += 2
+                case d if d >= '0' && d <= '7' =>
+                  var v = 0; var k = 0; p += 1
+                  while (k < 3 && p < end && u8(p) >= '0' && u8(p) <= '7') {
+                    v = v * 8 + (u8(p) - '0'); p += 1; k += 1
+                  }
+                  out.write(v & 0xff)
+                case other => out.write(other); p += 2 // spec: drop the \
+              }
+            case '(' => nest += 1; out.write('('); p += 1
+            case ')' =>
+              nest -= 1
+              if (nest > 0) out.write(')')
+              p += 1
+            case c => out.write(c); p += 1
+          }
+        }
+        out.toByteArray
+      }
+      def hexString(): Array[Byte] = {
+        if (u8(p) != '<') err()
+        p += 1
+        val out = new java.io.ByteArrayOutputStream()
+        var hi = -1
+        var go = true
+        while (go) {
+          if (p >= end) err()
+          val c = u8(p)
+          if (c == '>') {
+            if (hi >= 0) out.write(hi << 4) // odd nibble: zero-padded
+            p += 1; go = false
+          } else if (isWs(c)) p += 1
+          else {
+            val d = Character.digit(c, 16)
+            if (d < 0) err()
+            if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+            p += 1
+          }
+        }
+        out.toByteArray
+      }
+      def dict(depth: Int): PVal = {
+        p += 2 // <<
+        val m = Map.newBuilder[String, PVal]
+        var go = true
+        while (go) {
+          skipWs()
+          if (p + 1 < end && u8(p) == '>' && u8(p + 1) == '>') {
+            p += 2; go = false
+          } else {
+            val k = value(depth + 1) match {
+              case PName(n) => n
+              case _ => err()
+            }
+            m += (k -> value(depth + 1))
+          }
+        }
+        val d = PDict(m.result())
+        // stream?
+        val save = p
+        skipWs()
+        if (p + 6 <= end && u8(p) == 's' && u8(p + 1) == 't' &&
+            u8(p + 2) == 'r' && u8(p + 3) == 'e' && u8(p + 4) == 'a' &&
+            u8(p + 5) == 'm') {
+          p += 6
+          if (p < end && u8(p) == '\r') p += 1
+          if (p < end && u8(p) == '\n') p += 1
+          PStream(d, p) // caller resolves /Length and skips the data
+        } else { p = save; d }
+      }
+    }
+
+    // ---- xref chain -------------------------------------------------
+    // find startxref near EOF
+    val tail = new String(b, math.max(0, b.length - 2048),
+      math.min(2048, b.length), java.nio.charset.StandardCharsets.ISO_8859_1)
+    val sxAt = tail.lastIndexOf("startxref")
+    if (sxAt < 0) err()
+    val sx = new P(math.max(0, b.length - 2048) + sxAt + 9, b.length)
+    val firstXref = sx.number().toLong
+
+    val offsets = new java.util.HashMap[Int, Int]() // first-seen wins
+    var root = -1
+    var encrypted = false
+    val seenXref = new java.util.HashSet[Long]()
+    var xat = firstXref
+    while (xat >= 0) {
+      if (xat >= b.length || !seenXref.add(xat)) err()
+      val px = new P(xat.toInt, b.length)
+      px.skipWs()
+      // classic tables only: an object header here means an xref
+      // STREAM — out of envelope, refuse
+      if (!(u8(px.p) == 'x' && u8(px.p + 1) == 'r' && u8(px.p + 2) == 'e' &&
+            u8(px.p + 3) == 'f')) err()
+      px.p += 4
+      var inTable = true
+      while (inTable) {
+        px.skipWs()
+        if (px.p + 7 <= b.length && u8(px.p) == 't' && u8(px.p + 1) == 'r') {
+          if (px.word() != "trailer") err()
+          inTable = false
+        } else {
+          val start = px.number().toLong
+          val count = px.number().toLong
+          if (count < 0 || count > MaxObjects || start < 0 ||
+              start + count > MaxObjects) err()
+          var i = 0L
+          while (i < count) {
+            px.skipWs()
+            if (px.p + 18 > b.length) err()
+            val off = px.number().toLong
+            val _gen = px.number().toLong
+            px.skipWs()
+            val kind = u8(px.p); px.p += 1
+            if (kind == 'n') {
+              if (off < 0 || off > Int.MaxValue) err()
+              val num = (start + i).toInt
+              if (!offsets.containsKey(num)) offsets.put(num, off.toInt)
+            } else if (kind != 'f') err()
+            i += 1
+          }
+        }
+      }
+      val tr = px.value(0) match { case d: PDict => d; case _ => err() }
+      if (tr.m.contains("Encrypt")) encrypted = true
+      if (root < 0) tr.m.get("Root") match {
+        case Some(PRef(n)) => root = n
+        case _ => ()
+      }
+      xat = tr.m.get("Prev") match {
+        case Some(PNum(v)) => v.toLong
+        case None => -1L
+        case _ => err()
+      }
+    }
+    if (encrypted || root < 0) err()
+
+    // ---- object loading --------------------------------------------
+    val cache = new java.util.HashMap[Int, PVal]()
+    def obj(num: Int): PVal = {
+      val hit = cache.get(num)
+      if (hit != null) return hit
+      if (cache.size > MaxObjects) err()
+      val at = offsets.get(num)
+      if (at == null) err()
+      val pp = new P(at, b.length)
+      if (pp.number().toInt != num) err()
+      pp.number() // gen
+      if (pp.word() != "obj") err()
+      val v = pp.value(0)
+      cache.put(num, v)
+      v
+    }
+    def deref(v: PVal): PVal = v match {
+      case PRef(n) => deref(obj(n))
+      case other => other
+    }
+    def streamData(s: PStream): Array[Byte] = {
+      val len = deref(s.dict.m.getOrElse("Length", err())) match {
+        case PNum(v) if v >= 0 && v <= Int.MaxValue => v.toInt
+        case _ => err()
+      }
+      if (s.dataAt + len > b.length) err()
+      val raw = java.util.Arrays.copyOfRange(b, s.dataAt, s.dataAt + len)
+      s.dict.m.get("Filter") match {
+        case None => raw
+        case Some(f) =>
+          val name = deref(f) match {
+            case PName(n) => n
+            case PArr(Vector(one)) => deref(one) match {
+              case PName(n) => n
+              case _ => err()
+            }
+            case _ => err()
+          }
+          if (name != "FlateDecode") err()
+          val inf = new java.util.zip.Inflater()
+          try {
+            inf.setInput(raw)
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            while (!inf.finished()) {
+              val n =
+                try inf.inflate(buf)
+                catch { case _: java.util.zip.DataFormatException => err() }
+              if (n == 0 && !inf.finished()) err() // truncated/stuck
+              out.write(buf, 0, n)
+              if (out.size > MaxInflatedBytes) err()
+            }
+            out.toByteArray
+          } finally inf.end()
+      }
+    }
+
+    // ---- page tree ---------------------------------------------------
+    val pages = Vector.newBuilder[PDict]
+    var nPages = 0
+    def walk(v: PVal, depth: Int): Unit = {
+      if (depth > 32) err()
+      deref(v) match {
+        case d: PDict => d.m.get("Type") match {
+          case Some(PName("Pages")) =>
+            deref(d.m.getOrElse("Kids", err())) match {
+              case PArr(kids) => kids.foreach(walk(_, depth + 1))
+              case _ => err()
+            }
+          case Some(PName("Page")) =>
+            if (nPages >= MaxPages) err()
+            pages += d; nPages += 1
+          case _ => err()
+        }
+        case _ => err()
+      }
+    }
+    val rootDict = deref(obj(root)) match { case d: PDict => d; case _ => err() }
+    walk(rootDict.m.getOrElse("Pages", err()), 0)
+
+    // ---- content text scan -------------------------------------------
+    val runs = Vector.newBuilder[Run]
+    var emitted = 0
+    def latin1(s: Array[Byte]): String =
+      new String(s, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def emit(page: Int, runIdx: Int, s: Array[Byte]): Int = {
+      if (emitted >= MaxRuns) err()
+      runs += Run(page, runIdx, latin1(s))
+      emitted += 1
+      runIdx + 1
+    }
+    pages.result().zipWithIndex.foreach { case (pg, pageIdx) =>
+      val parts: Vector[PVal] = pg.m.get("Contents") match {
+        case None => Vector.empty
+        case Some(c) => deref(c) match {
+          case PArr(vs) => vs
+          case one => Vector(one)
+        }
+      }
+      val content = parts.map { part =>
+        deref(part) match {
+          case s: PStream => streamData(s)
+          case _ => err()
+        }
+      }.foldLeft(Array.emptyByteArray)((a, c) =>
+        if (a.isEmpty) c else a ++ Array[Byte]('\n') ++ c)
+      // token scan: operands collect until an operator consumes them
+      val cp = new P(0, content.length)
+      // re-bind the parser over the CONTENT bytes, not the file
+      def cu8(p: Int): Int = content(p) & 0xff
+      var operands = List.empty[PVal]
+      var runIdx = 0
+      var go = true
+      def cSkipWs(): Unit = {
+        var again = true
+        while (again) {
+          while (cp.p < content.length && isWs(cu8(cp.p))) cp.p += 1
+          if (cp.p < content.length && cu8(cp.p) == '%') {
+            while (cp.p < content.length && cu8(cp.p) != '\n' &&
+              cu8(cp.p) != '\r') cp.p += 1
+          } else again = false
+        }
+      }
+      // a tiny content-level value parser sharing the file parser's
+      // string/number grammar by copying spans into it would double
+      // the byte plumbing; content streams are small (budgeted), so
+      // parse via a P over a copy appended to nothing — instead,
+      // reuse P by constructing it over the content array through a
+      // local adapter: simplest correct form is to re-implement the
+      // few content token shapes here against `content` directly.
+      def cLiteral(): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        cp.p += 1
+        var nest = 1
+        while (nest > 0) {
+          if (cp.p >= content.length) err()
+          cu8(cp.p) match {
+            case '\\' =>
+              if (cp.p + 1 >= content.length) err()
+              cu8(cp.p + 1) match {
+                case 'n' => out.write('\n'); cp.p += 2
+                case 'r' => out.write('\r'); cp.p += 2
+                case 't' => out.write('\t'); cp.p += 2
+                case 'b' => out.write('\b'); cp.p += 2
+                case 'f' => out.write('\f'); cp.p += 2
+                case '(' => out.write('('); cp.p += 2
+                case ')' => out.write(')'); cp.p += 2
+                case '\\' => out.write('\\'); cp.p += 2
+                case '\r' =>
+                  cp.p += 2
+                  if (cp.p < content.length && cu8(cp.p) == '\n') cp.p += 1
+                case '\n' => cp.p += 2
+                case d if d >= '0' && d <= '7' =>
+                  var v = 0; var k = 0; cp.p += 1
+                  while (k < 3 && cp.p < content.length &&
+                      cu8(cp.p) >= '0' && cu8(cp.p) <= '7') {
+                    v = v * 8 + (cu8(cp.p) - '0'); cp.p += 1; k += 1
+                  }
+                  out.write(v & 0xff)
+                case other => out.write(other); cp.p += 2
+              }
+            case '(' => nest += 1; out.write('('); cp.p += 1
+            case ')' =>
+              nest -= 1; if (nest > 0) out.write(')'); cp.p += 1
+            case c => out.write(c); cp.p += 1
+          }
+        }
+        out.toByteArray
+      }
+      def cHex(): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        cp.p += 1
+        var hi = -1
+        var inHex = true
+        while (inHex) {
+          if (cp.p >= content.length) err()
+          val c = cu8(cp.p)
+          if (c == '>') {
+            if (hi >= 0) out.write(hi << 4)
+            cp.p += 1; inHex = false
+          } else if (isWs(c)) cp.p += 1
+          else {
+            val d = Character.digit(c, 16)
+            if (d < 0) err()
+            if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+            cp.p += 1
+          }
+        }
+        out.toByteArray
+      }
+      while (go) {
+        cSkipWs()
+        if (cp.p >= content.length) go = false
+        else cu8(cp.p) match {
+          case '(' => operands ::= PStr(cLiteral())
+          case '<' =>
+            if (cp.p + 1 < content.length && cu8(cp.p + 1) == '<') {
+              // inline dict (e.g. BDC properties): balanced skip
+              var lvl = 0
+              var scanning = true
+              while (scanning) {
+                if (cp.p + 1 >= content.length) err()
+                if (cu8(cp.p) == '<' && cu8(cp.p + 1) == '<') {
+                  lvl += 1; cp.p += 2
+                } else if (cu8(cp.p) == '>' && cu8(cp.p + 1) == '>') {
+                  lvl -= 1; cp.p += 2
+                  if (lvl == 0) scanning = false
+                } else cp.p += 1
+              }
+              operands = Nil
+            } else operands ::= PStr(cHex())
+          case '[' =>
+            cp.p += 1
+            val vs = Vector.newBuilder[PVal]
+            var inArr = true
+            while (inArr) {
+              cSkipWs()
+              if (cp.p >= content.length) err()
+              cu8(cp.p) match {
+                case ']' => cp.p += 1; inArr = false
+                case '(' => vs += PStr(cLiteral())
+                case '<' => vs += PStr(cHex())
+                case _ =>
+                  // numbers (kerning) and anything else scalar
+                  val s = cp.p
+                  while (cp.p < content.length && !isWs(cu8(cp.p)) &&
+                    !isDelim(cu8(cp.p))) cp.p += 1
+                  if (cp.p == s) err()
+                  vs += POther
+              }
+            }
+            operands ::= PArr(vs.result())
+          case '/' =>
+            cp.p += 1
+            while (cp.p < content.length && !isWs(cu8(cp.p)) &&
+              !isDelim(cu8(cp.p))) cp.p += 1
+            operands ::= POther
+          case c if c == '+' || c == '-' || c == '.' ||
+              (c >= '0' && c <= '9') =>
+            while (cp.p < content.length && !isWs(cu8(cp.p)) &&
+              !isDelim(cu8(cp.p))) cp.p += 1
+            operands ::= POther
+          case '%' =>
+            while (cp.p < content.length && cu8(cp.p) != '\n' &&
+              cu8(cp.p) != '\r') cp.p += 1
+          case _ =>
+            val s = cp.p
+            while (cp.p < content.length && !isWs(cu8(cp.p)) &&
+              !isDelim(cu8(cp.p))) cp.p += 1
+            if (cp.p == s) err() // stray delimiter: refuse
+            val op = new String(content, s, cp.p - s,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            op match {
+              case "Tj" | "'" => operands match {
+                case PStr(t) :: _ => runIdx = emit(pageIdx, runIdx, t)
+                case _ => err()
+              }
+              case "\"" => operands match {
+                case PStr(t) :: _ => runIdx = emit(pageIdx, runIdx, t)
+                case _ => err()
+              }
+              case "TJ" => operands match {
+                case PArr(vs) :: _ =>
+                  vs.foreach {
+                    case PStr(t) => runIdx = emit(pageIdx, runIdx, t)
+                    case _ => () // kerning numbers
+                  }
+                case _ => err()
+              }
+              case _ => ()
+            }
+            operands = Nil
+        }
+      }
+    }
+    runs.result()
+  }
+}

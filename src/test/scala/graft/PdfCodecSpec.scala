@@ -1,0 +1,78 @@
+package graft
+
+import graft.sources.PdfCodec
+
+/** Contract specs for the PDF text-run codec: the classic xref walk
+  * (incl. incremental-update /Prev chains), the value parser (escape
+  * and octal sequences, hex strings with odd-nibble padding, indirect
+  * /Length), FlateDecode, the page tree, the content-stream show
+  * operators, the envelope refusals, and never-throw under fuzz.
+  * Value grading runs through oracle q_pdf_text. */
+class PdfCodecSpec extends SparkSpec {
+
+  private def fixture(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      graft.Fixtures.base, "q_pdf_text", name))
+
+  test("two pages: escapes, octal, TJ kerning array, the ' operator") {
+    val rs = PdfCodec.decode(fixture("doc-00.pdf")).get
+    assert(rs.map(r => (r.page, r.run, r.text)) == Vector(
+      (0, 0, "Hello (escaped) world \\ slash ABC"),
+      (0, 1, "Ker"), (0, 2, "ned"), (0, 3, " array."),
+      (1, 0, "Second page line one."),
+      (1, 1, "and a moved line")))
+  }
+
+  test("FlateDecode, hex strings, indirect Length, Contents array") {
+    val rs = PdfCodec.decode(fixture("doc-01.pdf")).get
+    assert(rs.map(_.text) == Vector("Hello from hex", "World!", "PAD "))
+    assert(rs.forall(_.page == 0))
+  }
+
+  test("incremental update: the newest xref section's object wins") {
+    val rs = PdfCodec.decode(fixture("doc-02.pdf")).get
+    assert(rs == Vector(PdfCodec.Run(0, 0, "the UPDATED text wins")))
+  }
+
+  test("refusals: dangling startxref, xref streams, garbage, encryption") {
+    assert(PdfCodec.decode(fixture("bad-03.pdf")).isEmpty, "startxref > EOF")
+    assert(PdfCodec.decode(fixture("bad-04.pdf")).isEmpty, "xref stream")
+    assert(PdfCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(PdfCodec.decode("%PDF-1.4 but nothing else".getBytes).isEmpty)
+    // an /Encrypt entry in the trailer must refuse whole-file
+    val g = new String(fixture("doc-00.pdf"),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val enc = g.replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 9 0 R")
+    // the trailer grew: startxref still points at 'xref' (unchanged
+    // prefix), so the refusal comes from the Encrypt gate, not drift
+    assert(PdfCodec.decode(
+      enc.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)).isEmpty)
+  }
+
+  test("hostile bytes never throw: truncations and single-byte fuzz") {
+    val good = fixture("doc-00.pdf")
+    (0 until good.length by 5).foreach(k => PdfCodec.decode(good.take(k)))
+    var j = 0
+    while (j < good.length) {
+      val m = good.clone(); m(j) = (m(j) ^ 0x31).toByte
+      PdfCodec.decode(m)
+      j += 1
+    }
+    val fl = fixture("doc-01.pdf")
+    j = 0
+    while (j < fl.length) {
+      val m = fl.clone(); m(j) = 0x41
+      PdfCodec.decode(m)
+      j += 2
+    }
+  }
+
+  test("distributed ingest: per-run rows, refused files absent") {
+    val df = graft.sources.GeoIngest.readPdfFiles(
+      spark, graft.Fixtures.path("q_pdf_text"))
+    val byFile = df.groupBy("file").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byFile == Map(
+      "doc-00.pdf" -> 6L, "doc-01.pdf" -> 3L, "doc-02.pdf" -> 1L))
+  }
+}

@@ -31,7 +31,8 @@ class ScaleBenchSpec extends AnyFunSuite {
     "q_vtt_cues",           // committed hand-written WebVTT/SRT files
     "q_caption_align",      // joins the two fixture walks above
     "q_exif_meta",          // committed hand-assembled APP1/TIFF JPEGs
-    "q_exif_gps")           // decimal-degree stage over the same fixtures
+    "q_exif_gps",           // decimal-degree stage over the same fixtures
+    "q_pdf_text")           // committed hand-assembled PDF documents
 
   test("Selected is duplicate-free and every name is a declared query") {
     assert(ScaleBench.Selected.distinct.size === ScaleBench.Selected.size)

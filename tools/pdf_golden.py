@@ -1,0 +1,189 @@
+#!/usr/bin/env python3
+"""Foreign-fixture writer for the PDF text scan (q_pdf_text) — PDF is
+the dominant document format in crawled document corpora, and "extract
+the text runs" is the first operator every document pipeline runs.
+Files are assembled by a from-scratch PDF 1.4 writer against the
+public spec (ISO 32000: classic cross-reference tables, indirect
+objects, the page tree, content streams with BT/ET text blocks,
+literal strings with escapes and octal, hex strings, TJ kerning
+arrays, FlateDecode via zlib), NOT by any PDF library; the golden
+parquet is computed from the text runs used to WRITE.
+
+The graded contract is deliberately layout-free: one row per shown
+STRING RUN (Tj / ' / " / each string element of TJ) in content-stream
+order — deterministic, honest about what a corpus pipeline consumes,
+and independent of font metrics.
+
+Layout written under tools/fixtures/q_pdf_text/:
+  doc-00.pdf  two pages, uncompressed content: Tj with escape
+              sequences (parens, backslash, octal), a TJ kerning
+              array, the ' (move-and-show) operator
+  doc-01.pdf  FlateDecode content stream, hex strings (odd-length
+              final nibble), an INDIRECT /Length, comments in the
+              body, a /Contents ARRAY split mid-stream
+  doc-02.pdf  an incremental-update chain: a second xref section
+              with /Prev pointing at the first (the shape every
+              edited PDF has); page 0's content is REPLACED by the
+              update and only the new text is truth
+  bad-03.pdf  startxref pointing past EOF -> whole-file refusal
+  bad-04.pdf  xref-STREAM PDF (out of the documented envelope) ->
+              whole-file refusal
+The two bad files' ABSENCE from the golden is itself graded.
+"""
+import os
+import struct
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+D = os.path.join(BASE, "q_pdf_text")
+os.makedirs(os.path.join(D, "golden"), exist_ok=True)
+
+ROWS = []  # (file, page, run, text)
+
+
+class PdfBuilder:
+    def __init__(self):
+        self.objs = {}  # num -> bytes (body, without "n 0 obj")
+
+    def add(self, num, body):
+        self.objs[num] = body.encode("latin-1") if isinstance(body, str) \
+            else body
+
+    def build(self, extra_tail=None):
+        out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets = {}
+        for num in sorted(self.objs):
+            offsets[num] = len(out)
+            out += b"%d 0 obj\n" % num
+            out += self.objs[num]
+            out += b"\nendobj\n"
+        xref_at = len(out)
+        maxn = max(self.objs)
+        out += b"xref\n0 %d\n" % (maxn + 1)
+        out += b"0000000000 65535 f \n"
+        for n in range(1, maxn + 1):
+            if n in offsets:
+                out += b"%010d 00000 n \n" % offsets[n]
+            else:
+                out += b"0000000000 65535 f \n"
+        out += b"trailer\n<< /Size %d /Root 1 0 R >>\n" % (maxn + 1)
+        out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+        return bytes(out)
+
+
+def page_obj(parent, contents):
+    return "<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] " \
+           "/Contents %s >>" % (parent, contents)
+
+
+def stream_obj(data, filt=None, length=None):
+    d = "<< "
+    if filt:
+        d += "/Filter /%s " % filt
+    d += "/Length %s >>" % (length if length is not None else len(data))
+    body = d.encode("latin-1") + b"\nstream\n" + data + b"\nendstream"
+    return body
+
+
+# ---- doc-00.pdf: two pages, escapes, TJ, '
+b0 = PdfBuilder()
+b0.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+b0.add(2, "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>")
+b0.add(3, page_obj(2, "4 0 R"))
+c0 = (b"BT /F1 12 Tf 72 720 Td "
+      b"(Hello \\(escaped\\) world \\\\ slash \\101BC) Tj "
+      b"0 -14 Td "
+      b"[(Ker) -120 (ned) 40 ( array.)] TJ "
+      b"ET")
+b0.add(4, stream_obj(c0))
+b0.add(5, page_obj(2, "6 0 R"))
+c1 = (b"BT /F1 10 Tf 72 720 Td "
+      b"(Second page line one.) Tj "
+      b"(and a moved line) ' "
+      b"ET")
+b0.add(6, stream_obj(c1))
+with open(os.path.join(D, "doc-00.pdf"), "wb") as fh:
+    fh.write(b0.build())
+emit00 = [
+    (0, "Hello (escaped) world \\ slash ABC"),
+    (0, "Ker"), (0, "ned"), (0, " array."),
+    (1, "Second page line one."),
+    (1, "and a moved line"),
+]
+run_by_page = {}
+for pg, t in emit00:
+    run_by_page.setdefault(pg, 0)
+    ROWS.append(("doc-00.pdf", pg, run_by_page[pg], t))
+    run_by_page[pg] += 1
+
+# ---- doc-01.pdf: Flate, hex strings, indirect Length, comments,
+#      a Contents array
+b1 = PdfBuilder()
+b1.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+b1.add(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+b1.add(3, page_obj(2, "[4 0 R 6 0 R]"))
+raw = (b"% a comment the tokenizer must skip\n"
+       b"BT <48656C6C6F2066726F6D20686578> Tj "     # "Hello from hex"
+       b"<576F726C6421> Tj ET % trailing comment")  # "World!"
+fl = zlib.compress(raw, 9)
+b1.add(4, stream_obj(fl, filt="FlateDecode", length="5 0 R"))
+b1.add(5, "%d" % len(fl))
+# second content part: the text op split across parts is NOT graded;
+# this part stands alone (odd-nibble hex: <5041442> -> "PAD " with
+# the final nibble zero-padded -> 0x50 0x41 0x44 0x20)
+b1.add(6, stream_obj(b"BT <5041442> Tj ET"))
+with open(os.path.join(D, "doc-01.pdf"), "wb") as fh:
+    fh.write(b1.build())
+for i, t in enumerate(["Hello from hex", "World!", "PAD "]):
+    ROWS.append(("doc-01.pdf", 0, i, t))
+
+# ---- doc-02.pdf: incremental update replaces page 0's content
+b2 = PdfBuilder()
+b2.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+b2.add(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+b2.add(3, page_obj(2, "4 0 R"))
+b2.add(4, stream_obj(b"BT (the ORIGINAL text, superseded) Tj ET"))
+base = b2.build()
+# incremental section: new object 4, new xref with /Prev
+upd = bytearray(base)
+new4_at = len(upd)
+new4 = stream_obj(b"BT (the UPDATED text wins) Tj ET")
+upd += b"4 0 obj\n" + new4 + b"\nendobj\n"
+xref2_at = len(upd)
+prev_xref = base.find(b"\nxref\n0 ") + 1  # NOT rfind("xref"): that
+# would land inside "startxref"
+upd += b"xref\n4 1\n%010d 00000 n \n" % new4_at
+upd += b"trailer\n<< /Size 5 /Root 1 0 R /Prev %d >>\n" % prev_xref
+upd += b"startxref\n%d\n%%%%EOF\n" % xref2_at
+with open(os.path.join(D, "doc-02.pdf"), "wb") as fh:
+    fh.write(bytes(upd))
+ROWS.append(("doc-02.pdf", 0, 0, "the UPDATED text wins"))
+
+# ---- bad-03.pdf: startxref past EOF
+bad = base[:base.rfind(b"startxref")] + b"startxref\n99999999\n%%EOF\n"
+with open(os.path.join(D, "bad-03.pdf"), "wb") as fh:
+    fh.write(bad)
+
+# ---- bad-04.pdf: xref stream (envelope refusal) — a /Type /XRef
+# stream object where the classic table would be
+b4 = bytearray(b"%PDF-1.5\n")
+o1 = len(b4)
+b4 += b"1 0 obj\n<< /Type /XRef /Size 2 /W [1 2 1] /Length 8 >>\n" \
+      b"stream\n\x00\x00\x00\x00\x01\x00\x0a\x00\nendstream\nendobj\n"
+xa = len(b4)
+b4 += b"startxref\n%d\n%%%%EOF\n" % o1
+with open(os.path.join(D, "bad-04.pdf"), "wb") as fh:
+    fh.write(bytes(b4))
+
+schema = pa.schema([
+    ("file", pa.string()), ("page", pa.int32()),
+    ("run", pa.int32()), ("text", pa.string()),
+])
+tbl = pa.Table.from_pylist(
+    [dict(zip([f.name for f in schema], r)) for r in ROWS], schema=schema)
+pq.write_table(tbl, os.path.join(D, "golden", "expected.parquet"))
+print(f"wrote {len(ROWS)} golden text runs across "
+      f"{len(set(r[0] for r in ROWS))} graded files")
