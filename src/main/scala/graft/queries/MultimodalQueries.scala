@@ -1435,6 +1435,40 @@ object MultimodalQueries {
     s"""SELECT file, cue, start_ms, end_ms, text
       |FROM read_parquet('${graft.Fixtures.base}/q_vtt_cues/golden/*.parquet')""".stripMargin
 
+  /** FLAC metadata, oracle-graded — the audio-corpus curation
+    * surface: STREAMINFO's packed bitfields (rate/channels/bits/
+    * total samples, derived duration) and Vorbis comments
+    * (little-endian lengths inside the big-endian container, `=` in
+    * values preserved, keys upper-canonicalized), seektable/padding
+    * skipped by length. Fixtures from a from-scratch Python writer
+    * (tools/audio_meta_golden.py); a short-STREAMINFO file's ABSENCE
+    * is graded. */
+  def qFlacMeta(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readAudioMetaFiles(spark, graft.Fixtures.path("q_flac_meta"))
+      .select(col("file"), col("kind"), col("key"), col("sval"), col("num"))
+  }
+
+  val qFlacMetaSql: String =
+    s"""SELECT file, kind, key, sval, num
+      |FROM read_parquet('${graft.Fixtures.base}/q_flac_meta/golden/*.parquet')""".stripMargin
+
+  /** ID3v2 tags + MPEG-1 Layer III stream shape, oracle-graded — the
+    * MP3 half of audio curation: v2.3 (plain frame sizes) and v2.4
+    * (syncsafe) text frames across Latin-1/UTF-16-BOM/UTF-8, COMM
+    * skipped, then the first audio frame header's bitrate/rate/frame
+    * length (the duration estimator's inputs). A tagless file still
+    * reports its stream shape; an ID3 size past EOF refuses. */
+  def qId3Tags(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readAudioMetaFiles(spark, graft.Fixtures.path("q_id3_tags"))
+      .select(col("file"), col("kind"), col("key"), col("sval"), col("num"))
+  }
+
+  val qId3TagsSql: String =
+    s"""SELECT file, kind, key, sval, num
+      |FROM read_parquet('${graft.Fixtures.base}/q_id3_tags/golden/*.parquet')""".stripMargin
+
   /** PDF text runs, oracle-graded — PDF is the dominant document
     * format in crawled corpora, and "extract the shown text" is every
     * document pipeline's first operator. The codec walks the classic
@@ -1634,6 +1668,8 @@ object MultimodalQueries {
     "q_exif_meta" -> (qExifMeta _),
     "q_exif_gps" -> (qExifGps _),
     "q_pdf_text" -> (qPdfText _),
+    "q_flac_meta" -> (qFlacMeta _),
+    "q_id3_tags" -> (qId3Tags _),
     "q_wiki_pages" -> (qWikiPages _),
     "q_wiki_clean" -> (qWikiClean _),
     "q_gif_roundtrip" -> (qGifRoundtrip _),
@@ -1679,6 +1715,8 @@ object MultimodalQueries {
     "q_exif_meta" -> qExifMetaSql,
     "q_exif_gps" -> qExifGpsSql,
     "q_pdf_text" -> qPdfTextSql,
+    "q_flac_meta" -> qFlacMetaSql,
+    "q_id3_tags" -> qId3TagsSql,
     "q_wiki_pages" -> qWikiPagesSql,
     "q_wiki_clean" -> qWikiCleanSql,
     "q_gif_roundtrip" -> qGifRoundtripSql,

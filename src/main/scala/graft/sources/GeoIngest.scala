@@ -672,6 +672,34 @@ object GeoIngest {
         "off", "size", "dts", "dur", "pts", "sync", "md5")
   }
 
+  /** Audio metadata scan — FLAC STREAMINFO/Vorbis comments and MP3
+    * ID3v2 tags + first-frame stream shape via [[AudioMetaCodec]]:
+    * the curation surface of an audio corpus (rates, channels,
+    * durations, titles/languages) with the sample decode left at the
+    * stub boundary. Whole-file refusal on structural faults. */
+  def readAudioMetaFiles(spark: SparkSession, dir: String): DataFrame =
+    decodeAudioMetaBatch(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{flac,mp3}")
+        .load(dir))
+
+  /** One batch of (path, content) audio files → metadata rows —
+    * shared by the batch scan and any streaming arm. */
+  def decodeAudioMetaBatch(batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.split('/').last
+        val meta =
+          if (file.endsWith(".flac")) AudioMetaCodec.decodeFlac(bytes)
+          else AudioMetaCodec.decodeMp3(bytes)
+        meta.toSeq.flatten.map(m =>
+          (file, m.kind, m.key, Option(m.sval), m.num))
+      }.toDF("file", "kind", "key", "sval", "num")
+  }
+
   /** PDF text scan — one row per shown text run from each document's
     * content streams, via [[PdfCodec.decode]]: the first operator a
     * document-corpus pipeline runs over the dominant crawled document

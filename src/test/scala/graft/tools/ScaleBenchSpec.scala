@@ -32,7 +32,9 @@ class ScaleBenchSpec extends AnyFunSuite {
     "q_caption_align",      // joins the two fixture walks above
     "q_exif_meta",          // committed hand-assembled APP1/TIFF JPEGs
     "q_exif_gps",           // decimal-degree stage over the same fixtures
-    "q_pdf_text")           // committed hand-assembled PDF documents
+    "q_pdf_text",           // committed hand-assembled PDF documents
+    "q_flac_meta",          // committed hand-assembled FLAC files
+    "q_id3_tags")           // committed hand-assembled MP3/ID3v2 files
 
   test("Selected is duplicate-free and every name is a declared query") {
     assert(ScaleBench.Selected.distinct.size === ScaleBench.Selected.size)
