@@ -1997,7 +1997,97 @@ object TextQueries {
       |  MIN(CASE WHEN rk = 1 THEN n_chars END) AS canonical_len
       |FROM m GROUP BY cluster_rep""".stripMargin
 
+  /** robots.txt rules, oracle-graded per parsed line — RFC 9309:
+    * stacked User-agent lines opening one group, allow/disallow/
+    * crawl-delay attaching to it, global Sitemap lines (agent ""),
+    * comments, case-insensitive directives, garbage tolerated. One
+    * row per (rule × group agent); fixtures hand-written in
+    * tools/robots_golden.py. */
+  def qRobotsRules(spark: SparkSession, dir: String): DataFrame =
+    robotsRules(spark)
+      .select(col("host"), col("agent"), col("verb"), col("value"),
+        col("seq"))
+
+  /** Parsed rules + the precompiled match regex (built executor-side
+    * in the decode flatMap — no SQL UDF), shared by both robots
+    * queries. */
+  private def robotsRules(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .load(graft.Fixtures.path("q_robots_rules"))
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val host = path.split('/').last.stripSuffix(".txt")
+        graft.sources.RobotsCodec
+          .parse(new String(bytes,
+            java.nio.charset.StandardCharsets.UTF_8))
+          .map { r =>
+            val regex =
+              if ((r.verb == "allow" || r.verb == "disallow") &&
+                r.value.nonEmpty)
+                graft.sources.RobotsCodec.patternRegex(r.value)
+              else null
+            (host, r.agent, r.verb, r.value, r.seq, Option(regex))
+          }
+      }.toDF("host", "agent", "verb", "value", "seq", "regex")
+  }
+
+  val qRobotsRulesSql: String =
+    s"""SELECT host, agent, verb, value, seq
+      |FROM read_parquet('${graft.Fixtures.base}/q_robots_rules/golden/*.parquet')""".stripMargin
+
+  /** Per-URL robots decisions, oracle-graded — the RFC 9309 matcher
+    * AS A JOIN, which is its 100 TB shape: per-host rules are bounded
+    * (the RFC caps robots.txt at 500 KiB) and broadcast; the URL side
+    * is the big table. Group selection (exact agent beats `*`), then
+    * longest-pattern-wins with allow beating disallow on ties (`*`
+    * wildcards, `$` anchors, empty patterns match nothing, no match →
+    * allowed). graftbot exercises group override; crawlzilla (unknown
+    * agent) falls to `*` where the wildcard/anchor rules live. The
+    * golden decisions come from an independent Python matcher. */
+  def qRobotsFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rules = robotsRules(spark)
+      .filter(col("verb").isin("allow", "disallow"))
+      .select(col("host").as("rhost"), col("agent").as("ragent"),
+        when(col("verb") === "allow", 1).otherwise(0).as("is_allow"),
+        col("value"), col("regex"))
+    val urls = spark.read.option("sep", "\t")
+      .csv(graft.Fixtures.path("q_robots_filter") + "/urls.txt")
+      .toDF("host", "path")
+    val agents = Seq("graftbot", "crawlzilla").toDF("agent")
+    val targets = urls.crossJoin(broadcast(agents)) // bounded 2-agent grid
+    val cand = targets.join(broadcast(rules),
+      col("host") === col("rhost") &&
+        (col("ragent") === col("agent") || col("ragent") === "*"), "left")
+      .withColumn("exact",
+        when(col("ragent") === col("agent"), 1)
+          .when(col("ragent").isNull, -1).otherwise(0))
+    // pick the group: exact agent if present, else '*'
+    val gsel = cand.groupBy("host", "agent", "path")
+      .agg(max("exact").as("gsel"))
+    val chosen = cand.join(broadcast(gsel), Seq("host", "agent", "path"))
+      .filter(col("exact") === col("gsel"))
+    val best = chosen
+      .filter(col("regex").isNotNull && expr("path rlike regex"))
+      .groupBy("host", "agent", "path")
+      .agg(max(struct(length(col("value")).as("l"),
+        col("is_allow").as("a"), col("value").as("v"))).as("b"))
+    targets.join(broadcast(best), Seq("host", "agent", "path"), "left")
+      .select(col("host"), col("agent"), col("path"),
+        coalesce(col("b.a"), lit(1)).as("allowed"),
+        coalesce(col("b.v"), lit("")).as("rule"))
+  }
+
+  val qRobotsFilterSql: String =
+    s"""SELECT host, agent, path, allowed, rule
+      |FROM read_parquet('${graft.Fixtures.base}/q_robots_filter/golden/*.parquet')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_robots_rules" -> (qRobotsRules _),
+    "q_robots_filter" -> (qRobotsFilter _),
     "q_entity_resolution" -> (qEntityResolution _),
     "q_explode_outer" -> (qExplodeOuter _),
     "q_prefix_filter_join" -> (qPrefixFilterJoin _),
@@ -2043,6 +2133,8 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_robots_rules" -> qRobotsRulesSql,
+    "q_robots_filter" -> qRobotsFilterSql,
     "q_entity_resolution" -> qEntityResolutionSql,
     "q_explode_outer" -> qExplodeOuterSql,
     "q_prefix_filter_join" -> qPrefixFilterJoinSql,

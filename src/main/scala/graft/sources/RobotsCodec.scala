@@ -1,0 +1,84 @@
+package graft.sources
+
+/** robots.txt codec (RFC 9309) — crawl politeness as a first-class
+  * curation input: corpora like C4 record per-URL robots decisions,
+  * and republishing disallowed content is a compliance bug, so the
+  * engine carries both the rule PARSE (q_robots_rules) and the
+  * longest-match DECISION as a broadcast join (q_robots_filter:
+  * per-host rules are bounded by the RFC's 500 KiB cap, the URL side
+  * is the 100 TB table — exactly the broadcast-dimension shape).
+  *
+  * Grammar: `key: value` lines, `#` comments, case-insensitive
+  * directives; stacked `User-agent` lines open one group; `Allow` /
+  * `Disallow` / `Crawl-delay` attach to the open group; `Sitemap` is
+  * global (agent ""). Matching (in the query, not here): the group
+  * whose agent exactly matches wins over `*`; among matching rules
+  * the LONGEST pattern wins, allow beating disallow on ties; `*`
+  * wildcards and a trailing `$` anchor; an empty pattern matches
+  * nothing; no match → allowed.
+  *
+  * Parse never refuses — RFC 9309 requires tolerating garbage lines
+  * (they are skipped), so unlike the binary codecs the contract is
+  * total. Never throws. */
+object RobotsCodec {
+
+  /** One parsed line: agent "" marks global extensions (sitemap). */
+  case class Rule(agent: String, verb: String, value: String, seq: Int)
+
+  val MaxRules: Int = 10000
+
+  def parse(content: String): Vector[Rule] = {
+    val out = Vector.newBuilder[Rule]
+    var agents = Vector.empty[String]
+    var openGroup = false // user-agent lines still stackable
+    var seq = 0
+    def emit(verb: String, value: String): Unit = {
+      if (seq < MaxRules) {
+        agents.foreach(a => out += Rule(a, verb, value, seq))
+        seq += 1
+      }
+    }
+    content.split("\n", -1).foreach { raw =>
+      val line = raw.split("#", 2)(0).trim
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val k = line.substring(0, ci).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val v = line.substring(ci + 1).trim
+        k match {
+          case "user-agent" =>
+            if (!openGroup && agents.nonEmpty) agents = Vector.empty
+            agents = agents :+ v.toLowerCase(java.util.Locale.ROOT)
+            openGroup = true
+          case "allow" | "disallow" | "crawl-delay" =>
+            openGroup = false
+            if (agents.nonEmpty) emit(k, v)
+          case "sitemap" =>
+            if (seq < MaxRules) {
+              out += Rule("", k, v, seq)
+              seq += 1
+            }
+          case _ => () // unknown directive: tolerated per the RFC
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** RFC 9309 pattern → Java regex: literal characters escaped, `*`
+    * becomes `.*`, one trailing `$` anchors; unanchored patterns are
+    * prefix matches. */
+  def patternRegex(pat: String): String = {
+    val anchored = pat.endsWith("$")
+    val body = if (anchored) pat.substring(0, pat.length - 1) else pat
+    val sb = new java.lang.StringBuilder("^")
+    body.foreach {
+      case '*' => sb.append(".*")
+      case c if "\\^$.|?+()[]{}".indexOf(c.toInt) >= 0 =>
+        sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    if (anchored) sb.append('$')
+    sb.toString
+  }
+}

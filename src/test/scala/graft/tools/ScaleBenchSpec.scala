@@ -34,7 +34,9 @@ class ScaleBenchSpec extends AnyFunSuite {
     "q_exif_gps",           // decimal-degree stage over the same fixtures
     "q_pdf_text",           // committed hand-assembled PDF documents
     "q_flac_meta",          // committed hand-assembled FLAC files
-    "q_id3_tags")           // committed hand-assembled MP3/ID3v2 files
+    "q_id3_tags",           // committed hand-assembled MP3/ID3v2 files
+    "q_robots_rules",       // committed hand-written robots.txt files
+    "q_robots_filter")      // decision join over the same fixtures
 
   test("Selected is duplicate-free and every name is a declared query") {
     assert(ScaleBench.Selected.distinct.size === ScaleBench.Selected.size)
