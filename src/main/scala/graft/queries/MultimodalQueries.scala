@@ -1435,6 +1435,99 @@ object MultimodalQueries {
     s"""SELECT file, cue, start_ms, end_ms, text
       |FROM read_parquet('${graft.Fixtures.base}/q_vtt_cues/golden/*.parquet')""".stripMargin
 
+  /** MP4 mux∘walk roundtrip AT CORPUS SCALE — every document's text
+    * is cut into 16-char samples (cap 8), muxed into a real ISO-BMFF
+    * file executor-side ([[graft.sources.Mp4Codec.mux]]: chunks of 4,
+    * one stts run, sync every third sample), then walked back by the
+    * independent [[graft.sources.Mp4Codec.decode]]; each emitted
+    * sample's md5 hashes the ACTUAL byte span the table names, so the
+    * oracle's pure-SQL arithmetic (substr + md5 in DuckDB) proves
+    * offsets, chunking, timing and sync end-to-end with no golden
+    * file. Lands in the MEASURED scale set — per-row work, no
+    * shuffle. */
+  def qMp4Roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val n = math.min(text.length / 16, 8)
+        if (n < 1) Iterator.empty
+        else {
+          val subs = (0 until n).map(i => text.substring(16 * i, 16 * i + 16)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val bytes = graft.sources.Mp4Codec.mux(subs, 1000, 100)
+          graft.sources.Mp4Codec.decode(bytes).toSeq.flatten.iterator.map { s =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            md.update(bytes, s.off.toInt, s.size.toInt)
+            (id, s.smp, s.chunk, s.size, s.dts, s.dur,
+              if (s.sync) 1 else 0,
+              md.digest().map("%02x".format(_)).mkString)
+          }
+        }
+      }.toDF("doc_id", "smp", "chunk", "size_b", "dts", "dur", "sync", "md5")
+  }
+
+  val qMp4RoundtripSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, LEAST(length(text) // 16, 8) AS n
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id, text, CAST(unnest(range(n)) AS INT) AS smp
+      |  FROM d WHERE n >= 1),
+      |s AS (
+      |  SELECT doc_id, smp,
+      |    substr(text, CAST(smp AS BIGINT) * 16 + 1, 16) AS sub
+      |  FROM u)
+      |SELECT doc_id, smp, CAST(smp // 4 AS INT) AS chunk,
+      |  CAST(strlen(sub) AS BIGINT) AS size_b,
+      |  CAST(smp AS BIGINT) * 100 AS dts, CAST(100 AS BIGINT) AS dur,
+      |  CASE WHEN smp % 3 = 0 THEN 1 ELSE 0 END AS sync,
+      |  md5(sub) AS md5
+      |FROM s""".stripMargin
+
+  /** PDF write∘read roundtrip AT CORPUS SCALE — the same 16-char
+    * cuts become Tj runs of a one-page classic-xref PDF written
+    * executor-side ([[graft.sources.PdfCodec.write]], parens and
+    * backslashes escaped) and read back by
+    * [[graft.sources.PdfCodec.decode]]; runs re-encode to their
+    * original bytes (Latin-1 inverse of the reader's decoding) and
+    * md5-match DuckDB's substr arithmetic. No golden file; measured
+    * scale set. */
+  def qPdfRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val n = math.min(text.length / 16, 8)
+        if (n < 1) Iterator.empty
+        else {
+          val runs = (0 until n).map(i => text.substring(16 * i, 16 * i + 16)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val pdf = graft.sources.PdfCodec.write(runs)
+          graft.sources.PdfCodec.decode(pdf).toSeq.flatten.iterator.map { r =>
+            val bytes = r.text.getBytes(
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            (id, r.run,
+              md.digest(bytes).map("%02x".format(_)).mkString)
+          }
+        }
+      }.toDF("doc_id", "run", "md5")
+  }
+
+  val qPdfRoundtripSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, LEAST(length(text) // 16, 8) AS n
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id, text, CAST(unnest(range(n)) AS INT) AS run
+      |  FROM d WHERE n >= 1)
+      |SELECT doc_id, run,
+      |  md5(substr(text, CAST(run AS BIGINT) * 16 + 1, 16)) AS md5
+      |FROM u""".stripMargin
+
   /** FLAC metadata, oracle-graded — the audio-corpus curation
     * surface: STREAMINFO's packed bitfields (rate/channels/bits/
     * total samples, derived duration) and Vorbis comments
@@ -1670,6 +1763,8 @@ object MultimodalQueries {
     "q_pdf_text" -> (qPdfText _),
     "q_flac_meta" -> (qFlacMeta _),
     "q_id3_tags" -> (qId3Tags _),
+    "q_mp4_roundtrip" -> (qMp4Roundtrip _),
+    "q_pdf_roundtrip" -> (qPdfRoundtrip _),
     "q_wiki_pages" -> (qWikiPages _),
     "q_wiki_clean" -> (qWikiClean _),
     "q_gif_roundtrip" -> (qGifRoundtrip _),
@@ -1717,6 +1812,8 @@ object MultimodalQueries {
     "q_pdf_text" -> qPdfTextSql,
     "q_flac_meta" -> qFlacMetaSql,
     "q_id3_tags" -> qId3TagsSql,
+    "q_mp4_roundtrip" -> qMp4RoundtripSql,
+    "q_pdf_roundtrip" -> qPdfRoundtripSql,
     "q_wiki_pages" -> qWikiPagesSql,
     "q_wiki_clean" -> qWikiCleanSql,
     "q_gif_roundtrip" -> qGifRoundtripSql,

@@ -51,6 +51,52 @@ object PdfCodec {
     try Some(run(bytes))
     catch { case _: Fail => None }
 
+  /** Write a one-page PDF whose content stream shows each byte run
+    * with its own Tj (parens/backslash escaped) — the classic-xref
+    * inverse of [[decode]] (the GifCodec.encode discipline: the
+    * corpus-driven q_pdf_roundtrip grades writer∘reader against pure
+    * SQL arithmetic). Runs are raw BYTES; non-ASCII round-trips as
+    * Latin-1 code points on the read side. */
+  def write(runs: Seq[Array[Byte]]): Array[Byte] = {
+    require(runs.nonEmpty && runs.size <= 4096, s"${runs.size}")
+    val content = new java.io.ByteArrayOutputStream()
+    content.write("BT /F1 12 Tf 72 720 Td ".getBytes)
+    runs.foreach { r =>
+      content.write('(')
+      r.foreach {
+        case b if b == '(' || b == ')' || b == '\\' =>
+          content.write('\\'); content.write(b)
+        case b => content.write(b)
+      }
+      content.write(") Tj 0 -14 Td ".getBytes)
+    }
+    content.write("ET".getBytes)
+    val cs = content.toByteArray
+    val objs = Vector(
+      "<< /Type /Catalog /Pages 2 0 R >>".getBytes,
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes,
+      ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R >>").getBytes,
+      (s"<< /Length ${cs.length} >>\nstream\n").getBytes ++ cs ++
+        "\nendstream".getBytes)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.4\n".getBytes)
+    val offs = objs.zipWithIndex.map { case (body, i) =>
+      val at = out.size
+      out.write(s"${i + 1} 0 obj\n".getBytes)
+      out.write(body)
+      out.write("\nendobj\n".getBytes)
+      at
+    }
+    val xrefAt = out.size
+    out.write(s"xref\n0 ${objs.size + 1}\n".getBytes)
+    out.write("0000000000 65535 f \n".getBytes)
+    offs.foreach(o => out.write("%010d 00000 n \n".format(o).getBytes))
+    out.write(s"trailer\n<< /Size ${objs.size + 1} /Root 1 0 R >>\n".getBytes)
+    out.write(s"startxref\n$xrefAt\n%%EOF\n".getBytes)
+    out.toByteArray
+  }
+
   private def run(b: Array[Byte]): Vector[Run] = {
     def u8(p: Int): Int = { if (p < 0 || p >= b.length) err(); b(p) & 0xff }
     if (b.length < 16 || !new String(b, 0, 5,

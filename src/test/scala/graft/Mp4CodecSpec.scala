@@ -100,6 +100,25 @@ class Mp4CodecSpec extends SparkSpec {
     assert(n == 39L)
   }
 
+  test("mux round-trips through the walker: chunking, timing, sync, bytes") {
+    for (n <- Seq(1, 3, 4, 5, 8, 9)) {
+      val subs = (0 until n).map(i =>
+        s"payload-$i-${"x" * (i % 5)}".getBytes("UTF-8"))
+      val bytes = Mp4Codec.mux(subs, 1000, 100)
+      val ss = Mp4Codec.decode(bytes).getOrElse(fail(s"n=$n refused"))
+      assert(ss.length == n, s"n=$n")
+      assert(ss.map(_.chunk) == (0 until n).map(_ / 4).toVector, s"n=$n")
+      assert(ss.map(_.dts) == (0 until n).map(_ * 100L).toVector)
+      assert(ss.map(_.sync) == (0 until n).map(_ % 3 == 0).toVector)
+      assert(ss.forall(_.tsc == 1000L))
+      ss.zipWithIndex.foreach { case (s, i) =>
+        val got = java.util.Arrays.copyOfRange(bytes, s.off.toInt,
+          (s.off + s.size).toInt)
+        assert(java.util.Arrays.equals(got, subs(i)), s"n=$n i=$i bytes")
+      }
+    }
+  }
+
   test("track timescale rides every sample (the wall-time conversion key)") {
     val ss = Mp4Codec.decode(fixture("cap-06.mp4")).get
     assert(ss.length == 12 && ss.forall(_.tsc == 1000L))

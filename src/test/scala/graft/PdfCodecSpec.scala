@@ -67,6 +67,21 @@ class PdfCodecSpec extends SparkSpec {
     }
   }
 
+  test("write round-trips through the reader, escaping included") {
+    val runs = Seq("plain text", "with (parens) inside",
+      "back\\slash and )( reversed", "trailing \\").map(_.getBytes("UTF-8"))
+    val pdf = PdfCodec.write(runs)
+    val rs = PdfCodec.decode(pdf).getOrElse(fail("own write refused"))
+    assert(rs.map(_.text) == runs.map(new String(_, "ISO-8859-1")).toVector)
+    assert(rs.forall(_.page == 0))
+    // non-ASCII bytes land as Latin-1 code points; re-encoding
+    // recovers the original bytes (the roundtrip md5 contract)
+    val uni = Seq("héllo wörld — ünïcode".getBytes("UTF-8"))
+    val back = PdfCodec.decode(PdfCodec.write(uni)).get.head.text
+      .getBytes("ISO-8859-1")
+    assert(java.util.Arrays.equals(back, uni.head))
+  }
+
   test("distributed ingest: per-run rows, refused files absent") {
     val df = graft.sources.GeoIngest.readPdfFiles(
       spark, graft.Fixtures.path("q_pdf_text"))
