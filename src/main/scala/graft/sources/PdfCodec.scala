@@ -2,26 +2,30 @@ package graft.sources
 
 /** PDF text-run codec — PDF is the dominant format of crawled
   * document corpora, and "extract the shown text" is the first
-  * operator every document pipeline runs over one. This walks the
-  * ISO 32000 classic envelope from scratch: startxref → classic
-  * cross-reference tables (incremental-update /Prev chains, newest
-  * definition wins), indirect objects via a recursive-descent value
-  * parser (dicts, arrays, names with #xx escapes, literal strings
-  * with escape/octal sequences, hex strings, refs, streams with
-  * indirect /Length), the /Root → /Pages → /Kids page tree, and a
-  * content-stream token scan that emits one text RUN per show
-  * operator (Tj, ', ", and each string element of TJ) in stream
-  * order. The contract is deliberately layout-free — no font
-  * metrics, no positioning — which is exactly what a text-corpus
-  * pipeline consumes and what stays deterministic.
+  * operator every document pipeline runs over one. This walks
+  * ISO 32000 from scratch: startxref → cross-reference tables, BOTH
+  * the classic form AND the PDF 1.5+ cross-reference STREAM (the
+  * modern default: W-packed binary rows behind FlateDecode and the
+  * PNG Up/Sub/Average/Paeth predictors), incremental-update /Prev
+  * chains with newest-definition-wins, compressed objects inside
+  * /Type /ObjStm object streams, indirect objects via a
+  * recursive-descent value parser (dicts, arrays, names with #xx
+  * escapes, literal strings with escape/octal sequences, hex
+  * strings, refs, streams with indirect /Length), the /Root →
+  * /Pages → /Kids page tree, and a content-stream token scan that
+  * emits one text RUN per show operator (Tj, ', ", and each string
+  * element of TJ) in stream order. The contract is deliberately
+  * layout-free — no font metrics, no positioning — which is exactly
+  * what a text-corpus pipeline consumes and what stays
+  * deterministic.
   *
   * Envelope refusals (whole-file None, the [[GzipCodec]] discipline):
-  * cross-reference STREAMS (PDF 1.5 /Type /XRef — the startxref
-  * offset landing on an object), filters beyond FlateDecode,
-  * encrypted documents (/Encrypt in the trailer), a truncated or
-  * looped xref chain, object/page/run/inflation budgets. Strings
-  * decode as Latin-1 (PDFDocEncoding agrees on the fixture range);
-  * composed-font ToUnicode CMaps are out of envelope. Never throws. */
+  * filters beyond FlateDecode, TIFF predictor 2, encrypted documents
+  * (/Encrypt in the trailer), a truncated or looped xref chain or
+  * object-stream cycle, a missing /Root, object/page/run/inflation
+  * budgets. Strings decode as Latin-1 (PDFDocEncoding agrees on the
+  * fixture range); composed-font ToUnicode CMaps are out of
+  * envelope. Never throws. */
 object PdfCodec {
 
   /** One shown text run: 0-based page and per-page run index. */
@@ -108,8 +112,13 @@ object PdfCodec {
     def isDelim(c: Int) = c == '(' || c == ')' || c == '<' || c == '>' ||
       c == '[' || c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
 
-    // ---- a cursor-based tokenizer/parser over the whole file ------
-    final class P(var p: Int, val end: Int) {
+    // ---- a cursor-based tokenizer/parser over one byte buffer -----
+    // (the file for xref/object parsing; a decompressed ObjStm for
+    // compressed objects)
+    final class P(buf: Array[Byte], var p: Int, val end: Int) {
+      private def u8(q: Int): Int = {
+        if (q < 0 || q >= buf.length) err(); buf(q) & 0xff
+      }
       def skipWs(): Unit = {
         var go = true
         while (go) {
@@ -124,7 +133,8 @@ object PdfCodec {
         val s = p
         while (p < end && !isWs(u8(p)) && !isDelim(u8(p))) p += 1
         if (p == s) err()
-        new String(b, s, p - s, java.nio.charset.StandardCharsets.ISO_8859_1)
+        new String(buf, s, p - s,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
       }
       /** Parse one value. Number-number-`R` lookahead folds to PRef. */
       def value(depth: Int): PVal = {
@@ -138,7 +148,7 @@ object PdfCodec {
             while (p < end && !isWs(u8(p)) && !isDelim(u8(p))) {
               if (u8(p) == '#' && p + 2 < end) {
                 sb.append(Integer.parseInt(
-                  new String(b, p + 1, 2,
+                  new String(buf, p + 1, 2,
                     java.nio.charset.StandardCharsets.ISO_8859_1), 16).toChar)
                 p += 3
               } else { sb.append(u8(p).toChar); p += 1 }
@@ -193,7 +203,8 @@ object PdfCodec {
         }
         if (!digits) err()
         java.lang.Double.parseDouble(
-          new String(b, s, p - s, java.nio.charset.StandardCharsets.ISO_8859_1))
+          new String(buf, s, p - s,
+            java.nio.charset.StandardCharsets.ISO_8859_1))
       }
       def literalString(): Array[Byte] = {
         if (u8(p) != '(') err()
@@ -294,58 +305,245 @@ object PdfCodec {
       math.min(2048, b.length), java.nio.charset.StandardCharsets.ISO_8859_1)
     val sxAt = tail.lastIndexOf("startxref")
     if (sxAt < 0) err()
-    val sx = new P(math.max(0, b.length - 2048) + sxAt + 9, b.length)
+    val sx = new P(b, math.max(0, b.length - 2048) + sxAt + 9, b.length)
     val firstXref = sx.number().toLong
 
     val offsets = new java.util.HashMap[Int, Int]() // first-seen wins
+    val inStm = new java.util.HashMap[Int, (Int, Int)]() // num → (stm, idx)
+    def known(num: Int): Boolean =
+      offsets.containsKey(num) || inStm.containsKey(num)
     var root = -1
     var encrypted = false
+
+    def inflate(raw: Array[Byte]): Array[Byte] = {
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(raw)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException => err() }
+          if (n == 0 && !inf.finished()) err() // truncated/stuck
+          out.write(buf, 0, n)
+          if (out.size > MaxInflatedBytes) err()
+        }
+        out.toByteArray
+      } finally inf.end()
+    }
+    /** PNG row unfiltering (predictors 10–15; 1 byte/px as xref
+      * streams use): filter byte per row, None/Sub/Up/Average/Paeth. */
+    def pngUnfilter(data: Array[Byte], cols: Int): Array[Byte] = {
+      if (cols < 1 || data.length % (cols + 1) != 0) err()
+      val rows = data.length / (cols + 1)
+      val out = new Array[Byte](rows * cols)
+      var r = 0
+      while (r < rows) {
+        val ft = data(r * (cols + 1)) & 0xff
+        var i = 0
+        while (i < cols) {
+          val raw = data(r * (cols + 1) + 1 + i) & 0xff
+          val left = if (i > 0) out(r * cols + i - 1) & 0xff else 0
+          val up = if (r > 0) out((r - 1) * cols + i) & 0xff else 0
+          val ul = if (i > 0 && r > 0) out((r - 1) * cols + i - 1) & 0xff
+            else 0
+          val recon = ft match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + (left + up) / 2
+            case 4 =>
+              val pa = math.abs(up - ul)
+              val pb = math.abs(left - ul)
+              val pc = math.abs(left + up - 2 * ul)
+              raw + (if (pa <= pb && pa <= pc) left
+                else if (pb <= pc) up else ul)
+            case _ => err()
+          }
+          out(r * cols + i) = recon.toByte
+          i += 1
+        }
+        r += 1
+      }
+      out
+    }
+    /** Stream payload through /Filter (FlateDecode only) and
+      * /DecodeParms (PNG predictors); `resolve` supplies indirect
+      * /Length — direct-only during the xref walk, full deref after. */
+    def streamDataWith(s: PStream, resolve: PVal => PVal): Array[Byte] = {
+      val len = resolve(s.dict.m.getOrElse("Length", err())) match {
+        case PNum(v) if v >= 0 && v <= Int.MaxValue => v.toInt
+        case _ => err()
+      }
+      if (s.dataAt + len > b.length) err()
+      val raw = java.util.Arrays.copyOfRange(b, s.dataAt, s.dataAt + len)
+      s.dict.m.get("Filter") match {
+        case None => raw
+        case Some(f) =>
+          val name = resolve(f) match {
+            case PName(n) => n
+            case PArr(Vector(one)) => resolve(one) match {
+              case PName(n) => n
+              case _ => err()
+            }
+            case _ => err()
+          }
+          if (name != "FlateDecode") err()
+          val flat = inflate(raw)
+          s.dict.m.get("DecodeParms") match {
+            case None => flat
+            case Some(pv) => resolve(pv) match {
+              case pd: PDict =>
+                val pred = pd.m.get("Predictor") match {
+                  case Some(PNum(v)) => v.toInt
+                  case None => 1
+                  case _ => err()
+                }
+                if (pred == 1) flat
+                else if (pred >= 10 && pred <= 15) {
+                  pd.m.get("Colors").foreach {
+                    case PNum(v) if v.toInt == 1 => ()
+                    case _ => err()
+                  }
+                  pd.m.get("BitsPerComponent").foreach {
+                    case PNum(v) if v.toInt == 8 => ()
+                    case _ => err()
+                  }
+                  val cols = pd.m.get("Columns") match {
+                    case Some(PNum(v)) if v >= 1 && v <= (1 << 20) => v.toInt
+                    case None => 1
+                    case _ => err()
+                  }
+                  pngUnfilter(flat, cols)
+                } else err() // TIFF predictor 2: out of envelope
+              case _ => err()
+            }
+          }
+      }
+    }
+    val directOnly: PVal => PVal = {
+      case PRef(_) => err() // xref-stream /Length must be direct
+      case v => v
+    }
+
     val seenXref = new java.util.HashSet[Long]()
     var xat = firstXref
     while (xat >= 0) {
       if (xat >= b.length || !seenXref.add(xat)) err()
-      val px = new P(xat.toInt, b.length)
+      val px = new P(b, xat.toInt, b.length)
       px.skipWs()
-      // classic tables only: an object header here means an xref
-      // STREAM — out of envelope, refuse
-      if (!(u8(px.p) == 'x' && u8(px.p + 1) == 'r' && u8(px.p + 2) == 'e' &&
-            u8(px.p + 3) == 'f')) err()
-      px.p += 4
-      var inTable = true
-      while (inTable) {
-        px.skipWs()
-        if (px.p + 7 <= b.length && u8(px.p) == 't' && u8(px.p + 1) == 'r') {
-          if (px.word() != "trailer") err()
-          inTable = false
+      val trailer: PDict =
+        if (px.p + 4 <= b.length && u8(px.p) == 'x' &&
+            u8(px.p + 1) == 'r' && u8(px.p + 2) == 'e' &&
+            u8(px.p + 3) == 'f') {
+          // classic cross-reference table
+          px.p += 4
+          var inTable = true
+          while (inTable) {
+            px.skipWs()
+            if (px.p + 7 <= b.length && u8(px.p) == 't' &&
+                u8(px.p + 1) == 'r') {
+              if (px.word() != "trailer") err()
+              inTable = false
+            } else {
+              val start = px.number().toLong
+              val count = px.number().toLong
+              if (count < 0 || count > MaxObjects || start < 0 ||
+                  start + count > MaxObjects) err()
+              var i = 0L
+              while (i < count) {
+                px.skipWs()
+                if (px.p + 18 > b.length) err()
+                val off = px.number().toLong
+                val _gen = px.number().toLong
+                px.skipWs()
+                val kind = u8(px.p); px.p += 1
+                if (kind == 'n') {
+                  if (off < 0 || off > Int.MaxValue) err()
+                  val num = (start + i).toInt
+                  if (!known(num)) offsets.put(num, off.toInt)
+                } else if (kind != 'f') err()
+                i += 1
+              }
+            }
+          }
+          px.value(0) match { case d: PDict => d; case _ => err() }
         } else {
-          val start = px.number().toLong
-          val count = px.number().toLong
-          if (count < 0 || count > MaxObjects || start < 0 ||
-              start + count > MaxObjects) err()
-          var i = 0L
-          while (i < count) {
-            px.skipWs()
-            if (px.p + 18 > b.length) err()
-            val off = px.number().toLong
-            val _gen = px.number().toLong
-            px.skipWs()
-            val kind = u8(px.p); px.p += 1
-            if (kind == 'n') {
-              if (off < 0 || off > Int.MaxValue) err()
-              val num = (start + i).toInt
-              if (!offsets.containsKey(num)) offsets.put(num, off.toInt)
-            } else if (kind != 'f') err()
-            i += 1
+          // cross-reference STREAM (PDF 1.5+, the modern default):
+          // an object whose /Type /XRef stream packs W-width rows
+          px.number(); px.number()
+          if (px.word() != "obj") err()
+          px.value(0) match {
+            case s: PStream
+                if s.dict.m.get("Type").contains(PName("XRef")) =>
+              val d = s.dict
+              val data = streamDataWith(s, directOnly)
+              val w = d.m.getOrElse("W", err()) match {
+                case PArr(vs) if vs.length == 3 => vs.map {
+                  case PNum(v) if v >= 0 && v <= 4 => v.toInt
+                  case _ => err()
+                }
+                case _ => err()
+              }
+              val size = d.m.get("Size") match {
+                case Some(PNum(v)) if v >= 0 && v <= MaxObjects => v.toLong
+                case _ => err()
+              }
+              val index: Vector[(Long, Long)] = d.m.get("Index") match {
+                case Some(PArr(vs)) if vs.length % 2 == 0 =>
+                  vs.grouped(2).map {
+                    case Vector(PNum(a), PNum(c)) => (a.toLong, c.toLong)
+                    case _ => err()
+                  }.toVector
+                case None => Vector((0L, size))
+                case _ => err()
+              }
+              val rowLen = w.sum
+              if (rowLen == 0) err()
+              var pos = 0
+              index.foreach { case (start, count) =>
+                if (count < 0 || start < 0 || start + count > MaxObjects)
+                  err()
+                var i = 0L
+                while (i < count) {
+                  if (pos + rowLen > data.length) err()
+                  def fld(k: Int): Long = {
+                    var v = 0L
+                    var j = 0
+                    val o = pos + w.take(k).sum
+                    while (j < w(k)) {
+                      v = (v << 8) | (data(o + j) & 0xff); j += 1
+                    }
+                    v
+                  }
+                  val t = if (w(0) == 0) 1L else fld(0)
+                  val num = (start + i).toInt
+                  if (!known(num)) t match {
+                    case 1 =>
+                      val off = fld(1)
+                      if (off > Int.MaxValue) err()
+                      offsets.put(num, off.toInt)
+                    case 2 =>
+                      val stm = fld(1); val idx = fld(2)
+                      if (stm > MaxObjects || idx > MaxObjects) err()
+                      inStm.put(num, (stm.toInt, idx.toInt))
+                    case _ => () // 0 = free; higher types: ignore (spec)
+                  }
+                  pos += rowLen
+                  i += 1
+                }
+              }
+              d
+            case _ => err()
           }
         }
-      }
-      val tr = px.value(0) match { case d: PDict => d; case _ => err() }
-      if (tr.m.contains("Encrypt")) encrypted = true
-      if (root < 0) tr.m.get("Root") match {
+      if (trailer.m.contains("Encrypt")) encrypted = true
+      if (root < 0) trailer.m.get("Root") match {
         case Some(PRef(n)) => root = n
         case _ => ()
       }
-      xat = tr.m.get("Prev") match {
+      xat = trailer.m.get("Prev") match {
         case Some(PNum(v)) => v.toLong
         case None => -1L
         case _ => err()
@@ -355,60 +553,74 @@ object PdfCodec {
 
     // ---- object loading --------------------------------------------
     val cache = new java.util.HashMap[Int, PVal]()
+    val objStmCache =
+      new java.util.HashMap[Int, (Array[Byte], Int, Array[(Int, Int)])]()
+    val resolving = new java.util.HashSet[Int]()
     def obj(num: Int): PVal = {
       val hit = cache.get(num)
       if (hit != null) return hit
       if (cache.size > MaxObjects) err()
-      val at = offsets.get(num)
-      if (at == null) err()
-      val pp = new P(at, b.length)
-      if (pp.number().toInt != num) err()
-      pp.number() // gen
-      if (pp.word() != "obj") err()
-      val v = pp.value(0)
-      cache.put(num, v)
-      v
+      if (!resolving.add(num)) err() // an object defined via itself
+      try {
+        val v = {
+          // java.util.HashMap[Int, Int].get unboxes a missing key to
+          // 0 in Scala — the null check can never fire; key presence
+          // must be asked explicitly
+          if (offsets.containsKey(num)) {
+            val pp = new P(b, offsets.get(num), b.length)
+            if (pp.number().toInt != num) err()
+            pp.number() // gen
+            if (pp.word() != "obj") err()
+            pp.value(0)
+          } else inStm.get(num) match {
+            case null => err()
+            case (stm, idx) =>
+              val (data, first, pairs) = objStm(stm)
+              if (idx < 0 || idx >= pairs.length) err()
+              val (onum, ooff) = pairs(idx)
+              if (onum != num || ooff < 0 ||
+                  first.toLong + ooff > data.length) err()
+              val vp = new P(data, first + ooff, data.length)
+              vp.value(0) match {
+                case _: PStream => err() // streams cannot nest in ObjStm
+                case inner => inner
+              }
+          }
+        }
+        cache.put(num, v)
+        v
+      } finally resolving.remove(num)
+    }
+    /** Decompress an object stream once: (bytes, /First, header pairs
+      * of (objnum, offset)). */
+    def objStm(stm: Int): (Array[Byte], Int, Array[(Int, Int)]) = {
+      val hit = objStmCache.get(stm)
+      if (hit != null) return hit
+      val s = obj(stm) match {
+        case s: PStream
+            if s.dict.m.get("Type").contains(PName("ObjStm")) => s
+        case _ => err()
+      }
+      val data = streamData(s)
+      val n = s.dict.m.get("N") match {
+        case Some(PNum(v)) if v >= 0 && v <= MaxObjects => v.toInt
+        case _ => err()
+      }
+      val first = s.dict.m.get("First") match {
+        case Some(PNum(v)) if v >= 0 && v <= data.length => v.toInt
+        case _ => err()
+      }
+      val hp = new P(data, 0, first)
+      val pairs = Array.fill(n)((hp.number().toInt, hp.number().toInt))
+      val tup = (data, first, pairs)
+      objStmCache.put(stm, tup)
+      tup
     }
     def deref(v: PVal): PVal = v match {
       case PRef(n) => deref(obj(n))
       case other => other
     }
-    def streamData(s: PStream): Array[Byte] = {
-      val len = deref(s.dict.m.getOrElse("Length", err())) match {
-        case PNum(v) if v >= 0 && v <= Int.MaxValue => v.toInt
-        case _ => err()
-      }
-      if (s.dataAt + len > b.length) err()
-      val raw = java.util.Arrays.copyOfRange(b, s.dataAt, s.dataAt + len)
-      s.dict.m.get("Filter") match {
-        case None => raw
-        case Some(f) =>
-          val name = deref(f) match {
-            case PName(n) => n
-            case PArr(Vector(one)) => deref(one) match {
-              case PName(n) => n
-              case _ => err()
-            }
-            case _ => err()
-          }
-          if (name != "FlateDecode") err()
-          val inf = new java.util.zip.Inflater()
-          try {
-            inf.setInput(raw)
-            val out = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](8192)
-            while (!inf.finished()) {
-              val n =
-                try inf.inflate(buf)
-                catch { case _: java.util.zip.DataFormatException => err() }
-              if (n == 0 && !inf.finished()) err() // truncated/stuck
-              out.write(buf, 0, n)
-              if (out.size > MaxInflatedBytes) err()
-            }
-            out.toByteArray
-          } finally inf.end()
-      }
-    }
+    def streamData(s: PStream): Array[Byte] = streamDataWith(s, deref)
 
     // ---- page tree ---------------------------------------------------
     val pages = Vector.newBuilder[PDict]
@@ -460,7 +672,7 @@ object PdfCodec {
       }.foldLeft(Array.emptyByteArray)((a, c) =>
         if (a.isEmpty) c else a ++ Array[Byte]('\n') ++ c)
       // token scan: operands collect until an operator consumes them
-      val cp = new P(0, content.length)
+      val cp = new P(content, 0, content.length)
       // re-bind the parser over the CONTENT bytes, not the file
       def cu8(p: Int): Int = content(p) & 0xff
       var operands = List.empty[PVal]

@@ -34,9 +34,33 @@ class PdfCodecSpec extends SparkSpec {
     assert(rs == Vector(PdfCodec.Run(0, 0, "the UPDATED text wins")))
   }
 
-  test("refusals: dangling startxref, xref streams, garbage, encryption") {
+  test("xref STREAM (PNG Up predictor) and ObjStm-compressed objects") {
+    val rs = PdfCodec.decode(fixture("xrefstm-05.pdf")).get
+    assert(rs == Vector(
+      PdfCodec.Run(0, 0, "modern xref stream, Up predictor")))
+    val os = PdfCodec.decode(fixture("objstm-06.pdf")).get
+    assert(os == Vector(PdfCodec.Run(0, 0, "objects inside an ObjStm")))
+    // fuzzing the modern shapes must never throw either
+    val g = fixture("xrefstm-05.pdf")
+    var j = 0
+    while (j < g.length) {
+      val m = g.clone(); m(j) = (m(j) ^ 0x1c).toByte
+      PdfCodec.decode(m)
+      j += 1
+    }
+    val o = fixture("objstm-06.pdf")
+    j = 0
+    while (j < o.length) {
+      val m = o.clone(); m(j) = 0x37
+      PdfCodec.decode(m)
+      j += 1
+    }
+  }
+
+  test("refusals: dangling startxref, rootless xref stream, garbage, encryption") {
     assert(PdfCodec.decode(fixture("bad-03.pdf")).isEmpty, "startxref > EOF")
-    assert(PdfCodec.decode(fixture("bad-04.pdf")).isEmpty, "xref stream")
+    assert(PdfCodec.decode(fixture("bad-04.pdf")).isEmpty,
+      "an xref stream with no /Root parses but refuses at the catalog")
     assert(PdfCodec.decode(Array.emptyByteArray).isEmpty)
     assert(PdfCodec.decode("%PDF-1.4 but nothing else".getBytes).isEmpty)
     // an /Encrypt entry in the trailer must refuse whole-file
@@ -88,6 +112,7 @@ class PdfCodecSpec extends SparkSpec {
     val byFile = df.groupBy("file").count().collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(byFile == Map(
-      "doc-00.pdf" -> 6L, "doc-01.pdf" -> 3L, "doc-02.pdf" -> 1L))
+      "doc-00.pdf" -> 6L, "doc-01.pdf" -> 3L, "doc-02.pdf" -> 1L,
+      "xrefstm-05.pdf" -> 1L, "objstm-06.pdf" -> 1L))
   }
 }

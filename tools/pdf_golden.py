@@ -167,16 +167,111 @@ bad = base[:base.rfind(b"startxref")] + b"startxref\n99999999\n%%EOF\n"
 with open(os.path.join(D, "bad-03.pdf"), "wb") as fh:
     fh.write(bad)
 
-# ---- bad-04.pdf: xref stream (envelope refusal) — a /Type /XRef
-# stream object where the classic table would be
+# ---- bad-04.pdf: an xref STREAM carrying no /Root -> refusal (the
+# stream itself parses; the missing catalog is the fault)
 b4 = bytearray(b"%PDF-1.5\n")
 o1 = len(b4)
-b4 += b"1 0 obj\n<< /Type /XRef /Size 2 /W [1 2 1] /Length 8 >>\n" \
-      b"stream\n\x00\x00\x00\x00\x01\x00\x0a\x00\nendstream\nendobj\n"
-xa = len(b4)
+xrefrows = zlib.compress(b"\x00\x00\x00\x00" + b"\x01" +
+                         o1.to_bytes(2, "big") + b"\x00", 9)
+b4 += (b"1 0 obj\n<< /Type /XRef /Size 2 /W [1 2 1] "
+       b"/Filter /FlateDecode /Length %d >>\nstream\n" % len(xrefrows) +
+       xrefrows + b"\nendstream\nendobj\n")
 b4 += b"startxref\n%d\n%%%%EOF\n" % o1
 with open(os.path.join(D, "bad-04.pdf"), "wb") as fh:
     fh.write(bytes(b4))
+
+
+# ---- xrefstm-05.pdf: PDF 1.5 cross-reference STREAM (the modern
+# default shape) with a PNG Up predictor (/Predictor 12) over the
+# W=[1 4 2] rows; ordinary objects, uncompressed content
+def xref_stream_pdf(fname, use_predictor, use_objstm, text):
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+
+    def add(num, body):
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body if isinstance(body, bytes)
+                   else body.encode("latin-1"))
+        out.extend(b"\nendobj\n")
+
+    content = b"BT /F1 12 Tf 72 720 Td (" + text + b") Tj ET"
+    if use_objstm:
+        # catalog(2), pages(3), page(4) live INSIDE object stream 1
+        inner = [
+            (2, b"<< /Type /Catalog /Pages 3 0 R >>"),
+            (3, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+            (4, b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792]"
+                b" /Contents 5 0 R >>"),
+        ]
+        hdr = b""
+        body = b""
+        for num, ob in inner:
+            hdr += b"%d %d " % (num, len(body))
+            body += ob + b" "
+        first = len(hdr)
+        payload = zlib.compress(hdr + body, 9)
+        add(1, b"<< /Type /ObjStm /N 3 /First %d /Filter /FlateDecode"
+               b" /Length %d >>\nstream\n" % (first, len(payload)) +
+            payload + b"\nendstream")
+        add(5, b"<< /Length %d >>\nstream\n" % len(content) + content +
+            b"\nendstream")
+        root, size = 2, 7
+        # rows: 0 free; 1 type1; 2,3,4 type2 (objstm 1, idx); 5 type1; 6=xref
+        def row(t, f2, f3):
+            return bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        xref_at = len(out)
+        rows = (row(0, 0, 0xffff) + row(1, offsets[1], 0) +
+                row(2, 1, 0) + row(2, 1, 1) + row(2, 1, 2) +
+                row(1, offsets[5], 0) + row(1, xref_at, 0))
+    else:
+        add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+        add(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        add(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+               b" /Contents 4 0 R >>")
+        add(4, b"<< /Length %d >>\nstream\n" % len(content) + content +
+            b"\nendstream")
+        root, size = 1, 6
+        def row(t, f2, f3):
+            return bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        xref_at = len(out)
+        rows = (row(0, 0, 0xffff) + row(1, offsets[1], 0) +
+                row(1, offsets[2], 0) + row(1, offsets[3], 0) +
+                row(1, offsets[4], 0) + row(1, xref_at, 0))
+    if use_predictor:
+        # PNG Up (filter 2) rows over Columns=7
+        cols = 7
+        plain = [rows[i:i + cols] for i in range(0, len(rows), cols)]
+        prev = bytes(cols)
+        enc = b""
+        for r in plain:
+            enc += b"\x02" + bytes((r[i] - prev[i]) & 0xFF
+                                   for i in range(cols))
+            prev = r
+        payload = zlib.compress(enc, 9)
+        parms = b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+    else:
+        payload = zlib.compress(rows, 9)
+        parms = b""
+    xdict = (b"<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R"
+             b" /Filter /FlateDecode%s /Length %d >>" %
+             (size, root, parms, len(payload)))
+    xnum = size - 1
+    offsets[xnum] = len(out)
+    assert offsets[xnum] == xref_at
+    out.extend(b"%d 0 obj\n" % xnum)
+    out.extend(xdict + b"\nstream\n" + payload + b"\nendstream\nendobj\n")
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_at)
+    with open(os.path.join(D, fname), "wb") as fh:
+        fh.write(bytes(out))
+
+
+xref_stream_pdf("xrefstm-05.pdf", use_predictor=True, use_objstm=False,
+                text=b"modern xref stream, Up predictor")
+ROWS.append(("xrefstm-05.pdf", 0, 0, "modern xref stream, Up predictor"))
+xref_stream_pdf("objstm-06.pdf", use_predictor=False, use_objstm=True,
+                text=b"objects inside an ObjStm")
+ROWS.append(("objstm-06.pdf", 0, 0, "objects inside an ObjStm"))
 
 schema = pa.schema([
     ("file", pa.string()), ("page", pa.int32()),
