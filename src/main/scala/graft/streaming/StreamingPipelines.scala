@@ -614,6 +614,26 @@ object StreamingPipelines {
     binaryShardIngest(spark, srcDir, "*.arrow", destDir, checkpointDir,
       maxFilesPerTrigger)(graft.sources.GeoIngest.decodeArrowBatch)
 
+  /** Streaming PDF ingest — crawled documents landing as `.pdf`,
+    * each extracted to per-text-run rows per micro-batch,
+    * exactly-once; one walk shared with the batch path
+    * ([[graft.sources.GeoIngest.decodePdfBatch]]). */
+  def pdfIngest(spark: SparkSession, srcDir: String, destDir: String,
+                checkpointDir: String,
+                maxFilesPerTrigger: Int = 100): StreamingQuery =
+    binaryShardIngest(spark, srcDir, "*.pdf", destDir, checkpointDir,
+      maxFilesPerTrigger)(graft.sources.GeoIngest.decodePdfBatch)
+
+  /** Streaming audio-metadata ingest — FLAC/MP3 files landing in a
+    * crawl directory, metadata rows per micro-batch, exactly-once;
+    * one decode shared with the batch path
+    * ([[graft.sources.GeoIngest.decodeAudioMetaBatch]]). */
+  def audioMetaIngest(spark: SparkSession, srcDir: String, destDir: String,
+                      checkpointDir: String,
+                      maxFilesPerTrigger: Int = 100): StreamingQuery =
+    binaryShardIngest(spark, srcDir, "*.{flac,mp3}", destDir, checkpointDir,
+      maxFilesPerTrigger)(graft.sources.GeoIngest.decodeAudioMetaBatch)
+
   /** Streaming caption ingest — WebVTT/SRT files landing as an ASR
     * pipeline emits them, parsed to per-cue rows per micro-batch,
     * exactly-once; one decode shared with the batch path

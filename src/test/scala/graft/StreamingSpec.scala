@@ -667,6 +667,45 @@ class StreamingSpec extends SparkSpec {
       "streaming subtitle ingest diverged from the batch decode")
   }
 
+  test("pdfIngest and audioMetaIngest stream files with batch parity") {
+    // pdf: document crawl as a stream
+    val psrc = Files.createTempDirectory("graft_pd_src").toString
+    val pdest = Files.createTempDirectory("graft_pd_dest").toString
+    val pckpt = Files.createTempDirectory("graft_pd_ckpt").toString
+    val pfx = graft.Fixtures.path("q_pdf_text")
+    for (f <- Seq("doc-00.pdf", "objstm-06.pdf", "bad-03.pdf"))
+      Files.copy(java.nio.file.Paths.get(pfx, f),
+        java.nio.file.Paths.get(psrc, f))
+    StreamingPipelines.pdfIngest(spark, psrc, pdest, pckpt)
+      .awaitTermination()
+    val pstreamed = spark.read.parquet(pdest)
+      .select("file", "page", "run", "text")
+    val pbatch = graft.sources.GeoIngest.readPdfFiles(spark, psrc)
+    assert(pstreamed.count() == 7) // 6 + 1; bad-03 refused
+    assert(pbatch.exceptAll(pstreamed).isEmpty &&
+      pstreamed.exceptAll(pbatch).isEmpty,
+      "streaming pdf ingest diverged from the batch walk")
+    // audio metadata
+    val asrc = Files.createTempDirectory("graft_au_src").toString
+    val adest = Files.createTempDirectory("graft_au_dest").toString
+    val ackpt = Files.createTempDirectory("graft_au_ckpt").toString
+    Files.copy(java.nio.file.Paths.get(
+      graft.Fixtures.path("q_flac_meta"), "tone-00.flac"),
+      java.nio.file.Paths.get(asrc, "tone-00.flac"))
+    Files.copy(java.nio.file.Paths.get(
+      graft.Fixtures.path("q_id3_tags"), "song-01.mp3"),
+      java.nio.file.Paths.get(asrc, "song-01.mp3"))
+    StreamingPipelines.audioMetaIngest(spark, asrc, adest, ackpt)
+      .awaitTermination()
+    val astreamed = spark.read.parquet(adest)
+      .select("file", "kind", "key", "sval", "num")
+    val abatch = graft.sources.GeoIngest.readAudioMetaFiles(spark, asrc)
+    assert(astreamed.count() == 17) // 10 flac + 7 mp3 rows
+    assert(abatch.exceptAll(astreamed).isEmpty &&
+      astreamed.exceptAll(abatch).isEmpty,
+      "streaming audio-meta ingest diverged from the batch decode")
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
