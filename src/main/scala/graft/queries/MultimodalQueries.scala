@@ -1528,6 +1528,28 @@ object MultimodalQueries {
       |  md5(substr(text, CAST(run AS BIGINT) * 16 + 1, 16)) AS md5
       |FROM u""".stripMargin
 
+  /** WebP container metadata, oracle-graded — WebP is the dominant
+    * image format of the modern web; a crawl's first pass needs
+    * canvas dims, alpha/animation flags, the frame table and embedded
+    * EXIF WITHOUT a VP8 decoder. Covers bare VP8 (frame-tag sync +
+    * 14-bit dims), bare VP8L (bitfield header), VP8X extended
+    * (flags + u24 canvas), ANIM/ANMF frames (geometry, durations,
+    * dispose), RIFF odd-size padding, and an EXIF chunk whose GPS
+    * decodes through the same TIFF walk as q_exif_gps (image PII).
+    * Fixtures from a from-scratch Python RIFF writer
+    * (tools/webp_golden.py); a chunk-past-EOF file and a broken-sync
+    * file are refused — their ABSENCE is graded. */
+  def qWebpMeta(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readWebpFiles(spark, graft.Fixtures.path("q_webp_meta"))
+      .select(col("file"), col("kind"), col("key"), col("idx"),
+        col("num"), col("sval"))
+  }
+
+  val qWebpMetaSql: String =
+    s"""SELECT file, kind, key, idx, num, sval
+      |FROM read_parquet('${graft.Fixtures.base}/q_webp_meta/golden/*.parquet')""".stripMargin
+
   /** FLAC metadata, oracle-graded — the audio-corpus curation
     * surface: STREAMINFO's packed bitfields (rate/channels/bits/
     * total samples, derived duration) and Vorbis comments
@@ -1765,6 +1787,7 @@ object MultimodalQueries {
     "q_id3_tags" -> (qId3Tags _),
     "q_mp4_roundtrip" -> (qMp4Roundtrip _),
     "q_pdf_roundtrip" -> (qPdfRoundtrip _),
+    "q_webp_meta" -> (qWebpMeta _),
     "q_wiki_pages" -> (qWikiPages _),
     "q_wiki_clean" -> (qWikiClean _),
     "q_gif_roundtrip" -> (qGifRoundtrip _),
@@ -1814,6 +1837,7 @@ object MultimodalQueries {
     "q_id3_tags" -> qId3TagsSql,
     "q_mp4_roundtrip" -> qMp4RoundtripSql,
     "q_pdf_roundtrip" -> qPdfRoundtripSql,
+    "q_webp_meta" -> qWebpMetaSql,
     "q_wiki_pages" -> qWikiPagesSql,
     "q_wiki_clean" -> qWikiCleanSql,
     "q_gif_roundtrip" -> qGifRoundtripSql,

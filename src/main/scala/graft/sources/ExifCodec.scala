@@ -42,6 +42,12 @@ object ExifCodec {
     try Some(run(jpeg))
     catch { case _: Fail => None }
 
+  /** The bare TIFF IFD walk over a standalone block — WebP's EXIF
+    * chunk carries the TIFF bytes with no `Exif\0\0` prefix. */
+  def parseTiff(block: Array[Byte]): Option[Vector[Tag]] =
+    try Some(tiffWalk(block, 0, block.length))
+    catch { case _: Fail => None }
+
   private def run(b: Array[Byte]): Vector[Tag] = {
     def u8(p: Int): Int = { if (p < 0 || p >= b.length) err(); b(p) & 0xff }
     if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) err()
@@ -68,7 +74,13 @@ object ExifCodec {
       }
     }
     if (tiffAt < 0) return Vector.empty
+    tiffWalk(b, tiffAt, tiffEnd)
+  }
 
+  /** TIFF IFD tree in `b[tiffAt, tiffEnd)` → tag rows. Throws Fail. */
+  private def tiffWalk(b: Array[Byte], tiffAt: Int,
+      tiffEnd: Int): Vector[Tag] = {
+    if (tiffEnd - tiffAt < 8) err()
     // TIFF block, all offsets relative to tiffAt, bounded by tiffEnd
     def t8(off: Long): Int = {
       val q = tiffAt + off

@@ -672,6 +672,31 @@ object GeoIngest {
         "off", "size", "dts", "dur", "pts", "sync", "md5")
   }
 
+  /** WebP container scan — canvas dims, alpha/animation flags, the
+    * ANMF frame table and embedded EXIF GPS via [[WebpCodec.decode]]:
+    * the first pass a crawl pipeline runs over the modern web's
+    * dominant image format, no VP8 decoder needed. Whole-file refusal
+    * on structural faults. */
+  def readWebpFiles(spark: SparkSession, dir: String): DataFrame =
+    decodeWebpBatch(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.webp")
+        .load(dir))
+
+  /** One batch of (path, content) WebP files → metadata rows —
+    * shared by the batch scan and any streaming arm. */
+  def decodeWebpBatch(batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.split('/').last
+        WebpCodec.decode(bytes).toSeq.flatten.map(m =>
+          (file, m.kind, m.key, m.idx, m.num, Option(m.sval)))
+      }.toDF("file", "kind", "key", "idx", "num", "sval")
+  }
+
   /** Audio metadata scan — FLAC STREAMINFO/Vorbis comments and MP3
     * ID3v2 tags + first-frame stream shape via [[AudioMetaCodec]]:
     * the curation surface of an audio corpus (rates, channels,

@@ -36,7 +36,8 @@ class ScaleBenchSpec extends AnyFunSuite {
     "q_flac_meta",          // committed hand-assembled FLAC files
     "q_id3_tags",           // committed hand-assembled MP3/ID3v2 files
     "q_robots_rules",       // committed hand-written robots.txt files
-    "q_robots_filter")      // decision join over the same fixtures
+    "q_robots_filter",      // decision join over the same fixtures
+    "q_webp_meta")          // committed hand-assembled WebP containers
 
   test("Selected is duplicate-free and every name is a declared query") {
     assert(ScaleBench.Selected.distinct.size === ScaleBench.Selected.size)
