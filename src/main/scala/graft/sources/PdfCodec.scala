@@ -7,8 +7,10 @@ package graft.sources
   * the classic form AND the PDF 1.5+ cross-reference STREAM (the
   * modern default: W-packed binary rows behind FlateDecode and the
   * PNG Up/Sub/Average/Paeth predictors), incremental-update /Prev
-  * chains with newest-definition-wins, compressed objects inside
-  * /Type /ObjStm object streams, indirect objects via a
+  * chains with newest-definition-wins, HYBRID-reference files (a
+  * classic trailer whose /XRefStm points at the stream carrying the
+  * compressed-object entries — the Acrobat compatibility shape),
+  * compressed objects inside /Type /ObjStm object streams, indirect objects via a
   * recursive-descent value parser (dicts, arrays, names with #xx
   * escapes, literal strings with escape/octal sequences, hex
   * strings, refs, streams with indirect /Length), the /Root →
@@ -428,15 +430,89 @@ object PdfCodec {
     }
 
     val seenXref = new java.util.HashSet[Long]()
+
+    /** Parse a cross-reference STREAM object at `at`, recording its
+      * entries (first-seen-wins) and returning its trailer dict. */
+    def xrefStreamAt(at: Long): PDict = {
+      if (at < 0 || at >= b.length || !seenXref.add(at)) err()
+      val px = new P(b, at.toInt, b.length)
+      px.number(); px.number()
+      if (px.word() != "obj") err()
+      px.value(0) match {
+        case s: PStream
+            if s.dict.m.get("Type").contains(PName("XRef")) =>
+          val d = s.dict
+          val data = streamDataWith(s, directOnly)
+          val w = d.m.getOrElse("W", err()) match {
+            case PArr(vs) if vs.length == 3 => vs.map {
+              case PNum(v) if v >= 0 && v <= 4 => v.toInt
+              case _ => err()
+            }
+            case _ => err()
+          }
+          val size = d.m.get("Size") match {
+            case Some(PNum(v)) if v >= 0 && v <= MaxObjects => v.toLong
+            case _ => err()
+          }
+          val index: Vector[(Long, Long)] = d.m.get("Index") match {
+            case Some(PArr(vs)) if vs.length % 2 == 0 =>
+              vs.grouped(2).map {
+                case Vector(PNum(a), PNum(c)) => (a.toLong, c.toLong)
+                case _ => err()
+              }.toVector
+            case None => Vector((0L, size))
+            case _ => err()
+          }
+          val rowLen = w.sum
+          if (rowLen == 0) err()
+          var pos = 0
+          index.foreach { case (start, count) =>
+            if (count < 0 || start < 0 || start + count > MaxObjects)
+              err()
+            var i = 0L
+            while (i < count) {
+              if (pos + rowLen > data.length) err()
+              def fld(k: Int): Long = {
+                var v = 0L
+                var j = 0
+                val o = pos + w.take(k).sum
+                while (j < w(k)) {
+                  v = (v << 8) | (data(o + j) & 0xff); j += 1
+                }
+                v
+              }
+              val t = if (w(0) == 0) 1L else fld(0)
+              val num = (start + i).toInt
+              if (!known(num)) t match {
+                case 1 =>
+                  val off = fld(1)
+                  if (off > Int.MaxValue) err()
+                  offsets.put(num, off.toInt)
+                case 2 =>
+                  val stm = fld(1); val idx = fld(2)
+                  if (stm > MaxObjects || idx > MaxObjects) err()
+                  inStm.put(num, (stm.toInt, idx.toInt))
+                case _ => () // 0 = free; higher types: ignore (spec)
+              }
+              pos += rowLen
+              i += 1
+            }
+          }
+          d
+        case _ => err()
+      }
+    }
+
     var xat = firstXref
     while (xat >= 0) {
-      if (xat >= b.length || !seenXref.add(xat)) err()
+      if (xat >= b.length) err()
       val px = new P(b, xat.toInt, b.length)
       px.skipWs()
       val trailer: PDict =
         if (px.p + 4 <= b.length && u8(px.p) == 'x' &&
             u8(px.p + 1) == 'r' && u8(px.p + 2) == 'e' &&
             u8(px.p + 3) == 'f') {
+          if (!seenXref.add(xat)) err()
           // classic cross-reference table
           px.p += 4
           var inTable = true
@@ -468,75 +544,19 @@ object PdfCodec {
               }
             }
           }
-          px.value(0) match { case d: PDict => d; case _ => err() }
-        } else {
-          // cross-reference STREAM (PDF 1.5+, the modern default):
-          // an object whose /Type /XRef stream packs W-width rows
-          px.number(); px.number()
-          if (px.word() != "obj") err()
-          px.value(0) match {
-            case s: PStream
-                if s.dict.m.get("Type").contains(PName("XRef")) =>
-              val d = s.dict
-              val data = streamDataWith(s, directOnly)
-              val w = d.m.getOrElse("W", err()) match {
-                case PArr(vs) if vs.length == 3 => vs.map {
-                  case PNum(v) if v >= 0 && v <= 4 => v.toInt
-                  case _ => err()
-                }
-                case _ => err()
-              }
-              val size = d.m.get("Size") match {
-                case Some(PNum(v)) if v >= 0 && v <= MaxObjects => v.toLong
-                case _ => err()
-              }
-              val index: Vector[(Long, Long)] = d.m.get("Index") match {
-                case Some(PArr(vs)) if vs.length % 2 == 0 =>
-                  vs.grouped(2).map {
-                    case Vector(PNum(a), PNum(c)) => (a.toLong, c.toLong)
-                    case _ => err()
-                  }.toVector
-                case None => Vector((0L, size))
-                case _ => err()
-              }
-              val rowLen = w.sum
-              if (rowLen == 0) err()
-              var pos = 0
-              index.foreach { case (start, count) =>
-                if (count < 0 || start < 0 || start + count > MaxObjects)
-                  err()
-                var i = 0L
-                while (i < count) {
-                  if (pos + rowLen > data.length) err()
-                  def fld(k: Int): Long = {
-                    var v = 0L
-                    var j = 0
-                    val o = pos + w.take(k).sum
-                    while (j < w(k)) {
-                      v = (v << 8) | (data(o + j) & 0xff); j += 1
-                    }
-                    v
-                  }
-                  val t = if (w(0) == 0) 1L else fld(0)
-                  val num = (start + i).toInt
-                  if (!known(num)) t match {
-                    case 1 =>
-                      val off = fld(1)
-                      if (off > Int.MaxValue) err()
-                      offsets.put(num, off.toInt)
-                    case 2 =>
-                      val stm = fld(1); val idx = fld(2)
-                      if (stm > MaxObjects || idx > MaxObjects) err()
-                      inStm.put(num, (stm.toInt, idx.toInt))
-                    case _ => () // 0 = free; higher types: ignore (spec)
-                  }
-                  pos += rowLen
-                  i += 1
-                }
-              }
-              d
+          val tr = px.value(0) match { case d: PDict => d; case _ => err() }
+          // hybrid-reference files (the Acrobat compatibility shape):
+          // the classic table marks compressed objects FREE and
+          // /XRefStm points at the stream carrying their entries
+          tr.m.get("XRefStm") match {
+            case Some(PNum(v)) => xrefStreamAt(v.toLong)
+            case None => ()
             case _ => err()
           }
+          tr
+        } else {
+          // cross-reference STREAM (PDF 1.5+, the modern default)
+          xrefStreamAt(xat)
         }
       if (trailer.m.contains("Encrypt")) encrypted = true
       if (root < 0) trailer.m.get("Root") match {

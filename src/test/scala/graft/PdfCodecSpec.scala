@@ -40,6 +40,11 @@ class PdfCodecSpec extends SparkSpec {
       PdfCodec.Run(0, 0, "modern xref stream, Up predictor")))
     val os = PdfCodec.decode(fixture("objstm-06.pdf")).get
     assert(os == Vector(PdfCodec.Run(0, 0, "objects inside an ObjStm")))
+    // hybrid-reference: classic trailer marks the compressed objects
+    // FREE; /XRefStm carries their real entries
+    val hy = PdfCodec.decode(fixture("hybrid-07.pdf")).get
+    assert(hy == Vector(
+      PdfCodec.Run(0, 0, "hybrid: classic trailer + XRefStm")))
     // fuzzing the modern shapes must never throw either
     val g = fixture("xrefstm-05.pdf")
     var j = 0
@@ -113,6 +118,7 @@ class PdfCodecSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(byFile == Map(
       "doc-00.pdf" -> 6L, "doc-01.pdf" -> 3L, "doc-02.pdf" -> 1L,
-      "xrefstm-05.pdf" -> 1L, "objstm-06.pdf" -> 1L))
+      "xrefstm-05.pdf" -> 1L, "objstm-06.pdf" -> 1L,
+      "hybrid-07.pdf" -> 1L))
   }
 }

@@ -273,6 +273,68 @@ xref_stream_pdf("objstm-06.pdf", use_predictor=False, use_objstm=True,
                 text=b"objects inside an ObjStm")
 ROWS.append(("objstm-06.pdf", 0, 0, "objects inside an ObjStm"))
 
+# ---- hybrid-07.pdf: the Acrobat compatibility shape — a CLASSIC
+# trailer whose /XRefStm points at an xref STREAM carrying the
+# type-2 entries for ObjStm-compressed objects; the classic table
+# marks those objects free (old readers see an empty page tree and
+# fail politely, updated readers follow /XRefStm)
+hy = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+hy_off = {}
+
+
+def hy_add(num, body):
+    hy_off[num] = len(hy)
+    hy.extend(b"%d 0 obj\n" % num)
+    hy.extend(body if isinstance(body, bytes) else body.encode("latin-1"))
+    hy.extend(b"\nendobj\n")
+
+
+inner = [
+    (2, b"<< /Type /Catalog /Pages 3 0 R >>"),
+    (3, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+    (4, b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792]"
+        b" /Contents 5 0 R >>"),
+]
+hdr = b""
+body = b""
+for num, ob in inner:
+    hdr += b"%d %d " % (num, len(body))
+    body += ob + b" "
+payload = zlib.compress(hdr + body, 9)
+hy_add(1, b"<< /Type /ObjStm /N 3 /First %d /Filter /FlateDecode"
+          b" /Length %d >>\nstream\n" % (len(hdr), len(payload)) +
+       payload + b"\nendstream")
+hc = b"BT /F1 12 Tf 72 720 Td (hybrid: classic trailer + XRefStm) Tj ET"
+hy_add(5, b"<< /Length %d >>\nstream\n" % len(hc) + hc + b"\nendstream")
+# the xref STREAM object (6): type-2 rows for 2..4, type-1 for 1, 5, 6
+xstm_at = len(hy)
+
+
+def hrow(t, f2, f3):
+    return bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+
+
+hrows = (hrow(0, 0, 0xffff) + hrow(1, hy_off[1], 0) +
+         hrow(2, 1, 0) + hrow(2, 1, 1) + hrow(2, 1, 2) +
+         hrow(1, hy_off[5], 0) + hrow(1, xstm_at, 0))
+hpay = zlib.compress(hrows, 9)
+hy.extend(b"6 0 obj\n<< /Type /XRef /Size 7 /W [1 4 2] /Root 2 0 R"
+          b" /Filter /FlateDecode /Length %d >>\nstream\n" % len(hpay) +
+          hpay + b"\nendstream\nendobj\n")
+# CLASSIC table: objects 1,5 real; 2,3,4 FREE (old-reader view)
+cx_at = len(hy)
+hy.extend(b"xref\n0 7\n")
+hy.extend(b"0000000000 65535 f \n")
+hy.extend(b"%010d 00000 n \n" % hy_off[1])
+hy.extend(b"0000000000 65535 f \n" * 3)
+hy.extend(b"%010d 00000 n \n" % hy_off[5])
+hy.extend(b"%010d 00000 n \n" % xstm_at)
+hy.extend(b"trailer\n<< /Size 7 /Root 2 0 R /XRefStm %d >>\n" % xstm_at)
+hy.extend(b"startxref\n%d\n%%%%EOF\n" % cx_at)
+with open(os.path.join(D, "hybrid-07.pdf"), "wb") as fh:
+    fh.write(bytes(hy))
+ROWS.append(("hybrid-07.pdf", 0, 0, "hybrid: classic trailer + XRefStm"))
+
 schema = pa.schema([
     ("file", pa.string()), ("page", pa.int32()),
     ("run", pa.int32()), ("text", pa.string()),
