@@ -1550,6 +1550,26 @@ object MultimodalQueries {
     s"""SELECT file, kind, key, idx, num, sval
       |FROM read_parquet('${graft.Fixtures.base}/q_webp_meta/golden/*.parquet')""".stripMargin
 
+  /** AVIF/HEIF metadata, oracle-graded — the fastest-growing web
+    * image format (and the iPhone default, HEIC) is an ISO-BMFF
+    * `meta` file: pitm primary item, iinf/infe item table, iloc
+    * extents (v0 and v1+base_offset covered), iprp's ispe-through-
+    * ipma canvas resolution, and an Exif item decoded through the
+    * shared TIFF walk (GPS = image PII). Extent md5s hash the actual
+    * byte spans — the ranged-fetch proof. Fixtures from a
+    * from-scratch Python ISO-BMFF writer (tools/avif_golden.py); an
+    * extent-past-EOF file's ABSENCE is graded. */
+  def qAvifMeta(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readAvifFiles(spark, graft.Fixtures.path("q_avif_meta"))
+      .select(col("file"), col("kind"), col("key"), col("idx"),
+        col("num"), col("sval"))
+  }
+
+  val qAvifMetaSql: String =
+    s"""SELECT file, kind, key, idx, num, sval
+      |FROM read_parquet('${graft.Fixtures.base}/q_avif_meta/golden/*.parquet')""".stripMargin
+
   /** FLAC metadata, oracle-graded — the audio-corpus curation
     * surface: STREAMINFO's packed bitfields (rate/channels/bits/
     * total samples, derived duration) and Vorbis comments
@@ -1788,6 +1808,7 @@ object MultimodalQueries {
     "q_mp4_roundtrip" -> (qMp4Roundtrip _),
     "q_pdf_roundtrip" -> (qPdfRoundtrip _),
     "q_webp_meta" -> (qWebpMeta _),
+    "q_avif_meta" -> (qAvifMeta _),
     "q_wiki_pages" -> (qWikiPages _),
     "q_wiki_clean" -> (qWikiClean _),
     "q_gif_roundtrip" -> (qGifRoundtrip _),
@@ -1838,6 +1859,7 @@ object MultimodalQueries {
     "q_mp4_roundtrip" -> qMp4RoundtripSql,
     "q_pdf_roundtrip" -> qPdfRoundtripSql,
     "q_webp_meta" -> qWebpMetaSql,
+    "q_avif_meta" -> qAvifMetaSql,
     "q_wiki_pages" -> qWikiPagesSql,
     "q_wiki_clean" -> qWikiCleanSql,
     "q_gif_roundtrip" -> qGifRoundtripSql,

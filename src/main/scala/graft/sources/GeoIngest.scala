@@ -697,6 +697,30 @@ object GeoIngest {
       }.toDF("file", "kind", "key", "idx", "num", "sval")
   }
 
+  /** AVIF/HEIF metadata scan — primary item, canvas dims (ispe via
+    * ipma), item/extent table with fetch-proving md5s, and embedded
+    * EXIF GPS via [[AvifCodec.decode]]. Whole-file refusal on
+    * structural faults or extents past EOF. */
+  def readAvifFiles(spark: SparkSession, dir: String): DataFrame =
+    decodeAvifBatch(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{avif,heic}")
+        .load(dir))
+
+  /** One batch of (path, content) AVIF/HEIC files → metadata rows —
+    * shared by the batch scan and any streaming arm. */
+  def decodeAvifBatch(batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.split('/').last
+        AvifCodec.decode(bytes).toSeq.flatten.map(m =>
+          (file, m.kind, m.key, m.idx, m.num, Option(m.sval)))
+      }.toDF("file", "kind", "key", "idx", "num", "sval")
+  }
+
   /** Audio metadata scan — FLAC STREAMINFO/Vorbis comments and MP3
     * ID3v2 tags + first-frame stream shape via [[AudioMetaCodec]]:
     * the curation surface of an audio corpus (rates, channels,
