@@ -1604,6 +1604,26 @@ object MultimodalQueries {
     s"""SELECT file, kind, key, sval, num
       |FROM read_parquet('${graft.Fixtures.base}/q_id3_tags/golden/*.parquet')""".stripMargin
 
+  /** Ogg/Opus metadata, oracle-graded — the podcast/speech-corpus
+    * container: RFC 3533 page walk (capture pattern, CRC32 with the
+    * forward 0x04C11DB7 polynomial, lacing-value packet reassembly
+    * incl. a tags packet SPANNING TWO PAGES), RFC 7845 OpusHead
+    * (channels/preskip/input rate) and OpusTags (the FLAC Vorbis
+    * comment grammar reused), duration from the last granule at the
+    * fixed 48 kHz rate. Fixtures from a from-scratch Python writer
+    * (tools/ogg_golden.py); a flipped-CRC file and a multiplexed
+    * two-serial file are refused — their ABSENCE is graded. */
+  def qOpusMeta(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readOpusFiles(spark, graft.Fixtures.path("q_opus_meta"))
+      .select(col("file"), col("kind"), col("key"), col("idx"),
+        col("num"), col("sval"))
+  }
+
+  val qOpusMetaSql: String =
+    s"""SELECT file, kind, key, idx, num, sval
+      |FROM read_parquet('${graft.Fixtures.base}/q_opus_meta/golden/*.parquet')""".stripMargin
+
   /** PDF text runs, oracle-graded — PDF is the dominant document
     * format in crawled corpora, and "extract the shown text" is every
     * document pipeline's first operator. The codec walks the classic
@@ -1809,6 +1829,7 @@ object MultimodalQueries {
     "q_pdf_roundtrip" -> (qPdfRoundtrip _),
     "q_webp_meta" -> (qWebpMeta _),
     "q_avif_meta" -> (qAvifMeta _),
+    "q_opus_meta" -> (qOpusMeta _),
     "q_wiki_pages" -> (qWikiPages _),
     "q_wiki_clean" -> (qWikiClean _),
     "q_gif_roundtrip" -> (qGifRoundtrip _),
@@ -1860,6 +1881,7 @@ object MultimodalQueries {
     "q_pdf_roundtrip" -> qPdfRoundtripSql,
     "q_webp_meta" -> qWebpMetaSql,
     "q_avif_meta" -> qAvifMetaSql,
+    "q_opus_meta" -> qOpusMetaSql,
     "q_wiki_pages" -> qWikiPagesSql,
     "q_wiki_clean" -> qWikiCleanSql,
     "q_gif_roundtrip" -> qGifRoundtripSql,

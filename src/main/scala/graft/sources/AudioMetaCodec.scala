@@ -119,6 +119,164 @@ object AudioMetaCodec {
     out.result()
   }
 
+  /** Ogg/Opus metadata (RFC 3533 + RFC 7845) — podcast/speech corpora
+    * ship this; channels/preskip/duration/tags need no Opus decoder.
+    * Page walk: capture pattern, version 0, CRC32 (forward 0x04C11DB7,
+    * computed with a zeroed CRC field), lacing-value packet
+    * reassembly (255 = continues); single logical stream only
+    * (multiplexed serials refuse). Packet 1 must be OpusHead
+    * (channels, preskip, input rate), packet 2 OpusTags (the same
+    * comment grammar as FLAC's Vorbis block; trailing bytes after the
+    * comments — the RFC's binary-suffix space — are ignored).
+    * Duration = (last granule − preskip) at the fixed 48 kHz granule
+    * rate. Whole-file refusal on any structural fault. */
+  /** One Ogg/Opus row: idx disambiguates repeated comment keys. */
+  case class OpusMeta(kind: String, key: String, idx: Int, num: Long,
+      sval: String)
+
+  def decodeOgg(bytes: Array[Byte]): Option[Vector[OpusMeta]] =
+    try Some(runOgg(bytes))
+    catch { case _: Fail => None }
+
+  private val OggCrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var k = 0
+      while (k < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
+        k += 1
+      }
+      t(i) = r
+      i += 1
+    }
+    t
+  }
+
+  private def runOgg(b: Array[Byte]): Vector[OpusMeta] = {
+    def u8(p: Int): Int = { if (p < 0 || p >= b.length) err(); b(p) & 0xff }
+    def u16le(p: Int): Int = u8(p) | (u8(p + 1) << 8)
+    def u32le(p: Int): Long =
+      (u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16) |
+        (u8(p + 3).toLong << 24)) & 0xffffffffL
+
+    val out = Vector.newBuilder[OpusMeta]
+    var p = 0
+    var serial = -1L
+    var lastGranule = 0L
+    var nPages = 0
+    var sawEos = false
+    val packets = Vector.newBuilder[Array[Byte]]
+    var partial = new java.io.ByteArrayOutputStream()
+    var packetCount = 0
+    while (p < b.length) {
+      if (sawEos) err() // trailing pages after EOS
+      if (p + 27 > b.length) err()
+      if (!(u8(p) == 'O' && u8(p + 1) == 'g' && u8(p + 2) == 'g' &&
+            u8(p + 3) == 'S')) err()
+      if (u8(p + 4) != 0) err() // stream structure version
+      val htype = u8(p + 5)
+      var granule = 0L
+      var i = 0
+      while (i < 8) { granule |= (u8(p + 6 + i).toLong << (8 * i)); i += 1 }
+      val ser = u32le(p + 14)
+      if (serial < 0) serial = ser
+      else if (ser != serial) err() // multiplexed: out of envelope
+      val nsegs = u8(p + 26)
+      val lacingAt = p + 27
+      var bodyLen = 0
+      i = 0
+      while (i < nsegs) { bodyLen += u8(lacingAt + i); i += 1 }
+      val bodyAt = lacingAt + nsegs
+      if (bodyAt + bodyLen > b.length) err()
+      // CRC over the page with a zeroed CRC field
+      var crc = 0
+      def feed(q: Int): Unit =
+        crc = (crc << 8) ^ OggCrcTable(((crc >>> 24) ^ u8(q)) & 0xff)
+      i = p
+      while (i < p + 22) { feed(i); i += 1 }
+      i = 0
+      while (i < 4) {
+        crc = (crc << 8) ^ OggCrcTable((crc >>> 24) & 0xff); i += 1
+      }
+      i = p + 26
+      while (i < bodyAt + bodyLen) { feed(i); i += 1 }
+      if (crc != (u32le(p + 22)).toInt) err()
+      if ((htype & 1) == 0 && partial.size > 0 && nPages > 0) err()
+      // packet reassembly via lacing values
+      var off = bodyAt
+      i = 0
+      while (i < nsegs) {
+        val ln = u8(lacingAt + i)
+        partial.write(b, off, ln)
+        off += ln
+        if (ln < 255) {
+          packets += partial.toByteArray
+          packetCount += 1
+          partial = new java.io.ByteArrayOutputStream()
+        }
+        i += 1
+      }
+      if (granule != -1L) lastGranule = granule
+      if ((htype & 4) != 0) sawEos = true
+      nPages += 1
+      p = bodyAt + bodyLen
+    }
+    if (nPages == 0 || !sawEos || partial.size > 0) err()
+    val ps = packets.result()
+    if (ps.length < 2) err()
+    val head = ps(0)
+    if (head.length < 19 || !new String(head, 0, 8,
+        java.nio.charset.StandardCharsets.US_ASCII).equals("OpusHead"))
+      err()
+    if ((head(8) & 0xff) != 1) err() // OpusHead version
+    val ch = head(9) & 0xff
+    val preskip = (head(10) & 0xff) | ((head(11) & 0xff) << 8)
+    val rate = ((head(12) & 0xff) | ((head(13) & 0xff) << 8) |
+      ((head(14) & 0xff) << 16) | ((head(15) & 0xffL) << 24)) & 0xffffffffL
+    out += OpusMeta("stream", "channels", 0, ch, null)
+    out += OpusMeta("stream", "preskip", 0, preskip, null)
+    out += OpusMeta("stream", "input_rate", 0, rate, null)
+    out += OpusMeta("stream", "duration_ms", 0,
+      math.max(0L, lastGranule - preskip) * 1000 / 48000, null)
+    out += OpusMeta("stream", "pages", 0, nPages, null)
+    val tags = ps(1)
+    if (tags.length < 12 || !new String(tags, 0, 8,
+        java.nio.charset.StandardCharsets.US_ASCII).equals("OpusTags"))
+      err()
+    def t32le(q: Int): Long = {
+      if (q + 4 > tags.length) err()
+      ((tags(q) & 0xffL) | ((tags(q + 1) & 0xffL) << 8) |
+        ((tags(q + 2) & 0xffL) << 16) | ((tags(q + 3) & 0xffL) << 24))
+    }
+    var q = 8
+    val vlen = t32le(q); q += 4
+    if (vlen > MaxTextBytes || q + vlen > tags.length) err()
+    out += OpusMeta("vendor", "vendor", 0, 0,
+      new String(tags, q, vlen.toInt,
+        java.nio.charset.StandardCharsets.UTF_8))
+    q += vlen.toInt
+    val n = t32le(q); q += 4
+    if (n > MaxComments) err()
+    var ci = 0L
+    while (ci < n) {
+      val flen = t32le(q); q += 4
+      if (flen > MaxTextBytes || q + flen > tags.length) err()
+      val kv = new String(tags, q, flen.toInt,
+        java.nio.charset.StandardCharsets.UTF_8)
+      q += flen.toInt
+      val eq = kv.indexOf('=')
+      if (eq <= 0) err()
+      out += OpusMeta("comment",
+        kv.substring(0, eq).toUpperCase(java.util.Locale.ROOT),
+        ci.toInt, 0, kv.substring(eq + 1))
+      ci += 1
+    }
+    // bytes past the comments: the RFC's binary-suffix space, ignored
+    out.result()
+  }
+
   /** MPEG-1 Layer III bitrate table (kbps), index 1..14. */
   private val Mp3Bitrate = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
     128, 160, 192, 224, 256, 320, 0)

@@ -697,6 +697,29 @@ object GeoIngest {
       }.toDF("file", "kind", "key", "idx", "num", "sval")
   }
 
+  /** Ogg/Opus metadata scan — podcast/speech corpora: channels,
+    * preskip, duration (last granule at 48 kHz), pages, vendor +
+    * comment tags via [[AudioMetaCodec.decodeOgg]]. Whole-file
+    * refusal on structural faults (CRC, lacing, multiplexing). */
+  def readOpusFiles(spark: SparkSession, dir: String): DataFrame =
+    decodeOpusBatch(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{opus,ogg}")
+        .load(dir))
+
+  /** One batch of (path, content) Ogg/Opus files → metadata rows. */
+  def decodeOpusBatch(batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.split('/').last
+        AudioMetaCodec.decodeOgg(bytes).toSeq.flatten.map(m =>
+          (file, m.kind, m.key, m.idx, m.num, Option(m.sval)))
+      }.toDF("file", "kind", "key", "idx", "num", "sval")
+  }
+
   /** AVIF/HEIF metadata scan — primary item, canvas dims (ispe via
     * ipma), item/extent table with fetch-proving md5s, and embedded
     * EXIF GPS via [[AvifCodec.decode]]. Whole-file refusal on

@@ -83,6 +83,40 @@ class AudioMetaCodecSpec extends SparkSpec {
     }
   }
 
+  test("Ogg/Opus: page CRC, spanning tags packet, duration, refusals") {
+    val ms = AudioMetaCodec.decodeOgg(fx("q_opus_meta", "talk-00.opus")).get
+    def num(k: String) = ms.find(m => m.kind == "stream" && m.key == k)
+      .get.num
+    assert(num("channels") == 2 && num("preskip") == 312 &&
+      num("input_rate") == 48000 && num("pages") == 6)
+    assert(num("duration_ms") == (96312L - 312) * 1000 / 48000)
+    assert(ms.find(_.kind == "vendor").get.sval == "graft opus 1.0")
+    val cs = ms.filter(_.kind == "comment").sortBy(_.idx)
+    assert(cs.map(m => (m.key, m.sval)) == Vector(
+      ("TITLE", "Interview, part 1"), ("LANGUAGE", "fr"),
+      ("ENCODER", "graft=golden")), "tags packet spans two pages")
+    val mono = AudioMetaCodec.decodeOgg(
+      fx("q_opus_meta", "mono-01.opus")).get
+    assert(mono.count(_.kind == "comment") == 0)
+    assert(mono.find(m => m.key == "duration_ms").get.num == 500)
+    // refusals
+    assert(AudioMetaCodec.decodeOgg(
+      fx("q_opus_meta", "badcrc-02.opus")).isEmpty, "CRC")
+    assert(AudioMetaCodec.decodeOgg(
+      fx("q_opus_meta", "multi-03.opus")).isEmpty, "multiplexed")
+    assert(AudioMetaCodec.decodeOgg(Array.emptyByteArray).isEmpty)
+    // fuzz: never throw
+    val good = fx("q_opus_meta", "talk-00.opus")
+    (0 until good.length by 3).foreach(k =>
+      AudioMetaCodec.decodeOgg(good.take(k)))
+    var j = 0
+    while (j < good.length) {
+      val m = good.clone(); m(j) = (m(j) ^ 0x19).toByte
+      AudioMetaCodec.decodeOgg(m)
+      j += 1
+    }
+  }
+
   test("distributed ingest: both dirs, refused files absent") {
     val fl = graft.sources.GeoIngest.readAudioMetaFiles(
       spark, graft.Fixtures.path("q_flac_meta"))

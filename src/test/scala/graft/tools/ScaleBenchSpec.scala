@@ -38,7 +38,8 @@ class ScaleBenchSpec extends AnyFunSuite {
     "q_robots_rules",       // committed hand-written robots.txt files
     "q_robots_filter",      // decision join over the same fixtures
     "q_webp_meta",          // committed hand-assembled WebP containers
-    "q_avif_meta")          // committed hand-assembled AVIF/HEIF files
+    "q_avif_meta",          // committed hand-assembled AVIF/HEIF files
+    "q_opus_meta")          // committed hand-assembled Ogg/Opus files
 
   test("Selected is duplicate-free and every name is a declared query") {
     assert(ScaleBench.Selected.distinct.size === ScaleBench.Selected.size)
