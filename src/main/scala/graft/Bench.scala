@@ -53,8 +53,15 @@ object Bench {
     * ratchets retries on. With no clean reference the bench fails
     * OPEN (no retries) rather than retry against a suspect one.
     * Parsed leniently (regex, not a JSON lib): a malformed file must
-    * degrade to "no retries", never crash the bench. */
-  private def loadReference(): Map[String, Double] = {
+    * degrade to "no retries", never crash the bench. All regexes are
+    * WHITESPACE-TOLERANT around ':' — round 15's reference was
+    * re-serialized by external tooling with spaces after colons and
+    * the space-intolerant patterns matched ZERO entries, silently
+    * vacating the retry tier during a 94 s steal window (the round-13
+    * failure mode back). BenchRefSpec now pins loadReference() against
+    * the committed file so this cannot regress unnoticed again. */
+  private[graft] def loadReference(
+      dir: java.nio.file.Path = java.nio.file.Paths.get(".")): Map[String, Double] = {
     def parse(p: java.nio.file.Path, requireQuiet: Boolean): Option[Map[String, Double]] =
       try {
         val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
@@ -63,7 +70,7 @@ object Bench {
         // spell "noisy" (the header layout gained a steal_sec field
         // between noisy and queries — don't anchor on adjacency)
         val quietOk = !requireQuiet ||
-          """"noisy":(\d+)""".r.findFirstMatchIn(text)
+          """"noisy"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
             .exists(_.group(1) == "0")
         if (!quietOk) None
         else {
@@ -72,15 +79,16 @@ object Bench {
           // fallback matters: a reference that parses to ZERO entries
           // silently disables the noise-retry tier entirely (found in
           // round 13 — the r12 flat BENCH_REF never matched the detail
-          // regex, so no retry ever fired against it).
-          val entry = """"([A-Za-z0-9_]+)":\{"sec":(-?[0-9.]+)""".r
+          // regex, so no retry ever fired against it; found AGAIN in
+          // round 15 when a spaced re-serialization matched neither).
+          val entry = """"([A-Za-z0-9_]+)"\s*:\s*\{\s*"sec"\s*:\s*(-?[0-9.]+)""".r
           val detail = entry.findAllMatchIn(text)
             .map(m => m.group(1) -> m.group(2).toDouble)
             .filter(_._2 > 0)
             .toMap
           if (detail.nonEmpty) Some(detail)
           else {
-            val flat = """"(q[A-Za-z0-9_]*|q1_agg)":(-?[0-9.]+)""".r
+            val flat = """"(q[A-Za-z0-9_]*|q1_agg)"\s*:\s*(-?[0-9.]+)""".r
             Some(flat.findAllMatchIn(text)
               .map(m => m.group(1) -> m.group(2).toDouble)
               .filter(_._2 > 0)
@@ -88,8 +96,8 @@ object Bench {
           }
         }
       } catch { case _: Throwable => None }
-    val ref = java.nio.file.Paths.get("BENCH_REF.json")
-    val detail = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    val ref = dir.resolve("BENCH_REF.json")
+    val detail = dir.resolve("BENCH_DETAIL.json")
     if (java.nio.file.Files.exists(ref)) parse(ref, requireQuiet = false).getOrElse(Map.empty)
     else if (java.nio.file.Files.exists(detail)) parse(detail, requireQuiet = true).getOrElse(Map.empty)
     else Map.empty
@@ -127,7 +135,13 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // local-iteration filter (the driver never sets it): time just the
+    // named queries, e.g. when quiet-measuring a new query's row for
+    // the BENCH_REF splice protocol
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     def pass(qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)]):
         Map[String, (Double, Option[String], Double)] = qs.map { case (name, fn) =>
       val s0 = stealTicks()

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{Bf16ToFloats, CosineSimilarity, FloatsToBf16, FloatsToFp16, Fp16ToFloats, L2Squared, NfcNormalize, NfkcNormalize, StripAccents}
+import graft.expressions.{Bf16ToFloats, CosineSimilarity, FloatsToBf16, FloatsToFp16, Fp16ToFloats, L2Squared, NfcNormalize, NfkcNormalize, RobotsMatch, StripAccents}
 
 /** Engine extension point, installed with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`:
@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("strip_accents"),
       new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
       (children: Seq[Expression]) => StripAccents(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("robots_match"),
+      new ExpressionInfo(classOf[RobotsMatch].getName, "robots_match"),
+      (children: Seq[Expression]) => RobotsMatch(children(0), children(1))))
     ext.injectOptimizerRule(_ => SimplifyBitmaskConjunction)
   }
 }

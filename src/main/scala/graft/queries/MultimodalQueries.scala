@@ -1723,35 +1723,50 @@ object MultimodalQueries {
       |WHERE lat_d IS NOT NULL AND lon_d IS NOT NULL""".stripMargin
 
   /** Caption-to-frame alignment — HOW video-text training pairs are
-    * built: every cap-06.mp4 video sample (pts converted to wall ms
-    * through the track timescale) joined to the cap-06.vtt cue whose
-    * [start_ms, end_ms) window contains it. Frames in caption gaps
-    * drop out (inner join); both sides are REAL container walks
+    * built: every video sample (pts converted to wall ms through the
+    * track timescale) joined to ITS OWN video's cue whose
+    * [start_ms, end_ms) window contains it. The pairing key is the
+    * shared file stem (cap-06.mp4 ↔ cap-06.vtt, cap-07.mp4 ↔
+    * cap-07.vtt) — round 15's shape joined on the time range alone,
+    * correct on one fixture pair but a many-videos cross-match in the
+    * production shape; with the stem as an equi-key the plan is a
+    * HASH join with the range as a post-filter (PlanQualitySpec pins
+    * no-NLJ). The two fixture videos' timelines overlap on purpose so
+    * the key is load-bearing in the oracle grade. Frames in caption
+    * gaps drop out (inner join); both sides are REAL container walks
     * ([[graft.sources.Mp4Codec]] + [[graft.sources.SubtitleCodec]]),
-    * not synthetic stubs. At corpus scale the cue side is per-video
-    * and bounded — the join broadcasts. */
+    * not synthetic stubs. At corpus scale cues-per-video are bounded
+    * — the cue side broadcasts or hash-partitions on the stem. */
   def qCaptionAlign(spark: SparkSession, dir: String): DataFrame = {
+    val stem = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(c, "\\.[a-z0-9]+$", "")
     val samples = graft.sources.GeoIngest
       .readMp4Files(spark, graft.Fixtures.path("q_mp4_samples"))
-      .filter(col("file") === "cap-06.mp4")
+      .filter(col("handler") === "vide")
       .withColumn("pts_ms", expr("pts * 1000L DIV tsc"))
+      .withColumn("vid", stem(col("file")))
     val cues = graft.sources.GeoIngest
       .readSubtitleFiles(spark, graft.Fixtures.path("q_vtt_cues"))
-      .filter(col("file") === "cap-06.vtt")
-      .select(col("cue"), col("start_ms"), col("end_ms"), col("text"))
+      .select(stem(col("file")).as("vid"), col("cue"),
+        col("start_ms"), col("end_ms"), col("text"))
     samples.join(broadcast(cues),
-        col("start_ms") <= col("pts_ms") && col("pts_ms") < col("end_ms"))
-      .select(col("smp"), col("pts_ms"), col("sync"), col("cue"),
-        col("text"))
+        samples("vid") === cues("vid") &&
+          col("start_ms") <= col("pts_ms") &&
+          col("pts_ms") < col("end_ms"))
+      .select(samples("vid"), col("smp"), col("pts_ms"), col("sync"),
+        col("cue"), col("text"))
   }
 
   val qCaptionAlignSql: String =
-    s"""SELECT s.smp, s.pts * 1000 // s.tsc AS pts_ms, s.sync, c.cue, c.text
+    s"""SELECT regexp_replace(s.file, '\\.[a-z0-9]+$$', '') AS vid,
+      |  s.smp, s.pts * 1000 // s.tsc AS pts_ms, s.sync, c.cue, c.text
       |FROM read_parquet('${graft.Fixtures.base}/q_mp4_samples/golden/*.parquet') s
       |JOIN read_parquet('${graft.Fixtures.base}/q_vtt_cues/golden/*.parquet') c
-      |  ON c.start_ms <= s.pts * 1000 // s.tsc
+      |  ON regexp_replace(c.file, '\\.[a-z0-9]+$$', '') =
+      |     regexp_replace(s.file, '\\.[a-z0-9]+$$', '')
+      | AND c.start_ms <= s.pts * 1000 // s.tsc
       | AND s.pts * 1000 // s.tsc < c.end_ms
-      |WHERE s.file = 'cap-06.mp4' AND c.file = 'cap-06.vtt'""".stripMargin
+      |WHERE s.handler = 'vide'""".stripMargin
 
   /** Arrow IPC scan, oracle-graded per value cell — the columnar
     * interchange format dataset tooling trades (Feather V2 exports;

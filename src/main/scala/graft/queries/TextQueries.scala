@@ -2008,9 +2008,9 @@ object TextQueries {
       .select(col("host"), col("agent"), col("verb"), col("value"),
         col("seq"))
 
-  /** Parsed rules + the precompiled match regex (built executor-side
-    * in the decode flatMap — no SQL UDF), shared by both robots
-    * queries. */
+  /** Parsed rules shared by both robots queries. Matching happens in
+    * the native `robots_match` expression downstream, so no regexes
+    * are carried here. */
   private def robotsRules(spark: SparkSession): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
@@ -2023,15 +2023,8 @@ object TextQueries {
         graft.sources.RobotsCodec
           .parse(new String(bytes,
             java.nio.charset.StandardCharsets.UTF_8))
-          .map { r =>
-            val regex =
-              if ((r.verb == "allow" || r.verb == "disallow") &&
-                r.value.nonEmpty)
-                graft.sources.RobotsCodec.patternRegex(r.value)
-              else null
-            (host, r.agent, r.verb, r.value, r.seq, Option(regex))
-          }
-      }.toDF("host", "agent", "verb", "value", "seq", "regex")
+          .map(r => (host, r.agent, r.verb, r.value, r.seq))
+      }.toDF("host", "agent", "verb", "value", "seq")
   }
 
   val qRobotsRulesSql: String =
@@ -2041,41 +2034,70 @@ object TextQueries {
   /** Per-URL robots decisions, oracle-graded — the RFC 9309 matcher
     * AS A JOIN, which is its 100 TB shape: per-host rules are bounded
     * (the RFC caps robots.txt at 500 KiB) and broadcast; the URL side
-    * is the big table. Group selection (exact agent beats `*`), then
-    * longest-pattern-wins with allow beating disallow on ties (`*`
-    * wildcards, `$` anchors, empty patterns match nothing, no match →
-    * allowed). graftbot exercises group override; crawlzilla (unknown
-    * agent) falls to `*` where the wildcard/anchor rules live. The
-    * golden decisions come from an independent Python matcher. */
+    * is the big table and is touched EXACTLY ONCE — one broadcast
+    * hash join fanning each URL out to its selected group's rules,
+    * then ONE aggregation taking `max(struct(len, is_allow, value))`
+    * over the matching rules (longest pattern wins, allow beats
+    * disallow on ties; no match → allowed). Group selection (exact
+    * agent beats `*`) is resolved entirely on the BOUNDED rules side
+    * before the URL table enters the plan — the round-15 review found
+    * the previous shape broadcasting per-(host,agent,path) aggregates
+    * of the URL table itself, a driver-OOM at corpus scale. Pattern
+    * matching is the native `robots_match` expression (no per-row
+    * regex compilation). graftbot exercises group override; crawlzilla
+    * (unknown agent) falls to `*` where the wildcard/anchor rules
+    * live. Golden decisions come from an independent Python matcher.
+    * PlanQualitySpec pins that no URL-derived relation is broadcast.
+    * q_robots_filter_scale measures this same plan's decade exponent
+    * over an events-derived URL corpus. */
   def qRobotsFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rules = robotsRules(spark)
-      .filter(col("verb").isin("allow", "disallow"))
-      .select(col("host").as("rhost"), col("agent").as("ragent"),
-        when(col("verb") === "allow", 1).otherwise(0).as("is_allow"),
-        col("value"), col("regex"))
     val urls = spark.read.option("sep", "\t")
       .csv(graft.Fixtures.path("q_robots_filter") + "/urls.txt")
       .toDF("host", "path")
     val agents = Seq("graftbot", "crawlzilla").toDF("agent")
-    val targets = urls.crossJoin(broadcast(agents)) // bounded 2-agent grid
-    val cand = targets.join(broadcast(rules),
-      col("host") === col("rhost") &&
-        (col("ragent") === col("agent") || col("ragent") === "*"), "left")
-      .withColumn("exact",
-        when(col("ragent") === col("agent"), 1)
-          .when(col("ragent").isNull, -1).otherwise(0))
-    // pick the group: exact agent if present, else '*'
-    val gsel = cand.groupBy("host", "agent", "path")
-      .agg(max("exact").as("gsel"))
-    val chosen = cand.join(broadcast(gsel), Seq("host", "agent", "path"))
-      .filter(col("exact") === col("gsel"))
-    val best = chosen
-      .filter(col("regex").isNotNull && expr("path rlike regex"))
-      .groupBy("host", "agent", "path")
-      .agg(max(struct(length(col("value")).as("l"),
-        col("is_allow").as("a"), col("value").as("v"))).as("b"))
-    targets.join(broadcast(best), Seq("host", "agent", "path"), "left")
+    val rules = robotsRules(spark)
+      .filter(col("verb").isin("allow", "disallow"))
+      .select(col("host").as("rhost"), col("agent").as("ragent"),
+        when(col("verb") === "allow", 1).otherwise(0).as("is_allow"),
+        col("value"))
+    robotsDecide(urls, agents, rules)
+  }
+
+  /** The RFC 9309 decision join over an arbitrary URL table: rules-
+    * side group selection (bounded), one broadcast join, one
+    * aggregation. Shared by the fixture-graded q_robots_filter and
+    * the corpus-scale q_robots_filter_scale. `rules` must carry
+    * (rhost, ragent, is_allow, value) and be bounded (broadcastable). */
+  private def robotsDecide(urls: DataFrame, agents: DataFrame,
+      rules: DataFrame): DataFrame = {
+    // group selection on the BOUNDED side: for each (host, crawl
+    // agent), pick the exact-agent group when one exists, else '*',
+    // and attach that group's rules — hosts × agents × rules-per-host,
+    // all bounded by the RFC's 500 KiB cap, safe to broadcast.
+    val hostGroups = rules.select(col("rhost"), col("ragent")).distinct()
+    val selGroup = hostGroups.join(agents,
+        col("ragent") === col("agent") || col("ragent") === lit("*"))
+      .groupBy(col("rhost"), col("agent"))
+      .agg(coalesce(
+        max(when(col("ragent") === col("agent"), col("ragent"))),
+        max(when(col("ragent") === lit("*"), col("ragent"))))
+        .as("selg"))
+    val selRules = selGroup.join(rules.withColumnRenamed("ragent", "selg"),
+        Seq("rhost", "selg"))
+      .select(col("rhost").as("host"), col("agent"),
+        col("is_allow"), col("value"))
+    // URL side enters ONCE: crossJoin with the 2-row agent grid, one
+    // broadcast hash join to the selected rules, one aggregation.
+    // max(struct) ignores the null the `when` yields for non-matching
+    // rules, so "no rule matched" and "host has no rules" both fall
+    // through to the allowed default without a rejoin.
+    urls.crossJoin(broadcast(agents)) // bounded 2-agent grid
+      .join(broadcast(selRules), Seq("host", "agent"), "left")
+      .groupBy(col("host"), col("agent"), col("path"))
+      .agg(max(when(expr("robots_match(path, value)"),
+        struct(length(col("value")).as("l"),
+          col("is_allow").as("a"), col("value").as("v")))).as("b"))
       .select(col("host"), col("agent"), col("path"),
         coalesce(col("b.a"), lit(1)).as("allowed"),
         coalesce(col("b.v"), lit("")).as("rule"))
@@ -2085,9 +2107,101 @@ object TextQueries {
     s"""SELECT host, agent, path, allowed, rule
       |FROM read_parquet('${graft.Fixtures.base}/q_robots_filter/golden/*.parquet')""".stripMargin
 
+  /** Corpus-scale robots decision join, SF-scaled so ScaleBenchSpec
+    * measures its decade exponent (the round-15 review noted both new
+    * decision joins were fixture-pinned, leaving their scale claims
+    * argued rather than measured). Same plan as q_robots_filter —
+    * [[robotsDecide]]: bounded-side group selection, one broadcast
+    * hash join, one aggregation — but the URL side derives from the
+    * `events` table (host from user_id, path from event_type ×
+    * event_id, a `.pdf` arm for the wildcard-anchor rules) and the
+    * rule set is a deterministic 7-host synthetic grid exercising
+    * prefix rules, longest-match override, allow-on-tie, `*`
+    * wildcards, `$` anchors, and exact-agent group override on even
+    * hosts only. Fully oracle-expressible: robots patterns here avoid
+    * literal `%`/`_`, so each translates exactly to a SQL LIKE
+    * pattern (`*`→`%`, unanchored→trailing `%`). */
+  def qRobotsFilterScale(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urls = Tables.events(spark, dir).select(
+      concat(lit("host-"), pmod(col("user_id"), lit(7))).as("host"),
+      concat(lit("/"), col("event_type"), lit("/p"),
+        pmod(col("event_id"), lit(100)),
+        when(pmod(col("event_id"), lit(10)) === 0, lit(".pdf"))
+          .otherwise(lit(""))).as("path"))
+    val agents = Seq("graftbot", "crawlzilla").toDF("agent")
+    // (agent, is_allow, pattern, evenHostsOnly) — the graftbot group
+    // exists only on even hosts, so odd hosts exercise the `*`
+    // fallback for a known agent
+    val ruleDefs = Seq(
+      ("*", 0, "/click", false),
+      ("*", 1, "/click/p1", false),
+      ("*", 0, "/*.pdf$", false),
+      ("*", 0, "/purchase", false),
+      ("*", 1, "/purchase/p7$", false),
+      ("*", 1, "/signup/p3", false),
+      ("*", 0, "/signup/p3", false), // identical pattern: allow wins tie
+      ("graftbot", 0, "/view", true),
+      ("graftbot", 1, "/view/p2", true),
+      ("graftbot", 0, "/error/*.pdf$", true)
+    ).toDF("ragent", "is_allow", "value", "even_only")
+    val rules = spark.range(7).select(col("id").cast("int").as("h"))
+      .crossJoin(broadcast(ruleDefs)) // bounded 7×10 grid generator
+      .filter(!col("even_only") || col("h") % 2 === 0)
+      .select(concat(lit("host-"), col("h")).as("rhost"),
+        col("ragent"), col("is_allow"), col("value"))
+    robotsDecide(urls, agents, rules)
+  }
+
+  val qRobotsFilterScaleSql: String =
+    """WITH urls AS (
+      |  SELECT 'host-' || (user_id % 7) AS host,
+      |         '/' || event_type || '/p' || (event_id % 100) ||
+      |         (CASE WHEN event_id % 10 = 0 THEN '.pdf' ELSE '' END) AS path
+      |  FROM events),
+      |agents AS (SELECT unnest(['graftbot','crawlzilla']) AS agent),
+      |rules AS (
+      |  SELECT 'host-' || h AS rhost, r.ragent, r.is_allow, r.value, r.lpat
+      |  FROM range(7) t(h)
+      |  CROSS JOIN (VALUES
+      |    ('*', 0, '/click', '/click%', 0),
+      |    ('*', 1, '/click/p1', '/click/p1%', 0),
+      |    ('*', 0, '/*.pdf$', '/%.pdf', 0),
+      |    ('*', 0, '/purchase', '/purchase%', 0),
+      |    ('*', 1, '/purchase/p7$', '/purchase/p7', 0),
+      |    ('*', 1, '/signup/p3', '/signup/p3%', 0),
+      |    ('*', 0, '/signup/p3', '/signup/p3%', 0),
+      |    ('graftbot', 0, '/view', '/view%', 1),
+      |    ('graftbot', 1, '/view/p2', '/view/p2%', 1),
+      |    ('graftbot', 0, '/error/*.pdf$', '/error/%.pdf', 1)
+      |  ) r(ragent, is_allow, value, lpat, even_only)
+      |  WHERE r.even_only = 0 OR h % 2 = 0),
+      |sel AS (
+      |  SELECT g.rhost, a.agent,
+      |    coalesce(max(CASE WHEN g.ragent = a.agent THEN g.ragent END),
+      |             max(CASE WHEN g.ragent = '*' THEN g.ragent END)) AS selg
+      |  FROM (SELECT DISTINCT rhost, ragent FROM rules) g
+      |  JOIN agents a ON g.ragent = a.agent OR g.ragent = '*'
+      |  GROUP BY 1, 2),
+      |selrules AS (
+      |  SELECT s.rhost AS host, s.agent, r.is_allow, r.value, r.lpat
+      |  FROM sel s JOIN rules r ON r.rhost = s.rhost AND r.ragent = s.selg),
+      |dec AS (
+      |  SELECT u.host, a.agent, u.path,
+      |    max(CASE WHEN u.path LIKE sr.lpat THEN
+      |      {'l': length(sr.value), 'a': sr.is_allow, 'v': sr.value} END) AS b
+      |  FROM urls u
+      |  CROSS JOIN agents a
+      |  LEFT JOIN selrules sr ON sr.host = u.host AND sr.agent = a.agent
+      |  GROUP BY 1, 2, 3)
+      |SELECT host, agent, path,
+      |  coalesce(b.a, 1) AS allowed, coalesce(b.v, '') AS rule
+      |FROM dec""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_robots_rules" -> (qRobotsRules _),
     "q_robots_filter" -> (qRobotsFilter _),
+    "q_robots_filter_scale" -> (qRobotsFilterScale _),
     "q_entity_resolution" -> (qEntityResolution _),
     "q_explode_outer" -> (qExplodeOuter _),
     "q_prefix_filter_join" -> (qPrefixFilterJoin _),
@@ -2135,6 +2249,7 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "q_robots_rules" -> qRobotsRulesSql,
     "q_robots_filter" -> qRobotsFilterSql,
+    "q_robots_filter_scale" -> qRobotsFilterScaleSql,
     "q_entity_resolution" -> qEntityResolutionSql,
     "q_explode_outer" -> qExplodeOuterSql,
     "q_prefix_filter_join" -> qPrefixFilterJoinSql,

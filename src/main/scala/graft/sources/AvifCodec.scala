@@ -93,9 +93,12 @@ object AvifCodec {
             val start = at + (if (v == 0) 6 else 8)
             boxes(start, end) { (t2, a2, e2) =>
               if (t2 == "infe") {
-                if (u8(a2) < 2) err() // v0/1: the pre-HEIF shape
-                val id = u16(a2 + 4).toLong
-                itemTypes(id) = fourcc(a2 + 8)
+                val iv = u8(a2)
+                if (iv < 2) err() // v0/1: the pre-HEIF shape
+                // v2 carries a u16 item id; v3+ widens it to u32
+                // (ISO 14496-12 §8.11.6) and shifts item_type by 2
+                val id = if (iv >= 3) u32(a2 + 4) else u16(a2 + 4).toLong
+                itemTypes(id) = fourcc(a2 + (if (iv >= 3) 10 else 8))
               }
             }
           case "iloc" =>

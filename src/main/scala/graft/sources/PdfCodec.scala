@@ -53,9 +53,17 @@ object PdfCodec {
   private case class PStream(dict: PDict, dataAt: Int) extends PVal
   private case object POther extends PVal // bool/null: carried, unused
 
+  /** Never throws: Fail is the deliberate refusal signal, and any
+    * OTHER non-fatal escape (a parse-path oversight on hostile bytes)
+    * must degrade to a per-file skip, not kill a whole Spark scan of
+    * crawled PDFs. The specific known escapes (non-hex '#' names,
+    * multi-dot numbers) are also refused at their parse sites. */
   def decode(bytes: Array[Byte]): Option[Vector[Run]] =
     try Some(run(bytes))
-    catch { case _: Fail => None }
+    catch {
+      case _: Fail => None
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Write a one-page PDF whose content stream shows each byte run
     * with its own Tj (parens/backslash escaped) — the classic-xref
@@ -72,6 +80,10 @@ object PdfCodec {
       r.foreach {
         case b if b == '(' || b == ')' || b == '\\' =>
           content.write('\\'); content.write(b)
+        // EOL bytes must be ESCAPED: an unescaped one would read back
+        // as LF under §7.3.4.2 normalization, breaking the roundtrip
+        case b if b == '\r' => content.write('\\'); content.write('r')
+        case b if b == '\n' => content.write('\\'); content.write('n')
         case b => content.write(b)
       }
       content.write(") Tj 0 -14 Td ".getBytes)
@@ -148,10 +160,14 @@ object PdfCodec {
             p += 1
             val sb = new java.lang.StringBuilder()
             while (p < end && !isWs(u8(p)) && !isDelim(u8(p))) {
+              // '#' escapes require two HEX digits (ISO 32000 §7.3.5);
+              // '/A#zz' must refuse via err(), not leak a
+              // NumberFormatException past decode's Fail-only catch
               if (u8(p) == '#' && p + 2 < end) {
-                sb.append(Integer.parseInt(
-                  new String(buf, p + 1, 2,
-                    java.nio.charset.StandardCharsets.ISO_8859_1), 16).toChar)
+                val h1 = Character.digit(u8(p + 1), 16)
+                val h2 = Character.digit(u8(p + 2), 16)
+                if (h1 < 0 || h2 < 0) err()
+                sb.append(((h1 << 4) | h2).toChar)
                 p += 3
               } else { sb.append(u8(p).toChar); p += 1 }
             }
@@ -199,11 +215,14 @@ object PdfCodec {
         val s = p
         if (p < end && (u8(p) == '+' || u8(p) == '-')) p += 1
         var digits = false
+        var dots = 0
         while (p < end && ((u8(p) >= '0' && u8(p) <= '9') || u8(p) == '.')) {
-          if (u8(p) != '.') digits = true
+          if (u8(p) != '.') digits = true else dots += 1
           p += 1
         }
-        if (!digits) err()
+        // multi-dot tokens like '1.2.3' would make parseDouble throw
+        // PAST decode's Fail-only catch — refuse them as malformed
+        if (!digits || dots > 1) err()
         java.lang.Double.parseDouble(
           new String(buf, s, p - s,
             java.nio.charset.StandardCharsets.ISO_8859_1))
@@ -243,6 +262,12 @@ object PdfCodec {
               nest -= 1
               if (nest > 0) out.write(')')
               p += 1
+            case '\r' =>
+              // ISO 32000 §7.3.4.2: an UNESCAPED end-of-line inside a
+              // literal string reads as a single LF, whatever form it
+              // took in the file
+              out.write('\n'); p += 1
+              if (p < end && u8(p) == '\n') p += 1
             case c => out.write(c); p += 1
           }
         }
@@ -749,6 +774,10 @@ object PdfCodec {
             case '(' => nest += 1; out.write('('); cp.p += 1
             case ')' =>
               nest -= 1; if (nest > 0) out.write(')'); cp.p += 1
+            case '\r' =>
+              // unescaped EOL in a literal string reads as LF (§7.3.4.2)
+              out.write('\n'); cp.p += 1
+              if (cp.p < content.length && cu8(cp.p) == '\n') cp.p += 1
             case c => out.write(c); cp.p += 1
           }
         }

@@ -27,14 +27,27 @@ object RobotsCodec {
 
   val MaxRules: Int = 10000
 
+  /** Caps on EMITTED rows, not just logical lines: one rule line fans
+    * out to one Rule per stacked agent, so a hostile sub-500 KiB file
+    * with ~30k stacked User-agent lines over 10k rules would otherwise
+    * emit ~3e8 Rule objects — an OOM vector in a parser whose contract
+    * is total (never refuses). Real robots files stack a handful of
+    * agents; 64 is far beyond any legitimate corpus observation, and
+    * MaxEmitted bounds the product outright. */
+  val MaxStackedAgents: Int = 64
+  val MaxEmitted: Int = 100000
+
   def parse(content: String): Vector[Rule] = {
     val out = Vector.newBuilder[Rule]
     var agents = Vector.empty[String]
     var openGroup = false // user-agent lines still stackable
     var seq = 0
+    var emitted = 0
     def emit(verb: String, value: String): Unit = {
-      if (seq < MaxRules) {
-        agents.foreach(a => out += Rule(a, verb, value, seq))
+      if (seq < MaxRules && emitted < MaxEmitted) {
+        agents.foreach { a =>
+          if (emitted < MaxEmitted) { out += Rule(a, verb, value, seq); emitted += 1 }
+        }
         seq += 1
       }
     }
@@ -48,7 +61,8 @@ object RobotsCodec {
         k match {
           case "user-agent" =>
             if (!openGroup && agents.nonEmpty) agents = Vector.empty
-            agents = agents :+ v.toLowerCase(java.util.Locale.ROOT)
+            if (agents.size < MaxStackedAgents)
+              agents = agents :+ v.toLowerCase(java.util.Locale.ROOT)
             openGroup = true
           case "allow" | "disallow" | "crawl-delay" =>
             openGroup = false
@@ -80,5 +94,40 @@ object RobotsCodec {
     }
     if (anchored) sb.append('$')
     sb.toString
+  }
+
+  /** RFC 9309 pattern match WITHOUT regex compilation — the hot-path
+    * form [[graft.expressions.RobotsMatch]] codegens against, so the
+    * URL-scale decision join never compiles a Pattern per row. Exactly
+    * equivalent to `path matches patternRegex(pat)`: the pattern is a
+    * PREFIX match of literal segments separated by `*` wildcards, with
+    * one trailing `$` anchoring the end; an empty pattern matches
+    * nothing. Greedy leftmost placement of interior segments is
+    * optimal for this single-wildcard-class grammar (placing a segment
+    * earlier never blocks a later one), and the anchored tail is
+    * matched as a suffix, so no backtracking is ever needed — O(n·m)
+    * worst case on short patterns, no allocation beyond split. */
+  def matches(path: String, pat: String): Boolean = {
+    if (path == null || pat == null || pat.isEmpty) return false
+    val anchored = pat.endsWith("$")
+    val body = if (anchored) pat.substring(0, pat.length - 1) else pat
+    val segs = body.split("\\*", -1)
+    if (!path.startsWith(segs(0))) return false
+    if (segs.length == 1)
+      return !anchored || path.length == segs(0).length
+    var pos = segs(0).length
+    var i = 1
+    while (i < segs.length - 1) {
+      val s = segs(i)
+      if (s.nonEmpty) {
+        val at = path.indexOf(s, pos)
+        if (at < 0) return false
+        pos = at + s.length
+      }
+      i += 1
+    }
+    val last = segs(segs.length - 1)
+    if (anchored) path.length - last.length >= pos && path.endsWith(last)
+    else last.isEmpty || path.indexOf(last, pos) >= 0
   }
 }

@@ -56,7 +56,20 @@ object SubtitleCodec {
   def decodeVtt(bytes: Array[Byte]): Option[Vector[Cue]] = {
     val ls = lines(bytes)
     if (ls.isEmpty || !ls(0).startsWith("WEBVTT")) return None
-    val bs = blocks(ls.drop(1))
+    // skip the entire HEADER BLOCK, not just the WEBVTT line: spec-
+    // valid files may attach metadata lines directly under WEBVTT
+    // without a blank line ('WEBVTT\nKind: captions\n\n...', common
+    // YouTube-style ASR output) — those lines lack '-->' and would
+    // otherwise refuse the whole file. If a (spec-malformed) file
+    // glues the first cue into the header block, keep the cue part.
+    val all = blocks(ls)
+    val bs =
+      if (all.isEmpty) Vector.empty[Vector[String]]
+      else {
+        val cueAt = all(0).indexWhere(_.contains("-->"))
+        if (cueAt < 0) all.drop(1)
+        else all(0).drop(cueAt) +: all.drop(1)
+      }
     val out = Vector.newBuilder[Cue]
     var idx = 0
     var bad = false

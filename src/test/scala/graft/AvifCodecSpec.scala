@@ -38,6 +38,18 @@ class AvifCodecSpec extends SparkSpec {
     assert(canvas("width") == 64 && canvas("height") == 64)
   }
 
+  test("infe version 3 carries a u32 item id with item_type shifted by 2") {
+    // round-15 advice: v3 was read with the v2 layout (u16 id at +4),
+    // misparsing id and type
+    val ms = AvifCodec.decode(fixture("v3ids-03.avif")).get
+    assert(ms.find(_.kind == "primary").get.num == 41)
+    assert(ms.find(m => m.kind == "item" && m.key == "av01")
+      .exists(m => m.idx == 41 && m.num == 150))
+    def canvas(k: String) =
+      ms.find(m => m.kind == "canvas" && m.key == k).get.num
+    assert(canvas("width") == 32 && canvas("height") == 32)
+  }
+
   test("refusals: extent past EOF, bad magic") {
     assert(AvifCodec.decode(fixture("trunc-02.avif")).isEmpty)
     assert(AvifCodec.decode(Array.emptyByteArray).isEmpty)
@@ -67,6 +79,6 @@ class AvifCodecSpec extends SparkSpec {
       spark, graft.Fixtures.path("q_avif_meta"))
     val files = df.select("file").distinct().collect()
       .map(_.getString(0)).toSet
-    assert(files == Set("photo-00.avif", "alpha-01.avif"))
+    assert(files == Set("photo-00.avif", "alpha-01.avif", "v3ids-03.avif"))
   }
 }

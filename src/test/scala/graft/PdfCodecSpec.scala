@@ -96,6 +96,47 @@ class PdfCodecSpec extends SparkSpec {
     }
   }
 
+  test("malformed name escapes and multi-dot numbers refuse, never throw") {
+    // round-15 advice: '/A#zz' hit Integer.parseInt and '1.2.3' hit
+    // Double.parseDouble — both escaped decode's Fail-only catch and
+    // would kill a whole Spark scan on one malformed crawled PDF
+    val good = PdfCodec.write(Seq("probe".getBytes))
+    def mutate(from: String, to: String): Array[Byte] = {
+      val s = new String(good, "ISO-8859-1")
+      val i = s.indexOf(from)
+      assert(i >= 0, s"mutation anchor '$from' not in written pdf")
+      (s.substring(0, i) + to + s.substring(i + from.length))
+        .getBytes("ISO-8859-1")
+    }
+    // every mutation is LENGTH-PRESERVING — a byte-count change would
+    // stale the xref offsets and refuse for the wrong reason
+    // /Type -> a name with a non-hex '#' escape
+    assert(PdfCodec.decode(mutate("/Type", "/#zzp")).isEmpty)
+    // MediaBox number -> multi-dot token
+    assert(PdfCodec.decode(mutate("0 0 612 792", "0 1.2.3 792")).isEmpty)
+    // and a VALID two-hex-digit escape still decodes: #4D = 'M'
+    assert(PdfCodec.decode(mutate("/MediaBox [0 0 612 792]",
+      "/#4DediaBox [0 0 612 9]")).isDefined)
+  }
+
+  test("unescaped EOL inside a literal string reads as a single LF") {
+    // §7.3.4.2: raw CR / CRLF / LF inside (...) all read as \n.
+    // Each swap is length-preserving (filler x's sized to the EOL) so
+    // /Length and the xref offsets stay true.
+    for ((filler, eol) <- Seq(("x", "\r"), ("x", "\n"), ("xx", "\r\n"))) {
+      val src = s"A${filler}B"
+      val s = new String(PdfCodec.write(Seq(src.getBytes)), "ISO-8859-1")
+      val doc = s.replace(s"($src)", s"(A${eol}B)").getBytes("ISO-8859-1")
+      val rs = PdfCodec.decode(doc)
+        .getOrElse(fail(s"refused on eol bytes ${eol.getBytes.toSeq}"))
+      assert(rs.head.text == "A\nB", s"eol ${eol.getBytes.toSeq}")
+    }
+    // write() now escapes EOL bytes, so the roundtrip holds for them
+    val runs = Seq("line\rmix\r\nand\nlf".getBytes("ISO-8859-1"))
+    val back = PdfCodec.decode(PdfCodec.write(runs)).get.head.text
+    assert(back == "line\rmix\r\nand\nlf")
+  }
+
   test("write round-trips through the reader, escaping included") {
     val runs = Seq("plain text", "with (parens) inside",
       "back\\slash and )( reversed", "trailing \\").map(_.getBytes("UTF-8"))

@@ -545,6 +545,45 @@ class PlanQualitySpec extends SparkSpec {
     assert(wins.isEmpty, s"q_auc plans a Window:\n${wins.mkString("\n")}")
   }
 
+  test("robots decision join never broadcasts a URL-derived relation") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    // Round-15 review finding: the previous shape broadcast
+    // per-(host,agent,path) aggregates OF THE URL TABLE — a driver-OOM
+    // at corpus scale. The rewritten plan touches the URL side exactly
+    // once (stream side of one broadcast hash join + one aggregation),
+    // so no BroadcastExchange subtree may contain the URL source. The
+    // pre-AQE sparkPlan is checked: structure, not runtime stats.
+    for (q <- Seq("q_robots_filter", "q_robots_filter_scale")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val plan = df.queryExecution.sparkPlan
+      val offenders = plan.collect {
+        case b: BroadcastExchangeExec
+            if b.child.toString.contains("urls.txt") ||
+               b.child.toString.contains("events.parquet") =>
+          b.simpleString(200)
+      }
+      assert(offenders.isEmpty,
+        s"$q broadcasts a URL-derived relation:\n${offenders.mkString("\n")}")
+      val p = plan.toString
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // matching must be the native expression, not per-row RLike
+      assert(p.contains("robots_match"), s"$q lost the native matcher:\n$p")
+      assert(!p.toLowerCase.contains("rlike"), s"$q compiles regexes per row:\n$p")
+    }
+  }
+
+  test("caption alignment joins on the video stem — hash join, range as post-filter") {
+    // Round-15 review finding: the range-only join was a pure
+    // broadcast NLJ — correct on one fixture pair, a cross-match of
+    // every video's samples against every other video's cues in the
+    // production shape. The stem equi-key must survive as a hash join.
+    val p = executedPlan("q_caption_align")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), s"q_caption_align lost its stem key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q_caption_align degenerated to NLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q_caption_align:\n$p")
+  }
+
   test("ewma band join stays a keyed equi-join with the range as a post-filter") {
     val p = executedPlan("q_ewma")
     // keyed equi-join on user_id (broadcast at spec SF, shuffled at scale)

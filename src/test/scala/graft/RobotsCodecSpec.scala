@@ -52,6 +52,48 @@ class RobotsCodecSpec extends SparkSpec {
     assert(!m("/a+b(c)", "/aab(c)"))
   }
 
+  test("native matcher agrees with the regex compiler on an exhaustive small-alphabet sweep") {
+    // RobotsCodec.matches is the codegen'd hot-path form (no Pattern
+    // compilation); it must be EXACTLY patternRegex under rlike
+    // semantics. Exhaustive over short pattern/path strings drawn from
+    // {a, b, *, /} plus an optional trailing $ — 4^4 patterns × 3^5
+    // paths covers every wildcard/anchor interaction incl. empty and
+    // adjacent-star segments.
+    val patChars = "ab*/".toCharArray
+    val pathChars = "ab/".toCharArray
+    def strings(cs: Array[Char], n: Int): Seq[String] =
+      if (n == 0) Seq("")
+      else strings(cs, n - 1).flatMap(s => cs.map(c => s + c))
+    val paths = (0 to 5).flatMap(n => strings(pathChars, n))
+    for {
+      body <- (0 to 4).flatMap(n => strings(patChars, n))
+      anchor <- Seq("", "$")
+      pat = body + anchor
+      path <- paths
+    } {
+      val viaRegex = pat.nonEmpty &&
+        java.util.regex.Pattern.compile(RobotsCodec.patternRegex(pat))
+          .matcher(path).find()
+      assert(RobotsCodec.matches(path, pat) == viaRegex,
+        s"matches('$path', '$pat') != regex ($viaRegex)")
+    }
+    // empty pattern matches nothing (RFC); regex would match everything
+    assert(!RobotsCodec.matches("/x", ""))
+  }
+
+  test("hostile stacked-agent fanout is capped (no OOM from a sub-500KiB file)") {
+    // round-15 advice: MaxRules capped logical lines, not emitted rows —
+    // 30k stacked agents × 10k rules would emit ~3e8 Rule objects
+    val hostile = new StringBuilder
+    for (i <- 0 until 30000) hostile.append(s"User-agent: bot$i\n")
+    for (i <- 0 until 1000) hostile.append(s"Disallow: /p$i\n")
+    val rs = RobotsCodec.parse(hostile.toString)
+    assert(rs.size <= RobotsCodec.MaxEmitted)
+    // and legitimate small stacks are unaffected
+    val ok = RobotsCodec.parse("User-agent: a\nUser-agent: b\nDisallow: /x\n")
+    assert(ok.size == 2)
+  }
+
   test("decision join: group override, longest match, allow wins ties") {
     val df = graft.queries.TextQueries.qRobotsFilter(spark, "")
     val rows = df.collect().map(r => ((r.getString(0), r.getString(1),

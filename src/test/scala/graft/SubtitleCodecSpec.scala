@@ -36,6 +36,25 @@ class SubtitleCodecSpec extends SparkSpec {
     assert(cs(2).endMs == 7000L)
   }
 
+  test("header metadata attached under WEBVTT without a blank line is skipped") {
+    // YouTube-style ASR output (round-15 advice): the whole header
+    // BLOCK skips, not just line 0
+    val cs = SubtitleCodec.decodeVtt(fixture("asr-04.vtt")).get
+    assert(cs.map(c => (c.startMs, c.endMs)) ==
+      Vector((0L, 1500L), (1500L, 3200L)))
+    assert(cs(0).text == "so today we're going to")
+    // inline form, with an X-TIMESTAMP-MAP-style line too
+    val inlineHdr = "WEBVTT\nKind: captions\nLanguage: en\n\n" +
+      "00:01.000 --> 00:02.000\nhello\n"
+    assert(SubtitleCodec.decodeVtt(inlineHdr.getBytes("UTF-8")).get
+      .head.text == "hello")
+    // spec-malformed glue (cue straight after WEBVTT, no blank line):
+    // the cue part still parses — pre-fix behavior preserved
+    val glue = "WEBVTT\n00:01.000 --> 00:02.000\nglued\n"
+    assert(SubtitleCodec.decodeVtt(glue.getBytes("UTF-8")).get
+      .head.text == "glued")
+  }
+
   test("refusals and the empty-but-valid case") {
     assert(SubtitleCodec.decodeVtt(fixture("empty-02.vtt")).get.isEmpty)
     assert(SubtitleCodec.decodeVtt(fixture("bad-03.vtt")).isEmpty, "no header")
@@ -66,14 +85,21 @@ class SubtitleCodecSpec extends SparkSpec {
   test("caption-to-frame alignment joins real container walks") {
     val df = graft.queries.MultimodalQueries
       .qCaptionAlign(spark, graft.Fixtures.base)
-    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1),
-      r.getInt(3))).sortBy(_._1)
-    // 12 samples at 250 ms; cues [0,600) [600,1250) [1600,2400)
+    val all = df.collect().map(r => (r.getAs[String]("vid"),
+      r.getAs[Int]("smp"), r.getAs[Long]("pts_ms"), r.getAs[Int]("cue")))
+    val c6 = all.filter(_._1 == "cap-06").sortBy(_._2)
+    // cap-06: 12 samples at 250 ms; cues [0,600) [600,1250) [1600,2400)
     // [2400,3400): samples 5 (1250 ms) and 6 (1500 ms) fall in the gap
-    assert(rows.map(_._1).toSeq ==
-      Seq(0, 1, 2, 3, 4, 7, 8, 9, 10, 11))
-    assert(rows.collect { case (_, pts, cue) if pts < 600 => cue }
+    assert(c6.map(_._2).toSeq == Seq(0, 1, 2, 3, 4, 7, 8, 9, 10, 11))
+    assert(c6.collect { case (_, _, pts, cue) if pts < 600 => cue }
       .forall(_ == 0))
-    assert(rows.filter(r => r._2 >= 2400).forall(_._3 == 3))
+    assert(c6.filter(_._3 >= 2400).forall(_._4 == 3))
+    // cap-07: 8 samples at 250 ms; cues [0,500) [500,1200) [1300,2000):
+    // sample 5 (1250 ms) falls in the gap — and its cues must NEVER
+    // attach to cap-06 samples despite the overlapping time windows
+    // (the stem key is load-bearing)
+    val c7 = all.filter(_._1 == "cap-07").sortBy(_._2)
+    assert(c7.map(_._2).toSeq == Seq(0, 1, 2, 3, 4, 6, 7))
+    assert(all.map(_._1).toSet == Set("cap-06", "cap-07"))
   }
 }

@@ -46,9 +46,13 @@ def full(typ, version, flags, payload):
     return box(typ, bytes([version]) + flags.to_bytes(3, "big") + payload)
 
 
-def infe(item_id, item_type, name=b""):
-    return full(b"infe", 2, 0, struct.pack(">HH", item_id, 0) +
-                item_type + name + b"\x00")
+def infe(item_id, item_type, name=b"", version=2):
+    # v2: u16 item_ID; v3+: u32 item_ID (ISO 14496-12 section 8.11.6)
+    if version >= 3:
+        head = struct.pack(">IH", item_id, 0)
+    else:
+        head = struct.pack(">HH", item_id, 0)
+    return full(b"infe", version, 0, head + item_type + name + b"\x00")
 
 
 def ispe(w, h):
@@ -56,7 +60,7 @@ def ispe(w, h):
 
 
 def build(fname, items, primary, props, assocs, iloc_version,
-          base_offset=0):
+          base_offset=0, infe_version=2):
     """items: [(item_id, type4cc, [payload bytes per extent])]
     props: list of property boxes (1-based index order)
     assocs: [(item_id, [prop_index, ...])]"""
@@ -64,7 +68,8 @@ def build(fname, items, primary, props, assocs, iloc_version,
                 b"graft avif\x00")
     pitm = full(b"pitm", 0, 0, struct.pack(">H", primary))
     iinf = full(b"iinf", 0, 0, struct.pack(">H", len(items)) +
-                b"".join(infe(i, t) for i, t, _ in items))
+                b"".join(infe(i, t, version=infe_version)
+                         for i, t, _ in items))
     ipco = box(b"ipco", b"".join(props))
     ipma_body = struct.pack(">I", len(assocs))
     for item_id, pidx in assocs:
@@ -170,6 +175,25 @@ ROWS += [
      hashlib.md5(main_p[0]).hexdigest()),
     ("alpha-01.avif", "extent_md5", "av01", 2, 0,
      hashlib.md5(alpha_p[0]).hexdigest()),
+]
+
+# ---- v3ids-03.avif: infe VERSION 3 (u32 item id field, item_type
+# shifted by 2) — HEIF writers emit v3 alongside u32-capable boxes; a
+# v2-only reader misreads the id/type and refuses or mislabels the
+# whole file. The id itself stays small so the v0 pitm/ipma and v1
+# iloc carry it unchanged — the v3 LAYOUT is what's under test.
+big_p = [lcg(150, 21)]
+items3 = [(41, b"av01", big_p)]
+build("v3ids-03.avif", items3, primary=41,
+      props=[ispe(32, 32)], assocs=[(41, [1])],
+      iloc_version=1, base_offset=0, infe_version=3)
+ROWS += [
+    ("v3ids-03.avif", "primary", "item_id", 0, 41, None),
+    ("v3ids-03.avif", "canvas", "width", 0, 32, None),
+    ("v3ids-03.avif", "canvas", "height", 0, 32, None),
+    ("v3ids-03.avif", "item", "av01", 41, 150, None),
+    ("v3ids-03.avif", "extent_md5", "av01", 41, 0,
+     hashlib.md5(big_p[0]).hexdigest()),
 ]
 
 # ---- trunc-02.avif: photo-00 with its mdat cut short

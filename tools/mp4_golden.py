@@ -352,6 +352,22 @@ cap = Track(
 )
 build("cap-06.mp4", [cap])
 
+# ---- cap-07.mp4: SECOND caption-alignment subject — its samples and
+# cues (q_vtt_cues/cap-07.vtt) overlap cap-06's time RANGE, so the
+# q_caption_align stem key is load-bearing: a keyless range join would
+# cross-match the two videos' timelines. timescale 600 (ticks are NOT
+# milliseconds, exercising the tsc conversion), 8 samples of 150 ticks
+# (250 ms) over 2 chunks.
+cap2 = Track(
+    track_id=1, handler=b"vide", codec=b"avc1", timescale=600,
+    sizes=[190, 45, 60, 180, 40, 65, 185, 50],
+    stts_runs=[(8, 150)],
+    stsc_entries=[(1, 4, 1)],
+    chunks=2,
+    sync=[1, 5],
+)
+build("cap-07.mp4", [cap2])
+
 # ---- frag-03.mp4: moof present -> refuse whole file
 frag = (ftyp() +
         box(b"moov", mvhd(1000, 0) ) +

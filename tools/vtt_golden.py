@@ -106,6 +106,37 @@ with open(os.path.join(D, "cap-06.vtt"), "w") as fh:
     fh.write(cv)
 emit("cap-06.vtt", cap_cues)
 
+# ---- cap-07.vtt: cues for the SECOND caption-alignment video
+# (cap-07.mp4, 2 s at 250 ms/frame) — windows deliberately overlap
+# cap-06's [0, 3400] range so q_caption_align's stem key is what keeps
+# the two videos' timelines apart
+cap2_cues = [
+    (0, 500, "a blue circle appears"),
+    (500, 1200, "it spins faster"),
+    (1300, 2000, "credits roll"),
+]
+cv2 = "WEBVTT\n\n"
+for start, end, text in cap2_cues:
+    cv2 += "%s --> %s\n%s\n\n" % (ts_vtt(start), ts_vtt(end), text)
+with open(os.path.join(D, "cap-07.vtt"), "w") as fh:
+    fh.write(cv2)
+emit("cap-07.vtt", cap2_cues)
+
+# ---- asr-04.vtt: YouTube-style ASR output — metadata lines attached
+# directly under WEBVTT with NO separating blank line (spec-valid; the
+# whole header BLOCK must be skipped, not just line 0)
+asr_cues = [
+    (0, 1500, "so today we're going to"),
+    (1500, 3200, "talk about parsers"),
+]
+asr = "WEBVTT\nKind: captions\nLanguage: en\n\n"
+for start, end, text in asr_cues:
+    asr += "%s --> %s align:start position:0%%\n%s\n\n" % (
+        ts_vtt(start), ts_vtt(end), text)
+with open(os.path.join(D, "asr-04.vtt"), "w") as fh:
+    fh.write(asr)
+emit("asr-04.vtt", asr_cues)
+
 # ---- empty-02.vtt: header only
 with open(os.path.join(D, "empty-02.vtt"), "w") as fh:
     fh.write("WEBVTT\n")
