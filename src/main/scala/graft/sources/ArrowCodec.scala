@@ -19,19 +19,28 @@ package graft.sources
   * independent implementations meet over the wire.
   *
   * Envelope: Int 8/16/32/64 (signed+unsigned), FloatingPoint
-  * half/single/double, Bool, Utf8, Binary, List<primitive> and
-  * FixedSizeList<primitive>; dictionary-encoded columns over any of
-  * the scalar types (pandas-categorical exports dictionary-encode BY
-  * DEFAULT — indices of any Int width map through the
-  * DictionaryBatch-delivered value column, replacement dictionaries
-  * honored in stream order); compressed bodies (BodyCompression) for
-  * the two spec codecs LZ4_FRAME — pyarrow Feather V2's DEFAULT — and
-  * ZSTD, each buffer carrying its own int64 uncompressed-length
-  * prefix (-1 = stored raw), decompressed under [[MaxBufBytes]].
+  * half/single/double, Bool, Utf8/Binary (and their Large forms with
+  * 64-bit offsets), FixedSizeBinary, Decimal 128/256 (rendered as a
+  * plain scaled decimal string — 128 bits can't ride the 64-bit bits
+  * channel), Date 32/64, Time 32/64, Timestamp (all four units, with
+  * or without a timezone — the label carries both), Duration,
+  * List<primitive> and FixedSizeList<primitive>, and Struct of flat
+  * scalar children (one parent-nullity cell per row plus per-child
+  * columns named `parent.child`, children reading as null wherever
+  * the parent slot is null — their bytes are undefined there);
+  * dictionary-encoded columns over any of the scalar types
+  * (pandas-categorical exports dictionary-encode BY DEFAULT — indices
+  * of any Int width map through the DictionaryBatch-delivered value
+  * column, replacement dictionaries honored in stream order);
+  * compressed bodies (BodyCompression) for the two spec codecs
+  * LZ4_FRAME — pyarrow Feather V2's DEFAULT — and ZSTD, each buffer
+  * carrying its own int64 uncompressed-length prefix (-1 = stored
+  * raw), decompressed under [[MaxBufBytes]].
   * Documented refusals, all whole-file (a columnar table is
-  * all-or-nothing): delta dictionaries, dictionary-of-nested, other
-  * logical types, nesting deeper than one list level, trailing bytes
-  * after a stream's end-of-stream marker. Values emit as raw
+  * all-or-nothing): delta dictionaries, dictionary-of-nested,
+  * Null/Interval/Union/Map/RunEndEncoded columns, nesting beyond one
+  * level (list-of-list, struct-in-struct, list-in-struct), trailing
+  * bytes after a stream's end-of-stream marker. Values emit as raw
   * little-endian bits zero-extended to a long (bit-exact NaN
   * payloads), strings as UTF-8, binary as lowercase hex. Never
   * throws.
@@ -125,9 +134,28 @@ object ArrowCodec {
   private sealed trait Typ { def label: String }
   private case class Prim(label: String, width: Int) extends Typ // LE fixed width
   private case object BoolT extends Typ { val label = "bool" }
-  private case class VarBytes(label: String) extends Typ // utf8 / bin
+  private case class VarBytes(label: String, offw: Int) extends Typ // utf8/bin (+Large: 8-byte offsets)
+  private case class FixedBytes(width: Int, label: String) extends Typ // fixed_size_binary
+  /** Decimal128/256: `width` bytes of LE two's-complement unscaled
+    * value per slot, rendered as a plain decimal string (a 128-bit
+    * value can't ride the 64-bit `bits` channel). */
+  private case class DecT(width: Int, scale: Int, label: String) extends Typ
   private case class ListT(child: Prim, childBool: Boolean, fixed: Int,
       label: String) extends Typ
+  /** Struct of flat scalar children: one parent validity node, then
+    * each child as a full column gated on parent validity. */
+  private case class StructT(children: Vector[FieldSpec], label: String)
+    extends Typ
+
+  /** TimeUnit enum (Schema.fbs): SECOND MILLISECOND MICROSECOND
+    * NANOSECOND → the label suffix. */
+  private def unitName(u: Int): String = u match {
+    case 0 => "s"
+    case 1 => "ms"
+    case 2 => "us"
+    case 3 => "ns"
+    case _ => err()
+  }
 
   /** Dictionary encoding of a field: dictionary id + index width in
     * bytes + index signedness (DictionaryEncoding.indexType; absent
@@ -193,9 +221,50 @@ object ArrowCodec {
           case 2 => Prim("f64", 8)
           case _ => err()
         }
-      case 4 => VarBytes("bin")
-      case 5 => VarBytes("utf8")
+      case 4 => VarBytes("bin", 4)
+      case 5 => VarBytes("utf8", 4)
       case 6 => BoolT
+      case 7 => // Decimal: precision(0) scale(1) bitWidth(2, default 128)
+        val t = typeTable
+        val prPos = field(b, t, 0)
+        val pr = if (prPos < 0) 0 else i32(b, prPos)
+        val scPos = field(b, t, 1)
+        val sc = if (scPos < 0) 0 else i32(b, scPos)
+        val bwPos = field(b, t, 2)
+        val bw = if (bwPos < 0) 128 else i32(b, bwPos)
+        if (bw != 128 && bw != 256) err()
+        if (pr < 1 || pr > 76 || sc < -256 || sc > 256) err()
+        DecT(bw / 8, sc, s"dec${bw}_${pr}_$sc")
+      case 8 => // Date: unit(0) 0=DAY(i32 days) 1=MILLISECOND(i64 ms);
+        // the flatbuffers DEFAULT is MILLISECOND, so date64 fields are
+        // written WITHOUT the unit slot — absent means 1, not 0
+        (field(b, typeTable, 0) match {
+          case x if x < 0 => 1
+          case x => i16(b, x)
+        }) match {
+          case 0 => Prim("date32", 4)
+          case 1 => Prim("date64", 8)
+          case _ => err()
+        }
+      case 9 => // Time: unit(0, default MILLISECOND) bitWidth(1, default 32)
+        val t = typeTable
+        val uPos = field(b, t, 0)
+        val u = if (uPos < 0) 1 else i16(b, uPos)
+        val bwPos = field(b, t, 1)
+        val bw = if (bwPos < 0) 32 else i32(b, bwPos)
+        // the spec pairs 32-bit with s/ms and 64-bit with us/ns
+        if (bw == 32 && (u == 0 || u == 1)) Prim(s"time32_${unitName(u)}", 4)
+        else if (bw == 64 && (u == 2 || u == 3)) Prim(s"time64_${unitName(u)}", 8)
+        else err()
+      case 10 => // Timestamp: unit(0, default SECOND) timezone(1)
+        val t = typeTable
+        val uPos = field(b, t, 0)
+        val u = if (uPos < 0) 0 else i16(b, uPos)
+        if (u < 0 || u > 3) err()
+        val tzPos = field(b, t, 1)
+        val tz = if (tzPos < 0) "" else str(b, tzPos)
+        if (tz.length > 64) err()
+        Prim(s"ts_${unitName(u)}" + (if (tz.isEmpty) "" else s"[$tz]"), 8)
       case 12 => // List
         if (depth > 0) err()
         val child = parseField(b, childField(0), depth + 1)
@@ -205,6 +274,28 @@ object ArrowCodec {
           case BoolT => ListT(Prim("bool", 0), childBool = true, 0, "list<bool>")
           case _ => err()
         }
+      case 13 => // Struct: flat scalar children only (children(5))
+        if (depth > 0) err()
+        val ch = field(b, fpos, 5)
+        if (ch < 0) err()
+        val (nc, _) = vec(b, ch, 4)
+        if (nc < 1 || nc > 256) err()
+        val kids = (0L until nc).map(i =>
+          parseField(b, childField(i.toInt), depth + 1)).toVector
+        kids.foreach { k =>
+          if (k.dict.isDefined) err() // dictionary-encoded child: refuse
+          k.typ match {
+            case _: ListT | _: StructT => err() // nested nesting: refuse
+            case _ => ()
+          }
+        }
+        StructT(kids, "struct")
+      case 15 => // FixedSizeBinary: byteWidth(0)
+        val bwPos = field(b, typeTable, 0)
+        if (bwPos < 0) err()
+        val w = i32(b, bwPos)
+        if (w <= 0 || w > 65536) err()
+        FixedBytes(w, s"fsb$w")
       case 16 => // FixedSizeList: listSize(0)
         if (depth > 0) err()
         val lsPos = field(b, typeTable, 0)
@@ -217,9 +308,18 @@ object ArrowCodec {
           case BoolT => ListT(Prim("bool", 0), childBool = true, ls, s"fsl$ls<bool>")
           case _ => err()
         }
-      case _ => err() // Null/Decimal/Date/Time/Timestamp/Struct/Union/...: refuse
+      case 18 => // Duration: unit(0, default MILLISECOND), always 64-bit
+        val uPos = field(b, typeTable, 0)
+        val u = if (uPos < 0) 1 else i16(b, uPos)
+        if (u < 0 || u > 3) err()
+        Prim(s"dur_${unitName(u)}", 8)
+      case 19 => VarBytes("lbin", 8)  // LargeBinary: 64-bit offsets
+      case 20 => VarBytes("lutf8", 8) // LargeUtf8: 64-bit offsets
+      case _ => err() // Null/Interval/Union/Map/RunEnd/...: refuse
     }
-    if (dict.isDefined && typ.isInstanceOf[ListT]) err() // dict-of-nested: refuse
+    if (dict.isDefined &&
+        (typ.isInstanceOf[ListT] || typ.isInstanceOf[StructT]))
+      err() // dict-of-nested: refuse
     FieldSpec(name, typ, dict)
   }
 
@@ -372,55 +472,114 @@ object ArrowCodec {
         }
         i += 1
       }
-    } else f.typ match {
-      case Prim(label, width) =>
+    } else {
+    /** One flat scalar column named `name`: consumes its node +
+      * buffers; emits a value only where `gate(i)` holds (a struct
+      * child's values are UNDEFINED where the parent slot is null —
+      * they must emit as null without reading the data). */
+    def scalarCol(name: String, typ: Typ, gate: Long => Boolean): Unit = {
+      val (len, _) = nextNode()
+      if (len != rows) err()
+      val v = valid(nextBuf(), len)
+      def nul(i: Long, label: String): Unit =
+        out += Cell(batchIdx, name, i, None, label, isNull = true, None, None)
+      if (out.size + len > MaxCells) err()
+      typ match {
+        case Prim(label, width) =>
+          val dat = nextBuf()
+          var i = 0L
+          while (i < len) {
+            if (gate(i) && v(i))
+              out += Cell(batchIdx, name, i, None, label, isNull = false,
+                Some(bitsAt(dat, width, i)), None)
+            else nul(i, label)
+            i += 1
+          }
+        case BoolT =>
+          val dat = nextBuf()
+          var i = 0L
+          while (i < len) {
+            if (gate(i) && v(i))
+              out += Cell(batchIdx, name, i, None, "bool", isNull = false,
+                Some(boolAt(dat, i)), None)
+            else nul(i, "bool")
+            i += 1
+          }
+        case FixedBytes(width, label) =>
+          val dat = nextBuf()
+          var i = 0L
+          while (i < len) {
+            if (gate(i) && v(i)) {
+              if ((i + 1) * width > dat.len) err()
+              val raw = new Array[Byte](width)
+              System.arraycopy(dat.a, (dat.at + i * width).toInt, raw, 0, width)
+              out += Cell(batchIdx, name, i, None, label, isNull = false,
+                None, Some(raw.map(x => f"${x & 0xff}%02x").mkString))
+            } else nul(i, label)
+            i += 1
+          }
+        case DecT(width, scale, label) =>
+          val dat = nextBuf()
+          var i = 0L
+          while (i < len) {
+            if (gate(i) && v(i)) {
+              if ((i + 1) * width > dat.len) err()
+              // LE two's-complement unscaled value → big-endian for
+              // BigInteger, then scale to a plain decimal string
+              val be = new Array[Byte](width)
+              var j = 0
+              while (j < width) {
+                be(j) = dat.a((dat.at + i * width + (width - 1 - j)).toInt)
+                j += 1
+              }
+              val txt = new java.math.BigDecimal(
+                new java.math.BigInteger(be), scale).toPlainString
+              out += Cell(batchIdx, name, i, None, label, isNull = false,
+                None, Some(txt))
+            } else nul(i, label)
+            i += 1
+          }
+        case VarBytes(label, offw) =>
+          val offs = nextBuf()
+          if ((len + 1) * offw > offs.len) err()
+          val dat = nextBuf()
+          val utf8 = label == "utf8" || label == "lutf8"
+          var i = 0L
+          while (i < len) {
+            if (gate(i) && v(i)) {
+              val s = buN(offs, offw.toLong * i, offw)
+              val e = buN(offs, offw.toLong * (i + 1), offw)
+              if (e < s || e > dat.len) err()
+              val raw = new Array[Byte]((e - s).toInt)
+              System.arraycopy(dat.a, (dat.at + s).toInt, raw, 0, raw.length)
+              val text =
+                if (utf8)
+                  new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+                else raw.map(x => f"${x & 0xff}%02x").mkString
+              out += Cell(batchIdx, name, i, None, label, isNull = false, None, Some(text))
+            } else nul(i, label)
+            i += 1
+          }
+        case _ => err() // nested inside scalarCol: unreachable by construction
+      }
+    }
+    f.typ match {
+      case StructT(kids, label) =>
+        // parent: one node + validity buffer, one cell per row
+        // recording struct-slot nullity; then each child in order as
+        // a full column gated on parent validity
         val (len, _) = nextNode()
         if (len != rows) err()
         val v = valid(nextBuf(), len)
-        val dat = nextBuf()
+        if (out.size + len * (1L + kids.size) > MaxCells) err()
         var i = 0L
         while (i < len) {
-          if (v(i))
-            out += Cell(batchIdx, f.name, i, None, label, isNull = false,
-              Some(bitsAt(dat, width, i)), None)
-          else out += Cell(batchIdx, f.name, i, None, label, isNull = true, None, None)
+          out += Cell(batchIdx, f.name, i, None, label, isNull = !v(i), None, None)
           i += 1
         }
-      case BoolT =>
-        val (len, _) = nextNode()
-        if (len != rows) err()
-        val v = valid(nextBuf(), len)
-        val dat = nextBuf()
-        var i = 0L
-        while (i < len) {
-          if (v(i)) out += Cell(batchIdx, f.name, i, None, "bool", isNull = false,
-            Some(boolAt(dat, i)), None)
-          else out += Cell(batchIdx, f.name, i, None, "bool", isNull = true, None, None)
-          i += 1
-        }
-      case VarBytes(label) =>
-        val (len, _) = nextNode()
-        if (len != rows) err()
-        val v = valid(nextBuf(), len)
-        val offs = nextBuf()
-        if ((len + 1) * 4 > offs.len) err()
-        val dat = nextBuf()
-        var i = 0L
-        while (i < len) {
-          if (v(i)) {
-            val s = buN(offs, 4 * i, 4)
-            val e = buN(offs, 4 * (i + 1), 4)
-            if (e < s || e > dat.len) err()
-            val raw = new Array[Byte]((e - s).toInt)
-            System.arraycopy(dat.a, (dat.at + s).toInt, raw, 0, raw.length)
-            val text =
-              if (label == "utf8")
-                new String(raw, java.nio.charset.StandardCharsets.UTF_8)
-              else raw.map(x => f"${x & 0xff}%02x").mkString
-            out += Cell(batchIdx, f.name, i, None, label, isNull = false, None, Some(text))
-          } else out += Cell(batchIdx, f.name, i, None, label, isNull = true, None, None)
-          i += 1
-        }
+        kids.foreach(k => scalarCol(s"${f.name}.${k.name}", k.typ, v))
+      case _: Prim | BoolT | _: VarBytes | _: FixedBytes | _: DecT =>
+        scalarCol(f.name, f.typ, _ => true)
       case ListT(child, childBool, fixed, label) =>
         val (len, _) = nextNode()
         if (len != rows) err()
@@ -461,6 +620,8 @@ object ArrowCodec {
           }
           i += 1
         }
+      case _ => err() // unreachable: all Typ shapes dispatched above
+    }
     }
   }
 

@@ -86,6 +86,49 @@ class ArrowCodecSpec extends SparkSpec {
       Vector(Some("x"), Some("yy"), None, Some("zzz"), Some("yy")))
   }
 
+  test("logical types: timestamps, dates, times, decimal, struct, large offsets") {
+    val cs = ArrowCodec.decode(fixture("logical-12.arrow")).get
+    def col(n: String) = cs.filter(_.col == n).sortBy(_.row)
+    // timestamp labels carry the unit and timezone
+    assert(col("ts_utc").head.vtype == "ts_us[UTC]")
+    assert(col("ts_utc").head.bits.contains(1700000000000000L))
+    assert(col("ts_naive")(0).vtype == "ts_ns" &&
+      col("ts_naive")(0).bits.contains(1700000000123456789L))
+    assert(col("ts_naive")(3).bits.contains(-1L))
+    // date32 days sign-preserved via the raw-bits convention
+    assert(col("d32")(3).bits.contains(-719162L & 0xFFFFFFFFL))
+    assert(col("d64")(0).vtype == "date64" &&
+      col("d64")(0).bits.contains(1700000000000L))
+    assert(col("t32")(1).bits.contains(86399999L))
+    assert(col("t64")(0).vtype == "time64_us")
+    assert(col("dur")(1).bits.contains(-5L))
+    // decimal128 renders as a plain scaled string
+    assert(col("price").map(_.str) ==
+      Vector(Some("12345.67"), Some("-0.03"), None, Some("0.00")))
+    assert(col("tag")(0).str.contains("00112233"))
+    assert(col("ltxt")(0).vtype == "lutf8" &&
+      col("ltxt")(0).str.contains("large café"))
+    // struct: parent nullity cells + children gated on the parent
+    assert(col("st").map(_.isNull) == Vector(false, true, false, false))
+    assert(col("st.a").map(_.bits) ==
+      Vector(Some(1L), None, None, Some(4L)))
+    assert(col("st.s").map(_.str) ==
+      Vector(Some("x"), None, Some("y"), None))
+    // row 1 children are null BECAUSE the parent slot is null
+    assert(col("st.a")(1).isNull && col("st.s")(1).isNull)
+  }
+
+  test("logical fixture survives truncation and fuzz without throwing") {
+    val f = fixture("logical-12.arrow")
+    (0 until f.length by 11).foreach(k => ArrowCodec.decode(f.take(k)))
+    var j = 0
+    while (j < f.length) {
+      val m = f.clone(); m(j) = (m(j) ^ 0x2d).toByte
+      ArrowCodec.decode(m)
+      j += 1
+    }
+  }
+
   test("refusals: truncation, trailing garbage after stream EOS") {
     assert(ArrowCodec.decode(fixture("trunc-05.arrow")).isEmpty)
     assert(ArrowCodec.decode(fixture("garbage-11.arrow")).isEmpty)

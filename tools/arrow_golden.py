@@ -46,6 +46,11 @@ def signed64(v):
 
 
 def bits_of(vtype, v):
+    if vtype == "date32" or vtype.startswith("time32"):
+        return signed64(v & 0xFFFFFFFF)
+    if (vtype == "date64" or vtype.startswith("ts_") or
+            vtype.startswith("dur_") or vtype.startswith("time64")):
+        return signed64(v & ((1 << 64) - 1))
     if vtype in ("f32",):
         raw = struct.pack("<f", v) if isinstance(v, float) else struct.pack("<I", v)
         return signed64(int.from_bytes(raw, "little"))
@@ -66,10 +71,13 @@ def bits_of(vtype, v):
 def emit(fname, batch, col, row, elem, vtype, value):
     if value is None:
         ROWS.append((fname, batch, col, row, elem, vtype, True, None, None))
-    elif vtype == "utf8":
+    elif vtype in ("utf8", "lutf8") or vtype.startswith("dec"):
         ROWS.append((fname, batch, col, row, elem, vtype, False, None, value))
-    elif vtype == "bin":
+    elif vtype in ("bin", "lbin") or vtype.startswith("fsb"):
         ROWS.append((fname, batch, col, row, elem, vtype, False, None, value.hex()))
+    elif vtype == "struct":
+        # parent struct cell: value is the is-present flag
+        ROWS.append((fname, batch, col, row, elem, vtype, not value, None, None))
     else:
         ROWS.append((fname, batch, col, row, elem, vtype, False,
                      bits_of(vtype, value), None))
@@ -241,6 +249,74 @@ emit_batch("streamdict-10.arrow", 0, [
     ("k", "i64", None, s10_ids),
     ("c", "utf8", None, s10_vals),
 ])
+
+# ---- logical-12.arrow (GRADED): the temporal/decimal/struct surface
+# HF-datasets caches and pandas exports routinely carry — timestamps
+# (tz and naive, us/ns), date32/64, time32/64, duration, decimal128,
+# fixed_size_binary, large_string/large_binary, and a struct column
+# with a NULL SLOT (children must read as null there, whatever bytes
+# the writer left in the child arrays)
+import decimal  # noqa: E402
+
+ts_us = [1700000000000000, None, -62135596800000000, 1]       # us, tz=UTC
+ts_ns = [1700000000123456789, 0, None, -1]                    # ns, naive
+d32 = [19700, 0, None, -719162]                               # days
+d64 = [1700000000000, None, -86400000, 123]                   # ms
+t32 = [0, 86399999, None, 1]                                  # ms of day
+t64 = [86399999999, None, 0, 43200000000]                     # us of day
+dur = [90061001, -5, None, 0]                                 # ms
+dec_strs = ["12345.67", "-0.03", None, "0.00"]                # p=10 s=2
+fsb = [b"\x00\x11\x22\x33", None, b"\xff\xff\xff\xff", b"abcd"]
+lstr = ["large café", "", None, "x" * 40]
+lbin = [b"\x01\x02", None, b"", b"\xfe"]
+st_present = [True, False, True, True]
+st_a = [1, None, None, 4]          # child values where parent present
+st_s = ["x", None, "y", None]
+struct_py = [
+    {"a": 1, "s": "x"}, None, {"a": None, "s": "y"}, {"a": 4, "s": None},
+]
+logical_arrays = [
+    ("ts_utc", pa.array(ts_us, type=pa.timestamp("us", tz="UTC")),
+     "ts_us[UTC]"),
+    ("ts_naive", pa.array(ts_ns, type=pa.timestamp("ns")), "ts_ns"),
+    ("d32", pa.array(d32, type=pa.date32()), "date32"),
+    ("d64", pa.array(d64, type=pa.date64()), "date64"),
+    ("t32", pa.array(t32, type=pa.time32("ms")), "time32_ms"),
+    ("t64", pa.array(t64, type=pa.time64("us")), "time64_us"),
+    ("dur", pa.array(dur, type=pa.duration("ms")), "dur_ms"),
+    ("price", pa.array([None if s is None else decimal.Decimal(s)
+                        for s in dec_strs],
+                       type=pa.decimal128(10, 2)), "dec128_10_2"),
+    ("tag", pa.array(fsb, type=pa.binary(4)), "fsb4"),
+    ("ltxt", pa.array(lstr, type=pa.large_string()), "lutf8"),
+    ("lraw", pa.array(lbin, type=pa.large_binary()), "lbin"),
+    ("st", pa.array(struct_py,
+                    type=pa.struct([("a", pa.int64()),
+                                    ("s", pa.string())])), "struct"),
+]
+logical_schema = pa.schema([(n, a.type) for n, a, _ in logical_arrays])
+with open(os.path.join(D, "logical-12.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, logical_schema)
+    w.write_batch(pa.record_batch([a for _, a, _ in logical_arrays],
+                                  schema=logical_schema))
+    w.close()
+for name, vals, vt in [
+    ("ts_utc", ts_us, "ts_us[UTC]"), ("ts_naive", ts_ns, "ts_ns"),
+    ("d32", d32, "date32"), ("d64", d64, "date64"),
+    ("t32", t32, "time32_ms"), ("t64", t64, "time64_us"),
+    ("dur", dur, "dur_ms"), ("price", dec_strs, "dec128_10_2"),
+    ("tag", fsb, "fsb4"), ("ltxt", lstr, "lutf8"),
+    ("lraw", lbin, "lbin"),
+]:
+    for ri, v in enumerate(vals):
+        emit("logical-12.arrow", 0, name, ri, None, vt, v)
+for ri, present in enumerate(st_present):
+    emit("logical-12.arrow", 0, "st", ri, None, "struct", present)
+    # children gate on parent presence: undefined bytes read as null
+    emit("logical-12.arrow", 0, "st.a", ri, None, "i64",
+         st_a[ri] if present else None)
+    emit("logical-12.arrow", 0, "st.s", ri, None, "utf8",
+         st_s[ri] if present else None)
 
 # ---- refusal fixtures
 with open(os.path.join(D, "table-00.arrow"), "rb") as fh:
