@@ -1768,6 +1768,51 @@ object MultimodalQueries {
       | AND s.pts * 1000 // s.tsc < c.end_ms
       |WHERE s.handler = 'vide'""".stripMargin
 
+  /** Corpus-scale caption alignment, SF-scaled so ScaleBenchSpec
+    * measures its decade exponent (round-15 review: the fixture-
+    * pinned join left the scale claim argued, not measured). Same
+    * plan shape as q_caption_align — stem-equality HASH join with the
+    * [start_ms, end_ms) range as a post-filter, bounded cue side
+    * broadcast — but the frame side derives from the `events` table
+    * (50 synthetic videos, 100 ms frame grid) and the cue side is a
+    * deterministic 50×60 window grid with 1 s gaps between cues.
+    * Output aggregates per (video, cue) so the result stays bounded
+    * while the join itself runs at corpus scale. */
+  def qCaptionAlignScale(spark: SparkSession, dir: String): DataFrame = {
+    val samples = Tables.events(spark, dir).select(
+      concat(lit("vid-"), pmod(col("user_id"), lit(50))).as("vid"),
+      (pmod(col("event_id"), lit(3600)) * 100).as("pts_ms"))
+    val cues = spark.range(50L * 60).select(
+      concat(lit("vid-"), expr("id DIV 60")).as("cvid"),
+      (col("id") % 60).as("cue"),
+      ((col("id") % 60) * 6000).as("start_ms"),
+      ((col("id") % 60) * 6000 + 5000).as("end_ms"))
+    samples.join(broadcast(cues),
+        col("vid") === col("cvid") &&
+          col("start_ms") <= col("pts_ms") &&
+          col("pts_ms") < col("end_ms"))
+      .groupBy(col("vid"), col("cue"))
+      .agg(count(lit(1)).as("n_frames"),
+        min(col("pts_ms")).as("first_ms"),
+        max(col("pts_ms")).as("last_ms"))
+  }
+
+  val qCaptionAlignScaleSql: String =
+    """WITH samples AS (
+      |  SELECT 'vid-' || (user_id % 50) AS vid,
+      |         (event_id % 3600) * 100 AS pts_ms
+      |  FROM events),
+      |cues AS (
+      |  SELECT 'vid-' || v AS cvid, k AS cue,
+      |         k * 6000 AS start_ms, k * 6000 + 5000 AS end_ms
+      |  FROM range(50) t(v), range(60) u(k))
+      |SELECT s.vid, c.cue, count(*) AS n_frames,
+      |       min(s.pts_ms) AS first_ms, max(s.pts_ms) AS last_ms
+      |FROM samples s
+      |JOIN cues c ON c.cvid = s.vid
+      |  AND c.start_ms <= s.pts_ms AND s.pts_ms < c.end_ms
+      |GROUP BY 1, 2""".stripMargin
+
   /** Arrow IPC scan, oracle-graded per value cell — the columnar
     * interchange format dataset tooling trades (Feather V2 exports;
     * the HuggingFace-datasets cache ships the STREAM framing of the
@@ -1835,6 +1880,7 @@ object MultimodalQueries {
     "q_mp4_samples" -> (qMp4Samples _),
     "q_vtt_cues" -> (qVttCues _),
     "q_caption_align" -> (qCaptionAlign _),
+    "q_caption_align_scale" -> (qCaptionAlignScale _),
     "q_exif_meta" -> (qExifMeta _),
     "q_exif_gps" -> (qExifGps _),
     "q_pdf_text" -> (qPdfText _),
@@ -1887,6 +1933,7 @@ object MultimodalQueries {
     "q_mp4_samples" -> qMp4SamplesSql,
     "q_vtt_cues" -> qVttCuesSql,
     "q_caption_align" -> qCaptionAlignSql,
+    "q_caption_align_scale" -> qCaptionAlignScaleSql,
     "q_exif_meta" -> qExifMetaSql,
     "q_exif_gps" -> qExifGpsSql,
     "q_pdf_text" -> qPdfTextSql,

@@ -20,13 +20,25 @@ package graft.sources
   * bounds-checked against the file — the table is only emitted if the
   * payloads it names are actually fetchable.
   *
+  * FRAGMENTED files (fMP4 — the DASH/HLS/CMAF segment shape, a large
+  * and growing share of crawled video) walk too: `moov/mvex/trex`
+  * per-track defaults, then per-`moof` `traf` fragments — `tfhd`
+  * base-data-offset / default-base-is-moof / implicit
+  * end-of-previous-traf anchoring plus per-fragment defaults, `tfdt`
+  * decode-time rebase, and `trun` per-sample duration/size/flags/
+  * composition-offset overrides with first-sample-flags. Fragment
+  * samples number contiguously per track after the moov table (an
+  * init segment's empty stbl contributes zero), each traf taking the
+  * next chunk ordinal; sync = !sample_is_non_sync_sample (bit 16 of
+  * the sample flags word).
+  *
   * Refusal contract (the [[GzipCodec]]/[[Hdf5Codec]] discipline):
   * whole-file None on any structural fault — a box size under 8 or
   * past its enclosure, a truncated table, stsc/stts/stsz/stco
   * inconsistencies, a sample span outside the file, counts over
-  * [[MaxSamples]], or a FRAGMENTED file (`moof`: the sample tables
-  * live in movie fragments, out of envelope — DASH/HLS segments are
-  * a separate, documented refusal). Never throws. */
+  * [[MaxSamples]], a moof before any moov, a traf referencing an
+  * undeclared track, or a trun sample with no duration/size source
+  * at any level. Never throws. */
 object Mp4Codec {
 
   /** One sample: 0-based index and chunk, absolute file offset/size,
@@ -144,10 +156,13 @@ object Mp4Codec {
       new String(Array(u8(p).toByte, u8(p + 1).toByte, u8(p + 2).toByte,
         u8(p + 3).toByte), java.nio.charset.StandardCharsets.US_ASCII)
 
-    /** Walk the box sequence in [from, to), invoking f(type, body
-      * start, body end). Size 1 → 64-bit largesize; size 0 → runs to
-      * the end of the enclosure. */
-    def boxes(from: Long, to: Long)(f: (String, Long, Long) => Unit): Unit = {
+    /** Walk the box sequence in [from, to), invoking f(type, header
+      * start, body start, body end). Size 1 → 64-bit largesize; size
+      * 0 → runs to the end of the enclosure. The header position is
+      * what `moof` anchoring needs: default-base-is-moof offsets are
+      * relative to the first byte of the moof BOX, header included. */
+    def boxes4(from: Long, to: Long)(
+        f: (String, Long, Long, Long) => Unit): Unit = {
       var p = from
       while (p < to) {
         if (p + 8 > to) err()
@@ -158,14 +173,28 @@ object Mp4Codec {
           else if (sz0 == 0) (p + 8, to)
           else (p + 8, p + sz0)
         if (end < bodyAt || end > to) err()
-        f(typ, bodyAt, end)
+        f(typ, p, bodyAt, end)
         p = end
       }
     }
+    def boxes(from: Long, to: Long)(f: (String, Long, Long) => Unit): Unit =
+      boxes4(from, to)((t, _, a, e) => f(t, a, e))
 
     val samples = Vector.newBuilder[Sample]
     var sawMoov = false
     var nTracks = 0
+    var nSamples = 0L
+    // per-track state the FRAGMENT walk needs: static meta from the
+    // moov trak (handler/codec/timescale), trex defaults from mvex,
+    // and running continuation state (next dts / sample index /
+    // fragment ordinal) so samples number contiguously across moofs
+    val trackMeta = scala.collection.mutable.Map
+      .empty[Int, (String, String, Long, Int)] // handler, codec, tsc, moovChunks
+    val trexDefs = scala.collection.mutable.Map
+      .empty[Int, (Long, Long, Long)] // defaultDur, defaultSize, defaultFlags
+    val nextDts = scala.collection.mutable.Map.empty[Int, Long]
+    val nextSi = scala.collection.mutable.Map.empty[Int, Int]
+    val fragOrd = scala.collection.mutable.Map.empty[Int, Int]
 
     def readTrack(tFrom: Long, tTo: Long): Unit = {
       if (nTracks >= MaxTracks) err()
@@ -266,8 +295,18 @@ object Mp4Codec {
         }
       }
 
+      // record static meta for the fragment walk (even when the moov
+      // table is empty — the fMP4 shape: all samples live in moofs)
+      if (trackId >= 0 && timescale > 0)
+        trackMeta(trackId) = (handler, codec, timescale,
+          if (chunkOffs == null) 0 else chunkOffs.length)
+
       // a track with no sample table (e.g. metadata-only) emits no rows
       if (sampleCount < 0 && chunkOffs == null && sttsRuns == null) return
+      // an fMP4 init segment carries a PRESENT-but-empty quartet
+      // (zero samples, zero chunks): nothing to expand, moofs follow
+      if (sampleCount == 0 &&
+          (chunkOffs == null || chunkOffs.isEmpty)) return
       if (trackId < 0 || sampleCount < 0 || sttsRuns == null ||
           stscEnts == null || chunkOffs == null) err()
       if (timescale <= 0) err() // mdhd absent or zero: times unusable
@@ -331,18 +370,158 @@ object Mp4Codec {
         }
         ci2 += 1
       }
+      nSamples += n
+      nextDts(trackId) = dts
+      nextSi(trackId) = n
     }
 
-    boxes(0L, b.length.toLong) { (typ, at, end) =>
+    /** One track fragment: tfhd defaults + optional tfdt decode-time
+      * rebase, then each trun's per-sample overrides (§8.8.7/8.8.8).
+      * Returns the end of this traf's sample data — the IMPLICIT base
+      * offset for the next traf when neither base-data-offset nor
+      * default-base-is-moof is signalled. */
+    def readTraf(tFrom: Long, tTo: Long, moofAt: Long, prevEnd: Long): Long = {
+      var trackId = -1
+      var baseOff = -1L
+      var defDur = -1L
+      var defSize = -1L
+      var defFlags = -1L
+      var baseIsMoof = false
+      var tfdtTime = -1L
+      val truns = Vector.newBuilder[(Long, Long)]
+      boxes(tFrom, tTo) { (typ, at, end) =>
+        typ match {
+          case "tfhd" =>
+            if (at + 8 > end) err()
+            val flags = (u8(at + 1) << 16) | (u8(at + 2) << 8) | u8(at + 3)
+            trackId = u32(at + 4).toInt
+            var p = at + 8
+            if ((flags & 0x01) != 0) { baseOff = u64(p); p += 8 }
+            if ((flags & 0x02) != 0) p += 4 // sample-description-index
+            if ((flags & 0x08) != 0) { defDur = u32(p); p += 4 }
+            if ((flags & 0x10) != 0) { defSize = u32(p); p += 4 }
+            if ((flags & 0x20) != 0) { defFlags = u32(p); p += 4 }
+            if (p > end) err()
+            baseIsMoof = (flags & 0x20000) != 0
+          case "tfdt" =>
+            if (at + 8 > end) err()
+            tfdtTime = if (u8(at) == 1) u64(at + 4) else u32(at + 4)
+          case "trun" => truns += ((at, end))
+          case _ => () // sbgp/sgpd/subs/…: not needed for the table
+        }
+      }
+      if (trackId < 0) err()
+      val (handler, codec, timescale, moovChunks) =
+        trackMeta.getOrElse(trackId, err())
+      val trex = trexDefs.getOrElse(trackId, (-1L, -1L, -1L))
+      val durDef = if (defDur >= 0) defDur else trex._1
+      val sizeDef = if (defSize >= 0) defSize else trex._2
+      val flagsDef = if (defFlags >= 0) defFlags else trex._3
+      val base =
+        if (baseOff >= 0) baseOff
+        else if (baseIsMoof || prevEnd < 0) moofAt
+        else prevEnd
+      var dts = if (tfdtTime >= 0) tfdtTime else nextDts.getOrElse(trackId, 0L)
+      var si = nextSi.getOrElse(trackId, 0)
+      val chunk = moovChunks + fragOrd.getOrElse(trackId, 0)
+      fragOrd(trackId) = fragOrd.getOrElse(trackId, 0) + 1
+      var dataPos = -1L
+      truns.result().foreach { case (at, end) =>
+        if (at + 8 > end) err()
+        val v = u8(at)
+        val flags = (u8(at + 1) << 16) | (u8(at + 2) << 8) | u8(at + 3)
+        val n = u32(at + 4)
+        if (n > MaxSamples || nSamples + n > MaxSamples) err()
+        // fixed-size pre-check: header + optional head fields +
+        // 4 bytes per set per-sample flag
+        val perSample = 4L * (((flags >> 8) & 1) + ((flags >> 9) & 1) +
+          ((flags >> 10) & 1) + ((flags >> 11) & 1))
+        val headBytes = (if ((flags & 0x01) != 0) 4 else 0) +
+          (if ((flags & 0x04) != 0) 4 else 0)
+        if (at + 8 + headBytes + n * perSample > end) err()
+        var p = at + 8
+        var off =
+          if ((flags & 0x01) != 0) { val d = u32(p).toInt; p += 4; base + d }
+          else if (dataPos >= 0) dataPos
+          else base
+        var firstFlags = -1L
+        if ((flags & 0x04) != 0) { firstFlags = u32(p); p += 4 }
+        var k = 0L
+        while (k < n) {
+          val dur =
+            if ((flags & 0x100) != 0) { val d = u32(p); p += 4; d }
+            else durDef
+          val size =
+            if ((flags & 0x200) != 0) { val s = u32(p); p += 4; s }
+            else sizeDef
+          val sflags =
+            if ((flags & 0x400) != 0) { val x = u32(p); p += 4; x }
+            else if (k == 0 && firstFlags >= 0) firstFlags
+            else if (flagsDef >= 0) flagsDef
+            else 0L
+          val cts =
+            if ((flags & 0x800) != 0) {
+              val c = u32(p); p += 4
+              if (v >= 1) c.toInt.toLong else c
+            } else 0L
+          if (dur < 0 || size < 0) err() // no duration/size source at all
+          if (off < 0 || off + size > b.length) err()
+          // sample_is_non_sync_sample is bit 16 of the flags word
+          val sync = (sflags & 0x10000L) == 0
+          samples += Sample(trackId, handler, codec, timescale, si, chunk,
+            off, size, dts, dur, dts + cts, sync)
+          nSamples += 1
+          dts += dur
+          off += size
+          si += 1
+          k += 1
+        }
+        dataPos = off
+      }
+      nextDts(trackId) = dts
+      nextSi(trackId) = si
+      if (dataPos >= 0) dataPos else prevEnd
+    }
+
+    def readMoof(hdrAt: Long, mFrom: Long, mTo: Long): Unit = {
+      var prevEnd = -1L
+      boxes(mFrom, mTo) { (typ, at, end) =>
+        typ match {
+          case "traf" => prevEnd = readTraf(at, end, hdrAt, prevEnd)
+          case _ => () // mfhd sequence number: informational
+        }
+      }
+    }
+
+    boxes4(0L, b.length.toLong) { (typ, hdrAt, at, end) =>
       typ match {
-        case "moof" => err() // fragmented: tables live in fragments
+        case "moof" =>
+          // fragments reference moov-declared tracks; a moof before
+          // any moov (or with no init data at all) is structurally
+          // unanchorable — refuse rather than guess
+          if (!sawMoov) err()
+          readMoof(hdrAt, at, end)
         case "moov" =>
           sawMoov = true
           boxes(at, end) { (t2, a2, e2) =>
-            if (t2 == "moof") err()
-            if (t2 == "trak") readTrack(a2, e2)
+            t2 match {
+              case "moof" => err() // moof nested in moov: invalid
+              case "trak" => readTrack(a2, e2)
+              case "mvex" =>
+                // trex: per-track fragment defaults (§8.8.3) —
+                // FullBox, then track_ID, default_sample_description_
+                // index, default_sample_duration/_size/_flags
+                boxes(a2, e2) { (t3, a3, e3) =>
+                  if (t3 == "trex") {
+                    if (a3 + 24 > e3) err()
+                    trexDefs(u32(a3 + 4).toInt) =
+                      (u32(a3 + 12), u32(a3 + 16), u32(a3 + 20))
+                  }
+                }
+              case _ => ()
+            }
           }
-        case _ => () // ftyp/mdat/free/…: skipped by size
+        case _ => () // ftyp/mdat/free/styp/sidx/…: skipped by size
       }
     }
     if (!sawMoov) err()

@@ -21,13 +21,25 @@ package graft.sources
   * what a text-corpus pipeline consumes and what stays
   * deterministic.
   *
+  * ENCRYPTED documents open when they are readable by design: the
+  * standard security handler (§7.6.3) with an EMPTY user password —
+  * RC4 (V1/V2, and V4 crypt filters with /CFM /V2) and AES-128-CBC
+  * (/CFM /AESV2) — derives the file key per Algorithm 2, verifies it
+  * against /U (Algorithms 4/5), and decrypts each stream with its
+  * per-object key before filters. A real password fails the /U check
+  * and refuses whole-file; AES-256 (/V 5) stays refused.
+  *
   * Envelope refusals (whole-file None, the [[GzipCodec]] discipline):
-  * filters beyond FlateDecode, TIFF predictor 2, encrypted documents
-  * (/Encrypt in the trailer), a truncated or looped xref chain or
+  * filters beyond FlateDecode, TIFF predictor 2, password-protected
+  * or AES-256 encryption, a truncated or looped xref chain or
   * object-stream cycle, a missing /Root, object/page/run/inflation
-  * budgets. Strings decode as Latin-1 (PDFDocEncoding agrees on the
-  * fixture range); composed-font ToUnicode CMaps are out of
-  * envelope. Never throws. */
+  * budgets. Strings under a font WITHOUT a /ToUnicode CMap decode as
+  * Latin-1 (PDFDocEncoding agrees on the fixture range); fonts WITH
+  * one — the composed-font (Type0/Identity-H) shape included — map
+  * their 1- or 2-byte character codes through the CMap's bfchar /
+  * bfrange (incrementing and array forms) tables, tracked across Tf
+  * operators, with unmapped codes degrading to U+FFFD rather than
+  * refusing. Never throws. */
 object PdfCodec {
 
   /** One shown text run: 0-based page and per-page run index. */
@@ -50,8 +62,13 @@ object PdfCodec {
   private case class PArr(vs: Vector[PVal]) extends PVal
   private case class PDict(m: Map[String, PVal]) extends PVal
   private case class PRef(num: Int) extends PVal
-  private case class PStream(dict: PDict, dataAt: Int) extends PVal
-  private case object POther extends PVal // bool/null: carried, unused
+  /** `num` is the OWNING object number (attached when loaded through
+    * the xref — -1 during raw parses): the standard security handler
+    * derives each stream's decryption key from it. */
+  private case class PStream(dict: PDict, dataAt: Int, num: Int = -1)
+    extends PVal
+  private case object POther extends PVal // null: carried, unused
+  private case class PBool(b: Boolean) extends PVal // /EncryptMetadata needs it
 
   /** Never throws: Fail is the deliberate refusal signal, and any
     * OTHER non-fatal escape (a parse-path oversight on hostile bytes)
@@ -113,6 +130,103 @@ object PdfCodec {
     out.write(s"trailer\n<< /Size ${objs.size + 1} /Root 1 0 R >>\n".getBytes)
     out.write(s"startxref\n$xrefAt\n%%EOF\n".getBytes)
     out.toByteArray
+  }
+
+  // ---- standard security handler (ISO 32000-1 §7.6.3) ----------------
+  // Empty-USER-password documents (readable-by-design, merely wrapped —
+  // common in crawls) decrypt; a real password fails the /U check and
+  // refuses whole-file. RC4 (V1/V2 and V4+CFM V2) and AES-128-CBC
+  // (V4+CFM AESV2) bodies; AES-256 (V5) stays refused.
+
+  /** The 32-byte password pad constant (Table 21 adjunct). */
+  private val PdfPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** Plain RC4 — hand-rolled so no JCE provider lookup can vary. */
+  private def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + key(i % key.length)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0
+    var y = 0
+    var k = 0
+    while (k < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + s(x)) & 0xff
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(k) = (data(k) ^ s((s(x) + s(y)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** Algorithm 2: file key from the (empty) user password. */
+  private def fileKey(o: Array[Byte], p: Int, id0: Array[Byte], r: Long,
+      n: Int, encryptMetadata: Boolean): Array[Byte] = {
+    val pLe = Array[Byte](p.toByte, (p >> 8).toByte, (p >> 16).toByte,
+      (p >> 24).toByte)
+    val extra =
+      if (r >= 4 && !encryptMetadata)
+        Array[Byte](-1, -1, -1, -1)
+      else Array.emptyByteArray
+    var key = md5(PdfPad, o, pLe, id0, extra)
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { key = md5(key.take(n)); i += 1 }
+    }
+    key.take(n)
+  }
+
+  /** Algorithms 4/5: what /U must equal under the empty user
+    * password — the open-by-design check. */
+  private def expectU(key: Array[Byte], id0: Array[Byte], r: Long): Array[Byte] =
+    if (r == 2) rc4(key, PdfPad)
+    else {
+      var e = rc4(key, md5(PdfPad, id0))
+      var i = 1
+      while (i <= 19) {
+        e = rc4(key.map(b => (b ^ i).toByte), e)
+        i += 1
+      }
+      e
+    }
+
+  /** Algorithm 1: decrypt one object's bytes with the per-object key. */
+  private def decryptObj(key: Array[Byte], aes: Boolean, num: Int,
+      data: Array[Byte]): Array[Byte] = {
+    val tail = Array[Byte](num.toByte, (num >> 8).toByte, (num >> 16).toByte,
+      0, 0) ++ // generation 0: the crawled-document shape
+      (if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.emptyByteArray)
+    val ok = md5(key ++ tail).take(math.min(key.length + 5, 16))
+    if (!aes) rc4(ok, data)
+    else {
+      // AES-128-CBC, 16-byte IV prefix, PKCS#5 padding
+      if (data.length < 32 || data.length % 16 != 0) err()
+      try {
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(ok, "AES"),
+          new javax.crypto.spec.IvParameterSpec(data.take(16)))
+        val plain = c.doFinal(data, 16, data.length - 16)
+        val pad = plain(plain.length - 1) & 0xff
+        if (pad < 1 || pad > 16 || pad > plain.length) err()
+        java.util.Arrays.copyOfRange(plain, 0, plain.length - pad)
+      } catch { case scala.util.control.NonFatal(_) => err() }
+    }
   }
 
   private def run(b: Array[Byte]): Vector[Run] = {
@@ -205,7 +319,9 @@ object PdfCodec {
             PNum(n1)
           case _ =>
             word() match {
-              case "true" | "false" | "null" => POther
+              case "true" => PBool(true)
+              case "false" => PBool(false)
+              case "null" => POther
               case _ => err()
             }
         }
@@ -340,7 +456,11 @@ object PdfCodec {
     def known(num: Int): Boolean =
       offsets.containsKey(num) || inStm.containsKey(num)
     var root = -1
-    var encrypted = false
+    // newest trailer's /Encrypt and /ID win (incremental updates walk
+    // newest-first); crypt is armed after object loading exists
+    var encryptVal: PVal = null
+    var docId: Array[Byte] = null
+    var crypt: Option[(Array[Byte], Boolean)] = None // (file key, aes?)
 
     def inflate(raw: Array[Byte]): Array[Byte] = {
       val inf = new java.util.zip.Inflater()
@@ -404,7 +524,14 @@ object PdfCodec {
         case _ => err()
       }
       if (s.dataAt + len > b.length) err()
-      val raw = java.util.Arrays.copyOfRange(b, s.dataAt, s.dataAt + len)
+      val raw0 = java.util.Arrays.copyOfRange(b, s.dataAt, s.dataAt + len)
+      // stream decryption precedes filters; xref streams never pass
+      // here with a num (they load outside obj()) and are never
+      // encrypted per spec — the num < 0 guard encodes both facts
+      val raw = crypt match {
+        case Some((key, aes)) if s.num >= 0 => decryptObj(key, aes, s.num, raw0)
+        case _ => raw0
+      }
       s.dict.m.get("Filter") match {
         case None => raw
         case Some(f) =>
@@ -583,7 +710,15 @@ object PdfCodec {
           // cross-reference STREAM (PDF 1.5+, the modern default)
           xrefStreamAt(xat)
         }
-      if (trailer.m.contains("Encrypt")) encrypted = true
+      if (encryptVal == null)
+        trailer.m.get("Encrypt").foreach(encryptVal = _)
+      if (docId == null) trailer.m.get("ID") match {
+        case Some(PArr(vs)) if vs.nonEmpty => vs.head match {
+          case PStr(id0) => docId = id0
+          case _ => ()
+        }
+        case _ => ()
+      }
       if (root < 0) trailer.m.get("Root") match {
         case Some(PRef(n)) => root = n
         case _ => ()
@@ -594,7 +729,7 @@ object PdfCodec {
         case _ => err()
       }
     }
-    if (encrypted || root < 0) err()
+    if (root < 0) err()
 
     // ---- object loading --------------------------------------------
     val cache = new java.util.HashMap[Int, PVal]()
@@ -616,7 +751,12 @@ object PdfCodec {
             if (pp.number().toInt != num) err()
             pp.number() // gen
             if (pp.word() != "obj") err()
-            pp.value(0)
+            pp.value(0) match {
+              // attach the owning object number: the security
+              // handler's per-object key derives from it
+              case s: PStream => s.copy(num = num)
+              case v => v
+            }
           } else inStm.get(num) match {
             case null => err()
             case (stm, idx) =>
@@ -667,6 +807,88 @@ object PdfCodec {
     }
     def streamData(s: PStream): Array[Byte] = streamDataWith(s, deref)
 
+    // ---- arm decryption (standard security handler) -------------------
+    if (encryptVal != null) {
+      val ed = deref(encryptVal) match { case d: PDict => d.m; case _ => err() }
+      def ednum(k: String, dflt: Long): Long = ed.get(k) match {
+        case Some(PNum(x)) => x.toLong
+        case None => dflt
+        case _ => err()
+      }
+      if (!ed.get("Filter").contains(PName("Standard"))) err()
+      val v = ednum("V", 0)
+      val r = ednum("R", 0)
+      val o = ed.get("O") match {
+        case Some(PStr(x)) if x.length >= 32 => x.take(32)
+        case _ => err()
+      }
+      val u = ed.get("U") match {
+        case Some(PStr(x)) if x.length >= 32 => x.take(32)
+        case _ => err()
+      }
+      val perm = ednum("P", 0).toInt
+      val encMeta = ed.get("EncryptMetadata") match {
+        case Some(PBool(x)) => x
+        case None => true
+        case _ => err()
+      }
+      if (docId == null) err() // Algorithm 2 needs the first /ID element
+      // key length in BYTES, and whether V4's crypt filter is AES
+      val (nBytes, aes) = v match {
+        case 1 => (5, false)
+        case 2 =>
+          val bits = ednum("Length", 40)
+          if (bits < 40 || bits > 128 || bits % 8 != 0) err()
+          (bits.toInt / 8, false)
+        case 4 =>
+          // /CF << /StdCF << /CFM /V2|/AESV2 /Length n >> >>, with
+          // /StmF /StrF naming StdCF (or Identity = no decryption)
+          val stmf = ed.get("StmF").getOrElse(PName("Identity"))
+          if (stmf == PName("Identity")) {
+            crypt = None
+            (-1, false) // streams unencrypted: nothing to arm
+          } else if (stmf != PName("StdCF")) err()
+          else {
+            val cf = deref(ed.getOrElse("CF", err())) match {
+              case d: PDict => deref(d.m.getOrElse("StdCF", err())) match {
+                case sd: PDict => sd.m
+                case _ => err()
+              }
+              case _ => err()
+            }
+            val cfm = cf.get("CFM") match {
+              case Some(PName(x)) => x
+              case _ => err()
+            }
+            val isAes = cfm match {
+              case "AESV2" => true
+              case "V2" => false
+              case _ => err() // AESV3 etc.: out of envelope
+            }
+            // crypt-filter /Length: bytes per PDF 1.5, but bit counts
+            // occur in the wild — values over 40 read as bits
+            val l = cf.get("Length") match {
+              case Some(PNum(x)) => if (x > 40) x.toLong / 8 else x.toLong
+              case None => 16L
+              case _ => err()
+            }
+            if (l < 5 || l > 16) err()
+            (l.toInt, isAes)
+          }
+        case _ => err() // V5/AES-256 and exotic V3: refused
+      }
+      if (nBytes > 0) {
+        if (r < 2 || r > 4) err()
+        val key = fileKey(o, perm, docId, r, nBytes, encMeta)
+        // the empty-user-password check: a mismatch means a REAL
+        // password protects this document — refuse, don't guess
+        val exp = expectU(key, docId, r)
+        val got = if (r == 2) u else u.take(16)
+        if (!java.util.Arrays.equals(exp.take(got.length), got)) err()
+        crypt = Some((key, aes))
+      }
+    }
+
     // ---- page tree ---------------------------------------------------
     val pages = Vector.newBuilder[PDict]
     var nPages = 0
@@ -690,18 +912,183 @@ object PdfCodec {
     val rootDict = deref(obj(root)) match { case d: PDict => d; case _ => err() }
     walk(rootDict.m.getOrElse("Pages", err()), 0)
 
+    // ---- ToUnicode CMaps (§9.10.3) -------------------------------------
+    // Composed fonts (Type0/Identity-H) show 2-byte character CODES
+    // that mean nothing without the font's /ToUnicode CMap; simple
+    // fonts may carry one too. Parse the bfchar/bfrange forms into a
+    // code → string table; wider CMap machinery (usecmap, surrogate
+    // CID ranges) stays out of envelope.
+    def parseCMap(data: Array[Byte]): (Boolean, Map[Int, String]) = {
+      var p = 0
+      val n = data.length
+      def du8(i: Int): Int = { if (i < 0 || i >= n) err(); data(i) & 0xff }
+      def skip(): Unit = {
+        var again = true
+        while (again) {
+          while (p < n && isWs(du8(p))) p += 1
+          if (p < n && du8(p) == '%') {
+            while (p < n && du8(p) != '\n' && du8(p) != '\r') p += 1
+          } else again = false
+        }
+      }
+      /** next token: Left(hex bytes) for <..>, Right(word/name/other). */
+      def tok(): Option[Either[Array[Byte], String]] = {
+        skip()
+        if (p >= n) return None
+        du8(p) match {
+          case '<' =>
+            p += 1
+            val out = new java.io.ByteArrayOutputStream()
+            var hi = -1
+            while ({ if (p >= n) err(); du8(p) != '>' }) {
+              val c = du8(p)
+              if (!isWs(c)) {
+                val d = Character.digit(c, 16)
+                if (d < 0) err()
+                if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+              }
+              p += 1
+            }
+            if (hi >= 0) out.write(hi << 4)
+            p += 1
+            Some(Left(out.toByteArray))
+          case '[' | ']' => p += 1; Some(Right(du8(p - 1).toChar.toString))
+          case _ =>
+            val s = p
+            if (du8(p) == '/' || du8(p) == '(') p += 1
+            while (p < n && !isWs(du8(p)) && !isDelim(du8(p))) p += 1
+            if (p == s) err()
+            Some(Right(new String(data, s, p - s,
+              java.nio.charset.StandardCharsets.ISO_8859_1)))
+        }
+      }
+      def hexOf(t: Option[Either[Array[Byte], String]]): Array[Byte] =
+        t match { case Some(Left(h)) => h; case _ => err() }
+      def codeOf(h: Array[Byte]): Int = {
+        if (h.isEmpty || h.length > 2) err()
+        h.foldLeft(0)((a, x) => (a << 8) | (x & 0xff))
+      }
+      def utf16(h: Array[Byte]): String =
+        new String(h, java.nio.charset.StandardCharsets.UTF_16BE)
+      /** dst string for code lo+k under the incrementing-bfrange rule:
+        * the LAST UTF-16 unit increments. */
+      def bump(dst: Array[Byte], k: Int): String = {
+        if (dst.length < 2 || dst.length % 2 != 0) err()
+        val d = dst.clone()
+        val last = ((d(d.length - 2) & 0xff) << 8) | (d(d.length - 1) & 0xff)
+        val v = last + k
+        if (v > 0xffff) err()
+        d(d.length - 2) = (v >> 8).toByte
+        d(d.length - 1) = v.toByte
+        utf16(d)
+      }
+      var twoByte = false
+      val m = scala.collection.mutable.Map.empty[Int, String]
+      var t = tok()
+      while (t.isDefined) {
+        t match {
+          case Some(Right("begincodespacerange")) =>
+            var inner = tok()
+            while (inner.exists(_.isLeft)) {
+              val lo = hexOf(inner)
+              val hi = hexOf(tok())
+              if (lo.length != hi.length || lo.length > 2) err()
+              if (lo.length == 2) twoByte = true
+              inner = tok()
+            }
+          case Some(Right("beginbfchar")) =>
+            var inner = tok()
+            while (inner.exists(_.isLeft)) {
+              val src = codeOf(hexOf(inner))
+              m(src) = utf16(hexOf(tok()))
+              if (m.size > 65536) err()
+              inner = tok()
+            }
+          case Some(Right("beginbfrange")) =>
+            var inner = tok()
+            while (inner.exists(_.isLeft)) {
+              val lo = codeOf(hexOf(inner))
+              val hi = codeOf(hexOf(tok()))
+              if (hi < lo || hi - lo > 65535) err()
+              tok() match {
+                case Some(Left(dst)) =>
+                  var k = 0
+                  while (k <= hi - lo) { m(lo + k) = bump(dst, k); k += 1 }
+                case Some(Right("[")) =>
+                  var k = 0
+                  var el = tok()
+                  while (el.exists(_.isLeft)) {
+                    if (lo + k > hi) err()
+                    m(lo + k) = utf16(hexOf(el))
+                    k += 1
+                    el = tok()
+                  }
+                  if (!el.contains(Right("]")) || k != hi - lo + 1) err()
+                case _ => err()
+              }
+              if (m.size > 65536) err()
+              inner = tok()
+            }
+          case _ => ()
+        }
+        t = tok()
+      }
+      (twoByte, m.toMap)
+    }
+
+    /** Per-page font-resource name → parsed ToUnicode map. */
+    def fontMapsOf(pg: PDict): Map[String, (Boolean, Map[Int, String])] =
+      deref(pg.m.getOrElse("Resources", POther)) match {
+        case rd: PDict => deref(rd.m.getOrElse("Font", POther)) match {
+          case fd: PDict =>
+            fd.m.flatMap { case (fname, fv) =>
+              deref(fv) match {
+                case f: PDict => deref(f.m.getOrElse("ToUnicode", POther)) match {
+                  case s: PStream => Some(fname -> parseCMap(streamData(s)))
+                  case _ => None
+                }
+                case _ => None
+              }
+            }
+          case _ => Map.empty
+        }
+        case _ => Map.empty
+      }
+
     // ---- content text scan -------------------------------------------
     val runs = Vector.newBuilder[Run]
     var emitted = 0
     def latin1(s: Array[Byte]): String =
       new String(s, java.nio.charset.StandardCharsets.ISO_8859_1)
-    def emit(page: Int, runIdx: Int, s: Array[Byte]): Int = {
+    def emit(page: Int, runIdx: Int, s: String): Int = {
       if (emitted >= MaxRuns) err()
-      runs += Run(page, runIdx, latin1(s))
+      runs += Run(page, runIdx, s)
       emitted += 1
       runIdx + 1
     }
     pages.result().zipWithIndex.foreach { case (pg, pageIdx) =>
+      val fontMaps = fontMapsOf(pg)
+      // current font's ToUnicode map, tracked across Tf operators;
+      // null = no map, bytes read as Latin-1 as before
+      var curMap: (Boolean, Map[Int, String]) = null
+      def decodeText(t: Array[Byte]): String = curMap match {
+        case null => latin1(t)
+        case (twoByte, m) =>
+          val w = if (twoByte) 2 else 1
+          if (t.length % w != 0) err()
+          val sb = new java.lang.StringBuilder()
+          var i = 0
+          while (i < t.length) {
+            val code =
+              if (w == 2) ((t(i) & 0xff) << 8) | (t(i + 1) & 0xff)
+              else t(i) & 0xff
+            // unmapped codes degrade to U+FFFD (content-level gap,
+            // not a structural fault — don't refuse the file)
+            sb.append(m.getOrElse(code, "�"))
+            i += w
+          }
+          sb.toString
+      }
       val parts: Vector[PVal] = pg.m.get("Contents") match {
         case None => Vector.empty
         case Some(c) => deref(c) match {
@@ -848,9 +1235,12 @@ object PdfCodec {
             operands ::= PArr(vs.result())
           case '/' =>
             cp.p += 1
+            val ns = cp.p
             while (cp.p < content.length && !isWs(cu8(cp.p)) &&
               !isDelim(cu8(cp.p))) cp.p += 1
-            operands ::= POther
+            // keep the name: Tf needs its font operand for ToUnicode
+            operands ::= PName(new String(content, ns, cp.p - ns,
+              java.nio.charset.StandardCharsets.ISO_8859_1))
           case c if c == '+' || c == '-' || c == '.' ||
               (c >= '0' && c <= '9') =>
             while (cp.p < content.length && !isWs(cu8(cp.p)) &&
@@ -868,20 +1258,26 @@ object PdfCodec {
               java.nio.charset.StandardCharsets.ISO_8859_1)
             op match {
               case "Tj" | "'" => operands match {
-                case PStr(t) :: _ => runIdx = emit(pageIdx, runIdx, t)
+                case PStr(t) :: _ => runIdx = emit(pageIdx, runIdx, decodeText(t))
                 case _ => err()
               }
               case "\"" => operands match {
-                case PStr(t) :: _ => runIdx = emit(pageIdx, runIdx, t)
+                case PStr(t) :: _ => runIdx = emit(pageIdx, runIdx, decodeText(t))
                 case _ => err()
               }
               case "TJ" => operands match {
                 case PArr(vs) :: _ =>
                   vs.foreach {
-                    case PStr(t) => runIdx = emit(pageIdx, runIdx, t)
+                    case PStr(t) => runIdx = emit(pageIdx, runIdx, decodeText(t))
                     case _ => () // kerning numbers
                   }
                 case _ => err()
+              }
+              case "Tf" => operands match {
+                // `/F1 12 Tf`: operands push in reverse (size on top)
+                case _ :: PName(f) :: _ =>
+                  curMap = fontMaps.getOrElse(f, null)
+                case _ => () // malformed Tf: font state unchanged
               }
               case _ => ()
             }

@@ -100,6 +100,7 @@ object ScaleBench {
     "q_sentences", "q_sentence_dedup", "q_gif_roundtrip",
     "q_safetensors_roundtrip", "q_arrow_roundtrip",
     "q_mp4_roundtrip", "q_pdf_roundtrip", "q_idw_interp",
+    "q_robots_filter_scale", "q_caption_align_scale",
     "q_image_decode", "q_incr_agg",
     "q_input_assembly", "q_json_extract", "q_jsonl_gz",
     "q_knn_k100_exact", "q_knn_k20_exact", "q_macro_f1",

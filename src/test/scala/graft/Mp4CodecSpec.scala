@@ -59,13 +59,64 @@ class Mp4CodecSpec extends SparkSpec {
     assert(ss.map(_.sync) == Vector(true, false, true, false))
   }
 
-  test("refusals: fragmented, truncated mdat, size<8 box, no moov") {
-    assert(Mp4Codec.decode(fixture("frag-03.mp4")).isEmpty, "moof")
+  test("refusals: truncated mdat, size<8 box, no moov, unanchored moof") {
+    // frag-03 (a moof with no traf) now PARSES under the fragment
+    // walk — to zero samples, the same absent-from-golden observable
+    assert(Mp4Codec.decode(fixture("frag-03.mp4")).exists(_.isEmpty))
     assert(Mp4Codec.decode(fixture("trunc-04.mp4")).isEmpty,
       "a sample table naming unfetchable bytes must refuse")
     assert(Mp4Codec.decode(fixture("badbox-05.mp4")).isEmpty, "size<8")
     assert(Mp4Codec.decode(Array.emptyByteArray).isEmpty)
     assert(Mp4Codec.decode("ftypnotabox".getBytes).isEmpty)
+    // a moof BEFORE any moov has no track anchor: refuse
+    val f = fixture("fmp4-07.mp4")
+    val moofAt = {
+      var p = 0; var found = -1
+      while (found < 0 && p + 8 <= f.length) {
+        val sz = ((f(p) & 0xff) << 24) | ((f(p + 1) & 0xff) << 16) |
+          ((f(p + 2) & 0xff) << 8) | (f(p + 3) & 0xff)
+        if (new String(f, p + 4, 4) == "moof") found = p else p += sz
+      }
+      found
+    }
+    assert(moofAt > 0)
+    assert(Mp4Codec.decode(f.drop(moofAt)).isEmpty, "moof before moov")
+  }
+
+  test("fragmented file: trex/tfhd defaults, trun overrides, base anchoring") {
+    val ss = Mp4Codec.decode(fixture("fmp4-07.mp4")).get
+    assert(ss.length == 9)
+    assert(ss.forall(s => s.track == 1 && s.handler == "vide" &&
+      s.codec == "avc1" && s.tsc == 1000))
+    // samples number contiguously across fragments; one chunk per traf
+    assert(ss.map(_.smp) == Vector(0, 1, 2, 3, 4, 5, 6, 7, 8))
+    assert(ss.map(_.chunk) == Vector(0, 0, 0, 0, 1, 1, 1, 2, 2))
+    // frag 1: trex duration default + tfhd size default +
+    // first-sample-flags (only sample 0 is sync)
+    assert(ss.take(4).map(_.dur).forall(_ == 100))
+    assert(ss.take(4).map(_.size).forall(_ == 50))
+    assert(ss.take(4).map(_.sync) == Vector(true, false, false, false))
+    // frag 2: v1 trun with per-sample size/flags/SIGNED cts; tfhd
+    // duration override; dts continues from frag 1 (no tfdt)
+    assert(ss(4).dts == 400 && ss(4).dur == 200 && ss(4).size == 70)
+    assert(ss(6).pts == 800 - 20, "negative v1 composition offset")
+    // frag 3: explicit base-data-offset, two truns chaining, tfdt
+    // rebase to 5000, trex non-sync default applies
+    assert(ss(7).dts == 5000 && ss(7).dur == 150)
+    assert(ss(8).dts == 5150 && ss(8).dur == 250)
+    assert(!ss(7).sync && !ss(8).sync)
+    assert(ss(8).off == ss(7).off + ss(7).size, "second trun continues")
+  }
+
+  test("fragmented fixture survives truncation and fuzz without throwing") {
+    val f = fixture("fmp4-07.mp4")
+    (0 until f.length by 5).foreach(k => Mp4Codec.decode(f.take(k)))
+    var j = 0
+    while (j < f.length) {
+      val m = f.clone(); m(j) = (m(j) ^ 0x4b).toByte
+      Mp4Codec.decode(m)
+      j += 1
+    }
   }
 
   test("hostile bytes never throw: truncations and single-byte fuzz") {
@@ -93,11 +144,11 @@ class Mp4CodecSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(byFile == Map(
       "vid-00.mp4" -> 10L, "av-01.mp4" -> 13L, "co64-02.mp4" -> 4L,
-      "cap-06.mp4" -> 12L))
+      "cap-06.mp4" -> 12L, "cap-07.mp4" -> 8L, "fmp4-07.mp4" -> 9L))
     // md5s are all distinct across samples (every payload differs)
     import org.apache.spark.sql.functions.countDistinct
     val n = df.agg(countDistinct("md5")).head.getLong(0)
-    assert(n == 39L)
+    assert(n == 56L)
   }
 
   test("mux round-trips through the walker: chunking, timing, sync, bytes") {

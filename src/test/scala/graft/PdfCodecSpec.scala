@@ -96,6 +96,52 @@ class PdfCodecSpec extends SparkSpec {
     }
   }
 
+  test("empty-password encryption decrypts: RC4-128 and AES-128 crypt filter") {
+    val rc4 = PdfCodec.decode(fixture("enc-rc4-08.pdf")).get
+    assert(rc4.map(_.text) == Vector(
+      "unwrapped by the empty password", "rc4 second line"))
+    val aes = PdfCodec.decode(fixture("enc-aes-09.pdf")).get
+    assert(aes.map(_.text) == Vector(
+      "aes body over cbc", "with a second run"))
+  }
+
+  test("ToUnicode CMaps: composed 2-byte codes, bfranges, font switching") {
+    val rs = PdfCodec.decode(fixture("cmap-11.pdf")).get
+    assert(rs.map(_.text) == Vector(
+      "Heﬃ",            // bfchar incl. the ffi ligature
+      "ff09A",               // multi-unit bfchar + incrementing bfrange ends
+      "é你",        // array-form bfrange
+      "H",
+      "Α😀",  // 1-byte CMap with a surrogate-pair dst
+      "plain latin1"))       // Tf back to a no-CMap font
+    // fuzz: CMap bytes are attacker-controlled too
+    val f = fixture("cmap-11.pdf")
+    (0 until f.length by 9).foreach(k => PdfCodec.decode(f.take(k)))
+    var j = 0
+    while (j < f.length) {
+      val m = f.clone(); m(j) = (m(j) ^ 0x63).toByte
+      PdfCodec.decode(m)
+      j += 1
+    }
+  }
+
+  test("a REAL user password fails the /U check and refuses whole-file") {
+    assert(PdfCodec.decode(fixture("encpw-10.pdf")).isEmpty)
+  }
+
+  test("encrypted fixtures survive truncation and fuzz without throwing") {
+    for (name <- Seq("enc-rc4-08.pdf", "enc-aes-09.pdf")) {
+      val f = fixture(name)
+      (0 until f.length by 9).foreach(k => PdfCodec.decode(f.take(k)))
+      var j = 0
+      while (j < f.length) {
+        val m = f.clone(); m(j) = (m(j) ^ 0x37).toByte
+        PdfCodec.decode(m)
+        j += 1
+      }
+    }
+  }
+
   test("malformed name escapes and multi-dot numbers refuse, never throw") {
     // round-15 advice: '/A#zz' hit Integer.parseInt and '1.2.3' hit
     // Double.parseDouble — both escaped decode's Fail-only catch and
@@ -160,6 +206,8 @@ class PdfCodecSpec extends SparkSpec {
     assert(byFile == Map(
       "doc-00.pdf" -> 6L, "doc-01.pdf" -> 3L, "doc-02.pdf" -> 1L,
       "xrefstm-05.pdf" -> 1L, "objstm-06.pdf" -> 1L,
-      "hybrid-07.pdf" -> 1L))
+      "hybrid-07.pdf" -> 1L, "enc-rc4-08.pdf" -> 2L,
+      "enc-aes-09.pdf" -> 2L, // bad-03/04, encpw-10: refused, absent
+      "cmap-11.pdf" -> 6L))
   }
 }

@@ -577,11 +577,13 @@ class PlanQualitySpec extends SparkSpec {
     // broadcast NLJ — correct on one fixture pair, a cross-match of
     // every video's samples against every other video's cues in the
     // production shape. The stem equi-key must survive as a hash join.
-    val p = executedPlan("q_caption_align")
-    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
-      || p.contains("ShuffledHashJoin"), s"q_caption_align lost its stem key:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"), s"q_caption_align degenerated to NLJ:\n$p")
-    assert(!p.contains("CartesianProduct"), s"q_caption_align:\n$p")
+    for (q <- Seq("q_caption_align", "q_caption_align_scale")) {
+      val p = executedPlan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+        || p.contains("ShuffledHashJoin"), s"$q lost its stem key:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degenerated to NLJ:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
   }
 
   test("ewma band join stays a keyed equi-join with the range as a post-filter") {

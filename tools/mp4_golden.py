@@ -21,11 +21,18 @@ Layout written under tools/fixtures/q_mp4_samples/:
                 sync per spec); free/udta boxes to skip on the way
   co64-02.mp4   64-bit chunk offsets (co64) + version-1 mvhd/tkhd/
                 mdhd (64-bit durations/times)
-  frag-03.mp4   a fragmented (moof) file -> whole-file refusal: the
-                sample tables live in movie fragments, out of envelope
+  frag-03.mp4   a moof carrying NO traf after a trak-less moov: parses
+                under the fragment walk to zero samples (absent from
+                the golden either way)
+  fmp4-07.mp4   a REAL fragmented file: init segment (empty stbl +
+                mvex/trex), three moof+mdat pairs exercising
+                default-base-is-moof, explicit base-data-offset,
+                implicit trun chaining, tfdt rebase, trex/tfhd/trun
+                default precedence, first-sample-flags, signed v1
+                composition offsets
   trunc-04.mp4  mdat shorter than the sample table claims -> refusal
   badbox-05.mp4 box size < 8 -> refusal
-The three bad files' ABSENCE from the golden is itself graded.
+The two bad files' ABSENCE from the golden is itself graded.
 """
 import hashlib
 import os
@@ -367,6 +374,190 @@ cap2 = Track(
     sync=[1, 5],
 )
 build("cap-07.mp4", [cap2])
+
+# ---- fmp4-07.mp4: a FRAGMENTED file (the DASH/HLS/CMAF segment
+# shape) written by this independent fragment muxer — init segment
+# (moov with an EMPTY stbl + mvex/trex defaults), then three moof+mdat
+# pairs exercising: default-base-is-moof anchoring with trex-default
+# durations and tfhd-default sizes + first-sample-flags (frag 1),
+# per-sample size/flags/SIGNED-cts overrides in a v1 trun (frag 2),
+# explicit base-data-offset with TWO truns, the second continuing
+# after the first run's data (frag 3, tfdt rebase). Golden rows come
+# from the tables used to WRITE, never from the walker under test.
+
+def _empty_stbl():
+    return (stsd(b"avc1") + stts([]) + stsc([]) + stsz([]) + stco([]))
+
+
+def _fmp4_moov(track_id, timescale, trex_dur, trex_size, trex_flags):
+    mhd = full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = box(b"minf", mhd + dinf() + box(b"stbl", _empty_stbl()))
+    mdia = box(b"mdia", mdhd(timescale, 0) + hdlr(b"vide", b"graft fmp4") +
+               minf)
+    trak = box(b"trak", tkhd(track_id, 0) + mdia)
+    trex = full(b"trex", 0, 0,
+                struct.pack(">IIIII", track_id, 1, trex_dur, trex_size,
+                            trex_flags))
+    return box(b"moov", mvhd(1000, 0) + trak + box(b"mvex", trex))
+
+
+def _tfhd(track_id, flags, fields):
+    return full(b"tfhd", 0, flags,
+                struct.pack(">I", track_id) + fields)
+
+
+def _tfdt(t, v=1):
+    return full(b"tfdt", v, 0,
+                struct.pack(">Q", t) if v else struct.pack(">I", t))
+
+
+def _trun(version, flags, n, data_off, first_flags, rows):
+    """rows: list of per-sample tuples in flag order
+    (dur?, size?, flags?, cts?) — include only the fields the flags
+    declare."""
+    body = struct.pack(">I", n)
+    if flags & 0x01:
+        body += struct.pack(">i", data_off)
+    if flags & 0x04:
+        body += struct.pack(">I", first_flags)
+    for r in rows:
+        for val in r:
+            if val < 0:
+                body += struct.pack(">i", val)  # signed cts (v1)
+            else:
+                body += struct.pack(">I", val)
+    return full(b"trun", version, flags, body)
+
+
+FMP4 = "fmp4-07.mp4"
+TSC7 = 1000
+NONSYNC = 0x10000
+payload7 = []  # (bytes, golden sample row fields)
+
+
+def _frag_rows(samples, frag_chunk, si0):
+    """samples: (size, dur, dts, cts, sync, payload)."""
+    for i, (size, dur, dts, cts, sync, data) in enumerate(samples):
+        ROWS.append((FMP4, 1, "vide", "avc1", TSC7, si0 + i, frag_chunk,
+                     None, size, dts, dur, dts + cts, 1 if sync else 0,
+                     hashlib.md5(data).hexdigest()))
+
+
+moov7 = _fmp4_moov(1, TSC7, trex_dur=100, trex_size=0, trex_flags=NONSYNC)
+head7 = ftyp() + moov7
+segs = []
+
+# frag 1: default-base-is-moof | default-sample-size; trun has
+# data-offset + first-sample-flags; durations from trex
+f1_data = [lcg_bytes(50, 31 + i) for i in range(4)]
+f1_moof_inner = (full(b"mfhd", 0, 0, struct.pack(">I", 1)) +
+                 box(b"traf",
+                     _tfhd(1, 0x20000 | 0x10, struct.pack(">I", 50)) +
+                     _tfdt(0) +
+                     _trun(0, 0x01 | 0x04, 4, 0, 0, [])))
+# data_offset (relative to moof start) = len(moof) + 8 (mdat header);
+# moof size is independent of the offset VALUE, so compute then rebuild
+f1_moof_sz = len(box(b"moof", f1_moof_inner))
+f1_moof = box(b"moof", (full(b"mfhd", 0, 0, struct.pack(">I", 1)) +
+                        box(b"traf",
+                            _tfhd(1, 0x20000 | 0x10,
+                                  struct.pack(">I", 50)) +
+                            _tfdt(0) +
+                            _trun(0, 0x01 | 0x04, 4, f1_moof_sz + 8, 0,
+                                  []))))
+assert len(f1_moof) == f1_moof_sz
+segs.append((f1_moof, b"".join(f1_data)))
+_frag_rows([(50, 100, i * 100, 0, i == 0, f1_data[i]) for i in range(4)],
+           frag_chunk=0, si0=0)
+
+# frag 2: per-sample size/flags/cts (v1 trun, one NEGATIVE cts);
+# durations from a tfhd default override (200); dts continues at 400
+f2_sz = [70, 30, 45]
+f2_fl = [0, NONSYNC, NONSYNC]
+f2_cts = [0, 40, -20]
+f2_data = [lcg_bytes(s, 91 + i) for i, s in enumerate(f2_sz)]
+f2_rows = [(0, f2_sz[i], f2_fl[i], f2_cts[i]) for i in range(3)]
+f2_rows = [r[1:] for r in f2_rows]  # only size/flags/cts fields
+f2_inner = (full(b"mfhd", 0, 0, struct.pack(">I", 2)) +
+            box(b"traf",
+                _tfhd(1, 0x20000 | 0x08, struct.pack(">I", 200)) +
+                _trun(1, 0x01 | 0x200 | 0x400 | 0x800, 3, 0, 0, f2_rows)))
+f2_sz_moof = len(box(b"moof", f2_inner))
+f2_moof = box(b"moof", (full(b"mfhd", 0, 0, struct.pack(">I", 2)) +
+                        box(b"traf",
+                            _tfhd(1, 0x20000 | 0x08,
+                                  struct.pack(">I", 200)) +
+                            _trun(1, 0x01 | 0x200 | 0x400 | 0x800, 3,
+                                  f2_sz_moof + 8, 0, f2_rows))))
+assert len(f2_moof) == f2_sz_moof
+segs.append((f2_moof, b"".join(f2_data)))
+_frag_rows([(f2_sz[i], 200, 400 + 200 * i, f2_cts[i],
+             (f2_fl[i] & NONSYNC) == 0, f2_data[i]) for i in range(3)],
+           frag_chunk=1, si0=4)
+
+# frag 3: EXPLICIT base-data-offset; two truns — the first with no
+# data-offset (starts at base), the second continuing after it;
+# per-sample durations, sizes from tfhd default; tfdt rebases to 5000
+f3_dur = [150, 250]
+f3_data = [lcg_bytes(40, 171), lcg_bytes(40, 182)]
+
+
+def _frag3(base_off):
+    return box(b"moof",
+               full(b"mfhd", 0, 0, struct.pack(">I", 3)) +
+               box(b"traf",
+                   _tfhd(1, 0x01 | 0x10,
+                         struct.pack(">QI", base_off, 40)) +
+                   _tfdt(5000) +
+                   _trun(0, 0x100, 1, 0, 0, [(f3_dur[0],)]) +
+                   _trun(0, 0x100, 1, 0, 0, [(f3_dur[1],)])))
+
+
+f3_sz_moof = len(_frag3(0))
+segs.append((None, b"".join(f3_data)))  # placeholder, patched below
+# no flags at trun/tfhd level -> trex default (non-sync) applies
+_frag_rows([(40, f3_dur[0], 5000, 0, False, f3_data[0]),
+            (40, f3_dur[1], 5000 + f3_dur[0], 0, False, f3_data[1])],
+           frag_chunk=2, si0=7)
+
+# assemble: compute absolute positions, then write
+pos = len(head7)
+blob7 = bytearray(head7)
+for i, (moof, data) in enumerate(segs):
+    if moof is None:  # frag 3: explicit ABSOLUTE base offset
+        base = pos + f3_sz_moof + 8
+        moof = _frag3(base)
+        assert len(moof) == f3_sz_moof
+    blob7 += moof
+    pos += len(moof)
+    blob7 += box(b"mdat", data)
+    pos += 8 + len(data)
+with open(os.path.join(D, FMP4), "wb") as fh:
+    fh.write(bytes(blob7))
+# fix golden offsets now that layout is known: recompute each sample's
+# absolute offset by replaying the same layout
+_off_rows = [r for r in ROWS if r[0] == FMP4]
+_data_pos = []
+pos = len(head7)
+for (moof, data), nsmp in zip(
+        [(m, d) for m, d in segs], [4, 3, 2]):
+    msz = f3_sz_moof if moof is None else len(moof)
+    pos += msz
+    _data_pos.append(pos + 8)
+    pos += 8 + len(data)
+_sizes_per_frag = [[50] * 4, f2_sz, [40, 40]]
+_fixed = []
+fi = 0
+for r in ROWS:
+    if r[0] != FMP4:
+        _fixed.append(r)
+        continue
+    frag = r[6]
+    within = r[5] - [0, 4, 7][frag]
+    off = _data_pos[frag] + sum(_sizes_per_frag[frag][:within])
+    _fixed.append(r[:7] + (off,) + r[8:])
+    fi += 1
+ROWS[:] = _fixed
 
 # ---- frag-03.mp4: moof present -> refuse whole file
 frag = (ftyp() +

@@ -52,7 +52,7 @@ class PdfBuilder:
         self.objs[num] = body.encode("latin-1") if isinstance(body, str) \
             else body
 
-    def build(self, extra_tail=None):
+    def build(self, extra_tail=None, trailer_extra=""):
         out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
         offsets = {}
         for num in sorted(self.objs):
@@ -69,7 +69,8 @@ class PdfBuilder:
                 out += b"%010d 00000 n \n" % offsets[n]
             else:
                 out += b"0000000000 65535 f \n"
-        out += b"trailer\n<< /Size %d /Root 1 0 R >>\n" % (maxn + 1)
+        out += b"trailer\n<< /Size %d /Root 1 0 R%s >>\n" % (
+            maxn + 1, trailer_extra.encode("latin-1"))
         out += b"startxref\n%d\n%%%%EOF\n" % xref_at
         return bytes(out)
 
@@ -334,6 +335,299 @@ hy.extend(b"startxref\n%d\n%%%%EOF\n" % cx_at)
 with open(os.path.join(D, "hybrid-07.pdf"), "wb") as fh:
     fh.write(bytes(hy))
 ROWS.append(("hybrid-07.pdf", 0, 0, "hybrid: classic trailer + XRefStm"))
+
+# ---- encrypted documents (standard security handler, ISO 32000-1
+# §7.6.3) — empty-USER-password files are readable by design and
+# common in crawls; the engine must unwrap them. All crypto here is
+# implemented from the public spec in stdlib python (hashlib.md5 +
+# hand-rolled RC4 and AES-128) so the fixture stays independent of
+# both the engine and any crypto library.
+
+import hashlib
+
+PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A])
+
+
+def rc4(key, data):
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    x = y = 0
+    for c in data:
+        x = (x + 1) & 0xFF
+        y = (y + s[x]) & 0xFF
+        s[x], s[y] = s[y], s[x]
+        out.append(c ^ s[(s[x] + s[y]) & 0xFF])
+    return bytes(out)
+
+
+# AES-128 from FIPS-197 (S-box via GF(2^8) inverse + affine transform)
+def _gmul(a, b):
+    r = 0
+    while b:
+        if b & 1:
+            r ^= a
+        a <<= 1
+        if a & 0x100:
+            a ^= 0x11B
+        b >>= 1
+    return r
+
+
+_INV = [0] * 256
+for _a in range(1, 256):
+    for _x in range(1, 256):
+        if _gmul(_a, _x) == 1:
+            _INV[_a] = _x
+            break
+SBOX = []
+for _a in range(256):
+    _v = _INV[_a]
+    _s = _v
+    for _ in range(4):
+        _v = ((_v << 1) | (_v >> 7)) & 0xFF
+        _s ^= _v
+    SBOX.append(_s ^ 0x63)
+
+
+def _aes_expand(key):
+    rcon = 1
+    w = [list(key[i:i + 4]) for i in range(0, 16, 4)]
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = [SBOX[t[1]], SBOX[t[2]], SBOX[t[3]], SBOX[t[0]]]
+            t[0] ^= rcon
+            rcon = _gmul(rcon, 2)
+        w.append([w[i - 4][k] ^ t[k] for k in range(4)])
+    return w
+
+
+def _aes_block(w, block):
+    # column-major state per FIPS-197
+    st = [[block[r + 4 * c] for c in range(4)] for r in range(4)]
+
+    def add_rk(rnd):
+        for c in range(4):
+            for r in range(4):
+                st[r][c] ^= w[4 * rnd + c][r]
+
+    def sub_shift():
+        for r in range(4):
+            for c in range(4):
+                st[r][c] = SBOX[st[r][c]]
+        for r in range(1, 4):
+            st[r] = st[r][r:] + st[r][:r]
+
+    def mix():
+        for c in range(4):
+            a = [st[r][c] for r in range(4)]
+            st[0][c] = _gmul(a[0], 2) ^ _gmul(a[1], 3) ^ a[2] ^ a[3]
+            st[1][c] = a[0] ^ _gmul(a[1], 2) ^ _gmul(a[2], 3) ^ a[3]
+            st[2][c] = a[0] ^ a[1] ^ _gmul(a[2], 2) ^ _gmul(a[3], 3)
+            st[3][c] = _gmul(a[0], 3) ^ a[1] ^ a[2] ^ _gmul(a[3], 2)
+
+    add_rk(0)
+    for rnd in range(1, 10):
+        sub_shift()
+        mix()
+        add_rk(rnd)
+    sub_shift()
+    add_rk(10)
+    return bytes(st[r][c] for c in range(4) for r in range(4))
+
+
+# FIPS-197 appendix C.1 vector: the from-scratch core must reproduce it
+assert _aes_block(
+    _aes_expand(bytes(range(16))),
+    bytes.fromhex("00112233445566778899aabbccddeeff")
+).hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+
+
+def aes_cbc_encrypt(key, iv, data):
+    pad_n = 16 - (len(data) % 16)
+    data = data + bytes([pad_n]) * pad_n
+    w = _aes_expand(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = _aes_block(w, blk)
+        out += prev
+    return iv + bytes(out)
+
+
+def file_key(o, p, id0, r, n, user_pw=b""):
+    pw = (user_pw + PAD)[:32]
+    h = hashlib.md5(pw + o + struct.pack("<i", p) + id0).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def owner_o(r, n, owner_pw=b"", user_pw=b""):
+    h = hashlib.md5((owner_pw + PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    o = rc4(key, (user_pw + PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def user_u(key, id0, r):
+    if r == 2:
+        return rc4(key, PAD)
+    e = rc4(key, hashlib.md5(PAD + id0).digest())
+    for i in range(1, 20):
+        e = rc4(bytes(b ^ i for b in key), e)
+    return e + b"\x00" * 16  # 32 bytes on disk; only 16 are checked
+
+
+def obj_key(key, num, aes):
+    tail = struct.pack("<I", num)[:3] + b"\x00\x00"
+    if aes:
+        tail += b"sAlT"
+    return hashlib.md5(key + tail).digest()[:min(len(key) + 5, 16)]
+
+
+def hexstr(b):
+    return "<%s>" % b.hex().upper()
+
+
+def encrypted_pdf(fname, texts, aes, user_pw=b"", perm=-4):
+    id0 = hashlib.md5(fname.encode()).digest()  # deterministic 16 bytes
+    r, v, nbytes = (4, 4, 16) if aes else (3, 2, 16)
+    o = owner_o(r, nbytes, b"", user_pw)
+    key = file_key(o, perm, id0, r, nbytes, user_pw)
+    u = user_u(key, id0, r)
+    content = ("BT /F1 12 Tf 72 720 Td " +
+               " ".join("(%s) Tj 0 -14 Td" % t for t in texts) +
+               " ET").encode("latin-1")
+    ck = obj_key(key, 4, aes)  # the content stream is object 4
+    if aes:
+        iv = hashlib.md5(b"iv" + fname.encode()).digest()[:16]
+        enc = aes_cbc_encrypt(ck, iv, content)
+    else:
+        enc = rc4(ck, content)
+    b = PdfBuilder()
+    b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(3, page_obj(2, "4 0 R"))
+    b.add(4, stream_obj(enc))
+    if aes:
+        b.add(5, "<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                 "/CF << /StdCF << /CFM /AESV2 /Length 16 "
+                 "/AuthEvent /DocOpen >> >> /StmF /StdCF /StrF /StdCF "
+                 "/O %s /U %s /P %d >>" % (hexstr(o), hexstr(u), perm))
+    else:
+        b.add(5, "<< /Filter /Standard /V 2 /R 3 /Length 128 "
+                 "/O %s /U %s /P %d >>" % (hexstr(o), hexstr(u), perm))
+    data = b.build(trailer_extra=" /Encrypt 5 0 R /ID [%s %s]" % (
+        hexstr(id0), hexstr(id0)))
+    with open(os.path.join(D, fname), "wb") as fh:
+        fh.write(data)
+    return texts
+
+
+# enc-rc4-08.pdf: V2/R3 RC4-128, empty user password -> decrypts
+for i, t in enumerate(encrypted_pdf(
+        "enc-rc4-08.pdf",
+        ["unwrapped by the empty password", "rc4 second line"],
+        aes=False)):
+    ROWS.append(("enc-rc4-08.pdf", 0, i, t))
+# enc-aes-09.pdf: V4/R4 AESV2 (AES-128-CBC) -> decrypts
+for i, t in enumerate(encrypted_pdf(
+        "enc-aes-09.pdf",
+        ["aes body over cbc", "with a second run"],
+        aes=True)):
+    ROWS.append(("enc-aes-09.pdf", 0, i, t))
+# encpw-10.pdf: a REAL user password ("secret") -> the empty-password
+# /U check fails and the whole file refuses; graded by ABSENCE
+encrypted_pdf("encpw-10.pdf", ["you should never see this"],
+              aes=False, user_pw=b"secret")
+
+# ---- cmap-11.pdf: composed-font text via /ToUnicode CMaps — the
+# text-fidelity layer for CJK/ligature PDFs: a Type0/Identity-H font
+# shows 2-BYTE character codes that mean nothing without the CMap
+# (bfchar incl. multi-unit expansions, incrementing bfrange, array
+# bfrange), plus a 1-byte simple font with its own CMap, plus a font
+# with NO CMap mid-page proving the Tf state machine switches back to
+# Latin-1. Golden text comes from the tables used to WRITE.
+CMAP2 = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CMapName /graft-uni def
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+4 beginbfchar
+<0001> <0048>
+<0002> <0065>
+<0003> <FB03>
+<0004> <00660066>
+endbfchar
+2 beginbfrange
+<0010> <0019> <0030>
+<0020> <0022> [<0041> <00E9> <4F60>]
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
+CMAP1 = b"""begincmap
+1 begincodespacerange
+<00> <FF>
+endcodespacerange
+2 beginbfchar
+<41> <0391>
+<42> <D83DDE00>
+endbfchar
+endcmap"""
+
+bc = PdfBuilder()
+bc.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+bc.add(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+bc.add(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          "/Resources << /Font << /F9 5 0 R /F8 7 0 R /F0 9 0 R >> >> "
+          "/Contents 4 0 R >>")
+ccm = (b"BT /F9 12 Tf 72 720 Td "
+       b"<000100020003> Tj "            # H e ffi-ligature
+       b"<0004001000190020> Tj "        # ff 0 9 A
+       b"[<00210022> 40 <0001>] TJ "    # e-acute nihao | H
+       b"/F8 12 Tf (AB) Tj "            # 1-byte map: Alpha, emoji
+       b"/F0 12 Tf (plain latin1) Tj "  # no CMap: bytes as Latin-1
+       b"ET")
+bc.add(4, stream_obj(ccm))
+bc.add(5, "<< /Type /Font /Subtype /Type0 /BaseFont /Graft "
+          "/Encoding /Identity-H /ToUnicode 6 0 R >>")
+bc.add(6, stream_obj(zlib.compress(CMAP2, 9), filt="FlateDecode"))
+bc.add(7, "<< /Type /Font /Subtype /TrueType /BaseFont /GraftSimple "
+          "/ToUnicode 8 0 R >>")
+bc.add(8, stream_obj(CMAP1))
+bc.add(9, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+with open(os.path.join(D, "cmap-11.pdf"), "wb") as fh:
+    fh.write(bc.build())
+emit_cmap = [
+    "Heﬃ",
+    "ff09A",
+    "é你",
+    "H",
+    "Α\U0001F600",
+    "plain latin1",
+]
+for i, t in enumerate(emit_cmap):
+    ROWS.append(("cmap-11.pdf", 0, i, t))
 
 schema = pa.schema([
     ("file", pa.string()), ("page", pa.int32()),
