@@ -24,10 +24,15 @@ package graft.sources
   * plain scaled decimal string — 128 bits can't ride the 64-bit bits
   * channel), Date 32/64, Time 32/64, Timestamp (all four units, with
   * or without a timezone — the label carries both), Duration,
-  * List<primitive> and FixedSizeList<primitive>, and Struct of flat
-  * scalar children (one parent-nullity cell per row plus per-child
-  * columns named `parent.child`, children reading as null wherever
-  * the parent slot is null — their bytes are undefined there);
+  * List and FixedSizeList of any scalar leaf (utf8/binary included),
+  * Struct of scalar children (one parent-nullity cell per row plus
+  * per-child columns named `parent.child`, children reading as null
+  * wherever the parent slot is null — their bytes are undefined
+  * there), plus the two HF-datasets nested-feature shapes:
+  * List<Struct<scalars>> (sequence-of-dict, e.g. SQuAD-v2 answers —
+  * one struct cell per ELEMENT plus per-kid cells at that element
+  * index) and Struct with List<scalar> children (the SQuAD-v1
+  * `answers: {text: [..], answer_start: [..]}` shape);
   * dictionary-encoded columns over any of the scalar types
   * (pandas-categorical exports dictionary-encode BY DEFAULT — indices
   * of any Int width map through the DictionaryBatch-delivered value
@@ -38,9 +43,10 @@ package graft.sources
   * raw), decompressed under [[MaxBufBytes]].
   * Documented refusals, all whole-file (a columnar table is
   * all-or-nothing): delta dictionaries, dictionary-of-nested,
-  * Null/Interval/Union/Map/RunEndEncoded columns, nesting beyond one
-  * level (list-of-list, struct-in-struct, list-in-struct), trailing
-  * bytes after a stream's end-of-stream marker. Values emit as raw
+  * Null/Interval/Union/Map/RunEndEncoded columns, nesting beyond the
+  * two supported two-level shapes (list-of-list, struct-in-struct,
+  * anything three levels deep), trailing bytes after a stream's
+  * end-of-stream marker. Values emit as raw
   * little-endian bits zero-extended to a long (bit-exact NaN
   * payloads), strings as UTF-8, binary as lowercase hex. Never
   * throws.
@@ -140,12 +146,22 @@ object ArrowCodec {
     * value per slot, rendered as a plain decimal string (a 128-bit
     * value can't ride the 64-bit `bits` channel). */
   private case class DecT(width: Int, scale: Int, label: String) extends Typ
-  private case class ListT(child: Prim, childBool: Boolean, fixed: Int,
-      label: String) extends Typ
-  /** Struct of flat scalar children: one parent validity node, then
-    * each child as a full column gated on parent validity. */
+  /** List (fixed = 0) or FixedSizeList (fixed = N) of any SCALAR leaf
+    * — or of a struct of scalars (the HF-datasets sequence-of-dict
+    * feature shape, e.g. SQuAD answers). */
+  private case class ListT(child: Typ, fixed: Int, label: String) extends Typ
+  /** Struct whose children are scalars or lists of scalars (the
+    * SQuAD-v1 `answers: {text: [..], answer_start: [..]}` shape): one
+    * parent validity node, then each child as a full column gated on
+    * parent validity. */
   private case class StructT(children: Vector[FieldSpec], label: String)
     extends Typ
+
+  /** A flat value type: rides one node + (validity, data…) buffers. */
+  private def isScalar(t: Typ): Boolean = t match {
+    case _: ListT | _: StructT => false
+    case _ => true
+  }
 
   /** TimeUnit enum (Schema.fbs): SECOND MILLISECOND MICROSECOND
     * NANOSECOND → the label suffix. */
@@ -266,16 +282,19 @@ object ArrowCodec {
         if (tz.length > 64) err()
         Prim(s"ts_${unitName(u)}" + (if (tz.isEmpty) "" else s"[$tz]"), 8)
       case 12 => // List
-        if (depth > 0) err()
+        if (depth > 1) err()
         val child = parseField(b, childField(0), depth + 1)
         if (child.dict.isDefined) err() // dictionary-encoded list child: refuse
         child.typ match {
-          case p: Prim => ListT(p, childBool = false, fixed = 0, s"list<${p.label}>")
-          case BoolT => ListT(Prim("bool", 0), childBool = true, 0, "list<bool>")
-          case _ => err()
+          case st: StructT if depth == 0 &&
+              st.children.forall(k => isScalar(k.typ)) =>
+            ListT(st, 0, "list<struct>")
+          case t if isScalar(t) => ListT(t, 0, s"list<${t.label}>")
+          case _ => err() // list<list>, list<struct<nested>>: refuse
         }
-      case 13 => // Struct: flat scalar children only (children(5))
-        if (depth > 0) err()
+      case 13 => // Struct: scalar children, plus list-of-scalar
+        // children at top level (children(5))
+        if (depth > 1) err()
         val ch = field(b, fpos, 5)
         if (ch < 0) err()
         val (nc, _) = vec(b, ch, 4)
@@ -285,7 +304,9 @@ object ArrowCodec {
         kids.foreach { k =>
           if (k.dict.isDefined) err() // dictionary-encoded child: refuse
           k.typ match {
-            case _: ListT | _: StructT => err() // nested nesting: refuse
+            case _: StructT => err() // struct-in-struct: refuse
+            case ListT(c, _, _) if depth == 0 && isScalar(c) => ()
+            case _: ListT => err()
             case _ => ()
           }
         }
@@ -304,8 +325,7 @@ object ArrowCodec {
         val child = parseField(b, childField(0), depth + 1)
         if (child.dict.isDefined) err()
         child.typ match {
-          case p: Prim => ListT(p, childBool = false, ls, s"fsl$ls<${p.label}>")
-          case BoolT => ListT(Prim("bool", 0), childBool = true, ls, s"fsl$ls<bool>")
+          case t if isScalar(t) => ListT(t, ls, s"fsl$ls<${t.label}>")
           case _ => err()
         }
       case 18 => // Duration: unit(0, default MILLISECOND), always 64-bit
@@ -473,58 +493,36 @@ object ArrowCodec {
         i += 1
       }
     } else {
-    /** One flat scalar column named `name`: consumes its node +
-      * buffers; emits a value only where `gate(i)` holds (a struct
-      * child's values are UNDEFINED where the parent slot is null —
-      * they must emit as null without reading the data). */
-    def scalarCol(name: String, typ: Typ, gate: Long => Boolean): Unit = {
-      val (len, _) = nextNode()
-      if (len != rows) err()
-      val v = valid(nextBuf(), len)
-      def nul(i: Long, label: String): Unit =
-        out += Cell(batchIdx, name, i, None, label, isNull = true, None, None)
-      if (out.size + len > MaxCells) err()
-      typ match {
-        case Prim(label, width) =>
-          val dat = nextBuf()
-          var i = 0L
-          while (i < len) {
-            if (gate(i) && v(i))
-              out += Cell(batchIdx, name, i, None, label, isNull = false,
-                Some(bitsAt(dat, width, i)), None)
-            else nul(i, label)
-            i += 1
-          }
-        case BoolT =>
-          val dat = nextBuf()
-          var i = 0L
-          while (i < len) {
-            if (gate(i) && v(i))
-              out += Cell(batchIdx, name, i, None, "bool", isNull = false,
-                Some(boolAt(dat, i)), None)
-            else nul(i, "bool")
-            i += 1
-          }
-        case FixedBytes(width, label) =>
-          val dat = nextBuf()
-          var i = 0L
-          while (i < len) {
-            if (gate(i) && v(i)) {
+      // ---- materialized readers -------------------------------------
+      // Buffers must be consumed in depth-first field order, but
+      // emission wants random access per slot — so each flat leaf
+      // column is materialized into per-slot accessors first.
+      // `bits`/`str` are only invoked on valid, parent-visible slots.
+      case class Leaf(label: String, len: Long, ok: Long => Boolean,
+          bits: Long => Long, str: Long => String)
+      def readLeaf(typ: Typ): Leaf = {
+        val (len, _) = nextNode()
+        val v = valid(nextBuf(), len)
+        typ match {
+          case Prim(label, width) =>
+            val dat = nextBuf()
+            Leaf(label, len, v, i => bitsAt(dat, width, i), null)
+          case BoolT =>
+            val dat = nextBuf()
+            Leaf("bool", len, v, i => boolAt(dat, i), null)
+          case FixedBytes(width, label) =>
+            val dat = nextBuf()
+            Leaf(label, len, v, null, { i =>
               if ((i + 1) * width > dat.len) err()
               val raw = new Array[Byte](width)
               System.arraycopy(dat.a, (dat.at + i * width).toInt, raw, 0, width)
-              out += Cell(batchIdx, name, i, None, label, isNull = false,
-                None, Some(raw.map(x => f"${x & 0xff}%02x").mkString))
-            } else nul(i, label)
-            i += 1
-          }
-        case DecT(width, scale, label) =>
-          val dat = nextBuf()
-          var i = 0L
-          while (i < len) {
-            if (gate(i) && v(i)) {
+              raw.map(x => f"${x & 0xff}%02x").mkString
+            })
+          case DecT(width, scale, label) =>
+            val dat = nextBuf()
+            Leaf(label, len, v, null, { i =>
               if ((i + 1) * width > dat.len) err()
-              // LE two's-complement unscaled value → big-endian for
+              // LE two's-complement unscaled value -> big-endian for
               // BigInteger, then scale to a plain decimal string
               val be = new Array[Byte](width)
               var j = 0
@@ -532,96 +530,173 @@ object ArrowCodec {
                 be(j) = dat.a((dat.at + i * width + (width - 1 - j)).toInt)
                 j += 1
               }
-              val txt = new java.math.BigDecimal(
+              new java.math.BigDecimal(
                 new java.math.BigInteger(be), scale).toPlainString
-              out += Cell(batchIdx, name, i, None, label, isNull = false,
-                None, Some(txt))
-            } else nul(i, label)
-            i += 1
-          }
-        case VarBytes(label, offw) =>
-          val offs = nextBuf()
-          if ((len + 1) * offw > offs.len) err()
-          val dat = nextBuf()
-          val utf8 = label == "utf8" || label == "lutf8"
-          var i = 0L
-          while (i < len) {
-            if (gate(i) && v(i)) {
+            })
+          case VarBytes(label, offw) =>
+            val offs = nextBuf()
+            if ((len + 1) * offw > offs.len) err()
+            val dat = nextBuf()
+            val utf8 = label == "utf8" || label == "lutf8"
+            Leaf(label, len, v, null, { i =>
               val s = buN(offs, offw.toLong * i, offw)
               val e = buN(offs, offw.toLong * (i + 1), offw)
               if (e < s || e > dat.len) err()
               val raw = new Array[Byte]((e - s).toInt)
               System.arraycopy(dat.a, (dat.at + s).toInt, raw, 0, raw.length)
-              val text =
-                if (utf8)
-                  new String(raw, java.nio.charset.StandardCharsets.UTF_8)
-                else raw.map(x => f"${x & 0xff}%02x").mkString
-              out += Cell(batchIdx, name, i, None, label, isNull = false, None, Some(text))
-            } else nul(i, label)
+              if (utf8) new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+              else raw.map(x => f"${x & 0xff}%02x").mkString
+            })
+          case _ => err() // nested leaf: unreachable by construction
+        }
+      }
+      def put(name: String, row: Long, elem: Option[Long], leaf: Leaf,
+          i: Long, gate: Boolean): Unit = {
+        if (out.size >= MaxCells) err()
+        if (gate && leaf.ok(i)) {
+          if (leaf.str == null)
+            out += Cell(batchIdx, name, row, elem, leaf.label,
+              isNull = false, Some(leaf.bits(i)), None)
+          else
+            out += Cell(batchIdx, name, row, elem, leaf.label,
+              isNull = false, None, Some(leaf.str(i)))
+        } else out += Cell(batchIdx, name, row, elem, leaf.label,
+          isNull = true, None, None)
+      }
+      def nullCell(name: String, row: Long, elem: Option[Long],
+          label: String): Unit = {
+        if (out.size >= MaxCells) err()
+        out += Cell(batchIdx, name, row, elem, label, isNull = true, None, None)
+      }
+
+      f.typ match {
+        case t if isScalar(t) =>
+          val leaf = readLeaf(t)
+          if (leaf.len != rows) err()
+          var i = 0L
+          while (i < rows) { put(f.name, i, None, leaf, i, gate = true); i += 1 }
+
+        case ListT(child, fixed, label) =>
+          val (len, _) = nextNode()
+          if (len != rows) err()
+          val v = valid(nextBuf(), len)
+          val offs = if (fixed == 0) nextBuf() else Buf(b, 0, 0)
+          if (fixed == 0 && (len + 1) * 4 > offs.len) err()
+          def span(i: Long): (Long, Long) =
+            if (fixed > 0) (i * fixed, fixed.toLong)
+            else {
+              val s = buN(offs, 4 * i, 4)
+              val e = buN(offs, 4 * (i + 1), 4)
+              if (e < s) err()
+              (s, e - s)
+            }
+          child match {
+            case st: StructT =>
+              // list<struct<scalars>> (the sequence-of-dict feature
+              // shape): the struct rides its own node + validity,
+              // then one leaf per kid; a struct cell per ELEMENT
+              // records element-level nullity
+              val (clen, _) = nextNode()
+              val cv = valid(nextBuf(), clen)
+              val kids = st.children.map(k => (k.name, readLeaf(k.typ)))
+              kids.foreach { case (_, l) => if (l.len != clen) err() }
+              var i = 0L
+              while (i < len) {
+                if (!v(i)) nullCell(f.name, i, None, label)
+                else {
+                  val (s, n) = span(i)
+                  if (s + n > clen) err()
+                  var k = 0L
+                  while (k < n) {
+                    val ci = s + k
+                    if (out.size >= MaxCells) err()
+                    out += Cell(batchIdx, f.name, i, Some(k), "struct",
+                      isNull = !cv(ci), None, None)
+                    kids.foreach { case (kn, l) =>
+                      put(s"${f.name}.$kn", i, Some(k), l, ci, gate = cv(ci))
+                    }
+                    k += 1
+                  }
+                }
+                i += 1
+              }
+            case sc =>
+              val cl = readLeaf(sc)
+              var i = 0L
+              while (i < len) {
+                if (!v(i)) nullCell(f.name, i, None, label)
+                else {
+                  val (s, n) = span(i)
+                  if (s + n > cl.len) err()
+                  var k = 0L
+                  while (k < n) {
+                    put(f.name, i, Some(k), cl, s + k, gate = true)
+                    k += 1
+                  }
+                }
+                i += 1
+              }
+          }
+
+        case StructT(kids, label) =>
+          // parent: one node + validity buffer, one cell per row
+          // recording struct-slot nullity; then each child in order,
+          // gated on parent validity (child bytes are UNDEFINED where
+          // the parent slot is null)
+          val (len, _) = nextNode()
+          if (len != rows) err()
+          val v = valid(nextBuf(), len)
+          var i = 0L
+          while (i < len) {
+            if (out.size >= MaxCells) err()
+            out += Cell(batchIdx, f.name, i, None, label, isNull = !v(i),
+              None, None)
             i += 1
           }
-        case _ => err() // nested inside scalarCol: unreachable by construction
-      }
-    }
-    f.typ match {
-      case StructT(kids, label) =>
-        // parent: one node + validity buffer, one cell per row
-        // recording struct-slot nullity; then each child in order as
-        // a full column gated on parent validity
-        val (len, _) = nextNode()
-        if (len != rows) err()
-        val v = valid(nextBuf(), len)
-        if (out.size + len * (1L + kids.size) > MaxCells) err()
-        var i = 0L
-        while (i < len) {
-          out += Cell(batchIdx, f.name, i, None, label, isNull = !v(i), None, None)
-          i += 1
-        }
-        kids.foreach(k => scalarCol(s"${f.name}.${k.name}", k.typ, v))
-      case _: Prim | BoolT | _: VarBytes | _: FixedBytes | _: DecT =>
-        scalarCol(f.name, f.typ, _ => true)
-      case ListT(child, childBool, fixed, label) =>
-        val (len, _) = nextNode()
-        if (len != rows) err()
-        val v = valid(nextBuf(), len)
-        val offs = if (fixed == 0) nextBuf() else Buf(b, 0, 0)
-        if (fixed == 0 && (len + 1) * 4 > offs.len) err()
-        val (clen, _) = nextNode()
-        val cv = valid(nextBuf(), clen)
-        val cdat = nextBuf()
-        def childCell(row: Long, k: Long, ci: Long): Cell =
-          if (!cv(ci))
-            Cell(batchIdx, f.name, row, Some(k), child.label, isNull = true, None, None)
-          else if (childBool)
-            Cell(batchIdx, f.name, row, Some(k), "bool", isNull = false,
-              Some(boolAt(cdat, ci)), None)
-          else
-            Cell(batchIdx, f.name, row, Some(k), child.label, isNull = false,
-              Some(bitsAt(cdat, child.width, ci)), None)
-        var i = 0L
-        while (i < len) {
-          if (!v(i))
-            out += Cell(batchIdx, f.name, i, None, label, isNull = true, None, None)
-          else if (fixed > 0) {
-            var k = 0L
-            while (k < fixed) {
-              if (out.size >= MaxCells) err()
-              out += childCell(i, k, i * fixed + k); k += 1
-            }
-          } else {
-            val s = buN(offs, 4 * i, 4)
-            val e = buN(offs, 4 * (i + 1), 4)
-            if (e < s || e > clen) err()
-            var k = 0L
-            while (k < e - s) {
-              if (out.size >= MaxCells) err()
-              out += childCell(i, k, s + k); k += 1
+          kids.foreach { k =>
+            val kname = s"${f.name}.${k.name}"
+            k.typ match {
+              case ListT(c, kfixed, klabel) =>
+                // struct<list<scalar>> (the SQuAD-v1 answers shape)
+                val (klen, _) = nextNode()
+                if (klen != rows) err()
+                val kv = valid(nextBuf(), klen)
+                val koffs = if (kfixed == 0) nextBuf() else Buf(b, 0, 0)
+                if (kfixed == 0 && (klen + 1) * 4 > koffs.len) err()
+                val cl = readLeaf(c)
+                var i2 = 0L
+                while (i2 < klen) {
+                  if (!v(i2) || !kv(i2)) nullCell(kname, i2, None, klabel)
+                  else {
+                    val (s, n) =
+                      if (kfixed > 0) (i2 * kfixed, kfixed.toLong)
+                      else {
+                        val s0 = buN(koffs, 4 * i2, 4)
+                        val e0 = buN(koffs, 4 * (i2 + 1), 4)
+                        if (e0 < s0) err()
+                        (s0, e0 - s0)
+                      }
+                    if (s + n > cl.len) err()
+                    var kk = 0L
+                    while (kk < n) {
+                      put(kname, i2, Some(kk), cl, s + kk, gate = true)
+                      kk += 1
+                    }
+                  }
+                  i2 += 1
+                }
+              case sc =>
+                val l = readLeaf(sc)
+                if (l.len != rows) err()
+                var i2 = 0L
+                while (i2 < rows) {
+                  put(kname, i2, None, l, i2, gate = v(i2))
+                  i2 += 1
+                }
             }
           }
-          i += 1
-        }
-      case _ => err() // unreachable: all Typ shapes dispatched above
-    }
+        case _ => err() // unreachable: all Typ shapes dispatched above
+      }
     }
   }
 

@@ -118,6 +118,52 @@ class ArrowCodecSpec extends SparkSpec {
     assert(col("st.a")(1).isNull && col("st.s")(1).isNull)
   }
 
+  test("nested features: list<utf8>, list<struct>, struct<list>, fsl<utf8>") {
+    val cs = ArrowCodec.decode(fixture("nested-13.arrow")).get
+    def col(n: String) = cs.filter(_.col == n)
+    // list<utf8>: elements, empty list emits nothing, null list one cell
+    assert(col("toktxt").filter(_.row == 0).map(_.str) ==
+      Vector(Some("a"), Some("bb"), None))
+    assert(col("toktxt").count(_.row == 1) == 0, "empty list emits no cells")
+    val nullList = col("toktxt").filter(_.row == 2)
+    assert(nullList.size == 1 && nullList.head.isNull &&
+      nullList.head.vtype == "list<utf8>" && nullList.head.elem.isEmpty)
+    // list<struct>: element-level struct nullity + kid cells
+    val a3 = col("answers").filter(_.row == 3)
+    assert(a3.map(c => (c.elem, c.isNull)) ==
+      Vector((Some(0L), true), (Some(1L), false)))
+    assert(col("answers.text").filter(_.row == 3).map(_.str) ==
+      Vector(None, Some("z")), "null struct element gates its kids")
+    assert(col("answers.start").filter(c => c.row == 0 && c.elem.contains(1L))
+      .head.bits.contains(7L))
+    // struct<list>: SQuAD-v1 shape
+    assert(col("ans1").map(_.isNull) == Vector(false, true, false, false))
+    assert(col("ans1.text").filter(_.row == 0).map(_.str) ==
+      Vector(Some("a"), Some("b")))
+    val r1 = col("ans1.text").filter(_.row == 1)
+    assert(r1.size == 1 && r1.head.isNull && r1.head.vtype == "list<utf8>",
+      "parent-null struct row reads its list child as a null list")
+    assert(col("ans1.answer_start").count(_.row == 2) == 0, "empty child list")
+    assert(col("ans1.answer_start").filter(_.row == 3).map(_.bits) ==
+      Vector(Some(5L)))
+    // fixed_size_list of strings
+    assert(col("fsl2s").filter(_.row == 2).map(_.str) ==
+      Vector(Some("r"), Some("")))
+    // three-deep nesting still refuses
+    // (structural pin lives in the golden: no such fixture exists)
+  }
+
+  test("nested fixture survives truncation and fuzz without throwing") {
+    val f = fixture("nested-13.arrow")
+    (0 until f.length by 7).foreach(k => ArrowCodec.decode(f.take(k)))
+    var j = 0
+    while (j < f.length) {
+      val m = f.clone(); m(j) = (m(j) ^ 0x5c).toByte
+      ArrowCodec.decode(m)
+      j += 1
+    }
+  }
+
   test("logical fixture survives truncation and fuzz without throwing") {
     val f = fixture("logical-12.arrow")
     (0 until f.length by 11).foreach(k => ArrowCodec.decode(f.take(k)))

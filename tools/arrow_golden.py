@@ -318,6 +318,96 @@ for ri, present in enumerate(st_present):
     emit("logical-12.arrow", 0, "st.s", ri, None, "utf8",
          st_s[ri] if present else None)
 
+# ---- nested-13.arrow (GRADED): the two HF-datasets nested-feature
+# shapes — list<utf8> (sequence-of-string, ubiquitous), a
+# list<struct<scalars>> (sequence-of-dict: SQuAD-v2 answers, with a
+# NULL STRUCT ELEMENT inside a list), a struct with list<scalar>
+# children (SQuAD-v1 answers), and a fixed_size_list<utf8>.
+toktxt = [["a", "bb", None], [], None, ["dd"]]
+answers = [
+    [{"text": "x", "start": 3}, {"text": None, "start": 7}],
+    [],
+    None,
+    [None, {"text": "z", "start": 0}],
+]
+ans1 = [
+    {"text": ["a", "b"], "answer_start": [1, 2]},
+    None,
+    {"text": [], "answer_start": []},
+    {"text": None, "answer_start": [5]},
+]
+fsl2s = [["p", "q"], None, ["r", ""], ["s", "t"]]
+nested_arrays = [
+    ("toktxt", pa.array(toktxt, type=pa.list_(pa.string()))),
+    ("answers", pa.array(answers, type=pa.list_(
+        pa.struct([("text", pa.string()), ("start", pa.int64())])))),
+    ("ans1", pa.array(ans1, type=pa.struct(
+        [("text", pa.list_(pa.string())),
+         ("answer_start", pa.list_(pa.int64()))]))),
+    ("fsl2s", pa.array(fsl2s, type=pa.list_(pa.string(), 2))),
+]
+nested_schema = pa.schema([(n, a.type) for n, a in nested_arrays])
+with open(os.path.join(D, "nested-13.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, nested_schema)
+    w.write_batch(pa.record_batch([a for _, a in nested_arrays],
+                                  schema=nested_schema))
+    w.close()
+F13 = "nested-13.arrow"
+
+
+def row13(col, row, elem, vtype, is_null, bits=None, sval=None):
+    ROWS.append((F13, 0, col, row, elem, vtype, is_null, bits, sval))
+
+
+# list<utf8>: null list -> single elem-less cell with the COLUMN
+# vtype; empty list -> NO cells; elements carry the leaf vtype
+for ri, lst in enumerate(toktxt):
+    if lst is None:
+        row13("toktxt", ri, None, "list<utf8>", True)
+    else:
+        for ei, e in enumerate(lst):
+            row13("toktxt", ri, ei, "utf8", e is None,
+                  sval=e if e is not None else None)
+# list<struct>: one struct cell per ELEMENT (nullity), then per-kid
+# cells at that element index, gated on element validity
+for ri, lst in enumerate(answers):
+    if lst is None:
+        row13("answers", ri, None, "list<struct>", True)
+    else:
+        for ei, e in enumerate(lst):
+            row13("answers", ri, ei, "struct", e is None)
+            if e is None:
+                row13("answers.text", ri, ei, "utf8", True)
+                row13("answers.start", ri, ei, "i64", True)
+            else:
+                row13("answers.text", ri, ei, "utf8", e["text"] is None,
+                      sval=e["text"])
+                row13("answers.start", ri, ei, "i64", False,
+                      bits=e["start"])
+# struct<list>: parent-nullity cell per row; a child list that is
+# null OR whose parent is null -> single elem-less cell with the
+# list vtype; empty -> no cells
+for ri, st in enumerate(ans1):
+    row13("ans1", ri, None, "struct", st is None)
+    for kid, klabel, leaf in (("text", "list<utf8>", "utf8"),
+                              ("answer_start", "list<i64>", "i64")):
+        v = None if st is None else st[kid]
+        if v is None:
+            row13("ans1." + kid, ri, None, klabel, True)
+        else:
+            for ei, e in enumerate(v):
+                if leaf == "utf8":
+                    row13("ans1." + kid, ri, ei, leaf, e is None, sval=e)
+                else:
+                    row13("ans1." + kid, ri, ei, leaf, False, bits=e)
+# fixed_size_list<utf8,2>: null list -> single cell; else exactly 2
+for ri, lst in enumerate(fsl2s):
+    if lst is None:
+        row13("fsl2s", ri, None, "fsl2<utf8>", True)
+    else:
+        for ei, e in enumerate(lst):
+            row13("fsl2s", ri, ei, "utf8", e is None, sval=e)
+
 # ---- refusal fixtures
 with open(os.path.join(D, "table-00.arrow"), "rb") as fh:
     whole = fh.read()
