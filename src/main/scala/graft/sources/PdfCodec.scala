@@ -22,16 +22,20 @@ package graft.sources
   * deterministic.
   *
   * ENCRYPTED documents open when they are readable by design: the
-  * standard security handler (§7.6.3) with an EMPTY user password —
-  * RC4 (V1/V2, and V4 crypt filters with /CFM /V2) and AES-128-CBC
-  * (/CFM /AESV2) — derives the file key per Algorithm 2, verifies it
-  * against /U (Algorithms 4/5), and decrypts each stream with its
-  * per-object key before filters. A real password fails the /U check
-  * and refuses whole-file; AES-256 (/V 5) stays refused.
+  * standard security handler with an EMPTY user password — RC4
+  * (V1/V2, and V4 crypt filters with /CFM /V2) and AES-128-CBC
+  * (/CFM /AESV2) derive the file key per Algorithm 2, verify it
+  * against /U (Algorithms 4/5), and decrypt each stream with its
+  * per-object key before filters; AES-256 (V5/R6 — the Acrobat-X+
+  * default, ISO 32000-2) validates the Algorithm 2.B hardened hash
+  * against /U's validation salt, unwraps the file key from /UE, and
+  * decrypts bodies with it directly (/CFM /AESV3; the deprecated R5
+  * single-SHA-256 form too). A real password fails the hash check
+  * and refuses whole-file.
   *
   * Envelope refusals (whole-file None, the [[GzipCodec]] discipline):
   * filters beyond FlateDecode, TIFF predictor 2, password-protected
-  * or AES-256 encryption, a truncated or looped xref chain or
+  * documents, a truncated or looped xref chain or
   * object-stream cycle, a missing /Root, object/page/run/inflation
   * budgets. Strings under a font WITHOUT a /ToUnicode CMap decode as
   * Latin-1 (PDFDocEncoding agrees on the fixture range); fonts WITH
@@ -205,13 +209,87 @@ object PdfCodec {
       e
     }
 
-  /** Algorithm 1: decrypt one object's bytes with the per-object key. */
+  /** Algorithm 2.B (ISO 32000-2, V5/R6): the hardened password hash —
+    * SHA-256 seed, then ≥64 rounds of AES-128-CBC over the repeated
+    * (password ‖ K ‖ udata) block with a data-dependent SHA-256/384/
+    * 512 pick, until round ≥ 64 and the last byte ≤ round − 32. */
+  private def hash2B(pw: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte]): Array[Byte] = {
+    def sha(n: Int, parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance(s"SHA-$n")
+      parts.foreach(d.update)
+      d.digest()
+    }
+    var k = sha(256, pw, salt, udata)
+    var i = 0
+    var done = false
+    var e = Array.emptyByteArray
+    while (!done) {
+      val unit = pw ++ k ++ udata
+      val k1 = new Array[Byte](unit.length * 64)
+      var j = 0
+      while (j < 64) {
+        System.arraycopy(unit, 0, k1, j * unit.length, unit.length)
+        j += 1
+      }
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(
+          java.util.Arrays.copyOfRange(k, 16, 32)))
+      e = c.doFinal(k1)
+      var s = 0
+      var t = 0
+      while (t < 16) { s += e(t) & 0xff; t += 1 }
+      k = sha(Seq(256, 384, 512)(s % 3), e)
+      i += 1
+      if (i >= 64 && (e(e.length - 1) & 0xff) <= i - 32) done = true
+      if (i > 512) err() // spec terminates well before; hostile guard
+    }
+    k.take(32)
+  }
+
+  /** V5/R6 empty-user-password file key: validate against /U's hash +
+    * validation salt, then unwrap the file key from /UE with the
+    * key-salt intermediate (AES-256-CBC, zero IV, no padding). R5
+    * (the deprecated Adobe extension) uses a plain SHA-256 in place
+    * of 2.B. */
+  private def fileKeyV5(u48: Array[Byte], ue: Array[Byte],
+      r: Long): Array[Byte] = {
+    val hash = java.util.Arrays.copyOfRange(u48, 0, 32)
+    val vsalt = java.util.Arrays.copyOfRange(u48, 32, 40)
+    val ksalt = java.util.Arrays.copyOfRange(u48, 40, 48)
+    val empty = Array.emptyByteArray
+    def h(salt: Array[Byte]): Array[Byte] =
+      if (r >= 6) hash2B(empty, salt, empty)
+      else { // R5: single SHA-256
+        val d = java.security.MessageDigest.getInstance("SHA-256")
+        d.update(salt)
+        d.digest()
+      }
+    if (!java.util.Arrays.equals(h(vsalt), hash)) err() // real password
+    val inter = h(ksalt)
+    try {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(inter, "AES"),
+        new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+      c.doFinal(ue)
+    } catch { case scala.util.control.NonFatal(_) => err() }
+  }
+
+  /** Algorithm 1: decrypt one object's bytes with the per-object key.
+    * A 32-byte key means V5/AESV3: the FILE key is used directly —
+    * the per-object MD5 derivation exists only in the legacy
+    * handlers. */
   private def decryptObj(key: Array[Byte], aes: Boolean, num: Int,
       data: Array[Byte]): Array[Byte] = {
     val tail = Array[Byte](num.toByte, (num >> 8).toByte, (num >> 16).toByte,
       0, 0) ++ // generation 0: the crawled-document shape
       (if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.emptyByteArray)
-    val ok = md5(key ++ tail).take(math.min(key.length + 5, 16))
+    val ok =
+      if (key.length == 32) key
+      else md5(key ++ tail).take(math.min(key.length + 5, 16))
     if (!aes) rc4(ok, data)
     else {
       // AES-128-CBC, 16-byte IV prefix, PKCS#5 padding
@@ -818,14 +896,16 @@ object PdfCodec {
       if (!ed.get("Filter").contains(PName("Standard"))) err()
       val v = ednum("V", 0)
       val r = ednum("R", 0)
-      val o = ed.get("O") match {
-        case Some(PStr(x)) if x.length >= 32 => x.take(32)
+      val oRaw = ed.get("O") match {
+        case Some(PStr(x)) if x.length >= 32 => x
         case _ => err()
       }
-      val u = ed.get("U") match {
-        case Some(PStr(x)) if x.length >= 32 => x.take(32)
+      val uRaw = ed.get("U") match {
+        case Some(PStr(x)) if x.length >= 32 => x
         case _ => err()
       }
+      val o = oRaw.take(32)
+      val u = uRaw.take(32)
       val perm = ednum("P", 0).toInt
       val encMeta = ed.get("EncryptMetadata") match {
         case Some(PBool(x)) => x
@@ -875,7 +955,34 @@ object PdfCodec {
             if (l < 5 || l > 16) err()
             (l.toInt, isAes)
           }
-        case _ => err() // V5/AES-256 and exotic V3: refused
+        case 5 =>
+          // AES-256 (ISO 32000-2, the Acrobat-X+ default): /CFM
+          // AESV3, 48-byte /U carrying hash + validation/key salts,
+          // /UE wrapping the file key. R6 hashes via Algorithm 2.B;
+          // R5 is the deprecated single-SHA-256 extension.
+          if (r != 5 && r != 6) err()
+          if (uRaw.length < 48) err()
+          val ue = ed.get("UE") match {
+            case Some(PStr(x)) if x.length >= 32 => x.take(32)
+            case _ => err()
+          }
+          val stmf = ed.get("StmF").getOrElse(PName("Identity"))
+          if (stmf == PName("Identity")) ()
+          else if (stmf != PName("StdCF")) err()
+          else {
+            val cf = deref(ed.getOrElse("CF", err())) match {
+              case d: PDict => deref(d.m.getOrElse("StdCF", err())) match {
+                case sd: PDict => sd.m
+                case _ => err()
+              }
+              case _ => err()
+            }
+            if (!cf.get("CFM").contains(PName("AESV3"))) err()
+            // empty-password check + file-key unwrap live together
+            crypt = Some((fileKeyV5(uRaw.take(48), ue, r), true))
+          }
+          (-1, false) // legacy derivation below: skipped
+        case _ => err() // exotic V3: refused
       }
       if (nBytes > 0) {
         if (r < 2 || r > 4) err()

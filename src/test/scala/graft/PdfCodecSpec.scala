@@ -125,8 +125,23 @@ class PdfCodecSpec extends SparkSpec {
     }
   }
 
+  test("AES-256 (V5/R6, the Acrobat-X+ default) decrypts under the empty password") {
+    val rs = PdfCodec.decode(fixture("enc-aes256-12.pdf")).get
+    assert(rs.map(_.text) == Vector(
+      "modern aes-256 body", "second run under v5"))
+    val f = fixture("enc-aes256-12.pdf")
+    (0 until f.length by 9).foreach(k => PdfCodec.decode(f.take(k)))
+    var j = 0
+    while (j < f.length) {
+      val m = f.clone(); m(j) = (m(j) ^ 0x2b).toByte
+      PdfCodec.decode(m)
+      j += 1
+    }
+  }
+
   test("a REAL user password fails the /U check and refuses whole-file") {
     assert(PdfCodec.decode(fixture("encpw-10.pdf")).isEmpty)
+    assert(PdfCodec.decode(fixture("encpw256-13.pdf")).isEmpty, "V5/R6")
   }
 
   test("encrypted fixtures survive truncation and fuzz without throwing") {
@@ -207,7 +222,7 @@ class PdfCodecSpec extends SparkSpec {
       "doc-00.pdf" -> 6L, "doc-01.pdf" -> 3L, "doc-02.pdf" -> 1L,
       "xrefstm-05.pdf" -> 1L, "objstm-06.pdf" -> 1L,
       "hybrid-07.pdf" -> 1L, "enc-rc4-08.pdf" -> 2L,
-      "enc-aes-09.pdf" -> 2L, // bad-03/04, encpw-10: refused, absent
-      "cmap-11.pdf" -> 6L))
+      "enc-aes-09.pdf" -> 2L, // bad-03/04, encpw-10/-13: refused, absent
+      "cmap-11.pdf" -> 6L, "enc-aes256-12.pdf" -> 2L))
   }
 }

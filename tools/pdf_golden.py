@@ -397,20 +397,25 @@ for _a in range(256):
 
 
 def _aes_expand(key):
+    nk = len(key) // 4  # 4 (AES-128) or 8 (AES-256)
+    nr = nk + 6
     rcon = 1
-    w = [list(key[i:i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    w = [list(key[i:i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = [SBOX[t[1]], SBOX[t[2]], SBOX[t[3]], SBOX[t[0]]]
             t[0] ^= rcon
             rcon = _gmul(rcon, 2)
-        w.append([w[i - 4][k] ^ t[k] for k in range(4)])
+        elif nk > 6 and i % nk == 4:
+            t = [SBOX[x] for x in t]
+        w.append([w[i - nk][k] ^ t[k] for k in range(4)])
     return w
 
 
 def _aes_block(w, block):
-    # column-major state per FIPS-197
+    # column-major state per FIPS-197; round count from the schedule
+    nr = len(w) // 4 - 1
     st = [[block[r + 4 * c] for c in range(4)] for r in range(4)]
 
     def add_rk(rnd):
@@ -434,20 +439,25 @@ def _aes_block(w, block):
             st[3][c] = _gmul(a[0], 3) ^ a[1] ^ a[2] ^ _gmul(a[3], 2)
 
     add_rk(0)
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         sub_shift()
         mix()
         add_rk(rnd)
     sub_shift()
-    add_rk(10)
+    add_rk(nr)
     return bytes(st[r][c] for c in range(4) for r in range(4))
 
 
-# FIPS-197 appendix C.1 vector: the from-scratch core must reproduce it
+# FIPS-197 appendix C.1/C.3 vectors: the from-scratch core must
+# reproduce both key sizes
 assert _aes_block(
     _aes_expand(bytes(range(16))),
     bytes.fromhex("00112233445566778899aabbccddeeff")
 ).hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+assert _aes_block(
+    _aes_expand(bytes(range(32))),
+    bytes.fromhex("00112233445566778899aabbccddeeff")
+).hex() == "8ea2b7ca516745bfeafc49904b496089"
 
 
 def aes_cbc_encrypt(key, iv, data):
@@ -540,6 +550,68 @@ def encrypted_pdf(fname, texts, aes, user_pw=b"", perm=-4):
     return texts
 
 
+def aes_cbc_raw(key, iv, data):
+    """CBC encrypt with NO padding (data length must be a multiple of
+    16) — the /UE//OE wrap and 2.B both need the raw form."""
+    w = _aes_expand(key)
+    prev = iv
+    out = b""
+    for off in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[off:off + 16], prev))
+        prev = _aes_block(w, blk)
+        out += prev
+    return out
+
+
+def hash_2b(pw, salt, udata=b""):
+    """ISO 32000-2 Algorithm 2.B (V5/R6 hardened hash)."""
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = aes_cbc_raw(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def encrypted_pdf_v5(fname, texts, user_pw=b"", perm=-4):
+    """V5/R6 AES-256 (the Acrobat-X+ default)."""
+    h = hashlib.sha512(fname.encode()).digest()
+    file_key = h[:32]  # deterministic random-stand-in file key
+    u_vsalt, u_ksalt = h[32:40], h[40:48]
+    o_vsalt, o_ksalt = h[48:56], h[56:64]
+    u = hash_2b(user_pw, u_vsalt) + u_vsalt + u_ksalt
+    # /UE //OE: the file key AES-256-CBC-wrapped (zero IV, no padding)
+    # under the key-salt intermediates
+    ue = aes_cbc_raw(hash_2b(user_pw, u_ksalt), b"\x00" * 16, file_key)
+    o = hash_2b(b"", o_vsalt, u) + o_vsalt + o_ksalt
+    oe = aes_cbc_raw(hash_2b(b"", o_ksalt, u), b"\x00" * 16, file_key)
+    content = ("BT /F1 12 Tf 72 720 Td " +
+               " ".join("(%s) Tj 0 -14 Td" % t for t in texts) +
+               " ET").encode("latin-1")
+    iv = hashlib.md5(b"iv5" + fname.encode()).digest()[:16]
+    enc = aes_cbc_encrypt(file_key, iv, content)  # V5: file key direct
+    b = PdfBuilder()
+    b.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(3, page_obj(2, "4 0 R"))
+    b.add(4, stream_obj(enc))
+    b.add(5, "<< /Filter /Standard /V 5 /R 6 /Length 256 "
+             "/CF << /StdCF << /CFM /AESV3 /Length 32 "
+             "/AuthEvent /DocOpen >> >> /StmF /StdCF /StrF /StdCF "
+             "/O %s /U %s /OE %s /UE %s /P %d >>" % (
+                 hexstr(o), hexstr(u), hexstr(oe), hexstr(ue), perm))
+    id0 = hashlib.md5(fname.encode()).digest()
+    data = b.build(trailer_extra=" /Encrypt 5 0 R /ID [%s %s]" % (
+        hexstr(id0), hexstr(id0)))
+    with open(os.path.join(D, fname), "wb") as fh:
+        fh.write(data)
+    return texts
+
+
 # enc-rc4-08.pdf: V2/R3 RC4-128, empty user password -> decrypts
 for i, t in enumerate(encrypted_pdf(
         "enc-rc4-08.pdf",
@@ -556,6 +628,15 @@ for i, t in enumerate(encrypted_pdf(
 # /U check fails and the whole file refuses; graded by ABSENCE
 encrypted_pdf("encpw-10.pdf", ["you should never see this"],
               aes=False, user_pw=b"secret")
+# enc-aes256-12.pdf: V5/R6 AES-256 (the Acrobat-X+ default), empty
+# user password -> 2.B hash validates against /U, file key unwraps
+# from /UE, bodies decrypt with it directly
+for i, t in enumerate(encrypted_pdf_v5(
+        "enc-aes256-12.pdf",
+        ["modern aes-256 body", "second run under v5"])):
+    ROWS.append(("enc-aes256-12.pdf", 0, i, t))
+# encpw256-13.pdf: V5/R6 with a REAL password -> refusal by ABSENCE
+encrypted_pdf_v5("encpw256-13.pdf", ["still hidden"], user_pw=b"secret")
 
 # ---- cmap-11.pdf: composed-font text via /ToUnicode CMaps — the
 # text-fidelity layer for CJK/ligature PDFs: a Type0/Identity-H font
