@@ -28,11 +28,14 @@ package graft.sources
   * Struct of scalar children (one parent-nullity cell per row plus
   * per-child columns named `parent.child`, children reading as null
   * wherever the parent slot is null — their bytes are undefined
-  * there), plus the two HF-datasets nested-feature shapes:
+  * there), plus the three HF-datasets nested-feature shapes:
   * List<Struct<scalars>> (sequence-of-dict, e.g. SQuAD-v2 answers —
   * one struct cell per ELEMENT plus per-kid cells at that element
-  * index) and Struct with List<scalar> children (the SQuAD-v1
-  * `answers: {text: [..], answer_start: [..]}` shape);
+  * index), Struct with List<scalar> children (the SQuAD-v1
+  * `answers: {text: [..], answer_start: [..]}` shape), and
+  * List<List<scalar>> / List<FixedSizeList<scalar>> (tokenized-batch
+  * input-id caches and ragged embedding grids — elem carries the
+  * outer index, elem2 the inner);
   * dictionary-encoded columns over any of the scalar types
   * (pandas-categorical exports dictionary-encode BY DEFAULT — indices
   * of any Int width map through the DictionaryBatch-delivered value
@@ -44,9 +47,9 @@ package graft.sources
   * Documented refusals, all whole-file (a columnar table is
   * all-or-nothing): delta dictionaries, dictionary-of-nested,
   * Null/Interval/Union/Map/RunEndEncoded columns, nesting beyond the
-  * two supported two-level shapes (list-of-list, struct-in-struct,
-  * anything three levels deep), trailing bytes after a stream's
-  * end-of-stream marker. Values emit as raw
+  * supported two-level shapes (struct-in-struct, list-of-struct-of-
+  * nested, anything three levels deep), trailing bytes after a
+  * stream's end-of-stream marker. Values emit as raw
   * little-endian bits zero-extended to a long (bit-exact NaN
   * payloads), strings as UTF-8, binary as lowercase hex. Never
   * throws.
@@ -55,9 +58,13 @@ object ArrowCodec {
 
   /** One value cell. For list columns: a NULL list is a single row
     * with `elem` null carrying the COLUMN vtype; elements carry the
-    * leaf vtype and their element index. */
+    * leaf vtype and their element index. For list<list<…>> columns
+    * `elem` is the OUTER index and `elem2` the inner one — a null
+    * inner list is a single row with `elem2` null carrying the inner
+    * list vtype. */
   case class Cell(batch: Int, col: String, row: Long, elem: Option[Long],
-      vtype: String, isNull: Boolean, bits: Option[Long], str: Option[String])
+      vtype: String, isNull: Boolean, bits: Option[Long], str: Option[String],
+      elem2: Option[Long] = None)
 
   val MaxCells: Long = 4L << 20
   val MaxBatches: Int = 65536
@@ -289,8 +296,12 @@ object ArrowCodec {
           case st: StructT if depth == 0 &&
               st.children.forall(k => isScalar(k.typ)) =>
             ListT(st, 0, "list<struct>")
+          case lt: ListT if depth == 0 && isScalar(lt.child) =>
+            // list<list<scalar>> / list<fsl<scalar>>: the tokenized-
+            // batch HF cache shape (elem = outer, elem2 = inner)
+            ListT(lt, 0, s"list<${lt.label}>")
           case t if isScalar(t) => ListT(t, 0, s"list<${t.label}>")
-          case _ => err() // list<list>, list<struct<nested>>: refuse
+          case _ => err() // deeper nesting / list<struct<nested>>: refuse
         }
       case 13 => // Struct: scalar children, plus list-of-scalar
         // children at top level (children(5))
@@ -318,7 +329,7 @@ object ArrowCodec {
         if (w <= 0 || w > 65536) err()
         FixedBytes(w, s"fsb$w")
       case 16 => // FixedSizeList: listSize(0)
-        if (depth > 0) err()
+        if (depth > 1) err()
         val lsPos = field(b, typeTable, 0)
         val ls = if (lsPos < 0) err() else i32(b, lsPos)
         if (ls <= 0 || ls > 65536) err()
@@ -591,6 +602,65 @@ object ArrowCodec {
               (s, e - s)
             }
           child match {
+            case inner: ListT =>
+              // list<list<scalar>> / list<fsl<scalar>> (tokenized
+              // batches, ragged embedding grids): inner node +
+              // validity + offsets, then the leaf; elem = outer
+              // index, elem2 = inner index; a null INNER list is one
+              // elem2-less cell carrying the inner vtype
+              val (clen, _) = nextNode()
+              val cv = valid(nextBuf(), clen)
+              val coffs = if (inner.fixed == 0) nextBuf() else Buf(b, 0, 0)
+              if (inner.fixed == 0 && (clen + 1) * 4 > coffs.len) err()
+              val leaf = readLeaf(inner.child)
+              def innerSpan(ci: Long): (Long, Long) =
+                if (inner.fixed > 0) (ci * inner.fixed, inner.fixed.toLong)
+                else {
+                  val s = buN(coffs, 4 * ci, 4)
+                  val e = buN(coffs, 4 * (ci + 1), 4)
+                  if (e < s) err()
+                  (s, e - s)
+                }
+              var i = 0L
+              while (i < len) {
+                if (!v(i)) nullCell(f.name, i, None, label)
+                else {
+                  val (s, n) = span(i)
+                  if (s + n > clen) err()
+                  var k = 0L
+                  while (k < n) {
+                    val ci = s + k
+                    if (!cv(ci)) {
+                      if (out.size >= MaxCells) err()
+                      out += Cell(batchIdx, f.name, i, Some(k), inner.label,
+                        isNull = true, None, None)
+                    } else {
+                      val (is, in) = innerSpan(ci)
+                      if (is + in > leaf.len) err()
+                      var j = 0L
+                      while (j < in) {
+                        if (out.size >= MaxCells) err()
+                        val li = is + j
+                        if (leaf.ok(li)) {
+                          if (leaf.str == null)
+                            out += Cell(batchIdx, f.name, i, Some(k),
+                              leaf.label, isNull = false,
+                              Some(leaf.bits(li)), None, Some(j))
+                          else
+                            out += Cell(batchIdx, f.name, i, Some(k),
+                              leaf.label, isNull = false, None,
+                              Some(leaf.str(li)), Some(j))
+                        } else
+                          out += Cell(batchIdx, f.name, i, Some(k),
+                            leaf.label, isNull = true, None, None, Some(j))
+                        j += 1
+                      }
+                    }
+                    k += 1
+                  }
+                }
+                i += 1
+              }
             case st: StructT =>
               // list<struct<scalars>> (the sequence-of-dict feature
               // shape): the struct rides its own node + validity,

@@ -153,6 +153,43 @@ class ArrowCodecSpec extends SparkSpec {
     // (structural pin lives in the golden: no such fixture exists)
   }
 
+  test("doubly-nested lists: list<list<i64>> batches, list<fsl2<f32>> grids") {
+    val cs = ArrowCodec.decode(fixture("nested2-14.arrow")).get
+    def col(n: String) = cs.filter(_.col == n)
+    val b = col("batches")
+    // row 0: [[1,2],[3]] — (elem, elem2) grid with values
+    assert(b.filter(_.row == 0).map(c => (c.elem, c.elem2, c.bits)) ==
+      Vector((Some(0L), Some(0L), Some(1L)), (Some(0L), Some(1L), Some(2L)),
+        (Some(1L), Some(0L), Some(3L))))
+    assert(b.count(_.row == 1) == 0, "empty outer list emits nothing")
+    val r2 = b.filter(_.row == 2)
+    assert(r2.size == 1 && r2.head.isNull &&
+      r2.head.vtype == "list<list<i64>>" && r2.head.elem.isEmpty)
+    // row 3: [[], [4, null]] — empty inner emits nothing; null element
+    assert(b.filter(_.row == 3).map(c => (c.elem, c.elem2, c.bits, c.isNull)) ==
+      Vector((Some(1L), Some(0L), Some(4L), false),
+        (Some(1L), Some(1L), None, true)))
+    // fsl inner: 2 values per inner slot, f32 bits
+    val g = col("grids")
+    assert(g.filter(_.row == 0).map(c => (c.elem, c.elem2)) ==
+      Vector((Some(0L), Some(0L)), (Some(0L), Some(1L)),
+        (Some(1L), Some(0L)), (Some(1L), Some(1L))))
+    assert(g.filter(_.row == 1).map(_.vtype) == Vector("list<fsl2<f32>>"))
+    assert(g.count(_.row == 2) == 0)
+    // flat columns carry no elem2
+    val flat = ArrowCodec.decode(fixture("table-00.arrow")).get
+    assert(flat.forall(_.elem2.isEmpty))
+    // fuzz the nested fixture
+    val f = fixture("nested2-14.arrow")
+    (0 until f.length by 7).foreach(k => ArrowCodec.decode(f.take(k)))
+    var j = 0
+    while (j < f.length) {
+      val m = f.clone(); m(j) = (m(j) ^ 0x71).toByte
+      ArrowCodec.decode(m)
+      j += 1
+    }
+  }
+
   test("nested fixture survives truncation and fuzz without throwing") {
     val f = fixture("nested-13.arrow")
     (0 until f.length by 7).foreach(k => ArrowCodec.decode(f.take(k)))

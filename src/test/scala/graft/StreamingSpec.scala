@@ -603,8 +603,8 @@ class StreamingSpec extends SparkSpec {
         java.nio.file.Paths.get(asrc, f))
     StreamingPipelines.arrowIngest(spark, asrc, adest, ackpt).awaitTermination()
     val astreamed = spark.read.parquet(adest)
-      .select("file", "batch", "col", "row", "elem_idx", "vtype",
-        "is_null", "bits", "str_val")
+      .select("file", "batch", "col", "row", "elem_idx", "elem_idx2",
+        "vtype", "is_null", "bits", "str_val")
     val abatch = graft.sources.GeoIngest.readArrowFiles(spark, asrc)
     assert(astreamed.count() > 0)
     assert(abatch.exceptAll(astreamed).isEmpty &&

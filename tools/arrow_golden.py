@@ -408,6 +408,48 @@ for ri, lst in enumerate(fsl2s):
         for ei, e in enumerate(lst):
             row13("fsl2s", ri, ei, "utf8", e is None, sval=e)
 
+# ---- nested2-14.arrow (GRADED): doubly-nested lists — the tokenized-
+# batch HF cache shape (list<list<i64>> input-id batches) and ragged
+# embedding grids (list<fixed_size_list<f32,2>>). Cell convention:
+# elem = outer index, elem_idx2 = inner index; a null INNER list is a
+# single elem2-less cell carrying the inner list vtype.
+batches = [[[1, 2], [3]], [], None, [[], [4, None]]]
+grids = [[[1.0, 2.0], [3.5, 4.5]], None, [], [[5.5, 6.5]]]
+n2_arrays = [
+    ("batches", pa.array(batches, type=pa.list_(pa.list_(pa.int64())))),
+    ("grids", pa.array(grids, type=pa.list_(pa.list_(pa.float32(), 2)))),
+]
+n2_schema = pa.schema([(n, a.type) for n, a in n2_arrays])
+with open(os.path.join(D, "nested2-14.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, n2_schema)
+    w.write_batch(pa.record_batch([a for _, a in n2_arrays],
+                                  schema=n2_schema))
+    w.close()
+F14 = "nested2-14.arrow"
+for ri, outer in enumerate(batches):
+    if outer is None:
+        ROWS.append((F14, 0, "batches", ri, None, "list<list<i64>>",
+                     True, None, None, None))
+    else:
+        for ki, inner in enumerate(outer):
+            if inner is None:
+                ROWS.append((F14, 0, "batches", ri, ki, "list<i64>",
+                             True, None, None, None))
+            else:
+                for ji, e in enumerate(inner):
+                    ROWS.append((F14, 0, "batches", ri, ki, "i64",
+                                 e is None,
+                                 None if e is None else e, None, ji))
+for ri, outer in enumerate(grids):
+    if outer is None:
+        ROWS.append((F14, 0, "grids", ri, None, "list<fsl2<f32>>",
+                     True, None, None, None))
+    else:
+        for ki, inner in enumerate(outer):
+            for ji, e in enumerate(inner):
+                ROWS.append((F14, 0, "grids", ri, ki, "f32", False,
+                             bits_of("f32", e), None, ji))
+
 # ---- refusal fixtures
 with open(os.path.join(D, "table-00.arrow"), "rb") as fh:
     whole = fh.read()
@@ -461,9 +503,11 @@ schema_g = pa.schema([
     ("file", pa.string()), ("batch", pa.int32()), ("col", pa.string()),
     ("row", pa.int64()), ("elem_idx", pa.int64()), ("vtype", pa.string()),
     ("is_null", pa.bool_()), ("bits", pa.int64()), ("str_val", pa.string()),
+    ("elem_idx2", pa.int64()),  # inner index for list<list<...>> cells
 ])
 tbl = pa.Table.from_pylist(
-    [dict(zip([f.name for f in schema_g], r)) for r in ROWS], schema=schema_g)
+    [dict(zip([f.name for f in schema_g], r + (None,) * (10 - len(r))))
+     for r in ROWS], schema=schema_g)
 pq.write_table(tbl, os.path.join(D, "golden", "expected.parquet"))
 print(f"wrote {len(ROWS)} golden rows across "
       f"{len(set(r[0] for r in ROWS))} graded files")
