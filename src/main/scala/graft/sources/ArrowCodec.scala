@@ -36,20 +36,22 @@ package graft.sources
   * List<List<scalar>> / List<FixedSizeList<scalar>> (tokenized-batch
   * input-id caches and ragged embedding grids — elem carries the
   * outer index, elem2 the inner);
-  * dictionary-encoded columns over any of the scalar types
-  * (pandas-categorical exports dictionary-encode BY DEFAULT — indices
-  * of any Int width map through the DictionaryBatch-delivered value
-  * column, replacement dictionaries honored in stream order);
+  * Map (physically List<Struct<key,value>>, emitted like
+  * list<struct> under the "map" vtype); dictionary-encoded columns
+  * over any of the scalar types (pandas-categorical exports
+  * dictionary-encode BY DEFAULT — indices of any Int width map
+  * through the DictionaryBatch-delivered value column, replacement
+  * dictionaries honored in stream order and DELTA batches appended);
   * compressed bodies (BodyCompression) for the two spec codecs
   * LZ4_FRAME — pyarrow Feather V2's DEFAULT — and ZSTD, each buffer
   * carrying its own int64 uncompressed-length prefix (-1 = stored
   * raw), decompressed under [[MaxBufBytes]].
   * Documented refusals, all whole-file (a columnar table is
-  * all-or-nothing): delta dictionaries, dictionary-of-nested,
-  * Null/Interval/Union/Map/RunEndEncoded columns, nesting beyond the
-  * supported two-level shapes (struct-in-struct, list-of-struct-of-
-  * nested, anything three levels deep), trailing bytes after a
-  * stream's end-of-stream marker. Values emit as raw
+  * all-or-nothing): dictionary-of-nested, a delta dictionary with no
+  * prior table, Null/Interval/Union/RunEndEncoded columns, nesting
+  * beyond the supported two-level shapes (struct-in-struct,
+  * list-of-struct-of-nested, anything three levels deep), trailing
+  * bytes after a stream's end-of-stream marker. Values emit as raw
   * little-endian bits zero-extended to a long (bit-exact NaN
   * payloads), strings as UTF-8, binary as lowercase hex. Never
   * throws.
@@ -338,6 +340,19 @@ object ArrowCodec {
         child.typ match {
           case t if isScalar(t) => ListT(t, ls, s"fsl$ls<${t.label}>")
           case _ => err()
+        }
+      case 17 => // Map: physically List<Struct<key, value>> — one
+        // "entries" child struct whose kids are the key/value fields
+        // (keysSorted is irrelevant to decode). Emitted exactly like
+        // list<struct>: a struct cell per entry + per-kid cells.
+        if (depth > 0) err()
+        val entries = parseField(b, childField(0), depth + 1)
+        if (entries.dict.isDefined) err()
+        entries.typ match {
+          case st: StructT if st.children.size == 2 &&
+              st.children.forall(k => isScalar(k.typ)) =>
+            ListT(st, 0, "map")
+          case _ => err() // nested map values: refuse
         }
       case 18 => // Duration: unit(0, default MILLISECOND), always 64-bit
         val uPos = field(b, typeTable, 0)
@@ -773,22 +788,27 @@ object ArrowCodec {
   /** Decode a DictionaryBatch message: id(0) data(1: RecordBatch)
     * isDelta(2). The data batch carries ONE column of the value type;
     * its cells (in row order) become the dictionary's value table.
-    * Delta dictionaries refuse; a repeated id is a spec REPLACEMENT
-    * and overwrites in stream order. */
+    * A repeated id is a spec REPLACEMENT and overwrites in stream
+    * order; a DELTA batch (isDelta = 1) APPENDS to the id's existing
+    * table — a delta with no prior table refuses (the spec requires
+    * an initial non-delta batch first). */
   private def decodeDictionary(b: Array[Byte], dbPos: Long, bodyAt: Long,
       bodyLen: Long, fields: Vector[FieldSpec],
       dicts: scala.collection.mutable.Map[Long, Vector[Cell]]): Unit = {
     val idPos = field(b, dbPos, 0)
     val id = if (idPos < 0) 0L else i64(b, idPos)
     val deltaPos = field(b, dbPos, 2)
-    if (deltaPos >= 0 && u8(b, deltaPos) != 0) err() // delta: refuse
+    val isDelta = deltaPos >= 0 && u8(b, deltaPos) != 0
     val spec = fields.find(_.dict.exists(_.id == id)).getOrElse(err())
     val rbPos = field(b, dbPos, 1)
     if (rbPos < 0) err()
     val tmp = scala.collection.mutable.ArrayBuffer.empty[Cell]
     decodeBatch(b, indirect(b, rbPos), bodyAt, bodyLen,
       Vector(FieldSpec(spec.name, spec.typ, None)), 0, dicts, tmp)
-    dicts(id) = tmp.toVector
+    dicts(id) =
+      if (isDelta) dicts.getOrElse(id, err()) ++ tmp.toVector
+      else tmp.toVector
+    if (dicts(id).size > MaxCells) err()
   }
 
   // ---- message framing ------------------------------------------------

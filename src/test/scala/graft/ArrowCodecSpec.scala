@@ -153,6 +153,35 @@ class ArrowCodecSpec extends SparkSpec {
     // (structural pin lives in the golden: no such fixture exists)
   }
 
+  test("Map columns decode as keyed entries; delta dictionaries append") {
+    val ms = ArrowCodec.decode(fixture("map-15.arrow")).get
+    def col(n: String) = ms.filter(_.col == n)
+    assert(col("m.key").filter(_.row == 0).map(_.str) ==
+      Vector(Some("a"), Some("b")))
+    assert(col("m.value").filter(_.row == 0).map(_.bits) ==
+      Vector(Some(1L), Some(2L)))
+    assert(col("m").filter(_.row == 2).map(c => (c.vtype, c.isNull)) ==
+      Vector(("map", true)))
+    assert(col("m.value").filter(_.row == 3).map(_.isNull) == Vector(true))
+    // delta dictionary: the second batch's indices resolve through
+    // the APPENDED table (initial x,y + delta z,w — the fixture's
+    // second dictionary message carries only z,w on the wire)
+    val ds = ArrowCodec.decode(fixture("deltadict-16.arrow")).get
+    assert(ds.filter(_.batch == 0).map(_.str.get) == Vector("x", "y", "x"))
+    assert(ds.filter(_.batch == 1).map(_.str.get) == Vector("z", "y", "w"))
+    // fuzz both
+    for (name <- Seq("map-15.arrow", "deltadict-16.arrow")) {
+      val f = fixture(name)
+      (0 until f.length by 7).foreach(k => ArrowCodec.decode(f.take(k)))
+      var j = 0
+      while (j < f.length) {
+        val m = f.clone(); m(j) = (m(j) ^ 0x44).toByte
+        ArrowCodec.decode(m)
+        j += 1
+      }
+    }
+  }
+
   test("doubly-nested lists: list<list<i64>> batches, list<fsl2<f32>> grids") {
     val cs = ArrowCodec.decode(fixture("nested2-14.arrow")).get
     def col(n: String) = cs.filter(_.col == n)

@@ -450,6 +450,47 @@ for ri, outer in enumerate(grids):
                 ROWS.append((F14, 0, "grids", ri, ki, "f32", False,
                              bits_of("f32", e), None, ji))
 
+# ---- map-15.arrow (GRADED): the Map logical type — physically
+# List<Struct<key,value>>, emitted exactly like list<struct> under
+# the "map" column vtype
+mapvals = [[("a", 1), ("b", 2)], [], None, [("c", None)]]
+m15 = pa.array(mapvals, type=pa.map_(pa.string(), pa.int64()))
+m15_schema = pa.schema([("m", m15.type)])
+with open(os.path.join(D, "map-15.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, m15_schema)
+    w.write_batch(pa.record_batch([m15], schema=m15_schema))
+    w.close()
+F15 = "map-15.arrow"
+for ri, entries in enumerate(mapvals):
+    if entries is None:
+        ROWS.append((F15, 0, "m", ri, None, "map", True, None, None))
+    else:
+        for ki, (k, v) in enumerate(entries):
+            ROWS.append((F15, 0, "m", ri, ki, "struct", False, None, None))
+            ROWS.append((F15, 0, "m.key", ri, ki, "utf8", False, None, k))
+            ROWS.append((F15, 0, "m.value", ri, ki, "i64", v is None,
+                         v, None))
+
+# ---- deltadict-16.arrow (GRADED): DELTA dictionary batches (stream
+# framing, emit_dictionary_deltas) — batch 2's dictionary extends
+# batch 1's, shipped as an append-only delta message
+dd1 = pa.DictionaryArray.from_arrays(
+    pa.array([0, 1, 0], type=pa.int32()), pa.array(["x", "y"]))
+dd2 = pa.DictionaryArray.from_arrays(
+    pa.array([2, 1, 3], type=pa.int32()),
+    pa.array(["x", "y", "z", "w"]))
+t16a = pa.record_batch([dd1], names=["c"])
+t16b = pa.record_batch([dd2], names=["c"])
+with open(os.path.join(D, "deltadict-16.arrow"), "wb") as fh:
+    w = ipc.new_stream(
+        fh, t16a.schema,
+        options=ipc.IpcWriteOptions(emit_dictionary_deltas=True))
+    w.write_batch(t16a)
+    w.write_batch(t16b)
+    w.close()
+emit_batch("deltadict-16.arrow", 0, [("c", "utf8", None, ["x", "y", "x"])])
+emit_batch("deltadict-16.arrow", 1, [("c", "utf8", None, ["z", "y", "w"])])
+
 # ---- refusal fixtures
 with open(os.path.join(D, "table-00.arrow"), "rb") as fh:
     whole = fh.read()
