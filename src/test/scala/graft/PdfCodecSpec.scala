@@ -139,6 +139,23 @@ class PdfCodecSpec extends SparkSpec {
     }
   }
 
+  test("the modern encrypted shape: xref stream + ObjStm + AES-256 compose") {
+    // the xref stream itself must NOT decrypt (it loads outside
+    // obj(), num = -1); the ObjStm and content streams must, each as
+    // its own object
+    val rs = PdfCodec.decode(fixture("encmodern-14.pdf")).get
+    assert(rs.map(_.text) ==
+      Vector("modern encrypted: objstm under aes-256"))
+    val f = fixture("encmodern-14.pdf")
+    (0 until f.length by 9).foreach(k => PdfCodec.decode(f.take(k)))
+    var j = 0
+    while (j < f.length) {
+      val m = f.clone(); m(j) = (m(j) ^ 0x19).toByte
+      PdfCodec.decode(m)
+      j += 1
+    }
+  }
+
   test("a REAL user password fails the /U check and refuses whole-file") {
     assert(PdfCodec.decode(fixture("encpw-10.pdf")).isEmpty)
     assert(PdfCodec.decode(fixture("encpw256-13.pdf")).isEmpty, "V5/R6")
@@ -223,6 +240,7 @@ class PdfCodecSpec extends SparkSpec {
       "xrefstm-05.pdf" -> 1L, "objstm-06.pdf" -> 1L,
       "hybrid-07.pdf" -> 1L, "enc-rc4-08.pdf" -> 2L,
       "enc-aes-09.pdf" -> 2L, // bad-03/04, encpw-10/-13: refused, absent
-      "cmap-11.pdf" -> 6L, "enc-aes256-12.pdf" -> 2L))
+      "cmap-11.pdf" -> 6L, "enc-aes256-12.pdf" -> 2L,
+      "encmodern-14.pdf" -> 1L))
   }
 }

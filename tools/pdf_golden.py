@@ -612,6 +612,83 @@ def encrypted_pdf_v5(fname, texts, user_pw=b"", perm=-4):
     return texts
 
 
+def encrypted_modern_pdf(fname, text):
+    """The modern crawled encrypted-PDF shape: V5/R6 AES-256 + xref
+    STREAM + ObjStm. The ObjStm and content streams are encrypted
+    with the file key (encryption applies BEFORE filters read: disk
+    bytes = AES(zlib(data))); the xref stream itself is NEVER
+    encrypted per spec, and its dict doubles as the trailer carrying
+    /Encrypt + /ID."""
+    h = hashlib.sha512(fname.encode()).digest()
+    file_key = h[:32]
+    u_vsalt, u_ksalt = h[32:40], h[40:48]
+    o_vsalt, o_ksalt = h[48:56], h[56:64]
+    u = hash_2b(b"", u_vsalt) + u_vsalt + u_ksalt
+    ue = aes_cbc_raw(hash_2b(b"", u_ksalt), b"\x00" * 16, file_key)
+    o = hash_2b(b"", o_vsalt, u) + o_vsalt + o_ksalt
+    oe = aes_cbc_raw(hash_2b(b"", o_ksalt, u), b"\x00" * 16, file_key)
+
+    def enc(data, tag):
+        iv = hashlib.md5(tag + fname.encode()).digest()[:16]
+        return aes_cbc_encrypt(file_key, iv, data)
+
+    out = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+
+    def add(num, body):
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    content = b"BT /F1 12 Tf 72 720 Td (" + text + b") Tj ET"
+    inner = [
+        (2, b"<< /Type /Catalog /Pages 3 0 R >>"),
+        (3, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (4, b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792]"
+            b" /Contents 5 0 R >>"),
+    ]
+    hdr = b""
+    body = b""
+    for num, ob in inner:
+        hdr += b"%d %d " % (num, len(body))
+        body += ob + b" "
+    first = len(hdr)
+    spay = enc(zlib.compress(hdr + body, 9), b"objstm")
+    add(1, b"<< /Type /ObjStm /N 3 /First %d /Filter /FlateDecode"
+           b" /Length %d >>\nstream\n" % (first, len(spay)) +
+        spay + b"\nendstream")
+    cpay = enc(content, b"content")
+    add(5, b"<< /Length %d >>\nstream\n" % len(cpay) + cpay +
+        b"\nendstream")
+    add(6, (b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+            b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+            b"/O %s /U %s /OE %s /UE %s /P -4 >>" % (
+                hexstr(o).encode(), hexstr(u).encode(),
+                hexstr(oe).encode(), hexstr(ue).encode())))
+
+    def row(t, f2, f3):
+        return bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+
+    xref_at = len(out)
+    rows = (row(0, 0, 0xffff) + row(1, offsets[1], 0) +
+            row(2, 1, 0) + row(2, 1, 1) + row(2, 1, 2) +
+            row(1, offsets[5], 0) + row(1, offsets[6], 0) +
+            row(1, xref_at, 0))
+    xpay = zlib.compress(rows, 9)
+    id0 = hashlib.md5(fname.encode()).digest()
+    xdict = (b"<< /Type /XRef /Size 8 /W [1 4 2] /Root 2 0 R"
+             b" /Encrypt 6 0 R /ID [%s %s]"
+             b" /Filter /FlateDecode /Length %d >>" % (
+                 hexstr(id0).encode(), hexstr(id0).encode(), len(xpay)))
+    out.extend(b"7 0 obj\n" + xdict + b"\nstream\n" + xpay +
+               b"\nendstream\nendobj\n")
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_at)
+    with open(os.path.join(D, fname), "wb") as fh:
+        fh.write(bytes(out))
+
+
 # enc-rc4-08.pdf: V2/R3 RC4-128, empty user password -> decrypts
 for i, t in enumerate(encrypted_pdf(
         "enc-rc4-08.pdf",
@@ -637,6 +714,12 @@ for i, t in enumerate(encrypted_pdf_v5(
     ROWS.append(("enc-aes256-12.pdf", 0, i, t))
 # encpw256-13.pdf: V5/R6 with a REAL password -> refusal by ABSENCE
 encrypted_pdf_v5("encpw256-13.pdf", ["still hidden"], user_pw=b"secret")
+# encmodern-14.pdf: xref STREAM + ObjStm + AES-256 together — the
+# actual shape a modern crawled encrypted PDF has
+encrypted_modern_pdf("encmodern-14.pdf",
+                     b"modern encrypted: objstm under aes-256")
+ROWS.append(("encmodern-14.pdf", 0, 0,
+             "modern encrypted: objstm under aes-256"))
 
 # ---- cmap-11.pdf: composed-font text via /ToUnicode CMaps — the
 # text-fidelity layer for CJK/ligature PDFs: a Type0/Identity-H font
