@@ -187,6 +187,37 @@ object ArrowWrite {
     b.endTable()
   }
 
+  /** Schema flatbuffer for the (id: Int64, text: Utf8) shape — the
+    * HF-bound TEXT export sibling of the embedding schema. */
+  private def textSchemaTable(b: Fbb): Int = {
+    val txtName = b.createString("text")
+    b.startTable(1) // Utf8: no fields
+    val utf8Type = b.endTable()
+    b.startTable(7) // Field
+    b.slotOff(0, txtName)
+    b.slotBool(1, v = true)
+    b.slotI8(2, 5, 0) // type_type Utf8
+    b.slotOff(3, utf8Type)
+    val txtField = b.endTable()
+
+    val idName = b.createString("id")
+    b.startTable(2) // Int: bitWidth(0) is_signed(1)
+    b.slotI32(0, 64, 0)
+    b.slotBool(1, v = true)
+    val intType = b.endTable()
+    b.startTable(7)
+    b.slotOff(0, idName)
+    b.slotBool(1, v = true)
+    b.slotI8(2, 2, 0) // type_type Int
+    b.slotOff(3, intType)
+    val idField = b.endTable()
+
+    val fields = b.createOffsetVector(Seq(idField, txtField))
+    b.startTable(4) // Schema: endianness(0) fields(1)
+    b.slotOff(1, fields)
+    b.endTable()
+  }
+
   /** Encapsulate a message flatbuffer: continuation + metalen +
     * padded body. */
   private def encapsulate(fb: Array[Byte]): Array[Byte] = {
@@ -254,6 +285,98 @@ object ArrowWrite {
       le32(body, p, java.lang.Float.floatToRawIntBits(emb(i)).toLong); p += 4
     }
     (schemaMsg, batchMsg, body)
+  }
+
+  /** Shared assembly for the (id, text) shape: buffers are
+    * [id validity (len 0 = all valid)][id data][text validity (0)]
+    * [int32 offsets][utf8 data], two field nodes. */
+  private def buildTextParts(ids: Array[Long], texts: Array[String])
+      : (Array[Byte], Array[Byte], Array[Byte]) = {
+    val n = ids.length
+    require(texts.length == n, s"texts ${texts.length} != ids $n")
+    val raw = texts.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var tlen = 0L
+    raw.foreach(r => tlen += r.length)
+    require(tlen <= Int.MaxValue / 2, s"text bytes $tlen")
+    val idBytes = 8 * n
+    val offBytes = 4 * (n + 1)
+    val offAt = pad8(idBytes)
+    val datAt = offAt + pad8(offBytes)
+    val bodyLen = datAt + pad8(tlen.toInt)
+    val bufOffs = Array(0L, 0L, offAt.toLong, offAt.toLong, datAt.toLong)
+    val bufLens = Array(0L, idBytes.toLong, 0L, offBytes.toLong, tlen)
+
+    val schemaMsg = encapsulate(messageFb(1, 0)(textSchemaTable))
+    val batchMsg = encapsulate(messageFb(3, bodyLen.toLong) { b =>
+      val bufRaw = new Array[Byte](16 * 5)
+      for (i <- 0 until 5) {
+        le64(bufRaw, 16 * i, bufOffs(i)); le64(bufRaw, 16 * i + 8, bufLens(i))
+      }
+      val buffers = b.createRawVector(5, 8, bufRaw)
+      val nodeRaw = new Array[Byte](16 * 2)
+      le64(nodeRaw, 0, n.toLong); le64(nodeRaw, 16, n.toLong)
+      val nodes = b.createRawVector(2, 8, nodeRaw)
+      b.startTable(4)
+      b.slotI64(0, n.toLong, 0)
+      b.slotOff(1, nodes)
+      b.slotOff(2, buffers)
+      b.endTable()
+    })
+
+    val body = new Array[Byte](bodyLen)
+    var p = 0
+    for (i <- 0 until n) { le64(body, p, ids(i)); p += 8 }
+    p = offAt
+    var acc = 0
+    for (i <- 0 to n) {
+      le32(body, p, acc.toLong); p += 4
+      if (i < n) acc += raw(i).length
+    }
+    p = datAt
+    raw.foreach { r => System.arraycopy(r, 0, body, p, r.length); p += r.length }
+    (schemaMsg, batchMsg, body)
+  }
+
+  /** (id, text) shard in the IPC FILE framing — the HF-bound text
+    * export; pyarrow-readable, cross-validated in arrow_golden.py. */
+  def encodeTextFile(ids: Array[Long], texts: Array[String]): Array[Byte] = {
+    val (schemaMsg, batchMsg, body) = buildTextParts(ids, texts)
+    val batchOffset = 8 + schemaMsg.length
+    val footerFb = {
+      val b = new Fbb()
+      val schema = textSchemaTable(b)
+      val blockRaw = new Array[Byte](24)
+      le64(blockRaw, 0, batchOffset.toLong)
+      le32(blockRaw, 8, batchMsg.length.toLong)
+      le64(blockRaw, 16, body.length.toLong)
+      val blocks = b.createRawVector(1, 8, blockRaw)
+      b.startTable(5)
+      b.slotI16(0, 4, 0)
+      b.slotOff(1, schema)
+      b.slotOff(3, blocks)
+      b.finish(b.endTable())
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ARROW1".getBytes); out.write(0); out.write(0)
+    out.write(schemaMsg)
+    out.write(batchMsg)
+    out.write(body)
+    out.write(footerFb)
+    var i = 0
+    while (i < 4) { out.write((footerFb.length >> (8 * i)) & 0xff); i += 1 }
+    out.write("ARROW1".getBytes)
+    out.toByteArray
+  }
+
+  /** (id, text) shard in the IPC STREAM framing (the HF cache shape). */
+  def encodeTextStream(ids: Array[Long], texts: Array[String]): Array[Byte] = {
+    val (schemaMsg, batchMsg, body) = buildTextParts(ids, texts)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(schemaMsg)
+    out.write(batchMsg)
+    out.write(body)
+    out.write(Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0)) // EOS
+    out.toByteArray
   }
 
   /** One shard in the IPC STREAM framing — the HuggingFace-datasets

@@ -264,6 +264,31 @@ object Sinks {
       java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
   }
 
+  /** Arrow TEXT shard sink — the HF-bound (id: Long, text: String)
+    * export sibling of [[writeArrowShards]]: per shard one record
+    * batch of id int64 + text utf8 via [[ArrowWrite.encodeTextFile]]
+    * (or the STREAM framing — the HF cache shape), executor-side, no
+    * shuffle, `_SUCCESS` marker. */
+  def writeArrowTextShards(df: DataFrame, dir: String, rowsPerShard: Int,
+      stream: Boolean = false): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col("id").cast("long"), col("text").cast("string"))
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        it.grouped(rowsPerShard).zipWithIndex.foreach { case (group, i) =>
+          val ids = group.map(_.getLong(0)).toArray
+          val txt = group.map(r =>
+            Option(r.getString(1)).getOrElse("")).toArray
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"shard_${pid}_$i.arrow"),
+            if (stream) ArrowWrite.encodeTextStream(ids, txt)
+            else ArrowWrite.encodeTextFile(ids, txt))
+        }
+        Iterator.empty
+      }.count(): Unit
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+  }
+
   /** Compressed JSONL shard sink — the `.jsonl.gz` layout web-scale
     * text corpora ship in (the gzip member of the shard-sink family:
     * tar/npy/tiff/wav siblings around it): records land as JSON

@@ -297,6 +297,24 @@ class ArrowCodecSpec extends SparkSpec {
       .sameElements(expected))
   }
 
+  test("text writer round-trips through the codec; committed fixture is byte-stable") {
+    // the (id, text) HF-export shape: utf8 offsets + data, unicode
+    // and empty strings exact; fixture re-read by pyarrow in
+    // tools/arrow_golden.py and byte-pinned here (regenerate with
+    // `sbt "runMain graft.tools.FixtureGen arrow"`)
+    val ids = Array(1000L, 1001L, 1002L, 1003L)
+    val txt = Array("the quick brown fox", "", "café — naïve £9", "line\nbreak")
+    val bytes = graft.sources.ArrowWrite.encodeTextFile(ids, txt)
+    val cells = ArrowCodec.decode(bytes).get
+    assert(cells.filter(_.col == "id").flatMap(_.bits) == ids.toVector)
+    assert(cells.filter(_.col == "text").map(_.str.get) == txt.toVector)
+    assert(bytes.sameElements(fixture("sinktext-17.arrow")))
+    // stream framing round-trips through the codec too
+    val s = graft.sources.ArrowWrite.encodeTextStream(ids, txt)
+    assert(ArrowCodec.decode(s).get.filter(_.col == "text")
+      .map(_.str.get) == txt.toVector)
+  }
+
   test("stream-framing writer round-trips and matches the committed fixture") {
     val ids = Array(5L, 6L)
     val emb = Array(1.5f, -2.5f, 0.25f, 8f, 9f, 10f)
@@ -327,6 +345,25 @@ class ArrowCodecSpec extends SparkSpec {
       .select(col("bits")).as[Long].collect().sorted
     assert(idBits.toSeq == (0L until 9L))
     assert(back.filter(col("col") === "embedding").count() == 36)
+  }
+
+  test("text shard sink writes files the scan reads back; strings exact") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = (0 until 7)
+      .map(i => (100L + i, s"doc $i — body ${"x" * i}"))
+      .toDF("id", "text").repartition(2)
+    val dir = java.nio.file.Files.createTempDirectory("arrowtext").toString
+    graft.sources.Sinks.writeArrowTextShards(df, dir, rowsPerShard = 3)
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    val back = graft.sources.GeoIngest.readArrowFiles(spark, dir)
+    val texts = back.filter(col("col") === "text")
+      .select("str_val").collect().map(_.getString(0)).sorted
+    assert(texts.toSeq ==
+      (0 until 7).map(i => s"doc $i — body ${"x" * i}").sorted)
+    val ids = back.filter(col("col") === "id")
+      .select("bits").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (100L until 107L))
   }
 
   test("distributed ingest: one row per cell per file, corrupt files skipped") {

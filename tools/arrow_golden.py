@@ -540,6 +540,22 @@ else:
     raise SystemExit("sinkstream-07.arrow missing — regenerate it with the "
                      "ArrowWrite stream fixture writer first")
 
+# sinktext-17.arrow: the engine writer's (id, text) HF-export shape,
+# re-read by pyarrow — same cross-validation discipline as sink-06
+text_path = os.path.join(D, "sinktext-17.arrow")
+if os.path.exists(text_path):
+    t = ipc.open_file(text_path).read_all()
+    tids = t.column("id").to_pylist()
+    ttxt = t.column("text").to_pylist()
+    assert t.schema.field("text").type == pa.string()
+    for ri, (i64v, s) in enumerate(zip(tids, ttxt)):
+        emit("sinktext-17.arrow", 0, "id", ri, None, "i64", i64v)
+        emit("sinktext-17.arrow", 0, "text", ri, None, "utf8", s)
+    print("sinktext-17.arrow verified via pyarrow: %d rows" % len(tids))
+else:
+    raise SystemExit("sinktext-17.arrow missing — regenerate with "
+                     "`sbt 'runMain graft.tools.FixtureGen arrow'` first")
+
 schema_g = pa.schema([
     ("file", pa.string()), ("batch", pa.int32()), ("col", pa.string()),
     ("row", pa.int64()), ("elem_idx", pa.int64()), ("vtype", pa.string()),
