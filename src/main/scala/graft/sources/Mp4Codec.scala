@@ -395,17 +395,33 @@ object Mp4Codec {
             if (at + 8 > end) err()
             val flags = (u8(at + 1) << 16) | (u8(at + 2) << 8) | u8(at + 3)
             trackId = u32(at + 4).toInt
+            // every optional field read is bounded by the ENCLOSING
+            // box end BEFORE the read — a trailing p > end check
+            // would already have read the next box's header bytes
             var p = at + 8
-            if ((flags & 0x01) != 0) { baseOff = u64(p); p += 8 }
+            if ((flags & 0x01) != 0) {
+              if (p + 8 > end) err(); baseOff = u64(p); p += 8
+            }
             if ((flags & 0x02) != 0) p += 4 // sample-description-index
-            if ((flags & 0x08) != 0) { defDur = u32(p); p += 4 }
-            if ((flags & 0x10) != 0) { defSize = u32(p); p += 4 }
-            if ((flags & 0x20) != 0) { defFlags = u32(p); p += 4 }
+            if ((flags & 0x08) != 0) {
+              if (p + 4 > end) err(); defDur = u32(p); p += 4
+            }
+            if ((flags & 0x10) != 0) {
+              if (p + 4 > end) err(); defSize = u32(p); p += 4
+            }
+            if ((flags & 0x20) != 0) {
+              if (p + 4 > end) err(); defFlags = u32(p); p += 4
+            }
             if (p > end) err()
             baseIsMoof = (flags & 0x20000) != 0
           case "tfdt" =>
+            // version 1 carries a u64 decode time: 12 body bytes, not
+            // 8 — an 8-byte body with a version-1 flag would silently
+            // splice the next box's header into the decode time
             if (at + 8 > end) err()
-            tfdtTime = if (u8(at) == 1) u64(at + 4) else u32(at + 4)
+            val v1 = u8(at) == 1
+            if (v1 && at + 12 > end) err()
+            tfdtTime = if (v1) u64(at + 4) else u32(at + 4)
           case "trun" => truns += ((at, end))
           case _ => () // sbgp/sgpd/subs/…: not needed for the table
         }

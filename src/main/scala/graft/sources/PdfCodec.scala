@@ -69,7 +69,8 @@ object PdfCodec {
   /** `num` is the OWNING object number (attached when loaded through
     * the xref — -1 during raw parses): the standard security handler
     * derives each stream's decryption key from it. */
-  private case class PStream(dict: PDict, dataAt: Int, num: Int = -1)
+  private case class PStream(dict: PDict, dataAt: Int, num: Int = -1,
+      gen: Int = 0)
     extends PVal
   private case object POther extends PVal // null: carried, unused
   private case class PBool(b: Boolean) extends PVal // /EncryptMetadata needs it
@@ -283,9 +284,9 @@ object PdfCodec {
     * the per-object MD5 derivation exists only in the legacy
     * handlers. */
   private def decryptObj(key: Array[Byte], aes: Boolean, num: Int,
-      data: Array[Byte]): Array[Byte] = {
+      gen: Int, data: Array[Byte]): Array[Byte] = {
     val tail = Array[Byte](num.toByte, (num >> 8).toByte, (num >> 16).toByte,
-      0, 0) ++ // generation 0: the crawled-document shape
+      gen.toByte, (gen >> 8).toByte) ++ // low 2 bytes of the generation
       (if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.emptyByteArray)
     val ok =
       if (key.length == 32) key
@@ -530,6 +531,12 @@ object PdfCodec {
     val firstXref = sx.number().toLong
 
     val offsets = new java.util.HashMap[Int, Int]() // first-seen wins
+    // xref-recorded generation per direct object (absent ⇒ 0): the
+    // per-object decryption key mixes the LOW 2 GEN BYTES (ISO 32000
+    // Algorithm 1), so an encrypted object at gen != 0 decrypted with
+    // a gen-0 key yields silent garbage — track it and verify the
+    // header agrees at load time (ObjStm members are gen 0 by spec)
+    val gens = new java.util.HashMap[Int, Int]()
     val inStm = new java.util.HashMap[Int, (Int, Int)]() // num → (stm, idx)
     def known(num: Int): Boolean =
       offsets.containsKey(num) || inStm.containsKey(num)
@@ -607,7 +614,8 @@ object PdfCodec {
       // here with a num (they load outside obj()) and are never
       // encrypted per spec — the num < 0 guard encodes both facts
       val raw = crypt match {
-        case Some((key, aes)) if s.num >= 0 => decryptObj(key, aes, s.num, raw0)
+        case Some((key, aes)) if s.num >= 0 =>
+          decryptObj(key, aes, s.num, s.gen, raw0)
         case _ => raw0
       }
       s.dict.m.get("Filter") match {
@@ -718,6 +726,9 @@ object PdfCodec {
                   val off = fld(1)
                   if (off > Int.MaxValue) err()
                   offsets.put(num, off.toInt)
+                  val g = if (w(2) > 0) fld(2) else 0L
+                  if (g > 0xffff) err()
+                  if (g != 0) gens.put(num, g.toInt)
                 case 2 =>
                   val stm = fld(1); val idx = fld(2)
                   if (stm > MaxObjects || idx > MaxObjects) err()
@@ -762,13 +773,17 @@ object PdfCodec {
                 px.skipWs()
                 if (px.p + 18 > b.length) err()
                 val off = px.number().toLong
-                val _gen = px.number().toLong
+                val gen = px.number().toLong
                 px.skipWs()
                 val kind = u8(px.p); px.p += 1
                 if (kind == 'n') {
-                  if (off < 0 || off > Int.MaxValue) err()
+                  if (off < 0 || off > Int.MaxValue ||
+                      gen < 0 || gen > 0xffff) err()
                   val num = (start + i).toInt
-                  if (!known(num)) offsets.put(num, off.toInt)
+                  if (!known(num)) {
+                    offsets.put(num, off.toInt)
+                    if (gen != 0) gens.put(num, gen.toInt)
+                  }
                 } else if (kind != 'f') err()
                 i += 1
               }
@@ -827,12 +842,16 @@ object PdfCodec {
           if (offsets.containsKey(num)) {
             val pp = new P(b, offsets.get(num), b.length)
             if (pp.number().toInt != num) err()
-            pp.number() // gen
+            val xgen = if (gens.containsKey(num)) gens.get(num) else 0
+            // a header/xref generation split only matters when the
+            // per-object key depends on it: refuse rather than
+            // decrypt with a guessed gen; tolerate it unencrypted
+            if (pp.number().toInt != xgen && crypt.isDefined) err()
             if (pp.word() != "obj") err()
             pp.value(0) match {
-              // attach the owning object number: the security
-              // handler's per-object key derives from it
-              case s: PStream => s.copy(num = num)
+              // attach the owning object number + generation: the
+              // security handler's per-object key derives from both
+              case s: PStream => s.copy(num = num, gen = xgen)
               case v => v
             }
           } else inStm.get(num) match {

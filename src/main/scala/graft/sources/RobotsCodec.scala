@@ -32,10 +32,20 @@ object RobotsCodec {
     * with ~30k stacked User-agent lines over 10k rules would otherwise
     * emit ~3e8 Rule objects — an OOM vector in a parser whose contract
     * is total (never refuses). Real robots files stack a handful of
-    * agents; 64 is far beyond any legitimate corpus observation, and
-    * MaxEmitted bounds the product outright. */
-  val MaxStackedAgents: Int = 64
+    * agents. The stacking cap must NOT silently drop an agent from a
+    * group — a dropped agent loses its Disallow lines and falls
+    * through to allowed-by-default, i.e. truncation toward
+    * OVER-crawling — so the cap is raised to the line budget and,
+    * whenever ANY cap (stack, rules, emitted) actually drops
+    * something, [[parse]] appends a `truncated` sentinel rule so
+    * callers can tell a capped parse from a complete one. */
+  val MaxStackedAgents: Int = MaxRules
   val MaxEmitted: Int = 100000
+
+  /** Sentinel appended when MaxEmitted truncates the fan-out: agent
+    * "" (the global namespace, like sitemap) + this verb. Decision
+    * layers treat its presence as "parse incomplete". */
+  val TruncatedVerb: String = "x-graft-truncated"
 
   def parse(content: String): Vector[Rule] = {
     val out = Vector.newBuilder[Rule]
@@ -43,13 +53,15 @@ object RobotsCodec {
     var openGroup = false // user-agent lines still stackable
     var seq = 0
     var emitted = 0
+    var dropped = false // any rule row lost to a cap → sentinel
     def emit(verb: String, value: String): Unit = {
       if (seq < MaxRules && emitted < MaxEmitted) {
         agents.foreach { a =>
           if (emitted < MaxEmitted) { out += Rule(a, verb, value, seq); emitted += 1 }
+          else dropped = true
         }
         seq += 1
-      }
+      } else dropped = true
     }
     content.split("\n", -1).foreach { raw =>
       val line = raw.split("#", 2)(0).trim
@@ -63,6 +75,7 @@ object RobotsCodec {
             if (!openGroup && agents.nonEmpty) agents = Vector.empty
             if (agents.size < MaxStackedAgents)
               agents = agents :+ v.toLowerCase(java.util.Locale.ROOT)
+            else dropped = true // an agent losing its group's rules
             openGroup = true
           case "allow" | "disallow" | "crawl-delay" =>
             openGroup = false
@@ -76,6 +89,7 @@ object RobotsCodec {
         }
       }
     }
+    if (dropped) out += Rule("", TruncatedVerb, "", seq)
     out.result()
   }
 

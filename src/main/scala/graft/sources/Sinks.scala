@@ -275,7 +275,16 @@ object Sinks {
     df.select(col("id").cast("long"), col("text").cast("string"))
       .rdd.mapPartitionsWithIndex { (pid, it) =>
         it.grouped(rowsPerShard).zipWithIndex.foreach { case (group, i) =>
-          val ids = group.map(_.getLong(0)).toArray
+          // id is the export's join key — a null one has no safe
+          // default (0 would collide) and silent dropping would
+          // desync row counts, so fail the job with a clear message
+          // instead of the NPE getLong(0) would throw
+          val ids = group.map { r =>
+            if (r.isNullAt(0)) throw new IllegalArgumentException(
+              "writeArrowTextShards: null id (ids must be non-null; " +
+                "filter or assign before export)")
+            r.getLong(0)
+          }.toArray
           val txt = group.map(r =>
             Option(r.getString(1)).getOrElse("")).toArray
           java.nio.file.Files.write(

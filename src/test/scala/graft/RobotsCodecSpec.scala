@@ -88,10 +88,19 @@ class RobotsCodecSpec extends SparkSpec {
     for (i <- 0 until 30000) hostile.append(s"User-agent: bot$i\n")
     for (i <- 0 until 1000) hostile.append(s"Disallow: /p$i\n")
     val rs = RobotsCodec.parse(hostile.toString)
-    assert(rs.size <= RobotsCodec.MaxEmitted)
-    // and legitimate small stacks are unaffected
+    // capped fan-out PLUS the truncation sentinel — a capped parse
+    // must be distinguishable from a complete one (round-16 advice:
+    // silent truncation flips disallow decisions toward allow)
+    assert(rs.size <= RobotsCodec.MaxEmitted + 1)
+    assert(rs.last.verb == RobotsCodec.TruncatedVerb)
+    assert(rs.count(_.verb == RobotsCodec.TruncatedVerb) == 1)
+    // agents up to the raised stack cap all received the first rule
+    // (the r15 cap of 64 silently dropped the rest toward allow)
+    assert(rs.iterator.filter(_.seq == 0).size == RobotsCodec.MaxStackedAgents)
+    // and legitimate small stacks are unaffected — no sentinel
     val ok = RobotsCodec.parse("User-agent: a\nUser-agent: b\nDisallow: /x\n")
     assert(ok.size == 2)
+    assert(!ok.exists(_.verb == RobotsCodec.TruncatedVerb))
   }
 
   test("decision join: group override, longest match, allow wins ties") {
