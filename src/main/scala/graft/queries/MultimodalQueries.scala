@@ -1735,8 +1735,13 @@ object MultimodalQueries {
     * the key is load-bearing in the oracle grade. Frames in caption
     * gaps drop out (inner join); both sides are REAL container walks
     * ([[graft.sources.Mp4Codec]] + [[graft.sources.SubtitleCodec]]),
-    * not synthetic stubs. At corpus scale cues-per-video are bounded
-    * — the cue side broadcasts or hash-partitions on the stem. */
+    * not synthetic stubs. No broadcast hint: at the declared
+    * production shape BOTH sides grow with video count (cues-per-
+    * video is bounded but videos aren't), so the right default is a
+    * stem-keyed shuffle hash join and AQE's runtime choice — it
+    * broadcasts the fixture-scale side on its own. cap-08.mp4 bears
+    * an edit list, so its rows align at the pts the elst SHIFTS
+    * (frames presented before the edit start clip out as negative). */
   def qCaptionAlign(spark: SparkSession, dir: String): DataFrame = {
     val stem = (c: org.apache.spark.sql.Column) =>
       regexp_replace(c, "\\.[a-z0-9]+$", "")
@@ -1749,7 +1754,7 @@ object MultimodalQueries {
       .readSubtitleFiles(spark, graft.Fixtures.path("q_vtt_cues"))
       .select(stem(col("file")).as("vid"), col("cue"),
         col("start_ms"), col("end_ms"), col("text"))
-    samples.join(broadcast(cues),
+    samples.join(cues,
         samples("vid") === cues("vid") &&
           col("start_ms") <= col("pts_ms") &&
           col("pts_ms") < col("end_ms"))

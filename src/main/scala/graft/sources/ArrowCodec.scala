@@ -46,12 +46,16 @@ package graft.sources
   * LZ4_FRAME — pyarrow Feather V2's DEFAULT — and ZSTD, each buffer
   * carrying its own int64 uncompressed-length prefix (-1 = stored
   * raw), decompressed under [[MaxBufBytes]].
+  * Null columns (zero-buffer, all-null by type — the HF-shard shape
+  * where a feature has no values) and top-level RunEndEncoded columns
+  * (runs expand to their logical values) decode natively.
   * Documented refusals, all whole-file (a columnar table is
   * all-or-nothing): dictionary-of-nested, a delta dictionary with no
-  * prior table, Null/Interval/Union/RunEndEncoded columns, nesting
-  * beyond the supported two-level shapes (struct-in-struct,
-  * list-of-struct-of-nested, anything three levels deep), trailing
-  * bytes after a stream's end-of-stream marker. Values emit as raw
+  * prior table, Interval/Union/view columns, nested or
+  * dictionary-encoded RunEndEncoded, nesting beyond the supported
+  * two-level shapes (struct-in-struct, list-of-struct-of-nested,
+  * anything three levels deep), trailing bytes after a stream's
+  * end-of-stream marker. Values emit as raw
   * little-endian bits zero-extended to a long (bit-exact NaN
   * payloads), strings as UTF-8, binary as lowercase hex. Never
   * throws.
@@ -165,10 +169,19 @@ object ArrowCodec {
     * parent validity. */
   private case class StructT(children: Vector[FieldSpec], label: String)
     extends Typ
+  /** Null type: every slot null by construction. The layout has ZERO
+    * buffers (not even validity) — routine in HF-datasets caches
+    * where a feature had no values in a shard. */
+  private case object NullT extends Typ { val label = "null" }
+  /** RunEndEncoded: run_ends child (int 16/32/64, `runW` bytes) +
+    * values child of any scalar type; the parent array itself has no
+    * buffers, runs expand to their logical values on decode. */
+  private case class RunEndT(values: Typ, runW: Int, label: String)
+    extends Typ
 
   /** A flat value type: rides one node + (validity, data…) buffers. */
   private def isScalar(t: Typ): Boolean = t match {
-    case _: ListT | _: StructT => false
+    case _: ListT | _: StructT | NullT | _: RunEndT => false
     case _ => true
   }
 
@@ -227,6 +240,7 @@ object ArrowCodec {
       indirect(b, at + 4L * i)
     }
     val typ: Typ = tt match {
+      case 1 => NullT // Null: no type fields, no buffers
       case 2 => // Int: bitWidth(0) is_signed(1)
         val t = typeTable
         val bwPos = field(b, t, 0)
@@ -361,11 +375,24 @@ object ArrowCodec {
         Prim(s"dur_${unitName(u)}", 8)
       case 19 => VarBytes("lbin", 8)  // LargeBinary: 64-bit offsets
       case 20 => VarBytes("lutf8", 8) // LargeUtf8: 64-bit offsets
-      case _ => err() // Null/Interval/Union/Map/RunEnd/...: refuse
+      case 22 => // RunEndEncoded: run_ends(child 0) + values(child 1)
+        if (depth > 0) err() // top-level REE only
+        val re = parseField(b, childField(0), depth + 1)
+        if (re.dict.isDefined) err()
+        val runW = re.typ match {
+          // the spec restricts run ends to SIGNED 16/32/64-bit ints
+          case Prim("i16", w) => w
+          case Prim("i32", w) => w
+          case Prim("i64", w) => w
+          case _ => err()
+        }
+        val vf = parseField(b, childField(1), depth + 1)
+        if (vf.dict.isDefined || !isScalar(vf.typ)) err()
+        RunEndT(vf.typ, runW, s"ree<${vf.typ.label}>")
+      case _ => err() // Interval/Union/views/...: refuse
     }
-    if (dict.isDefined &&
-        (typ.isInstanceOf[ListT] || typ.isInstanceOf[StructT]))
-      err() // dict-of-nested: refuse
+    if (dict.isDefined && !isScalar(typ))
+      err() // dict-of-nested/null/ree: refuse
     FieldSpec(name, typ, dict)
   }
 
@@ -601,6 +628,47 @@ object ArrowCodec {
           if (leaf.len != rows) err()
           var i = 0L
           while (i < rows) { put(f.name, i, None, leaf, i, gate = true); i += 1 }
+
+        case NullT =>
+          // one node, ZERO buffers: every slot is null by type
+          val (len, _) = nextNode()
+          if (len != rows) err()
+          var i = 0L
+          while (i < rows) { nullCell(f.name, i, None, "null"); i += 1 }
+
+        case RunEndT(vt, runW, _) =>
+          // parent node carries the LOGICAL length and owns no
+          // buffers; run_ends child (node + validity + data) then the
+          // values child — run i covers logical rows
+          // [run_ends[i-1], run_ends[i]), strictly increasing, and
+          // the final run must reach the logical length (a sliced
+          // array may overshoot; cells cap at `rows`)
+          val (len, _) = nextNode()
+          if (len != rows) err()
+          val (rlen, _) = nextNode()
+          if (rlen < 0 || rlen > MaxCells) err()
+          val rv = valid(nextBuf(), rlen)
+          val rdat = nextBuf()
+          if (rlen * runW > rdat.len) err()
+          val leaf = readLeaf(vt)
+          if (leaf.len != rlen) err()
+          var r = 0L
+          var prev = 0L
+          while (r < rlen && prev < rows) {
+            if (!rv(r)) err() // run ends are non-nullable per spec
+            var e = buN(rdat, r * runW, runW)
+            if (runW < 8) { val sh = 64 - 8 * runW; e = (e << sh) >> sh }
+            if (e <= prev) err()
+            val until = math.min(e, rows)
+            var i = prev
+            while (i < until) {
+              put(f.name, i, None, leaf, r, gate = true)
+              i += 1
+            }
+            prev = until
+            r += 1
+          }
+          if (prev != rows) err() // runs must cover the array
 
         case ListT(child, fixed, label) =>
           val (len, _) = nextNode()

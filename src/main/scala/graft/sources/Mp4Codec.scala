@@ -32,6 +32,14 @@ package graft.sources
   * next chunk ordinal; sync = !sample_is_non_sync_sample (bit 16 of
   * the sample flags word).
   *
+  * EDIT LISTS (`edts/elst`, §8.6.6) apply to pts: the encoder-typical
+  * shape — optional leading empty edits (media_time = -1, delaying by
+  * segment_duration MOVIE ticks) followed by one normal entry whose
+  * media_time starts the presentation — shifts every sample's pts by
+  * (delay·tsc/movieTsc − media_time), moov and fragment samples
+  * alike. Multi-segment lists and dwell rates (media_rate ≠ 1) can't
+  * be a flat shift and refuse whole-file rather than drift.
+  *
   * Refusal contract (the [[GzipCodec]]/[[Hdf5Codec]] discipline):
   * whole-file None on any structural fault — a box size under 8 or
   * past its enclosure, a truncated table, stsc/stts/stsz/stco
@@ -188,8 +196,9 @@ object Mp4Codec {
     // moov trak (handler/codec/timescale), trex defaults from mvex,
     // and running continuation state (next dts / sample index /
     // fragment ordinal) so samples number contiguously across moofs
+    var movieTsc = 0L // mvhd timescale: converts empty-edit durations
     val trackMeta = scala.collection.mutable.Map
-      .empty[Int, (String, String, Long, Int)] // handler, codec, tsc, moovChunks
+      .empty[Int, (String, String, Long, Int, Long)] // handler, codec, tsc, moovChunks, ptsOff
     val trexDefs = scala.collection.mutable.Map
       .empty[Int, (Long, Long, Long)] // defaultDur, defaultSize, defaultFlags
     val nextDts = scala.collection.mutable.Map.empty[Int, Long]
@@ -211,6 +220,9 @@ object Mp4Codec {
       var sampleCount = -1L
       var chunkOffs: Array[Long] = null
       var syncSet: java.util.HashSet[Long] = null
+      var delayMovie = 0L  // empty-edit delay, MOVIE timescale ticks
+      var mediaTime = 0L   // first presented media tick (edit start)
+      var sawElst = false
 
       def readStbl(sFrom: Long, sTo: Long): Unit =
         boxes(sFrom, sTo) { (typ, at, end) =>
@@ -275,6 +287,46 @@ object Mp4Codec {
           case "tkhd" =>
             val v = u8(at)
             trackId = (if (v == 1) u32(at + 20) else u32(at + 12)).toInt
+          case "edts" =>
+            // elst (§8.6.6): the presentation timeline mapping most
+            // real-world encoders write — leading EMPTY edits
+            // (media_time = -1) delay the whole track by
+            // segment_duration MOVIE ticks, and the one normal entry
+            // starts presentation at media_time MEDIA ticks. Multi-
+            // segment lists and dwell rates can't be expressed as a
+            // flat per-sample pts shift: refuse rather than drift.
+            boxes(at, end) { (t2, a2, e2) =>
+              if (t2 == "elst") {
+                if (sawElst) err()
+                sawElst = true
+                if (a2 + 8 > e2) err()
+                val v = u8(a2)
+                val cnt = u32(a2 + 4)
+                val esz = if (v == 1) 20 else 12
+                if (cnt > 64 || a2 + 8 + cnt * esz > e2) err()
+                var seenNormal = false
+                var i = 0L
+                while (i < cnt) {
+                  val p = a2 + 8 + i * esz
+                  // media_time is SIGNED (-1 = empty edit); v1 is
+                  // 64-bit so read it raw, not via the hostile-
+                  // offset-guarded u64
+                  val (segDur, mTime, rateInt) =
+                    if (v == 1) (u64(p), (u32(p + 8) << 32) | u32(p + 12),
+                      u16(p + 16))
+                    else (u32(p), u32(p + 4).toInt.toLong, u16(p + 8))
+                  if (mTime == -1L) {
+                    if (seenNormal) err() // trailing empty edit: rare cut shape
+                    delayMovie += segDur
+                  } else {
+                    if (seenNormal || mTime < 0 || rateInt != 1) err()
+                    seenNormal = true
+                    mediaTime = mTime
+                  }
+                  i += 1
+                }
+              }
+            }
           case "mdia" =>
             boxes(at, end) { (t2, a2, e2) =>
               t2 match {
@@ -295,11 +347,27 @@ object Mp4Codec {
         }
       }
 
+      // presentation shift from the edit list: pts_presented =
+      // cts - media_time + empty-edit delay (converted movie→media
+      // ticks). Samples composed before the edit start go negative —
+      // players clip them; the table reports them faithfully.
+      val ptsOff: Long = {
+        val delayMedia =
+          if (delayMovie == 0) 0L
+          else {
+            if (movieTsc <= 0 || timescale <= 0) err()
+            val prod = delayMovie * timescale
+            if (prod / delayMovie != timescale) err() // overflow: hostile
+            prod / movieTsc
+          }
+        delayMedia - mediaTime
+      }
+
       // record static meta for the fragment walk (even when the moov
       // table is empty — the fMP4 shape: all samples live in moofs)
       if (trackId >= 0 && timescale > 0)
         trackMeta(trackId) = (handler, codec, timescale,
-          if (chunkOffs == null) 0 else chunkOffs.length)
+          if (chunkOffs == null) 0 else chunkOffs.length, ptsOff)
 
       // a track with no sample table (e.g. metadata-only) emits no rows
       if (sampleCount < 0 && chunkOffs == null && sttsRuns == null) return
@@ -362,7 +430,7 @@ object Mp4Codec {
           if (off < 0 || size < 0 || off + size > b.length) err()
           val sync = syncSet == null || syncSet.contains(si + 1L)
           samples += Sample(trackId, handler, codec, timescale, si, ci2,
-            off, size, dts, durs(si), dts + ctsOff(si), sync)
+            off, size, dts, durs(si), dts + ctsOff(si) + ptsOff, sync)
           dts += durs(si)
           off += size
           si += 1
@@ -427,7 +495,7 @@ object Mp4Codec {
         }
       }
       if (trackId < 0) err()
-      val (handler, codec, timescale, moovChunks) =
+      val (handler, codec, timescale, moovChunks, ptsOff) =
         trackMeta.getOrElse(trackId, err())
       val trex = trexDefs.getOrElse(trackId, (-1L, -1L, -1L))
       val durDef = if (defDur >= 0) defDur else trex._1
@@ -485,7 +553,7 @@ object Mp4Codec {
           // sample_is_non_sync_sample is bit 16 of the flags word
           val sync = (sflags & 0x10000L) == 0
           samples += Sample(trackId, handler, codec, timescale, si, chunk,
-            off, size, dts, dur, dts + cts, sync)
+            off, size, dts, dur, dts + cts + ptsOff, sync)
           nSamples += 1
           dts += dur
           off += size
@@ -519,6 +587,16 @@ object Mp4Codec {
           readMoof(hdrAt, at, end)
         case "moov" =>
           sawMoov = true
+          // mvhd first (it need not precede traks in file order and
+          // empty-edit conversion needs the movie timescale)
+          boxes(at, end) { (t2, a2, e2) =>
+            if (t2 == "mvhd") {
+              if (a2 + 4 > e2) err()
+              val v = u8(a2)
+              if (a2 + (if (v == 1) 24 else 16) > e2) err()
+              movieTsc = if (v == 1) u32(a2 + 20) else u32(a2 + 12)
+            }
+          }
           boxes(at, end) { (t2, a2, e2) =>
             t2 match {
               case "moof" => err() // moof nested in moov: invalid

@@ -219,6 +219,49 @@ class ArrowCodecSpec extends SparkSpec {
     }
   }
 
+  test("Null columns decode all-null; RunEndEncoded expands to logical values") {
+    // nullcol-18: a Null-typed (zero-buffer) column next to real data
+    // — the HF shard shape where a feature had no values
+    val nc = ArrowCodec.decode(fixture("nullcol-18.arrow")).get
+    val feat = nc.filter(_.col == "feat")
+    assert(feat.size == 6 && feat.forall(c => c.isNull && c.vtype == "null"))
+    assert(feat.map(_.batch).distinct == Vector(0, 1)) // node per batch
+    val ids = nc.filter(_.col == "id")
+    assert(ids.flatMap(_.bits) == Vector(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(nc.find(c => c.col == "txt" && c.batch == 0 && c.row == 1)
+      .get.isNull)
+
+    // ree-19: utf8 REE with a NULL run, i64 REE, int16 run-ends
+    val re = ArrowCodec.decode(fixture("ree-19.arrow")).get
+    val src = re.filter(_.col == "source")
+    assert(src.map(_.str) == Vector(Some("news"), Some("news"), Some("news"),
+      None, None, Some("web"), Some("web"), Some("code"), Some("code"),
+      Some("code")))
+    assert(src.forall(_.vtype == "utf8")) // cells carry the VALUE type
+    val num = re.filter(_.col == "num")
+    assert(num.flatMap(_.bits) ==
+      Vector(7L, 7L, 7L, 7L, -1L, -1L, 2L, 2L, 2L, 2L))
+    val lang = re.filter(_.col == "lang") // single 10-long run, i16 ends
+    assert(lang.size == 10 && lang.forall(_.str.contains("en")))
+  }
+
+  test("REE refusals: non-increasing run ends, runs short of the length") {
+    // hand-corrupt ree-19's run-ends buffer: find the int16 run-ends
+    // value 10 (the lang column's single run end) and shrink it so the
+    // runs no longer cover the logical length -> whole-file refusal
+    val good = fixture("ree-19.arrow")
+    assert(ArrowCodec.decode(good).isDefined)
+    var refused = 0
+    for (i <- 0 until good.length - 1) {
+      if (good(i) == 10.toByte && good(i + 1) == 0.toByte) {
+        val bad = good.clone()
+        bad(i) = 3 // a 10 somewhere: if it was a run end, coverage breaks
+        if (ArrowCodec.decode(bad).isEmpty) refused += 1
+      }
+    }
+    assert(refused >= 1) // at least the real run-end site refuses
+  }
+
   test("nested fixture survives truncation and fuzz without throwing") {
     val f = fixture("nested-13.arrow")
     (0 until f.length by 7).foreach(k => ArrowCodec.decode(f.take(k)))

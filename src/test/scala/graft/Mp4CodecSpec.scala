@@ -59,6 +59,24 @@ class Mp4CodecSpec extends SparkSpec {
     assert(ss.map(_.sync) == Vector(true, false, true, false))
   }
 
+  test("edit lists shift pts: empty-edit delay, media_time, v1 entries") {
+    // cap-08: empty edit of 500 movie-ms then media_time=1000 at
+    // timescale 1000 -> every pts shifts by 500 - 1000 = -500; the
+    // first two samples present BEFORE the edit start (negative pts)
+    val c8 = Mp4Codec.decode(fixture("cap-08.mp4")).get
+    assert(c8.length == 12)
+    assert(c8.map(_.pts) == (0 until 12).map(i => i * 250L - 500L).toVector)
+    assert(c8.map(_.dts) == (0 until 12).map(_ * 250L).toVector) // dts unshifted
+    // elst-09: v1 (64-bit) entries, media_time=3000 only, tsc 90000
+    val e9 = Mp4Codec.decode(fixture("elst-09.mp4")).get
+    assert(e9.length == 5)
+    val cts = Vector(6000L, 3000L, 3000L, 3000L, 0L)
+    assert(e9.map(_.pts) ==
+      e9.zipWithIndex.map { case (s, i) => s.dts + cts(i) - 3000L })
+    // multi-segment edit (two normal entries): refuse, don't drift
+    assert(Mp4Codec.decode(fixture("badelst-10.mp4")).isEmpty)
+  }
+
   test("refusals: truncated mdat, size<8 box, no moov, unanchored moof") {
     // frag-03 (a moof with no traf) now PARSES under the fragment
     // walk — to zero samples, the same absent-from-golden observable
@@ -144,11 +162,12 @@ class Mp4CodecSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(byFile == Map(
       "vid-00.mp4" -> 10L, "av-01.mp4" -> 13L, "co64-02.mp4" -> 4L,
-      "cap-06.mp4" -> 12L, "cap-07.mp4" -> 8L, "fmp4-07.mp4" -> 9L))
+      "cap-06.mp4" -> 12L, "cap-07.mp4" -> 8L, "fmp4-07.mp4" -> 9L,
+      "cap-08.mp4" -> 12L, "elst-09.mp4" -> 5L))
     // md5s are all distinct across samples (every payload differs)
     import org.apache.spark.sql.functions.countDistinct
     val n = df.agg(countDistinct("md5")).head.getLong(0)
-    assert(n == 56L)
+    assert(n == 73L)
   }
 
   test("mux round-trips through the walker: chunking, timing, sync, bytes") {

@@ -100,6 +100,15 @@ class SubtitleCodecSpec extends SparkSpec {
     // (the stem key is load-bearing)
     val c7 = all.filter(_._1 == "cap-07").sortBy(_._2)
     assert(c7.map(_._2).toSeq == Seq(0, 1, 2, 3, 4, 6, 7))
-    assert(all.map(_._1).toSet == Set("cap-06", "cap-07"))
+    // cap-08: 12 samples at 250 ms SHIFTED -500 ms by its edit list;
+    // cues [0,700) [700,1500) [1800,2300). Samples 0-1 present before
+    // the edit start (negative pts: clipped), samples 8 (1500) and 9
+    // (1750) fall in the cue gap, 12th would be 2250 < 2300 (matches)
+    val c8 = all.filter(_._1 == "cap-08").sortBy(_._2)
+    assert(c8.map(s => (s._2, s._3)).toSeq ==
+      Seq(2 -> 0L, 3 -> 250L, 4 -> 500L, 5 -> 750L, 6 -> 1000L,
+        7 -> 1250L, 10 -> 2000L, 11 -> 2250L))
+    assert(c8.filter(_._3 >= 1800).forall(_._4 == 2))
+    assert(all.map(_._1).toSet == Set("cap-06", "cap-07", "cap-08"))
   }
 }

@@ -26,6 +26,8 @@ Layout written under tools/fixtures/q_arrow_read/:
                     LZ4 compression + a dictionary (categorical) column
   streamdict-10.arrow STREAM framing, LZ4 bodies + int8-index dictionary
   garbage-11.arrow  stream-02 + trailing junk after EOS -> refusal
+  nullcol-18.arrow  a Null-typed column next to real data (GRADED)
+  ree-19.arrow      RunEndEncoded columns, STREAM framing (GRADED)
 The two bad files' ABSENCE from the golden is itself graded.
 """
 import os, struct
@@ -555,6 +557,56 @@ if os.path.exists(text_path):
 else:
     raise SystemExit("sinktext-17.arrow missing — regenerate with "
                      "`sbt 'runMain graft.tools.FixtureGen arrow'` first")
+
+# ---- nullcol-18.arrow (GRADED): a Null-typed column riding next to
+# real data — the routine HF-datasets shard shape where a feature had
+# no values in a shard and serialized as the Null type (zero buffers).
+import pyarrow.compute as pc  # noqa: E402
+
+n18_ids = [1, 2, 3, 4, 5, 6]
+n18_txt = ["a", None, "c", "d", None, "f"]
+n18 = pa.table({
+    "id": pa.array(n18_ids, type=pa.int64()),
+    "feat": pa.nulls(6),
+    "txt": pa.array(n18_txt),
+})
+with open(os.path.join(D, "nullcol-18.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, n18.schema)
+    # two batches: Null columns carry a node per batch, no buffers
+    w.write_table(n18.slice(0, 4))
+    w.write_table(n18.slice(4, 2))
+    w.close()
+for bi, (lo, n) in enumerate([(0, 4), (4, 2)]):
+    for ri in range(n):
+        emit("nullcol-18.arrow", bi, "id", ri, None, "i64", n18_ids[lo + ri])
+        emit("nullcol-18.arrow", bi, "feat", ri, None, "null", None)
+        emit("nullcol-18.arrow", bi, "txt", ri, None, "utf8", n18_txt[lo + ri])
+
+# ---- ree-19.arrow (GRADED): RunEndEncoded columns (newer pyarrow
+# emits these for low-cardinality columns) — a utf8 REE with a NULL
+# run, an i64 REE, and an int16 run-ends variant; STREAM framing (the
+# HF cache wire shape). Golden rows carry the EXPANDED logical values.
+r19_src = ["news", "news", "news", None, None, "web", "web", "code",
+           "code", "code"]
+r19_num = [7, 7, 7, 7, -1, -1, 2, 2, 2, 2]
+r19_lang = ["en"] * 10
+r19 = pa.table({
+    "id": pa.array(range(10), type=pa.int64()),
+    "source": pc.run_end_encode(pa.array(r19_src)),
+    "num": pc.run_end_encode(pa.array(r19_num, type=pa.int64())),
+    "lang": pc.run_end_encode(
+        pa.array(r19_lang),
+        options=pc.RunEndEncodeOptions(run_end_type=pa.int16())),
+})
+with open(os.path.join(D, "ree-19.arrow"), "wb") as fh:
+    w = ipc.new_stream(fh, r19.schema)
+    w.write_table(r19)
+    w.close()
+for ri in range(10):
+    emit("ree-19.arrow", 0, "id", ri, None, "i64", ri)
+    emit("ree-19.arrow", 0, "source", ri, None, "utf8", r19_src[ri])
+    emit("ree-19.arrow", 0, "num", ri, None, "i64", r19_num[ri])
+    emit("ree-19.arrow", 0, "lang", ri, None, "utf8", r19_lang[ri])
 
 schema_g = pa.schema([
     ("file", pa.string()), ("batch", pa.int32()), ("col", pa.string()),

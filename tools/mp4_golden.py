@@ -32,7 +32,11 @@ Layout written under tools/fixtures/q_mp4_samples/:
                 composition offsets
   trunc-04.mp4  mdat shorter than the sample table claims -> refusal
   badbox-05.mp4 box size < 8 -> refusal
-The two bad files' ABSENCE from the golden is itself graded.
+  cap-08.mp4    third caption subject, EDIT LIST (empty edit + media
+                time): pts shift -500 ms, frames clipped before zero
+  elst-09.mp4   version-1 (64-bit) elst, media_time only, tsc 90000
+  badelst-10.mp4 two normal edit entries (multi-segment) -> refusal
+The bad files' ABSENCE from the golden is itself graded.
 """
 import hashlib
 import os
@@ -162,10 +166,41 @@ def stss(samples):
     return full(b"stss", 0, 0, body)
 
 
+def elst(entries, v=0):
+    """Edit list (§8.6.6). entries: (segment_duration, media_time,
+    media_rate_integer); media_time -1 = empty edit."""
+    body = struct.pack(">I", len(entries))
+    for seg, mt, rate in entries:
+        if v:
+            body += struct.pack(">Qq", seg, mt)
+        else:
+            body += struct.pack(">Ii", seg, mt)
+        body += struct.pack(">hh", rate, 0)
+    return full(b"elst", v, 0, body)
+
+
+def pts_offset(track, movie_timescale):
+    """The flat pts shift an encoder-typical edit list induces:
+    leading empty edits delay by segment_duration MOVIE ticks; the
+    normal entry's media_time starts presentation there."""
+    if not track.edits:
+        return 0
+    delay = 0
+    media = 0
+    for seg, mt, _rate in track.edits:
+        if mt == -1:
+            delay += seg
+        else:
+            media = mt
+            break
+    return delay * track.timescale // movie_timescale - media
+
+
 class Track:
     def __init__(self, track_id, handler, codec, timescale, sizes,
                  stts_runs, stsc_entries, chunks, sync=None,
-                 ctts_entries=None, const_size=0, use_co64=False, v=0):
+                 ctts_entries=None, const_size=0, use_co64=False, v=0,
+                 edits=None):
         self.track_id = track_id
         self.handler = handler          # b"vide" / b"soun"
         self.codec = codec              # b"avc1" / b"mp4a"
@@ -179,6 +214,7 @@ class Track:
         self.const_size = const_size
         self.use_co64 = use_co64
         self.v = v
+        self.edits = edits  # [(segment_duration, media_time, rate)]
 
     def samples_per_chunk(self):
         """Expand stsc to a per-chunk sample count (spec run-length)."""
@@ -217,7 +253,7 @@ def lcg_bytes(n, seed):
 
 
 def build(fname, tracks, movie_timescale=1000, extra_moov=b"",
-          mdat_pad=0, v=0):
+          mdat_pad=0, v=0, golden=True):
     """Assemble ftyp+moov+mdat; chunk payloads interleave by track
     round-robin (the real muxer shape). Returns file bytes and emits
     golden rows."""
@@ -260,7 +296,9 @@ def build(fname, tracks, movie_timescale=1000, extra_moov=b"",
             minf = box(b"minf", mhd + dinf() + box(b"stbl", stbl))
             mdia = box(b"mdia", mdhd(t.timescale, total_dur, t.v) +
                        hdlr(t.handler, b"graft golden") + minf)
-            traks += box(b"trak", tkhd(t.track_id, total_dur, t.v) + mdia)
+            edts = (box(b"edts", elst(t.edits, t.v)) if t.edits else b"")
+            traks += box(b"trak",
+                         tkhd(t.track_id, total_dur, t.v) + edts + mdia)
         return box(b"moov", mvhd(movie_timescale, 4000, v) + traks +
                    extra_moov)
     zero_offs = {t.track_id: [0] * t.chunks for t in tracks}
@@ -278,10 +316,13 @@ def build(fname, tracks, movie_timescale=1000, extra_moov=b"",
     with open(os.path.join(D, fname), "wb") as fh:
         fh.write(data)
     # golden rows (the INDEPENDENT expansion of the tables)
+    if not golden:
+        return
     for t in tracks:
         spc = t.samples_per_chunk()
         durs = t.durations()
         ctss = t.cts_offsets()
+        poff = pts_offset(t, movie_timescale)
         si = 0
         dts = 0
         for ci in range(t.chunks):
@@ -294,7 +335,7 @@ def build(fname, tracks, movie_timescale=1000, extra_moov=b"",
                 ROWS.append((fname, t.track_id,
                              t.handler.decode(), t.codec.decode(),
                              t.timescale, si, ci, off, size, dts,
-                             durs[si], dts + ctss[si], sync,
+                             durs[si], dts + ctss[si] + poff, sync,
                              hashlib.md5(payload).hexdigest()))
                 dts += durs[si]
                 off += size
@@ -374,6 +415,52 @@ cap2 = Track(
     sync=[1, 5],
 )
 build("cap-07.mp4", [cap2])
+
+# ---- cap-08.mp4: THIRD caption-alignment subject, bearing an EDIT
+# LIST (the encoder-typical shape most real muxers write): one empty
+# edit of 500 movie-ms delaying the track, then a normal entry with
+# media_time=1000 — net pts shift of 500 - 1000 = -500 ms. Samples 0-1
+# present BEFORE the edit start (negative pts: players clip them; the
+# caption join drops them since no cue window is negative).
+cap3 = Track(
+    track_id=1, handler=b"vide", codec=b"avc1", timescale=1000,
+    sizes=[240, 55, 70, 225, 45, 85, 230, 60, 75, 220, 40, 90],
+    stts_runs=[(12, 250)],
+    stsc_entries=[(1, 6, 1)],
+    chunks=2,
+    sync=[1, 5, 9],
+    edits=[(500, -1, 1), (2500, 1000, 1)],
+)
+build("cap-08.mp4", [cap3])
+
+# ---- elst-09.mp4: VERSION-1 edit list (64-bit entries) with only the
+# media_time entry (the B-frame-reorder shape: pts of the first
+# presented frame), track timescale 90000 against movie timescale 1000
+el9 = Track(
+    track_id=1, handler=b"vide", codec=b"hvc1", timescale=90000,
+    sizes=[410, 95, 380, 85, 400],
+    stts_runs=[(5, 3000)],
+    stsc_entries=[(1, 5, 1)],
+    chunks=1,
+    sync=[1, 4],
+    ctts_entries=[(1, 6000), (3, 3000), (1, 0)],
+    v=1,
+    edits=[(15000, 3000, 1)],
+)
+build("elst-09.mp4", [el9])
+
+# ---- badelst-10.mp4: TWO normal edit entries (a real multi-segment
+# cut) — not expressible as a flat pts shift, so the walker refuses
+# whole-file rather than drift; absence from the golden is the grade
+bad10 = Track(
+    track_id=1, handler=b"vide", codec=b"avc1", timescale=1000,
+    sizes=[100, 100],
+    stts_runs=[(2, 500)],
+    stsc_entries=[(1, 2, 1)],
+    chunks=1,
+    edits=[(400, 0, 1), (600, 700, 1)],
+)
+build("badelst-10.mp4", [bad10], golden=False)
 
 # ---- fmp4-07.mp4: a FRAGMENTED file (the DASH/HLS/CMAF segment
 # shape) written by this independent fragment muxer — init segment

@@ -122,6 +122,23 @@ with open(os.path.join(D, "cap-07.vtt"), "w") as fh:
     fh.write(cv2)
 emit("cap-07.vtt", cap2_cues)
 
+# ---- cap-08.vtt: cues for the THIRD caption-alignment video
+# (cap-08.mp4, which bears an EDIT LIST shifting its pts by -500 ms);
+# windows again overlap the other caps' ranges so the stem key stays
+# load-bearing. Frames presented before the edit start (negative pts)
+# and in the 1500-1800 gap drop out of the alignment.
+cap3_cues = [
+    (0, 700, "a green triangle appears"),
+    (700, 1500, "it rotates slowly"),
+    (1800, 2300, "the scene darkens"),
+]
+cv3 = "WEBVTT\n\n"
+for start, end, text in cap3_cues:
+    cv3 += "%s --> %s\n%s\n\n" % (ts_vtt(start), ts_vtt(end), text)
+with open(os.path.join(D, "cap-08.vtt"), "w") as fh:
+    fh.write(cv3)
+emit("cap-08.vtt", cap3_cues)
+
 # ---- asr-04.vtt: YouTube-style ASR output — metadata lines attached
 # directly under WEBVTT with NO separating blank line (spec-valid; the
 # whole header BLOCK must be skipped, not just line 0)
