@@ -37,13 +37,18 @@ package graft.sources
   * filters beyond FlateDecode, TIFF predictor 2, password-protected
   * documents, a truncated or looped xref chain or
   * object-stream cycle, a missing /Root, object/page/run/inflation
-  * budgets. Strings under a font WITHOUT a /ToUnicode CMap decode as
-  * Latin-1 (PDFDocEncoding agrees on the fixture range); fonts WITH
-  * one — the composed-font (Type0/Identity-H) shape included — map
-  * their 1- or 2-byte character codes through the CMap's bfchar /
-  * bfrange (incrementing and array forms) tables, tracked across Tf
-  * operators, with unmapped codes degrading to U+FFFD rather than
-  * refusing. Never throws. */
+  * budgets. Fonts WITH a /ToUnicode CMap — the composed-font
+  * (Type0/Identity-H) shape included — map their 1- or 2-byte
+  * character codes through the CMap's bfchar / bfrange (incrementing
+  * and array forms) tables; SIMPLE fonts without one but with an
+  * /Encoding decode through the Annex D base table
+  * (WinAnsi/MacRoman/Standard; name or /BaseEncoding dict form,
+  * absent base → Standard) overlaid with the /Differences array,
+  * glyph names resolved via an AGL subset plus the uniXXXX / uXXXXXX
+  * algorithmic forms; fonts with NEITHER decode as Latin-1
+  * (PDFDocEncoding agrees on the fixture range). Font state tracks
+  * across Tf operators; unmapped codes and unknown glyph names
+  * degrade to U+FFFD rather than refusing. Never throws. */
 object PdfCodec {
 
   /** One shown text run: 0-based page and per-page run index. */
@@ -74,6 +79,178 @@ object PdfCodec {
     extends PVal
   private case object POther extends PVal // null: carried, unused
   private case class PBool(b: Boolean) extends PVal // /EncryptMetadata needs it
+
+  // ---- font text decoders -------------------------------------------
+  /** How the CURRENT font turns show-string bytes into text: a
+    * /ToUnicode CMap (1- or 2-byte codes), or a simple-font
+    * /Encoding table (256 glyph slots, null = unmapped → U+FFFD).
+    * No font at all decodes as Latin-1. */
+  private sealed trait FontDec
+  private final case class CMapDec(twoByte: Boolean, m: Map[Int, String])
+    extends FontDec
+  private final case class SimpleDec(table: Array[String]) extends FontDec
+
+  /** 256-slot table from a JDK charset: single-byte decode of codes
+    * 0x20..0xFF minus the codes the PDF base encoding leaves
+    * undefined. Codes below 0x20 are undefined in every Annex D
+    * base encoding. */
+  private def charsetTable(cs: String, undef: Set[Int]): Array[String] = {
+    val dec = java.nio.charset.Charset.forName(cs)
+    val t = new Array[String](256)
+    var c = 0x20
+    while (c <= 0xff) {
+      if (!undef(c)) {
+        val s = new String(Array(c.toByte), dec)
+        if (s.length == 1 && s.charAt(0) != '�') t(c) = s
+      }
+      c += 1
+    }
+    t
+  }
+
+  /** WinAnsiEncoding (ISO 32000 Annex D) = Windows code page 1252;
+    * the five cp1252 holes (0x81/8D/8F/90/9D) stay undefined rather
+    * than decoding to the C1 controls the JDK charset fills in. */
+  private lazy val winAnsiTable: Array[String] =
+    charsetTable("windows-1252", Set(0x81, 0x8d, 0x8f, 0x90, 0x9d))
+
+  /** MacRomanEncoding (Annex D) = Mac OS Roman with one override:
+    * Annex D keeps the pre-8.5 CURRENCY SIGN at 0xDB where the JDK
+    * charset (post-1998 Mac OS Roman) has EURO SIGN. */
+  private lazy val macRomanTable: Array[String] = {
+    val t = charsetTable("x-MacRoman", Set.empty)
+    t(0xdb) = "¤"
+    t
+  }
+
+  /** Adobe StandardEncoding (Annex D): ASCII with typographic quotes
+    * at 0x27/0x60, plus the defined high-octal punctuation /
+    * accent / ligature rows; everything else undefined. */
+  private lazy val standardTable: Array[String] = {
+    val t = new Array[String](256)
+    var c = 0x20
+    while (c <= 0x7e) { t(c) = c.toChar.toString; c += 1 }
+    t(0x27) = "’" // quoteright
+    t(0x60) = "‘" // quoteleft
+    val high = Seq(
+      0xa1 -> 0x00a1, 0xa2 -> 0x00a2, 0xa3 -> 0x00a3, 0xa4 -> 0x2044,
+      0xa5 -> 0x00a5, 0xa6 -> 0x0192, 0xa7 -> 0x00a7, 0xa8 -> 0x00a4,
+      0xa9 -> 0x0027, 0xaa -> 0x201c, 0xab -> 0x00ab, 0xac -> 0x2039,
+      0xad -> 0x203a, 0xae -> 0xfb01, 0xaf -> 0xfb02,
+      0xb1 -> 0x2013, 0xb2 -> 0x2020, 0xb3 -> 0x2021, 0xb4 -> 0x00b7,
+      0xb6 -> 0x00b6, 0xb7 -> 0x2022, 0xb8 -> 0x201a, 0xb9 -> 0x201e,
+      0xba -> 0x201d, 0xbb -> 0x00bb, 0xbc -> 0x2026, 0xbd -> 0x2030,
+      0xbf -> 0x00bf,
+      0xc1 -> 0x0060, 0xc2 -> 0x00b4, 0xc3 -> 0x02c6, 0xc4 -> 0x02dc,
+      0xc5 -> 0x00af, 0xc6 -> 0x02d8, 0xc7 -> 0x02d9, 0xc8 -> 0x00a8,
+      0xca -> 0x02da, 0xcb -> 0x00b8, 0xcd -> 0x02dd, 0xce -> 0x02db,
+      0xcf -> 0x02c7, 0xd0 -> 0x2014,
+      0xe1 -> 0x00c6, 0xe3 -> 0x00aa, 0xe8 -> 0x0141, 0xe9 -> 0x00d8,
+      0xea -> 0x0152, 0xeb -> 0x00ba,
+      0xf1 -> 0x00e6, 0xf5 -> 0x0131, 0xf8 -> 0x0142, 0xf9 -> 0x00f8,
+      0xfa -> 0x0153, 0xfb -> 0x00df)
+    high.foreach { case (cc, u) => t(cc) = u.toChar.toString }
+    t
+  }
+
+  /** Adobe Glyph List subset: every glyph name used by the three
+    * Annex D base encodings plus the cp1252 typographic set — the
+    * names real /Differences arrays use. Packed as name:hex pairs;
+    * letters and digits are generated. */
+  private lazy val glyphUnicode: Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    for (c <- ('A' to 'Z') ++ ('a' to 'z')) m += c.toString -> c.toString
+    Seq("zero", "one", "two", "three", "four", "five", "six", "seven",
+      "eight", "nine").zipWithIndex.foreach { case (n, i) =>
+      m += n -> ('0' + i).toChar.toString
+    }
+    val packed =
+      "space:20,exclam:21,quotedbl:22,numbersign:23,dollar:24,percent:25," +
+      "ampersand:26,quotesingle:27,parenleft:28,parenright:29,asterisk:2A," +
+      "plus:2B,comma:2C,hyphen:2D,period:2E,slash:2F,colon:3A,semicolon:3B," +
+      "less:3C,equal:3D,greater:3E,question:3F,at:40,bracketleft:5B," +
+      "backslash:5C,bracketright:5D,asciicircum:5E,underscore:5F,grave:60," +
+      "braceleft:7B,bar:7C,braceright:7D,asciitilde:7E," +
+      "exclamdown:A1,cent:A2,sterling:A3,currency:A4,yen:A5,brokenbar:A6," +
+      "section:A7,dieresis:A8,copyright:A9,ordfeminine:AA,guillemotleft:AB," +
+      "logicalnot:AC,registered:AE,macron:AF,degree:B0,plusminus:B1," +
+      "twosuperior:B2,threesuperior:B3,acute:B4,mu:B5,paragraph:B6," +
+      "periodcentered:B7,cedilla:B8,onesuperior:B9,ordmasculine:BA," +
+      "guillemotright:BB,onequarter:BC,onehalf:BD,threequarters:BE," +
+      "questiondown:BF," +
+      "Agrave:C0,Aacute:C1,Acircumflex:C2,Atilde:C3,Adieresis:C4,Aring:C5," +
+      "AE:C6,Ccedilla:C7,Egrave:C8,Eacute:C9,Ecircumflex:CA,Edieresis:CB," +
+      "Igrave:CC,Iacute:CD,Icircumflex:CE,Idieresis:CF,Eth:D0,Ntilde:D1," +
+      "Ograve:D2,Oacute:D3,Ocircumflex:D4,Otilde:D5,Odieresis:D6," +
+      "multiply:D7,Oslash:D8,Ugrave:D9,Uacute:DA,Ucircumflex:DB," +
+      "Udieresis:DC,Yacute:DD,Thorn:DE,germandbls:DF," +
+      "agrave:E0,aacute:E1,acircumflex:E2,atilde:E3,adieresis:E4,aring:E5," +
+      "ae:E6,ccedilla:E7,egrave:E8,eacute:E9,ecircumflex:EA,edieresis:EB," +
+      "igrave:EC,iacute:ED,icircumflex:EE,idieresis:EF,eth:F0,ntilde:F1," +
+      "ograve:F2,oacute:F3,ocircumflex:F4,otilde:F5,odieresis:F6,divide:F7," +
+      "oslash:F8,ugrave:F9,uacute:FA,ucircumflex:FB,udieresis:FC,yacute:FD," +
+      "thorn:FE,ydieresis:FF," +
+      "dotlessi:131,Lslash:141,lslash:142,OE:152,oe:153,Scaron:160," +
+      "scaron:161,Ydieresis:178,Zcaron:17D,zcaron:17E,florin:192," +
+      "circumflex:2C6,caron:2C7,breve:2D8,dotaccent:2D9,ring:2DA," +
+      "ogonek:2DB,tilde:2DC,hungarumlaut:2DD," +
+      "endash:2013,emdash:2014,quoteleft:2018,quoteright:2019," +
+      "quotesinglbase:201A,quotedblleft:201C,quotedblright:201D," +
+      "quotedblbase:201E,dagger:2020,daggerdbl:2021,bullet:2022," +
+      "ellipsis:2026,perthousand:2030,guilsinglleft:2039," +
+      "guilsinglright:203A,fraction:2044,Euro:20AC,trademark:2122," +
+      "minus:2212,fi:FB01,fl:FB02"
+    packed.split(',').foreach { e =>
+      val i = e.indexOf(':')
+      val cp = Integer.parseInt(e.substring(i + 1), 16)
+      m += e.substring(0, i) -> new String(Character.toChars(cp))
+    }
+    m.result()
+  }
+
+  /** Glyph name → Unicode string, or null when unmappable (the
+    * content-level U+FFFD gap, not a structural fault): the AGL
+    * subset table, then the AGL algorithmic forms — uniXXXX[XXXX…]
+    * (4-hex UTF-16 units, no lone surrogates) and uXXXX..XXXXXX
+    * (one code point). */
+  private def glyphUni(name: String): String = {
+    def hexVal(s: String, lowerToo: Boolean): Int = {
+      var v = 0
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        val d =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else if (lowerToo && c >= 'a' && c <= 'f') c - 'a' + 10
+          else return -1
+        v = (v << 4) | d
+        i += 1
+      }
+      v
+    }
+    glyphUnicode.get(name) match {
+      case Some(s) => s
+      case None =>
+        if (name.length >= 7 && name.startsWith("uni") &&
+            (name.length - 3) % 4 == 0) {
+          val sb = new java.lang.StringBuilder()
+          var i = 3
+          while (i < name.length) {
+            val u = hexVal(name.substring(i, i + 4), lowerToo = false)
+            if (u < 0 || (u >= 0xd800 && u <= 0xdfff)) return null
+            sb.append(u.toChar)
+            i += 4
+          }
+          sb.toString
+        } else if (name.length >= 5 && name.length <= 7 &&
+            name.charAt(0) == 'u') {
+          val cp = hexVal(name.substring(1), lowerToo = false)
+          if (cp < 0 || cp > 0x10ffff || (cp >= 0xd800 && cp <= 0xdfff)) null
+          else new String(Character.toChars(cp))
+        } else null
+    }
+  }
 
   /** Never throws: Fail is the deliberate refusal signal, and any
     * OTHER non-fatal escape (a parse-path oversight on hostile bytes)
@@ -1162,17 +1339,76 @@ object PdfCodec {
       (twoByte, m.toMap)
     }
 
-    /** Per-page font-resource name → parsed ToUnicode map. */
-    def fontMapsOf(pg: PDict): Map[String, (Boolean, Map[Int, String])] =
+    /** Simple-font /Encoding (§9.6.5): a base-encoding NAME or a dict
+      * with optional /BaseEncoding (absent → StandardEncoding) and a
+      * /Differences array (integers set the code, names fill
+      * consecutive slots through the AGL subset). Only simple font
+      * subtypes qualify — a Type0's /Encoding names a CMap, not a
+      * byte table. Unknown base encodings (MacExpert) and malformed
+      * Differences refuse whole-file; an unknown GLYPH NAME is a
+      * content-level gap and decodes as U+FFFD. */
+    def simpleEnc(f: PDict): Option[FontDec] = {
+      val simple = deref(f.m.getOrElse("Subtype", POther)) match {
+        case PName("Type1") | PName("TrueType") | PName("Type3") |
+             PName("MMType1") => true
+        case _ => false
+      }
+      if (!simple) None
+      else {
+        def base(n: String): Array[String] = n match {
+          case "WinAnsiEncoding" => winAnsiTable
+          case "MacRomanEncoding" => macRomanTable
+          case "StandardEncoding" => standardTable
+          case _ => err()
+        }
+        deref(f.m.getOrElse("Encoding", POther)) match {
+          case PName(n) => Some(SimpleDec(base(n)))
+          case ed: PDict =>
+            val t = (deref(ed.m.getOrElse("BaseEncoding", POther)) match {
+              case PName(n) => base(n)
+              case POther => standardTable
+              case _ => err()
+            }).clone()
+            deref(ed.m.getOrElse("Differences", POther)) match {
+              case PArr(vs) =>
+                var code = -1
+                vs.foreach { v =>
+                  deref(v) match {
+                    case PNum(x) =>
+                      if (x < 0 || x > 255 || x != Math.floor(x)) err()
+                      code = x.toInt
+                    case PName(g) =>
+                      if (code < 0 || code > 255) err()
+                      t(code) = glyphUni(g)
+                      code += 1
+                    case _ => err()
+                  }
+                }
+              case POther => ()
+              case _ => err()
+            }
+            Some(SimpleDec(t))
+          case _ => None
+        }
+      }
+    }
+
+    /** Per-page font-resource name → text decoder: /ToUnicode CMap
+      * when present (it takes precedence, §9.10.2), else the
+      * simple-font /Encoding table. */
+    def fontMapsOf(pg: PDict): Map[String, FontDec] =
       deref(pg.m.getOrElse("Resources", POther)) match {
         case rd: PDict => deref(rd.m.getOrElse("Font", POther)) match {
           case fd: PDict =>
             fd.m.flatMap { case (fname, fv) =>
               deref(fv) match {
-                case f: PDict => deref(f.m.getOrElse("ToUnicode", POther)) match {
-                  case s: PStream => Some(fname -> parseCMap(streamData(s)))
-                  case _ => None
-                }
+                case f: PDict =>
+                  deref(f.m.getOrElse("ToUnicode", POther)) match {
+                    case s: PStream =>
+                      val (tw, m) = parseCMap(streamData(s))
+                      Some(fname -> CMapDec(tw, m))
+                    case _ => simpleEnc(f).map(fname -> _)
+                  }
                 case _ => None
               }
             }
@@ -1194,12 +1430,23 @@ object PdfCodec {
     }
     pages.result().zipWithIndex.foreach { case (pg, pageIdx) =>
       val fontMaps = fontMapsOf(pg)
-      // current font's ToUnicode map, tracked across Tf operators;
+      // current font's decoder, tracked across Tf operators;
       // null = no map, bytes read as Latin-1 as before
-      var curMap: (Boolean, Map[Int, String]) = null
+      var curMap: FontDec = null
       def decodeText(t: Array[Byte]): String = curMap match {
         case null => latin1(t)
-        case (twoByte, m) =>
+        case SimpleDec(tab) =>
+          val sb = new java.lang.StringBuilder()
+          var i = 0
+          while (i < t.length) {
+            val s = tab(t(i) & 0xff)
+            // undefined codes and unknown glyph names degrade to
+            // U+FFFD (content-level gap), matching the CMap rule
+            sb.append(if (s == null) "�" else s)
+            i += 1
+          }
+          sb.toString
+        case CMapDec(twoByte, m) =>
           val w = if (twoByte) 2 else 1
           if (t.length % w != 0) err()
           val sb = new java.lang.StringBuilder()

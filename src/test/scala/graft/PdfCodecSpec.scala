@@ -241,6 +241,39 @@ class PdfCodecSpec extends SparkSpec {
       "hybrid-07.pdf" -> 1L, "enc-rc4-08.pdf" -> 2L,
       "enc-aes-09.pdf" -> 2L, // bad-03/04, encpw-10/-13: refused, absent
       "cmap-11.pdf" -> 6L, "enc-aes256-12.pdf" -> 2L,
-      "encmodern-14.pdf" -> 1L))
+      "encmodern-14.pdf" -> 1L, "diff-15.pdf" -> 6L))
+  }
+
+  test("simple-font /Encoding: base tables, /Differences, precedence") {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      graft.Fixtures.path("q_pdf_text"), "diff-15.pdf"))
+    val rs = PdfCodec.decode(bytes).getOrElse(fail("diff-15 refused"))
+    assert(rs.map(_.text) == Vector(
+      "€• normal",   // WinAnsi base, Differences at 65/66
+      "äΔ😀�",      // Differences 128..131: AGL name, uniXXXX,
+                     // uXXXXX (astral), unknown name -> U+FFFD
+      "“�z",         // untouched cp1252 high byte, WinAnsi HOLE, ascii
+      "Macä –¤",     // /MacRomanEncoding by name; Annex D 0xDB currency
+      "¿‘ A¤ﬁ",      // dict w/o BaseEncoding -> Standard; diff @0x27
+      "Ω"))          // /ToUnicode beats /Encoding (§9.10.2)
+  }
+
+  test("malformed /Differences and unknown base encodings refuse") {
+    val good = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      graft.Fixtures.path("q_pdf_text"), "diff-15.pdf"))
+    val s = new String(good, "ISO-8859-1")
+    // same-length swaps keep /Length and xref offsets true
+    def swapped(from: String, to: String): Array[Byte] = {
+      assert(from.length == to.length && s.contains(from), from)
+      s.replace(from, to).getBytes("ISO-8859-1")
+    }
+    // out-of-range Differences code
+    assert(PdfCodec.decode(swapped("[65 /Euro", "[650 /Eur")).isEmpty)
+    // name before any code: the running code is undefined
+    assert(PdfCodec.decode(swapped("[39 /questiondown]",
+      "[/questiondown 39]")).isEmpty)
+    // MacExpertEncoding: outside the envelope, refuse whole-file
+    assert(PdfCodec.decode(swapped("/MacRomanEncoding",
+      "/MacExpertEncodin")).isEmpty)
   }
 }

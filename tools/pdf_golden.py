@@ -28,6 +28,12 @@ Layout written under tools/fixtures/q_pdf_text/:
   bad-03.pdf  startxref pointing past EOF -> whole-file refusal
   bad-04.pdf  xref-STREAM PDF (out of the documented envelope) ->
               whole-file refusal
+  (xrefstm-05 .. encmodern-14: xref streams, ObjStm, hybrid files,
+   RC4/AES empty-password encryption, ToUnicode CMaps — see each
+   section)
+  diff-15.pdf simple-font /Encoding: WinAnsi/MacRoman/Standard base
+              tables + /Differences glyph-name remaps (AGL names and
+              uniXXXX/uXXXXXX forms), ToUnicode precedence
 The two bad files' ABSENCE from the golden is itself graded.
 """
 import os
@@ -792,6 +798,132 @@ emit_cmap = [
 ]
 for i, t in enumerate(emit_cmap):
     ROWS.append(("cmap-11.pdf", 0, i, t))
+
+# ---- diff-15.pdf: simple-font /Encoding with /Differences — the
+# other common non-CMap shape in crawled PDFs: a base encoding
+# (named, or defaulted to Standard inside an /Encoding dict) with a
+# /Differences array remapping individual codes to AGL glyph names
+# (or uniXXXX / uXXXXXX algorithmic names). Four fonts on one page:
+#   F1 TrueType, WinAnsi base + Differences at 65/66 and 128..131
+#      (incl. an unknown glyph name -> U+FFFD, and an override of a
+#      cp1252 HOLE at 0x81)
+#   F2 Type1, /Encoding /MacRomanEncoding by NAME (no dict) — incl.
+#      the Annex D 0xDB currency-vs-euro override
+#   F3 Type1, /Encoding dict with NO BaseEncoding -> StandardEncoding
+#      base, Differences remapping 0x27
+#   F4 TrueType with BOTH /ToUnicode and /Encoding -> the CMap wins
+# Expected text is computed with Python's OWN tables (cp1252 /
+# mac_roman codecs + an independent Annex D Standard transcription),
+# so the two implementations meet over the wire.
+WIN_HOLES = (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+
+
+def winansi_dec(b):
+    if b < 0x20 or b in WIN_HOLES:
+        return "�"
+    return bytes([b]).decode("cp1252")
+
+
+def macroman_dec(b):
+    if b < 0x20:
+        return "�"
+    if b == 0xDB:  # PDF Annex D keeps pre-8.5 CURRENCY SIGN here
+        return "¤"
+    return bytes([b]).decode("mac_roman")
+
+
+STD = {c: chr(c) for c in range(0x20, 0x7F)}
+STD[0x27] = "’"
+STD[0x60] = "‘"
+STD.update({k: chr(v) for k, v in {
+    0xA1: 0xA1, 0xA2: 0xA2, 0xA3: 0xA3, 0xA4: 0x2044, 0xA5: 0xA5,
+    0xA6: 0x192, 0xA7: 0xA7, 0xA8: 0xA4, 0xA9: 0x27, 0xAA: 0x201C,
+    0xAB: 0xAB, 0xAC: 0x2039, 0xAD: 0x203A, 0xAE: 0xFB01, 0xAF: 0xFB02,
+    0xB1: 0x2013, 0xB2: 0x2020, 0xB3: 0x2021, 0xB4: 0xB7, 0xB6: 0xB6,
+    0xB7: 0x2022, 0xB8: 0x201A, 0xB9: 0x201E, 0xBA: 0x201D, 0xBB: 0xBB,
+    0xBC: 0x2026, 0xBD: 0x2030, 0xBF: 0xBF,
+    0xC1: 0x60, 0xC2: 0xB4, 0xC3: 0x2C6, 0xC4: 0x2DC, 0xC5: 0xAF,
+    0xC6: 0x2D8, 0xC7: 0x2D9, 0xC8: 0xA8, 0xCA: 0x2DA, 0xCB: 0xB8,
+    0xCD: 0x2DD, 0xCE: 0x2DB, 0xCF: 0x2C7, 0xD0: 0x2014,
+    0xE1: 0xC6, 0xE3: 0xAA, 0xE8: 0x141, 0xE9: 0xD8, 0xEA: 0x152,
+    0xEB: 0xBA, 0xF1: 0xE6, 0xF5: 0x131, 0xF8: 0x142, 0xF9: 0xF8,
+    0xFA: 0x153, 0xFB: 0xDF,
+}.items()})
+
+
+def standard_dec(b):
+    return STD.get(b, "�")
+
+
+GLYPHS = {"Euro": "€", "bullet": "•", "adieresis": "ä",
+          "uni0394": "Δ", "u1F600": "\U0001F600",
+          "questiondown": "¿"}
+F1_DIFF = {65: "Euro", 66: "bullet", 128: "adieresis", 129: "uni0394",
+           130: "u1F600", 131: None}  # None = unknown name -> U+FFFD
+
+
+def f1_dec(b):
+    if b in F1_DIFF:
+        g = F1_DIFF[b]
+        return GLYPHS[g] if g else "�"
+    return winansi_dec(b)
+
+
+def f3_dec(b):
+    if b == 0x27:
+        return GLYPHS["questiondown"]
+    return standard_dec(b)
+
+
+CMAP_F4 = b"""begincmap
+1 begincodespacerange
+<00> <FF>
+endcodespacerange
+1 beginbfchar
+<41> <03A9>
+endbfchar
+endcmap"""
+
+bd = PdfBuilder()
+bd.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+bd.add(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+bd.add(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          "/Resources << /Font << /F1 5 0 R /F2 6 0 R /F3 7 0 R "
+          "/F4 8 0 R >> >> /Contents 4 0 R >>")
+cdiff = (b"BT /F1 12 Tf 72 720 Td "
+         b"(AB normal) Tj "       # Differences at 65/66, WinAnsi rest
+         b"<80818283> Tj "        # Differences 128..131 (incl. unknown)
+         b"<938D7A> Tj "          # untouched cp1252 high + HOLE + ascii
+         b"/F2 12 Tf <4D61638A20D0DB> Tj "  # MacRoman by name
+         b"/F3 12 Tf <27602041A8AE> Tj "    # Standard base + diff @0x27
+         b"/F4 12 Tf (A) Tj "               # ToUnicode beats /Encoding
+         b"ET")
+bd.add(4, stream_obj(cdiff))
+bd.add(5, "<< /Type /Font /Subtype /TrueType /BaseFont /GraftW "
+          "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+          "/Differences [65 /Euro /bullet 128 /adieresis /uni0394 "
+          "/u1F600 /noSuchGlyph] >> >>")
+bd.add(6, "<< /Type /Font /Subtype /Type1 /BaseFont /GraftM "
+          "/Encoding /MacRomanEncoding >>")
+bd.add(7, "<< /Type /Font /Subtype /Type1 /BaseFont /GraftS "
+          "/Encoding << /Differences [39 /questiondown] >> >>")
+bd.add(8, "<< /Type /Font /Subtype /TrueType /BaseFont /GraftU "
+          "/Encoding << /BaseEncoding /WinAnsiEncoding >> "
+          "/ToUnicode 9 0 R >>")
+bd.add(9, stream_obj(CMAP_F4))
+with open(os.path.join(D, "diff-15.pdf"), "wb") as fh:
+    fh.write(bd.build())
+emit_diff = [
+    "".join(f1_dec(b) for b in b"AB normal"),
+    "".join(f1_dec(b) for b in bytes([0x80, 0x81, 0x82, 0x83])),
+    "".join(f1_dec(b) for b in bytes([0x93, 0x8D, 0x7A])),
+    "".join(macroman_dec(b) for b in bytes(
+        [0x4D, 0x61, 0x63, 0x8A, 0x20, 0xD0, 0xDB])),
+    "".join(f3_dec(b) for b in bytes([0x27, 0x60, 0x20, 0x41, 0xA8, 0xAE])),
+    "Ω",
+]
+for i, t in enumerate(emit_diff):
+    ROWS.append(("diff-15.pdf", 0, i, t))
 
 schema = pa.schema([
     ("file", pa.string()), ("page", pa.int32()),
