@@ -33,9 +33,7 @@ package graft.sources
   *
   * Refusal contract (the [[GzipCodec]]/[[PngCodec]] discipline):
   * anything outside that envelope — compact layout, filters beyond
-  * deflate+shuffle, a paged data block referenced directly from an
-  * EA INDEX block (no page-init bitmap exists there; the library's
-  * doubling math never produces one),
+  * deflate+shuffle,
   * big-endian or non-scalar datatypes, fractured group B-trees deeper
   * than one level, truncated anything — returns None, never throws, so
   * one corrupt object skips instead of killing a distributed scan.
@@ -1051,12 +1049,17 @@ object Hdf5Codec {
         // elements whose grid indexes start at idxElmts + startElem.
         // Whole element array bounds-checked BEFORE reading (a
         // truncated block must refuse, not alias to all-unallocated —
-        // the fixed-array rule). A paged block reached from the INDEX
-        // block refuses: index-block-referenced data blocks carry no
-        // page-init bitmap (the library's doubling math never pages
-        // them under any sane creation params).
+        // the fixed-array rule). A PAGED block reached from the INDEX
+        // block carries no page-init bitmap anywhere on disk (the
+        // library's doubling math keeps index-block data blocks
+        // unpaged under its own creation invariant
+        // min_elmts*min_ptrs <= 2^page_bits), so when the creation
+        // knobs force one, liveness degrades to the grid bound: a
+        // page whose first element index is inside the chunk grid is
+        // read, one wholly past it is never touched.
         def readDblk(at: Long, startElem: Long, dnel: Long): Boolean = {
-          if (dnel > pageElems) return false // paged: needs EASB bitmap
+          if (dnel > pageElems) // paged off the index block: no bitmap
+            return readPagedDblk(at, startElem, dnel, -1L)
           if (!(u8(at) == 'E' && u8(at + 1) == 'A' &&
                 u8(at + 2) == 'D' && u8(at + 3) == 'B')) return false
           if (u8(at + 4) != 0 || u8(at + 5) != clientId) return false
@@ -1079,7 +1082,9 @@ object Hdf5Codec {
         // block's per-data-block page-init bitmask (bmAt); an
         // uninitialized page's chunks are unallocated and its bytes
         // are never read. The full page span is bounds-checked before
-        // any element is touched.
+        // any element is touched. bmAt < 0 = index-block-referenced
+        // block with no bitmap: a page is live iff it starts inside
+        // the chunk grid.
         def readPagedDblk(at: Long, startElem: Long, dnel: Long,
             bmAt: Long): Boolean = {
           if (!(u8(at) == 'E' && u8(at + 1) == 'A' &&
@@ -1091,7 +1096,10 @@ object Hdf5Codec {
           if (pagesAt + npages * pageLen > bytes.length) return false
           var p = 0L
           while (p < npages) {
-            val init = (u8(bmAt + p / 8) >> (p % 8).toInt & 1) == 1
+            val init =
+              if (bmAt < 0)
+                idxElmts + startElem + p * pageElems < asm.gridChunks
+              else (u8(bmAt + p / 8) >> (p % 8).toInt & 1) == 1
             if (init) {
               val eAt = pagesAt + p * pageLen
               var t = 0L

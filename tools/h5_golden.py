@@ -801,7 +801,11 @@ def write_h5_v2(datasets):
                 MAXB, IDXE, MINP = 32, 4, 4
                 MINE = int(opts.get("mine", 16))
                 PGB = int(opts.get("pgb", 10))
-                assert MINE * MINP <= (1 << PGB)
+                # violating the invariant pages index-block-referenced
+                # data blocks (no bitmap exists for those; the reader's
+                # liveness rule is the grid bound) — allowed only when
+                # a fixture forces it deliberately
+                assert MINE * MINP <= (1 << PGB) or opts.get("iblkpaged")
                 psize = 1 << PGB
                 entry = 16 if filtered else 8  # addr(8) [+ size(4) + mask(4)]
                 offsz = (MAXB + 7) // 8
@@ -1256,6 +1260,24 @@ if __name__ == "__main__":
          {"index": "extarray", "raw": True, "mine": 4, "pgb": 4}),
     ])
     open(out + "/eapaged.h5", "wb").write(epc)
+    # PAGED data blocks referenced straight from the INDEX block:
+    # knobs mine=8, pgb=4 violate the library's creation invariant
+    # min_elmts*min_ptrs <= 2^page_bits, so the u=3 index-block data
+    # blocks hold 32 elements = 2 pages of 16. NO page-init bitmap
+    # exists on disk for these; liveness is the grid bound — each
+    # dataset's LAST data block has an uninitialized trailing page of
+    # junk the reader must never touch (eaip: page start 104 >= 100
+    # chunks; eaipraw: page start 104 >= 100 chunks).
+    eaiv = [((i * 37 + 23) % 1103) * 0.5 - 275.0 for i in range(416)]
+    eairv = [((i * 61 + 31) % 3001) - 1500 for i in range(400)]
+    eaip = write_h5_v2([
+        ("eaip", (416,), "f4", eaiv, (4,),
+         {"index": "extarray", "mine": 8, "pgb": 4, "iblkpaged": 1}),
+        ("eaipraw", (400,), "i4", eairv, (4,),
+         {"index": "extarray", "raw": True, "mine": 8, "pgb": 4,
+          "iblkpaged": 1}),
+    ])
+    open(out + "/eaipaged.h5", "wb").write(eaip)
     # dense link storage (the layout any group past its compact
     # threshold gets): dense.h5 fits one root direct block + a leaf
     # B-tree root; densebig.h5 spans 3 doubling-table rows of direct
@@ -1317,6 +1339,8 @@ if __name__ == "__main__":
                      ("faraw", frv)]),
         ("eapaged", [("eap", [float(np.float32(v)) for v in epv]),
                      ("eapraw", [float(v) for v in eprv])]),
+        ("eaipaged", [("eaip", [float(np.float32(v)) for v in eaiv]),
+                      ("eaipraw", [float(v) for v in eairv])]),
         ("dense", [(k, dnv[k]) for k in sorted(dnv)]),
         ("densebig", [(k, dbv[k]) for k in sorted(dbv)]),
     ]
