@@ -978,6 +978,91 @@ object TextQueries {
       |FROM dw JOIN vmap v ON dw.word0 = v.word0
       |GROUP BY 1""".stripMargin
 
+  /** Batch-parallel BPE at realistic vocabulary (V=4096) — the scale
+    * form of q_bpe_train: sequential BPE cannot run 32k–100k cluster
+    * rounds, so per round every candidate pair sharing no symbol with
+    * a strictly higher-ranked candidate is selected and applied
+    * simultaneously (symbol-disjoint ⇒ occurrences cannot overlap ⇒
+    * order-independent), collapsing 4096 merges into ~240 one-pass
+    * rounds. Corpus-sized stages stay distributed (pretoken-frequency
+    * shuffle, deterministic top-M TakeOrderedAndProject); the merge
+    * loop runs on the collected knob-bounded frequency table — the
+    * SentencePiece/HF practice. The oracle re-trains everything as a
+    * DuckDB recursive CTE over the same top-M table (one recursion
+    * round per batch): ranking, the disjointness rule, tie-breaks,
+    * code minting, and replace semantics are cross-engine-graded at
+    * V=4096. See [[graft.operators.BpeTrain.trainScale]]. */
+  def qBpeTrainScale(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrain.trainScale(spark, dir)
+
+  val qBpeTrainScaleSql: String = {
+    val (v, m, t) = (graft.operators.BpeTrain.Vscale,
+      graft.operators.BpeTrain.Mscale, graft.operators.BpeTrain.Tscale)
+    s"""WITH RECURSIVE wf AS (
+      |  SELECT u AS word0,
+      |    array_to_string(list_transform(range(1, length(u) + 1),
+      |      i -> 'g' || lpad(CAST(ascii(substr(u, CAST(i AS INT), 1))
+      |        AS VARCHAR), 5, '0')), '') AS word,
+      |    cnt
+      |  FROM (
+      |    SELECT u, COUNT(*) AS cnt FROM (
+      |      SELECT unnest(list_transform(range(1, len(ws) - 1),
+      |        i -> ws[CAST(i AS INT)] || '.' || ws[CAST(i + 1 AS INT)]
+      |             || '.' || ws[CAST(i + 2 AS INT)])) AS u
+      |      FROM (SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws
+      |            FROM documents))
+      |    GROUP BY 1 ORDER BY cnt DESC, u LIMIT $m)),
+      |st AS (
+      |  SELECT 0 AS it, CAST(0 AS BIGINT) AS nm, word0, word, cnt,
+      |         CAST([] AS VARCHAR[]) AS msl, CAST([] AS BIGINT[]) AS mcl
+      |  FROM wf
+      |  UNION ALL
+      |  SELECT * FROM (
+      |    WITH cur AS (SELECT * FROM st WHERE nm < $v),
+      |    cand AS (
+      |      SELECT pair, SUM(cnt) AS pc,
+      |        ROW_NUMBER() OVER (ORDER BY SUM(cnt) DESC, pair ASC) AS rk
+      |      FROM (
+      |        SELECT cnt, unnest(list_transform(range(1, length(word) // 6),
+      |          i -> substr(word, CAST((i - 1) * 6 + 1 AS INT), 12))) AS pair
+      |        FROM cur WHERE length(word) >= 12)
+      |      GROUP BY pair
+      |      QUALIFY rk <= $t),
+      |    sel AS (
+      |      SELECT pair, pc, ROW_NUMBER() OVER (ORDER BY rk) AS srk
+      |      FROM cand c
+      |      WHERE NOT EXISTS (
+      |        SELECT 1 FROM cand d WHERE d.rk < c.rk AND (
+      |          substr(d.pair, 1, 6) IN (substr(c.pair, 1, 6),
+      |                                   substr(c.pair, 7, 6)) OR
+      |          substr(d.pair, 7, 6) IN (substr(c.pair, 1, 6),
+      |                                   substr(c.pair, 7, 6))))),
+      |    app AS (
+      |      SELECT
+      |        list(pair || '|g' || lpad(CAST(255 +
+      |            (SELECT max(nm) FROM cur) + srk AS VARCHAR), 5, '0')
+      |          ORDER BY srk) AS pats,
+      |        list(pair ORDER BY srk) AS msl,
+      |        list(pc ORDER BY srk) AS mcl,
+      |        COUNT(*) AS k
+      |      FROM sel)
+      |    SELECT cur.it + 1, cur.nm + app.k, cur.word0,
+      |      list_reduce([cur.word] || app.pats,
+      |        (acc, x) -> replace(acc, split_part(x, '|', 1),
+      |                            split_part(x, '|', 2))),
+      |      cur.cnt, app.msl, app.mcl
+      |    FROM cur CROSS JOIN app
+      |    WHERE app.k > 0))
+      |SELECT CAST(nm - len(msl) + i AS INT) AS merge_idx,
+      |  CAST(substr(msl[CAST(i AS INT)], 2, 5) AS INT) AS lhs_code,
+      |  CAST(substr(msl[CAST(i AS INT)], 8, 5) AS INT) AS rhs_code,
+      |  mcl[CAST(i AS INT)] AS pair_count,
+      |  CAST(it AS INT) AS round_idx
+      |FROM (SELECT DISTINCT it, nm, msl, mcl FROM st WHERE it >= 1),
+      |     unnest(generate_series(1, len(msl))) AS t(i)
+      |WHERE nm - len(msl) + i <= $v""".stripMargin
+  }
+
   /** Misra–Gries heavy hitters, graded by its GUARANTEES (the
     * q_distinct_approx pattern — sketch content is order-dependent,
     * the theory bounds are not): a k=16-counter mergeable MG summary
@@ -2222,6 +2307,7 @@ object TextQueries {
     "q_bpe_apply" -> (qBpeApply _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_train_tokens" -> (qBpeTrainTokens _),
+    "q_bpe_train_scale" -> (qBpeTrainScale _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_data_mixture" -> (qDataMixture _),
@@ -2270,6 +2356,7 @@ object TextQueries {
     "q_bpe_apply" -> qBpeApplySql,
     "q_bpe_train" -> qBpeTrainSql,
     "q_bpe_train_tokens" -> qBpeTrainTokensSql,
+    "q_bpe_train_scale" -> qBpeTrainScaleSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_data_mixture" -> qDataMixtureSql,
     "q_corpus_curation" -> qCorpusCurationSql,

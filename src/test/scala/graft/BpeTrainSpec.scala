@@ -116,4 +116,45 @@ class BpeTrainSpec extends SparkSpec {
       s"per-doc token total $nTokens != final total_syms ${merges.last._5}")
     assert(nTokens < nChars, "training must compress the corpus")
   }
+
+  test("batch-parallel scale train: V=4096 reached, batches disjoint") {
+    // sf0.001 keeps the spec fast; the oracle hash-grades sf0.01
+    val rows = SparkEntry.queries("q_bpe_train_scale")(spark, dir)
+      .orderBy(col("merge_idx")).collect()
+      .map(r => (r.getAs[Int]("merge_idx"), r.getAs[Int]("lhs_code"),
+        r.getAs[Int]("rhs_code"), r.getAs[Long]("pair_count"),
+        r.getAs[Int]("round_idx")))
+    val v = graft.operators.BpeTrain.Vscale
+    assert(rows.length == v, s"expected $v merges, got ${rows.length}")
+    assert(rows.map(_._1).toSeq == (1 to v), "merge indices gapless")
+    // round indices are non-decreasing and 1-based contiguous
+    val rids = rows.map(_._5)
+    assert(rids.head == 1 && rids.toSeq == rids.sorted.toSeq)
+    assert(rids.distinct.toSeq == (1 to rids.max), "rounds contiguous")
+    rows.groupBy(_._5).foreach { case (rd, batch) =>
+      // within a round: selection counts non-increasing in merge order
+      val cs = batch.sortBy(_._1).map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"round $rd counts not ranked")
+      // pairwise symbol-disjoint — the rule that makes simultaneous
+      // application order-independent (a self-pair (a,a) is one
+      // symbol, so dedupe within each pair before the cross check)
+      val syms = batch.flatMap(b => Set(b._2, b._3).toSeq)
+      assert(syms.distinct.length == syms.length,
+        s"round $rd batch shares symbols")
+    }
+    // every pair side is a base symbol ('.' or a-z) or an EARLIER code
+    rows.foreach { case (idx, lhs, rhs, _, _) =>
+      def ok(c: Int) = c == '.'.toInt ||
+        (c >= 'a'.toInt && c <= 'z'.toInt) || (c > 255 && c < 256 + idx)
+      assert(ok(lhs) && ok(rhs), s"merge $idx refs future code ($lhs,$rhs)")
+    }
+    // deterministic: a second train yields the identical table
+    val again = SparkEntry.queries("q_bpe_train_scale")(spark, dir)
+      .orderBy(col("merge_idx")).collect()
+      .map(r => (r.getAs[Int]("merge_idx"), r.getAs[Int]("lhs_code"),
+        r.getAs[Int]("rhs_code"), r.getAs[Long]("pair_count"),
+        r.getAs[Int]("round_idx")))
+    assert(again.toSeq == rows.toSeq, "train is not deterministic")
+  }
 }
