@@ -12,8 +12,11 @@ package graft
   *    precision, so the printed line carries the TOTAL plus the
   *    slowest queries only, size-capped at 1,500 chars, and the
   *    complete full-precision map is written to `BENCH_DETAIL.json`
-  *    in the working directory. The JSON line is the LAST thing
-  *    printed before exit so the tail capture always contains it.
+  *    in the working directory (a SPARK_GRAFT_BENCH_ONLY-filtered run
+  *    writes `BENCH_DETAIL.partial.json` instead, so a targeted
+  *    re-measure can never clobber a full capture). The JSON line is
+  *    the LAST thing printed before exit so the tail capture always
+  *    contains it.
   *  - Single-shot timings on a shared box are position-noisy: with
   *    zero code change between rounds, individual queries have been
   *    observed to swing 4x in either direction, and min-of-2 *within
@@ -42,6 +45,15 @@ package graft
   */
 object Bench {
   private val MaxLineChars = 1500
+
+  /** Where the per-query detail map lands: a FILTERED run
+    * (SPARK_GRAFT_BENCH_ONLY set, the splice-protocol re-measure
+    * path) writes to the .partial file so a targeted re-measure can
+    * never clobber a full capture — a partial map silently replacing
+    * BENCH_DETAIL.json would also poison the self-calibration
+    * fallback below with a near-empty reference. */
+  private[graft] def detailFileName(filtered: Boolean): String =
+    if (filtered) "BENCH_DETAIL.partial.json" else "BENCH_DETAIL.json"
 
   /** Per-query reference seconds from the committed quiet-window run.
     * BENCH_REF.json is the deliberately-committed reference (bench
@@ -212,7 +224,8 @@ object Bench {
     val runStealSec = stealSec(runSteal0, stealTicks())
     val detailJson =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.size},"noisy":$noisyCount,"steal_sec":${sec3(runStealSec)},"queries":$detail,"sf":"$sfDir"}"""
-    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    val detailName = detailFileName(only.isDefined)
+    val detailPath = java.nio.file.Paths.get(detailName)
     try java.nio.file.Files.write(detailPath, (detailJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail file is best-effort; the stdout line is the contract
 
@@ -229,7 +242,7 @@ object Bench {
       .mkString("{", ",", "}")
     def assemble(entries: Seq[String]): String = {
       val qs = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.size},"noisy":$noisyCount,"steal_sec":${sec3(runStealSec)},"qunit":"ms","queries":$qs,"errors":$errs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.size},"noisy":$noisyCount,"steal_sec":${sec3(runStealSec)},"qunit":"ms","queries":$qs,"errors":$errs,"detail":"$detailName","sf":"$sfDir"}"""
     }
     val all = errEntries ++ okEntries
     // largest prefix of (errors ++ slowest-first timings) that fits

@@ -31,6 +31,13 @@ class BenchRefSpec extends AnyFunSuite {
     assert(ref.values.forall(_ > 0), "reference timings must be positive")
   }
 
+  test("a filtered bench run writes detail to the partial file") {
+    // the round-16 review lost a full capture to a targeted re-measure
+    // overwriting BENCH_DETAIL.json; the filter now redirects
+    assert(Bench.detailFileName(filtered = false) == "BENCH_DETAIL.json")
+    assert(Bench.detailFileName(filtered = true) == "BENCH_DETAIL.partial.json")
+  }
+
   test("parser tolerates both compact and spaced JSON serializations") {
     // round-15 regression shape: spaces after colons
     val spaced = """{"metric": "total", "noisy": 0, "queries": {"q1_agg": {"sec": 0.254, "p1": 0.5}, "q_ab": {"sec": 0.1}}}"""
