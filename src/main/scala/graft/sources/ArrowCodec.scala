@@ -28,14 +28,18 @@ package graft.sources
   * Struct of scalar children (one parent-nullity cell per row plus
   * per-child columns named `parent.child`, children reading as null
   * wherever the parent slot is null — their bytes are undefined
-  * there), plus the three HF-datasets nested-feature shapes:
+  * there), plus the HF-datasets nested-feature shapes:
   * List<Struct<scalars>> (sequence-of-dict, e.g. SQuAD-v2 answers —
   * one struct cell per ELEMENT plus per-kid cells at that element
   * index), Struct with List<scalar> children (the SQuAD-v1
-  * `answers: {text: [..], answer_start: [..]}` shape), and
+  * `answers: {text: [..], answer_start: [..]}` shape),
   * List<List<scalar>> / List<FixedSizeList<scalar>> (tokenized-batch
   * input-id caches and ragged embedding grids — elem carries the
-  * outer index, elem2 the inner);
+  * outer index, elem2 the inner), and the depth-3
+  * List<Struct<… with List<scalar>/FixedSizeList<scalar> fields …>>
+  * (ragged per-element sequences inside sequence-of-dict, e.g.
+  * per-answer token spans — elem is the struct element index, elem2
+  * the inner list index, a null inner list one elem2-less cell);
   * Map (physically List<Struct<key,value>>, emitted like
   * list<struct> under the "map" vtype); dictionary-encoded columns
   * over any of the scalar types (pandas-categorical exports
@@ -53,8 +57,8 @@ package graft.sources
   * all-or-nothing): dictionary-of-nested, a delta dictionary with no
   * prior table, Interval/Union/view columns, nested or
   * dictionary-encoded RunEndEncoded, nesting beyond the supported
-  * two-level shapes (struct-in-struct, list-of-struct-of-nested,
-  * anything three levels deep), trailing bytes after a stream's
+  * shapes (struct-in-struct, list<list<list>>, nested map values),
+  * trailing bytes after a stream's
   * end-of-stream marker. Values emit as raw
   * little-endian bits zero-extended to a long (bit-exact NaN
   * payloads), strings as UTF-8, binary as lowercase hex. Never
@@ -305,22 +309,26 @@ object ArrowCodec {
         if (tz.length > 64) err()
         Prim(s"ts_${unitName(u)}" + (if (tz.isEmpty) "" else s"[$tz]"), 8)
       case 12 => // List
-        if (depth > 1) err()
+        if (depth > 2) err()
         val child = parseField(b, childField(0), depth + 1)
         if (child.dict.isDefined) err() // dictionary-encoded list child: refuse
         child.typ match {
           case st: StructT if depth == 0 &&
-              st.children.forall(k => isScalar(k.typ)) =>
+              st.children.forall(k => isScalar(k.typ) || (k.typ match {
+                case ListT(c, _, _) => isScalar(c) // list<struct<list<scalar>>>
+                case _ => false
+              })) =>
             ListT(st, 0, "list<struct>")
           case lt: ListT if depth == 0 && isScalar(lt.child) =>
             // list<list<scalar>> / list<fsl<scalar>>: the tokenized-
             // batch HF cache shape (elem = outer, elem2 = inner)
             ListT(lt, 0, s"list<${lt.label}>")
           case t if isScalar(t) => ListT(t, 0, s"list<${t.label}>")
-          case _ => err() // deeper nesting / list<struct<nested>>: refuse
+          case _ => err() // deeper nesting / list<list<list>>: refuse
         }
       case 13 => // Struct: scalar children, plus list-of-scalar
-        // children at top level (children(5))
+        // children at top level or under a top-level list
+        // (children(5))
         if (depth > 1) err()
         val ch = field(b, fpos, 5)
         if (ch < 0) err()
@@ -332,7 +340,7 @@ object ArrowCodec {
           if (k.dict.isDefined) err() // dictionary-encoded child: refuse
           k.typ match {
             case _: StructT => err() // struct-in-struct: refuse
-            case ListT(c, _, _) if depth == 0 && isScalar(c) => ()
+            case ListT(c, _, _) if depth <= 1 && isScalar(c) => ()
             case _: ListT => err()
             case _ => ()
           }
@@ -345,7 +353,7 @@ object ArrowCodec {
         if (w <= 0 || w > 65536) err()
         FixedBytes(w, s"fsb$w")
       case 16 => // FixedSizeList: listSize(0)
-        if (depth > 1) err()
+        if (depth > 2) err()
         val lsPos = field(b, typeTable, 0)
         val ls = if (lsPos < 0) err() else i32(b, lsPos)
         if (ls <= 0 || ls > 65536) err()
@@ -745,14 +753,34 @@ object ArrowCodec {
                 i += 1
               }
             case st: StructT =>
-              // list<struct<scalars>> (the sequence-of-dict feature
-              // shape): the struct rides its own node + validity,
-              // then one leaf per kid; a struct cell per ELEMENT
-              // records element-level nullity
+              // list<struct<scalars | list<scalar>>> (the
+              // sequence-of-dict feature shape, incl. the depth-3
+              // tokenized-QA form with ragged list fields): the
+              // struct rides its own node + validity, then per kid —
+              // in field order — a scalar leaf, or a list node +
+              // validity + offsets + leaf. A struct cell per ELEMENT
+              // records element-level nullity; a list kid's cells
+              // carry elem = struct element index and elem2 = inner
+              // index, with a null/elided inner list as one
+              // elem2-less cell (the list<list> convention).
               val (clen, _) = nextNode()
               val cv = valid(nextBuf(), clen)
-              val kids = st.children.map(k => (k.name, readLeaf(k.typ)))
-              kids.foreach { case (_, l) => if (l.len != clen) err() }
+              val kids = st.children.map { k =>
+                k.typ match {
+                  case ListT(c, kfixed, klabel) =>
+                    val (klen, _) = nextNode()
+                    if (klen != clen) err()
+                    val kv = valid(nextBuf(), klen)
+                    val koffs = if (kfixed == 0) nextBuf() else Buf(b, 0, 0)
+                    if (kfixed == 0 && (klen + 1) * 4 > koffs.len) err()
+                    val cl = readLeaf(c)
+                    (k.name, Right((kv, koffs, kfixed, cl, klabel)))
+                  case t =>
+                    val l = readLeaf(t)
+                    if (l.len != clen) err()
+                    (k.name, Left(l))
+                }
+              }
               var i = 0L
               while (i < len) {
                 if (!v(i)) nullCell(f.name, i, None, label)
@@ -765,8 +793,44 @@ object ArrowCodec {
                     if (out.size >= MaxCells) err()
                     out += Cell(batchIdx, f.name, i, Some(k), "struct",
                       isNull = !cv(ci), None, None)
-                    kids.foreach { case (kn, l) =>
-                      put(s"${f.name}.$kn", i, Some(k), l, ci, gate = cv(ci))
+                    kids.foreach {
+                      case (kn, Left(l)) =>
+                        put(s"${f.name}.$kn", i, Some(k), l, ci,
+                          gate = cv(ci))
+                      case (kn, Right((kv, koffs, kfixed, cl, klabel))) =>
+                        val kname = s"${f.name}.$kn"
+                        if (!cv(ci) || !kv(ci))
+                          nullCell(kname, i, Some(k), klabel)
+                        else {
+                          val (ks, kn2) =
+                            if (kfixed > 0) (ci * kfixed, kfixed.toLong)
+                            else {
+                              val s0 = buN(koffs, 4 * ci, 4)
+                              val e0 = buN(koffs, 4 * (ci + 1), 4)
+                              if (e0 < s0) err()
+                              (s0, e0 - s0)
+                            }
+                          if (ks + kn2 > cl.len) err()
+                          var j = 0L
+                          while (j < kn2) {
+                            if (out.size >= MaxCells) err()
+                            val li = ks + j
+                            if (cl.ok(li)) {
+                              if (cl.str == null)
+                                out += Cell(batchIdx, kname, i, Some(k),
+                                  cl.label, isNull = false,
+                                  Some(cl.bits(li)), None, Some(j))
+                              else
+                                out += Cell(batchIdx, kname, i, Some(k),
+                                  cl.label, isNull = false, None,
+                                  Some(cl.str(li)), Some(j))
+                            } else
+                              out += Cell(batchIdx, kname, i, Some(k),
+                                cl.label, isNull = true, None, None,
+                                Some(j))
+                            j += 1
+                          }
+                        }
                     }
                     k += 1
                   }

@@ -149,8 +149,58 @@ class ArrowCodecSpec extends SparkSpec {
     // fixed_size_list of strings
     assert(col("fsl2s").filter(_.row == 2).map(_.str) ==
       Vector(Some("r"), Some("")))
-    // three-deep nesting still refuses
-    // (structural pin lives in the golden: no such fixture exists)
+    // list<struct<...list fields...>> is covered by nested3-20;
+    // list<list<list>> / struct-in-struct still refuse (fuzz +
+    // golden absence)
+  }
+
+  test("depth-3 list<struct<list<scalar>>>: ragged fields per element") {
+    val cs = ArrowCodec.decode(fixture("nested3-20.arrow")).get
+    def col(n: String) = cs.filter(_.col == n)
+    // row 0 el 0: text "alpha", spans [1,2,3], score 0.5
+    assert(col("qa.spans").filter(c => c.row == 0 && c.elem.contains(0L))
+      .map(c => (c.elem2, c.bits)) ==
+      Vector((Some(0L), Some(1L)), (Some(1L), Some(2L)),
+        (Some(2L), Some(3L))))
+    // row 0 el 1: empty spans list emits nothing; null text gates only
+    // the text cell
+    assert(col("qa.spans").count(c => c.row == 0 && c.elem.contains(1L)) == 0)
+    assert(col("qa.text").filter(_.row == 0).map(c => (c.elem, c.str)) ==
+      Vector((Some(0L), Some("alpha")), (Some(1L), None)))
+    // row 1: empty outer; row 2: null outer = one list<struct> cell
+    assert(col("qa").count(_.row == 1) == 0)
+    assert(col("qa").filter(_.row == 2).map(c => (c.vtype, c.isNull)) ==
+      Vector(("list<struct>", true)))
+    // row 3 el 0: NULL inner list = one elem2-less list<i32> cell
+    assert(col("qa.spans").filter(c => c.row == 3 && c.elem.contains(0L))
+      .map(c => (c.vtype, c.isNull, c.elem2)) ==
+      Vector(("list<i32>", true, None)))
+    // row 3 el 1: null struct ELEMENT: struct cell null, scalar kids
+    // null, list kid one null cell
+    assert(col("qa").filter(c => c.row == 3 && c.elem.contains(1L))
+      .map(c => (c.vtype, c.isNull)) == Vector(("struct", true)))
+    assert(col("qa.spans").filter(c => c.row == 3 && c.elem.contains(1L))
+      .map(_.isNull) == Vector(true))
+    // row 3 el 2: spans [4, null] — null LEAF inside the inner list
+    assert(col("qa.spans").filter(c => c.row == 3 && c.elem.contains(2L))
+      .map(c => (c.elem2, c.bits, c.isNull)) ==
+      Vector((Some(0L), Some(4L), false), (Some(1L), None, true)))
+    // fsl kid: 2 cells per element; a null fsl one elem2-less cell
+    assert(col("grid.w").filter(_.row == 0).map(c => (c.elem, c.elem2)) ==
+      Vector((Some(0L), Some(0L)), (Some(0L), Some(1L))))
+    assert(col("grid.w").filter(c => c.row == 2 && c.elem.contains(1L))
+      .map(c => (c.vtype, c.isNull, c.elem2)) ==
+      Vector(("fsl2<f32>", true, None)))
+    // list<list<list>> and struct-in-struct stay out of envelope:
+    // fuzz the new fixture — truncations and flips must never throw
+    val f = fixture("nested3-20.arrow")
+    (0 until f.length by 7).foreach(k => ArrowCodec.decode(f.take(k)))
+    var j = 0
+    while (j < f.length) {
+      val m = f.clone(); m(j) = (m(j) ^ 0x5c).toByte
+      ArrowCodec.decode(m)
+      j += 1
+    }
   }
 
   test("Map columns decode as keyed entries; delta dictionaries append") {

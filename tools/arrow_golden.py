@@ -28,6 +28,8 @@ Layout written under tools/fixtures/q_arrow_read/:
   garbage-11.arrow  stream-02 + trailing junk after EOS -> refusal
   nullcol-18.arrow  a Null-typed column next to real data (GRADED)
   ree-19.arrow      RunEndEncoded columns, STREAM framing (GRADED)
+  nested3-20.arrow  depth-3 list<struct<... list<scalar> fields ...>>
+                    (ragged sequences inside sequence-of-dict; GRADED)
 The two bad files' ABSENCE from the golden is itself graded.
 """
 import os, struct
@@ -607,6 +609,93 @@ for ri in range(10):
     emit("ree-19.arrow", 0, "source", ri, None, "utf8", r19_src[ri])
     emit("ree-19.arrow", 0, "num", ri, None, "i64", r19_num[ri])
     emit("ree-19.arrow", 0, "lang", ri, None, "utf8", r19_lang[ri])
+
+# ---- nested3-20.arrow (GRADED): the depth-3 HF shape —
+# list<struct<...>> whose struct carries ragged list<scalar> /
+# fixed_size_list fields next to scalars (per-answer token spans,
+# per-detection box coords). Cell convention: elem = struct element
+# index, elem_idx2 = inner list index; a null struct ELEMENT still
+# emits its scalar-kid cells as null (the list<struct> gate) and ONE
+# null cell per list kid; a null INNER list is one elem2-less cell
+# carrying the inner list vtype; an empty inner list emits nothing.
+qa = [
+    [("alpha", [1, 2, 3], 0.5), (None, [], 1.5)],
+    [],
+    None,
+    [("beta", None, None), None, ("gamma", [4, None], -2.0)],
+]
+qa_type = pa.list_(pa.struct([
+    ("text", pa.string()),
+    ("spans", pa.list_(pa.int32())),
+    ("score", pa.float32())]))
+qa_arr = pa.array(
+    [None if o is None else
+     [None if e is None else
+      {"text": e[0], "spans": e[1], "score": e[2]} for e in o]
+     for o in qa], type=qa_type)
+grid = [
+    [([1.0, 2.0], "a")],
+    None,
+    [([3.5, 4.5], None), (None, "b")],
+    [],
+]
+grid_type = pa.list_(pa.struct([
+    ("w", pa.list_(pa.float32(), 2)),
+    ("tag", pa.string())]))
+grid_arr = pa.array(
+    [None if o is None else [{"w": e[0], "tag": e[1]} for e in o]
+     for o in grid], type=grid_type)
+n20_schema = pa.schema([("qa", qa_type), ("grid", grid_type)])
+with open(os.path.join(D, "nested3-20.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, n20_schema)
+    w.write_batch(pa.record_batch([qa_arr, grid_arr], schema=n20_schema))
+    w.close()
+F20 = "nested3-20.arrow"
+for ri, outer in enumerate(qa):
+    if outer is None:
+        ROWS.append((F20, 0, "qa", ri, None, "list<struct>", True,
+                     None, None))
+        continue
+    for ki, e in enumerate(outer):
+        present = e is not None
+        ROWS.append((F20, 0, "qa", ri, ki, "struct", not present,
+                     None, None))
+        # scalar kids: gated on element presence (null cell when absent)
+        text = e[0] if present else None
+        ROWS.append((F20, 0, "qa.text", ri, ki, "utf8", text is None,
+                     None, text))
+        score = e[2] if present else None
+        ROWS.append((F20, 0, "qa.score", ri, ki, "f32", score is None,
+                     None if score is None else bits_of("f32", score),
+                     None))
+        # list kid: one elem2-less null cell when the element is null
+        # or the inner list is; per-j cells otherwise
+        spans = e[1] if present else None
+        if spans is None:
+            ROWS.append((F20, 0, "qa.spans", ri, ki, "list<i32>", True,
+                         None, None))
+        else:
+            for ji, s in enumerate(spans):
+                ROWS.append((F20, 0, "qa.spans", ri, ki, "i32",
+                             s is None,
+                             None if s is None else bits_of("i32", s),
+                             None, ji))
+for ri, outer in enumerate(grid):
+    if outer is None:
+        ROWS.append((F20, 0, "grid", ri, None, "list<struct>", True,
+                     None, None))
+        continue
+    for ki, (wv, tag) in enumerate(outer):
+        ROWS.append((F20, 0, "grid", ri, ki, "struct", False, None, None))
+        if wv is None:
+            ROWS.append((F20, 0, "grid.w", ri, ki, "fsl2<f32>", True,
+                         None, None))
+        else:
+            for ji, x in enumerate(wv):
+                ROWS.append((F20, 0, "grid.w", ri, ki, "f32", False,
+                             bits_of("f32", x), None, ji))
+        ROWS.append((F20, 0, "grid.tag", ri, ki, "utf8", tag is None,
+                     None, tag))
 
 schema_g = pa.schema([
     ("file", pa.string()), ("batch", pa.int32()), ("col", pa.string()),
