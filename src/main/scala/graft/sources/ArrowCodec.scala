@@ -668,9 +668,18 @@ object ArrowCodec {
             if (runW < 8) { val sh = 64 - 8 * runW; e = (e << sh) >> sh }
             if (e <= prev) err()
             val until = math.min(e, rows)
+            // materialize the run's value ONCE — a 4M-row run must
+            // not decode the same string 4M times
+            val runOk = leaf.ok(r)
+            val runBits = if (runOk && leaf.str == null) Some(leaf.bits(r))
+                          else None
+            val runStr = if (runOk && leaf.str != null) Some(leaf.str(r))
+                         else None
             var i = prev
             while (i < until) {
-              put(f.name, i, None, leaf, r, gate = true)
+              if (out.size >= MaxCells) err()
+              out += Cell(batchIdx, f.name, i, None, leaf.label,
+                isNull = !runOk, runBits, runStr)
               i += 1
             }
             prev = until

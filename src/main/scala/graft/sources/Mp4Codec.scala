@@ -311,15 +311,22 @@ object Mp4Codec {
                   // media_time is SIGNED (-1 = empty edit); v1 is
                   // 64-bit so read it raw, not via the hostile-
                   // offset-guarded u64
-                  val (segDur, mTime, rateInt) =
+                  val (segDur, mTime, rateInt, rateFrac) =
                     if (v == 1) (u64(p), (u32(p + 8) << 32) | u32(p + 12),
-                      u16(p + 16))
-                    else (u32(p), u32(p + 4).toInt.toLong, u16(p + 8))
+                      u16(p + 16), u16(p + 18))
+                    else (u32(p), u32(p + 4).toInt.toLong, u16(p + 8),
+                      u16(p + 10))
                   if (mTime == -1L) {
                     if (seenNormal) err() // trailing empty edit: rare cut shape
+                    // bound the sum: two huge v1 durations must refuse,
+                    // not wrap into a silent negative shift
+                    if (segDur > (1L << 53) - delayMovie) err()
                     delayMovie += segDur
                   } else {
-                    if (seenNormal || mTime < 0 || rateInt != 1) err()
+                    // media_rate is 16.16 fixed-point: 1.5 has integer
+                    // part 1 — a dwell/speed edit must refuse too
+                    if (seenNormal || mTime < 0 || rateInt != 1 ||
+                      rateFrac != 0) err()
                     seenNormal = true
                     mediaTime = mTime
                   }

@@ -47,8 +47,9 @@ package graft.sources
   * glyph names resolved via an AGL subset plus the uniXXXX / uXXXXXX
   * algorithmic forms; fonts with NEITHER decode as Latin-1
   * (PDFDocEncoding agrees on the fixture range). Font state tracks
-  * across Tf operators; unmapped codes and unknown glyph names
-  * degrade to U+FFFD rather than refusing. Never throws. */
+  * across Tf operators; unmapped codes, unknown glyph names, and
+  * valid-but-unsupported base encodings (MacExpert) degrade to
+  * U+FFFD rather than refusing. Never throws. */
 object PdfCodec {
 
   /** One shown text run: 0-based page and per-page run index. */
@@ -214,7 +215,8 @@ object PdfCodec {
     * (4-hex UTF-16 units, no lone surrogates) and uXXXX..XXXXXX
     * (one code point). */
   private def glyphUni(name: String): String = {
-    def hexVal(s: String, lowerToo: Boolean): Int = {
+    // AGL algorithmic names use UPPERCASE hex only
+    def hexVal(s: String): Int = {
       var v = 0
       var i = 0
       while (i < s.length) {
@@ -222,7 +224,6 @@ object PdfCodec {
         val d =
           if (c >= '0' && c <= '9') c - '0'
           else if (c >= 'A' && c <= 'F') c - 'A' + 10
-          else if (lowerToo && c >= 'a' && c <= 'f') c - 'a' + 10
           else return -1
         v = (v << 4) | d
         i += 1
@@ -237,7 +238,7 @@ object PdfCodec {
           val sb = new java.lang.StringBuilder()
           var i = 3
           while (i < name.length) {
-            val u = hexVal(name.substring(i, i + 4), lowerToo = false)
+            val u = hexVal(name.substring(i, i + 4))
             if (u < 0 || (u >= 0xd800 && u <= 0xdfff)) return null
             sb.append(u.toChar)
             i += 4
@@ -245,7 +246,7 @@ object PdfCodec {
           sb.toString
         } else if (name.length >= 5 && name.length <= 7 &&
             name.charAt(0) == 'u') {
-          val cp = hexVal(name.substring(1), lowerToo = false)
+          val cp = hexVal(name.substring(1))
           if (cp < 0 || cp > 0x10ffff || (cp >= 0xd800 && cp <= 0xdfff)) null
           else new String(Character.toChars(cp))
         } else null
@@ -1344,9 +1345,12 @@ object PdfCodec {
       * /Differences array (integers set the code, names fill
       * consecutive slots through the AGL subset). Only simple font
       * subtypes qualify — a Type0's /Encoding names a CMap, not a
-      * byte table. Unknown base encodings (MacExpert) and malformed
-      * Differences refuse whole-file; an unknown GLYPH NAME is a
-      * content-level gap and decodes as U+FFFD. */
+      * byte table. Malformed Differences (out-of-range codes, name
+      * before any code, non-int/non-name elements) refuse whole-file;
+      * an unknown GLYPH NAME — or a valid-but-unsupported base
+      * encoding name like /MacExpertEncoding — is a content-level gap
+      * and decodes as U+FFFD (refusing the whole document over one
+      * exotic font would erase every other font's text). */
     def simpleEnc(f: PDict): Option[FontDec] = {
       val simple = deref(f.m.getOrElse("Subtype", POther)) match {
         case PName("Type1") | PName("TrueType") | PName("Type3") |
@@ -1359,7 +1363,7 @@ object PdfCodec {
           case "WinAnsiEncoding" => winAnsiTable
           case "MacRomanEncoding" => macRomanTable
           case "StandardEncoding" => standardTable
-          case _ => err()
+          case _ => new Array[String](256) // unknown glyphs → U+FFFD
         }
         deref(f.m.getOrElse("Encoding", POther)) match {
           case PName(n) => Some(SimpleDec(base(n)))

@@ -84,7 +84,7 @@ object RobotsCodec {
             if (seq < MaxRules) {
               out += Rule("", k, v, seq)
               seq += 1
-            }
+            } else dropped = true // a sitemap row lost to the cap
           case _ => () // unknown directive: tolerated per the RFC
         }
       }

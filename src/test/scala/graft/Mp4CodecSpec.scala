@@ -75,6 +75,27 @@ class Mp4CodecSpec extends SparkSpec {
       e9.zipWithIndex.map { case (s, i) => s.dts + cts(i) - 3000L })
     // multi-segment edit (two normal entries): refuse, don't drift
     assert(Mp4Codec.decode(fixture("badelst-10.mp4")).isEmpty)
+    // media_rate is 16.16 fixed-point: rate 1.5 (integer 1,
+    // fraction 0x8000) is a dwell/speed edit — refuse, don't treat
+    // as a flat shift. elst-09 is v1: entry at elst body + 8,
+    // fraction at +18; flip its high byte.
+    val raw = fixture("elst-09.mp4")
+    val at = raw.indexOfSlice("elst".getBytes("US-ASCII"))
+    assert(at > 0)
+    val fracAt = at + 4 + 8 + 18 // body(ver+cnt=8) + entry offset 18
+    assert(raw(fracAt) == 0 && raw(fracAt + 1) == 0, "expected rate x.0")
+    val m = raw.clone(); m(fracAt) = 0x80.toByte
+    assert(Mp4Codec.decode(m).isEmpty, "fractional media_rate accepted")
+    // a huge v1 empty-edit duration (~2^62 movie ticks) must refuse
+    // via the 2^53 delay bound — summed durations could otherwise
+    // wrap into a silent negative shift
+    val big = raw.clone()
+    for (b <- 0 until 8) {
+      val p = at + 4 + 8 // entry 0
+      big(p + b) = (if (b == 0) 0x3f else 0xff).toByte // dur ~2^62
+      big(p + 8 + b) = 0xff.toByte // media_time = -1 (empty edit)
+    }
+    assert(Mp4Codec.decode(big).isEmpty, "unbounded empty edit accepted")
   }
 
   test("refusals: truncated mdat, size<8 box, no moov, unanchored moof") {

@@ -258,7 +258,7 @@ class PdfCodecSpec extends SparkSpec {
       "Ω"))          // /ToUnicode beats /Encoding (§9.10.2)
   }
 
-  test("malformed /Differences and unknown base encodings refuse") {
+  test("malformed /Differences refuse; unknown base encodings degrade") {
     val good = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       graft.Fixtures.path("q_pdf_text"), "diff-15.pdf"))
     val s = new String(good, "ISO-8859-1")
@@ -272,8 +272,13 @@ class PdfCodecSpec extends SparkSpec {
     // name before any code: the running code is undefined
     assert(PdfCodec.decode(swapped("[39 /questiondown]",
       "[/questiondown 39]")).isEmpty)
-    // MacExpertEncoding: outside the envelope, refuse whole-file
-    assert(PdfCodec.decode(swapped("/MacRomanEncoding",
-      "/MacExpertEncodin")).isEmpty)
+    // a valid-but-unsupported base encoding is a content-level gap:
+    // that font's runs read U+FFFD, every other font is untouched
+    // (refusing whole-file would erase the rest of the document)
+    val rs = PdfCodec.decode(swapped("/MacRomanEncoding",
+      "/MacExpertEncodin")).getOrElse(fail("MacExpert font refused file"))
+    assert(rs(3).text == "�������", "unsupported base should read FFFD")
+    assert(rs(0).text == "€• normal" && rs(5).text == "Ω",
+      "other fonts must be unaffected")
   }
 }

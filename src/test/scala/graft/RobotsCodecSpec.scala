@@ -101,6 +101,15 @@ class RobotsCodecSpec extends SparkSpec {
     val ok = RobotsCodec.parse("User-agent: a\nUser-agent: b\nDisallow: /x\n")
     assert(ok.size == 2)
     assert(!ok.exists(_.verb == RobotsCodec.TruncatedVerb))
+    // a Sitemap line lost to the rule cap must also raise the
+    // sentinel — any cap dropping data is visible to callers
+    val sm = new StringBuilder("User-agent: *\n")
+    for (i <- 0 until 10000) sm.append(s"Disallow: /q$i\n")
+    sm.append("Sitemap: https://example.test/s.xml\n")
+    val rs2 = RobotsCodec.parse(sm.toString)
+    assert(!rs2.exists(_.verb == "sitemap"), "sitemap row past the cap")
+    assert(rs2.count(_.verb == RobotsCodec.TruncatedVerb) == 1,
+      "dropped sitemap must raise the truncation sentinel")
   }
 
   test("decision join: group override, longest match, allow wins ties") {
