@@ -41,7 +41,9 @@ package graft.sources
   * per-answer token spans — elem is the struct element index, elem2
   * the inner list index, a null inner list one elem2-less cell);
   * Map (physically List<Struct<key,value>>, emitted like
-  * list<struct> under the "map" vtype); dictionary-encoded columns
+  * list<struct> under the "map" vtype — values may themselves be
+  * list<scalar>, the config-blob HF metadata shape, with elem2 as
+  * the value-list index); dictionary-encoded columns
   * over any of the scalar types (pandas-categorical exports
   * dictionary-encode BY DEFAULT — indices of any Int width map
   * through the DictionaryBatch-delivered value column, replacement
@@ -57,8 +59,8 @@ package graft.sources
   * all-or-nothing): dictionary-of-nested, a delta dictionary with no
   * prior table, Interval/Union/view columns, nested or
   * dictionary-encoded RunEndEncoded, nesting beyond the supported
-  * shapes (struct-in-struct, list<list<list>>, nested map values),
-  * trailing bytes after a stream's
+  * shapes (struct-in-struct, list<list<list>>, map values nested
+  * deeper than list<scalar>), trailing bytes after a stream's
   * end-of-stream marker. Values emit as raw
   * little-endian bits zero-extended to a long (bit-exact NaN
   * payloads), strings as UTF-8, binary as lowercase hex. Never
@@ -372,9 +374,13 @@ object ArrowCodec {
         if (entries.dict.isDefined) err()
         entries.typ match {
           case st: StructT if st.children.size == 2 &&
-              st.children.forall(k => isScalar(k.typ)) =>
+              isScalar(st.children(0).typ) &&
+              (isScalar(st.children(1).typ) || (st.children(1).typ match {
+                case ListT(c, _, _) => isScalar(c) // map<k, list<scalar>>
+                case _ => false
+              })) =>
             ListT(st, 0, "map")
-          case _ => err() // nested map values: refuse
+          case _ => err() // deeper-nested map values: refuse
         }
       case 18 => // Duration: unit(0, default MILLISECOND), always 64-bit
         val uPos = field(b, typeTable, 0)

@@ -213,6 +213,22 @@ class ArrowCodecSpec extends SparkSpec {
     assert(col("m").filter(_.row == 2).map(c => (c.vtype, c.isNull)) ==
       Vector(("map", true)))
     assert(col("m.value").filter(_.row == 3).map(_.isNull) == Vector(true))
+    // map<utf8, list<i64>> (config-blob metadata): value lists ride
+    // elem2; null value list = one elem2-less cell
+    val mn = ArrowCodec.decode(fixture("mapnested-21.arrow")).get
+    def mcol(n: String) = mn.filter(_.col == n)
+    assert(mcol("m.value").filter(_.row == 0).map(c =>
+      (c.elem, c.elem2, c.bits)) ==
+      Vector((Some(0L), Some(0L), Some(1L)), (Some(0L), Some(1L), Some(2L))))
+    assert(mcol("m").filter(_.row == 1).map(c => (c.vtype, c.isNull)) ==
+      Vector(("map", true)))
+    assert(mcol("m.value").filter(c => c.row == 2 && c.elem.contains(0L))
+      .map(c => (c.vtype, c.isNull, c.elem2)) ==
+      Vector(("list<i64>", true, None)))
+    assert(mcol("m.value").filter(c => c.row == 2 && c.elem.contains(1L))
+      .map(c => (c.elem2, c.bits, c.isNull)) ==
+      Vector((Some(0L), Some(3L), false), (Some(1L), None, true)))
+    assert(mcol("m").count(_.row == 3) == 0, "empty map emits nothing")
     // delta dictionary: the second batch's indices resolve through
     // the APPENDED table (initial x,y + delta z,w — the fixture's
     // second dictionary message carries only z,w on the wire)

@@ -30,6 +30,7 @@ Layout written under tools/fixtures/q_arrow_read/:
   ree-19.arrow      RunEndEncoded columns, STREAM framing (GRADED)
   nested3-20.arrow  depth-3 list<struct<... list<scalar> fields ...>>
                     (ragged sequences inside sequence-of-dict; GRADED)
+  mapnested-21.arrow map<utf8, list<i64>> config-blob metadata (GRADED)
 The two bad files' ABSENCE from the golden is itself graded.
 """
 import os, struct
@@ -474,6 +475,38 @@ for ri, entries in enumerate(mapvals):
             ROWS.append((F15, 0, "m.key", ri, ki, "utf8", False, None, k))
             ROWS.append((F15, 0, "m.value", ri, ki, "i64", v is None,
                          v, None))
+
+# ---- mapnested-21.arrow (GRADED): map<utf8, list<i64>> — the
+# config-blob HF metadata shape (per-key integer lists). Emitted like
+# list<struct> with a list kid: elem = entry index, elem2 = index
+# into the value list; a null value list is one elem2-less cell.
+mnvals = [
+    [("ids", [1, 2]), ("empty", [])],
+    None,
+    [("nullv", None), ("mix", [3, None])],
+    [],
+]
+mn21 = pa.array(mnvals, type=pa.map_(pa.string(), pa.list_(pa.int64())))
+mn21_schema = pa.schema([("m", mn21.type)])
+with open(os.path.join(D, "mapnested-21.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, mn21_schema)
+    w.write_batch(pa.record_batch([mn21], schema=mn21_schema))
+    w.close()
+F21 = "mapnested-21.arrow"
+for ri, entries in enumerate(mnvals):
+    if entries is None:
+        ROWS.append((F21, 0, "m", ri, None, "map", True, None, None))
+        continue
+    for ki, (k, v) in enumerate(entries):
+        ROWS.append((F21, 0, "m", ri, ki, "struct", False, None, None))
+        ROWS.append((F21, 0, "m.key", ri, ki, "utf8", False, None, k))
+        if v is None:
+            ROWS.append((F21, 0, "m.value", ri, ki, "list<i64>", True,
+                         None, None))
+        else:
+            for ji, x in enumerate(v):
+                ROWS.append((F21, 0, "m.value", ri, ki, "i64",
+                             x is None, x, None, ji))
 
 # ---- deltadict-16.arrow (GRADED): DELTA dictionary batches (stream
 # framing, emit_dictionary_deltas) — batch 2's dictionary extends
