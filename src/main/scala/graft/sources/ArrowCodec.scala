@@ -57,7 +57,9 @@ package graft.sources
   * (runs expand to their logical values) decode natively.
   * Documented refusals, all whole-file (a columnar table is
   * all-or-nothing): dictionary-of-nested, a delta dictionary with no
-  * prior table, Interval/Union/view columns, nested or
+  * prior table, Union/view columns, YEAR_MONTH/DAY_TIME intervals
+  * (MonthDayNano — the form pyarrow writes — decodes as 16 hex
+  * bytes), nested or
   * dictionary-encoded RunEndEncoded, nesting beyond the supported
   * shapes (struct-in-struct, list<list<list>>, map values nested
   * deeper than list<scalar>), trailing bytes after a stream's
@@ -310,6 +312,16 @@ object ArrowCodec {
         val tz = if (tzPos < 0) "" else str(b, tzPos)
         if (tz.length > 64) err()
         Prim(s"ts_${unitName(u)}" + (if (tz.isEmpty) "" else s"[$tz]"), 8)
+      case 11 => // Interval: unit(0, default YEAR_MONTH). Only the
+        // MonthDayNano form is in envelope — it is the one modern
+        // pyarrow constructs and writes; YEAR_MONTH/DAY_TIME have no
+        // pyarrow array constructor and no corpus presence, so they
+        // keep refusing. Elements are 16 LE bytes (months i32 +
+        // days i32 + nanos i64), emitted as hex like fixed binary.
+        val uPos = field(b, typeTable, 0)
+        val u = if (uPos < 0) 0 else i16(b, uPos)
+        if (u != 2) err()
+        FixedBytes(16, "interval_mdn")
       case 12 => // List
         if (depth > 2) err()
         val child = parseField(b, childField(0), depth + 1)
@@ -403,7 +415,7 @@ object ArrowCodec {
         val vf = parseField(b, childField(1), depth + 1)
         if (vf.dict.isDefined || !isScalar(vf.typ)) err()
         RunEndT(vf.typ, runW, s"ree<${vf.typ.label}>")
-      case _ => err() // Interval/Union/views/...: refuse
+      case _ => err() // Union/views/LargeList/...: refuse
     }
     if (dict.isDefined && !isScalar(typ))
       err() // dict-of-nested/null/ree: refuse

@@ -31,6 +31,7 @@ Layout written under tools/fixtures/q_arrow_read/:
   nested3-20.arrow  depth-3 list<struct<... list<scalar> fields ...>>
                     (ragged sequences inside sequence-of-dict; GRADED)
   mapnested-21.arrow map<utf8, list<i64>> config-blob metadata (GRADED)
+  interval-22.arrow MonthDayNano intervals as 16 hex bytes (GRADED)
 The two bad files' ABSENCE from the golden is itself graded.
 """
 import os, struct
@@ -729,6 +730,29 @@ for ri, outer in enumerate(grid):
                              bits_of("f32", x), None, ji))
         ROWS.append((F20, 0, "grid.tag", ri, ki, "utf8", tag is None,
                      None, tag))
+
+# ---- interval-22.arrow (GRADED): MonthDayNano intervals — the one
+# interval form modern pyarrow constructs/writes (duration-typed HF
+# metadata). 16 LE bytes per element (months i32, days i32, nanos
+# i64), emitted as hex like fixed binary; YEAR_MONTH/DAY_TIME stay
+# refused (no pyarrow constructor, no corpus presence).
+ivals = [(1, 2, 3), None, (0, 0, 0), (-1, -2, -3000000000)]
+i22 = pa.array(ivals, type=pa.month_day_nano_interval())
+i22_schema = pa.schema([("id", pa.int64()), ("iv", i22.type)])
+with open(os.path.join(D, "interval-22.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, i22_schema)
+    w.write_batch(pa.record_batch(
+        [pa.array(range(4), type=pa.int64()), i22], schema=i22_schema))
+    w.close()
+F22 = "interval-22.arrow"
+for ri, v in enumerate(ivals):
+    ROWS.append((F22, 0, "id", ri, None, "i64", False, ri, None))
+    if v is None:
+        ROWS.append((F22, 0, "iv", ri, None, "interval_mdn", True,
+                     None, None))
+    else:
+        ROWS.append((F22, 0, "iv", ri, None, "interval_mdn", False,
+                     None, struct.pack("<iiq", *v).hex()))
 
 schema_g = pa.schema([
     ("file", pa.string()), ("batch", pa.int32()), ("col", pa.string()),
