@@ -46,6 +46,26 @@ package graft
 object Bench {
   private val MaxLineChars = 1500
 
+  /** The epoch control query: a plan-stable 6-table TPC-H join whose
+    * warm timing tracks whole-session box throughput. Round 17 showed
+    * this box suffers session-wide throughput depression that steal
+    * telemetry does NOT capture (control read 1.17-1.47 s at
+    * near-zero steal vs its 0.871 s quiet reference), so every bench
+    * capture self-labels with `"control": ratio` — a dedicated warm
+    * run of this query divided by its committed reference row. ~1.0
+    * means the window is measurable; >>1 means ambient inflation and
+    * the capture must not be promoted or read as a regression. */
+  private[graft] val ControlQuery = "q_tpch_q9"
+
+  /** Warm-control-over-reference ratio, or -1 when no reference row
+    * exists or the control errored (consumers treat -1 as "no
+    * label", never as quiet). */
+  private[graft] def controlRatio(controlSec: Double, reference: Map[String, Double]): Double =
+    reference.get(ControlQuery) match {
+      case Some(r) if r > 0 && controlSec > 0 => controlSec / r
+      case _ => -1.0
+    }
+
   /** Where the per-query detail map lands: a FILTERED run
     * (SPARK_GRAFT_BENCH_ONLY set, the splice-protocol re-measure
     * path) writes to the .partial file so a targeted re-measure can
@@ -209,6 +229,22 @@ object Bench {
     val total = results.collect { case (_, v, None, _) => v }.sum
     val noisyCount = results.count(_._4 > 0)
 
+    // dedicated warm control run (AFTER all measured work so it labels
+    // the same session): in a full run the control query is already
+    // warm from both passes; in a filtered run that excluded it, one
+    // untimed run warms it first. Errors → -1 (no label).
+    val controlSec: Double = SparkEntry.queries.get(ControlQuery) match {
+      case Some(fn) =>
+        try {
+          if (!ordered.exists(_._1 == ControlQuery)) fn(spark, sfDir).count()
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      case None => -1.0
+    }
+    val control = controlRatio(controlSec, reference)
+
     def sec3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def msInt(v: Double): Long = math.round(v * 1000)
 
@@ -223,7 +259,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val runStealSec = stealSec(runSteal0, stealTicks())
     val detailJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.size},"noisy":$noisyCount,"steal_sec":${sec3(runStealSec)},"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.size},"noisy":$noisyCount,"steal_sec":${sec3(runStealSec)},"control":${sec3(control)},"control_sec":${sec3(controlSec)},"queries":$detail,"sf":"$sfDir"}"""
     val detailName = detailFileName(only.isDefined)
     val detailPath = java.nio.file.Paths.get(detailName)
     try java.nio.file.Files.write(detailPath, (detailJson + "\n").getBytes("UTF-8"))
@@ -242,7 +278,7 @@ object Bench {
       .mkString("{", ",", "}")
     def assemble(entries: Seq[String]): String = {
       val qs = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.size},"noisy":$noisyCount,"steal_sec":${sec3(runStealSec)},"qunit":"ms","queries":$qs,"errors":$errs,"detail":"$detailName","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.size},"noisy":$noisyCount,"steal_sec":${sec3(runStealSec)},"control":${sec3(control)},"qunit":"ms","queries":$qs,"errors":$errs,"detail":"$detailName","sf":"$sfDir"}"""
     }
     val all = errEntries ++ okEntries
     // largest prefix of (errors ++ slowest-first timings) that fits

@@ -66,6 +66,48 @@ object Hdf5Codec {
     try decodeImpl(bytes)
     catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Bob Jenkins lookup3 hashlittle with initval 0 (public-domain
+    * lookup3.c; the checksum all HDF5 v2 metadata carries). Trailing
+    * checksums are normally NOT verified here (bounds-checked reads
+    * degrade to refusal) — the one consumer is the index-block-
+    * referenced PAGED extensible-array data block, where no page-init
+    * bitmap exists on disk and a checksum is the only way to tell a
+    * WRITTEN element page from uninitialized junk. */
+  private[graft] def lookup3(b: Array[Byte], off: Int, len: Int): Int = {
+    @inline def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    @inline def u(i: Int): Int = b(i) & 0xff
+    @inline def w(i: Int, n: Int): Int = { // little-endian word, n<=4 bytes
+      var v = 0; var j = 0
+      while (j < n) { v |= u(i + j) << (8 * j); j += 1 }
+      v
+    }
+    var a = 0xdeadbeef + len; var bb = a; var c = a
+    var p = off; var l = len
+    while (l > 12) {
+      a += w(p, 4); bb += w(p + 4, 4); c += w(p + 8, 4)
+      a -= c; a ^= rot(c, 4); c += bb
+      bb -= a; bb ^= rot(a, 6); a += c
+      c -= bb; c ^= rot(bb, 8); bb += a
+      a -= c; a ^= rot(c, 16); c += bb
+      bb -= a; bb ^= rot(a, 19); a += c
+      c -= bb; c ^= rot(bb, 4); bb += a
+      p += 12; l -= 12
+    }
+    if (l > 0) {
+      a += w(p, math.min(l, 4))
+      if (l > 4) bb += w(p + 4, math.min(l - 4, 4))
+      if (l > 8) c += w(p + 8, l - 8)
+      c ^= bb; c -= rot(bb, 14)
+      a ^= c; a -= rot(c, 11)
+      bb ^= a; bb -= rot(a, 25)
+      c ^= bb; c -= rot(bb, 16)
+      a ^= c; a -= rot(c, 4)
+      bb ^= a; bb -= rot(a, 14)
+      c ^= bb; c -= rot(bb, 24)
+    }
+    c
+  }
+
   private def decodeImpl(bytes: Array[Byte]): Option[Seq[H5Dataset]] = {
     if (bytes.length < 96) return None
     var i = 0
@@ -1100,6 +1142,16 @@ object Hdf5Codec {
               if (bmAt < 0)
                 idxElmts + startElem + p * pageElems < asm.gridChunks
               else (u8(bmAt + p / 8) >> (p % 8).toInt & 1) == 1
+            // no bitmap exists for the index-block layout, so the
+            // grid bound alone can't distinguish a written page from
+            // junk — a genuinely uninitialized mid-grid page would
+            // alias to garbage chunk addresses. The page's trailing
+            // lookup3 checksum is the written-page witness: a
+            // mismatch REFUSES the file instead of decoding junk.
+            if (init && bmAt < 0 &&
+                (lookup3(bytes, (pagesAt + p * pageLen).toInt,
+                  (pageLen - 4).toInt).toLong & 0xffffffffL) !=
+                  uN(pagesAt + (p + 1) * pageLen - 4, 4)) return false
             if (init) {
               val eAt = pagesAt + p * pageLen
               var t = 0L

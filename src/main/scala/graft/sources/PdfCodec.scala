@@ -116,11 +116,36 @@ object PdfCodec {
     charsetTable("windows-1252", Set(0x81, 0x8d, 0x8f, 0x90, 0x9d))
 
   /** MacRomanEncoding (Annex D) = Mac OS Roman with one override:
-    * Annex D keeps the pre-8.5 CURRENCY SIGN at 0xDB where the JDK
-    * charset (post-1998 Mac OS Roman) has EURO SIGN. */
-  private lazy val macRomanTable: Array[String] = {
-    val t = charsetTable("x-MacRoman", Set.empty)
-    t(0xdb) = "¤"
+    * Annex D keeps the pre-8.5 CURRENCY SIGN at 0xDB where post-1998
+    * Mac OS Roman has EURO SIGN. Hardcoded (not Charset.forName
+    * ("x-MacRoman")) because that charset lives in the OPTIONAL
+    * jdk.charsets module — on a minimal jlink image the lookup throws
+    * and every MacRoman-font PDF would silently skip. The high half
+    * is the canonical Apple table; PdfCodecSpec cross-checks it
+    * against the JDK charset whenever that module is present. */
+  private[graft] lazy val macRomanTable: Array[String] = {
+    val t = new Array[String](256)
+    var c = 0x20
+    while (c <= 0x7f) { t(c) = c.toChar.toString; c += 1 }
+    val high = Array(
+      0x00C4, 0x00C5, 0x00C7, 0x00C9, 0x00D1, 0x00D6, 0x00DC, 0x00E1, // 80
+      0x00E0, 0x00E2, 0x00E4, 0x00E3, 0x00E5, 0x00E7, 0x00E9, 0x00E8,
+      0x00EA, 0x00EB, 0x00ED, 0x00EC, 0x00EE, 0x00EF, 0x00F1, 0x00F3, // 90
+      0x00F2, 0x00F4, 0x00F6, 0x00F5, 0x00FA, 0x00F9, 0x00FB, 0x00FC,
+      0x2020, 0x00B0, 0x00A2, 0x00A3, 0x00A7, 0x2022, 0x00B6, 0x00DF, // A0
+      0x00AE, 0x00A9, 0x2122, 0x00B4, 0x00A8, 0x2260, 0x00C6, 0x00D8,
+      0x221E, 0x00B1, 0x2264, 0x2265, 0x00A5, 0x00B5, 0x2202, 0x2211, // B0
+      0x220F, 0x03C0, 0x222B, 0x00AA, 0x00BA, 0x03A9, 0x00E6, 0x00F8,
+      0x00BF, 0x00A1, 0x00AC, 0x221A, 0x0192, 0x2248, 0x2206, 0x00AB, // C0
+      0x00BB, 0x2026, 0x00A0, 0x00C0, 0x00C3, 0x00D5, 0x0152, 0x0153,
+      0x2013, 0x2014, 0x201C, 0x201D, 0x2018, 0x2019, 0x00F7, 0x25CA, // D0
+      0x00FF, 0x0178, 0x2044, 0x00A4, 0x2039, 0x203A, 0xFB01, 0xFB02,
+      0x2021, 0x00B7, 0x201A, 0x201E, 0x2030, 0x00C2, 0x00CA, 0x00C1, // E0
+      0x00CB, 0x00C8, 0x00CD, 0x00CE, 0x00CF, 0x00CC, 0x00D3, 0x00D4,
+      0xF8FF, 0x00D2, 0x00DA, 0x00DB, 0x00D9, 0x0131, 0x02C6, 0x02DC, // F0
+      0x00AF, 0x02D8, 0x02D9, 0x02DA, 0x00B8, 0x02DD, 0x02DB, 0x02C7)
+    var i = 0
+    while (i < 128) { t(0x80 + i) = high(i).toChar.toString; i += 1 }
     t
   }
 
@@ -317,9 +342,10 @@ object PdfCodec {
 
   // ---- standard security handler (ISO 32000-1 §7.6.3) ----------------
   // Empty-USER-password documents (readable-by-design, merely wrapped —
-  // common in crawls) decrypt; a real password fails the /U check and
-  // refuses whole-file. RC4 (V1/V2 and V4+CFM V2) and AES-128-CBC
-  // (V4+CFM AESV2) bodies; AES-256 (V5) stays refused.
+  // common in crawls) decrypt; a real password fails the /U (or /U
+  // hash, V5) check and refuses whole-file. RC4 (V1/V2 and V4+CFM V2),
+  // AES-128-CBC (V4+CFM AESV2), and AES-256-CBC (V5/R6 via Algorithm
+  // 2.B key derivation, CFM AESV3) bodies all decrypt.
 
   /** The 32-byte password pad constant (Table 21 adjunct). */
   private val PdfPad: Array[Byte] = Array(
@@ -1443,10 +1469,19 @@ object PdfCodec {
           val sb = new java.lang.StringBuilder()
           var i = 0
           while (i < t.length) {
-            val s = tab(t(i) & 0xff)
+            val c = t(i) & 0xff
+            val s = tab(c)
             // undefined codes and unknown glyph names degrade to
-            // U+FFFD (content-level gap), matching the CMap rule
-            sb.append(if (s == null) "�" else s)
+            // U+FFFD (content-level gap), matching the CMap rule —
+            // EXCEPT literal tab/LF/CR, which Annex D leaves
+            // undefined but real crawled Tj strings carry as layout
+            // whitespace; they pass through (matching the no-
+            // /Encoding Latin-1 path) unless /Differences remapped
+            // that code to a glyph.
+            sb.append(
+              if (s != null) s
+              else if (c == 0x09 || c == 0x0a || c == 0x0d) c.toChar.toString
+              else "�")
             i += 1
           }
           sb.toString

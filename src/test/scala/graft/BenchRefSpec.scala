@@ -31,6 +31,24 @@ class BenchRefSpec extends AnyFunSuite {
     assert(ref.values.forall(_ > 0), "reference timings must be positive")
   }
 
+  test("control query has a committed reference row and the ratio computes") {
+    // round 17 proved this box's throughput varies beyond steal
+    // telemetry; every capture self-labels with "control": warm
+    // q_tpch_q9 over its reference. That label needs (a) the control
+    // query declared and (b) a positive reference row for it.
+    assert(SparkEntry.queries.contains(Bench.ControlQuery),
+      s"${Bench.ControlQuery} is not declared — the bench control label cannot be measured")
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get("BENCH_REF.json")),
+      "BENCH_REF.json not present in working directory")
+    val ref = Bench.loadReference()
+    assert(ref.get(Bench.ControlQuery).exists(_ > 0),
+      s"${Bench.ControlQuery} has no positive row in BENCH_REF.json — control ratio would be -1")
+    // ratio semantics: sec/ref when both positive, -1 otherwise
+    assert(math.abs(Bench.controlRatio(1.0, Map(Bench.ControlQuery -> 0.8)) - 1.25) < 1e-12)
+    assert(Bench.controlRatio(-1.0, Map(Bench.ControlQuery -> 0.8)) == -1.0)
+    assert(Bench.controlRatio(1.0, Map.empty) == -1.0)
+  }
+
   test("a filtered bench run writes detail to the partial file") {
     // the round-16 review lost a full capture to a targeted re-measure
     // overwriting BENCH_DETAIL.json; the filter now redirects

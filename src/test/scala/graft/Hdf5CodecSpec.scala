@@ -583,6 +583,29 @@ class Hdf5CodecSpec extends SparkSpec {
       (0 until 400).map(i => (((i * 61 + 31) % 3001) - 1500).toDouble))
     // truncation anywhere in the chunk tail must refuse, never alias
     assert(Hdf5Codec.decode(bytes.dropRight(8)).isEmpty, "truncated")
+    // written-page witness: with no page-init bitmap on disk, a live
+    // page's trailing lookup3 checksum is the only proof the page was
+    // written — corrupting EITHER the page elements or the checksum
+    // itself must REFUSE (junk chunk addresses never decoded). Page
+    // geometry parsed from the file's own EAHD (entry size at +6,
+    // max-bits at +7 → offset-size), EADB prefix = sig(4) + ver/
+    // client(2) + hdr addr(8) + block offset(offSz) + checksum(4).
+    val eahdAt = bytes.indexOfSlice("EAHD".getBytes("US-ASCII"))
+    val eadbAt = bytes.indexOfSlice("EADB".getBytes("US-ASCII"))
+    assert(eahdAt > 0 && eadbAt > 0, "EA blocks not found")
+    val entry = bytes(eahdAt + 6) & 0xff
+    val offSz = ((bytes(eahdAt + 7) & 0xff) + 7) / 8
+    val pagesAt = eadbAt + 6 + 8 + offSz + 4
+    val pageLen = 16 * entry + 4
+    val elemCorrupt = bytes.clone()
+    elemCorrupt(pagesAt + 3) = (elemCorrupt(pagesAt + 3) ^ 0x41).toByte
+    assert(Hdf5Codec.decode(elemCorrupt).isEmpty,
+      "corrupted live-page elements accepted (checksum witness off)")
+    val ckCorrupt = bytes.clone()
+    ckCorrupt(pagesAt + pageLen - 1) =
+      (ckCorrupt(pagesAt + pageLen - 1) ^ 0x41).toByte
+    assert(Hdf5Codec.decode(ckCorrupt).isEmpty,
+      "corrupted live-page checksum accepted")
     var j = 0
     while (j < bytes.length) {
       val m = bytes.clone(); m(j) = 0x2e
@@ -717,5 +740,25 @@ class Hdf5CodecSpec extends SparkSpec {
     assert(rows.count(_._1 == "instance_a") == 4)
     assert(rows.count(_._1 == "one_b") == 1)
     assert(!rows.exists(_._1 == "bad"), "corrupt file not skipped")
+  }
+
+  test("lookup3 matches the cross-engine reference values") {
+    // known-answer vectors generated by the INDEPENDENT Python
+    // implementation in tools/h5_golden.py (the fixture writer) —
+    // the two impls must agree or the paged-EA written-page witness
+    // check refuses valid fixtures / accepts junk.
+    def h(b: Array[Byte]): Long =
+      Hdf5Codec.lookup3(b, 0, b.length).toLong & 0xffffffffL
+    assert(h(Array.empty) == 0xdeadbeefL)
+    assert(h("a".getBytes) == 0x58d68708L)
+    assert(h("abc".getBytes) == 0x0e397631L)
+    assert(h("hello, world".getBytes) == 0x59a25215L)
+    assert(h("0123456789abcdef".getBytes) == 0x68784a2fL)
+    assert(h(Array.tabulate(37)(_.toByte)) == 0x12926a31L)
+    assert(h(Array.fill(12)('x'.toByte)) == 0x2e4ffe2bL)
+    assert(h(Array.fill(24)('y'.toByte)) == 0xc1ac5e49L)
+    // offset/len windowing: hashing a slice equals hashing the copy
+    val buf = "zzabczz".getBytes
+    assert((Hdf5Codec.lookup3(buf, 2, 3).toLong & 0xffffffffL) == 0x0e397631L)
   }
 }

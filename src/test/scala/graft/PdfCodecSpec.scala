@@ -281,4 +281,47 @@ class PdfCodecSpec extends SparkSpec {
     assert(rs(0).text == "€• normal" && rs(5).text == "Ω",
       "other fonts must be unaffected")
   }
+
+  test("literal tab/LF/CR in show strings pass through under /Encoding") {
+    // Annex D leaves codes below 0x20 undefined, but crawled Tj
+    // strings occasionally carry literal whitespace controls as
+    // layout; the no-/Encoding Latin-1 path passes them through, so
+    // the /Encoding path must too (not degrade to U+FFFD) — unless
+    // /Differences remapped the code to a glyph.
+    val good = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      graft.Fixtures.path("q_pdf_text"), "diff-15.pdf"))
+    val s = new String(good, "ISO-8859-1")
+    def swapped(from: String, to: String): Array[Byte] = {
+      assert(from.length == to.length && s.contains(from), from)
+      s.replace(from, to).getBytes("ISO-8859-1")
+    }
+    for ((hx, ch) <- Seq("09" -> '\t', "0A" -> '\n', "0D" -> '\r')) {
+      val rs = PdfCodec.decode(swapped("<938D7A>", s"<93${hx}7A>"))
+        .getOrElse(fail("whitespace-bearing file refused"))
+      assert(rs(2).text == s"“${ch}z",
+        s"0x$hx under WinAnsi /Encoding should pass through as whitespace")
+    }
+    // a code below 0x20 that is NOT tab/LF/CR stays a U+FFFD gap
+    val rs = PdfCodec.decode(swapped("<938D7A>", "<930B7A>")).get
+    assert(rs(2).text == "“�z", "0x0B must stay U+FFFD")
+  }
+
+  test("hardcoded MacRoman table matches the JDK charset where present") {
+    // macRomanTable is hardcoded because x-MacRoman lives in the
+    // OPTIONAL jdk.charsets module; on JDKs that do ship it, the
+    // hardcode must agree byte-for-byte — except 0xDB, where Annex D
+    // keeps the pre-euro CURRENCY SIGN over the charset's EURO SIGN.
+    val cs =
+      try Some(java.nio.charset.Charset.forName("x-MacRoman"))
+      catch { case _: Exception => None }
+    assume(cs.isDefined, "JDK has no x-MacRoman charset; nothing to cross-check")
+    val t = PdfCodec.macRomanTable
+    assert(t(0xdb) == "\u00a4", "0xDB must be Annex D CURRENCY SIGN")
+    for (c <- 0x20 to 0xff if c != 0xdb) {
+      val jdk = new String(Array(c.toByte), cs.get)
+      assert(t(c) == jdk,
+        f"macRomanTable(0x$c%02x) = '${t(c)}' but JDK decodes '$jdk'")
+    }
+    for (c <- 0 until 0x20) assert(t(c) == null, f"0x$c%02x must be undefined")
+  }
 }
