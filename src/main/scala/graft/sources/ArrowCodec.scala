@@ -28,7 +28,12 @@ package graft.sources
   * Struct of scalar children (one parent-nullity cell per row plus
   * per-child columns named `parent.child`, children reading as null
   * wherever the parent slot is null — their bytes are undefined
-  * there), plus the HF-datasets nested-feature shapes:
+  * there) — including STRUCT children to depth 2 (the nested
+  * metadata/config structs HF shards carry: `meta.cfg.opt.lr` dotted
+  * paths, each level's nullity cell gated on its ancestors,
+  * struct<struct<struct<scalars>>> the deepest shape; struct kids
+  * nest under STRUCT parents only), plus the HF-datasets
+  * nested-feature shapes:
   * List<Struct<scalars>> (sequence-of-dict, e.g. SQuAD-v2 answers —
   * one struct cell per ELEMENT plus per-kid cells at that element
   * index), Struct with List<scalar> children (the SQuAD-v1
@@ -61,9 +66,10 @@ package graft.sources
   * (MonthDayNano — the form pyarrow writes — decodes as 16 hex
   * bytes), nested or
   * dictionary-encoded RunEndEncoded, nesting beyond the supported
-  * shapes (struct-in-struct, list<list<list>>, map values nested
-  * deeper than list<scalar>), trailing bytes after a stream's
-  * end-of-stream marker. Values emit as raw
+  * shapes (struct past depth 2, struct under list<struct> or map,
+  * list<list<list>> — elem/elem2 carry only two index levels,
+  * map values nested deeper than list<scalar>), trailing bytes after
+  * a stream's end-of-stream marker. Values emit as raw
   * little-endian bits zero-extended to a long (bit-exact NaN
   * payloads), strings as UTF-8, binary as lowercase hex. Never
   * throws.
@@ -340,10 +346,14 @@ object ArrowCodec {
           case t if isScalar(t) => ListT(t, 0, s"list<${t.label}>")
           case _ => err() // deeper nesting / list<list<list>>: refuse
         }
-      case 13 => // Struct: scalar children, plus list-of-scalar
-        // children at top level or under a top-level list
-        // (children(5))
-        if (depth > 1) err()
+      case 13 => // Struct: scalar children, list-of-scalar children
+        // (at depth <= 1), and STRUCT children — the nested metadata/
+        // config structs HF shards carry — bounded at depth 2, so
+        // struct<struct<struct<scalars>>> is the deepest shape.
+        // Struct kids only nest under STRUCT parents: the list<struct>
+        // and map guards (cases 12/17) accept scalar/list<scalar>
+        // children only, so list<struct<struct>> still refuses.
+        if (depth > 2) err()
         val ch = field(b, fpos, 5)
         if (ch < 0) err()
         val (nc, _) = vec(b, ch, 4)
@@ -353,7 +363,7 @@ object ArrowCodec {
         kids.foreach { k =>
           if (k.dict.isDefined) err() // dictionary-encoded child: refuse
           k.typ match {
-            case _: StructT => err() // struct-in-struct: refuse
+            case _: StructT => () // validated by its own parseField pass
             case ListT(c, _, _) if depth <= 1 && isScalar(c) => ()
             case _: ListT => err()
             case _ => ()
@@ -886,7 +896,11 @@ object ArrowCodec {
           // parent: one node + validity buffer, one cell per row
           // recording struct-slot nullity; then each child in order,
           // gated on parent validity (child bytes are UNDEFINED where
-          // the parent slot is null)
+          // the parent slot is null). A STRUCT child recurses — its
+          // cell records slot nullity UNDER the inherited gate, and
+          // its own children gate on the conjunction — so nested
+          // metadata/config structs emit as deeper dotted paths
+          // (`meta.cfg.opt.lr`), buffers still consumed depth-first.
           val (len, _) = nextNode()
           if (len != rows) err()
           val v = valid(nextBuf(), len)
@@ -897,9 +911,22 @@ object ArrowCodec {
               None, None)
             i += 1
           }
-          kids.foreach { k =>
-            val kname = s"${f.name}.${k.name}"
+          def emitKids(prefix: String, ks: Vector[FieldSpec],
+              gate: Long => Boolean): Unit = ks.foreach { k =>
+            val kname = s"$prefix.${k.name}"
             k.typ match {
+              case StructT(gkids, glabel) =>
+                val (klen, _) = nextNode()
+                if (klen != rows) err()
+                val kv = valid(nextBuf(), klen)
+                var i2 = 0L
+                while (i2 < klen) {
+                  if (out.size >= MaxCells) err()
+                  out += Cell(batchIdx, kname, i2, None, glabel,
+                    isNull = !gate(i2) || !kv(i2), None, None)
+                  i2 += 1
+                }
+                emitKids(kname, gkids, j => gate(j) && kv(j))
               case ListT(c, kfixed, klabel) =>
                 // struct<list<scalar>> (the SQuAD-v1 answers shape)
                 val (klen, _) = nextNode()
@@ -910,7 +937,7 @@ object ArrowCodec {
                 val cl = readLeaf(c)
                 var i2 = 0L
                 while (i2 < klen) {
-                  if (!v(i2) || !kv(i2)) nullCell(kname, i2, None, klabel)
+                  if (!gate(i2) || !kv(i2)) nullCell(kname, i2, None, klabel)
                   else {
                     val (s, n) =
                       if (kfixed > 0) (i2 * kfixed, kfixed.toLong)
@@ -934,11 +961,12 @@ object ArrowCodec {
                 if (l.len != rows) err()
                 var i2 = 0L
                 while (i2 < rows) {
-                  put(kname, i2, None, l, i2, gate = v(i2))
+                  put(kname, i2, None, l, i2, gate = gate(i2))
                   i2 += 1
                 }
             }
           }
+          emitKids(f.name, kids, v)
         case _ => err() // unreachable: all Typ shapes dispatched above
       }
     }

@@ -150,8 +150,53 @@ class ArrowCodecSpec extends SparkSpec {
     assert(col("fsl2s").filter(_.row == 2).map(_.str) ==
       Vector(Some("r"), Some("")))
     // list<struct<...list fields...>> is covered by nested3-20;
-    // list<list<list>> / struct-in-struct still refuse (fuzz +
-    // golden absence)
+    // struct-in-struct by structstruct-23; list<list<list>> still
+    // refuses (fuzz + golden absence)
+  }
+
+  test("struct-in-struct: dotted paths, ancestor-gated nullity, depth cap") {
+    val cs = ArrowCodec.decode(fixture("structstruct-23.arrow")).get
+    def col(n: String) = cs.filter(_.col == n)
+    // every struct level emits one nullity cell per ROW
+    assert(col("meta").map(_.isNull) ==
+      Vector(false, true, false, false, false))
+    assert(col("meta.cfg").map(_.isNull) ==
+      Vector(false, true, true, false, false))
+    assert(col("meta.cfg.opt").map(_.isNull) ==
+      Vector(false, true, true, false, true), "opt gates on meta AND cfg")
+    // depth-2 leaves gate on the whole ancestor chain
+    assert(col("meta.cfg.opt.lr").map(_.bits) ==
+      Vector(Some(java.lang.Double.doubleToLongBits(0.1)), None, None,
+        None, None))
+    assert(col("meta.cfg.opt.warm").map(_.bits) ==
+      Vector(Some(1L), None, None, Some(0L), None))
+    // scalar + list kids alongside the nested struct
+    assert(col("meta.id").map(_.bits) ==
+      Vector(Some(1L), None, Some(3L), None, Some(5L)))
+    assert(col("meta.cfg.name").map(_.str) ==
+      Vector(Some("bert"), None, None, None, Some("gpt")))
+    // list kid INSIDE the depth-1 struct: null/gated-off list is one
+    // elem-less cell; empty list emits nothing; elements carry elem
+    assert(col("meta.cfg.tags").filter(_.row == 0).map(c => (c.elem, c.str)) ==
+      Vector((Some(0L), Some("a")), (Some(1L), None)))
+    assert(col("meta.cfg.tags").filter(_.row == 1)
+      .map(c => (c.vtype, c.isNull, c.elem)) ==
+      Vector(("list<utf8>", true, None)), "meta-null row gates the list")
+    assert(col("meta.cfg.tags").count(_.row == 3) == 0, "empty list")
+    assert(col("meta.dims").filter(_.row == 4).map(_.bits) ==
+      Vector(Some(7L)))
+    // struct nesting past depth 2 refuses whole-file
+    assert(ArrowCodec.decode(fixture("structdeep-24.arrow")).isEmpty,
+      "4-level struct nesting must refuse")
+    // truncation + flip fuzz over the new fixture: never throws
+    val f = fixture("structstruct-23.arrow")
+    (0 until f.length by 7).foreach(k => ArrowCodec.decode(f.take(k)))
+    var j = 0
+    while (j < f.length) {
+      val m = f.clone(); m(j) = (m(j) ^ 0x5c).toByte
+      ArrowCodec.decode(m)
+      j += 1
+    }
   }
 
   test("depth-3 list<struct<list<scalar>>>: ragged fields per element") {

@@ -32,7 +32,11 @@ Layout written under tools/fixtures/q_arrow_read/:
                     (ragged sequences inside sequence-of-dict; GRADED)
   mapnested-21.arrow map<utf8, list<i64>> config-blob metadata (GRADED)
   interval-22.arrow MonthDayNano intervals as 16 hex bytes (GRADED)
-The two bad files' ABSENCE from the golden is itself graded.
+  structstruct-23.arrow struct-in-struct nested metadata/config
+                    structs to depth 2, incl. a list<scalar> kid
+                    inside the depth-1 struct (GRADED)
+  structdeep-24.arrow 4-level struct nesting -> refusal
+The bad files' ABSENCE from the golden is itself graded.
 """
 import os, struct
 
@@ -753,6 +757,89 @@ for ri, v in enumerate(ivals):
     else:
         ROWS.append((F22, 0, "iv", ri, None, "interval_mdn", False,
                      None, struct.pack("<iiq", *v).hex()))
+
+# ---- structstruct-23.arrow (GRADED): struct-in-struct — the nested
+# metadata/config structs HF shards carry. Cells are dotted paths per
+# level; every struct level emits one nullity cell per row whose
+# is_null is the CONJUNCTION of its own slot validity and all
+# ancestors'; leaf cells gate the same way. Depth reaches 2
+# (meta.cfg.opt.*), the deepest accepted shape, and a list<scalar>
+# kid rides inside the depth-1 struct (cfg.tags).
+metas = [
+    {"id": 1, "cfg": {"name": "bert", "tags": ["a", None],
+                      "opt": {"lr": 0.1, "warm": True}}, "dims": [2, 3]},
+    None,
+    {"id": 3, "cfg": None, "dims": []},
+    {"id": None, "cfg": {"name": None, "tags": [],
+                         "opt": {"lr": None, "warm": False}}, "dims": None},
+    {"id": 5, "cfg": {"name": "gpt", "tags": None, "opt": None},
+     "dims": [7]},
+]
+t23 = pa.struct([
+    ("id", pa.int64()),
+    ("cfg", pa.struct([
+        ("name", pa.string()),
+        ("tags", pa.list_(pa.string())),
+        ("opt", pa.struct([("lr", pa.float64()), ("warm", pa.bool_())])),
+    ])),
+    ("dims", pa.list_(pa.int32())),
+])
+a23 = pa.array(metas, type=t23)
+s23 = pa.schema([("meta", t23)])
+with open(os.path.join(D, "structstruct-23.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, s23)
+    w.write_batch(pa.record_batch([a23], schema=s23))
+    w.close()
+F23 = "structstruct-23.arrow"
+for ri, m in enumerate(metas):
+    ROWS.append((F23, 0, "meta", ri, None, "struct", m is None, None, None))
+    mid = None if m is None else m["id"]
+    ROWS.append((F23, 0, "meta.id", ri, None, "i64", mid is None,
+                 mid, None))
+    cfg = None if m is None else m["cfg"]
+    ROWS.append((F23, 0, "meta.cfg", ri, None, "struct", cfg is None,
+                 None, None))
+    name = None if cfg is None else cfg["name"]
+    ROWS.append((F23, 0, "meta.cfg.name", ri, None, "utf8", name is None,
+                 None, name))
+    tags = None if cfg is None else cfg["tags"]
+    if tags is None:
+        ROWS.append((F23, 0, "meta.cfg.tags", ri, None, "list<utf8>", True,
+                     None, None))
+    else:
+        for ei, e in enumerate(tags):
+            ROWS.append((F23, 0, "meta.cfg.tags", ri, ei, "utf8",
+                         e is None, None, e))
+    opt = None if cfg is None else cfg["opt"]
+    ROWS.append((F23, 0, "meta.cfg.opt", ri, None, "struct", opt is None,
+                 None, None))
+    lr = None if opt is None else opt["lr"]
+    ROWS.append((F23, 0, "meta.cfg.opt.lr", ri, None, "f64", lr is None,
+                 None if lr is None else bits_of("f64", lr), None))
+    warm = None if opt is None else opt["warm"]
+    ROWS.append((F23, 0, "meta.cfg.opt.warm", ri, None, "bool",
+                 warm is None, None if warm is None else bits_of("bool", warm),
+                 None))
+    dims = None if m is None else m["dims"]
+    if dims is None:
+        ROWS.append((F23, 0, "meta.dims", ri, None, "list<i32>", True,
+                     None, None))
+    else:
+        for ei, e in enumerate(dims):
+            ROWS.append((F23, 0, "meta.dims", ri, ei, "i32", e is None,
+                         None if e is None else bits_of("i32", e), None))
+
+# ---- structdeep-24.arrow: struct nesting PAST depth 2 (4 levels) —
+# out of envelope, whole-file refusal; its absence from the golden is
+# itself graded (the trunc-05/garbage-11 rule).
+t24 = pa.struct([("a", pa.struct([("b", pa.struct([
+    ("c", pa.struct([("d", pa.int64())]))]))]))])
+s24 = pa.schema([("deep", t24)])
+with open(os.path.join(D, "structdeep-24.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, s24)
+    w.write_batch(pa.record_batch(
+        [pa.array([{"a": {"b": {"c": {"d": 1}}}}], type=t24)], schema=s24))
+    w.close()
 
 schema_g = pa.schema([
     ("file", pa.string()), ("batch", pa.int32()), ("col", pa.string()),
