@@ -34,10 +34,14 @@ package graft.sources
   *
   * EDIT LISTS (`edts/elst`, §8.6.6) apply to pts: the encoder-typical
   * shape — optional leading empty edits (media_time = -1, delaying by
-  * segment_duration MOVIE ticks) followed by one normal entry whose
-  * media_time starts the presentation — shifts every sample's pts by
-  * (delay·tsc/movieTsc − media_time), moov and fragment samples
-  * alike. Multi-segment lists and dwell rates (media_rate ≠ 1) can't
+  * segment_duration MOVIE ticks) followed by normal entries — shifts
+  * every sample's pts by (delay·tsc/movieTsc − media_time[0]), moov
+  * and fragment samples alike. MULTI-SEGMENT lists decode when they
+  * cleanly concatenate (every rate 1, each media_time exactly
+  * continuing the previous segment's media range — the
+  * split-at-keyframe shape editor exports write), collapsing to the
+  * single-segment flat shift. Dwell/speed rates (media_rate ≠ 1),
+  * mid-presentation gaps, overlaps, and genuine resequencing can't
   * be a flat shift and refuse whole-file rather than drift.
   *
   * Refusal contract (the [[GzipCodec]]/[[Hdf5Codec]] discipline):
@@ -221,7 +225,9 @@ object Mp4Codec {
       var chunkOffs: Array[Long] = null
       var syncSet: java.util.HashSet[Long] = null
       var delayMovie = 0L  // empty-edit delay, MOVIE timescale ticks
-      var mediaTime = 0L   // first presented media tick (edit start)
+      // normal (non-empty) edit entries in list order:
+      // (segment_duration MOVIE ticks, media_time MEDIA ticks)
+      var normals = Vector.empty[(Long, Long)]
       var sawElst = false
 
       def readStbl(sFrom: Long, sTo: Long): Unit =
@@ -291,10 +297,12 @@ object Mp4Codec {
             // elst (§8.6.6): the presentation timeline mapping most
             // real-world encoders write — leading EMPTY edits
             // (media_time = -1) delay the whole track by
-            // segment_duration MOVIE ticks, and the one normal entry
-            // starts presentation at media_time MEDIA ticks. Multi-
-            // segment lists and dwell rates can't be expressed as a
-            // flat per-sample pts shift: refuse rather than drift.
+            // segment_duration MOVIE ticks, then normal entries start
+            // presentation at media_time MEDIA ticks. Entries are
+            // COLLECTED here and validated after the track walk (the
+            // mdhd timescale the contiguity check needs may parse
+            // after edts); dwell/speed rates refuse immediately —
+            // no flat per-sample pts shift exists for them.
             boxes(at, end) { (t2, a2, e2) =>
               if (t2 == "elst") {
                 if (sawElst) err()
@@ -304,7 +312,6 @@ object Mp4Codec {
                 val cnt = u32(a2 + 4)
                 val esz = if (v == 1) 20 else 12
                 if (cnt > 64 || a2 + 8 + cnt * esz > e2) err()
-                var seenNormal = false
                 var i = 0L
                 while (i < cnt) {
                   val p = a2 + 8 + i * esz
@@ -317,7 +324,9 @@ object Mp4Codec {
                     else (u32(p), u32(p + 4).toInt.toLong, u16(p + 8),
                       u16(p + 10))
                   if (mTime == -1L) {
-                    if (seenNormal) err() // trailing empty edit: rare cut shape
+                    // empty edits only LEAD: one after a normal entry
+                    // is a mid-presentation gap, not a flat shift
+                    if (normals.nonEmpty) err()
                     // bound the sum: two huge v1 durations must refuse,
                     // not wrap into a silent negative shift
                     if (segDur > (1L << 53) - delayMovie) err()
@@ -325,10 +334,9 @@ object Mp4Codec {
                   } else {
                     // media_rate is 16.16 fixed-point: 1.5 has integer
                     // part 1 — a dwell/speed edit must refuse too
-                    if (seenNormal || mTime < 0 || rateInt != 1 ||
-                      rateFrac != 0) err()
-                    seenNormal = true
-                    mediaTime = mTime
+                    if (mTime < 0 || rateInt != 1 || rateFrac != 0) err()
+                    if (segDur > (1L << 53)) err()
+                    normals :+= ((segDur, mTime))
                   }
                   i += 1
                 }
@@ -358,7 +366,30 @@ object Mp4Codec {
       // cts - media_time + empty-edit delay (converted movie→media
       // ticks). Samples composed before the edit start go negative —
       // players clip them; the table reports them faithfully.
+      // MULTI-SEGMENT lists decode iff they CLEANLY CONCATENATE:
+      // every segment rate 1 (enforced at parse) and each next
+      // media_time exactly continues the previous segment's media
+      // range (M[j+1] = M[j] + D[j]·tsc/movieTsc, integral) — the
+      // split-at-keyframe shape editors export. Such a list replays
+      // the media continuously, so it collapses to the same flat
+      // shift as one segment from M[0]. Gaps, overlaps, inexact tick
+      // conversion, or a mid-list to-end-of-media duration (0) are
+      // real resequencing and refuse (no flat shift exists).
       val ptsOff: Long = {
+        if (normals.size > 1) {
+          if (movieTsc <= 0 || timescale <= 0) err()
+          var j = 0
+          while (j < normals.size - 1) {
+            val (d, m) = normals(j)
+            if (d <= 0) err() // 0 = to-end-of-media: last entry only
+            val prod = d * timescale
+            if (prod / d != timescale) err() // overflow: hostile
+            if (prod % movieTsc != 0) err()  // inexact: ambiguous pts
+            if (normals(j + 1)._2 != m + prod / movieTsc) err()
+            j += 1
+          }
+        }
+        val mediaTime = if (normals.isEmpty) 0L else normals.head._2
         val delayMedia =
           if (delayMovie == 0) 0L
           else {

@@ -73,8 +73,30 @@ class Mp4CodecSpec extends SparkSpec {
     val cts = Vector(6000L, 3000L, 3000L, 3000L, 0L)
     assert(e9.map(_.pts) ==
       e9.zipWithIndex.map { case (s, i) => s.dts + cts(i) - 3000L })
-    // multi-segment edit (two normal entries): refuse, don't drift
+    // multi-segment edit with a media GAP (M1=700 != M0+D0=400):
+    // real resequencing — refuse, don't drift
     assert(Mp4Codec.decode(fixture("badelst-10.mp4")).isEmpty)
+    // multi-segment edit that CLEANLY CONCATENATES (empty edit 300 +
+    // segments at M0=2000 then M1=2400=2000+400·tsc/movieTsc): the
+    // split-at-keyframe editor shape — collapses to the one flat
+    // shift 300 - 2000 = -1700 ms
+    val e11 = Mp4Codec.decode(fixture("elst2-11.mp4")).get
+    assert(e11.length == 8)
+    assert(e11.map(_.pts) == (0 until 8).map(i => i * 250L - 1700L).toVector)
+    assert(e11.map(_.dts) == (0 until 8).map(_ * 250L).toVector)
+    // a dwell edit (media_rate 0, freeze-frame): refuse
+    assert(Mp4Codec.decode(fixture("baddwell-12.mp4")).isEmpty)
+    // make elst2-11's second segment non-contiguous (M1 2400 -> 2401):
+    // the gap of one tick must refuse, not shift approximately.
+    // v0 entries are 12 bytes; entry 2's media_time is at
+    // body(ver+cnt=8) + 2*12 + 4, big-endian.
+    val r11 = fixture("elst2-11.mp4")
+    val eAt = r11.indexOfSlice("elst".getBytes("US-ASCII"))
+    assert(eAt > 0)
+    val mtAt = eAt + 4 + 8 + 2 * 12 + 4
+    assert(((r11(mtAt + 2) & 0xff) << 8 | (r11(mtAt + 3) & 0xff)) == 2400)
+    val g = r11.clone(); g(mtAt + 3) = (g(mtAt + 3) + 1).toByte
+    assert(Mp4Codec.decode(g).isEmpty, "off-by-one media gap accepted")
     // media_rate is 16.16 fixed-point: rate 1.5 (integer 1,
     // fraction 0x8000) is a dwell/speed edit — refuse, don't treat
     // as a flat shift. elst-09 is v1: entry at elst body + 8,
@@ -184,11 +206,11 @@ class Mp4CodecSpec extends SparkSpec {
     assert(byFile == Map(
       "vid-00.mp4" -> 10L, "av-01.mp4" -> 13L, "co64-02.mp4" -> 4L,
       "cap-06.mp4" -> 12L, "cap-07.mp4" -> 8L, "fmp4-07.mp4" -> 9L,
-      "cap-08.mp4" -> 12L, "elst-09.mp4" -> 5L))
+      "cap-08.mp4" -> 12L, "elst-09.mp4" -> 5L, "elst2-11.mp4" -> 8L))
     // md5s are all distinct across samples (every payload differs)
     import org.apache.spark.sql.functions.countDistinct
     val n = df.agg(countDistinct("md5")).head.getLong(0)
-    assert(n == 73L)
+    assert(n == 81L)
   }
 
   test("mux round-trips through the walker: chunking, timing, sync, bytes") {

@@ -35,7 +35,11 @@ Layout written under tools/fixtures/q_mp4_samples/:
   cap-08.mp4    third caption subject, EDIT LIST (empty edit + media
                 time): pts shift -500 ms, frames clipped before zero
   elst-09.mp4   version-1 (64-bit) elst, media_time only, tsc 90000
-  badelst-10.mp4 two normal edit entries (multi-segment) -> refusal
+  badelst-10.mp4 two normal edit entries with a media GAP -> refusal
+  elst2-11.mp4  multi-segment elst that CLEANLY CONCATENATES (empty
+                edit + two contiguous rate-1 segments): collapses to
+                the one flat shift and decodes
+  baddwell-12.mp4 dwell edit (media_rate 0) -> refusal
 The bad files' ABSENCE from the golden is itself graded.
 """
 import hashlib
@@ -461,6 +465,39 @@ bad10 = Track(
     edits=[(400, 0, 1), (600, 700, 1)],
 )
 build("badelst-10.mp4", [bad10], golden=False)
+
+# ---- elst2-11.mp4: MULTI-SEGMENT edit list that CLEANLY CONCATENATES
+# (the split-at-keyframe shape editor exports write): a leading empty
+# edit, then two normal rate-1 segments whose media_times are exactly
+# contiguous (M1 = M0 + D0*tsc/movieTsc = 2000 + 400 = 2400). The list
+# replays the media continuously, so the walker collapses it to the
+# one-segment flat shift (delay 300 - M0 2000 = -1700 ms); pts_offset
+# below computes the same thing from the FIRST normal entry.
+el11 = Track(
+    track_id=1, handler=b"vide", codec=b"avc1", timescale=1000,
+    # sizes unique across ALL fixtures: payload bytes are (size, sample
+    # index)-keyed LCG output and the ingest spec counts distinct md5s
+    sizes=[131, 132, 133, 134, 135, 136, 137, 138],
+    stts_runs=[(8, 250)],
+    stsc_entries=[(1, 4, 1)],
+    chunks=2,
+    sync=[1, 5],
+    edits=[(300, -1, 1), (400, 2000, 1), (600, 2400, 1)],
+)
+build("elst2-11.mp4", [el11])
+
+# ---- baddwell-12.mp4: a DWELL edit (media_rate 0 — freeze-frame) —
+# no single pts shift exists; the walker refuses whole-file rather
+# than drift; absence from the golden is the grade
+bad12 = Track(
+    track_id=1, handler=b"vide", codec=b"avc1", timescale=1000,
+    sizes=[100, 100],
+    stts_runs=[(2, 500)],
+    stsc_entries=[(1, 2, 1)],
+    chunks=1,
+    edits=[(500, 0, 0)],
+)
+build("baddwell-12.mp4", [bad12], golden=False)
 
 # ---- fmp4-07.mp4: a FRAGMENTED file (the DASH/HLS/CMAF segment
 # shape) written by this independent fragment muxer — init segment
