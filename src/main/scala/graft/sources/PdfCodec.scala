@@ -42,14 +42,14 @@ package graft.sources
   * character codes through the CMap's bfchar / bfrange (incrementing
   * and array forms) tables; SIMPLE fonts without one but with an
   * /Encoding decode through the Annex D base table
-  * (WinAnsi/MacRoman/Standard; name or /BaseEncoding dict form,
-  * absent base → Standard) overlaid with the /Differences array,
-  * glyph names resolved via an AGL subset plus the uniXXXX / uXXXXXX
-  * algorithmic forms; fonts with NEITHER decode as Latin-1
+  * (WinAnsi/MacRoman/Standard/MacExpert; name or /BaseEncoding dict
+  * form, absent base → Standard) overlaid with the /Differences
+  * array, glyph names resolved via an AGL subset plus the uniXXXX /
+  * uXXXXXX algorithmic forms; fonts with NEITHER decode as Latin-1
   * (PDFDocEncoding agrees on the fixture range). Font state tracks
   * across Tf operators; unmapped codes, unknown glyph names, and
-  * valid-but-unsupported base encodings (MacExpert) degrade to
-  * U+FFFD rather than refusing. Never throws. */
+  * unrecognized base-encoding names degrade to U+FFFD rather than
+  * refusing. Never throws. */
 object PdfCodec {
 
   /** One shown text run: 0-based page and per-page run index. */
@@ -176,6 +176,48 @@ object PdfCodec {
       0xf1 -> 0x00e6, 0xf5 -> 0x0131, 0xf8 -> 0x0142, 0xf9 -> 0x00f8,
       0xfa -> 0x0153, 0xfb -> 0x00df)
     high.foreach { case (cc, u) => t(cc) = u.toChar.toString }
+    t
+  }
+
+  /** MacExpertEncoding (Annex D.4): the expert-set base encoding —
+    * oldstyle figures, small capitals, superiors/inferiors, nut
+    * fractions, f-ligatures. Unicode targets follow the Adobe Glyph
+    * List: glyphs with no standard codepoint land in Adobe's
+    * corporate-use area (small caps F7 + the Latin-1/ASCII code of
+    * the lowercase letter, oldstyle figures F730-F739, the
+    * superior/inferior letter forms and small diacritics in
+    * F6DC-F6FF); ligatures FB00-FB04, fractions 215x/00Bx, digit
+    * superiors/inferiors 2070-2089. Codes not listed are undefined
+    * (U+FFFD at decode; tab/LF/CR pass through via SimpleDec). */
+  private[graft] lazy val macExpertTable: Array[String] = {
+    val t = new Array[String](256)
+    val smalls = (0x61 to 0x7a).map(c => f"$c%02X:F7$c%02X").mkString(",")
+    val packed =
+      "20:20,21:F721,22:F6F8,23:F7A2,24:F724,25:F6E4,26:F726,27:F7B4," +
+      "28:207D,29:207E,2A:2025,2B:2024,2C:2C,2D:2D,2E:2E,2F:2044," +
+      "30:F730,31:F731,32:F732,33:F733,34:F734,35:F735,36:F736,37:F737," +
+      "38:F738,39:F739,3A:3A,3B:3B,3D:F6DE,3F:F73F,44:F7F0," +
+      "47:BC,48:BD,49:BE,4A:215B,4B:215C,4C:215D,4D:215E,4E:2153," +
+      "4F:2154,56:FB00,57:FB01,58:FB02,59:FB03,5A:FB04,5B:208D," +
+      "5D:208E,5E:F6F6,5F:F6E5,60:F760," + smalls + "," +
+      "7B:20A1,7C:F6DC,7D:F6DD,7E:F6FE," +
+      "81:F6E9,82:F6E0,87:F7E1,88:F7E0,89:F7E2,8A:F7E4,8B:F7E3," +
+      "8C:F7E5,8D:F7E7,8E:F7E9,8F:F7E8,90:F7EA,91:F7EB,92:F7ED," +
+      "93:F7EC,94:F7EE,95:F7EF,96:F7F1,97:F7F3,98:F7F2,99:F7F4," +
+      "9A:F7F6,9B:F7F5,9C:F7FA,9D:F7F9,9E:F7FB,9F:F7FC," +
+      "A1:2078,A2:2084,A3:2083,A4:2086,A5:2088,A6:2087,A7:F6FD," +
+      "A9:F6DF,AA:2082,AC:F7A8,AE:F6F5,AF:F6F0,B0:2085,B2:F6E1," +
+      "B3:F6E7,B4:F7FD,B6:F6E3,B9:F7FE,BB:2089,BC:2080,BD:F6FF," +
+      "BE:F7E6,BF:F7F8,C0:F7BF,C1:2081,C2:F6F9,C9:F7B8,CF:F6FA," +
+      "D0:2012,D1:F6E6,D6:F7A1,D8:F7FF,DA:B9,DB:B2,DC:B3,DD:2074," +
+      "DE:2075,DF:2076,E0:2077,E1:2079,E2:2070,E4:F6EC,E5:F6F1," +
+      "E6:F6F3,E9:F6ED,EA:F6F2,EB:F6EB,F1:F6EE,F2:F6FB,F3:F6F4," +
+      "F4:F7AF,F5:F6EA,F7:F6EF,F8:F6E2,F9:F6E8,FA:F6F7,FB:F6FC"
+    packed.split(",").foreach { e =>
+      val i = e.indexOf(':')
+      t(Integer.parseInt(e.substring(0, i), 16)) = new String(
+        Character.toChars(Integer.parseInt(e.substring(i + 1), 16)))
+    }
     t
   }
 
@@ -1373,10 +1415,11 @@ object PdfCodec {
       * subtypes qualify — a Type0's /Encoding names a CMap, not a
       * byte table. Malformed Differences (out-of-range codes, name
       * before any code, non-int/non-name elements) refuse whole-file;
-      * an unknown GLYPH NAME — or a valid-but-unsupported base
-      * encoding name like /MacExpertEncoding — is a content-level gap
-      * and decodes as U+FFFD (refusing the whole document over one
-      * exotic font would erase every other font's text). */
+      * an unknown GLYPH NAME — or an unrecognized base-encoding
+      * name — is a content-level gap and decodes as U+FFFD (refusing
+      * the whole document over one exotic font would erase every
+      * other font's text). All four Annex D base encodings
+      * (WinAnsi/MacRoman/Standard/MacExpert) are supported. */
     def simpleEnc(f: PDict): Option[FontDec] = {
       val simple = deref(f.m.getOrElse("Subtype", POther)) match {
         case PName("Type1") | PName("TrueType") | PName("Type3") |
@@ -1389,7 +1432,8 @@ object PdfCodec {
           case "WinAnsiEncoding" => winAnsiTable
           case "MacRomanEncoding" => macRomanTable
           case "StandardEncoding" => standardTable
-          case _ => new Array[String](256) // unknown glyphs → U+FFFD
+          case "MacExpertEncoding" => macExpertTable
+          case _ => new Array[String](256) // unknown name → U+FFFD
         }
         deref(f.m.getOrElse("Encoding", POther)) match {
           case PName(n) => Some(SimpleDec(base(n)))

@@ -241,7 +241,8 @@ class PdfCodecSpec extends SparkSpec {
       "hybrid-07.pdf" -> 1L, "enc-rc4-08.pdf" -> 2L,
       "enc-aes-09.pdf" -> 2L, // bad-03/04, encpw-10/-13: refused, absent
       "cmap-11.pdf" -> 6L, "enc-aes256-12.pdf" -> 2L,
-      "encmodern-14.pdf" -> 1L, "diff-15.pdf" -> 6L))
+      "encmodern-14.pdf" -> 1L, "diff-15.pdf" -> 6L,
+      "macexp-16.pdf" -> 8L))
   }
 
   test("simple-font /Encoding: base tables, /Differences, precedence") {
@@ -280,6 +281,32 @@ class PdfCodecSpec extends SparkSpec {
     assert(rs(3).text == "�������", "unsupported base should read FFFD")
     assert(rs(0).text == "€• normal" && rs(5).text == "Ω",
       "other fonts must be unaffected")
+  }
+
+  test("MacExpertEncoding: the fourth Annex D base table decodes") {
+    // macexp-16.pdf's golden is composed on the Python side from two
+    // separately-transcribed tables (Annex D.4 code->glyph-name, AGL
+    // name->Unicode); these literals pin the Scala composition.
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      graft.Fixtures.path("q_pdf_text"), "macexp-16.pdf"))
+    val rs = PdfCodec.decode(bytes).getOrElse(fail("macexp-16 refused"))
+    assert(rs.size == 8)
+    // oldstyle figures ride Adobe's corporate block F730-F739
+    assert(rs(0).text == (0xf730 to 0xf739).map(_.toChar).mkString)
+    // f-ligatures are standard codepoints; small caps F7 + lowercase
+    // ("graft" bytes 67 72 61 66 74 -> F767 F772 F761 F766 F774)
+    assert(rs(1).text == "\ufb00\ufb01\ufb02\ufb03\ufb04, " +
+      "\uf767\uf772\uf761\uf766\uf774")
+    // nut fractions, digit superiors/inferiors
+    assert(rs(2).text ==
+      "\u00bc\u00bd\u00be\u215b\u2153\u2154\u2044" +
+      "\u00b9\u00b2\u2074\u2070\u2080\u2081\u2082")
+    // undefined codes -> U+FFFD; tab passes through; the F6DC-F6DE
+    // fitted/rupiah/3-4-emdash corporates; colonmonetary
+    assert(rs(6).text ==
+      "\ufffd\ufffd\ufffd\ufffd\t\uf6de\uf6dc\uf6dd\u20a1")
+    // dict form: BaseEncoding MacExpert + Differences overlay at 0x31
+    assert(rs(7).text == "\u20ac\uf732\ufb01")
   }
 
   test("literal tab/LF/CR in show strings pass through under /Encoding") {

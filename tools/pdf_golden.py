@@ -34,6 +34,10 @@ Layout written under tools/fixtures/q_pdf_text/:
   diff-15.pdf simple-font /Encoding: WinAnsi/MacRoman/Standard base
               tables + /Differences glyph-name remaps (AGL names and
               uniXXXX/uXXXXXX forms), ToUnicode precedence
+  macexp-16.pdf the fourth Annex D base encoding, /MacExpertEncoding:
+              oldstyle figures, small caps, superiors/inferiors,
+              fractions, f-ligatures, undefined-code FFFD gaps,
+              whitespace passthrough, dict form + Differences overlay
 The two bad files' ABSENCE from the golden is itself graded.
 """
 import os
@@ -924,6 +928,185 @@ emit_diff = [
 ]
 for i, t in enumerate(emit_diff):
     ROWS.append(("diff-15.pdf", 0, i, t))
+
+# ---- macexp-16.pdf: the FOURTH Annex D base encoding —
+# /MacExpertEncoding (expert sets: oldstyle figures, small capitals,
+# superiors/inferiors, nut fractions, f-ligatures). Expected text is
+# composed INDEPENDENTLY here from two separately-transcribed public
+# tables — the Annex D.4 code->glyph-NAME column and the Adobe Glyph
+# List name->Unicode mapping — so the composition meets the Scala
+# code->codepoint table over the wire; a slip in either transcription
+# breaks the grade.
+MACEXPERT_NAMES = {
+    0x20: "space", 0x21: "exclamsmall", 0x22: "Hungarumlautsmall",
+    0x23: "centoldstyle", 0x24: "dollaroldstyle", 0x25: "dollarsuperior",
+    0x26: "ampersandsmall", 0x27: "Acutesmall", 0x28: "parenleftsuperior",
+    0x29: "parenrightsuperior", 0x2A: "twodotenleader",
+    0x2B: "onedotenleader", 0x2C: "comma", 0x2D: "hyphen", 0x2E: "period",
+    0x2F: "fraction", 0x30: "zerooldstyle", 0x31: "oneoldstyle",
+    0x32: "twooldstyle", 0x33: "threeoldstyle", 0x34: "fouroldstyle",
+    0x35: "fiveoldstyle", 0x36: "sixoldstyle", 0x37: "sevenoldstyle",
+    0x38: "eightoldstyle", 0x39: "nineoldstyle", 0x3A: "colon",
+    0x3B: "semicolon", 0x3D: "threequartersemdash", 0x3F: "questionsmall",
+    0x44: "Ethsmall", 0x47: "onequarter", 0x48: "onehalf",
+    0x49: "threequarters", 0x4A: "oneeighth", 0x4B: "threeeighths",
+    0x4C: "fiveeighths", 0x4D: "seveneighths", 0x4E: "onethird",
+    0x4F: "twothirds", 0x56: "ff", 0x57: "fi", 0x58: "fl", 0x59: "ffi",
+    0x5A: "ffl", 0x5B: "parenleftinferior", 0x5D: "parenrightinferior",
+    0x5E: "Circumflexsmall", 0x5F: "hypheninferior", 0x60: "Gravesmall",
+    **{c: chr(c - 0x20) + "small" for c in range(0x61, 0x7B)},
+    0x7B: "colonmonetary", 0x7C: "onefitted", 0x7D: "rupiah",
+    0x7E: "Tildesmall", 0x81: "asuperior", 0x82: "centsuperior",
+    0x87: "Aacutesmall", 0x88: "Agravesmall", 0x89: "Acircumflexsmall",
+    0x8A: "Adieresissmall", 0x8B: "Atildesmall", 0x8C: "Aringsmall",
+    0x8D: "Ccedillasmall", 0x8E: "Eacutesmall", 0x8F: "Egravesmall",
+    0x90: "Ecircumflexsmall", 0x91: "Edieresissmall", 0x92: "Iacutesmall",
+    0x93: "Igravesmall", 0x94: "Icircumflexsmall", 0x95: "Idieresissmall",
+    0x96: "Ntildesmall", 0x97: "Oacutesmall", 0x98: "Ogravesmall",
+    0x99: "Ocircumflexsmall", 0x9A: "Odieresissmall", 0x9B: "Otildesmall",
+    0x9C: "Uacutesmall", 0x9D: "Ugravesmall", 0x9E: "Ucircumflexsmall",
+    0x9F: "Udieresissmall", 0xA1: "eightsuperior", 0xA2: "fourinferior",
+    0xA3: "threeinferior", 0xA4: "sixinferior", 0xA5: "eightinferior",
+    0xA6: "seveninferior", 0xA7: "Scaronsmall", 0xA9: "centinferior",
+    0xAA: "twoinferior", 0xAC: "Dieresissmall", 0xAE: "Caronsmall",
+    0xAF: "osuperior", 0xB0: "fiveinferior", 0xB2: "commainferior",
+    0xB3: "periodinferior", 0xB4: "Yacutesmall", 0xB6: "dollarinferior",
+    0xB9: "Thornsmall", 0xBB: "nineinferior", 0xBC: "zeroinferior",
+    0xBD: "Zcaronsmall", 0xBE: "AEsmall", 0xBF: "Oslashsmall",
+    0xC0: "questiondownsmall", 0xC1: "oneinferior", 0xC2: "Lslashsmall",
+    0xC9: "Cedillasmall", 0xCF: "OEsmall", 0xD0: "figuredash",
+    0xD1: "hyphensuperior", 0xD6: "exclamdownsmall", 0xD8: "Ydieresissmall",
+    0xDA: "onesuperior", 0xDB: "twosuperior", 0xDC: "threesuperior",
+    0xDD: "foursuperior", 0xDE: "fivesuperior", 0xDF: "sixsuperior",
+    0xE0: "sevensuperior", 0xE1: "ninesuperior", 0xE2: "zerosuperior",
+    0xE4: "esuperior", 0xE5: "rsuperior", 0xE6: "tsuperior",
+    0xE9: "isuperior", 0xEA: "ssuperior", 0xEB: "dsuperior",
+    0xF1: "lsuperior", 0xF2: "Ogoneksmall", 0xF3: "Brevesmall",
+    0xF4: "Macronsmall", 0xF5: "bsuperior", 0xF7: "msuperior",
+    0xF8: "commasuperior", 0xF9: "periodsuperior", 0xFA: "Dotaccentsmall",
+    0xFB: "Ringsmall",
+}
+# Adobe Glyph List values for the expert set: small caps mirror
+# F7 + the Latin-1/ASCII code of the lowercase form; oldstyle figures
+# F730-F739; superior/inferior letter forms and small diacritics sit
+# in the F6DC-F6FF corporate block; ligatures/fractions/digit
+# superiors-inferiors use their standard codepoints.
+AGL_EXPERT = {
+    "space": 0x0020, "comma": 0x002C, "hyphen": 0x002D, "period": 0x002E,
+    "colon": 0x003A, "semicolon": 0x003B, "fraction": 0x2044,
+    "exclamsmall": 0xF721, "questionsmall": 0xF73F,
+    "exclamdownsmall": 0xF7A1, "questiondownsmall": 0xF7BF,
+    "ampersandsmall": 0xF726, "centoldstyle": 0xF7A2,
+    "dollaroldstyle": 0xF724,
+    "onedotenleader": 0x2024, "twodotenleader": 0x2025,
+    "parenleftsuperior": 0x207D, "parenrightsuperior": 0x207E,
+    "parenleftinferior": 0x208D, "parenrightinferior": 0x208E,
+    "onequarter": 0x00BC, "onehalf": 0x00BD, "threequarters": 0x00BE,
+    "oneeighth": 0x215B, "threeeighths": 0x215C, "fiveeighths": 0x215D,
+    "seveneighths": 0x215E, "onethird": 0x2153, "twothirds": 0x2154,
+    "ff": 0xFB00, "fi": 0xFB01, "fl": 0xFB02, "ffi": 0xFB03,
+    "ffl": 0xFB04, "colonmonetary": 0x20A1, "figuredash": 0x2012,
+    "onefitted": 0xF6DC, "rupiah": 0xF6DD, "threequartersemdash": 0xF6DE,
+    "centinferior": 0xF6DF, "centsuperior": 0xF6E0,
+    "commainferior": 0xF6E1, "commasuperior": 0xF6E2,
+    "dollarinferior": 0xF6E3, "dollarsuperior": 0xF6E4,
+    "hypheninferior": 0xF6E5, "hyphensuperior": 0xF6E6,
+    "periodinferior": 0xF6E7, "periodsuperior": 0xF6E8,
+    "asuperior": 0xF6E9, "bsuperior": 0xF6EA, "dsuperior": 0xF6EB,
+    "esuperior": 0xF6EC, "isuperior": 0xF6ED, "lsuperior": 0xF6EE,
+    "msuperior": 0xF6EF, "osuperior": 0xF6F0, "rsuperior": 0xF6F1,
+    "ssuperior": 0xF6F2, "tsuperior": 0xF6F3,
+    "Brevesmall": 0xF6F4, "Caronsmall": 0xF6F5, "Circumflexsmall": 0xF6F6,
+    "Dotaccentsmall": 0xF6F7, "Hungarumlautsmall": 0xF6F8,
+    "Lslashsmall": 0xF6F9, "OEsmall": 0xF6FA, "Ogoneksmall": 0xF6FB,
+    "Ringsmall": 0xF6FC, "Scaronsmall": 0xF6FD, "Tildesmall": 0xF6FE,
+    "Zcaronsmall": 0xF6FF,
+    "Gravesmall": 0xF760, "Acutesmall": 0xF7B4, "Dieresissmall": 0xF7A8,
+    "Macronsmall": 0xF7AF, "Cedillasmall": 0xF7B8,
+    **{chr(c) + "small": 0xF700 + c + 0x20 for c in range(0x41, 0x5B)},
+    "AEsmall": 0xF7E6, "Aacutesmall": 0xF7E1, "Acircumflexsmall": 0xF7E2,
+    "Adieresissmall": 0xF7E4, "Agravesmall": 0xF7E0, "Aringsmall": 0xF7E5,
+    "Atildesmall": 0xF7E3, "Ccedillasmall": 0xF7E7, "Eacutesmall": 0xF7E9,
+    "Ecircumflexsmall": 0xF7EA, "Edieresissmall": 0xF7EB,
+    "Egravesmall": 0xF7E8, "Ethsmall": 0xF7F0, "Iacutesmall": 0xF7ED,
+    "Icircumflexsmall": 0xF7EE, "Idieresissmall": 0xF7EF,
+    "Igravesmall": 0xF7EC, "Ntildesmall": 0xF7F1, "Oacutesmall": 0xF7F3,
+    "Ocircumflexsmall": 0xF7F4, "Odieresissmall": 0xF7F6,
+    "Ogravesmall": 0xF7F2, "Oslashsmall": 0xF7F8, "Otildesmall": 0xF7F5,
+    "Thornsmall": 0xF7FE, "Uacutesmall": 0xF7FA, "Ucircumflexsmall": 0xF7FB,
+    "Udieresissmall": 0xF7FC, "Ugravesmall": 0xF7F9, "Yacutesmall": 0xF7FD,
+    "Ydieresissmall": 0xF7FF,
+    **{str(d): 0x30 + d for d in range(10)},  # plain digits (unused)
+    "zerooldstyle": 0xF730, "oneoldstyle": 0xF731, "twooldstyle": 0xF732,
+    "threeoldstyle": 0xF733, "fouroldstyle": 0xF734,
+    "fiveoldstyle": 0xF735, "sixoldstyle": 0xF736,
+    "sevenoldstyle": 0xF737, "eightoldstyle": 0xF738,
+    "nineoldstyle": 0xF739,
+    "zerosuperior": 0x2070, "onesuperior": 0x00B9, "twosuperior": 0x00B2,
+    "threesuperior": 0x00B3, "foursuperior": 0x2074,
+    "fivesuperior": 0x2075, "sixsuperior": 0x2076,
+    "sevensuperior": 0x2077, "eightsuperior": 0x2078,
+    "ninesuperior": 0x2079,
+    "zeroinferior": 0x2080, "oneinferior": 0x2081, "twoinferior": 0x2082,
+    "threeinferior": 0x2083, "fourinferior": 0x2084,
+    "fiveinferior": 0x2085, "sixinferior": 0x2086,
+    "seveninferior": 0x2087, "eightinferior": 0x2088,
+    "nineinferior": 0x2089,
+}
+
+
+def macexpert_dec(b):
+    if b in (0x09, 0x0A, 0x0D):  # layout whitespace passes through
+        return chr(b)
+    n = MACEXPERT_NAMES.get(b)
+    return chr(AGL_EXPERT[n]) if n else "�"
+
+
+bme = PdfBuilder()
+bme.add(1, "<< /Type /Catalog /Pages 2 0 R >>")
+bme.add(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+bme.add(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           "/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> "
+           "/Contents 4 0 R >>")
+cme = (b"BT /F1 12 Tf 72 720 Td "
+       b"(0123456789) Tj "            # oldstyle figures
+       b"<56575859 5A2C20 67726166 74> Tj "  # ligatures + "graft" smallcaps
+       b"<474849 4A4E4F 2F DADBDD E2 BCC1AA> Tj "  # fractions, sup/inf
+       b"<2227 5E60 7EAC AEC9 F3F4 FAFB F2A7 BDC2 CF> Tj "  # diacritic smalls
+       b"<4487 8A96 9FB4 B9BE BFC0 D6D8> Tj "  # accented smalls + punct
+       b"<8182 AFB2 B3B6 E4E9 F1F8> Tj "       # superiors/inferiors
+       b"<40505C FF 09 3D7C7D 7B> Tj "  # undefined -> FFFD; tab passes
+       b"/F2 12 Tf <3132 57> Tj "  # dict form + Differences overlay @0x31
+       b"ET")
+bme.add(4, stream_obj(cme))
+bme.add(5, "<< /Type /Font /Subtype /Type1 /BaseFont /GraftE "
+           "/Encoding /MacExpertEncoding >>")
+bme.add(6, "<< /Type /Font /Subtype /TrueType /BaseFont /GraftE2 "
+           "/Encoding << /BaseEncoding /MacExpertEncoding "
+           "/Differences [49 /Euro] >> >>")
+with open(os.path.join(D, "macexp-16.pdf"), "wb") as fh:
+    fh.write(bme.build())
+
+
+def me_runs():
+    import re as _re
+    runs = []
+    for m in _re.finditer(rb"\(([^)]*)\) Tj|<([0-9A-Fa-f ]+)> Tj", cme):
+        if m.group(1) is not None:
+            runs.append(m.group(1))
+        else:
+            hx = m.group(2).replace(b" ", b"")
+            runs.append(bytes.fromhex(hx.decode()))
+    return runs
+
+
+_me = me_runs()
+for i, raw in enumerate(_me):
+    if i == len(_me) - 1:  # the F2 dict-form run: Differences @0x31
+        txt = "".join("€" if b == 0x31 else macexpert_dec(b) for b in raw)
+    else:
+        txt = "".join(macexpert_dec(b) for b in raw)
+    ROWS.append(("macexp-16.pdf", 0, i, txt))
 
 schema = pa.schema([
     ("file", pa.string()), ("page", pa.int32()),
