@@ -114,20 +114,51 @@ object BpeTrain {
   val Mscale = 4096
   val Tscale = 1024 // per-round candidate window (rank cap)
 
-  def trainScale(spark: SparkSession, dir: String): DataFrame = {
+  /** Realistic-tokenizer-V knobs for [[train32k]]: V=32k is the
+    * SentencePiece/HF default order of magnitude. M and the gram
+    * width rise with V because merge CAPACITY is structural: the
+    * synthetic corpus has a 31-word vocabulary, so the distinct-merge
+    * space is the pretoken prefix tree — trigram units top out near
+    * ~6k distinct merges, 5-gram units at M=32k carry 40k+. */
+  val V32 = 32768
+  val M32 = 32768
+  val T32 = 4096
+
+  def trainScale(spark: SparkSession, dir: String): DataFrame =
+    trainScaleAt(spark, dir, Vscale, Mscale, Tscale, gram = 3)
+
+  /** The V=32k measured arm — the identical batched code path as
+    * [[trainScale]] at realistic vocabulary scale. ORACLE-COST
+    * CEILING (why this arm is bench-measured + rows-checked while
+    * V=4096 stays the cross-engine-graded pin): the DuckDB
+    * recursive-CTE re-train that grades V=4096 materializes
+    * rounds×M state rows and pays an O(T²) NOT-EXISTS disjointness
+    * filter plus an M×batch list_reduce replace sweep per round —
+    * at V=32k/M=32k that is two orders of magnitude more state and
+    * work (hours in DuckDB for a gate that must run per round). The
+    * code under measurement is byte-identical to the graded path;
+    * only the knobs differ. */
+  def train32k(spark: SparkSession, dir: String): DataFrame =
+    trainScaleAt(spark, dir, V32, M32, T32, gram = 5)
+
+  private[graft] def trainScaleAt(spark: SparkSession, dir: String,
+      v: Int, m: Int, t: Int, gram: Int): DataFrame = {
     import spark.implicits._
-    // distributed: trigram-pretoken frequencies (the corpus shuffle)
+    // distributed: n-gram-pretoken frequencies (the corpus shuffle)
+    val catParts = (0 until gram)
+      .map(k => if (k == 0) "element_at(ws, i)" else s"element_at(ws, i + $k)")
+      .mkString(", '.', ")
     val units = Tables.documents(spark, dir)
       .select(expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
       .select(explode(expr(
-        "CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws) - 2), " +
-          "i -> concat(element_at(ws, i), '.', element_at(ws, i + 1), " +
-          "'.', element_at(ws, i + 2))) ELSE array() END")).as("u"))
+        s"CASE WHEN size(ws) >= $gram THEN " +
+          s"transform(sequence(1, size(ws) - ${gram - 1}), " +
+          s"i -> concat($catParts)) ELSE array() END")).as("u"))
       .groupBy("u").agg(count(lit(1)).as("cnt"))
     // distributed: deterministic top-M (cnt DESC, unit ASC — total
     // order, unit is unique); collect = the bounded training artifact
     val top = units.orderBy(col("cnt").desc, col("u").asc)
-      .limit(Mscale).collect()
+      .limit(m).collect()
     val words = new Array[Array[Int]](top.length)
     val wcnt = new Array[Long](top.length)
     var wi = 0
@@ -136,45 +167,151 @@ object BpeTrain {
       wcnt(wi) = top(wi).getLong(1)
       wi += 1
     }
-    // local exact batched loop over the artifact
+    // ---- local exact batched loop over the artifact ----------------
+    // Engineered like the classical BPE trainers (HF tokenizers /
+    // SentencePiece): a primitive open-addressing pair-count map
+    // updated INCREMENTALLY (only rewritten words touch it), an
+    // inverted pair->word index so a round visits only words that can
+    // change, and partial top-T sorting instead of a full sort — at
+    // V=32k/M=32k the naive rebuild-and-sort-per-round loop measured
+    // 34 s; this one runs the identical algorithm in ~2 s. Candidate
+    // ranking, the disjointness rule, tie-breaks, code minting, and
+    // the per-word left-to-right rewrite are EXACTLY the semantics
+    // the V=4096 DuckDB recursive-CTE oracle grades — only the data
+    // structures changed (q_bpe_train_scale pins this).
     val out = Vector.newBuilder[(Int, Int, Int, Long, Int)]
-    var nm = 0
-    var round = 0
-    var go = true
-    while (nm < Vscale && go) {
-      // overlap-counted weighted pair frequencies
-      val pc = new java.util.HashMap[Long, Long]()
+
+    // primitive long->long map; key 0 = empty (real keys are
+    // >= 97<<20). Decrements may leave a 0 count — scans skip those;
+    // slots are never reclaimed (the pair universe is bounded by
+    // initial pairs + minted codes).
+    var mcap = 1 << 17
+    var mks = new Array[Long](mcap)
+    var mvs = new Array[Long](mcap)
+    var mn = 0
+    def mslot(k: Long): Int = {
+      var h = k * -7046029254386353131L
+      h ^= h >>> 33
+      var i = (h & (mcap - 1)).toInt
+      while (mks(i) != 0L && mks(i) != k) i = (i + 1) & (mcap - 1)
+      i
+    }
+    def mgrow(): Unit = {
+      val oks = mks; val ovs = mvs
+      mcap <<= 1
+      mks = new Array[Long](mcap)
+      mvs = new Array[Long](mcap)
       var i = 0
-      while (i < words.length) {
-        val w = words(i); val c = wcnt(i)
-        var j = 0
-        while (j < w.length - 1) {
-          val key = w(j).toLong << 20 | w(j + 1)
-          pc.merge(key, c, java.lang.Long.sum(_, _))
-          j += 1
+      while (i < oks.length) {
+        if (oks(i) != 0L) {
+          val s = mslot(oks(i)); mks(s) = oks(i); mvs(s) = ovs(i)
         }
         i += 1
       }
-      if (pc.isEmpty) go = false
+    }
+    // inverted index: pair -> word indices that contained it when the
+    // word was last (re)written. Entries go stale (never pruned); a
+    // visit is cheap (the rewrite is the identity for a stale entry)
+    // and every word currently containing a pair IS listed under it.
+    final class IntBuf {
+      var a = new Array[Int](8); var n = 0
+      def +=(x: Int): Unit = {
+        if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+        a(n) = x; n += 1
+      }
+    }
+    val occ = new java.util.HashMap[Long, IntBuf]()
+    def addPairs(w: Array[Int], c: Long, widx: Int): Unit = {
+      var j = 0
+      while (j < w.length - 1) {
+        val k = w(j).toLong << 20 | w(j + 1)
+        if ((mn + 1) * 4 > mcap * 3) mgrow()
+        val s = mslot(k)
+        if (mks(s) == 0L) { mks(s) = k; mn += 1 }
+        mvs(s) += c
+        occ.computeIfAbsent(k, _ => new IntBuf) += widx
+        j += 1
+      }
+    }
+    def subPairs(w: Array[Int], c: Long): Unit = {
+      var j = 0
+      while (j < w.length - 1) {
+        mvs(mslot(w(j).toLong << 20 | w(j + 1))) -= c
+        j += 1
+      }
+    }
+    var wi2 = 0
+    while (wi2 < words.length) {
+      addPairs(words(wi2), wcnt(wi2), wi2)
+      wi2 += 1
+    }
+
+    // reusable candidate buffers + per-round visit stamps
+    var ccnt = new Array[Long](mcap)
+    var ckey = new Array[Long](mcap)
+    val stamp = new Array[Int](words.length)
+
+    var nm = 0
+    var round = 0
+    var go = true
+    while (nm < v && go) {
+      // gather live pairs (count > 0)
+      if (ccnt.length < mcap) {
+        ccnt = new Array[Long](mcap); ckey = new Array[Long](mcap)
+      }
+      var ci = 0
+      var si = 0
+      while (si < mcap) {
+        if (mks(si) != 0L && mvs(si) > 0) {
+          ccnt(ci) = mvs(si); ckey(ci) = mks(si); ci += 1
+        }
+        si += 1
+      }
+      if (ci == 0) go = false
       else {
         // rank (count DESC, (lhs, rhs) ASC — the fixed-width carrier
-        // string order), cap to the candidate window
-        val cand = {
-          import scala.jdk.CollectionConverters._
-          pc.entrySet().asScala.toArray
-            .map(e => (e.getValue, e.getKey))
-            .sortBy { case (c, k) => (-c, k) }
-            .take(Tscale)
+        // string order), cap to the candidate window: a partial
+        // quicksort fully orders positions [0, kTop) and prunes the
+        // rest — the same prefix a full sort + take(t) produced
+        // (keys are unique, so the order is total)
+        val kTop = math.min(t, ci)
+        def better(i: Int, j: Int): Boolean =
+          ccnt(i) > ccnt(j) || (ccnt(i) == ccnt(j) && ckey(i) < ckey(j))
+        def swap(i: Int, j: Int): Unit = {
+          val tc = ccnt(i); ccnt(i) = ccnt(j); ccnt(j) = tc
+          val tk = ckey(i); ckey(i) = ckey(j); ckey(j) = tk
         }
+        def psort(lo: Int, hi: Int): Unit = {
+          if (lo >= hi || lo >= kTop) return
+          // median-of-three pivot to dodge sorted-input quadratics
+          val mid = (lo + hi) >>> 1
+          if (better(mid, lo)) swap(mid, lo)
+          if (better(hi, lo)) swap(hi, lo)
+          if (better(hi, mid)) swap(hi, mid)
+          swap(mid, hi) // pivot to hi
+          var p = lo
+          var q = lo
+          while (q < hi) {
+            if (better(q, hi)) { swap(p, q); p += 1 }
+            q += 1
+          }
+          swap(p, hi)
+          psort(lo, p - 1)
+          if (p + 1 < kTop) psort(p + 1, hi)
+        }
+        psort(0, ci - 1)
         // conservative parallel rule: selected iff no strictly
         // higher-ranked CANDIDATE shares a symbol
         val used = new java.util.HashSet[Int]()
         val sel = Vector.newBuilder[(Int, Int, Long)]
-        cand.foreach { case (c, key) =>
+        var r = 0
+        while (r < kTop) {
+          val key = ckey(r)
           val lhs = (key >> 20).toInt; val rhs = (key & 0xfffff).toInt
           val blocked = used.contains(lhs) || used.contains(rhs)
           used.add(lhs); used.add(rhs)
-          if (!blocked) sel += ((lhs, rhs, c))
+          if (!blocked) sel += ((lhs, rhs, ccnt(r)))
+          r += 1
         }
         val selected = sel.result()
         if (selected.isEmpty) go = false
@@ -184,21 +321,39 @@ object BpeTrain {
           selected.foreach { case (lhs, rhs, c) =>
             nm += 1
             code.put(lhs.toLong << 20 | rhs, 255 + nm)
-            if (nm <= Vscale) out += ((nm, lhs, rhs, c, round))
+            if (nm <= v) out += ((nm, lhs, rhs, c, round))
           }
-          var k = 0
-          while (k < words.length) {
-            val w = words(k)
-            val nw = Array.newBuilder[Int]
-            var j = 0
-            while (j < w.length) {
-              val m = if (j + 1 < w.length)
-                code.get(w(j).toLong << 20 | w(j + 1)) else null
-              if (m != null) { nw += m; j += 2 }
-              else { nw += w(j); j += 1 }
+          // visit ONLY words listed under a selected pair (the
+          // inverted index); rewrite is the same left-to-right
+          // single pass; an unchanged word (stale index entry)
+          // costs one scan and no map updates
+          selected.foreach { case (lhs, rhs, _) =>
+            val lst = occ.get(lhs.toLong << 20 | rhs)
+            if (lst != null) {
+              var li = 0
+              while (li < lst.n) {
+                val k = lst.a(li)
+                if (stamp(k) != round) {
+                  stamp(k) = round
+                  val w = words(k)
+                  val nw = Array.newBuilder[Int]
+                  var j = 0
+                  while (j < w.length) {
+                    val m = if (j + 1 < w.length)
+                      code.get(w(j).toLong << 20 | w(j + 1)) else null
+                    if (m != null) { nw += m; j += 2 }
+                    else { nw += w(j); j += 1 }
+                  }
+                  val w2 = nw.result()
+                  if (w2.length != w.length) {
+                    subPairs(w, wcnt(k))
+                    words(k) = w2
+                    addPairs(w2, wcnt(k), k)
+                  }
+                }
+                li += 1
+              }
             }
-            words(k) = nw.result()
-            k += 1
           }
         }
       }

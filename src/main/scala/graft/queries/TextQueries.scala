@@ -995,6 +995,22 @@ object TextQueries {
   def qBpeTrainScale(spark: SparkSession, dir: String): DataFrame =
     graft.operators.BpeTrain.trainScale(spark, dir)
 
+  /** BPE at a REAL tokenizer vocabulary — V=32768 (the
+    * SentencePiece/HF default order), M=32768 5-gram pretoken units,
+    * T=4096 candidate window — running the byte-identical batched
+    * code path q_bpe_train_scale grades at V=4096. This arm is
+    * MEASURED (bench + sf0.1→sf1 decade), not oracle-graded: the
+    * recursive-CTE re-train that grades V=4096 is two orders of
+    * magnitude more state and work at these knobs (see the
+    * oracle-cost ceiling note on [[graft.operators.BpeTrain
+    * .train32k]]), so the driver records its weaker rows-only check
+    * while the V=4096 grade pins the algorithm cross-engine. The
+    * design claim under measurement: V multiplies only the bounded
+    * local merge loop — corpus-sized work is one counting shuffle +
+    * one top-M TakeOrderedAndProject regardless of V. */
+  def qBpeTrain32k(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrain.train32k(spark, dir)
+
   val qBpeTrainScaleSql: String = {
     val (v, m, t) = (graft.operators.BpeTrain.Vscale,
       graft.operators.BpeTrain.Mscale, graft.operators.BpeTrain.Tscale)
@@ -2308,6 +2324,7 @@ object TextQueries {
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_train_tokens" -> (qBpeTrainTokens _),
     "q_bpe_train_scale" -> (qBpeTrainScale _),
+    "q_bpe_train_32k" -> (qBpeTrain32k _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_data_mixture" -> (qDataMixture _),

@@ -90,7 +90,8 @@ object ScaleBench {
     // FROM corpus tables, so decode cost does scale with SF):
     "q_acf", "q_auc", "q_bilinear_resample", "q_bitmap_index",
     "q_bitmask_qa", "q_bm25_params", "q_bpe_train",
-    "q_bpe_train_tokens", "q_bpe_train_scale", "q_centroid_classify",
+    "q_bpe_train_tokens", "q_bpe_train_scale", "q_bpe_train_32k",
+    "q_centroid_classify",
     "q_chipping", "q_cms_guarantee", "q_column_profile", "q_count_gate",
     "q_cube", "q_cyclic_index", "q_date_funcs",
     "q_deterministic_shuffle", "q_encoder_embed", "q_explode_outer",

@@ -157,4 +157,37 @@ class BpeTrainSpec extends SparkSpec {
         r.getAs[Int]("round_idx")))
     assert(again.toSeq == rows.toSeq, "train is not deterministic")
   }
+
+  test("V=32k measured arm: same invariants at realistic vocabulary") {
+    // sf0.001's 5-gram inventory may exhaust below V=32768 (capacity
+    // is structural — the pretoken prefix tree); the invariants hold
+    // either way, and sf0.01+ reaches full V (asserted in the 32768-
+    // row Verify dump; this spec stays sf0.001-fast). The arm is
+    // bench-measured + rows-checked, not oracle-graded — see the
+    // oracle-cost ceiling note on BpeTrain.train32k; the V=4096
+    // oracle pins the byte-identical code path.
+    val rows = SparkEntry.queries("q_bpe_train_32k")(spark, dir)
+      .orderBy(col("merge_idx")).collect()
+      .map(r => (r.getAs[Int]("merge_idx"), r.getAs[Int]("lhs_code"),
+        r.getAs[Int]("rhs_code"), r.getAs[Long]("pair_count"),
+        r.getAs[Int]("round_idx")))
+    assert(rows.nonEmpty && rows.length <= graft.operators.BpeTrain.V32)
+    assert(rows.map(_._1).toSeq == (1 to rows.length), "indices gapless")
+    val rids = rows.map(_._5)
+    assert(rids.head == 1 && rids.toSeq == rids.sorted.toSeq)
+    assert(rids.distinct.toSeq == (1 to rids.max), "rounds contiguous")
+    rows.groupBy(_._5).foreach { case (rd, batch) =>
+      val cs = batch.sortBy(_._1).map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"round $rd counts not ranked")
+      val syms = batch.flatMap(b => Set(b._2, b._3).toSeq)
+      assert(syms.distinct.length == syms.length,
+        s"round $rd batch shares symbols")
+    }
+    rows.foreach { case (idx, lhs, rhs, _, _) =>
+      def ok(c: Int) = c == '.'.toInt ||
+        (c >= 'a'.toInt && c <= 'z'.toInt) || (c > 255 && c < 256 + idx)
+      assert(ok(lhs) && ok(rhs), s"merge $idx refs future code ($lhs,$rhs)")
+    }
+  }
 }
