@@ -1841,13 +1841,13 @@ object MultimodalQueries {
     graft.sources.GeoIngest
       .readArrowFiles(spark, graft.Fixtures.path("q_arrow_read"))
       .select(col("file"), col("batch"), col("col"), col("row"),
-        col("elem_idx"), col("elem_idx2"), col("vtype"), col("is_null"),
-        col("bits"), col("str_val"))
+        col("elem_idx"), col("elem_idx2"), col("elem_idx3"), col("vtype"),
+        col("is_null"), col("bits"), col("str_val"))
   }
 
   val qArrowReadSql: String =
-    s"""SELECT file, batch, col, row, elem_idx, elem_idx2, vtype, is_null,
-      |  bits, str_val
+    s"""SELECT file, batch, col, row, elem_idx, elem_idx2, elem_idx3,
+      |  vtype, is_null, bits, str_val
       |FROM read_parquet('${graft.Fixtures.base}/q_arrow_read/golden/*.parquet')""".stripMargin
 
   /** safetensors shard scan, oracle-graded per tensor element — the

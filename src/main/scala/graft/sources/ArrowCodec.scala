@@ -40,7 +40,11 @@ package graft.sources
   * `answers: {text: [..], answer_start: [..]}` shape),
   * List<List<scalar>> / List<FixedSizeList<scalar>> (tokenized-batch
   * input-id caches and ragged embedding grids — elem carries the
-  * outer index, elem2 the inner), and the depth-3
+  * outer index, elem2 the inner), triply-nested
+  * List<List<List<scalar>>> / List<List<FixedSizeList<scalar>>>
+  * (per-span sub-lists inside batched sequences, coordinate-pair
+  * grids — elem/elem2/elem3 index the three levels, a null list at
+  * any level one cell carrying that level's vtype), and the depth-3
   * List<Struct<… with List<scalar>/FixedSizeList<scalar> fields …>>
   * (ragged per-element sequences inside sequence-of-dict, e.g.
   * per-answer token spans — elem is the struct element index, elem2
@@ -67,9 +71,10 @@ package graft.sources
   * bytes), nested or
   * dictionary-encoded RunEndEncoded, nesting beyond the supported
   * shapes (struct past depth 2, struct under list<struct> or map,
-  * list<list<list>> — elem/elem2 carry only two index levels,
-  * map values nested deeper than list<scalar>), trailing bytes after
-  * a stream's end-of-stream marker. Values emit as raw
+  * list nesting past three levels, lists under non-top-level
+  * structs deeper than list<scalar>, map values nested deeper than
+  * list<scalar>), trailing bytes after a stream's end-of-stream
+  * marker. Values emit as raw
   * little-endian bits zero-extended to a long (bit-exact NaN
   * payloads), strings as UTF-8, binary as lowercase hex. Never
   * throws.
@@ -84,7 +89,7 @@ object ArrowCodec {
     * list vtype. */
   case class Cell(batch: Int, col: String, row: Long, elem: Option[Long],
       vtype: String, isNull: Boolean, bits: Option[Long], str: Option[String],
-      elem2: Option[Long] = None)
+      elem2: Option[Long] = None, elem3: Option[Long] = None)
 
   val MaxCells: Long = 4L << 20
   val MaxBatches: Int = 65536
@@ -343,8 +348,21 @@ object ArrowCodec {
             // list<list<scalar>> / list<fsl<scalar>>: the tokenized-
             // batch HF cache shape (elem = outer, elem2 = inner)
             ListT(lt, 0, s"list<${lt.label}>")
+          case lt: ListT if depth == 0 && (lt.child match {
+              case l2: ListT => isScalar(l2.child)
+              case _ => false
+            }) =>
+            // list<list<list<scalar>>> / list<list<fsl<scalar>>>:
+            // batched token sequences with per-span sub-lists, ragged
+            // coordinate-pair grids (elem/elem2/elem3 = the 3 levels)
+            ListT(lt, 0, s"list<${lt.label}>")
+          case l2: ListT if depth == 1 && isScalar(l2.child) =>
+            // the MIDDLE list of a triply-nested column (only a
+            // depth-0 list parent can reach here: struct/list<struct>/
+            // map kid guards all require scalar-leafed lists)
+            ListT(l2, 0, s"list<${l2.label}>")
           case t if isScalar(t) => ListT(t, 0, s"list<${t.label}>")
-          case _ => err() // deeper nesting / list<list<list>>: refuse
+          case _ => err() // nesting past three list levels: refuse
         }
       case 13 => // Struct: scalar children, list-of-scalar children
         // (at depth <= 1), and STRUCT children — the nested metadata/
@@ -730,6 +748,97 @@ object ArrowCodec {
               (s, e - s)
             }
           child match {
+            case inner: ListT if inner.child.isInstanceOf[ListT] =>
+              // list<list<list<scalar>>> / list<list<fsl<scalar>>>
+              // (batched token sequences with per-span sub-lists,
+              // ragged coordinate-pair grids): middle node + validity
+              // + offsets, inner node + validity + offsets, then the
+              // leaf. elem/elem2/elem3 index the three levels; a null
+              // list at ANY level is one cell with the indexes above
+              // it set, carrying the null level's vtype; empty lists
+              // emit nothing at their level.
+              val inner2 = inner.child.asInstanceOf[ListT]
+              val (clen, _) = nextNode()
+              val cv = valid(nextBuf(), clen)
+              val coffs = if (inner.fixed == 0) nextBuf() else Buf(b, 0, 0)
+              if (inner.fixed == 0 && (clen + 1) * 4 > coffs.len) err()
+              val (dlen, _) = nextNode()
+              val dv = valid(nextBuf(), dlen)
+              val doffs = if (inner2.fixed == 0) nextBuf() else Buf(b, 0, 0)
+              if (inner2.fixed == 0 && (dlen + 1) * 4 > doffs.len) err()
+              val leaf = readLeaf(inner2.child)
+              def midSpan(ci: Long): (Long, Long) =
+                if (inner.fixed > 0) (ci * inner.fixed, inner.fixed.toLong)
+                else {
+                  val s = buN(coffs, 4 * ci, 4)
+                  val e = buN(coffs, 4 * (ci + 1), 4)
+                  if (e < s) err()
+                  (s, e - s)
+                }
+              def inSpan(di: Long): (Long, Long) =
+                if (inner2.fixed > 0) (di * inner2.fixed, inner2.fixed.toLong)
+                else {
+                  val s = buN(doffs, 4 * di, 4)
+                  val e = buN(doffs, 4 * (di + 1), 4)
+                  if (e < s) err()
+                  (s, e - s)
+                }
+              var i = 0L
+              while (i < len) {
+                if (!v(i)) nullCell(f.name, i, None, label)
+                else {
+                  val (s, n) = span(i)
+                  if (s + n > clen) err()
+                  var k = 0L
+                  while (k < n) {
+                    val ci = s + k
+                    if (!cv(ci)) {
+                      if (out.size >= MaxCells) err()
+                      out += Cell(batchIdx, f.name, i, Some(k),
+                        inner.label, isNull = true, None, None)
+                    } else {
+                      val (ms, mn2) = midSpan(ci)
+                      if (ms + mn2 > dlen) err()
+                      var m2 = 0L
+                      while (m2 < mn2) {
+                        val di = ms + m2
+                        if (!dv(di)) {
+                          if (out.size >= MaxCells) err()
+                          out += Cell(batchIdx, f.name, i, Some(k),
+                            inner2.label, isNull = true, None, None,
+                            Some(m2))
+                        } else {
+                          val (is, in) = inSpan(di)
+                          if (is + in > leaf.len) err()
+                          var j = 0L
+                          while (j < in) {
+                            if (out.size >= MaxCells) err()
+                            val li = is + j
+                            if (leaf.ok(li)) {
+                              if (leaf.str == null)
+                                out += Cell(batchIdx, f.name, i, Some(k),
+                                  leaf.label, isNull = false,
+                                  Some(leaf.bits(li)), None, Some(m2),
+                                  Some(j))
+                              else
+                                out += Cell(batchIdx, f.name, i, Some(k),
+                                  leaf.label, isNull = false, None,
+                                  Some(leaf.str(li)), Some(m2), Some(j))
+                            } else
+                              out += Cell(batchIdx, f.name, i, Some(k),
+                                leaf.label, isNull = true, None, None,
+                                Some(m2), Some(j))
+                            j += 1
+                          }
+                        }
+                        m2 += 1
+                      }
+                    }
+                    k += 1
+                  }
+                }
+                i += 1
+              }
             case inner: ListT =>
               // list<list<scalar>> / list<fsl<scalar>> (tokenized
               // batches, ragged embedding grids): inner node +

@@ -543,11 +543,11 @@ object GeoIngest {
       .flatMap { case (path, bytes) =>
         val file = path.split('/').last
         ArrowCodec.decode(bytes).toSeq.flatten.map { c =>
-          (file, c.batch, c.col, c.row, c.elem, c.elem2, c.vtype,
-            c.isNull, c.bits, c.str)
+          (file, c.batch, c.col, c.row, c.elem, c.elem2, c.elem3,
+            c.vtype, c.isNull, c.bits, c.str)
         }
       }.toDF("file", "batch", "col", "row", "elem_idx", "elem_idx2",
-        "vtype", "is_null", "bits", "str_val")
+        "elem_idx3", "vtype", "is_null", "bits", "str_val")
   }
 
   /** safetensors shard scan — named-tensor artifacts (weight shards,

@@ -150,8 +150,62 @@ class ArrowCodecSpec extends SparkSpec {
     assert(col("fsl2s").filter(_.row == 2).map(_.str) ==
       Vector(Some("r"), Some("")))
     // list<struct<...list fields...>> is covered by nested3-20;
-    // struct-in-struct by structstruct-23; list<list<list>> still
-    // refuses (fuzz + golden absence)
+    // struct-in-struct by structstruct-23; triply-nested lists by
+    // nested333-25
+  }
+
+  test("triply-nested lists: elem/elem2/elem3, nulls at every level") {
+    val cs = ArrowCodec.decode(fixture("nested333-25.arrow")).get
+    def col(n: String) = cs.filter(_.col == n)
+    // row 0: [[[1,2],[3]],[[4]]] — full three-level indexing
+    assert(col("cube").filter(_.row == 0)
+      .map(c => (c.elem, c.elem2, c.elem3, c.bits)) == Vector(
+      (Some(0L), Some(0L), Some(0L), Some(1L)),
+      (Some(0L), Some(0L), Some(1L), Some(2L)),
+      (Some(0L), Some(1L), Some(0L), Some(3L)),
+      (Some(1L), Some(0L), Some(0L), Some(4L))))
+    // row 1: null OUTER = one column-vtype cell, all indexes null
+    assert(col("cube").filter(_.row == 1)
+      .map(c => (c.vtype, c.isNull, c.elem, c.elem2, c.elem3)) ==
+      Vector(("list<list<list<i64>>>", true, None, None, None)))
+    // row 2: empty outer emits nothing
+    assert(col("cube").count(_.row == 2) == 0)
+    // row 3: [None, [[5,None]], [[]]] — null MIDDLE at elem 0; a null
+    // LEAF at (1,0,1); empty inner list emits nothing at elem 2
+    assert(col("cube").filter(c => c.row == 3 && c.elem.contains(0L))
+      .map(c => (c.vtype, c.isNull, c.elem2)) ==
+      Vector(("list<list<i64>>", true, None)))
+    assert(col("cube").filter(c => c.row == 3 && c.elem.contains(1L))
+      .map(c => (c.elem2, c.elem3, c.bits, c.isNull)) == Vector(
+      (Some(0L), Some(0L), Some(5L), false),
+      (Some(0L), Some(1L), None, true)))
+    assert(col("cube").count(c => c.row == 3 && c.elem.contains(2L)) == 0)
+    // row 4: [[None,[6]]] — null INNER list at (0,0) is one
+    // elem3-less cell with the inner vtype
+    assert(col("cube").filter(_.row == 4)
+      .map(c => (c.vtype, c.isNull, c.elem, c.elem2, c.elem3)) == Vector(
+      ("list<i64>", true, Some(0L), Some(0L), None),
+      ("i64", false, Some(0L), Some(1L), Some(0L))))
+    // fsl leaves: pairs ride elem3 0/1; null middle; null leaf slot
+    assert(col("cgrid").filter(_.row == 0)
+      .map(c => (c.elem, c.elem2, c.elem3)) == Vector(
+      (Some(0L), Some(0L), Some(0L)), (Some(0L), Some(0L), Some(1L)),
+      (Some(0L), Some(1L), Some(0L)), (Some(0L), Some(1L), Some(1L)),
+      (Some(1L), Some(0L), Some(0L)), (Some(1L), Some(0L), Some(1L))))
+    assert(col("cgrid").filter(_.row == 1)
+      .map(c => (c.vtype, c.isNull, c.elem)) ==
+      Vector(("list<fsl2<f32>>", true, Some(0L))))
+    assert(col("cgrid").filter(_.row == 4).map(c => (c.elem3, c.isNull)) ==
+      Vector((Some(0L), false), (Some(1L), true)))
+    // truncation + flip fuzz: never throws
+    val f = fixture("nested333-25.arrow")
+    (0 until f.length by 7).foreach(k => ArrowCodec.decode(f.take(k)))
+    var j = 0
+    while (j < f.length) {
+      val m = f.clone(); m(j) = (m(j) ^ 0x5c).toByte
+      ArrowCodec.decode(m)
+      j += 1
+    }
   }
 
   test("struct-in-struct: dotted paths, ancestor-gated nullity, depth cap") {
@@ -236,8 +290,7 @@ class ArrowCodecSpec extends SparkSpec {
     assert(col("grid.w").filter(c => c.row == 2 && c.elem.contains(1L))
       .map(c => (c.vtype, c.isNull, c.elem2)) ==
       Vector(("fsl2<f32>", true, None)))
-    // list<list<list>> and struct-in-struct stay out of envelope:
-    // fuzz the new fixture — truncations and flips must never throw
+    // fuzz the fixture — truncations and flips must never throw
     val f = fixture("nested3-20.arrow")
     (0 until f.length by 7).foreach(k => ArrowCodec.decode(f.take(k)))
     var j = 0

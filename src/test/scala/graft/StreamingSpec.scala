@@ -604,7 +604,7 @@ class StreamingSpec extends SparkSpec {
     StreamingPipelines.arrowIngest(spark, asrc, adest, ackpt).awaitTermination()
     val astreamed = spark.read.parquet(adest)
       .select("file", "batch", "col", "row", "elem_idx", "elem_idx2",
-        "vtype", "is_null", "bits", "str_val")
+        "elem_idx3", "vtype", "is_null", "bits", "str_val")
     val abatch = graft.sources.GeoIngest.readArrowFiles(spark, asrc)
     assert(astreamed.count() > 0)
     assert(abatch.exceptAll(astreamed).isEmpty &&

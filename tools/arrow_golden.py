@@ -36,6 +36,10 @@ Layout written under tools/fixtures/q_arrow_read/:
                     structs to depth 2, incl. a list<scalar> kid
                     inside the depth-1 struct (GRADED)
   structdeep-24.arrow 4-level struct nesting -> refusal
+  nested333-25.arrow triply-nested lists: list<list<list<i64>>> and
+                    list<list<fsl2<f32>>> with nulls/empties at every
+                    level; elem/elem_idx2/elem_idx3 index the three
+                    levels (GRADED)
 The bad files' ABSENCE from the golden is itself graded.
 """
 import os, struct
@@ -829,6 +833,78 @@ for ri, m in enumerate(metas):
             ROWS.append((F23, 0, "meta.dims", ri, ei, "i32", e is None,
                          None if e is None else bits_of("i32", e), None))
 
+# ---- nested333-25.arrow (GRADED): triply-nested lists —
+# list<list<list<i64>>> (batched token sequences with per-span
+# sub-lists) and list<list<fixed_size_list<f32,2>>> (ragged grids of
+# coordinate pairs). Cell convention extends the list<list> one with
+# a THIRD index: elem = outer index, elem_idx2 = middle index,
+# elem_idx3 = inner position; a null list at any level is a single
+# cell with the indexes ABOVE it set, the rest null, carrying the
+# vtype of the null thing; empty lists emit nothing at their level.
+cube = [
+    [[[1, 2], [3]], [[4]]],       # full shape
+    None,                          # null OUTER -> one column-vtype cell
+    [],                            # empty outer -> no cells
+    [None, [[5, None]], [[]]],     # null MIDDLE; null LEAF; empty inner
+    [[None, [6]]],                 # null INNER list inside a middle
+]
+cgrid = [
+    [[[1.0, 2.0], [3.0, 4.0]], [[5.0, 6.0]]],
+    [None],                        # null middle
+    None,                          # null outer
+    [[]],                          # empty middle -> no inner cells
+    [[[7.0, None]]],               # null LEAF inside an fsl pair
+]
+n25_arrays = [
+    ("cube", pa.array(cube, type=pa.list_(pa.list_(pa.list_(pa.int64()))))),
+    ("cgrid", pa.array(cgrid, type=pa.list_(pa.list_(
+        pa.list_(pa.float32(), 2))))),
+]
+n25_schema = pa.schema([(n, a.type) for n, a in n25_arrays])
+with open(os.path.join(D, "nested333-25.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, n25_schema)
+    w.write_batch(pa.record_batch([a for _, a in n25_arrays],
+                                  schema=n25_schema))
+    w.close()
+F25 = "nested333-25.arrow"
+
+
+def row25(col, row, vt, null, e=None, e2=None, e3=None, bits=None,
+          sval=None):
+    ROWS.append((F25, 0, col, row, e, vt, null, bits, sval, e2, e3))
+
+
+for ri, outer in enumerate(cube):
+    if outer is None:
+        row25("cube", ri, "list<list<list<i64>>>", True)
+        continue
+    for ki, mid in enumerate(outer):
+        if mid is None:
+            row25("cube", ri, "list<list<i64>>", True, e=ki)
+            continue
+        for mi, inner in enumerate(mid):
+            if inner is None:
+                row25("cube", ri, "list<i64>", True, e=ki, e2=mi)
+                continue
+            for ji, x in enumerate(inner):
+                row25("cube", ri, "i64", x is None, e=ki, e2=mi, e3=ji,
+                      bits=x)
+for ri, outer in enumerate(cgrid):
+    if outer is None:
+        row25("cgrid", ri, "list<list<fsl2<f32>>>", True)
+        continue
+    for ki, mid in enumerate(outer):
+        if mid is None:
+            row25("cgrid", ri, "list<fsl2<f32>>", True, e=ki)
+            continue
+        for mi, inner in enumerate(mid):
+            if inner is None:
+                row25("cgrid", ri, "fsl2<f32>", True, e=ki, e2=mi)
+                continue
+            for ji, x in enumerate(inner):
+                row25("cgrid", ri, "f32", x is None, e=ki, e2=mi, e3=ji,
+                      bits=None if x is None else bits_of("f32", x))
+
 # ---- structdeep-24.arrow: struct nesting PAST depth 2 (4 levels) —
 # out of envelope, whole-file refusal; its absence from the golden is
 # itself graded (the trunc-05/garbage-11 rule).
@@ -845,10 +921,11 @@ schema_g = pa.schema([
     ("file", pa.string()), ("batch", pa.int32()), ("col", pa.string()),
     ("row", pa.int64()), ("elem_idx", pa.int64()), ("vtype", pa.string()),
     ("is_null", pa.bool_()), ("bits", pa.int64()), ("str_val", pa.string()),
-    ("elem_idx2", pa.int64()),  # inner index for list<list<...>> cells
+    ("elem_idx2", pa.int64()),  # middle index for list<list<...>> cells
+    ("elem_idx3", pa.int64()),  # inner index for list<list<list<...>>>
 ])
 tbl = pa.Table.from_pylist(
-    [dict(zip([f.name for f in schema_g], r + (None,) * (10 - len(r))))
+    [dict(zip([f.name for f in schema_g], r + (None,) * (11 - len(r))))
      for r in ROWS], schema=schema_g)
 pq.write_table(tbl, os.path.join(D, "golden", "expected.parquet"))
 print(f"wrote {len(ROWS)} golden rows across "
