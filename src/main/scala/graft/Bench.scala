@@ -229,6 +229,11 @@ object Bench {
     val total = results.collect { case (_, v, None, _) => v }.sum
     val noisyCount = results.count(_._4 > 0)
 
+    // measured-work steal ends HERE: snapshot before the control run so
+    // the control (and its warm-up in filtered runs) does not fold its
+    // own steal/wall into the capture's steal_sec label
+    val measuredSteal1 = stealTicks()
+
     // dedicated warm control run (AFTER all measured work so it labels
     // the same session): in a full run the control query is already
     // warm from both passes; in a filtered run that excluded it, one
@@ -257,9 +262,10 @@ object Bench {
       val noisy = if (retries > 0) s""","noisy":$retries""" else ""
       s""""$k":{"sec":${if (err.isDefined) "-1" else sec3(v)},"p1":$raw1,"p2":$raw2,"st1":$st1,"st2":$st2$noisy${err.map(e => s""","err":"$e"""").getOrElse("")}}"""
     }.mkString("{", ",", "}")
-    val runStealSec = stealSec(runSteal0, stealTicks())
+    val runStealSec = stealSec(runSteal0, measuredSteal1)
+    val controlStealSec = stealSec(measuredSteal1, stealTicks())
     val detailJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.size},"noisy":$noisyCount,"steal_sec":${sec3(runStealSec)},"control":${sec3(control)},"control_sec":${sec3(controlSec)},"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.size},"noisy":$noisyCount,"steal_sec":${sec3(runStealSec)},"control":${sec3(control)},"control_sec":${sec3(controlSec)},"control_steal_sec":${sec3(controlStealSec)},"queries":$detail,"sf":"$sfDir"}"""
     val detailName = detailFileName(only.isDefined)
     val detailPath = java.nio.file.Paths.get(detailName)
     try java.nio.file.Files.write(detailPath, (detailJson + "\n").getBytes("UTF-8"))

@@ -137,13 +137,27 @@ object BpeTrain {
     * at V=32k/M=32k that is two orders of magnitude more state and
     * work (hours in DuckDB for a gate that must run per round). The
     * code under measurement is byte-identical to the graded path;
-    * only the knobs differ. */
+    * only the knobs differ. Committed in-repo witness: BpeTrainSpec
+    * ("incremental 32k-arm loop is identical to a naive reference
+    * trainer") pins [[mergeLoop]] row-for-row against an
+    * independently-written naive rebuild-and-full-sort trainer at
+    * this arm's gram width. */
   def train32k(spark: SparkSession, dir: String): DataFrame =
     trainScaleAt(spark, dir, V32, M32, T32, gram = 5)
 
   private[graft] def trainScaleAt(spark: SparkSession, dir: String,
       v: Int, m: Int, t: Int, gram: Int): DataFrame = {
     import spark.implicits._
+    val (words, wcnt) = artifact(spark, dir, m, gram)
+    mergeLoop(words, wcnt, v, t)
+      .toDF("merge_idx", "lhs_code", "rhs_code", "pair_count", "round_idx")
+  }
+
+  /** The bounded training artifact: deterministic top-`m` n-gram
+    * pretoken units (cnt DESC, unit ASC — total order, unit unique)
+    * as (symbol-code arrays, counts). The one corpus-sized shuffle. */
+  private[graft] def artifact(spark: SparkSession, dir: String,
+      m: Int, gram: Int): (Array[Array[Int]], Array[Long]) = {
     // distributed: n-gram-pretoken frequencies (the corpus shuffle)
     val catParts = (0 until gram)
       .map(k => if (k == 0) "element_at(ws, i)" else s"element_at(ws, i + $k)")
@@ -155,8 +169,6 @@ object BpeTrain {
           s"transform(sequence(1, size(ws) - ${gram - 1}), " +
           s"i -> concat($catParts)) ELSE array() END")).as("u"))
       .groupBy("u").agg(count(lit(1)).as("cnt"))
-    // distributed: deterministic top-M (cnt DESC, unit ASC — total
-    // order, unit is unique); collect = the bounded training artifact
     val top = units.orderBy(col("cnt").desc, col("u").asc)
       .limit(m).collect()
     val words = new Array[Array[Int]](top.length)
@@ -167,7 +179,15 @@ object BpeTrain {
       wcnt(wi) = top(wi).getLong(1)
       wi += 1
     }
-    // ---- local exact batched loop over the artifact ----------------
+    (words, wcnt)
+  }
+
+  /** Rows are (merge_idx, lhs_code, rhs_code, pair_count, round_idx).
+    * Mutates `words` in place (callers own the artifact; the spec
+    * clones before comparing against its independent naive loop).
+    * ---- local exact batched loop over the artifact ---------------- */
+  private[graft] def mergeLoop(words: Array[Array[Int]], wcnt: Array[Long],
+      v: Int, t: Int): Vector[(Int, Int, Int, Long, Int)] = {
     // Engineered like the classical BPE trainers (HF tokenizers /
     // SentencePiece): a primitive open-addressing pair-count map
     // updated INCREMENTALLY (only rewritten words touch it), an
@@ -281,23 +301,39 @@ object BpeTrain {
           val tc = ccnt(i); ccnt(i) = ccnt(j); ccnt(j) = tc
           val tk = ckey(i); ckey(i) = ckey(j); ckey(j) = tk
         }
-        def psort(lo: Int, hi: Int): Unit = {
-          if (lo >= hi || lo >= kTop) return
-          // median-of-three pivot to dodge sorted-input quadratics
-          val mid = (lo + hi) >>> 1
-          if (better(mid, lo)) swap(mid, lo)
-          if (better(hi, lo)) swap(hi, lo)
-          if (better(hi, mid)) swap(hi, mid)
-          swap(mid, hi) // pivot to hi
-          var p = lo
-          var q = lo
-          while (q < hi) {
-            if (better(q, hi)) { swap(p, q); p += 1 }
-            q += 1
+        def psort(lo0: Int, hi0: Int): Unit = {
+          var lo = lo0
+          var hi = hi0
+          while (lo < hi && lo < kTop) {
+            // median-of-three pivot to dodge sorted-input quadratics
+            val mid = (lo + hi) >>> 1
+            if (better(mid, lo)) swap(mid, lo)
+            if (better(hi, lo)) swap(hi, lo)
+            if (better(hi, mid)) swap(hi, mid)
+            swap(mid, hi) // pivot to hi
+            var p = lo
+            var q = lo
+            while (q < hi) {
+              if (better(q, hi)) { swap(p, q); p += 1 }
+              q += 1
+            }
+            swap(p, hi)
+            // recurse into the SMALLER live side and loop on the larger:
+            // stack depth stays O(log n) even if equal-count runs give
+            // the pivot a pathological partition sequence
+            val lLo = lo; val lHi = p - 1
+            val rLo = p + 1
+            val leftLen = lHi - lLo + 1
+            val rightLive = rLo < kTop // positions >= kTop need no order
+            val rightLen = if (rightLive) hi - rLo + 1 else 0
+            if (leftLen <= rightLen) {
+              if (leftLen > 0) psort(lLo, lHi)
+              if (rightLive) lo = rLo else hi = lo - 1
+            } else {
+              if (rightLive) psort(rLo, hi)
+              hi = lHi
+            }
           }
-          swap(p, hi)
-          psort(lo, p - 1)
-          if (p + 1 < kTop) psort(p + 1, hi)
         }
         psort(0, ci - 1)
         // conservative parallel rule: selected iff no strictly
@@ -359,7 +395,6 @@ object BpeTrain {
       }
     }
     out.result()
-      .toDF("merge_idx", "lhs_code", "rhs_code", "pair_count", "round_idx")
   }
 
   private def train(spark: SparkSession, dir: String): DataFrame = {

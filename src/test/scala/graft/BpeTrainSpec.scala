@@ -190,4 +190,101 @@ class BpeTrainSpec extends SparkSpec {
       assert(ok(lhs) && ok(rhs), s"merge $idx refs future code ($lhs,$rhs)")
     }
   }
+
+  /** Independent NAIVE reference trainer for the batched loop: every
+    * round rebuilds the full pair-count table from scratch, fully
+    * sorts all candidates, applies the same top-T window + symbol-
+    * disjointness rule, and rewrites EVERY word left-to-right. No
+    * incremental map, no inverted index, no partial sort — the
+    * textbook restatement of the semantics the V=4096 DuckDB oracle
+    * grades, written against the spec (not the engine's structures). */
+  private def naiveMergeLoop(words0: Array[Array[Int]], wcnt: Array[Long],
+      v: Int, t: Int): Vector[(Int, Int, Int, Long, Int)] = {
+    val words = words0.map(_.clone)
+    val out = Vector.newBuilder[(Int, Int, Int, Long, Int)]
+    var nm = 0
+    var round = 0
+    var go = true
+    while (nm < v && go) {
+      val cnt = scala.collection.mutable.HashMap.empty[Long, Long]
+      for (i <- words.indices) {
+        val w = words(i)
+        var j = 0
+        while (j < w.length - 1) {
+          val k = w(j).toLong << 20 | w(j + 1)
+          cnt(k) = cnt.getOrElse(k, 0L) + wcnt(i)
+          j += 1
+        }
+      }
+      if (cnt.isEmpty) go = false
+      else {
+        // full sort: count DESC, key ASC (keys unique → total order)
+        val sorted = cnt.toArray.sortBy { case (k, c) => (-c, k) }
+        val kTop = math.min(t, sorted.length)
+        val used = scala.collection.mutable.Set.empty[Int]
+        val sel = Vector.newBuilder[(Int, Int, Long)]
+        for (r <- 0 until kTop) {
+          val (key, c) = sorted(r)
+          val lhs = (key >> 20).toInt
+          val rhs = (key & 0xfffff).toInt
+          val blocked = used.contains(lhs) || used.contains(rhs)
+          used += lhs
+          used += rhs
+          if (!blocked) sel += ((lhs, rhs, c))
+        }
+        val selected = sel.result()
+        if (selected.isEmpty) go = false
+        else {
+          round += 1
+          val code = scala.collection.mutable.HashMap.empty[Long, Int]
+          selected.foreach { case (lhs, rhs, c) =>
+            nm += 1
+            code(lhs.toLong << 20 | rhs) = 255 + nm
+            if (nm <= v) out += ((nm, lhs, rhs, c, round))
+          }
+          for (i <- words.indices) {
+            val w = words(i)
+            val nw = Array.newBuilder[Int]
+            var j = 0
+            while (j < w.length) {
+              val m = if (j + 1 < w.length)
+                code.get(w(j).toLong << 20 | w(j + 1)) else None
+              m match {
+                case Some(x) => nw += x; j += 2
+                case None    => nw += w(j); j += 1
+              }
+            }
+            words(i) = nw.result()
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("incremental 32k-arm loop is identical to a naive reference trainer") {
+    // The committed in-repo witness for q_bpe_train_32k's rows-only
+    // oracle entry (see the oracle-cost ceiling note on
+    // BpeTrain.train32k): the engine's incremental loop — open-
+    // addressing pair map with decrements, stale-tolerant inverted
+    // index, partial top-T quicksort — must produce a merge table
+    // BYTE-IDENTICAL to the naive rebuild-and-full-sort trainer
+    // above, at the 32k arm's gram width and reduced-but-realistic
+    // knobs (V=2048, M=4096, T=512 exercises map growth, pair-count
+    // decrements to zero, stale index visits, and psort's kTop
+    // pruning; thousands of candidates per round survive to the
+    // window).
+    val (words, wcnt) =
+      graft.operators.BpeTrain.artifact(spark, dir, m = 4096, gram = 5)
+    assert(words.length > 512, "artifact too small to exercise the loop")
+    val expect = naiveMergeLoop(words, wcnt, v = 2048, t = 512)
+    val got = graft.operators.BpeTrain
+      .mergeLoop(words.map(_.clone), wcnt, v = 2048, t = 512)
+    assert(expect.nonEmpty)
+    assert(got.length == expect.length,
+      s"merge counts differ: ${got.length} vs ${expect.length}")
+    got.zip(expect).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"merge row $i diverged: $g vs $e")
+    }
+  }
 }
