@@ -767,6 +767,68 @@ object MultimodalQueries {
       |  payload_len, payload_md5
       |FROM read_parquet('${graft.Fixtures.base}/q_warc_extract/golden/*.parquet')""".stripMargin
 
+  /** WET extracted-text extraction, oracle-graded per page — Common
+    * Crawl's second deliverable (`*.warc.wet.gz`), the corpus shape
+    * C4/FineWeb-style pipelines actually start from (anchor: the
+    * reference's corpus-ingest role, dataops/dataset.py:258-278).
+    * Fixtures written by the extended independent Python writer
+    * (tools/warc_golden.py `make_wet`): compressed + uncompressed WET
+    * files with multi-line, BMP-unicode, and EMPTY extractions, plus
+    * one structurally corrupt archive whose absence is graded
+    * (per-file skip). Text length is counted in CHARACTERS after the
+    * UTF-8 decode (Python len agrees on BMP-only text), lines by
+    * embedded `\n` count, and the md5 over the re-encoded bytes
+    * (identity for valid UTF-8) — all golden values computed by
+    * Python len/count/hashlib, never by Spark. */
+  def qWetExtract(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GeoIngest
+      .readWetFiles(spark, graft.Fixtures.path("q_wet_extract"))
+      .select(col("file"), col("rec_idx"), col("target_uri"), col("mime"),
+        length(col("text")).as("text_chars"),
+        (length(col("text")) -
+          length(replace(col("text"), lit("\n"), lit("")))).as("n_lines"),
+        md5(encode(col("text"), "UTF-8")).as("text_md5"))
+  }
+
+  val qWetExtractSql: String =
+    s"""SELECT file, rec_idx, target_uri, mime, text_chars, n_lines, text_md5
+      |FROM read_parquet('${graft.Fixtures.base}/q_wet_extract/golden/*.parquet')""".stripMargin
+
+  /** WAT metadata extraction, oracle-graded per record — Common
+    * Crawl's third deliverable (`*.warc.wat.gz`): a JSON envelope per
+    * crawled record carrying the response status, headers, page
+    * title, and outgoing link list (the crawl-graph source most
+    * analytics read instead of raw WARC). Fixtures written by
+    * tools/warc_golden.py `make_wat`: HTML pages with titles + link
+    * arrays (incl. an EMPTY list — 0, distinct from the non-HTML
+    * NULL), a non-HTML response, a request-record envelope with no
+    * HTTP-Response-Metadata, a unicode title, and a corrupt archive
+    * whose absence is graded. Extraction is declarative
+    * `get_json_object` / `json_array_length` over the envelope (the
+    * q_json_extract machinery — codegen'd, no UDFs); golden values
+    * computed by Python's json module. */
+  def qWatExtract(spark: SparkSession, dir: String): DataFrame = {
+    val hrm = "$.Envelope['Payload-Metadata']['HTTP-Response-Metadata']"
+    graft.sources.GeoIngest
+      .readWatFiles(spark, graft.Fixtures.path("q_wat_extract"))
+      .select(col("file"), col("rec_idx"), col("target_uri"),
+        get_json_object(col("json"),
+          "$.Envelope['WARC-Header-Metadata']['WARC-Type']").as("src_type"),
+        get_json_object(col("json"), s"$hrm['Response-Message']['Status']")
+          .cast("int").as("http_status"),
+        get_json_object(col("json"), s"$hrm['Headers']['Content-Type']")
+          .as("content_type"),
+        get_json_object(col("json"), s"$hrm['HTML-Metadata']['Head']['Title']")
+          .as("title"),
+        expr("json_array_length(get_json_object(json, " +
+          s""""$hrm['HTML-Metadata']['Links']"))""").cast("int").as("n_links"))
+  }
+
+  val qWatExtractSql: String =
+    s"""SELECT file, rec_idx, target_uri, src_type, http_status,
+      |  content_type, title, n_links
+      |FROM read_parquet('${graft.Fixtures.base}/q_wat_extract/golden/*.parquet')""".stripMargin
+
   /** Zstd JSONL shard scan, oracle-graded per line — the `.jsonl.zst`
     * wire format modern text corpora ship in (RedPajama/Dolma/
     * FineWeb), the zstd sibling of [[qJsonlGz]]. Fixtures written by
@@ -1917,6 +1979,8 @@ object MultimodalQueries {
     "q_jsonl_zst" -> (qJsonlZst _),
     "q_jsonl_bz2" -> (qJsonlBz2 _),
     "q_warc_extract" -> (qWarcExtract _),
+    "q_wet_extract" -> (qWetExtract _),
+    "q_wat_extract" -> (qWatExtract _),
     "q_media_manifest" -> (qMediaManifest _),
     "q_media_features" -> (qMediaFeatures _),
     "q_image_decode" -> (qImageDecode _),
@@ -1968,6 +2032,8 @@ object MultimodalQueries {
     "q_jsonl_zst" -> qJsonlZstSql,
     "q_jsonl_bz2" -> qJsonlBz2Sql,
     "q_warc_extract" -> qWarcExtractSql,
+    "q_wet_extract" -> qWetExtractSql,
+    "q_wat_extract" -> qWatExtractSql,
     "q_media_manifest" -> qMediaManifestSql,
     "q_media_features" -> qMediaFeaturesSql,
     "q_image_decode" -> qImageDecodeSql,

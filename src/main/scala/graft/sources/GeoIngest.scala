@@ -435,6 +435,56 @@ object GeoIngest {
         "http_status", "mime", "payload")
   }
 
+  /** WET extracted-text scan — Common Crawl's second deliverable
+    * (`*.warc.wet.gz`): the same WARC framing, but each `conversion`
+    * record's block IS the page's extracted plain text (no HTTP
+    * envelope). Real pretraining pipelines read WET at least as often
+    * as raw WARC (C4 and FineWeb's ancestors start here; the
+    * reference's corpus-ingest role is dataops/dataset.py:258-278).
+    * Output: (file, rec_idx, target_uri, mime, text) — text decoded
+    * as UTF-8 from the record block. */
+  def readWetFiles(spark: SparkSession, dir: String): DataFrame =
+    decodeWetBatch(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wet*")
+        .load(dir))
+
+  /** One batch of (path, content) WET files → per-page text rows —
+    * shared by the batch scan and the streaming arm
+    * ([[graft.streaming.StreamingPipelines.wetIngest]]). Rides
+    * [[decodeWarcBatch]]'s framing walk (per-file refusal), keeping
+    * only `conversion` records; the block is the text. */
+  def decodeWetBatch(batch: DataFrame): DataFrame =
+    decodeWarcBatch(batch)
+      .filter(col("warc_type") === "conversion")
+      .select(col("file"), col("rec_idx"), col("target_uri"),
+        col("mime"), decode(col("payload"), "UTF-8").as("text"))
+
+  /** WAT metadata scan — Common Crawl's third deliverable
+    * (`*.warc.wat.gz`): WARC framing whose `metadata` records carry a
+    * JSON envelope per crawled record (WARC-Header-Metadata +
+    * Payload-Metadata with HTTP-Response-Metadata / HTML-Metadata —
+    * the link graph and page-title source most crawl analytics read
+    * instead of raw WARC). Output: (file, rec_idx, target_uri, json);
+    * field extraction stays declarative via `get_json_object` in the
+    * query layer (the q_json_extract machinery, no UDFs). */
+  def readWatFiles(spark: SparkSession, dir: String): DataFrame =
+    decodeWatBatch(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wat*")
+        .load(dir))
+
+  /** One batch of (path, content) WAT files → per-record JSON rows —
+    * shared by the batch scan and the streaming arm
+    * ([[graft.streaming.StreamingPipelines.watIngest]]). Rides
+    * [[decodeWarcBatch]]'s framing walk (per-file refusal), keeping
+    * only `metadata` records; the block is the JSON envelope. */
+  def decodeWatBatch(batch: DataFrame): DataFrame =
+    decodeWarcBatch(batch)
+      .filter(col("warc_type") === "metadata")
+      .select(col("file"), col("rec_idx"), col("target_uri"),
+        decode(col("payload"), "UTF-8").as("json"))
+
   /** BMP scan — the uncompressed long-tail image format old sites and
     * scanned-doc dumps still surface: distributed binaryFile scan
     * over `*.bmp`, each decoded executor-side by [[BmpCodec.decode]]

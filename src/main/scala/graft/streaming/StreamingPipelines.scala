@@ -583,6 +583,29 @@ object StreamingPipelines {
     binaryShardIngest(spark, srcDir, "*.warc*", destDir, checkpointDir,
       maxFilesPerTrigger)(graft.sources.GeoIngest.decodeWarcBatch)
 
+  /** Streaming WET ingest — extracted-text deliverables landing as
+    * `*.warc.wet.gz` decoded to per-page text rows per micro-batch,
+    * exactly-once; one decode shared with the batch path
+    * ([[graft.sources.GeoIngest.decodeWetBatch]]). Point it at a WET
+    * drop directory (the `*.wet*` glob is a subset of [[warcIngest]]'s
+    * `*.warc*` — deliverables land in separate prefixes, as on the
+    * real crawl buckets). */
+  def wetIngest(spark: SparkSession, srcDir: String, destDir: String,
+                checkpointDir: String,
+                maxFilesPerTrigger: Int = 100): StreamingQuery =
+    binaryShardIngest(spark, srcDir, "*.wet*", destDir, checkpointDir,
+      maxFilesPerTrigger)(graft.sources.GeoIngest.decodeWetBatch)
+
+  /** Streaming WAT ingest — per-record JSON metadata envelopes landing
+    * as `*.warc.wat.gz` decoded per micro-batch, exactly-once; one
+    * decode shared with the batch path
+    * ([[graft.sources.GeoIngest.decodeWatBatch]]). */
+  def watIngest(spark: SparkSession, srcDir: String, destDir: String,
+                checkpointDir: String,
+                maxFilesPerTrigger: Int = 100): StreamingQuery =
+    binaryShardIngest(spark, srcDir, "*.wat*", destDir, checkpointDir,
+      maxFilesPerTrigger)(graft.sources.GeoIngest.decodeWatBatch)
+
   /** Streaming TFRecord shard ingest — training-example shards
     * decoded to per-feature-element rows per micro-batch,
     * exactly-once; one decode shared with the batch path

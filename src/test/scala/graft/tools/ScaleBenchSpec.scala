@@ -15,6 +15,8 @@ class ScaleBenchSpec extends AnyFunSuite {
     "q_jpeg_decode",        // committed Pillow-written baseline JPEGs
     "q_jpeg_progressive",   // committed progressive-SOF2 goldens
     "q_warc_extract",       // committed Python-warcio-shaped WARC goldens
+    "q_wet_extract",        // committed WET extracted-text goldens
+    "q_wat_extract",        // committed WAT metadata-envelope goldens
     "q_jsonl_zst",          // committed python-zstandard-written shards
     "q_tfrecord_read",      // committed hand-framed tf.train.Example shards
     "q_zip_scan",           // committed Python-zipfile archives

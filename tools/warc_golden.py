@@ -353,6 +353,242 @@ def make_zst():
     print("q_jsonl_zst: 4 shards, %d golden rows" % len(rows))
 
 
+def make_wet():
+    """WET (extracted-text) deliverable — Common Crawl's *.warc.wet.gz:
+    a warcinfo record then one `conversion` record per page whose block
+    IS the extracted plain text (no HTTP framing). Golden rows computed
+    here with hashlib/len, never by Spark."""
+    d = os.path.join(BASE, "q_wet_extract")
+    os.makedirs(os.path.join(d, "golden"), exist_ok=True)
+    rows = []  # (file, rec_idx, target_uri, mime, text_chars, n_lines, text_md5)
+
+    def add(file, idx, target, text):
+        rows.append((file, idx, target, "text/plain", len(text),
+                     text.count("\n"),
+                     hashlib.md5(text.encode("utf-8")).hexdigest()))
+
+    def conversion(rid, target, text, date="2026-08-14T00:00:00Z"):
+        # real WET conversion records carry WARC-Refers-To; the codec
+        # passes unknown headers through — include it for realism
+        block = text.encode("utf-8")
+        hdrs = ["WARC/1.0",
+                "WARC-Type: conversion",
+                "WARC-Record-ID: <urn:uuid:%s>" % rid,
+                "WARC-Refers-To: <urn:uuid:%s-src>" % rid,
+                "WARC-Date: " + date,
+                "WARC-Target-URI: " + target,
+                "Content-Type: text/plain",
+                "Content-Length: %d" % len(block),
+                ""]
+        return crlf_join(hdrs) + block + b"\r\n\r\n"
+
+    texts0 = [
+        ("https://a.example/page",
+         "Sahel millet yields\nMillet and sorghum dominate smallholder "
+         "plots in the Sahel; NDVI composites separate cropland from "
+         "savanna by month nine.\n"),
+        ("https://b.example/api/obs",
+         "station dakar-01\nbackscatter dips after the first rains\n"
+         "vv -11.25 vh -17.5 month 9\n"),
+        ("https://c.example/notes.txt",
+         "Cloud-free Sentinel-2 scenes are rare in August; the QA60 "
+         "bitmask drops cirrus before the median composite.\n" * 3),
+    ]
+    f0 = "crawl-00.warc.wet.gz"
+    recs = [warc_record("warcinfo", "w000",
+                        b"software: graft-test-wet/1.0\r\n",
+                        ctype="application/warc-fields")]
+    idx = 1
+    for target, text in texts0:
+        recs.append(conversion("w%03d" % idx, target, text))
+        add(f0, idx, target, text)
+        idx += 1
+    with open(os.path.join(d, f0), "wb") as f:
+        for r in recs:
+            f.write(gzip_member(r))
+
+    # unicode text (BMP-only so char counting agrees across engines),
+    # an EMPTY extraction, and an uncompressed .wet sibling
+    texts1 = [
+        ("https://d.example/riz",
+         "Les rizières le long du fleuve Sénégal sont "
+         "inondées en juillet.\n水稲は七月に"
+         "浸水する。\n"),
+        ("https://d.example/empty", ""),
+        ("https://d.example/soils",
+         "Groundnut basin soils are sandy; potassium limits yields "
+         "more than nitrogen.\n"),
+    ]
+    f1 = "crawl-01.warc.wet.gz"
+    recs = [warc_record("warcinfo", "w100",
+                        b"software: graft-test-wet/1.0\r\n",
+                        ctype="application/warc-fields")]
+    idx = 1
+    for target, text in texts1:
+        recs.append(conversion("w1%02d" % idx, target, text))
+        add(f1, idx, target, text)
+        idx += 1
+    with open(os.path.join(d, f1), "wb") as f:
+        for r in recs:
+            f.write(gzip_member(r))
+
+    f2 = "crawl-02.warc.wet"  # uncompressed sibling
+    text2 = "GEDI rh98 canopy height calibrates the regressor.\n"
+    recs = [conversion("w200", "https://e.example/gedi", text2)]
+    add(f2, 0, "https://e.example/gedi", text2)
+    with open(os.path.join(d, f2), "wb") as f:
+        for r in recs:
+            f.write(r)
+
+    # corrupt: conversion record with an overrun Content-Length -> the
+    # whole file must be skipped (no golden rows)
+    bad = conversion("w300", "https://bad.example/", "x" * 40)
+    bad = bad.replace(b"Content-Length: ", b"Content-Length: 9", 1)
+    with open(os.path.join(d, "corrupt-03.warc.wet.gz"), "wb") as f:
+        f.write(gzip_member(bad))
+
+    table = pa.table({
+        "file": pa.array([r[0] for r in rows], pa.string()),
+        "rec_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "target_uri": pa.array([r[2] for r in rows], pa.string()),
+        "mime": pa.array([r[3] for r in rows], pa.string()),
+        "text_chars": pa.array([r[4] for r in rows], pa.int32()),
+        "n_lines": pa.array([r[5] for r in rows], pa.int32()),
+        "text_md5": pa.array([r[6] for r in rows], pa.string()),
+    })
+    pq.write_table(table, os.path.join(d, "golden", "golden.parquet"))
+    print("q_wet_extract: 4 files, %d golden rows" % len(rows))
+
+
+def make_wat():
+    """WAT (metadata) deliverable — Common Crawl's *.warc.wat.gz: a
+    warcinfo record then one `metadata` record per crawled record whose
+    block is a JSON envelope (WARC-Header-Metadata + Payload-Metadata
+    with HTTP-Response-Metadata/HTML-Metadata). Golden rows computed
+    here with the json module, never by Spark."""
+    d = os.path.join(BASE, "q_wat_extract")
+    os.makedirs(os.path.join(d, "golden"), exist_ok=True)
+    rows = []  # (file, rec_idx, target_uri, src_type, http_status,
+               #  content_type, title, n_links)
+
+    def envelope(src_type, target, status=None, ctype=None, title=None,
+                 links=None):
+        whm = {"WARC-Type": src_type,
+               "WARC-Date": "2026-08-14T00:00:00Z",
+               "WARC-Record-ID": "<urn:uuid:src>"}
+        if target:
+            whm["WARC-Target-URI"] = target
+        pm = {"Actual-Content-Length": "0"}
+        if status is not None:
+            hrm = {"Response-Message": {"Version": "HTTP/1.1",
+                                        "Status": status,
+                                        "Reason": "OK" if status == 200 else "X"},
+                   "Headers": {"Server": "test/1.0"}}
+            if ctype:
+                hrm["Headers"]["Content-Type"] = ctype
+            if title is not None or links is not None:
+                hm = {}
+                if title is not None:
+                    hm["Head"] = {"Title": title}
+                if links is not None:
+                    hm["Links"] = [{"path": "A@/href", "url": u}
+                                   for u in links]
+                hrm["HTML-Metadata"] = hm
+            pm["HTTP-Response-Metadata"] = hrm
+        return json.dumps({"Envelope": {"Format": "WARC",
+                                        "WARC-Header-Metadata": whm,
+                                        "Payload-Metadata": pm},
+                           "Container": {"Filename": "crawl-00.warc.gz"}},
+                          separators=(",", ":"))
+
+    def metadata_rec(rid, target, env):
+        block = env.encode("utf-8")
+        hdrs = ["WARC/1.0",
+                "WARC-Type: metadata",
+                "WARC-Record-ID: <urn:uuid:%s>" % rid,
+                "WARC-Refers-To: <urn:uuid:%s-src>" % rid,
+                "WARC-Date: 2026-08-14T00:00:00Z"]
+        if target:
+            hdrs.append("WARC-Target-URI: " + target)
+        hdrs += ["Content-Type: application/json",
+                 "Content-Length: %d" % len(block),
+                 ""]
+        return crlf_join(hdrs) + block + b"\r\n\r\n"
+
+    def add(file, idx, target, src_type, status, ctype, title, n_links):
+        rows.append((file, idx, target or "", src_type, status, ctype,
+                     title, n_links))
+
+    f0 = "crawl-00.warc.wat.gz"
+    recs = [warc_record("warcinfo", "m000",
+                        b"software: graft-test-wat/1.0\r\n",
+                        ctype="application/warc-fields")]
+    # an HTML response with title + links
+    env = envelope("response", "https://a.example/page", 200,
+                   "text/html; charset=UTF-8", "Sahel millet yields",
+                   ["https://a.example/about", "https://b.example/api/obs",
+                    "https://c.example/notes.txt"])
+    recs.append(metadata_rec("m001", "https://a.example/page", env))
+    add(f0, 1, "https://a.example/page", "response", 200,
+        "text/html; charset=UTF-8", "Sahel millet yields", 3)
+    # a non-HTML response: no HTML-Metadata at all
+    env = envelope("response", "https://b.example/api/obs", 200,
+                   "application/json")
+    recs.append(metadata_rec("m002", "https://b.example/api/obs", env))
+    add(f0, 2, "https://b.example/api/obs", "response", 200,
+        "application/json", None, None)
+    # a request record's WAT envelope: no HTTP-Response-Metadata
+    env = envelope("request", "https://a.example/page")
+    recs.append(metadata_rec("m003", "https://a.example/page", env))
+    add(f0, 3, "https://a.example/page", "request", None, None, None, None)
+    with open(os.path.join(d, f0), "wb") as f:
+        for r in recs:
+            f.write(gzip_member(r))
+
+    f1 = "crawl-01.warc.wat.gz"
+    recs = [warc_record("warcinfo", "m100",
+                        b"software: graft-test-wat/1.0\r\n",
+                        ctype="application/warc-fields")]
+    # unicode title, empty link list (present but []), 404 status
+    env = envelope("response", "https://d.example/riz", 200, "text/html",
+                   "Rizières du Sénégal 水稲", [])
+    recs.append(metadata_rec("m101", "https://d.example/riz", env))
+    add(f1, 1, "https://d.example/riz", "response", 200, "text/html",
+        "Rizières du Sénégal 水稲", 0)
+    env = envelope("response", "https://d.example/gone", 404, "text/html",
+                   None, ["https://d.example/"])
+    recs.append(metadata_rec("m102", "https://d.example/gone", env))
+    add(f1, 2, "https://d.example/gone", "response", 404, "text/html",
+        None, 1)
+    with open(os.path.join(d, f1), "wb") as f:
+        for r in recs:
+            f.write(gzip_member(r))
+
+    # corrupt: flipped gzip CRC byte -> file skipped whole
+    good = gzip_member(metadata_rec(
+        "m300", "https://bad.example/",
+        envelope("response", "https://bad.example/", 200, "text/html")))
+    flipped = bytearray(good)
+    flipped[-6] ^= 0xFF
+    with open(os.path.join(d, "corrupt-02.warc.wat.gz"), "wb") as f:
+        f.write(bytes(flipped))
+
+    table = pa.table({
+        "file": pa.array([r[0] for r in rows], pa.string()),
+        "rec_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "target_uri": pa.array([r[2] for r in rows], pa.string()),
+        "src_type": pa.array([r[3] for r in rows], pa.string()),
+        "http_status": pa.array([r[4] for r in rows], pa.int32()),
+        "content_type": pa.array([r[5] for r in rows], pa.string()),
+        "title": pa.array([r[6] for r in rows], pa.string()),
+        "n_links": pa.array([r[7] for r in rows], pa.int32()),
+    })
+    pq.write_table(table, os.path.join(d, "golden", "golden.parquet"))
+    print("q_wat_extract: 3 files, %d golden rows" % len(rows))
+
+
 if __name__ == "__main__":
     make_warc()
     make_zst()
+    make_wet()
+    make_wat()
