@@ -341,6 +341,9 @@ object ArrowCodec {
           case st: StructT if depth == 0 &&
               st.children.forall(k => isScalar(k.typ) || (k.typ match {
                 case ListT(c, _, _) => isScalar(c) // list<struct<list<scalar>>>
+                case StructT(gk, _) => // list<struct<…, struct<scalars>>> —
+                  // the list-of-records-with-a-nested-record HF shape
+                  gk.forall(g => isScalar(g.typ))
                 case _ => false
               })) =>
             ListT(st, 0, "list<struct>")
@@ -368,9 +371,10 @@ object ArrowCodec {
         // (at depth <= 1), and STRUCT children — the nested metadata/
         // config structs HF shards carry — bounded at depth 2, so
         // struct<struct<struct<scalars>>> is the deepest shape.
-        // Struct kids only nest under STRUCT parents: the list<struct>
-        // and map guards (cases 12/17) accept scalar/list<scalar>
-        // children only, so list<struct<struct>> still refuses.
+        // Under list<struct> and map parents (cases 12/17) a struct
+        // kid is accepted when its own children are ALL scalar — the
+        // list-of-records-with-a-nested-record shape; deeper nesting
+        // there (a list or struct inside that kid) still refuses.
         if (depth > 2) err()
         val ch = field(b, fpos, 5)
         if (ch < 0) err()
@@ -417,6 +421,8 @@ object ArrowCodec {
               isScalar(st.children(0).typ) &&
               (isScalar(st.children(1).typ) || (st.children(1).typ match {
                 case ListT(c, _, _) => isScalar(c) // map<k, list<scalar>>
+                case StructT(gk, _) => // map<k, struct<scalars>>
+                  gk.forall(g => isScalar(g.typ))
                 case _ => false
               })) =>
             ListT(st, 0, "map")
@@ -899,19 +905,31 @@ object ArrowCodec {
                 i += 1
               }
             case st: StructT =>
-              // list<struct<scalars | list<scalar>>> (the
-              // sequence-of-dict feature shape, incl. the depth-3
-              // tokenized-QA form with ragged list fields): the
-              // struct rides its own node + validity, then per kid —
-              // in field order — a scalar leaf, or a list node +
-              // validity + offsets + leaf. A struct cell per ELEMENT
-              // records element-level nullity; a list kid's cells
-              // carry elem = struct element index and elem2 = inner
-              // index, with a null/elided inner list as one
-              // elem2-less cell (the list<list> convention).
+              // list<struct<scalars | list<scalar> | struct<scalars>>>
+              // (the sequence-of-dict feature shape, incl. the depth-3
+              // tokenized-QA form with ragged list fields and the
+              // record-with-a-nested-record form — map<k, …> rides
+              // this same path): the struct rides its own node +
+              // validity, then per kid — in field order — a scalar
+              // leaf, a list node + validity + offsets + leaf, or a
+              // struct node + validity + its scalar grandkid leaves.
+              // A struct cell per ELEMENT records element-level
+              // nullity; a list kid's cells carry elem = struct
+              // element index and elem2 = inner index, with a
+              // null/elided inner list as one elem2-less cell (the
+              // list<list> convention); a struct kid emits one
+              // ancestor-gated nullity cell per element plus its
+              // grandkid leaves at deeper dotted paths, all on the
+              // conjunction gate (the struct<struct> convention).
+              sealed trait KidR
+              case class ScalarK(l: Leaf) extends KidR
+              case class ListK(kv: Long => Boolean, koffs: Buf,
+                  kfixed: Int, cl: Leaf, klabel: String) extends KidR
+              case class StructK(skv: Long => Boolean, glabel: String,
+                  gkids: Vector[(String, Leaf)]) extends KidR
               val (clen, _) = nextNode()
               val cv = valid(nextBuf(), clen)
-              val kids = st.children.map { k =>
+              val kids: Vector[(String, KidR)] = st.children.map { k =>
                 k.typ match {
                   case ListT(c, kfixed, klabel) =>
                     val (klen, _) = nextNode()
@@ -920,11 +938,21 @@ object ArrowCodec {
                     val koffs = if (kfixed == 0) nextBuf() else Buf(b, 0, 0)
                     if (kfixed == 0 && (klen + 1) * 4 > koffs.len) err()
                     val cl = readLeaf(c)
-                    (k.name, Right((kv, koffs, kfixed, cl, klabel)))
+                    (k.name, ListK(kv, koffs, kfixed, cl, klabel): KidR)
+                  case StructT(gk, glabel) =>
+                    val (klen, _) = nextNode()
+                    if (klen != clen) err()
+                    val skv = valid(nextBuf(), klen)
+                    val gkids = gk.map { g =>
+                      val gl = readLeaf(g.typ)
+                      if (gl.len != clen) err()
+                      (g.name, gl)
+                    }
+                    (k.name, StructK(skv, glabel, gkids): KidR)
                   case t =>
                     val l = readLeaf(t)
                     if (l.len != clen) err()
-                    (k.name, Left(l))
+                    (k.name, ScalarK(l): KidR)
                 }
               }
               var i = 0L
@@ -940,10 +968,19 @@ object ArrowCodec {
                     out += Cell(batchIdx, f.name, i, Some(k), "struct",
                       isNull = !cv(ci), None, None)
                     kids.foreach {
-                      case (kn, Left(l)) =>
+                      case (kn, ScalarK(l)) =>
                         put(s"${f.name}.$kn", i, Some(k), l, ci,
                           gate = cv(ci))
-                      case (kn, Right((kv, koffs, kfixed, cl, klabel))) =>
+                      case (kn, StructK(skv, glabel, gkids)) =>
+                        val kname = s"${f.name}.$kn"
+                        val g = cv(ci) && skv(ci)
+                        if (out.size >= MaxCells) err()
+                        out += Cell(batchIdx, kname, i, Some(k), glabel,
+                          isNull = !g, None, None)
+                        gkids.foreach { case (gn, gl) =>
+                          put(s"$kname.$gn", i, Some(k), gl, ci, gate = g)
+                        }
+                      case (kn, ListK(kv, koffs, kfixed, cl, klabel)) =>
                         val kname = s"${f.name}.$kn"
                         if (!cv(ci) || !kv(ci))
                           nullCell(kname, i, Some(k), klabel)

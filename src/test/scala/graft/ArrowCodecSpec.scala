@@ -608,4 +608,48 @@ class ArrowCodecSpec extends SparkSpec {
     assert(rows.length == 6)
     assert(rows.forall(_._1 == "t.arrow"))
   }
+
+  test("struct under list<struct> and map values: conjunction gates; deeper refuses") {
+    // liststructstruct-26: a NULL element gates the whole subtree —
+    // the struct kid's cell AND its grandkid leaves read null
+    val cs = ArrowCodec.decode(fixture("liststructstruct-26.arrow")).get
+    def at(n: String, r: Long, e: Long) =
+      cs.filter(c => c.col == n && c.row == r && c.elem.contains(e))
+    // row 3 el 0 is a null element: struct kid + leaves all null
+    assert(at("qa", 3, 0).head.isNull)
+    assert(at("qa.meta", 3, 0).head.isNull)
+    assert(at("qa.meta.score", 3, 0).head.isNull)
+    assert(at("qa.meta.ok", 3, 0).head.isNull)
+    // row 3 el 1: element valid, meta itself null -> kid null, leaves null
+    assert(!at("qa", 3, 1).head.isNull)
+    assert(at("qa.meta", 3, 1).head.isNull)
+    assert(at("qa.meta.score", 3, 1).head.isNull)
+    // row 0 el 0: fully populated
+    assert(!at("qa.meta", 0, 0).head.isNull)
+    assert(at("qa.meta.score", 0, 0).head.bits ==
+      Some(java.lang.Double.doubleToLongBits(0.9)))
+    assert(at("qa.meta.ok", 0, 0).head.bits == Some(1L))
+    // row 3 el 2: meta valid, ok is a null LEAF inside a valid struct
+    assert(!at("qa.meta", 3, 2).head.isNull)
+    assert(at("qa.meta.ok", 3, 2).head.isNull)
+    // mapstruct-27: per-entry value records; a null value struct
+    val ms = ArrowCodec.decode(fixture("mapstruct-27.arrow")).get
+    def mat(n: String, r: Long, e: Long) =
+      ms.filter(c => c.col == n && c.row == r && c.elem.contains(e))
+    assert(mat("m.value.n", 0, 0).head.bits == Some(100L))
+    assert(mat("m.value", 3, 0).head.isNull)   // ("dev", None)
+    assert(mat("m.value.n", 3, 0).head.isNull)
+    // a struct kid carrying a non-scalar child refuses whole-file
+    assert(ArrowCodec.decode(fixture("liststructdeep-28.arrow")).isEmpty,
+      "struct-inside-struct under list<struct> must refuse")
+    // hostile-bytes sweep over the new graded fixture: never throws
+    val f = fixture("liststructstruct-26.arrow")
+    (0 until f.length by 7).foreach(k => ArrowCodec.decode(f.take(k)))
+    var j = 0
+    while (j < f.length) {
+      val m = f.clone(); m(j) = (m(j) ^ 0x5c).toByte
+      ArrowCodec.decode(m)
+      j += 1
+    }
+  }
 }

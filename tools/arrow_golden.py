@@ -40,6 +40,11 @@ Layout written under tools/fixtures/q_arrow_read/:
                     list<list<fsl2<f32>>> with nulls/empties at every
                     level; elem/elem_idx2/elem_idx3 index the three
                     levels (GRADED)
+  liststructstruct-26.arrow list<struct<…, struct<scalars>, …>> —
+                    records carrying a nested record (GRADED)
+  mapstruct-27.arrow map<utf8, struct<scalars>> per-key records (GRADED)
+  liststructdeep-28.arrow struct kid under list<struct> with a struct
+                    inside it -> refusal
 The bad files' ABSENCE from the golden is itself graded.
 """
 import os, struct
@@ -904,6 +909,112 @@ for ri, outer in enumerate(cgrid):
             for ji, x in enumerate(inner):
                 row25("cgrid", ri, "f32", x is None, e=ki, e2=mi, e3=ji,
                       bits=None if x is None else bits_of("f32", x))
+
+# ---- liststructstruct-26.arrow (GRADED): struct under list<struct> —
+# a list of records each carrying a nested config/metadata record (the
+# nested answer/metadata HF shape). The struct kid emits one
+# ancestor-gated nullity cell per ELEMENT plus scalar grandkid leaves
+# at deeper dotted paths, all on the conjunction gate; scalar and
+# list<scalar> siblings keep their conventions.
+lssvals = [
+    [{"q": "what crop", "meta": {"score": 0.9, "ok": True}, "tags": [1, 2]},
+     {"q": None, "meta": {"score": None, "ok": False}, "tags": []}],
+    None,
+    [],
+    [None,
+     {"q": "which month", "meta": None, "tags": None},
+     {"q": "how many", "meta": {"score": 0.25, "ok": None},
+      "tags": [None, 7]}],
+]
+t26 = pa.list_(pa.struct([
+    ("q", pa.string()),
+    ("meta", pa.struct([("score", pa.float64()), ("ok", pa.bool_())])),
+    ("tags", pa.list_(pa.int32())),
+]))
+a26 = pa.array(lssvals, type=t26)
+s26 = pa.schema([("qa", t26)])
+with open(os.path.join(D, "liststructstruct-26.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, s26)
+    w.write_batch(pa.record_batch([a26], schema=s26))
+    w.close()
+F26 = "liststructstruct-26.arrow"
+for ri, lst in enumerate(lssvals):
+    if lst is None:
+        ROWS.append((F26, 0, "qa", ri, None, "list<struct>", True,
+                     None, None))
+        continue
+    for ki, el in enumerate(lst):
+        elnull = el is None
+        ROWS.append((F26, 0, "qa", ri, ki, "struct", elnull, None, None))
+        q = None if elnull else el["q"]
+        ROWS.append((F26, 0, "qa.q", ri, ki, "utf8", q is None, None, q))
+        meta = None if elnull else el["meta"]
+        ROWS.append((F26, 0, "qa.meta", ri, ki, "struct", meta is None,
+                     None, None))
+        score = None if meta is None else meta["score"]
+        ROWS.append((F26, 0, "qa.meta.score", ri, ki, "f64",
+                     score is None,
+                     None if score is None else bits_of("f64", score), None))
+        ok = None if meta is None else meta["ok"]
+        ROWS.append((F26, 0, "qa.meta.ok", ri, ki, "bool", ok is None,
+                     None if ok is None else bits_of("bool", ok), None))
+        tags = None if elnull else el["tags"]
+        if tags is None:
+            ROWS.append((F26, 0, "qa.tags", ri, ki, "list<i32>", True,
+                         None, None))
+        else:
+            for ji, x in enumerate(tags):
+                ROWS.append((F26, 0, "qa.tags", ri, ki, "i32", x is None,
+                             None if x is None else bits_of("i32", x),
+                             None, ji))
+
+# ---- mapstruct-27.arrow (GRADED): map<utf8, struct<scalars>> — the
+# per-key record metadata shape (e.g. per-split stats). Rides the
+# list<struct> path: the value struct emits its nullity cell + scalar
+# grandkid leaves per ENTRY.
+msvals = [
+    [("train", {"n": 100, "frac": 0.8}), ("test", {"n": 25, "frac": None})],
+    [],
+    None,
+    [("dev", None)],
+]
+t27 = pa.map_(pa.string(),
+              pa.struct([("n", pa.int64()), ("frac", pa.float64())]))
+a27 = pa.array(msvals, type=t27)
+s27 = pa.schema([("m", t27)])
+with open(os.path.join(D, "mapstruct-27.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, s27)
+    w.write_batch(pa.record_batch([a27], schema=s27))
+    w.close()
+F27 = "mapstruct-27.arrow"
+for ri, entries in enumerate(msvals):
+    if entries is None:
+        ROWS.append((F27, 0, "m", ri, None, "map", True, None, None))
+        continue
+    for ki, (k, v) in enumerate(entries):
+        ROWS.append((F27, 0, "m", ri, ki, "struct", False, None, None))
+        ROWS.append((F27, 0, "m.key", ri, ki, "utf8", False, None, k))
+        ROWS.append((F27, 0, "m.value", ri, ki, "struct", v is None,
+                     None, None))
+        n = None if v is None else v["n"]
+        ROWS.append((F27, 0, "m.value.n", ri, ki, "i64", n is None,
+                     n, None))
+        frac = None if v is None else v["frac"]
+        ROWS.append((F27, 0, "m.value.frac", ri, ki, "f64", frac is None,
+                     None if frac is None else bits_of("f64", frac), None))
+
+# ---- liststructdeep-28.arrow: a struct kid under list<struct> whose
+# OWN children are not all scalar (a struct inside it) — out of
+# envelope, whole-file refusal; absence graded.
+t28 = pa.list_(pa.struct([
+    ("meta", pa.struct([("inner", pa.struct([("x", pa.int64())]))])),
+]))
+s28 = pa.schema([("deep", t28)])
+with open(os.path.join(D, "liststructdeep-28.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, s28)
+    w.write_batch(pa.record_batch(
+        [pa.array([[{"meta": {"inner": {"x": 1}}}]], type=t28)], schema=s28))
+    w.close()
 
 # ---- structdeep-24.arrow: struct nesting PAST depth 2 (4 levels) —
 # out of envelope, whole-file refusal; its absence from the golden is
