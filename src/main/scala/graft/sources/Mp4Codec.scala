@@ -36,13 +36,18 @@ package graft.sources
   * shape — optional leading empty edits (media_time = -1, delaying by
   * segment_duration MOVIE ticks) followed by normal entries — shifts
   * every sample's pts by (delay·tsc/movieTsc − media_time[0]), moov
-  * and fragment samples alike. MULTI-SEGMENT lists decode when they
-  * cleanly concatenate (every rate 1, each media_time exactly
-  * continuing the previous segment's media range — the
-  * split-at-keyframe shape editor exports write), collapsing to the
-  * single-segment flat shift. Dwell/speed rates (media_rate ≠ 1),
-  * mid-presentation gaps, overlaps, and genuine resequencing can't
-  * be a flat shift and refuse whole-file rather than drift.
+  * and fragment samples alike. MULTI-SEGMENT lists (every rate 1)
+  * decode two ways: cleanly-concatenating lists (each media_time
+  * exactly continuing the previous segment's media range — the
+  * split-at-keyframe shape editor exports write) collapse to the
+  * single-segment flat shift; GAPPED lists (each media range strictly
+  * beyond the previous one) map pts PER SEGMENT — a sample presents
+  * at the segment's presentation cursor plus its offset into the
+  * segment's media range, and a sample outside every segment is
+  * DROPPED, the player semantics. Dwell/speed rates (media_rate ≠ 1),
+  * overlaps/rewinds (media re-presented: two pts per sample),
+  * mid-list to-end durations, and inexact tick conversion refuse
+  * whole-file rather than drift.
   *
   * Refusal contract (the [[GzipCodec]]/[[Hdf5Codec]] discipline):
   * whole-file None on any structural fault — a box size under 8 or
@@ -201,8 +206,21 @@ object Mp4Codec {
     // and running continuation state (next dts / sample index /
     // fragment ordinal) so samples number contiguously across moofs
     var movieTsc = 0L // mvhd timescale: converts empty-edit durations
-    val trackMeta = scala.collection.mutable.Map
-      .empty[Int, (String, String, Long, Int, Long)] // handler, codec, tsc, moovChunks, ptsOff
+    val trackMeta = scala.collection.mutable.Map // handler, codec, tsc, moovChunks, editMap
+      .empty[Int, (String, String, Long, Int, Vector[(Long, Long, Long)])]
+    // edit-list mapping: first segment containing cts wins (segments
+    // are disjoint by construction); None = outside the presentation,
+    // the sample is dropped. The flat-shift shapes are one unbounded
+    // segment, so nothing is ever dropped there.
+    def editedPts(em: Vector[(Long, Long, Long)], cts: Long): Option[Long] = {
+      var j = 0
+      while (j < em.length) {
+        val (s, e, shift) = em(j)
+        if (cts >= s && cts < e) return Some(cts + shift)
+        j += 1
+      }
+      None
+    }
     val trexDefs = scala.collection.mutable.Map
       .empty[Int, (Long, Long, Long)] // defaultDur, defaultSize, defaultFlags
     val nextDts = scala.collection.mutable.Map.empty[Int, Long]
@@ -362,34 +380,33 @@ object Mp4Codec {
         }
       }
 
-      // presentation shift from the edit list: pts_presented =
-      // cts - media_time + empty-edit delay (converted movie→media
-      // ticks). Samples composed before the edit start go negative —
-      // players clip them; the table reports them faithfully.
-      // MULTI-SEGMENT lists decode iff they CLEANLY CONCATENATE:
-      // every segment rate 1 (enforced at parse) and each next
-      // media_time exactly continues the previous segment's media
-      // range (M[j+1] = M[j] + D[j]·tsc/movieTsc, integral) — the
-      // split-at-keyframe shape editors export. Such a list replays
-      // the media continuously, so it collapses to the same flat
-      // shift as one segment from M[0]. Gaps, overlaps, inexact tick
-      // conversion, or a mid-list to-end-of-media duration (0) are
-      // real resequencing and refuse (no flat shift exists).
-      val ptsOff: Long = {
-        if (normals.size > 1) {
-          if (movieTsc <= 0 || timescale <= 0) err()
-          var j = 0
-          while (j < normals.size - 1) {
-            val (d, m) = normals(j)
-            if (d <= 0) err() // 0 = to-end-of-media: last entry only
-            val prod = d * timescale
-            if (prod / d != timescale) err() // overflow: hostile
-            if (prod % movieTsc != 0) err()  // inexact: ambiguous pts
-            if (normals(j + 1)._2 != m + prod / movieTsc) err()
-            j += 1
-          }
-        }
-        val mediaTime = if (normals.isEmpty) 0L else normals.head._2
+      // presentation mapping from the edit list. SINGLE-SEGMENT (or
+      // no elst): pts_presented = cts - media_time + empty-edit delay
+      // (converted movie→media ticks) — samples composed before the
+      // edit start go negative; players clip them; the table reports
+      // them faithfully. MULTI-SEGMENT lists (every rate 1, enforced
+      // at parse) decode two ways:
+      //  - CLEANLY CONCATENATING (each next media_time exactly
+      //    continues the previous segment's media range, M[j+1] =
+      //    M[j] + D[j]·tsc/movieTsc, integral) — the split-at-
+      //    keyframe shape editors export — replays the media
+      //    continuously and collapses to the same flat shift as one
+      //    segment from M[0] (behavior unchanged, goldens pinned);
+      //  - GAPPED (M[j+1] strictly beyond the previous media end):
+      //    per-segment mapping, the player semantics — a sample whose
+      //    cts falls inside segment j presents at
+      //    P[j] + (cts - M[j]) where P[j] is the presentation cursor
+      //    (delay + prior segment durations, media ticks), and a
+      //    sample OUTSIDE every segment is dropped, not presented.
+      // Overlaps/rewinds (media re-presented), inexact tick
+      // conversion, and a mid-list to-end-of-media duration (0)
+      // remain whole-file refusals (ambiguous or re-sequenced pts),
+      // as do dwell/speed rates (no per-sample rate exists in the
+      // sample table).
+      // editMap: (mediaStart, mediaEndExclusive, shift) segments —
+      // pts = cts + shift for cts in [start, end); the flat-shift
+      // shapes are ONE unbounded segment (nothing dropped).
+      val editMap: Vector[(Long, Long, Long)] = {
         val delayMedia =
           if (delayMovie == 0) 0L
           else {
@@ -398,14 +415,59 @@ object Mp4Codec {
             if (prod / delayMovie != timescale) err() // overflow: hostile
             prod / movieTsc
           }
-        delayMedia - mediaTime
+        if (normals.size <= 1) {
+          val mediaTime = if (normals.isEmpty) 0L else normals.head._2
+          Vector((Long.MinValue, Long.MaxValue, delayMedia - mediaTime))
+        } else {
+          if (movieTsc <= 0 || timescale <= 0) err()
+          // convert each segment duration to media ticks (last entry
+          // may be 0 = to-end-of-media → unbounded; mid-list 0 refuses)
+          val dm = normals.zipWithIndex.map { case ((d, _), j) =>
+            if (d == 0) {
+              if (j != normals.size - 1) err() // mid-list to-end: refuse
+              -1L
+            } else {
+              val prod = d * timescale
+              if (prod / d != timescale) err() // overflow: hostile
+              if (prod % movieTsc != 0) err()  // inexact: ambiguous pts
+              prod / movieTsc
+            }
+          }
+          val clean = (0 until normals.size - 1).forall(j =>
+            normals(j + 1)._2 == normals(j)._2 + dm(j))
+          if (clean)
+            Vector((Long.MinValue, Long.MaxValue,
+              delayMedia - normals.head._2))
+          else {
+            // gapped per-segment mapping; any overlap/rewind refuses
+            var pres = delayMedia
+            var prevEnd = Long.MinValue
+            val segs = Vector.newBuilder[(Long, Long, Long)]
+            var j = 0
+            while (j < normals.size) {
+              val m = normals(j)._2
+              if (m < prevEnd) err() // overlap/rewind: media re-presented
+              val end =
+                if (dm(j) < 0) Long.MaxValue
+                else {
+                  if (m > (1L << 53) || dm(j) > (1L << 53)) err()
+                  m + dm(j)
+                }
+              segs += ((m, end, pres - m))
+              if (dm(j) > 0) pres += dm(j)
+              prevEnd = end
+              j += 1
+            }
+            segs.result()
+          }
+        }
       }
 
       // record static meta for the fragment walk (even when the moov
       // table is empty — the fMP4 shape: all samples live in moofs)
       if (trackId >= 0 && timescale > 0)
         trackMeta(trackId) = (handler, codec, timescale,
-          if (chunkOffs == null) 0 else chunkOffs.length, ptsOff)
+          if (chunkOffs == null) 0 else chunkOffs.length, editMap)
 
       // a track with no sample table (e.g. metadata-only) emits no rows
       if (sampleCount < 0 && chunkOffs == null && sttsRuns == null) return
@@ -467,8 +529,10 @@ object Mp4Codec {
           val size = if (constSize != 0) constSize else sizes(si)
           if (off < 0 || size < 0 || off + size > b.length) err()
           val sync = syncSet == null || syncSet.contains(si + 1L)
-          samples += Sample(trackId, handler, codec, timescale, si, ci2,
-            off, size, dts, durs(si), dts + ctsOff(si) + ptsOff, sync)
+          editedPts(editMap, dts + ctsOff(si)).foreach { pts =>
+            samples += Sample(trackId, handler, codec, timescale, si, ci2,
+              off, size, dts, durs(si), pts, sync)
+          }
           dts += durs(si)
           off += size
           si += 1
@@ -533,7 +597,7 @@ object Mp4Codec {
         }
       }
       if (trackId < 0) err()
-      val (handler, codec, timescale, moovChunks, ptsOff) =
+      val (handler, codec, timescale, moovChunks, editMap) =
         trackMeta.getOrElse(trackId, err())
       val trex = trexDefs.getOrElse(trackId, (-1L, -1L, -1L))
       val durDef = if (defDur >= 0) defDur else trex._1
@@ -590,8 +654,10 @@ object Mp4Codec {
           if (off < 0 || off + size > b.length) err()
           // sample_is_non_sync_sample is bit 16 of the flags word
           val sync = (sflags & 0x10000L) == 0
-          samples += Sample(trackId, handler, codec, timescale, si, chunk,
-            off, size, dts, dur, dts + cts + ptsOff, sync)
+          editedPts(editMap, dts + cts).foreach { pts =>
+            samples += Sample(trackId, handler, codec, timescale, si, chunk,
+              off, size, dts, dur, pts, sync)
+          }
           nSamples += 1
           dts += dur
           off += size

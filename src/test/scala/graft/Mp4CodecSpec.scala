@@ -73,9 +73,20 @@ class Mp4CodecSpec extends SparkSpec {
     val cts = Vector(6000L, 3000L, 3000L, 3000L, 0L)
     assert(e9.map(_.pts) ==
       e9.zipWithIndex.map { case (s, i) => s.dts + cts(i) - 3000L })
-    // multi-segment edit with a media GAP (M1=700 != M0+D0=400):
-    // real resequencing — refuse, don't drift
+    // multi-segment edit whose media ranges OVERLAP (M1=300 rewinds
+    // into [0,400) — the media would be re-presented, two pts per
+    // sample): refuse, don't pick one
     assert(Mp4Codec.decode(fixture("badelst-10.mp4")).isEmpty)
+    // multi-segment edit with a media GAP (elstgap-13: delay 300,
+    // [1000,1400)→[300,700), [2000,2500)→[700,1200)): per-segment
+    // pts mapping, samples outside every segment DROPPED — the
+    // player semantics. 12 composed samples, 4 presented.
+    val g13 = Mp4Codec.decode(fixture("elstgap-13.mp4")).get
+    assert(g13.length == 4)
+    assert(g13.map(s => (s.smp, s.dts, s.pts)) == Vector(
+      (4, 1000L, 300L), (5, 1250L, 550L),
+      (8, 2000L, 700L), (9, 2250L, 950L)))
+    assert(g13.map(_.sync) == Vector(true, false, true, false))
     // multi-segment edit that CLEANLY CONCATENATES (empty edit 300 +
     // segments at M0=2000 then M1=2400=2000+400·tsc/movieTsc): the
     // split-at-keyframe editor shape — collapses to the one flat
@@ -87,16 +98,30 @@ class Mp4CodecSpec extends SparkSpec {
     // a dwell edit (media_rate 0, freeze-frame): refuse
     assert(Mp4Codec.decode(fixture("baddwell-12.mp4")).isEmpty)
     // make elst2-11's second segment non-contiguous (M1 2400 -> 2401):
-    // the gap of one tick must refuse, not shift approximately.
-    // v0 entries are 12 bytes; entry 2's media_time is at
-    // body(ver+cnt=8) + 2*12 + 4, big-endian.
+    // a one-tick GAP is no longer a refusal — it becomes a legal
+    // gapped list under the per-segment mapping, and the media range
+    // it presents ([2000,2400) ∪ [2401,3001)) contains NONE of the
+    // file's cts values beyond segment 1's, so the mutation must
+    // change WHICH samples present, never shift approximately:
+    // segment 1's four samples keep the exact -1700 shift and the
+    // second segment's samples (cts 2400..2750 in the original
+    // concatenated read) now fall at/before the 2401 start — only
+    // cts ≥ 2401 would present, dropping the one-tick-straddling
+    // sample at cts 2400.
     val r11 = fixture("elst2-11.mp4")
     val eAt = r11.indexOfSlice("elst".getBytes("US-ASCII"))
     assert(eAt > 0)
     val mtAt = eAt + 4 + 8 + 2 * 12 + 4
     assert(((r11(mtAt + 2) & 0xff) << 8 | (r11(mtAt + 3) & 0xff)) == 2400)
     val g = r11.clone(); g(mtAt + 3) = (g(mtAt + 3) + 1).toByte
-    assert(Mp4Codec.decode(g).isEmpty, "off-by-one media gap accepted")
+    val g11 = Mp4Codec.decode(g).get
+    // original: 8 samples, cts = dts = i*250 ∈ [0,1750] — all inside
+    // segment 1's media range? No: [2000,2400) covers none of them;
+    // under the CONCATENATED original they presented via the flat
+    // collapse. Under the mutated gapped list, presentation is
+    // media-range-gated: no cts falls in either range -> all dropped.
+    assert(g11.isEmpty,
+      "one-tick gap must gate presentation by media range, not drift")
     // media_rate is 16.16 fixed-point: rate 1.5 (integer 1,
     // fraction 0x8000) is a dwell/speed edit — refuse, don't treat
     // as a flat shift. elst-09 is v1: entry at elst body + 8,
@@ -206,11 +231,12 @@ class Mp4CodecSpec extends SparkSpec {
     assert(byFile == Map(
       "vid-00.mp4" -> 10L, "av-01.mp4" -> 13L, "co64-02.mp4" -> 4L,
       "cap-06.mp4" -> 12L, "cap-07.mp4" -> 8L, "fmp4-07.mp4" -> 9L,
-      "cap-08.mp4" -> 12L, "elst-09.mp4" -> 5L, "elst2-11.mp4" -> 8L))
+      "cap-08.mp4" -> 12L, "elst-09.mp4" -> 5L, "elst2-11.mp4" -> 8L,
+      "elstgap-13.mp4" -> 4L))
     // md5s are all distinct across samples (every payload differs)
     import org.apache.spark.sql.functions.countDistinct
     val n = df.agg(countDistinct("md5")).head.getLong(0)
-    assert(n == 81L)
+    assert(n == 85L)
   }
 
   test("mux round-trips through the walker: chunking, timing, sync, bytes") {

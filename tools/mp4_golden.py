@@ -35,11 +35,14 @@ Layout written under tools/fixtures/q_mp4_samples/:
   cap-08.mp4    third caption subject, EDIT LIST (empty edit + media
                 time): pts shift -500 ms, frames clipped before zero
   elst-09.mp4   version-1 (64-bit) elst, media_time only, tsc 90000
-  badelst-10.mp4 two normal edit entries with a media GAP -> refusal
+  badelst-10.mp4 two normal edit entries whose media ranges OVERLAP
+                (media re-presented, two pts per sample) -> refusal
   elst2-11.mp4  multi-segment elst that CLEANLY CONCATENATES (empty
                 edit + two contiguous rate-1 segments): collapses to
                 the one flat shift and decodes
   baddwell-12.mp4 dwell edit (media_rate 0) -> refusal
+  elstgap-13.mp4 GAPPED multi-segment edit list: per-segment pts
+                mapping, samples outside every segment dropped (GRADED)
 The bad files' ABSENCE from the golden is itself graded.
 """
 import hashlib
@@ -200,6 +203,39 @@ def pts_offset(track, movie_timescale):
     return delay * track.timescale // movie_timescale - media
 
 
+def edit_segments(track, movie_timescale):
+    """Per-segment presentation mapping for GAPPED rate-1 edit lists
+    (§8.6.6 player semantics, computed independently from the spec
+    text): each normal entry j presents media [M_j, M_j + D_j·tsc/
+    movieTsc) at the running presentation cursor; returns
+    (media_start, media_end, pts_shift) triples."""
+    delay = 0
+    norm = []
+    for seg, mt, _rate in track.edits:
+        if mt == -1:
+            assert not norm, "empty edits only lead"
+            delay += seg
+        else:
+            norm.append((seg, mt))
+    pres = delay * track.timescale // movie_timescale
+    segs = []
+    for d, m in norm:
+        dm = d * track.timescale // movie_timescale
+        assert d * track.timescale % movie_timescale == 0
+        segs.append((m, m + dm, pres - m))
+        pres += dm
+    return segs
+
+
+def edited_pts(segs, cts):
+    """pts for a sample composed at cts, or None if it falls outside
+    every segment (dropped, not presented)."""
+    for s, e, sh in segs:
+        if s <= cts < e:
+            return cts + sh
+    return None
+
+
 class Track:
     def __init__(self, track_id, handler, codec, timescale, sizes,
                  stts_runs, stsc_entries, chunks, sync=None,
@@ -319,13 +355,17 @@ def build(fname, tracks, movie_timescale=1000, extra_moov=b"",
     data = ftyp() + moov_bytes(chunk_offsets) + box(b"mdat", bytes(blob))
     with open(os.path.join(D, fname), "wb") as fh:
         fh.write(data)
-    # golden rows (the INDEPENDENT expansion of the tables)
+    # golden rows (the INDEPENDENT expansion of the tables);
+    # golden="segmented" uses the per-segment gapped-edit-list mapping
+    # and DROPS samples outside every segment (the player semantics)
     if not golden:
         return
     for t in tracks:
         spc = t.samples_per_chunk()
         durs = t.durations()
         ctss = t.cts_offsets()
+        segs = (edit_segments(t, movie_timescale)
+                if golden == "segmented" else None)
         poff = pts_offset(t, movie_timescale)
         si = 0
         dts = 0
@@ -336,11 +376,14 @@ def build(fname, tracks, movie_timescale=1000, extra_moov=b"",
                 payload = data[off:off + size]
                 assert len(payload) == size
                 sync = (1 if t.sync is None or (si + 1) in t.sync else 0)
-                ROWS.append((fname, t.track_id,
-                             t.handler.decode(), t.codec.decode(),
-                             t.timescale, si, ci, off, size, dts,
-                             durs[si], dts + ctss[si] + poff, sync,
-                             hashlib.md5(payload).hexdigest()))
+                pts = (edited_pts(segs, dts + ctss[si]) if segs is not None
+                       else dts + ctss[si] + poff)
+                if pts is not None:
+                    ROWS.append((fname, t.track_id,
+                                 t.handler.decode(), t.codec.decode(),
+                                 t.timescale, si, ci, off, size, dts,
+                                 durs[si], pts, sync,
+                                 hashlib.md5(payload).hexdigest()))
                 dts += durs[si]
                 off += size
                 si += 1
@@ -453,16 +496,19 @@ el9 = Track(
 )
 build("elst-09.mp4", [el9])
 
-# ---- badelst-10.mp4: TWO normal edit entries (a real multi-segment
-# cut) — not expressible as a flat pts shift, so the walker refuses
-# whole-file rather than drift; absence from the golden is the grade
+# ---- badelst-10.mp4: TWO normal edit entries whose media ranges
+# OVERLAP (segment 2 rewinds into segment 1's range — the media would
+# be re-presented, so a sample has TWO pts) — the walker refuses
+# whole-file rather than pick one; absence from the golden is the
+# grade. (The r18 shape of this fixture was a media GAP, which the
+# per-segment mapping now decodes — see elstgap-13.)
 bad10 = Track(
     track_id=1, handler=b"vide", codec=b"avc1", timescale=1000,
     sizes=[100, 100],
     stts_runs=[(2, 500)],
     stsc_entries=[(1, 2, 1)],
     chunks=1,
-    edits=[(400, 0, 1), (600, 700, 1)],
+    edits=[(400, 0, 1), (600, 300, 1)],
 )
 build("badelst-10.mp4", [bad10], golden=False)
 
@@ -498,6 +544,26 @@ bad12 = Track(
     edits=[(500, 0, 0)],
 )
 build("baddwell-12.mp4", [bad12], golden=False)
+
+# ---- elstgap-13.mp4 (GRADED): a GAPPED multi-segment edit list — a
+# leading empty edit (delay 300 movie ticks), then two rate-1 normal
+# segments whose media ranges do NOT touch: [1000,1400) presented at
+# [300,700) and [2000,2500) presented at [700,1200). The walker maps
+# pts PER SEGMENT (the player semantics) and DROPS the 8 of 12
+# samples composed before segment 1, in the gap, or after segment 2 —
+# the golden carries only the 4 presented samples, computed by the
+# independent edit_segments/edited_pts implementation above.
+gap13 = Track(
+    track_id=1, handler=b"vide", codec=b"avc1", timescale=1000,
+    # sizes unique across ALL fixtures (distinct-md5 ingest count)
+    sizes=[161, 162, 163, 164, 165, 166, 167, 168, 169, 170, 171, 172],
+    stts_runs=[(12, 250)],
+    stsc_entries=[(1, 4, 1)],
+    chunks=3,
+    sync=[1, 5, 9],
+    edits=[(300, -1, 1), (400, 1000, 1), (500, 2000, 1)],
+)
+build("elstgap-13.mp4", [gap13], golden="segmented")
 
 # ---- fmp4-07.mp4: a FRAGMENTED file (the DASH/HLS/CMAF segment
 # shape) written by this independent fragment muxer — init segment
