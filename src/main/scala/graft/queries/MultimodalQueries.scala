@@ -643,6 +643,58 @@ object MultimodalQueries {
       .toDF("name", "y", "x", "r", "g", "b")
   }
 
+  /** Lossless (SOF3, T.81 process 14) JPEG decode, oracle-graded per
+    * SAMPLE against committed foreign fixtures: the seven `.jpg`
+    * streams in `tools/fixtures/q_jpeg_lossless/` were written by the
+    * independent from-scratch Python lossless encoder in
+    * `tools/jpeg_lossless_golden.py` (own predictor chain, own
+    * canonical-Huffman difference coder, mod-2^16 arithmetic,
+    * row-aligned restarts), covering every predictor 1..7, 8/12/16-bit
+    * precision, a nonzero point transform, a 3-component interleaved
+    * frame, and DRI/RSTn. Because the process is lossless, the golden
+    * is simply the point-transformed source samples — the decode
+    * matches only if every prediction, extend, and restart decision in
+    * [[graft.sources.JpegCodec.decodeLossless]] inverts the encoder
+    * exactly. This is the DICOM/scientific-imagery shape (12/16-bit
+    * grayscale) that the DCT entry refuses. Distributed shape:
+    * binaryFile scan → per-file decode fan-out → per-sample explode;
+    * no shuffle. */
+  def qJpegLossless(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.jpg")
+      .load(graft.Fixtures.path("q_jpeg_lossless"))
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".jpg")
+        val img = graft.sources.JpegCodec.decodeLossless(bytes)
+          .getOrElse(throw new IllegalStateException(s"fixture undecodable: $name"))
+        val out = new Array[(String, Int, Int, Int, Int)](
+          img.width * img.height * img.channels)
+        var y = 0
+        while (y < img.height) {
+          var x = 0
+          while (x < img.width) {
+            var c = 0
+            while (c < img.channels) {
+              val i = (y * img.width + x) * img.channels + c
+              out(i) = (name, y, x, c, img.samples(i))
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+      .toDF("name", "y", "x", "c", "v")
+  }
+
+  val qJpegLosslessSql: String =
+    s"""SELECT name, y, x, c, v
+      |FROM read_parquet('${graft.Fixtures.base}/q_jpeg_lossless/golden/*.parquet')""".stripMargin
+
   val qJpegDecodeSql: String =
     s"""SELECT name, y, x, r, g, b
       |FROM read_parquet('${graft.Fixtures.base}/q_jpeg_decode/golden/*.parquet')""".stripMargin
@@ -1973,6 +2025,7 @@ object MultimodalQueries {
     "q_netcdf_roundtrip" -> (qNetcdfRoundtrip _),
     "q_jpeg_decode" -> (qJpegDecode _),
     "q_jpeg_progressive" -> (qJpegProgressive _),
+    "q_jpeg_lossless" -> (qJpegLossless _),
     "q_png_decode" -> (qPngDecode _),
     "q_tiff_georef" -> (qTiffGeoref _),
     "q_jsonl_gz" -> (qJsonlGz _),
@@ -2028,6 +2081,7 @@ object MultimodalQueries {
     "q_netcdf_roundtrip" -> qNetcdfRoundtripSql,
     "q_jpeg_decode" -> qJpegDecodeSql,
     "q_jpeg_progressive" -> qJpegProgressiveSql,
+    "q_jpeg_lossless" -> qJpegLosslessSql,
     "q_jsonl_gz" -> qJsonlGzSql,
     "q_jsonl_zst" -> qJsonlZstSql,
     "q_jsonl_bz2" -> qJsonlBz2Sql,

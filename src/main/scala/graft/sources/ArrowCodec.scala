@@ -64,16 +64,22 @@ package graft.sources
   * Null columns (zero-buffer, all-null by type — the HF-shard shape
   * where a feature has no values) and top-level RunEndEncoded columns
   * (runs expand to their logical values) decode natively.
+  * Top-level sparse and dense unions of scalar branches decode (one
+  * cell per slot from the child its type id selects), as do
+  * top-level LargeList columns over scalar leaves (64-bit offsets —
+  * the HF token-array shape past the 2^31-element shard line).
   * Documented refusals, all whole-file (a columnar table is
   * all-or-nothing): dictionary-of-nested, a delta dictionary with no
-  * prior table, Union/view columns, YEAR_MONTH/DAY_TIME intervals
+  * prior table, non-top-level or nested-branch unions, view columns,
+  * YEAR_MONTH/DAY_TIME intervals
   * (MonthDayNano — the form pyarrow writes — decodes as 16 hex
   * bytes), nested or
   * dictionary-encoded RunEndEncoded, nesting beyond the supported
-  * shapes (struct past depth 2, struct under list<struct> or map,
-  * list nesting past three levels, lists under non-top-level
-  * structs deeper than list<scalar>, map values nested deeper than
-  * list<scalar>), trailing bytes after a stream's end-of-stream
+  * shapes (struct past depth 2, a list or struct inside a struct kid
+  * under list<struct> or map, list nesting past three levels, lists
+  * under non-top-level structs deeper than list<scalar>, map values
+  * nested deeper than list<scalar> / struct<scalars>), trailing
+  * bytes after a stream's end-of-stream
   * marker. Values emit as raw
   * little-endian bits zero-extended to a long (bit-exact NaN
   * payloads), strings as UTF-8, binary as lowercase hex. Never
@@ -197,10 +203,21 @@ object ArrowCodec {
     * buffers, runs expand to their logical values on decode. */
   private case class RunEndT(values: Typ, runW: Int, label: String)
     extends Typ
+  /** LargeList (64-bit offsets) of a SCALAR leaf, top-level only —
+    * the HF-datasets shape for token arrays whose shard-total element
+    * count can exceed 2^31. Same cell convention as `list<scalar>`. */
+  private case class LargeListT(child: Typ, label: String) extends Typ
+  /** Sparse/dense union of SCALAR children (top-level only): a type-id
+    * buffer (int8 per slot; no validity — union nullability lives in
+    * the children per the post-1.0 spec), plus a 32-bit offsets buffer
+    * when dense. `typeIds(i)` is the type id announcing child i. */
+  private case class UnionT(children: Vector[FieldSpec], typeIds: Vector[Int],
+      dense: Boolean, label: String) extends Typ
 
   /** A flat value type: rides one node + (validity, data…) buffers. */
   private def isScalar(t: Typ): Boolean = t match {
-    case _: ListT | _: StructT | NullT | _: RunEndT => false
+    case _: ListT | _: StructT | NullT | _: RunEndT | _: UnionT |
+         _: LargeListT => false
     case _ => true
   }
 
@@ -392,6 +409,37 @@ object ArrowCodec {
           }
         }
         StructT(kids, "struct")
+      case 14 => // Union: mode(0, default Sparse) typeIds(1). Scalar
+        // branches at top level only — the mixed-type feature column
+        // shape (e.g. an int-or-string id). The union array itself has
+        // NO validity bitmap (post-1.0 spec): null slots are null
+        // CHILD slots, so each cell gates on the selected child.
+        if (depth > 0) err()
+        val t = typeTable
+        val mPos = field(b, t, 0)
+        val dense = (if (mPos < 0) 0 else i16(b, mPos)) match {
+          case 0 => false
+          case 1 => true
+          case _ => err()
+        }
+        val ch = field(b, fpos, 5)
+        if (ch < 0) err()
+        val (nc, _) = vec(b, ch, 4)
+        if (nc < 1 || nc > 64) err()
+        val kids = (0L until nc).map(i =>
+          parseField(b, childField(i.toInt), depth + 1)).toVector
+        kids.foreach(k => if (k.dict.isDefined || !isScalar(k.typ)) err())
+        val tPos = field(b, t, 1)
+        val tids: Vector[Int] =
+          if (tPos < 0) (0 until nc.toInt).toVector
+          else {
+            val (n, at) = vec(b, tPos, 4)
+            if (n != nc) err()
+            (0L until n).map(i => i32(b, at + 4 * i)).toVector
+          }
+        if (tids.exists(x => x < 0 || x > 127) ||
+            tids.distinct.size != tids.size) err()
+        UnionT(kids, tids, dense, if (dense) "union_dense" else "union_sparse")
       case 15 => // FixedSizeBinary: byteWidth(0)
         val bwPos = field(b, typeTable, 0)
         if (bwPos < 0) err()
@@ -435,6 +483,15 @@ object ArrowCodec {
         Prim(s"dur_${unitName(u)}", 8)
       case 19 => VarBytes("lbin", 8)  // LargeBinary: 64-bit offsets
       case 20 => VarBytes("lutf8", 8) // LargeUtf8: 64-bit offsets
+      case 21 => // LargeList: 64-bit offsets, scalar leaf, top level
+        // only — HF token arrays past the 2^31-element shard line
+        if (depth > 0) err()
+        val child = parseField(b, childField(0), depth + 1)
+        if (child.dict.isDefined) err()
+        child.typ match {
+          case t if isScalar(t) => LargeListT(t, s"llist<${t.label}>")
+          case _ => err() // nested large-list child: refuse
+        }
       case 22 => // RunEndEncoded: run_ends(child 0) + values(child 1)
         if (depth > 0) err() // top-level REE only
         val re = parseField(b, childField(0), depth + 1)
@@ -449,7 +506,7 @@ object ArrowCodec {
         val vf = parseField(b, childField(1), depth + 1)
         if (vf.dict.isDefined || !isScalar(vf.typ)) err()
         RunEndT(vf.typ, runW, s"ree<${vf.typ.label}>")
-      case _ => err() // Union/views/LargeList/...: refuse
+      case _ => err() // views/ListView/LargeListView/...: refuse
     }
     if (dict.isDefined && !isScalar(typ))
       err() // dict-of-nested/null/ree: refuse
@@ -1113,6 +1170,60 @@ object ArrowCodec {
             }
           }
           emitKids(f.name, kids, v)
+        case LargeListT(child, label) =>
+          // one node + validity + 64-bit offsets, then the scalar
+          // leaf; cell convention identical to list<scalar>
+          val (len, _) = nextNode()
+          if (len != rows) err()
+          val v = valid(nextBuf(), len)
+          val offs = nextBuf()
+          if ((len + 1) * 8 > offs.len) err()
+          val cl = readLeaf(child)
+          var i = 0L
+          while (i < len) {
+            if (!v(i)) nullCell(f.name, i, None, label)
+            else {
+              val s = buN(offs, 8 * i, 8)
+              val e = buN(offs, 8 * (i + 1), 8)
+              if (e < s || e > cl.len) err()
+              var k = 0L
+              while (k < e - s) {
+                put(f.name, i, Some(k), cl, s + k, gate = true)
+                k += 1
+              }
+            }
+            i += 1
+          }
+
+        case UnionT(kids, tids, dense, _) =>
+          // union node (no validity buffer), then type ids — int8 per
+          // slot — plus 32-bit offsets when dense; children follow as
+          // full depth-first columns. Each slot emits ONE cell from
+          // the child its type id selects, carrying the child's
+          // vtype; nullity is the selected child slot's.
+          val (len, _) = nextNode()
+          if (len != rows) err()
+          val types = nextBuf()
+          if (len > types.len) err()
+          val offs = if (dense) nextBuf() else Buf(b, 0, 0)
+          if (dense && len * 4 > offs.len) err()
+          val leaves = kids.map(k => readLeaf(k.typ))
+          if (!dense) leaves.foreach(l => if (l.len != rows) err())
+          var i = 0L
+          while (i < rows) {
+            val ci = tids.indexOf(bu8(types, i))
+            if (ci < 0) err() // type id names no child
+            val leaf = leaves(ci)
+            val j =
+              if (dense) {
+                val o = buN(offs, 4 * i, 4)
+                if (o < 0 || o >= leaf.len) err()
+                o
+              } else i
+            put(f.name, i, None, leaf, j, gate = true)
+            i += 1
+          }
+
         case _ => err() // unreachable: all Typ shapes dispatched above
       }
     }

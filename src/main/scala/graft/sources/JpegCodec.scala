@@ -12,11 +12,13 @@ import scala.collection.mutable
   * (grayscale) or 3 (YCbCr) components, any h/v sampling factors up
   * to 2 (4:4:4, 4:2:2, 4:2:0), multiple DQT/DHT segments (including
   * per-scan table redefinition), DRI/RSTn restart intervals, APPn/COM
-  * skipped. Everything else — arithmetic coding (SOF9+), lossless,
-  * 12-bit precision, CMYK, truncated or corrupt streams — is refused
-  * with None, never an exception: corrupt shards in a 100 TB crawl
-  * must skip, not kill the stage (same contract as
-  * [[GzipCodec]]/[[TarCodec]]).
+  * skipped. Lossless sequential Huffman (SOF3, process 14 — the
+  * DICOM/scientific shape, 2-16 bit) decodes through the separate
+  * [[decodeLossless]] entry. Everything else — arithmetic coding
+  * (SOF9+), 12-bit DCT precision, CMYK, truncated or corrupt
+  * streams — is refused with None, never an exception: corrupt
+  * shards in a 100 TB crawl must skip, not kill the stage (same
+  * contract as [[GzipCodec]]/[[TarCodec]]).
   *
   * The inverse pipeline is a FIXED INTEGER SPEC shared bit-for-bit
   * with the independent from-scratch Python golden writer/decoder in
@@ -1015,6 +1017,208 @@ object JpegCodec {
         y += 1
       }
       JpegImage(width, height, 3, out)
+    }
+  }
+
+  // ------------------------------------------------------ lossless (SOF3)
+  //
+  // ITU-T T.81 process 14 (lossless sequential Huffman), the DICOM /
+  // scientific-imagery shape the DCT entry above refuses. Decoded
+  // against the independent Python encoder in
+  // tools/jpeg_lossless_golden.py under the SHARED SPEC (Annex H):
+  //   * predictors 1..7 on Ra/Rb/Rc with integer >>1 for the /2 cases;
+  //   * the first sample of a scan (and of each restart interval)
+  //     predicts 1 << (P - Pt - 1); the rest of that interval's first
+  //     row predicts Ra; the first sample of later rows predicts Rb;
+  //   * diff is DC-style Huffman (SSSS category + extend), except
+  //     SSSS=16 carries no extra bits and means exactly 32768;
+  //   * reconstruction Rx = (Px + diff) mod 2^16, emitted as Rx << Pt.
+  // Profile bounds (refused outside): precision 2..16, h=v=1 per
+  // component (subsampled lossless is vanishingly rare and its sample
+  // geometry is underspecified), restart markers only at row
+  // boundaries (the common whole-row DRI layout), a single point
+  // transform per image, no differential/arithmetic frames.
+
+  /** Decoded lossless frame: `samples` is row-major, channel-
+    * interleaved, each value the reconstructed sample << Pt
+    * (so at most `precision` bits). */
+  final case class JpegLosslessImage(width: Int, height: Int, channels: Int,
+      precision: Int, pointTransform: Int, samples: Array[Int])
+
+  def decodeLossless(bytes: Array[Byte]): Option[JpegLosslessImage] =
+    try Some(decodeLosslessOrRefuse(bytes))
+    catch { case _: Refused | _: RuntimeException | _: IndexOutOfBoundsException => None }
+
+  private def decodeLosslessOrRefuse(d: Array[Byte]): JpegLosslessImage = {
+    if (d.length < 4 || (d(0) & 0xff) != 0xff || (d(1) & 0xff) != 0xd8) refuse()
+    var p = 2
+    val huffDc = new Array[mutable.HashMap[Int, Int]](4)
+    var width = 0; var height = 0; var precision = 0
+    var restart = 0
+    var nc = 0
+    var compIds: Array[Int] = null
+    var planes: Array[Array[Int]] = null
+    var decoded: Array[Boolean] = null
+    var pt = -1
+
+    def u16(o: Int): Int = {
+      if (o + 1 >= d.length) refuse()
+      ((d(o) & 0xff) << 8) | (d(o + 1) & 0xff)
+    }
+
+    while (true) {
+      if (p + 1 >= d.length || (d(p) & 0xff) != 0xff) refuse()
+      val m = d(p + 1) & 0xff
+      if (m == 0xd9) { // EOI
+        if (planes == null || decoded == null || pt < 0) refuse()
+        var c = 0
+        while (c < nc) { if (!decoded(c)) refuse(); c += 1 }
+        val out = new Array[Int](width * height * nc)
+        var i = 0
+        while (i < width * height) {
+          var k = 0
+          while (k < nc) { out(i * nc + k) = planes(k)(i) << pt; k += 1 }
+          i += 1
+        }
+        return JpegLosslessImage(width, height, nc, precision, pt, out)
+      }
+      val ln = u16(p + 2)
+      if (ln < 2 || p + 2 + ln > d.length) refuse()
+      val bo = p + 4
+      val bend = p + 2 + ln
+      var next = p + 2 + ln
+      m match {
+        case 0xc4 => // DHT (DC-class tables carry the difference codes)
+          var q = bo
+          while (q < bend) {
+            val tc = (d(q) & 0xff) >> 4
+            val th = d(q) & 0x0f
+            if (tc > 1 || th > 3 || q + 17 > bend) refuse()
+            val bits = Array.tabulate(16)(i => d(q + 1 + i) & 0xff)
+            val nv = bits.sum
+            if (q + 17 + nv > bend || nv > 256) refuse()
+            val vals = Array.tabulate(nv)(i => d(q + 17 + i) & 0xff)
+            if (tc == 0) huffDc(th) = huffTable(bits, vals)
+            q += 17 + nv
+          }
+        case 0xc3 => // SOF3: lossless sequential Huffman
+          if (compIds != null) refuse() // second frame header
+          precision = d(bo) & 0xff
+          if (precision < 2 || precision > 16) refuse()
+          height = u16(bo + 1); width = u16(bo + 3)
+          nc = d(bo + 5) & 0xff
+          if (width == 0 || height == 0 || nc < 1 || nc > 4) refuse()
+          if (width.toLong * height * nc > MaxPixels) refuse()
+          if (bo + 6 + 3 * nc > bend) refuse()
+          compIds = Array.tabulate(nc) { i =>
+            val hv = d(bo + 7 + 3 * i) & 0xff
+            if (hv != 0x11) refuse() // subsampled lossless: out of profile
+            d(bo + 6 + 3 * i) & 0xff
+          }
+          planes = Array.fill(nc)(new Array[Int](width * height))
+          decoded = new Array[Boolean](nc)
+        case 0xc0 | 0xc1 | 0xc2 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+             0xcd | 0xce | 0xcf =>
+          refuse() // DCT / differential / arithmetic frame in the lossless entry
+        case 0xdd => // DRI
+          if (ln != 4) refuse()
+          restart = u16(bo)
+        case 0xdb => () // stray quantization table: legal to carry, unused
+        case 0xda => // SOS: one lossless scan (interleaved or per-component)
+          if (compIds == null) refuse()
+          val ns = d(bo) & 0xff
+          if (ns < 1 || ns > nc || bo + 1 + 2 * ns + 3 > bend) refuse()
+          val cis = new Array[Int](ns)
+          val tids = new Array[Int](ns)
+          var i = 0
+          while (i < ns) {
+            val cs = d(bo + 1 + 2 * i) & 0xff
+            val ci = compIds.indexWhere(_ == cs)
+            if (ci < 0 || decoded(ci)) refuse()
+            cis(i) = ci
+            val tt = d(bo + 2 + 2 * i) & 0xff
+            tids(i) = tt >> 4
+            if (tids(i) > 3 || huffDc(tids(i)) == null) refuse()
+            i += 1
+          }
+          val psel = d(bo + 1 + 2 * ns) & 0xff
+          val se = d(bo + 2 + 2 * ns) & 0xff
+          val ahal = d(bo + 3 + 2 * ns) & 0xff
+          if (psel < 1 || psel > 7 || se != 0 || (ahal >> 4) != 0) refuse()
+          val ptv = ahal & 0x0f
+          if (ptv >= precision) refuse()
+          if (pt < 0) pt = ptv else if (pt != ptv) refuse()
+          val br = new BitReader(d, bend)
+          losslessScan(br, planes, cis, tids, huffDc, width, height,
+            precision, psel, ptv, restart)
+          i = 0
+          while (i < ns) { decoded(cis(i)) = true; i += 1 }
+          next = br.p
+        case x if (x >= 0xe0 && x <= 0xef) || x == 0xfe => () // APPn / COM
+        case _ => refuse()
+      }
+      p = next
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** One lossless scan: raster MCU walk (an MCU is one sample of each
+    * scan component at h=v=1), per-component prediction, row-aligned
+    * restart intervals. */
+  private def losslessScan(br: BitReader, planes: Array[Array[Int]],
+      cis: Array[Int], tids: Array[Int],
+      huffDc: Array[mutable.HashMap[Int, Int]], w: Int, h: Int,
+      precision: Int, psel: Int, ptv: Int, restart: Int): Unit = {
+    val default = 1 << (precision - ptv - 1)
+    var resetRow = 0
+    var firstOfInterval = true
+    var mcu = 0
+    var rstIdx = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (restart > 0 && mcu > 0 && mcu % restart == 0) {
+          if (x != 0) refuse() // mid-row restart: out of profile
+          br.byteAlign()
+          if (br.peekRst() != 0xd0 + (rstIdx & 7)) refuse()
+          br.skipMarker()
+          rstIdx += 1
+          resetRow = y
+          firstOfInterval = true
+        }
+        var k = 0
+        while (k < cis.length) {
+          val plane = planes(cis(k))
+          val s = readHuff(br, huffDc(tids(k)))
+          if (s > 16) refuse()
+          val diff = if (s == 16) 32768 else extend(br.bits(s), s)
+          val px =
+            if (firstOfInterval) default
+            else if (y == resetRow) plane(y * w + x - 1) // interval's first row: Ra
+            else if (x == 0) plane((y - 1) * w) // later rows start on Rb
+            else {
+              val ra = plane(y * w + x - 1)
+              val rb = plane((y - 1) * w + x)
+              val rc = plane((y - 1) * w + x - 1)
+              psel match {
+                case 1 => ra
+                case 2 => rb
+                case 3 => rc
+                case 4 => ra + rb - rc
+                case 5 => ra + ((rb - rc) >> 1)
+                case 6 => rb + ((ra - rc) >> 1)
+                case _ => (ra + rb) >> 1
+              }
+            }
+          plane(y * w + x) = (px + diff) & 0xffff
+          k += 1
+        }
+        firstOfInterval = false
+        mcu += 1
+        x += 1
+      }
+      y += 1
     }
   }
 }

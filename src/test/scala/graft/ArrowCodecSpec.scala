@@ -652,4 +652,48 @@ class ArrowCodecSpec extends SparkSpec {
       j += 1
     }
   }
+
+  test("top-level sparse and dense unions of scalar branches decode") {
+    val cells = ArrowCodec.decode(fixture("union-29.arrow")).get
+    def col(n: String) = cells.filter(_.col == n).sortBy(_.row)
+    // sparse: type ids [0,1,0,1,0] over (i64, utf8); slot 3 selects a
+    // null utf8 slot, slot 0/2/4 live i64 values
+    assert(col("us").map(c => (c.vtype, c.isNull, c.bits, c.str)) == Vector(
+      ("i64", false, Some(11L), None),
+      ("utf8", false, None, Some("b")),
+      ("i64", false, Some(13L), None),
+      ("utf8", true, None, None),
+      ("i64", false, Some(15L), None)))
+    // dense: type ids [0,2,1,0,2], offsets [0,0,0,1,1]; slot 3 hits
+    // the i64 child's NULL slot, slot 4 the f64 child's second value
+    assert(col("ud").map(c => (c.vtype, c.isNull)) == Vector(
+      ("i64", false), ("f64", false), ("utf8", false),
+      ("i64", true), ("f64", false)))
+    assert(col("ud")(2).str == Some("only"))
+    assert(col("ud")(4).bits ==
+      Some(java.lang.Double.doubleToLongBits(-2.25)))
+    // a union carrying a nested branch refuses whole-file
+    assert(ArrowCodec.decode(fixture("unionnested-30.arrow")).isEmpty,
+      "nested union branch must refuse")
+    // large_list<i64>: 64-bit offsets, list<i64> cell conventions
+    val ll = ArrowCodec.decode(fixture("largelist-31.arrow")).get
+      .filter(_.col == "toks")
+    assert(ll.filter(_.row == 0).map(c => (c.elem, c.bits, c.isNull)) ==
+      Vector((Some(0L), Some(7L), false), (Some(1L), None, true),
+        (Some(2L), Some(9L), false)))
+    val llNull = ll.filter(_.row == 1)
+    assert(llNull.size == 1 && llNull.head.isNull &&
+      llNull.head.vtype == "llist<i64>")
+    assert(ll.count(_.row == 2) == 0, "empty large list emits nothing")
+    assert(ll.filter(_.row == 3).map(_.bits) == Vector(Some(42L)))
+    // hostile-bytes sweep: never throws
+    val f = fixture("union-29.arrow")
+    (0 until f.length by 7).foreach(k => ArrowCodec.decode(f.take(k)))
+    var j = 0
+    while (j < f.length) {
+      val m = f.clone(); m(j) = (m(j) ^ 0x5c).toByte
+      ArrowCodec.decode(m)
+      j += 1
+    }
+  }
 }

@@ -1028,6 +1028,84 @@ with open(os.path.join(D, "structdeep-24.arrow"), "wb") as fh:
         [pa.array([{"a": {"b": {"c": {"d": 1}}}}], type=t24)], schema=s24))
     w.close()
 
+# ---- union-29.arrow (GRADED): top-level sparse AND dense unions of
+# scalar branches — the mixed-type feature column shape (an
+# int-or-string id, a number-or-text answer). The union array itself
+# carries no validity (post-1.0 spec): each slot emits ONE cell from
+# the child its type id selects, null iff that child slot is null.
+u29_types = pa.array([0, 1, 0, 1, 0], pa.int8())
+u29_ints = pa.array([11, None, 13, None, 15], pa.int64())
+u29_strs = pa.array(["a", "b", None, None, "e"], pa.string())
+a29s = pa.UnionArray.from_sparse(u29_types, [u29_ints, u29_strs])
+u29d_types = pa.array([0, 2, 1, 0, 2], pa.int8())
+u29d_offs = pa.array([0, 0, 0, 1, 1], pa.int32())
+a29d = pa.UnionArray.from_dense(
+    u29d_types, u29d_offs,
+    [pa.array([100, None], pa.int64()),
+     pa.array(["only"], pa.string()),
+     pa.array([0.5, -2.25], pa.float64())])
+s29 = pa.schema([("us", a29s.type), ("ud", a29d.type)])
+with open(os.path.join(D, "union-29.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, s29)
+    w.write_batch(pa.record_batch([a29s, a29d], schema=s29))
+    w.close()
+F29 = "union-29.arrow"
+# sparse: slot -> (vtype, value) via type id
+for ri, (tid, iv, sv) in enumerate(zip(
+        [0, 1, 0, 1, 0],
+        [11, None, 13, None, 15],
+        ["a", "b", None, None, "e"])):
+    if tid == 0:
+        ROWS.append((F29, 0, "us", ri, None, "i64", iv is None, iv, None))
+    else:
+        ROWS.append((F29, 0, "us", ri, None, "utf8", sv is None, None, sv))
+# dense: slot -> child[offset]
+d_children = {0: ("i64", [100, None]), 1: ("utf8", ["only"]),
+              2: ("f64", [0.5, -2.25])}
+for ri, (tid, off) in enumerate(zip([0, 2, 1, 0, 2], [0, 0, 0, 1, 1])):
+    vt, vals = d_children[tid]
+    v = vals[off]
+    if vt == "utf8":
+        ROWS.append((F29, 0, "ud", ri, None, vt, v is None, None, v))
+    else:
+        ROWS.append((F29, 0, "ud", ri, None, vt, v is None,
+                     None if v is None else bits_of(vt, v), None))
+
+# ---- unionnested-30.arrow: a union with a NESTED branch
+# (list<int64>) — out of envelope, whole-file refusal; absence graded.
+u30_types = pa.array([0, 1], pa.int8())
+a30 = pa.UnionArray.from_sparse(
+    u30_types,
+    [pa.array([1, 2], pa.int64()),
+     pa.array([[1], [2, 3]], pa.list_(pa.int64()))])
+s30 = pa.schema([("u", a30.type)])
+with open(os.path.join(D, "unionnested-30.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, s30)
+    w.write_batch(pa.record_batch([a30], schema=s30))
+    w.close()
+
+# ---- largelist-31.arrow (GRADED): top-level large_list<i64> —
+# 64-bit offsets, the HF token-array shape for shards whose element
+# total can pass 2^31. Same cell convention as list<i64>: null list ->
+# one elem-less cell with the column vtype, empty list -> no cells,
+# elements carry the leaf vtype gated on element validity.
+ll_vals = [[7, None, 9], None, [], [42]]
+t31 = pa.large_list(pa.int64())
+s31 = pa.schema([("toks", t31)])
+with open(os.path.join(D, "largelist-31.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, s31)
+    w.write_batch(pa.record_batch([pa.array(ll_vals, type=t31)],
+                                  schema=s31))
+    w.close()
+F31 = "largelist-31.arrow"
+for ri, lst in enumerate(ll_vals):
+    if lst is None:
+        ROWS.append((F31, 0, "toks", ri, None, "llist<i64>", True,
+                     None, None))
+        continue
+    for ki, x in enumerate(lst):
+        ROWS.append((F31, 0, "toks", ri, ki, "i64", x is None, x, None))
+
 schema_g = pa.schema([
     ("file", pa.string()), ("batch", pa.int32()), ("col", pa.string()),
     ("row", pa.int64()), ("elem_idx", pa.int64()), ("vtype", pa.string()),
