@@ -691,6 +691,55 @@ object MultimodalQueries {
       .toDF("name", "y", "x", "c", "v")
   }
 
+  /** 12-bit extended-sequential (SOF1, T.81 process 2) JPEG decode,
+    * oracle-graded per SAMPLE — the same discipline as
+    * [[qJpegLossless]] over the four committed 12-bit fixtures written
+    * by the independent Python encoder in `tools/jpeg12_golden.py`
+    * (level shift 2048, 16-bit Pq=1 quantization tables, the wider
+    * DC 0..15 / AC 1..14 categories, 4:4:4 and 4:2:0 subsampling,
+    * restart markers). The golden samples are the independent Python
+    * decoder's shared-integer-spec reconstruction, so every Huffman
+    * bit, dequantize, IDCT rounding at the 2048 level shift, 12-bit
+    * clamp, upsample index, and chroma-centered color constant in
+    * [[graft.sources.JpegCodec.decode12]] must agree or the hash
+    * flips. Completes the DICOM JPEG story next to [[qJpegLossless]]
+    * (process 14). */
+  def qJpeg12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.jpg")
+      .load(graft.Fixtures.path("q_jpeg12"))
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".jpg")
+        val img = graft.sources.JpegCodec.decode12(bytes)
+          .getOrElse(throw new IllegalStateException(s"fixture undecodable: $name"))
+        val out = new Array[(String, Int, Int, Int, Int)](
+          img.width * img.height * img.channels)
+        var y = 0
+        while (y < img.height) {
+          var x = 0
+          while (x < img.width) {
+            var c = 0
+            while (c < img.channels) {
+              val i = (y * img.width + x) * img.channels + c
+              out(i) = (name, y, x, c, img.samples(i))
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+      .toDF("name", "y", "x", "c", "v")
+  }
+
+  val qJpeg12Sql: String =
+    s"""SELECT name, y, x, c, v
+      |FROM read_parquet('${graft.Fixtures.base}/q_jpeg12/golden/*.parquet')""".stripMargin
+
   val qJpegLosslessSql: String =
     s"""SELECT name, y, x, c, v
       |FROM read_parquet('${graft.Fixtures.base}/q_jpeg_lossless/golden/*.parquet')""".stripMargin
@@ -2026,6 +2075,7 @@ object MultimodalQueries {
     "q_jpeg_decode" -> (qJpegDecode _),
     "q_jpeg_progressive" -> (qJpegProgressive _),
     "q_jpeg_lossless" -> (qJpegLossless _),
+    "q_jpeg12" -> (qJpeg12 _),
     "q_png_decode" -> (qPngDecode _),
     "q_tiff_georef" -> (qTiffGeoref _),
     "q_jsonl_gz" -> (qJsonlGz _),
@@ -2082,6 +2132,7 @@ object MultimodalQueries {
     "q_jpeg_decode" -> qJpegDecodeSql,
     "q_jpeg_progressive" -> qJpegProgressiveSql,
     "q_jpeg_lossless" -> qJpegLosslessSql,
+    "q_jpeg12" -> qJpeg12Sql,
     "q_jsonl_gz" -> qJsonlGzSql,
     "q_jsonl_zst" -> qJsonlZstSql,
     "q_jsonl_bz2" -> qJsonlBz2Sql,

@@ -14,8 +14,10 @@ import scala.collection.mutable
   * per-scan table redefinition), DRI/RSTn restart intervals, APPn/COM
   * skipped. Lossless sequential Huffman (SOF3, process 14 — the
   * DICOM/scientific shape, 2-16 bit) decodes through the separate
-  * [[decodeLossless]] entry. Everything else — arithmetic coding
-  * (SOF9+), 12-bit DCT precision, CMYK, truncated or corrupt
+  * [[decodeLossless]] entry, and 12-bit extended sequential (SOF1,
+  * process 2 — the 12-bit DICOM DCT shape, incl. Pq=1 16-bit
+  * quantization tables) through [[decode12]]. Everything else —
+  * arithmetic coding (SOF9+), CMYK, truncated or corrupt
   * streams — is refused with None, never an exception: corrupt
   * shards in a 100 TB crawl must skip, not kill the stage (same
   * contract as [[GzipCodec]]/[[TarCodec]]).
@@ -1160,6 +1162,305 @@ object JpegCodec {
       p = next
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  // -------------------------------------------- 12-bit DCT (SOF1, P=12)
+  //
+  // Extended sequential Huffman at 12-bit precision (T.81 process 2)
+  // — the 12-bit DICOM/scientific DCT shape the 8-bit entry refuses.
+  // A parallel path so the hot 8-bit decode stays untouched; shared
+  // primitives (BitReader, Huffman, Zigzag, the 14-bit IDCT basis)
+  // are reused, with the 12-bit deltas pinned against the independent
+  // Python encoder+decoder in tools/jpeg12_golden.py:
+  //   * level shift 2048, clamp 0..4095 after the same
+  //     (acc + 2^27) >> 28 descale;
+  //   * DC SSSS 0..15, AC SSSS 1..14 (the wider 12-bit categories);
+  //   * DQT element precision Pq=1 (16-bit) parsed alongside Pq=0;
+  //   * chroma centered at 2048 in the same fixed-point YCbCr->RGB.
+
+  /** Decoded 12-bit frame: `samples` is row-major, channel-
+    * interleaved ints in 0..4095. */
+  final case class Jpeg12Image(width: Int, height: Int, channels: Int,
+      samples: Array[Int])
+
+  def decode12(bytes: Array[Byte]): Option[Jpeg12Image] =
+    try Some(decode12OrRefuse(bytes))
+    catch { case _: Refused | _: RuntimeException | _: IndexOutOfBoundsException => None }
+
+  private def decode12OrRefuse(d: Array[Byte]): Jpeg12Image = {
+    if (d.length < 4 || (d(0) & 0xff) != 0xff || (d(1) & 0xff) != 0xd8) refuse()
+    var p = 2
+    val quant = new Array[Array[Int]](4)
+    val huffDc = new Array[mutable.HashMap[Int, Int]](4)
+    val huffAc = new Array[mutable.HashMap[Int, Int]](4)
+    var width = 0; var height = 0
+    var comps: Array[Comp] = null
+    var restart = 0
+
+    def u16(o: Int): Int = {
+      if (o + 1 >= d.length) refuse()
+      ((d(o) & 0xff) << 8) | (d(o + 1) & 0xff)
+    }
+
+    while (true) {
+      if (p + 1 >= d.length || (d(p) & 0xff) != 0xff) refuse()
+      val m = d(p + 1) & 0xff
+      if (m == 0xd9) refuse() // EOI before any scan
+      val ln = u16(p + 2)
+      if (ln < 2 || p + 2 + ln > d.length) refuse()
+      val bo = p + 4
+      val bend = p + 2 + ln
+      m match {
+        case 0xdb => // DQT: Pq=0 (8-bit) or Pq=1 (16-bit) elements
+          var q = bo
+          while (q < bend) {
+            val pq = (d(q) & 0xff) >> 4
+            val tid = d(q) & 0x0f
+            if (pq > 1 || tid > 3) refuse()
+            val ew = if (pq == 1) 2 else 1
+            if (q + 1 + 64 * ew > bend) refuse()
+            val tab = new Array[Int](64)
+            var i = 0
+            while (i < 64) {
+              tab(Zigzag(i)) =
+                if (pq == 1) u16(q + 1 + 2 * i) else d(q + 1 + i) & 0xff
+              i += 1
+            }
+            quant(tid) = tab
+            q += 1 + 64 * ew
+          }
+        case 0xc4 => // DHT
+          var q = bo
+          while (q < bend) {
+            val tc = (d(q) & 0xff) >> 4
+            val th = d(q) & 0x0f
+            if (tc > 1 || th > 3 || q + 17 > bend) refuse()
+            val bits = Array.tabulate(16)(i => d(q + 1 + i) & 0xff)
+            val nv = bits.sum
+            if (q + 17 + nv > bend || nv > 256) refuse()
+            val vals = Array.tabulate(nv)(i => d(q + 17 + i) & 0xff)
+            val t = huffTable(bits, vals)
+            if (tc == 0) huffDc(th) = t else huffAc(th) = t
+            q += 17 + nv
+          }
+        case 0xc1 => // SOF1 extended sequential, 12-bit only here
+          if ((d(bo) & 0xff) != 12) refuse()
+          if (comps != null) refuse()
+          height = u16(bo + 1); width = u16(bo + 3)
+          val nc = d(bo + 5) & 0xff
+          if (width == 0 || height == 0 || (nc != 1 && nc != 3)) refuse()
+          if (width.toLong * height > MaxPixels) refuse()
+          if (bo + 6 + 3 * nc > bend) refuse()
+          comps = Array.tabulate(nc) { i =>
+            val hv = d(bo + 7 + 3 * i) & 0xff
+            val c = Comp(d(bo + 6 + 3 * i) & 0xff, hv >> 4, hv & 0x0f,
+              d(bo + 8 + 3 * i) & 0xff)
+            if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3) refuse()
+            c
+          }
+        case 0xc0 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+             0xcd | 0xce | 0xcf =>
+          refuse() // 8-bit/progressive/lossless/arithmetic in the 12-bit entry
+        case 0xdd =>
+          if (ln != 4) refuse()
+          restart = u16(bo)
+        case 0xda => // SOS — single interleaved extended-sequential scan
+          if (comps == null) refuse()
+          val ns = d(bo) & 0xff
+          if (ns != comps.length || bo + 1 + 2 * ns + 3 > bend) refuse()
+          val scanDc = new Array[Int](comps.length)
+          val scanAc = new Array[Int](comps.length)
+          var i = 0
+          while (i < ns) {
+            val cs = d(bo + 1 + 2 * i) & 0xff
+            val ci = comps.indexWhere(_.id == cs)
+            if (ci < 0) refuse()
+            val tt = d(bo + 2 + 2 * i) & 0xff
+            scanDc(ci) = tt >> 4; scanAc(ci) = tt & 0x0f
+            i += 1
+          }
+          if ((d(bo + 1 + 2 * ns) & 0xff) != 0 ||
+              (d(bo + 2 + 2 * ns) & 0xff) != 63 ||
+              (d(bo + 3 + 2 * ns) & 0xff) != 0) refuse()
+          return decodeScan12(d, bend, width, height, comps, scanDc,
+            scanAc, quant, huffDc, huffAc, restart)
+        case _ => () // APPn, COM, others: skip
+      }
+      p = p + 2 + ln
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The 12-bit IDCT: same basis and descale as [[idctBlock]], level
+    * shift 2048, clamp 0..4095. */
+  private def idctBlock12(f: Array[Int], out: Array[Int]): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0L
+        var u = 0
+        while (u < 8) {
+          val tu = IdctT(u)(x).toLong
+          var v = 0
+          while (v < 8) {
+            acc += f(v * 8 + u) * tu * IdctT(v)(y)
+            v += 1
+          }
+          u += 1
+        }
+        val s = 2048 + ((acc + (1L << 27)) >> 28).toInt
+        out(y * 8 + x) = if (s < 0) 0 else if (s > 4095) 4095 else s
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def clamp12(v: Int): Int = if (v < 0) 0 else if (v > 4095) 4095 else v
+
+  private def decodeScan12(
+      d: Array[Byte], scanStart: Int, width: Int, height: Int,
+      comps0: Array[Comp], scanDc: Array[Int], scanAc: Array[Int],
+      quant: Array[Array[Int]],
+      huffDc: Array[mutable.HashMap[Int, Int]],
+      huffAc: Array[mutable.HashMap[Int, Int]],
+      restart: Int): Jpeg12Image = {
+    val nc = comps0.length
+    // single-component scans are non-interleaved: force 1x1 geometry
+    // (the 8-bit path's 10918-1 rule, identical here)
+    val comps = if (nc == 1) Array(comps0(0).copy(h = 1, v = 1)) else comps0
+    var hmax = 1; var vmax = 1
+    comps.foreach { c => hmax = math.max(hmax, c.h); vmax = math.max(vmax, c.v) }
+    val mcux = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcuy = (height + 8 * vmax - 1) / (8 * vmax)
+    var paddedSamples = 0L
+    comps.foreach { c =>
+      paddedSamples += mcux.toLong * 8 * c.h * mcuy * 8 * c.v
+    }
+    if (paddedSamples > MaxPixels * 8) refuse()
+    val planeW = Array.tabulate(nc)(i => mcux * 8 * comps(i).h)
+    val planes = Array.tabulate(nc)(i =>
+      new Array[Int](planeW(i) * mcuy * 8 * comps(i).v))
+    comps.foreach { c => if (quant(c.tq) == null) refuse() }
+    var i = 0
+    while (i < nc) {
+      if (huffDc(scanDc(i)) == null || huffAc(scanAc(i)) == null) refuse()
+      i += 1
+    }
+
+    val br = new BitReader(d, scanStart)
+    val preds = new Array[Int](nc)
+    val zz = new Array[Int](64)
+    val blk = new Array[Int](64)
+    var mcu = 0
+    var rst = 0
+    var my = 0
+    while (my < mcuy) {
+      var mx = 0
+      while (mx < mcux) {
+        if (restart > 0 && mcu > 0 && mcu % restart == 0) {
+          br.byteAlign()
+          if (br.peekRst() != 0xd0 + (rst & 7)) refuse()
+          br.skipMarker()
+          rst += 1
+          java.util.Arrays.fill(preds, 0)
+        }
+        var ci = 0
+        while (ci < nc) {
+          val c = comps(ci)
+          val q = quant(c.tq)
+          val dcT = huffDc(scanDc(ci))
+          val acT = huffAc(scanAc(ci))
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              java.util.Arrays.fill(zz, 0)
+              val s = readHuff(br, dcT)
+              if (s > 15) refuse() // 12-bit DC category ceiling
+              val diff = if (s != 0) extend(br.bits(s), s) else 0
+              preds(ci) += diff
+              zz(0) = preds(ci) * q(0)
+              var k = 1
+              var done = false
+              while (k < 64 && !done) {
+                val rs = readHuff(br, acT)
+                val r = rs >> 4
+                val s2 = rs & 0x0f
+                if (s2 == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else done = true // EOB
+                } else {
+                  if (s2 > 14) refuse() // 12-bit AC category ceiling
+                  k += r
+                  if (k > 63) refuse()
+                  zz(Zigzag(k)) = extend(br.bits(s2), s2) * q(Zigzag(k))
+                  k += 1
+                }
+              }
+              idctBlock12(zz, blk)
+              val y0 = (my * c.v + by) * 8
+              val x0 = (mx * c.h + bx) * 8
+              val pw = planeW(ci)
+              val plane = planes(ci)
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  plane((y0 + yy) * pw + x0 + xx) = blk(yy * 8 + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+
+    if (nc == 1) {
+      val out = new Array[Int](width * height)
+      val pw = planeW(0)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          out(y * width + x) = planes(0)(y * pw + x)
+          x += 1
+        }
+        y += 1
+      }
+      Jpeg12Image(width, height, 1, out)
+    } else {
+      val out = new Array[Int](width * height * 3)
+      val hr0 = hmax / comps(0).h; val vr0 = vmax / comps(0).v
+      val hr1 = hmax / comps(1).h; val vr1 = vmax / comps(1).v
+      val hr2 = hmax / comps(2).h; val vr2 = vmax / comps(2).v
+      val pw0 = planeW(0); val pw1 = planeW(1); val pw2 = planeW(2)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yv = planes(0)((y / vr0) * pw0 + (x / hr0))
+          val cb = planes(1)((y / vr1) * pw1 + (x / hr1)) - 2048
+          val cr = planes(2)((y / vr2) * pw2 + (x / hr2)) - 2048
+          val o = (y * width + x) * 3
+          out(o) = clamp12(yv + ((91881 * cr + 32768) >> 16))
+          out(o + 1) = clamp12(yv - ((22554 * cb + 46802 * cr + 32768) >> 16))
+          out(o + 2) = clamp12(yv + ((116130 * cb + 32768) >> 16))
+          x += 1
+        }
+        y += 1
+      }
+      Jpeg12Image(width, height, 3, out)
+    }
   }
 
   /** One lossless scan: raster MCU walk (an MCU is one sample of each
