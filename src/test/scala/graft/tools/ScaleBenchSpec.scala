@@ -14,6 +14,8 @@ class ScaleBenchSpec extends AnyFunSuite {
     "q_hdf5_read",          // committed h5py-written golden files
     "q_jpeg_decode",        // committed Pillow-written baseline JPEGs
     "q_jpeg_progressive",   // committed progressive-SOF2 goldens
+    "q_jpeg_lossless",      // committed lossless-SOF3 goldens
+    "q_jpeg12",             // committed 12-bit SOF1 goldens
     "q_warc_extract",       // committed Python-warcio-shaped WARC goldens
     "q_wet_extract",        // committed WET extracted-text goldens
     "q_wat_extract",        // committed WAT metadata-envelope goldens
