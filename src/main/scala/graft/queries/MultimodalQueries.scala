@@ -610,6 +610,25 @@ object MultimodalQueries {
   def qJpegProgressive(spark: SparkSession, dir: String): DataFrame =
     jpegPixels(spark, graft.Fixtures.path("q_jpeg_progressive"))
 
+  /** Arithmetic-coded JPEG decode (SOF9 sequential + SOF10 progressive,
+    * T.81 processes 3 and 6), oracle-graded per pixel — the same
+    * discipline as [[qJpegDecode]] over the nine committed fixtures
+    * ENCODED BY LIBJPEG ITSELF (`tools/jpeg_arith_ref.c` +
+    * `tools/jpeg_arith_golden.py`): libjpeg-turbo is the de-facto
+    * reference implementation of T.81 arithmetic coding, and the
+    * golden pixels derive from its own coefficient decode
+    * (jpeg_read_coefficients) pushed through the shared integer spec.
+    * Every QM-coder decision in [[graft.sources.JpegCodec]]'s
+    * arithmetic paths — Qe state transitions, conditional exchange,
+    * 0xFF00 unstuffing, DAC L/U/Kx conditioning, RSTn re-init with
+    * statistics reset, progressive DC/AC first and refinement models —
+    * must invert libjpeg's encoder exactly or the hash flips. With
+    * this, the codec covers every non-differential 8-bit T.81 process;
+    * arithmetic JPEG is rare in web corpora (~1%) but standard in
+    * DICOM-adjacent pipelines. */
+  def qJpegArith(spark: SparkSession, dir: String): DataFrame =
+    jpegPixels(spark, graft.Fixtures.path("q_jpeg_arith"))
+
   private def jpegPixels(spark: SparkSession, fixtureDir: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
@@ -751,6 +770,10 @@ object MultimodalQueries {
   val qJpegProgressiveSql: String =
     s"""SELECT name, y, x, r, g, b
       |FROM read_parquet('${graft.Fixtures.base}/q_jpeg_progressive/golden/*.parquet')""".stripMargin
+
+  val qJpegArithSql: String =
+    s"""SELECT name, y, x, r, g, b
+      |FROM read_parquet('${graft.Fixtures.base}/q_jpeg_arith/golden/*.parquet')""".stripMargin
 
   /** NetCDF classic (CDF-1) container round-trip, oracle-graded — the
     * reference's prediction sink is `ds.to_netcdf` per test instance,
@@ -2076,6 +2099,7 @@ object MultimodalQueries {
     "q_jpeg_progressive" -> (qJpegProgressive _),
     "q_jpeg_lossless" -> (qJpegLossless _),
     "q_jpeg12" -> (qJpeg12 _),
+    "q_jpeg_arith" -> (qJpegArith _),
     "q_png_decode" -> (qPngDecode _),
     "q_tiff_georef" -> (qTiffGeoref _),
     "q_jsonl_gz" -> (qJsonlGz _),
@@ -2133,6 +2157,7 @@ object MultimodalQueries {
     "q_jpeg_progressive" -> qJpegProgressiveSql,
     "q_jpeg_lossless" -> qJpegLosslessSql,
     "q_jpeg12" -> qJpeg12Sql,
+    "q_jpeg_arith" -> qJpegArithSql,
     "q_jsonl_gz" -> qJsonlGzSql,
     "q_jsonl_zst" -> qJsonlZstSql,
     "q_jsonl_bz2" -> qJsonlBz2Sql,

@@ -67,10 +67,16 @@ package graft.sources
   * Top-level sparse and dense unions of scalar branches decode (one
   * cell per slot from the child its type id selects), as do
   * top-level LargeList columns over scalar leaves (64-bit offsets —
-  * the HF token-array shape past the 2^31-element shard line).
+  * the HF token-array shape past the 2^31-element shard line) and
+  * top-level Utf8View/BinaryView columns (the 16-byte view structs
+  * arrow-rs/polars write by default since the StringView migration:
+  * inline data at length <= 12, else prefix + variadic-buffer
+  * index/offset, with RecordBatch.variadicBufferCounts walked and
+  * the prefix-mirror invariant verified).
   * Documented refusals, all whole-file (a columnar table is
   * all-or-nothing): dictionary-of-nested, a delta dictionary with no
-  * prior table, non-top-level or nested-branch unions, view columns,
+  * prior table, non-top-level or nested-branch unions, NESTED view
+  * columns (list<string_view> etc.) and ListView/LargeListView,
   * YEAR_MONTH/DAY_TIME intervals
   * (MonthDayNano — the form pyarrow writes — decodes as 16 hex
   * bytes), nested or
@@ -213,11 +219,18 @@ object ArrowCodec {
     * when dense. `typeIds(i)` is the type id announcing child i. */
   private case class UnionT(children: Vector[FieldSpec], typeIds: Vector[Int],
       dense: Boolean, label: String) extends Typ
+  /** Utf8View/BinaryView (top-level only): 16-byte view structs —
+    * int32 length, then either 12 inline bytes (length <= 12) or a
+    * 4-byte prefix + int32 (buffer index, offset) into one of the
+    * batch's variadic data buffers (RecordBatch.variadicBufferCounts
+    * announces how many). The layout arrow-rs/polars write by default
+    * since the StringView migration. */
+  private case class ViewBytes(label: String) extends Typ
 
   /** A flat value type: rides one node + (validity, data…) buffers. */
   private def isScalar(t: Typ): Boolean = t match {
     case _: ListT | _: StructT | NullT | _: RunEndT | _: UnionT |
-         _: LargeListT => false
+         _: LargeListT | _: ViewBytes => false
     case _ => true
   }
 
@@ -506,7 +519,13 @@ object ArrowCodec {
         val vf = parseField(b, childField(1), depth + 1)
         if (vf.dict.isDefined || !isScalar(vf.typ)) err()
         RunEndT(vf.typ, runW, s"ree<${vf.typ.label}>")
-      case _ => err() // views/ListView/LargeListView/...: refuse
+      case 23 => // BinaryView
+        if (depth > 0) err() // top-level views only
+        ViewBytes("binview")
+      case 24 => // Utf8View
+        if (depth > 0) err() // top-level views only
+        ViewBytes("utf8view")
+      case _ => err() // ListView/LargeListView/...: refuse
     }
     if (dict.isDefined && !isScalar(typ))
       err() // dict-of-nested/null/ree: refuse
@@ -600,8 +619,22 @@ object ArrowCodec {
     if (nodesPos < 0 || bufsPos < 0) err()
     val (nNodes, nodesAt) = vec(b, nodesPos, 16)
     val (nBufs, bufsAt) = vec(b, bufsPos, 16)
+    // variadicBufferCounts(4): one int64 per view-typed array, in
+    // buffer order — announces how many variadic data buffers follow
+    // that array's views buffer
+    val (nVbc, vbcAt) = field(b, rbPos, 4) match {
+      case p if p < 0 => (0L, -1L)
+      case p => vec(b, p, 8)
+    }
     var ni = 0L
     var bi = 0L
+    var vci = 0L
+    def nextVariadic(): Long = {
+      if (vci >= nVbc) err()
+      val n = i64(b, vbcAt + 8 * vci); vci += 1
+      if (n < 0 || n > nBufs) err()
+      n
+    }
     def nextNode(): (Long, Long) = {
       if (ni >= nNodes) err()
       val p = nodesAt + 16 * ni; ni += 1
@@ -752,6 +785,51 @@ object ArrowCodec {
           if (len != rows) err()
           var i = 0L
           while (i < rows) { nullCell(f.name, i, None, "null"); i += 1 }
+
+        case ViewBytes(label) =>
+          // node + validity + views buffer + N variadic data buffers
+          val (len, _) = nextNode()
+          if (len != rows) err()
+          val v = valid(nextBuf(), len)
+          val views = nextBuf()
+          if (len * 16 > views.len) err()
+          val nvar = nextVariadic()
+          val dats = Array.tabulate(nvar.toInt)(_ => nextBuf())
+          val utf8 = label == "utf8view"
+          var i = 0L
+          while (i < rows) {
+            if (out.size >= MaxCells) err()
+            if (v(i)) {
+              val base = 16 * i
+              val l = buN(views, base, 4).toInt
+              if (l < 0) err()
+              val raw = new Array[Byte](l)
+              if (l <= 12) {
+                System.arraycopy(views.a, (views.at + base + 4).toInt, raw, 0, l)
+              } else {
+                val bidx = buN(views, base + 8, 4).toInt
+                val off = buN(views, base + 12, 4).toInt
+                if (bidx < 0 || bidx >= nvar || off < 0) err()
+                val dat = dats(bidx)
+                if (off.toLong + l > dat.len) err()
+                System.arraycopy(dat.a, (dat.at + off).toInt, raw, 0, l)
+                // the 4-byte prefix must mirror the data head (spec
+                // invariant; a mismatch marks a corrupt writer)
+                var j = 0
+                while (j < 4) {
+                  if (raw(j) != views.a((views.at + base + 4 + j).toInt)) err()
+                  j += 1
+                }
+              }
+              val sv =
+                if (utf8) new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+                else raw.map(x => f"${x & 0xff}%02x").mkString
+              out += Cell(batchIdx, f.name, i, None, label,
+                isNull = false, None, Some(sv))
+            } else out += Cell(batchIdx, f.name, i, None, label,
+              isNull = true, None, None)
+            i += 1
+          }
 
         case RunEndT(vt, runW, _) =>
           // parent node carries the LOGICAL length and owns no

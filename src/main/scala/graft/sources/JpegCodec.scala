@@ -6,21 +6,26 @@ import scala.collection.mutable
   * real LLM training corpora (LAION-style webdatasets, reference
   * `dataops/` image shards) carry JPEG, not PPM/TIFF.
   *
-  * Scope: baseline sequential Huffman (SOF0/SOF1) AND progressive
+  * Scope: baseline sequential Huffman (SOF0/SOF1), progressive
   * Huffman (SOF2 — spectral selection + successive approximation,
-  * the dominant web-image coding; see [[ProgState]]), 8-bit, 1
-  * (grayscale) or 3 (YCbCr) components, any h/v sampling factors up
-  * to 2 (4:4:4, 4:2:2, 4:2:0), multiple DQT/DHT segments (including
-  * per-scan table redefinition), DRI/RSTn restart intervals, APPn/COM
-  * skipped. Lossless sequential Huffman (SOF3, process 14 — the
-  * DICOM/scientific shape, 2-16 bit) decodes through the separate
-  * [[decodeLossless]] entry, and 12-bit extended sequential (SOF1,
-  * process 2 — the 12-bit DICOM DCT shape, incl. Pq=1 16-bit
-  * quantization tables) through [[decode12]]. Everything else —
-  * arithmetic coding (SOF9+), CMYK, truncated or corrupt
-  * streams — is refused with None, never an exception: corrupt
-  * shards in a 100 TB crawl must skip, not kill the stage (same
-  * contract as [[GzipCodec]]/[[TarCodec]]).
+  * the dominant web-image coding; see [[ProgState]]), AND the
+  * arithmetic-coded (QM-coder) variants of both — extended
+  * sequential SOF9 (process 3) and progressive SOF10 (process 6),
+  * incl. DAC conditioning and arithmetic restart re-init (see
+  * [[QmDecoder]]); 8-bit, 1 (grayscale) or 3 (YCbCr) components, any
+  * h/v sampling factors up to 2 (4:4:4, 4:2:2, 4:2:0), multiple
+  * DQT/DHT segments (including per-scan table redefinition), DRI/RSTn
+  * restart intervals, APPn/COM skipped. Lossless sequential Huffman
+  * (SOF3, process 14 — the DICOM/scientific shape, 2-16 bit) decodes
+  * through the separate [[decodeLossless]] entry, and 12-bit extended
+  * sequential (SOF1, process 2 — the 12-bit DICOM DCT shape, incl.
+  * Pq=1 16-bit quantization tables) through [[decode12]]. With every
+  * T.81 Huffman process and both 8-bit arithmetic DCT processes
+  * covered, what remains refused — 12-bit arithmetic (SOF9 P=12),
+  * lossless arithmetic (SOF11), hierarchical/differential (SOF5-7,
+  * SOF13-15), CMYK, truncated or corrupt streams — yields None,
+  * never an exception: corrupt shards in a 100 TB crawl must skip,
+  * not kill the stage (same contract as [[GzipCodec]]/[[TarCodec]]).
   *
   * The inverse pipeline is a FIXED INTEGER SPEC shared bit-for-bit
   * with the independent from-scratch Python golden writer/decoder in
@@ -576,6 +581,180 @@ object JpegCodec {
       q
     }
 
+    /** One arithmetic-coded progressive scan (SOF10; T.81 Annex G
+      * with the QM models of F.2.4 — jointly graded against libjpeg's
+      * own decode via the q_jpeg_arith goldens). DC first scans run
+      * the sequential DC model and seed coef<<al; DC refinement is one
+      * fixed-probability bit per block; AC first scans are the
+      * sequential AC model with a per-k EOB decision and coef<<al; AC
+      * refinement walks history (correction bit at S0+2 for known
+      * coefficients, newly-nonzero at S0+1 with a fixed-probability
+      * sign), with the EOB decision active only past the previous
+      * stage's last nonzero index. Statistics reset per scan and at
+      * every restart. Returns the offset of the next marker. */
+    def scanArith(d: Array[Byte], start: Int, cis: Array[Int],
+        dcTid: Array[Int], acTid: Array[Int], ss: Int, se: Int,
+        ah: Int, al: Int, restart: Int,
+        dcLa: Array[Int], dcUa: Array[Int], acKa: Array[Int]): Int = {
+      val isDc = ss == 0
+      if (isDc && se != 0) refuse()
+      if (!isDc && (cis.length != 1 || ss > se || se > 63)) refuse()
+      if (ah > 13 || al > 13) refuse()
+      val dcStats = Array.fill(16)(new Array[Byte](64))
+      val acStats = Array.fill(16)(new Array[Byte](256))
+      val fixedBin = Array[Byte](113.toByte)
+      var qm = new QmDecoder(d, start)
+      val preds = new Array[Int](nc)
+      val dcCtx = new Array[Int](nc)
+
+      def reset(rstIdx: Int): Unit = {
+        val q = nextMarkerFrom(d, qm.bp)
+        if ((d(q + 1) & 0xff) != 0xd0 + (rstIdx & 7)) refuse()
+        qm = new QmDecoder(d, q + 2)
+        java.util.Arrays.fill(preds, 0)
+        java.util.Arrays.fill(dcCtx, 0)
+        var t = 0
+        while (t < 16) {
+          java.util.Arrays.fill(dcStats(t), 0.toByte)
+          java.util.Arrays.fill(acStats(t), 0.toByte)
+          t += 1
+        }
+      }
+
+      def dcBlock(ci: Int, bi: Int): Unit =
+        if (ah == 0) {
+          arithDcDiff(qm, dcStats(dcTid(ci)), ci, preds, dcCtx,
+            dcLa(dcTid(ci)), dcUa(dcTid(ci)))
+          grids(ci)(bi) = preds(ci) << al
+        } else {
+          if (qm.decode(fixedBin, 0) != 0) grids(ci)(bi) |= 1 << al
+        }
+
+      if (cis.length > 1) {
+        // interleaved DC scan in MCU order over the padded grid
+        if (!isDc) refuse()
+        var mcu = 0; var rst = 0
+        var my = 0
+        while (my < mcuy) {
+          var mx = 0
+          while (mx < mcux) {
+            if (restart > 0 && mcu > 0 && mcu % restart == 0) {
+              reset(rst); rst += 1
+            }
+            var j = 0
+            while (j < cis.length) {
+              val ci = cis(j); val c = comps(ci)
+              var by = 0
+              while (by < c.v) {
+                var bx = 0
+                while (bx < c.h) {
+                  val bi = ((my * c.v + by) * gw(ci) + (mx * c.h + bx)) * 64
+                  dcBlock(ci, bi)
+                  bx += 1
+                }
+                by += 1
+              }
+              j += 1
+            }
+            mcu += 1; mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // non-interleaved: raster over the component's ceil sub-grid
+        val ci = cis(0)
+        val ast = acStats(acTid(ci))
+        val kx = acKa(acTid(ci))
+        val g = grids(ci)
+        var n = 0; var rst = 0
+        var by = 0
+        while (by < cbh(ci)) {
+          var bx = 0
+          while (bx < cbw(ci)) {
+            if (restart > 0 && n > 0 && n % restart == 0) {
+              reset(rst); rst += 1
+            }
+            val bi = (by * gw(ci) + bx) * 64
+            if (isDc) dcBlock(ci, bi)
+            else if (ah == 0) {
+              // T.81 Figure G.5: Decode_AC_coefficients, first stage
+              var k = ss
+              var done = false
+              while (k <= se && !done) {
+                var base = 3 * (k - 1)
+                if (qm.decode(ast, base) != 0) done = true // EOB
+                else {
+                  while (qm.decode(ast, base + 1) == 0) {
+                    k += 1
+                    if (k > se) refuse()
+                    base = 3 * (k - 1)
+                  }
+                  val sign = qm.decode(fixedBin, 0)
+                  var ptr = base + 2
+                  var m = qm.decode(ast, ptr)
+                  if (m != 0 && qm.decode(ast, ptr) != 0) {
+                    m = 2
+                    ptr = if (k <= kx) 189 else 217
+                    while (qm.decode(ast, ptr) != 0) {
+                      m <<= 1
+                      if (m == 0x8000) refuse()
+                      ptr += 1
+                    }
+                  }
+                  var v = m
+                  ptr += 14
+                  var mm = m
+                  while (mm > 1) {
+                    mm >>= 1
+                    if (qm.decode(ast, ptr) != 0) v |= mm
+                  }
+                  v += 1
+                  if (sign != 0) v = -v
+                  g(bi + Zigzag(k)) = v << al
+                  k += 1
+                }
+              }
+            } else {
+              // T.81 G.2.3: AC refinement
+              val p1 = 1 << al
+              val m1 = -1 << al
+              var kex = se
+              while (kex > 0 && g(bi + Zigzag(kex)) == 0) kex -= 1
+              var k = ss
+              var done = false
+              while (k <= se && !done) {
+                var base = 3 * (k - 1)
+                if (k > kex && qm.decode(ast, base) != 0) done = true
+                else {
+                  var settled = false
+                  while (!settled) {
+                    val z = bi + Zigzag(k)
+                    if (g(z) != 0) {
+                      if (qm.decode(ast, base + 2) != 0)
+                        g(z) += (if (g(z) < 0) m1 else p1)
+                      settled = true
+                    } else if (qm.decode(ast, base + 1) != 0) {
+                      g(z) = if (qm.decode(fixedBin, 0) != 0) m1 else p1
+                      settled = true
+                    } else {
+                      k += 1
+                      if (k > se) refuse()
+                      base = 3 * (k - 1)
+                    }
+                  }
+                  k += 1
+                }
+              }
+            }
+            n += 1; bx += 1
+          }
+          by += 1
+        }
+      }
+      sawScan = true
+      nextMarkerFrom(d, qm.bp)
+    }
+
     /** DC data unit: first scan decodes a diff and seeds coef<<al;
       * refinement appends one raw bit at position al. */
     private def dcUnit(br: BitReader, g: Array[Int], bi: Int,
@@ -738,6 +917,11 @@ object JpegCodec {
     var restart = 0
     var prog: ProgState = null
     var pNext = -1
+    var arith = false
+    // DAC conditioning (T.81 B.2.4.3), default L=0 / U=1 / Kx=5 (F.1.4.4.1.4)
+    val dcLa = Array.fill(16)(0)
+    val dcUa = Array.fill(16)(1)
+    val acKa = Array.fill(16)(5)
 
     def u16(o: Int): Int = {
       if (o + 1 >= d.length) refuse()
@@ -785,7 +969,9 @@ object JpegCodec {
             if (tc == 0) huffDc(th) = t else huffAc(th) = t
             q += 17 + nv
           }
-        case 0xc0 | 0xc1 | 0xc2 => // baseline / ext-sequential / progressive Huffman
+        case 0xc0 | 0xc1 | 0xc2 | 0xc9 | 0xca =>
+          // baseline / ext-sequential / progressive, Huffman (C0-C2)
+          // or arithmetic (C9 sequential, CA progressive)
           if ((d(bo) & 0xff) != 8) refuse() // 8-bit precision only
           if (comps != null) refuse() // second frame header
           height = u16(bo + 1); width = u16(bo + 3)
@@ -800,14 +986,32 @@ object JpegCodec {
             if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3) refuse()
             c
           }
-          if (m == 0xc2) {
+          arith = m == 0xc9 || m == 0xca
+          if (m == 0xc2 || m == 0xca) {
             // single-component progressive frames are wholly
             // non-interleaved: force 1x1 like the baseline scan path
             val cs = if (nc == 1) Array(comps(0).copy(h = 1, v = 1)) else comps
             prog = new ProgState(width, height, cs)
           }
-        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          refuse() // lossless / arithmetic / differential: out of profile
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xcb | 0xcd | 0xce | 0xcf =>
+          refuse() // lossless / differential: out of profile here
+        case 0xcc => // DAC — arithmetic conditioning (T.81 B.2.4.3)
+          var q = bo
+          while (q < bend) {
+            if (q + 2 > bend) refuse()
+            val tc = (d(q) & 0xff) >> 4
+            val tb = d(q) & 0x0f
+            val cs = d(q + 1) & 0xff
+            if (tc == 0) {
+              val lo = cs & 0x0f; val hi = cs >> 4
+              if (lo > hi) refuse()
+              dcLa(tb) = lo; dcUa(tb) = hi
+            } else if (tc == 1) {
+              if (cs < 1 || cs > 63) refuse()
+              acKa(tb) = cs
+            } else refuse()
+            q += 2
+          }
         case 0xdd => // DRI
           if (ln != 4) refuse()
           restart = u16(bo)
@@ -831,8 +1035,11 @@ object JpegCodec {
           val ss = d(bo + 1 + 2 * ns) & 0xff
           val se = d(bo + 2 + 2 * ns) & 0xff
           val ahal = d(bo + 3 + 2 * ns) & 0xff
-          pNext = prog.scan(d, bend, cis, dcTid, acTid, ss, se,
-            ahal >> 4, ahal & 0x0f, restart, huffDc, huffAc)
+          pNext =
+            if (arith) prog.scanArith(d, bend, cis, dcTid, acTid, ss, se,
+              ahal >> 4, ahal & 0x0f, restart, dcLa, dcUa, acKa)
+            else prog.scan(d, bend, cis, dcTid, acTid, ss, se,
+              ahal >> 4, ahal & 0x0f, restart, huffDc, huffAc)
         case 0xda => // SOS — single interleaved baseline scan
           if (comps == null) refuse()
           val ns = d(bo) & 0xff
@@ -852,6 +1059,9 @@ object JpegCodec {
           val se = d(bo + 2 + 2 * ns) & 0xff
           val ahal = d(bo + 3 + 2 * ns) & 0xff
           if (ss != 0 || se != 63 || ahal != 0) refuse() // non-baseline scan
+          if (arith)
+            return decodeScanArith(d, bend, width, height, comps, scanDc,
+              scanAc, quant, dcLa, dcUa, acKa, restart)
           return decodeScan(d, bend, width, height, comps, scanDc, scanAc,
             quant, huffDc, huffAc, restart)
         case _ => () // APPn, COM, others: skip
@@ -1020,6 +1230,315 @@ object JpegCodec {
       }
       JpegImage(width, height, 3, out)
     }
+  }
+
+  // -------------------------------------------- arithmetic (SOF9/SOF10)
+  //
+  // ITU-T T.81 Annexes D/E/F/G arithmetic (QM-coder) entropy decoding
+  // for extended sequential (SOF9, process 3) and progressive (SOF10,
+  // process 6) 8-bit DCT frames. Everything downstream of entropy
+  // decode — dequantize, IDCT, upsample, color — is the SHARED integer
+  // spec above, so an arithmetic file and a Huffman file carrying the
+  // same quantized coefficients decode to identical pixels. The
+  // committed fixtures in tools/fixtures/q_jpeg_arith/ were encoded by
+  // libjpeg-turbo itself via tools/jpeg_arith_ref.c (the de-facto
+  // reference implementation of T.81 arithmetic coding), and the
+  // golden pixels derive from libjpeg's own coefficient decode
+  // (jpeg_read_coefficients) — this decoder is graded end-to-end
+  // against an independent implementation, not a shared one.
+
+  /** ITU-T T.81 Table D.3: the Qe probability-estimation state machine,
+    * packed per entry as (Qe << 16) | (NMPS << 8) | (Switch << 7) | NLPS.
+    * Entry 113 is the non-adapting "fixed 0.5" bin used for sign and
+    * refinement decisions (NLPS = NMPS = 113, no switch). Transcribed
+    * from the standard's table; cross-checked word-for-word against
+    * libjpeg-turbo's exported jpeg_aritab. */
+  private val ArithTab: Array[Int] = Array(
+    0x5a1d0181, 0x2586020e, 0x11140310, 0x080b0412, 0x03d80514, 0x01da0617,
+    0x00e50719, 0x006f081c, 0x0036091e, 0x001a0a21, 0x000d0b23, 0x00060c09,
+    0x00030d0a, 0x00010d0c, 0x5a7f0f8f, 0x3f251024, 0x2cf21126, 0x207c1227,
+    0x17b91328, 0x1182142a, 0x0cef152b, 0x09a1162d, 0x072f172e, 0x055c1830,
+    0x04061931, 0x03031a33, 0x02401b34, 0x01b11c36, 0x01441d38, 0x00f51e39,
+    0x00b71f3b, 0x008a203c, 0x0068213e, 0x004e223f, 0x003b2320, 0x002c0921,
+    0x5ae125a5, 0x484c2640, 0x3a0d2741, 0x2ef12843, 0x261f2944, 0x1f332a45,
+    0x19a82b46, 0x15182c48, 0x11772d49, 0x0e742e4a, 0x0bfb2f4b, 0x09f8304d,
+    0x0861314e, 0x0706324f, 0x05cd3330, 0x04de3432, 0x040f3532, 0x03633633,
+    0x02d43734, 0x025c3835, 0x01f83936, 0x01a43a37, 0x01603b38, 0x01253c39,
+    0x00f63d3a, 0x00cb3e3b, 0x00ab3f3d, 0x008f203d, 0x5b1241c1, 0x4d044250,
+    0x412c4351, 0x37d84452, 0x2fe84553, 0x293c4654, 0x23794756, 0x1edf4857,
+    0x1aa94957, 0x174e4a48, 0x14244b48, 0x119c4c4a, 0x0f6b4d4a, 0x0d514e4b,
+    0x0bb64f4d, 0x0a40304d, 0x583251d0, 0x4d1c5258, 0x438e5359, 0x3bdd545a,
+    0x34ee555b, 0x2eae565c, 0x299a575d, 0x25164756, 0x557059d8, 0x4ca95a5f,
+    0x44d95b60, 0x3e225c61, 0x38245d63, 0x32b45e63, 0x2e17565d, 0x56a860df,
+    0x4f466165, 0x47e56266, 0x41cf6367, 0x3c3d6468, 0x375e5d63, 0x52316669,
+    0x4c0f676a, 0x4639686b, 0x415e6367, 0x56276ae9, 0x50e76b6c, 0x4b85676d,
+    0x55976d6e, 0x504f6b6f, 0x5a106fee, 0x55226d70, 0x59eb6ff0, 0x5a1d7171)
+
+  /** QM arithmetic decoder over one entropy-coded segment, in the
+    * software conventions of T.81 F.2.4.2/D.2 (the register discipline
+    * libjpeg uses): lazy renormalization at the top of each decision,
+    * C accumulating raw bytes at the low end with CT tracking the
+    * bit-alignment of A against C (the textbook's `Chigh < A - Qe`
+    * compare becomes `C < (A - Qe) << CT`), MPS sub-interval at the
+    * bottom, conditional exchange on both paths when A < Qe. Entropy
+    * bytes are 0xFF00-unstuffed (a run of fill 0xFFs before the
+    * stuffed zero collapses to one literal 0xFF); hitting any real
+    * marker switches the feed to zero bytes, per F.2.2.2 — the encoder
+    * may discard trailing zero bytes, so the decoder regenerates them.
+    * Each decision reads one statistics bin: low 7 bits the Table D.3
+    * state index, bit 7 the current MPS sense. */
+  private final class QmDecoder(d: Array[Byte], start: Int) {
+    var bp: Int = start
+    private var hitMarker = false
+    private var c: Long = 0L
+    private var a: Long = 0L
+    private var ct: Int = 0
+    // INITDEC: two entropy bytes fill C; A spans the 17-bit [0, 0x10000)
+    locally {
+      c = (nextByte().toLong << 8) | nextByte().toLong
+      a = 0x10000L
+    }
+
+    private def nextByte(): Int = {
+      if (hitMarker) return 0
+      if (bp >= d.length) { hitMarker = true; return 0 }
+      val b = d(bp) & 0xff
+      if (b != 0xff) { bp += 1; return b }
+      var q = bp
+      while (q < d.length && (d(q) & 0xff) == 0xff) q += 1
+      if (q < d.length && d(q) == 0x00) { bp = q + 1; 0xff }
+      else { hitMarker = true; 0 }
+    }
+
+    /** Decode one binary decision against statistics bin `st(i)`. */
+    def decode(st: Array[Byte], i: Int): Int = {
+      var aa = a; var cc = c; var k = ct
+      while (aa < 0x8000L) { // deferred renormalization (F.2.2.1)
+        if (k == 0) { cc = (cc << 8) | nextByte().toLong; k = 8 }
+        aa <<= 1
+        k -= 1
+      }
+      val sv = st(i) & 0xff
+      val e = ArithTab(sv & 0x7f)
+      val qe = (e >>> 16).toLong
+      var mps = sv >> 7
+      var dd = 0
+      aa -= qe
+      val temp = aa << k
+      if (cc < temp) { // MPS sub-interval
+        if (aa >= 0x8000L) { a = aa; c = cc; ct = k; return mps }
+        if (aa < qe) { // conditional exchange: decode LPS
+          dd = 1 - mps
+          if ((e & 0x80) != 0) mps ^= 1
+          st(i) = ((mps << 7) | (e & 0x7f)).toByte
+        } else {
+          dd = mps
+          st(i) = ((mps << 7) | ((e >> 8) & 0x7f)).toByte
+        }
+      } else { // LPS sub-interval
+        cc -= temp
+        if (qe <= aa) {
+          dd = 1 - mps
+          if ((e & 0x80) != 0) mps ^= 1
+          st(i) = ((mps << 7) | (e & 0x7f)).toByte
+        } else { // conditional exchange: decode MPS
+          dd = mps
+          st(i) = ((mps << 7) | ((e >> 8) & 0x7f)).toByte
+        }
+        aa = qe
+      }
+      a = aa; c = cc; ct = k
+      dd
+    }
+  }
+
+  /** Offset of the next real marker (0xFF followed by a non-zero,
+    * non-fill byte) at or after `from`, skipping stuffed 0xFF00 pairs
+    * and 0xFF fill runs; returns the offset of the 0xFF that
+    * immediately precedes the marker type byte. */
+  private def nextMarkerFrom(d: Array[Byte], from: Int): Int = {
+    var q = from
+    while (q + 1 < d.length &&
+        !((d(q) & 0xff) == 0xff && (d(q + 1) & 0xff) != 0)) q += 1
+    if (q + 1 >= d.length) refuse()
+    while ((d(q + 1) & 0xff) == 0xff) { q += 1; if (q + 1 >= d.length) refuse() }
+    q
+  }
+
+  /** Decode one DC difference (T.81 F.2.4.1 / Figures F.19-F.24):
+    * zero/nonzero at the conditioning-selected bin, sign, magnitude
+    * category via the X1.. walk at bin 20, magnitude bits at the
+    * category's single M bin (+14), then reclassify the conditioning
+    * context from the decoded category against the DAC L/U bounds.
+    * Mutates `preds(ci)` (cumulative DC) and `dcCtx(ci)`. */
+  private def arithDcDiff(qm: QmDecoder, st: Array[Byte], ci: Int,
+      preds: Array[Int], dcCtx: Array[Int], dcL: Int, dcU: Int): Unit = {
+    val base = dcCtx(ci)
+    if (qm.decode(st, base) == 0) { dcCtx(ci) = 0; return }
+    val sign = qm.decode(st, base + 1)
+    var m = 0
+    var ptr = base + 2 + sign
+    if (qm.decode(st, ptr) != 0) {
+      m = 1
+      ptr = 20 // Table F.4: X1
+      while (qm.decode(st, ptr) != 0) {
+        m <<= 1
+        if (m == 0x8000) refuse()
+        ptr += 1
+      }
+    }
+    var v = m
+    dcCtx(ci) =
+      if (m < ((1 << dcL) >> 1)) 0
+      else if (m > ((1 << dcU) >> 1)) 12 + sign * 4
+      else 4 + sign * 4
+    ptr += 14 // Table F.4: M bins
+    var mm = m
+    while (mm > 1) {
+      mm >>= 1
+      if (qm.decode(st, ptr) != 0) v |= mm
+    }
+    v += 1
+    preds(ci) += (if (sign != 0) -v else v)
+  }
+
+  /** Sequential (SOF9) arithmetic scan: the same MCU geometry as the
+    * Huffman [[decodeScan]], with the QM-coded DC/AC statistical models
+    * of T.81 F.2.4 (per-k EOB decision, shared X2+/M bins split at the
+    * DAC Kx threshold, fixed-probability sign). RSTn re-inits the coder
+    * and zeroes every statistics bin (F.2.4.3.1). */
+  private def decodeScanArith(
+      d: Array[Byte], scanStart: Int, width: Int, height: Int,
+      comps0: Array[Comp], scanDc: Array[Int], scanAc: Array[Int],
+      quant: Array[Array[Int]],
+      dcLa: Array[Int], dcUa: Array[Int], acKa: Array[Int],
+      restart: Int): JpegImage = {
+    val nc = comps0.length
+    val comps = if (nc == 1) Array(comps0(0).copy(h = 1, v = 1)) else comps0
+    var hmax = 1; var vmax = 1
+    comps.foreach { c => hmax = math.max(hmax, c.h); vmax = math.max(vmax, c.v) }
+    val mcux = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcuy = (height + 8 * vmax - 1) / (8 * vmax)
+    var paddedSamples = 0L
+    comps.foreach { c =>
+      paddedSamples += mcux.toLong * 8 * c.h * mcuy * 8 * c.v
+    }
+    if (paddedSamples > MaxPixels * 8) refuse()
+    val planeW = Array.tabulate(nc)(i => mcux * 8 * comps(i).h)
+    val planes = Array.tabulate(nc)(i => new Array[Int](planeW(i) * mcuy * 8 * comps(i).v))
+    comps.foreach { c => if (quant(c.tq) == null) refuse() }
+
+    val dcStats = Array.fill(16)(new Array[Byte](64))
+    val acStats = Array.fill(16)(new Array[Byte](256))
+    val fixedBin = Array[Byte](113.toByte)
+    var qm = new QmDecoder(d, scanStart)
+    val preds = new Array[Int](nc)
+    val dcCtx = new Array[Int](nc)
+    val zz = new Array[Int](64)
+    val blk = new Array[Int](64)
+    var mcu = 0
+    var rst = 0
+    var my = 0
+    while (my < mcuy) {
+      var mx = 0
+      while (mx < mcux) {
+        if (restart > 0 && mcu > 0 && mcu % restart == 0) {
+          val q = nextMarkerFrom(d, qm.bp)
+          if ((d(q + 1) & 0xff) != 0xd0 + (rst & 7)) refuse()
+          qm = new QmDecoder(d, q + 2)
+          java.util.Arrays.fill(preds, 0)
+          java.util.Arrays.fill(dcCtx, 0)
+          var t = 0
+          while (t < 16) {
+            java.util.Arrays.fill(dcStats(t), 0.toByte)
+            java.util.Arrays.fill(acStats(t), 0.toByte)
+            t += 1
+          }
+          rst += 1
+        }
+        var ci = 0
+        while (ci < nc) {
+          val c = comps(ci)
+          val q = quant(c.tq)
+          val dst = dcStats(scanDc(ci))
+          val ast = acStats(scanAc(ci))
+          val kx = acKa(scanAc(ci))
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              java.util.Arrays.fill(zz, 0)
+              arithDcDiff(qm, dst, ci, preds, dcCtx,
+                dcLa(scanDc(ci)), dcUa(scanDc(ci)))
+              zz(0) = preds(ci) * q(0)
+              // T.81 Figure F.20: Decode_AC_coefficients
+              var k = 1
+              var done = false
+              while (k <= 63 && !done) {
+                var base = 3 * (k - 1)
+                if (qm.decode(ast, base) != 0) done = true // EOB
+                else {
+                  while (qm.decode(ast, base + 1) == 0) {
+                    k += 1
+                    if (k > 63) refuse()
+                    base = 3 * (k - 1)
+                  }
+                  val sign = qm.decode(fixedBin, 0)
+                  var ptr = base + 2
+                  var m = qm.decode(ast, ptr)
+                  if (m != 0 && qm.decode(ast, ptr) != 0) {
+                    m = 2
+                    ptr = if (k <= kx) 189 else 217 // Table F.5: X2..
+                    while (qm.decode(ast, ptr) != 0) {
+                      m <<= 1
+                      if (m == 0x8000) refuse()
+                      ptr += 1
+                    }
+                  }
+                  var v = m
+                  ptr += 14
+                  var mm = m
+                  while (mm > 1) {
+                    mm >>= 1
+                    if (qm.decode(ast, ptr) != 0) v |= mm
+                  }
+                  v += 1
+                  if (sign != 0) v = -v
+                  zz(Zigzag(k)) = v * q(Zigzag(k))
+                  k += 1
+                }
+              }
+              idctBlock(zz, blk)
+              val y0 = (my * c.v + by) * 8
+              val x0 = (mx * c.h + bx) * 8
+              val pw = planeW(ci)
+              val plane = planes(ci)
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  plane((y0 + yy) * pw + x0 + xx) = blk(yy * 8 + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    // integrity: a conforming scan is always terminated by a real
+    // marker (EOI here). Arithmetic truncation is otherwise silent —
+    // the decoder regenerates the droppable trailing zero bytes — so
+    // the missing marker is the one reliable tear detector.
+    nextMarkerFrom(d, qm.bp)
+    assembleImage(width, height, nc, comps, hmax, vmax, planeW, planes)
   }
 
   // ------------------------------------------------------ lossless (SOF3)

@@ -696,4 +696,40 @@ class ArrowCodecSpec extends SparkSpec {
       j += 1
     }
   }
+
+  test("Utf8View/BinaryView columns decode; nested views refuse") {
+    // view-32: two batches; values straddle the 12-byte inline line
+    // in both directions, so inline reads, variadic-buffer reads and
+    // the prefix-mirror invariant all execute
+    val cells = ArrowCodec.decode(fixture("view-32.arrow")).get
+    def at(n: String, b: Int, r: Long) =
+      cells.filter(c => c.col == n && c.batch == b && c.row == r).head
+    assert(at("txt", 0, 0).str == Some("inline"))          // 6 bytes: inline
+    assert(at("txt", 0, 1).str == Some("a" * 13 + "LONG-one")) // 21: variadic
+    assert(at("txt", 0, 2).isNull)
+    assert(at("txt", 0, 3).str == Some(""))                 // empty inline
+    assert(at("txt", 0, 4).str == Some("exactly12byt"))     // 12: inline edge
+    assert(at("blob", 0, 0).str == Some("0001"))
+    assert(at("blob", 0, 2).str ==
+      Some(("42" * 40) + "7461696c"))                       // 44 bytes: variadic
+    assert(at("blob", 0, 4).str == Some("ff" * 12))         // 12: inline edge
+    assert(at("txt", 1, 0).str == Some("batch2-" + "y" * 30))
+    assert(at("blob", 1, 1).str == Some("07" * 13))         // 13: variadic
+    assert(at("blob", 1, 2).str == Some("6f6b"))
+    assert(cells.count(_.col == "txt") == 8)
+    assert(cells.count(_.col == "blob") == 8)
+    // a view nested under a list refuses whole-file
+    assert(ArrowCodec.decode(fixture("viewnested-33.arrow")).isEmpty,
+      "list<string_view> must refuse")
+    // hostile-bytes sweep: never throws (the prefix-mirror check and
+    // variadic bounds turn corruption into refusals)
+    val f = fixture("view-32.arrow")
+    (0 until f.length by 7).foreach(k => ArrowCodec.decode(f.take(k)))
+    var j = 0
+    while (j < f.length) {
+      val m = f.clone(); m(j) = (m(j) ^ 0x5c).toByte
+      ArrowCodec.decode(m)
+      j += 1
+    }
+  }
 }

@@ -16,6 +16,7 @@ class ScaleBenchSpec extends AnyFunSuite {
     "q_jpeg_progressive",   // committed progressive-SOF2 goldens
     "q_jpeg_lossless",      // committed lossless-SOF3 goldens
     "q_jpeg12",             // committed 12-bit SOF1 goldens
+    "q_jpeg_arith",         // committed libjpeg-encoded arithmetic JPEGs
     "q_warc_extract",       // committed Python-warcio-shaped WARC goldens
     "q_wet_extract",        // committed WET extracted-text goldens
     "q_wat_extract",        // committed WAT metadata-envelope goldens

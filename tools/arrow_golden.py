@@ -1106,6 +1106,45 @@ for ri, lst in enumerate(ll_vals):
     for ki, x in enumerate(lst):
         ROWS.append((F31, 0, "toks", ri, ki, "i64", x is None, x, None))
 
+# ---- view-32.arrow (GRADED): Utf8View + BinaryView columns — the
+# layout arrow-rs/polars write by default since the StringView
+# migration (16-byte view structs: inline data at length <= 12, else
+# prefix + variadic-buffer index/offset; RecordBatch carries
+# variadicBufferCounts). Two batches, nulls, and values straddling
+# the 12-byte inline line in both directions.
+v_s1 = ["inline", "a" * 13 + "LONG-one", None, "", "exactly12byt"]
+v_b1 = [b"\x00\x01", None, b"B" * 40 + b"tail", b"", b"\xff" * 12]
+v_s2 = ["batch2-" + "y" * 30, "tiny", None]
+v_b2 = [None, b"\x07" * 13, b"ok"]
+s32 = pa.schema([("txt", pa.string_view()), ("blob", pa.binary_view())])
+with open(os.path.join(D, "view-32.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, s32)
+    w.write_batch(pa.record_batch(
+        [pa.array(v_s1, type=pa.string_view()),
+         pa.array(v_b1, type=pa.binary_view())], schema=s32))
+    w.write_batch(pa.record_batch(
+        [pa.array(v_s2, type=pa.string_view()),
+         pa.array(v_b2, type=pa.binary_view())], schema=s32))
+    w.close()
+F32 = "view-32.arrow"
+for bi, (ss, bs) in enumerate([(v_s1, v_b1), (v_s2, v_b2)]):
+    for ri, x in enumerate(ss):
+        ROWS.append((F32, bi, "txt", ri, None, "utf8view", x is None,
+                     None, x))
+    for ri, x in enumerate(bs):
+        ROWS.append((F32, bi, "blob", ri, None, "binview", x is None,
+                     None, None if x is None else x.hex()))
+
+# ---- viewnested-33.arrow: a view type NESTED under a list — decodes
+# incrementally later; today the whole file refuses (no golden rows).
+t33 = pa.list_(pa.string_view())
+s33 = pa.schema([("seqs", t33)])
+with open(os.path.join(D, "viewnested-33.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, s33)
+    w.write_batch(pa.record_batch(
+        [pa.array([["abc", "d" * 20], None], type=t33)], schema=s33))
+    w.close()
+
 schema_g = pa.schema([
     ("file", pa.string()), ("batch", pa.int32()), ("col", pa.string()),
     ("row", pa.int64()), ("elem_idx", pa.int64()), ("vtype", pa.string()),
