@@ -93,8 +93,18 @@ class JpegProgressiveSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(JpegCodec.decode(d.take(sos) ++ Array(0xff.toByte, 0xd9.toByte)).isEmpty)
   }
 
-  test("refusal: arithmetic (SOF10) and lossless (SOF3) progressive stay refused") {
-    for (sof <- Seq(0xca, 0xc3, 0xc9, 0xcb)) {
+  test("refusal: lossless/sequential-arith rewrites of a progressive frame refuse") {
+    // 0xc3 (lossless) and 0xcb (lossless arithmetic) are out of the
+    // DCT entry's profile; 0xc9 (sequential arithmetic) refuses this
+    // FILE because the progressive scan headers (Ss/Se bands) are
+    // illegal in a sequential frame. 0xca is NOT here: progressive
+    // arithmetic is in-profile since the QM-coder landed, and a
+    // Huffman stream relabeled SOF10 is structurally
+    // indistinguishable from arithmetic data (the coder cannot run
+    // out of symbols) — it decodes to garbage pixels, exactly as any
+    // conforming arithmetic decoder would. The real arithmetic
+    // envelope is pinned by JpegArithSpec.
+    for (sof <- Seq(0xc3, 0xc9, 0xcb)) {
       val d = readFix("prog_gray_16x12.jpg").clone()
       val i = d.indices.dropRight(1)
         .find(i => (d(i) & 0xff) == 0xff && (d(i + 1) & 0xff) == 0xc2)
