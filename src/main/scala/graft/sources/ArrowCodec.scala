@@ -219,6 +219,12 @@ object ArrowCodec {
     * when dense. `typeIds(i)` is the type id announcing child i. */
   private case class UnionT(children: Vector[FieldSpec], typeIds: Vector[Int],
       dense: Boolean, label: String) extends Typ
+  /** ListView/LargeListView (top-level only) of a SCALAR leaf:
+    * validity + offsets + SIZES buffers (offsets need not be ordered
+    * and ranges may overlap — the layout Velox-style engines export).
+    * Cell convention identical to `list<scalar>`. */
+  private case class ListViewT(child: Typ, offw: Int, label: String)
+    extends Typ
   /** Utf8View/BinaryView (top-level only): 16-byte view structs —
     * int32 length, then either 12 inline bytes (length <= 12) or a
     * 4-byte prefix + int32 (buffer index, offset) into one of the
@@ -230,7 +236,7 @@ object ArrowCodec {
   /** A flat value type: rides one node + (validity, data…) buffers. */
   private def isScalar(t: Typ): Boolean = t match {
     case _: ListT | _: StructT | NullT | _: RunEndT | _: UnionT |
-         _: LargeListT | _: ViewBytes => false
+         _: LargeListT | _: ViewBytes | _: ListViewT => false
     case _ => true
   }
 
@@ -519,6 +525,17 @@ object ArrowCodec {
         val vf = parseField(b, childField(1), depth + 1)
         if (vf.dict.isDefined || !isScalar(vf.typ)) err()
         RunEndT(vf.typ, runW, s"ree<${vf.typ.label}>")
+      case 25 | 26 => // ListView / LargeListView: offsets + sizes
+        if (depth > 0) err() // top-level views only
+        val offw = if (tt == 25) 4 else 8
+        val child = parseField(b, childField(0), depth + 1)
+        if (child.dict.isDefined) err()
+        child.typ match {
+          case t if isScalar(t) =>
+            ListViewT(t, offw,
+              s"${if (offw == 4) "lview" else "llview"}<${t.label}>")
+          case _ => err() // nested list-view child: refuse
+        }
       case 23 => // BinaryView
         if (depth > 0) err() // top-level views only
         ViewBytes("binview")
@@ -1266,6 +1283,35 @@ object ArrowCodec {
               if (e < s || e > cl.len) err()
               var k = 0L
               while (k < e - s) {
+                put(f.name, i, Some(k), cl, s + k, gate = true)
+                k += 1
+              }
+            }
+            i += 1
+          }
+
+        case ListViewT(child, offw, label) =>
+          // node + validity + offsets + sizes, then the scalar leaf;
+          // ranges are independent per slot (may overlap, need not be
+          // sorted) — each valid slot's window is bounds-checked
+          // against the child length
+          val (len, _) = nextNode()
+          if (len != rows) err()
+          val v = valid(nextBuf(), len)
+          val offs = nextBuf()
+          if (len * offw > offs.len) err()
+          val sizes = nextBuf()
+          if (len * offw > sizes.len) err()
+          val cl = readLeaf(child)
+          var i = 0L
+          while (i < len) {
+            if (!v(i)) nullCell(f.name, i, None, label)
+            else {
+              val s = buN(offs, offw.toLong * i, offw)
+              val n = buN(sizes, offw.toLong * i, offw)
+              if (s < 0 || n < 0 || s + n > cl.len) err()
+              var k = 0L
+              while (k < n) {
                 put(f.name, i, Some(k), cl, s + k, gate = true)
                 k += 1
               }

@@ -732,4 +732,35 @@ class ArrowCodecSpec extends SparkSpec {
       j += 1
     }
   }
+
+  test("ListView/LargeListView columns decode; nested child refuses") {
+    val cells = ArrowCodec.decode(fixture("listview-34.arrow")).get
+    def at(n: String, r: Long) =
+      cells.filter(c => c.col == n && c.row == r).sortBy(_.elem)
+    // lv = [[1,null,3], null, [], [7,8]]
+    assert(at("lv", 0).map(_.bits) ==
+      Seq(Some(1L), None, Some(3L)))
+    assert(at("lv", 1).head.isNull && at("lv", 1).head.elem.isEmpty &&
+      at("lv", 1).head.vtype == "lview<i64>")
+    assert(at("lv", 2).isEmpty) // empty list: no cells
+    assert(at("lv", 3).map(_.bits) == Seq(Some(7L), Some(8L)))
+    // llv = [["alpha",null], ["b"*20], null, []]
+    assert(at("llv", 0).map(_.str) == Seq(Some("alpha"), None))
+    assert(at("llv", 1).head.str == Some("b" * 20))
+    assert(at("llv", 2).head.isNull &&
+      at("llv", 2).head.vtype == "llview<utf8>")
+    assert(at("llv", 3).isEmpty)
+    // nested list-view child refuses whole-file
+    assert(ArrowCodec.decode(fixture("listviewnested-35.arrow")).isEmpty,
+      "list_view<list<i64>> must refuse")
+    // hostile-bytes sweep: never throws
+    val f = fixture("listview-34.arrow")
+    (0 until f.length by 7).foreach(k => ArrowCodec.decode(f.take(k)))
+    var j = 0
+    while (j < f.length) {
+      val m = f.clone(); m(j) = (m(j) ^ 0x5c).toByte
+      ArrowCodec.decode(m)
+      j += 1
+    }
+  }
 }

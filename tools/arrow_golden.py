@@ -1145,6 +1145,45 @@ with open(os.path.join(D, "viewnested-33.arrow"), "wb") as fh:
         [pa.array([["abc", "d" * 20], None], type=t33)], schema=s33))
     w.close()
 
+# ---- listview-34.arrow (GRADED): ListView<i64> + LargeListView<utf8>
+# — the offsets+SIZES list layout (ranges independent per slot).
+# Same cell convention as list<scalar>.
+lv_vals = [[1, None, 3], None, [], [7, 8]]
+llv_vals = [["alpha", None], ["b" * 20], None, []]
+t34a = pa.list_view(pa.int64())
+t34b = pa.large_list_view(pa.utf8())
+s34 = pa.schema([("lv", t34a), ("llv", t34b)])
+with open(os.path.join(D, "listview-34.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, s34)
+    w.write_batch(pa.record_batch(
+        [pa.array(lv_vals, type=t34a), pa.array(llv_vals, type=t34b)],
+        schema=s34))
+    w.close()
+F34 = "listview-34.arrow"
+for ri, lst in enumerate(lv_vals):
+    if lst is None:
+        ROWS.append((F34, 0, "lv", ri, None, "lview<i64>", True, None, None))
+        continue
+    for ki, x in enumerate(lst):
+        ROWS.append((F34, 0, "lv", ri, ki, "i64", x is None, x, None))
+for ri, lst in enumerate(llv_vals):
+    if lst is None:
+        ROWS.append((F34, 0, "llv", ri, None, "llview<utf8>", True, None,
+                     None))
+        continue
+    for ki, x in enumerate(lst):
+        ROWS.append((F34, 0, "llv", ri, ki, "utf8", x is None, None, x))
+
+# ---- listviewnested-35.arrow: a list-view with a NESTED child —
+# refuses whole-file today (no golden rows).
+t35 = pa.list_view(pa.list_(pa.int64()))
+s35 = pa.schema([("g", t35)])
+with open(os.path.join(D, "listviewnested-35.arrow"), "wb") as fh:
+    w = ipc.new_file(fh, s35)
+    w.write_batch(pa.record_batch(
+        [pa.array([[[1, 2]], None], type=t35)], schema=s35))
+    w.close()
+
 schema_g = pa.schema([
     ("file", pa.string()), ("batch", pa.int32()), ("col", pa.string()),
     ("row", pa.int64()), ("elem_idx", pa.int64()), ("vtype", pa.string()),
