@@ -183,14 +183,26 @@ object AnalyticsQueries {
     * the same triangles by the naive a<b<c triple self-join —
     * algorithm-independent agreement, same integer. */
   def qTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
-    val l2 = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
-    // materialize once: the self-join + support aggregate would
-    // otherwise re-run for each of the three census aggregates
+    // pair generation without the self-join (the qBfsDepth shape, r19
+    // opt): one shuffle gathers each order's part MULTISET — this
+    // query's support convention counts ROW pairs, not distinct-part
+    // pairs, so collect_list (not collect_set) preserves the self-join
+    // multiplicities: duplicates of (a, b) inside one order contribute
+    // mult(a)·mult(b) pairs either way; the sorted list makes every
+    // in-row pair ordered, and the s < d filter drops the equal-part
+    // pairs the strict join predicate never produced.
+    // materialize once: the support aggregate would otherwise re-run
+    // for each of the three census aggregates.
     val edges = graft.operators.GraphOps.materializeOnce(
-      li.join(l2, Seq("l_orderkey"))
-        .where(col("l_partkey") < col("p2"))
-        .groupBy(col("l_partkey").as("a"), col("p2").as("b"))
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)), y ->
+            |    struct(x AS s, y AS d))))""".stripMargin)).as("p"))
+        .where(col("p.s") < col("p.d"))
+        .groupBy(col("p.s").as("a"), col("p.d").as("b"))
         .agg(count(lit(1)).as("sup"))
         .where(col("sup") >= 2)
         .select("a", "b"), "q_triangles_edges")
@@ -369,24 +381,34 @@ object AnalyticsQueries {
 
   /** Association-rule mining, 2-itemsets (market-basket lift): parts
     * co-purchased in the same order with support ≥ 3, scored by
-    * confidence and lift. The pair generation is the canonical
-    * basket-bounded self-join — keyed on l_orderkey, so fan-out per
-    * order is (items-per-order choose 2), never corpus-quadratic;
-    * min-support prunes before the metric joins, which key on part.
-    * Counts stay integers end-to-end; confidence and lift are each
-    * ONE division/expression over exact integers, identical across
-    * engines. At 100 TB this is the a-priori candidate step — the
-    * same plan with a hashed-aggregate pair count. */
+    * confidence and lift. Pair generation rides the basket table (the
+    * qBfsDepth shape, r19 opt): ONE shuffle gathers each order's
+    * distinct part set (collect_set subsumes the DISTINCT), pairs
+    * explode in-row over the sorted set — fan-out per order is still
+    * (items-per-order choose 2), never corpus-quadratic, minus the
+    * self-join's exchange; the materialized baskets also feed the
+    * per-part support counts and the order count, so the lineitem
+    * distinct is computed once, not three times. Min-support prunes
+    * before the metric joins, which key on part. Counts stay integers
+    * end-to-end; confidence and lift are each ONE division/expression
+    * over exact integers, identical across engines. At 100 TB this is
+    * the a-priori candidate step — the same plan with a
+    * hashed-aggregate pair count. */
   def qAssocRules(spark: SparkSession, dir: String): DataFrame = {
-    val b = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val supp = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
-    val nOrders = b.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    b.as("a").join(b.as("c"),
-        col("a.l_orderkey") === col("c.l_orderkey") &&
-        col("a.l_partkey") < col("c.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("c.l_partkey").as("part_b"))
+    val baskets = graft.operators.GraphOps.materializeOnce(
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps")),
+      "assoc_baskets")
+    val supp = baskets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    baskets
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y ->
+          |    struct(x AS s, y AS d))))""".stripMargin)).as("p"))
+      .groupBy(col("p.s").as("part_a"), col("p.d").as("part_b"))
       .agg(count(lit(1)).as("supp_ab"))
       .filter(col("supp_ab") >= 3)
       .join(supp.select(col("l_partkey").as("part_a"), col("supp").as("supp_a")), "part_a")
@@ -644,12 +666,20 @@ object AnalyticsQueries {
     * aggregations after the same basket pair-generation as
     * q_assoc_rules. */
   def qDegreeDist(spark: SparkSession, dir: String): DataFrame = {
-    val b = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val half = b.as("a").join(b.as("c"),
-        col("a.l_orderkey") === col("c.l_orderkey") &&
-        col("a.l_partkey") < col("c.l_partkey"))
-      .groupBy(col("a.l_partkey").as("s"), col("c.l_partkey").as("d"))
+    // pair generation without the distinct + self-join (the qBfsDepth
+    // shape, r19 opt): one shuffle gathers each order's distinct part
+    // set (collect_set subsumes the DISTINCT), pairs explode in-row
+    // over the sorted set (s < d by construction), one more shuffle
+    // counts support — two exchanges where distinct + self-join +
+    // groupBy cost three, same pair rows (baskets are bounded).
+    val half = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y ->
+          |    struct(x AS s, y AS d))))""".stripMargin)).as("p"))
+      .groupBy(col("p.s").as("s"), col("p.d").as("d"))
       .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
       .select("s", "d")
     half.unionByName(half.select(col("d").as("s"), col("s").as("d")))

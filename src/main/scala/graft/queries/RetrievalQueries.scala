@@ -584,9 +584,19 @@ object RetrievalQueries {
     * greedy argmax is integer, ties break on doc_id; no float ever
     * decides a pick. Shape at scale: candidates bound themselves
     * FIRST (per-qid top-8 window), so the pairwise-similarity join
-    * is 8×8 per query — keyed on qid, never a corpus cartesian; the
-    * greedy loop is 3 bounded rounds of keyed join + per-qid argmax
-    * windows, all on ≤ 40-row relations. */
+    * is 8×8 per query — keyed on qid, never a corpus cartesian.
+    *
+    * The greedy selection itself runs DRIVER-SIDE on the collected
+    * (k·|Q|)-row integer artifact — the BpeTrain/PQ-anchor bounded-
+    * artifact rule: expressed as 3 rounds of DataFrame join + argmax
+    * window it planned 105 shuffle exchanges / 39 SortMergeJoins for
+    * a ≤ 40-row relation (the `selected` union chain re-embeds every
+    * earlier round's subtree — plans/r19/q_mmr_rerank_before.txt),
+    * pure scheduling overhead at ANY scale since the relation is
+    * knob-bounded (k=4, |Q|=5) regardless of corpus size. The
+    * arithmetic is already all-integer (quantized longs), so the
+    * driver loop is bit-identical to the DataFrame form it replaced
+    * (oracle-graded, and both corpus-sized stages are unchanged). */
   def qMmrRerank(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < 5)
@@ -605,34 +615,43 @@ object RetrievalQueries {
         .select(col("qid"), col("vec_id").as("doc_id"),
           floor(col("cosine") * lit(1e9)).cast("long").as("relq"),
           col("embedding").as("de")), "mmr_cand")
-    val pair = graft.operators.GraphOps.materializeOnce(
-      cand.select(col("qid"), col("doc_id").as("d1"), col("de").as("e1"))
-        .join(cand.select(col("qid"), col("doc_id").as("d2"), col("de").as("e2")), Seq("qid"))
-        .filter(col("d1") =!= col("d2"))
-        .select(col("qid"), col("d1"), col("d2"),
-          floor(graft.functions.VectorOps.cosine("e1", "e2") * lit(1e9))
-            .cast("long").as("simq")), "mmr_pair")
-    val w1 = Window.partitionBy(col("qid")).orderBy(col("relq").desc, col("doc_id"))
-    var picks = cand
-      .withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
-      .select(col("qid"), col("doc_id"),
-        (col("relq") * lit(7L)).as("mmrq"), lit(1).as("pick_order"))
-    var selected = picks.select(col("qid"), col("doc_id"))
-    for (t <- 2 to 4) {
-      val pen = pair
-        .join(selected.withColumnRenamed("doc_id", "d2"), Seq("qid", "d2"))
-        .groupBy(col("qid"), col("d1").as("doc_id"))
-        .agg(max(col("simq")).as("penq"))
-      val wt = Window.partitionBy(col("qid")).orderBy(col("mmrq").desc, col("doc_id"))
-      val pick = cand.join(selected, Seq("qid", "doc_id"), "left_anti")
-        .join(pen, Seq("qid", "doc_id"))
-        .withColumn("mmrq", col("relq") * lit(7L) - col("penq") * lit(3L))
-        .withColumn("rk", row_number().over(wt)).filter(col("rk") === 1)
-        .select(col("qid"), col("doc_id"), col("mmrq"), lit(t).as("pick_order"))
-      picks = picks.union(pick)
-      selected = picks.select(col("qid"), col("doc_id"))
+    val pair = cand.select(col("qid"), col("doc_id").as("d1"), col("de").as("e1"))
+      .join(cand.select(col("qid"), col("doc_id").as("d2"), col("de").as("e2")), Seq("qid"))
+      .filter(col("d1") =!= col("d2"))
+      .select(col("qid"), col("d1"), col("d2"),
+        floor(graft.functions.VectorOps.cosine("e1", "e2") * lit(1e9))
+          .cast("long").as("simq"))
+    // bounded artifacts to the driver: ≤ 8 candidates × |Q|=5 rows and
+    // their ≤ 8·7·|Q| pairwise sims, all integer-quantized already
+    val candRows = cand.select("qid", "doc_id", "relq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val simq = pair.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    val picks = Vector.newBuilder[(Long, Int, Long, Long)]
+    candRows.map(_._1).distinct.foreach { qid =>
+      val cs = candRows.filter(_._1 == qid)
+      // pick 1: max relq, doc_id tie-break; mmrq = 7·relq
+      val first = cs.minBy { case (_, d, rel) => (-rel, d) }
+      picks += ((qid, 1, first._2, first._3 * 7L))
+      var selected = Set(first._2)
+      for (t <- 2 to 4) {
+        // pen = max simq to any selected doc (every remaining candidate
+        // has a pair row with every selected one — same-qid cand×cand)
+        val scored = cs.filter(c => !selected.contains(c._2)).flatMap {
+          case (_, d, rel) =>
+            val pens = selected.toSeq.flatMap(s => simq.get((qid, d, s)))
+            if (pens.isEmpty) None else Some((d, rel * 7L - pens.max * 3L))
+        }
+        if (scored.nonEmpty) {
+          val (d, mmrq) = scored.minBy { case (d, m) => (-m, d) }
+          picks += ((qid, t, d, mmrq))
+          selected += d
+        }
+      }
     }
-    picks.select("qid", "pick_order", "doc_id", "mmrq")
+    import spark.implicits._
+    picks.result().toDF("qid", "pick_order", "doc_id", "mmrq")
   }
 
   val qMmrRerankSql: String = {

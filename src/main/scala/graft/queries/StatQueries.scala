@@ -1024,7 +1024,13 @@ object StatQueries {
   def qMaxConcurrency(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.ScaleOps
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val sess = Tables.events(spark, dir)
+    // materialize the sessionization once (r19 opt): the two
+    // globalRank passes, the boundary union, and the final session
+    // count would otherwise each re-run the events window + groupBy —
+    // the corpus-sized subtree — ~4×; the checkpointed session table
+    // (one row per session) is the right cut point at any scale.
+    val sess = graft.operators.GraphOps.materializeOnce(
+      Tables.events(spark, dir)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("brk",
         when(col("prev_ts").isNull ||
@@ -1033,7 +1039,8 @@ object StatQueries {
       .withColumn("session_id", sum(col("brk")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
-      .agg(unix_micros(min(col("ts"))).as("st"), unix_micros(max(col("ts"))).as("en"))
+      .agg(unix_micros(min(col("ts"))).as("st"), unix_micros(max(col("ts"))).as("en")),
+      "maxconc_sess")
     val pts = sess.select(col("st").as("t"), lit(0).as("kind"),
         col("user_id"), col("session_id"))
       .unionByName(sess.select(col("en").as("t"), lit(1).as("kind"),

@@ -1167,9 +1167,17 @@ object VectorQueries {
     * pass builds the 64×64 covariance from the vec_id-keyed pair
     * fan-out (the ONLY corpus-sized stage; at 100 TB it is one
     * map-side-combinable aggregation keyed on (i, j)), then THREE
-    * matvec iterations run as d-row keyed joins against the tiny
-    * covariance relation — no driver memo, no collect, the iteration
-    * state is a 64-row DataFrame.
+    * matvec iterations run DRIVER-SIDE on the collected d²-row
+    * covariance artifact — the BpeTrain/PQ-anchor bounded-artifact
+    * rule (d=64 is an operator constant, so the artifact is 4,096
+    * rows at ANY corpus size; FAISS trains its PCA pretransform on
+    * exactly this collected matrix). Expressed as d-row DataFrame
+    * joins the 3 unrolled iterations planned 65 shuffle exchanges /
+    * 21 SortMergeJoins (each round's crossJoin(broadcast(max)) re-
+    * embeds the previous round's subtree twice —
+    * plans/r19/q_pca_power_before.txt); the arithmetic is quantized
+    * integer sums + a handful of IEEE ops replayed in the identical
+    * order, so the driver loop is bit-identical (oracle-graded).
     *
     * Cross-engine determinism at every step: the centered products
     * quantize per-term before the covariance sum (Exact.qsum rule on
@@ -1182,7 +1190,11 @@ object VectorQueries {
     * not just the covariance. Start vector e₀ is deterministic;
     * λ₁/λ₂ ≈ separation after 3 steps is ample for the grading (both
     * engines run the SAME 3 steps regardless). */
-  def qPcaPower(spark: SparkSession, dir: String): DataFrame = {
+  /** The corpus-sized stage of [[qPcaPower]] — the d²-row centered
+    * covariance — exposed so PlanQualitySpec can pin its plan shape
+    * (vec_id-keyed pair fan-out, never a cartesian) now that the
+    * matvec tail no longer embeds it in the final plan. */
+  private[graft] def pcaCov(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val exp = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .withColumn("x", col("x").cast("double"))
@@ -1194,30 +1206,38 @@ object VectorQueries {
       .select(col("pos"), (col("sxq") / col("n").cast("double")).as("mu"))
     val centered = exp.join(broadcast(mu), "pos")
       .select(col("vec_id"), col("pos"), (col("x") - col("mu")).as("cx"))
-    val cov = centered.as("a")
+    centered.as("a")
       .join(centered.as("b"), col("a.vec_id") === col("b.vec_id"))
       .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
       .agg((sum(floor(col("a.cx") * col("b.cx") * lit(1e6)).cast("long"))
         .cast("double") / lit(1e6)).as("c"))
-      .localCheckpoint(false)
-    // v0 = e_0; three quantized matvec + L∞-normalize rounds
-    var v = cov.select(col("i").as("j")).distinct()
-      .select(col("j"), when(col("j") === 0, lit(1.0)).otherwise(lit(0.0)).as("vj"))
-    var lambda: DataFrame = null
+  }
+
+  def qPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val cov = pcaCov(spark, dir)
+    // d²-row bounded artifact to the driver; v0 = e_0; three quantized
+    // matvec + L∞-normalize rounds in the SAME IEEE op order the
+    // DataFrame form (and the DuckDB oracle's unrolled CTEs) compute:
+    // per-term floor((c*vj)*1e9) longs, order-free long sums, one
+    // divide per normalize
+    val covRows = cov.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val dims = covRows.map(_._1).distinct.sorted
+    var v = dims.map(j => j -> (if (j == 0) 1.0 else 0.0)).toMap
+    var m = 0.0
     for (_ <- 1 to 3) {
-      val w = cov.join(v, "j")
-        .groupBy(col("i"))
-        .agg((sum(floor(col("c") * col("vj") * lit(1e9)).cast("long"))
-          .cast("double") / lit(1e9)).as("w"))
-      val m = w.agg(max(abs(col("w"))).as("m"))
-      lambda = m
-      v = w.crossJoin(broadcast(m))
-        .select(col("i").as("j"), (col("w") / col("m")).as("vj"))
+      val wSum = new scala.collection.mutable.HashMap[Int, Long]()
+      covRows.foreach { case (i, j, c) =>
+        wSum(i) = wSum.getOrElse(i, 0L) + math.floor(c * v(j) * 1e9).toLong
+      }
+      val w = dims.map(i => i -> (wSum.getOrElse(i, 0L).toDouble / 1e9)).toMap
+      m = dims.map(i => math.abs(w(i))).max
+      v = dims.map(i => i -> (w(i) / m)).toMap
     }
-    v.crossJoin(broadcast(lambda))
-      .select(col("j").as("pos"),
-        floor(col("vj") * lit(1e6)).cast("long").as("loadingq"),
-        floor(col("m") * lit(1e6)).cast("long").as("eigq"))
+    import spark.implicits._
+    dims.toSeq
+      .map(j => (j, math.floor(v(j) * 1e6).toLong, math.floor(m * 1e6).toLong))
+      .toDF("pos", "loadingq", "eigq")
   }
 
   val qPcaPowerSql: String =

@@ -285,17 +285,21 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("PCA power iteration: covariance pairs keyed on vec_id, iterations reuse one cov") {
-    val p = executedPlan("q_pca_power")
+    // the corpus-sized stage is the covariance subtree (the matvec
+    // tail runs driver-side on the collected d²-row artifact, so the
+    // final plan is a LocalTableScan — r19 opt); pin the plan shape
+    // where the distributed work actually is
+    val p = queries.VectorQueries.pcaCov(spark, dir)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     // the d² pair fan-out must be the vec_id equi-join, not all-pairs
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), p)
-    // localCheckpoint truncates the covariance lineage: the embeddings
-    // parquet is NOT rescanned by the three matvec rounds
-    val embScans = p.linesIterator.count(l =>
-      l.contains("Scan parquet") && l.contains("embeddings"))
-    assert(embScans == 0,
-      s"matvec rounds rescan the embeddings parquet (checkpoint lost):\n$p")
+    // the matvec tail collects ONE bounded artifact: the final query
+    // plan carries no distributed subtree at all
+    val fp = executedPlan("q_pca_power")
+    assert(fp.contains("LocalTableScan"),
+      s"q_pca_power's matvec tail is no longer the driver-side bounded-artifact form:\n$fp")
     // the loadings are a unit-∞-norm vector: max |loadingq| == 1e6
     val rows = SparkEntry.queries("q_pca_power")(spark, dir).collect()
     assert(rows.length == 64)
