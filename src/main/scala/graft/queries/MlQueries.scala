@@ -312,16 +312,24 @@ object MlQueries {
     * compute_metrics), shared by the banded and exact KNN metric
     * queries. */
   private def evalMetricsFrom(conf: DataFrame): DataFrame = {
-    val tp = conf.filter(col("label") === col("predicted"))
-      .select(col("label").as("cls"), col("n").as("tp"))
-    val actual = conf.groupBy(col("label").as("cls")).agg(sum(col("n")).as("n_actual"))
-    val pred = conf.groupBy(col("predicted").as("cls")).agg(sum(col("n")).as("n_pred"))
-    actual.join(pred, Seq("cls"), "full_outer")
-      .join(tp, Seq("cls"), "left")
-      .select(col("cls"),
-        coalesce(col("tp"), lit(0L)).as("tp"),
-        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
-        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+    // one aggregate instead of full_outer + left join + three groupBys
+    // (r19 opt: 13 → 8 shuffle exchanges, plans/r19/
+    // q_eval_metrics_{before,after}.txt): each confusion row (l, p, n)
+    // contributes n_actual (and tp when l = p) under cls = l and
+    // n_pred under cls = p — a two-leg unpivot + conditional sums is
+    // the whole tail, and the full-outer class set falls out of the
+    // union. tp attaches to the actual leg only, so a diagonal row
+    // never double-counts.
+    conf
+      .select(explode(array(
+        struct(col("label").as("cls"), col("n").as("na"), lit(0L).as("np"),
+          when(col("label") === col("predicted"), col("n")).otherwise(lit(0L)).as("tp")),
+        struct(col("predicted").as("cls"), lit(0L).as("na"), col("n").as("np"),
+          lit(0L).as("tp")))).as("leg"))
+      .groupBy(col("leg.cls").as("cls"))
+      .agg(sum(col("leg.tp")).as("tp"),
+        sum(col("leg.na")).as("n_actual"),
+        sum(col("leg.np")).as("n_pred"))
       .withColumn("precision",
         when(col("n_pred") > 0, col("tp").cast("double") / col("n_pred")).otherwise(0.0))
       .withColumn("recall",
@@ -693,17 +701,25 @@ object MlQueries {
     // with the 'MACRO' summary row must not coerce the label column
     // back to a numeric type (ANSI would fail casting 'MACRO')
     val pred = centroidPredictions(spark, dir).localCheckpoint(false)
-    val classes = pred.select(col("actual_label").cast("string").as("cls")).distinct()
-    val tp = pred.filter(col("pred_label") === col("actual_label"))
-      .groupBy(col("actual_label").cast("string").as("cls")).agg(count(lit(1)).as("tp"))
-    val predN = pred.groupBy(col("pred_label").cast("string").as("cls")).agg(count(lit(1)).as("np"))
-    val actN = pred.groupBy(col("actual_label").cast("string").as("cls")).agg(count(lit(1)).as("na"))
-    val perClass = classes
-      .join(tp, Seq("cls"), "left").join(predN, Seq("cls"), "left")
-      .join(actN, Seq("cls"), "left")
-      .withColumn("tp", coalesce(col("tp"), lit(0L)))
-      .withColumn("np", coalesce(col("np"), lit(0L)))
-      .withColumn("na", coalesce(col("na"), lit(0L)))
+    // one aggregate instead of distinct + three groupBys + three left
+    // joins (r19 opt, the evalMetricsFrom unpivot): each prediction
+    // row contributes (na, tp-if-diagonal) under its actual label and
+    // np under its predicted label; the class-membership rule — one
+    // row per DISTINCT ACTUAL label, predicted-only labels excluded —
+    // is exactly the post-aggregate na > 0 filter (every actual class
+    // has na ≥ 1).
+    val perClass = pred
+      .select(explode(array(
+        struct(col("actual_label").cast("string").as("cls"),
+          lit(1L).as("na"), lit(0L).as("np"),
+          when(col("pred_label") === col("actual_label"), lit(1L))
+            .otherwise(lit(0L)).as("tp")),
+        struct(col("pred_label").cast("string").as("cls"),
+          lit(0L).as("na"), lit(1L).as("np"), lit(0L).as("tp")))).as("leg"))
+      .groupBy(col("leg.cls").as("cls"))
+      .agg(sum(col("leg.tp")).as("tp"), sum(col("leg.np")).as("np"),
+        sum(col("leg.na")).as("na"))
+      .filter(col("na") > 0)
       .withColumn("p", when(col("np") > 0,
         col("tp").cast("double") / col("np").cast("double")).otherwise(lit(0.0)))
       .withColumn("r", when(col("na") > 0,
