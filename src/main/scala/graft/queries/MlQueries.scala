@@ -557,8 +557,13 @@ object MlQueries {
     val toks = train.select(col("lang"), explode(col("t")).as("w"))
     val cw = toks.groupBy(col("lang").as("cls"), col("w"))
       .agg(count(lit(1)).as("cw"))
-    val ct = toks.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("ct"))
-    val vocab = toks.select(col("w")).distinct().agg(count(lit(1)).as("v"))
+    // ct and vocab derive from the vocabulary-sized cw table instead
+    // of re-aggregating the corpus token stream (r19 opt): per-class
+    // token totals are the sum of cw within the class, and the vocab
+    // is the distinct w of cw's key — one corpus-sized pass, not three
+    // (exact integers either way).
+    val ct = cw.groupBy(col("cls")).agg(sum(col("cw")).as("ct"))
+    val vocab = cw.select(col("w")).distinct().agg(count(lit(1)).as("v"))
     val nTrain = train.agg(count(lit(1)).as("n_all"))
     val prior = train.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("nd"))
       .crossJoin(broadcast(nTrain))

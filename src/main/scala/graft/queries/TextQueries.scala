@@ -380,10 +380,16 @@ object TextQueries {
     val benchSh = TextOps.shingles(docs.filter(col("doc_id") < 50), "doc_id", "text", 8)
       .select(col("shingle")).distinct()
     val corpSh = TextOps.shingles(docs.filter(col("doc_id") >= 50), "doc_id", "text", 8)
-    val tot = corpSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val hit = corpSh.join(broadcast(benchSh), "shingle")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    tot.join(hit, "doc_id")
+    // one aggregate for total and shared shingle counts (r19 opt): a
+    // LEFT join against the broadcast benchmark set marks hits, so the
+    // per-doc total and hit counts come out of the same keyed
+    // aggregate — the corpus shingle table is scanned once and the
+    // tot ⋈ hit doc_id join disappears. Docs with zero shared
+    // shingles produce overlap 0 and fail the ≥ 0.5 filter exactly as
+    // the old inner join dropped them.
+    corpSh.join(broadcast(benchSh.withColumn("hit", lit(1))), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
       .withColumn("overlap", col("n_shared").cast("double") / col("n_shingles"))
       .filter(col("overlap") >= 0.5)
   }
