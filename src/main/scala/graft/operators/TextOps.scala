@@ -196,21 +196,25 @@ object TextOps {
 
   /** TF-weighted 32-bit SimHash per doc from a (id, text) DF.
     * Classic simhash: each token votes ±tf on every bit of its hash;
-    * bit = 1 where the vote sum is ≥ 0. Two aggregations, both keyed
-    * on doc id (+bit) — shuffles stay on the doc key. */
+    * bit = 1 where the vote sum is ≥ 0. The 32 per-bit vote sums are
+    * 32 conditional-sum columns of ONE doc-keyed aggregate (r19 opt)
+    * instead of a ×32 bit-explode feeding a (doc, bit)-keyed
+    * aggregate plus a second doc-keyed one — same exact integer votes
+    * and the same bit composition, one fewer exchange and 32× fewer
+    * aggregate input rows. */
   def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", tokenHash32(col("tok")))
-    tf.select(col(idCol), col("cnt"), col("h"),
-        explode(sequence(lit(0), lit(31))).as("bit"))
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(when(expr("(shiftright(h, bit) & 1) = 1"), col("cnt"))
-        .otherwise(-col("cnt"))).as("s"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("s") >= 0, expr("shiftleft(1L, bit)"))
-        .otherwise(lit(0L))).as("simhash"))
+    val votes = (0 until 32).map(b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$b"))
+    tf.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 32).map(b =>
+          when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** All pairs within `maxHamming` of each other, found WITHOUT the

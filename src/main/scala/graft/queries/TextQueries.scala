@@ -799,17 +799,25 @@ object TextQueries {
     * per-document symbol-count trajectory sym0 ≥ sym1 ≥ sym2 — the
     * compression curve a tokenizer trainer monitors. */
   def qBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    // train on per-doc WORD FREQUENCIES, not the raw token stream (r19
+    // opt — the BpeTrain discipline): the two-round structure scans
+    // its input three times (each round's pair count + the final
+    // trajectory aggregate) and runs the replace twice, so compressing
+    // the stream to (doc_id, word, k) first shrinks every downstream
+    // stage; pair counts weight by k and the symbol sums by length·k —
+    // exact integers, identical result (oracle unchanged).
     def topPair(ws: DataFrame, c: String) = ws
       .filter(length(col(c)) >= 2)
-      .select(explode(expr(
+      .select(col("k"), explode(expr(
         s"transform(sequence(1, length($c) - 1), i -> substring($c, i, 2))"))
         .as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("pair")).agg(sum(col("k")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(1)
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w0"))
+      .groupBy(col("doc_id"), col("w0")).agg(count(lit(1)).as("k"))
     val t1 = topPair(words, "w0").select(col("pair").as("m1"), col("cnt").as("c1"))
     val s1 = words.crossJoin(broadcast(t1))
       .withColumn("w1", expr("replace(w0, m1, char(1))"))
@@ -817,10 +825,10 @@ object TextQueries {
     val s2 = s1.crossJoin(broadcast(t2))
       .withColumn("w2", expr("replace(w1, m2, char(2))"))
     s2.groupBy(col("doc_id"), col("m1"), col("c1"), col("m2"), col("c2"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(length(col("w0"))).as("sym0"),
-        sum(length(col("w1"))).as("sym1"),
-        sum(length(col("w2"))).as("sym2"))
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(length(col("w0")) * col("k")).as("sym0"),
+        sum(length(col("w1")) * col("k")).as("sym1"),
+        sum(length(col("w2")) * col("k")).as("sym2"))
   }
 
   val qBpeApplySql: String =
