@@ -1234,7 +1234,11 @@ object TextQueries {
         .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // c1 is the w1-marginal of the vocab²-sized c2 table (r19 opt) —
+    // no second aggregation over the corpus bigram stream; exact
+    // integers either way (vocab stays on unigrams: single-token docs
+    // emit no bigram, so c2's keys undercount the token inventory)
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     bi.join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
@@ -1802,9 +1806,12 @@ object TextQueries {
       .withColumn("t", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
       .select(col("lang"), explode(col("t")).as("w"))
     val cw = toks.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cw"))
-    val cWord = toks.groupBy(col("w")).agg(count(lit(1)).as("c_all"))
-    val cTot = toks.groupBy(col("lang")).agg(count(lit(1)).as("ct"))
-    val n = toks.agg(count(lit(1)).as("n_tot"))
+    // all three marginals derive from the vocabulary-sized (lang, w)
+    // table (r19 opt) — one corpus-sized aggregation instead of four;
+    // exact integer sums either way
+    val cWord = cw.groupBy(col("w")).agg(sum(col("cw")).as("c_all"))
+    val cTot = cw.groupBy(col("lang")).agg(sum(col("cw")).as("ct"))
+    val n = cw.agg(sum(col("cw")).as("n_tot"))
     val wTop = Window.partitionBy(col("lang"))
       .orderBy(col("pmiq").desc, col("w").asc)
     cw.filter(col("cw") >= 20)
