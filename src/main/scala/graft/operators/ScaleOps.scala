@@ -104,6 +104,72 @@ object ScaleOps {
     spark.createDataFrame(ranked, schema)
   }
 
+  /** Fused dual rank (r19 opt): the global 1-based rank `rankCol` AND
+    * the within-group 1-based rank `groupRankCol` (group = the VALUE
+    * of `groupCol`, any small-cardinality column) over ONE
+    * range-partitioned sort — the one-pass form of the rank-identity
+    * consumers (q_ks_test, q_max_concurrency) that previously ran two
+    * or three [[globalRank]] passes over the same total order and
+    * joined them back on a row key: three range shuffles + a
+    * sort-merge join collapse into one shuffle and zero joins, and
+    * the [[lastShuffleRdd]] single-slot cleanup no longer evicts the
+    * earlier passes' blocks before execution (each extra call
+    * unpersisted the previous one's cache, forcing recomputes).
+    *
+    * Mechanics are exactly zipWithIndex's, generalized: one counting
+    * pass collects per-(partition, group) row counts — a
+    * numPartitions × |groups| driver artifact, control flow like
+    * zipWithIndex's offsets — and the assignment pass adds each
+    * partition's global and per-group prefix offsets to running local
+    * counters. `sortCols` must be a total order (same contract as
+    * [[globalRank]]); the group ranks equal ROW_NUMBER() OVER
+    * (PARTITION BY group ORDER BY sortCols) exactly. */
+  def globalRankDual(df: DataFrame, sortCols: Seq[Column], groupCol: String,
+                     rankCol: String, groupRankCol: String,
+                     numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val lt = org.apache.spark.sql.types.LongType
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema
+        :+ org.apache.spark.sql.types.StructField(rankCol, lt, nullable = false)
+        :+ org.apache.spark.sql.types.StructField(groupRankCol, lt, nullable = false))
+    val gIdx = sorted.schema.fieldIndex(groupCol)
+    val rows = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val prev = lastShuffleRdd.put(spark.sparkContext.applicationId, rows)
+    if (prev != null && (prev ne rows)) prev.unpersist(blocking = false)
+    // counting pass (the zipWithIndex offset job, plus per-group tallies)
+    val counts: Array[(Long, Map[Any, Long])] = rows
+      .mapPartitionsWithIndex { (pi, it) =>
+        val m = scala.collection.mutable.HashMap.empty[Any, Long]
+        var c = 0L
+        it.foreach { r => c += 1; val g = r.get(gIdx); m(g) = m.getOrElse(g, 0L) + 1 }
+        Iterator((pi, (c, m.toMap)))
+      }.collect().sortBy(_._1).map(_._2)
+    val globalOff = counts.scanLeft(0L)(_ + _._1)
+    val groupOff: Array[Map[Any, Long]] = counts.scanLeft(Map.empty[Any, Long]) {
+      (acc, pc) => (acc.keySet ++ pc._2.keySet).map(g =>
+        g -> (acc.getOrElse(g, 0L) + pc._2.getOrElse(g, 0L))).toMap
+    }
+    val ranked = rows.mapPartitionsWithIndex { (pi, it) =>
+      var r = globalOff(pi)
+      val seen = scala.collection.mutable.HashMap.empty[Any, Long]
+      groupOff(pi).foreach { case (g, o) => seen(g) = o }
+      it.map { row =>
+        r += 1
+        val g = row.get(gIdx)
+        val gr = seen.getOrElse(g, 0L) + 1
+        seen(g) = gr
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r :+ gr)
+      }
+    }
+    spark.createDataFrame(ranked, schema)
+  }
+
   /** Salted join for skewed keys (SURVEY §2 "salting for skew"): the
     * build side replicates `salt` times, the probe side picks its
     * salt by hashing `probeSalt` — a caller-supplied DETERMINISTIC

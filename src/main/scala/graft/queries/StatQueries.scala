@@ -420,9 +420,12 @@ object StatQueries {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), pmod(col("user_id"), lit(4)).cast("int").as("bucket"))
     val cells = ev.groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("o"))
-    val rt = ev.groupBy(col("event_type")).agg(count(lit(1)).as("rt"))
-    val ct = ev.groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    val n = ev.agg(count(lit(1)).as("n"))
+    // row/column/grand totals are marginals of the contingency cells
+    // (r19 opt) — one corpus-sized aggregation instead of four; exact
+    // integer sums either way
+    val rt = cells.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("bucket")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"))
     cells.join(broadcast(rt), "event_type")
       .join(broadcast(ct), "bucket")
       .crossJoin(broadcast(n))
@@ -528,16 +531,16 @@ object StatQueries {
       .select(col("event_id"), col("value"),
         when(col("event_type") === "click", 0).otherwise(1).as("s"))
     def sortCols = Seq(col("value"), col("s"), col("event_id"))
-    val merged = ScaleOps.globalRank(ev, sortCols, "r")
-    val perSample =
-      ScaleOps.globalRank(ev.filter(col("s") === 0), sortCols, "rs")
-        .unionByName(
-          ScaleOps.globalRank(ev.filter(col("s") === 1), sortCols, "rs"))
-        .select(col("event_id"), col("rs"))
+    // fused dual rank (r19 opt): r and the within-sample rs come from
+    // ONE range-partitioned sort (ScaleOps.globalRankDual) instead of
+    // three globalRank passes re-joined on event_id — two shuffles and
+    // a sort-merge join gone, same ROW_NUMBER semantics (oracle
+    // unchanged)
+    val ranked = ScaleOps.globalRankDual(ev, sortCols, "s", "r", "rs")
     val n = ev.groupBy().agg(
       sum(when(col("s") === 0, 1L).otherwise(0L)).as("n1"),
       sum(when(col("s") === 1, 1L).otherwise(0L)).as("n2"))
-    merged.join(perSample, "event_id")
+    ranked
       .crossJoin(broadcast(n))
       .withColumn("i1", when(col("s") === 0, col("rs")).otherwise(col("r") - col("rs")))
       .withColumn("i2", col("r") - col("i1"))
@@ -1046,11 +1049,13 @@ object StatQueries {
       .unionByName(sess.select(col("en").as("t"), lit(1).as("kind"),
         col("user_id"), col("session_id")))
     def sortCols = Seq(col("t"), col("kind"), col("user_id"), col("session_id"))
-    val merged = ScaleOps.globalRank(pts, sortCols, "r")
-    val starts = ScaleOps.globalRank(pts.filter(col("kind") === 0), sortCols, "rs")
-      .select(col("user_id").as("su"), col("session_id").as("ss"), col("rs"))
-    val conc = merged.filter(col("kind") === 0)
-      .join(starts, col("user_id") === col("su") && col("session_id") === col("ss"))
+    // fused dual rank (r19 opt): the overall boundary rank r and the
+    // rank among START boundaries rs come from ONE range-partitioned
+    // sort (ScaleOps.globalRankDual, grouped on kind) instead of two
+    // globalRank passes re-joined on (user, session) — one shuffle and
+    // the join gone, same ROW_NUMBER semantics (oracle unchanged)
+    val conc = ScaleOps.globalRankDual(pts, sortCols, "kind", "r", "rs")
+      .filter(col("kind") === 0)
       .withColumn("open", lit(2L) * col("rs") - col("r"))
     val m = conc.agg(max(col("open")).as("peak"))
     conc.crossJoin(broadcast(m))

@@ -51,6 +51,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a.map(_._2).sorted == (1L to n), "ranks are not a permutation of 1..N")
   }
 
+  test("fused dual rank matches global + per-group ROW_NUMBER references") {
+    // globalRankDual (the r19 one-pass form behind q_ks_test /
+    // q_max_concurrency) must equal ROW_NUMBER() OVER (ORDER BY keys)
+    // and ROW_NUMBER() OVER (PARTITION BY group ORDER BY keys) over
+    // the same total order, at any partition count
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_id") < 500)
+      .select(col("event_id"), col("value"),
+        pmod(col("user_id"), lit(3)).cast("int").as("g"))
+    val keys = Seq(col("value"), col("g"), col("event_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(keys: _*)
+    val wGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(keys: _*)
+    val reference = ev
+      .withColumn("r", row_number().over(wAll).cast("long"))
+      .withColumn("rs", row_number().over(wGrp).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    for (np <- Seq(1, 4, 7)) {
+      val engine = ScaleOps.globalRankDual(ev, keys, "g", "r", "rs",
+          numPartitions = np)
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+      assert(engine == reference,
+        s"dual rank at np=$np diverges: ${(engine diff reference).take(5)}")
+    }
+  }
+
   test("deterministic shuffle plans no partition-less window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     val ev = Tables.events(spark, "/root/testdata/sf0.001").select("event_id")
