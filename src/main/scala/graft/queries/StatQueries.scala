@@ -669,7 +669,6 @@ object StatQueries {
     * with its gain, ordered columns — no argmax tie to break. */
   def qInfoGain(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
-    val nRow = ev.agg(count(lit(1)).as("n"))
     val thresholds = ev.agg(
         percentile(col("value"), typedLit((1 to 9).map(_ / 10.0))).as("ts"))
       .select(posexplode(col("ts")).as(Seq("tidx", "thr")))
@@ -679,8 +678,14 @@ object StatQueries {
       .agg(count(lit(1)).as("nc"))
     val sideTot = cells.groupBy(col("tidx"), col("side"))
       .agg(sum(col("nc")).as("ns"))
+    // every threshold partitions ev completely, so the per-class
+    // counts and the row total are marginals of any one tidx slice of
+    // cells (r19 opt) — two fewer corpus-sized aggregations; exact
+    // integers either way
+    val tidx0 = cells.filter(col("tidx") === 0)
+    val nRow = tidx0.agg(sum(col("nc")).as("n"))
     // parent entropy term: -sum_c n_c * lnq(n_c / n)  (threshold-free)
-    val parentQ = ev.groupBy(col("event_type")).agg(count(lit(1)).as("nc"))
+    val parentQ = tidx0.groupBy(col("event_type")).agg(sum(col("nc")).as("nc"))
       .crossJoin(broadcast(nRow))
       .agg(sum(-col("nc") *
         floor(log(col("nc").cast("double") / col("n").cast("double")) * lit(1e9))

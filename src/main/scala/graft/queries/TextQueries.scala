@@ -1113,7 +1113,9 @@ object TextQueries {
     val chars = Tables.documents(spark, dir)
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]', 0)")).as("ch"))
     val exact = chars.groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
-    val nRow = chars.agg(count(lit(1)).as("n"))
+    // n is the marginal of the 26-row exact table (r19 opt) — one
+    // fewer corpus-sized scan of the char stream
+    val nRow = exact.agg(sum(col("cnt")).as("n"))
     val mg = chars.as[String]
       .select(new graft.operators.Sketches.MisraGries(k).toColumn).head()
     val cand = mg.toSeq.toDF("ch", "est")
@@ -1189,7 +1191,9 @@ object TextQueries {
     val chars = Tables.documents(spark, dir)
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]', 0)")).as("ch"))
     val exact = chars.groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
-    val nRow = chars.agg(count(lit(1)).as("n"))
+    // n is the marginal of the 26-row exact table (r19 opt) — one
+    // fewer corpus-sized scan of the char stream
+    val nRow = exact.agg(sum(col("cnt")).as("n"))
     val sk = chars.as[String]
       .select(new graft.operators.Sketches.CountMin(d, w).toColumn).head()
     val ests = ('a' to 'z').map { c =>
