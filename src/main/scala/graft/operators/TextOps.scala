@@ -136,9 +136,16 @@ object TextOps {
     // one shuffle on shingle, whose partitioning the self-join below
     // reuses — no second pass over the index
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    val sh = sh0.withColumn("df", count(lit(1)).over(w))
-      .filter(col("df") <= maxDf)
-      .select(col(idCol), col("shingle"))
+    // materialize the df-capped shingle table once (r19 opt): the
+    // executed plan showed the scan→explode→distinct→window pipeline
+    // running THREE times — the self-join's build side is a
+    // BroadcastExchange (not a reusable shuffle exchange) and the
+    // per-doc sizes leg re-runs it again
+    val sh = GraphOps.materializeOnce(
+      sh0.withColumn("df", count(lit(1)).over(w))
+        .filter(col("df") <= maxDf)
+        .select(col(idCol), col("shingle")),
+      s"jaccard_sh_$idCol")
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))

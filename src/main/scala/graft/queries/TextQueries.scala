@@ -246,7 +246,12 @@ object TextQueries {
   def qMinhashLshXx(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val cand = TextOps.minhashPairsXx(docs, "doc_id", "text").select("ida", "idb")
-    val sh = TextOps.shingles(docs, "doc_id", "text", 3)
+    // materialize the shingle table once (r19 opt): the sizes leg and
+    // both intersection-join legs consume it through broadcast joins,
+    // which re-run the scan→explode→distinct pipeline per consumer
+    // (broadcast exchanges are not runtime-reusable across shapes)
+    val sh = graft.operators.GraphOps.materializeOnce(
+      TextOps.shingles(docs, "doc_id", "text", 3), "minhashxx_sh")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("ida"), col("shingle")), "ida")
