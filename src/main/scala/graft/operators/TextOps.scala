@@ -232,9 +232,14 @@ object TextOps {
     * candidates. Requires maxHamming ≤ 3 for completeness. */
   def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-band blocking is only complete for hamming <= 3")
-    val bands = sigs.select(col(idCol), col("simhash"),
-      posexplode(expr("transform(sequence(0, 3), i -> shiftright(simhash, i * 8) & 255)"))
-        .as(Seq("band", "byte")))
+    // materialize the 4-rows-per-doc band table once (r19 opt): the
+    // self-join's build side is a BroadcastExchange, so the signature
+    // aggregate above the reused exchange re-ran per side
+    val bands = GraphOps.materializeOnce(
+      sigs.select(col(idCol), col("simhash"),
+        posexplode(expr("transform(sequence(0, 3), i -> shiftright(simhash, i * 8) & 255)"))
+          .as(Seq("band", "byte"))),
+      s"simhash_bands_$idCol")
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&

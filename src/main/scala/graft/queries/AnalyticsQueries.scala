@@ -471,8 +471,12 @@ object AnalyticsQueries {
         unix_micros(max(col("ts"))).as("en"),
         count(lit(1)).as("n"))
       .filter(col("n") >= 2)
+    // materialize the sessionization once (r19 opt): both sides of the
+    // broadcast self-join below would each re-run the events window +
+    // groupBy (the corpus-sized subtree)
+    val sessM = graft.operators.GraphOps.materializeOnce(sess, "overlap_sess")
     val hourUs = 3600L * 1000000L
-    val binned = sess.withColumn("bucket",
+    val binned = sessM.withColumn("bucket",
       explode(expr(s"sequence(st div $hourUs, en div $hourUs)")))
     binned.as("a").join(binned.as("c"),
         col("a.bucket") === col("c.bucket") &&
@@ -618,11 +622,15 @@ object AnalyticsQueries {
     * less data moved). 32-user blocks keep every shift below bit 63
     * — DuckDB's checked BIGINT shift rejects 1 << 63. */
   def qBitmapIndex(spark: SparkSession, dir: String): DataFrame = {
-    val blocks = Tables.events(spark, dir)
+    // materialize the block bitmaps once (r19 opt): the sizes leg and
+    // both sides of the broadcast self-join would each re-run the
+    // events DISTINCT + bitmap build
+    val blocks = graft.operators.GraphOps.materializeOnce(
+      Tables.events(spark, dir)
       .select(col("event_type"), col("user_id")).distinct()
       .groupBy(col("event_type"), expr("user_id div 32").as("blk"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))")
-        .as("bm"))
+        .as("bm")), "bitmap_blocks")
     val sizes = blocks.groupBy(col("event_type"))
       .agg(sum(expr("bit_count(bm)")).as("card"), count(lit(1)).as("n_blocks"))
     blocks.as("x").join(blocks.as("y"),

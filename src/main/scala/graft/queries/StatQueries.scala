@@ -824,8 +824,13 @@ object StatQueries {
     * intersections via ONE user-keyed self-join, sizes joined back
     * broadcast, single-division Jaccard. */
   def qAudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val aud = Tables.events(spark, dir)
-      .select(col("event_type"), col("user_id")).distinct()
+    // materialize the distinct audience once (r19 opt): the sizes leg
+    // and both sides of the broadcast self-join would each re-run the
+    // events DISTINCT (broadcast exchanges are not runtime-reusable)
+    val aud = graft.operators.GraphOps.materializeOnce(
+      Tables.events(spark, dir)
+        .select(col("event_type"), col("user_id")).distinct(),
+      "audience_aud")
     val sizes = aud.groupBy(col("event_type")).agg(count(lit(1)).as("sz"))
     aud.as("x").join(aud.as("y"),
         col("x.user_id") === col("y.user_id") &&

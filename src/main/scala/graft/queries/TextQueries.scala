@@ -202,10 +202,15 @@ object TextQueries {
     val sh = TextOps.shingles(Tables.documents(spark, dir), "doc_id", "text", 3)
     val sig = sh.groupBy(col("doc_id")).agg(
       TextOps.minhashAggs(0 until 8).head, TextOps.minhashAggs(0 until 8).tail: _*)
-    val bands = sig.select(col("doc_id"), posexplode(array(
+    // materialize the 4-rows-per-doc band table once (r19 opt): the
+    // self-join's build side is a BroadcastExchange, so the final
+    // signature sort-aggregate and the band md5s re-ran per side
+    // (only the partial-agg exchange below them is runtime-reused)
+    val bands = graft.operators.GraphOps.materializeOnce(
+      sig.select(col("doc_id"), posexplode(array(
         md5(concat(col("h0"), col("h1"))), md5(concat(col("h2"), col("h3"))),
         md5(concat(col("h4"), col("h5"))), md5(concat(col("h6"), col("h7")))))
-      .as(Seq("band", "key")))
+      .as(Seq("band", "key"))), "minhash_bands")
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
