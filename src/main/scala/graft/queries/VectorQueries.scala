@@ -271,8 +271,16 @@ object VectorQueries {
     * banding, so the check also pins the blocking semantics. */
   def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val bands = e.select(col("vec_id"), col("embedding"),
-      posexplode(VectorOps.signBands("embedding", 4, 4)).as(Seq("band", "bucket")))
+    // materialize the band table once (r19 opt): the self-join's build
+    // side is a BroadcastExchange, so the sign-band explode re-ran per
+    // side. Project the embedding OUT first — the candidate join needs
+    // only (vec_id, band, bucket), and checkpointing 4 copies of every
+    // vector would cost more than the saved explode (guide §2.3:
+    // shuffle/store keys, not payloads).
+    val bands = graft.operators.GraphOps.materializeOnce(
+      e.select(col("vec_id"),
+        posexplode(VectorOps.signBands("embedding", 4, 4)).as(Seq("band", "bucket"))),
+      "embed_neardup_bands")
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
