@@ -304,6 +304,7 @@ object BpeTrain {
     // reusable candidate buffers + per-round visit stamps
     var ccnt = new Array[Long](mcap)
     var ckey = new Array[Long](mcap)
+    var cpk = new Array[Long](mcap)
     val stamp = new Array[Int](words.length)
 
     var nm = 0
@@ -321,10 +322,12 @@ object BpeTrain {
       var ci = 0
       var li0 = 0
       var lw = 0
+      var maxCnt = 0L
       while (li0 < liveN) {
         val s = liveBuf(li0)
         if (mvs(s) > 0) {
           ccnt(ci) = mvs(s); ckey(ci) = mks(s); ci += 1
+          if (mvs(s) > maxCnt) maxCnt = mvs(s)
           liveBuf(lw) = s; lw += 1
         } else mliv(s) = false
         li0 += 1
@@ -338,49 +341,103 @@ object BpeTrain {
         // string order), cap to the candidate window: a partial
         // quicksort fully orders positions [0, kTop) and prunes the
         // rest — the same prefix a full sort + take(t) produced
-        // (keys are unique, so the order is total)
+        // (keys are unique, so the order is total).
+        // Fast path (r19 opt): keys are < 2^40 by construction, so
+        // when every count fits 23 bits the (count, key) pair packs
+        // into ONE long — (cnt << 40) | (2^40-1-key) — whose natural
+        // DESCENDING order IS (count DESC, key ASC); the partial
+        // quicksort then runs on a single primitive array (half the
+        // swap/compare traffic). Counts can exceed the packable range
+        // on a real corpus, so the two-array form stays as the exact
+        // fallback (identical order either way — keys are unique).
         val kTop = math.min(t, ci)
-        def better(i: Int, j: Int): Boolean =
-          ccnt(i) > ccnt(j) || (ccnt(i) == ccnt(j) && ckey(i) < ckey(j))
-        def swap(i: Int, j: Int): Unit = {
-          val tc = ccnt(i); ccnt(i) = ccnt(j); ccnt(j) = tc
-          val tk = ckey(i); ckey(i) = ckey(j); ckey(j) = tk
-        }
-        def psort(lo0: Int, hi0: Int): Unit = {
-          var lo = lo0
-          var hi = hi0
-          while (lo < hi && lo < kTop) {
-            // median-of-three pivot to dodge sorted-input quadratics
-            val mid = (lo + hi) >>> 1
-            if (better(mid, lo)) swap(mid, lo)
-            if (better(hi, lo)) swap(hi, lo)
-            if (better(hi, mid)) swap(hi, mid)
-            swap(mid, hi) // pivot to hi
-            var p = lo
-            var q = lo
-            while (q < hi) {
-              if (better(q, hi)) { swap(p, q); p += 1 }
-              q += 1
-            }
-            swap(p, hi)
-            // recurse into the SMALLER live side and loop on the larger:
-            // stack depth stays O(log n) even if equal-count runs give
-            // the pivot a pathological partition sequence
-            val lLo = lo; val lHi = p - 1
-            val rLo = p + 1
-            val leftLen = lHi - lLo + 1
-            val rightLive = rLo < kTop // positions >= kTop need no order
-            val rightLen = if (rightLive) hi - rLo + 1 else 0
-            if (leftLen <= rightLen) {
-              if (leftLen > 0) psort(lLo, lHi)
-              if (rightLive) lo = rLo else hi = lo - 1
-            } else {
-              if (rightLive) psort(rLo, hi)
-              hi = lHi
+        val Mask40 = (1L << 40) - 1
+        if (maxCnt < (1L << 23)) {
+          if (cpk.length < ccnt.length) cpk = new Array[Long](ccnt.length)
+          var i = 0
+          while (i < ci) { cpk(i) = (ccnt(i) << 40) | (Mask40 - ckey(i)); i += 1 }
+          def psortP(lo0: Int, hi0: Int): Unit = {
+            var lo = lo0
+            var hi = hi0
+            while (lo < hi && lo < kTop) {
+              val mid = (lo + hi) >>> 1
+              def sw(a: Int, b: Int): Unit = { val tv = cpk(a); cpk(a) = cpk(b); cpk(b) = tv }
+              if (cpk(mid) > cpk(lo)) sw(mid, lo)
+              if (cpk(hi) > cpk(lo)) sw(hi, lo)
+              if (cpk(hi) > cpk(mid)) sw(hi, mid)
+              sw(mid, hi)
+              val pv = cpk(hi)
+              var p = lo
+              var q = lo
+              while (q < hi) {
+                if (cpk(q) > pv) { val tv = cpk(p); cpk(p) = cpk(q); cpk(q) = tv; p += 1 }
+                q += 1
+              }
+              sw(p, hi)
+              val lHi = p - 1
+              val rLo = p + 1
+              val leftLen = lHi - lo + 1
+              val rightLive = rLo < kTop
+              val rightLen = if (rightLive) hi - rLo + 1 else 0
+              if (leftLen <= rightLen) {
+                if (leftLen > 0) psortP(lo, lHi)
+                if (rightLive) lo = rLo else hi = lo - 1
+              } else {
+                if (rightLive) psortP(rLo, hi)
+                hi = lHi
+              }
             }
           }
+          psortP(0, ci - 1)
+          var r = 0
+          while (r < kTop) {
+            ccnt(r) = cpk(r) >>> 40
+            ckey(r) = Mask40 - (cpk(r) & Mask40)
+            r += 1
+          }
+        } else {
+          def better(i: Int, j: Int): Boolean =
+            ccnt(i) > ccnt(j) || (ccnt(i) == ccnt(j) && ckey(i) < ckey(j))
+          def swap(i: Int, j: Int): Unit = {
+            val tc = ccnt(i); ccnt(i) = ccnt(j); ccnt(j) = tc
+            val tk = ckey(i); ckey(i) = ckey(j); ckey(j) = tk
+          }
+          def psort(lo0: Int, hi0: Int): Unit = {
+            var lo = lo0
+            var hi = hi0
+            while (lo < hi && lo < kTop) {
+              // median-of-three pivot to dodge sorted-input quadratics
+              val mid = (lo + hi) >>> 1
+              if (better(mid, lo)) swap(mid, lo)
+              if (better(hi, lo)) swap(hi, lo)
+              if (better(hi, mid)) swap(hi, mid)
+              swap(mid, hi) // pivot to hi
+              var p = lo
+              var q = lo
+              while (q < hi) {
+                if (better(q, hi)) { swap(p, q); p += 1 }
+                q += 1
+              }
+              swap(p, hi)
+              // recurse into the SMALLER live side and loop on the larger:
+              // stack depth stays O(log n) even if equal-count runs give
+              // the pivot a pathological partition sequence
+              val lLo = lo; val lHi = p - 1
+              val rLo = p + 1
+              val leftLen = lHi - lLo + 1
+              val rightLive = rLo < kTop // positions >= kTop need no order
+              val rightLen = if (rightLive) hi - rLo + 1 else 0
+              if (leftLen <= rightLen) {
+                if (leftLen > 0) psort(lLo, lHi)
+                if (rightLive) lo = rLo else hi = lo - 1
+              } else {
+                if (rightLive) psort(rLo, hi)
+                hi = lHi
+              }
+            }
+          }
+          psort(0, ci - 1)
         }
-        psort(0, ci - 1)
         tSort += System.nanoTime() - ts0
         val tr0 = System.nanoTime()
         // conservative parallel rule: selected iff no strictly
