@@ -258,10 +258,16 @@ object AnalyticsQueries {
     val pts = Tables.embeddings(spark, dir).select(
       floor(col("embedding").getItem(0).cast("double") / lit(h)).cast("long").as("cx"),
       floor(col("embedding").getItem(1).cast("double") / lit(h)).cast("long").as("cy"))
-    val cells = pts.groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
-    val dense = graft.operators.GraphOps.materializeOnce(
-      cells.where(col("n") >= minPts)
-        .withColumn("cid", cellId(col("cx"), col("cy"))), "density_dense")
+    // materialize the CELL table, not just the dense subset (r19 opt):
+    // the noise row aggregates the sparse cells, which previously
+    // re-ran the corpus-sized point bucketing; every consumer (dense's
+    // two join legs + noise) now reads the one materialized aggregate
+    // and dense itself is a cheap filter over it
+    val cells = graft.operators.GraphOps.materializeOnce(
+      pts.groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n")),
+      "density_cells")
+    val dense = cells.where(col("n") >= minPts)
+      .withColumn("cid", cellId(col("cx"), col("cy")))
     val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
       (1, -1), (1, 0), (1, 1))
     val odf = spark.createDataFrame(offs).toDF("dx", "dy")
